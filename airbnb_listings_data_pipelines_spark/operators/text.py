@@ -1,0 +1,84 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side (built-in functions, no Python UDFs): at 100 TB these run inside
+whole-stage codegen straight off the parquet scan, shuffle-free (pure map
+operators), so throughput is bounded by scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets (public, language-frequency folklore).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "los", "las", "y", "es", "una"),
+}
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (array<string>); empty input -> empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token estimate: split on whitespace AND on
+    letter/digit/punct boundaries (a cheap BPE stand-in for budget checks)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(F.trim(c), r"\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^\w\s])")
+    return F.size(F.filter(pieces, lambda p: F.length(p) > 0)).cast("long")
+
+
+def stopword_count(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    return F.size(F.filter(toks, lambda w: w.isin(*stopwords))).cast("long")
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, r"[^.!?,;:]", "")).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality scores: length, token count, punctuation ratio,
+    stopword ratio, mean token length. All ratios are double divisions of
+    exact integer counts (cross-engine bit-stable)."""
+    n_chars = F.length(text_col).cast("long")
+    n_tokens = token_count(text_col)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (punct_count(text_col) / n_chars).alias("punct_ratio"),
+        (stopword_count(text_col) / n_tokens).alias("stopword_ratio"),
+        ((n_chars - (n_tokens - 1)) / n_tokens).alias("mean_token_len"),
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: CJK codepoint presence, else argmax of marker-
+    stopword hits with a fixed priority order on ties (en > fr > de > es),
+    'und' (undetermined) when nothing matches."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c))
+    def marker_hits(markers: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda w: w.isin(*markers)))
+
+    hits = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.when(c.rlike(r"[一-鿿]"), "zh")
+    for lang in ("en", "fr", "de", "es"):  # priority order on ties
+        expr = expr.when((best > 0) & (hits[lang] == best), lang)
+    return expr.otherwise("und")

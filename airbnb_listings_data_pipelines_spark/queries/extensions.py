@@ -1,0 +1,257 @@
+"""Training-data-pipeline queries over documents/embeddings (BASELINE.json
+north star: dedup, similarity search, text analysis, multimodal).
+
+SQL-expressible ops carry a DuckDB oracle; hash-based ops (MinHash, SimHash,
+LSH) are rows-only — xxhash64 has no DuckDB twin. Where an oracle exists,
+both sides implement the identical algorithm (same shingling, same
+tie-breaks, integer/exact arithmetic wherever a reduction happens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, text
+from ..sources.tpch import load_table
+from .registry import query
+
+
+@query(
+    "x01_dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    """,
+    survey_rows=("EXT-dedup", "W1"),
+    doc="Exact content dedup: keep lowest doc_id per identical text. At "
+    "scale the shuffle key is xxhash64(text) (8 bytes/row), not the text.",
+)
+def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["text"], "doc_id").select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "x02_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed
+    FROM documents
+    """,
+    survey_rows=("EXT-text",),
+    doc="Whitespace token counting — pure map operator, shuffle-free.",
+)
+def x02_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+    )
+
+
+@query(
+    "x03_quality_scores",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT)
+             / CAST(length(text) AS BIGINT) AS punct_ratio,
+           CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                w -> w IN ('the','a','of','and','is','to','in'))) AS BIGINT)
+             / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+             AS stopword_ratio,
+           (CAST(length(text) AS BIGINT)
+              - (CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) - 1))
+             / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+             AS mean_token_len
+    FROM documents
+    """,
+    survey_rows=("EXT-text",),
+    doc="Document quality scoring: punctuation/stopword ratios, mean token "
+    "length — integer counts divided as doubles (bit-stable).",
+)
+def x03_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_features(docs)
+
+
+@query(
+    "x04_lang_id",
+    oracle="""
+    WITH hits AS (
+      SELECT doc_id, lang, text AS t,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             w -> w IN ('the','a','of','and','is','to','in'))) AS en,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             w -> w IN ('le','la','les','et','est','une')))    AS fr,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             w -> w IN ('der','die','das','und','ist','ein'))) AS de,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             w -> w IN ('el','los','las','y','es','una')))     AS es
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN regexp_matches(t, '[' || chr(19968) || '-' || chr(40959) || ']') THEN 'zh'
+                WHEN greatest(en, fr, de, es) > 0 AND en = greatest(en, fr, de, es) THEN 'en'
+                WHEN greatest(en, fr, de, es) > 0 AND fr = greatest(en, fr, de, es) THEN 'fr'
+                WHEN greatest(en, fr, de, es) > 0 AND de = greatest(en, fr, de, es) THEN 'de'
+                WHEN greatest(en, fr, de, es) > 0 AND es = greatest(en, fr, de, es) THEN 'es'
+                ELSE 'und' END AS predicted_lang
+    FROM hits
+    """,
+    survey_rows=("EXT-text", "P3"),
+    doc="Heuristic language ID: CJK codepoint check, else argmax of marker-"
+    "stopword hits with fixed tie priority en>fr>de>es.",
+)
+def x04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        text.lang_id("text").alias("predicted_lang"),
+    )
+
+
+@query(
+    "x05_ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               list_transform(range(1, greatest(length(lower(text)), 3) - 3 + 2),
+                              i -> substring(lower(text), i, 3)))) AS sh
+      FROM documents
+    ), sizes AS (
+      SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.6
+    """,
+    survey_rows=("EXT-dedup", "J5", "A8"),
+    doc="Exact 3-gram Jaccard near-dup pairs via inverted-index self-join "
+    "(no all-pairs cross join). Verification-grade; MinHash+LSH (x06) is "
+    "the at-scale candidate generator.",
+)
+def x05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.6)
+
+
+@query(
+    "x06_minhash_lsh_pairs",
+    oracle=None,  # xxhash64 signatures have no DuckDB twin -> rows-only
+    survey_rows=("EXT-dedup",),
+    doc="MinHash(16)+LSH(4 bands) candidate pairs verified with exact "
+    "Jaccard >= 0.5 — the 100 TB near-dup path: O(n·bucket) not O(n²).",
+)
+def x06_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, verify_threshold=0.5)
+
+
+@query(
+    "x07_simhash",
+    oracle=None,  # xxhash64-based fingerprint -> rows-only
+    survey_rows=("EXT-dedup",),
+    doc="32-bit SimHash fingerprint per document (word unigrams); Hamming "
+    "proximity approximates bag-of-words cosine.",
+)
+def x07_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs).select(F.col("id").alias("doc_id"), "simhash")
+
+
+@query(
+    "x08_fingerprint_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_distinct_fingerprints
+    FROM documents
+    """,
+    survey_rows=("EXT-text", "A2"),
+    doc="Content fingerprinting (xxhash64) for dedup bookkeeping; oracle "
+    "checks the distinct-count contract (hash is injective on this corpus).",
+)
+def x08_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.xxhash64("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct_fingerprints"),
+    )
+
+
+@query(
+    "x09_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+               WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(c.embedding) + 1),
+                      i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+                      i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+               AS cos_sim
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+    survey_rows=("EXT-similarity",),
+    doc="Brute-force exact cosine top-5 for 8 query vectors (broadcast cross "
+    "join, deterministic double fold). Baseline for lsh_bucketed_topk.",
+)
+def x09_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    out = similarity.brute_force_topk(emb, q, k=5)
+    return out.select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
+
+
+@query(
+    "x10_lsh_ann_topk",
+    oracle=None,  # approximate (bucketed) — recall checked in tests instead
+    survey_rows=("EXT-similarity",),
+    doc="LSH-bucketed approximate NN: random-hyperplane sign sketch, "
+    "bucket-equi-join + exact re-rank. tests/test_similarity.py checks "
+    "recall against the brute-force baseline.",
+)
+def x10_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return similarity.lsh_bucketed_topk(emb, q, k=5, num_planes=6)
+
+
+@query(
+    "x11_multimodal_features",
+    oracle=None,  # mapInPandas + crc32 decode stub -> rows-only
+    survey_rows=("EXT-multimodal",),
+    doc="Binary media column -> Arrow-batched mapInPandas feature extraction "
+    "(decode stubbed deterministically; plumbing real).",
+)
+def x11_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs)
+    return multimodal.extract_features(media).select(
+        "media_id", "modality", "n_bytes", "content_hash"
+    )

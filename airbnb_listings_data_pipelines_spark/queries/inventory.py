@@ -1,0 +1,729 @@
+"""Operator-inventory queries over the driver's TPC-H-ish testdata.
+
+One query per SURVEY.md §2 operator family, phrased over
+``region nation customer supplier part orders lineitem events`` so the
+driver's DuckDB oracle can verify each against ANSI SQL at sf0.01.
+
+Reference-parity citations in each docstring point at the construct in
+/root/reference that the query re-expresses (the reference itself runs on
+Airbnb listing tables; the pipeline-shaped build of the same constructs lives
+in ``plans/`` — these registry queries are the operator-level contract).
+
+All queries follow the hash-stability rules in registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tpch import load_table
+from .registry import query
+
+
+def _dec(c: F.Column, scale: int = 2) -> F.Column:
+    return c.cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                                                                       AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(MIN(l_extendedprice) AS DOUBLE)                        AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE)                        AS max_price,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey_rows=("A1", "A3", "A4", "A5", "A6", "A8", "P5", "P9", "F9"),
+    doc="Multi-aggregate groupBy (partial+final hash agg) — the KPI-view "
+    "aggregate shape of workfile_populate_data_warehouse.py:506-621.",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.min("l_extendedprice").cast("double").alias("min_price"),
+            F.max("l_extendedprice").cast("double").alias("max_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q12_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS distinct_customers,
+           COUNT(*)                  AS total_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    survey_rows=("A2", "A8"),
+    doc="Exact COUNT(DISTINCT) per group — workfile_populate_data_warehouse"
+    ".py:518 (COUNT(DISTINCT host_id) per LGA/month).",
+)
+def q12_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        F.count(F.lit(1)).alias("total_orders"),
+    )
+
+
+@query(
+    "q13_distinct_projection",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey
+    FROM customer
+    """,
+    survey_rows=("A10",),
+    doc="SELECT DISTINCT dedup — workfile_design_data_warehouse.sql:170, 545.",
+)
+def q13_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", F.col("c_nationkey").cast("long").alias("c_nationkey")).distinct()
+
+
+@query(
+    "q11_median_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) / 100.0
+               AS median_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_rows=("A7",),
+    doc="Exact median (PERCENTILE_CONT 0.5) — workfile_populate_data_warehouse"
+    ".py:564. Computed over integer cents so linear interpolation is "
+    "bit-identical across engines.",
+)
+def q11_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        (F.percentile(cents, F.lit(0.5)) / 100.0).alias("median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q22_conditional_rates",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           COUNT(*) AS total_orders,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished_orders,
+           100 * COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) / COUNT(*)
+               AS finished_rate_pct
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+    survey_rows=("A9", "A11", "F10", "J7"),
+    doc="Single-pass conditional aggregation — the idiomatic collapse of the "
+    "reference's 4-filtered-subaggregate + FULL JOIN KPI shape "
+    "(workfile_populate_data_warehouse.py:506-621, SURVEY §2.4 A11).",
+)
+def q22_conditional_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    finished = F.count(F.when(F.col("o_orderstatus") == "F", 1))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("total_orders"),
+            finished.alias("finished_orders"),
+            (F.lit(100) * finished / F.count(F.lit(1))).alias("finished_rate_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q03_join_topk_revenue",
+    oracle="""
+    SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    survey_rows=("J7", "A5", "A8", "O1", "O3"),
+    doc="3-way equi-join + agg + global top-k (TakeOrderedAndProject) — the "
+    "fact->dim star-lookup + ORDER BY/LIMIT shape of workfile_ad-hoc_analysis"
+    ".sql:43-59. Small sides broadcast.",
+)
+def q03_join_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q04_full_outer_subaggs",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+             CAST(month(o_orderdate) AS BIGINT) AS order_month,
+             COUNT(*) AS total_orders
+      FROM orders GROUP BY 1, 2
+    ), a AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+             CAST(month(o_orderdate) AS BIGINT) AS order_month,
+             COUNT(*) AS urgent_orders
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1, 2
+    )
+    SELECT t.order_year, t.order_month, t.total_orders, a.urgent_orders
+    FROM t FULL OUTER JOIN a
+      ON t.order_year = a.order_year AND t.order_month = a.order_month
+    """,
+    survey_rows=("J3", "A11", "A8"),
+    doc="FULL OUTER join of filtered sub-aggregates on a composite key, "
+    "projecting the LEFT side's group keys — preserves the NULL-group-key "
+    "quirk of workfile_populate_data_warehouse.py:522-619 (SURVEY §2.10(1)).",
+)
+def q04_full_outer_subaggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    keys = [
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+    ]
+    t = o.groupBy(*keys).agg(F.count(F.lit(1)).alias("total_orders")).alias("t")
+    a = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("urgent_orders"))
+        .alias("a")
+    )
+    cond = (F.col("t.order_year") == F.col("a.order_year")) & (
+        F.col("t.order_month") == F.col("a.order_month")
+    )
+    return t.join(a, cond, "full").select(
+        F.col("t.order_year").alias("order_year"),
+        F.col("t.order_month").alias("order_month"),
+        "t.total_orders",
+        "a.urgent_orders",
+    )
+
+
+@query(
+    "q05_left_join_distinct_dim",
+    oracle="""
+    SELECT d.c_mktsegment, COUNT(*) AS orders_cnt
+    FROM orders o
+    LEFT JOIN (SELECT DISTINCT c_custkey, c_mktsegment FROM customer) d
+      ON o.o_custkey = d.c_custkey
+    GROUP BY d.c_mktsegment
+    """,
+    survey_rows=("J6", "A10", "A1"),
+    doc="LEFT join to a deduped dimension before aggregating — the "
+    "distinct-before-join row-explosion guard of "
+    "workfile_design_data_warehouse.sql:545-548.",
+)
+def q05_left_join_distinct_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment").distinct()
+    return (
+        o.join(F.broadcast(d), o.o_custkey == d.c_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("orders_cnt"))
+    )
+
+
+@query(
+    "q06_scalar_subquery",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS above_avg_cnt
+    FROM lineitem
+    WHERE l_quantity > (
+      SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+    survey_rows=("J9", "A6"),
+    doc="Uncorrelated scalar subquery as a predicate operand — "
+    "workfile_ad-hoc_analysis.sql:140, 183-187. DataFrame idiom: crossJoin "
+    "of a 1-row aggregate (broadcast nested-loop).",
+)
+def q06_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.agg(
+        (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.crossJoin(F.broadcast(avg_qty))
+        .filter(F.col("l_quantity") > F.col("avg_qty"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("above_avg_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q07_dedup_row_number",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT * FROM lineitem
+      QUALIFY row_number() OVER (
+        PARTITION BY l_orderkey
+        ORDER BY l_linenumber DESC, l_partkey, l_suppkey, l_quantity, l_extendedprice) = 1
+    )
+    GROUP BY l_returnflag
+    """,
+    survey_rows=("W1", "W7", "P11"),
+    doc="ROW_NUMBER dedup, one row per key (the QUALIFY idiom) — "
+    "workfile_design_data_warehouse.sql:265-266 keeps one snapshot row per "
+    "(id, filename).",
+)
+def q07_dedup_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_linenumber"), "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    return (
+        li.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q08_rank_ties_per_group",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer
+    QUALIFY rank() OVER (
+      PARTITION BY c_nationkey ORDER BY round(c_acctbal, 0) DESC) = 1
+    """,
+    survey_rows=("W3", "W7", "P11"),
+    doc="RANK()=1 per group keeping ties — workfile_ad-hoc_analysis.sql:77 "
+    "(best listing type per LGA; report p8-10's golden table keeps all tied "
+    "rows). Ranking on rounded balance manufactures real ties.",
+)
+def q08_rank_ties_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc(F.round("c_acctbal", 0)))
+    return (
+        c.withColumn("__rk", F.rank().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+    )
+
+
+@query(
+    "q09_lag_mom_change",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+             CAST(month(o_orderdate) AS BIGINT) AS order_month,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT order_year, order_month, n_orders,
+           lag(n_orders) OVER (ORDER BY order_year, order_month) AS prev_orders,
+           100 * (n_orders - lag(n_orders) OVER (ORDER BY order_year, order_month))
+               / lag(n_orders) OVER (ORDER BY order_year, order_month)
+               AS pct_change
+    FROM m
+    """,
+    survey_rows=("W4", "F5", "F10", "A8"),
+    doc="LAG of an aggregate for month-over-month % change — "
+    "workfile_populate_data_warehouse.py:569-570, 540-544 (first month NULL "
+    "preserved, SURVEY §2.10(4)). Pre-aggregated before the global window so "
+    "the single-partition sort sees ~84 rows, not the base table.",
+)
+def q09_lag_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.orderBy("order_year", "order_month")
+    prev = F.lag("n_orders").over(w)
+    return m.select(
+        "order_year",
+        "order_month",
+        "n_orders",
+        prev.alias("prev_orders"),
+        (F.lit(100) * (F.col("n_orders") - prev) / prev).alias("pct_change"),
+    )
+
+
+@query(
+    "q10_windowed_share",
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+             / CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                    OVER (PARTITION BY c_nationkey) AS DOUBLE) AS nation_share
+    FROM customer
+    """,
+    survey_rows=("W5", "W6"),
+    doc="Windowed SUM ratio-to-group (unbounded default frame) — the "
+    "largest-area-share rule of workfile_design_data_warehouse.sql:174 and "
+    "the per-host share windows of workfile_ad-hoc_analysis.sql:90-104, "
+    "141-144.",
+)
+def q10_windowed_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    bal = _dec(F.col("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        (bal.cast("double") / F.sum(bal).over(w).cast("double")).alias("nation_share"),
+    )
+
+
+@query(
+    "q20_largest_share_owner",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT l_partkey, l_suppkey, total_qty
+    FROM per
+    QUALIFY row_number() OVER (
+      PARTITION BY l_partkey ORDER BY total_qty DESC, l_suppkey) = 1
+    """,
+    survey_rows=("W1", "W5", "P11", "A8"),
+    doc="Assign each entity to the owner of its largest share — the "
+    "suburb->LGA largest-area resolution rule of "
+    "workfile_design_data_warehouse.sql:174-181 (report p4).",
+)
+def q20_largest_share_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec(F.col("l_quantity"))).cast("double").alias("total_qty")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.desc("total_qty"), "l_suppkey")
+    return per.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q21_global_topk",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 5
+    """,
+    survey_rows=("O1", "O2", "O3"),
+    doc="Global ORDER BY ... LIMIT k -> TakeOrderedAndProject (no full sort, "
+    "no shuffle-to-one) — workfile_ad-hoc_analysis.sql:58-59 top-5 LGAs.",
+)
+def q21_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("c_acctbal"))
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / CASE (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q02_filter_projection",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(l_quantity AS DOUBLE)   AS l_quantity,
+           l_returnflag, l_linestatus,
+           CAST(l_shipdate AS DATE)::VARCHAR AS shipdate
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+      AND l_quantity IS NOT NULL
+    """,
+    survey_rows=("P1", "P6", "P7", "P9", "F8", "O1"),
+    doc="Pushed-down filters + pruned projection: equality flag filter "
+    "(workfile_populate_data_warehouse.py:580), date-range validity window "
+    "(workfile_design_data_warehouse.sql:543), IS NOT NULL "
+    "(workfile_design_data_warehouse.sql:459).",
+)
+def q02_filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R")
+        & F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1996-12-31").cast("timestamp")
+        )
+        & F.col("l_quantity").isNotNull()
+    ).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_shipdate").cast("date").cast("string").alias("shipdate"),
+    )
+
+
+@query(
+    "q14_case_ladder",
+    oracle="""
+    SELECT CASE WHEN o_orderpriority = '1-URGENT'        THEN 'critical'
+                WHEN o_orderpriority = '2-HIGH'          THEN 'elevated'
+                WHEN o_orderpriority = '1-URGENT'        THEN 'shadowed-duplicate'
+                WHEN o_orderpriority = '3-MEDIUM'        THEN 'standard'
+                WHEN o_orderpriority IS NULL             THEN 'missing'
+                ELSE 'routine' END AS priority_tier,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+    survey_rows=("P3", "P4"),
+    doc="Order-sensitive CASE WHEN ladder with a duplicated branch (first "
+    "match wins) — the suburb->LGA fallback ladders of "
+    "workfile_design_data_warehouse.sql:473-541, incl. the duplicate-branch "
+    "quirk SURVEY §2.10(5).",
+)
+def q14_case_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_orderpriority")
+    tier = (
+        F.when(p == "1-URGENT", "critical")
+        .when(p == "2-HIGH", "elevated")
+        .when(p == "1-URGENT", "shadowed-duplicate")
+        .when(p == "3-MEDIUM", "standard")
+        .when(p.isNull(), "missing")
+        .otherwise("routine")
+    )
+    return o.groupBy(tier.alias("priority_tier")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q18_try_cast_price",
+    oracle="""
+    WITH priced AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN '$1,234.56'
+                  WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE '$' || CAST(o_orderkey % 900 + 100 AS VARCHAR) || '.25'
+             END AS price_raw
+      FROM orders
+    )
+    SELECT COUNT(*)                                          AS n_rows,
+           COUNT(TRY_CAST(list_extract(str_split(price_raw, '$'), -1)
+                          AS DECIMAL(10,2)))                 AS n_parsed,
+           CAST(SUM(TRY_CAST(list_extract(str_split(price_raw, '$'), -1)
+                             AS DECIMAL(10,2))) AS DOUBLE)   AS sum_parsed
+    FROM priced
+    """,
+    survey_rows=("P2", "F1"),
+    doc="TRY_CAST price parse after split_part('$', -1): comma-formatted "
+    "prices yield NULL and drop out of the sum — the load-bearing "
+    "design-accident of workfile_design_data_warehouse.sql:228 + 459 "
+    "(SURVEY §2.10(2)).",
+)
+def q18_try_cast_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    price_raw = (
+        F.when(k % 5 == 0, F.lit("$1,234.56"))
+        .when(k % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("$"), (k % 900 + 100).cast("string"), F.lit(".25")))
+    )
+    parsed = F.split_part(price_raw, F.lit("$"), F.lit(-1)).try_cast("decimal(10,2)")
+    return o.select(parsed.alias("p")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("p").alias("n_parsed"),
+        F.sum("p").cast("double").alias("sum_parsed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(trim(replace(replace(p_name, 'red', 'crimson'),
+                              'small', 'st'))) AS cleaned_name,
+           list_extract(str_split(p_name, ' '), -1) AS last_word,
+           CAST(list_extract(str_split(c.c_name, '#'), 2) AS BIGINT) AS cust_num
+    FROM part p JOIN customer c ON p.p_partkey % 1500 = c.c_custkey
+    WHERE p.p_name LIKE '%wid%' OR p.p_name LIKE 'red%'
+    """,
+    survey_rows=("F1", "F2", "F3", "F4", "P10"),
+    doc="SPLIT_PART (incl. negative index), UPPER/TRIM, nested REPLACE "
+    "chain, LIKE — workfile_design_data_warehouse.sql:172-173, 228, "
+    "451-455, 488, 501.",
+)
+def q15_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dialect import multi_replace, split_part
+
+    p = load_table(spark, sf_dir, "part")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        p.filter(F.col("p_name").like("%wid%") | F.col("p_name").like("red%"))
+        .join(F.broadcast(c), p.p_partkey % 1500 == c.c_custkey)
+        .select(
+            "p_partkey",
+            F.upper(
+                F.trim(multi_replace(F.col("p_name"), [("red", "crimson"), ("small", "st")]))
+            ).alias("cleaned_name"),
+            split_part(F.col("p_name"), " ", -1).alias("last_word"),
+            split_part(F.col("c_name"), "#", 2).cast("long").alias("cust_num"),
+        )
+    )
+
+
+@query(
+    "q16_date_functions",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT)  AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(make_date(CAST(year(o_orderdate) AS INT),
+                          CAST(month(o_orderdate) AS INT), 1) AS VARCHAR)
+                                              AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE)
+          BETWEEN make_date(CAST(year(o_orderdate) AS INT),
+                            CAST(month(o_orderdate) AS INT), 1)
+              AND last_day(CAST(o_orderdate AS DATE))
+    GROUP BY 1, 2, 3, 4
+    """,
+    survey_rows=("F5", "F6", "F7", "F8", "P9"),
+    doc="YEAR/MONTH extraction, DATE_FROM_PARTS (make_date), LAST_DAY, and "
+    "the inclusive month-window validity filter — "
+    "workfile_design_data_warehouse.sql:447, 456-457, 543 (SURVEY §2.10(7)).",
+)
+def q16_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    month_start = F.make_date(F.year(d), F.month(d), F.lit(1))
+    return (
+        o.filter(d.between(month_start, F.last_day(d)))
+        .groupBy(
+            F.year(d).cast("long").alias("order_year"),
+            F.month(d).cast("long").alias("order_month"),
+            month_start.cast("string").alias("month_start"),
+            F.last_day(d).cast("string").alias("month_end"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / harmonization (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_union_by_name",
+    oracle="""
+    SELECT entity_type, entity_key, acctbal, segment, COUNT(*) AS n
+    FROM (
+      SELECT 'customer' AS entity_type, c_custkey AS entity_key,
+             CAST(c_acctbal AS DOUBLE) AS acctbal, c_mktsegment AS segment
+      FROM customer
+      UNION ALL BY NAME
+      SELECT 'supplier' AS entity_type, CAST(s_suppkey AS BIGINT) AS entity_key,
+             CAST(s_acctbal AS DOUBLE) AS acctbal, NULL AS segment
+      FROM supplier
+    )
+    GROUP BY 1, 2, 3, 4
+    """,
+    survey_rows=("§2.7",),
+    doc="unionByName(allowMissingColumns=True) schema harmonization — the "
+    "Spark equivalent of the notebook's cross-file column alignment "
+    "(workfile_preprocess.ipynb cells 11-17, SURVEY §2.7).",
+)
+def q17_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("entity_type"),
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("entity_type"),
+        F.col("s_suppkey").cast("long").alias("entity_key"),
+        F.col("s_acctbal").cast("double").alias("acctbal"),
+    )
+    return (
+        c.unionByName(s, allowMissingColumns=True)
+        .groupBy("entity_type", "entity_key", "acctbal", "segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

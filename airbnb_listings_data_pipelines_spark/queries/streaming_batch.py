@@ -1,0 +1,97 @@
+"""Event-table queries — the batch expression of the streaming surface.
+
+The reference is pure batch (SURVEY §2.9): time enters only via
+filename-derived months. The driver's ``events`` table is the capability
+extension: tumbling/sliding window aggregation here is written so the same
+transformation runs under Structured Streaming (see ``streaming/events.py``,
+which asserts batch/stream parity on these exact aggregates).
+
+Never project raw ``ts``: Spark reads the nanosecond parquet column at µs
+precision while DuckDB keeps ns — bucket timestamps to epoch seconds instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tpch import load_table
+from .registry import query
+
+
+@query(
+    "q19_events_tumbling",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_rows=("§2.9", "A1", "A2", "A5"),
+    doc="Tumbling 1-hour window aggregation over the event stream (batch "
+    "form; streaming form with watermark in streaming/events.py uses the "
+    "identical F.window transformation).",
+)
+def q19_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q23_events_sessionize_gap",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))
+                              AS BIGINT) > 1800
+                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+    survey_rows=("§2.9", "W4", "W5"),
+    doc="Gap-based sessionization (30-min inactivity) via lag + running sum "
+    "— the batch twin of streaming session windows; stateful streaming "
+    "variant would use applyInPandasWithState.",
+)
+def q23_events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800), 1
+    ).otherwise(0)
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
