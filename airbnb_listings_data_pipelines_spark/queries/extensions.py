@@ -237,7 +237,7 @@ def x09_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x10_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    return similarity.lsh_bucketed_topk(emb, q, k=5, num_planes=6)
+    return similarity.lsh_bucketed_topk(emb, q, k=5)
 
 
 @query(

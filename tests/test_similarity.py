@@ -1,0 +1,41 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_listings_data_pipelines_spark.operators import similarity
+from airbnb_listings_data_pipelines_spark.sources.tpch import load_table
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),   # close to 1
+            (3, [0.0, 1.0, 0.0]),   # orthogonal to 1
+            (4, [-1.0, 0.0, 0.0]),  # opposite of 1
+        ],
+        ["vec_id", "embedding"],
+    )
+
+
+def test_brute_force_topk_ordering(vecs):
+    out = similarity.brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 1), k=3)
+    got = [(r.neighbor_id, round(r.cos_sim, 6)) for r in out.orderBy("rnk").collect()]
+    assert [n for n, _ in got] == [2, 3, 4]
+    assert got[1][1] == 0.0 and got[2][1] == -1.0
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    approx = similarity.lsh_bucketed_topk(emb, q, k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 8 tables x 6 planes: union-of-tables recall on 64-dim embeddings
+    assert recall >= 0.7, f"LSH recall too low: {recall}"

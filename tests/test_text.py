@@ -1,0 +1,41 @@
+from __future__ import annotations
+
+from airbnb_listings_data_pipelines_spark.operators import text
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("  x ",), ("",)], ["text"])
+    vals = [r.n for r in df.select(text.token_count("text").alias("n")).collect()]
+    assert vals == [3, 1, 0]
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([("hello world42!",)], ["text"])
+    n = df.select(text.bpe_ish_token_count("text").alias("n")).collect()[0].n
+    # hello | world | 42 | !
+    assert n == 4
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it is happy"),
+            (2, "le chat est sur la table et la chaise"),
+            (3, "der hund und die katze ist ein tier"),
+            (4, "el perro y los gatos es una familia"),
+            (5, "这是中文文本"),
+            (6, "xyzzy plugh qwerty"),
+        ],
+        ["id", "text"],
+    )
+    got = {r.id: r.lang for r in df.select("id", text.lang_id("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "fr", 3: "de", 4: "es", 5: "zh", 6: "und"}
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([(1, "Hello, world! Fine.")], ["doc_id", "text"])
+    r = text.quality_features(df).collect()[0]
+    assert r.n_chars == 19
+    assert r.n_tokens == 3
+    assert r.punct_ratio == 3 / 19  # , ! .
+    assert r.mean_token_len == (19 - 2) / 3
