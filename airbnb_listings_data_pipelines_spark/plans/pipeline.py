@@ -1,0 +1,125 @@
+"""Pipeline runner — the Spark replacement for the reference's Airflow DAG
+(workfile_populate_data_warehouse.py:934-1030):
+
+    refresh_raw_census   >> staging_census  >> dim_census
+    refresh_raw_location >> staging_location >> fact_listing
+    refresh_raw_listing  >> staging_listing  >> fact_listing
+    fact_listing >> {kpi1, kpi1_raw, kpi2, kpi3}
+
+Airflow's process/network task boundary collapses to Python call ordering;
+Spark's lazy plans already encode intra-query dependencies, and each layer
+can optionally be persisted (saveAsTable/parquet) to keep the reference's
+restartable-layer property.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.csv import read_positional_csv
+from . import adhoc, datamart, staging, warehouse
+
+# file patterns, as the reference's external-table PATTERNs
+# (workfile_design_data_warehouse.sql:104-128)
+RAW_GLOBS = {
+    "listing": "*listings*.csv",
+    "census_g01": "*G01*.csv",
+    "census_g02": "*G02*.csv",
+    "lga": "*LGA*.csv",
+    "ssc": "*SSC*.csv",
+}
+
+
+@dataclass
+class PipelineResult:
+    staging_census: DataFrame
+    staging_location: DataFrame
+    staging_listing: DataFrame
+    dim_census: DataFrame
+    fact_listing: DataFrame
+    kpi_neighbourhood_month: DataFrame
+    kpi_neighbourhood_month_raw: DataFrame
+    kpi_property_month: DataFrame
+    kpi_host_neighbourhood_month: DataFrame
+
+
+def run_pipeline(
+    spark: SparkSession,
+    data_dir: str,
+    persist_dir: str | None = None,
+    register_views: bool = True,
+) -> PipelineResult:
+    """Execute the full ELT flow over a directory of raw CSVs.
+
+    ``persist_dir``: if given, staging+warehouse layers are materialized as
+    parquet (fact partitioned by file_date) and re-read — the reference's
+    layer-materialization property (design.sql:140,164,187; SURVEY §4.1);
+    otherwise everything stays one lazy plan.
+    """
+    raw = {
+        name: read_positional_csv(spark, data_dir, glob=glob)
+        for name, glob in RAW_GLOBS.items()
+    }
+
+    st_census = staging.build_staging_census(raw["census_g01"], raw["census_g02"])
+    st_location = staging.build_staging_location(raw["ssc"], raw["lga"])
+    st_listing = staging.build_staging_listing(raw["listing"])
+
+    if persist_dir:
+        base = persist_dir.rstrip("/")
+        st_census.write.mode("overwrite").parquet(f"{base}/staging_census")
+        st_location.write.mode("overwrite").parquet(f"{base}/staging_location")
+        st_listing.write.mode("overwrite").parquet(f"{base}/staging_listing")
+        st_census = spark.read.parquet(f"{base}/staging_census")
+        st_location = spark.read.parquet(f"{base}/staging_location")
+        st_listing = spark.read.parquet(f"{base}/staging_listing")
+
+    dim_census = warehouse.build_dim_census(st_census)
+    fact = warehouse.build_fact_listing(st_listing, st_location)
+
+    if persist_dir:
+        base = persist_dir.rstrip("/")
+        warehouse.write_fact_partitioned(fact, f"{base}/fact_listing")
+        fact = spark.read.parquet(f"{base}/fact_listing")
+
+    result = PipelineResult(
+        staging_census=st_census,
+        staging_location=st_location,
+        staging_listing=st_listing,
+        dim_census=dim_census,
+        fact_listing=fact,
+        kpi_neighbourhood_month=datamart.kpi_neighbourhood_month(fact),
+        kpi_neighbourhood_month_raw=datamart.kpi_neighbourhood_month_raw(fact),
+        kpi_property_month=datamart.kpi_property_month(fact),
+        kpi_host_neighbourhood_month=datamart.kpi_host_neighbourhood_month(fact),
+    )
+    if register_views:
+        for name in (
+            "staging_census",
+            "staging_location",
+            "staging_listing",
+            "dim_census",
+            "fact_listing",
+            "kpi_neighbourhood_month",
+            "kpi_neighbourhood_month_raw",
+            "kpi_property_month",
+            "kpi_host_neighbourhood_month",
+        ):
+            getattr(result, name).createOrReplaceTempView(name)
+    return result
+
+
+def run_adhoc(result: PipelineResult) -> dict[str, DataFrame]:
+    """The four ad-hoc analyses (workfile_ad-hoc_analysis.sql)."""
+    return {
+        "a_best_worst_demographics": adhoc.query_a_best_worst_demographics(
+            result.fact_listing, result.dim_census
+        ),
+        "b_best_listing_type_top5": adhoc.query_b_best_listing_type_top5(result.fact_listing),
+        "c_same_neighbourhood": adhoc.query_c_same_neighbourhood(result.fact_listing),
+        "d_mortgage_coverage": adhoc.query_d_mortgage_coverage(
+            result.fact_listing, result.dim_census
+        ),
+    }
