@@ -1,0 +1,112 @@
+"""Structured Streaming over the events table.
+
+The reference is batch-only (SURVEY §2.9) — this is the capability
+extension: the SAME transformation (``tumbling_aggregate``) runs identically
+over a batch DataFrame and a ``readStream`` source, which is the Spark
+design point: declare the plan once, execute incrementally.
+
+Watermarking bounds state: with ``withWatermark("ts", delay)``, windows
+older than max(event time) - delay are finalized and state evicted —
+mandatory at 100 TB/day event volumes. ``count(DISTINCT)`` is not
+incrementally computable, so the streaming aggregate uses
+``approx_count_distinct`` (HLL, mergeable) — the documented exact-vs-sketch
+trade-off (SURVEY §4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet physical schema (ts is TIMESTAMP(NANOS) -> long under
+# nanosAsLong, converted to a timestamp below)
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def event_stream(
+    spark: SparkSession,
+    directory: str,
+    glob: str = "events*.parquet",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over a directory of events parquet files (one file
+    per micro-batch; in production new files land and are picked up
+    incrementally)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", glob)
+        .parquet(directory)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+
+
+def tumbling_aggregate(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = "2 hours",
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Tumbling-window per-type aggregate; identical for batch and stream.
+
+    ``exact_distinct`` is only valid in batch (streaming state can't hold
+    exact distinct sets); streaming uses the mergeable HLL sketch.
+    """
+    src = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+    distinct_users = (
+        F.countDistinct("user_id") if exact_distinct else F.approx_count_distinct("user_id")
+    )
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            distinct_users.alias("n_users_approx"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "n_users_approx",
+            "sum_value",
+        )
+    )
+
+
+def stream_to_memory(
+    spark: SparkSession,
+    directory: str,
+    name: str = "events_agg",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Run the streaming aggregate to completion against the files currently
+    in ``directory`` (memory sink, complete mode) and return the result."""
+    agg = tumbling_aggregate(event_stream(spark, directory), window=window)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

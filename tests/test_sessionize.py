@@ -1,0 +1,82 @@
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from airbnb_listings_data_pipelines_spark.sources.tpch import load_table
+from airbnb_listings_data_pipelines_spark.streaming.events import event_stream
+from airbnb_listings_data_pipelines_spark.streaming.sessionize import sessionize
+
+from .conftest import SF_SMALL
+
+
+def _batch_sessions(spark, gap_seconds: int) -> pd.DataFrame:
+    """Reference sessionization computed with plain batch window functions
+    (the q23 pattern) — ground truth for the stateful operator."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, SF_SMALL, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            prev.isNull()
+            | ((F.unix_micros("ts") - F.unix_micros(prev)) > gap_seconds * 1_000_000),
+            1,
+        ).otherwise(0),
+    ).withColumn("sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        flagged.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .toPandas()
+    )
+
+
+def test_stateful_sessionize_matches_batch(spark):
+    gap = 1800
+    out = sessionize(event_stream(spark, SF_SMALL), gap_seconds=gap)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM sessions").toPandas()
+
+    expected = _batch_sessions(spark, gap)
+    # the trailing (still-open) session per user only flushes on an event-time
+    # timeout, which needs a later watermark than this finite input provides —
+    # compare the gap-closed sessions
+    last_per_user = expected.loc[expected.groupby("user_id")["session_start"].idxmax()]
+    closed_expected = expected.merge(
+        last_per_user[["user_id", "session_start"]],
+        on=["user_id", "session_start"],
+        how="left",
+        indicator=True,
+    )
+    closed_expected = closed_expected[closed_expected["_merge"] == "left_only"]
+
+    key = ["user_id", "session_start"]
+    g = got[got["closed_by"] == "gap"].sort_values(key).reset_index(drop=True)
+    e = closed_expected.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(e), (len(g), len(e))
+    assert (g["n_events"].values == e["n_events"].values).all()
+    assert (
+        pd.to_datetime(g["session_end"]).values == pd.to_datetime(e["session_end"]).values
+    ).all()
+
+    # timeout-flushed rows must each be a user's trailing session whose end
+    # fell behind the final watermark (idle >= watermark + gap)
+    t = got[got["closed_by"] == "timeout"].merge(
+        last_per_user, on=["user_id", "session_start"], suffixes=("", "_exp")
+    )
+    assert len(t) == (got["closed_by"] == "timeout").sum()
+    assert (t["n_events"].values == t["n_events_exp"].values).all()
