@@ -54,16 +54,34 @@ def punct_count(col: Column | str) -> Column:
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality scores: length, token count, punctuation ratio,
     stopword ratio, mean token length. All ratios are double divisions of
-    exact integer counts (cross-engine bit-stable)."""
-    n_chars = F.length(text_col).cast("long")
-    n_tokens = token_count(text_col)
-    return df.select(
+    exact integer counts (cross-engine bit-stable).
+
+    The regex tokenization runs ONCE per row (projected intermediate
+    array) — a naive per-metric retokenization costs ~4x on the hot path
+    (Catalyst does not CSE regexp_split across aggregate expressions)."""
+    stage = df.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        (punct_count(text_col) / n_chars).alias("punct_ratio"),
-        (stopword_count(text_col) / n_tokens).alias("stopword_ratio"),
-        ((n_chars - (n_tokens - 1)) / n_tokens).alias("mean_token_len"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        tokens(text_col).alias("__toks"),
+        punct_count(text_col).alias("__punct"),
+    ).select(
+        id_col,
+        "n_chars",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        "__punct",
+        F.size(F.filter("__toks", lambda w: F.lower(w).isin(*EN_STOPWORDS)))
+        .cast("long")
+        .alias("__stop"),
+    )
+    return stage.select(
+        id_col,
+        "n_chars",
+        "n_tokens",
+        (F.col("__punct") / F.col("n_chars")).alias("punct_ratio"),
+        (F.col("__stop") / F.col("n_tokens")).alias("stopword_ratio"),
+        ((F.col("n_chars") - (F.col("n_tokens") - 1)) / F.col("n_tokens")).alias(
+            "mean_token_len"
+        ),
     )
 
 
