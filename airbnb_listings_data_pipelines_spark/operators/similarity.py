@@ -138,6 +138,68 @@ def lsh_bucketed_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate NN: partition the corpus into ``num_centroids``
+    Voronoi cells (centroids = a deterministic corpus sample — stand-in for
+    a k-means fit, which would only move the centroids, not the plan),
+    probe the ``nprobe`` nearest cells per query, exact re-rank inside.
+
+    At 100 TB the assignment is a map stage (centroids broadcast as
+    literals), the probe is an equi-join on cell id, and quadratic work is
+    confined to |query| x |cells probed| x |cell|. Higher num_centroids ->
+    smaller cells; higher nprobe -> better recall.
+    """
+    import math
+
+    cent_rows = corpus.orderBy(id_col).limit(num_centroids).select(vec_col).collect()
+    cents = [list(r[0]) for r in cent_rows]
+    norms = [math.sqrt(sum(x * x for x in c)) for c in cents]
+
+    def cell_scores(vec: Column) -> Column:
+        """array<struct<c: double, i: int>> of cosine-to-centroid, probe-sortable."""
+        entries = []
+        vnorm = l2_norm(vec)
+        for i, (c, n) in enumerate(zip(cents, norms)):
+            arr = F.array(*[F.lit(x) for x in c])
+            cos = dot(vec, arr) / (vnorm * F.lit(n))
+            entries.append(F.struct(cos.alias("c"), F.lit(i).alias("i")))
+        return F.array(*entries)
+
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.array_max(cell_scores(F.col(vec_col)))["i"].alias("cell"),
+    )
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.sort_array(cell_scores(F.col(vec_col)), asc=False), 1, nprobe
+                ),
+                lambda s: s["i"],
+            )
+        ).alias("cell"),
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def _deterministic_planes(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (splitmix64 in plain Python —
     driver-side constants, broadcast as literals)."""

@@ -255,3 +255,84 @@ def x11_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media).select(
         "media_id", "modality", "n_bytes", "content_hash"
     )
+
+
+@query(
+    "x12_top_tokens",
+    oracle="""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+          FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+    survey_rows=("EXT-text", "O3", "A8"),
+    doc="Corpus token histogram, global top-20 — explode + count + "
+    "TakeOrderedAndProject; partial aggregation keeps the shuffle at "
+    "|vocab|, not |tokens|.",
+)
+def x12_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(text.tokens(F.lower("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+@query(
+    "x13_embedding_neardup_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+             AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+          >= 0.4
+    """,
+    survey_rows=("EXT-dedup", "EXT-similarity"),
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.4, exact "
+    "all-pairs). Correctness baseline for semantic dedup; at scale the "
+    "pair generation is replaced by the LSH/IVF candidate join.",
+)
+def x13_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            similarity.cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+@query(
+    "x14_ivf_ann_topk",
+    oracle=None,  # approximate (cell-probed) — recall asserted in tests
+    survey_rows=("EXT-similarity",),
+    doc="IVF-style ANN: deterministic centroid cells, nprobe-cell probe, "
+    "exact re-rank. The scale path when LSH bucket skew hurts; recall vs "
+    "brute force asserted in tests/test_similarity.py.",
+)
+def x14_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return similarity.ivf_topk(emb, q, k=5)

@@ -727,3 +727,70 @@ def q17_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("entity_type", "entity_key", "acctbal", "segment")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Scans / sources / catalog (SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q24_file_lineage",
+    oracle="""
+    SELECT split_part(filename, '/', -1) AS source_file,
+           COUNT(*) AS n_rows
+    FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet', filename=true)
+    GROUP BY 1
+    """,
+    survey_rows=("S3", "F1"),
+    doc="File-metadata lineage column: SPLIT_PART(metadata$filename,'/',-1) "
+    "-> F.input_file_name() (workfile_design_data_warehouse.sql:263). The "
+    "oracle hardcodes the sf0.01 path because DuckDB's filename pseudo-column "
+    "needs read_parquet(...) directly (t2 always runs at sf0.01).",
+)
+def q24_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dialect import split_part
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        split_part(F.input_file_name(), "/", -1).alias("source_file")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "q25_sql_view_catalog",
+    oracle="""
+    WITH high_value_orders AS (
+      SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+      FROM orders WHERE o_totalprice > 200000
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(price_dec) AS DOUBLE) AS sum_price
+    FROM high_value_orders v JOIN orders o USING (o_orderkey)
+    GROUP BY o_orderstatus
+    """,
+    survey_rows=("S8", "S12", "P6"),
+    doc="CREATE OR REPLACE VIEW + querying through the catalog with Spark "
+    "SQL — the datamart view layer (workfile_populate_data_warehouse.py:507, "
+    "628, 747, 886; SURVEY §2.1 S12).",
+)
+def q25_sql_view_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_src")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW high_value_orders AS
+        SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+        FROM __orders_src WHERE o_totalprice > 200000
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(v.price_dec) AS DOUBLE) AS sum_price
+        FROM high_value_orders v JOIN __orders_src o ON v.o_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
+        """
+    )

@@ -39,3 +39,15 @@ def test_lsh_recall_vs_brute_force(spark):
     recall = len(e & a) / len(e)
     # 8 tables x 6 planes: union-of-tables recall on 64-dim embeddings
     assert recall >= 0.7, f"LSH recall too low: {recall}"
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    approx = similarity.ivf_topk(emb, q, k=5, num_centroids=8, nprobe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # probing half the cells on a near-random corpus
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
