@@ -336,3 +336,54 @@ def x14_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
     return similarity.ivf_topk(emb, q, k=5)
+
+
+@query(
+    "x15_curation_pipeline",
+    oracle="""
+    WITH deduped AS (
+      SELECT * FROM documents
+      QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    ), feats AS (
+      SELECT doc_id, text,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                  w -> w IN ('the','a','of','and','is','to','in'))) AS BIGINT)
+               / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS stopword_ratio,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             w -> w IN ('the','a','of','and','is','to','in'))) AS en,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             w -> w IN ('le','la','les','et','est','une')))    AS fr,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             w -> w IN ('der','die','das','und','ist','ein'))) AS de,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             w -> w IN ('el','los','las','y','es','una')))     AS es
+      FROM deduped
+    ), lang AS (
+      SELECT *,
+             CASE WHEN regexp_matches(text, '[' || chr(19968) || '-' || chr(40959) || ']') THEN 'zh'
+                  WHEN greatest(en, fr, de, es) > 0 AND en = greatest(en, fr, de, es) THEN 'en'
+                  WHEN greatest(en, fr, de, es) > 0 AND fr = greatest(en, fr, de, es) THEN 'fr'
+                  WHEN greatest(en, fr, de, es) > 0 AND de = greatest(en, fr, de, es) THEN 'de'
+                  WHEN greatest(en, fr, de, es) > 0 AND es = greatest(en, fr, de, es) THEN 'es'
+                  ELSE 'und' END AS predicted_lang
+      FROM feats
+    )
+    SELECT doc_id, predicted_lang, n_chars, n_tokens, stopword_ratio
+    FROM lang
+    WHERE n_chars BETWEEN 50 AND 100000
+      AND n_tokens >= 10
+      AND predicted_lang <> 'und'
+    """,
+    survey_rows=("EXT-dedup", "EXT-text", "W1"),
+    doc="Composed curation pipeline: exact dedup -> quality features -> "
+    "lang ID -> filters, as ONE lazy plan (single dedup shuffle, then "
+    "map-only) — the end-to-end training-data path.",
+)
+def x15_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import curate_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_documents(docs)

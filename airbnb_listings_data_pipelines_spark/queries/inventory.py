@@ -794,3 +794,77 @@ def q25_sql_view_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o.o_orderstatus
         """
     )
+
+
+@query(
+    "q26_salted_skew_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_rows=("A1", "A3", "A5", "SCALE-skew"),
+    doc="Two-phase salted aggregation over a 3-value (maximally hot) group "
+    "key — results exactly equal a direct groupBy; the salt spreads each "
+    "hot key over 16 reducers (operators/skew.py). The scale answer to the "
+    "reference's hot suburb keys (SURVEY §4.2).",
+)
+def q26_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    out = salted_agg(
+        li,
+        group_keys=["l_returnflag"],
+        salt_source=["l_orderkey"],
+        aggs={
+            "sum_qty": ("sum", "qty_dec"),
+            "n": ("count", "l_orderkey"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "n",
+        F.col("max_price").cast("double").alias("max_price"),
+    )
+
+
+@query(
+    "q27_salted_count_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_distinct
+    FROM orders GROUP BY o_orderstatus
+    """,
+    survey_rows=("A2", "SCALE-skew"),
+    doc="Exact COUNT(DISTINCT) via dedupe-then-count (two spread shuffles, "
+    "no hot-key reducer) — equal to the direct form, shaped for scale.",
+)
+def q27_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_count_distinct
+
+    o = load_table(spark, sf_dir, "orders")
+    return salted_count_distinct(o, ["o_orderstatus"], "o_custkey")
+
+
+@query(
+    "q28_approx_sketch_aggregates",
+    oracle=None,  # sketch outputs are engine-specific -> rows-only
+    survey_rows=("A2", "A7", "SCALE-sketch"),
+    doc="The documented 100 TB opt-ins (SURVEY §4.3): approx_count_distinct "
+    "(HLL) and percentile_approx replacing exact distinct/median. Rows-only: "
+    "sketch values are engine-specific; tests bound their error against the "
+    "exact forms.",
+)
+def q28_approx_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("n_orders_approx"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -14,8 +14,18 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+def spark(tmp_path_factory):
+    wh = tmp_path_factory.mktemp("spark-warehouse")
+    derby = tmp_path_factory.mktemp("derby")
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.sql.warehouse.dir": str(wh),
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={derby}",
+        },
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()

@@ -54,3 +54,67 @@ def test_simhash_identical_texts_equal(docs):
     # near-dup should be close in Hamming distance, far doc should differ more
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
     assert ham(fp[1], fp[3]) <= ham(fp[1], fp[4])
+
+
+def test_salted_agg_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from airbnb_listings_data_pipelines_spark.operators.skew import (
+        salted_agg,
+        salted_count_distinct,
+    )
+    from airbnb_listings_data_pipelines_spark.sources.tpch import load_table
+
+    from .conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    direct = {
+        r.l_returnflag: (str(r.s), r.n)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("qty_dec").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        r.l_returnflag: (str(r.s), r.n)
+        for r in salted_agg(
+            li, ["l_returnflag"], ["l_orderkey"],
+            {"s": ("sum", "qty_dec"), "n": ("count", "l_orderkey")},
+        ).collect()
+    }
+    assert direct == salted
+
+    o = load_table(spark, SF_SMALL, "orders")
+    direct_cd = {
+        r.o_orderstatus: r.n
+        for r in o.groupBy("o_orderstatus").agg(F.countDistinct("o_custkey").alias("n")).collect()
+    }
+    salted_cd = {
+        r.o_orderstatus: r.n_distinct
+        for r in salted_count_distinct(o, ["o_orderstatus"], "o_custkey").collect()
+    }
+    assert direct_cd == salted_cd
+
+
+def test_approx_sketches_bounded_error(spark):
+    from pyspark.sql import functions as F
+
+    from airbnb_listings_data_pipelines_spark.sources.tpch import load_table
+
+    from .conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    both = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("exact_cd"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_cd"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_med"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_med"),
+        )
+        .collect()
+    )
+    for r in both:
+        assert abs(r.approx_cd - r.exact_cd) / r.exact_cd < 0.05
+        assert abs(r.approx_med - r.exact_med) / r.exact_med < 0.02

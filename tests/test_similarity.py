@@ -51,3 +51,20 @@ def test_ivf_recall_vs_brute_force(spark):
     recall = len(e & a) / len(e)
     # probing half the cells on a near-random corpus
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_arrow_udf_cosine_matches_jvm(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(50)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib"))
+    cos_udf = similarity.cosine_arrow_udf()
+    both = pairs.select(
+        "ia", "ib",
+        similarity.cosine(F.col("va"), F.col("vb")).alias("jvm"),
+        cos_udf(F.col("va"), F.col("vb")).alias("arrow"),
+    ).collect()
+    assert len(both) > 0
+    for r in both:
+        # numpy pairwise summation vs JVM sequential fold: equal to ~1e-12
+        assert abs(r.jvm - r.arrow) <= 1e-9 * max(1.0, abs(r.jvm))
