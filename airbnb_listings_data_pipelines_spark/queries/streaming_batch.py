@@ -26,7 +26,7 @@ from .registry import query
            event_type,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -42,7 +42,7 @@ def q19_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
