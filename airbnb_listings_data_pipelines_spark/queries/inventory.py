@@ -876,3 +876,73 @@ def q28_approx_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price_approx"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q29_topk_join_rank_detail",
+    oracle="""
+    WITH top3 AS (
+      SELECT n.n_name,
+             SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0
+               AS nation_revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n ON c_nationkey = n_nationkey
+      GROUP BY n.n_name
+      ORDER BY nation_revenue DESC, n.n_name
+      LIMIT 3
+    ), detail AS (
+      SELECT n.n_name, l_returnflag,
+             SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS flag_qty
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n ON c_nationkey = n_nationkey
+      GROUP BY n.n_name, l_returnflag
+    )
+    SELECT d.n_name, d.l_returnflag, d.flag_qty, t.nation_revenue
+    FROM top3 t LEFT JOIN detail d ON t.n_name = d.n_name
+    QUALIFY rank() OVER (PARTITION BY t.n_name ORDER BY d.flag_qty DESC) = 1
+    """,
+    survey_rows=("J8", "W3", "O3", "A5"),
+    doc="Top-k aggregate joined back to a finer aggregate of the same "
+    "source, RANK()=1 keeping ties — the exact shape of ad-hoc query b "
+    "(workfile_ad-hoc_analysis.sql:50-78: top-5 LGAs -> best listing type).",
+)
+def q29_topk_join_rank_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    top3 = (
+        base.groupBy("n_name")
+        .agg(
+            _cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "nation_revenue"
+            )
+        )
+        .orderBy(F.desc("nation_revenue"), "n_name")
+        .limit(3)
+    )
+    detail = base.groupBy("n_name", "l_returnflag").agg(
+        _cents_sum(F.col("l_quantity")).alias("flag_qty")
+    )
+    t, d = top3.alias("t"), detail.alias("d")
+    joined = t.join(d, F.col("t.n_name") == F.col("d.n_name"), "left")
+    w = Window.partitionBy(F.col("t.n_name")).orderBy(F.desc("flag_qty"))
+    return (
+        joined.withColumn("__rk", F.rank().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col("d.n_name").alias("n_name"),
+            "d.l_returnflag",
+            "flag_qty",
+            F.col("t.nation_revenue").alias("nation_revenue"),
+        )
+    )

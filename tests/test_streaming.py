@@ -46,3 +46,36 @@ def test_batch_exact_distinct_option(spark):
     row = exact.orderBy("window_start", "event_type").first()
     assert row.n_users_approx >= 1
     assert exact.filter(F.col("n_events") < 1).count() == 0
+
+
+def test_sliding_window_stream_matches_batch(spark):
+    """Sliding windows (1h every 30m — each event lands in 2 windows) agree
+    between batch and an incremental streaming run."""
+    from airbnb_listings_data_pipelines_spark.streaming.events import (
+        event_stream,
+        tumbling_aggregate,
+    )
+
+    def slide(df):
+        src = df.withWatermark("ts", "2 hours") if df.isStreaming else df
+        return (
+            src.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .count()
+            .select(F.col("w.start").alias("ws"), "count")
+        )
+
+    batch = {
+        (r.ws, r["count"]) for r in slide(load_table(spark, SF_SMALL, "events")).collect()
+    }
+    q = (
+        slide(event_stream(spark, SF_SMALL))
+        .writeStream.format("memory")
+        .queryName("sliding_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream = {(r.ws, r["count"]) for r in spark.sql("SELECT * FROM sliding_agg").collect()}
+    assert batch == stream and len(batch) > 0
