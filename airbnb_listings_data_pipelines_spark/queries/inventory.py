@@ -946,3 +946,49 @@ def q29_topk_join_rank_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t.nation_revenue").alias("nation_revenue"),
         )
     )
+
+
+@query(
+    "q30_dedup_max_by",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_orders,
+           SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+    FROM (
+      SELECT * FROM lineitem
+      QUALIFY row_number() OVER (
+        PARTITION BY l_orderkey
+        ORDER BY l_linenumber DESC, l_partkey, l_suppkey, l_quantity, l_extendedprice) = 1
+    )
+    GROUP BY l_returnflag
+    """,
+    survey_rows=("W1", "O4", "SCALE-dedup"),
+    doc="Same dedup semantics as q07 but as a hash aggregate: "
+    "max(struct(sort_keys..., payload)) per key replaces the window "
+    "sort-shuffle — partial aggregation halves the shuffled volume and no "
+    "per-partition sort is needed. The at-scale form of top-1-per-group "
+    "when only the winner's payload matters.",
+)
+def q30_dedup_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # ordering struct: descending keys negated so plain max() picks the
+    # reference ordering's winner; payload fields ride behind the sort keys
+    winner = F.max(
+        F.struct(
+            F.col("l_linenumber").alias("k1"),
+            (-F.col("l_partkey")).alias("k2"),
+            (-F.col("l_suppkey")).alias("k3"),
+            (-F.col("l_quantity")).alias("k4"),
+            (-F.col("l_extendedprice")).alias("k5"),
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_quantity") * 100, 0).cast("long").alias("qty_cents"),
+        )
+    ).alias("w")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(winner)
+        .groupBy(F.col("w.flag").alias("l_returnflag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("w.qty_cents") / 100.0).alias("sum_qty"),
+        )
+    )

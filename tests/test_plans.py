@@ -57,3 +57,17 @@ def test_quality_features_single_tokenization(spark):
     # the regex split must appear once in the projection, not per metric
     p = _plan(spark, "x03_quality_scores")
     assert p.count("split(") == 1
+
+
+def test_fact_listing_joins_all_broadcast(spark, tmp_path_factory):
+    from airbnb_listings_data_pipelines_spark.plans.pipeline import run_pipeline
+
+    from .fixtures import write_fixtures
+
+    data_dir = write_fixtures(tmp_path_factory.mktemp("plan_fixtures"))
+    res = run_pipeline(spark, data_dir, register_views=False)
+    p = res.fact_listing._jdf.queryExecution().executedPlan().toString()
+    # location lookups (~4.5k rows at reference scale) must broadcast:
+    # 2 suburb joins + 2 code-resolution joins, zero sort-merge shuffles
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p
