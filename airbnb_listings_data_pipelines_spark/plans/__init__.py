@@ -1,1 +1,1 @@
-from . import adhoc, datamart, pipeline, staging, warehouse  # noqa: F401
+from . import adhoc, datamart, pipeline, preprocess, staging, warehouse  # noqa: F401

@@ -992,3 +992,66 @@ def q30_dedup_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("w.qty_cents") / 100.0).alias("sum_qty"),
         )
     )
+
+
+@query(
+    "q31_semi_anti_joins",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority = '1-URGENT'))  AS customers_with_urgent,
+      (SELECT COUNT(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey))   AS customers_without_orders
+    """,
+    survey_rows=("J-semi", "J-anti"),
+    doc="LEFT SEMI / LEFT ANTI joins (EXISTS / NOT EXISTS). Not used by the "
+    "reference but core engine surface — e.g. filtering documents against a "
+    "blocklist is an anti join. Semi/anti never duplicate or widen rows, so "
+    "the build side ships only join keys.",
+)
+def q31_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    with_urgent = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").agg(
+        F.count(F.lit(1)).alias("customers_with_urgent")
+    )
+    without_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("customers_without_orders")
+    )
+    return with_urgent.crossJoin(without_orders)
+
+
+@query(
+    "q32_rollup_hierarchy",
+    oracle="""
+    SELECT n_name, o_orderstatus, COUNT(*) AS n,
+           CAST(grouping(n_name) AS BIGINT) AS g_nation,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, o_orderstatus)
+    """,
+    survey_rows=("A-rollup",),
+    doc="ROLLUP hierarchy totals (nation -> status -> grand total) with "
+    "GROUPING markers disambiguating real NULL keys from subtotal rows. "
+    "Beyond the reference's surface; one pass, Expand + hash aggregate.",
+)
+def q32_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("n_name").cast("long").alias("g_nation"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        )
+    )

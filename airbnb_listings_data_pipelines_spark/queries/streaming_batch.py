@@ -95,3 +95,41 @@ def q23_events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("session_id").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "q33_events_daily_top_users",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+             user_id,
+             SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS day_value,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day_epoch, user_id, day_value, n_events
+    FROM daily
+    QUALIFY row_number() OVER (PARTITION BY day_epoch
+                               ORDER BY day_value DESC, user_id) <= 3
+    """,
+    survey_rows=("§2.9", "W1", "O3"),
+    doc="Top-3 users by value per day — windowed rank over a daily "
+    "pre-aggregate (WindowGroupLimit pushes the limit below the sort).",
+)
+def q33_events_daily_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch"),
+        "user_id",
+    ).agg(
+        (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias("day_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.partitionBy("day_epoch").orderBy(F.desc("day_value"), "user_id")
+    return (
+        daily.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
+    )
