@@ -135,6 +135,92 @@ def kpi_view(fact: DataFrame, group_keys: list[str]) -> DataFrame:
     ).orderBy(*keys)
 
 
+def kpi_view_single_pass(fact: DataFrame, group_keys: list[str]) -> DataFrame:
+    """Opt-in fast form of ``kpi_view``: ONE scan + ONE shuffle via
+    conditional aggregation (`F.count(F.when(...))` etc.) instead of four
+    filtered sub-aggregates FULL-joined back together.
+
+    NOT bit-parity with the reference: the FULL-JOIN shape emits extra
+    NULL-group-key rows when a group key is NULL (SURVEY §2.10(1)); this
+    form keeps one row per group. Also, the reference's LAG runs inside
+    each filtered sub-aggregate (skipping months where a group had no
+    active/inactive rows), while this form lags over all months (a no-
+    active month contributes NULL). Metrics agree whenever groups are
+    continuously present — tested on fixtures. Use at scale where the 4x
+    scan + 3 shuffled full joins dominate.
+    """
+    keys = [*group_keys, "listing_year", "listing_month"]
+    lag_w = Window.partitionBy(*group_keys).orderBy("listing_year", "listing_month")
+    active = F.col("has_availability") == "t"
+    inactive = F.col("has_availability") == "f"
+    super_ = F.col("host_is_superhost") == "t"
+    act = lambda c: F.when(active, c)  # noqa: E731
+
+    agg = fact.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("total_listing"),
+        F.countDistinct("host_id").alias("distinct_hosts"),
+        F.count(act(F.lit(1))).alias("total_active_listings"),
+        F.min(act(F.col("price"))).alias("min_price"),
+        F.max(act(F.col("price"))).alias("max_price"),
+        F.percentile(act(F.col("price")), F.lit(0.5)).alias("med_price"),
+        dec(F.avg(act(F.col("price")))).alias("avg_price"),
+        dec(F.avg(act(F.col("review_scores_rating"))), 10, 0).alias(
+            "avg_review_scores_rating"
+        ),
+        dec(F.avg(act(_stays())), 10, 0).alias("avg_number_stays"),
+        F.sum(act(_stays())).alias("total_number_stays"),
+        dec(F.avg(act(_revenue()))).alias("avg_estimated_revenue_per_active_listings"),
+        dec(F.sum(act(_revenue()))).alias("total_estimated_revenue_active_listings"),
+        dec(
+            F.sum(act(_revenue())) / F.count_distinct(act(F.col("host_id")))
+        ).alias("avg_estimated_revenue_per_active_listings_per_host"),
+        F.count_distinct(F.when(super_, F.col("host_id"))).alias("super_distinct_hosts"),
+        F.count(F.when(inactive, 1)).alias("total_inactive_listings"),
+    )
+    nullif = lambda c: F.when(c != 0, c)  # noqa: E731  empty groups -> NULL like the join form
+    agg = agg.withColumns(
+        {
+            "total_active_listings": nullif(F.col("total_active_listings")),
+            "super_distinct_hosts": nullif(F.col("super_distinct_hosts")),
+            "total_inactive_listings": nullif(F.col("total_inactive_listings")),
+        }
+    ).withColumns(
+        {
+            "original_total_active_listings": F.lag("total_active_listings").over(lag_w),
+            "original_total_inactive_listings": F.lag("total_inactive_listings").over(lag_w),
+        }
+    )
+    pct_change = lambda cur, orig: dec(  # noqa: E731
+        F.lit(100) * (F.col(cur) - F.col(orig)) / F.col(orig)
+    )
+    return agg.select(
+        *keys,
+        dec((F.col("total_active_listings") / F.col("total_listing")) * 100).alias(
+            "active_listing_rate"
+        ),
+        "min_price",
+        "max_price",
+        "med_price",
+        "avg_price",
+        "distinct_hosts",
+        dec((F.col("super_distinct_hosts") / F.col("distinct_hosts")) * 100).alias(
+            "superhost_rate"
+        ),
+        "avg_review_scores_rating",
+        pct_change("total_active_listings", "original_total_active_listings").alias(
+            "percentage_change_active_listings"
+        ),
+        pct_change("total_inactive_listings", "original_total_inactive_listings").alias(
+            "percentage_change_inactive_listings"
+        ),
+        "avg_number_stays",
+        "total_number_stays",
+        "avg_estimated_revenue_per_active_listings",
+        "total_estimated_revenue_active_listings",
+        "avg_estimated_revenue_per_active_listings_per_host",
+    ).orderBy(*keys)
+
+
 def kpi_neighbourhood_month(fact: DataFrame) -> DataFrame:
     """kpi1 (populate.py:506-621) — per cleaned neighbourhood_lga."""
     return kpi_view(fact, ["neighbourhood_lga"])

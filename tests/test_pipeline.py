@@ -208,3 +208,18 @@ def test_adhoc_d_mortgage_coverage(pipe):
     assert r.total_number_of_host_can_cover_20per == 3
     assert r.total_number_of_host_cannot_cover == 3
     assert str(r.percentage_of_host_can_cover_half) == "50.00"
+
+
+def test_kpi_single_pass_agrees_on_nonnull_groups(pipe):
+    from airbnb_listings_data_pipelines_spark.plans.datamart import kpi_view_single_pass
+
+    fast = kpi_view_single_pass(pipe.fact_listing, ["neighbourhood_lga"]).toPandas()
+    ref = pipe.kpi_neighbourhood_month.toPandas()
+    key = ["neighbourhood_lga", "listing_year", "listing_month"]
+    ref_nn = ref[ref.neighbourhood_lga.notna()].sort_values(key).reset_index(drop=True)
+    fast = fast.sort_values(key).reset_index(drop=True)
+    assert len(fast) == len(ref_nn)
+    for col in ref_nn.columns:
+        a, b = fast[col], ref_nn[col]
+        same = (a.isna() & b.isna()) | (a.astype(str) == b.astype(str))
+        assert same.all(), (col, fast[~same][key + [col]], ref_nn[~same][col])
