@@ -137,11 +137,72 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0).withColumnRenamed(
-        "jaccard", "jaccard_exact"
+    # exact verification ONLY on the candidate pairs (the whole point of
+    # LSH): join each side's distinct-shingle array and compute Jaccard
+    # via array_intersect — O(|A|+|B|) per candidate, no all-pairs pass
+    sh_arr = df.select(F.col(id_col).alias("id"), char_shingles(text_col, n).alias("sh"))
+    va = sh_arr.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    vb = sh_arr.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("jaccard_exact", inter / union)
+        .filter(F.col("jaccard_exact") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard_exact")
     )
-    return candidates.join(exact, ["id_a", "id_b"]).filter(
-        F.col("jaccard_exact") >= verify_threshold
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= ``max_hamming``.
+
+    Pigeonhole banding: split the fingerprint into ``chunks`` bit-chunks;
+    any pair within distance d < chunks must agree on >= 1 whole chunk, so
+    candidates come from equi-joins on (chunk_index, chunk_value) and only
+    candidates pay the bit_count(xor) verification — never all pairs.
+    """
+    assert max_hamming < chunks, "pigeonhole guarantee needs d < chunks"
+    fp = simhash(df, id_col, text_col, bits)
+    width = bits // chunks
+    mask = (1 << width) - 1
+    chunked = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("ci"),
+                        F.shiftright("simhash", c * width).bitwiseAND(F.lit(mask)).alias("cv"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "simhash", "ch.ci", "ch.cv")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -154,11 +154,12 @@ def x05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # xxhash64 signatures have no DuckDB twin -> rows-only
     survey_rows=("EXT-dedup",),
     doc="MinHash(16)+LSH(4 bands) candidate pairs verified with exact "
-    "Jaccard >= 0.5 — the 100 TB near-dup path: O(n·bucket) not O(n²).",
+    "Jaccard >= 0.8 (candidates only) — the 100 TB near-dup path: "
+    "O(n·bucket) not O(n²).",
 )
 def x06_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, verify_threshold=0.5)
+    return dedup.minhash_lsh_pairs(docs, verify_threshold=0.8)
 
 
 @query(
@@ -387,3 +388,16 @@ def x15_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return curate_documents(docs)
+
+
+@query(
+    "x16_simhash_neardup_pairs",
+    oracle=None,  # xxhash64-based fingerprints -> rows-only
+    survey_rows=("EXT-dedup",),
+    doc="SimHash near-dup pairs (Hamming <= 3 over 32-bit fingerprints) via "
+    "pigeonhole chunk-banding: candidates from chunk equi-joins, bit_count "
+    "verification only on candidates.",
+)
+def x16_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(docs)

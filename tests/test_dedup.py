@@ -118,3 +118,17 @@ def test_approx_sketches_bounded_error(spark):
     for r in both:
         assert abs(r.approx_cd - r.exact_cd) / r.exact_cd < 0.05
         assert abs(r.approx_med - r.exact_med) / r.exact_med < 0.02
+
+
+def test_simhash_neardup_pairs_bands(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),  # identical
+            (3, "pelican architecture summary document completely unrelated words"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_neardup_pairs(df).collect()}
+    assert got.get((1, 2)) == 0          # identical docs: distance 0
+    assert (1, 3) not in got and (2, 3) not in got
