@@ -1055,3 +1055,60 @@ def q32_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("o_orderstatus").cast("long").alias("g_status"),
         )
     )
+
+
+@query(
+    "q34_intersect_except",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM (
+         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+        AS custs_with_both,
+      (SELECT COUNT(*) FROM (
+         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+        AS custs_f_only
+    """,
+    survey_rows=("SET-intersect", "SET-except"),
+    doc="INTERSECT / EXCEPT set operations (unused by the reference — "
+    "SURVEY §2.7 — but core engine surface). Both compile to aggregate + "
+    "join, not row-by-row set logic.",
+)
+def q34_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    both = f.intersect(op).agg(F.count(F.lit(1)).alias("custs_with_both"))
+    f_only = f.exceptAll(op).agg(F.count(F.lit(1)).alias("custs_f_only"))
+    return both.crossJoin(f_only)
+
+
+@query(
+    "q35_pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    survey_rows=("A-pivot",),
+    doc="PIVOT (long -> wide) with an explicit value list — compiles to "
+    "a single conditional aggregation, no extra shuffle vs plain groupBy.",
+)
+def q35_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_F"),
+            F.coalesce("O", F.lit(0)).alias("status_O"),
+            F.coalesce("P", F.lit(0)).alias("status_P"),
+        )
+    )
