@@ -401,3 +401,27 @@ def x15_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x16_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_neardup_pairs(docs)
+
+
+@query(
+    "x17_collect_per_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM documents
+    GROUP BY source
+    """,
+    survey_rows=("A-collect",),
+    doc="Array-building aggregation (collect_set -> sorted, string-joined "
+    "for cross-engine hashing) — grouping documents per source with their "
+    "language inventory, a shard-manifest shape for training pipelines.",
+)
+def x17_collect_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langs"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -1112,3 +1112,56 @@ def q35_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("P", F.lit(0)).alias("status_P"),
         )
     )
+
+
+@query(
+    "q37_month_spine_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+             date_trunc('month', MAX(o_orderdate)) AS hi
+      FROM orders WHERE o_orderstatus = 'P'
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month_start
+      FROM bounds
+    ), monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month_start, COUNT(*) AS n
+      FROM orders WHERE o_orderstatus = 'P' GROUP BY 1
+    )
+    SELECT CAST(CAST(s.month_start AS DATE) AS VARCHAR) AS month,
+           COALESCE(m.n, 0) AS n_orders,
+           lag(COALESCE(m.n, 0)) OVER (ORDER BY s.month_start) AS prev_n
+    FROM spine s LEFT JOIN monthly m ON s.month_start = m.month_start
+    """,
+    survey_rows=("W4", "EXT-timeseries"),
+    doc="Month-spine gap fill: generate the complete month sequence "
+    "(F.sequence + explode), left-join sparse monthly counts, zero-fill — "
+    "so LAG sees every month. Fixes the reference LAG's silent gap-skipping "
+    "(kpi_view docstring) for sparse groups like 'P'-status orders.",
+)
+def q37_month_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))).alias("month_start")
+    )
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month_start")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    filled = (
+        spine.join(monthly, "month_start", "left")
+        .select(
+            F.col("month_start").cast("date").cast("string").alias("month"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+            F.col("month_start"),
+        )
+    )
+    w = Window.orderBy("month_start")
+    return filled.select(
+        "month", "n_orders", F.lag("n_orders").over(w).alias("prev_n")
+    )

@@ -133,3 +133,28 @@ def q33_events_daily_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 3)
         .drop("__rn")
     )
+
+
+@query(
+    "q36_json_extraction",
+    oracle="""
+    SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY 1
+    """,
+    survey_rows=("EXT-json",),
+    doc="Semi-structured JSON column extraction (from_json with an explicit "
+    "schema -> typed struct field) — the engine-side answer to the "
+    "reference's unparsed JSON-ish amenities/host_verifications strings "
+    "(SURVEY §1.3 extension note). Schema-on-read stays JVM-side.",
+)
+def q36_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k bigint")["k"]
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )

@@ -79,3 +79,32 @@ def test_sliding_window_stream_matches_batch(spark):
     q.stop()
     stream = {(r.ws, r["count"]) for r in spark.sql("SELECT * FROM sliding_agg").collect()}
     assert batch == stream and len(batch) > 0
+
+
+def test_stream_stream_attribution_join_matches_batch(spark):
+    """Purchases attributed to preceding same-user clicks within 30 min:
+    the stream-stream join (state bounded by watermarks + time-range
+    predicate) must produce exactly the batch join's rows."""
+    from airbnb_listings_data_pipelines_spark.streaming.events import event_stream
+    from airbnb_listings_data_pipelines_spark.streaming.joins import attribution_join
+
+    batch = {
+        (r.purchase_id, r.click_id)
+        for r in attribution_join(load_table(spark, SF_SMALL, "events")).collect()
+    }
+    q = (
+        attribution_join(event_stream(spark, SF_SMALL))
+        .writeStream.format("memory")
+        .queryName("attribution")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM attribution").collect()
+    }
+    assert len(batch) > 0
+    assert stream == batch

@@ -91,6 +91,22 @@ def main() -> None:
         getattr(res, name).write.format("noop").mode("overwrite").save()
     timings["kpi_views"] = round(time.perf_counter() - t0, 3)
 
+    # opt-in single-pass form of kpi1/kpi1_raw/kpi2 (parity caveats in
+    # plans/datamart.kpi_view_single_pass) — quantifies the 4-scan+3-full-
+    # join cost the reference shape pays
+    from airbnb_listings_data_pipelines_spark.plans.datamart import kpi_view_single_pass
+
+    t0 = time.perf_counter()
+    for keys in (
+        ["neighbourhood_lga"],
+        ["neighbourhood_cleansed"],
+        ["property_type", "room_type", "accommodates"],
+    ):
+        kpi_view_single_pass(res.fact_listing, keys).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    timings["kpi_views_single_pass"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     for df in run_adhoc(res).values():
         df.write.format("noop").mode("overwrite").save()
