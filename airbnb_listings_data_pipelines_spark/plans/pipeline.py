@@ -111,6 +111,36 @@ def run_pipeline(
     return result
 
 
+def append_month(
+    spark: SparkSession,
+    data_dir: str,
+    persist_dir: str,
+    listing_glob: str,
+) -> DataFrame:
+    """Incremental monthly load — the Spark-idiomatic form of the
+    reference's per-file external-table refresh + re-run
+    (workfile_populate_data_warehouse.py:176-178, 1024-1030).
+
+    Reads ONLY the new month's listing file(s) (``listing_glob``), rebuilds
+    the cheap dimension inputs (census/location are small and static), and
+    appends exactly the new ``file_date`` partition(s) to the persisted
+    fact table with dynamic partition overwrite — existing partitions are
+    untouched, nothing is recomputed.
+    """
+    raw_listing = read_positional_csv(spark, data_dir, glob=listing_glob)
+    st_listing = staging.build_staging_listing(raw_listing)
+    st_location = staging.build_staging_location(
+        read_positional_csv(spark, data_dir, glob=RAW_GLOBS["ssc"]),
+        read_positional_csv(spark, data_dir, glob=RAW_GLOBS["lga"]),
+    )
+    new_fact = warehouse.build_fact_listing(st_listing, st_location)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    new_fact.write.mode("overwrite").partitionBy("file_date").parquet(
+        f"{persist_dir.rstrip('/')}/fact_listing"
+    )
+    return spark.read.parquet(f"{persist_dir.rstrip('/')}/fact_listing")
+
+
 def run_adhoc(result: PipelineResult) -> dict[str, DataFrame]:
     """The four ad-hoc analyses (workfile_ad-hoc_analysis.sql)."""
     return {

@@ -223,3 +223,37 @@ def test_kpi_single_pass_agrees_on_nonnull_groups(pipe):
         a, b = fast[col], ref_nn[col]
         same = (a.isna() & b.isna()) | (a.astype(str) == b.astype(str))
         assert same.all(), (col, fast[~same][key + [col]], ref_nn[~same][col])
+
+
+def test_incremental_month_append(spark, tmp_path_factory):
+    """Loading months 05+06 then appending 07 must equal a full 3-month run,
+    and the append must only touch the new file_date partition."""
+    import os
+    import shutil
+
+    from airbnb_listings_data_pipelines_spark.plans.pipeline import append_month
+
+    src = write_fixtures(tmp_path_factory.mktemp("incr_src"))
+    two = tmp_path_factory.mktemp("incr_two")
+    for f in os.listdir(src):
+        if not f.startswith("07_"):
+            shutil.copy(os.path.join(src, f), two / f)
+    wh = str(tmp_path_factory.mktemp("incr_wh"))
+    run_pipeline(spark, str(two), persist_dir=wh, register_views=False)
+    base = spark.read.parquet(f"{wh}/fact_listing")
+    assert base.select("file_date").distinct().count() == 2
+    may_before = sorted(map(tuple, base.filter("file_date = '2020-05-01'").collect()))
+
+    # the new month's file arrives
+    shutil.copy(os.path.join(src, "07_2020_listings.csv"), two / "07_2020_listings.csv")
+    fact = append_month(spark, str(two), wh, "07_2020*.csv")
+    assert fact.select("file_date").distinct().count() == 3
+
+    # equals the from-scratch 3-month fact
+    full = run_pipeline(spark, src, register_views=False).fact_listing
+    assert sorted(map(tuple, fact.select("id", "filename").collect())) == sorted(
+        map(tuple, full.select("id", "filename").collect())
+    )
+    # old partition untouched byte-for-byte at the row level
+    may_after = sorted(map(tuple, fact.filter("file_date = '2020-05-01'").collect()))
+    assert may_after == may_before
