@@ -1165,3 +1165,32 @@ def q37_month_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.select(
         "month", "n_orders", F.lag("n_orders").over(w).alias("prev_n")
     )
+
+
+@query(
+    "q38_lateral_top2_per_customer",
+    oracle="""
+    SELECT c_custkey, o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS price
+    FROM customer,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    """,
+    survey_rows=("J-lateral", "O4"),
+    doc="Correlated LATERAL subquery with per-row ORDER BY/LIMIT (top-2 "
+    "orders per customer) — the join-form alternative to window top-k; "
+    "Catalyst decorrelates it into a ranked join.",
+)
+def q38_lateral_top2_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS price
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        """
+    )
