@@ -1194,3 +1194,45 @@ def q38_lateral_top2_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         """
     )
+
+
+@query(
+    "q39_snowflake_dialect_frontend",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) = 1
+    )
+    SELECT CAST(year(make_date(1995, 1, 1)) AS BIGINT) AS anchor_year,
+           COUNT(*) AS n_customers,
+           SUM(CAST(round(price * 100) AS BIGINT)) / 100.0 AS sum_best_price
+    FROM ranked
+    """,
+    survey_rows=("P11", "W1", "F6", "DIALECT"),
+    doc="Executes reference-dialect (Snowflake-flavored) SQL text through "
+    "functions/snowflake_sql.run: QUALIFY rewritten into a nested window "
+    "filter, DATE_FROM_PARTS -> make_date, ::casts native — the front-end "
+    "that lets the reference's own analytical SQL run unchanged.",
+)
+def q39_snowflake_dialect_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.snowflake_sql import run
+    from ..sources.tpch import register_tables
+
+    register_tables(spark, sf_dir)
+    return run(
+        spark,
+        """
+        WITH ranked AS (
+          SELECT o_custkey, o_orderkey, o_totalprice::DOUBLE AS price
+          FROM orders
+          QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) = 1
+        )
+        SELECT YEAR(DATE_FROM_PARTS(1995, 1, 1))::BIGINT AS anchor_year,
+               COUNT(*) AS n_customers,
+               SUM(round(price * 100)::BIGINT) / 100.0D AS sum_best_price
+        FROM ranked
+        """,
+    )
