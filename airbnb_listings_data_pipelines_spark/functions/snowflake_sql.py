@@ -101,8 +101,34 @@ def _rewrite_one_qualify(sql: str) -> str | None:
     rest = sql[from_pos:qpos]
     tail = sql[tail_pos:block_end]
 
-    inner = f"{head}, ({cond}) AS __q {rest}"
-    replacement = f"SELECT __qs.* EXCEPT (__q) FROM ({inner}) __qs WHERE __q {tail}"
+    # Snowflake lets the post-QUALIFY ORDER BY reference any column in
+    # scope, not just projected ones (adhoc b sorts l2.* output by an l1
+    # column) — carry the sort expressions through the subquery as hidden
+    # __ob columns and sort on those outside.
+    extra_cols, hidden = "", ["__q"]
+    ob = re.match(r"^\s*ORDER\s+BY\s+(.*?)(\bLIMIT\b.*)?$", tail, re.IGNORECASE | re.DOTALL)
+    if ob:
+        items, dirs = [], []
+        for raw in _split_top_level(ob.group(1)):
+            m = re.match(
+                r"^(.*?)(\s+(?:ASC|DESC)(?:\s+NULLS\s+(?:FIRST|LAST))?)?\s*$",
+                raw.strip(),
+                re.IGNORECASE | re.DOTALL,
+            )
+            items.append(m.group(1).strip())
+            dirs.append((m.group(2) or "").strip())
+        names = [f"__ob_{i}" for i in range(len(items))]
+        extra_cols = "".join(f", ({e}) AS {n}" for e, n in zip(items, names))
+        hidden += names
+        tail = (
+            "ORDER BY " + ", ".join(f"{n} {d}".strip() for n, d in zip(names, dirs))
+            + " " + (ob.group(2) or "")
+        )
+
+    inner = f"{head}, ({cond}) AS __q{extra_cols} {rest}"
+    replacement = (
+        f"SELECT __qs.* EXCEPT ({', '.join(hidden)}) FROM ({inner}) __qs WHERE __q {tail}"
+    )
     return sql[:select_pos] + replacement + sql[block_end:]
 
 
@@ -116,6 +142,76 @@ def translate(sql: str) -> str:
         out = nxt
     out = re.sub(r"\bDATE_FROM_PARTS\s*\(", "make_date(", out, flags=re.IGNORECASE)
     out = _strip_last_day_month(out)
+    out = _expand_aliases_in_windows(out)
+    return out
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    parts, depth, cur, in_str = [], 0, [], None
+    for ch in text:
+        if in_str:
+            cur.append(ch)
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+_AS_ALIAS = re.compile(r"^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE | re.DOTALL)
+
+
+def _expand_aliases_in_windows(sql: str) -> str:
+    """Snowflake allows a select alias inside a window spec of the same
+    select (``ROW_NUMBER() OVER (ORDER BY rev DESC)`` with ``... AS rev``);
+    Spark rejects lateral aliases in windows — substitute the defining
+    expression into every OVER(...) of that select list."""
+    out = sql
+    changed = True
+    while changed:  # re-scan after each edit so token offsets stay valid
+        changed = False
+        tokens = _find_tokens(out)
+        for kw, p, d in tokens:
+            if kw != "SELECT":
+                continue
+            from_pos = next(
+                (q for k2, q, d2 in tokens if k2 == "FROM" and d2 == d and q > p), None
+            )
+            if from_pos is None:
+                continue
+            seg = out[p + len("SELECT"): from_pos]
+            aliases = {}
+            for item in _split_top_level(seg):
+                m = _AS_ALIAS.match(item.strip())
+                if m and "OVER" not in m.group(1).upper():
+                    aliases[m.group(2)] = m.group(1).strip()
+            if not aliases:
+                continue
+
+            def fix_over(mo: re.Match) -> str:
+                inner = mo.group(1)
+                for name, expr in aliases.items():
+                    inner = re.sub(
+                        rf"\b{re.escape(name)}\b", f"({expr})", inner, flags=re.IGNORECASE
+                    )
+                return f"OVER ({inner})"
+
+            new_seg = re.sub(r"OVER\s*\(([^()]*)\)", fix_over, seg, flags=re.IGNORECASE)
+            if new_seg != seg:
+                out = out[: p + len("SELECT")] + new_seg + out[from_pos:]
+                changed = True
+                break
     return out
 
 
