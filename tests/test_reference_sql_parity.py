@@ -64,3 +64,41 @@ def test_reference_adhoc_sql_matches_dataframe_impl(spark, warehouse):
         got = run(spark, stmt)
         g, e = _canon(got), _canon(exp)
         assert g == e, f"ad-hoc statement {chr(97 + i)} mismatch:\nSQL: {g[:3]}\nDF:  {e[:3]}"
+
+
+REFERENCE_POPULATE = "/root/reference/workfile_populate_data_warehouse.py"
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_POPULATE), reason="reference not present")
+def test_reference_kpi_view_sql_matches_dataframe_impl(spark, warehouse):
+    """The reference's four datamart view bodies (extracted from the Airflow
+    file at test time) run through the front-end and match the parametric
+    kpi_view builders row-for-row."""
+    from airbnb_listings_data_pipelines_spark.plans import datamart
+
+    text = open(REFERENCE_POPULATE).read()
+    views = dict(
+        re.findall(
+            r"query_datamart_(kpi\w*)\s*=\s*f?\"\"\"(.*?)\"\"\"", text, re.DOTALL
+        )
+    )
+    assert set(views) == {"kpi1", "kpi1_raw", "kpi2", "kpi3"}
+    ours = {
+        "kpi1": datamart.kpi_neighbourhood_month(warehouse.fact_listing),
+        "kpi1_raw": datamart.kpi_neighbourhood_month_raw(warehouse.fact_listing),
+        "kpi2": datamart.kpi_property_month(warehouse.fact_listing),
+        "kpi3": datamart.kpi_host_neighbourhood_month(warehouse.fact_listing),
+    }
+    for name, sql in views.items():
+        body = re.sub(
+            r"^\s*CREATE\s+OR\s+REPLACE\s+VIEW\s+\S+\s+AS\s+",
+            "",
+            sql.strip().rstrip(";").strip(),
+            flags=re.IGNORECASE | re.DOTALL,
+        )
+        got = run(spark, body)
+        g, e = _canon(got), _canon(ours[name])
+        assert len(g) == len(e), (name, len(g), len(e))
+        assert g == e, f"{name} mismatch, first diff: " + str(
+            next(((a, b) for a, b in zip(g, e) if a != b), None)
+        )
