@@ -425,3 +425,54 @@ def x17_collect_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langs"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@query(
+    "x18_token_budget_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+    FROM packed
+    """,
+    survey_rows=("EXT-text", "W5"),
+    doc="Token-budget shard packing: running token sum in a stable order, "
+    "shard = floor(preceding_tokens / budget) — deterministic assignment of "
+    "documents to ~2000-token training shards; write side pairs with "
+    "partitionBy(shard_id).",
+)
+def x18_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", text.token_count("text").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 2000.0).alias("shard_id"),
+    )
+
+
+@query(
+    "x19_stratified_sample",
+    oracle=None,  # sampling algorithms are engine-specific -> rows-only
+    survey_rows=("EXT-sampling",),
+    doc="Deterministic stratified sampling (sampleBy on lang, fixed seed): "
+    "downsample over-represented languages for a balanced training mix. "
+    "Rows-only; determinism + per-stratum rates asserted in tests.",
+)
+def x19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.3, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.8}
+    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")

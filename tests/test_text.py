@@ -39,3 +39,25 @@ def test_quality_features(spark):
     assert r.n_tokens == 3
     assert r.punct_ratio == 3 / 19  # , ! .
     assert r.mean_token_len == (19 - 2) / 3
+
+
+def test_stratified_sample_deterministic(spark):
+    from airbnb_listings_data_pipelines_spark.queries.registry import load_all
+
+    from .conftest import SF_SMALL
+
+    fn = load_all()["x19_stratified_sample"].fn
+    a = sorted(r.doc_id for r in fn(spark, SF_SMALL).collect())
+    b = sorted(r.doc_id for r in fn(spark, SF_SMALL).collect())
+    assert a == b and len(a) > 0
+    # en is downsampled vs the rest
+    import collections
+
+    langs = collections.Counter(r.lang for r in fn(spark, SF_SMALL).collect())
+    from airbnb_listings_data_pipelines_spark.sources.tpch import load_table
+
+    full = collections.Counter(
+        r.lang for r in load_table(spark, SF_SMALL, "documents").collect()
+    )
+    assert langs["en"] / full["en"] < 0.55
+    assert langs["de"] / full["de"] > 0.5
