@@ -126,6 +126,50 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_ts_ms", LongType(), True),
+        StructField("frame_bytes", BinaryType(), True),
+        StructField("frame_n_bytes", LongType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Frame sampling: one input blob -> N frame rows (mapInPandas emitting
+    multiple output rows per input — the 1:N Arrow path real video decode
+    needs). The decode is the deterministic stub (fixed-size byte slices
+    standing in for decoded frames); timing metadata, batching, and the
+    exploded-row contract are real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {k.name: [] for k in FRAME_SCHEMA.fields}
+            for media_id, content, duration in zip(
+                pdf["media_id"], pdf["content"], pdf["duration_ms"]
+            ):
+                if content is None:
+                    continue
+                total_ms = int(duration) if duration is not None and not pd.isna(duration) else len(content)
+                n = max(1, min(max_frames, total_ms // every_ms))
+                step = max(1, len(content) // n)
+                for i in range(n):
+                    chunk = content[i * step: (i + 1) * step][:64]
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * every_ms)
+                    out["frame_bytes"].append(bytes(chunk))
+                    out["frame_n_bytes"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: updates metadata, leaves bytes opaque (decode+resize
     is a DECODERS concern). Kept as a distinct operator so pipelines can

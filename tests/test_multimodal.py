@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from airbnb_listings_data_pipelines_spark.operators import multimodal
 from airbnb_listings_data_pipelines_spark.sources.tpch import load_table
@@ -43,3 +44,26 @@ def test_unregistered_real_decoder_raises(spark):
             multimodal.extract_features(media).collect()
     finally:
         multimodal.DECODERS["image"] = old
+
+
+def test_frame_sampling_one_to_many(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(10)
+    media = multimodal.synthesize_media(docs, modality="video").withColumn(
+        "duration_ms", (F.col("width") * 10).cast("long")
+    )
+    frames = multimodal.sample_frames(media, every_ms=500, max_frames=4)
+    rows = frames.collect()
+    assert len(rows) > 10  # 1 -> N explosion happened
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, fs in by_media.items():
+        idxs = sorted(f.frame_idx for f in fs)
+        assert idxs == list(range(len(fs)))          # dense frame indices
+        assert all(f.frame_ts_ms == f.frame_idx * 500 for f in fs)
+        assert all(f.frame_n_bytes == len(f.frame_bytes) for f in fs)
+    # deterministic
+    again = frames.collect()
+    assert sorted((r.media_id, r.frame_idx, bytes(r.frame_bytes)) for r in again) == sorted(
+        (r.media_id, r.frame_idx, bytes(r.frame_bytes)) for r in rows
+    )
