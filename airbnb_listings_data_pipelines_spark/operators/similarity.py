@@ -93,6 +93,40 @@ def cosine_arrow_udf():
     return cos
 
 
+def normalize_per_group(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding standardization (subtract the group centroid)
+    via ``groupBy().applyInPandas`` — the grouped-map Arrow path for logic
+    that needs a whole group in memory at once (fit-per-group transforms,
+    whitening, per-cluster PCA seeds).
+
+    Each group must fit in one executor's memory — that is the operator's
+    contract at any scale; groups here are label partitions (~corpus/10).
+    """
+    import numpy as np
+
+    schema = f"{id_col} long, {group_col} int, centered array<double>"
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        centered = mat - mat.mean(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                group_col: pdf[group_col].to_numpy(),
+                "centered": list(centered),
+            }
+        )
+
+    return df.select(id_col, group_col, vec_col).groupBy(group_col).applyInPandas(
+        center, schema=schema
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

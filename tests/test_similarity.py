@@ -68,3 +68,15 @@ def test_arrow_udf_cosine_matches_jvm(spark):
     for r in both:
         # numpy pairwise summation vs JVM sequential fold: equal to ~1e-12
         assert abs(r.jvm - r.arrow) <= 1e-9 * max(1.0, abs(r.jvm))
+
+
+def test_apply_in_pandas_group_centering(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    out = similarity.normalize_per_group(emb)
+    assert out.count() == emb.count()
+    import numpy as np
+
+    pdf = out.toPandas()
+    for label, grp in pdf.groupby("label"):
+        mat = np.stack(grp["centered"].to_numpy())
+        assert np.abs(mat.mean(axis=0)).max() < 1e-9  # centroid removed
