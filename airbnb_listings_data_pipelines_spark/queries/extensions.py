@@ -476,3 +476,54 @@ def x19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fractions = {"en": 0.3, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.8}
     return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+@query(
+    "x20_scd2_version_history",
+    oracle="""
+    WITH flagged AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag, l_linestatus,
+             CASE WHEN l_returnflag IS DISTINCT FROM
+                       lag(l_returnflag) OVER (PARTITION BY l_orderkey
+                                               ORDER BY l_linenumber, l_partkey, l_suppkey)
+                    OR l_linestatus IS DISTINCT FROM
+                       lag(l_linestatus) OVER (PARTITION BY l_orderkey
+                                               ORDER BY l_linenumber, l_partkey, l_suppkey)
+                  THEN 1 ELSE 0 END AS chg
+      FROM lineitem
+    ), versioned AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey, l_suppkey
+                               ROWS UNBOUNDED PRECEDING) AS ver
+      FROM flagged
+    )
+    SELECT l_orderkey, l_returnflag, l_linestatus,
+           CAST(ver AS BIGINT) AS version_id,
+           COUNT(*) AS run_length
+    FROM versioned
+    GROUP BY l_orderkey, l_returnflag, l_linestatus, ver
+    """,
+    survey_rows=("EXT-scd", "W4", "W5"),
+    doc="SCD-2 version derivation (change-flag lag + running version sum + "
+    "run collapse) applied to lineitem's per-order line sequence — the same "
+    "operator (operators/scd.scd2_from_snapshots) that turns the reference's "
+    "monthly snapshot fact into true SCD-2 history ('be careful of SCDs', "
+    "design.sql:3, SURVEY §1.4(1)).",
+)
+def x20_scd2_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    order = ["l_linenumber", "l_partkey", "l_suppkey"]
+    w = Window.partitionBy("l_orderkey").orderBy(*order)
+    chg = F.when(
+        ~F.col("l_returnflag").eqNullSafe(F.lag("l_returnflag").over(w))
+        | ~F.col("l_linestatus").eqNullSafe(F.lag("l_linestatus").over(w)),
+        1,
+    ).otherwise(0)
+    versioned = li.withColumn("chg", chg).withColumn(
+        "ver", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return versioned.groupBy(
+        "l_orderkey", "l_returnflag", "l_linestatus", F.col("ver").alias("version_id")
+    ).agg(F.count(F.lit(1)).alias("run_length"))
