@@ -1,1 +1,1 @@
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import curation, dedup, multimodal, scd, similarity, skew, text  # noqa: F401

@@ -188,5 +188,10 @@ def build_fact_listing(staging_listing: DataFrame, staging_location: DataFrame) 
 def write_fact_partitioned(fact: DataFrame, path: str) -> None:
     """Persist the fact table partitioned by file_date: each monthly load
     appends one partition — the Spark-idiomatic form of the reference's
-    per-file incremental refresh (populate.py:176-178)."""
-    fact.write.mode("overwrite").partitionBy("file_date").parquet(path)
+    per-file incremental refresh (populate.py:176-178).
+
+    Repartition on the partition column first so each month writes ONE file
+    instead of one-per-task (24 input tasks x 12 months = ~288 small files
+    otherwise — the small-files problem that kills object-store listings at
+    scale)."""
+    fact.repartition("file_date").write.mode("overwrite").partitionBy("file_date").parquet(path)
