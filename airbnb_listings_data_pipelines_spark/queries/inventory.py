@@ -1236,3 +1236,136 @@ def q39_snowflake_dialect_frontend(spark: SparkSession, sf_dir: str) -> DataFram
         FROM ranked
         """,
     )
+
+
+@query(
+    "q40_moving_average_rows_frame",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day, COUNT(*) AS n
+      FROM orders WHERE o_orderdate < TIMESTAMP '1995-04-01' GROUP BY 1
+    )
+    SELECT day, n,
+           CAST(avg(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS ma7,
+           first_value(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS window_first,
+           last_value(n)  OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS window_last
+    FROM daily
+    """,
+    survey_rows=("W-frames",),
+    doc="Explicit ROWS BETWEEN frame: 7-day moving average + "
+    "first_value/last_value — the frame surface beyond the reference's "
+    "default-frame windows (SURVEY §2.5). The average is computed as "
+    "sum/count of exact bigints divided as doubles so both engines "
+    "produce identical bits.",
+)
+def q40_moving_average_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp")
+    )
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").cast("string").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "n",
+        (F.sum("n").over(w) / F.count("n").over(w)).cast("double").alias("ma7"),
+        F.first("n").over(w).alias("window_first"),
+        F.last("n").over(w).alias("window_last"),
+    )
+
+
+@query(
+    "q41_trailing_range_frame",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events WHERE user_id < 20
+    )
+    SELECT user_id, sec,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+               AS trailing_1h_events
+    FROM e
+    """,
+    survey_rows=("W-frames", "§2.9"),
+    doc="Time-based RANGE frame: per-event trailing-1-hour activity count "
+    "per user (epoch-second range frame) — per-row sliding aggregates that "
+    "tumbling windows can't express.",
+)
+def q41_trailing_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    e = ev.select("user_id", F.unix_timestamp("ts").alias("sec"))
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    return e.select(
+        "user_id", "sec", F.count(F.lit(1)).over(w).alias("trailing_1h_events")
+    )
+
+
+@query(
+    "q42_quartiles_array",
+    oracle="""
+    SELECT l_returnflag,
+           array_to_string(list_transform(
+               quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                             [0.25, 0.5, 0.75]),
+               q -> CAST(q / 100.0 AS VARCHAR)), ',') AS quartiles
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_rows=("A7",),
+    doc="Multi-quantile aggregation (25/50/75th percentile in one pass) over "
+    "integer cents, string-joined for cross-engine hashing.",
+)
+def q42_quartiles_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qs = F.percentile(cents, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(
+            F.transform(qs, lambda q: (q / 100.0).cast("string")), ","
+        ).alias("quartiles")
+    )
+
+
+@query(
+    "q43_null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END AS grp,
+             COUNT(*) AS n_a
+      FROM orders GROUP BY 1
+    ), b AS (
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END AS grp,
+             COUNT(DISTINCT o_custkey) AS n_b
+      FROM orders GROUP BY 1
+    )
+    SELECT a.grp, n_a, n_b
+    FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+    """,
+    survey_rows=("J-nullsafe",),
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL group keys "
+    "match each other — the opt-in fix for the FULL-JOIN NULL-key quirk "
+    "(SURVEY §2.10(1)) when a pipeline wants NULL groups aligned instead "
+    "of duplicated.",
+)
+def q43_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    grp = F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    a = o.groupBy(grp.alias("grp")).agg(F.count(F.lit(1)).alias("n_a")).alias("a")
+    b = (
+        o.groupBy(grp.alias("grp"))
+        .agg(F.countDistinct("o_custkey").alias("n_b"))
+        .alias("b")
+    )
+    return a.join(b, F.col("a.grp").eqNullSafe(F.col("b.grp"))).select(
+        F.col("a.grp").alias("grp"), "n_a", "n_b"
+    )
