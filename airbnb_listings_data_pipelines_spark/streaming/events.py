@@ -110,3 +110,17 @@ def stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def deduplicated_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once-per-key event stream: drops duplicate deliveries of the
+    same event within the watermark horizon (state for a key is evicted
+    once the watermark passes — bounded memory, unlike a global distinct).
+    Works on batch frames too (plain dropDuplicates) so pipelines can share
+    the transformation."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)

@@ -108,3 +108,35 @@ def test_stream_stream_attribution_join_matches_batch(spark):
     }
     assert len(batch) > 0
     assert stream == batch
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event deliveries collapse to one row per event_id in both
+    batch and streaming execution."""
+    import shutil
+
+    from airbnb_listings_data_pipelines_spark.streaming.events import (
+        deduplicated_stream,
+        event_stream,
+    )
+
+    # a source dir where every event file appears twice (duplicate delivery)
+    src = tmp_path / "dup_events"
+    src.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", src / "events_a.parquet")
+    shutil.copy(f"{SF_SMALL}/events.parquet", src / "events_b.parquet")
+
+    q = (
+        deduplicated_stream(event_stream(spark, str(src)))
+        .writeStream.format("memory")
+        .queryName("dedup_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    n_stream = spark.sql("SELECT COUNT(DISTINCT event_id) c FROM dedup_events").first().c
+    n_rows = spark.sql("SELECT COUNT(*) c FROM dedup_events").first().c
+    n_src = load_table(spark, SF_SMALL, "events").count()
+    assert n_rows == n_stream == n_src  # 2x deliveries -> exactly one each
