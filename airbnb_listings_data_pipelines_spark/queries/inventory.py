@@ -1369,3 +1369,68 @@ def q43_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("a.grp").eqNullSafe(F.col("b.grp"))).select(
         F.col("a.grp").alias("grp"), "n_a", "n_b"
     )
+
+
+@query(
+    "q44_string_function_breadth",
+    oracle="""
+    SELECT n_name,
+           lpad(n_name, 20, '.')                       AS padded,
+           substring(n_name, 2, 3)                     AS mid,
+           CAST(strpos(n_name, 'A') AS BIGINT)         AS first_a,
+           concat_ws('|', n_name, CAST(n_nationkey AS VARCHAR)) AS joined,
+           translate(n_name, 'AEIOU', 'aeiou')         AS vowels_lower,
+           reverse(n_name)                             AS rev,
+           repeat('-', CAST(n_nationkey AS INT) % 4)   AS dashes,
+           CAST(length(trim(BOTH ' ' FROM ('  ' || n_name || ' '))) AS BIGINT) AS trimmed_len
+    FROM nation
+    """,
+    survey_rows=("F-strings",),
+    doc="String-function breadth beyond the reference's surface: pad, "
+    "substring, position, concat_ws, translate, reverse, repeat, "
+    "BOTH-trim — all JVM codegen expressions.",
+)
+def q44_string_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_name",
+        F.lpad("n_name", 20, ".").alias("padded"),
+        F.substring("n_name", 2, 3).alias("mid"),
+        F.instr("n_name", "A").cast("long").alias("first_a"),
+        F.concat_ws("|", "n_name", F.col("n_nationkey").cast("string")).alias("joined"),
+        F.translate("n_name", "AEIOU", "aeiou").alias("vowels_lower"),
+        F.reverse("n_name").alias("rev"),
+        F.repeat(F.lit("-"), F.col("n_nationkey").cast("int") % 4).alias("dashes"),
+        F.length(F.trim(F.concat(F.lit("  "), F.col("n_name"), F.lit(" "))))
+        .cast("long")
+        .alias("trimmed_len"),
+    )
+
+
+@query(
+    "q45_conditional_expression_breadth",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(nullif(o_orderstatus, 'O'))                       AS non_open,
+           COUNT(CASE WHEN o_totalprice BETWEEN 100000 AND 200000
+                      THEN 1 END)                                  AS mid_price,
+           CAST(MAX(greatest(o_totalprice, 150000.0)) AS DOUBLE)   AS max_floor,
+           CAST(MIN(least(o_totalprice, 150000.0)) AS DOUBLE)      AS min_cap,
+           COUNT(coalesce(nullif(o_orderstatus, 'P'), NULL))       AS not_pending
+    FROM orders GROUP BY o_orderpriority
+    """,
+    survey_rows=("P-conditional",),
+    doc="Conditional-expression breadth: NULLIF, COALESCE, LEAST/GREATEST, "
+    "BETWEEN — composed under aggregates.",
+)
+def q45_conditional_expression_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.nullif(F.col("o_orderstatus"), F.lit("O"))).alias("non_open"),
+        F.count(F.when(F.col("o_totalprice").between(100000, 200000), 1)).alias("mid_price"),
+        F.max(F.greatest(F.col("o_totalprice"), F.lit(150000.0))).cast("double").alias("max_floor"),
+        F.min(F.least(F.col("o_totalprice"), F.lit(150000.0))).cast("double").alias("min_cap"),
+        F.count(F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit(None))).alias(
+            "not_pending"
+        ),
+    )
