@@ -100,3 +100,39 @@ def lang_id(col: Column | str) -> Column:
     for lang in ("en", "fr", "de", "es"):  # priority order on ties
         expr = expr.when((best > 0) & (hits[lang] == best), lang)
     return expr.otherwise("und")
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (size
+    ``chunk_size``, step ``stride``) — the RAG/pretraining chunking op.
+    Pure built-ins: tokenize once, generate window starts with sequence(),
+    slice + rejoin per window; explode. Map-only (no shuffle), so it
+    streams at scan speed at any scale.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.ceil((n - chunk_size) / stride), F.lit(0)),
+    )
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(F.slice(toks, i * stride + 1, chunk_size), " ").alias("chunk_text"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), n.cast("long").alias("n_tokens"), F.explode(chunks).alias("c")
+    ).select(
+        id_col,
+        "n_tokens",
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+        "c.chunk_text",
+    )

@@ -527,3 +527,26 @@ def x20_scd2_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return versioned.groupBy(
         "l_orderkey", "l_returnflag", "l_linestatus", F.col("ver").alias("version_id")
     ).agg(F.count(F.lit(1)).alias("run_length"))
+
+
+@query(
+    "x21_token_chunking",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(ws, i * 40 + 1, i * 40 + 50), ' ') AS chunk_text
+    FROM toks,
+    LATERAL unnest(range(0, greatest(CAST(ceil((len(ws) - 50) / 40.0) AS BIGINT), 0) + 1)) AS t(i)
+    """,
+    survey_rows=("EXT-text", "EXT-chunking"),
+    doc="Overlapping token-window chunking (50-token chunks, stride 40) — "
+    "map-only explode, the RAG/pretraining document splitter.",
+)
+def x21_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_tokens(docs)

@@ -50,3 +50,20 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # partition filter must prune directories at the scan, not post-filter
     assert "PartitionFilters: [isnotnull(lang" in plan
     assert one.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_csv_corrupt_record_capture(spark, tmp_path):
+    """PERMISSIVE mode captures malformed rows in a corrupt-record column
+    instead of failing the load — raw-layer robustness for dirty dumps."""
+    p = tmp_path / "dirty.csv"
+    p.write_text('id,price\n1,10.5\n2,"unclosed\n3,30.0\n')
+    df = (
+        spark.read.options(header=True, mode="PERMISSIVE", columnNameOfCorruptRecord="_bad")
+        .schema("id int, price double, _bad string")
+        .csv(str(p))
+    )
+    rows = df.collect()
+    good = [r for r in rows if r._bad is None]
+    bad = [r for r in rows if r._bad is not None]
+    assert {r.id for r in good} >= {1}
+    assert len(bad) >= 1  # the unclosed-quote row is captured, not fatal

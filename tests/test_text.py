@@ -61,3 +61,26 @@ def test_stratified_sample_deterministic(spark):
     )
     assert langs["en"] / full["en"] < 0.55
     assert langs["de"] / full["de"] > 0.5
+
+
+def test_chunking_jvm_and_udtf_agree(spark):
+    from airbnb_listings_data_pipelines_spark.operators import udtf_ops
+    from airbnb_listings_data_pipelines_spark.sources.tpch import load_table
+
+    from .conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(30)
+    jvm = {
+        (r.doc_id, r.chunk_idx): r.chunk_text
+        for r in text.chunk_tokens(docs).collect()
+    }
+    udtf_ops.register(spark)
+    docs.createOrReplaceTempView("__docs_chunk")
+    py = {
+        (r.doc_id, r.chunk_idx): r.chunk_text
+        for r in spark.sql(
+            "SELECT doc_id, c.chunk_idx, c.chunk_text "
+            "FROM __docs_chunk, LATERAL chunk_tokens_udtf(text) c"
+        ).collect()
+    }
+    assert jvm == py and len(jvm) > 30  # overlapping chunks, identical both paths
