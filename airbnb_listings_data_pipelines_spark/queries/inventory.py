@@ -1434,3 +1434,71 @@ def q45_conditional_expression_breadth(spark: SparkSession, sf_dir: str) -> Data
             "not_pending"
         ),
     )
+
+
+@query(
+    "q46_math_function_breadth",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round(sqrt(l_extendedprice) * 1000) AS BIGINT)) AS BIGINT) AS sum_sqrt_milli,
+           CAST(SUM(CAST(round(ln(l_extendedprice) * 1000000) AS BIGINT)) AS BIGINT) AS sum_ln_micro,
+           CAST(SUM(CAST(abs(l_quantity - 25) AS BIGINT)) AS BIGINT)     AS sum_absdev,
+           CAST(SUM(CAST(l_quantity AS BIGINT) % 7) AS BIGINT)           AS sum_mod7,
+           CAST(SUM(CAST(ceil(l_discount * 10) AS BIGINT)) AS BIGINT)    AS sum_ceil,
+           CAST(SUM(CAST(floor(l_discount * 10) AS BIGINT)) AS BIGINT)   AS sum_floor,
+           CAST(SUM(CAST(sign(l_quantity - 25) AS BIGINT)) AS BIGINT)    AS sum_sign
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_rows=("F-math",),
+    doc="Math-function breadth: sqrt/ln/abs/mod/ceil/floor/sign — each "
+    "rounded to integers BEFORE summing so cross-engine float reduction "
+    "order cannot bite (sqrt/ln of identical doubles are bit-identical; "
+    "their sums are not).",
+)
+def q46_math_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.round(F.sqrt(p) * 1000, 0).cast("long")).alias("sum_sqrt_milli"),
+        F.sum(F.round(F.log(p) * 1000000, 0).cast("long")).alias("sum_ln_micro"),
+        F.sum(F.abs(q - 25).cast("long")).alias("sum_absdev"),
+        F.sum(q.cast("long") % 7).alias("sum_mod7"),
+        F.sum(F.ceil(d * 10).cast("long")).alias("sum_ceil"),
+        F.sum(F.floor(d * 10).cast("long")).alias("sum_floor"),
+        F.sum(F.signum(q - 25).cast("long")).alias("sum_sign"),
+    )
+
+
+@query(
+    "q47_date_arithmetic_breadth",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+           COUNT(*) AS n,
+           CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01'))
+                AS BIGINT)                                              AS sum_days_to_2002,
+           CAST(MIN(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)) AS VARCHAR)
+                                                                        AS min_plus_30d,
+           CAST(MAX(CAST(CAST(o_orderdate AS DATE) - INTERVAL 1 MONTH AS DATE)) AS VARCHAR)
+                                                                        AS max_minus_1m,
+           CAST(SUM(CAST(dayofweek(o_orderdate) + 1 AS BIGINT)) AS BIGINT) AS sum_dow,
+           CAST(SUM(CAST(CAST(strftime(o_orderdate, '%j') AS INT) AS BIGINT)) AS BIGINT)
+                                                                        AS sum_doy
+    FROM orders GROUP BY 1
+    """,
+    survey_rows=("F-dates",),
+    doc="Date-arithmetic breadth: datediff, +/- day and month intervals, "
+    "day-of-week (Spark 1=Sunday vs DuckDB 0=Sunday, aligned in the oracle), day-of-year.",
+)
+def q47_date_arithmetic_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    dt = F.col("o_orderdate").cast("date")
+    return o.groupBy(F.year("o_orderdate").cast("long").alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.datediff(F.lit("2002-01-01").cast("date"), dt).cast("long")).alias(
+            "sum_days_to_2002"
+        ),
+        F.min(F.date_add(dt, 30)).cast("string").alias("min_plus_30d"),
+        F.max(F.add_months(dt, -1)).cast("string").alias("max_minus_1m"),
+        F.sum(F.dayofweek("o_orderdate").cast("long")).alias("sum_dow"),
+        F.sum(F.dayofyear("o_orderdate").cast("long")).alias("sum_doy"),
+    )
