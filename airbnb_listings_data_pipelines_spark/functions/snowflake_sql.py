@@ -16,8 +16,13 @@ Already Spark-native and passed through untouched: ``expr::type`` casts,
 lateral column aliases, ``LAG/RANK/ROW_NUMBER OVER``.
 
 Known limits (not used by the reference's queries): QUALIFY directly on a
-``SELECT DISTINCT`` block, and QUALIFY combined with ``GROUP BY`` in the
-same block referencing non-grouped columns.
+``SELECT DISTINCT`` block; QUALIFY combined with ``GROUP BY`` in the same
+block referencing non-grouped columns; alias expansion inside OVER(...)
+only matches window specs without nested parentheses (an aliased expression
+wrapped in a function call inside the window spec is left untouched), and
+the word-boundary substitution does not skip string literals — an alias
+name appearing inside a quoted string within the same select list would be
+rewritten. The reference's statements contain neither construct.
 """
 
 from __future__ import annotations

@@ -55,6 +55,14 @@ LISTING_COLUMNS: list[tuple[int, str, str]] = [
     (37, "bedrooms", "string"),
     (38, "beds", "string"),
     (39, "amenities", "string"),
+    # Deliberate scale choice (SURVEY §2.10 note): Snowflake's bare
+    # ``::NUMERIC`` is NUMBER(38,0) — it ROUNDS to whole numbers. We type
+    # price as decimal(10,2) (and scores/census as decimal(18,6)) instead:
+    # listing prices are whole dollars in every published extract, so the
+    # extra scale is lossless there, and fractional census/score columns
+    # keep their published precision rather than Snowflake's integer
+    # rounding. A run against true-Snowflake golden outputs that depend on
+    # NUMBER(38,0) rounding would need `round(...)` added at this cast.
     (40, "price", "decimal(10,2)"),  # TRY_CAST(split_part(c40,'$',-1))
     (41, "minimum_nights", "string"),
     (42, "maximum_nights", "string"),

@@ -54,7 +54,7 @@ def event_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", glob)
         .parquet(directory)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
 

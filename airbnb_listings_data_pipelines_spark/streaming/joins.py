@@ -6,9 +6,11 @@ once the other side's watermark passes its join window. Without the time
 bound the state grows forever — Spark rejects unbounded stream-stream
 inner joins in append mode unless both constraints are present.
 
-Pattern here: attribute each ``purchase`` event to the same user's most
-recent preceding ``click`` within ``attribution_window`` — the classic
-attribution join.
+Pattern here: attribute each ``purchase`` event to ALL of the same user's
+preceding ``click`` events within ``attribution_window`` (one output row per
+qualifying click). Picking only the single latest click is not expressible
+in append-mode streaming (it would need a per-purchase argmax over state);
+downstream batch consumers can reduce to last-touch with a window rank.
 """
 
 from __future__ import annotations
@@ -22,9 +24,10 @@ def attribution_join(
     attribution_window: str = "30 minutes",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Join purchases to preceding clicks of the same user within the
-    attribution window. Works identically on a batch or streaming events
-    DataFrame (ts, user_id, event_type, event_id, value)."""
+    """Join each purchase to ALL preceding clicks of the same user within
+    the attribution window (one row per click — last-touch reduction is a
+    downstream batch concern). Works identically on a batch or streaming
+    events DataFrame (ts, user_id, event_type, event_id, value)."""
     clicks = events.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("click_ts"),
