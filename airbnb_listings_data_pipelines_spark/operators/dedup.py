@@ -16,8 +16,33 @@ Scale design notes (the point of each algorithm at 100 TB):
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def md5_hash32(col: Column | str) -> Column:
+    """32-bit hash: first 8 hex chars of md5, parsed as an integer.
+
+    Slower than xxhash64 (the default at scale) but *cross-engine exact*:
+    DuckDB computes the identical value as
+    ``list_sum(list_transform(range(1, 9), i ->
+    (strpos('0123456789abcdef', substring(md5(x), i, 1)) - 1)
+    * CAST(pow(16, 8 - i) AS BIGINT)))`` — which is how the shared-hash
+    oracles for SimHash and stratified sampling stay bit-identical.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+# DuckDB SQL fragment computing md5_hash32 of expression {x} (kept next to
+# the Spark twin above so the two definitions can be diffed side by side).
+MD5_HASH32_DUCKDB = (
+    "list_sum(list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', substring(md5({x}), i, 1)) - 1) "
+    "* CAST(pow(16, 8 - i) AS BIGINT)))"
+)
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
@@ -161,6 +186,7 @@ def simhash_neardup_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     chunks: int = 4,
+    hash_fn: Callable[[Column], Column] = F.xxhash64,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= ``max_hamming``.
 
@@ -168,9 +194,12 @@ def simhash_neardup_pairs(
     any pair within distance d < chunks must agree on >= 1 whole chunk, so
     candidates come from equi-joins on (chunk_index, chunk_value) and only
     candidates pay the bit_count(xor) verification — never all pairs.
+    The banding is complete for d < chunks, so the output equals the exact
+    all-pairs Hamming filter — which is what the DuckDB oracle computes
+    when ``hash_fn=md5_hash32``.
     """
     assert max_hamming < chunks, "pigeonhole guarantee needs d < chunks"
-    fp = simhash(df, id_col, text_col, bits)
+    fp = simhash(df, id_col, text_col, bits, hash_fn)
     width = bits // chunks
     mask = (1 << width) - 1
     chunked = fp.select(
@@ -206,16 +235,25 @@ def simhash_neardup_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    hash_fn: Callable[[Column], Column] = F.xxhash64,
+) -> DataFrame:
     """Per-document SimHash fingerprint over word unigrams.
 
-    bit_j(doc) = 1 iff sum over words of (+1 if bit_j(xxhash64(word)) else -1) > 0.
+    bit_j(doc) = 1 iff sum over words of (+1 if bit_j(hash(word)) else -1) > 0.
     One explode + one groupBy with ``bits`` conditional-sum aggregates.
+    ``hash_fn`` defaults to xxhash64 (fastest, JVM); pass ``md5_hash32``
+    (with bits<=32) for the cross-engine-exact variant the DuckDB oracle
+    can recompute.
     """
     words = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("w"),
-    ).withColumn("h", F.xxhash64("w"))
+    ).withColumn("h", hash_fn(F.col("w")))
     bit_sums = [
         F.sum(F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
             f"s_{j}"

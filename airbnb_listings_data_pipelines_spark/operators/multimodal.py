@@ -2,11 +2,18 @@
 
 Media are opaque ``binary`` columns plus a typed metadata struct. The Spark
 side — schema, partition-preserving mapInPandas, Arrow batch shape, output
-contracts — is real and tested; the *decode* step is stubbed (image/audio
-libraries are not in this container) behind ``DECODERS``: a deterministic
-fake decoder by default, a clearly-marked NotImplementedError for real
-codecs. Swap in a real decoder (PIL/torchaudio/ffmpeg) without touching any
-Spark plumbing.
+contracts — is real and tested. Decoding has two tiers:
+
+- REAL stdlib codecs for BMP images and PCM WAV audio (``decode_bmp`` /
+  ``decode_wav``: binary header parsing with ``struct``, no PIL/ffmpeg
+  needed) — exercised end-to-end by the x11 registry query, whose blobs
+  are genuine BMP/WAV files synthesized deterministically from doc_id
+  (``synthesize_codec_media``) so a SQL oracle can predict the decoded
+  metadata.
+- A ``DECODERS`` registry for formats whose libraries are absent in this
+  container (JPEG/MP3/video): deterministic fake for tests, clearly-marked
+  NotImplementedError guard otherwise. Swap in PIL/torchaudio/ffmpeg
+  without touching any Spark plumbing.
 
 Scale notes: mapInPandas streams Arrow batches, so executor memory holds one
 batch of blobs, not a partition of decoded frames. Partition by content hash
@@ -68,21 +75,236 @@ def _fake_decode(content: bytes | None, n_features: int = 8) -> list[float]:
 
 def _unimplemented_decode(content: bytes | None, n_features: int = 8) -> list[float]:
     raise NotImplementedError(
-        "real media decoding requires PIL/torchaudio/ffmpeg, not present in "
+        "decoding this format requires PIL/torchaudio/ffmpeg, not present in "
         "this container — register a decoder in multimodal.DECODERS"
     )
 
 
-DECODERS: dict[str, Callable[[bytes | None], list[float]]] = {
-    "image": _fake_decode,
-    "audio": _fake_decode,
-    "video": _fake_decode,
-}
+# image/audio are REAL codecs (stdlib BMP/WAV parsers defined below); video
+# has no stdlib codec, so it keeps the deterministic byte-stats stand-in;
+# 'bytes' is the explicit opaque-blob modality.
+DECODERS: dict[str, Callable[[bytes | None], list[float]]] = {}
 
 
-def synthesize_media(docs: DataFrame, modality: str = "image") -> DataFrame:
-    """Build a media table from the documents table (text bytes as the blob)
-    — exercises the binary-column path on driver-provided data only."""
+def _register_default_decoders() -> None:
+    DECODERS.update(
+        {
+            "image": _decode_bmp_features,
+            "audio": _decode_wav_features,
+            "video": _fake_decode,
+            "bytes": _fake_decode,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real stdlib codecs: BMP (24-bit, BITMAPINFOHEADER) and WAV (PCM16 mono).
+# Plain bytes->dict functions so they unit-test without Spark; the Spark
+# path wraps them in mapInPandas below.
+# ---------------------------------------------------------------------------
+
+
+def make_bmp(width: int, height: int, pixel_fn) -> bytes:
+    """Minimal valid 24-bit bottom-up BMP. ``pixel_fn(x, y) -> (b, g, r)``."""
+    import struct
+
+    stride = (width * 3 + 3) // 4 * 4
+    size = 54 + stride * height
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height, 2835, 2835, 0, 0)
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            b, g, r = pixel_fn(x, y)
+            row += bytes((b & 0xFF, g & 0xFF, r & 0xFF))
+        row += b"\x00" * (stride - len(row))
+        rows += row
+    return header + info + bytes(rows)
+
+
+def decode_bmp(content: bytes) -> dict:
+    """Parse BMP headers: width, height, bpp, n_pixels. Raises ValueError on
+    a non-BMP blob (the real-codec contract: garbage in, error out)."""
+    import struct
+
+    if content is None or len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP blob")
+    width, height = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    return {"width": width, "height": abs(height), "bpp": bpp, "n_pixels": width * abs(height)}
+
+
+def make_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Minimal valid PCM16 mono WAV."""
+    import struct
+
+    data = b"".join(struct.pack("<h", max(-32768, min(32767, s))) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16)
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(content: bytes) -> dict:
+    """Parse RIFF/fmt/data chunks: channels, sample_rate, bits, n_samples,
+    duration_ms. Walks the chunk list (not fixed offsets) so WAVs with extra
+    chunks still decode. Raises ValueError on a non-WAV blob."""
+    import struct
+
+    if content is None or len(content) < 44 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV blob")
+    pos, channels, sample_rate, bits, data_len = 12, None, None, None, None
+    while pos + 8 <= len(content):
+        cid, clen = struct.unpack_from("<4sI", content, pos)
+        if cid == b"fmt ":
+            _, channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", content, pos + 8)
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)
+    if channels is None or data_len is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    n_samples = data_len // (channels * bits // 8)
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "bits": bits,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // sample_rate,
+    }
+
+
+def synthesize_codec_media(docs: DataFrame) -> DataFrame:
+    """Build a media table of GENUINE BMP/WAV blobs, deterministically from
+    doc_id (even ids -> 24-bit BMP, odd -> PCM16 WAV). The generative
+    formulas are simple integer arithmetic, so a SQL oracle can predict
+    exactly what the real decoder must recover from the bytes:
+
+        image: width = 4 + doc_id % 13, height = 3 + doc_id % 7
+               n_bytes = 54 + height * ((width*3 + 3)//4*4)
+        audio: sample_rate = 8000, n_samples = 100 + doc_id % 400
+               n_bytes = 44 + n_samples * 2
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {k.name: [] for k in MEDIA_SCHEMA.fields}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    w, h = 4 + d % 13, 3 + d % 7
+                    blob = make_bmp(w, h, lambda x, y: (d + x, d + y, d + x + y))
+                    out["media_id"].append(d)
+                    out["modality"].append("image")
+                    out["content"].append(blob)
+                    out["mime_type"].append("image/bmp")
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["duration_ms"].append(None)
+                else:
+                    n = 100 + d % 400
+                    blob = make_wav([(d * 131 + i * 17) % 65536 - 32768 for i in range(n)])
+                    out["media_id"].append(d)
+                    out["modality"].append("audio")
+                    out["content"].append(blob)
+                    out["mime_type"].append("audio/wav")
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["duration_ms"].append(n * 1000 // 8000)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+METADATA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def decode_media_metadata(media: DataFrame) -> DataFrame:
+    """Decode blobs with the REAL stdlib codecs (BMP/WAV header parsing) via
+    mapInPandas — the end-to-end proof that the binary-column path carries
+    decodable media, not just opaque bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {k.name: [] for k in METADATA_SCHEMA.fields}
+            for media_id, modality, content in zip(
+                pdf["media_id"], pdf["modality"], pdf["content"]
+            ):
+                out["media_id"].append(media_id)
+                out["modality"].append(modality)
+                out["n_bytes"].append(len(content) if content is not None else None)
+                if modality == "image":
+                    meta = decode_bmp(bytes(content))
+                    out["width"].append(meta["width"])
+                    out["height"].append(meta["height"])
+                    out["sample_rate"].append(None)
+                    out["n_samples"].append(None)
+                    out["duration_ms"].append(None)
+                elif modality == "audio":
+                    meta = decode_wav(bytes(content))
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["sample_rate"].append(meta["sample_rate"])
+                    out["n_samples"].append(meta["n_samples"])
+                    out["duration_ms"].append(meta["duration_ms"])
+                else:
+                    for k in ("width", "height", "sample_rate", "n_samples", "duration_ms"):
+                        out[k].append(None)
+            yield pd.DataFrame(
+                {k: (pd.array(v, dtype="Int64") if k not in ("modality",) else v)
+                 for k, v in out.items()}
+            )
+
+    return media.mapInPandas(run, schema=METADATA_SCHEMA)
+
+
+def _decode_bmp_features(content: bytes | None, n_features: int = 8) -> list[float]:
+    """REAL image decoder for the DECODERS registry: parses the BMP headers
+    and summarizes pixel bytes into a fixed-length feature vector."""
+    if not content:
+        return [0.0] * n_features
+    meta = decode_bmp(content)
+    pixels = content[54:]
+    byte_feats = []
+    for i in range(n_features - 3):
+        chunk = pixels[i :: n_features - 3]
+        byte_feats.append(float(sum(chunk) % 997) if chunk else 0.0)
+    return [float(meta["width"]), float(meta["height"]), float(meta["bpp"])] + byte_feats
+
+
+def _decode_wav_features(content: bytes | None, n_features: int = 8) -> list[float]:
+    """REAL audio decoder for the DECODERS registry: parses RIFF headers and
+    summarizes PCM bytes into a fixed-length feature vector."""
+    if not content:
+        return [0.0] * n_features
+    meta = decode_wav(content)
+    data = content[44:]
+    byte_feats = []
+    for i in range(n_features - 3):
+        chunk = data[i :: n_features - 3]
+        byte_feats.append(float(sum(chunk) % 997) if chunk else 0.0)
+    return [float(meta["sample_rate"]), float(meta["n_samples"]), float(meta["bits"])] + byte_feats
+
+
+def synthesize_media(docs: DataFrame, modality: str = "bytes") -> DataFrame:
+    """Build an OPAQUE-blob media table from the documents table (text bytes
+    as the blob) — exercises the binary-column path on driver-provided data.
+    For genuine decodable media use ``synthesize_codec_media``."""
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit(modality).alias("modality"),
@@ -177,3 +399,6 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.withColumn("width", F.lit(width).cast("long")).withColumn(
         "height", F.lit(height).cast("long")
     )
+
+
+_register_default_decoders()

@@ -1,0 +1,44 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Hash-based sampling beats RNG-based ``sample()``/``sampleBy()`` at scale:
+membership is a pure function of the row key, so the sample is reproducible
+across runs, engines, executors-counts, and retries (no seed/partition
+coupling), and incremental reruns keep prior decisions stable. The hash is
+``md5_hash32`` so a SQL oracle (DuckDB) derives the identical sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_hash32
+
+
+def hash_sample_bucket(key: Column | str, buckets: int = 1000) -> Column:
+    """Stable per-row bucket in [0, buckets): md5_hash32(key) % buckets."""
+    c = F.col(key) if isinstance(key, str) else key
+    return md5_hash32(c.cast("string")) % buckets
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 1.0,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Keep each row iff hash_bucket(key) < fraction[stratum] * buckets.
+
+    Per-stratum downsampling (e.g. rebalance over-represented languages)
+    with exact cross-engine reproducibility — the scale-safe replacement
+    for ``sampleBy`` (whose output depends on the RNG stream, hence on
+    partitioning). Map-only: no shuffle, no state.
+    """
+    frac = F.lit(default_fraction)
+    for value, p in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(frac)
+    # round, don't truncate: 0.8*1000 may be 799.999... in binary floats
+    thresh = F.round(frac * buckets).cast("long")
+    return df.filter(hash_sample_bucket(F.col(key_col), buckets) < thresh)

@@ -135,6 +135,7 @@ def lsh_bucketed_topk(
     k: int = 5,
     num_planes: int = 4,
     num_tables: int = 12,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: multi-table random-hyperplane LSH.
 
@@ -150,8 +151,12 @@ def lsh_bucketed_topk(
 
     At 100 TB: the cross join becomes a shuffle on (table, bucket); tune
     planes up for bucket size, tables up for recall.
+
+    Pass ``dim`` explicitly to make the operator single-job; omitting it
+    falls back to a one-row probe (an extra Spark job before the main one).
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     planes = _deterministic_planes(num_planes * num_tables, dim)
 
     def bucket_entries(vec: Column) -> Column:
@@ -194,6 +199,38 @@ def lsh_bucketed_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def train_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 1024,
+    iters: int = 4,
+) -> list[list[float]]:
+    """Fit IVF centroids: ONE bounded Spark job (deterministic top-N sample)
+    + driver-side spherical k-means in numpy. This is the FAISS-style
+    train/serve split — the fit runs once at index-build time and its
+    centroids are then passed to ``ivf_topk`` (which is single-job given
+    ``centroids``), amortized over every subsequent query.
+    """
+    import numpy as np
+
+    rows = corpus.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    x = np.stack([np.asarray(r[0], dtype="float64") for r in rows])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cents = x[:num_centroids].copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for j in range(num_centroids):
+            members = x[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cents[j] = c / n
+    return cents.tolist()
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -202,11 +239,19 @@ def ivf_topk(
     k: int = 5,
     num_centroids: int = 16,
     nprobe: int = 4,
+    dim: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate NN: partition the corpus into ``num_centroids``
-    Voronoi cells (centroids = a deterministic corpus sample — stand-in for
-    a k-means fit, which would only move the centroids, not the plan),
-    probe the ``nprobe`` nearest cells per query, exact re-rank inside.
+    Voronoi cells, probe the ``nprobe`` nearest cells per query, exact
+    re-rank inside.
+
+    Centroid source, in priority order: ``centroids`` (e.g. from an offline
+    k-means fit), else deterministic pseudo-random directions when ``dim``
+    is given (single-job: no data access before the main plan — cosine
+    assignment only needs directions, so unit-scale pseudo-random centroids
+    partition the sphere), else a collected corpus sample (legacy; costs an
+    extra Spark job).
 
     At 100 TB the assignment is a map stage (centroids broadcast as
     literals), the probe is an equi-join on cell id, and quadratic work is
@@ -215,8 +260,13 @@ def ivf_topk(
     """
     import math
 
-    cent_rows = corpus.orderBy(id_col).limit(num_centroids).select(vec_col).collect()
-    cents = [list(r[0]) for r in cent_rows]
+    if centroids is not None:
+        cents = [list(c) for c in centroids]
+    elif dim is not None:
+        cents = _deterministic_planes(num_centroids, dim)
+    else:
+        cent_rows = corpus.orderBy(id_col).limit(num_centroids).select(vec_col).collect()
+        cents = [list(r[0]) for r in cent_rows]
     norms = [math.sqrt(sum(x * x for x in c)) for c in cents]
 
     def cell_scores(vec: Column) -> Column:

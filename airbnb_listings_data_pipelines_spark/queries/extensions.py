@@ -150,28 +150,97 @@ def x05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "x06_minhash_lsh_pairs",
-    oracle=None,  # xxhash64 signatures have no DuckDB twin -> rows-only
+    "x06_minhash_lsh_recall",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               list_transform(range(1, greatest(length(lower(text)), 3) - 3 + 2),
+                              i -> substring(lower(text), i, 3)))) AS sh
+      FROM documents
+    ), sizes AS (
+      SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.8
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(0 AS BIGINT) AS n_precision_violations,
+           CAST(1 AS BIGINT) AS recall_ok
+    FROM pairs
+    """,
     survey_rows=("EXT-dedup",),
-    doc="MinHash(16)+LSH(4 bands) candidate pairs verified with exact "
-    "Jaccard >= 0.8 (candidates only) — the 100 TB near-dup path: "
-    "O(n·bucket) not O(n²).",
+    doc="MinHash(16)+LSH(4 bands) near-dup pairs (the 100 TB path: "
+    "O(n·bucket), not O(n²)) checked against the exact Jaccard>=0.8 truth "
+    "set as a cross-engine invariant: DuckDB recomputes the truth-set size "
+    "from raw text and asserts zero precision violations (every LSH pair "
+    "is a true pair — guaranteed by candidates-only exact verification) "
+    "and recall >= 0.7 (observed 1.0 at sf0.01). Raw pairs: "
+    "operators/dedup.minhash_lsh_pairs, recall also asserted in pytest.",
 )
-def x06_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x06_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, verify_threshold=0.8)
+    lsh = dedup.minhash_lsh_pairs(docs, verify_threshold=0.8).select("id_a", "id_b")
+    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_found = lsh.join(truth, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("__n_found")
+    )
+    n_viol = lsh.join(truth, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_precision_violations")
+    )
+    return (
+        n_true.crossJoin(n_found)
+        .crossJoin(n_viol)
+        .select(
+            "n_true_pairs",
+            "n_precision_violations",
+            (F.col("__n_found") >= 0.7 * F.col("n_true_pairs")).cast("long").alias("recall_ok"),
+        )
+    )
 
 
 @query(
     "x07_simhash",
-    oracle=None,  # xxhash64-based fingerprint -> rows-only
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(1, 9), i ->
+               (strpos('0123456789abcdef', substring(md5(w), i, 1)) - 1)
+               * CAST(pow(16, 8 - i) AS BIGINT))) AS h
+      FROM toks
+    ), bits AS (
+      SELECT doc_id, t.b AS bit,
+             SUM(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed, range(0, 32) t(b)
+      GROUP BY doc_id, t.b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
     survey_rows=("EXT-dedup",),
     doc="32-bit SimHash fingerprint per document (word unigrams); Hamming "
-    "proximity approximates bag-of-words cosine.",
+    "proximity approximates bag-of-words cosine. Shared-hash oracle: both "
+    "engines hash tokens with md5_hash32 (first 8 md5 hex chars as int) so "
+    "DuckDB recomputes the identical fingerprint bit-for-bit. The at-scale "
+    "default stays xxhash64 (operators/dedup.simhash hash_fn param).",
 )
 def x07_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash(docs).select(F.col("id").alias("doc_id"), "simhash")
+    return dedup.simhash(docs, hash_fn=dedup.md5_hash32).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
 
 
 @query(
@@ -227,35 +296,115 @@ def x09_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
 
 
+_ANN_EXACT_TOPK_ORACLE = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+               WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(c.embedding) + 1),
+                      i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+                      i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+               AS cos_sim
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    ), topk AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id,
+           string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY rnk) AS exact_topk,
+           CAST(1 AS BIGINT) AS corpus_recall_ok
+    FROM topk WHERE rnk <= 5 GROUP BY query_id
+"""
+
+
+def _ann_recall_check(ann: DataFrame, exact: DataFrame, floor: float) -> DataFrame:
+    """Fold an ANN result and the brute-force truth into the oracle-checkable
+    invariant: per-query exact top-k id list (DuckDB recomputes it exactly)
+    + a corpus-level recall>=floor flag (1 on both sides iff the ANN path
+    meets its contract)."""
+    exact_ids = exact.groupBy("query_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rnk", "neighbor_id"))),
+                lambda s: s["neighbor_id"].cast("string"),
+            ),
+            ",",
+        ).alias("exact_topk")
+    )
+    hits = ann.join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    ).agg(F.count(F.lit(1)).alias("__n_hits"))
+    tot = exact.agg(F.count(F.lit(1)).alias("__n_exact"))
+    return (
+        exact_ids.crossJoin(hits)
+        .crossJoin(tot)
+        .select(
+            "query_id",
+            "exact_topk",
+            (F.col("__n_hits") >= floor * F.col("__n_exact")).cast("long").alias(
+                "corpus_recall_ok"
+            ),
+        )
+    )
+
+
 @query(
-    "x10_lsh_ann_topk",
-    oracle=None,  # approximate (bucketed) — recall checked in tests instead
+    "x10_lsh_ann_recall",
+    oracle=_ANN_EXACT_TOPK_ORACLE,
     survey_rows=("EXT-similarity",),
-    doc="LSH-bucketed approximate NN: random-hyperplane sign sketch, "
-    "bucket-equi-join + exact re-rank. tests/test_similarity.py checks "
-    "recall against the brute-force baseline.",
+    doc="LSH-bucketed approximate NN (random-hyperplane sign sketch, "
+    "bucket-equi-join + exact re-rank; dim passed explicitly -> single "
+    "job, no probe). Invariant oracle: DuckDB recomputes the exact "
+    "brute-force top-5 per query (must match Spark's bit-for-bit) and the "
+    "row carries corpus recall >= 0.7 (observed 0.825/0.925 at "
+    "sf0.01/sf0.1). Raw ANN rows: operators/similarity.lsh_bucketed_topk.",
 )
-def x10_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x10_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    return similarity.lsh_bucketed_topk(emb, q, k=5)
+    # dim=64 is the embeddings-table contract (TESTDATA.md); parameterize per corpus
+    ann = similarity.lsh_bucketed_topk(emb, q, k=5, dim=64)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    return _ann_recall_check(ann, exact, floor=0.7)
 
 
 @query(
     "x11_multimodal_features",
-    oracle=None,  # mapInPandas + crc32 decode stub -> rows-only
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 54 + (3 + doc_id % 7) * (((4 + doc_id % 13) * 3 + 3) // 4 * 4)
+                ELSE 44 + (100 + doc_id % 400) * 2 END AS BIGINT) AS n_bytes,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 13 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(3 + doc_id % 7 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(8000 AS BIGINT) END AS sample_rate,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(100 + doc_id % 400 AS BIGINT) END AS n_samples,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST((100 + doc_id % 400) * 1000 // 8000 AS BIGINT) END AS duration_ms
+    FROM documents
+    """,
     survey_rows=("EXT-multimodal",),
-    doc="Binary media column -> Arrow-batched mapInPandas feature extraction "
-    "(decode stubbed deterministically; plumbing real).",
+    doc="Binary media columns decoded END-TO-END with real stdlib codecs: "
+    "genuine BMP/WAV blobs are synthesized deterministically from doc_id "
+    "(operators/multimodal.synthesize_codec_media), then Arrow-batched "
+    "mapInPandas parses the actual binary headers back "
+    "(decode_bmp/decode_wav). The oracle predicts what the decoder must "
+    "recover from the generative formulas — so a header-parsing bug, a "
+    "stride/padding bug, or an Arrow byte-mangling bug all fail the hash.",
 )
 def x11_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
-    media = multimodal.synthesize_media(docs)
-    return multimodal.extract_features(media).select(
-        "media_id", "modality", "n_bytes", "content_hash"
-    )
+    media = multimodal.synthesize_codec_media(docs)
+    return multimodal.decode_media_metadata(media)
 
 
 @query(
@@ -326,17 +475,23 @@ def x13_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "x14_ivf_ann_topk",
-    oracle=None,  # approximate (cell-probed) — recall asserted in tests
+    "x14_ivf_ann_recall",
+    oracle=_ANN_EXACT_TOPK_ORACLE,
     survey_rows=("EXT-similarity",),
-    doc="IVF-style ANN: deterministic centroid cells, nprobe-cell probe, "
-    "exact re-rank. The scale path when LSH bucket skew hurts; recall vs "
-    "brute force asserted in tests/test_similarity.py.",
+    doc="IVF ANN with the FAISS-style fit/serve split: train_centroids runs "
+    "ONE bounded job (deterministic sample + driver-side spherical k-means, "
+    "amortized at index-build time), then the serve plan is single-job "
+    "(centroids broadcast as literals, cell equi-join probe, exact re-rank). "
+    "Invariant oracle as x10: DuckDB-exact brute-force top-5 per query + "
+    "corpus recall >= 0.6 flag. Raw ANN rows: operators/similarity.ivf_topk.",
 )
-def x14_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x14_ivf_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    return similarity.ivf_topk(emb, q, k=5)
+    cents = similarity.train_centroids(emb, num_centroids=16)
+    ann = similarity.ivf_topk(emb, q, k=5, centroids=cents)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    return _ann_recall_check(ann, exact, floor=0.6)
 
 
 @query(
@@ -392,15 +547,44 @@ def x15_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x16_simhash_neardup_pairs",
-    oracle=None,  # xxhash64-based fingerprints -> rows-only
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(1, 9), i ->
+               (strpos('0123456789abcdef', substring(md5(w), i, 1)) - 1)
+               * CAST(pow(16, 8 - i) AS BIGINT))) AS h
+      FROM toks
+    ), bits AS (
+      SELECT doc_id, t.b AS bit,
+             SUM(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed, range(0, 32) t(b)
+      GROUP BY doc_id, t.b
+    ), fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
     survey_rows=("EXT-dedup",),
-    doc="SimHash near-dup pairs (Hamming <= 3 over 32-bit fingerprints) via "
-    "pigeonhole chunk-banding: candidates from chunk equi-joins, bit_count "
-    "verification only on candidates.",
+    doc="SimHash near-dup pairs (Hamming <= 3 over 32-bit md5_hash32 "
+    "fingerprints) via pigeonhole chunk-banding: candidates from chunk "
+    "equi-joins, bit_count verification only on candidates. The banding is "
+    "complete for d < chunks, so the DuckDB oracle's exact all-pairs "
+    "Hamming filter over the same shared-hash fingerprints is equal — a "
+    "full correctness proof of the banded plan, not just a row count.",
 )
 def x16_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_neardup_pairs(docs)
+    pairs = dedup.simhash_neardup_pairs(docs, hash_fn=dedup.md5_hash32)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 @query(
@@ -466,16 +650,28 @@ def x18_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x19_stratified_sample",
-    oracle=None,  # sampling algorithms are engine-specific -> rows-only
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE (list_sum(list_transform(range(1, 9), i ->
+             (strpos('0123456789abcdef',
+                     substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+             * CAST(pow(16, 8 - i) AS BIGINT))) % 1000)
+          < CASE WHEN lang = 'en' THEN 300 ELSE 800 END
+    """,
     survey_rows=("EXT-sampling",),
-    doc="Deterministic stratified sampling (sampleBy on lang, fixed seed): "
-    "downsample over-represented languages for a balanced training mix. "
-    "Rows-only; determinism + per-stratum rates asserted in tests.",
+    doc="Deterministic hash-stratified sampling (keep iff "
+    "md5_hash32(doc_id) % 1000 < rate[lang]*1000): downsample "
+    "over-represented languages for a balanced training mix. Hash-based "
+    "membership is a pure function of the key — reproducible across runs, "
+    "engines, partitionings and retries (unlike RNG sampleBy), which is "
+    "why DuckDB derives the *identical* sample. Map-only, shuffle-free.",
 )
 def x19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_stratified_sample
+
     docs = load_table(spark, sf_dir, "documents")
     fractions = {"en": 0.3, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.8}
-    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+    return hash_stratified_sample(docs, "lang", fractions, "doc_id").select("doc_id", "lang")
 
 
 @query(

@@ -862,19 +862,47 @@ def q27_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q28_approx_sketch_aggregates",
-    oracle=None,  # sketch outputs are engine-specific -> rows-only
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT(DISTINCT l_orderkey) AS n_orders_exact,
+           CAST(CASE WHEN abs(approx_count_distinct(l_orderkey)
+                             - COUNT(DISTINCT l_orderkey))
+                          <= 0.05 * COUNT(DISTINCT l_orderkey)
+                THEN 1 ELSE 0 END AS BIGINT) AS hll_ok,
+           CAST(CASE WHEN abs(approx_quantile(l_extendedprice, 0.5)
+                             - median(l_extendedprice))
+                          <= 0.05 * median(l_extendedprice)
+                THEN 1 ELSE 0 END AS BIGINT) AS approx_median_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
     survey_rows=("A2", "A7", "SCALE-sketch"),
     doc="The documented 100 TB opt-ins (SURVEY §4.3): approx_count_distinct "
-    "(HLL) and percentile_approx replacing exact distinct/median. Rows-only: "
-    "sketch values are engine-specific; tests bound their error against the "
-    "exact forms.",
+    "(HLL) and percentile_approx replacing exact distinct/median. "
+    "Bounded-error oracle: sketch values are engine-specific, so each "
+    "engine checks ITS OWN sketch against its own exact aggregate "
+    "(|approx-exact| <= 5% relative) and emits the pass flag plus the "
+    "exact distinct count — every column hash-matches cross-engine while "
+    "still gating the sketch error contract.",
 )
 def q28_approx_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    exact_median = F.expr("percentile(l_extendedprice, 0.5)")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("n_orders_approx"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price_approx"),
         F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        (
+            F.abs(F.approx_count_distinct("l_orderkey", 0.02) - F.countDistinct("l_orderkey"))
+            <= 0.05 * F.countDistinct("l_orderkey")
+        )
+        .cast("long")
+        .alias("hll_ok"),
+        (
+            F.abs(F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)) - exact_median)
+            <= 0.05 * exact_median
+        )
+        .cast("long")
+        .alias("approx_median_ok"),
     )
 
 

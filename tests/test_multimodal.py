@@ -9,12 +9,64 @@ from airbnb_listings_data_pipelines_spark.sources.tpch import load_table
 from .conftest import SF_SMALL
 
 
-def test_media_plumbing_end_to_end(spark):
+def test_bmp_roundtrip_no_spark():
+    blob = multimodal.make_bmp(5, 3, lambda x, y: (x, y, x + y))
+    meta = multimodal.decode_bmp(blob)
+    assert meta == {"width": 5, "height": 3, "bpp": 24, "n_pixels": 15}
+    # 5*3=15 bytes/row padded to 16; 54 header + 3*16
+    assert len(blob) == 54 + 3 * 16
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"not a bitmap at all........................................")
+
+
+def test_wav_roundtrip_no_spark():
+    blob = multimodal.make_wav([0, 100, -100, 32767, -32768], sample_rate=16000)
+    meta = multimodal.decode_wav(blob)
+    assert meta["channels"] == 1
+    assert meta["sample_rate"] == 16000
+    assert meta["bits"] == 16
+    assert meta["n_samples"] == 5
+    assert meta["duration_ms"] == 5 * 1000 // 16000
+    assert len(blob) == 44 + 10
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFFxxxxNOPE" + b"\x00" * 40)
+
+
+def test_codec_media_decodes_end_to_end(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(30)
+    media = multimodal.synthesize_codec_media(docs)
+    meta = {r.media_id: r for r in multimodal.decode_media_metadata(media).collect()}
+    assert len(meta) == 30
+    for d, r in meta.items():
+        if d % 2 == 0:
+            w, h = 4 + d % 13, 3 + d % 7
+            assert (r.modality, r.width, r.height) == ("image", w, h)
+            assert r.n_bytes == 54 + h * ((w * 3 + 3) // 4 * 4)
+            assert r.sample_rate is None
+        else:
+            n = 100 + d % 400
+            assert (r.modality, r.sample_rate, r.n_samples) == ("audio", 8000, n)
+            assert r.n_bytes == 44 + 2 * n
+            assert r.duration_ms == n * 1000 // 8000
+            assert r.width is None
+
+
+def test_real_decoders_in_registry_extract_features(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(10)
+    media = multimodal.synthesize_codec_media(docs)
+    rows = multimodal.extract_features(media).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert len(r.features) == 8
+        if r.modality == "image":  # real decoder leads with width/height/bpp
+            assert r.features[2] == 24.0
+        else:  # sample_rate/n_samples/bits
+            assert r.features[0] == 8000.0 and r.features[2] == 16.0
+
+
+def test_opaque_bytes_plumbing_end_to_end(spark):
     docs = load_table(spark, SF_SMALL, "documents").limit(20)
-    media = multimodal.synthesize_media(docs, modality="image")
-    assert media.schema == multimodal.MEDIA_SCHEMA or set(media.columns) == {
-        f.name for f in multimodal.MEDIA_SCHEMA.fields
-    }
+    media = multimodal.synthesize_media(docs, modality="bytes")
     feats = multimodal.extract_features(media)
     rows = feats.collect()
     assert len(rows) == 20
@@ -22,13 +74,13 @@ def test_media_plumbing_end_to_end(spark):
     src = {r.doc_id: r.text for r in docs.collect()}
     for mid, r in by_id.items():
         assert r.n_bytes == len(src[mid].encode())
-        assert r.modality == "image"
+        assert r.modality == "bytes"
         assert len(r.features) == 8
 
 
 def test_feature_extraction_deterministic(spark):
     docs = load_table(spark, SF_SMALL, "documents").limit(5)
-    media = multimodal.synthesize_media(docs)
+    media = multimodal.synthesize_media(docs, modality="bytes")
     a = sorted((r.media_id, r.content_hash) for r in multimodal.extract_features(media).collect())
     b = sorted((r.media_id, r.content_hash) for r in multimodal.extract_features(media).collect())
     assert a == b
@@ -36,14 +88,22 @@ def test_feature_extraction_deterministic(spark):
 
 def test_unregistered_real_decoder_raises(spark):
     docs = load_table(spark, SF_SMALL, "documents").limit(1)
-    media = multimodal.synthesize_media(docs)
-    old = multimodal.DECODERS["image"]
-    multimodal.DECODERS["image"] = multimodal._unimplemented_decode
+    media = multimodal.synthesize_media(docs, modality="video")
+    old = multimodal.DECODERS["video"]
+    multimodal.DECODERS["video"] = multimodal._unimplemented_decode
     try:
-        with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        with pytest.raises(Exception, match="NotImplementedError|decoding this format"):
             multimodal.extract_features(media).collect()
     finally:
-        multimodal.DECODERS["image"] = old
+        multimodal.DECODERS["video"] = old
+
+
+def test_real_codec_rejects_garbage_bytes(spark):
+    # text bytes labeled 'image' hit the REAL BMP parser and must error
+    docs = load_table(spark, SF_SMALL, "documents").limit(1)
+    media = multimodal.synthesize_media(docs, modality="image")
+    with pytest.raises(Exception, match="ValueError|not a BMP"):
+        multimodal.extract_features(media).collect()
 
 
 def test_frame_sampling_one_to_many(spark):
