@@ -186,23 +186,27 @@ def x05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x06_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    lsh = dedup.minhash_lsh_pairs(docs, verify_threshold=0.8).select("id_a", "id_b")
-    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
-    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
-    n_found = lsh.join(truth, ["id_a", "id_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("__n_found")
+    lsh = dedup.minhash_lsh_pairs(docs, verify_threshold=0.8).select(
+        "id_a", "id_b", F.lit(1).alias("__l")
     )
-    n_viol = lsh.join(truth, ["id_a", "id_b"], "left_anti").agg(
-        F.count(F.lit(1)).alias("n_precision_violations")
+    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.8).select(
+        "id_a", "id_b", F.lit(1).alias("__t")
     )
-    return (
-        n_true.crossJoin(n_found)
-        .crossJoin(n_viol)
-        .select(
-            "n_true_pairs",
-            "n_precision_violations",
-            (F.col("__n_found") >= 0.7 * F.col("n_true_pairs")).cast("long").alias("recall_ok"),
-        )
+    # one full-outer join + one 1-row aggregate: each side's (expensive)
+    # pair lineage is evaluated exactly once — no per-metric crossJoins
+    j = truth.join(lsh, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.count("__t").alias("n_true_pairs"),
+        F.sum(F.when(F.col("__l").isNotNull() & F.col("__t").isNull(), 1).otherwise(0)).alias(
+            "n_precision_violations"
+        ),
+        F.sum(F.when(F.col("__l").isNotNull() & F.col("__t").isNotNull(), 1).otherwise(0)).alias(
+            "__n_found"
+        ),
+    ).select(
+        "n_true_pairs",
+        "n_precision_violations",
+        (F.col("__n_found") >= 0.7 * F.col("n_true_pairs")).cast("long").alias("recall_ok"),
     )
 
 
@@ -327,30 +331,36 @@ def _ann_recall_check(ann: DataFrame, exact: DataFrame, floor: float) -> DataFra
     """Fold an ANN result and the brute-force truth into the oracle-checkable
     invariant: per-query exact top-k id list (DuckDB recomputes it exactly)
     + a corpus-level recall>=floor flag (1 on both sides iff the ANN path
-    meets its contract)."""
-    exact_ids = exact.groupBy("query_id").agg(
+    meets its contract).
+
+    Single pass over each input: truth LEFT-joins the ANN hits, one groupBy
+    builds the id list and hit counts, and the corpus totals come from an
+    empty-partition window over the per-query rows (8 rows) — no 1-row
+    crossJoins, which would re-evaluate the exact/ANN lineage per branch.
+    """
+    j = exact.select("query_id", "rnk", "neighbor_id").join(
+        ann.select("query_id", "neighbor_id", F.lit(1).alias("__hit")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    per_q = j.groupBy("query_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("rnk", "neighbor_id"))),
                 lambda s: s["neighbor_id"].cast("string"),
             ),
             ",",
-        ).alias("exact_topk")
+        ).alias("exact_topk"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__hits"),
+        F.count(F.lit(1)).alias("__n"),
     )
-    hits = ann.join(
-        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
-    ).agg(F.count(F.lit(1)).alias("__n_hits"))
-    tot = exact.agg(F.count(F.lit(1)).alias("__n_exact"))
-    return (
-        exact_ids.crossJoin(hits)
-        .crossJoin(tot)
-        .select(
-            "query_id",
-            "exact_topk",
-            (F.col("__n_hits") >= floor * F.col("__n_exact")).cast("long").alias(
-                "corpus_recall_ok"
-            ),
-        )
+    w = Window.partitionBy()
+    return per_q.select(
+        "query_id",
+        "exact_topk",
+        (F.sum("__hits").over(w) >= floor * F.sum("__n").over(w))
+        .cast("long")
+        .alias("corpus_recall_ok"),
     )
 
 

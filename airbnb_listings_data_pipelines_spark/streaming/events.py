@@ -58,20 +58,57 @@ def event_stream(
     )
 
 
+# Per-window distinct-key count above which exact COUNT(DISTINCT) stops
+# being the sane default: the distinct shuffle re-keys every event on
+# (window, type, user) and its state grows with the keyspace — the 10x
+# scaling probe measured 4.0x time at 10x data for exact vs ~1.2x for the
+# HLL sketch (SCALING.md). Below the threshold exact is cheap and, well,
+# exact.
+DISTINCT_STATE_THRESHOLD = 100_000
+
+
 def tumbling_aggregate(
     events: DataFrame,
     window: str = "1 hour",
     watermark: str | None = "2 hours",
-    exact_distinct: bool = False,
+    exact_distinct: bool | None = None,
+    distinct: str = "auto",
+    expected_distinct_per_window: int | None = None,
 ) -> DataFrame:
     """Tumbling-window per-type aggregate; identical for batch and stream.
 
-    ``exact_distinct`` is only valid in batch (streaming state can't hold
-    exact distinct sets); streaming uses the mergeable HLL sketch.
+    ``distinct`` picks the COUNT(DISTINCT user_id) strategy:
+
+    - ``'exact'``  — true distinct (batch only: exact distinct state is
+      neither mergeable nor evictable under a watermark).
+    - ``'approx'`` — HLL sketch (mergeable, bounded state; ~2% error).
+    - ``'auto'``   — exact only when the frame is batch AND the caller's
+      cardinality hint ``expected_distinct_per_window`` is at most
+      ``DISTINCT_STATE_THRESHOLD``; approx otherwise (including when no
+      hint is given, so batch and streaming runs of the same pipeline
+      produce comparable columns by default).
+
+    ``exact_distinct`` (bool) is the legacy spelling of distinct=
+    'exact'/'approx'. tests/test_streaming.py asserts the two paths agree
+    within HLL error and that the hint flips the plan.
     """
+    if exact_distinct is not None:
+        distinct = "exact" if exact_distinct else "approx"
+    if distinct == "auto":
+        distinct = (
+            "exact"
+            if (
+                not events.isStreaming
+                and expected_distinct_per_window is not None
+                and expected_distinct_per_window <= DISTINCT_STATE_THRESHOLD
+            )
+            else "approx"
+        )
+    if distinct == "exact" and events.isStreaming:
+        raise ValueError("exact distinct is not available on a streaming frame (unbounded state)")
     src = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
     distinct_users = (
-        F.countDistinct("user_id") if exact_distinct else F.approx_count_distinct("user_id")
+        F.countDistinct("user_id") if distinct == "exact" else F.approx_count_distinct("user_id")
     )
     return (
         src.groupBy(F.window("ts", window).alias("w"), "event_type")

@@ -1,9 +1,17 @@
-"""Headline benchmark — driver contract.
+"""Benchmark — driver contract.
 
-Runs a representative slice of the query registry at
-``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
-``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+Runs the query registry at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": headline_total_sec, "unit": "sec",
+"queries": {...}, "sf": ...}``.
+
+``value`` stays the round-1-comparable total over the 12 HEADLINE queries;
+``queries`` carries per-query min-of-2 timings for EVERY registry query so
+per-query deltas can be computed round over round — except the entries in
+``EXCLUDED``, which are quadratic-by-design exact verification baselines
+(all-pairs / inverted-index truth sets) that exist to verify the bucketed
+scale paths at sf0.01 and are not meant to run at sf0.1+; they are listed
+in the output with reasons rather than silently dropped.
 
 Execution is forced with the noop sink (full pipeline runs, no driver-side
 collect cost). Session startup is excluded; one warm-up query primes the JVM.
@@ -40,6 +48,20 @@ HEADLINE = [
 ]
 
 
+# Exact verification baselines whose cost is quadratic BY DESIGN — they
+# exist to prove the bucketed scale paths correct at sf0.01 (the driver's
+# correctness gate) and must never be the production plan. At sf0.1 the
+# inverted-index Jaccard truth set alone explodes past 10 min.
+EXCLUDED = {
+    "x05_ngram_jaccard_pairs": "inverted-index exact Jaccard truth set — "
+    "quadratic per shared-shingle bucket; scale path is x06 (MinHash+LSH)",
+    "x06_minhash_lsh_recall": "recomputes the x05 truth set for the recall "
+    "invariant; production path is operators/dedup.minhash_lsh_pairs (bucketed)",
+    "x13_embedding_neardup_pairs": "exact all-pairs cosine baseline (~60 s "
+    "at sf0.1); scale paths are x10 (LSH) / x14 (IVF)",
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -52,7 +74,8 @@ def main() -> None:
     reg["q21_global_topk"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    names = list(HEADLINE) + [n for n in reg if n not in HEADLINE and n not in EXCLUDED]
+    for name in names:
         best = float("inf")
         for _ in range(2):  # first run pays whole-stage-codegen compilation
             t0 = time.perf_counter()
@@ -60,7 +83,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings[n] for n in HEADLINE), 4)
     print(
         json.dumps(
             {
@@ -68,6 +91,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "all_queries_total": round(sum(timings.values()), 4),
+                "excluded": EXCLUDED,
                 "sf": sf,
             }
         )

@@ -48,6 +48,37 @@ def test_batch_exact_distinct_option(spark):
     assert exact.filter(F.col("n_events") < 1).count() == 0
 
 
+def test_distinct_switch_exact_approx_agree_within_hll_error(spark):
+    """The exact<->approx switch contract: both paths agree within HLL error
+    on every window, and the cardinality hint flips the plan."""
+    ev = load_table(spark, SF_SMALL, "events")
+    key = ["window_start", "event_type"]
+    e = tumbling_aggregate(ev, distinct="exact").toPandas().sort_values(key)
+    a = tumbling_aggregate(ev, distinct="approx").toPandas().sort_values(key)
+    assert len(e) == len(a) > 0
+    rel = abs(e["n_users_approx"].values - a["n_users_approx"].values) / e[
+        "n_users_approx"
+    ].values.clip(min=1)
+    assert rel.max() <= 0.05, f"HLL error above 5%: {rel.max()}"
+
+    # auto: small-cardinality hint on batch -> exact plan; big hint -> HLL
+    small = tumbling_aggregate(ev, expected_distinct_per_window=100)
+    big = tumbling_aggregate(ev, expected_distinct_per_window=10_000_000)
+    assert "approx_count_distinct" not in small._jdf.queryExecution().analyzed().toString()
+    assert "approx_count_distinct" in big._jdf.queryExecution().analyzed().toString()
+
+    # streaming frames can never take the exact path
+    from airbnb_listings_data_pipelines_spark.streaming.events import event_stream
+
+    stream = event_stream(spark, SF_SMALL)
+    auto = tumbling_aggregate(stream, expected_distinct_per_window=100)
+    assert "approx_count_distinct" in auto._jdf.queryExecution().analyzed().toString()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exact distinct"):
+        tumbling_aggregate(stream, distinct="exact")
+
+
 def test_sliding_window_stream_matches_batch(spark):
     """Sliding windows (1h every 30m — each event lands in 2 windows) agree
     between batch and an incremental streaming run."""
