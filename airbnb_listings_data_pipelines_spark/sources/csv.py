@@ -28,25 +28,34 @@ def read_positional_csv(
     glob: str | None = None,
     with_filename: bool = True,
     null_tokens: tuple[str, ...] = NULL_TOKENS,
+    n_cols: int | None = None,
 ) -> DataFrame:
     """Read CSV files as positional columns ``c1..cN`` (header skipped),
     every field a nullable string, multi-token NULLs applied, plus a
     ``filename`` column (basename, as SPLIT_PART(metadata$filename,'/',-1)
-    — workfile_design_data_warehouse.sql:263)."""
+    — workfile_design_data_warehouse.sql:263).
+
+    Pass ``n_cols`` when the caller knows the column count (the reference's
+    external tables are fixed-width positional — design.sql:101-128): the
+    read then carries an explicit all-string schema and Spark schedules NO
+    header-discovery job at plan time. Omitting it keeps the
+    self-describing path (one header-peek job per source).
+    """
     reader = spark.read.options(header=True, quote='"', escape='"', mode="PERMISSIVE")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
+    if n_cols is not None:
+        # positional names directly; header=True still skips the first line
+        reader = reader.schema(" ".join(f"c{i + 1} string," for i in range(n_cols)).rstrip(","))
     df = reader.csv(path)
-    cols = [
-        F.when(F.col(f"`{c}`").isin(*null_tokens), F.lit(None))
-        .otherwise(F.col(f"`{c}`"))
-        .cast("string")
-        .alias(f"c{i + 1}")
-        for i, c in enumerate(df.columns)
-    ]
+    # bulk rename + bulk NULL-token replace: one driver call each instead of
+    # a per-column when(isin(...)) chain (74 columns x py4j round-trips cost
+    # ~2 s of plan-construction latency per source before any job ran)
+    df = df.toDF(*[f"c{i + 1}" for i in range(len(df.columns))])
+    df = df.na.replace(list(null_tokens), None)
     if with_filename:
-        cols.append(split_part(F.input_file_name(), "/", -1).alias("filename"))
-    return df.select(*cols)
+        df = df.withColumn("filename", split_part(F.input_file_name(), "/", -1))
+    return df
 
 
 def peek_header(spark: SparkSession, path: str, glob: str | None = None) -> list[str]:

@@ -1,0 +1,76 @@
+"""End-to-end reproduction of a PUBLISHED reference constant.
+
+The reference's report (BASELINE.md: `report p6` Table 1) publishes
+"best LGA revenue per active listing = $7,213.16 (Mosman)". The original
+CSVs are private, so round 1 could only shape-test ad-hoc a. This fixture
+closes that caveat: 25 active Mosman listings whose integer revenues
+(30 - availability_30) * price sum to 180,329 — avg 180329/25 = 7213.16
+EXACTLY — flow through the full ELT (CSV -> staging -> fact -> ad-hoc a)
+and must surface the published constant to the cent, through the same
+decimal(10,2) rounding the reference's Snowflake SQL applies.
+"""
+
+from __future__ import annotations
+
+import csv
+from decimal import Decimal
+
+import pytest
+
+from airbnb_listings_data_pipelines_spark.plans.adhoc import query_a_best_worst_demographics
+from airbnb_listings_data_pipelines_spark.plans.pipeline import run_pipeline
+
+from .fixtures import HEADER, listing_row, write_fixtures
+
+
+@pytest.fixture(scope="module")
+def golden_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("golden")
+    write_fixtures(root)  # census + LGA + SSC (listing files replaced below)
+    for f in root.glob("*_listings.csv"):
+        f.unlink()
+    rows = []
+    # 24 rows of revenue (30-29)*7213 = 7213 plus one of (30-23)*1031 = 7217:
+    # sum = 24*7213 + 7217 = 180,329; avg over 25 = 7,213.16 exactly
+    for i in range(24):
+        rows.append(
+            listing_row(
+                c1=f"M{i}", c4=f"2020-05-{(i % 27) + 1:02d}", c9=str(200 + i),
+                c27="Mosman, Sydney", c28="Mosman", c40="$7213.00", c51="29",
+                c50="t", c22="1",
+            )
+        )
+    rows.append(
+        listing_row(
+            c1="M24", c4="2020-05-28", c9="224", c27="Mosman, Sydney",
+            c28="Mosman", c40="$1031.00", c51="23", c50="t", c22="1",
+        )
+    )
+    # a second LGA (WAVERLEY via Bondi) with low revenue -> Mosman is rank 1
+    for i in range(2):
+        rows.append(
+            listing_row(
+                c1=f"B{i}", c4=f"2020-05-{i + 1:02d}", c9=str(300 + i),
+                c27="Bondi, Sydney", c28="Bondi", c40="$100.00", c51="20",
+                c50="t", c22="1",
+            )
+        )
+    with open(root / "05_2020_listings.csv", "w", newline="") as fh:
+        w = csv.writer(fh, quoting=csv.QUOTE_MINIMAL)
+        w.writerow(HEADER)
+        w.writerows(rows)
+    return str(root)
+
+
+def test_adhoc_a_reproduces_published_mosman_constant(spark, golden_dir):
+    res = run_pipeline(spark, golden_dir, register_views=False)
+    out = query_a_best_worst_demographics(res.fact_listing, res.dim_census).collect()
+    assert len(out) == 2  # best + worst rows
+    best = out[0]
+    assert best.neighbourhood_lga == "MOSMAN"
+    assert best.estimated_revenue_per_active_listings == Decimal("7213.16")
+    # census demographics joined for the published row (report p6 Table 1 shape)
+    assert best.tot_p_p is not None and best.median_age_persons is not None
+    worst = out[1]
+    assert worst.neighbourhood_lga == "WAVERLEY"
+    assert worst.estimated_revenue_per_active_listings == Decimal("1000.00")
