@@ -33,6 +33,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # then the 8 that were `no_oracle` in round 1 and now carry exact oracles;
 # the remainder (all driver-green in round 1) follow in registry order.
 _CHECK_FIRST = [
+    # round-2 additions (never driver-checked)
+    "q48_asof_join_last_click",
+    "q49_range_join_click_counts",
+    "q50_funnel_view_click_purchase",
+    "x22_dedup_components",
+    "x23_tfidf_top_terms",
     "q32_rollup_hierarchy",
     "q34_intersect_except",
     "q35_pivot_status_by_priority",

@@ -555,10 +555,11 @@ def x15_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_documents(docs)
 
 
-@query(
-    "x16_simhash_neardup_pairs",
-    oracle="""
-    WITH toks AS (
+# DuckDB CTE chain recomputing the md5_hash32 SimHash fingerprint per doc
+# (the exact twin of operators/dedup.simhash(hash_fn=md5_hash32)) — shared
+# by the x16 pair oracle and the x22 component oracle.
+_SIMHASH_FP_CTE = """
+    toks AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
       FROM documents
     ), hashed AS (
@@ -578,6 +579,14 @@ def x15_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id
     )
+"""
+
+
+@query(
+    "x16_simhash_neardup_pairs",
+    oracle="WITH "
+    + _SIMHASH_FP_CTE
+    + """
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -595,6 +604,93 @@ def x16_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.simhash_neardup_pairs(docs, hash_fn=dedup.md5_hash32)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@query(
+    "x22_dedup_components",
+    oracle="WITH RECURSIVE "
+    + _SIMHASH_FP_CTE
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach(u, x) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.x
+    )
+    SELECT u AS doc_id, CAST(MIN(x) AS BIGINT) AS component
+    FROM reach GROUP BY u
+    """,
+    survey_rows=("EXT-dedup", "EXT-graph"),
+    doc="Near-dup CLUSTERS: connected components over the SimHash pair "
+    "graph (operators/graph.connected_components — iterative min-label "
+    "propagation, one edge-join + one min-agg per round, rounds = cluster "
+    "diameter). The dedup collapse step: keep min doc_id per component. "
+    "Oracle: DuckDB recursive-CTE transitive closure over the SAME "
+    "shared-hash pair set — an exact cross-engine check of an iterative "
+    "distributed algorithm.",
+)
+def x22_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_neardup_pairs(docs, hash_fn=dedup.md5_hash32)
+    cc = connected_components(pairs.select("id_a", "id_b"), max_iterations=30)
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+@query(
+    "x23_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), scored AS (
+      SELECT t.doc_id, t.tok, t.tf, d.df,
+             (t.tf * 1000000) // d.df AS score
+      FROM tf t JOIN df d USING (tok)
+    )
+    SELECT doc_id, tok, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, tok) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    survey_rows=("EXT-text", "A8", "W1"),
+    doc="TF-IDF-style top-3 terms per document with an INTEGER score "
+    "(tf * 1e6 div df): float log() differs in final ulps across engines, "
+    "integer division doesn't, so ranking and hash stay cross-engine "
+    "exact. Two hash aggregations (tf, then df) + a broadcast-sized term "
+    "join + WindowGroupLimit top-3.",
+)
+def x23_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "tok").select(
+        "doc_id", "tok", "tf", "df", F.expr("tf * CAST(1000000 AS BIGINT) div df").alias("score")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tf", "df", "score", F.col("rnk").cast("long").alias("rnk"))
+    )
 
 
 @query(

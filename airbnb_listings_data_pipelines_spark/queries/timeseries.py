@@ -1,0 +1,191 @@
+"""Time-series join/pattern queries over the events table — operators the
+reference class of warehouse lacks as built-ins (as-of join, range join,
+funnel), composed Spark-first (see operators/timeseries.py for the scale
+rationale of each physical shape).
+
+All timestamps are bucketed to epoch seconds before joining: Spark reads
+the nanosecond parquet at µs while DuckDB keeps ns, so second-floor is the
+shared granularity (registry hash-stability rule 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.timeseries import as_of_join, range_join_binned
+from ..sources.tpch import load_table
+from .registry import query
+
+
+def _events_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+
+
+@query(
+    "q48_asof_join_last_click",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ), clicks AS (
+      SELECT user_id, sec, event_id FROM ev WHERE event_type = 'click'
+    ), purch AS (
+      SELECT event_id AS purchase_id, user_id, sec AS psec
+      FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT purchase_id, p.user_id AS user_id, psec,
+           c.event_id AS asof_click_id, c.sec AS asof_click_sec
+    FROM purch p LEFT JOIN clicks c
+      ON c.user_id = p.user_id AND c.sec <= p.psec
+    QUALIFY row_number() OVER (PARTITION BY purchase_id
+                               ORDER BY c.sec DESC, c.event_id DESC) = 1
+    """,
+    survey_rows=("EXT-asof", "W5", "J5"),
+    doc="As-of join: each purchase picks the user's most recent click "
+    "at-or-before it (ties by event_id). Spark plan is union + carried "
+    "last(ignorenulls) window — ONE key shuffle, no inequality join "
+    "(operators/timeseries.as_of_join); the oracle is the quadratic "
+    "theta-join + QUALIFY formulation, so the hash match proves the "
+    "single-shuffle plan equals the naive semantics row-for-row.",
+)
+def q48_asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_sec(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("sec").alias("csec"),
+        "event_id",
+        F.col("event_id").alias("click_id"),
+        F.col("sec").alias("click_sec"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("sec").alias("psec"),
+        "event_id",
+    )
+    out = as_of_join(
+        purch,
+        clicks,
+        key="user_id",
+        left_ts="psec",
+        right_ts="csec",
+        payload_cols=["click_id", "click_sec"],
+        seq_col="event_id",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "psec",
+        F.col("asof_click_id").alias("asof_click_id"),
+        F.col("asof_click_sec").alias("asof_click_sec"),
+    )
+
+
+@query(
+    "q49_range_join_click_counts",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ), clicks AS (
+      SELECT user_id, sec FROM ev WHERE event_type = 'click'
+    ), purch AS (
+      SELECT event_id AS purchase_id, user_id, sec AS psec
+      FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id AS user_id, p.psec,
+           CAST(COALESCE(SUM(CASE WHEN c.sec IS NOT NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_clicks_5min
+    FROM purch p LEFT JOIN clicks c
+      ON c.user_id = p.user_id AND c.sec >= p.psec - 300 AND c.sec <= p.psec
+    GROUP BY p.purchase_id, p.user_id, p.psec
+    """,
+    survey_rows=("EXT-rangejoin", "J5", "A1"),
+    doc="Range join: clicks within the 5 minutes before each purchase, "
+    "counted per purchase. Spark executes it as a BINNED equi-join "
+    "(operators/timeseries.range_join_binned: right rows exploded into "
+    "covering 300s bins, equi-join on (user, bin), exact predicate on "
+    "candidates) — a shuffle join instead of the nested-loop inequality "
+    "join; the oracle is the plain inequality join, proving equivalence.",
+)
+def q49_range_join_click_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_sec(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "sec")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("sec").alias("psec")
+    )
+    pairs = range_join_binned(
+        purch, clicks, key="user_id", left_ts="psec", right_ts="sec", lower=-300, upper=0
+    )
+    counts = pairs.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        purch.join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            "psec",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_clicks_5min"),
+        )
+    )
+
+
+@query(
+    "q50_funnel_view_click_purchase",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ), s1 AS (
+      SELECT user_id, MIN(sec) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(sec) AS t2
+      FROM ev e JOIN s1 USING (user_id)
+      WHERE event_type = 'click' AND sec >= t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(sec) AS t3
+      FROM ev e JOIN s2 USING (user_id)
+      WHERE event_type = 'purchase' AND sec >= t2 GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+           (SELECT COUNT(*) FROM s2) AS n_view_then_click,
+           (SELECT COUNT(*) FROM s3) AS n_full_funnel
+    """,
+    survey_rows=("EXT-funnel", "A3", "J5"),
+    doc="Ordered funnel view -> click -> purchase: stage N counts users "
+    "whose earliest stage-N event follows their stage-(N-1) entry time. "
+    "Three staged min-aggregates with broadcast joins back to the events — "
+    "each stage is one shuffle on user_id; no per-user sequence "
+    "materialization.",
+)
+def q50_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_sec(spark, sf_dir).select("user_id", "event_type", "sec")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .filter(F.col("sec") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(F.col("sec") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_then_click")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )

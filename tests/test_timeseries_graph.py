@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airbnb_listings_data_pipelines_spark.operators.graph import connected_components
+from airbnb_listings_data_pipelines_spark.operators.timeseries import (
+    as_of_join,
+    range_join_binned,
+)
+
+
+def test_as_of_join_semantics(spark):
+    # user 1: clicks at 10, 20 (two at 20: seq 5 and 6); purchases at 5, 20, 30
+    clicks = spark.createDataFrame(
+        [(1, 10, 3), (1, 20, 5), (1, 20, 6), (2, 100, 7)],
+        ["user_id", "csec", "event_id"],
+    ).select("*", F.col("event_id").alias("cid"), F.col("csec").alias("click_sec"))
+    purch = spark.createDataFrame(
+        [(1, 5, 100), (1, 20, 101), (1, 30, 102), (3, 50, 103)],
+        ["user_id", "psec", "event_id"],
+    ).select(F.col("event_id").alias("pid"), "user_id", "psec", "event_id")
+    out = {
+        r.pid: (r.asof_cid, r.asof_click_sec)
+        for r in as_of_join(
+            purch, clicks, "user_id", "psec", "csec", ["cid", "click_sec"], "event_id"
+        ).collect()
+    }
+    assert out[100] == (None, None)        # no click at-or-before 5
+    assert out[101] == (6, 20)             # same-second click visible, max seq wins
+    assert out[102] == (6, 20)             # carried forward
+    assert out[103] == (None, None)        # user with no clicks at all
+
+
+def test_range_join_binned_equals_theta_join(spark):
+    import random
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(rng.randrange(5), rng.randrange(1000), i) for i in range(200)],
+        ["k", "lts", "lid"],
+    )
+    right = spark.createDataFrame(
+        [(rng.randrange(5), rng.randrange(1000), 1000 + i) for i in range(200)],
+        ["k", "rts", "rid"],
+    )
+    binned = {
+        (r.lid, r.rid)
+        for r in range_join_binned(left, right, "k", "lts", "rts", -50, 25).collect()
+    }
+    theta = {
+        (r.lid, r.rid)
+        for r in left.join(
+            right,
+            (left.k == right.k) & (right.rts >= left.lts - 50) & (right.rts <= left.lts + 25),
+        ).collect()
+    }
+    assert binned == theta and len(theta) > 0
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4-5 (diameter 4), pair 10-11, triangle 20-21-22
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 40-node path needs ~39 propagation rounds worst case for the naive
+    # schedule; min-label propagation from the head needs eccentricity(min)
+    n = 40
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["id_a", "id_b"])
+    got = {r.node: r.component for r in connected_components(edges, max_iterations=n + 1).collect()}
+    assert set(got.values()) == {0} and len(got) == n + 1
