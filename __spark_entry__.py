@@ -39,6 +39,8 @@ _CHECK_FIRST = [
     "q50_funnel_view_click_purchase",
     "x22_dedup_components",
     "x23_tfidf_top_terms",
+    "x24_hash_reservoir_per_lang",
+    "x25_quartile_feature_bins",
     "q32_rollup_hierarchy",
     "q34_intersect_except",
     "q35_pivot_status_by_priority",

@@ -694,6 +694,80 @@ def x23_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x24_hash_reservoir_per_lang",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, lang,
+             CAST(list_sum(list_transform(range(1, 9), i ->
+               (strpos('0123456789abcdef',
+                       substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+               * CAST(pow(16, 8 - i) AS BIGINT))) AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT doc_id, lang, h
+    FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+          FROM hashed)
+    WHERE rn <= 5
+    """,
+    survey_rows=("EXT-sampling", "W1"),
+    doc="Deterministic fixed-k 'reservoir' per stratum: the 5 docs with the "
+    "smallest md5_hash32(doc_id) per language. Hash-ordering makes the "
+    "sample a pure function of the keys (stable under reruns, engines, "
+    "partitioning, and INCREMENTAL growth — a new doc displaces at most "
+    "one row per stratum); executes as one shuffle + WindowGroupLimit.",
+)
+def x24_hash_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "lang", dedup.md5_hash32(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = W.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "lang", "h")
+    )
+
+
+@query(
+    "x25_quartile_feature_bins",
+    oracle="""
+    WITH binned AS (
+      SELECT lang, length(text) AS n_chars,
+             ntile(4) OVER (PARTITION BY lang
+                            ORDER BY length(text), doc_id) AS quartile
+      FROM documents
+    )
+    SELECT lang, CAST(quartile AS BIGINT) AS quartile,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM binned GROUP BY lang, quartile
+    """,
+    survey_rows=("EXT-binning", "W1", "A8"),
+    doc="Quantile feature binning: ntile(4) buckets of document length per "
+    "language (total order via (n_chars, doc_id) tiebreak so bucket "
+    "boundaries are engine-independent), then per-bucket stats — the "
+    "discretization step of a feature pipeline, one shuffle + window + agg.",
+)
+def x25_quartile_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.length("text"), "doc_id")
+    binned = docs.select(
+        "lang", F.length("text").alias("n_chars"), F.ntile(4).over(w).alias("quartile")
+    )
+    return binned.groupBy("lang", F.col("quartile").cast("long").alias("quartile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+@query(
     "x17_collect_per_source",
     oracle="""
     SELECT source,

@@ -57,6 +57,21 @@ def test_range_join_binned_equals_theta_join(spark):
     assert binned == theta and len(theta) > 0
 
 
+def test_asof_and_range_join_plans_stay_shuffle_joins(spark):
+    """The whole point of the two physical designs: neither plan may fall
+    back to a nested-loop/cartesian join (what a naive inequality join
+    compiles to)."""
+    from airbnb_listings_data_pipelines_spark.queries.registry import load_all
+
+    from .conftest import SF_SMALL
+
+    reg = load_all()
+    for name in ("q48_asof_join_last_click", "q49_range_join_click_counts"):
+        plan = reg[name].fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_connected_components_chain_and_islands(spark):
     # chain 1-2-3-4-5 (diameter 4), pair 10-11, triangle 20-21-22
     edges = spark.createDataFrame(
