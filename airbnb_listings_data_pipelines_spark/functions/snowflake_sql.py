@@ -148,7 +148,37 @@ def translate(sql: str) -> str:
     out = re.sub(r"\bDATE_FROM_PARTS\s*\(", "make_date(", out, flags=re.IGNORECASE)
     out = _strip_last_day_month(out)
     out = _expand_aliases_in_windows(out)
+    # Snowflake function surface beyond the reference's own statements — a
+    # user switching from that warehouse writes these daily. Pure renames
+    # first (call position only), then single-argument expansions with
+    # balanced-paren argument capture.
+    out = re.sub(r"\bIFF\s*\(", "if(", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bNVL\s*\(", "coalesce(", out, flags=re.IGNORECASE)
+    out = _expand_one_arg(out, "ZEROIFNULL", lambda a: f"coalesce({a}, 0)")
+    out = _expand_one_arg(out, "SQUARE", lambda a: f"power(({a}), 2)")
+    out = _expand_one_arg(out, "TO_VARCHAR", lambda a: f"cast({a} AS STRING)")
     return out
+
+
+def _expand_one_arg(sql: str, fn: str, build) -> str:
+    """Rewrite every ``fn(<arg>)`` call (single argument, parens balanced,
+    quotes respected) via ``build(arg_text)``."""
+    pat = re.compile(r"\b" + fn + r"\s*\(", re.IGNORECASE)
+    out = sql
+    while True:
+        m = pat.search(out)
+        if not m:
+            return out
+        depth_map = _depth_map(out)
+        start = m.end() - 1  # the '('
+        open_depth = depth_map[start]
+        end = next(
+            i
+            for i in range(start + 1, len(out))
+            if out[i] == ")" and depth_map[i] == open_depth
+        )
+        arg = out[m.end() : end]
+        out = out[: m.start()] + build(arg) + out[end + 1 :]
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:

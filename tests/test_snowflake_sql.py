@@ -111,3 +111,26 @@ def test_snowflake_functions_and_casts(spark):
 def test_translate_is_identity_without_dialect(spark):
     plain = "SELECT o_orderkey FROM orders WHERE o_orderkey < 5 ORDER BY o_orderkey"
     assert translate(plain) == plain
+
+
+def test_extended_function_surface(spark):
+    """Snowflake functions beyond the reference's own statements: IFF, NVL,
+    ZEROIFNULL, SQUARE, TO_VARCHAR — translated and executed."""
+    from airbnb_listings_data_pipelines_spark.functions.snowflake_sql import translate
+
+    sql = translate(
+        "SELECT IFF(1 < 2, 'y', 'n') AS a, NVL(NULL, 7) AS b, "
+        "ZEROIFNULL(NULL) AS c, ZEROIFNULL(3) AS d, "
+        "SQUARE(1 + 2) AS e, TO_VARCHAR(42) AS f"
+    )
+    row = spark.sql(sql).collect()[0]
+    assert (row.a, row.b, row.c, row.d) == ("y", 7, 0, 3)
+    assert row.e == 9.0
+    assert row.f == "42"
+
+
+def test_expand_one_arg_nested_parens_and_strings(spark):
+    from airbnb_listings_data_pipelines_spark.functions.snowflake_sql import translate
+
+    sql = translate("SELECT ZEROIFNULL(length(concat('a(', 'b)'))) AS n")
+    assert spark.sql(sql).collect()[0].n == 4
