@@ -41,6 +41,7 @@ _CHECK_FIRST = [
     "x23_tfidf_top_terms",
     "x24_hash_reservoir_per_lang",
     "x25_quartile_feature_bins",
+    "x26_incremental_dedup",
     "q32_rollup_hierarchy",
     "q34_intersect_except",
     "q35_pivot_status_by_priority",
