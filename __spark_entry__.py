@@ -42,6 +42,8 @@ _CHECK_FIRST = [
     "x24_hash_reservoir_per_lang",
     "x25_quartile_feature_bins",
     "x26_incremental_dedup",
+    "q51_unpivot_long_form",
+    "q52_percent_rank_cume_dist",
     "q32_rollup_hierarchy",
     "q34_intersect_except",
     "q35_pivot_status_by_priority",

@@ -1540,3 +1540,71 @@ def q47_date_arithmetic_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.dayofweek("o_orderdate").cast("long")).alias("sum_dow"),
         F.sum(F.dayofyear("o_orderdate").cast("long")).alias("sum_doy"),
     )
+
+
+@query(
+    "q51_unpivot_long_form",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+             COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+             COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'status_F' AS status, status_F AS n FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'status_O', status_O FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'status_P', status_P FROM wide
+    """,
+    survey_rows=("A-unpivot",),
+    doc="UNPIVOT (wide -> long), the inverse of q35's PIVOT: the DataFrame "
+    "unpivot API compiles to an Expand node (3 output rows per input, no "
+    "shuffle beyond the feeding aggregate).",
+)
+def q51_unpivot_long_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_F"),
+            F.coalesce("O", F.lit(0)).alias("status_O"),
+            F.coalesce("P", F.lit(0)).alias("status_P"),
+        )
+    )
+    return wide.unpivot(
+        "o_orderpriority", ["status_F", "status_O", "status_P"], "status", "n"
+    )
+
+
+@query(
+    "q52_percent_rank_cume_dist",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS pr,
+           cume_dist() OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey) AS cd
+    FROM customer
+    """,
+    survey_rows=("W-distribution",),
+    doc="Distribution window functions (percent_rank, cume_dist) per market "
+    "segment with a (acctbal, custkey) total order so rank denominators are "
+    "tie-free — small-integer ratios divide to identical doubles in both "
+    "engines.",
+)
+def q52_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
