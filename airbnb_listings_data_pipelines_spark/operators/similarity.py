@@ -295,6 +295,7 @@ def ivf_topk(
     nprobe: int = 4,
     dim: int | None = None,
     centroids: list[list[float]] | None = None,
+    assign: str = "arrow",
 ) -> DataFrame:
     """IVF-style approximate NN: partition the corpus into ``num_centroids``
     Voronoi cells, probe the ``nprobe`` nearest cells per query, exact
@@ -322,6 +323,57 @@ def ivf_topk(
         cent_rows = corpus.orderBy(id_col).limit(num_centroids).select(vec_col).collect()
         cents = [list(r[0]) for r in cent_rows]
     norms = [math.sqrt(sum(x * x for x in c)) for c in cents]
+
+    if assign == "arrow":
+        # cell assignment / probing as ONE numpy matmul per Arrow batch —
+        # same rationale as lsh_bucketed_topk's sketch='arrow': dense
+        # per-row linear algebra belongs in a vectorized pandas_udf, not a
+        # num_centroids-wide Catalyst expression tree
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import ArrayType, LongType
+
+        cmat = np.asarray(cents, dtype="float64")
+        cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+        n_probe = nprobe
+
+        def _cell_sims(vecs: pd.Series):
+            import numpy as _np
+
+            mat = _np.stack(vecs.to_numpy()).astype("float64")
+            mat = mat / _np.linalg.norm(mat, axis=1, keepdims=True)
+            return mat @ cmat.T  # (batch, num_centroids)
+
+        @pandas_udf(LongType())
+        def best_cell(vecs: pd.Series) -> pd.Series:
+            return pd.Series(_cell_sims(vecs).argmax(axis=1).astype("int64"))
+
+        @pandas_udf(ArrayType(LongType()))
+        def probe_cells(vecs: pd.Series) -> pd.Series:
+            sims = _cell_sims(vecs)
+            order = (-sims).argsort(axis=1, kind="stable")[:, :n_probe]
+            return pd.Series(list(order.astype("int64")))
+
+        assigned = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            best_cell(F.col(vec_col)).alias("cell"),
+        )
+        probed = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        )
+        scored = (
+            assigned.join(F.broadcast(probed), "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim")
+            )
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+        return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
     def cell_scores(vec: Column) -> Column:
         """array<struct<c: double, i: int>> of cosine-to-centroid, probe-sortable."""
