@@ -49,24 +49,42 @@ def kpi_view(fact: DataFrame, group_keys: list[str]) -> DataFrame:
         F.count(F.lit(1)).alias("total_listing"),
         F.countDistinct("host_id").alias("distinct_hosts"),
     )
+    # the active side splits COUNT(DISTINCT host_id) into its own aggregate
+    # joined back on the group keys: mixing a distinct aggregate with the
+    # exact percentile in one GROUP BY makes Spark plan an Expand (row
+    # duplication per aggregate class) and evaluate the percentile over the
+    # expanded input — the q28 lesson; results are identical, the join is
+    # over already-aggregated rows
+    active = fact.filter(F.col("has_availability") == "t")
+    a_nd = active.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("total_active_listings"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+        F.percentile("price", F.lit(0.5)).alias("med_price"),
+        dec(F.avg("price")).alias("avg_price"),
+        dec(F.avg("review_scores_rating"), 10, 0).alias("avg_review_scores_rating"),
+        dec(F.avg(_stays()), 10, 0).alias("avg_number_stays"),
+        F.sum(_stays()).alias("total_number_stays"),
+        dec(F.avg(_revenue())).alias("avg_estimated_revenue_per_active_listings"),
+        dec(F.sum(_revenue())).alias("total_estimated_revenue_active_listings"),
+        F.sum(_revenue()).alias("__sum_rev"),
+    )
+    a_d = active.groupBy(*keys).agg(F.countDistinct("host_id").alias("__active_hosts"))
+    # null-safe key equality: groups with NULL key values (the §2.10(1)
+    # quirk rows, e.g. NULL property_type) must survive the recombination
+    nd_, d_ = a_nd.alias("nd"), a_d.alias("d")
+    recombine_on = None
+    for k in keys:
+        e = F.col(f"nd.{k}").eqNullSafe(F.col(f"d.{k}"))
+        recombine_on = e if recombine_on is None else (recombine_on & e)
     a = (
-        fact.filter(F.col("has_availability") == "t")
-        .groupBy(*keys)
-        .agg(
-            F.count(F.lit(1)).alias("total_active_listings"),
-            F.min("price").alias("min_price"),
-            F.max("price").alias("max_price"),
-            F.percentile("price", F.lit(0.5)).alias("med_price"),
-            dec(F.avg("price")).alias("avg_price"),
-            dec(F.avg("review_scores_rating"), 10, 0).alias("avg_review_scores_rating"),
-            dec(F.avg(_stays()), 10, 0).alias("avg_number_stays"),
-            F.sum(_stays()).alias("total_number_stays"),
-            dec(F.avg(_revenue())).alias("avg_estimated_revenue_per_active_listings"),
-            dec(F.sum(_revenue())).alias("total_estimated_revenue_active_listings"),
-            dec(F.sum(_revenue()) / F.countDistinct("host_id")).alias(
-                "avg_estimated_revenue_per_active_listings_per_host"
-            ),
+        nd_.join(d_, recombine_on)
+        .select("nd.*", "d.__active_hosts")
+        .withColumn(
+            "avg_estimated_revenue_per_active_listings_per_host",
+            dec(F.col("__sum_rev") / F.col("__active_hosts")),
         )
+        .drop("__sum_rev", "__active_hosts")
         .withColumn(
             "original_total_active_listings",
             F.lag("total_active_listings").over(lag_w),
