@@ -3,9 +3,10 @@
 ``entry(spark)`` — flagship query smoke check at sf0.001.
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
 SURVEY.md §2 (+ the training-data-pipeline extensions), registered in
-``airbnb_listings_data_pipelines_spark.queries``. Queries without a SQL
-oracle (hash-based dedup/LSH, mapInPandas multimodal) omit the oracle entry
-and get the driver's rows-only check.
+``airbnb_listings_data_pipelines_spark.queries``. As of round 2 EVERY query
+carries an oracle: direct SQL twins, shared-md5-hash twins for hash-based
+ops, and invariant oracles (exact truth set + precision/recall/error
+flags) for approximate ops — see queries/extensions.py docstring.
 """
 
 from __future__ import annotations

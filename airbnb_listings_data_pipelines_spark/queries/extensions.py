@@ -1,10 +1,19 @@
 """Training-data-pipeline queries over documents/embeddings (BASELINE.json
 north star: dedup, similarity search, text analysis, multimodal).
 
-SQL-expressible ops carry a DuckDB oracle; hash-based ops (MinHash, SimHash,
-LSH) are rows-only — xxhash64 has no DuckDB twin. Where an oracle exists,
-both sides implement the identical algorithm (same shingling, same
-tie-breaks, integer/exact arithmetic wherever a reduction happens).
+EVERY query carries an exact DuckDB oracle (since round 2), via one of
+three patterns:
+
+- plain SQL twins where the op is directly expressible (same shingling,
+  same tie-breaks, integer/exact arithmetic wherever a reduction happens);
+- shared-hash twins for hash-based ops: both engines compute md5_hash32
+  (operators/dedup.md5_hash32 and its documented DuckDB fragment), so
+  SimHash fingerprints, pair sets, components, and hash samples are
+  bit-identical (the at-scale default stays xxhash64 via hash_fn);
+- invariant oracles for approximate ops (MinHash-LSH, LSH/IVF ANN): DuckDB
+  recomputes the EXACT truth set (Jaccard pairs / brute-force top-k),
+  which must match Spark's bit-for-bit, plus precision/recall-floor flags
+  derived from the approximate path.
 """
 
 from __future__ import annotations

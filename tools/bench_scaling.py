@@ -36,6 +36,12 @@ SUBSET = [
     "x01_dedup_exact",
     "x03_quality_scores",
     "x09_cosine_topk",
+    # round-2 operators
+    "q48_asof_join_last_click",
+    "q49_range_join_click_counts",
+    "x10_lsh_ann_recall",
+    "x22_dedup_components",
+    "x23_tfidf_top_terms",
 ]
 
 
