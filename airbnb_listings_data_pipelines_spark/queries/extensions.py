@@ -723,26 +723,39 @@ def x22_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TF-IDF-style top-3 terms per document with an INTEGER score "
     "(tf * 1e6 div df): float log() differs in final ulps across engines, "
     "integer division doesn't, so ranking and hash stay cross-engine "
-    "exact. Two hash aggregations (tf, then df) + a broadcast-sized term "
-    "join + WindowGroupLimit top-3.",
+    "exact. Tokenization, tf, and the per-document window all run over "
+    "UNIQUE texts (exact copies produce identical term rows, so they're "
+    "computed once and fanned back out by fingerprint); df stays the "
+    "per-DOCUMENT frequency by weighting each unique text with its copy "
+    "count — results identical to the naive per-doc form, cost invariant "
+    "under duplication.",
 )
 def x23_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(text.tokens(F.lower("text"))).alias("tok")
+    docs = load_table(spark, sf_dir, "documents").withColumn("__fp", F.xxhash64("text"))
+    rep = docs.groupBy("__fp").agg(
+        F.count(F.lit(1)).alias("__n_copies"), F.first("text").alias("text")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    toks = rep.select(
+        "__fp", "__n_copies", F.explode(text.tokens(F.lower("text"))).alias("tok")
+    )
+    tf = toks.groupBy("__fp", "tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("__n_copies").alias("__n_copies")
+    )
+    # document frequency: every copy of a text counts, so weight by copies
+    df = tf.groupBy("tok").agg(F.sum("__n_copies").alias("df"))
     scored = tf.join(df, "tok").select(
-        "doc_id", "tok", "tf", "df", F.expr("tf * CAST(1000000 AS BIGINT) div df").alias("score")
+        "__fp", "tok", "tf", "df", F.expr("tf * CAST(1000000 AS BIGINT) div df").alias("score")
     )
-    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
-    return (
+    w = W.partitionBy("__fp").orderBy(F.desc("score"), "tok")
+    top = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("doc_id", "tok", "tf", "df", "score", F.col("rnk").cast("long").alias("rnk"))
+        .select("__fp", "tok", "tf", "df", "score", F.col("rnk").cast("long").alias("rnk"))
+    )
+    return docs.select("doc_id", "__fp").join(top, "__fp").select(
+        "doc_id", "tok", "tf", "df", "score", "rnk"
     )
 
 
