@@ -174,9 +174,12 @@ def kpi_view_single_pass(fact: DataFrame, group_keys: list[str]) -> DataFrame:
     super_ = F.col("host_is_superhost") == "t"
     act = lambda c: F.when(active, c)  # noqa: E731
 
-    agg = fact.groupBy(*keys).agg(
+    # distinct aggregates live in their own GROUP BY, rejoined null-safely:
+    # three count_distincts + the exact percentile in one aggregate would
+    # plan a 4-way Expand and run the percentile over quadrupled input
+    # (the q28 lesson — "single pass" must not mean "single aggregate")
+    agg_nd = fact.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("total_listing"),
-        F.countDistinct("host_id").alias("distinct_hosts"),
         F.count(act(F.lit(1))).alias("total_active_listings"),
         F.min(act(F.col("price"))).alias("min_price"),
         F.max(act(F.col("price"))).alias("max_price"),
@@ -189,11 +192,27 @@ def kpi_view_single_pass(fact: DataFrame, group_keys: list[str]) -> DataFrame:
         F.sum(act(_stays())).alias("total_number_stays"),
         dec(F.avg(act(_revenue()))).alias("avg_estimated_revenue_per_active_listings"),
         dec(F.sum(act(_revenue()))).alias("total_estimated_revenue_active_listings"),
-        dec(
-            F.sum(act(_revenue())) / F.count_distinct(act(F.col("host_id")))
-        ).alias("avg_estimated_revenue_per_active_listings_per_host"),
-        F.count_distinct(F.when(super_, F.col("host_id"))).alias("super_distinct_hosts"),
+        F.sum(act(_revenue())).alias("__sum_rev"),
         F.count(F.when(inactive, 1)).alias("total_inactive_listings"),
+    )
+    agg_d = fact.groupBy(*keys).agg(
+        F.countDistinct("host_id").alias("distinct_hosts"),
+        F.count_distinct(act(F.col("host_id"))).alias("__active_hosts"),
+        F.count_distinct(F.when(super_, F.col("host_id"))).alias("super_distinct_hosts"),
+    )
+    nd_, d_ = agg_nd.alias("nd"), agg_d.alias("d")
+    rejoin_on = None
+    for k in keys:
+        e = F.col(f"nd.{k}").eqNullSafe(F.col(f"d.{k}"))
+        rejoin_on = e if rejoin_on is None else (rejoin_on & e)
+    agg = (
+        nd_.join(d_, rejoin_on)
+        .select("nd.*", "d.distinct_hosts", "d.__active_hosts", "d.super_distinct_hosts")
+        .withColumn(
+            "avg_estimated_revenue_per_active_listings_per_host",
+            dec(F.col("__sum_rev") / F.when(F.col("__active_hosts") != 0, F.col("__active_hosts"))),
+        )
+        .drop("__sum_rev", "__active_hosts")
     )
     nullif = lambda c: F.when(c != 0, c)  # noqa: E731  empty groups -> NULL like the join form
     agg = agg.withColumns(
