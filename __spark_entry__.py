@@ -45,6 +45,8 @@ _CHECK_FIRST = [
     "x26_incremental_dedup",
     "q51_unpivot_long_form",
     "q52_percent_rank_cume_dist",
+    "q53_new_vs_returning_users",
+    "x27_component_survivors",
     "q32_rollup_hierarchy",
     "q34_intersect_except",
     "q35_pivot_status_by_priority",

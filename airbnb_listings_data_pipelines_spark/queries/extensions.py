@@ -699,6 +699,93 @@ def x22_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x27_component_survivors",
+    oracle="""
+    WITH RECURSIVE rep AS (
+      SELECT MIN(doc_id) AS rep_id, text, COUNT(*) AS group_size
+      FROM documents GROUP BY text
+    ), toks AS (
+      SELECT rep_id AS doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM rep
+    ), hashed AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(1, 9), i ->
+               (strpos('0123456789abcdef', substring(md5(w), i, 1)) - 1)
+               * CAST(pow(16, 8 - i) AS BIGINT))) AS h
+      FROM toks
+    ), bits AS (
+      SELECT doc_id, t.b AS bit,
+             SUM(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed, range(0, 32) t(b)
+      GROUP BY doc_id, t.b
+    ), fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach(u, x) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.x
+    ), rep_comp AS (
+      SELECT u AS rep_id, MIN(x) AS component FROM reach GROUP BY u
+    ), members AS (
+      SELECT d.doc_id, d.n_chars,
+             CAST(COALESCE(rc.component, r.rep_id) AS BIGINT) AS component
+      FROM documents d
+      JOIN rep r ON d.text = r.text
+      LEFT JOIN rep_comp rc ON rc.rep_id = r.rep_id
+      WHERE rc.rep_id IS NOT NULL OR r.group_size >= 2
+    )
+    SELECT component,
+           CAST(n_members AS BIGINT) AS n_members,
+           survivor_doc_id,
+           CAST(survivor_n_chars AS BIGINT) AS survivor_n_chars
+    FROM (SELECT component, COUNT(*) OVER (PARTITION BY component) AS n_members,
+                 doc_id AS survivor_doc_id, n_chars AS survivor_n_chars,
+                 row_number() OVER (PARTITION BY component
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM members)
+    WHERE rn = 1
+    """,
+    survey_rows=("EXT-dedup", "EXT-graph", "W1"),
+    doc="The dedup COLLAPSE: one canonical survivor per near-dup component "
+    "(longest text wins, ties by lowest doc_id) plus the member count — "
+    "the final artifact a curation pipeline writes (survivors stay, "
+    "members map to them). Composed from x22's component labels + one "
+    "window; same recursive-closure oracle extended with the survivor "
+    "selection.",
+)
+def x27_component_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    comps = x22_dedup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = comps.join(docs, "doc_id")
+    w = W.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    wc = W.partitionBy("component")
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            "n_members",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("n_chars").cast("long").alias("survivor_n_chars"),
+        )
+    )
+
+
+@query(
     "x23_tfidf_top_terms",
     oracle="""
     WITH toks AS (

@@ -189,3 +189,44 @@ def q50_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_then_click")))
         .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_full_funnel")))
     )
+
+
+@query(
+    "q53_new_vs_returning_users",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day
+      FROM events
+    ), first_day AS (
+      SELECT user_id, MIN(day) AS d0 FROM ev GROUP BY user_id
+    ), daily AS (
+      SELECT DISTINCT user_id, day FROM ev
+    )
+    SELECT day,
+           CAST(SUM(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN day > d0 THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+    FROM daily JOIN first_day USING (user_id)
+    GROUP BY day
+    """,
+    survey_rows=("EXT-cohort", "A1", "J7"),
+    doc="Daily new-vs-returning user split: per-user first-seen day "
+    "(one aggregate) broadcast back onto the distinct (user, day) "
+    "activity — the cohort-entry primitive of retention analytics. Two "
+    "shuffles on user_id + one on day; no window over the raw stream.",
+)
+def q53_new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp(F.date_trunc("day", "ts")).alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    daily = ev.distinct()
+    return (
+        daily.join(F.broadcast(first_day), "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("d0"), 1).otherwise(0)).alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("d0"), 1).otherwise(0)).alias(
+                "returning_users"
+            ),
+        )
+    )
