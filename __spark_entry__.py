@@ -28,51 +28,43 @@ def entry(spark: SparkSession) -> DataFrame:
     return reg["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
-# The round-1 driver checked only the first 50 of 68 registry entries
-# (insertion order). Order the dict so the entries with the least driver
-# evidence come first: the 18 queries absent from CORRECTNESS_r01.json,
-# then the 8 that were `no_oracle` in round 1 and now carry exact oracles;
-# the remainder (all driver-green in round 1) follow in registry order.
+# The driver checks the first 50 registry entries per round. Round 2
+# verified the 50 newest/least-evidenced queries (all green in
+# CORRECTNESS_r02.json); the 30 below have driver evidence only from
+# round 1, so they lead the round-3 check window to refresh it. The
+# remainder (r2-green) follow in registry order and fill slots 31-50.
 _CHECK_FIRST = [
-    # round-2 additions (never driver-checked)
-    "q48_asof_join_last_click",
-    "q49_range_join_click_counts",
-    "q50_funnel_view_click_purchase",
-    "x22_dedup_components",
-    "x23_tfidf_top_terms",
-    "x24_hash_reservoir_per_lang",
-    "x25_quartile_feature_bins",
-    "x26_incremental_dedup",
-    "q51_unpivot_long_form",
-    "q52_percent_rank_cume_dist",
-    "q53_new_vs_returning_users",
-    "x27_component_survivors",
-    "q32_rollup_hierarchy",
-    "q34_intersect_except",
-    "q35_pivot_status_by_priority",
-    "q37_month_spine_gap_fill",
-    "q38_lateral_top2_per_customer",
-    "q39_snowflake_dialect_frontend",
-    "q40_moving_average_rows_frame",
-    "q41_trailing_range_frame",
-    "q42_quartiles_array",
-    "q43_null_safe_join",
-    "q44_string_function_breadth",
-    "q45_conditional_expression_breadth",
-    "q46_math_function_breadth",
-    "q47_date_arithmetic_breadth",
-    "q19_events_tumbling",
-    "q23_events_sessionize_gap",
-    "q33_events_daily_top_users",
-    "q36_json_extraction",
-    "x06_minhash_lsh_recall",
-    "x07_simhash",
-    "x10_lsh_ann_recall",
-    "x11_multimodal_features",
-    "x14_ivf_ann_recall",
-    "x16_simhash_neardup_pairs",
-    "x19_stratified_sample",
-    "q28_approx_sketch_aggregates",
+    # driver-checked last in round 1 — refresh first
+    "q01_pricing_summary",
+    "q02_filter_projection",
+    "q03_join_topk_revenue",
+    "q04_full_outer_subaggs",
+    "q05_left_join_distinct_dim",
+    "q06_scalar_subquery",
+    "q07_dedup_row_number",
+    "q08_rank_ties_per_group",
+    "q09_lag_mom_change",
+    "q10_windowed_share",
+    "q11_median_percentile",
+    "q12_count_distinct",
+    "q13_distinct_projection",
+    "q14_case_ladder",
+    "q15_string_functions",
+    "q16_date_functions",
+    "q17_union_by_name",
+    "q18_try_cast_price",
+    "q20_largest_share_owner",
+    "q21_global_topk",
+    "q22_conditional_rates",
+    "q24_file_lineage",
+    "q25_sql_view_catalog",
+    "q26_salted_skew_agg",
+    "q27_salted_count_distinct",
+    "q29_topk_join_rank_detail",
+    "q30_dedup_max_by",
+    "q31_semi_anti_joins",
+    "x20_scd2_version_history",
+    "x21_token_chunking",
 ]
 
 

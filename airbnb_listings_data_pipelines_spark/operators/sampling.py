@@ -21,6 +21,20 @@ def hash_sample_bucket(key: Column | str, buckets: int = 1000) -> Column:
     return md5_hash32(c.cast("string")) % buckets
 
 
+def hash_spread_sample(df: DataFrame, key_col: str, n: int) -> DataFrame:
+    """Deterministic n-row sample spread uniformly across the keyspace:
+    order by (md5_hash32(key), key) and take the first n.
+
+    Plans as TakeOrderedAndProject (per-partition top-N heap, driver merge
+    of n rows per partition) — one bounded job regardless of table size.
+    Unlike ``orderBy(key).limit(n)``, selection is independent of key
+    order, so key-correlated sources (typical in concatenated corpora,
+    where low ids all come from the first source) cannot bias the sample.
+    """
+    c = F.col(key_col)
+    return df.orderBy(md5_hash32(c.cast("string")), c).limit(n)
+
+
 def hash_stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -127,6 +127,26 @@ def normalize_per_group(
     )
 
 
+def _broadcast_queries_or_not(
+    queries: DataFrame, broadcast_queries: bool | None, threshold_rows: int
+) -> bool:
+    """Guard for the ANN operators' query-side broadcast.
+
+    ``F.broadcast(queries)`` is right for the common serve shape (a small
+    query batch against a huge corpus) but OOMs an executor when callers
+    feed corpus-vs-corpus (all-pairs ANN). Resolution order: an explicit
+    ``broadcast_queries`` wins; ``None`` probes with a bounded
+    ``limit(threshold+1).count()`` job (LocalLimit stops the scan at
+    threshold+1 rows — it never counts the full table) and falls back to a
+    shuffle join on the bucket/cell key when the query side exceeds
+    ``threshold_rows``. The shuffle path is the same logical plan minus the
+    hint; Spark plans a sort-merge/shuffled-hash join keyed on the bucket.
+    """
+    if broadcast_queries is not None:
+        return broadcast_queries
+    return queries.limit(threshold_rows + 1).count() <= threshold_rows
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -137,6 +157,8 @@ def lsh_bucketed_topk(
     num_tables: int = 12,
     dim: int | None = None,
     sketch: str = "arrow",
+    broadcast_queries: bool | None = True,
+    broadcast_threshold_rows: int = 100_000,
 ) -> DataFrame:
     """Approximate cosine top-k: multi-table random-hyperplane LSH.
 
@@ -170,10 +192,16 @@ def lsh_bucketed_topk(
 
     Both produce valid (slightly different, float-rounding) bucketings;
     each is deterministic for a fixed corpus and config.
+
+    ``broadcast_queries``: True (default — the small-query serve shape),
+    False (corpus-vs-corpus: shuffle join on (table, bucket)), or None
+    (auto: bounded row probe vs ``broadcast_threshold_rows``, see
+    ``_broadcast_queries_or_not``).
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = _deterministic_planes(num_planes * num_tables, dim)
+    do_bcast = _broadcast_queries_or_not(queries, broadcast_queries, broadcast_threshold_rows)
 
     if sketch == "arrow":
         import numpy as np
@@ -202,7 +230,7 @@ def lsh_bucketed_topk(
         q = with_buckets(queries, "query_id", "q_vec")
         c = with_buckets(corpus, "neighbor_id", "c_vec")
         candidates = (
-            c.join(F.broadcast(q), ["table", "bucket"])
+            c.join(F.broadcast(q) if do_bcast else q, ["table", "bucket"])
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "q_vec", "neighbor_id", "c_vec")
             .dropDuplicates(["query_id", "neighbor_id"])
@@ -241,7 +269,7 @@ def lsh_bucketed_topk(
         F.explode(bucket_entries(F.col(vec_col))).alias("tb"),
     ).select("neighbor_id", "c_vec", "tb.table", "tb.bucket")
     candidates = (
-        c.join(F.broadcast(q), ["table", "bucket"])
+        c.join(F.broadcast(q) if do_bcast else q, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "q_vec", "neighbor_id", "c_vec")
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -261,15 +289,24 @@ def train_centroids(
     sample_size: int = 1024,
     iters: int = 4,
 ) -> list[list[float]]:
-    """Fit IVF centroids: ONE bounded Spark job (deterministic top-N sample)
-    + driver-side spherical k-means in numpy. This is the FAISS-style
-    train/serve split — the fit runs once at index-build time and its
-    centroids are then passed to ``ivf_topk`` (which is single-job given
-    ``centroids``), amortized over every subsequent query.
+    """Fit IVF centroids: ONE bounded Spark job (deterministic hash-spread
+    top-N sample) + driver-side spherical k-means in numpy. This is the
+    FAISS-style train/serve split — the fit runs once at index-build time
+    and its centroids are then passed to ``ivf_topk`` (which is single-job
+    given ``centroids``), amortized over every subsequent query.
+
+    The sample is selected by ``hash_spread_sample`` (order by md5 of the
+    id, not by the id): ids typically correlate with source in concatenated
+    corpora, so the previous ``orderBy(id).limit(n)`` would fit all
+    centroids to whichever source sorted first. Hash order keeps the same
+    determinism with source-independent coverage. For a fit that sees the
+    WHOLE corpus rather than a sample, use ``train_centroids_distributed``.
     """
     import numpy as np
 
-    rows = corpus.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    from .sampling import hash_spread_sample
+
+    rows = hash_spread_sample(corpus, id_col, sample_size).select(vec_col).collect()
     x = np.stack([np.asarray(r[0], dtype="float64") for r in rows])
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     cents = x[:num_centroids].copy()
@@ -285,6 +322,73 @@ def train_centroids(
     return cents.tolist()
 
 
+def train_centroids_distributed(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 4,
+    dim: int | None = None,
+) -> list[list[float]]:
+    """Spherical k-means fit over the WHOLE corpus, k-means||-style: one
+    Spark job per iteration, only ``num_centroids`` vectors ever reach the
+    driver.
+
+    Each iteration: (1) map stage assigns every vector to its nearest
+    current centroid — centroids ship to executors inside the Arrow UDF
+    closure, a (batch x dim) @ (dim x k) matmul per batch; (2) the new
+    centroid is the per-cell elementwise mean, computed as
+    posexplode(vector) -> groupBy(cell, pos).avg — a single shuffle of
+    (cell, pos, partial-sum) pairs with map-side combine, k*dim rows out.
+    Initial centroids are the deterministic hash-spread sample so iteration
+    0 starts source-unbiased (cf. ``train_centroids``).
+
+    At 100 TB this is the standard public recipe (Bahmani et al.,
+    "Scalable k-means++", VLDB 2012): no driver-side data pass, shuffle
+    volume k*dim per map task, convergence in a handful of passes.
+    """
+    import numpy as np
+
+    from .sampling import hash_spread_sample
+
+    seed_rows = hash_spread_sample(corpus, id_col, num_centroids).select(vec_col).collect()
+    cents = np.stack([np.asarray(r[0], dtype="float64") for r in seed_rows])
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    for _ in range(iters):
+        cmat = cents  # rebind for closure capture of this iteration's value
+
+        @pandas_udf(LongType())
+        def nearest(vecs: pd.Series) -> pd.Series:
+            import numpy as _np
+
+            mat = _np.stack(vecs.to_numpy()).astype("float64")
+            mat = mat / _np.linalg.norm(mat, axis=1, keepdims=True)
+            return pd.Series((mat @ cmat.T).argmax(axis=1).astype("int64"))
+
+        means = (
+            corpus.select(nearest(F.col(vec_col)).alias("cell"), F.col(vec_col).alias("v"))
+            .select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        by_cell: dict[int, list[tuple[int, float]]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], []).append((r["pos"], r["m"]))
+        for cell, pts in by_cell.items():
+            vec = np.asarray([m for _, m in sorted(pts)])
+            n = np.linalg.norm(vec)
+            if n > 0:
+                new[cell] = vec / n
+        cents = new
+    return cents.tolist()
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -296,6 +400,8 @@ def ivf_topk(
     dim: int | None = None,
     centroids: list[list[float]] | None = None,
     assign: str = "arrow",
+    broadcast_queries: bool | None = True,
+    broadcast_threshold_rows: int = 100_000,
 ) -> DataFrame:
     """IVF-style approximate NN: partition the corpus into ``num_centroids``
     Voronoi cells, probe the ``nprobe`` nearest cells per query, exact
@@ -312,15 +418,23 @@ def ivf_topk(
     literals), the probe is an equi-join on cell id, and quadratic work is
     confined to |query| x |cells probed| x |cell|. Higher num_centroids ->
     smaller cells; higher nprobe -> better recall.
+
+    ``broadcast_queries``: True (default serve shape) / False
+    (corpus-vs-corpus: shuffle join on cell) / None (auto row probe) —
+    see ``_broadcast_queries_or_not``.
     """
     import math
+
+    do_bcast = _broadcast_queries_or_not(queries, broadcast_queries, broadcast_threshold_rows)
 
     if centroids is not None:
         cents = [list(c) for c in centroids]
     elif dim is not None:
         cents = _deterministic_planes(num_centroids, dim)
     else:
-        cent_rows = corpus.orderBy(id_col).limit(num_centroids).select(vec_col).collect()
+        from .sampling import hash_spread_sample
+
+        cent_rows = hash_spread_sample(corpus, id_col, num_centroids).select(vec_col).collect()
         cents = [list(r[0]) for r in cent_rows]
     norms = [math.sqrt(sum(x * x for x in c)) for c in cents]
 
@@ -365,7 +479,7 @@ def ivf_topk(
             F.explode(probe_cells(F.col(vec_col))).alias("cell"),
         )
         scored = (
-            assigned.join(F.broadcast(probed), "cell")
+            assigned.join(F.broadcast(probed) if do_bcast else probed, "cell")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select(
                 "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim")
@@ -403,7 +517,7 @@ def ivf_topk(
         ).alias("cell"),
     )
     scored = (
-        assigned.join(F.broadcast(probed), "cell")
+        assigned.join(F.broadcast(probed) if do_bcast else probed, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
         .dropDuplicates(["query_id", "neighbor_id"])

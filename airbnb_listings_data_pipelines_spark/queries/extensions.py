@@ -497,18 +497,22 @@ def x13_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x14_ivf_ann_recall",
     oracle=_ANN_EXACT_TOPK_ORACLE,
     survey_rows=("EXT-similarity",),
-    doc="IVF ANN with the FAISS-style fit/serve split: train_centroids runs "
-    "ONE bounded job (deterministic sample + driver-side spherical k-means, "
-    "amortized at index-build time), then the serve plan is single-job "
-    "(centroids broadcast as literals, cell equi-join probe, exact re-rank). "
+    doc="IVF ANN with the FAISS-style fit/serve split: "
+    "train_centroids_distributed fits spherical k-means over the WHOLE "
+    "corpus k-means||-style (one job per iteration, only k centroids to "
+    "the driver; seeds from the hash-spread sample so no source bias), "
+    "then the serve plan is single-job (centroids broadcast as literals, "
+    "cell equi-join probe, exact re-rank). nprobe=6 of 16 cells: on "
+    "near-random 64-dim embeddings measured recall is 0.70 vs the 0.6 "
+    "floor (the old nprobe=4 pass relied on the id-biased sample fit). "
     "Invariant oracle as x10: DuckDB-exact brute-force top-5 per query + "
     "corpus recall >= 0.6 flag. Raw ANN rows: operators/similarity.ivf_topk.",
 )
 def x14_ivf_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    cents = similarity.train_centroids(emb, num_centroids=16)
-    ann = similarity.ivf_topk(emb, q, k=5, centroids=cents)
+    cents = similarity.train_centroids_distributed(emb, num_centroids=16, iters=3)
+    ann = similarity.ivf_topk(emb, q, k=5, centroids=cents, nprobe=6)
     exact = similarity.brute_force_topk(emb, q, k=5)
     return _ann_recall_check(ann, exact, floor=0.6)
 

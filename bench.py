@@ -5,13 +5,17 @@ Runs the query registry at ``$SPARK_GRAFT_SF_DIR`` (default
 line: ``{"metric": ..., "value": headline_total_sec, "unit": "sec",
 "queries": {...}, "sf": ...}``.
 
-``value`` stays the round-1-comparable total over the 12 HEADLINE queries;
-``queries`` carries per-query min-of-2 timings for EVERY registry query so
-per-query deltas can be computed round over round — except the entries in
-``EXCLUDED``, which are quadratic-by-design exact verification baselines
-(all-pairs / inverted-index truth sets) that exist to verify the bucketed
-scale paths at sf0.01 and are not meant to run at sf0.1+; they are listed
-in the output with reasons rather than silently dropped.
+``value`` stays the round-1-comparable total over the 12 HEADLINE queries.
+Round 2's artifact lesson: the all-query map made the JSON line so long
+that, behind Spark's console progress bars, the harness captured only the
+tail (`BENCH_r02.json` has ``parsed: null``). So the FINAL stdout line is
+now a compact headline-only JSON (progress bars disabled in the session),
+and the full per-query min-of-2 map for EVERY registry query — except the
+entries in ``EXCLUDED``, which are quadratic-by-design exact verification
+baselines (all-pairs / inverted-index truth sets) that verify the bucketed
+scale paths at sf0.01 and are not meant to run at sf0.1+ — is written to
+``BENCH_DETAIL.json`` next to this file, with exclusion reasons listed
+rather than silently dropped.
 
 Execution is forced with the noop sink (full pipeline runs, no driver-side
 collect cost). Session startup is excluded; one warm-up query primes the JVM.
@@ -67,7 +71,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     reg = load_all()
-    spark = get_spark("bench")
+    spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/codegen warm-up (not timed)
@@ -84,20 +88,34 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings[n] for n in HEADLINE), 4)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "queries": timings,
+                "all_queries_total": round(sum(timings.values()), 4),
+                "excluded": EXCLUDED,
+                "sf": sf,
+            },
+            f,
+            indent=1,
+        )
+    spark.stop()
+    # Compact headline-only line, printed LAST so tail-capture still parses.
+    sys.stdout.flush()
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {n: timings[n] for n in HEADLINE},
                 "all_queries_total": round(sum(timings.values()), 4),
-                "excluded": EXCLUDED,
+                "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

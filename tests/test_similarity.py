@@ -70,6 +70,75 @@ def test_arrow_udf_cosine_matches_jvm(spark):
         assert abs(r.jvm - r.arrow) <= 1e-9 * max(1.0, abs(r.jvm))
 
 
+def test_hash_spread_sample_unbiased_across_id_ranges(spark):
+    # The IVF fit sample must not collapse to the lowest ids (ids correlate
+    # with source in concatenated corpora). hash_spread_sample(n=64) over
+    # ids 0..9999 should hit many distinct 1000-wide id bands; the old
+    # orderBy(id).limit(64) would hit exactly one.
+    from airbnb_listings_data_pipelines_spark.operators.sampling import hash_spread_sample
+
+    df = spark.range(10_000).withColumnRenamed("id", "vec_id")
+    picked = [r.vec_id for r in hash_spread_sample(df, "vec_id", 64).collect()]
+    assert len(picked) == 64
+    bands = {i // 1000 for i in picked}
+    assert len(bands) >= 8, f"sample concentrated in id bands {sorted(bands)}"
+    # deterministic across invocations
+    again = [r.vec_id for r in hash_spread_sample(df, "vec_id", 64).collect()]
+    assert picked == again
+
+
+def test_train_centroids_distributed_matches_structure(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = similarity.train_centroids_distributed(emb, num_centroids=4, iters=2)
+    assert len(cents) == 4
+    import math
+
+    for c in cents:
+        assert len(c) == 64
+        n = math.sqrt(sum(x * x for x in c))
+        assert abs(n - 1.0) < 1e-9  # spherical k-means: unit centroids
+    # centroids from the full corpus still serve a working IVF index
+    q = emb.filter(F.col("vec_id") < 4)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    approx = similarity.ivf_topk(emb, q, k=5, centroids=cents, nprobe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.5
+
+
+def test_ann_query_side_broadcast_guard(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb  # corpus-vs-corpus: query side too big to broadcast
+    plan_bcast = similarity.lsh_bucketed_topk(
+        emb, q.filter(F.col("vec_id") < 8), k=3, broadcast_queries=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_bcast
+
+    # auto mode with a tiny threshold must drop the broadcast hint; pin
+    # autoBroadcastJoinThreshold off so Spark can't re-add it from size
+    # stats (the sf0.001 tables are all broadcastable — at 100 TB they
+    # aren't, which is the case the guard exists for)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_shuffle = similarity.lsh_bucketed_topk(
+            emb, q, k=3, broadcast_queries=None, broadcast_threshold_rows=10
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_shuffle
+
+        plan_ivf_shuffle = similarity.ivf_topk(
+            emb, q, k=3, num_centroids=8, broadcast_queries=False
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_ivf_shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # results identical either way: the hint changes strategy, not semantics
+    small_q = emb.filter(F.col("vec_id") < 4)
+    a = similarity.ivf_topk(emb, small_q, k=3, num_centroids=8, broadcast_queries=True)
+    b = similarity.ivf_topk(emb, small_q, k=3, num_centroids=8, broadcast_queries=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_apply_in_pandas_group_centering(spark):
     emb = load_table(spark, SF_SMALL, "embeddings")
     out = similarity.normalize_per_group(emb)
