@@ -10,6 +10,24 @@ unchanged on the engine (SURVEY §4.2 candidate 1):
   (fully nestable; Spark has no QUALIFY).
 - ``DATE_FROM_PARTS(y, m, d)``    ->  ``make_date(y, m, d)``.
 - ``LAST_DAY(x, 'MONTH')``        ->  ``last_day(x)``.
+- VARIANT positional paths (the external-table idiom of
+  design.sql:140-267): ``alias.value:cN`` / ``value:cN``  ->  ``alias.cN``
+  / ``cN`` — the raw layer here is ``sources.csv.read_positional_csv``
+  DataFrames whose columns ARE c1..cN, so the path collapses to a column
+  reference.
+- ``metadata$filename``  ->  ``filename`` (the reader's lineage column;
+  already the basename, so the reference's surrounding
+  ``SPLIT_PART(..,'/',-1)`` is an identity pass over it).
+- Type words Spark lacks: ``NUMERIC`` -> ``decimal(18,6)`` (the engine's
+  documented divergence from Snowflake's integer-rounding NUMBER(38,0) —
+  SURVEY §2.10(8); price lands as decimal(18,6) here vs decimal(10,2) in
+  plans/staging.py, numerically equal), ``TEXT``/bare ``VARCHAR`` ->
+  ``string``.
+- Select-list aliases referenced inside ``OVER(...)`` window specs or in
+  ``WHERE`` of the same select (Snowflake scoping; Spark resolves neither)
+  -> the defining expression is substituted in place. Balanced-paren
+  window capture, quote-aware word substitution, ``DISTINCT`` stripped
+  from the first select item before alias harvesting.
 
 Already Spark-native and passed through untouched: ``expr::type`` casts,
 ``SPLIT_PART`` (incl. negative index), ``PERCENTILE_CONT ... WITHIN GROUP``,
@@ -17,12 +35,10 @@ lateral column aliases, ``LAG/RANK/ROW_NUMBER OVER``.
 
 Known limits (not used by the reference's queries): QUALIFY directly on a
 ``SELECT DISTINCT`` block; QUALIFY combined with ``GROUP BY`` in the same
-block referencing non-grouped columns; alias expansion inside OVER(...)
-only matches window specs without nested parentheses (an aliased expression
-wrapped in a function call inside the window spec is left untouched), and
-the word-boundary substitution does not skip string literals — an alias
-name appearing inside a quoted string within the same select list would be
-rewritten. The reference's statements contain neither construct.
+block referencing non-grouped columns; alias-in-WHERE expansion assumes
+the alias name does not also name an input column of the same block
+(Snowflake prefers the input column there — real shadowing would need a
+catalog, which statement-text translation doesn't have).
 """
 
 from __future__ import annotations
@@ -31,7 +47,39 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-_KEYWORD = re.compile(r"\b(QUALIFY|SELECT|FROM|ORDER\s+BY|LIMIT)\b", re.IGNORECASE)
+_KEYWORD = re.compile(
+    r"\b(QUALIFY|SELECT|FROM|WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\b", re.IGNORECASE
+)
+
+
+def _spans_outside_strings(sql: str) -> list[tuple[int, int]]:
+    """(start, end) spans of sql NOT inside a quoted literal."""
+    spans, start, in_str = [], 0, None
+    for i, ch in enumerate(sql):
+        if in_str:
+            if ch == in_str:
+                in_str = None
+                start = i + 1
+            continue
+        if ch in ("'", '"'):
+            if start < i:
+                spans.append((start, i))
+            in_str = ch
+    if in_str is None and start < len(sql):
+        spans.append((start, len(sql)))
+    return spans
+
+
+def _sub_outside_strings(sql: str, pattern: str, repl) -> str:
+    """re.sub applied only to the regions outside quoted literals."""
+    pat = re.compile(pattern, re.IGNORECASE)
+    out, pos = [], 0
+    for s, e in _spans_outside_strings(sql):
+        out.append(sql[pos:s])
+        out.append(pat.sub(repl, sql[s:e]))
+        pos = e
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 def _depth_map(sql: str) -> list[int]:
@@ -140,6 +188,13 @@ def _rewrite_one_qualify(sql: str) -> str | None:
 def translate(sql: str) -> str:
     """Translate reference-dialect SQL text to Spark SQL."""
     out = sql
+    # Lexical layer first (VARIANT paths, lineage pseudo-column, type
+    # words) so the structural rewrites below see plain Spark identifiers.
+    out = _sub_outside_strings(out, r"\bmetadata\$filename\b", "filename")
+    out = _sub_outside_strings(out, r"\bvalue\s*:\s*(\w+)\b", r"\1")
+    out = _sub_outside_strings(out, r"\bNUMERIC\b", "decimal(18,6)")
+    out = _sub_outside_strings(out, r"\bTEXT\b", "string")
+    out = _sub_outside_strings(out, r"\bVARCHAR\b(?!\s*\()", "string")
     while True:
         nxt = _rewrite_one_qualify(out)
         if nxt is None:
@@ -148,6 +203,7 @@ def translate(sql: str) -> str:
     out = re.sub(r"\bDATE_FROM_PARTS\s*\(", "make_date(", out, flags=re.IGNORECASE)
     out = _strip_last_day_month(out)
     out = _expand_aliases_in_windows(out)
+    out = _expand_aliases_in_where(out)
     # Snowflake function surface beyond the reference's own statements — a
     # user switching from that warehouse writes these daily. Pure renames
     # first (call position only), then single-argument expansions with
@@ -207,11 +263,50 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
 _AS_ALIAS = re.compile(r"^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE | re.DOTALL)
 
 
+def _select_list_aliases(seg: str) -> dict[str, str]:
+    """alias -> defining expression, from a select-list segment (text
+    between SELECT and FROM). The leading DISTINCT/ALL qualifier is
+    stripped from the first item (it is a set quantifier, not part of the
+    expression); window-function items are excluded (substituting them
+    into WHERE or another window would be invalid in both dialects)."""
+    items = _split_top_level(seg)
+    if items:
+        items[0] = re.sub(r"^\s*(DISTINCT|ALL)\b", "", items[0], flags=re.IGNORECASE)
+    aliases: dict[str, str] = {}
+    for item in items:
+        m = _AS_ALIAS.match(item.strip())
+        if not m or "OVER" in m.group(1).upper():
+            continue
+        name, expr = m.group(2), m.group(1).strip()
+        # A self-referential alias (``split_part(filename,..) AS filename``)
+        # means the name must already resolve to an input column — both
+        # dialects bind the inner reference to the input, so expanding it
+        # would be wrong (and would recurse forever). Leave it alone.
+        if re.search(rf"\b{re.escape(name)}\b", expr, re.IGNORECASE):
+            continue
+        aliases[name] = expr
+    return aliases
+
+
+def _sub_aliases(text: str, aliases: dict[str, str]) -> str:
+    """Replace each alias word with its parenthesized definition —
+    quote-aware, so an alias name inside a string literal is untouched."""
+    for name, expr in aliases.items():
+        # callable repl: the expression text is inserted verbatim (no
+        # backreference/escape interpretation of its contents)
+        text = _sub_outside_strings(
+            text, rf"\b{re.escape(name)}\b", lambda m, e=expr: f"({e})"
+        )
+    return text
+
+
 def _expand_aliases_in_windows(sql: str) -> str:
     """Snowflake allows a select alias inside a window spec of the same
     select (``ROW_NUMBER() OVER (ORDER BY rev DESC)`` with ``... AS rev``);
     Spark rejects lateral aliases in windows — substitute the defining
-    expression into every OVER(...) of that select list."""
+    expression into every OVER(...) of that select list. OVER bodies are
+    captured with balanced parens (nested function calls inside the spec
+    are fine) and substitution skips string literals."""
     out = sql
     changed = True
     while changed:  # re-scan after each edit so token offsets stay valid
@@ -226,25 +321,83 @@ def _expand_aliases_in_windows(sql: str) -> str:
             if from_pos is None:
                 continue
             seg = out[p + len("SELECT"): from_pos]
-            aliases = {}
-            for item in _split_top_level(seg):
-                m = _AS_ALIAS.match(item.strip())
-                if m and "OVER" not in m.group(1).upper():
-                    aliases[m.group(2)] = m.group(1).strip()
+            aliases = _select_list_aliases(seg)
             if not aliases:
                 continue
 
-            def fix_over(mo: re.Match) -> str:
-                inner = mo.group(1)
-                for name, expr in aliases.items():
-                    inner = re.sub(
-                        rf"\b{re.escape(name)}\b", f"({expr})", inner, flags=re.IGNORECASE
-                    )
-                return f"OVER ({inner})"
+            new_seg, edited = [], False
+            pos = 0
+            depths = _depth_map(seg)
+            for mo in re.finditer(r"\bOVER\s*\(", seg, re.IGNORECASE):
+                start = mo.end() - 1  # the '('
+                open_depth = depths[start]
+                end = next(
+                    (
+                        i
+                        for i in range(start + 1, len(seg))
+                        if seg[i] == ")" and depths[i] == open_depth
+                    ),
+                    None,
+                )
+                if end is None:
+                    continue
+                inner = seg[start + 1 : end]
+                fixed = _sub_aliases(inner, aliases)
+                if fixed != inner:
+                    new_seg.append(seg[pos : mo.start()])
+                    new_seg.append(f"OVER ({fixed})")
+                    pos = end + 1
+                    edited = True
+            new_seg.append(seg[pos:])
+            if edited:
+                out = out[: p + len("SELECT")] + "".join(new_seg) + out[from_pos:]
+                changed = True
+                break
+    return out
 
-            new_seg = re.sub(r"OVER\s*\(([^()]*)\)", fix_over, seg, flags=re.IGNORECASE)
-            if new_seg != seg:
-                out = out[: p + len("SELECT")] + new_seg + out[from_pos:]
+
+def _expand_aliases_in_where(sql: str) -> str:
+    """Snowflake also resolves select-list aliases in the WHERE clause of
+    the same select (design.sql:178 filters on the ``lga_code`` alias);
+    Spark resolves WHERE against input columns only — substitute the
+    defining expression. See module docstring for the shadowing caveat."""
+    out = sql
+    changed = True
+    while changed:
+        changed = False
+        tokens = _find_tokens(out)
+        depths = _depth_map(out)
+        for kw, p, d in tokens:
+            if kw != "WHERE":
+                continue
+            sel = max(
+                (q for k2, q, d2 in tokens if k2 == "SELECT" and d2 == d and q < p),
+                default=None,
+            )
+            if sel is None:
+                continue
+            from_pos = next(
+                (q for k2, q, d2 in tokens if k2 == "FROM" and d2 == d and sel < q < p), None
+            )
+            if from_pos is None:
+                continue
+            aliases = _select_list_aliases(out[sel + len("SELECT"): from_pos])
+            if not aliases:
+                continue
+            # WHERE clause ends at the next same-depth clause keyword, or
+            # at the ')' closing this block, or at statement end
+            end = len(out)
+            for k2, q, d2 in tokens:
+                if q > p and d2 == d and k2 in ("GROUPBY", "HAVING", "QUALIFY", "ORDERBY", "LIMIT"):
+                    end = min(end, q)
+            for i in range(p, len(out)):
+                if depths[i] < d or (out[i] == ")" and depths[i] == d):
+                    end = min(end, i)
+                    break
+            seg = out[p + len("WHERE"): end]
+            fixed = _sub_aliases(seg, aliases)
+            if fixed != seg:
+                out = out[: p + len("WHERE")] + fixed + out[end:]
                 changed = True
                 break
     return out

@@ -25,13 +25,24 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iterations: int = 10,
+    max_iterations: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) where component = min node id reachable.
 
     ``edges`` is undirected input (each pair once); isolated nodes absent
     from ``edges`` are absent from the output (join the node table back
     with a coalesce-to-self for full coverage).
+
+    ``max_iterations`` is a runaway backstop, not a tuning knob: the loop
+    exits on the convergence probe, and pointer doubling needs only
+    O(log diameter) rounds (~17 for a 100k-node path — measured in
+    tools/probe_cc_convergence.py; near-dup clique graphs converge in 2-3).
+    50 covers any graph with diameter < 2^49.
+
+    Pass ``stats={}`` to receive {'rounds': n, 'converged': bool} back —
+    used by the convergence probe and available to production callers for
+    monitoring.
     """
     # materialize the (possibly expensive) edge lineage ONCE — every round
     # joins against sym, and an unmaterialized candidate-pair plan (e.g.
@@ -43,6 +54,7 @@ def connected_components(
     )
     nodes = sym.select("u").distinct()
     labels = nodes.select("u", F.col("u").alias("label"))
+    rounds, converged = 0, False
     for _ in range(max_iterations):
         # (a) hash-to-min: adopt the min label among self and neighbors
         neighbor_min = (
@@ -82,6 +94,11 @@ def connected_components(
         # iterate-until-fixpoint orchestration, data never leaves executors)
         n_changed = changed.limit(1).count()
         labels = jumped
+        rounds += 1
         if n_changed == 0:
+            converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))

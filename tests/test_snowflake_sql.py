@@ -134,3 +134,78 @@ def test_expand_one_arg_nested_parens_and_strings(spark):
 
     sql = translate("SELECT ZEROIFNULL(length(concat('a(', 'b)'))) AS n")
     assert spark.sql(sql).collect()[0].n == 4
+
+
+def test_alias_in_window_with_nested_parens(spark):
+    """r2 ADVICE carry-over: the window spec wraps the alias in a function
+    call (nested parens inside OVER) — the balanced-paren capture must
+    still expand it."""
+    got = run(
+        spark,
+        """
+        SELECT o_orderkey, o_totalprice * 2 AS rev,
+               RANK() OVER (ORDER BY round(rev, 2) DESC, o_orderkey) AS r
+        FROM orders LIMIT 500
+        """,
+    )
+    rows = got.orderBy("r").collect()
+    assert rows[0].rev == max(r.rev for r in rows)
+
+
+def test_alias_substitution_skips_string_literals(spark):
+    """An alias name (and even 'OVER(') appearing inside a quoted literal
+    must never be rewritten."""
+    got = run(
+        spark,
+        """
+        SELECT o_orderkey AS k, 'k OVER( k' AS tag,
+               ROW_NUMBER() OVER (ORDER BY k) AS r
+        FROM orders LIMIT 3
+        """,
+    ).collect()
+    assert all(row.tag == "k OVER( k" for row in got)
+    assert [row.r for row in got] == [1, 2, 3]
+
+
+def test_alias_in_where_clause(spark):
+    """Snowflake resolves select aliases in WHERE (design.sql:178);
+    Spark needs the expansion."""
+    got = run(
+        spark,
+        "SELECT o_orderkey * 10 AS key10 FROM orders WHERE key10 <= 50",
+    ).collect()
+    exp = sorted(
+        r.key10
+        for r in spark.table("orders")
+        .select((F.col("o_orderkey") * 10).alias("key10"))
+        .filter(F.col("key10") <= 50)
+        .collect()
+    )
+    assert exp and sorted(row.key10 for row in got) == exp
+
+
+def test_self_referential_alias_not_expanded(spark):
+    """``f(col) AS col`` must bind the inner reference to the input column
+    (both dialects) — expanding it would recurse forever."""
+    sql = translate(
+        "SELECT split_part(filename, '/', -1) AS filename, "
+        "ROW_NUMBER() OVER (PARTITION BY split_part(filename, '/', -1) ORDER BY filename) AS r "
+        "FROM t WHERE filename IS NOT NULL"
+    )
+    # the window/WHERE text is untouched: no parenthesized expansion appeared
+    assert "((" not in sql.replace("ROW_NUMBER", "")
+    assert sql.count("split_part(filename, '/', -1)") == 2
+
+
+def test_variant_paths_and_metadata_filename_translate():
+    sql = translate(
+        "SELECT r1.value:c1::NUMERIC AS a, value:c4::TEXT AS b, "
+        "SPLIT_PART(metadata$filename, '/', -1)::VARCHAR AS f, "
+        "'value:c9 metadata$filename NUMERIC' AS lit "
+        "FROM raw.raw_x r1"
+    )
+    assert "r1.c1::decimal(18,6) AS a" in sql
+    assert "c4::string AS b" in sql
+    assert "SPLIT_PART(filename, '/', -1)::string AS f" in sql
+    # string literal content untouched
+    assert "'value:c9 metadata$filename NUMERIC'" in sql

@@ -89,3 +89,18 @@ def test_connected_components_long_chain_converges(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["id_a", "id_b"])
     got = {r.node: r.component for r in connected_components(edges, max_iterations=n + 1).collect()}
     assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_connected_components_pointer_doubling_round_count(spark):
+    """The O(log diameter) guarantee, asserted: a 512-node path (diameter
+    511) must converge WELL under 511 rounds — pointer doubling lands
+    around log2(511) ~ 9 — and under the default backstop of 50. Full-size
+    numbers (10k -> 14 rounds, 100k -> 17) in SCALING.md /
+    tools/probe_cc_convergence.py."""
+    n = 512
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    stats: dict = {}
+    got = {r.node: r.component for r in connected_components(edges, stats=stats).collect()}
+    assert set(got.values()) == {0} and len(got) == n
+    assert stats["converged"]
+    assert stats["rounds"] <= 14, stats  # log-ish, nowhere near diameter/round
