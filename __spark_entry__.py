@@ -65,6 +65,11 @@ _CHECK_FIRST = [
     "q31_semi_anti_joins",
     "x20_scd2_version_history",
     "x21_token_chunking",
+    # round-3 additions (never driver-checked) — slots 31-34
+    "x28_ngram_contamination",
+    "x29_token_rarity_score",
+    "x30_source_mixture_sample",
+    "q54_grouping_sets",
 ]
 
 

@@ -85,6 +85,30 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles (lowercased, space-joined) — the unit of
+    benchmark-contamination checks and word-level near-dup. Map-only
+    (tokenize once, slide a window via sequence+element_at); fewer than k
+    tokens -> empty array. DuckDB twin (kept diffable, used by the x28
+    oracle): ``list_distinct(list_transform(range(1, len(t) - k + 2),
+    i -> concat_ws(' ', t[i], .., t[i+k-1])))`` over
+    ``t = regexp_split_to_array(trim(lower(text)), '\\s+')``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c))
+    n = F.size(toks)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                ),
+            )
+        )
+    )
+
+
 def lang_id(col: Column | str) -> Column:
     """Heuristic language ID: CJK codepoint presence, else argmax of marker-
     stopword hits with a fixed priority order on ties (en > fr > de > es),

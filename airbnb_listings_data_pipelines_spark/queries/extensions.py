@@ -1123,3 +1123,155 @@ def x20_scd2_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x21_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.chunk_tokens(docs)
+
+
+@query(
+    "x28_ngram_contamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source, unnest(list_distinct(
+               list_transform(range(1, len(t) - 3 + 2),
+                              i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS sh
+      FROM toks WHERE len(t) >= 3
+    ), bench AS (
+      SELECT DISTINCT sh FROM sh WHERE source = 'src0'
+    ), cand AS (
+      SELECT s.doc_id, CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM sh s LEFT JOIN bench b ON s.sh = b.sh
+      WHERE s.source <> 'src0'
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(hit) AS BIGINT) AS n_overlap,
+           SUM(hit) / COUNT(*) AS overlap_ratio,
+           CAST(CASE WHEN SUM(hit) / COUNT(*) >= 0.8 THEN 1 ELSE 0 END AS BIGINT)
+             AS contaminated
+    FROM cand GROUP BY doc_id
+    """,
+    survey_rows=("EXT-dedup", "EXT-text", "J5", "A8"),
+    doc="Benchmark decontamination: 3-word-shingle overlap of every "
+    "candidate doc (source<>'src0') against the benchmark shingle set "
+    "(source='src0') — the n-gram-overlap check run before training to "
+    "drop eval-set leakage (public recipe: GPT-3 App. C / PaLM-style "
+    "13-gram decontamination, here 3-gram because the synthetic docs are "
+    "~30 words). Exact integer hit counts, one division at the end. Scale "
+    "shape: shingle equi-join (shuffle on shingle, benchmark side "
+    "broadcastable when the benchmark is eval-set-sized), map-only "
+    "shingling via operators/text.word_shingles.",
+)
+def x28_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.explode(text.word_shingles("text", 3)).alias("sh")
+    )
+    bench = (
+        sh.filter(F.col("source") == "src0").select("sh").distinct()
+    )
+    cand = (
+        sh.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench.withColumn("__b", F.lit(1))), "sh", "left")
+        .select("doc_id", F.coalesce(F.col("__b"), F.lit(0)).alias("hit"))
+    )
+    ratio = F.sum("hit") / F.count(F.lit(1))
+    return cand.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum("hit").cast("long").alias("n_overlap"),
+        ratio.alias("overlap_ratio"),
+        F.when(ratio >= 0.8, 1).otherwise(0).cast("long").alias("contaminated"),
+    )
+
+
+@query(
+    "x29_token_rarity_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ), freq AS (
+      SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(f.c) AS BIGINT) AS total_freq,
+           CAST(MIN(f.c) AS BIGINT) AS min_freq,
+           SUM(f.c) / COUNT(*) AS avg_token_freq
+    FROM tok t JOIN freq f ON t.w = f.w
+    GROUP BY t.doc_id
+    """,
+    survey_rows=("EXT-text", "A8", "J5"),
+    doc="Unigram-LM quality scoring in exact integer space: corpus-wide "
+    "token frequencies (the unigram model fit), then each doc scored by "
+    "the total/avg/min corpus frequency of its tokens (multiplicity "
+    "counted) — low avg = rare-token doc, min_freq=1 = contains a hapax. "
+    "The classic log-prob variant is a one-line swap (ln(c/total) before "
+    "the SUM) but float summation is order-dependent across engines, so "
+    "the shipped form keeps every reduction integral and divides once. "
+    "Scale shape: fit = one groupBy over exploded tokens (map-side "
+    "combine), score = equi-join on token (vocab skew -> AQE skew join; "
+    "top-K vocab broadcastable as a variant).",
+)
+def x29_token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tok.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("c").cast("long").alias("total_freq"),
+            F.min("c").cast("long").alias("min_freq"),
+            (F.sum("c") / F.count(F.lit(1))).alias("avg_token_freq"),
+        )
+    )
+
+
+@query(
+    "x30_source_mixture_sample",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), hashed AS (
+      SELECT doc_id, source,
+             CAST(list_sum(list_transform(range(1, 9), i ->
+               (strpos('0123456789abcdef',
+                       substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+               * CAST(pow(16, 8 - i) AS BIGINT))) AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT doc_id, source, h
+    FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+          FROM hashed)
+    WHERE rn <= (SELECT MIN(n) FROM counts)
+    """,
+    survey_rows=("EXT-sampling", "W1", "J9"),
+    doc="Training-mixture balancing: downsample every source to the size "
+    "of the smallest one (uniform mixture), selecting per source the docs "
+    "with smallest md5_hash32(doc_id) — a pure function of the keys, so "
+    "the mixture is reproducible across runs/engines/partitionings and "
+    "stable under incremental corpus growth (cf. x24). The cap arrives as "
+    "a 1-row broadcast scalar (J9 idiom, no driver collect). Scale shape: "
+    "one shuffle on source + WindowGroupLimit would apply with a constant "
+    "k; with the dynamic cap Spark runs the rank window then filters — "
+    "still a single shuffle per pass.",
+)
+def x30_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cap = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.min("n").alias("__cap")
+    )
+    hashed = docs.select(
+        "doc_id", "source", dedup.md5_hash32(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("rn") <= F.col("__cap"))
+        .select("doc_id", "source", "h")
+    )

@@ -35,6 +35,12 @@ def _cents_sum(c: F.Column, scale: int = 2) -> F.Column:
     return F.sum(F.round(c * unit, 0).cast("long")) / float(unit)
 
 
+def _cents_sum_raw(c: F.Column, scale: int = 2) -> F.Column:
+    """As _cents_sum, but keeps the exact integer unit total (no final
+    division) — for outputs typed BIGINT."""
+    return F.sum(F.round(c * 10 ** scale, 0).cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (SURVEY §2.4)
 # ---------------------------------------------------------------------------
@@ -1607,4 +1613,37 @@ def q52_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "q54_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    """,
+    survey_rows=("A-rollup",),
+    doc="Arbitrary GROUPING SETS (both 1-D margins + 2-D cells + grand "
+    "total — a shape ROLLUP can't express) with GROUPING markers and exact "
+    "cents accumulators. One pass: Expand (4 replicas) + hash aggregate "
+    "with map-side partials; completes the q32 ROLLUP row of the "
+    "multidimensional-aggregation family.",
+)
+def q54_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _cents_sum_raw(F.col("o_totalprice")).alias("total_cents"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
     )

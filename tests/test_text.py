@@ -84,3 +84,19 @@ def test_chunking_jvm_and_udtf_agree(spark):
         ).collect()
     }
     assert jvm == py and len(jvm) > 30  # overlapping chunks, identical both paths
+
+
+def test_word_shingles(spark):
+    from airbnb_listings_data_pipelines_spark.operators.text import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "A b c d"), (2, "one two"), (3, ""), (4, "x y x y x y")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: sorted(r.sh)
+        for r in df.select("doc_id", word_shingles("text", 3).alias("sh")).collect()
+    }
+    assert got[1] == ["a b c", "b c d"]          # lowercased, sliding
+    assert got[2] == [] and got[3] == []         # < k tokens -> empty
+    assert got[4] == ["x y x", "y x y"]          # distinct applied
