@@ -25,6 +25,16 @@ Known limit of the partition-scoped path: a ``when_matched='delete'`` that
 removes EVERY row of a touched partition leaves the old partition files in
 place (dynamic overwrite cannot delete a partition it writes no rows to) —
 use the full-rewrite path for bulk deletes.
+
+Atomicity scope: the staged swap is atomic against READERS mid-swap and
+against writer CRASH, but not against CONCURRENT writers (last swap wins;
+no optimistic-concurrency conflict detection). The public-knowledge
+upgrade is an open table format — Delta Lake / Apache Iceberg both ship a
+native ``MERGE INTO`` with snapshot-isolated commits and the same logical
+semantics as this module, so the swap backend here could be replaced by
+``DeltaTable.merge`` / Iceberg's Spark SQL MERGE behind this exact
+signature. Neither runtime is available in this environment (no package
+installs), so the parquet staged-swap remains the shipped default.
 """
 
 from __future__ import annotations
