@@ -53,6 +53,69 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def corpus_line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_len: int = 3,
+    max_occurrences: int = 2,
+) -> DataFrame:
+    """C4-style corpus-level line deduplication (Raffel et al. 2020 §2.2 —
+    public paper — removes boilerplate lines repeated across the corpus):
+    drop every line occurring more than ``max_occurrences`` times ANYWHERE
+    in the corpus (all copies, not all-but-one), then reassemble each
+    document from its surviving lines in original order.
+
+    Real corpora split on newlines; the driver's synthetic docs are
+    single-line, so a "line" here is a non-overlapping ``line_len``-token
+    window — the corpus-level count/filter/reassemble shape is identical.
+
+    Scale shape: (1) map-only line explode carrying (id, line_idx);
+    (2) global count keyed by the line — at 100 TB key by xxhash64(line)
+    (8 B) instead of the raw text, exactly as exact_dedup's doc notes, and
+    let AQE handle the boilerplate skew (the most-repeated lines ARE the
+    hot keys); (3) count joined back on the same key (shuffle reuse);
+    (4) per-doc reassembly via sort_array(collect_list(struct(idx, line)))
+    — bounded by document size, not corpus size. Docs whose every line was
+    boilerplate survive with n_kept=0 and empty new_text (left join)."""
+    from .text import tokens  # local import: text.py does not import dedup
+
+    toks = tokens(F.lower(F.col(text_col)))
+    n_lines_arr = F.ceil(F.size(toks) / F.lit(float(line_len)))
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_lines_arr - 1),
+                lambda i: F.array_join(F.slice(toks, i * line_len + 1, line_len), " "),
+            )
+        ).alias("line_idx", "line"),
+    )
+    cnt = lines.groupBy("line").agg(F.count(F.lit(1)).alias("__c"))
+    tot = lines.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    kept = (
+        lines.join(cnt, "line")
+        .filter(F.col("__c") <= max_occurrences)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+    )
+    return tot.join(kept, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
+    )
+
+
 def char_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct character n-gram shingles of lower(text) (array<string>)."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)

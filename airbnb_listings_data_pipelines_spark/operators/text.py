@@ -109,6 +109,100 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
+# PII patterns restricted to syntax Java regex and RE2 (DuckDB) interpret
+# identically: character classes, bounded repetition, ASCII \b word
+# boundaries — no lookarounds, no backreferences.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\b\d{3}-\d{4}\b", "<PHONE>"),
+}
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Number of matches of one PII pattern (0 when none)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(PII_PATTERNS[kind][0])).cast("long")
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its typed placeholder. Order matters:
+    emails first (their domain part would otherwise be half-eaten by the
+    IP pattern on numeric domains), then IPs, then phones. Pure map
+    operator — at 100 TB this runs inside whole-stage codegen at scan
+    speed, no shuffle, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in ("email", "ip", "phone"):
+        pat, repl = PII_PATTERNS[kind]
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def word_ngrams(col: Column | str, k: int = 2) -> Column:
+    """ALL adjacent k-word n-grams (lowercased, space-joined), duplicates
+    kept — the multiset that repetition metrics count over (contrast
+    word_shingles, which is the distinct set for containment checks).
+    Map-only; fewer than k tokens -> empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c))
+    n = F.size(toks)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+        )
+    )
+
+
+def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition signals: distinct-token
+    fraction, most-frequent-token fraction, most-frequent-bigram fraction
+    (Rae et al. 2021, "Scaling Language Models", App. A quality filters —
+    public paper). Highly repetitive machine-generated text scores low on
+    distinct_token_frac and high on the top-*-frac columns.
+
+    Scale shape: tokens and bigrams are exploded then counted with two
+    hash aggregations keyed (id, gram) -> id; both benefit from map-side
+    partial aggregation, and the per-doc reduction after the first groupBy
+    is tiny (one row per distinct gram). No joins against the corpus, so
+    the op is embarrassingly parallel across documents — the alternative
+    per-row O(n^2) array-mode computation would avoid the shuffle but
+    breaks whole-stage codegen on long docs; exploding wins at 100 TB
+    because the shuffle rows are (id, gram-hash, count) partials, not text.
+    Single-token docs have no bigrams: top_bigram_frac is 0.0 by
+    convention (left join + coalesce)."""
+    unig = (
+        df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.max("c").cast("long").alias("top_c"),
+        )
+    )
+    bigr = (
+        df.select(F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").cast("long").alias("n_bigrams"), F.max("c").cast("long").alias("top_bc"))
+    )
+    return (
+        unig.join(bigr, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_distinct") / F.col("n_tokens")).alias("distinct_token_frac"),
+            (F.col("top_c") / F.col("n_tokens")).alias("top_token_frac"),
+            F.coalesce(F.col("top_bc") / F.col("n_bigrams"), F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
 def lang_id(col: Column | str) -> Column:
     """Heuristic language ID: CJK codepoint presence, else argmax of marker-
     stopword hits with a fixed priority order on ties (en > fr > de > es),

@@ -1275,3 +1275,203 @@ def x30_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("__cap"))
         .select("doc_id", "source", "h")
     )
+
+
+@query(
+    "x31_repetition_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ), uc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+    ), u AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_c
+      FROM uc GROUP BY doc_id
+    ), t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+      FROM documents
+    ), big AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(a)), i ->
+               a[i] || ' ' || a[i + 1])) AS b
+      FROM t
+    ), bc AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM big GROUP BY doc_id, b
+    ), bg AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS top_bc
+      FROM bc GROUP BY doc_id
+    )
+    SELECT u.doc_id, u.n_tokens,
+           u.n_distinct / u.n_tokens AS distinct_token_frac,
+           u.top_c / u.n_tokens AS top_token_frac,
+           COALESCE(bg.top_bc / bg.n_bigrams, 0.0) AS top_bigram_frac
+    FROM u LEFT JOIN bg ON u.doc_id = bg.doc_id
+    """,
+    survey_rows=("EXT-text", "A8", "J6"),
+    doc="Gopher-style within-document repetition signals (Rae et al. 2021 "
+    "App. A): distinct-token fraction, top-token fraction, top-bigram "
+    "fraction. All ratios are integer-count divisions (bit-stable). Scale "
+    "shape: explode -> (id, gram) hash agg with map-side combine -> per-id "
+    "reduce; no corpus-wide join, embarrassingly parallel across docs.",
+)
+def x31_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_features(docs)
+
+
+@query(
+    "x32_corpus_line_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, i AS line_idx,
+             array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS line
+      FROM t, unnest(range(0, CAST(ceil(len(toks) / 3.0) AS BIGINT))) AS u(i)
+    ), cnt AS (
+      SELECT line, COUNT(*) AS c FROM lines GROUP BY line
+    ), tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lines GROUP BY doc_id
+    ), kept AS (
+      SELECT l.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(l.line, ' ' ORDER BY l.line_idx) AS new_text
+      FROM lines l JOIN cnt c ON l.line = c.line
+      WHERE c.c <= 2
+      GROUP BY l.doc_id
+    )
+    SELECT tot.doc_id, tot.n_lines,
+           CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(kept.new_text, '') AS new_text
+    FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
+    """,
+    survey_rows=("EXT-dedup", "A8", "J6"),
+    doc="C4-style corpus-level line dedup (Raffel et al. 2020 §2.2): drop "
+    "every 3-token line occurring >2 times anywhere in the corpus, "
+    "reassemble docs from surviving lines in order. Scale shape: global "
+    "count keyed by the line (xxhash64 at 100 TB), count joined back on "
+    "the same key, per-doc reassembly bounded by doc size; boilerplate "
+    "skew handled by AQE. See operators/dedup.corpus_line_dedup.",
+)
+def x32_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.corpus_line_dedup(docs, "doc_id", "text", line_len=3, max_occurrences=2)
+
+
+@query(
+    "x33_pii_redaction",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'user' || CAST(doc_id AS VARCHAR) || '@example.com ' ELSE '' END
+             || text
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS redacted_text
+    FROM seeded
+    """,
+    survey_rows=("EXT-text", "F4", "P3"),
+    doc="PII detection + redaction (emails, IPv4, phone fragments) with "
+    "typed placeholders — a standard pre-training scrub pass. The synthetic "
+    "corpus contains no PII, so both engines first inject deterministic "
+    "PII derived from doc_id (same expression on both sides), then count "
+    "and redact it; this proves the patterns fire, not just that clean "
+    "text passes through. Patterns restricted to the Java-regex/RE2 common "
+    "subset (operators/text.PII_PATTERNS). Map-only: runs in whole-stage "
+    "codegen at scan speed, no shuffle.",
+)
+def x33_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com ")),
+            ).otherwise(""),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    ((F.col("doc_id") * 7) % 256).cast("string"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("t"),
+    )
+    return seeded.select(
+        "doc_id",
+        text.pii_count("t", "email").alias("n_emails"),
+        text.pii_count("t", "ip").alias("n_ips"),
+        text.pii_count("t", "phone").alias("n_phones"),
+        text.redact_pii("t").alias("redacted_text"),
+    )
+
+
+@query(
+    "x34_quantized_ann",
+    oracle="""
+    WITH sc AS (
+      SELECT 127.0 / MAX(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE))))) AS s
+      FROM embeddings
+    ), qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(greatest(-127.0, least(127.0,
+                 floor(CAST(x AS DOUBLE) * s + 0.5))) AS BIGINT)) AS q
+      FROM embeddings, sc
+    ), pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+               i -> a.q[i] * b.q[i])) AS BIGINT) AS qdot
+      FROM qv a JOIN qv b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id % 50 = 0
+    )
+    SELECT query_id, neighbor_id, qdot, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY qdot DESC, neighbor_id) AS rnk
+          FROM pairs)
+    WHERE rnk <= 5
+    """,
+    survey_rows=("EXT-similarity", "J9", "W3"),
+    doc="int8 scalar-quantized similarity search: one corpus-wide symmetric "
+    "scale (127/max|v|, J9 1-row broadcast), floor(v*s+0.5) quantization, "
+    "exact integer dot-product top-5. Every reduction is integral, so this "
+    "is the one ANN variant with a full-value oracle (x09 is the float "
+    "baseline; recall vs it asserted in tests). Scale story: 4x smaller "
+    "vectors, integer kernels; bucketing composes via lsh/ivf for huge "
+    "query sets. See operators/similarity.quantized_topk.",
+)
+def x34_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.quantized_topk(emb, queries_df, k=5)

@@ -132,3 +132,25 @@ def test_simhash_neardup_pairs_bands(spark):
     got = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_neardup_pairs(df).collect()}
     assert got.get((1, 2)) == 0          # identical docs: distance 0
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_corpus_line_dedup_drops_boilerplate(spark):
+    # "x y z" appears in 3 docs -> every copy dropped; doc 3 is ONLY
+    # boilerplate and survives with empty text; unique lines survive.
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z a b c"),
+            (2, "x y z d e f"),
+            (3, "x y z"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.corpus_line_dedup(
+            docs, line_len=3, max_occurrences=2
+        ).collect()
+    }
+    assert out[1].n_lines == 2 and out[1].n_kept == 1 and out[1].new_text == "a b c"
+    assert out[2].new_text == "d e f"
+    assert out[3].n_kept == 0 and out[3].new_text == ""

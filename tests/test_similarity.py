@@ -149,3 +149,18 @@ def test_apply_in_pandas_group_centering(spark):
     for label, grp in pdf.groupby("label"):
         mat = np.stack(grp["centered"].to_numpy())
         assert np.abs(mat.mean(axis=0)).max() < 1e-9  # centroid removed
+
+
+def test_quantized_topk_recall_vs_float(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    quant = similarity.quantized_topk(emb, queries, k=5)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    qz = quant.collect()
+    got = {(r.query_id, r.neighbor_id) for r in qz}
+    # int8 quantization should preserve nearly all of the float top-5
+    assert len(ex & got) / len(ex) >= 0.8
+    # integer dot products stay in the int8 accumulation envelope
+    assert all(abs(r.qdot) <= 127 * 127 * 64 for r in qz)
+    assert all(isinstance(r.qdot, int) for r in qz)

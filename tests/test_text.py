@@ -100,3 +100,41 @@ def test_word_shingles(spark):
     assert got[1] == ["a b c", "b c d"]          # lowercased, sliding
     assert got[2] == [] and got[3] == []         # < k tokens -> empty
     assert got[4] == ["x y x", "y x y"]          # distinct applied
+
+
+def test_word_ngrams_keeps_duplicates(spark):
+    df = spark.createDataFrame([("a a a b",), ("solo",)], ["text"])
+    got = [r.g for r in df.select(text.word_ngrams("text", 2).alias("g")).collect()]
+    assert got[0] == ["a a", "a a", "a b"]  # multiset, not distinct
+    assert got[1] == []
+
+
+def test_repetition_features(spark):
+    df = spark.createDataFrame([(1, "a a a b"), (2, "solo")], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in text.repetition_features(df).collect()}
+    r1 = rows[1]
+    assert r1.n_tokens == 4
+    assert r1.distinct_token_frac == 2 / 4
+    assert r1.top_token_frac == 3 / 4
+    assert r1.top_bigram_frac == 2 / 3  # "a a" twice of 3 bigrams
+    r2 = rows[2]
+    assert r2.n_tokens == 1 and r2.top_bigram_frac == 0.0
+
+
+def test_pii_redaction_and_counts(spark):
+    t = "mail bob.smith+x@corp.example.org then 10.1.2.3 and call 555-0199 end"
+    df = spark.createDataFrame([(t,)], ["text"])
+    r = df.select(
+        text.redact_pii("text").alias("red"),
+        text.pii_count("text", "email").alias("ne"),
+        text.pii_count("text", "ip").alias("ni"),
+        text.pii_count("text", "phone").alias("np"),
+    ).collect()[0]
+    assert r.red == "mail <EMAIL> then <IP> and call <PHONE> end"
+    assert (r.ne, r.ni, r.np) == (1, 1, 1)
+
+
+def test_pii_redaction_clean_text_untouched(spark):
+    df = spark.createDataFrame([("no pii here at all",)], ["text"])
+    r = df.select(text.redact_pii("text").alias("red")).collect()[0]
+    assert r.red == "no pii here at all"
