@@ -1647,3 +1647,132 @@ def q54_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderstatus").cast("long").alias("g_status"),
         F.grouping("o_orderpriority").cast("long").alias("g_priority"),
     )
+
+
+@query(
+    "q55_window_value_functions",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           o_orderpriority,
+           CAST(first_value(o_orderkey) OVER wf AS BIGINT) AS first_k,
+           CAST(last_value(o_orderkey) OVER wf AS BIGINT) AS last_k,
+           CAST(nth_value(o_orderkey, 3) OVER wf AS BIGINT) AS third_k,
+           CAST(lead(o_orderkey, 2, -1) OVER wo AS BIGINT) AS lead2_k,
+           CAST(lag(o_orderkey, 2, -1) OVER wo AS BIGINT) AS lag2_k,
+           CAST(ntile(4) OVER wo AS BIGINT) AS quartile
+    FROM orders
+    WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-01-31'
+    WINDOW wf AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           wo AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+    """,
+    survey_rows=("W-value",),
+    doc="Window value-function breadth: first_value/last_value/nth_value "
+    "over an explicit unbounded ROWS frame (default frames differ between "
+    "engines: RANGE ... CURRENT ROW would make last_value the running last), "
+    "lead/lag with offset 2 and a default, ntile. Total order "
+    "(o_orderdate, o_orderkey) makes every output tie-free.",
+)
+def q55_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-01-31")
+    )
+    wo = W.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    wf = wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    k = F.col("o_orderkey")
+    return o.select(
+        k.cast("long").alias("o_orderkey"),
+        "o_orderpriority",
+        F.first(k).over(wf).cast("long").alias("first_k"),
+        F.last(k).over(wf).cast("long").alias("last_k"),
+        F.nth_value(k, 3).over(wf).cast("long").alias("third_k"),
+        F.lead(k, 2, -1).over(wo).cast("long").alias("lead2_k"),
+        F.lag(k, 2, -1).over(wo).cast("long").alias("lag2_k"),
+        F.ntile(4).over(wo).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "q56_higher_order_array_functions",
+    oracle="""
+    WITH arrs AS (
+      SELECT l_orderkey,
+             list_sort(list(CAST(l_quantity AS BIGINT))) AS arr
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(len(arr) AS BIGINT) AS n_items,
+           CAST(list_sum(arr) AS BIGINT) AS sum_qty,
+           CAST(len(list_filter(arr, x -> x > 25)) AS BIGINT) AS n_large,
+           CAST(arr[1] AS BIGINT) AS min_qty,
+           CAST(arr[-1] AS BIGINT) AS max_qty,
+           CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT) AS sum_sq,
+           CAST(list_sum(list_transform(range(1, len(arr) + 1),
+                i -> arr[i] * arr[len(arr) - i + 1])) AS BIGINT) AS dot_rev
+    FROM arrs
+    """,
+    survey_rows=("F-arrays",),
+    doc="Higher-order array-function breadth over per-order quantity "
+    "arrays: collect_list -> array_sort (the sort makes the collect order "
+    "irrelevant), aggregate/fold, filter, transform, zip_with against the "
+    "reversed array. All element arithmetic integral, so every engine "
+    "agrees bit-for-bit. Scale shape: one groupBy building bounded "
+    "per-order arrays (~7 items), then map-only array math.",
+)
+def q56_higher_order_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    arrs = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.col("l_quantity").cast("long"))).alias("arr")
+    )
+    arr = F.col("arr")
+    zero = F.lit(0).cast("long")
+    return arrs.select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.size(arr).cast("long").alias("n_items"),
+        F.aggregate(arr, zero, lambda a, x: a + x).alias("sum_qty"),
+        F.size(F.filter(arr, lambda x: x > 25)).cast("long").alias("n_large"),
+        F.element_at(arr, 1).alias("min_qty"),
+        F.element_at(arr, -1).alias("max_qty"),
+        F.aggregate(F.transform(arr, lambda x: x * x), zero, lambda a, x: a + x).alias(
+            "sum_sq"
+        ),
+        F.aggregate(
+            F.zip_with(arr, F.reverse(arr), lambda x, y: x * y), zero, lambda a, x: a + x
+        ).alias("dot_rev"),
+    )
+
+
+@query(
+    "q57_regexp_breadth",
+    oracle="""
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,
+           CAST(CASE WHEN regexp_matches(p_name, '^(red|blue|green)\\b')
+                THEN 1 ELSE 0 END AS BIGINT) AS color_first,
+           COALESCE(array_to_string(regexp_extract_all(p_name, '\\b[a-z]{5,}\\b'), ','),
+                    '') AS long_words
+    FROM part
+    """,
+    survey_rows=("F-regexp",),
+    doc="Regexp breadth: anchored group extraction, match counting, "
+    "boolean pattern test, extract-all joined to a stable string — all in "
+    "the Java-regex/RE2 common subset (anchors, \\b, alternation, bounded "
+    "classes). Map-only over the part dim.",
+)
+def q57_regexp_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return p.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.regexp_extract(name, r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_count(name, F.lit(r"[a-z]+")).cast("long").alias("n_words"),
+        F.when(name.rlike(r"^(red|blue|green)\b"), 1).otherwise(0).cast("long").alias(
+            "color_first"
+        ),
+        F.array_join(F.regexp_extract_all(name, F.lit(r"\b[a-z]{5,}\b"), 0), ",").alias(
+            "long_words"
+        ),
+    )
