@@ -80,9 +80,10 @@ def corpus_line_dedup(
     boilerplate survive with n_kept=0 and empty new_text (left join)."""
     from .text import tokens  # local import: text.py does not import dedup
 
-    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks"))
+    toks = F.col("__toks")  # projected once; inline split would re-run per line
     n_lines_arr = F.ceil(F.size(toks) / F.lit(float(line_len)))
-    lines = df.select(
+    lines = base.select(
         F.col(id_col),
         F.posexplode(
             F.transform(

@@ -1165,7 +1165,11 @@ def x21_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x28_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
-        "doc_id", "source", F.explode(text.word_shingles("text", 3)).alias("sh")
+        "doc_id", "source", text.tokens(F.lower(F.col("text"))).alias("__toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.explode(text.ngrams_from_tokens(F.col("__toks"), 3, distinct=True)).alias("sh"),
     )
     bench = (
         sh.filter(F.col("source") == "src0").select("sh").distinct()

@@ -1776,3 +1776,68 @@ def q57_regexp_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long_words"
         ),
     )
+
+
+@query(
+    "q58_correlated_scalar_subquery",
+    oracle="""
+    SELECT CAST(o1.o_custkey AS BIGINT) AS o_custkey,
+           COUNT(*) AS n_above_own_avg
+    FROM orders o1
+    WHERE CAST(round(o1.o_totalprice * 100) AS BIGINT) >
+          (SELECT AVG(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+           FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
+    GROUP BY o1.o_custkey
+    """,
+    survey_rows=("J9", "A6"),
+    doc="CORRELATED scalar subquery (each order compared to its own "
+    "customer's average) — q06 is the uncorrelated J9 twin. Run through "
+    "spark.sql so Catalyst performs the decorrelation rewrite: the "
+    "subquery becomes a per-custkey aggregate joined back on the "
+    "correlation key (one shuffle each side), NOT a per-row re-scan — "
+    "which is precisely why the shape survives 100 TB. Averages are over "
+    "exact cents (BIGINT sum / count = one double division, bit-stable).",
+)
+def q58_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q58")
+    return spark.sql(
+        """
+        SELECT CAST(o1.o_custkey AS BIGINT) AS o_custkey,
+               COUNT(*) AS n_above_own_avg
+        FROM orders_q58 o1
+        WHERE CAST(round(o1.o_totalprice * 100) AS BIGINT) >
+              (SELECT AVG(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+               FROM orders_q58 o2 WHERE o2.o_custkey = o1.o_custkey)
+        GROUP BY o1.o_custkey
+        """
+    )
+
+
+@query(
+    "q59_intersect_except_all",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM (
+         (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         INTERSECT ALL
+         (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')))
+        AS multiset_common,
+      (SELECT COUNT(*) FROM (
+         (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         EXCEPT ALL
+         (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')))
+        AS multiset_f_surplus
+    """,
+    survey_rows=("SET-intersect", "SET-except"),
+    doc="Multiset INTERSECT ALL / EXCEPT ALL (bag semantics: per-key "
+    "min/difference of multiplicities), completing q34's distinct-set "
+    "row. Spark compiles both to a count-aggregate + generate replay, "
+    "one shuffle per side.",
+)
+def q59_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    common = f.intersectAll(op).agg(F.count(F.lit(1)).alias("multiset_common"))
+    surplus = f.exceptAll(op).agg(F.count(F.lit(1)).alias("multiset_f_surplus"))
+    return common.crossJoin(surplus)

@@ -42,6 +42,12 @@ SUBSET = [
     "x10_lsh_ann_recall",
     "x22_dedup_components",
     "x23_tfidf_top_terms",
+    # round-3 operators
+    "x31_repetition_stats",
+    "x32_corpus_line_dedup",
+    "x33_pii_redaction",
+    "x34_quantized_ann",
+    "q56_higher_order_array_functions",
 ]
 
 
