@@ -1841,3 +1841,48 @@ def q59_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = f.intersectAll(op).agg(F.count(F.lit(1)).alias("multiset_common"))
     surplus = f.exceptAll(op).agg(F.count(F.lit(1)).alias("multiset_f_surplus"))
     return common.crossJoin(surplus)
+
+
+@query(
+    "q60_recursive_cte_spine",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE m < DATE '1996-12-01'
+    ), per_month AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(months.m AS VARCHAR) AS month,
+           CAST(COALESCE(per_month.n, 0) AS BIGINT) AS n_orders
+    FROM months LEFT JOIN per_month ON months.m = per_month.m
+    """,
+    survey_rows=("SET-union", "J6"),
+    doc="WITH RECURSIVE (new engine surface in Spark 4): a recursive "
+    "month spine (anchor + 23 recursive steps over 1995-1996) gap-filling order counts — "
+    "the recursion-based twin of q37's sequence() spine. Each recursive "
+    "step is a tiny local union; the real work stays in the one hash "
+    "aggregate over orders. Recursion depth is bounded by the date "
+    "predicate, so the plan is safe at any corpus scale (the spine is "
+    "calendar-sized, not data-sized).",
+)
+def q60_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q60")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+          WHERE m < DATE '1996-12-01'
+        ), per_month AS (
+          SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m, COUNT(*) AS n
+          FROM orders_q60 GROUP BY 1
+        )
+        SELECT CAST(months.m AS STRING) AS month,
+               CAST(COALESCE(per_month.n, 0) AS BIGINT) AS n_orders
+        FROM months LEFT JOIN per_month ON months.m = per_month.m
+        """
+    )
