@@ -30,21 +30,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing quirks so downstream plans see
     clean types.
 
-    - ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
-      ``spark.sql.legacy.parquet.nanosAsLong`` Spark surfaces it as a long —
-      convert to a microsecond timestamp (UTC session tz).  Aggregations in
-      this engine only ever bucket at >= second granularity, so the
-      nanosecond truncation is semantics-free.
+    - ``events.ts`` arrives in one of three physical forms depending on the
+      driver's generator version, all normalized here to a session-tz
+      (UTC) microsecond TIMESTAMP so every consumer — including
+      ``unix_micros``, which rejects TIMESTAMP_NTZ — sees one type:
+      TIMESTAMP(NANOS) surfaced as a long under
+      ``spark.sql.legacy.parquet.nanosAsLong`` (rounds 1-2),
+      TIMESTAMP(MICROS, NTZ) read natively (round 3+), or an already-LTZ
+      timestamp. With the UTC session timezone the NTZ->LTZ cast is
+      wall-clock-identical, and aggregations only ever bucket at >= second
+      granularity, so nanosecond truncation is semantics-free.
     """
     if name == "events":
         # runtime-settable; required even when the caller's session builder
         # didn't set it (e.g. the driver's own SparkSession)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division, not float: epoch-ns (~1.7e18) exceeds double's
-        # 53-bit exact range, so `/1000` could be off by 1µs near boundaries
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division, not float: epoch-ns (~1.7e18) exceeds double's
+            # 53-bit exact range, so `/1000` could be off by 1µs near boundaries
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -23,14 +23,16 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-# events.parquet physical schema (ts is TIMESTAMP(NANOS) -> long under
-# nanosAsLong, converted to a timestamp below)
+# events.parquet physical schema (round-3 generator: ts is
+# TIMESTAMP(MICROS, NTZ); normalized to a session-tz timestamp below, which
+# under the UTC session timezone is wall-clock-identical)
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -48,13 +50,12 @@ def event_stream(
     """File-source stream over a directory of events parquet files (one file
     per micro-batch; in production new files land and are picked up
     incrementally)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", glob)
         .parquet(directory)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
 
 

@@ -171,3 +171,37 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     n_rows = spark.sql("SELECT COUNT(*) c FROM dedup_events").first().c
     n_src = load_table(spark, SF_SMALL, "events").count()
     assert n_rows == n_stream == n_src  # 2x deliveries -> exactly one each
+
+
+def test_foreachbatch_upsert_stream(spark, tmp_path):
+    """CDC micro-batches MERGE into a parquet target: later batches update
+    matched keys and insert new ones; the final table equals the
+    latest-change-per-key view of the whole stream."""
+    from airbnb_listings_data_pipelines_spark.streaming.upsert import upsert_stream
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 11), (3, "c", 12)], ["id", "val", "ord"]
+    )
+    b2 = spark.createDataFrame(
+        [(2, "b2", 20), (2, "b3", 21), (4, "d", 22)], ["id", "val", "ord"]
+    )
+    b1.coalesce(1).write.parquet(str(src / "batch_000.parquet"))
+    b2.coalesce(1).write.parquet(str(src / "batch_001.parquet"))
+
+    stream = (
+        spark.readStream.schema("id long, val string, ord long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    target = str(tmp_path / "target")
+    q = upsert_stream(
+        stream, target, keys=["id"], order_col="ord",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.id, r.val) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a"), (2, "b3"), (3, "c"), (4, "d")}
