@@ -65,11 +65,22 @@ _CHECK_FIRST = [
     "q31_semi_anti_joins",
     "x20_scd2_version_history",
     "x21_token_chunking",
-    # round-3 additions (never driver-checked) — slots 31-34
+    # round-3 additions (never driver-checked) — slots 31-45
     "x28_ngram_contamination",
     "x29_token_rarity_score",
     "x30_source_mixture_sample",
     "q54_grouping_sets",
+    "x31_repetition_stats",
+    "x32_corpus_line_dedup",
+    "x33_pii_redaction",
+    "x34_quantized_ann",
+    "q55_window_value_functions",
+    "q56_higher_order_array_functions",
+    "q57_regexp_breadth",
+    "q58_correlated_scalar_subquery",
+    "q59_intersect_except_all",
+    "q60_recursive_cte_spine",
+    "q61_bitwise_breadth",
 ]
 
 

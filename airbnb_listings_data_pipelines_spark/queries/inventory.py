@@ -1886,3 +1886,40 @@ def q60_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM months LEFT JOIN per_month ON months.m = per_month.m
         """
     )
+
+
+@query(
+    "q61_bitwise_breadth",
+    oracle="""
+    SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           COUNT(*) AS n,
+           CAST(bit_and(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_bit_and,
+           CAST(bit_or(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_bit_or,
+           CAST(bit_xor(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_bit_xor,
+           CAST(SUM(CAST(l_quantity AS BIGINT) & 7) AS BIGINT) AS sum_and7,
+           CAST(SUM(CAST(l_quantity AS BIGINT) >> 2) AS BIGINT) AS sum_shr2,
+           CAST(SUM(xor(CAST(l_quantity AS BIGINT), CAST(l_orderkey AS BIGINT) & 15))
+                AS BIGINT) AS sum_xor_mix
+    FROM lineitem GROUP BY 1
+    """,
+    survey_rows=("F-bitwise", "A8"),
+    doc="Bitwise breadth: scalar AND/shift/XOR inside aggregates plus the "
+    "bit_and/bit_or/bit_xor aggregate family — integer-exact everywhere, "
+    "one hash aggregate with map-side partials. (Spark spells aggregate "
+    "XOR bit_xor and scalar XOR ^; DuckDB spells scalar XOR xor() — the "
+    "semantics align bit-for-bit.)",
+)
+def q61_bitwise_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    return li.groupBy(F.col("l_linenumber").cast("long").alias("l_linenumber")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_and(q).alias("qty_bit_and"),
+        F.bit_or(q).alias("qty_bit_or"),
+        F.bit_xor(q).alias("qty_bit_xor"),
+        F.sum(q.bitwiseAND(F.lit(7))).cast("long").alias("sum_and7"),
+        F.sum(F.shiftright(q, 2)).cast("long").alias("sum_shr2"),
+        F.sum(q.bitwiseXOR(F.col("l_orderkey").cast("long").bitwiseAND(F.lit(15))))
+        .cast("long")
+        .alias("sum_xor_mix"),
+    )
