@@ -127,3 +127,31 @@ def test_frame_sampling_one_to_many(spark):
     assert sorted((r.media_id, r.frame_idx, bytes(r.frame_bytes)) for r in again) == sorted(
         (r.media_id, r.frame_idx, bytes(r.frame_bytes)) for r in rows
     )
+
+
+def test_resize_bmp_bytes_no_spark():
+    # 4x2 gradient: pixel = (x, y, x+y); downsize to 2x1 -> nearest picks (0,0) and (2,0)
+    src = multimodal.make_bmp(4, 2, lambda x, y: (x, y, x + y))
+    out = multimodal.resize_bmp_bytes(src, 2, 1)
+    meta = multimodal.decode_bmp(out)
+    assert (meta["width"], meta["height"]) == (2, 1)
+    px = multimodal.bmp_pixels(out)
+    assert px[0][0] == (0, 0, 0)
+    assert px[0][1] == (2, 0, 2)
+
+
+def test_resize_bmp_distributed_roundtrip(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(20)
+    media = multimodal.synthesize_codec_media(docs).filter(F.col("modality") == "image")
+    out = multimodal.resize_bmp(media, 6, 6).collect()
+    assert len(out) > 0
+    for r in out:
+        assert (r.width, r.height) == (6, 6)
+        meta = multimodal.decode_bmp(bytes(r.content))
+        assert (meta["width"], meta["height"]) == (6, 6)
+
+
+def test_resize_bmp_null_on_garbage(spark):
+    bad = spark.createDataFrame([(1, bytearray(b"not a bmp"))], "media_id long, content binary")
+    r = multimodal.resize_bmp(bad, 4, 4).collect()[0]
+    assert r.content is None and r.n_bytes is None
