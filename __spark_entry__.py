@@ -65,7 +65,7 @@ _CHECK_FIRST = [
     "q31_semi_anti_joins",
     "x20_scd2_version_history",
     "x21_token_chunking",
-    # round-3 additions (never driver-checked) — slots 31-45
+    # round-3 additions (never driver-checked) — slots 31-46
     "x28_ngram_contamination",
     "x29_token_rarity_score",
     "x30_source_mixture_sample",
@@ -81,6 +81,7 @@ _CHECK_FIRST = [
     "q59_intersect_except_all",
     "q60_recursive_cte_spine",
     "q61_bitwise_breadth",
+    "x35_weighted_bernoulli_sample",
 ]
 
 

@@ -56,3 +56,31 @@ def hash_stratified_sample(
     # round, don't truncate: 0.8*1000 may be 799.999... in binary floats
     thresh = F.round(frac * buckets).cast("long")
     return df.filter(hash_sample_bucket(F.col(key_col), buckets) < thresh)
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    weight_cap: Column,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling in EXACT integer
+    arithmetic: keep a row iff
+
+        md5_hash32(key) * cap  <  weight * 2^32
+
+    i.e. with probability weight/cap, using the key hash as the uniform
+    draw. Both sides are BIGINT products (no float rounding, no RNG
+    state), so the sample is reproducible across runs, engines, and
+    partitionings, and stable under incremental corpus growth — the same
+    guarantees as hash_stratified_sample, extended to PER-ROW
+    probabilities (quality-weighted corpus downsampling). ``weight_cap``
+    arrives as a 1-row broadcast column (J9 idiom), typically
+    max(weight) over the corpus.
+
+    Map-only after the 1-row broadcast: runs at scan speed at 100 TB.
+    """
+    h = md5_hash32(F.col(key_col).cast("string"))
+    return df.filter(
+        h * weight_cap < F.col(weight_col).cast("long") * F.lit(1 << 32).cast("long")
+    )

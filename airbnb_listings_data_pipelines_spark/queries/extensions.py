@@ -1479,3 +1479,41 @@ def x34_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     return similarity.quantized_topk(emb, queries_df, k=5)
+
+
+@query(
+    "x35_weighted_bernoulli_sample",
+    oracle="""
+    WITH cap AS (SELECT MAX(n_chars) AS mx FROM documents),
+    hashed AS (
+      SELECT doc_id, n_chars,
+             CAST(list_sum(list_transform(range(1, 9), i ->
+               (strpos('0123456789abcdef',
+                       substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+               * CAST(pow(16, 8 - i) AS BIGINT))) AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT doc_id, n_chars, h
+    FROM hashed, cap
+    WHERE h * mx < n_chars * CAST(4294967296 AS BIGINT)
+    """,
+    survey_rows=("EXT-sampling", "J9", "P8"),
+    doc="Quality-weighted Bernoulli sampling: keep each doc with "
+    "probability n_chars/max(n_chars), decided by EXACT integer compare "
+    "md5_hash32(doc_id)*cap < n_chars*2^32 — reproducible across engines/"
+    "runs/partitionings with no RNG state, per-row probabilities (the "
+    "generalization of x19's uniform hash-stratified sample). Cap is a "
+    "1-row broadcast (J9); the filter is map-only at scan speed. See "
+    "operators/sampling.weighted_bernoulli_sample.",
+)
+def x35_weighted_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    cap = docs.agg(F.max("n_chars").alias("__cap"))
+    kept = sampling.weighted_bernoulli_sample(
+        docs.crossJoin(F.broadcast(cap)), "doc_id", "n_chars", F.col("__cap")
+    )
+    return kept.select(
+        "doc_id", "n_chars", dedup.md5_hash32(F.col("doc_id").cast("string")).alias("h")
+    )
