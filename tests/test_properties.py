@@ -71,3 +71,43 @@ def test_null_tokens_exactly(spark, vals):
     df = spark.createDataFrame([(v,) for v in vals], ["s"])
     out = [r.c for r in df.select(nullify_tokens("s").alias("c")).collect()]
     assert out == [None if v in ("\\N", "NULL", "NUL", "") else v for v in vals]
+
+
+words = st.lists(
+    st.text(alphabet="abcxyz0123", min_size=1, max_size=6), min_size=0, max_size=12
+)
+
+
+@FAST
+@given(words, st.integers(min_value=1, max_value=4))
+def test_ngrams_from_tokens_matches_inline_form(spark, toks, k):
+    """The projected-tokens fast path and the convenience inline form are
+    the same function (the difference is evaluation count, not results)."""
+    from airbnb_listings_data_pipelines_spark.operators import text as T
+
+    txt = " ".join(toks)
+    df = spark.createDataFrame([(txt,)], ["text"])
+    fast = (
+        df.select(T.tokens(F.lower(F.col("text"))).alias("__toks"))
+        .select(T.ngrams_from_tokens(F.col("__toks"), k).alias("g"))
+        .collect()[0]
+        .g
+    )
+    inline = df.select(T.word_ngrams("text", k).alias("g")).collect()[0].g
+    assert fast == inline
+    # count invariant: n-k+1 n-grams for n>=k tokens, else none
+    n = len(txt.split())
+    assert len(fast) == (max(0, n - k + 1) if n >= k else 0)
+
+
+@FAST
+@given(st.text(alphabet="ab1.@- xyz\n", max_size=60))
+def test_pii_redaction_idempotent(spark, s):
+    """Redacting already-redacted text changes nothing (placeholders never
+    re-match any PII pattern)."""
+    from airbnb_listings_data_pipelines_spark.operators import text as T
+
+    df = spark.createDataFrame([(s,)], ["t"])
+    once = df.select(T.redact_pii("t").alias("r"))
+    twice = once.select(T.redact_pii("r").alias("r"))
+    assert once.collect()[0].r == twice.collect()[0].r
