@@ -1923,3 +1923,40 @@ def q61_bitwise_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_xor_mix"),
     )
+
+
+@query(
+    "q62_cube_status_year",
+    oracle="""
+    SELECT o_orderstatus, o_year,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_year) AS BIGINT) AS g_year
+    FROM (SELECT o_orderstatus,
+                 CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+                 o_totalprice
+          FROM orders)
+    GROUP BY CUBE (o_orderstatus, o_year)
+    """,
+    survey_rows=("A-rollup",),
+    doc="CUBE over (status, order year): all 4 grouping combinations in one "
+    "pass — completes the multidimensional-aggregation family next to q32 "
+    "ROLLUP and q54 GROUPING SETS. Physically one Expand (4 replicas) + one "
+    "hash aggregate with map-side partials; grand total and both margins "
+    "come out of the same shuffle rather than 4 scans. GROUPING markers "
+    "disambiguate cube NULLs from data NULLs (exact cents accumulators, "
+    "registry rule 1).",
+)
+def q62_cube_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.year(F.col("o_orderdate").cast("date")).cast("long").alias("o_year"),
+        "o_totalprice",
+    )
+    return o.cube("o_orderstatus", "o_year").agg(
+        F.count(F.lit(1)).alias("n"),
+        _cents_sum_raw(F.col("o_totalprice")).alias("total_cents"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_year").cast("long").alias("g_year"),
+    )

@@ -53,6 +53,6 @@ def query(
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side-effect: fills REGISTRY)."""
-    from . import extensions, inventory, streaming_batch, timeseries  # noqa: F401
+    from . import extensions, inventory, sketches, streaming_batch, timeseries  # noqa: F401
 
     return REGISTRY

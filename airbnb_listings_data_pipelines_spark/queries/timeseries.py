@@ -230,3 +230,125 @@ def q53_new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q63_gapfill_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily
+    ), cal AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM span
+    ), grid AS (
+      SELECT et.event_type, cal.d
+      FROM (SELECT DISTINCT event_type FROM daily) et CROSS JOIN cal
+    )
+    SELECT g.event_type,
+           strftime(g.d, '%Y-%m-%d') AS day,
+           CAST(daily.cents AS BIGINT) AS observed_cents,
+           CAST(last_value(daily.cents IGNORE NULLS) OVER (
+                  PARTITION BY g.event_type ORDER BY g.d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS locf_cents,
+           CAST(CASE WHEN daily.cents IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+    FROM grid g LEFT JOIN daily ON g.event_type = daily.event_type AND g.d = daily.d
+    """,
+    survey_rows=("EXT-gapfill", "W4", "J5"),
+    doc="Time-series gap-fill + LOCF (last observation carried forward): "
+    "daily per-type totals left-joined onto a dense (type x calendar) grid "
+    "built from sequence()+explode on a 1-row span aggregate, then "
+    "last(ignorenulls) over an UNBOUNDED PRECEDING row frame. The grid is "
+    "calendar-sized (days x types, tiny) so both build sides broadcast; "
+    "the only data-sized work is the one daily hash aggregate. Days before "
+    "a type's first observation stay NULL by design.",
+)
+def q63_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    cal = (
+        daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    grid = daily.select("event_type").distinct().crossJoin(F.broadcast(cal))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(F.broadcast(daily), ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("cents").alias("observed_cents"),
+            F.last("cents", ignorenulls=True).over(w).alias("locf_cents"),
+            F.col("cents").isNull().cast("long").alias("filled"),
+        )
+    )
+
+
+@query(
+    "q64_retention_cohorts",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(floor(date_diff('day', DATE '2024-01-01',
+                                  CAST(date_trunc('day', ts) AS DATE)) / 7)
+                  AS BIGINT) AS week
+      FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, week FROM ev
+    ), cells AS (
+      SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+             COUNT(*) AS n_users
+      FROM active a JOIN cohort c USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset, n_users,
+           n_users / (MAX(CASE WHEN week_offset = 0 THEN n_users END)
+                        OVER (PARTITION BY cohort_week)) AS retention
+    FROM cells
+    """,
+    survey_rows=("EXT-cohort", "A2", "W6"),
+    doc="Weekly cohort retention triangle: cohort = each user's first "
+    "active week (anchored integer week index — identical Monday-epoch "
+    "arithmetic in both engines, no locale-dependent week truncation), "
+    "cells = distinct (user, week) activity counted per (cohort, offset), "
+    "retention = cell / cohort size via a window over the tiny cell table. "
+    "Two shuffles on user_id (first-week agg + distinct) and one on the "
+    "cohort key; the window runs over weeks^2 rows, not data.",
+)
+def q64_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.datediff(F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7
+        ).alias("week"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    cells = (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    w = W.partitionBy("cohort_week")
+    base = F.max(F.when(F.col("week_offset") == 0, F.col("n_users"))).over(w)
+    return cells.select(
+        "cohort_week", "week_offset", "n_users", (F.col("n_users") / base).alias("retention")
+    )
