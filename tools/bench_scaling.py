@@ -48,6 +48,10 @@ SUBSET = [
     "x33_pii_redaction",
     "x34_quantized_ann",
     "q56_higher_order_array_functions",
+    "q62_cube_status_year",
+    "q63_gapfill_locf",
+    "q64_retention_cohorts",
+    "x36_mergeable_hll_rollup",
 ]
 
 
