@@ -158,3 +158,42 @@ def q36_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("k") % 10).alias("k_bucket"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
     )
+
+
+@query(
+    "q65_variant_semistructured",
+    oracle="""
+    SELECT CAST(props->>'k' AS BIGINT) % 7 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN json_extract(props::JSON, '$.missing') IS NULL
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_missing_key,
+           CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_unparseable
+    FROM events
+    GROUP BY 1
+    """,
+    survey_rows=("EXT-json",),
+    doc="Spark 4 VARIANT path for semi-structured data — the scale upgrade "
+    "over q36's from_json: parse_json encodes props ONCE into the "
+    "shreddable binary VARIANT form, then variant_get extracts typed "
+    "fields without a fixed schema and try_variant_get on an absent path "
+    "yields NULL instead of failing (schema drift tolerated row-by-row). "
+    "try_parse_json counts unparseable payloads instead of aborting the "
+    "job — at 100 TB a malformed record must cost one NULL, not a retry "
+    "storm. All extraction is JVM-side expression work.",
+)
+def q65_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    parsed = ev.select(
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing"),
+        F.try_parse_json("props").alias("maybe"),
+    )
+    return parsed.groupBy((F.col("k") % 7).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.sum(F.col("missing").isNotNull().cast("long")).alias("n_missing_key"),
+        F.sum(F.col("maybe").isNull().cast("long")).alias("n_unparseable"),
+    )
