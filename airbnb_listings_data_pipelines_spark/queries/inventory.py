@@ -1960,3 +1960,166 @@ def q62_cube_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderstatus").cast("long").alias("g_status"),
         F.grouping("o_year").cast("long").alias("g_year"),
     )
+
+
+@query(
+    "q66_stats_aggregate_breadth",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT flag, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy,
+             corr(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS b_corr,
+             regr_slope(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS b_slope,
+             regr_intercept(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS b_icept,
+             covar_samp(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS b_covar,
+             stddev_samp(CAST(x AS DOUBLE)) AS b_sd
+      FROM pts GROUP BY flag
+    ), d AS (
+      SELECT *,
+        CAST(n*sxy - sx*sy AS DOUBLE)
+          / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+          AS d_corr,
+        CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS d_slope,
+        CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) AS d_covar,
+        sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) AS d_sd
+      FROM m
+    )
+    SELECT flag, n, sx, sy, sxx, syy, sxy,
+           d_corr, d_slope,
+           (CAST(sy AS DOUBLE) - d_slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+             AS d_icept,
+           d_covar, d_sd,
+           CAST(CASE WHEN abs(b_corr - d_corr) <= 1e-9 THEN 1 ELSE 0 END AS BIGINT) AS ok_corr,
+           CAST(CASE WHEN abs(b_slope - d_slope)
+                          <= 1e-9 * greatest(abs(d_slope), 1.0) THEN 1 ELSE 0 END AS BIGINT) AS ok_slope,
+           CAST(CASE WHEN abs(b_icept - (CAST(sy AS DOUBLE) - d_slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+                          <= 1e-9 * greatest(abs(d_slope), 1.0) THEN 1 ELSE 0 END AS BIGINT) AS ok_icept,
+           CAST(CASE WHEN abs(b_covar - d_covar)
+                          <= 1e-9 * greatest(abs(d_covar), 1.0) THEN 1 ELSE 0 END AS BIGINT) AS ok_covar,
+           CAST(CASE WHEN abs(b_sd - d_sd)
+                          <= 1e-9 * greatest(abs(d_sd), 1.0) THEN 1 ELSE 0 END AS BIGINT) AS ok_sd
+    FROM d
+    """,
+    survey_rows=("A-stats",),
+    doc="Statistical aggregate breadth (corr, regr_slope/intercept, "
+    "covar_samp, stddev_samp) with the q28/x36 bounded-error oracle "
+    "pattern: exact integer moments (n, Σx, Σy, Σx², Σy², Σxy as BIGINT — "
+    "one map-side-combined hash agg, no second pass) hash-match across "
+    "engines; the closed-form values derived from those moments in "
+    "identical IEEE expression order are bit-exact; and each engine gates "
+    "ITS OWN single-pass builtin against the derivation at 1e-9, because "
+    "float accumulation order across engines (and across partitionings at "
+    "scale) legitimately differs in last ulps.",
+)
+def q66_stats_aggregate_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+    m = pts.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.corr(yd, xd).alias("b_corr"),
+        F.regr_slope(yd, xd).alias("b_slope"),
+        F.regr_intercept(yd, xd).alias("b_icept"),
+        F.covar_samp(yd, xd).alias("b_covar"),
+        F.stddev_samp(xd).alias("b_sd"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    d_corr = (n * sxy - sx * sy).cast("double") / (
+        F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt((n * syy - sy * sy).cast("double"))
+    )
+    d_slope = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double")
+    d_covar = (n * sxy - sx * sy).cast("double") / (n * (n - 1)).cast("double")
+    d_sd = F.sqrt((n * sxx - sx * sx).cast("double") / (n * (n - 1)).cast("double"))
+    d = m.select(
+        "flag", "n", "sx", "sy", "sxx", "syy", "sxy",
+        d_corr.alias("d_corr"), d_slope.alias("d_slope"), d_covar.alias("d_covar"),
+        d_sd.alias("d_sd"), "b_corr", "b_slope", "b_icept", "b_covar", "b_sd",
+    )
+    d_icept = (sy.cast("double") - F.col("d_slope") * sx.cast("double")) / n.cast("double")
+    tol = lambda ref: 1e-9 * F.greatest(F.abs(ref), F.lit(1.0))  # noqa: E731
+    return d.select(
+        "flag", "n", "sx", "sy", "sxx", "syy", "sxy",
+        "d_corr", "d_slope", d_icept.alias("d_icept"), "d_covar", "d_sd",
+        (F.abs(F.col("b_corr") - F.col("d_corr")) <= 1e-9).cast("long").alias("ok_corr"),
+        (F.abs(F.col("b_slope") - F.col("d_slope")) <= tol(F.col("d_slope")))
+        .cast("long").alias("ok_slope"),
+        (F.abs(F.col("b_icept") - d_icept) <= tol(F.col("d_slope"))).cast("long").alias("ok_icept"),
+        (F.abs(F.col("b_covar") - F.col("d_covar")) <= tol(F.col("d_covar")))
+        .cast("long").alias("ok_covar"),
+        (F.abs(F.col("b_sd") - F.col("d_sd")) <= tol(F.col("d_sd"))).cast("long").alias("ok_sd"),
+    )
+
+
+@query(
+    "q67_map_functions",
+    oracle="""
+    WITH pc AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT s AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(CASE WHEN p = '1-URGENT' THEN n END) AS BIGINT) AS urgent_n,
+           CAST(NULL AS BIGINT) AS absent_n,
+           CAST(SUM(n) AS BIGINT) AS total_n,
+           string_agg(p, ',' ORDER BY p) AS keys_csv
+    FROM pc GROUP BY s
+    """,
+    survey_rows=("F-map",),
+    doc="Map-typed column breadth: per-status priority→count maps built "
+    "with map_from_entries over sorted entry arrays, split into two "
+    "disjoint halves and re-merged with map_concat (null-safe via typed "
+    "empty-map coalesce), then read back with element_at / "
+    "try_element_at (absent key → NULL, no error) / map_keys / "
+    "map_values + aggregate. Maps stay JVM-side expression work over one "
+    "(status, priority) hash agg; the oracle recomputes the same facts "
+    "relationally — proving the map round-trip loses nothing.",
+)
+def q67_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pc = o.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    def half_map(df, name):
+        return df.groupBy("s").agg(
+            F.map_from_entries(F.array_sort(F.collect_list(F.struct("p", "n")))).alias(name)
+        )
+
+    m1 = half_map(pc.filter(F.col("p") < "3"), "m1")
+    m2 = half_map(pc.filter(F.col("p") >= "3"), "m2")
+    empty = F.from_json(F.lit("{}"), "map<string, bigint>")
+    merged = (
+        m1.join(m2, "s", "full_outer")
+        .select(
+            "s",
+            F.map_concat(F.coalesce("m1", empty), F.coalesce("m2", empty)).alias("m"),
+        )
+    )
+    return merged.select(
+        F.col("s").alias("o_orderstatus"),
+        F.size("m").cast("long").alias("n_keys"),
+        F.element_at("m", F.lit("1-URGENT")).alias("urgent_n"),
+        F.try_element_at("m", F.lit("NO-SUCH-KEY")).alias("absent_n"),
+        F.aggregate(F.map_values("m"), F.lit(0).cast("long"), lambda a, b: a + b).alias(
+            "total_n"
+        ),
+        F.array_join(F.map_keys("m"), ",").alias("keys_csv"),
+    )

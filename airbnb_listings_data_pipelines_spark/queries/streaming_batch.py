@@ -197,3 +197,55 @@ def q65_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("missing").isNotNull().cast("long")).alias("n_missing_key"),
         F.sum(F.col("maybe").isNull().cast("long")).alias("n_unparseable"),
     )
+
+
+@query(
+    "q68_native_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM sess GROUP BY user_id, sid
+    """,
+    survey_rows=("§2.9", "EXT-session"),
+    doc="Native session_window aggregation (30-min gap) — the built-in "
+    "merging-session operator (Spark plans UpdatingSessions + one hash "
+    "agg keyed by (user, session)) vs q23's two-window gaps-and-islands "
+    "formulation of the SAME semantics. Session end = last event + gap "
+    "with an end-EXCLUSIVE boundary: an event arriving exactly at the "
+    "gap opens a NEW session (oracle uses >= on microsecond deltas to "
+    "mirror it). In streaming this operator is the state-store-merging "
+    "path; in batch it needs no per-user sort beyond the agg shuffle.",
+)
+def q68_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    return s.select(
+        "user_id",
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        "n_events",
+        "cents",
+    )
