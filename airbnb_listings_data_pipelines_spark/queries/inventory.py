@@ -1981,15 +1981,20 @@ def q62_cube_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
              covar_samp(CAST(y AS DOUBLE), CAST(x AS DOUBLE)) AS b_covar,
              stddev_samp(CAST(x AS DOUBLE)) AS b_sd
       FROM pts GROUP BY flag
+    ), dm AS (
+      SELECT *,
+             CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,
+             CAST(sy AS DOUBLE) AS dsy, CAST(sxx AS DOUBLE) AS dsxx,
+             CAST(syy AS DOUBLE) AS dsyy, CAST(sxy AS DOUBLE) AS dsxy
+      FROM m
     ), d AS (
       SELECT *,
-        CAST(n*sxy - sx*sy AS DOUBLE)
-          / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
-          AS d_corr,
-        CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS d_slope,
-        CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) AS d_covar,
-        sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) AS d_sd
-      FROM m
+        (dn*dsxy - dsx*dsy)
+          / (sqrt(dn*dsxx - dsx*dsx) * sqrt(dn*dsyy - dsy*dsy)) AS d_corr,
+        (dn*dsxy - dsx*dsy) / (dn*dsxx - dsx*dsx) AS d_slope,
+        (dn*dsxy - dsx*dsy) / (dn*(dn - 1)) AS d_covar,
+        sqrt((dn*dsxx - dsx*dsx) / (dn*(dn - 1))) AS d_sd
+      FROM dm
     )
     SELECT flag, n, sx, sy, sxx, syy, sxy,
            d_corr, d_slope,
@@ -2040,13 +2045,24 @@ def q66_stats_aggregate_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp(xd).alias("b_sd"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    d_corr = (n * sxy - sx * sy).cast("double") / (
-        F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt((n * syy - sy * sy).cast("double"))
+    # moment COMBINATIONS in double, not BIGINT: n*syy overflows int64 once
+    # n·y² passes ~9.2e18 (hit at the 10x probe), while the raw moments
+    # themselves stay exact far longer (y ≤ 1e5 ⇒ Σy² fits to n ≈ 9e8/group;
+    # beyond that, switch the accumulators to DECIMAL(38,0) — still exact
+    # and mergeable). Both engines evaluate the identical IEEE expression
+    # over identical bigint-cast doubles, so derived values stay bit-exact.
+    dn, dsx, dsy = n.cast("double"), sx.cast("double"), sy.cast("double")
+    dsxx, dsyy, dsxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
     )
-    d_slope = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double")
-    d_covar = (n * sxy - sx * sy).cast("double") / (n * (n - 1)).cast("double")
-    d_sd = F.sqrt((n * sxx - sx * sx).cast("double") / (n * (n - 1)).cast("double"))
+    d_corr = (dn * dsxy - dsx * dsy) / (
+        F.sqrt(dn * dsxx - dsx * dsx) * F.sqrt(dn * dsyy - dsy * dsy)
+    )
+    d_slope = (dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx)
+    d_covar = (dn * dsxy - dsx * dsy) / (dn * (dn - 1))
+    d_sd = F.sqrt((dn * dsxx - dsx * dsx) / (dn * (dn - 1)))
     d = m.select(
         "flag", "n", "sx", "sy", "sxx", "syy", "sxy",
         d_corr.alias("d_corr"), d_slope.alias("d_slope"), d_covar.alias("d_covar"),

@@ -52,6 +52,10 @@ SUBSET = [
     "q63_gapfill_locf",
     "q64_retention_cohorts",
     "x36_mergeable_hll_rollup",
+    "q65_variant_semistructured",
+    "q66_stats_aggregate_breadth",
+    "q67_map_functions",
+    "q68_native_session_window",
 ]
 
 
