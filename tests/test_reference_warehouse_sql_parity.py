@@ -22,6 +22,8 @@ from __future__ import annotations
 import os
 import re
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from airbnb_listings_data_pipelines_spark.functions.snowflake_sql import run
@@ -33,19 +35,19 @@ from .fixtures import write_fixtures
 from .test_reference_staging_sql_parity import REFERENCE_SQL, _canon
 
 
-def _fact_insert(path: str) -> tuple[list[str], str]:
+def _insert_stmt(path: str, table: str) -> tuple[list[str], str]:
     text = open(path).read()
     text = "\n".join(line for line in text.splitlines() if not line.strip().startswith("--"))
     for stmt in (s.strip() for s in text.split(";") if s.strip()):
         m = re.match(
-            r"INSERT\s+INTO\s+datawarehouse\.fact_listing\s*\(([^)]*)\)\s*(WITH\s.*)$",
+            r"INSERT\s+INTO\s+datawarehouse\." + table + r"\s*\(([^)]*)\)\s*(.*)$",
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
         if m:
             cols = [c.strip().lower() for c in m.group(1).split(",") if c.strip()]
             return cols, m.group(2)
-    raise AssertionError("fact_listing INSERT not found in reference SQL")
+    raise AssertionError(f"{table} INSERT not found in reference SQL")
 
 
 @pytest.fixture(scope="module")
@@ -53,11 +55,12 @@ def staging_frames(spark, tmp_path_factory):
     data_dir = write_fixtures(tmp_path_factory.mktemp("warehouse_sql_raw"))
     raw = {
         key: read_positional_csv(spark, data_dir, glob=RAW_GLOBS[key], n_cols=RAW_WIDTHS[key])
-        for key in ("listing", "ssc", "lga")
+        for key in ("listing", "ssc", "lga", "census_g01", "census_g02")
     }
     frames = {
         "staging_listing": staging.build_staging_listing(raw["listing"]),
         "staging_location": staging.build_staging_location(raw["ssc"], raw["lga"]),
+        "staging_census": staging.build_staging_census(raw["census_g01"], raw["census_g02"]),
     }
     spark.sql("CREATE DATABASE IF NOT EXISTS staging")
     for name, df in frames.items():
@@ -66,8 +69,24 @@ def staging_frames(spark, tmp_path_factory):
 
 
 @pytest.mark.skipif(not os.path.exists(REFERENCE_SQL), reason="reference not present")
+def test_reference_dim_census_insert_sql_matches_dataframe_impl(spark, staging_frames):
+    cols, body = _insert_stmt(REFERENCE_SQL, "dim_census")
+    got = run(spark, body)
+    assert len(got.columns) == len(cols), (len(got.columns), len(cols))
+    # INSERT implicitly casts into the target's declared types; the only
+    # type change dim_census declares vs staging_census is lga_code VARCHAR
+    # (design.sql:279) — apply it, as the INSERT executor would.
+    got = got.toDF(*cols).withColumn("lga_code", F.col("lga_code").cast("string"))
+    expected = warehouse.build_dim_census(staging_frames["staging_census"])
+    assert sorted(c.lower() for c in expected.columns) == sorted(cols)
+    g, e = _canon(got), _canon(expected)
+    assert len(g) == len(e) and len(g) > 0, (len(g), len(e))
+    assert g == e
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_SQL), reason="reference not present")
 def test_reference_fact_insert_sql_matches_dataframe_impl(spark, staging_frames):
-    cols, body = _fact_insert(REFERENCE_SQL)
+    cols, body = _insert_stmt(REFERENCE_SQL, "fact_listing")
     assert len(cols) == 91, len(cols)
 
     got = run(spark, body)
