@@ -1517,3 +1517,60 @@ def x35_weighted_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     return kept.select(
         "doc_id", "n_chars", dedup.md5_hash32(F.col("doc_id").cast("string")).alias("h")
     )
+
+
+@query(
+    "x37_embedding_decontamination",
+    oracle="""
+    WITH b AS (SELECT vec_id AS bid, embedding AS bv FROM embeddings
+               WHERE vec_id % 97 = 0),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0),
+    s AS (
+      SELECT c.vec_id,
+             list_sum(list_transform(range(1, len(c.embedding) + 1),
+                      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(b.bv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(b.bv) + 1),
+                      i -> CAST(b.bv[i] AS DOUBLE) * CAST(b.bv[i] AS DOUBLE)))))
+               AS cs
+      FROM c CROSS JOIN b
+    ), h AS (
+      SELECT vec_id, COUNT(*) AS n FROM s WHERE cs >= 0.3 GROUP BY vec_id
+    )
+    SELECT c.vec_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_bench_hits,
+           CAST(CASE WHEN h.n IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+    FROM c LEFT JOIN h USING (vec_id)
+    """,
+    survey_rows=("EXT-decontamination", "EXT-similarity"),
+    doc="Embedding-level benchmark decontamination — the semantic "
+    "complement of x28's n-gram shingle overlap: a training doc is "
+    "contaminated when its embedding lies within cosine >= 0.3 of ANY "
+    "benchmark vector (vec_id % 97, the held-out set). The benchmark side "
+    "is small BY DEFINITION (eval sets are 1e3-1e5 rows at any corpus "
+    "scale), so it broadcasts and the scan side streams once — linear in "
+    "corpus size with a tiny constant; same JVM fold as x09, so cosines "
+    "are bit-identical cross-engine and the >= threshold cannot straddle. "
+    "At benchmark sizes past the broadcast threshold the LSH-bucketed "
+    "candidate path (x10) prunes the pair space first. Clean docs emit "
+    "n_bench_hits=0 via the left join, so the output is a full per-doc "
+    "audit, not just the kill list.",
+)
+def x37_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv")
+    )
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    hits = (
+        corpus.crossJoin(F.broadcast(bench))
+        .filter(similarity.cosine(F.col("embedding"), F.col("bv")) >= 0.3)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return corpus.select("vec_id").join(hits, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_bench_hits"),
+        F.col("n").isNotNull().cast("long").alias("contaminated"),
+    )
