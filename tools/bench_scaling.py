@@ -56,6 +56,7 @@ SUBSET = [
     "q66_stats_aggregate_breadth",
     "q67_map_functions",
     "q68_native_session_window",
+    "x37_embedding_decontamination",
 ]
 
 
