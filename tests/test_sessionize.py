@@ -80,3 +80,61 @@ def test_stateful_sessionize_matches_batch(spark):
     )
     assert len(t) == (got["closed_by"] == "timeout").sum()
     assert (t["n_events"].values == t["n_events_exp"].values).all()
+
+
+def test_transformwithstate_sessionize_matches_applyinpandas(spark):
+    """The transformWithStateInPandas twin (sessionize_tws) must produce
+    the IDENTICAL session set as the applyInPandasWithState operator on
+    the same finite stream — two independent stateful engines
+    cross-checking each other.
+
+    transformWithState's Python state-server protocol needs the protobuf
+    runtime; without it the streaming runner crashes at init, so this
+    cross-check skips in containers lacking google.protobuf (the
+    applyInPandasWithState sessionizer above is the fully-tested path
+    there)."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if not has_protobuf:
+        _pytest.skip("transformWithState state server requires google.protobuf")
+    from airbnb_listings_data_pipelines_spark.streaming.sessionize_tws import (
+        sessionize_tws,
+    )
+
+    gap = 1800
+    out = sessionize_tws(event_stream(spark, SF_SMALL), gap_seconds=gap)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_tws")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM sessions_tws").toPandas()
+
+    # gap-closed sessions equal the batch gaps-and-islands ground truth
+    expected = _batch_sessions(spark, gap)
+    last_per_user = expected.loc[expected.groupby("user_id")["session_start"].idxmax()]
+    closed_expected = expected.merge(
+        last_per_user[["user_id", "session_start"]],
+        on=["user_id", "session_start"],
+        how="left",
+        indicator=True,
+    )
+    closed_expected = closed_expected[closed_expected["_merge"] == "left_only"]
+    key = ["user_id", "session_start"]
+    g = got[got["closed_by"] == "gap"].sort_values(key).reset_index(drop=True)
+    e = closed_expected.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(e), (len(g), len(e))
+    assert (g["n_events"].values == e["n_events"].values).all()
+    assert (
+        pd.to_datetime(g["session_end"]).values == pd.to_datetime(e["session_end"]).values
+    ).all()
