@@ -2139,3 +2139,42 @@ def q67_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_join(F.map_keys("m"), ",").alias("keys_csv"),
     )
+
+
+@query(
+    "q69_content_hashing_encoding",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           lower(hex(encode(substring(text, 1, 8)))) AS prefix_hex,
+           to_base64(encode(substring(text, 1, 8))) AS prefix_b64,
+           CAST(CASE WHEN decode(from_base64(to_base64(encode(text)))) = text
+                THEN 1 ELSE 0 END AS BIGINT) AS b64_roundtrip_ok
+    FROM documents WHERE doc_id < 200
+    """,
+    survey_rows=("F-hash", "EXT-fingerprint"),
+    doc="Content-addressing breadth: md5 / sha2-256 digests (the "
+    "cross-engine shared-hash foundation under x07/x16's simhash twins), "
+    "hex dump, and base64 round-trip over document text — all JVM "
+    "codegen'd expression work, the map-only fingerprinting a content "
+    "store keys blobs by. base64 is compared on a short prefix and as a "
+    "round-trip flag because Spark MIME-chunks encodings past 76 chars "
+    "(CRLF every 76) while DuckDB emits unchunked — same bytes, different "
+    "wrapping; hex is case-normalized (Spark upper, DuckDB upper, both "
+    "lowered) so the digest columns stay bit-comparable.",
+)
+def q69_content_hashing_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    prefix = F.encode(F.substring("text", 1, 8), "utf-8")
+    full = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2("text", 256).alias("sha256_hex"),
+        F.lower(F.hex(prefix)).alias("prefix_hex"),
+        F.base64(prefix).alias("prefix_b64"),
+        (F.decode(F.unbase64(F.base64(full)), "utf-8") == F.col("text"))
+        .cast("long")
+        .alias("b64_roundtrip_ok"),
+    )
