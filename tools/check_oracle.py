@@ -62,7 +62,13 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            odf = con.sql(spec.oracle).df()
+            # q24's oracle must hardcode the driver's sf0.01 path (DuckDB's
+            # filename pseudo-column only exists on a direct read_parquet
+            # scan, not through the pre-registered views). Rewrite it to
+            # THIS run's sf_dir so cross-SF sweeps compare like with like;
+            # the string the driver executes at sf0.01 is unchanged.
+            oracle_sql = spec.oracle.replace("/root/testdata/sf0.01", sf_dir)
+            odf = con.sql(oracle_sql).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
