@@ -1574,3 +1574,73 @@ def x37_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         F.coalesce("n", F.lit(0)).cast("long").alias("n_bench_hits"),
         F.col("n").isNotNull().cast("long").alias("contaminated"),
     )
+
+
+@query(
+    "x38_retrieve_rerank",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+               WHERE vec_id < 4),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS doc_id,
+             list_sum(list_transform(range(1, len(c.embedding) + 1),
+                      i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+                      i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+               AS cos_sim
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    ), cand AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, doc_id) AS retrieval_rnk
+        FROM scored) WHERE retrieval_rnk <= 20
+    ), rer AS (
+      SELECT cand.query_id, cand.doc_id, cand.cos_sim,
+             0.8 * cand.cos_sim
+               + 0.2 * (CAST(least(d.n_chars, 1000) AS DOUBLE) / 1000.0) AS rerank_score
+      FROM cand JOIN documents d ON cand.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, cos_sim, rerank_score, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rerank_score DESC, doc_id) AS rnk
+          FROM rer)
+    WHERE rnk <= 5
+    """,
+    survey_rows=("EXT-similarity", "EXT-retrieval"),
+    doc="Retrieve-then-rerank — the RAG serving composition: candidate "
+    "generation (cosine top-20 per query; exact here as the correctness "
+    "baseline, the production generator is the LSH/IVF path of x10/x14), "
+    "a doc_id equi-join to hydrate document metadata (candidates are "
+    "k*queries rows, so the join side is tiny and broadcastable), then a "
+    "deterministic rerank blending similarity with a document-quality "
+    "prior (length-capped, identical IEEE expression both engines) and a "
+    "top-5 window cut. The shape a feature/serving pipeline runs per "
+    "query batch: candidate fan-out never touches the full corpus after "
+    "stage 1.",
+)
+def x38_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    q = emb.filter(F.col("vec_id") < 4)
+    cand = similarity.brute_force_topk(emb, q, k=20).withColumnRenamed(
+        "neighbor_id", "doc_id"
+    )
+    quality = F.least(F.col("n_chars"), F.lit(1000)).cast("double") / 1000.0
+    # broadcast the CANDIDATES (k*queries rows), not documents — the doc
+    # table is corpus-sized at scale; the hydration join must stream it
+    # once against the tiny candidate hash table
+    rer = F.broadcast(cand).join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        "query_id",
+        "doc_id",
+        "cos_sim",
+        (0.8 * F.col("cos_sim") + 0.2 * quality).alias("rerank_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rerank_score"), "doc_id")
+    return (
+        rer.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "doc_id", "cos_sim", "rerank_score", F.col("rnk").cast("long").alias("rnk"))
+    )
