@@ -57,6 +57,7 @@ SUBSET = [
     "q67_map_functions",
     "q68_native_session_window",
     "x37_embedding_decontamination",
+    "x38_retrieve_rerank",
 ]
 
 
