@@ -77,7 +77,10 @@ def corpus_line_dedup(
     hot keys); (3) count joined back on the same key (shuffle reuse);
     (4) per-doc reassembly via sort_array(collect_list(struct(idx, line)))
     — bounded by document size, not corpus size. Docs whose every line was
-    boilerplate survive with n_kept=0 and empty new_text (left join)."""
+    boilerplate survive with n_kept=0 and empty new_text (left join).
+    Empty/whitespace-only docs have zero lines (n_lines=0, new_text='') —
+    the explicit zero-guard matters because ``F.sequence(0, -1)`` would
+    otherwise default to step -1 and fabricate two phantom empty lines."""
     from .text import tokens  # local import: text.py does not import dedup
 
     base = df.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks"))
@@ -86,14 +89,19 @@ def corpus_line_dedup(
     lines = base.select(
         F.col(id_col),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_lines_arr - 1),
-                lambda i: F.array_join(F.slice(toks, i * line_len + 1, line_len), " "),
+            F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), n_lines_arr - 1),
+                    lambda i: F.array_join(F.slice(toks, i * line_len + 1, line_len), " "),
+                )
             )
         ).alias("line_idx", "line"),
     )
     cnt = lines.groupBy("line").agg(F.count(F.lit(1)).alias("__c"))
-    tot = lines.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    # n_lines is arithmetic on the token count — map-only off the scan (one
+    # fewer shuffle than counting exploded rows) and it keeps zero-line docs,
+    # which the explode would drop.
+    tot = base.select(F.col(id_col), n_lines_arr.cast("long").alias("n_lines"))
     kept = (
         lines.join(cnt, "line")
         .filter(F.col("__c") <= max_occurrences)

@@ -34,17 +34,23 @@ def compact_parquet_dir(
 
     File count is derived from the CURRENT on-disk bytes (Hadoop
     listing via the JVM — no data read), so compaction is proportional
-    to the data, not guesswork. Returns the new file count. The rewrite
-    goes through a staging dir + swap, same crash-safety contract as
-    operators/merge (readers never observe a half-written directory).
+    to the data, not guesswork. Returns the new file count.
+
+    Crash-safety scope (narrower than operators/merge, stated honestly):
+    the rewrite lands in a staging dir, then swaps in TWO renames
+    (path -> backup, staging -> path) through the same Hadoop FileSystem
+    used for sizing — so it runs against HDFS/object stores, not just
+    local disk. Readers never observe a HALF-WRITTEN directory, but
+    between the two renames the path briefly does not exist, and a crash
+    in that window leaves the data at ``path + '.__old__'`` needing a
+    manual rename back. Directory-swap atomicity is exactly what the
+    open-table formats add (Delta/Iceberg metadata commit); see
+    operators/merge for that discussion.
 
     At 100 TB this runs per-partition (compact the partitions a
     streaming sink touched today, not the table) — callers pass the
     partition directory as ``path``.
     """
-    import os
-    import shutil
-
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -66,10 +72,14 @@ def compact_parquet_dir(
 
     staging = path.rstrip("/") + ".__compact__"
     out.write.mode("overwrite").parquet(staging)
-    backup = path.rstrip("/") + ".__old__"
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup)
+    backup_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__old__")
+    staging_p = jvm.org.apache.hadoop.fs.Path(staging)
+    if not fs.rename(hpath, backup_p):
+        raise OSError(f"compact_parquet_dir: rename {path} -> {backup_p} failed")
+    if not fs.rename(staging_p, hpath):
+        fs.rename(backup_p, hpath)  # roll back; original data untouched
+        raise OSError(f"compact_parquet_dir: rename {staging} -> {path} failed")
+    fs.delete(backup_p, True)
     return n_files
 
 

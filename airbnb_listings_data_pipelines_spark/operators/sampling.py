@@ -78,9 +78,32 @@ def weighted_bernoulli_sample(
     arrives as a 1-row broadcast column (J9 idiom), typically
     max(weight) over the corpus.
 
+    Overflow envelope (same discipline as q66's BIGINT moments): h is in
+    [0, 2^32), so ``h * cap`` stays inside int64 only while cap < 2^31,
+    and the exact-integer guarantee requires integer-valued, non-negative
+    weights (a fractional weight would be silently truncated by the long
+    cast — 0.9 would become 0 and drop every such row). Fractional-weight
+    corpora must rescale to an integer grid first (e.g. round(w * 1000)).
+    Violations raise per-row instead of corrupting the sample.
+
     Map-only after the 1-row broadcast: runs at scan speed at 100 TB.
     """
     h = md5_hash32(F.col(key_col).cast("string"))
+    w = F.col(weight_col)
+    valid = (
+        (w >= 0)
+        & (w == F.floor(w))
+        & (weight_cap.cast("long") < F.lit(1 << 31).cast("long"))
+    )
+    keep = h * weight_cap < w.cast("long") * F.lit(1 << 32).cast("long")
     return df.filter(
-        h * weight_cap < F.col(weight_col).cast("long") * F.lit(1 << 32).cast("long")
+        F.when(valid, keep).otherwise(
+            F.raise_error(
+                F.lit(
+                    "weighted_bernoulli_sample requires non-negative integer-valued "
+                    "weights and weight_cap < 2^31 (rescale fractional weights to an "
+                    "integer grid first)"
+                )
+            ).cast("boolean")
+        )
     )

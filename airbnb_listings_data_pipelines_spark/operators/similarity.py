@@ -254,8 +254,13 @@ def lsh_bucketed_topk(
     At 100 TB: the cross join becomes a shuffle on (table, bucket); tune
     planes up for bucket size, tables up for recall.
 
-    Pass ``dim`` explicitly to make the operator single-job; omitting it
-    falls back to a one-row probe (an extra Spark job before the main one).
+    ``dim`` must be known before planning: pass it explicitly, or attach
+    ``{"dim": N}`` to the vector column's metadata
+    (``F.col(v).alias(v, metadata={"dim": N})``). There is deliberately NO
+    runtime ``.first()`` probe — that would launch an extra Spark job (a
+    full scan stage at 100 TB) before the main plan, just to read a length
+    the caller already knows (tests/test_similarity.py asserts zero
+    pre-plan jobs).
 
     ``sketch`` picks how the sign sketch is computed:
 
@@ -278,8 +283,15 @@ def lsh_bucketed_topk(
     ``_broadcast_queries_or_not``).
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    planes = _deterministic_planes(num_planes * num_tables, dim)
+        meta = corpus.schema[vec_col].metadata or {}
+        dim = meta.get("dim")
+    if dim is None:
+        raise ValueError(
+            f"lsh_bucketed_topk: vector dimension unknown — pass dim= or attach "
+            f"{{'dim': N}} metadata to column {vec_col!r} (no runtime probe: it "
+            "would cost an extra full-scan job before the main plan)"
+        )
+    planes = _deterministic_planes(num_planes * num_tables, int(dim))
     do_bcast = _broadcast_queries_or_not(queries, broadcast_queries, broadcast_threshold_rows)
 
     if sketch == "arrow":

@@ -183,7 +183,9 @@ def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "do
     breaks whole-stage codegen on long docs; exploding wins at 100 TB
     because the shuffle rows are (id, gram-hash, count) partials, not text.
     Single-token docs have no bigrams: top_bigram_frac is 0.0 by
-    convention (left join + coalesce)."""
+    convention (left join + coalesce). Empty/whitespace-only docs are kept
+    with n_tokens=0 and all fractions 0.0 — the doc-id spine is the input
+    frame, not the exploded tokens (which would silently drop them)."""
     base = df.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks"))
     unig = (
         base.select(F.col(id_col), F.explode("__toks").alias("w"))
@@ -204,12 +206,16 @@ def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "do
         .agg(F.sum("c").cast("long").alias("n_bigrams"), F.max("c").cast("long").alias("top_bc"))
     )
     return (
-        unig.join(bigr, id_col, "left")
+        base.select(F.col(id_col))
+        .join(unig, id_col, "left")
+        .join(bigr, id_col, "left")
         .select(
             id_col,
-            "n_tokens",
-            (F.col("n_distinct") / F.col("n_tokens")).alias("distinct_token_frac"),
-            (F.col("top_c") / F.col("n_tokens")).alias("top_token_frac"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_distinct") / F.col("n_tokens"), F.lit(0.0)).alias(
+                "distinct_token_frac"
+            ),
+            F.coalesce(F.col("top_c") / F.col("n_tokens"), F.lit(0.0)).alias("top_token_frac"),
             F.coalesce(F.col("top_bc") / F.col("n_bigrams"), F.lit(0.0)).alias(
                 "top_bigram_frac"
             ),

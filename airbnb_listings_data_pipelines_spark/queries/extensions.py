@@ -1284,9 +1284,12 @@ def x30_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x31_repetition_stats",
     oracle="""
-    WITH tok AS (
-      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+    WITH t AS (
+      SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS a
       FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(a) AS w FROM t
     ), uc AS (
       SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
     ), u AS (
@@ -1294,9 +1297,6 @@ def x30_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n_distinct,
              CAST(MAX(c) AS BIGINT) AS top_c
       FROM uc GROUP BY doc_id
-    ), t AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
-      FROM documents
     ), big AS (
       SELECT doc_id, unnest(list_transform(range(1, len(a)), i ->
                a[i] || ' ' || a[i + 1])) AS b
@@ -1308,11 +1308,11 @@ def x30_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(MAX(c) AS BIGINT) AS top_bc
       FROM bc GROUP BY doc_id
     )
-    SELECT u.doc_id, u.n_tokens,
-           u.n_distinct / u.n_tokens AS distinct_token_frac,
-           u.top_c / u.n_tokens AS top_token_frac,
+    SELECT t.doc_id, CAST(COALESCE(u.n_tokens, 0) AS BIGINT) AS n_tokens,
+           COALESCE(u.n_distinct / u.n_tokens, 0.0) AS distinct_token_frac,
+           COALESCE(u.top_c / u.n_tokens, 0.0) AS top_token_frac,
            COALESCE(bg.top_bc / bg.n_bigrams, 0.0) AS top_bigram_frac
-    FROM u LEFT JOIN bg ON u.doc_id = bg.doc_id
+    FROM t LEFT JOIN u ON t.doc_id = u.doc_id LEFT JOIN bg ON t.doc_id = bg.doc_id
     """,
     survey_rows=("EXT-text", "A8", "J6"),
     doc="Gopher-style within-document repetition signals (Rae et al. 2021 "
@@ -1330,7 +1330,8 @@ def x31_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x32_corpus_line_dedup",
     oracle="""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
       FROM documents
     ), lines AS (
       SELECT doc_id, i AS line_idx,
@@ -1339,7 +1340,7 @@ def x31_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cnt AS (
       SELECT line, COUNT(*) AS c FROM lines GROUP BY line
     ), tot AS (
-      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lines GROUP BY doc_id
+      SELECT doc_id, CAST(ceil(len(toks) / 3.0) AS BIGINT) AS n_lines FROM t
     ), kept AS (
       SELECT l.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
              string_agg(l.line, ' ' ORDER BY l.line_idx) AS new_text

@@ -48,3 +48,55 @@ def test_salted_agg_on_empty(spark):
     out = salted_agg(df, ["k"], ["salt_src"], {"s": ("sum", "v"), "n": ("count", "v")})
     assert out.count() == 0
     assert not isinstance(out.schema, StructType) or {"k", "s", "n"} <= set(out.columns)
+
+
+def test_empty_text_docs_match_oracle(spark):
+    """Empty/whitespace-only docs: x31 keeps them with n_tokens=0 and zero
+    fractions; x32 gives them zero lines — and both engines agree. Guards
+    the F.sequence(0, -1) phantom-line trap (step defaults to -1 when
+    start > stop) and the explode-drops-empty-arrays row loss."""
+    import duckdb
+
+    from airbnb_listings_data_pipelines_spark.operators import dedup, text
+    from airbnb_listings_data_pipelines_spark.queries.registry import load_all
+
+    reg = load_all()
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),
+            (2, ""),            # empty
+            (3, "    "),        # space-only: trim -> '' -> zero tokens
+            # tab inside spaces: trim strips only U+0020 on BOTH engines, the
+            # '\t' remnant splits to two empty tokens on BOTH engines — pinned
+            # below as consistent (if odd) rather than papered over.
+            (4, "  \t  "),
+            (5, "x y z a b c"),
+            (6, "x y z"),
+        ],
+        ["doc_id", "text"],
+    )
+    docs_pd = docs.toPandas()
+
+    con = duckdb.connect()
+    con.register("documents", docs_pd)
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return sorted(tuple(str(v) for v in row) for row in df.itertuples(index=False))
+
+    rep = text.repetition_features(docs).toPandas()
+    rep_oracle = con.sql(reg["x31_repetition_stats"].oracle).df()
+    assert sorted(rep.columns) == sorted(rep_oracle.columns)
+    assert canon(rep) == canon(rep_oracle)
+    by_id = {int(r.doc_id): r for r in rep.itertuples(index=False)}
+    assert by_id[2].n_tokens == 0 and by_id[2].distinct_token_frac == 0.0
+    assert by_id[3].n_tokens == 0
+    assert by_id[4].n_tokens == 2  # tab remnant: both engines see 2 empty tokens
+
+    cld = dedup.corpus_line_dedup(docs, line_len=3, max_occurrences=2).toPandas()
+    cld_oracle = con.sql(reg["x32_corpus_line_dedup"].oracle).df()
+    assert sorted(cld.columns) == sorted(cld_oracle.columns)
+    assert canon(cld) == canon(cld_oracle)
+    by_id = {int(r.doc_id): r for r in cld.itertuples(index=False)}
+    assert by_id[2].n_lines == 0 and by_id[2].n_kept == 0 and by_id[2].new_text == ""
+    assert by_id[3].n_lines == 0

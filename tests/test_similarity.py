@@ -33,7 +33,12 @@ def test_lsh_recall_vs_brute_force(spark):
     emb = load_table(spark, SF_SMALL, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
     exact = similarity.brute_force_topk(emb, q, k=5)
-    approx = similarity.lsh_bucketed_topk(emb, q, k=5)
+    # dim via column metadata — the no-probe alternative to dim=64
+    with_meta = emb.withColumn(
+        "embedding", F.col("embedding").alias("embedding", metadata={"dim": 64})
+    )
+    q_meta = with_meta.filter(F.col("vec_id") < 8)
+    approx = similarity.lsh_bucketed_topk(with_meta, q_meta, k=5)
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
@@ -110,7 +115,7 @@ def test_ann_query_side_broadcast_guard(spark):
     emb = load_table(spark, SF_SMALL, "embeddings")
     q = emb  # corpus-vs-corpus: query side too big to broadcast
     plan_bcast = similarity.lsh_bucketed_topk(
-        emb, q.filter(F.col("vec_id") < 8), k=3, broadcast_queries=True
+        emb, q.filter(F.col("vec_id") < 8), k=3, dim=64, broadcast_queries=True
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan_bcast
 
@@ -122,7 +127,7 @@ def test_ann_query_side_broadcast_guard(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan_shuffle = similarity.lsh_bucketed_topk(
-            emb, q, k=3, broadcast_queries=None, broadcast_threshold_rows=10
+            emb, q, k=3, dim=64, broadcast_queries=None, broadcast_threshold_rows=10
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" not in plan_shuffle
 
@@ -164,3 +169,17 @@ def test_quantized_topk_recall_vs_float(spark):
     # integer dot products stay in the int8 accumulation envelope
     assert all(abs(r.qdot) <= 127 * 127 * 64 for r in qz)
     assert all(isinstance(r.qdot, int) for r in qz)
+
+
+def test_lsh_requires_dim_and_launches_no_preplan_job(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    # unknown dim -> hard error, never a silent full-scan probe job
+    with pytest.raises(ValueError, match="dimension unknown"):
+        similarity.lsh_bucketed_topk(emb, q, k=5)
+    # building the plan with dim known must not launch ANY Spark job
+    # (DAGScheduler's job counter is the ground truth)
+    sched = spark.sparkContext._jsc.sc().dagScheduler()
+    before = sched.numTotalJobs()
+    similarity.lsh_bucketed_topk(emb, q, k=5, dim=64)
+    assert sched.numTotalJobs() == before
