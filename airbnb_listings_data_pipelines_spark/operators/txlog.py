@@ -1,0 +1,243 @@
+"""Minimal ACID commit log for parquet tables — the open-table-format
+upgrade behind ``operators/merge``, built from the PUBLIC Delta Lake
+design (Armbrust et al., "Delta Lake: High-Performance ACID Table Storage
+over Cloud Object Stores", VLDB 2020): an ordered log of JSON commit
+files, each listing data files added/removed; the table's state at
+version v is the replay of commits 0..v.
+
+What this gives over the staged-swap backend (and what it does not):
+
+- **Atomic commits.** A merge is visible if and only if its commit file
+  exists. Data files are written FIRST, the commit file last; a crash
+  anywhere before the commit leaves orphan data files that no snapshot
+  references (cleaned by :meth:`TxLogTable.vacuum`) and a table unchanged.
+- **No unavailability window.** Readers resolve a snapshot from the log
+  and read only files it lists; old files stay on disk until vacuumed, so
+  a reader mid-query during a concurrent commit keeps a consistent view.
+  (Contrast compact_parquet_dir's documented rename gap.)
+- **Optimistic concurrency.** The commit file for version v+1 is created
+  with create-exclusive semantics: exactly one of two racing writers
+  wins; the loser sees :class:`CommitConflict` and re-runs against the
+  new snapshot (merge is a deterministic function of target+source, so
+  the retry is safe). This is last-committer-wins at whole-table
+  granularity — coarser than Delta's per-file conflict analysis, stated
+  plainly.
+- **Scope.** Create-exclusive is atomic on local filesystems (O_EXCL)
+  and HDFS; S3-style object stores need a coordination service for the
+  final create (the Delta paper's LogStore) — same caveat, same fix, out
+  of scope here.
+
+At 100 TB: the log holds file NAMES, not data — a commit is O(files
+touched) JSON bytes; snapshot resolution is a driver-side read of the log
+directory (thousands of small JSON files at worst — checkpointing them
+into a single parquet summary every N commits is the standard extension
+and is implemented in :meth:`_replay` via `_checkpoint`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another writer committed the version this writer raced for."""
+
+
+_LOG_DIR = "_txlog"
+_CHECKPOINT_EVERY = 20
+
+
+def _commit_name(version: int) -> str:
+    return f"{version:012d}.json"
+
+
+class TxLogTable:
+    """A parquet table whose live file set is governed by a commit log."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.log_dir = os.path.join(self.path, _LOG_DIR)
+
+    # ------------------------------------------------------------- create
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, df: DataFrame) -> "TxLogTable":
+        """Create a new table at ``path`` from ``df`` (version 0)."""
+        t = cls(spark, path)
+        os.makedirs(t.log_dir, exist_ok=False)
+        files = t._write_data(df)
+        t._try_commit(0, adds=files, removes=[], op="create")
+        return t
+
+    @classmethod
+    def convert(cls, spark: SparkSession, path: str) -> "TxLogTable":
+        """Adopt an existing plain-parquet directory: version 0 references
+        the current files in place (no rewrite, like Delta's CONVERT)."""
+        t = cls(spark, path)
+        os.makedirs(t.log_dir, exist_ok=False)
+        files = sorted(
+            f
+            for f in os.listdir(t.path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        t._try_commit(0, adds=files, removes=[], op="convert")
+        return t
+
+    # -------------------------------------------------------------- state
+
+    def _replay(self) -> tuple[int, list[str]]:
+        """Latest version + live file list. Replays from the newest
+        checkpoint (a full-file-list commit) instead of the whole log."""
+        entries = sorted(f for f in os.listdir(self.log_dir) if f.endswith(".json"))
+        if not entries:
+            raise FileNotFoundError(f"no commits in {self.log_dir}")
+        commits = []
+        for name in entries:
+            with open(os.path.join(self.log_dir, name)) as fh:
+                commits.append((int(name.split(".")[0]), json.load(fh)))
+        commits.sort()
+        # start from the last checkpoint commit (carries the full list)
+        start = 0
+        for i, (_v, c) in enumerate(commits):
+            if c.get("checkpoint"):
+                start = i
+        live: set[str] = set()
+        for _v, c in commits[start:]:
+            if c.get("checkpoint"):
+                live = set(c["adds"])
+            else:
+                live -= set(c["removes"])
+                live |= set(c["adds"])
+        return commits[-1][0], sorted(live)
+
+    def version(self) -> int:
+        return self._replay()[0]
+
+    def files(self) -> list[str]:
+        return self._replay()[1]
+
+    def read(self) -> DataFrame:
+        """Snapshot read: exactly the files the latest commit resolves to."""
+        _v, files = self._replay()
+        if not files:
+            return self.spark.read.parquet(self.path).limit(0)
+        return self.spark.read.parquet(*[os.path.join(self.path, f) for f in files])
+
+    def history(self) -> list[dict]:
+        out = []
+        for name in sorted(f for f in os.listdir(self.log_dir) if f.endswith(".json")):
+            with open(os.path.join(self.log_dir, name)) as fh:
+                c = json.load(fh)
+            out.append(
+                {
+                    "version": int(name.split(".")[0]),
+                    "op": c.get("op"),
+                    "n_adds": len(c["adds"]),
+                    "n_removes": len(c["removes"]),
+                }
+            )
+        return out
+
+    # ------------------------------------------------------------- commit
+
+    def _write_data(self, df: DataFrame) -> list[str]:
+        """Write ``df`` as new parquet files under the table dir; returns
+        their names. Files are invisible until a commit references them."""
+        tmp = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        df.write.parquet(tmp)
+        names = []
+        for f in sorted(os.listdir(tmp)):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                new = f"part-{uuid.uuid4().hex}.parquet"
+                os.rename(os.path.join(tmp, f), os.path.join(self.path, new))
+                names.append(new)
+        import shutil
+
+        shutil.rmtree(tmp)
+        return names
+
+    def _try_commit(
+        self, version: int, adds: list[str], removes: list[str], op: str
+    ) -> None:
+        """Atomically create commit ``version``; raise CommitConflict if a
+        racing writer got there first (O_EXCL create is the arbiter)."""
+        is_ckpt = op in ("create", "convert") or (
+            version % _CHECKPOINT_EVERY == 0 and version > 0
+        )
+        if is_ckpt and op not in ("create", "convert"):
+            # checkpoint commits carry the FULL post-commit file list
+            _v, live = self._replay()
+            adds = sorted((set(live) - set(removes)) | set(adds))
+            removes = []
+        payload = json.dumps(
+            {"op": op, "adds": adds, "removes": removes, "checkpoint": is_ckpt}
+        )
+        target = os.path.join(self.log_dir, _commit_name(version))
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflict(f"version {version} already committed") from e
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+
+    def commit(self, adds: list[str], removes: list[str], base_version: int, op: str) -> int:
+        """Commit against ``base_version``; CommitConflict if stale."""
+        self._try_commit(base_version + 1, adds, removes, op)
+        return base_version + 1
+
+    # ------------------------------------------------------------- vacuum
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by NO commit (orphans from crashed
+        writers) and files removed by commits older than the latest
+        checkpoint window. Never touches the live snapshot."""
+        _v, live = self._replay()
+        referenced = set(live)
+        deleted = []
+        for f in os.listdir(self.path):
+            full = os.path.join(self.path, f)
+            if not os.path.isfile(full) or not f.endswith(".parquet"):
+                continue
+            if f.startswith(("_", ".")):
+                continue
+            if f not in referenced:
+                os.remove(full)
+                deleted.append(f)
+        return sorted(deleted)
+
+
+def merge_into_txlog(
+    spark: SparkSession,
+    table: TxLogTable,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    max_retries: int = 3,
+) -> DataFrame:
+    """MERGE with an atomic, snapshot-isolated commit (same logical
+    semantics as merge.merge_into_parquet; see module docstring for the
+    guarantees). On CommitConflict the merge recomputes against the new
+    snapshot and retries — correct because the merge result is a pure
+    function of (target snapshot, source)."""
+    from .merge import merge_frames
+
+    for _attempt in range(max_retries + 1):
+        base_version, base_files = table._replay()
+        target = table.read()
+        merged = merge_frames(target, source, keys, when_matched, when_not_matched)
+        adds = table._write_data(merged)
+        try:
+            table.commit(adds=adds, removes=base_files, base_version=base_version, op="merge")
+            return table.read()
+        except CommitConflict:
+            # loser's data files are orphans; drop them and retry on the
+            # winner's snapshot
+            for f in adds:
+                os.remove(os.path.join(table.path, f))
+    raise CommitConflict(f"merge gave up after {max_retries} retries")

@@ -1,0 +1,158 @@
+"""Commit-log table format (operators/txlog): atomic MERGE, snapshot
+isolation, optimistic concurrency, crash-orphan hygiene — the guarantees
+the staged-swap backend documents as out of scope. Both MERGE backends
+must produce identical logical results (shared merge_frames core)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_listings_data_pipelines_spark.operators import merge as merge_mod
+from airbnb_listings_data_pipelines_spark.operators import scd
+from airbnb_listings_data_pipelines_spark.operators.txlog import (
+    CommitConflict,
+    TxLogTable,
+    merge_into_txlog,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string, ts int")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = _df(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)])
+    return TxLogTable.create(spark, str(tmp_path / "t"), df)
+
+
+def test_create_read_roundtrip(spark, table):
+    assert table.version() == 0
+    got = {(r.k, r.v) for r in table.read().collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_convert_adopts_existing_parquet_in_place(spark, tmp_path):
+    path = str(tmp_path / "plain")
+    _df(spark, [(1, "a", 1)]).write.parquet(path)
+    names_before = sorted(os.listdir(path))
+    t = TxLogTable.convert(spark, path)
+    assert {r.k for r in t.read().collect()} == {1}
+    # no data rewrite: the original files are referenced, not copied
+    assert all(n in os.listdir(path) for n in names_before)
+
+
+def test_merge_backends_agree(spark, tmp_path, table):
+    source = _df(spark, [(2, "B", 2), (4, "d", 2)])
+    # staged-swap backend on a parquet copy of the same data
+    plain = str(tmp_path / "plain")
+    table.read().write.parquet(plain)
+    swap_result = merge_mod.merge_into_parquet(spark, plain, source, keys=["k"])
+    tx_result = merge_into_txlog(spark, table, source, keys=["k"])
+    assert sorted(map(tuple, swap_result.collect())) == sorted(map(tuple, tx_result.collect()))
+    assert {(r.k, r.v) for r in tx_result.collect()} == {
+        (1, "a"), (2, "B"), (3, "c"), (4, "d"),
+    }
+    assert table.version() == 1
+
+
+def test_merge_delete_and_ignore(spark, table):
+    source = _df(spark, [(1, "x", 2), (9, "z", 2)])
+    out = merge_into_txlog(
+        spark, table, source, keys=["k"], when_matched="delete", when_not_matched="ignore"
+    )
+    assert {r.k for r in out.collect()} == {2, 3}
+
+
+def test_old_snapshot_files_survive_until_vacuum(spark, table):
+    """The no-unavailability-window guarantee: a commit must not delete the
+    files a concurrent reader's snapshot references."""
+    _v, old_files = table._replay()
+    merge_into_txlog(spark, table, _df(spark, [(1, "A", 2)]), keys=["k"])
+    for f in old_files:
+        assert os.path.exists(os.path.join(table.path, f))  # still readable
+    removed = table.vacuum()
+    assert set(removed) >= set(old_files)
+    # live snapshot untouched
+    assert {(r.k, r.v) for r in table.read().collect()} == {
+        (1, "A"), (2, "b"), (3, "c"),
+    }
+
+
+def test_crashed_writer_leaves_table_unchanged(spark, table):
+    """Data files written without a commit are invisible and vacuumable."""
+    orphans = table._write_data(_df(spark, [(99, "crash", 9)]))
+    assert {r.k for r in table.read().collect()} == {1, 2, 3}  # unchanged
+    assert set(table.vacuum()) == set(orphans)
+
+
+def test_commit_conflict_detected(spark, table):
+    v, files = table._replay()
+    a1 = table._write_data(_df(spark, [(10, "w1", 2)]))
+    a2 = table._write_data(_df(spark, [(11, "w2", 2)]))
+    table.commit(adds=a1, removes=[], base_version=v, op="append")
+    with pytest.raises(CommitConflict):
+        table.commit(adds=a2, removes=[], base_version=v, op="append")
+
+
+def test_merge_retries_after_conflict(spark, table, monkeypatch):
+    """A racing commit between snapshot-read and commit: the merge must
+    recompute on the winner's snapshot, not clobber it."""
+    real_commit = TxLogTable.commit
+    state = {"raced": False}
+
+    def racing_commit(self, adds, removes, base_version, op):
+        if not state["raced"]:
+            state["raced"] = True
+            # interleave a competing writer that wins version base+1
+            w = TxLogTable(spark, self.path)
+            wa = w._write_data(_df(spark, [(7, "raced", 5)]))
+            real_commit(w, adds=wa, removes=[], base_version=base_version, op="append")
+        return real_commit(self, adds, removes, base_version, op)
+
+    monkeypatch.setattr(TxLogTable, "commit", racing_commit)
+    out = merge_into_txlog(spark, table, _df(spark, [(2, "B", 2)]), keys=["k"])
+    got = {(r.k, r.v) for r in out.collect()}
+    # both the racing append AND the merge landed
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (7, "raced")}
+    assert state["raced"]
+
+
+def test_checkpoint_replay(spark, tmp_path):
+    t = TxLogTable.create(spark, str(tmp_path / "ck"), _df(spark, [(0, "v0", 0)]))
+    for i in range(1, 25):  # crosses the every-20 checkpoint boundary
+        merge_into_txlog(spark, t, _df(spark, [(i, f"v{i}", i)]), keys=["k"])
+    assert t.version() == 24
+    assert {r.k for r in t.read().collect()} == set(range(25))
+    ops = [h["op"] for h in t.history()]
+    assert ops[0] == "create" and all(o == "merge" for o in ops[1:])
+
+
+def test_scd2_upsert_on_both_backends(spark, tmp_path):
+    dim = spark.createDataFrame(
+        [(1, "x", "2020-01-01", None, True), (2, "y", "2020-01-01", None, True)],
+        "k int, attr string, valid_from string, valid_to string, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "x2", "2020-02-01"), (3, "z", "2020-02-01")],
+        "k int, attr string, valid_from string",
+    )
+    expected = scd.scd2_upsert(dim, updates, ["k"], ["attr"])
+
+    # persist the upserted dimension through each physical backend
+    plain = str(tmp_path / "scd_plain")
+    dim.write.parquet(plain)
+    merge_mod.merge_into_parquet(
+        spark, plain, expected, keys=["k", "valid_from"], when_matched="update"
+    )
+    tx = TxLogTable.create(spark, str(tmp_path / "scd_tx"), dim)
+    merge_into_txlog(spark, tx, expected, keys=["k", "valid_from"])
+
+    a = sorted(map(tuple, spark.read.parquet(plain).collect()))
+    b = sorted(map(tuple, tx.read().collect()))
+    assert a == b
+    cur = {(r.k, r.attr) for r in tx.read().filter(F.col("is_current")).collect()}
+    assert cur == {(1, "x2"), (2, "y"), (3, "z")}
