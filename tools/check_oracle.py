@@ -38,14 +38,24 @@ def canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     reg = load_all()
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TPCH_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    # q24 is the ONLY oracle allowed to hardcode a testdata path (DuckDB's
+    # filename pseudo-column needs a direct read_parquet scan); a second
+    # hardcoded-path oracle would silently dodge the rewrite below.
+    offenders = [
+        n for n, s in reg.items()
+        if s.oracle and "/root/testdata/" in s.oracle and n != "q24_file_lineage"
+    ]
+    assert not offenders, f"hardcoded testdata paths in oracles: {offenders}"
 
     n_pass = n_fail = n_rows_only = 0
     for name, spec in sorted(reg.items()):
