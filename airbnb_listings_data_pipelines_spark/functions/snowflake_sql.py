@@ -107,9 +107,13 @@ def _depth_map(sql: str) -> list[int]:
 
 def _find_tokens(sql: str) -> list[tuple[str, int, int]]:
     depths = _depth_map(sql)
+    spans = _spans_outside_strings(sql)
+    # a keyword INSIDE a quoted literal ('QUALIFY not a keyword here') is
+    # data, not syntax — found by the round-4 dialect fuzzer
     return [
         (m.group(1).upper().replace(" ", "").replace("\n", ""), m.start(), depths[m.start()])
         for m in _KEYWORD.finditer(sql)
+        if any(s <= m.start() < e for s, e in spans)
     ]
 
 

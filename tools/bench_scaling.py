@@ -117,13 +117,17 @@ def replicate(spark, out_dir: str, factor: int) -> None:
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = sys.argv[2:]  # optional query subset for targeted 30x/100x probes
     big = tempfile.mkdtemp(prefix="sfbig_")
     spark = get_spark("scaling")
     spark.sparkContext.setLogLevel("ERROR")
     replicate(spark, big, factor)
     reg = load_all()
 
-    fns = {name: reg[name].fn for name in SUBSET} | EXTRA
+    if only:
+        fns = {name: reg[name].fn for name in only}
+    else:
+        fns = {name: reg[name].fn for name in SUBSET} | EXTRA
 
     def run(sf_dir: str) -> dict[str, float]:
         out = {}
