@@ -125,6 +125,114 @@ def corpus_line_dedup(
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    hash_fn: Callable[[Column], Column] = F.xxhash64,
+) -> DataFrame:
+    """MOSS-style winnowing document fingerprints (Schleimer, Wilkerson,
+    Aiken 2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    public paper): hash every adjacent ``k``-token gram, slide a window of
+    ``window`` consecutive gram hashes, and in each window select the
+    minimum hash (rightmost occurrence on ties — the paper's rule, which
+    makes selections stable across overlapping windows). The distinct
+    selected positions form the document's fingerprint set; any shared
+    substring of length >= window + k - 1 tokens is GUARANTEED to
+    contribute at least one shared fingerprint, so fingerprint overlap is
+    a sound containment/near-dup signal at a fraction of the shingle count
+    (expected density 2/(window+1)).
+
+    Scale shape: entirely map-only — tokenize, gram, hash, and select are
+    all per-document array expressions; no shuffle, no window-function
+    partitioning, nothing driver-side. The polynomial/rolling-hash update
+    the paper uses is an O(1)-per-step micro-optimization of the same
+    selection; here each gram is hashed directly (xxhash64 by default —
+    JVM codegen — or ``md5_hash32`` for the cross-engine-exact oracle
+    variant), which keeps the map O(n·k) and the winnow O(n·window) per
+    doc — still linear in corpus size at 100 TB.
+
+    Every intermediate array (tokens, grams, hashes) is projected ONCE
+    before the lambda that consumes it — see ngrams_from_tokens' docstring
+    for the Catalyst lambda-inlining trap this avoids.
+
+    Returns one row per selected fingerprint: (id_col, pos, fp) where
+    ``pos`` is the 1-based gram index selected and ``fp`` its hash. Docs
+    with fewer than ``k`` tokens produce no rows.
+    """
+    from .text import ngrams_from_tokens, tokens  # local import: text.py does not import dedup
+
+    base = df.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks"))
+    grams = base.select(
+        F.col(id_col), ngrams_from_tokens(F.col("__toks"), k).alias("__grams")
+    )
+    hashed = grams.select(
+        F.col(id_col), F.transform(F.col("__grams"), lambda g: hash_fn(g)).alias("__hs")
+    )
+    hs = F.col("__hs")
+    n = F.size(hs)
+    w = window
+    # Rightmost-min selection per window start j (0-based): fold left-to-right
+    # over the window's 1-based gram indices, keeping (index, value) of the
+    # current minimum; `<=` makes later equal values win (paper's tie rule).
+    init = F.struct(
+        F.lit(-1).cast("int").alias("i"), F.lit((1 << 63) - 1).cast("long").alias("v")
+    )
+    sel = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - w, F.lit(0))),
+        lambda j: F.aggregate(
+            F.sequence(j + 1, F.least(j + w, n)),
+            init,
+            lambda acc, i: F.when(
+                F.element_at(hs, i) <= acc["v"],
+                F.struct(i.cast("int").alias("i"), F.element_at(hs, i).alias("v")),
+            ).otherwise(acc),
+            lambda acc: acc["i"],
+        ),
+    )
+    picked = hashed.select(
+        F.col(id_col),
+        hs.alias("__hs2"),
+        F.explode(
+            F.when(n == 0, F.array().cast("array<int>")).otherwise(F.array_distinct(sel))
+        ).alias("pos"),
+    )
+    return picked.select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("pos"),
+        F.element_at(F.col("__hs2"), F.col("pos").cast("int")).alias("fp"),
+    )
+
+
+def winnowing_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    hash_fn: Callable[[Column], Column] = F.xxhash64,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints (the MOSS
+    match step): docs sharing >= ``min_shared`` distinct fingerprint hashes.
+    Inverted-index equi-join on fp — only docs sharing a fingerprint are
+    ever paired, same candidate-generation discipline as MinHash-LSH."""
+    fps = (
+        winnowing_fingerprints(df, id_col, text_col, k, window, hash_fn)
+        .select(F.col(id_col).alias("id"), "fp")
+        .distinct()
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def char_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct character n-gram shingles of lower(text) (array<string>)."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)

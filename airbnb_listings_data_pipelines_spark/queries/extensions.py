@@ -1645,3 +1645,88 @@ def x38_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("query_id", "doc_id", "cos_sim", "rerank_score", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+_WINNOW_CTES = """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ), grams AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             array_to_string(list_transform(range(0, 3), j -> t[CAST(u.i + j AS INT)]), ' ') AS g
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3 + 2)) AS i) u
+      WHERE len(t) >= 3
+    ), hashed AS (
+      SELECT doc_id, pos,
+             CAST(list_sum(list_transform(range(1, 9), i ->
+               (strpos('0123456789abcdef', substring(md5(g), i, 1)) - 1)
+               * CAST(pow(16, 8 - i) AS BIGINT))) AS BIGINT) AS h
+      FROM grams
+    ), counts AS (
+      SELECT doc_id, max(pos) AS n FROM hashed GROUP BY doc_id
+    ), starts AS (
+      SELECT doc_id, CAST(u.j AS BIGINT) AS j
+      FROM counts, LATERAL (SELECT unnest(range(1, greatest(n - 4 + 1, 1) + 1)) AS j) u
+    ), wmin AS (
+      SELECT s.doc_id, s.j, min(h.h) AS mn
+      FROM starts s JOIN hashed h
+        ON h.doc_id = s.doc_id AND h.pos BETWEEN s.j AND s.j + 4 - 1
+      GROUP BY s.doc_id, s.j
+    ), seln AS (
+      SELECT m.doc_id, m.j, max(h.pos) AS pos
+      FROM wmin m JOIN hashed h
+        ON h.doc_id = m.doc_id AND h.pos BETWEEN m.j AND m.j + 4 - 1 AND h.h = m.mn
+      GROUP BY m.doc_id, m.j
+    ), fps AS (
+      SELECT DISTINCT s.doc_id AS doc_id, s.pos AS pos, h.h AS fp
+      FROM seln s JOIN hashed h ON h.doc_id = s.doc_id AND h.pos = s.pos
+    )
+"""
+
+
+@query(
+    "x39_winnowing_fingerprints",
+    oracle=_WINNOW_CTES + """
+    SELECT doc_id, pos, fp FROM fps
+    """,
+    survey_rows=("EXT-dedup", "EXT-text"),
+    doc="MOSS-style winnowing fingerprints (Schleimer et al. 2003): hash "
+    "every 3-token gram, slide a 4-hash window, keep the rightmost minimum "
+    "per window — guarantees any shared run of >= 6 tokens contributes a "
+    "shared fingerprint at ~2/(w+1) the shingle density. Entirely map-only "
+    "(per-doc array fold, zero shuffles). Shared-hash oracle: both engines "
+    "hash grams with md5_hash32, so DuckDB re-derives the identical "
+    "(doc, pos, fp) selection including the tie rule. At-scale default is "
+    "xxhash64 (operators/dedup.winnowing_fingerprints hash_fn param).",
+)
+def x39_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnowing_fingerprints(
+        docs, k=3, window=4, hash_fn=dedup.md5_hash32
+    ).select("doc_id", "pos", "fp")
+
+
+@query(
+    "x40_winnowing_neardup_pairs",
+    oracle=_WINNOW_CTES + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM (SELECT DISTINCT doc_id, fp FROM fps) a
+    JOIN (SELECT DISTINCT doc_id, fp FROM fps) b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+    survey_rows=("EXT-dedup",),
+    doc="Near-dup candidate pairs by shared winnowing fingerprints (the "
+    "MOSS match step): inverted-index equi-join on fingerprint hash, so "
+    "only documents sharing a fingerprint are ever paired — same "
+    "candidate-generation discipline as MinHash-LSH at a fraction of the "
+    "index size. Completes the dedup family: exact (x01), shingle-Jaccard "
+    "(x05), MinHash (x06), SimHash (x07/x16), winnowing (x39/x40).",
+)
+def x40_winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnowing_neardup_pairs(
+        docs, k=3, window=4, min_shared=2, hash_fn=dedup.md5_hash32
+    ).select("id_a", "id_b", "shared_fps")

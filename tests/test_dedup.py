@@ -154,3 +154,73 @@ def test_corpus_line_dedup_drops_boilerplate(spark):
     assert out[1].n_lines == 2 and out[1].n_kept == 1 and out[1].new_text == "a b c"
     assert out[2].new_text == "d e f"
     assert out[3].n_kept == 0 and out[3].new_text == ""
+
+
+def test_winnowing_matches_python_reference(spark):
+    """Bit-exact vs a from-the-paper Python implementation, including the
+    rightmost-min tie rule and the short/empty-doc edge cases."""
+    import hashlib
+
+    K, W = 3, 4
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+        (3, "a a a a a a a a"),  # all-equal hashes exercise the tie rule
+        (4, "tiny doc"),  # < k tokens -> no fingerprints
+        (5, ""),  # empty -> no fingerprints
+        (6, "a b c d e"),  # fewer grams than the window -> single window
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r.doc_id, r.pos, r.fp)
+        for r in dedup.winnowing_fingerprints(
+            df, k=K, window=W, hash_fn=dedup.md5_hash32
+        ).collect()
+    )
+
+    def md5h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    ref = []
+    for doc_id, txt in rows:
+        toks = txt.strip().lower().split() if txt.strip() else []
+        hs = [md5h(" ".join(toks[i : i + K])) for i in range(len(toks) - K + 1)]
+        n = len(hs)
+        if n == 0:
+            continue
+        sels = set()
+        for j in range(max(n - W, 0) + 1):
+            mn = min(hs[j : j + W])
+            sels.add(max(i for i in range(j, min(j + W, n)) if hs[i] == mn))
+        ref.extend((doc_id, p + 1, hs[p]) for p in sorted(sels))
+    assert got == sorted(ref)
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """The paper's guarantee: two docs sharing a token run of length
+    >= window + k - 1 MUST share at least one fingerprint."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = 4 + 3 - 1
+    df = spark.createDataFrame(
+        [
+            (1, "x1 y1 " + shared + " z1 w1"),
+            (2, "p2 q2 r2 " + shared + " s2"),
+            (3, "nothing in common with the others at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.winnowing_neardup_pairs(
+            df, k=3, window=4, min_shared=1, hash_fn=dedup.md5_hash32
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnowing_map_only_plan(spark):
+    """Fingerprinting itself must be shuffle-free (map-only per-doc array
+    fold) — the property that makes it linear at 100 TB."""
+    df = spark.createDataFrame([(1, "a b c d e f g h")], ["doc_id", "text"])
+    plan = dedup.winnowing_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
