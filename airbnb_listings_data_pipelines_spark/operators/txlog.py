@@ -90,16 +90,24 @@ class TxLogTable:
 
     # -------------------------------------------------------------- state
 
-    def _replay(self) -> tuple[int, list[str]]:
-        """Latest version + live file list. Replays from the newest
-        checkpoint (a full-file-list commit) instead of the whole log."""
+    def _replay(self, as_of: int | None = None) -> tuple[int, list[str]]:
+        """Version + live file list, at the latest version or (time travel)
+        at ``as_of``. Replays from the newest checkpoint (a full-file-list
+        commit) at or before the requested version, not the whole log."""
         entries = sorted(f for f in os.listdir(self.log_dir) if f.endswith(".json"))
         if not entries:
             raise FileNotFoundError(f"no commits in {self.log_dir}")
         commits = []
         for name in entries:
+            version = int(name.split(".")[0])
+            if as_of is not None and version > as_of:
+                continue
             with open(os.path.join(self.log_dir, name)) as fh:
-                commits.append((int(name.split(".")[0]), json.load(fh)))
+                commits.append((version, json.load(fh)))
+        if not commits:
+            raise FileNotFoundError(
+                f"no commit at or before version {as_of} in {self.log_dir}"
+            )
         commits.sort()
         # start from the last checkpoint commit (carries the full list)
         start = 0
@@ -124,6 +132,17 @@ class TxLogTable:
     def read(self) -> DataFrame:
         """Snapshot read: exactly the files the latest commit resolves to."""
         _v, files = self._replay()
+        if not files:
+            return self.spark.read.parquet(self.path).limit(0)
+        return self.spark.read.parquet(*[os.path.join(self.path, f) for f in files])
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel (Delta paper §4.3, ``VERSION AS OF``): read the table
+        exactly as it was after commit ``version``. Works because commits
+        only ever ADD files — a version's data files stay on disk until
+        :meth:`vacuum` drops versions older than its retention window, so
+        the time-travel horizon IS the vacuum retention."""
+        _v, files = self._replay(as_of=version)
         if not files:
             return self.spark.read.parquet(self.path).limit(0)
         return self.spark.read.parquet(*[os.path.join(self.path, f) for f in files])
@@ -190,14 +209,47 @@ class TxLogTable:
         self._try_commit(base_version + 1, adds, removes, op)
         return base_version + 1
 
+    # ----------------------------------------------------------- optimize
+
+    def optimize(self, target_files: int = 1) -> int:
+        """Small-file compaction as ONE atomic commit (Delta's OPTIMIZE):
+        rewrite the live snapshot into ``target_files`` files, commit the
+        swap, return the new version. Logically a no-op — readers before,
+        during, and after see identical rows — which is why it needs no
+        retry loop: on CommitConflict the caller simply re-runs against
+        the new snapshot. Data files are written before the commit, so a
+        crash leaves only vacuumable orphans (same guarantee as merge).
+        Contrast maintenance.compact_parquet_dir, whose directory swap has
+        a documented unavailability window — under a commit log the swap
+        IS the commit."""
+        base_version, base_files = self._replay()
+        adds = self._write_data(self.read().coalesce(target_files))
+        try:
+            return self.commit(
+                adds=adds, removes=base_files, base_version=base_version, op="optimize"
+            )
+        except CommitConflict:
+            for f in adds:
+                os.remove(os.path.join(self.path, f))
+            raise
+
     # ------------------------------------------------------------- vacuum
 
-    def vacuum(self) -> list[str]:
-        """Delete data files referenced by NO commit (orphans from crashed
-        writers) and files removed by commits older than the latest
-        checkpoint window. Never touches the live snapshot."""
-        _v, live = self._replay()
+    def vacuum(self, retain_versions: int = 1) -> list[str]:
+        """Delete data files referenced by NO retained snapshot: orphans
+        from crashed/losing writers, plus files whose only references are
+        versions older than the retention window. ``retain_versions`` is
+        the time-travel horizon (Delta's retention period expressed in
+        versions rather than hours): the newest N versions stay readable
+        via :meth:`read_version`; older versions may lose files. Never
+        touches the live snapshot (retain_versions >= 1 always)."""
+        latest, live = self._replay()
         referenced = set(live)
+        for v in range(max(0, latest - max(retain_versions, 1) + 1), latest):
+            try:
+                referenced |= set(self._replay(as_of=v)[1])
+            except FileNotFoundError:
+                continue
         deleted = []
         for f in os.listdir(self.path):
             full = os.path.join(self.path, f)

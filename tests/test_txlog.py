@@ -156,3 +156,46 @@ def test_scd2_upsert_on_both_backends(spark, tmp_path):
     assert a == b
     cur = {(r.k, r.attr) for r in tx.read().filter(F.col("is_current")).collect()}
     assert cur == {(1, "x2"), (2, "y"), (3, "z")}
+
+
+def test_time_travel_reads_each_version(spark, table):
+    merge_into_txlog(spark, table, _df(spark, [(4, "d", 2)]), keys=["k"])
+    merge_into_txlog(spark, table, _df(spark, [(1, "a2", 3)]), keys=["k"])
+    assert {r.k for r in table.read_version(0).collect()} == {1, 2, 3}
+    assert {r.k for r in table.read_version(1).collect()} == {1, 2, 3, 4}
+    v1_vals = {(r.k, r.v) for r in table.read_version(1).collect()}
+    assert (1, "a") in v1_vals  # pre-update value still visible at v1
+    latest = {(r.k, r.v) for r in table.read_version(table.version()).collect()}
+    assert (1, "a2") in latest
+    with pytest.raises(FileNotFoundError):
+        table.read_version(-1)
+
+
+def test_vacuum_retention_bounds_time_travel(spark, table):
+    merge_into_txlog(spark, table, _df(spark, [(4, "d", 2)]), keys=["k"])
+    merge_into_txlog(spark, table, _df(spark, [(5, "e", 3)]), keys=["k"])
+    # retain 2 versions: v1 and v2 stay readable, v0's files may go
+    table.vacuum(retain_versions=2)
+    assert {r.k for r in table.read_version(1).collect()} == {1, 2, 3, 4}
+    assert {r.k for r in table.read_version(2).collect()} == {1, 2, 3, 4, 5}
+    # default retention (1) drops everything but the live snapshot
+    table.vacuum()
+    assert {r.k for r in table.read().collect()} == {1, 2, 3, 4, 5}
+    with pytest.raises(Exception):
+        table.read_version(0).collect()
+
+
+def test_optimize_compacts_atomically(spark, tmp_path):
+    df = _df(spark, [(i, f"v{i}", 1) for i in range(20)]).repartition(8)
+    t = TxLogTable.create(spark, str(tmp_path / "opt"), df)
+    before = sorted(map(tuple, t.read().collect()))
+    n_before = len(t.files())
+    assert n_before > 1
+    v = t.optimize(target_files=1)
+    assert v == 1 and len(t.files()) == 1
+    assert sorted(map(tuple, t.read().collect())) == before
+    # pre-optimize snapshot still time-travel-readable until vacuumed
+    assert len(t.read_version(0).collect()) == 20
+    assert t.history()[-1]["op"] == "optimize"
+    t.vacuum()
+    assert sorted(map(tuple, t.read().collect())) == before
