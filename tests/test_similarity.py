@@ -183,3 +183,45 @@ def test_lsh_requires_dim_and_launches_no_preplan_job(spark):
     before = sched.numTotalJobs()
     similarity.lsh_bucketed_topk(emb, q, k=5, dim=64)
     assert sched.numTotalJobs() == before
+
+
+def test_pq_recall_and_determinism(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    books = similarity.train_pq_codebooks(emb, m=16, ksub=16)
+    assert len(books) == 16 and len(books[0]) == 16 and len(books[0][0]) == 4
+    # fit is a pure function of the data (hash-spread sample + fixed iters)
+    assert books == similarity.train_pq_codebooks(emb, m=16, ksub=16)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    approx = similarity.pq_topk(emb, q, books, k=5, shortlist=100)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"PQ recall too low: {recall}"
+
+
+def test_pq_encode_codes_in_range(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    books = similarity.train_pq_codebooks(emb, m=8, ksub=16)
+    codes = similarity.pq_encode(emb, books)
+    rows = codes.select(
+        F.size("pq_codes").alias("m"),
+        F.array_min("pq_codes").alias("lo"),
+        F.array_max("pq_codes").alias("hi"),
+    ).agg(
+        F.min("m"), F.max("m"), F.min("lo"), F.max("hi")
+    ).collect()[0]
+    assert rows[0] == rows[1] == 8
+    assert rows[2] >= 0 and rows[3] <= 15
+
+
+def test_pq_adc_scan_is_jvm_side(spark):
+    """The ADC scoring stage must not evaluate Python per corpus row: the
+    only Python in the plan is the Arrow-batched encode (ArrowEvalPython);
+    row-at-a-time BatchEvalPython must never appear."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    books = similarity.train_pq_codebooks(emb, m=8, ksub=16)
+    plan = similarity.pq_topk(emb, q, books, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan  # the encode pass
