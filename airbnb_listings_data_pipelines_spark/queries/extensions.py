@@ -1754,3 +1754,45 @@ def x41_pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = similarity.pq_topk(emb, q, books, k=5, shortlist=100)
     exact = similarity.brute_force_topk(emb, q, k=5)
     return _ann_recall_check(ann, exact, floor=0.8)
+
+
+@query(
+    "x42_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT w AS word, COUNT(*) AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents WHERE length(trim(text)) > 0)
+      GROUP BY 1
+    ), syms AS (
+      SELECT cnt, list_append(string_split(word, ''), '</w>') AS s FROM words
+    ), pairs AS (
+      SELECT s[CAST(u.i AS INT)] AS a, s[CAST(u.i + 1 AS INT)] AS b, cnt
+      FROM syms, LATERAL (SELECT unnest(range(1, len(s))) AS i) u
+    )
+    SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY a, b
+    ORDER BY pair_count DESC, a, b LIMIT 20
+    """,
+    survey_rows=("EXT-text",),
+    doc="BPE tokenizer-training statistics (Sennrich et al. 2016): the "
+    "corpus-weighted adjacent symbol-pair counts over the word-frequency "
+    "table — the per-iteration aggregate of operators/bpe.learn_bpe_merges "
+    "(whose full merge loop is pytest-verified against a pure-Python "
+    "reference; this query pins iteration 1's statistics cross-engine, "
+    "top-20 under the deterministic (count DESC, a, b) tie-break). The "
+    "scale story: training never re-reads the corpus — one pass builds "
+    "(word, count), every iteration runs on that vocabulary-sized table.",
+)
+def x42_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = bpe.word_frequency_table(docs).select(
+        "count", bpe._chars(F.col("word")).alias("syms")
+    )
+    return (
+        bpe.adjacent_pair_counts(words)
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(20)
+    )
