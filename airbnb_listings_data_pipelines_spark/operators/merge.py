@@ -57,6 +57,7 @@ def merge_into_parquet(
     when_matched: str = "update",
     when_not_matched: str = "insert",
     partition_col: str | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Execute the merge and return the post-merge target frame."""
     assert when_matched in ("update", "delete")
@@ -69,7 +70,7 @@ def merge_into_parquet(
         touched = source.select(partition_col).distinct()
         target = target.join(F.broadcast(touched), partition_col, "left_semi")
 
-    merged = merge_frames(target, source, keys, when_matched, when_not_matched)
+    merged = merge_frames(target, source, keys, when_matched, when_not_matched, evolve_schema)
 
     if partition_col:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -89,15 +90,35 @@ def merge_frames(
     keys: list[str],
     when_matched: str = "update",
     when_not_matched: str = "insert",
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """The pure merge computation shared by both physical backends
     (staged-swap here, commit-log in operators/txlog): one full-outer
     join on the keys, matched/not-matched actions applied as filters and
-    column picks. No writes — callers own the physical commit."""
+    column picks. No writes — callers own the physical commit.
+
+    ``evolve_schema=True`` is Delta's ``mergeSchema``/autoMerge semantics
+    (public Delta Lake docs): columns NEW in the source are appended to
+    the output schema (pre-merge target rows carry NULL); columns the
+    source LACKS keep their target values on update (an update sets only
+    the columns the source actually provides) and are NULL on insert.
+    Key columns must exist on both sides either way."""
     assert when_matched in ("update", "delete")
     assert when_not_matched in ("insert", "ignore")
-    cols = target.columns
-    assert set(source.columns) == set(cols), "source/target schemas must match"
+    src_orig, tgt_orig = set(source.columns), set(target.columns)
+    if evolve_schema:
+        assert set(keys) <= src_orig & tgt_orig, "merge keys must exist on both sides"
+        cols = target.columns + [c for c in source.columns if c not in tgt_orig]
+        src_types = dict(zip(source.columns, [f.dataType for f in source.schema.fields]))
+        tgt_types = dict(zip(target.columns, [f.dataType for f in target.schema.fields]))
+        for c in cols:
+            if c not in tgt_orig:
+                target = target.withColumn(c, F.lit(None).cast(src_types[c]))
+            if c not in src_orig:
+                source = source.withColumn(c, F.lit(None).cast(tgt_types[c]))
+    else:
+        cols = target.columns
+        assert src_orig == set(cols), "source/target schemas must match"
 
     t = target.withColumn("__t", F.lit(1)).alias("t")
     s = source.withColumn("__s", F.lit(1)).alias("s")
@@ -115,6 +136,10 @@ def merge_frames(
         if c in keys:
             # join-key columns are coalesced by the USING join already
             return F.col(c)
+        if c not in src_orig:
+            # target-only column: updates never touch it; inserts get the
+            # natural NULL from the outer join's target side
+            return F.col(f"t.{c}").alias(c)
         take_source = source_only | (matched & F.lit(when_matched == "update"))
         return F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
 

@@ -271,6 +271,7 @@ def merge_into_txlog(
     when_matched: str = "update",
     when_not_matched: str = "insert",
     max_retries: int = 3,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """MERGE with an atomic, snapshot-isolated commit (same logical
     semantics as merge.merge_into_parquet; see module docstring for the
@@ -282,7 +283,7 @@ def merge_into_txlog(
     for _attempt in range(max_retries + 1):
         base_version, base_files = table._replay()
         target = table.read()
-        merged = merge_frames(target, source, keys, when_matched, when_not_matched)
+        merged = merge_frames(target, source, keys, when_matched, when_not_matched, evolve_schema)
         adds = table._write_data(merged)
         try:
             table.commit(adds=adds, removes=base_files, base_version=base_version, op="merge")
