@@ -7,7 +7,7 @@ operators), so throughput is bounded by scan speed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword marker sets (public, language-frequency folklore).
@@ -220,6 +220,74 @@ def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "do
                 "top_bigram_frac"
             ),
         )
+    )
+
+
+def ngram_lang_profiles(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+    top_k: int = 40,
+) -> DataFrame:
+    """Per-language character-n-gram rank profiles (Cavnar & Trenkle 1994,
+    "N-Gram-Based Text Categorization" — public paper): for each language
+    label, the ``top_k`` most frequent character ``n``-grams with their
+    rank. The training half of the n-gram language-ID pair; the profile
+    table is (languages x top_k) rows — kilobytes regardless of corpus
+    size, so it broadcasts.
+
+    Deterministic: rank ties break on the n-gram string ascending. Counts
+    are document frequencies over DISTINCT per-doc n-grams (robust to one
+    doc repeating an n-gram thousands of times)."""
+    from ..operators.dedup import char_shingles
+
+    grams = df.select(
+        F.col(lang_col).alias("lang"), F.explode(char_shingles(text_col, n)).alias("g")
+    )
+    counts = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "g")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("lang", F.col("g").alias("gram"), F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def lang_id_ngram(
+    df: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    top_k: int = 40,
+) -> DataFrame:
+    """Classify each document against n-gram rank profiles: score(doc,
+    lang) = sum over the doc's distinct n-grams found in the language's
+    profile of ``top_k + 1 - rank`` (a monotone simplification of Cavnar-
+    Trenkle's out-of-place distance), predicted language = argmax with
+    ties broken by language ascending; documents matching NO profile
+    n-gram get 'und'.
+
+    Scale shape: explode distinct doc n-grams (map-only), equi-join the
+    BROADCAST profile table, one (doc, lang) hash agg, one per-doc top-1
+    window. No Python anywhere."""
+    from ..operators.dedup import char_shingles
+
+    grams = df.select(F.col(id_col), F.explode(char_shingles(text_col, n)).alias("gram"))
+    scored = (
+        grams.join(F.broadcast(profiles), "gram")
+        .groupBy(id_col, "lang")
+        .agg(F.sum(F.lit(top_k + 1) - F.col("rank")).alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "lang")
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("lang").alias("pred_lang"))
+    )
+    return df.select(F.col(id_col)).join(best, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col("pred_lang"), F.lit("und")).alias("pred_lang")
     )
 
 

@@ -1796,3 +1796,54 @@ def x42_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "a", "b")
         .limit(20)
     )
+
+
+@query(
+    "x43_lang_id_ngram",
+    oracle="""
+    WITH shingled AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(length(trim(lower(text))), 3) - 3 + 2),
+               i -> substring(trim(lower(text)), CAST(i AS INT), 3))) AS gs
+      FROM documents
+    ), grams AS (
+      SELECT lang, unnest(gs) AS g FROM shingled
+    ), counts AS (
+      SELECT lang, g, COUNT(*) AS cnt FROM grams GROUP BY lang, g
+    ), profiles AS (
+      SELECT lang, g AS gram, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                                         ORDER BY cnt DESC, g) AS rank
+            FROM counts)
+      WHERE rank <= 40
+    ), doc_grams AS (
+      SELECT doc_id, unnest(gs) AS gram FROM shingled
+    ), scored AS (
+      SELECT d.doc_id, p.lang, SUM(41 - p.rank) AS score
+      FROM doc_grams d JOIN profiles p ON d.gram = p.gram
+      GROUP BY d.doc_id, p.lang
+    ), best AS (
+      SELECT doc_id, lang AS pred_lang
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, lang) AS rn
+            FROM scored)
+      WHERE rn = 1
+    )
+    SELECT d.doc_id AS doc_id, COALESCE(b.pred_lang, 'und') AS pred_lang
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+    """,
+    survey_rows=("EXT-text",),
+    doc="Character-n-gram language ID (Cavnar & Trenkle 1994 rank "
+    "profiles): train top-40 trigram profiles per labeled language from "
+    "the corpus itself (kilobyte-sized table regardless of corpus scale), "
+    "then classify by broadcast profile join + (doc, lang) hash agg + "
+    "per-doc top-1 window; monotone out-of-place score, all tie-breaks "
+    "deterministic. The n-gram twin of the stopword-marker lang_id (x04) "
+    "— profile-based ID is what scales to languages without curated "
+    "stopword lists. operators/text.ngram_lang_profiles / lang_id_ngram.",
+)
+def x43_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    profiles = text.ngram_lang_profiles(docs, n=3, top_k=40)
+    return text.lang_id_ngram(docs, profiles, n=3, top_k=40)

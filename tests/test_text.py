@@ -138,3 +138,68 @@ def test_pii_redaction_clean_text_untouched(spark):
     df = spark.createDataFrame([("no pii here at all",)], ["text"])
     r = df.select(text.redact_pii("text").alias("red")).collect()[0]
     assert r.red == "no pii here at all"
+
+
+def test_ngram_lang_id_separates_real_char_distributions(spark):
+    """Train/test on corpora with genuinely distinct character statistics
+    (the driver's synthetic documents share one vocabulary across lang
+    labels, so label recovery there is impossible by design — x43's gate
+    is cross-engine parity instead)."""
+    from airbnb_listings_data_pipelines_spark.operators.text import (
+        lang_id_ngram,
+        ngram_lang_profiles,
+    )
+
+    en = "the quick brown fox jumps over the lazy dog while the other dogs watch"
+    fr = "le renard brun saute par dessus le chien paresseux pendant que les autres chiens regardent"
+    de = "der schnelle braune fuchs springt über den faulen hund während die anderen hunde zuschauen"
+    train = spark.createDataFrame(
+        [(i, t, lang) for i, (t, lang) in enumerate([(en, "en"), (fr, "fr"), (de, "de")])],
+        ["doc_id", "text", "lang"],
+    )
+    profiles = ngram_lang_profiles(train)
+    test = spark.createDataFrame(
+        [
+            (10, "the dog jumps over the brown fox", "en"),
+            (11, "le chien saute par dessus les autres", "fr"),
+            (12, "der hund springt über die braune füchse", "de"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    pred = {r.doc_id: r.pred_lang for r in lang_id_ngram(test, profiles).collect()}
+    truth = {r.doc_id: r.lang for r in test.collect()}
+    assert pred == truth, f"{pred} != {truth}"
+    # profile table is bounded: <= langs x top_k rows
+    assert profiles.count() <= 3 * 40
+
+
+def test_ngram_lang_id_unmatched_doc_is_und(spark):
+    from airbnb_listings_data_pipelines_spark.operators.text import (
+        lang_id_ngram,
+        ngram_lang_profiles,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat and the dog and the bird", "en")], ["doc_id", "text", "lang"]
+    )
+    profiles = ngram_lang_profiles(train)
+    target = spark.createDataFrame([(9, "zzzzqqqq")], ["doc_id", "text"])
+    out = lang_id_ngram(target, profiles).collect()
+    assert out[0].pred_lang == "und"
+
+
+def test_ngram_lang_id_profile_join_is_broadcast(spark):
+    from airbnb_listings_data_pipelines_spark.operators.text import (
+        lang_id_ngram,
+        ngram_lang_profiles,
+    )
+    from airbnb_listings_data_pipelines_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        lang_id_ngram(docs, ngram_lang_profiles(docs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
