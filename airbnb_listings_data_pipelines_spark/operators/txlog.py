@@ -180,6 +180,88 @@ class TxLogTable:
         shutil.rmtree(tmp)
         return names
 
+    # ------------------------------------------------------- data skipping
+
+    def file_stats(self, columns: list[str] | None = None) -> dict[str, dict]:
+        """Per-live-file column (min, max) envelopes from the parquet
+        footers — the statistics Delta stores per add-entry for data
+        skipping (Delta paper §4.4). Derived here from footers at query
+        time; persisting them into the commit at write time is the same
+        information one hop earlier. Footer reads are metadata-only
+        (no row groups touched)."""
+        import pyarrow.parquet as pq
+
+        stats: dict[str, dict] = {}
+        for f in self.files():
+            md = pq.ParquetFile(os.path.join(self.path, f)).metadata
+            env: dict[str, tuple] = {}
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    name = col.path_in_schema
+                    if columns is not None and name not in columns:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = st.min, st.max
+                    if name in env:
+                        env[name] = (min(env[name][0], lo), max(env[name][1], hi))
+                    else:
+                        env[name] = (lo, hi)
+            stats[f] = env
+        return stats
+
+    def read_where(self, column: str, lo, hi) -> DataFrame:
+        """Snapshot read with FILE-LEVEL skipping: only files whose footer
+        (min, max) envelope for ``column`` overlaps [lo, hi] are handed to
+        the scan; the residual row filter is applied on top (skipping is an
+        optimization, never a semantics change). Files lacking stats for
+        the column are conservatively kept."""
+        from pyspark.sql import functions as F
+
+        kept = []
+        for f, env in self.file_stats([column]).items():
+            if column not in env or (env[column][0] <= hi and env[column][1] >= lo):
+                kept.append(f)
+        if not kept:
+            return self.read().filter(F.lit(False))
+        df = self.spark.read.parquet(*[os.path.join(self.path, f) for f in kept])
+        return df.filter((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
+
+    def diff_versions(self, v_old: int, v_new: int) -> DataFrame:
+        """Row-level change feed between two snapshots: UNION of rows added
+        (in v_new, not v_old; change_type='insert') and removed (in v_old,
+        not v_new; 'delete') — an update appears as its delete+insert pair,
+        exactly Delta CDF's representation for full-rewrite writers.
+        Computed as two EXCEPT ALLs over the snapshots; exact and
+        multiset-correct. At scale the file lists bound the work: files
+        common to both versions cancel and need never be read — this
+        implementation reads only each side's non-shared files."""
+        from pyspark.sql import functions as F
+
+        _va, files_old = self._replay(as_of=v_old)
+        _vb, files_new = self._replay(as_of=v_new)
+        only_old = sorted(set(files_old) - set(files_new))
+        only_new = sorted(set(files_new) - set(files_old))
+
+        def _read(files: list[str]) -> DataFrame | None:
+            if not files:
+                return None
+            return self.spark.read.parquet(*[os.path.join(self.path, f) for f in files])
+
+        old_df, new_df = _read(only_old), _read(only_new)
+        if old_df is None and new_df is None:
+            return self.read().limit(0).withColumn("change_type", F.lit(""))
+        base = old_df if old_df is not None else new_df
+        empty = base.limit(0)
+        old_df = old_df if old_df is not None else empty
+        new_df = new_df if new_df is not None else empty
+        added = new_df.exceptAll(old_df).withColumn("change_type", F.lit("insert"))
+        removed = old_df.exceptAll(new_df).withColumn("change_type", F.lit("delete"))
+        return added.unionByName(removed)
+
     def _try_commit(
         self, version: int, adds: list[str], removes: list[str], op: str
     ) -> None:

@@ -199,3 +199,51 @@ def test_optimize_compacts_atomically(spark, tmp_path):
     assert t.history()[-1]["op"] == "optimize"
     t.vacuum()
     assert sorted(map(tuple, t.read().collect())) == before
+
+
+def test_file_skipping_prunes_and_preserves_results(spark, tmp_path):
+    """read_where must hand the scan only footer-overlapping files while
+    returning exactly the rows a full-scan filter would."""
+    t = TxLogTable.create(
+        spark, str(tmp_path / "skip"),
+        spark.createDataFrame([(i, f"v{i}") for i in range(0, 100)], "k int, v string").coalesce(1),
+    )
+    # three more commits with disjoint key ranges -> disjoint footer envelopes
+    for lo in (100, 200, 300):
+        t.commit(
+            adds=t._write_data(
+                spark.createDataFrame(
+                    [(i, f"v{i}") for i in range(lo, lo + 100)], "k int, v string"
+                ).coalesce(1)
+            ),
+            removes=[],
+            base_version=t.version(),
+            op="append",
+        )
+    assert len(t.files()) == 4
+    stats = t.file_stats(["k"])
+    assert all("k" in env for env in stats.values())
+    out = t.read_where("k", 210, 260)
+    got = sorted(r.k for r in out.collect())
+    assert got == list(range(210, 261))
+    # plan evidence: only 1 of 4 files overlaps [210, 260]
+    kept = [
+        f for f, env in stats.items() if env["k"][0] <= 260 and env["k"][1] >= 210
+    ]
+    assert len(kept) == 1
+    # non-overlapping range reads nothing
+    assert t.read_where("k", 5000, 6000).count() == 0
+
+
+def test_diff_versions_change_feed(spark, table):
+    merge_into_txlog(spark, table, _df(spark, [(2, "b2", 9), (4, "d", 9)]), keys=["k"])
+    cdf = table.diff_versions(0, 1).collect()
+    by_type = {}
+    for r in cdf:
+        by_type.setdefault(r.change_type, set()).add((r.k, r.v))
+    # update of k=2 appears as delete+insert; k=4 as pure insert
+    assert (2, "b") in by_type["delete"] and (2, "b2") in by_type["insert"]
+    assert (4, "d") in by_type["insert"]
+    # unchanged rows never appear
+    flat = {kv for s in by_type.values() for kv in s}
+    assert (1, "a") not in flat and (3, "c") not in flat
