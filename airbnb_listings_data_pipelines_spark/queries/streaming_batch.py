@@ -249,3 +249,49 @@ def q68_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "cents",
     )
+
+
+@query(
+    "x44_attribution_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ), clicks AS (
+      SELECT user_id, sec AS csec, event_id AS click_id
+      FROM ev WHERE event_type = 'click'
+    ), purch AS (
+      SELECT event_id AS purchase_id, user_id, sec AS psec, value
+      FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id AS user_id,
+           CAST(p.value AS DOUBLE) AS purchase_value,
+           c.click_id, CAST(p.psec - c.csec AS BIGINT) AS lag_sec
+    FROM purch p JOIN clicks c
+      ON c.user_id = p.user_id AND c.csec BETWEEN p.psec - 1800 AND p.psec
+    """,
+    survey_rows=("EXT-streaming", "J5"),
+    doc="Stream-stream attribution join, batch twin: every purchase joined "
+    "to ALL of the user's clicks in the preceding 30 minutes (inclusive "
+    "bounds). The SAME streaming/joins.attribution_join code runs on a "
+    "readStream with watermarks bounding both sides' state "
+    "(tests/test_streaming.py asserts batch ≡ stream row sets); this "
+    "registry twin pins the semantics against DuckDB's theta-join "
+    "formulation. Seconds-floored timestamps keep lag arithmetic "
+    "cross-engine exact (µs vs ns physical encodings).",
+)
+def x44_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import attribution_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_seconds(F.unix_timestamp("ts"))
+    )
+    out = attribution_join(ev, attribution_window="30 minutes")
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.col("purchase_value").cast("double").alias("purchase_value"),
+        "click_id",
+        (F.col("lag_us").cast("long") / F.lit(1000000)).cast("long").alias("lag_sec"),
+    )
