@@ -2178,3 +2178,58 @@ def q69_content_hashing_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("b64_roundtrip_ok"),
     )
+
+
+@query(
+    "q70_pivot_revenue_matrix",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT'
+               THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+               ELSE 0 END) / 10000.0 AS urgent,
+           SUM(CASE WHEN o_orderpriority = '2-HIGH'
+               THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+               ELSE 0 END) / 10000.0 AS high,
+           SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+               THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+               ELSE 0 END) / 10000.0 AS medium,
+           SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+               THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+               ELSE 0 END) / 10000.0 AS not_specified,
+           SUM(CASE WHEN o_orderpriority = '5-LOW'
+               THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+               ELSE 0 END) / 10000.0 AS low
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+    survey_rows=("A5", "A8", "O1"),
+    doc="PIVOT breadth: revenue matrix year x order-priority via the native "
+    "DataFrame pivot relational operator (explicit value list, so Spark "
+    "skips the extra distinct-values job and the pivot stays a single "
+    "hash aggregate — the at-scale form; an implicit pivot would add a "
+    "collect-distinct pre-pass). Oracle is the canonical conditional-"
+    "aggregation expansion, proving the pivot's cell semantics. Missing "
+    "cells are COALESCEd to 0.0 to match SUM(CASE..ELSE 0). The inverse "
+    "unpivot (DataFrame.unpivot -> Expand) round-trips bit-exactly in "
+    "tests/test_pivot.py.",
+)
+def q70_pivot_revenue_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _PRIORITIES = [
+        ("1-URGENT", "urgent"),
+        ("2-HIGH", "high"),
+        ("3-MEDIUM", "medium"),
+        ("4-NOT SPECIFIED", "not_specified"),
+        ("5-LOW", "low"),
+    ]
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .pivot("o_orderpriority", [p for p, _ in _PRIORITIES])
+        .agg(_cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+    )
+    return wide.select(
+        "order_year",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0.0)).alias(a) for p, a in _PRIORITIES],
+    )
