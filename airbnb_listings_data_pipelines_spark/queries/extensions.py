@@ -1847,3 +1847,52 @@ def x43_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     profiles = text.ngram_lang_profiles(docs, n=3, top_k=40)
     return text.lang_id_ngram(docs, profiles, n=3, top_k=40)
+
+
+@query(
+    "x45_duplicate_span_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS a
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+             md5(array_to_string(a[CAST(u.i AS INT):CAST(u.i + 7 AS INT)], ' ')) AS gh
+      FROM toks, LATERAL (SELECT unnest(range(1, len(a) - 8 + 2)) AS i) u
+    ), dup AS (
+      SELECT gh FROM occ GROUP BY gh HAVING COUNT(*) >= 2
+    ), dup_occ AS (
+      SELECT o.doc_id, o.pos FROM occ o JOIN dup d USING (gh)
+    ), cov AS (
+      SELECT doc_id, COUNT(DISTINCT pos + t.j) AS dup_tokens
+      FROM dup_occ, range(0, 8) t(j)
+      GROUP BY doc_id
+    ), ds AS (
+      SELECT doc_id, COUNT(*) AS dup_spans FROM dup_occ GROUP BY doc_id
+    )
+    SELECT t.doc_id AS doc_id,
+           CAST(len(a) AS BIGINT) AS n_tokens,
+           CAST(greatest(len(a) - 7, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(ds.dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CASE WHEN len(a) = 0 THEN 0.0
+                ELSE CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE) / len(a)
+           END AS dup_fraction
+    FROM toks t LEFT JOIN cov USING (doc_id) LEFT JOIN ds USING (doc_id)
+    """,
+    survey_rows=("EXT-dedup", "EXT-text"),
+    doc="Duplicated-span coverage (Lee et al. 2022 ExactSubstr at 8-token "
+    "span granularity): fraction of each document covered by text that "
+    "occurs >= 2 times corpus-wide. Span unit means a shared m-token run "
+    "surfaces as m-7 dup spans covering exactly those m tokens — the "
+    "per-doc trim/drop signal C4-style pipelines act on. Shuffle keys are "
+    "gram hashes and (doc_id, pos) pairs, never text. Oracle recomputes "
+    "the identical selection with DuckDB md5 over the same grams; at "
+    "scale hash_fn drops to xxhash64. operators/dedup."
+    "duplicate_span_coverage.",
+)
+def x45_duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_span_coverage(docs, n=8, min_count=2, hash_fn=F.md5)

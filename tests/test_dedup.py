@@ -224,3 +224,36 @@ def test_winnowing_map_only_plan(spark):
     df = spark.createDataFrame([(1, "a b c d e f g h")], ["doc_id", "text"])
     plan = dedup.winnowing_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_duplicate_span_coverage_marks_shared_run(spark):
+    # docs 1 and 2 share a verbatim 10-token run -> with n=4 spans, the run
+    # yields 7 dup spans covering all 10 tokens of doc 1; doc 3 is unique.
+    shared = "a b c d e f g h i j"
+    rows = [
+        (1, shared),
+        (2, shared + " tail only here"),
+        (3, "k l m n o p q r s t"),
+        (4, ""),  # empty doc: kept, all-zero
+        (5, "x y"),  # shorter than n: kept, zero spans
+        (6, "r r r r r r"),  # within-doc repetition counts too (n=4: 3 spans, same gram)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in dedup.duplicate_span_coverage(df, n=4, min_count=2).collect()
+    }
+    d1 = out[1]
+    assert (d1.n_tokens, d1.n_spans, d1.dup_spans, d1.dup_tokens) == (10, 7, 7, 10)
+    assert d1.dup_fraction == 1.0
+    d2 = out[2]
+    assert d2.n_tokens == 13 and d2.dup_spans == 7 and d2.dup_tokens == 10
+    assert abs(d2.dup_fraction - 10 / 13) < 1e-12
+    d3 = out[3]
+    assert (d3.dup_spans, d3.dup_tokens, d3.dup_fraction) == (0, 0, 0.0)
+    assert (out[4].n_tokens, out[4].n_spans, out[4].dup_fraction) == (0, 0, 0.0)
+    assert (out[5].n_tokens, out[5].n_spans, out[5].dup_spans) == (2, 0, 0)
+    d6 = out[6]
+    # "r r r r" occurs 3 times within doc 6 alone -> all 3 spans dup,
+    # covering all 6 tokens
+    assert (d6.dup_spans, d6.dup_tokens, d6.dup_fraction) == (3, 6, 1.0)
