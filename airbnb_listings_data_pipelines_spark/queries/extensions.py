@@ -1896,3 +1896,89 @@ def x43_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x45_duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.duplicate_span_coverage(docs, n=8, min_count=2, hash_fn=F.md5)
+
+
+@query(
+    "x46_leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE rep AS (
+      SELECT MIN(doc_id) AS rep_id, text, COUNT(*) AS group_size
+      FROM documents GROUP BY text
+    ), toks AS (
+      SELECT rep_id AS doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM rep
+    ), hashed AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(1, 9), i ->
+               (strpos('0123456789abcdef', substring(md5(w), i, 1)) - 1)
+               * CAST(pow(16, 8 - i) AS BIGINT))) AS h
+      FROM toks
+    ), bits AS (
+      SELECT doc_id, t.b AS bit,
+             SUM(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed, range(0, 32) t(b)
+      GROUP BY doc_id, t.b
+    ), fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach(u, x) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.x
+    ), rep_comp AS (
+      SELECT u AS rep_id, MIN(x) AS component FROM reach GROUP BY u
+    ), grouped AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(rc.component,
+                           CASE WHEN r.group_size >= 2 THEN r.rep_id
+                                ELSE d.doc_id END) AS BIGINT) AS group_id
+      FROM documents d
+      JOIN rep r ON d.text = r.text
+      LEFT JOIN rep_comp rc ON rc.rep_id = r.rep_id
+    ), bucketed AS (
+      SELECT doc_id, group_id,
+             list_sum(list_transform(range(1, 9), i ->
+               (strpos('0123456789abcdef',
+                       substring(md5(CAST(group_id AS VARCHAR)), i, 1)) - 1)
+               * CAST(pow(16, 8 - i) AS BIGINT))) % 10 AS b
+      FROM grouped
+    )
+    SELECT doc_id, group_id,
+           CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+    FROM bucketed
+    """,
+    survey_rows=("EXT-dedup", "EXT-sampling", "EXT-graph"),
+    doc="Leakage-safe train/val/test split: the held-out boundary follows "
+    "near-dup COMPONENTS, not documents — every member of a dedup cluster "
+    "(x22's exact-collapse + SimHash components) hashes to the same split, "
+    "so a validation document can never have a near-duplicate twin in "
+    "train (the contamination mode group-unaware random splits create; cf "
+    "Lee et al. 2022 §6 on train/test overlap). Group id = component for "
+    "clustered docs, else own doc_id; the 80/10/10 assignment is the "
+    "deterministic md5_hash32(group) % 10 — no RNG state, reproducible "
+    "across engines and re-runs, and adding documents never reassigns an "
+    "existing group. Oracle extends x27's recursive-closure machinery to "
+    "ALL documents and recomputes the identical bucket.",
+)
+def x46_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comps = x22_dedup_components(spark, sf_dir)
+    g = docs.join(comps, "doc_id", "left").withColumn(
+        "group_id", F.coalesce("component", "doc_id").cast("long")
+    )
+    b = F.pmod(dedup.md5_hash32(F.col("group_id").cast("string")), F.lit(10))
+    return g.select(
+        "doc_id",
+        "group_id",
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test").alias("split"),
+    )

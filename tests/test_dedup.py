@@ -257,3 +257,39 @@ def test_duplicate_span_coverage_marks_shared_run(spark):
     # "r r r r" occurs 3 times within doc 6 alone -> all 3 spans dup,
     # covering all 6 tokens
     assert (d6.dup_spans, d6.dup_tokens, d6.dup_fraction) == (3, 6, 1.0)
+
+
+def test_leakage_safe_split_invariants(spark):
+    from airbnb_listings_data_pipelines_spark.queries.registry import load_all
+    from .conftest import SF_SMALL
+
+    reg = load_all()
+    split = reg["x46_leakage_safe_split"].fn(spark, SF_SMALL).cache()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    # every document assigned exactly once
+    assert split.count() == docs.count()
+    assert split.select("doc_id").distinct().count() == docs.count()
+    # group atomicity: one split per group
+    assert (
+        split.groupBy("group_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+        == 0
+    )
+    # exact duplicates (same text) can never straddle splits
+    j = (
+        docs.alias("a")
+        .join(docs.alias("b"), F.col("a.text") == F.col("b.text"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
+    )
+    pair_splits = (
+        j.join(split.select(F.col("doc_id").alias("ia"), F.col("split").alias("sa")), "ia")
+        .join(split.select(F.col("doc_id").alias("ib"), F.col("split").alias("sb")), "ib")
+    )
+    assert pair_splits.filter(F.col("sa") != F.col("sb")).count() == 0
+    # deterministic: re-running yields the identical assignment
+    again = reg["x46_leakage_safe_split"].fn(spark, SF_SMALL)
+    assert split.exceptAll(again).count() == 0 and again.exceptAll(split).count() == 0
+    split.unpersist()
