@@ -1982,3 +1982,59 @@ def x46_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_id",
         F.when(b < 8, "train").when(b == 8, "val").otherwise("test").alias("split"),
     )
+
+
+@query(
+    "x47_heavy_hitters_mg",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ), cnt AS (
+      SELECT token, COUNT(*) AS true_count FROM tok GROUP BY 1
+    )
+    SELECT token, CAST(true_count AS BIGINT) AS true_count,
+           CAST(1 AS BIGINT) AS underestimates,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM cnt ORDER BY true_count DESC, token LIMIT 10
+    """,
+    survey_rows=("EXT-text", "EXT-sketch"),
+    doc="Mergeable heavy-hitters (Misra-Gries, merge rule + N/(m+1) bound "
+    "from Agarwal et al. 2012 'Mergeable Summaries'): per-partition "
+    "m-counter sketches via one Arrow mapInPandas pass, keyed-sum merge, "
+    "subtract-(m+1)th reduce. The sketch's at-scale point vs x12's exact "
+    "top-tokens: bounded state per partition and an m-row-per-partition "
+    "merge instead of a full-vocabulary shuffle. Invariant oracle in the "
+    "ANN-recall style: both engines derive the EXACT top-10 token counts "
+    "(deterministic tie-break) bit-identically; the two flag columns "
+    "assert the sketch theorems — est <= true, and true - est <= "
+    "N/(m+1) with m=32 — which DuckDB emits as constants because they "
+    "are guarantees, not measurements. operators/heavyhitters.py.",
+)
+def x47_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import heavyhitters
+
+    m = 32
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        docs.select(F.explode(text.tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    total = exact.agg(F.sum("true_count").alias("__n")).withColumn("__k", F.lit(1))
+    sketch = heavyhitters.misra_gries_token_sketch(docs, m=m)
+    top = exact.orderBy(F.desc("true_count"), "token").limit(10)
+    joined = (
+        top.join(sketch, "token", "left")
+        .withColumn("est", F.coalesce("est", F.lit(0)))
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(total), "__k")
+    )
+    return joined.select(
+        "token",
+        F.col("true_count").cast("long").alias("true_count"),
+        (F.col("est") <= F.col("true_count")).cast("long").alias("underestimates"),
+        ((F.col("true_count") - F.col("est")) * (m + 1) <= F.col("__n"))
+        .cast("long")
+        .alias("within_bound"),
+    ).orderBy(F.desc("true_count"), "token")
