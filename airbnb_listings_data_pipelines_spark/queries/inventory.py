@@ -2233,3 +2233,38 @@ def q70_pivot_revenue_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_year",
         *[F.coalesce(F.col(f"`{p}`"), F.lit(0.0)).alias(a) for p, a in _PRIORITIES],
     )
+
+
+@query(
+    "q71_exists_semi_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '5-LOW')
+    ORDER BY c_custkey
+    """,
+    survey_rows=("J7", "P7"),
+    doc="Semi/anti-join breadth: customers with >= 1 URGENT order (EXISTS "
+    "-> LeftSemi) and zero LOW orders (NOT EXISTS -> LeftAnti). Both "
+    "lower to hash joins that emit the probe row at the first match and "
+    "carry NO columns from the build side — at scale the build sides are "
+    "key-only projections (8 bytes/row) and broadcast when under "
+    "threshold, which is exactly how decontamination filters (x26/x28) "
+    "discharge their membership checks.",
+)
+def q71_exists_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .join(low, c.c_custkey == low.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
