@@ -107,3 +107,69 @@ def weighted_bernoulli_sample(
             ).cast("boolean")
         )
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    frac: float = 0.2,
+) -> DataFrame:
+    """Temperature-based source mixing (the multinomial alpha-sampling of
+    multilingual/multi-source LLM corpora — Raffel et al. 2020 (T5) §3.4.3
+    / Conneau et al. 2020 (XLM-R) eq. 1, both public): source ``s`` with
+    ``n_s`` rows receives sampling weight w_s = n_s^alpha / sum_j n_j^alpha,
+    so alpha < 1 up-samples small sources relative to their share and
+    alpha = 1 is proportional mixing. With a total budget of
+    ``frac * N`` rows, each row of source s keeps with probability
+    min(1, budget * w_s / n_s).
+
+    Selection is the engine-reproducible exact-integer hash Bernoulli of
+    weighted_bernoulli_sample: md5_hash32(id) < floor(p_s * 2^32) — no RNG
+    state, stable under retries and engine swaps, and a DuckDB oracle
+    derives the identical sample.
+
+    Cross-engine exactness of the RATES: alpha defaults to 0.5 because
+    n^0.5 is IEEE-754 sqrt (correctly rounded, bit-identical everywhere),
+    and the per-source sqrt is quantized to an exact 1e-9 integer grid
+    BEFORE the cross-source sum, so the denominator is an associative
+    integer sum rather than an order-dependent double reduction (registry
+    hash-stability rule 1). The remaining double products stay exact
+    below 2^53 — safe to ~10^15 budget x grid units; past that, switch
+    the comparison to integer rationals (h * denom * n_s < budget * squ *
+    2^32 in 128-bit), same discipline as weighted_bernoulli_sample's
+    overflow envelope.
+
+    Shuffle shape: one count-by-source aggregate (tiny), rates broadcast
+    back onto the corpus, then a map-only filter — the corpus is read
+    once and never shuffled.
+    """
+    src = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    units = src.withColumn(
+        "__squ",
+        F.round(F.pow(F.col("__n").cast("double"), F.lit(alpha)) * 1e9, 0).cast("long"),
+    )
+    denom = units.agg(F.sum("__squ").alias("__d")).withColumn("__k", F.lit(1))
+    total = df.agg(
+        F.round(F.count(F.lit(1)) * F.lit(frac), 0).cast("long").alias("__t")
+    ).withColumn("__k", F.lit(1))
+    rates = (
+        units.withColumn("__k", F.lit(1))
+        .join(F.broadcast(denom), "__k")
+        .join(F.broadcast(total), "__k")
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0),
+                (F.col("__t").cast("double") * F.col("__squ") / F.col("__d"))
+                / F.col("__n"),
+            ).alias("__p"),
+        )
+    )
+    h = md5_hash32(F.col(id_col).cast("string"))
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(h < F.floor(F.col("__p") * F.lit(4294967296.0)).cast("long"))
+        .drop("__p")
+    )

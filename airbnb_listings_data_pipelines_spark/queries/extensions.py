@@ -2038,3 +2038,49 @@ def x47_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("within_bound"),
     ).orderBy(F.desc("true_count"), "token")
+
+
+@query(
+    "x48_temperature_mixture_sample",
+    oracle="""
+    WITH src AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), units AS (
+      SELECT source, n,
+             CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000000.0) AS BIGINT) AS squ
+      FROM src
+    ), denom AS (
+      SELECT SUM(squ) AS d FROM units
+    ), total AS (
+      SELECT CAST(round(COUNT(*) * 0.2) AS BIGINT) AS t FROM documents
+    ), rates AS (
+      SELECT u.source,
+             least(1.0, ((CAST(t.t AS DOUBLE) * u.squ) / d.d) / u.n) AS p
+      FROM units u, denom d, total t
+    )
+    SELECT doc_id, r.source AS source
+    FROM documents dd JOIN rates r ON dd.source = r.source
+    WHERE list_sum(list_transform(range(1, 9), i ->
+            (strpos('0123456789abcdef',
+                    substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+            * CAST(pow(16, 8 - i) AS BIGINT)))
+          < CAST(floor(p * 4294967296.0) AS BIGINT)
+    """,
+    survey_rows=("EXT-sampling",),
+    doc="Temperature-based source mixing (T5 / XLM-R alpha-sampling, alpha"
+    "=0.5, 20% token budget): per-source rates min(1, budget*w_s/n_s) "
+    "with w_s = sqrt(n_s)/sum sqrt(n_j) — small sources up-sampled toward "
+    "uniform, large sources capped. Exact-integer hash Bernoulli "
+    "selection; the sqrt weights are quantized to a 1e-9 integer grid "
+    "before the cross-source sum so every reduction is associative and "
+    "the DuckDB oracle reproduces the sample bit-for-bit. One tiny "
+    "count-by-source agg + broadcast rate join + map-only filter; the "
+    "corpus never shuffles. operators/sampling.temperature_mixture_sample.",
+)
+def x48_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.temperature_mixture_sample(
+        docs, alpha=0.5, frac=0.2
+    ).select("doc_id", "source")

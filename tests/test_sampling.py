@@ -46,3 +46,29 @@ def test_negative_weight_raises(spark, docs):
     bad = docs.withColumn("w", F.lit(-1))
     with pytest.raises(Exception, match="non-negative"):
         sampling.weighted_bernoulli_sample(bad, "doc_id", "w", F.lit(5)).count()
+
+
+def test_temperature_mixture_upsamples_small_sources(spark):
+    from airbnb_listings_data_pipelines_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    # skewed corpus: big source 800 rows, small source 50 rows
+    rows = [(i, "big") for i in range(800)] + [(1000 + i, "small") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_mixture_sample(df, alpha=0.5, frac=0.25)
+    got = {
+        r["source"]: r["cnt"]
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    n_big, n_small = got.get("big", 0), got.get("small", 0)
+    # alpha=0.5 flattens: the small source's sampled FRACTION must exceed
+    # the big source's (0.25*sqrt-weighting ups small from 6% to ~24%)
+    assert n_small / 50 > n_big / 800
+    # total stays near the 25% budget (hash Bernoulli, so approximate)
+    assert 0.15 * 850 < n_big + n_small < 0.35 * 850
+    # deterministic across re-runs
+    again = temperature_mixture_sample(df, alpha=0.5, frac=0.25)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
