@@ -173,3 +173,99 @@ def temperature_mixture_sample(
         .filter(h < F.floor(F.col("__p") * F.lit(4294967296.0)).cast("long"))
         .drop("__p")
     )
+
+
+def dsir_importance_scores(
+    docs: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling") on an exact integer
+    grid.
+
+    DSIR fits unigram bag-of-words models over a small TARGET corpus
+    (the domain you want more of) and the RAW corpus, then scores each
+    raw document by its likelihood ratio under the two models and
+    resamples proportionally. The shipped form replaces the log-ratio
+    sum (float, reduction-order-dependent across engines) with exact
+    integer rationals:
+
+    - per-token frequencies are normalized to parts-per-million:
+      ``p_ppm = p_c*1e6 div P``, ``q_ppm = q_c*1e6 div Q`` (P/Q = total
+      target/raw token counts) — add-one smoothed on the ppm grid;
+    - per-token importance ratio ``r = (p_ppm+1)*1000 div (q_ppm+1)``
+      (1e-3 grid, ratio form; the log-space variant is a one-line swap
+      but floats would break cross-engine hash equality);
+    - per-doc score = SUM(tf * r) over the doc's tokens, then
+      length-normalized: ``lr_per_token = score div dl`` (the per-token
+      average importance — DSIR's average log-likelihood-ratio analog);
+    - ``selected = lr_per_token > floor-mean(lr_per_token)`` over the
+      raw set: the global mean arrives as a 1-row broadcast scalar
+      (integer floor-division mean — no sort, no percentile pass).
+
+    Overflow envelope: ``p_ppm ≤ 1e6`` so ``r ≤ ~1e9``; per-doc score ≤
+    dl_max * 1e9 (int64-safe for dl ≤ 1e9); ``lr_per_token ≤ 1e9`` so
+    the global SUM fits int64 through ~9e9 raw docs. ``p_c*1e6`` needs
+    P ≤ 9e12 tokens per stats universe — shard beyond that.
+
+    Scale shape: one explode + conditional-sum agg fits BOTH unigram
+    models in a single vocabulary pass (map-side combine); the
+    vocabulary table joins back to raw tokens on term (broadcastable
+    when the vocab is bounded, AQE skew-join otherwise); everything
+    else is map-only or a 1-row broadcast. The corpus never collects.
+
+    Returns ``doc_id, score, dl, lr_per_token, selected`` for RAW docs.
+    """
+    from . import text
+
+    toks = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        is_target.cast("boolean").alias("__tgt"),
+        F.explode(text.tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("p_c"),
+        F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("q_c"),
+    )
+    totals = vocab.agg(
+        F.sum("p_c").alias("__p_tot"), F.sum("q_c").alias("__q_tot")
+    )  # 1 row -> broadcast scalar (J9 idiom)
+    ratios = (
+        vocab.crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            F.expr(
+                "(((p_c * 1000000L) div __p_tot) + 1L) * 1000L"
+                " div (((q_c * 1000000L) div __q_tot) + 1L)"
+            ).alias("r"),
+        )
+    )
+    raw_tf = (
+        toks.filter(~F.col("__tgt"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        raw_tf.join(ratios, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("r")).alias("score"),
+            F.sum("tf").alias("dl"),
+        )
+        .withColumn("lr_per_token", F.expr("score div dl"))
+    )
+    mean = scored.agg(
+        F.expr("sum(lr_per_token) div count(*)").alias("__mean")
+    )  # floor-mean as a 1-row broadcast scalar
+    return (
+        scored.crossJoin(F.broadcast(mean))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("score").cast("long").alias("score"),
+            F.col("dl").cast("long").alias("dl"),
+            F.col("lr_per_token").cast("long").alias("lr_per_token"),
+            (F.col("lr_per_token") > F.col("__mean")).cast("long").alias("selected"),
+        )
+    )

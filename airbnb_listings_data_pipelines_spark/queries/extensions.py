@@ -2084,3 +2084,122 @@ def x48_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFram
     return sampling.temperature_mixture_sample(
         docs, alpha=0.5, frac=0.2
     ).select("doc_id", "source")
+
+
+@query(
+    "x49_bm25_retrieval",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS t FROM dl
+    ), dfq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), post AS (
+      SELECT f.doc_id, f.term,
+             ((s.n * 1000) // d.df)
+             * ((f.tf * 22000 * s.t) //
+                (10 * s.t * f.tf + 3 * s.t + 9 * l.dl * s.n)) AS contrib
+      FROM tf f JOIN dl l USING (doc_id) JOIN dfq d USING (term), stats s
+    ), q AS (
+      SELECT DISTINCT doc_id AS q_id, term FROM tok WHERE doc_id % 53 = 0
+    ), scored AS (
+      SELECT q.q_id, p.doc_id, SUM(p.contrib) AS score
+      FROM post p JOIN q USING (term) GROUP BY 1, 2
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(score AS BIGINT) AS score, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY score DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+    survey_rows=("EXT-text", "EXT-similarity", "A8", "W1", "J9"),
+    doc="BM25 lexical retrieval (Robertson-Sparck Jones, k1=1.2 b=0.75): "
+    "distributed inverted-index build + top-5 per query, the lexical "
+    "complement to the ANN belt (x09/x10/x14/x34/x41) and the natural "
+    "first stage of retrieve-then-rerank (x38). Queries = every doc with "
+    "doc_id%53=0 issuing its own distinct terms. Scoring runs on an exact "
+    "integer grid (idf_int = N*1000 div df; tf-component x1000 with "
+    "k1/b folded into integer constants — operators/retrieval.py has the "
+    "derivation and int64 envelope), so per-doc scores are associative "
+    "BIGINT sums and DuckDB reproduces rank AND score bit-for-bit. Scale "
+    "shape: corpus shuffles once on term, query side broadcast, stats as "
+    "1-row broadcast scalars, WindowGroupLimit bounds the top-k state.",
+)
+def x49_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = retrieval.bm25_postings(docs)
+    qterms = (
+        docs.filter((F.col("doc_id") % 53 == 0) & (F.length(F.trim("text")) > 0))
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(text.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .distinct()
+    )
+    return retrieval.bm25_topk(postings, qterms, k=5)
+
+
+@query(
+    "x50_dsir_importance_selection",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, (source = 'src0') AS tgt,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ), vocab AS (
+      SELECT term,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS p_c,
+             SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS q_c
+      FROM tok GROUP BY 1
+    ), totals AS (
+      SELECT SUM(p_c) AS p_tot, SUM(q_c) AS q_tot FROM vocab
+    ), ratios AS (
+      SELECT term,
+             (((p_c * 1000000) // t.p_tot) + 1) * 1000
+               // (((q_c * 1000000) // t.q_tot) + 1) AS r
+      FROM vocab, totals t
+    ), raw_tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE NOT tgt GROUP BY 1, 2
+    ), scored AS (
+      SELECT f.doc_id, SUM(f.tf * r.r) AS score, SUM(f.tf) AS dl
+      FROM raw_tf f JOIN ratios r USING (term) GROUP BY 1
+    ), normed AS (
+      SELECT doc_id, score, dl, score // dl AS lr_per_token FROM scored
+    ), m AS (
+      SELECT SUM(lr_per_token) // COUNT(*) AS mean_lr FROM normed
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score,
+           CAST(dl AS BIGINT) AS dl,
+           CAST(lr_per_token AS BIGINT) AS lr_per_token,
+           CAST(CASE WHEN lr_per_token > m.mean_lr THEN 1 ELSE 0 END AS BIGINT)
+             AS selected
+    FROM normed, m
+    """,
+    survey_rows=("EXT-sampling", "EXT-text", "A8", "J9"),
+    doc="DSIR importance selection (Xie et al. 2023): fit target "
+    "(source='src0') and raw unigram models in ONE vocabulary pass "
+    "(conditional sums), score each raw doc by its exact-integer "
+    "importance ratio (ppm-normalized, add-one smoothed, x1000 grid — "
+    "the log-space form is a one-line swap but floats break cross-engine "
+    "hashing), length-normalize to per-token importance, and flag docs "
+    "above the floor-mean. The resample step composes with "
+    "x35_weighted_bernoulli_sample using lr_per_token as the weight. "
+    "Scale shape: vocab agg with map-side combine, term join "
+    "(broadcast/AQE-skew), 1-row broadcast scalars for totals and mean; "
+    "no sort, no percentile pass, no collect. "
+    "operators/sampling.dsir_importance_scores.",
+)
+def x50_dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.dsir_importance_scores(docs, is_target=F.col("source") == "src0")

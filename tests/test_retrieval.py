@@ -1,0 +1,80 @@
+"""BM25 retrieval and DSIR importance selection: semantic sanity checks
+beyond the registry oracles (which pin cross-engine exactness)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_listings_data_pipelines_spark.operators import retrieval, sampling
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (0, "spark shuffle join broadcast"),
+        (1, "spark shuffle join broadcast"),  # exact copy of 0
+        (2, "parquet scan pushdown filter pruning"),
+        (3, "window rank dense ties frame"),
+        (4, "spark window rank frame"),
+        (5, "zebra quux xylophone unique hapax"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bm25_self_retrieval_is_top1(spark, corpus):
+    postings = retrieval.bm25_postings(corpus)
+    qterms = (
+        corpus.filter(F.col("doc_id") == 2)
+        .select(F.col("doc_id").alias("q_id"), F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+    )
+    top = retrieval.bm25_topk(postings, qterms, k=3).orderBy("rnk").collect()
+    assert top[0].doc_id == 2  # a doc is its own best lexical match
+    # doc 2's vocabulary is unique to it -> it is the ONLY candidate
+    assert [r.doc_id for r in top] == [2]
+
+
+def test_bm25_exact_copies_tie_break_by_doc_id(spark, corpus):
+    postings = retrieval.bm25_postings(corpus)
+    qterms = spark.createDataFrame(
+        [(99, "shuffle"), (99, "broadcast")], ["q_id", "term"]
+    )
+    top = retrieval.bm25_topk(postings, qterms, k=2).orderBy("rnk").collect()
+    # docs 0 and 1 are identical -> identical score, doc_id ascending tiebreak
+    assert [r.doc_id for r in top] == [0, 1]
+    assert top[0].score == top[1].score
+
+
+def test_bm25_rare_term_outscores_common(spark, corpus):
+    postings = retrieval.bm25_postings(corpus)
+    qterms = spark.createDataFrame(
+        [(1, "hapax"), (2, "spark")], ["q_id", "term"]
+    )
+    res = {
+        (r.q_id, r.rnk): r.score
+        for r in retrieval.bm25_topk(postings, qterms, k=1).collect()
+    }
+    # 'hapax' (df=1) must contribute more than 'spark' (df=3)
+    assert res[(1, 1)] > res[(2, 1)]
+
+
+def test_dsir_prefers_target_like_raw_docs(spark):
+    rows = (
+        # target corpus: legal-ish vocabulary
+        [(i, "court law statute ruling appeal", "tgt") for i in range(5)]
+        # raw docs: one legal-like, several off-domain
+        + [(10, "court law statute verdict", "raw")]
+        + [(11 + i, "pizza soccer weather holiday", "raw") for i in range(4)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "grp"])
+    out = {
+        r.doc_id: r
+        for r in sampling.dsir_importance_scores(
+            docs, is_target=F.col("grp") == "tgt"
+        ).collect()
+    }
+    assert set(out) == {10, 11, 12, 13, 14}  # only raw docs scored
+    legal, off = out[10], out[11]
+    assert legal.lr_per_token > off.lr_per_token
+    assert legal.selected == 1 and off.selected == 0
