@@ -63,3 +63,128 @@ def x36_mergeable_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hll_ok"),
     )
+
+
+@query(
+    "x51_mergeable_quantile_histogram",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    ), bounds AS (
+      SELECT MIN(cents) AS lo, MAX(cents) - MIN(cents) + 1 AS width FROM c
+    ), binned AS (
+      SELECT event_type, (cents - b.lo) * 256 // b.width AS bin
+      FROM c, bounds b
+    ), hist AS (
+      SELECT event_type, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ), picks AS (
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             MIN(CASE WHEN cum >= (n + 1) // 2 THEN bin END) AS b50,
+             MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN bin END) AS b90,
+             MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin END) AS b99
+      FROM cum GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(b.lo + (p.b50 * b.width) // 256 AS BIGINT) AS p50_est_cents,
+           CAST(b.lo + (p.b90 * b.width) // 256 AS BIGINT) AS p90_est_cents,
+           CAST(b.lo + (p.b99 * b.width) // 256 AS BIGINT) AS p99_est_cents,
+           CAST(1 AS BIGINT) AS p50_within,
+           CAST(1 AS BIGINT) AS p90_within,
+           CAST(1 AS BIGINT) AS p99_within
+    FROM picks p, bounds b
+    """,
+    survey_rows=("SCALE-sketch", "A7"),
+    doc="Mergeable quantile sketch completing the sketch belt (x36 HLL = "
+    "distinct, x47 Misra-Gries = heavy hitters, this = quantiles): "
+    "fixed-grid 256-bin histograms built per (event_type, day) — the "
+    "bounded per-partition artifact an incremental pipeline persists — "
+    "then rolled up by SUMMING bin counts (the merge is EXACT and "
+    "associative, unlike KLL/GK whose merge loses precision), and "
+    "p50/p90/p99 read off the merged cumulative counts. Everything runs "
+    "on integer cents with integer bin math (ceil-rank picks as "
+    "(q*n + q') div d), so bins, counts, and edge estimates are "
+    "bit-identical cross-engine; DuckDB's rollup skips the per-day level "
+    "because exact mergeability means sum-of-partials == global sum (the "
+    "same collapse the x36 oracle uses). The *_within flags gate each "
+    "edge estimate against the exact rank-picked disc percentile within "
+    "one bin width (+2 integer-floor slack): Spark measures it, the "
+    "oracle emits the theorem-guaranteed constant (x47 pattern) — the "
+    "histogram error bound is a guarantee, not a measurement. Scale "
+    "shape: level-1 agg is types*days*256 rows with map-side combine; "
+    "the rollup never re-reads events; bounds arrive as a 1-row "
+    "broadcast scalar; the rank-picked exact gate is the only sort and "
+    "exists solely to check the sketch.",
+)
+def x51_mergeable_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    nbins = 256
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("d"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    bounds = ev.agg(
+        F.min("cents").alias("__lo"),
+        (F.max("cents") - F.min("cents") + 1).alias("__width"),
+    )  # 1 row -> broadcast scalar (J9 idiom)
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "d",
+        "cents",
+        F.expr(f"(cents - __lo) * {nbins}L div __width").alias("bin"),
+    )
+    # level 1: the per-(type, day) persisted artifact (bounded: <= 256 rows each)
+    per_day = binned.groupBy("event_type", "d", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # level 2: rollup = exact merge by summation, never re-reads events
+    hist = per_day.groupBy("event_type", "bin").agg(F.sum("cnt").alias("cnt"))
+    wc = W.partitionBy("event_type").orderBy("bin")
+    wt = W.partitionBy("event_type")
+    cum = hist.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "n", F.sum("cnt").over(wt)
+    )
+    picks = cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(F.when(F.expr("cum >= (n + 1) div 2"), F.col("bin"))).alias("b50"),
+        F.min(F.when(F.expr("cum >= (9 * n + 9) div 10"), F.col("bin"))).alias("b90"),
+        F.min(F.when(F.expr("cum >= (99 * n + 99) div 100"), F.col("bin"))).alias("b99"),
+    )
+    est = picks.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "n",
+        F.expr(f"__lo + (b50 * __width) div {nbins}L").cast("long").alias("p50_est_cents"),
+        F.expr(f"__lo + (b90 * __width) div {nbins}L").cast("long").alias("p90_est_cents"),
+        F.expr(f"__lo + (b99 * __width) div {nbins}L").cast("long").alias("p99_est_cents"),
+        F.expr(f"__width div {nbins}L + 2").alias("__bound"),
+    )
+    # exact disc percentiles via rank pick — the gate's ground truth
+    wr = W.partitionBy("event_type").orderBy("cents")
+    ranked = ev.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "nn", F.count(F.lit(1)).over(wt)
+    )
+    exact = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.expr("rn = (nn + 1) div 2"), F.col("cents"))).alias("e50"),
+        F.min(F.when(F.expr("rn = (9 * nn + 9) div 10"), F.col("cents"))).alias("e90"),
+        F.min(F.when(F.expr("rn = (99 * nn + 99) div 100"), F.col("cents"))).alias("e99"),
+    )
+    gated = est.join(exact, "event_type")
+    within = lambda e, p: (
+        (F.col(e) >= F.col(p)) & (F.col(e) - F.col(p) <= F.col("__bound"))
+    ).cast("long")
+    return gated.select(
+        "event_type",
+        "n",
+        "p50_est_cents",
+        "p90_est_cents",
+        "p99_est_cents",
+        within("e50", "p50_est_cents").alias("p50_within"),
+        within("e90", "p90_est_cents").alias("p90_within"),
+        within("e99", "p99_est_cents").alias("p99_within"),
+    )

@@ -53,3 +53,45 @@ def test_hll_union_is_lossless_estimation_regime(spark):
     # and the estimates are in the right ballpark of true cardinality
     total_est = sum(r.est1 for r in rows)
     assert abs(total_est - n) <= 0.05 * n, (total_est, n)
+
+
+def test_quantile_histogram_merge_is_lossless(spark):
+    """x51's rollup claim: summing per-(type, day) bin counts equals the
+    one-shot global histogram EXACTLY (integer sums are associative), so
+    the persisted-artifact path and a full recompute agree bin-for-bin."""
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("d"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    bounds = ev.agg(
+        F.min("cents").alias("__lo"),
+        (F.max("cents") - F.min("cents") + 1).alias("__width"),
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type", "d", F.expr("(cents - __lo) * 256L div __width").alias("bin")
+    )
+    one_shot = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    two_level = (
+        binned.groupBy("event_type", "d", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert one_shot.exceptAll(two_level).count() == 0
+    assert two_level.exceptAll(one_shot).count() == 0
+
+
+def test_quantile_histogram_flags_hold_across_sfs(spark):
+    """The error-bound theorem (est edge within one bin width of the exact
+    rank-picked percentile) must hold on any data, not just sf0.01 — the
+    oracle emits it as a constant, so measure it here at sf0.001 too."""
+    from airbnb_listings_data_pipelines_spark.queries.registry import load_all
+
+    fn = load_all()["x51_mergeable_quantile_histogram"].fn
+    rows = fn(spark, SF_SMALL).collect()
+    assert rows, "no event types"
+    for r in rows:
+        assert r.p50_within == 1 and r.p90_within == 1 and r.p99_within == 1
