@@ -533,3 +533,84 @@ def duplicate_span_coverage(
             .alias("dup_fraction"),
         )
     )
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space, then prune semantic duplicates WITHIN each cluster — the
+    quadratic cosine work is confined to cluster-sized candidate sets
+    instead of the full corpus (the same discipline as the LSH/IVF band
+    joins in this module and operators/similarity.py).
+
+    Clustering here is deterministic hash-spread MEDOID seeding: the
+    ``n_clusters`` vectors with smallest md5_hash32(id) act as fixed
+    centroids and every vector joins its max-cosine seed (tiebreak:
+    higher cos, then lower seed id). That makes the whole operator —
+    assignment included — reproducible in the DuckDB oracle bit-for-bit.
+    Production swaps the seed step for
+    ``similarity.train_centroids_distributed`` (the k-means|| fit
+    shipped for IVF, x14) at the cost of oracle-exactness; the prune
+    stage is unchanged.
+
+    Pruning rule (one-shot, order-free): a vector is DROPPED iff some
+    SMALLER-id vector in the same cluster has cosine >= tau with it —
+    every drop is witnessed by a kept-or-dropped earlier representative,
+    so the kept set is the min-id representative cover of the
+    tau-neighborhood graph restricted to clusters. One-shot (rather
+    than sequentially re-checking against survivors only) keeps the
+    operator a single self-join instead of an iterative loop; it prunes
+    a superset of the sequential variant's drops on chains, which is the
+    conservative direction for dedup.
+
+    Scale shape: seeds are a k-row broadcast; assignment is a map-only
+    broadcast join + per-row argmax (no shuffle); the prune self-join
+    shuffles once on cluster id and its quadratic term is bounded by the
+    largest cluster (k scales with corpus size, N/k held ~constant).
+
+    Returns ``vec_id, cluster, kept`` (all BIGINT).
+    """
+    from pyspark.sql import Window as W
+
+    from . import similarity
+
+    h = md5_hash32(F.col(id_col).cast("string"))
+    seeds = (
+        emb.select(F.col(id_col).alias("__seed_id"), F.col(vec_col).alias("__svec"), h.alias("__h"))
+        .orderBy("__h", "__seed_id")
+        .limit(n_clusters)
+        .drop("__h")
+    )
+    wa = W.partitionBy(id_col).orderBy(F.desc("__cs"), F.asc("__seed_id"))
+    assign = (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(seeds))
+        .withColumn("__cs", similarity.cosine(F.col(vec_col), F.col("__svec")))
+        .withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("__seed_id").alias("cluster"))
+    )
+    a = assign.select(F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"), "cluster")
+    b = assign.select(F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb"), "cluster")
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(similarity.cosine(F.col("__va"), F.col("__vb")) >= tau)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        assign.join(dropped, id_col, "left")
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col("cluster").cast("long").alias("cluster"),
+            F.when(F.col("__dropped").isNull(), 1).otherwise(0).cast("long").alias("kept"),
+        )
+    )

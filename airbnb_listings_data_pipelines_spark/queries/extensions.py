@@ -2203,3 +2203,74 @@ def x50_dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents")
     return sampling.dsir_importance_scores(docs, is_target=F.col("source") == "src0")
+
+
+def _dk_cos(a: str, b: str) -> str:
+    """DuckDB cosine fragment matching operators/similarity.cosine's
+    sequential double fold bit-for-bit (the x13-proven form)."""
+    dot = (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    na = (
+        f"sqrt(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+    nb = (
+        f"sqrt(list_sum(list_transform(range(1, len({b}) + 1), "
+        f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    )
+    return f"{dot} / ({na} * {nb})"
+
+
+_SEMDEDUP_ORACLE = f"""
+    WITH h AS (
+      SELECT vec_id, embedding,
+             list_sum(list_transform(range(1, 9), i ->
+               (strpos('0123456789abcdef',
+                       substring(md5(CAST(vec_id AS VARCHAR)), i, 1)) - 1)
+               * CAST(pow(16, 8 - i) AS BIGINT))) AS hh
+      FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS seed_id, embedding AS svec
+      FROM h QUALIFY row_number() OVER (ORDER BY hh, vec_id) <= 8
+    ), assign AS (
+      SELECT vec_id, embedding, seed_id AS cluster
+      FROM (SELECT e.vec_id, e.embedding, s.seed_id,
+                   {_dk_cos('e.embedding', 's.svec')} AS c
+            FROM embeddings e, seeds s)
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY c DESC, seed_id) = 1
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_dk_cos('a.embedding', 'b.embedding')} >= 0.4
+    )
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+           CAST(a.cluster AS BIGINT) AS cluster,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+@query(
+    "x52_semdedup_prune",
+    oracle=_SEMDEDUP_ORACLE,
+    survey_rows=("EXT-dedup", "EXT-similarity", "J5", "W1"),
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023): cluster the "
+    "embedding space, prune tau-similar (0.4) duplicates within each "
+    "cluster keeping min-id representatives — the embedding-space "
+    "counterpart of MinHash/SimHash text dedup, with the quadratic "
+    "cosine work confined to cluster-sized sets. The registry form uses "
+    "deterministic hash-spread MEDOID seeds (8 smallest md5-hash vecs) "
+    "so DuckDB reproduces assignment AND pruning bit-for-bit; production "
+    "swaps in the k-means|| fit (x14) unchanged downstream. Scale shape: "
+    "k-row seed broadcast + map-only argmax assignment (no shuffle), one "
+    "cluster-keyed shuffle for the prune self-join, largest-cluster-"
+    "bounded quadratic term (k grows with the corpus, N/k held constant). "
+    "operators/dedup.semdedup_prune.",
+)
+def x52_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semdedup_prune(emb, n_clusters=8, tau=0.4)

@@ -293,3 +293,47 @@ def test_leakage_safe_split_invariants(spark):
     again = reg["x46_leakage_safe_split"].fn(spark, SF_SMALL)
     assert split.exceptAll(again).count() == 0 and again.exceptAll(split).count() == 0
     split.unpersist()
+
+
+def test_semdedup_prunes_within_cluster_duplicates(spark):
+    # three exact-direction duplicates + two orthogonal singletons
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0, 0.0]),   # same direction as 0 -> cos 1.0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [3.0, 0.0, 0.0, 0.0]),   # same direction as 0/1
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in dedup.semdedup_prune(emb, n_clusters=2, tau=0.9).collect()}
+    assert len(out) == 5
+    dup_group = [0, 1, 4]
+    clusters = {out[i].cluster for i in dup_group}
+    assert len(clusters) == 1  # identical directions share a cluster
+    kept_dups = [i for i in dup_group if out[i].kept == 1]
+    assert kept_dups == [min(dup_group)]  # min-id representative survives
+    assert out[2].kept == 1 and out[3].kept == 1  # orthogonal vecs untouched
+
+
+def test_semdedup_drops_are_witnessed_by_smaller_neardup(spark):
+    """Every dropped vec must have a smaller-id tau-neighbor (the one-shot
+    rule's invariant) — cross-checked against the exact pair set."""
+    from airbnb_listings_data_pipelines_spark.operators import similarity
+    from airbnb_listings_data_pipelines_spark.sources.tpch import load_table
+
+    from .conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    out = dedup.semdedup_prune(emb, n_clusters=8, tau=0.4)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    witnesses = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .filter(similarity.cosine(F.col("va"), F.col("vb")) >= 0.4)
+        .select(F.col("ib").alias("vec_id"))
+        .distinct()
+    )
+    orphan_drops = (
+        out.filter(F.col("kept") == 0).join(witnesses, "vec_id", "left_anti")
+    )
+    assert orphan_drops.count() == 0
