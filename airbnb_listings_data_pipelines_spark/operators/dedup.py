@@ -537,7 +537,7 @@ def duplicate_span_coverage(
 
 def semdedup_prune(
     emb: DataFrame,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     tau: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -549,11 +549,28 @@ def semdedup_prune(
     instead of the full corpus (the same discipline as the LSH/IVF band
     joins in this module and operators/similarity.py).
 
-    Clustering here is deterministic hash-spread MEDOID seeding: the
-    ``n_clusters`` vectors with smallest md5_hash32(id) act as fixed
-    centroids and every vector joins its max-cosine seed (tiebreak:
-    higher cos, then lower seed id). That makes the whole operator —
-    assignment included — reproducible in the DuckDB oracle bit-for-bit.
+    Clustering here is deterministic hash-spread MEDOID seeding, in one
+    of two modes, both reproducible in the DuckDB oracle bit-for-bit:
+
+    - SQRT-RATE mode (default, ``n_clusters=None``): every vector whose
+      md5_hash32(id) < floor(2^32 / sqrt(N)) is a seed — expected
+      cluster count sqrt(N), which BALANCES the two cost terms that a
+      clustered dedup cannot both make linear with single-level
+      assignment: assignment costs N*k cosines and within-cluster
+      pairing costs ~N^2/k, so k ~ sqrt(N) puts BOTH at N^1.5 (fixed
+      k=8 measured 18.5 at the 10x probe — quadratic pairing; k ~ N/64
+      measured 7.3 — quadratic assignment; sqrt-rate is the balanced
+      point, and N comes from one count aggregate broadcast as a 1-row
+      scalar, never a collect). True linearity needs TWO-LEVEL
+      assignment (coarse-quantize the seeds themselves, probe one
+      coarse cell then its ~bounded seed subset — exactly the IVF
+      fit/serve split shipped in operators/similarity.py), which trades
+      oracle size for N*(2*sqrt(k)) assignment; at 100 TB that is the
+      production path, composed from the existing IVF pieces.
+    - FIXED-K mode (``n_clusters=k``): the k smallest-hash vectors seed
+      — deterministic for tiny inputs where a hash-rate threshold could
+      select zero seeds (unit tests, bounded side inputs).
+
     Production swaps the seed step for
     ``similarity.train_centroids_distributed`` (the k-means|| fit
     shipped for IVF, x14) at the cost of oracle-exactness; the prune
@@ -581,12 +598,26 @@ def semdedup_prune(
     from . import similarity
 
     h = md5_hash32(F.col(id_col).cast("string"))
-    seeds = (
-        emb.select(F.col(id_col).alias("__seed_id"), F.col(vec_col).alias("__svec"), h.alias("__h"))
-        .orderBy("__h", "__seed_id")
-        .limit(n_clusters)
-        .drop("__h")
-    )
+    if n_clusters is None:
+        n = emb.agg(F.count(F.lit(1)).alias("__n"))  # 1-row broadcast scalar
+        seeds = (
+            emb.select(F.col(id_col).alias("__seed_id"), F.col(vec_col).alias("__svec"))
+            .crossJoin(F.broadcast(n))
+            .filter(
+                md5_hash32(F.col("__seed_id").cast("string"))
+                < F.floor(F.lit(4294967296.0) / F.sqrt(F.col("__n"))).cast("long")
+            )
+            .drop("__n")
+        )
+    else:
+        seeds = (
+            emb.select(
+                F.col(id_col).alias("__seed_id"), F.col(vec_col).alias("__svec"), h.alias("__h")
+            )
+            .orderBy("__h", "__seed_id")
+            .limit(n_clusters)
+            .drop("__h")
+        )
     wa = W.partitionBy(id_col).orderBy(F.desc("__cs"), F.asc("__seed_id"))
     assign = (
         emb.select(id_col, vec_col)

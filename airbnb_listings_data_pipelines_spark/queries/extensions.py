@@ -2233,7 +2233,8 @@ _SEMDEDUP_ORACLE = f"""
       FROM embeddings
     ), seeds AS (
       SELECT vec_id AS seed_id, embedding AS svec
-      FROM h QUALIFY row_number() OVER (ORDER BY hh, vec_id) <= 8
+      FROM h WHERE hh < CAST(floor(4294967296.0 /
+        sqrt(CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE))) AS BIGINT)
     ), assign AS (
       SELECT vec_id, embedding, seed_id AS cluster
       FROM (SELECT e.vec_id, e.embedding, s.seed_id,
@@ -2263,17 +2264,21 @@ _SEMDEDUP_ORACLE = f"""
     "cluster keeping min-id representatives — the embedding-space "
     "counterpart of MinHash/SimHash text dedup, with the quadratic "
     "cosine work confined to cluster-sized sets. The registry form uses "
-    "deterministic hash-spread MEDOID seeds (8 smallest md5-hash vecs) "
-    "so DuckDB reproduces assignment AND pruning bit-for-bit; production "
-    "swaps in the k-means|| fit (x14) unchanged downstream. Scale shape: "
-    "k-row seed broadcast + map-only argmax assignment (no shuffle), one "
-    "cluster-keyed shuffle for the prune self-join, largest-cluster-"
-    "bounded quadratic term (k grows with the corpus, N/k held constant). "
+    "deterministic SQRT-RATE medoid seeding (seed iff md5_hash32(id) < "
+    "floor(2^32/sqrt(N)), N via 1-row broadcast scalar) so DuckDB "
+    "reproduces assignment AND pruning bit-for-bit AND both cost terms "
+    "stay balanced at N^1.5: fixed k=8 probed quadratic-pairing (18.5 "
+    "at 10x), k~N/64 probed quadratic-assignment (7.3); sqrt-rate is "
+    "the single-level optimum, and the documented true-linear path is "
+    "two-level IVF assignment from operators/similarity.py (SCALING.md). "
+    "Production swaps in the k-means|| fit (x14) unchanged downstream. "
+    "Scale shape: seed broadcast + map-only argmax assignment (no "
+    "shuffle), one cluster-keyed shuffle for the prune self-join. "
     "operators/dedup.semdedup_prune.",
 )
 def x52_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.semdedup_prune(emb, n_clusters=8, tau=0.4)
+    return dedup.semdedup_prune(emb, tau=0.4)
 
 
 @query(
