@@ -86,16 +86,19 @@ def corpus_line_dedup(
     base = df.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks"))
     toks = F.col("__toks")  # projected once; inline split would re-run per line
     n_lines_arr = F.ceil(F.size(toks) / F.lit(float(line_len)))
-    lines = base.select(
-        F.col(id_col),
-        F.posexplode(
-            F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
-                F.transform(
-                    F.sequence(F.lit(0), n_lines_arr - 1),
-                    lambda i: F.array_join(F.slice(toks, i * line_len + 1, line_len), " "),
-                )
+    from .text import exploded_nonnull
+
+    lines = exploded_nonnull(
+        base,
+        F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_lines_arr - 1),
+                lambda i: F.array_join(F.slice(toks, i * line_len + 1, line_len), " "),
             )
-        ).alias("line_idx", "line"),
+        ),
+        "line",
+        F.col(id_col),
+        pos="line_idx",
     )
     cnt = lines.groupBy("line").agg(F.count(F.lit(1)).alias("__c"))
     # n_lines is arithmetic on the token count — map-only off the scan (one
@@ -192,12 +195,14 @@ def winnowing_fingerprints(
             lambda acc: acc["i"],
         ),
     )
-    picked = hashed.select(
+    from .text import exploded_nonnull
+
+    picked = exploded_nonnull(
+        hashed,
+        F.when(n == 0, F.array().cast("array<int>")).otherwise(F.array_distinct(sel)),
+        "pos",
         F.col(id_col),
         hs.alias("__hs2"),
-        F.explode(
-            F.when(n == 0, F.array().cast("array<int>")).otherwise(F.array_distinct(sel))
-        ).alias("pos"),
     )
     return picked.select(
         F.col(id_col),
@@ -234,8 +239,22 @@ def winnowing_neardup_pairs(
 
 
 def char_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct character n-gram shingles of lower(text) (array<string>)."""
-    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    """Distinct character n-gram shingles of lower(text) (array<string>).
+
+    Convenience form (lowercases inline). HOT PATHS must project
+    ``F.lower(text)`` first and call ``char_shingles_lc`` on the bare
+    column: the transform lambda references its input per ELEMENT, and
+    Catalyst inlines (not CSEs) non-attribute inputs, so an inline
+    lower() re-runs O(len) work per shingle — measured 9.4s vs 2.2s for
+    the sf0.1 profile build (same trap as ngrams_from_tokens).
+    """
+    return char_shingles_lc(F.lower(F.col(col) if isinstance(col, str) else col), n)
+
+
+def char_shingles_lc(col: Column | str, n: int = 3) -> Column:
+    """char_shingles over an ALREADY-LOWERCASED projected column (see
+    char_shingles docstring for why hot paths must use this form)."""
+    c = F.col(col) if isinstance(col, str) else col
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(n)) - n + 1),
@@ -257,9 +276,10 @@ def ngram_jaccard_pairs(
     count shared shingles per pair, Jaccard = inter / (|A| + |B| - inter).
     Only pairs sharing >= 1 shingle are ever materialized.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(char_shingles(text_col, n)).alias("sh")
-    )
+    from .text import exploded_nonnull
+
+    base = df.select(F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("__lc"))
+    sh = exploded_nonnull(base, char_shingles_lc("__lc", n), "sh", "id")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -291,9 +311,10 @@ def minhash_signatures(
     Computed as one explode + one groupBy with ``num_hashes`` min() aggregates
     (partial aggregation makes the shuffle carry signatures, not shingles).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(char_shingles(text_col, n)).alias("sh")
-    )
+    from .text import exploded_nonnull
+
+    base = df.select(F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("__lc"))
+    sh = exploded_nonnull(base, char_shingles_lc("__lc", n), "sh", "id")
     aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
     return sh.groupBy("id").agg(*aggs)
 
@@ -430,9 +451,10 @@ def simhash(
     (with bits<=32) for the cross-engine-exact variant the DuckDB oracle
     can recompute.
     """
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("w"),
+    from .text import exploded_nonnull
+
+    words = exploded_nonnull(
+        df, F.split(F.trim(F.lower(text_col)), r"\s+"), "w", F.col(id_col).alias("id")
     ).withColumn("h", hash_fn(F.col("w")))
     bit_sums = [
         F.sum(F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
@@ -501,9 +523,20 @@ def duplicate_span_coverage(
         F.size("toks").cast("long").alias("n_tokens"),
         ngrams_from_tokens(F.col("toks"), n).alias("grams"),
     )
-    occ = toked.select(
-        "doc_id", F.posexplode("grams").alias("pos", "gram")
-    ).select("doc_id", "pos", hash_fn(F.col("gram")).alias("gh"))
+    # posexplode_OUTER, not posexplode: for inner generates Catalyst's
+    # InferFiltersFromGenerate injects Filter(size(gen)>0 AND
+    # isnotnull(gen)) below the Generate, and filter pushdown re-inlines
+    # the WHOLE gram-construction expression (with the tokens() split
+    # re-substituted at every element_at reference) into that filter at
+    # the scan — measured 113 s for 236k spans at sf0.1 (~16 regex
+    # splits of the full text per gram row); outer generates get no
+    # inferred filter, and the cheap pos-null post-filter restores inner
+    # semantics. Measured 113 s -> ~3 s.
+    occ = (
+        toked.select("doc_id", F.posexplode_outer("grams").alias("pos", "gram"))
+        .filter(F.col("pos").isNotNull())
+        .select("doc_id", "pos", hash_fn(F.col("gram")).alias("gh"))
+    )
     dup_grams = occ.groupBy("gh").agg(F.count(F.lit(1)).alias("occ_cnt")).filter(
         F.col("occ_cnt") >= min_count
     )

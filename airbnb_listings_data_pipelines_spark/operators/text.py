@@ -10,6 +10,41 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+def exploded_nonnull(
+    df: DataFrame,
+    arr: Column | str,
+    alias: str,
+    *keep: Column | str,
+    pos: str | None = None,
+) -> DataFrame:
+    """``explode`` with Catalyst's InferFiltersFromGenerate trap defused.
+
+    For an INNER generate, Catalyst injects ``Filter(size(gen) > 0 AND
+    isnotnull(gen))`` below the Generate node, and filter pushdown then
+    re-inlines the entire generator expression into that filter at the
+    scan — including re-substituting every aliased sub-expression it
+    references. For an array built by ``transform`` over a projected
+    ``tokens()`` split, that filter re-runs the regex split at EVERY
+    ``element_at`` reference of every element: duplicate_span_coverage
+    measured **113 s for 236k generated rows at sf0.1, 0.74 s after this
+    fix** (~150x). OUTER generates get no inferred filter; the cheap
+    null-check on the generated output restores inner-explode semantics.
+
+    Precondition: the array must not contain null ELEMENTS (true for
+    every constructed array in this package — concat_ws/substring/struct
+    never yield null); a null element would be dropped where inner
+    explode would keep it.
+
+    ``pos`` adds posexplode's ordinal column under that name.
+    """
+    a = F.col(arr) if isinstance(arr, str) else arr
+    if pos is None:
+        out = df.select(*keep, F.explode_outer(a).alias(alias))
+        return out.filter(F.col(alias).isNotNull())
+    out = df.select(*keep, F.posexplode_outer(a).alias(pos, alias))
+    return out.filter(F.col(pos).isNotNull())
+
+
 # Tiny per-language stopword marker sets (public, language-frequency folklore).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "of", "and", "is", "to", "in"),
@@ -188,7 +223,7 @@ def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "do
     frame, not the exploded tokens (which would silently drop them)."""
     base = df.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks"))
     unig = (
-        base.select(F.col(id_col), F.explode("__toks").alias("w"))
+        exploded_nonnull(base, "__toks", "w", F.col(id_col))
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy(id_col)
@@ -199,7 +234,7 @@ def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "do
         )
     )
     bigr = (
-        base.select(F.col(id_col), F.explode(ngrams_from_tokens(F.col("__toks"), 2)).alias("b"))
+        exploded_nonnull(base, ngrams_from_tokens(F.col("__toks"), 2), "b", F.col(id_col))
         .groupBy(id_col, "b")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy(id_col)
@@ -240,11 +275,10 @@ def ngram_lang_profiles(
     Deterministic: rank ties break on the n-gram string ascending. Counts
     are document frequencies over DISTINCT per-doc n-grams (robust to one
     doc repeating an n-gram thousands of times)."""
-    from ..operators.dedup import char_shingles
+    from ..operators.dedup import char_shingles_lc
 
-    grams = df.select(
-        F.col(lang_col).alias("lang"), F.explode(char_shingles(text_col, n)).alias("g")
-    )
+    base = df.select(F.col(lang_col).alias("lang"), F.lower(F.col(text_col)).alias("__lc"))
+    grams = exploded_nonnull(base, char_shingles_lc("__lc", n), "g", "lang")
     counts = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "g")
     return (
@@ -272,9 +306,10 @@ def lang_id_ngram(
     Scale shape: explode distinct doc n-grams (map-only), equi-join the
     BROADCAST profile table, one (doc, lang) hash agg, one per-doc top-1
     window. No Python anywhere."""
-    from ..operators.dedup import char_shingles
+    from ..operators.dedup import char_shingles_lc
 
-    grams = df.select(F.col(id_col), F.explode(char_shingles(text_col, n)).alias("gram"))
+    base = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lc"))
+    grams = exploded_nonnull(base, char_shingles_lc("__lc", n), "gram", F.col(id_col))
     scored = (
         grams.join(F.broadcast(profiles), "gram")
         .groupBy(id_col, "lang")
@@ -337,8 +372,8 @@ def chunk_tokens(
             F.array_join(F.slice(toks, i * stride + 1, chunk_size), " ").alias("chunk_text"),
         ),
     )
-    return base.select(
-        F.col(id_col), n.cast("long").alias("n_tokens"), F.explode(chunks).alias("c")
+    return exploded_nonnull(
+        base, chunks, "c", F.col(id_col), n.cast("long").alias("n_tokens")
     ).select(
         id_col,
         "n_tokens",

@@ -1164,12 +1164,12 @@ def x21_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x28_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "source", text.tokens(F.lower(F.col("text"))).alias("__toks")
-    ).select(
+    sh = text.exploded_nonnull(
+        docs.select("doc_id", "source", text.tokens(F.lower(F.col("text"))).alias("__toks")),
+        text.ngrams_from_tokens(F.col("__toks"), 3, distinct=True),
+        "sh",
         "doc_id",
         "source",
-        F.explode(text.ngrams_from_tokens(F.col("__toks"), 3, distinct=True)).alias("sh"),
     )
     bench = (
         sh.filter(F.col("source") == "src0").select("sh").distinct()
@@ -2443,4 +2443,78 @@ def x54_fuzzy_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("best_match_key"),
         )
+    )
+
+
+@query(
+    "x55_bigram_lm_quality",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+      FROM documents WHERE length(trim(text)) > 0
+    ), big AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(arr)),
+                            i -> arr[i] || ' ' || arr[i + 1])) AS bg
+      FROM tok WHERE len(arr) >= 2
+    ), bg_cnt AS (
+      SELECT bg, COUNT(*) AS c2 FROM big GROUP BY 1
+    ), left_cnt AS (
+      SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1 FROM bg_cnt GROUP BY 1
+    ), scored AS (
+      SELECT b.doc_id, (g.c2 * 1000000) // l.c1 AS s
+      FROM big b
+      JOIN bg_cnt g USING (bg)
+      JOIN left_cnt l ON split_part(b.bg, ' ', 1) = l.w1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(s) AS BIGINT) AS total_score,
+           SUM(s) / COUNT(*) AS avg_cond_prob_ppm
+    FROM scored GROUP BY doc_id
+    """,
+    survey_rows=("EXT-text", "A8", "J5"),
+    doc="CCNet-style LM quality filtering (Wenzek et al. 2020 filter "
+    "CommonCrawl by KenLM perplexity; public recipe): fit a bigram "
+    "conditional model on the corpus itself — P(w2|w1) as "
+    "count(w1 w2)*1e6 div count(w1 ·) on the ppm integer grid — and "
+    "score each document by its average bigram conditional probability; "
+    "low scores = improbable word transitions = boilerplate/garbled "
+    "text. Complements x29 (unigram rarity — which words) with context "
+    "modeling (which TRANSITIONS); the log-perplexity form is the usual "
+    "one-line swap blocked by cross-engine float reduction order. All "
+    "reductions integral, one final division. Overflow envelope: "
+    "s <= 1e6, so a doc's total fits int64 to 9e12 bigrams and the "
+    "corpus model counts to 9e12 tokens. Scale shape: bigram model = "
+    "one hash agg over exploded bigrams (map-side combine) + a "
+    "vocabulary-sized left-count rollup; scoring joins on bigram "
+    "(AQE skew for hot bigrams); per-doc agg shuffles on doc_id. "
+    "Tokenize-once discipline per ngrams_from_tokens.",
+)
+def x55_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    big = text.exploded_nonnull(
+        docs.select("doc_id", text.tokens(F.lower(F.col("text"))).alias("__toks")).filter(
+            F.size("__toks") >= 2
+        ),
+        text.ngrams_from_tokens(F.col("__toks"), 2),
+        "bg",
+        "doc_id",
+    )
+    bg_cnt = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    left_cnt = (
+        bg_cnt.groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .agg(F.sum("c2").alias("c1"))
+    )
+    scored = (
+        big.join(bg_cnt, "bg")
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(left_cnt, "w1")
+        .select("doc_id", F.expr("(c2 * 1000000L) div c1").alias("s"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("s").cast("long").alias("total_score"),
+        (F.sum("s") / F.count(F.lit(1))).alias("avg_cond_prob_ppm"),
     )
