@@ -678,3 +678,85 @@ def semdedup_prune(
             F.when(F.col("__dropped").isNull(), 1).otherwise(0).cast("long").alias("kept"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+    hash_fn: Callable[[Column], Column] = F.xxhash64,
+) -> DataFrame:
+    """Span-level decontamination: CUT corpus-duplicated text out of each
+    document (the removal counterpart of ``duplicate_span_coverage``'s
+    measurement — Lee et al. 2022 ExactSubstr *removes* the duplicated
+    substring rather than dropping the document; C4-style pipelines do
+    the same at line level via corpus_line_dedup).
+
+    A token position is removed iff it is covered by at least one
+    ``n``-token span whose gram occurs >= ``min_count`` times
+    corpus-wide; surviving tokens are reassembled in original order.
+
+    Returns ``doc_id, n_tokens, n_removed, new_text`` (empty new_text
+    when the whole doc was duplicated text or the doc was empty).
+
+    Scale shape: shares duplicate_span_coverage's discipline — the gram
+    count and occurrence join shuffle 8-byte hash keys; the extra work
+    here is one token-level posexplode (outer-generate, see
+    exploded_nonnull), a LEFT ANTI join of token positions against
+    covered positions on (doc_id, pos), and a per-document
+    sort_array(collect_list) reassembly bounded by document size. Text
+    crosses a shuffle exactly once (the reassembly), as tokens.
+    """
+    from .text import exploded_nonnull, ngrams_from_tokens, tokens
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.lower(F.col(text_col))).alias("toks")
+    )
+    toked = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        ngrams_from_tokens(F.col("toks"), n).alias("grams"),
+    )
+    occ = (
+        exploded_nonnull(toked, "grams", "gram", "doc_id", pos="pos")
+        .select("doc_id", "pos", hash_fn(F.col("gram")).alias("gh"))
+    )
+    dup_grams = (
+        occ.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("occ_cnt"))
+        .filter(F.col("occ_cnt") >= min_count)
+    )
+    covered = (
+        occ.join(dup_grams.select("gh"), "gh")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("p"),
+        )
+        .distinct()
+    )
+    toks_pos = exploded_nonnull(base, "toks", "token", "doc_id", pos="p")
+    kept = (
+        toks_pos.join(covered, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+    )
+    stats = base.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    return stats.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
+    )

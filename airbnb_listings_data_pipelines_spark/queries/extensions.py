@@ -2518,3 +2518,55 @@ def x55_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").cast("long").alias("total_score"),
         (F.sum("s") / F.count(F.lit(1))).alias("avg_cond_prob_ppm"),
     )
+
+
+@query(
+    "x56_span_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS a
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+             md5(array_to_string(a[CAST(u.i AS INT):CAST(u.i + 7 AS INT)], ' ')) AS gh
+      FROM toks, LATERAL (SELECT unnest(range(1, len(a) - 8 + 2)) AS i) u
+    ), dup AS (
+      SELECT gh FROM occ GROUP BY gh HAVING COUNT(*) >= 2
+    ), covered AS (
+      SELECT DISTINCT o.doc_id, o.pos + t.j AS p
+      FROM occ o JOIN dup d USING (gh), range(0, 8) t(j)
+    ), tok_pos AS (
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS p, a[CAST(u.i AS INT)] AS token
+      FROM toks, LATERAL (SELECT unnest(range(1, len(a) + 1)) AS i) u
+    ), kept AS (
+      SELECT tp.doc_id, COUNT(*) AS n_kept,
+             string_agg(tp.token, ' ' ORDER BY tp.p) AS new_text
+      FROM tok_pos tp LEFT JOIN covered c
+        ON tp.doc_id = c.doc_id AND tp.p = c.p
+      WHERE c.p IS NULL
+      GROUP BY tp.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(a) AS BIGINT) AS n_tokens,
+           CAST(len(a) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(k.new_text, '') AS new_text
+    FROM toks t LEFT JOIN kept k USING (doc_id)
+    """,
+    survey_rows=("EXT-dedup", "EXT-text"),
+    doc="Span-level decontamination — the REMOVAL counterpart of x45's "
+    "measurement (Lee et al. 2022 ExactSubstr cuts the duplicated "
+    "substring out instead of dropping the document): every token "
+    "position covered by a corpus-duplicated 8-token span is removed and "
+    "the survivors reassembled in order. Together x45 (measure) -> x56 "
+    "(rewrite) -> x01/x22 (drop) complete the dedup action spectrum. "
+    "Oracle recomputes the identical md5-gram selection, covered-"
+    "position set, anti-join, and ordered reassembly. Scale shape: "
+    "8-byte gram-hash shuffles, token-level anti-join on (doc_id, pos), "
+    "document-bounded collect_list reassembly; text crosses one shuffle, "
+    "as tokens. operators/dedup.remove_duplicate_spans.",
+)
+def x56_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(docs, n=8, min_count=2, hash_fn=F.md5)

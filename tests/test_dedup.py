@@ -337,3 +337,41 @@ def test_semdedup_drops_are_witnessed_by_smaller_neardup(spark):
         out.filter(F.col("kept") == 0).join(witnesses, "vec_id", "left_anti")
     )
     assert orphan_drops.count() == 0
+
+
+def test_remove_duplicate_spans_consistent_with_coverage(spark):
+    """x56's n_removed must equal x45's dup_tokens doc-for-doc (the same
+    covered-position set drives both), and untouched docs keep every
+    token."""
+    from .conftest import SF_SMALL
+    from airbnb_listings_data_pipelines_spark.sources.tpch import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    cov = {
+        r.doc_id: r
+        for r in dedup.duplicate_span_coverage(docs, n=8, min_count=2).collect()
+    }
+    cut = {
+        r.doc_id: r
+        for r in dedup.remove_duplicate_spans(docs, n=8, min_count=2).collect()
+    }
+    assert set(cov) == set(cut)
+    for did, c in cov.items():
+        r = cut[did]
+        assert r.n_removed == c.dup_tokens
+        n_out = len(r.new_text.split()) if r.new_text else 0
+        assert n_out == r.n_tokens - r.n_removed
+
+
+def test_remove_duplicate_spans_handmade(spark):
+    shared = "a b c d e f g h"  # one exact 8-token span shared by two docs
+    rows = [
+        (1, shared + " unique1 tail1"),
+        (2, shared + " unique2 tail2"),
+        (3, "totally different words here with no overlap at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.remove_duplicate_spans(docs, n=8).collect()}
+    assert out[1].n_removed == 8 and out[1].new_text == "unique1 tail1"
+    assert out[2].n_removed == 8 and out[2].new_text == "unique2 tail2"
+    assert out[3].n_removed == 0 and out[3].new_text.startswith("totally different")
