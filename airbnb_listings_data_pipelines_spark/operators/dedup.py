@@ -574,6 +574,7 @@ def semdedup_prune(
     tau: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    two_level: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): cluster the embedding
@@ -652,14 +653,63 @@ def semdedup_prune(
             .drop("__h")
         )
     wa = W.partitionBy(id_col).orderBy(F.desc("__cs"), F.asc("__seed_id"))
-    assign = (
-        emb.select(id_col, vec_col)
-        .crossJoin(F.broadcast(seeds))
-        .withColumn("__cs", similarity.cosine(F.col(vec_col), F.col("__svec")))
-        .withColumn("__rn", F.row_number().over(wa))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col(vec_col), F.col("__seed_id").alias("cluster"))
-    )
+    if two_level:
+        # TWO-LEVEL assignment (the true-linear scale path, IVF fit/serve
+        # split applied to the medoid table itself): coarse-quantize the
+        # seeds by a nested hash threshold (coarse set is a deterministic
+        # SUBSET of the seeds — expected k^(1/2) of them), route every
+        # seed and every vector to its argmax coarse cell, then argmax
+        # only over the seeds in that cell. Assignment drops from N*k to
+        # ~N*2*sqrt(k) cosines at the cost of an approximate (cell-
+        # restricted) nearest seed — SemDeDup's own approximation regime.
+        # Every coarse seed is a seed and routes to itself (cos=1), so no
+        # cell is seedless and every vector finds >= 1 candidate.
+        n2 = seeds.agg(F.count(F.lit(1)).alias("__k"))
+        coarse = (
+            seeds.crossJoin(F.broadcast(n2))
+            .filter(
+                md5_hash32(F.col("__seed_id").cast("string"))
+                < F.floor(
+                    F.lit(4294967296.0) / F.sqrt(F.sqrt(F.col("__k")))
+                ).cast("long")
+            )
+            .select(
+                F.col("__seed_id").alias("__cell"), F.col("__svec").alias("__cvec")
+            )
+        )
+        wc = W.partitionBy("__seed_id").orderBy(F.desc("__cc"), F.asc("__cell"))
+        seed_cells = (
+            seeds.crossJoin(F.broadcast(coarse))
+            .withColumn("__cc", similarity.cosine(F.col("__svec"), F.col("__cvec")))
+            .withColumn("__rn", F.row_number().over(wc))
+            .filter(F.col("__rn") == 1)
+            .select("__seed_id", "__svec", "__cell")
+        )
+        wv = W.partitionBy(id_col).orderBy(F.desc("__cc"), F.asc("__cell"))
+        vec_cells = (
+            emb.select(id_col, vec_col)
+            .crossJoin(F.broadcast(coarse))
+            .withColumn("__cc", similarity.cosine(F.col(vec_col), F.col("__cvec")))
+            .withColumn("__rn", F.row_number().over(wv))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, vec_col, "__cell")
+        )
+        assign = (
+            vec_cells.join(F.broadcast(seed_cells), "__cell")
+            .withColumn("__cs", similarity.cosine(F.col(vec_col), F.col("__svec")))
+            .withColumn("__rn", F.row_number().over(wa))
+            .filter(F.col("__rn") == 1)
+            .select(F.col(id_col), F.col(vec_col), F.col("__seed_id").alias("cluster"))
+        )
+    else:
+        assign = (
+            emb.select(id_col, vec_col)
+            .crossJoin(F.broadcast(seeds))
+            .withColumn("__cs", similarity.cosine(F.col(vec_col), F.col("__svec")))
+            .withColumn("__rn", F.row_number().over(wa))
+            .filter(F.col("__rn") == 1)
+            .select(F.col(id_col), F.col(vec_col), F.col("__seed_id").alias("cluster"))
+        )
     a = assign.select(F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"), "cluster")
     b = assign.select(F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb"), "cluster")
     dropped = (

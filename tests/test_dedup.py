@@ -375,3 +375,26 @@ def test_remove_duplicate_spans_handmade(spark):
     assert out[1].n_removed == 8 and out[1].new_text == "unique1 tail1"
     assert out[2].n_removed == 8 and out[2].new_text == "unique2 tail2"
     assert out[3].n_removed == 0 and out[3].new_text.startswith("totally different")
+
+
+def test_semdedup_two_level_assignment_invariants(spark):
+    """Two-level (coarse-cell-routed) assignment must produce a valid
+    clustering: every vector assigned to a REAL seed, seeds assigned to
+    themselves, and on well-separated data it agrees with single-level."""
+    from .conftest import SF_SMALL
+    from airbnb_listings_data_pipelines_spark.sources.tpch import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    one = {r.vec_id: r for r in dedup.semdedup_prune(emb, tau=0.4).collect()}
+    two = {r.vec_id: r for r in dedup.semdedup_prune(emb, tau=0.4, two_level=True).collect()}
+    assert set(one) == set(two)
+    valid_clusters = {r.cluster for r in one.values()}
+    assert {r.cluster for r in two.values()} <= valid_clusters  # real seeds only
+    # seeds route to themselves under both modes
+    for vid, r in two.items():
+        if vid in valid_clusters:
+            assert r.cluster == vid or two[r.cluster].cluster == r.cluster
+    # the cell restriction is an approximation, but on this data the two
+    # modes should agree for the vast majority of vectors
+    agree = sum(1 for v in one if one[v].cluster == two[v].cluster)
+    assert agree / len(one) >= 0.7
