@@ -2570,3 +2570,88 @@ def x55_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x56_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.remove_duplicate_spans(docs, n=8, min_count=2, hash_fn=F.md5)
+
+
+@query(
+    "x57_pagerank_trade_graph",
+    oracle="""
+    WITH e AS (
+      SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      GROUP BY 1, 2
+    ), ow AS (
+      SELECT src, SUM(w) AS tw FROM e GROUP BY 1
+    ), ew AS (
+      SELECT e.src, e.dst, e.w, ow.tw FROM e JOIN ow USING (src)
+    ), n AS (
+      SELECT n_nationkey AS node FROM nation
+    ), r0 AS (
+      SELECT node, CAST(1000000 AS BIGINT) AS r FROM n
+    ),
+    r1 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * COALESCE(SUM((p.r * ew.w) // ew.tw), 0)) // 100
+                  AS BIGINT) AS r
+      FROM n LEFT JOIN ew ON ew.dst = n.node
+             LEFT JOIN r0 p ON p.node = ew.src
+      GROUP BY n.node
+    ),
+    r2 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * COALESCE(SUM((p.r * ew.w) // ew.tw), 0)) // 100
+                  AS BIGINT) AS r
+      FROM n LEFT JOIN ew ON ew.dst = n.node
+             LEFT JOIN r1 p ON p.node = ew.src
+      GROUP BY n.node
+    ),
+    r3 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * COALESCE(SUM((p.r * ew.w) // ew.tw), 0)) // 100
+                  AS BIGINT) AS r
+      FROM n LEFT JOIN ew ON ew.dst = n.node
+             LEFT JOIN r2 p ON p.node = ew.src
+      GROUP BY n.node
+    )
+    SELECT nt.n_name AS nation, r3.r AS pr
+    FROM r3 JOIN nation nt ON r3.node = nt.n_nationkey
+""",
+    survey_rows=("EXT-graph", "A8", "J7"),
+    doc="Weighted PageRank (Brin & Page 1998) over the nation trade graph "
+    "(supplier nation -> customer nation, edge weight = lineitem count), "
+    "3 power iterations on a 1e6 integer grid so the full rank "
+    "trajectory is bit-reproducible cross-engine (the oracle unrolls the "
+    "same iterations as chained CTEs; every reduction BIGINT, every "
+    "division a floor). Complements x22's connected components: CC = "
+    "reachability, PageRank = weighted centrality, together the "
+    "iterative-graph pair a curation stack needs (e.g. domain-authority "
+    "weighting before sampling). Scale shape: per iteration one "
+    "edges-JOIN-ranks shuffle + dst-keyed sum; the rank table is "
+    "node-sized (here 25 rows -> broadcast, map-only iterations); "
+    "convergence looping composes with the CC checkpoint discipline. "
+    "operators/graph.pagerank_integer.",
+)
+def x57_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+    ranks = graph.pagerank_integer(edges, nodes, iters=3)
+    return ranks.join(
+        F.broadcast(n), ranks["node"] == n["n_nationkey"]
+    ).select(F.col("n_name").alias("nation"), F.col("r").alias("pr"))

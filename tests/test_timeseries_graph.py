@@ -104,3 +104,19 @@ def test_connected_components_pointer_doubling_round_count(spark):
     assert set(got.values()) == {0} and len(got) == n
     assert stats["converged"]
     assert stats["rounds"] <= 14, stats  # log-ish, nowhere near diameter/round
+
+
+def test_pagerank_mass_and_sink_behavior(spark):
+    """Integer PageRank invariants on a hand-built graph: a sink node fed
+    by everyone outranks the feeders; an isolated node keeps only the
+    teleport mass; total mass stays bounded by n*scale."""
+    from airbnb_listings_data_pipelines_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 0, 10), (2, 0, 10), (3, 0, 10)], ["src", "dst", "w"]
+    )  # 1,2,3 all point at 0; node 4 isolated
+    nodes = spark.createDataFrame([(i,) for i in range(5)], ["node"])
+    r = {row.node: row.r for row in graph.pagerank_integer(edges, nodes, iters=3).collect()}
+    assert r[0] > r[1] == r[2] == r[3]
+    assert r[4] == 150000 + 0  # teleport only (isolated)
+    assert sum(r.values()) <= 5 * 1_000_000
