@@ -2268,3 +2268,40 @@ def q71_exists_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "q72_group_by_all_ergonomics",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    survey_rows=("A8", "O1"),
+    doc="Modern SQL ergonomics surface: GROUP BY ALL (group on every "
+    "non-aggregate select item) and ORDER BY ALL, run as SQL TEXT "
+    "through spark.sql — the same statement executes verbatim on DuckDB, "
+    "so the oracle IS the query. Resolves to the identical hash "
+    "aggregate + sort a column-list GROUP BY plans (no penalty, purely "
+    "front-end sugar users coming from DuckDB/Snowflake expect). Price "
+    "summed in integer cents per registry rule 1.",
+)
+def q72_group_by_all_ergonomics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
