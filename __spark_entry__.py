@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # THIS window (x01-x04, q48-q50) were driver-green in rounds 2 AND 3's
 # lineage, run every round inside the bench headline (x01-x03) or the
 # streaming batch-equivalence tests (q48-q50), and remain covered by
-# tools/check_oracle.py's full registry sweep (129 queries in round 4).
+# tools/check_oracle.py's full registry sweep (130 queries in round 4).
 _CHECK_FIRST = [
     # never driver-checked (round-3 overflow) — slots 1-7
     "x37_embedding_decontamination",

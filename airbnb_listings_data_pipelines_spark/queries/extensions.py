@@ -2655,3 +2655,124 @@ def x57_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(
         F.broadcast(n), ranks["node"] == n["n_nationkey"]
     ).select(F.col("n_name").alias("nation"), F.col("r").alias("pr"))
+
+
+@query(
+    "x58_bloom_line_membership",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, source, i AS line_idx,
+             array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS line
+      FROM t, unnest(range(0, CAST(ceil(len(toks) / 3.0) AS BIGINT))) AS u(i)
+    ), seen AS (
+      SELECT DISTINCT line FROM lines WHERE source = 'src0'
+    ), bpos AS (
+      SELECT list_sum(list_transform(range(1, 9), h ->
+               (strpos('0123456789abcdef',
+                       substring(md5(concat(line, '#', CAST(u.i AS VARCHAR))), h, 1)) - 1)
+               * CAST(pow(16, 8 - h) AS BIGINT))) % 65536 AS p
+      FROM seen, range(0, 3) u(i)
+    ), bloom AS (
+      SELECT p // 63 AS word, bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+      FROM bpos GROUP BY 1
+    ), probes AS (
+      SELECT l.doc_id, l.line_idx, l.line, u.i,
+             list_sum(list_transform(range(1, 9), h ->
+               (strpos('0123456789abcdef',
+                       substring(md5(concat(l.line, '#', CAST(u.i AS VARCHAR))), h, 1)) - 1)
+               * CAST(pow(16, 8 - h) AS BIGINT))) % 65536 AS p
+      FROM lines l, range(0, 3) u(i) WHERE l.source <> 'src0'
+    ), hits AS (
+      SELECT pr.doc_id, pr.line_idx,
+             MIN(COALESCE((b.bits >> CAST(pr.p % 63 AS INT)) & 1, 0)) AS maybe
+      FROM probes pr LEFT JOIN bloom b ON pr.p // 63 = b.word
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT l.doc_id, l.line_idx,
+             CAST(CASE WHEN s.line IS NULL THEN 0 ELSE 1 END AS BIGINT) AS really
+      FROM lines l LEFT JOIN seen s ON l.line = s.line
+      WHERE l.source <> 'src0'
+    ), per_doc AS (
+      SELECT h.doc_id, SUM(h.maybe) AS n_maybe_seen, SUM(t2.really) AS n_true_seen
+      FROM hits h JOIN truth t2 ON h.doc_id = t2.doc_id AND h.line_idx = t2.line_idx
+      GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(ceil(len(t.toks) / 3.0) AS BIGINT) AS n_lines,
+           CAST(COALESCE(p.n_maybe_seen, 0) AS BIGINT) AS n_maybe_seen,
+           CAST(COALESCE(p.n_true_seen, 0) AS BIGINT) AS n_true_seen,
+           CAST(CASE WHEN COALESCE(p.n_maybe_seen, 0) >= COALESCE(p.n_true_seen, 0)
+                THEN 1 ELSE 0 END AS BIGINT) AS no_false_neg
+    FROM t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    WHERE t.source <> 'src0'
+    """,
+    survey_rows=("EXT-dedup", "EXT-sketch", "A8"),
+    doc="Mergeable Bloom-filter membership (CCNet/Dolma 'seen paragraph' "
+    "check): build a 65,536-bit k=3 filter over the distinct 3-token "
+    "lines of source src0 as a RELATION of (word, bit_or-merged bits) "
+    "rows — the OR-merge IS the aggregate's map-side combine, making the "
+    "sketch mergeable for free and the filter table bounded (m/63 rows) "
+    "and broadcastable regardless of corpus size. Probe every other "
+    "document's lines; per doc report Bloom-maybe vs exact-semi-join "
+    "truth and the no-false-negative theorem check (measured in BOTH "
+    "engines, not a constant — Bloom bits are md5-derived so DuckDB "
+    "rebuilds the identical filter). Fourth member of the sketch belt "
+    "(HLL distinct x36, Misra-Gries heavy hitters x47, histogram "
+    "quantiles x51, Bloom membership x58). operators/bloom.py.",
+)
+def x58_bloom_line_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bloom as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", text.tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    toks = F.col("toks")
+    n_lines_arr = F.ceil(F.size(toks) / F.lit(3.0))
+    lines = text.exploded_nonnull(
+        base,
+        F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_lines_arr - 1),
+                lambda i: F.array_join(F.slice(toks, i * 3 + 1, 3), " "),
+            )
+        ),
+        "line",
+        "doc_id",
+        "source",
+        pos="line_idx",
+    )
+    seen = lines.filter(F.col("source") == "src0").select("line").distinct()
+    filt = B.bloom_build(seen, "line", m_bits=65536, k=3)
+    probe_lines = lines.filter(F.col("source") != "src0")
+    maybe = B.bloom_probe(
+        probe_lines, filt, "line", ["doc_id", "line_idx"], m_bits=65536, k=3
+    )
+    truth = probe_lines.join(
+        seen.withColumn("__s", F.lit(1)), "line", "left"
+    ).select("doc_id", "line_idx", F.coalesce("__s", F.lit(0)).alias("really"))
+    per_doc = (
+        maybe.join(truth, ["doc_id", "line_idx"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("maybe_present").alias("n_maybe_seen"),
+            F.sum("really").alias("n_true_seen"),
+        )
+    )
+    spine = base.filter(F.col("source") != "src0").select(
+        "doc_id", n_lines_arr.cast("long").alias("n_lines")
+    )
+    return spine.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_maybe_seen", F.lit(0)).cast("long").alias("n_maybe_seen"),
+        F.coalesce("n_true_seen", F.lit(0)).cast("long").alias("n_true_seen"),
+        (F.coalesce("n_maybe_seen", F.lit(0)) >= F.coalesce("n_true_seen", F.lit(0)))
+        .cast("long")
+        .alias("no_false_neg"),
+    )
