@@ -100,3 +100,45 @@ def test_empty_text_docs_match_oracle(spark):
     by_id = {int(r.doc_id): r for r in cld.itertuples(index=False)}
     assert by_id[2].n_lines == 0 and by_id[2].n_kept == 0 and by_id[2].new_text == ""
     assert by_id[3].n_lines == 0
+
+
+def test_round4_ops_on_empty_and_whitespace_docs(spark):
+    """The round-4 text/retrieval/dedup additions must survive zero-row
+    AND empty/whitespace-text inputs (the round-3 advisor's divergence
+    class) with correct schemas and no phantom rows."""
+    from airbnb_listings_data_pipelines_spark.operators import bloom, retrieval, sampling
+
+    empty = _empty_docs(spark)
+    assert retrieval.bm25_postings(empty).count() == 0
+    assert dedup.remove_duplicate_spans(empty).count() == 0
+    assert dedup.duplicate_span_coverage(empty).count() == 0
+    assert sampling.dsir_importance_scores(empty, is_target=F.col("source") == "src0").count() == 0
+
+    ws = spark.createDataFrame(
+        [(1, "", "en", "src0", 0), (2, "   ", "en", "src1", 3),
+         (3, "real words here", "en", "src1", 15)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # whitespace-only docs: zero tokens -> zero postings/spans, no crash
+    assert retrieval.bm25_postings(ws).filter(F.col("doc_id") != 3).count() == 0
+    spans = {r.doc_id: r for r in dedup.remove_duplicate_spans(ws).collect()}
+    assert spans[1].n_tokens == 0 and spans[1].new_text == ""
+    assert spans[2].n_tokens == 0 and spans[2].n_removed == 0
+
+    # bloom over zero keys: empty filter, every probe negative
+    nokeys = spark.createDataFrame([], "key string")
+    filt = bloom.bloom_build(nokeys, "key")
+    assert filt.count() == 0
+    probe = spark.createDataFrame([("a",), ("b",)], ["key"])
+    out = bloom.bloom_probe(probe, filt, "key", ["key"])
+    assert out.filter(F.col("maybe_present") == 1).count() == 0
+
+
+def test_semdedup_and_pagerank_on_empty(spark):
+    from airbnb_listings_data_pipelines_spark.operators import graph
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert dedup.semdedup_prune(emb).count() == 0
+    edges = spark.createDataFrame([], "src long, dst long, w long")
+    nodes = spark.createDataFrame([], "node long")
+    assert graph.pagerank_integer(edges, nodes).count() == 0
