@@ -2776,3 +2776,125 @@ def x58_bloom_line_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("no_false_neg"),
     )
+
+
+@query(
+    "x59_hybrid_rrf_retrieval",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS t FROM dl
+    ), dfq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), post AS (
+      SELECT f.doc_id, f.term,
+             ((s.n * 1000) // d.df)
+             * ((f.tf * 22000 * s.t) //
+                (10 * s.t * f.tf + 3 * s.t + 9 * l.dl * s.n)) AS contrib
+      FROM tf f JOIN dl l USING (doc_id) JOIN dfq d USING (term), stats s
+    ), q AS (
+      SELECT DISTINCT doc_id AS q_id, term FROM tok WHERE doc_id % 53 = 0
+    ), lex AS (
+      SELECT q_id, doc_id, rnk FROM (
+        SELECT q.q_id, p.doc_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY SUM(p.contrib) DESC, p.doc_id) AS rnk
+        FROM post p JOIN q USING (term) GROUP BY q.q_id, p.doc_id)
+      WHERE rnk <= 20
+    ), qv AS (
+      SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 53 = 0
+    ), dense AS (
+      SELECT q_id, doc_id, rnk FROM (
+        SELECT qv.q_id, e.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY qv.q_id ORDER BY
+                 {_dk_cos('qv.qe', 'e.embedding')} DESC, e.vec_id) AS rnk
+        FROM qv, embeddings e)
+      WHERE rnk <= 20
+    ), fused AS (
+      SELECT COALESCE(l.q_id, d.q_id) AS q_id,
+             COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             COALESCE(1000000000 // (60 + l.rnk), 0)
+           + COALESCE(1000000000 // (60 + d.rnk), 0) AS rrf
+      FROM lex l FULL OUTER JOIN dense d
+        ON l.q_id = d.q_id AND l.doc_id = d.doc_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(rrf AS BIGINT) AS rrf, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY rrf DESC, doc_id) AS rnk
+          FROM fused)
+    WHERE rnk <= 5
+    """,
+    survey_rows=("EXT-similarity", "EXT-text", "J1", "W1"),
+    doc="Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al. "
+    "2009, the standard lexical+dense fusion in modern RAG stacks): "
+    "BM25 top-20 (x49 machinery) and exact-cosine top-20 per query, "
+    "fused by RRF on a 1e9 integer grid (1e9 div (60+rank), missing "
+    "list contributes 0 via FULL OUTER join) — rank fusion needs only "
+    "ranks, so the whole composition stays bit-exact cross-engine. "
+    "Queries = every doc with doc_id%53=0 using its own text AND its "
+    "aligned embedding. Scale shape: both rankers are broadcast-query/"
+    "streamed-corpus; the fusion join is (queries x 20)-sized on both "
+    "sides — trivially partitionable; at scale the dense side swaps to "
+    "the ANN shortlist (x10/x14/x41) unchanged downstream.",
+)
+def x59_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    postings = retrieval.bm25_postings(docs)
+    qterms = (
+        docs.filter((F.col("doc_id") % 53 == 0) & (F.length(F.trim("text")) > 0))
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(text.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .distinct()
+    )
+    lex = retrieval.bm25_topk(postings, qterms, k=20).select("q_id", "doc_id", "rnk")
+    qv = emb.filter(F.col("vec_id") % 53 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    wd = Window.partitionBy("q_id").orderBy(F.desc("__cs"), F.asc("doc_id"))
+    dense = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("doc_id"),
+            similarity.cosine(F.col("qe"), F.col("embedding")).alias("__cs"),
+        )
+        .withColumn("rnk", F.row_number().over(wd))
+        .filter(F.col("rnk") <= 20)
+        .select("q_id", "doc_id", "rnk")
+    )
+    l = lex.select("q_id", "doc_id", F.col("rnk").alias("lr"))
+    d = dense.select("q_id", "doc_id", F.col("rnk").alias("dr"))
+    fused = (
+        l.join(d, ["q_id", "doc_id"], "full_outer")
+        .select(
+            "q_id",
+            "doc_id",
+            (
+                F.coalesce(F.expr("1000000000L div (60 + lr)"), F.lit(0))
+                + F.coalesce(F.expr("1000000000L div (60 + dr)"), F.lit(0))
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("rrf").cast("long").alias("rrf"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
