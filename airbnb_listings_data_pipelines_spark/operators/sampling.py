@@ -232,14 +232,29 @@ def dsir_importance_scores(
     totals = vocab.agg(
         F.sum("p_c").alias("__p_tot"), F.sum("q_c").alias("__q_tot")
     )  # 1 row -> broadcast scalar (J9 idiom)
+    # Empty-corpus guard (the x32/x31 empty-input divergence class): a
+    # zero token total would make Spark emit NULL ppm (x div 0 = NULL)
+    # while DuckDB's // raises — fail loudly and identically instead.
     ratios = (
         vocab.crossJoin(F.broadcast(totals))
         .select(
             "term",
-            F.expr(
-                "(((p_c * 1000000L) div __p_tot) + 1L) * 1000L"
-                " div (((q_c * 1000000L) div __q_tot) + 1L)"
-            ).alias("r"),
+            F.when(
+                (F.col("__p_tot") > 0) & (F.col("__q_tot") > 0),
+                F.expr(
+                    "(((p_c * 1000000L) div __p_tot) + 1L) * 1000L"
+                    " div (((q_c * 1000000L) div __q_tot) + 1L)"
+                ),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "dsir_importance_scores: target and raw corpora must both "
+                        "contain at least one token"
+                    )
+                )
+            )
+            .alias("r"),
         )
     )
     raw_tf = (

@@ -113,3 +113,18 @@ def test_fuzzy_linkage_name_collapse_matches_naive(spark):
     assert (out[10].n_matches, out[10].min_dist, out[10].best_match_key) == (2, 0, 11)
     assert (out[11].n_matches, out[11].min_dist, out[11].best_match_key) == (2, 0, 10)
     assert (out[12].n_matches, out[12].min_dist, out[12].best_match_key) == (2, 1, 10)
+
+
+def test_dsir_raises_on_empty_target(spark):
+    """Zero target tokens would silently NULL the Spark side while the
+    DuckDB oracle errors — the operator must fail loudly instead."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "only raw words", "raw"), (2, "more raw words", "raw")],
+        ["doc_id", "text", "grp"],
+    )
+    with pytest.raises(Exception, match="at least one token"):
+        # collect(), not count(): column pruning would eliminate the guarded
+        # ratio expression from a bare row-count plan
+        sampling.dsir_importance_scores(docs, is_target=F.col("grp") == "tgt").collect()
