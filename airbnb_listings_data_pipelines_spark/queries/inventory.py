@@ -2305,3 +2305,43 @@ def q72_group_by_all_ergonomics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "q73_filter_clause_aggregates",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderpriority = '1-URGENT')
+             AS urgent_customers,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    survey_rows=("A11", "A2", "A8"),
+    doc="ANSI FILTER-clause aggregates run as SQL TEXT through spark.sql — "
+    "the statement executes verbatim on DuckDB, so the oracle IS the "
+    "query. Each FILTER lowers to the same conditional-aggregation "
+    "physical plan as the CASE-WHEN idiom (q22) — one pass, map-side "
+    "partial aggregation, including the filtered COUNT(DISTINCT) which "
+    "plans as a two-phase distinct aggregate. Price summed in integer "
+    "cents per registry rule 1.",
+)
+def q73_filter_clause_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderpriority = '1-URGENT')
+                 AS urgent_customers,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
