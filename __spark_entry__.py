@@ -71,7 +71,12 @@ _CHECK_FIRST = [
     "q70_pivot_revenue_matrix",
     "q71_exists_semi_anti",
     "q72_group_by_all_ergonomics",
-    # latest driver evidence round 2 — oldest first, slots 31-50
+    "x59_hybrid_rrf_retrieval",
+    "q73_filter_clause_aggregates",
+    # latest driver evidence round 2 — oldest first. Two r2-stale queries
+    # rotate to round 5 to make room for the late round-4 additions:
+    # x11 (multimodal — real-codec pytest coverage) and x15 (curation
+    # fusion — now also covered end-to-end by tests/test_full_recipe.py)
     "q28_approx_sketch_aggregates",
     "q32_rollup_hierarchy",
     "q34_intersect_except",
@@ -86,9 +91,7 @@ _CHECK_FIRST = [
     "x05_ngram_jaccard_pairs",
     "x06_minhash_lsh_recall",
     "x10_lsh_ann_recall",
-    "x11_multimodal_features",
     "x14_ivf_ann_recall",
-    "x15_curation_pipeline",
     "x22_dedup_components",
     "x26_incremental_dedup",
     "x27_component_survivors",
