@@ -2898,3 +2898,98 @@ def x59_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+@query(
+    "x60_corpus_datacard",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, lang, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             END AS n_tok
+      FROM documents
+    ), ranked AS (
+      SELECT source, n_tok,
+             row_number() OVER (PARTITION BY source ORDER BY n_tok) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM base
+    ), med AS (
+      SELECT source, MIN(CASE WHEN rn = (n + 1) // 2 THEN n_tok END) AS p50_tokens
+      FROM ranked GROUP BY source
+    ), agg AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT text) AS n_unique_texts,
+             SUM(n_tok) AS total_tokens,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+             SUM(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS n_emails
+      FROM base GROUP BY source
+    )
+    SELECT a.source,
+           CAST(a.n_docs AS BIGINT) AS n_docs,
+           CAST(a.n_unique_texts AS BIGINT) AS n_unique_texts,
+           CAST((a.n_docs - a.n_unique_texts) * 1000000 // a.n_docs AS BIGINT)
+             AS dup_ppm,
+           CAST(a.total_tokens AS BIGINT) AS total_tokens,
+           CAST(m.p50_tokens AS BIGINT) AS p50_tokens,
+           CAST(a.n_en AS BIGINT) AS n_en,
+           CAST(a.n_emails AS BIGINT) AS n_emails
+    FROM agg a JOIN med m USING (source)
+    """,
+    survey_rows=("EXT-text", "A2", "A7", "A8"),
+    doc="Dataset-card statistics per source (the HF dataset-card / Dolma "
+    "data-report numbers a release ships with): doc counts, exact-dup "
+    "rate (ppm integer grid), token totals, exact median doc length "
+    "(rank-picked disc percentile — same definition both engines), "
+    "language mix, and PII (email) density. One grouped aggregate + one "
+    "per-source rank window, all integers. Scale shape: COUNT(DISTINCT "
+    "text) keys the shuffle by text — at 100 TB swap to xxhash64(text) "
+    "8-byte keys (x01's discipline); the median via x51's mergeable "
+    "histogram when an exact per-source sort is too hot. The registry's "
+    "profiling counterpart to the action queries: measure (x60) before "
+    "curating (x15).",
+)
+def x60_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        text.token_count(F.col("text")).alias("n_tok"),
+    )
+    wr = W.partitionBy("source").orderBy("n_tok")
+    wn = W.partitionBy("source")
+    med = (
+        base.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .groupBy("source")
+        .agg(
+            F.min(F.when(F.expr("rn = (n + 1) div 2"), F.col("n_tok"))).alias(
+                "p50_tokens"
+            )
+        )
+    )
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+        F.sum(text.pii_count(F.col("text"), "email")).alias("n_emails"),
+    )
+    return agg.join(med, "source").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_unique_texts").cast("long").alias("n_unique_texts"),
+        F.expr("(n_docs - n_unique_texts) * 1000000L div n_docs")
+        .cast("long")
+        .alias("dup_ppm"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("p50_tokens").cast("long").alias("p50_tokens"),
+        F.col("n_en").cast("long").alias("n_en"),
+        F.col("n_emails").cast("long").alias("n_emails"),
+    )
