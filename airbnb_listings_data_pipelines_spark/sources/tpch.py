@@ -26,6 +26,41 @@ TPCH_TABLES = (
 )
 
 
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the package to Python workers once per SparkContext.
+
+    mapInPandas/pandas_udf closures that reference package-module helpers
+    (heavyhitters._mg_update, the multimodal codecs) are cloudpickled BY
+    REFERENCE, so the executor-side Python must be able to import
+    ``airbnb_listings_data_pipelines_spark``. When the driver process runs
+    with cwd=/root/repo that works by accident (workers inherit the cwd);
+    a driver started anywhere else fails with a worker-side
+    ModuleNotFoundError — found by driving the contract from /tmp per the
+    verify recipe. ``addPyFile`` of a package zip is the standard,
+    cwd-independent fix (same mechanism spark-submit --py-files uses);
+    one ~100 KB zip per context, guarded to run once.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_alp_pyfile_added", False):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(pkg_dir)
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="alp_pkg_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc._alp_pyfile_added = True
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing quirks so downstream plans see
     clean types.
@@ -45,6 +80,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # runtime-settable; required even when the caller's session builder
         # didn't set it (e.g. the driver's own SparkSession)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_workers_can_import(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
