@@ -28,73 +28,55 @@ def entry(spark: SparkSession) -> DataFrame:
     return reg["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
-# The driver checks the first 50 registry entries per round. Round-4
-# window: every query that has NEVER appeared in a driver CORRECTNESS
-# window leads — the 7 that overflowed round 3's slots plus the 23 new
-# round-4 queries — followed by the 20 round-2-stale queries with the
-# oldest evidence. Never-checked beats stale: a query with zero driver
-# artifacts is a bigger evidence gap than one green in round 2. The
-# r2-stale queries that overflow THIS window (the remaining window/
-# function-breadth q4x block and the x05-x27 belt) stay covered by
-# tools/check_oracle.py's full bit-exact registry sweep (130 queries,
-# re-run this round: 130/130) and rotate into round 5's window.
+# The driver checks the first 50 registry entries per round. Round-5
+# window: x60_corpus_datacard leads (added after round 4's window froze,
+# so it is the only query with ZERO driver artifacts), followed by the
+# 32 queries whose latest driver evidence is round 2 (the q40-q53
+# window/asof/funnel breadth block and the x01-x25 curation belt).
+# That is 33 explicit slots; queries added in round 5 fill the next
+# slots, and any remainder up to 50 auto-fills from registry order
+# (those all have round-3+ driver evidence). After this window, no
+# registry query's driver evidence predates round 3. Everything outside
+# the window stays covered by tools/check_oracle.py's full bit-exact
+# registry sweep (133/133 at the end of round 4).
 _CHECK_FIRST = [
-    # never driver-checked: round-3 overflow — slots 1-7
-    "x37_embedding_decontamination",
-    "x38_retrieve_rerank",
-    "q59_intersect_except_all",
-    "q61_bitwise_breadth",
-    "q62_cube_status_year",
-    "q67_map_functions",
-    "q69_content_hashing_encoding",
-    # never driver-checked: new in round 4 — slots 8-30
-    "x39_winnowing_fingerprints",
-    "x40_winnowing_neardup_pairs",
-    "x41_pq_ann_recall",
-    "x42_bpe_pair_counts",
-    "x43_lang_id_ngram",
-    "x44_attribution_join",
-    "x45_duplicate_span_coverage",
-    "x46_leakage_safe_split",
-    "x47_heavy_hitters_mg",
-    "x48_temperature_mixture_sample",
-    "x49_bm25_retrieval",
-    "x50_dsir_importance_selection",
-    "x51_mergeable_quantile_histogram",
-    "x52_semdedup_prune",
-    "x53_hard_negative_mining",
-    "x54_fuzzy_record_linkage",
-    "x55_bigram_lm_quality",
-    "x56_span_decontaminate",
-    "x57_pagerank_trade_graph",
-    "x58_bloom_line_membership",
-    "q70_pivot_revenue_matrix",
-    "q71_exists_semi_anti",
-    "q72_group_by_all_ergonomics",
-    "x59_hybrid_rrf_retrieval",
-    "q73_filter_clause_aggregates",
-    # latest driver evidence round 2 — oldest first. Two r2-stale queries
-    # rotate to round 5 to make room for the late round-4 additions:
-    # x11 (multimodal — real-codec pytest coverage) and x15 (curation
-    # fusion — now also covered end-to-end by tests/test_full_recipe.py)
-    "q28_approx_sketch_aggregates",
-    "q32_rollup_hierarchy",
-    "q34_intersect_except",
-    "q35_pivot_status_by_priority",
-    "q37_month_spine_gap_fill",
-    "q38_lateral_top2_per_customer",
-    "q39_snowflake_dialect_frontend",
-    "q19_events_tumbling",
-    "q23_events_sessionize_gap",
-    "q33_events_daily_top_users",
-    "q36_json_extraction",
-    "x05_ngram_jaccard_pairs",
-    "x06_minhash_lsh_recall",
-    "x10_lsh_ann_recall",
-    "x14_ivf_ann_recall",
-    "x22_dedup_components",
-    "x26_incremental_dedup",
-    "x27_component_survivors",
+    # never driver-checked — slot 1
+    "x60_corpus_datacard",
+    # latest driver evidence round 2 — slots 2-33
+    "q40_moving_average_rows_frame",
+    "q41_trailing_range_frame",
+    "q42_quartiles_array",
+    "q43_null_safe_join",
+    "q44_string_function_breadth",
+    "q45_conditional_expression_breadth",
+    "q46_math_function_breadth",
+    "q47_date_arithmetic_breadth",
+    "q48_asof_join_last_click",
+    "q49_range_join_click_counts",
+    "q50_funnel_view_click_purchase",
+    "q51_unpivot_long_form",
+    "q52_percent_rank_cume_dist",
+    "q53_new_vs_returning_users",
+    "x01_dedup_exact",
+    "x02_token_count",
+    "x03_quality_scores",
+    "x04_lang_id",
+    "x07_simhash",
+    "x08_fingerprint_stats",
+    "x09_cosine_topk",
+    "x11_multimodal_features",
+    "x12_top_tokens",
+    "x13_embedding_neardup_pairs",
+    "x15_curation_pipeline",
+    "x16_simhash_neardup_pairs",
+    "x17_collect_per_source",
+    "x18_token_budget_packing",
+    "x19_stratified_sample",
+    "x23_tfidf_top_terms",
+    "x24_hash_reservoir_per_lang",
+    "x25_quartile_feature_bins",
+    # round-5 additions slot in here as they are registered; remaining
+    # slots auto-fill with round-3-evidence queries from registry order.
 ]
 
 
