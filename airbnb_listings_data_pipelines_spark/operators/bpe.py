@@ -107,36 +107,79 @@ def learn_bpe_merges(
     text_col: str = "text",
     n_merges: int = 10,
     stats: dict | None = None,
+    merge_batch: int = 1,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules from a corpus. Returns the
     ordered merge list — the tokenizer artifact a real pipeline persists.
     Deterministic: ties broken by (count DESC, a ASC, b ASC). Stops early
-    when no adjacent pair occurs twice (``stats['stopped_early']``)."""
+    when no adjacent pair occurs twice (``stats['stopped_early']``).
+
+    ``merge_batch`` trades driver round-trips for strict sequentiality —
+    the standard distributed-BPE batching (e.g. SentencePiece's batched
+    trainer). Per driver round it collects the top ``4*merge_batch``
+    candidate pairs ONCE and greedily keeps up to ``merge_batch`` mutually
+    NON-CONFLICTING pairs: a candidate is skipped if either of its symbols
+    appears in an earlier pick's {a, b, a+b}, which guarantees every kept
+    pair's pre-batch count is still exact at its application point (merges
+    touching disjoint symbols can neither create nor consume each other's
+    adjacencies). With batching, a merge that spawns a brand-new
+    high-count pair (x, a+b) is considered one round later than strict
+    1-at-a-time training would, so on chain-heavy corpora the learned
+    list can differ from sequential training's — the standard
+    quality-vs-round-trips trade of every batched BPE trainer; every
+    applied count is still exact. ``merge_batch=1`` (default) IS the
+    strict sequential algorithm;
+    the registry statistics query (x42) runs the default. A real 30k-merge
+    vocabulary with ``merge_batch=256`` needs ~120 driver rounds instead
+    of 30k. ``stats['driver_rounds']`` reports the actual round count.
+    """
+    if merge_batch < 1:
+        raise ValueError(f"merge_batch must be >= 1, got {merge_batch}")
     words = (
         word_frequency_table(df, text_col)
         .select("count", _chars(F.col("word")).alias("syms"))
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str]] = []
-    for i in range(n_merges):
+    rounds = 0
+    since_checkpoint = 0
+    stopped_early = False
+    while len(merges) < n_merges:
+        want = min(merge_batch, n_merges - len(merges))
         top = (
             adjacent_pair_counts(words)
+            .filter(F.col("pair_count") >= 2)
             .orderBy(F.desc("pair_count"), "a", "b")
-            .limit(1)
+            .limit(want * 4)
             .collect()
         )
-        if not top or top[0]["pair_count"] < 2:
-            if stats is not None:
-                stats["stopped_early"] = True
+        rounds += 1
+        if not top:
+            stopped_early = True
             break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        words = words.select("count", apply_merge(F.col("syms"), a, b).alias("syms"))
-        if (i + 1) % _CHECKPOINT_EVERY == 0:
+        picked: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for row in top:
+            if len(picked) == want:
+                break
+            a, b = row["a"], row["b"]
+            if a in used or b in used:
+                continue  # conflicts retry next round with fresh counts
+            picked.append((a, b))
+            used.update((a, b, a + b))
+        col: Column = F.col("syms")
+        for a, b in picked:
+            col = apply_merge(col, a, b)
+        words = words.select("count", col.alias("syms"))
+        merges.extend(picked)
+        since_checkpoint += len(picked)
+        if since_checkpoint >= _CHECKPOINT_EVERY:
             words = words.localCheckpoint(eager=True)
+            since_checkpoint = 0
     if stats is not None:
-        stats.setdefault("stopped_early", False)
+        stats["stopped_early"] = stopped_early
         stats["n_merges"] = len(merges)
+        stats["driver_rounds"] = rounds
     return merges
 
 

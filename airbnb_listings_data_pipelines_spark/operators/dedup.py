@@ -632,6 +632,17 @@ def semdedup_prune(
     from . import similarity
 
     h = md5_hash32(F.col(id_col).cast("string"))
+
+    def _fixed_k_seeds(k: int) -> DataFrame:
+        return (
+            emb.select(
+                F.col(id_col).alias("__seed_id"), F.col(vec_col).alias("__svec"), h.alias("__h")
+            )
+            .orderBy("__h", "__seed_id")
+            .limit(k)
+            .drop("__h")
+        )
+
     if n_clusters is None:
         n = emb.agg(F.count(F.lit(1)).alias("__n"))  # 1-row broadcast scalar
         seeds = (
@@ -643,15 +654,15 @@ def semdedup_prune(
             )
             .drop("__n")
         )
+        # zero-seed guard: P(no hash under the sqrt-rate threshold) is
+        # ~e^(-sqrt(N)) — negligible at corpus scale but real for tiny N,
+        # and an empty seed set would silently prune the WHOLE corpus.
+        # Bounded probe (LocalLimit — stops at the first seed found); on
+        # an unlucky tiny input fall back to fixed-k min-hash seeding.
+        if seeds.limit(1).count() == 0 and emb.limit(1).count() > 0:
+            seeds = _fixed_k_seeds(1)
     else:
-        seeds = (
-            emb.select(
-                F.col(id_col).alias("__seed_id"), F.col(vec_col).alias("__svec"), h.alias("__h")
-            )
-            .orderBy("__h", "__seed_id")
-            .limit(n_clusters)
-            .drop("__h")
-        )
+        seeds = _fixed_k_seeds(n_clusters)
     wa = W.partitionBy(id_col).orderBy(F.desc("__cs"), F.asc("__seed_id"))
     if two_level:
         # TWO-LEVEL assignment (the true-linear scale path, IVF fit/serve
@@ -677,6 +688,15 @@ def semdedup_prune(
                 F.col("__seed_id").alias("__cell"), F.col("__svec").alias("__cvec")
             )
         )
+        # same zero-subset exposure as the sqrt-rate seeds above: an empty
+        # coarse set would leave every vector cell-less. Fall back to the
+        # min-hash seed as the single coarse cell.
+        if coarse.limit(1).count() == 0:
+            coarse = (
+                seeds.orderBy(md5_hash32(F.col("__seed_id").cast("string")), "__seed_id")
+                .limit(1)
+                .select(F.col("__seed_id").alias("__cell"), F.col("__svec").alias("__cvec"))
+            )
         wc = W.partitionBy("__seed_id").orderBy(F.desc("__cc"), F.asc("__cell"))
         seed_cells = (
             seeds.crossJoin(F.broadcast(coarse))

@@ -110,6 +110,8 @@ def pagerank_integer(
     iters: int = 3,
     scale: int = 1_000_000,
     damping_pct: int = 85,
+    broadcast_ranks: bool | None = None,
+    broadcast_threshold_rows: int = 1_000_000,
 ) -> DataFrame:
     """Weighted PageRank on an exact integer grid (Brin & Page 1998),
     fixed-iteration form.
@@ -139,16 +141,36 @@ def pagerank_integer(
     the join co-located so only the rank table moves). Fixed ``iters``
     keeps the plan finite; power-iteration-to-convergence composes the
     same step with the connected_components loop discipline above
-    (checkpoint every round). When the node table fits a broadcast (as
-    with the 25-nation trade graph) the per-iteration join is map-only.
+    (checkpoint every round).
+
+    Broadcast guard (same contract as similarity._broadcast_queries_or_not):
+    the rank table is one row per node, so the map-only broadcast join is
+    right for small node sets (the 25-nation trade graph) but would OOM the
+    driver on a billion-node graph if forced. An explicit
+    ``broadcast_ranks`` wins; ``None`` probes the node count with a bounded
+    ``limit(threshold+1).count()`` (LocalLimit — never scans the full
+    table) and above ``broadcast_threshold_rows`` drops the hint, instead
+    hash-co-partitioning the iteration-invariant edge table on ``src`` once
+    so each iteration's join shuffles only the rank table.
     """
     out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     ew = edges.join(out_w, "src").select("src", "dst", "w", "ow")
+    if broadcast_ranks is None:
+        broadcast_ranks = (
+            nodes.limit(broadcast_threshold_rows + 1).count() <= broadcast_threshold_rows
+        )
+    if not broadcast_ranks:
+        # shuffle path: materialize + co-partition edges on the join key
+        # ONCE (HashPartitioning(src) satisfies the join's required
+        # distribution, so per-iteration shuffles move only the ranks);
+        # the checkpoint also stops the out-weight agg re-running per round
+        ew = ew.repartition("src").localCheckpoint(eager=True)
     teleport = (100 - damping_pct) * scale // 100
     ranks = nodes.select(F.col("node"), F.lit(scale).cast("long").alias("r"))
     for _ in range(iters):
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            ew.join(F.broadcast(ranks), ew["src"] == ranks["node"])
+            ew.join(rank_side, ew["src"] == rank_side["node"])
             .select("dst", F.expr("(r * w) div ow").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))

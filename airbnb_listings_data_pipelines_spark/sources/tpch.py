@@ -39,10 +39,21 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     verify recipe. ``addPyFile`` of a package zip is the standard,
     cwd-independent fix (same mechanism spark-submit --py-files uses);
     one ~100 KB zip per context, guarded to run once.
+
+    The temp zip is removed at interpreter exit (``addPyFile`` copies it
+    into the SparkContext's own staging dir immediately, so the original
+    is safe to delete, but not before this process ends — a second
+    SparkContext in the same process would re-enter here anyway). If the
+    package is not importable as a plain directory of .py files (zip/egg
+    install), os.walk finds nothing — raise instead of shipping an empty
+    archive that would silently reintroduce the worker-side
+    ModuleNotFoundError.
     """
     sc = spark.sparkContext
     if getattr(sc, "_alp_pyfile_added", False):
         return
+    import atexit
+    import contextlib
     import os
     import tempfile
     import zipfile
@@ -51,12 +62,27 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     root = os.path.dirname(pkg_dir)
     fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="alp_pkg_")
     os.close(fd)
+    n_added = 0
     with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
         for dirpath, _dirnames, filenames in os.walk(pkg_dir):
             for fn in filenames:
                 if fn.endswith(".py"):
                     full = os.path.join(dirpath, fn)
                     zf.write(full, os.path.relpath(full, root))
+                    n_added += 1
+    if n_added == 0:
+        with contextlib.suppress(OSError):
+            os.remove(zpath)
+        raise RuntimeError(
+            f"cannot ship package to Python workers: no .py files under {pkg_dir!r} "
+            "(zip/egg install?) — pass the package via spark-submit --py-files instead"
+        )
+
+    def _cleanup(path: str = zpath) -> None:
+        with contextlib.suppress(OSError):
+            os.remove(path)
+
+    atexit.register(_cleanup)
     sc.addPyFile(zpath)
     sc._alp_pyfile_added = True
 

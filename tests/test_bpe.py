@@ -63,7 +63,37 @@ def test_learn_matches_python_reference(spark, corpus_df):
     stats = {}
     got = bpe.learn_bpe_merges(corpus_df, n_merges=12, stats=stats)
     assert got == _py_learn([t for _, t in CORPUS], 12)
-    assert stats == {"stopped_early": False, "n_merges": 12}
+    assert stats == {"stopped_early": False, "n_merges": 12, "driver_rounds": 12}
+
+
+def test_batched_learning_bounds_driver_rounds(spark):
+    """merge_batch=16 learns >=10 merges in <=2 driver rounds on a corpus
+    of symbol-disjoint words (one round can batch all the letter-pair
+    merges), and the batched merge list still encodes every word down to
+    (word, '</w>')-style fused units."""
+    words = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "qr", "st", "uv", "wx"]
+    df = spark.createDataFrame([(1, " ".join(words * 3))], ["doc_id", "text"])
+    stats = {}
+    got = bpe.learn_bpe_merges(df, n_merges=12, stats=stats, merge_batch=16)
+    assert stats["n_merges"] >= 10
+    assert stats["driver_rounds"] <= 2, stats
+    # all 12 disjoint letter pairs are learned, counts exact at application
+    assert {(w[0], w[1]) for w in words} <= set(got)
+    enc = bpe.bpe_encode(df, got).collect()[0]
+    # every word fused to at most 2 symbols ('ab' + '</w>' or 'ab</w>')
+    assert len(enc.bpe_tokens) <= 2 * 3 * len(words)
+
+
+def test_batched_picks_are_non_conflicting(spark):
+    """A round's picks may not share symbols: with corpus 'ababab...' the
+    top pairs (a,b) and (b,a) conflict, so one round keeps only (a,b) and
+    (b,a)'s count is re-evaluated next round against the merged words —
+    exactly what strict sequential training computes."""
+    df = spark.createDataFrame([(1, "ababab ababab abab")], ["doc_id", "text"])
+    stats = {}
+    got = bpe.learn_bpe_merges(df, n_merges=3, stats=stats, merge_batch=4)
+    assert got == bpe.learn_bpe_merges(df, n_merges=3)
+    assert stats["driver_rounds"] >= 2  # (b,a) could not ride round 1
 
 
 def test_encode_matches_python_reference(spark, corpus_df):

@@ -377,6 +377,22 @@ def test_remove_duplicate_spans_handmade(spark):
     assert out[3].n_removed == 0 and out[3].new_text.startswith("totally different")
 
 
+def test_semdedup_zero_seed_fallback_keeps_corpus(spark):
+    """Tiny input where the sqrt-rate hash threshold selects ZERO seeds
+    (md5_hash32('1') and md5_hash32('2') both exceed floor(2^32/sqrt(2)))
+    must fall back to fixed-k min-hash seeding instead of silently
+    pruning the whole corpus."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    out = {r.vec_id: r for r in dedup.semdedup_prune(emb, tau=0.99).collect()}
+    assert set(out) == {1, 2}  # corpus did NOT vanish
+    assert all(r.kept == 1 for r in out.values())  # orthogonal, nothing pruned
+    # two-level on the same tiny input exercises the coarse-cell fallback
+    out2 = {r.vec_id: r for r in dedup.semdedup_prune(emb, tau=0.99, two_level=True).collect()}
+    assert set(out2) == {1, 2}
+
+
 def test_semdedup_two_level_assignment_invariants(spark):
     """Two-level (coarse-cell-routed) assignment must produce a valid
     clustering: every vector assigned to a REAL seed, seeds assigned to

@@ -120,3 +120,32 @@ def test_pagerank_mass_and_sink_behavior(spark):
     assert r[0] > r[1] == r[2] == r[3]
     assert r[4] == 150000 + 0  # teleport only (isolated)
     assert sum(r.values()) <= 5 * 1_000_000
+
+
+def test_pagerank_broadcast_guard_shuffle_fallback(spark):
+    """Above the node-count threshold the per-iteration rank join must NOT
+    carry the forced broadcast hint: with size-based auto-broadcast pinned
+    off, the physical plan contains no BroadcastHashJoin and the ranks are
+    bit-identical to the broadcast path (hint changes strategy, never
+    values)."""
+    from airbnb_listings_data_pipelines_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50, 1 + i % 3) for i in range(200)], ["src", "dst", "w"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(50)], ["node"])
+    bcast = graph.pagerank_integer(edges, nodes, iters=2, broadcast_ranks=True)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # threshold 0 forces the auto-probe over the fallback path
+        shuf = graph.pagerank_integer(
+            edges, nodes, iters=2, broadcast_threshold_rows=0
+        )
+        plan = shuf._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        assert {(r.node, r.r) for r in shuf.collect()} == {
+            (r.node, r.r) for r in bcast.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
