@@ -1,0 +1,264 @@
+"""Delta Lake log interop for :mod:`operators.txlog` tables.
+
+The commit-log table format in ``txlog.py`` implements the PUBLIC Delta
+Lake paper's design (Armbrust et al., VLDB 2020) with its own JSON layout.
+This module bridges to the PUBLIC Delta Lake *protocol* (the
+``_delta_log`` wire format specified in delta.io's PROTOCOL.md — an
+ordered sequence of ``<version>.json`` files of newline-delimited JSON
+"actions": ``protocol``, ``metaData``, ``add``, ``remove``,
+``commitInfo``), in both directions:
+
+- :func:`export_delta_log` / :meth:`txlog.TxLogTable.to_delta_log`
+  writes a ``_delta_log`` directory alongside the table's data files so
+  EXTERNAL Delta readers (delta-spark, delta-rs, DuckDB's delta
+  extension, …) can open engine tables. Export is incremental and
+  idempotent: already-exported versions are never rewritten (Delta
+  commits are immutable), new txlog versions append.
+- :func:`read_delta_snapshot` replays any ``_delta_log`` — including one
+  written by an external Delta writer — and returns the snapshot
+  DataFrame, honoring ``remove`` actions, JSON commits after the last
+  parquet checkpoint (``_last_checkpoint``), and ``VERSION AS OF`` time
+  travel. This is the second, txlog-independent reader path: it never
+  looks at ``_txlog``.
+
+Feature envelope, stated plainly: tables here are unpartitioned parquet
+with flat schemas and no deletion vectors / column mapping / generated
+columns, so the export pins ``minReaderVersion=1, minWriterVersion=2``
+and the reader refuses (loudly) protocols beyond what it implements —
+refusing is what the Delta spec REQUIRES of readers that meet an
+unsupported ``minReaderVersion``.
+
+At 100 TB the shapes match txlog's: a commit is O(files touched) JSON
+bytes; snapshot resolution reads the log tail after the newest
+checkpoint, not the data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+DELTA_DIR = "_delta_log"
+_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def _delta_commit_name(version: int) -> str:
+    return f"{version:020d}.json"
+
+
+def _schema_string(spark: SparkSession, path: str, files: list[str]) -> str:
+    """Delta's ``metaData.schemaString`` is the Spark StructType JSON —
+    derived here from the parquet footers of the first live snapshot
+    (schema-on-write, as Delta requires)."""
+    df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    return df.schema.json()
+
+
+def export_delta_log(spark: SparkSession, table) -> int:
+    """Write/refresh a Delta-protocol ``_delta_log`` mirroring every
+    version of a :class:`txlog.TxLogTable`. Returns the latest exported
+    version. Incremental: re-export after new txlog commits appends only
+    the missing Delta commits; existing ones are immutable and untouched.
+
+    Version numbering is preserved 1:1 (txlog version v == Delta version
+    v), so time travel agrees across both readers. txlog checkpoint
+    commits carry the full live list rather than a delta — the exporter
+    therefore re-derives each version's true add/remove sets from
+    consecutive snapshot diffs, which is exactly what the Delta log must
+    carry.
+    """
+    delta_dir = os.path.join(table.path, DELTA_DIR)
+    os.makedirs(delta_dir, exist_ok=True)
+    latest, _live = table._replay()
+    now_ms = int(time.time() * 1000)
+    prev: set[str] = set()
+    for v in range(latest + 1):
+        _ver, files = table._replay(as_of=v)
+        cur = set(files)
+        target = os.path.join(delta_dir, _delta_commit_name(v))
+        if os.path.exists(target):
+            prev = cur
+            continue
+        actions: list[dict] = []
+        if v == 0:
+            if not files:
+                raise FileNotFoundError(
+                    f"version 0 of {table.path} lists no data files — "
+                    "cannot derive metaData.schemaString for the Delta export"
+                )
+            actions.append({"protocol": dict(_PROTOCOL)})
+            actions.append(
+                {
+                    "metaData": {
+                        "id": uuid.uuid4().hex,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _schema_string(spark, table.path, files),
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": now_ms,
+                    }
+                }
+            )
+        for f in sorted(cur - prev):
+            full = os.path.join(table.path, f)
+            # a file can be gone already if this version predates a vacuum;
+            # it then never reaches the LATEST live set (some later commit
+            # removes it), so zero stats on the dead-version add entry are
+            # inert — time travel past the vacuum horizon fails either way
+            exists = os.path.exists(full)
+            actions.append(
+                {
+                    "add": {
+                        "path": f,
+                        "partitionValues": {},
+                        "size": os.path.getsize(full) if exists else 0,
+                        "modificationTime": int(os.path.getmtime(full) * 1000)
+                        if exists
+                        else now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        for f in sorted(prev - cur):
+            actions.append(
+                {
+                    "remove": {
+                        "path": f,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "txlog-export",
+                    "operationParameters": {"txlogVersion": str(v)},
+                }
+            }
+        )
+        tmp = target + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        os.rename(tmp, target)  # atomic publish, mirroring txlog's O_EXCL
+        prev = cur
+    return latest
+
+
+def _read_last_checkpoint(delta_dir: str) -> dict | None:
+    lc = os.path.join(delta_dir, "_last_checkpoint")
+    if not os.path.exists(lc):
+        return None
+    with open(lc) as fh:
+        return json.load(fh)
+
+
+def _checkpoint_state(
+    spark: SparkSession, delta_dir: str, version: int, parts: int | None
+) -> tuple[set[str], str | None]:
+    """Replay a parquet checkpoint (single- or multi-part) into the live
+    file set + schemaString, exactly as the protocol's checkpoint schema
+    stores them (top-level ``add``/``remove``/``metaData`` structs)."""
+    if parts:
+        names = [
+            os.path.join(
+                delta_dir, f"{version:020d}.checkpoint.{p:010d}.{parts:010d}.parquet"
+            )
+            for p in range(1, parts + 1)
+        ]
+    else:
+        names = [os.path.join(delta_dir, f"{version:020d}.checkpoint.parquet")]
+    cp = spark.read.parquet(*names)
+    cols = cp.columns
+    live: set[str] = set()
+    schema_string: str | None = None
+    rows = cp.select(
+        *(c for c in ("add", "remove", "metaData", "protocol") if c in cols)
+    ).collect()
+    for r in rows:
+        add = r["add"] if "add" in cols else None
+        if add is not None and add["path"] is not None:
+            live.add(add["path"])
+        md = r["metaData"] if "metaData" in cols else None
+        if md is not None and md["schemaString"] is not None:
+            schema_string = md["schemaString"]
+        proto = r["protocol"] if "protocol" in cols else None
+        if proto is not None and proto["minReaderVersion"] is not None:
+            _check_protocol({"minReaderVersion": proto["minReaderVersion"]})
+    return live, schema_string
+
+
+def _check_protocol(protocol: dict) -> None:
+    if protocol.get("minReaderVersion", 1) > 1:
+        raise NotImplementedError(
+            "this reader implements Delta protocol minReaderVersion=1 "
+            f"(basic parquet + JSON log); table requires {protocol}"
+        )
+
+
+def read_delta_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Open a Delta table at ``path`` by replaying its ``_delta_log`` —
+    a txlog-independent reader usable on ANY Delta table whose protocol
+    is minReaderVersion 1 (plain parquet, JSON commits, optional parquet
+    checkpoints). ``version`` gives ``VERSION AS OF`` time travel.
+
+    Replays the newest parquet checkpoint at/below the requested version
+    (if any) then the JSON commits after it, applying ``add``/``remove``
+    actions in order — the replay rule PROTOCOL.md specifies.
+    """
+    path = path.rstrip("/")
+    delta_dir = os.path.join(path, DELTA_DIR)
+    commits = sorted(
+        f
+        for f in os.listdir(delta_dir)
+        if f.endswith(".json") and f.split(".")[0].isdigit()
+    )
+    if not commits:
+        raise FileNotFoundError(f"no Delta commits in {delta_dir}")
+    versions = [int(f.split(".")[0]) for f in commits]
+    latest = versions[-1]
+    want = latest if version is None else version
+    if want not in set(versions) and want > latest:
+        raise FileNotFoundError(f"version {want} not in Delta log (latest {latest})")
+
+    live: set[str] = set()
+    schema_string: str | None = None
+    start_after = -1
+    lc = _read_last_checkpoint(delta_dir)
+    if lc and lc.get("version", -1) <= want:
+        live, schema_string = _checkpoint_state(
+            spark, delta_dir, lc["version"], lc.get("parts")
+        )
+        start_after = lc["version"]
+    for name, v in zip(commits, versions):
+        if v <= start_after or v > want:
+            continue
+        with open(os.path.join(delta_dir, name)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    _check_protocol(action["protocol"])
+                elif "metaData" in action:
+                    schema_string = action["metaData"]["schemaString"]
+                elif "add" in action:
+                    live.add(action["add"]["path"])
+                elif "remove" in action:
+                    live.discard(action["remove"]["path"])
+    if not live:
+        if schema_string is None:
+            raise FileNotFoundError(f"empty snapshot and no schema in {delta_dir}")
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(schema_string))
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*[os.path.join(path, f) for f in sorted(live)])

@@ -315,6 +315,17 @@ class TxLogTable:
                 os.remove(os.path.join(self.path, f))
             raise
 
+    # ------------------------------------------------------- delta interop
+
+    def to_delta_log(self) -> int:
+        """Export/refresh a Delta-protocol ``_delta_log`` for this table so
+        external Delta readers can open it — see
+        :func:`operators.deltalog.export_delta_log` (incremental,
+        version-number-preserving). Returns the latest exported version."""
+        from .deltalog import export_delta_log
+
+        return export_delta_log(self.spark, self)
+
     # ------------------------------------------------------------- vacuum
 
     def vacuum(self, retain_versions: int = 1) -> list[str]:

@@ -2920,7 +2920,7 @@ def x59_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), agg AS (
       SELECT source,
              COUNT(*) AS n_docs,
-             COUNT(DISTINCT text) AS n_unique_texts,
+             COUNT(DISTINCT md5(text)) AS n_unique_texts,
              SUM(n_tok) AS total_tokens,
              SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
              SUM(len(regexp_extract_all(text,
@@ -2944,9 +2944,13 @@ def x59_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rate (ppm integer grid), token totals, exact median doc length "
     "(rank-picked disc percentile — same definition both engines), "
     "language mix, and PII (email) density. One grouped aggregate + one "
-    "per-source rank window, all integers. Scale shape: COUNT(DISTINCT "
-    "text) keys the shuffle by text — at 100 TB swap to xxhash64(text) "
-    "8-byte keys (x01's discipline); the median via x51's mergeable "
+    "per-source rank window, all integers. Scale shape: the dup-rate "
+    "COUNT(DISTINCT ...) keys its shuffle by md5(text) — 16-byte digests "
+    "instead of whole documents (x01's hash-key discipline; md5 rather "
+    "than xxhash64 so DuckDB computes the identical digest and the "
+    "oracle stays bit-exact — collisions, were any to occur, are the "
+    "same in both engines). At 100 TB swap the digest to xxhash64 for "
+    "8-byte keys and cheaper hashing; the median via x51's mergeable "
     "histogram when an exact per-source sort is too hot. The registry's "
     "profiling counterpart to the action queries: measure (x60) before "
     "curating (x15).",
@@ -2976,7 +2980,7 @@ def x60_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = base.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("text").alias("n_unique_texts"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
         F.sum("n_tok").alias("total_tokens"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
         F.sum(text.pii_count(F.col("text"), "email")).alias("n_emails"),

@@ -1,0 +1,174 @@
+"""Delta-protocol interop for txlog tables: the export writes a
+``_delta_log`` that an INDEPENDENT log-replay reader (which never looks at
+``_txlog``) opens to the identical snapshot, including time travel; the
+reader also opens a hand-crafted external Delta log (simulating a foreign
+writer, with remove actions and a parquet checkpoint) per the public
+PROTOCOL.md replay rule."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+    read_delta_snapshot,
+)
+from airbnb_listings_data_pipelines_spark.operators.txlog import TxLogTable, merge_into_txlog
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _make_table(spark, path) -> TxLogTable:
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    t = TxLogTable.create(spark, path, df)
+    merge_into_txlog(
+        spark, t, spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"]), ["id"]
+    )
+    return t
+
+
+def test_export_then_delta_reader_matches_txlog_snapshot(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    v = t.to_delta_log()
+    assert v == t.version() == 1
+    # the second reader path: replays _delta_log only
+    got = read_delta_snapshot(spark, path)
+    assert _rows(got) == _rows(t.read()) == {(1, "a"), (2, "B"), (3, "c")}
+    # log layout follows the protocol: 20-digit names, NDJSON actions,
+    # protocol+metaData in commit 0
+    names = sorted(os.listdir(os.path.join(path, "_delta_log")))
+    assert names[0] == "0" * 19 + "0.json"
+    with open(os.path.join(path, "_delta_log", names[0])) as fh:
+        actions = [json.loads(line) for line in fh if line.strip()]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    proto = actions[0]["protocol"]
+    assert proto["minReaderVersion"] == 1 and proto["minWriterVersion"] == 2
+    schema = json.loads(actions[1]["metaData"]["schemaString"])
+    assert [f["name"] for f in schema["fields"]] == ["id", "v"]
+    # every referenced path exists and is relative
+    for a in actions:
+        if "add" in a:
+            assert "/" not in a["add"]["path"]
+            assert os.path.exists(os.path.join(path, a["add"]["path"]))
+
+
+def test_delta_time_travel_matches_txlog_versions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    t.optimize()  # version 2: logical no-op rewrite
+    t.to_delta_log()
+    for v in range(3):
+        assert _rows(read_delta_snapshot(spark, path, version=v)) == _rows(
+            t.read_version(v)
+        ), f"version {v}"
+
+
+def test_export_is_incremental_and_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    t.to_delta_log()
+    c1 = os.path.join(path, "_delta_log", "0" * 19 + "1.json")
+    mtime = os.path.getmtime(c1)
+    content = open(c1).read()
+    # new txlog commit, re-export: only the missing Delta commit appears
+    merge_into_txlog(spark, t, spark.createDataFrame([(4, "d")], ["id", "v"]), ["id"])
+    assert t.to_delta_log() == 2
+    assert os.path.getmtime(c1) == mtime and open(c1).read() == content
+    assert _rows(read_delta_snapshot(spark, path)) == _rows(t.read())
+
+
+def test_reader_opens_foreign_delta_log_with_removes(spark, tmp_path):
+    """Simulate an EXTERNAL Delta writer: hand-write parquet files and a
+    _delta_log whose commit 1 removes a file — the reader must apply the
+    remove and must never require _txlog to exist."""
+    path = str(tmp_path / "ext")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    df1 = spark.createDataFrame([(1, 10)], ["k", "x"])
+    df2 = spark.createDataFrame([(2, 20)], ["k", "x"])
+    df1.coalesce(1).write.parquet(str(tmp_path / "s1"))
+    df2.coalesce(1).write.parquet(str(tmp_path / "s2"))
+    for i, src in enumerate((tmp_path / "s1", tmp_path / "s2")):
+        part = next(f for f in os.listdir(src) if f.endswith(".parquet"))
+        os.rename(os.path.join(src, part), os.path.join(path, f"f{i}.parquet"))
+    meta = {
+        "id": "ext-table",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": df1.schema.json(),
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    add = lambda p: {"add": {"path": p, "partitionValues": {}, "size": 1, "modificationTime": 0, "dataChange": True}}  # noqa: E731
+    with open(os.path.join(path, "_delta_log", "0" * 20 + ".json"), "w") as fh:
+        for a in ({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                  {"metaData": meta}, add("f0.parquet"), add("f1.parquet")):
+            fh.write(json.dumps(a) + "\n")
+    with open(os.path.join(path, "_delta_log", "0" * 19 + "1.json"), "w") as fh:
+        fh.write(json.dumps({"remove": {"path": "f0.parquet", "deletionTimestamp": 1, "dataChange": True}}) + "\n")
+    assert _rows(read_delta_snapshot(spark, path, version=0)) == {(1, 10), (2, 20)}
+    assert _rows(read_delta_snapshot(spark, path)) == {(2, 20)}
+
+
+def test_reader_replays_parquet_checkpoint_plus_json_tail(spark, tmp_path):
+    """_last_checkpoint + <v>.checkpoint.parquet (the protocol's compacted
+    state) followed by a JSON commit: reader starts from the checkpoint
+    and applies only the tail."""
+    path = str(tmp_path / "ckpt")
+    t = _make_table(spark, path)  # versions 0,1
+    t.to_delta_log()
+    delta_dir = os.path.join(path, "_delta_log")
+    # build a version-1 checkpoint carrying the full live set, then a
+    # version-2 JSON commit adding one more file (hand-made, foreign-style)
+    live = t.files()
+    rows = [{"add": {"path": f, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True},
+             "remove": None, "metaData": None} for f in live]
+    rows.append({"add": None, "remove": None,
+                 "metaData": {"schemaString": t.read().schema.json()}})
+    cp = spark.createDataFrame(
+        [json.dumps(r) for r in rows], "string"
+    ).selectExpr(
+        "from_json(value, 'add struct<path:string,partitionValues:map<string,string>,size:bigint,modificationTime:bigint,dataChange:boolean>,"
+        "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>,"
+        "metaData struct<schemaString:string>') AS a"
+    ).select("a.add", "a.remove", "a.metaData")
+    cp.coalesce(1).write.parquet(str(tmp_path / "cpstage"))
+    part = next(f for f in os.listdir(tmp_path / "cpstage") if f.endswith(".parquet"))
+    os.rename(
+        os.path.join(tmp_path / "cpstage", part),
+        os.path.join(delta_dir, f"{1:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(delta_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "size": len(rows)}, fh)
+    # remove the json commits the checkpoint supersedes to PROVE the reader
+    # starts from the checkpoint
+    os.remove(os.path.join(delta_dir, "0" * 20 + ".json"))
+    extra = spark.createDataFrame([(9, "z")], ["id", "v"])
+    extra.coalesce(1).write.parquet(str(tmp_path / "estage"))
+    epart = next(f for f in os.listdir(tmp_path / "estage") if f.endswith(".parquet"))
+    os.rename(os.path.join(tmp_path / "estage", epart), os.path.join(path, "extra.parquet"))
+    with open(os.path.join(delta_dir, "0" * 19 + "2.json"), "w") as fh:
+        fh.write(json.dumps({"add": {"path": "extra.parquet", "partitionValues": {},
+                                     "size": 1, "modificationTime": 0, "dataChange": True}}) + "\n")
+    got = read_delta_snapshot(spark, path)
+    assert _rows(got) == _rows(t.read()) | {(9, "z")}
+
+
+def test_reader_refuses_unsupported_protocol(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    t.to_delta_log()
+    c0 = os.path.join(path, "_delta_log", "0" * 20 + ".json")
+    lines = open(c0).read().splitlines()
+    lines[0] = json.dumps({"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}})
+    with open(c0, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    with pytest.raises(NotImplementedError, match="minReaderVersion"):
+        read_delta_snapshot(spark, path)
