@@ -80,16 +80,18 @@ def _unimplemented_decode(content: bytes | None, n_features: int = 8) -> list[fl
     )
 
 
-# image/audio are REAL codecs (stdlib BMP/WAV parsers defined below); video
-# has no stdlib codec, so it keeps the deterministic byte-stats stand-in;
-# 'bytes' is the explicit opaque-blob modality.
+# image/audio are REAL codecs (stdlib BMP/WAV parsers defined below, plus
+# stdlib PNG/JPEG header parsers and an OPTIONAL PIL pixel path — see
+# _decode_image_features); video has no stdlib codec, so it keeps the
+# deterministic byte-stats stand-in; 'bytes' is the explicit opaque-blob
+# modality.
 DECODERS: dict[str, Callable[[bytes | None], list[float]]] = {}
 
 
 def _register_default_decoders() -> None:
     DECODERS.update(
         {
-            "image": _decode_bmp_features,
+            "image": _decode_image_features,
             "audio": _decode_wav_features,
             "video": _fake_decode,
             "bytes": _fake_decode,
@@ -249,7 +251,7 @@ def decode_media_metadata(media: DataFrame) -> DataFrame:
                 out["modality"].append(modality)
                 out["n_bytes"].append(len(content) if content is not None else None)
                 if modality == "image":
-                    meta = decode_bmp(bytes(content))
+                    meta = decode_image(bytes(content))
                     out["width"].append(meta["width"])
                     out["height"].append(meta["height"])
                     out["sample_rate"].append(None)
@@ -299,6 +301,136 @@ def _decode_wav_features(content: bytes | None, n_features: int = 8) -> list[flo
         chunk = data[i :: n_features - 3]
         byte_feats.append(float(sum(chunk) % 997) if chunk else 0.0)
     return [float(meta["sample_rate"]), float(meta["n_samples"]), float(meta["bits"])] + byte_feats
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def decode_image(content: bytes) -> dict:
+    """Format-dispatched image header decode (BMP/PNG/JPEG magic): always
+    returns at least {width, height}. Pure stdlib for all three formats —
+    dimensions live in headers, no pixel codec involved."""
+    content = bytes(content)
+    if content[:2] == b"BM":
+        return decode_bmp(content)
+    if content[:8] == PNG_MAGIC:
+        return decode_png(content)
+    if content[:3] == JPEG_MAGIC:
+        return decode_jpeg(content)
+    raise ValueError("unsupported image format (BMP/PNG/JPEG magic expected)")
+
+
+def decode_png(content: bytes) -> dict:
+    """Parse a PNG's IHDR chunk (the PUBLIC PNG spec, RFC 2083 §4.1.1):
+    width, height, bit depth, color type, channels. Pure stdlib — header
+    metadata never needs a pixel codec. Raises ValueError on non-PNG."""
+    import struct
+
+    if content is None or len(content) < 33 or content[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG blob")
+    # first chunk must be IHDR: length(4) type(4) data(13) crc(4) at offset 8
+    clen, ctype = struct.unpack_from(">I4s", content, 8)
+    if ctype != b"IHDR" or clen != 13:
+        raise ValueError("PNG missing leading IHDR chunk")
+    width, height, bit_depth, color_type = struct.unpack_from(">IIBB", content, 16)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"PNG invalid color type {color_type}")
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+        "channels": channels,
+    }
+
+
+def decode_jpeg(content: bytes) -> dict:
+    """Parse a JPEG's SOF segment for dimensions (the PUBLIC JFIF/ITU T.81
+    marker walk): width, height, channels. Pure stdlib; raises ValueError
+    on non-JPEG or a truncated marker stream."""
+    import struct
+
+    if content is None or len(content) < 4 or content[:3] != JPEG_MAGIC:
+        raise ValueError("not a JPEG blob")
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG marker stream desynced")
+        marker = content[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # parameterless markers
+            continue
+        seg_len = struct.unpack_from(">H", content, pos + 2)[0]
+        # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry the frame header
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            _precision, height, width, channels = struct.unpack_from(
+                ">BHHB", content, pos + 4
+            )
+            return {"width": width, "height": height, "channels": channels}
+        if marker == 0xDA:  # start of scan — SOF must have come first
+            break
+        pos += 2 + seg_len
+    raise ValueError("JPEG missing SOF frame header")
+
+
+def _pil_image_module():
+    """Optional PIL import — None when Pillow is absent (this container)."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _decode_image_features(content: bytes | None, n_features: int = 8) -> list[float]:
+    """REAL image decoder for the DECODERS registry, format-dispatched on
+    magic bytes:
+
+    - BMP: full stdlib decode (headers + pixel byte stats) — unchanged.
+    - PNG/JPEG: header metadata via the stdlib parsers above; pixel-level
+      features need a pixel codec, so they go through PIL when it is
+      importable (optional dependency — decode, convert to RGB, resize to
+      a 16x16 thumbnail, byte-stat the pixels exactly like the BMP path).
+      Without PIL this raises the honest NotImplementedError guard rather
+      than fabricating pixel features from compressed bytes.
+    - anything else: ValueError (garbage-in, error-out contract).
+
+    Feature layout matches _decode_bmp_features: [width, height, depth] +
+    byte stats, so downstream schemas are codec-independent.
+    """
+    if not content:
+        return [0.0] * n_features
+    content = bytes(content)
+    if content[:2] == b"BM":
+        return _decode_bmp_features(content, n_features)
+    if content[:8] == PNG_MAGIC:
+        meta = decode_png(content)
+        head = [float(meta["width"]), float(meta["height"]), float(meta["channels"])]
+    elif content[:3] == JPEG_MAGIC:
+        meta = decode_jpeg(content)
+        head = [float(meta["width"]), float(meta["height"]), float(meta["channels"])]
+    else:
+        raise ValueError("unsupported image format (BMP/PNG/JPEG magic expected)")
+    Image = _pil_image_module()
+    if Image is None:
+        raise NotImplementedError(
+            "PNG/JPEG pixel features require Pillow (optional dependency, not "
+            "present in this container) — header metadata is available via "
+            "multimodal.decode_png/decode_jpeg; install Pillow or register a "
+            "decoder in multimodal.DECODERS"
+        )
+    import io
+
+    img = Image.open(io.BytesIO(content)).convert("RGB").resize((16, 16))
+    pixels = img.tobytes()
+    byte_feats = []
+    for i in range(n_features - 3):
+        chunk = pixels[i :: n_features - 3]
+        byte_feats.append(float(sum(chunk) % 997) if chunk else 0.0)
+    return head + byte_feats
 
 
 def synthesize_media(docs: DataFrame, modality: str = "bytes") -> DataFrame:
