@@ -2997,3 +2997,196 @@ def x60_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_en").cast("long").alias("n_en"),
         F.col("n_emails").cast("long").alias("n_emails"),
     )
+
+
+@query(
+    "x61_training_shard_manifest",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, text,
+             CAST(list_sum(list_transform(range(1, 9), i ->
+               (strpos('0123456789abcdef',
+                       substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+               * CAST(pow(16, 8 - i) AS BIGINT))) AS BIGINT) AS h
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, h, h % 16 AS shard,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS n_tokens
+      FROM hashed
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           doc_id,
+           CAST(row_number() OVER w AS BIGINT) AS pos,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS tok_offset
+    FROM tok
+    WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id)
+    """,
+    survey_rows=("EXT-sampling", "W1", "W5", "A8"),
+    doc="Training-shard export manifest — the deterministic global shuffle "
+    "every pretraining pipeline ends with (shuffled shard writing, e.g. "
+    "the RedPajama/Dolma export step): docs are hash-permuted "
+    "(md5_hash32(doc_id), the shared cross-engine grid; xxhash64 at "
+    "scale), dealt into 16 shards by hash mod, and given a within-shard "
+    "position plus a cumulative token offset so trainers can seek "
+    "without scanning. No RNG state: the permutation is a pure function "
+    "of doc_id, reproducible across engines/runs/partitionings. Scale "
+    "shape: ONE shuffle on shard (16-way; n_shards scales with cluster), "
+    "then per-shard sort + running sum inside each partition — "
+    "repartition(shard) + sortWithinPartitions in production writes the "
+    "files directly; the window form here is the same plan with the "
+    "manifest materialized.",
+)
+def x61_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_hash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        md5_hash32(F.col("doc_id").cast("string")).alias("h"),
+        text.token_count(F.col("text")).alias("n_tokens"),
+    ).withColumn("shard", F.col("h") % 16)
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return base.select(
+        F.col("shard").cast("long").alias("shard"),
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("pos"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("tok_offset"),
+    )
+
+
+@query(
+    "x62_embedding_dispersion",
+    oracle="""
+    WITH sc AS (
+      SELECT 127.0 / MAX(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE))))) AS s
+      FROM embeddings
+    ), qv AS (
+      SELECT label,
+             list_transform(embedding, x ->
+               CAST(greatest(-127.0, least(127.0,
+                 floor(CAST(x AS DOUBLE) * s + 0.5))) AS BIGINT)) AS q
+      FROM embeddings, sc
+    ), ex AS (
+      SELECT label, i, q[i] AS v
+      FROM qv, LATERAL (SELECT unnest(range(1, len(q) + 1)) AS i) t
+    ), pd AS (
+      SELECT label, i, SUM(v) AS s, SUM(v * v) AS ss, COUNT(*) AS n
+      FROM ex GROUP BY 1, 2
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(MAX(n) AS BIGINT) AS n_vecs,
+           CAST(SUM(n * ss - s * s) AS BIGINT) AS sq_dev_num,
+           CAST(SUM(n * ss - s * s) // (MAX(n) * MAX(n)) AS BIGINT) AS msd_grid
+    FROM pd GROUP BY 1
+    """,
+    survey_rows=("EXT-similarity", "A5", "A8"),
+    doc="Per-cluster embedding dispersion — the diversity metric data "
+    "curation uses to balance semantic coverage (low dispersion = "
+    "redundant cluster, SemDeDup's selection signal aggregated to group "
+    "level): mean squared deviation from the per-label centroid, on the "
+    "x34 int8 grid so every reduction is an integer sum and the result "
+    "is bit-exact cross-engine. Identity: sum_d(n*SUM(v^2) - SUM(v)^2) "
+    "= n^2 * mean-squared-deviation — two grouped integer aggregates, "
+    "no centroid join, no float fold. Scale shape: posexplode to "
+    "(label, dim) rows with map-side partial aggregation (the shuffle "
+    "carries one row per (label, dim), not per vector), then a "
+    "label-keyed rollup. Int64 envelope: n*ss <= n^2*127^2 per dim, "
+    "so ~3e6 vectors/label at 32 dims before the sum needs decimal "
+    "widening — the per-dim partial rows are the natural split point.",
+)
+def x62_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = similarity.quantization_scale(emb)
+    q = emb.crossJoin(F.broadcast(scale)).select(
+        "label", similarity.quantize_int8("embedding", F.col("__qscale")).alias("q")
+    )
+    ex = q.select("label", F.posexplode("q").alias("dim", "v"))
+    per_dim = ex.groupBy("label", "dim").agg(
+        F.sum("v").alias("s"),
+        F.sum(F.expr("v * v")).alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sum(F.expr("n * ss - s * s")).alias("sq_dev_num"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("sq_dev_num").cast("long").alias("sq_dev_num"),
+            F.expr("sq_dev_num div (n_vecs * n_vecs)").cast("long").alias("msd_grid"),
+        )
+    )
+
+
+@query(
+    "x63_char_coverage",
+    oracle="""
+    WITH ch AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '')) AS ch
+      FROM documents WHERE length(text) > 0
+    ), f AS (
+      SELECT ch, COUNT(*) AS n_occurrences FROM ch WHERE ch <> '' GROUP BY 1
+    ), t AS (
+      SELECT SUM(n_occurrences) AS tot FROM f
+    ), r AS (
+      SELECT ch, n_occurrences,
+             row_number() OVER (ORDER BY n_occurrences DESC, ch) AS rnk,
+             SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, ch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM f
+    )
+    SELECT ch, CAST(rnk AS BIGINT) AS rnk,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(cum * 1000000 // tot AS BIGINT) AS cum_ppm
+    FROM r, t WHERE rnk <= 20
+    """,
+    survey_rows=("EXT-text", "A1", "W5", "O3"),
+    doc="Character-coverage profile — the statistic a tokenizer fit starts "
+    "from (SentencePiece's character_coverage; which code points make "
+    "the alphabet vs fall to byte-fallback): per-character corpus "
+    "counts, rank, and cumulative coverage on a ppm integer grid, top "
+    "20. Scale shape: the char explode is map-side-combined into at "
+    "most alphabet-size groups (hundreds), so the shuffle and the "
+    "single-partition ranking window are bounded by the ALPHABET, not "
+    "the corpus — the one case where a global window is scale-correct. "
+    "Total-corpus chars rides the same aggregate as a 1-row broadcast "
+    "(J9 idiom).",
+)
+def x63_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chars = (
+        docs.filter(F.length("text") > 0)
+        .select(F.explode(F.split(F.lower("text"), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+    )
+    counts = chars.groupBy("ch").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    tot = counts.agg(F.sum("n_occurrences").alias("__t"))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("ch"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cum",
+            F.sum("n_occurrences").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "ch",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.expr("cum * 1000000L div __t").cast("long").alias("cum_ppm"),
+        )
+    )

@@ -1,0 +1,83 @@
+"""Semantic properties of the round-5 curation queries beyond their
+bit-exact oracles: shard-manifest seekability, dispersion identities,
+coverage monotonicity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airbnb_listings_data_pipelines_spark.queries.registry import load_all
+
+from .conftest import SF_SMALL
+
+
+def test_shard_manifest_positions_and_offsets_are_seekable(spark):
+    reg = load_all()
+    rows = reg["x61_training_shard_manifest"].fn(spark, SF_SMALL).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(16))
+    total_docs = sum(len(v) for v in by_shard.values())
+    assert total_docs == len({r.doc_id for r in rows})  # every doc exactly once
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rs] == list(range(1, len(rs) + 1))  # dense positions
+        # tok_offset is the running sum of previous docs' tokens (seek index)
+        acc = 0
+        for r in rs:
+            assert r.tok_offset == acc, (shard, r)
+            acc += r.n_tokens
+    # the hash deal is roughly balanced (16 shards, 100 docs at sf0.001)
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) <= 4 * max(1, min(sizes))
+
+
+def test_shard_manifest_is_deterministic_across_runs(spark):
+    reg = load_all()
+    fn = reg["x61_training_shard_manifest"].fn
+    a = {(r.doc_id): (r.shard, r.pos, r.tok_offset) for r in fn(spark, SF_SMALL).collect()}
+    b = {(r.doc_id): (r.shard, r.pos, r.tok_offset) for r in fn(spark, SF_SMALL).repartition(7).collect()}
+    assert a == b  # pure function of doc_id: partitioning-independent
+
+
+def test_dispersion_zero_for_identical_vectors_and_positive_for_spread(spark):
+    from airbnb_listings_data_pipelines_spark.operators import similarity
+
+    def disperse(rows):
+        emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+        scale = similarity.quantization_scale(emb)
+        q = emb.crossJoin(F.broadcast(scale)).select(
+            "label", similarity.quantize_int8("embedding", F.col("__qscale")).alias("q")
+        )
+        ex = q.select("label", F.posexplode("q").alias("dim", "v"))
+        pd_ = ex.groupBy("label", "dim").agg(
+            F.sum("v").alias("s"), F.sum(F.expr("v*v")).alias("ss"), F.count(F.lit(1)).alias("n")
+        )
+        out = pd_.groupBy("label").agg(F.sum(F.expr("n*ss - s*s")).alias("num")).collect()
+        return {r.label: r.num for r in out}
+
+    d = disperse(
+        [
+            (1, 0, [1.0, 1.0]),
+            (2, 0, [1.0, 1.0]),  # identical pair: zero deviation
+            (3, 1, [1.0, 0.0]),
+            (4, 1, [-1.0, 0.0]),  # antipodal pair: max deviation
+        ]
+    )
+    assert d[0] == 0
+    assert d[1] > 0
+
+
+def test_char_coverage_cumulative_is_monotone_and_bounded(spark):
+    reg = load_all()
+    rows = sorted(
+        reg["x63_char_coverage"].fn(spark, SF_SMALL).collect(), key=lambda r: r.rnk
+    )
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    assert all(a.n_occurrences >= b.n_occurrences for a, b in zip(rows, rows[1:]))
+    ppm = [r.cum_ppm for r in rows]
+    assert all(a < b for a, b in zip(ppm, ppm[1:]))  # strictly growing coverage
+    assert ppm[-1] <= 1_000_000
+    # the corpus is lowercase word soup: space must dominate
+    assert rows[0].ch == " "
