@@ -150,6 +150,88 @@ def export_delta_log(spark: SparkSession, table) -> int:
     return latest
 
 
+def write_delta_checkpoint(spark: SparkSession, path: str, version: int | None = None) -> int:
+    """Write a parquet checkpoint of the Delta log at ``version`` (default:
+    latest) plus ``_last_checkpoint`` — the protocol's log-compaction step,
+    letting readers skip the JSON commits at/below the checkpoint. The
+    checkpoint rows use the protocol's top-level ``add``/``metaData``/
+    ``protocol`` struct columns; paths/sizes come from replaying the JSON
+    log (via :func:`read_delta_snapshot`'s replay core). Returns the
+    checkpointed version.
+
+    At 100 TB this is what bounds snapshot resolution: O(live files) parquet
+    rows read vectorized, instead of O(commits) JSON files."""
+    path = path.rstrip("/")
+    delta_dir = os.path.join(path, DELTA_DIR)
+    commits = sorted(
+        f
+        for f in os.listdir(delta_dir)
+        if f.endswith(".json") and f.split(".")[0].isdigit()
+    )
+    if not commits:
+        raise FileNotFoundError(f"no Delta commits in {delta_dir}")
+    latest = int(commits[-1].split(".")[0])
+    want = latest if version is None else version
+    live: dict[str, dict] = {}
+    schema_string = None
+    protocol = dict(_PROTOCOL)
+    for name in commits:
+        v = int(name.split(".")[0])
+        if v > want:
+            continue
+        with open(os.path.join(delta_dir, name)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    _check_protocol(action["protocol"])
+                    protocol = action["protocol"]
+                elif "metaData" in action:
+                    schema_string = action["metaData"]["schemaString"]
+                    metadata = action["metaData"]
+                elif "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+    if schema_string is None:
+        raise FileNotFoundError(f"no metaData action at or below version {want}")
+    add_t = (
+        "struct<path:string,partitionValues:map<string,string>,size:bigint,"
+        "modificationTime:bigint,dataChange:boolean>"
+    )
+    meta_t = (
+        "struct<id:string,format:struct<provider:string,"
+        "options:map<string,string>>,schemaString:string,"
+        "partitionColumns:array<string>,configuration:map<string,string>,"
+        "createdTime:bigint>"
+    )
+    proto_t = "struct<minReaderVersion:int,minWriterVersion:int>"
+    rows = [json.dumps({"add": a, "metaData": None, "protocol": None}) for a in live.values()]
+    rows.append(json.dumps({"add": None, "metaData": metadata, "protocol": None}))
+    rows.append(json.dumps({"add": None, "metaData": None, "protocol": protocol}))
+    cp = (
+        spark.createDataFrame([(r,) for r in rows], "value string")
+        .selectExpr(
+            f"from_json(value, 'add {add_t}, metaData {meta_t}, protocol {proto_t}') AS a"
+        )
+        .select("a.add", "a.metaData", "a.protocol")
+    )
+    stage = os.path.join(delta_dir, f".ckpt-stage-{uuid.uuid4().hex}")
+    cp.coalesce(1).write.parquet(stage)
+    part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+    target = os.path.join(delta_dir, f"{want:020d}.checkpoint.parquet")
+    os.replace(os.path.join(stage, part), target)
+    import shutil
+
+    shutil.rmtree(stage)
+    tmp = os.path.join(delta_dir, f".lc-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump({"version": want, "size": len(rows)}, fh)
+    os.replace(tmp, os.path.join(delta_dir, "_last_checkpoint"))
+    return want
+
+
 def _read_last_checkpoint(delta_dir: str) -> dict | None:
     lc = os.path.join(delta_dir, "_last_checkpoint")
     if not os.path.exists(lc):
@@ -220,18 +302,20 @@ def read_delta_snapshot(
         for f in os.listdir(delta_dir)
         if f.endswith(".json") and f.split(".")[0].isdigit()
     )
-    if not commits:
-        raise FileNotFoundError(f"no Delta commits in {delta_dir}")
     versions = [int(f.split(".")[0]) for f in commits]
-    latest = versions[-1]
+    lc = _read_last_checkpoint(delta_dir)
+    # a fully-compacted log (checkpoint only, JSON head expired) is legal:
+    # the checkpoint version counts toward the latest resolvable version
+    latest = max(versions[-1] if versions else -1, lc["version"] if lc else -1)
+    if latest < 0:
+        raise FileNotFoundError(f"no Delta commits in {delta_dir}")
     want = latest if version is None else version
-    if want not in set(versions) and want > latest:
+    if want > latest:
         raise FileNotFoundError(f"version {want} not in Delta log (latest {latest})")
 
     live: set[str] = set()
     schema_string: str | None = None
     start_after = -1
-    lc = _read_last_checkpoint(delta_dir)
     if lc and lc.get("version", -1) <= want:
         live, schema_string = _checkpoint_state(
             spark, delta_dir, lc["version"], lc.get("parts")

@@ -172,3 +172,31 @@ def test_reader_refuses_unsupported_protocol(spark, tmp_path):
         fh.write("\n".join(lines) + "\n")
     with pytest.raises(NotImplementedError, match="minReaderVersion"):
         read_delta_snapshot(spark, path)
+
+
+def test_write_checkpoint_then_reader_skips_json_head(spark, tmp_path):
+    """write_delta_checkpoint compacts the log; the reader resolves the
+    snapshot from the checkpoint + JSON tail and still matches txlog,
+    including after MORE commits land on top of the checkpoint."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        write_delta_checkpoint,
+    )
+
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)  # versions 0,1
+    t.to_delta_log()
+    assert write_delta_checkpoint(spark, path) == 1
+    delta_dir = os.path.join(path, "_delta_log")
+    assert os.path.exists(os.path.join(delta_dir, f"{1:020d}.checkpoint.parquet"))
+    lc = json.load(open(os.path.join(delta_dir, "_last_checkpoint")))
+    assert lc["version"] == 1
+    # delete the JSON commits the checkpoint covers: reader must not need them
+    os.remove(os.path.join(delta_dir, "0" * 20 + ".json"))
+    os.remove(os.path.join(delta_dir, "0" * 19 + "1.json"))
+    assert _rows(read_delta_snapshot(spark, path)) == _rows(t.read())
+    # a fresh commit after the checkpoint is applied as the JSON tail
+    merge_into_txlog(spark, t, spark.createDataFrame([(9, "z")], ["id", "v"]), ["id"])
+    t.to_delta_log()
+    assert _rows(read_delta_snapshot(spark, path)) == _rows(t.read())
+    # time travel to the checkpointed version still works
+    assert _rows(read_delta_snapshot(spark, path, version=1)) == _rows(t.read_version(1))
