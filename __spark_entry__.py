@@ -80,6 +80,7 @@ _CHECK_FIRST = [
     "x61_training_shard_manifest",
     "x62_embedding_dispersion",
     "x63_char_coverage",
+    "x64_cross_source_dup_matrix",
 ]
 
 

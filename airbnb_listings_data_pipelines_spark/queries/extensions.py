@@ -3190,3 +3190,71 @@ def x63_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cum * 1000000L div __t").cast("long").alias("cum_ppm"),
         )
     )
+
+
+@query(
+    "x64_cross_source_dup_matrix",
+    oracle="""
+    WITH ds AS (
+      SELECT DISTINCT md5(text) AS h, source FROM documents
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source
+    ), per_source AS (
+      SELECT source, COUNT(*) AS n_texts FROM ds GROUP BY 1
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_texts,
+           CAST(COUNT(*) * 1000000 // LEAST(sa.n_texts, sb.n_texts) AS BIGINT)
+             AS overlap_ppm
+    FROM pairs p
+    JOIN per_source sa ON sa.source = p.source_a
+    JOIN per_source sb ON sb.source = p.source_b
+    GROUP BY p.source_a, p.source_b, sa.n_texts, sb.n_texts
+    """,
+    survey_rows=("EXT-dedup", "J7", "A2", "A8"),
+    doc="Cross-source duplication matrix — the provenance overlap report "
+    "data audits run before mixing corpora (how much of source B is "
+    "already in source A; doubled content silently re-weights a "
+    "training mixture): per source pair, the number of distinct shared "
+    "texts and the overlap as ppm of the smaller source (the standard "
+    "containment normalization). Texts are keyed by md5 digest (x01/x60 "
+    "hash-key discipline; xxhash64 at 100 TB), so the self-join carries "
+    "16-byte keys. Scale shape: per-(digest, source) distinct first — "
+    "the join's per-key fan-out is bounded by the SOURCE COUNT (dozens), "
+    "never by duplicate multiplicity, so the worst key expands to "
+    "sources^2 pairs, not docs^2; one digest-keyed shuffle + a "
+    "sources^2-row rollup. Complements x60 (within-source dup ppm) and "
+    "x15's mixture curation.",
+)
+def x64_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ds = docs.select(F.md5("text").alias("h"), "source").distinct()
+    per_source = ds.groupBy("source").agg(F.count(F.lit(1)).alias("n_texts"))
+    a = ds.select(F.col("h"), F.col("source").alias("source_a"))
+    b = ds.select(F.col("h"), F.col("source").alias("source_b"))
+    pairs = a.join(b, "h").filter(F.col("source_a") < F.col("source_b"))
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+        .join(
+            per_source.select(
+                F.col("source").alias("source_a"), F.col("n_texts").alias("__na")
+            ),
+            "source_a",
+        )
+        .join(
+            per_source.select(
+                F.col("source").alias("source_b"), F.col("n_texts").alias("__nb")
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared_texts").cast("long").alias("n_shared_texts"),
+            F.expr("n_shared_texts * 1000000L div least(__na, __nb)")
+            .cast("long")
+            .alias("overlap_ppm"),
+        )
+    )

@@ -81,3 +81,34 @@ def test_char_coverage_cumulative_is_monotone_and_bounded(spark):
     assert ppm[-1] <= 1_000_000
     # the corpus is lowercase word soup: space must dominate
     assert rows[0].ch == " "
+
+
+def test_cross_source_dup_matrix_brute_force(spark):
+    """x64 against a hand-computed overlap on a tiny corpus, including the
+    containment (smaller-source) normalization and the a<b orientation."""
+    rows = [
+        (1, "alpha", "s1"), (2, "beta", "s1"), (3, "gamma", "s1"),
+        (4, "alpha", "s2"), (5, "beta", "s2"),
+        (6, "alpha", "s3"),
+        (7, "alpha", "s1"),  # within-source dup must not inflate the pair count
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    # same plan as the x64 registry query (which reads from sf_dir), over
+    # the hand-built frame
+    ds = docs.select(F.md5("text").alias("h"), "source").distinct()
+    per_source = ds.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.select("h", F.col("source").alias("source_a"))
+    b = ds.select("h", F.col("source").alias("source_b"))
+    pairs = a.join(b, "h").filter(F.col("source_a") < F.col("source_b"))
+    out = (
+        pairs.groupBy("source_a", "source_b").agg(F.count(F.lit(1)).alias("k"))
+        .join(per_source.select(F.col("source").alias("source_a"), F.col("n").alias("na")), "source_a")
+        .join(per_source.select(F.col("source").alias("source_b"), F.col("n").alias("nb")), "source_b")
+        .select("source_a", "source_b", "k", F.expr("k * 1000000L div least(na, nb)").alias("ppm"))
+    )
+    got = {(r.source_a, r.source_b): (r.k, r.ppm) for r in out.collect()}
+    # s1 has texts {alpha,beta,gamma} (n=3), s2 {alpha,beta} (2), s3 {alpha} (1)
+    assert got[("s1", "s2")] == (2, 2 * 1_000_000 // 2)
+    assert got[("s1", "s3")] == (1, 1_000_000)
+    assert got[("s2", "s3")] == (1, 1_000_000)
+    assert all(p <= 1_000_000 for _k, p in got.values())
