@@ -86,3 +86,48 @@ def test_histogram_bin_math_fits_int64(cents, lo, width):
     if not (lo <= cents < lo + width):
         return
     assert (cents - lo) * 256 <= I64  # x51 bin formula headroom
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    n=st.integers(1, 3 * 10**6),
+    dims=st.integers(1, 32),
+)
+def test_dispersion_intermediates_fit_int64(n, dims):
+    # x62 grid (queries/extensions.x62_embedding_dispersion): per-dim
+    # partials with |q| <= 127. Worst case per dim: ss = n*127^2,
+    # |s| = n*127; the documented envelope is n <= ~3e6 vectors/label at
+    # 32 dims — every intermediate AND the dim-summed numerator must fit
+    # int64 at the extreme.
+    ss_dim = n * 127 * 127
+    s_dim = n * 127
+    assert n * ss_dim <= I64          # per-dim n*SUM(v^2)
+    assert s_dim * s_dim <= I64       # per-dim SUM(v)^2
+    assert dims * (n * ss_dim) <= I64  # the label-level SUM over dims
+    assert n * n <= I64               # the msd divisor
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    n_tokens_per_doc=st.integers(0, 10**6),
+    docs_per_shard=st.integers(1, 10**9),
+)
+def test_shard_manifest_token_offsets_fit_int64(n_tokens_per_doc, docs_per_shard):
+    # x61: tok_offset is a running SUM of per-doc token counts within one
+    # shard. 1e9 docs/shard x 1e6 tokens/doc = 1e15 << 2^63; the ppm-free
+    # manifest has no tighter grid. Shard count itself caps docs/shard.
+    assert n_tokens_per_doc * docs_per_shard <= I64
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    shared=st.integers(0, 10**12),
+    smaller=st.integers(1, 10**12),
+)
+def test_overlap_ppm_fits_int64(shared, smaller):
+    # x64: shared <= smaller by construction (a shared text is distinct in
+    # both sources); ppm numerator must fit for trillion-text sources
+    if shared > smaller:
+        return
+    assert shared * 1_000_000 <= I64
+    assert (shared * 1_000_000) // smaller <= 1_000_000
