@@ -3219,33 +3219,58 @@ def x63_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training mixture): per source pair, the number of distinct shared "
     "texts and the overlap as ppm of the smaller source (the standard "
     "containment normalization). Texts are keyed by md5 digest (x01/x60 "
-    "hash-key discipline; xxhash64 at 100 TB), so the self-join carries "
-    "16-byte keys. Scale shape: per-(digest, source) distinct first — "
-    "the join's per-key fan-out is bounded by the SOURCE COUNT (dozens), "
-    "never by duplicate multiplicity, so the worst key expands to "
-    "sources^2 pairs, not docs^2; one digest-keyed shuffle + a "
-    "sources^2-row rollup. Complements x60 (within-source dup ppm) and "
-    "x15's mixture curation.",
+    "hash-key discipline; xxhash64 at 100 TB). Scale shape: ONE corpus "
+    "scan + ONE digest-keyed shuffle into (digest, sorted source set) — "
+    "per-digest fan-out is bounded by the SOURCE COUNT (dozens), never "
+    "by duplicate multiplicity — then the pair explode and the "
+    "per-source counts both branch off that aggregate, which is "
+    "localCheckpoint-materialized (CC-loop discipline) so the corpus is "
+    "scanned ONCE, not once per branch (single-scan asserted in "
+    "tests/test_shard_manifest.py); the rollup is sources^2 rows and "
+    "the per-source side a legitimate broadcast (bounded by distinct "
+    "sources). Complements x60 (within-source dup ppm) and x15's "
+    "mixture curation.",
 )
 def x64_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ds = docs.select(F.md5("text").alias("h"), "source").distinct()
-    per_source = ds.groupBy("source").agg(F.count(F.lit(1)).alias("n_texts"))
-    a = ds.select(F.col("h"), F.col("source").alias("source_a"))
-    b = ds.select(F.col("h"), F.col("source").alias("source_b"))
-    pairs = a.join(b, "h").filter(F.col("source_a") < F.col("source_b"))
+    per_digest = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .select("srcs")  # digest key dropped before materializing
+        .localCheckpoint(eager=True)
+    )
+    pairs = per_digest.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(srcs, (x, i) -> transform("
+                    "slice(srcs, i + 2, size(srcs)), "
+                    "y -> struct(x AS source_a, y AS source_b)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    per_source = (
+        per_digest.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_texts"))
+    )
     return (
         pairs.groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_texts"))
         .join(
-            per_source.select(
-                F.col("source").alias("source_a"), F.col("n_texts").alias("__na")
+            F.broadcast(
+                per_source.select(
+                    F.col("source").alias("source_a"), F.col("n_texts").alias("__na")
+                )
             ),
             "source_a",
         )
         .join(
-            per_source.select(
-                F.col("source").alias("source_b"), F.col("n_texts").alias("__nb")
+            F.broadcast(
+                per_source.select(
+                    F.col("source").alias("source_b"), F.col("n_texts").alias("__nb")
+                )
             ),
             "source_b",
         )

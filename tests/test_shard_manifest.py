@@ -112,3 +112,15 @@ def test_cross_source_dup_matrix_brute_force(spark):
     assert got[("s1", "s3")] == (1, 1_000_000)
     assert got[("s2", "s3")] == (1, 1_000_000)
     assert all(p <= 1_000_000 for _k, p in got.values())
+
+
+def test_cross_source_dup_matrix_single_corpus_scan(spark):
+    """x64's three branches (pairs, per-source a, per-source b) must read
+    the materialized per-digest aggregate, not re-scan the corpus: the
+    query plan contains no parquet scan (the one scan ran at checkpoint
+    time)."""
+    reg = load_all()
+    df = reg["x64_cross_source_dup_matrix"].fn(spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan, plan
