@@ -38,7 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (those all have round-3+ driver evidence). After this window, no
 # registry query's driver evidence predates round 3. Everything outside
 # the window stays covered by tools/check_oracle.py's full bit-exact
-# registry sweep (133/133 at the end of round 4).
+# registry sweep (133/133 at the end of round 4; 137 registered after the
+# round-5 additions x61-x64, each oracle-checked on registration).
 _CHECK_FIRST = [
     # never driver-checked — slot 1
     "x60_corpus_datacard",
