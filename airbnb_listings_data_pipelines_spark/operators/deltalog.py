@@ -58,6 +58,56 @@ def _schema_string(spark: SparkSession, path: str, files: list[str]) -> str:
     return df.schema.json()
 
 
+def _file_delta_stats(full_path: str) -> str | None:
+    """Per-file statistics for an ``add`` action (the protocol's optional
+    ``stats`` JSON: numRecords / minValues / maxValues / nullCount),
+    derived from the parquet footer — metadata-only, no row groups read.
+    External Delta readers use these for data skipping. Columns whose
+    parquet stats are absent or non-JSON-representable are omitted (the
+    spec allows partial stats)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(full_path).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested columns: skip (flat-schema envelope)
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                try:
+                    lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                except (UnicodeDecodeError, AttributeError):
+                    continue
+            if not isinstance(lo, (int, float, str, bool)):
+                lo, hi = str(lo), str(hi)
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
 def export_delta_log(spark: SparkSession, table) -> int:
     """Write/refresh a Delta-protocol ``_delta_log`` mirroring every
     version of a :class:`txlog.TxLogTable`. Returns the latest exported
@@ -110,19 +160,19 @@ def export_delta_log(spark: SparkSession, table) -> int:
             # removes it), so zero stats on the dead-version add entry are
             # inert — time travel past the vacuum horizon fails either way
             exists = os.path.exists(full)
-            actions.append(
-                {
-                    "add": {
-                        "path": f,
-                        "partitionValues": {},
-                        "size": os.path.getsize(full) if exists else 0,
-                        "modificationTime": int(os.path.getmtime(full) * 1000)
-                        if exists
-                        else now_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
+            add = {
+                "path": f,
+                "partitionValues": {},
+                "size": os.path.getsize(full) if exists else 0,
+                "modificationTime": int(os.path.getmtime(full) * 1000)
+                if exists
+                else now_ms,
+                "dataChange": True,
+            }
+            stats = _file_delta_stats(full) if exists else None
+            if stats is not None:
+                add["stats"] = stats
+            actions.append({"add": add})
         for f in sorted(prev - cur):
             actions.append(
                 {
@@ -198,7 +248,7 @@ def write_delta_checkpoint(spark: SparkSession, path: str, version: int | None =
         raise FileNotFoundError(f"no metaData action at or below version {want}")
     add_t = (
         "struct<path:string,partitionValues:map<string,string>,size:bigint,"
-        "modificationTime:bigint,dataChange:boolean>"
+        "modificationTime:bigint,dataChange:boolean,stats:string>"
     )
     meta_t = (
         "struct<id:string,format:struct<provider:string,"

@@ -200,3 +200,38 @@ def test_write_checkpoint_then_reader_skips_json_head(spark, tmp_path):
     assert _rows(read_delta_snapshot(spark, path)) == _rows(t.read())
     # time travel to the checkpointed version still works
     assert _rows(read_delta_snapshot(spark, path, version=1)) == _rows(t.read_version(1))
+
+
+def test_add_actions_carry_footer_stats(spark, tmp_path):
+    """Exported add actions include the protocol's optional stats JSON
+    (numRecords/minValues/maxValues/nullCount from the parquet footer) so
+    external Delta readers can data-skip."""
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    t.to_delta_log()
+    n_checked = 0
+    for name in sorted(os.listdir(os.path.join(path, "_delta_log"))):
+        if not name.endswith(".json"):
+            continue
+        for line in open(os.path.join(path, "_delta_log", name)):
+            a = json.loads(line)
+            if "add" not in a:
+                continue
+            stats = json.loads(a["add"]["stats"])
+            assert stats["numRecords"] >= 0
+            assert set(stats["minValues"]) <= {"id", "v"}
+            if "id" in stats["minValues"]:
+                assert stats["minValues"]["id"] <= stats["maxValues"]["id"]
+            n_checked += 1
+    assert n_checked >= 2
+    # checkpoint preserves the stats column
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        write_delta_checkpoint,
+    )
+
+    write_delta_checkpoint(spark, path)
+    cp = spark.read.parquet(
+        os.path.join(path, "_delta_log", f"{t.version():020d}.checkpoint.parquet")
+    )
+    with_stats = [r for r in cp.select("add").collect() if r.add and r.add.stats]
+    assert with_stats, "checkpoint dropped add.stats"

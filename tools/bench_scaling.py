@@ -58,6 +58,11 @@ SUBSET = [
     "q68_native_session_window",
     "x37_embedding_decontamination",
     "x38_retrieve_rerank",
+    # round-5 operators
+    "x61_training_shard_manifest",
+    "x62_embedding_dispersion",
+    "x63_char_coverage",
+    "x64_cross_source_dup_matrix",
 ]
 
 
