@@ -76,7 +76,7 @@ _CHECK_FIRST = [
     "x23_tfidf_top_terms",
     "x24_hash_reservoir_per_lang",
     "x25_quartile_feature_bins",
-    # round-5 additions — slots 34-36; remaining slots auto-fill with
+    # round-5 additions — slots 34-37; remaining slots auto-fill with
     # round-3-evidence queries from registry order.
     "x61_training_shard_manifest",
     "x62_embedding_dispersion",

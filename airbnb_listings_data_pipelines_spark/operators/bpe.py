@@ -167,15 +167,25 @@ def learn_bpe_merges(
                 continue  # conflicts retry next round with fresh counts
             picked.append((a, b))
             used.update((a, b, a + b))
-        col: Column = F.col("syms")
-        for a, b in picked:
-            col = apply_merge(col, a, b)
-        words = words.select("count", col.alias("syms"))
+        # apply the round's picks in chunks of _CHECKPOINT_EVERY folds per
+        # projection: chaining all merge_batch folds into ONE select would
+        # nest merge_batch aggregate-lambda expressions (a 256-deep tree
+        # at the docstring's recommended batch) past Catalyst's codegen
+        # comfort zone; bounded chunks keep expression depth constant and
+        # the checkpoint flattens lineage between them
+        applied = 0
+        while applied < len(picked):
+            chunk = picked[applied : applied + _CHECKPOINT_EVERY]
+            col: Column = F.col("syms")
+            for a, b in chunk:
+                col = apply_merge(col, a, b)
+            words = words.select("count", col.alias("syms"))
+            applied += len(chunk)
+            since_checkpoint += len(chunk)
+            if since_checkpoint >= _CHECKPOINT_EVERY:
+                words = words.localCheckpoint(eager=True)
+                since_checkpoint = 0
         merges.extend(picked)
-        since_checkpoint += len(picked)
-        if since_checkpoint >= _CHECKPOINT_EVERY:
-            words = words.localCheckpoint(eager=True)
-            since_checkpoint = 0
     if stats is not None:
         stats["stopped_early"] = stopped_early
         stats["n_merges"] = len(merges)

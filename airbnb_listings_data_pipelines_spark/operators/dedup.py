@@ -594,8 +594,10 @@ def semdedup_prune(
       pairing costs ~N^2/k, so k ~ sqrt(N) puts BOTH at N^1.5 (fixed
       k=8 measured 18.5 at the 10x probe — quadratic pairing; k ~ N/64
       measured 7.3 — quadratic assignment; sqrt-rate is the balanced
-      point, and N comes from one count aggregate broadcast as a 1-row
-      scalar, never a collect). True linearity needs TWO-LEVEL
+      point, and N comes from one 1-row count collect whose value
+      becomes a plan literal — the sanctioned bounded-scalar form, which
+      also keeps the zero-seed guard probe scan-bounded). True
+      linearity needs TWO-LEVEL
       assignment (coarse-quantize the seeds themselves, probe one
       coarse cell then its ~bounded seed subset — exactly the IVF
       fit/serve split shipped in operators/similarity.py), which trades
@@ -644,22 +646,31 @@ def semdedup_prune(
         )
 
     if n_clusters is None:
-        n = emb.agg(F.count(F.lit(1)).alias("__n"))  # 1-row broadcast scalar
-        seeds = (
-            emb.select(F.col(id_col).alias("__seed_id"), F.col(vec_col).alias("__svec"))
-            .crossJoin(F.broadcast(n))
-            .filter(
-                md5_hash32(F.col("__seed_id").cast("string"))
-                < F.floor(F.lit(4294967296.0) / F.sqrt(F.col("__n"))).cast("long")
-            )
-            .drop("__n")
+        import math
+
+        # one 1-row scalar collect (the sanctioned bounded form): the
+        # threshold becomes a PLAN LITERAL, so the zero-seed probe below
+        # is a genuine scan-until-first-match — with the previous
+        # crossJoin-scalar form, seeds.limit(1) could not emit a row
+        # until the full count aggregate finished, costing an extra
+        # corpus pass per call. floor(2^32/sqrt(N)) in Python IEEE-754
+        # doubles is bit-identical to the Spark/DuckDB expression the
+        # oracle mirrors.
+        n_total = emb.agg(F.count(F.lit(1))).collect()[0][0]
+        threshold = (
+            math.floor(4294967296.0 / math.sqrt(float(n_total))) if n_total else 0
+        )
+        seeds = emb.select(
+            F.col(id_col).alias("__seed_id"), F.col(vec_col).alias("__svec")
+        ).filter(
+            md5_hash32(F.col("__seed_id").cast("string")) < F.lit(threshold).cast("long")
         )
         # zero-seed guard: P(no hash under the sqrt-rate threshold) is
         # ~e^(-sqrt(N)) — negligible at corpus scale but real for tiny N,
         # and an empty seed set would silently prune the WHOLE corpus.
-        # Bounded probe (LocalLimit — stops at the first seed found); on
-        # an unlucky tiny input fall back to fixed-k min-hash seeding.
-        if seeds.limit(1).count() == 0 and emb.limit(1).count() > 0:
+        # Bounded probe (LocalLimit stops at the first seed found); on an
+        # unlucky tiny input fall back to fixed-k min-hash seeding.
+        if n_total > 0 and seeds.limit(1).count() == 0:
             seeds = _fixed_k_seeds(1)
     else:
         seeds = _fixed_k_seeds(n_clusters)
@@ -675,19 +686,23 @@ def semdedup_prune(
         # restricted) nearest seed — SemDeDup's own approximation regime.
         # Every coarse seed is a seed and routes to itself (cos=1), so no
         # cell is seedless and every vector finds >= 1 candidate.
-        n2 = seeds.agg(F.count(F.lit(1)).alias("__k"))
-        coarse = (
-            seeds.crossJoin(F.broadcast(n2))
-            .filter(
-                md5_hash32(F.col("__seed_id").cast("string"))
-                < F.floor(
-                    F.lit(4294967296.0) / F.sqrt(F.sqrt(F.col("__k")))
-                ).cast("long")
-            )
-            .select(
-                F.col("__seed_id").alias("__cell"), F.col("__svec").alias("__cvec")
-            )
+        import math
+
+        # same literal-threshold discipline as the sqrt-rate seeding: one
+        # 1-row scalar collect of the seed count keeps the coarse filter a
+        # plan literal (the in-plan crossJoin scalar would re-run the seed
+        # count in every downstream branch) and makes the guard probe a
+        # true scan-until-first-match
+        k_total = seeds.agg(F.count(F.lit(1))).collect()[0][0]
+        c_threshold = (
+            math.floor(4294967296.0 / math.sqrt(math.sqrt(float(k_total))))
+            if k_total
+            else 0
         )
+        coarse = seeds.filter(
+            md5_hash32(F.col("__seed_id").cast("string"))
+            < F.lit(c_threshold).cast("long")
+        ).select(F.col("__seed_id").alias("__cell"), F.col("__svec").alias("__cvec"))
         # same zero-subset exposure as the sqrt-rate seeds above: an empty
         # coarse set would leave every vector cell-less. Fall back to the
         # min-hash seed as the single coarse cell.

@@ -71,10 +71,18 @@ def _file_delta_stats(full_path: str) -> str | None:
         md = pq.ParquetFile(full_path).metadata
     except Exception:
         return None
+    # a column's envelope is published ONLY if every row group contributed
+    # (min/max resp. null_count): a partial envelope would be NARROWER than
+    # the file's true range and make an external reader data-skip a file
+    # that contains matching rows — silent wrong results. Coverage is
+    # counted per column; under-covered columns are dropped.
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
-    for rg in range(md.num_row_groups):
+    mm_cover: dict[str, int] = {}
+    null_cover: dict[str, int] = {}
+    n_rg = md.num_row_groups
+    for rg in range(n_rg):
         row_group = md.row_group(rg)
         for ci in range(row_group.num_columns):
             col = row_group.column(ci)
@@ -86,6 +94,7 @@ def _file_delta_stats(full_path: str) -> str | None:
                 continue
             if st.null_count is not None:
                 nulls[name] = nulls.get(name, 0) + st.null_count
+                null_cover[name] = null_cover.get(name, 0) + 1
             if not st.has_min_max:
                 continue
             lo, hi = st.min, st.max
@@ -94,10 +103,14 @@ def _file_delta_stats(full_path: str) -> str | None:
                     lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
                 except (UnicodeDecodeError, AttributeError):
                     continue
-            if not isinstance(lo, (int, float, str, bool)):
-                lo, hi = str(lo), str(hi)
+            if not (isinstance(lo, (int, float, str, bool)) and isinstance(hi, (int, float, str, bool))):
+                continue  # non-JSON-primitive types (date/timestamp): omit
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            mm_cover[name] = mm_cover.get(name, 0) + 1
+    mins = {k: v for k, v in mins.items() if mm_cover.get(k) == n_rg}
+    maxs = {k: v for k, v in maxs.items() if mm_cover.get(k) == n_rg}
+    nulls = {k: v for k, v in nulls.items() if null_cover.get(k) == n_rg}
     return json.dumps(
         {
             "numRecords": md.num_rows,
@@ -135,9 +148,19 @@ def export_delta_log(spark: SparkSession, table) -> int:
             continue
         actions: list[dict] = []
         if v == 0:
-            if not files:
+            # metaData.schemaString comes from the LATEST live snapshot's
+            # on-disk files, not version 0's: vacuum may have deleted v0's
+            # files (the add-action path below handles exactly that case),
+            # and the current snapshot is always readable. The export
+            # writes one metaData action, so an evolved schema collapses
+            # to the latest — which is what a reader of the latest
+            # snapshot needs; stated plainly.
+            schema_files = [
+                f for f in _live if os.path.exists(os.path.join(table.path, f))
+            ] or [f for f in files if os.path.exists(os.path.join(table.path, f))]
+            if not schema_files:
                 raise FileNotFoundError(
-                    f"version 0 of {table.path} lists no data files — "
+                    f"no live data file of {table.path} exists on disk — "
                     "cannot derive metaData.schemaString for the Delta export"
                 )
             actions.append({"protocol": dict(_PROTOCOL)})
@@ -146,7 +169,7 @@ def export_delta_log(spark: SparkSession, table) -> int:
                     "metaData": {
                         "id": uuid.uuid4().hex,
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": _schema_string(spark, table.path, files),
+                        "schemaString": _schema_string(spark, table.path, schema_files),
                         "partitionColumns": [],
                         "configuration": {},
                         "createdTime": now_ms,
@@ -218,16 +241,28 @@ def write_delta_checkpoint(spark: SparkSession, path: str, version: int | None =
         for f in os.listdir(delta_dir)
         if f.endswith(".json") and f.split(".")[0].isdigit()
     )
-    if not commits:
+    versions = [int(f.split(".")[0]) for f in commits]
+    lc = _read_last_checkpoint(delta_dir)
+    latest = max(versions[-1] if versions else -1, lc["version"] if lc else -1)
+    if latest < 0:
         raise FileNotFoundError(f"no Delta commits in {delta_dir}")
-    latest = int(commits[-1].split(".")[0])
     want = latest if version is None else version
     live: dict[str, dict] = {}
-    schema_string = None
+    metadata: dict | None = None
     protocol = dict(_PROTOCOL)
-    for name in commits:
-        v = int(name.split(".")[0])
-        if v > want:
+    start_after = -1
+    # bootstrap from the existing checkpoint (NOT only the JSON commits):
+    # after log-head cleanup the state below the checkpoint exists nowhere
+    # else, and ignoring it would either fail (no metaData) or silently
+    # drop every file added in the expired commits
+    if lc and lc.get("version", -1) <= want:
+        live, metadata, protocol = _checkpoint_rows(
+            spark, delta_dir, lc["version"], lc.get("parts")
+        )
+        start_after = lc["version"]
+    _verify_contiguous(versions, start_after, want, delta_dir)
+    for name, v in zip(commits, versions):
+        if v <= start_after or v > want:
             continue
         with open(os.path.join(delta_dir, name)) as fh:
             for line in fh:
@@ -238,13 +273,12 @@ def write_delta_checkpoint(spark: SparkSession, path: str, version: int | None =
                     _check_protocol(action["protocol"])
                     protocol = action["protocol"]
                 elif "metaData" in action:
-                    schema_string = action["metaData"]["schemaString"]
                     metadata = action["metaData"]
                 elif "add" in action:
                     live[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
-    if schema_string is None:
+    if metadata is None or metadata.get("schemaString") is None:
         raise FileNotFoundError(f"no metaData action at or below version {want}")
     add_t = (
         "struct<path:string,partitionValues:map<string,string>,size:bigint,"
@@ -290,12 +324,14 @@ def _read_last_checkpoint(delta_dir: str) -> dict | None:
         return json.load(fh)
 
 
-def _checkpoint_state(
+def _checkpoint_rows(
     spark: SparkSession, delta_dir: str, version: int, parts: int | None
-) -> tuple[set[str], str | None]:
-    """Replay a parquet checkpoint (single- or multi-part) into the live
-    file set + schemaString, exactly as the protocol's checkpoint schema
-    stores them (top-level ``add``/``remove``/``metaData`` structs)."""
+) -> tuple[dict[str, dict], dict | None, dict]:
+    """Replay a parquet checkpoint (single- or multi-part) into the full
+    state it carries: live ``add`` actions (path -> add dict, stats and
+    sizes preserved), the ``metaData`` action, and the ``protocol`` —
+    exactly as the protocol's checkpoint schema stores them (top-level
+    struct columns)."""
     if parts:
         names = [
             os.path.join(
@@ -307,22 +343,44 @@ def _checkpoint_state(
         names = [os.path.join(delta_dir, f"{version:020d}.checkpoint.parquet")]
     cp = spark.read.parquet(*names)
     cols = cp.columns
-    live: set[str] = set()
-    schema_string: str | None = None
+    live: dict[str, dict] = {}
+    metadata: dict | None = None
+    protocol = dict(_PROTOCOL)
     rows = cp.select(
         *(c for c in ("add", "remove", "metaData", "protocol") if c in cols)
     ).collect()
     for r in rows:
         add = r["add"] if "add" in cols else None
         if add is not None and add["path"] is not None:
-            live.add(add["path"])
+            d = add.asDict(recursive=True)
+            live[d["path"]] = {k: v for k, v in d.items() if v is not None}
         md = r["metaData"] if "metaData" in cols else None
         if md is not None and md["schemaString"] is not None:
-            schema_string = md["schemaString"]
+            metadata = md.asDict(recursive=True)
         proto = r["protocol"] if "protocol" in cols else None
         if proto is not None and proto["minReaderVersion"] is not None:
             _check_protocol({"minReaderVersion": proto["minReaderVersion"]})
-    return live, schema_string
+            protocol = {
+                k: v for k, v in proto.asDict(recursive=True).items() if v is not None
+            }
+    return live, metadata, protocol
+
+
+def _verify_contiguous(
+    versions: list[int], start_after: int, want: int, delta_dir: str
+) -> None:
+    """The Delta spec requires readers to verify version continuity: every
+    version in (start_after, want] must have a JSON commit, else the
+    replay would silently miss state (e.g. time travel below the newest
+    checkpoint after its covered JSON head was cleaned up)."""
+    have = {v for v in versions if start_after < v <= want}
+    missing = sorted(set(range(start_after + 1, want + 1)) - have)
+    if missing:
+        raise FileNotFoundError(
+            f"Delta log {delta_dir} is missing commit(s) {missing} needed to "
+            f"reconstruct version {want} (checkpoint covers through "
+            f"{start_after}) — cannot return a partial snapshot"
+        )
 
 
 def _check_protocol(protocol: dict) -> None:
@@ -367,10 +425,13 @@ def read_delta_snapshot(
     schema_string: str | None = None
     start_after = -1
     if lc and lc.get("version", -1) <= want:
-        live, schema_string = _checkpoint_state(
+        cp_live, cp_meta, _cp_proto = _checkpoint_rows(
             spark, delta_dir, lc["version"], lc.get("parts")
         )
+        live = set(cp_live)
+        schema_string = cp_meta["schemaString"] if cp_meta else None
         start_after = lc["version"]
+    _verify_contiguous(versions, start_after, want, delta_dir)
     for name, v in zip(commits, versions):
         if v <= start_after or v > want:
             continue

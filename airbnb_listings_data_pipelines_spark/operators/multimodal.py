@@ -359,6 +359,9 @@ def decode_jpeg(content: bytes) -> dict:
         if content[pos] != 0xFF:
             raise ValueError("JPEG marker stream desynced")
         marker = content[pos + 1]
+        if marker == 0xFF:
+            pos += 1  # fill byte (ITU T.81 B.1.1.2): markers may be padded
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2  # parameterless markers
             continue

@@ -3197,20 +3197,22 @@ def x63_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ds AS (
       SELECT DISTINCT md5(text) AS h, source FROM documents
-    ), pairs AS (
-      SELECT a.source AS source_a, b.source AS source_b
+      WHERE text IS NOT NULL
+    ), shared AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS k
       FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
     ), per_source AS (
       SELECT source, COUNT(*) AS n_texts FROM ds GROUP BY 1
     )
-    SELECT p.source_a, p.source_b,
-           CAST(COUNT(*) AS BIGINT) AS n_shared_texts,
-           CAST(COUNT(*) * 1000000 // LEAST(sa.n_texts, sb.n_texts) AS BIGINT)
-             AS overlap_ppm
-    FROM pairs p
-    JOIN per_source sa ON sa.source = p.source_a
-    JOIN per_source sb ON sb.source = p.source_b
-    GROUP BY p.source_a, p.source_b, sa.n_texts, sb.n_texts
+    SELECT sa.source AS source_a, sb.source AS source_b,
+           CAST(COALESCE(sh.k, 0) AS BIGINT) AS n_shared_texts,
+           CAST(COALESCE(sh.k, 0) * 1000000
+                // LEAST(sa.n_texts, sb.n_texts) AS BIGINT) AS overlap_ppm
+    FROM per_source sa
+    JOIN per_source sb ON sa.source < sb.source
+    LEFT JOIN shared sh
+      ON sh.source_a = sa.source AND sh.source_b = sb.source
     """,
     survey_rows=("EXT-dedup", "J7", "A2", "A8"),
     doc="Cross-source duplication matrix — the provenance overlap report "
@@ -3234,7 +3236,11 @@ def x63_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x64_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     per_digest = (
-        docs.groupBy(F.md5("text").alias("h"))
+        # NULL text is not content: Spark's groupBy would pool NULLs into
+        # one digest group while the oracle's equality join drops them —
+        # filter explicitly on both sides so the semantics are identical
+        docs.filter(F.col("text").isNotNull())
+        .groupBy(F.md5("text").alias("h"))
         .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
         .select("srcs")  # digest key dropped before materializing
         .localCheckpoint(eager=True)
@@ -3255,30 +3261,30 @@ def x64_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_texts"))
     )
-    return (
-        pairs.groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
-        .join(
-            F.broadcast(
-                per_source.select(
-                    F.col("source").alias("source_a"), F.col("n_texts").alias("__na")
-                )
-            ),
-            "source_a",
-        )
-        .join(
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("__k")
+    )
+    # the FULL matrix (zero-count pairs included): the report artifact is
+    # a matrix over the source universe, and at small scale factors with
+    # no cross-source dups a shared-only output would be vacuously empty
+    universe = (
+        per_source.select(F.col("source").alias("source_a"), F.col("n_texts").alias("__na"))
+        .crossJoin(
             F.broadcast(
                 per_source.select(
                     F.col("source").alias("source_b"), F.col("n_texts").alias("__nb")
                 )
-            ),
-            "source_b",
+            )
         )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    return (
+        universe.join(F.broadcast(shared), ["source_a", "source_b"], "left")
         .select(
             "source_a",
             "source_b",
-            F.col("n_shared_texts").cast("long").alias("n_shared_texts"),
-            F.expr("n_shared_texts * 1000000L div least(__na, __nb)")
+            F.coalesce(F.col("__k"), F.lit(0)).cast("long").alias("n_shared_texts"),
+            F.expr("coalesce(__k, 0L) * 1000000L div least(__na, __nb)")
             .cast("long")
             .alias("overlap_ppm"),
         )

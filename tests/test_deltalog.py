@@ -235,3 +235,61 @@ def test_add_actions_carry_footer_stats(spark, tmp_path):
     )
     with_stats = [r for r in cp.select("add").collect() if r.add and r.add.stats]
     assert with_stats, "checkpoint dropped add.stats"
+
+
+def test_time_travel_below_checkpoint_with_expired_head_raises(spark, tmp_path):
+    """Version continuity (spec requirement): after the JSON head covered
+    by a checkpoint expires, time travel BELOW the checkpoint must raise,
+    never return a partial snapshot."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        write_delta_checkpoint,
+    )
+
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)  # versions 0,1
+    t.to_delta_log()
+    write_delta_checkpoint(spark, path)  # checkpoint@1
+    os.remove(os.path.join(path, "_delta_log", "0" * 20 + ".json"))
+    with pytest.raises(FileNotFoundError, match="missing commit"):
+        read_delta_snapshot(spark, path, version=0)
+    # the checkpointed version itself stays readable
+    assert _rows(read_delta_snapshot(spark, path, version=1)) == _rows(t.read_version(1))
+
+
+def test_recheckpoint_after_head_cleanup_preserves_state(spark, tmp_path):
+    """write_delta_checkpoint must bootstrap from the existing checkpoint:
+    after the covered JSON head is deleted and new commits land, a second
+    checkpoint still carries every live file and the metaData."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        write_delta_checkpoint,
+    )
+
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    t.to_delta_log()
+    write_delta_checkpoint(spark, path)  # checkpoint@1
+    for n in ("0" * 20 + ".json", "0" * 19 + "1.json"):
+        os.remove(os.path.join(path, "_delta_log", n))
+    merge_into_txlog(spark, t, spark.createDataFrame([(9, "z")], ["id", "v"]), ["id"])
+    t.to_delta_log()
+    assert write_delta_checkpoint(spark, path) == 2  # would raise pre-fix
+    # nuke ALL json: reader must reconstruct v2 purely from checkpoint 2
+    for n in list(os.listdir(os.path.join(path, "_delta_log"))):
+        if n.endswith(".json") and n.split(".")[0].isdigit():
+            os.remove(os.path.join(path, "_delta_log", n))
+    assert _rows(read_delta_snapshot(spark, path)) == _rows(t.read())
+
+
+def test_export_after_vacuum_derives_schema_from_live_files(spark, tmp_path):
+    """to_delta_log after vacuum(): version 0's data files are gone, so
+    the metaData schema must come from the live snapshot instead of
+    crashing on the vacuumed paths."""
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)  # v1 rewrote all of v0's files
+    removed = t.vacuum(retain_versions=1)
+    assert removed, "vacuum should drop v0's files for this test to bite"
+    v = t.to_delta_log()
+    assert v == 1
+    got = read_delta_snapshot(spark, path)
+    assert _rows(got) == _rows(t.read())
+    assert [f.name for f in got.schema.fields] == ["id", "v"]

@@ -298,3 +298,15 @@ def test_decode_media_metadata_handles_png_rows(spark):
     out = {r.media_id: r for r in multimodal.decode_media_metadata(media).collect()}
     assert (out[1].width, out[1].height) == (9, 2)
     assert (out[2].width, out[2].height) == (4, 3)
+
+
+def test_jpeg_header_decode_skips_fill_bytes():
+    """ITU T.81 B.1.1.2 permits 0xFF fill bytes before a marker; several
+    encoders emit them. The SOF walk must skip them, not desync."""
+    import struct
+
+    blob = _make_jpeg_header(31, 17)
+    # inject two fill bytes before the SOF0 marker (after APP0)
+    sof_at = blob.index(b"\xff\xc0")
+    padded = blob[:sof_at] + b"\xff\xff" + blob[sof_at:]
+    assert multimodal.decode_jpeg(padded) == {"width": 31, "height": 17, "channels": 3}

@@ -93,8 +93,9 @@ def test_cross_source_dup_matrix_brute_force(spark):
         (7, "alpha", "s1"),  # within-source dup must not inflate the pair count
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
-    # same plan as the x64 registry query (which reads from sf_dir), over
-    # the hand-built frame
+    # same shared-pair math as the x64 registry query (which reads from
+    # sf_dir and additionally zero-fills the full source-pair matrix),
+    # over the hand-built frame
     ds = docs.select(F.md5("text").alias("h"), "source").distinct()
     per_source = ds.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = ds.select("h", F.col("source").alias("source_a"))
