@@ -3161,9 +3161,10 @@ def x62_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "20. Scale shape: the char explode is map-side-combined into at "
     "most alphabet-size groups (hundreds), so the shuffle and the "
     "single-partition ranking window are bounded by the ALPHABET, not "
-    "the corpus — the one case where a global window is scale-correct. "
-    "Total-corpus chars rides the same aggregate as a 1-row broadcast "
-    "(J9 idiom).",
+    "the corpus — the one case where a global window is scale-correct; "
+    "the alphabet-sized aggregate is checkpoint-materialized so the "
+    "1-row total (J9 broadcast) and the ranking branch share ONE corpus "
+    "explode.",
 )
 def x63_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -3172,7 +3173,13 @@ def x63_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split(F.lower("text"), "")).alias("ch"))
         .filter(F.col("ch") != "")
     )
-    counts = chars.groupBy("ch").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    counts = (
+        chars.groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        # alphabet-sized: materialize once so the total and the ranking
+        # branches don't each re-run the corpus-wide char explode
+        .localCheckpoint(eager=True)
+    )
     tot = counts.agg(F.sum("n_occurrences").alias("__t"))
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("ch"))
     return (
