@@ -36,6 +36,7 @@ checkpoint, not the data.
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 import uuid
@@ -105,6 +106,12 @@ def _file_delta_stats(full_path: str) -> str | None:
                     continue
             if not (isinstance(lo, (int, float, str, bool)) and isinstance(hi, (int, float, str, bool))):
                 continue  # non-JSON-primitive types (date/timestamp): omit
+            if any(
+                isinstance(x, float) and not math.isfinite(x) for x in (lo, hi)
+            ):
+                # json.dumps would emit the non-standard Infinity/NaN
+                # tokens, which strict external parsers reject — omit
+                continue
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
             mm_cover[name] = mm_cover.get(name, 0) + 1
@@ -139,12 +146,30 @@ def export_delta_log(spark: SparkSession, table) -> int:
     latest, _live = table._replay()
     now_ms = int(time.time() * 1000)
     prev: set[str] = set()
+    # ONE forward pass over the txlog (applying each commit to a running
+    # file set) instead of table._replay(as_of=v) per version — the latter
+    # re-reads the log from scratch per version, O(V^2) log reads on a
+    # long-lived table. txlog checkpoint commits carry the full list, so
+    # the same fold txlog._replay uses applies here commit by commit.
+    tx_entries = sorted(
+        f for f in os.listdir(table.log_dir) if f.endswith(".json")
+    )
+    tx_state: dict[int, dict] = {}
+    for name in tx_entries:
+        with open(os.path.join(table.log_dir, name)) as fh:
+            tx_state[int(name.split(".")[0])] = json.load(fh)
+    cur: set[str] = set()
     for v in range(latest + 1):
-        _ver, files = table._replay(as_of=v)
-        cur = set(files)
+        c = tx_state.get(v)
+        if c is None:
+            raise FileNotFoundError(f"txlog {table.log_dir} missing commit {v}")
+        if c.get("checkpoint"):
+            cur = set(c["adds"])
+        else:
+            cur = (cur - set(c["removes"])) | set(c["adds"])
         target = os.path.join(delta_dir, _delta_commit_name(v))
         if os.path.exists(target):
-            prev = cur
+            prev = set(cur)
             continue
         actions: list[dict] = []
         if v == 0:
@@ -157,7 +182,7 @@ def export_delta_log(spark: SparkSession, table) -> int:
             # snapshot needs; stated plainly.
             schema_files = [
                 f for f in _live if os.path.exists(os.path.join(table.path, f))
-            ] or [f for f in files if os.path.exists(os.path.join(table.path, f))]
+            ] or [f for f in sorted(cur) if os.path.exists(os.path.join(table.path, f))]
             if not schema_files:
                 raise FileNotFoundError(
                     f"no live data file of {table.path} exists on disk — "
@@ -218,8 +243,18 @@ def export_delta_log(spark: SparkSession, table) -> int:
         tmp = target + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
-        os.rename(tmp, target)  # atomic publish, mirroring txlog's O_EXCL
-        prev = cur
+        # atomic create-exclusive publish (genuinely mirroring txlog's
+        # O_EXCL, unlike a plain rename which would clobber a commit a
+        # racing exporter published first): hard-link fails loudly on
+        # collision, and Delta commits are immutable, so the loser simply
+        # keeps the winner's file
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            pass  # a concurrent exporter won this version; theirs stands
+        finally:
+            os.unlink(tmp)
+        prev = set(cur)
     return latest
 
 
@@ -236,50 +271,7 @@ def write_delta_checkpoint(spark: SparkSession, path: str, version: int | None =
     rows read vectorized, instead of O(commits) JSON files."""
     path = path.rstrip("/")
     delta_dir = os.path.join(path, DELTA_DIR)
-    commits = sorted(
-        f
-        for f in os.listdir(delta_dir)
-        if f.endswith(".json") and f.split(".")[0].isdigit()
-    )
-    versions = [int(f.split(".")[0]) for f in commits]
-    lc = _read_last_checkpoint(delta_dir)
-    latest = max(versions[-1] if versions else -1, lc["version"] if lc else -1)
-    if latest < 0:
-        raise FileNotFoundError(f"no Delta commits in {delta_dir}")
-    want = latest if version is None else version
-    live: dict[str, dict] = {}
-    metadata: dict | None = None
-    protocol = dict(_PROTOCOL)
-    start_after = -1
-    # bootstrap from the existing checkpoint (NOT only the JSON commits):
-    # after log-head cleanup the state below the checkpoint exists nowhere
-    # else, and ignoring it would either fail (no metaData) or silently
-    # drop every file added in the expired commits
-    if lc and lc.get("version", -1) <= want:
-        live, metadata, protocol = _checkpoint_rows(
-            spark, delta_dir, lc["version"], lc.get("parts")
-        )
-        start_after = lc["version"]
-    _verify_contiguous(versions, start_after, want, delta_dir)
-    for name, v in zip(commits, versions):
-        if v <= start_after or v > want:
-            continue
-        with open(os.path.join(delta_dir, name)) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "protocol" in action:
-                    _check_protocol(action["protocol"])
-                    protocol = action["protocol"]
-                elif "metaData" in action:
-                    metadata = action["metaData"]
-                elif "add" in action:
-                    live[action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
-    if metadata is None or metadata.get("schemaString") is None:
-        raise FileNotFoundError(f"no metaData action at or below version {want}")
+    want, live, metadata, protocol = _replay_delta_log(spark, delta_dir, version)
     add_t = (
         "struct<path:string,partitionValues:map<string,string>,size:bigint,"
         "modificationTime:bigint,dataChange:boolean,stats:string>"
@@ -366,6 +358,83 @@ def _checkpoint_rows(
     return live, metadata, protocol
 
 
+def _replay_delta_log(
+    spark: SparkSession, delta_dir: str, version: int | None = None
+) -> tuple[int, dict[str, dict], dict, dict]:
+    """The ONE replay core shared by :func:`read_delta_snapshot` and
+    :func:`write_delta_checkpoint` (a single implementation so protocol
+    fixes cannot drift between reader and checkpointer): bootstrap from
+    the newest parquet checkpoint at/below the requested version, verify
+    JSON-commit contiguity, then apply the JSON tail's actions in order.
+    Returns ``(resolved_version, live add actions by path, metaData,
+    protocol)``.
+
+    Envelope guards live here too: an unsupported ``protocol`` and a
+    PARTITIONED table (``metaData.partitionColumns`` non-empty) both
+    raise ``NotImplementedError`` — this reader hands an explicit file
+    list to ``spark.read.parquet``, which performs no partition-value
+    inference, so opening a partitioned table would silently drop the
+    partition columns instead of failing. Refusing loudly is what the
+    spec requires of readers facing features they do not implement."""
+    commits = sorted(
+        f
+        for f in os.listdir(delta_dir)
+        if f.endswith(".json") and f.split(".")[0].isdigit()
+    )
+    versions = [int(f.split(".")[0]) for f in commits]
+    lc = _read_last_checkpoint(delta_dir)
+    # a fully-compacted log (checkpoint only, JSON head expired) is legal:
+    # the checkpoint version counts toward the latest resolvable version
+    latest = max(versions[-1] if versions else -1, lc["version"] if lc else -1)
+    if latest < 0:
+        raise FileNotFoundError(f"no Delta commits in {delta_dir}")
+    want = latest if version is None else version
+    if want > latest:
+        raise FileNotFoundError(f"version {want} not in Delta log (latest {latest})")
+    live: dict[str, dict] = {}
+    metadata: dict | None = None
+    protocol = dict(_PROTOCOL)
+    start_after = -1
+    # bootstrap from the existing checkpoint (NOT only the JSON commits):
+    # after log-head cleanup the state below the checkpoint exists nowhere
+    # else, and ignoring it would either fail (no metaData) or silently
+    # drop every file added in the expired commits
+    if lc and lc.get("version", -1) <= want:
+        live, metadata, protocol = _checkpoint_rows(
+            spark, delta_dir, lc["version"], lc.get("parts")
+        )
+        start_after = lc["version"]
+    _verify_contiguous(versions, start_after, want, delta_dir)
+    for name, v in zip(commits, versions):
+        if v <= start_after or v > want:
+            continue
+        with open(os.path.join(delta_dir, name)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    _check_protocol(action["protocol"])
+                    protocol = action["protocol"]
+                elif "metaData" in action:
+                    metadata = action["metaData"]
+                elif "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+    if metadata is None or metadata.get("schemaString") is None:
+        raise FileNotFoundError(f"no metaData action at or below version {want}")
+    if metadata.get("partitionColumns"):
+        raise NotImplementedError(
+            "this reader implements unpartitioned Delta tables only; table "
+            f"declares partitionColumns={metadata['partitionColumns']} — an "
+            "explicit-file-list parquet read would silently drop the "
+            "partition columns"
+        )
+    return want, live, metadata, protocol
+
+
 def _verify_contiguous(
     versions: list[int], start_after: int, want: int, delta_dir: str
 ) -> None:
@@ -405,55 +474,10 @@ def read_delta_snapshot(
     """
     path = path.rstrip("/")
     delta_dir = os.path.join(path, DELTA_DIR)
-    commits = sorted(
-        f
-        for f in os.listdir(delta_dir)
-        if f.endswith(".json") and f.split(".")[0].isdigit()
-    )
-    versions = [int(f.split(".")[0]) for f in commits]
-    lc = _read_last_checkpoint(delta_dir)
-    # a fully-compacted log (checkpoint only, JSON head expired) is legal:
-    # the checkpoint version counts toward the latest resolvable version
-    latest = max(versions[-1] if versions else -1, lc["version"] if lc else -1)
-    if latest < 0:
-        raise FileNotFoundError(f"no Delta commits in {delta_dir}")
-    want = latest if version is None else version
-    if want > latest:
-        raise FileNotFoundError(f"version {want} not in Delta log (latest {latest})")
-
-    live: set[str] = set()
-    schema_string: str | None = None
-    start_after = -1
-    if lc and lc.get("version", -1) <= want:
-        cp_live, cp_meta, _cp_proto = _checkpoint_rows(
-            spark, delta_dir, lc["version"], lc.get("parts")
-        )
-        live = set(cp_live)
-        schema_string = cp_meta["schemaString"] if cp_meta else None
-        start_after = lc["version"]
-    _verify_contiguous(versions, start_after, want, delta_dir)
-    for name, v in zip(commits, versions):
-        if v <= start_after or v > want:
-            continue
-        with open(os.path.join(delta_dir, name)) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "protocol" in action:
-                    _check_protocol(action["protocol"])
-                elif "metaData" in action:
-                    schema_string = action["metaData"]["schemaString"]
-                elif "add" in action:
-                    live.add(action["add"]["path"])
-                elif "remove" in action:
-                    live.discard(action["remove"]["path"])
+    _want, live, metadata, _protocol = _replay_delta_log(spark, delta_dir, version)
     if not live:
-        if schema_string is None:
-            raise FileNotFoundError(f"empty snapshot and no schema in {delta_dir}")
         from pyspark.sql.types import StructType
 
-        schema = StructType.fromJson(json.loads(schema_string))
+        schema = StructType.fromJson(json.loads(metadata["schemaString"]))
         return spark.createDataFrame([], schema)
     return spark.read.parquet(*[os.path.join(path, f) for f in sorted(live)])

@@ -164,6 +164,8 @@ def decode_wav(content: bytes) -> dict:
     while pos + 8 <= len(content):
         cid, clen = struct.unpack_from("<4sI", content, pos)
         if cid == b"fmt ":
+            if pos + 8 + 16 > len(content):
+                raise ValueError("WAV truncated inside fmt chunk")
             _, channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", content, pos + 8)
         elif cid == b"data":
             data_len = clen
@@ -250,7 +252,14 @@ def decode_media_metadata(media: DataFrame) -> DataFrame:
                 out["media_id"].append(media_id)
                 out["modality"].append(modality)
                 out["n_bytes"].append(len(content) if content is not None else None)
-                if modality == "image":
+                if content is None:
+                    # NULL blob = absent media, not garbage: NULL metadata
+                    # row (bytes(None) would TypeError the whole task).
+                    # Undecodable NON-NULL bytes still error out — the
+                    # real-codec contract.
+                    for k in ("width", "height", "sample_rate", "n_samples", "duration_ms"):
+                        out[k].append(None)
+                elif modality == "image":
                     meta = decode_image(bytes(content))
                     out["width"].append(meta["width"])
                     out["height"].append(meta["height"])
@@ -368,6 +377,8 @@ def decode_jpeg(content: bytes) -> dict:
         seg_len = struct.unpack_from(">H", content, pos + 2)[0]
         # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry the frame header
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 10 > len(content):
+                raise ValueError("JPEG truncated inside SOF frame header")
             _precision, height, width, channels = struct.unpack_from(
                 ">BHHB", content, pos + 4
             )
@@ -531,7 +542,9 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: updates metadata, leaves bytes opaque (decode+resize
     is a DECODERS concern). Kept as a distinct operator so pipelines can
     declare intent that a real decoder later fulfills — for 24-bit BMP
-    blobs that decoder exists: resize_bmp below."""
+    blobs that decoder exists: resize_bmp below (which nulls out garbage
+    rows, whereas decode_media_metadata errors on undecodable non-NULL
+    bytes — two contracts, both stated)."""
     return media.withColumn("width", F.lit(width).cast("long")).withColumn(
         "height", F.lit(height).cast("long")
     )
@@ -586,8 +599,9 @@ RESIZED_SCHEMA = StructType(
 def resize_bmp(media: DataFrame, width: int, height: int) -> DataFrame:
     """Distributed image resize over binary BMP columns: Arrow-batched
     mapInPandas around resize_bmp_bytes. Non-BMP/NULL blobs yield a NULL
-    content row rather than failing the batch (dirty-corpus contract, same
-    as decode_media_metadata). Map-only — partitioned by whatever the
+    content row rather than failing the batch (dirty-corpus contract;
+    decode_media_metadata, by contrast, nulls only NULL blobs and ERRORS
+    on undecodable bytes). Map-only — partitioned by whatever the
     upstream layout is; at 100 TB the batch size lever is
     spark.sql.execution.arrow.maxRecordsPerBatch."""
 

@@ -3164,7 +3164,14 @@ def x62_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the corpus — the one case where a global window is scale-correct; "
     "the alphabet-sized aggregate is checkpoint-materialized so the "
     "1-row total (J9 broadcast) and the ranking branch share ONE corpus "
-    "explode.",
+    "explode. Int64 envelope: cum * 1e6 needs total chars <= ~9.2e12 "
+    "(~9 TB of text) — beyond that widen the ppm product to "
+    "decimal(38,0) in BOTH engines (property-tested in "
+    "test_overflow_envelopes). Oracle-exactness envelope: both engines "
+    "split per UTF-16-ish unit only for BMP text — astral chars "
+    "(U+10000+) split into surrogate halves in Spark but code points in "
+    "DuckDB, so the bit-exact claim holds for BMP-only corpora (the "
+    "driver data is ASCII).",
 )
 def x63_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

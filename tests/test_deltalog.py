@@ -293,3 +293,21 @@ def test_export_after_vacuum_derives_schema_from_live_files(spark, tmp_path):
     got = read_delta_snapshot(spark, path)
     assert _rows(got) == _rows(t.read())
     assert [f.name for f in got.schema.fields] == ["id", "v"]
+
+
+def test_reader_refuses_partitioned_tables(spark, tmp_path):
+    """metaData.partitionColumns non-empty: an explicit-file-list parquet
+    read would silently drop the partition columns, so the reader must
+    refuse loudly (the spec's unsupported-feature contract)."""
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    t.to_delta_log()
+    c0 = os.path.join(path, "_delta_log", "0" * 20 + ".json")
+    lines = open(c0).read().splitlines()
+    meta = json.loads(lines[1])
+    meta["metaData"]["partitionColumns"] = ["date"]
+    lines[1] = json.dumps(meta)
+    with open(c0, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    with pytest.raises(NotImplementedError, match="partitionColumns"):
+        read_delta_snapshot(spark, path)

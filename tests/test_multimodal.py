@@ -310,3 +310,38 @@ def test_jpeg_header_decode_skips_fill_bytes():
     sof_at = blob.index(b"\xff\xc0")
     padded = blob[:sof_at] + b"\xff\xff" + blob[sof_at:]
     assert multimodal.decode_jpeg(padded) == {"width": 31, "height": 17, "channels": 3}
+
+
+def test_decode_media_metadata_null_blob_yields_null_row(spark):
+    """NULL content = absent media: a NULL metadata row, never a task
+    crash (bytes(None) raised TypeError pre-fix); undecodable non-NULL
+    bytes still error (real-codec contract)."""
+    import pandas as pd
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "modality": ["image", "audio"],
+                "content": [None, multimodal.make_wav([1, 2, 3])],
+                "mime_type": [None, "audio/wav"],
+                "width": pd.array([None, None], dtype="Int64"),
+                "height": pd.array([None, None], dtype="Int64"),
+                "duration_ms": pd.array([None, None], dtype="Int64"),
+            }
+        ),
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in multimodal.decode_media_metadata(media).collect()}
+    assert out[1].n_bytes is None and out[1].width is None
+    assert out[2].n_samples == 3
+
+
+def test_jpeg_truncated_sof_raises_valueerror():
+    import pytest as _pytest
+
+    blob = _make_jpeg_header(31, 17)
+    sof_at = blob.index(b"\xff\xc0")
+    truncated = blob[: sof_at + 5]  # cut mid-SOF
+    with _pytest.raises(ValueError, match="truncated|missing SOF"):
+        multimodal.decode_jpeg(truncated)

@@ -131,3 +131,18 @@ def test_overlap_ppm_fits_int64(shared, smaller):
         return
     assert shared * 1_000_000 <= I64
     assert (shared * 1_000_000) // smaller <= 1_000_000
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    cum=st.integers(0, 9_200_000_000_000),
+    tot=st.integers(1, 9_200_000_000_000),
+)
+def test_char_coverage_ppm_fits_int64(cum, tot):
+    # x63: cum * 1_000_000 must fit int64 up to the documented ~9.2e12
+    # total-char bound (~9 TB of text); past it the docstring mandates
+    # decimal widening in both engines
+    if cum > tot:
+        return
+    assert cum * 1_000_000 <= I64
+    assert (cum * 1_000_000) // tot <= 1_000_000
