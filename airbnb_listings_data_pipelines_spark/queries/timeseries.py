@@ -352,3 +352,63 @@ def q64_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.select(
         "cohort_week", "week_offset", "n_users", (F.col("n_users") / base).alias("retention")
     )
+
+
+@query(
+    "q74_rolling_distinct_window",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+             user_id
+      FROM events
+    ), days AS (
+      SELECT DISTINCT day_epoch FROM e
+    )
+    SELECT d.day_epoch AS window_day,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS rolling_users,
+           CAST(COUNT(*) AS BIGINT) AS rolling_events
+    FROM days d
+    JOIN e ON e.day_epoch BETWEEN d.day_epoch - 6 * 86400 AND d.day_epoch
+    GROUP BY 1
+    """,
+    survey_rows=("§2.9", "A2", "W5"),
+    doc="Trailing 7-day distinct users (rolling DAU/WAU) — the "
+    "distinct-over-window surface SQL window frames cannot express "
+    "directly (COUNT(DISTINCT) OVER is unsupported in Spark). "
+    "Spark-first shape: each event EXPLODES to the <=7 window-days it "
+    "contributes to (F.sequence — map-only, no per-day corpus rescans), "
+    "a broadcast semi-filter keeps only days that exist in the data, "
+    "then one hash countDistinct per window-day. Scale: the explode is "
+    "a fixed 7x map amplification feeding a (day, user) combine — "
+    "contrast the naive days-join (rescans events per day) and the "
+    "window collect_set (holds per-frame user sets in memory); the "
+    "incremental path swaps countDistinct for x36's mergeable HLL "
+    "per (day, user-bucket). The oracle states the same semantics as a "
+    "day-range join.",
+)
+def q74_rolling_distinct_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = 86400
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch"), "user_id"
+    )
+    days = ev.select("day_epoch").distinct()
+    expanded = ev.select(
+        F.explode(
+            F.sequence(
+                F.col("day_epoch"),
+                F.col("day_epoch") + F.lit(6 * day),
+                F.lit(day),
+            )
+        ).alias("window_day"),
+        "user_id",
+    )
+    return (
+        expanded.join(
+            F.broadcast(days), expanded["window_day"] == days["day_epoch"]
+        )
+        .groupBy("window_day")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("rolling_users"),
+            F.count(F.lit(1)).cast("long").alias("rolling_events"),
+        )
+    )

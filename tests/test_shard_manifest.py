@@ -125,3 +125,33 @@ def test_cross_source_dup_matrix_single_corpus_scan(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" not in plan, plan
+
+
+def test_rolling_distinct_window_matches_brute_force(spark):
+    """q74 vs a per-day brute force on the driver data: the trailing
+    window must contain exactly the users of days d-6..d."""
+    reg = load_all()
+    from airbnb_listings_data_pipelines_spark.sources.tpch import load_table
+
+    got = {
+        r.window_day: (r.rolling_users, r.rolling_events)
+        for r in reg["q74_rolling_distinct_window"].fn(spark, SF_SMALL).collect()
+    }
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select(F.unix_timestamp(F.date_trunc("day", "ts")).alias("d"), "user_id")
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_day = defaultdict(list)
+    for r in ev:
+        by_day[r.d].append(r.user_id)
+    for d in by_day:
+        users, events = set(), 0
+        for off in range(7):
+            prev = d - off * 86400
+            users.update(by_day.get(prev, []))
+            events += len(by_day.get(prev, []))
+        assert got[d] == (len(users), events), d
+    assert set(got) == set(by_day)  # only days that exist in the data
