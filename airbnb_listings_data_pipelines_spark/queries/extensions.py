@@ -3303,3 +3303,93 @@ def x64_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_ppm"),
         )
     )
+
+
+@query(
+    "x65_unigram_tv_distance",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), sw AS (
+      SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ), stot AS (
+      SELECT source, SUM(c) AS t FROM sw GROUP BY 1
+    ), corpus AS (
+      SELECT w, SUM(c) AS cc FROM sw GROUP BY 1
+    ), ctot AS (
+      SELECT SUM(cc) AS ct FROM corpus
+    ), per_word AS (
+      SELECT s.source,
+             abs(sw.c * 1000000 // s.t - c2.cc * 1000000 // ct.ct) AS d
+      FROM stot s
+      JOIN sw ON sw.source = s.source
+      JOIN corpus c2 ON c2.w = sw.w, ctot ct
+    ), missing AS (
+      -- corpus words absent from a source contribute their full corpus ppm
+      SELECT s.source,
+             c2.cc * 1000000 // ct.ct AS d
+      FROM stot s CROSS JOIN corpus c2 CROSS JOIN ctot ct
+      WHERE NOT EXISTS (SELECT 1 FROM sw
+                        WHERE sw.source = s.source AND sw.w = c2.w)
+    )
+    SELECT source,
+           CAST(SUM(d) AS BIGINT) AS tv_ppm_x2,
+           CAST(SUM(d) // 2 AS BIGINT) AS tv_ppm
+    FROM (SELECT * FROM per_word UNION ALL SELECT * FROM missing)
+    GROUP BY source
+    """,
+    survey_rows=("EXT-text", "A5", "A8", "J1"),
+    doc="Per-source unigram drift: total-variation distance between each "
+    "source's unigram distribution and the whole-corpus distribution, "
+    "on the ppm integer grid — the domain-shift / contamination "
+    "diagnostic a mixture pipeline checks before reweighting (x30/x48 "
+    "act on what x65 measures). TV = (1/2) * sum_w |p_w - q_w| instead "
+    "of KL because ln/exp are not correctly-rounded cross-engine while "
+    "integer ppm subtraction is exact (x50's grid discipline); words a "
+    "source lacks contribute the full corpus ppm. Scale shape: one "
+    "token explode into a (source, word) combine (map-side partials), "
+    "word-keyed join of source profiles against the corpus profile "
+    "(AQE-skew tolerant — stopword keys are hot), and the absent-word "
+    "term computed WITHOUT an anti-join: sum over present words of the "
+    "corpus ppm, subtracted from the 1e6 total, since sum_w q_w is a "
+    "constant. Int64 envelope: per-source sums are <= vocab * 1e6; "
+    "vocab <= ~9e12 terms before widening.",
+)
+def x65_unigram_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.filter(F.length(F.trim("text")) > 0).select(
+        "source", F.explode(text.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    sw = sw.localCheckpoint(eager=True)  # feeds three branches: one tokenize
+    stot = sw.groupBy("source").agg(F.sum("c").alias("t"))
+    corpus = sw.groupBy("w").agg(F.sum("c").alias("cc"))
+    ctot = corpus.agg(F.sum("cc").alias("ct"))
+    # present words: |p - q| on the ppm grid; also track SUM(q_ppm) of the
+    # words present in the source, so the absent-word contribution is
+    # (total corpus ppm mass) - (present mass) — no anti-join needed
+    per_word = (
+        sw.join(F.broadcast(stot), "source")
+        .join(corpus, "w")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            F.expr("abs(c * 1000000L div t - cc * 1000000L div ct)").alias("d"),
+            F.expr("cc * 1000000L div ct").alias("q_ppm"),
+        )
+    )
+    total_q = corpus.crossJoin(F.broadcast(ctot)).agg(
+        F.sum(F.expr("cc * 1000000L div ct")).alias("__qall")
+    )
+    return (
+        per_word.groupBy("source")
+        .agg(F.sum("d").alias("__dsum"), F.sum("q_ppm").alias("__qpresent"))
+        .crossJoin(F.broadcast(total_q))
+        .select(
+            "source",
+            F.expr("__dsum + (__qall - __qpresent)").cast("long").alias("tv_ppm_x2"),
+            F.expr("(__dsum + (__qall - __qpresent)) div 2").cast("long").alias("tv_ppm"),
+        )
+    )

@@ -155,3 +155,34 @@ def test_rolling_distinct_window_matches_brute_force(spark):
             events += len(by_day.get(prev, []))
         assert got[d] == (len(users), events), d
     assert set(got) == set(by_day)  # only days that exist in the data
+
+
+def test_unigram_tv_distance_bounds_and_extremes(spark):
+    """TV on the ppm grid: ~0 for a source that IS the corpus distribution,
+    near 1e6 for a disjoint-vocabulary source, always within [0, 1e6]."""
+    reg = load_all()
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c", "s_same1"),
+            (2, "a b c a b c", "s_same2"),   # two identical sources
+            (3, "zz yy xx zz yy xx", "s_diff"),  # disjoint vocabulary
+        ],
+        ["doc_id", "text", "source"],
+    )
+    import airbnb_listings_data_pipelines_spark.queries.extensions as ext
+    from airbnb_listings_data_pipelines_spark.sources import tpch
+
+    orig = tpch.load_table
+    try:
+        tpch_load = lambda sp, sf, name: docs  # noqa: E731
+        ext.load_table = tpch_load
+        out = {r.source: r for r in ext.x65_unigram_tv_distance(spark, "ignored").collect()}
+    finally:
+        ext.load_table = orig
+    assert all(0 <= r.tv_ppm <= 1_000_000 for r in out.values())
+    # corpus = 2/3 abc-words + 1/3 xyz-words: the identical abc sources sit
+    # at TV ~ 1/3, the disjoint source at TV ~ 2/3 — strictly ordered
+    assert out["s_same1"].tv_ppm == out["s_same2"].tv_ppm
+    assert out["s_diff"].tv_ppm > out["s_same1"].tv_ppm
+    assert abs(out["s_same1"].tv_ppm - 333_333) < 10
+    assert abs(out["s_diff"].tv_ppm - 666_666) < 10
