@@ -16,6 +16,7 @@ Scale design notes (the point of each algorithm at 100 TB):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, Window
@@ -646,8 +647,6 @@ def semdedup_prune(
         )
 
     if n_clusters is None:
-        import math
-
         # one 1-row scalar collect (the sanctioned bounded form): the
         # threshold becomes a PLAN LITERAL, so the zero-seed probe below
         # is a genuine scan-until-first-match — with the previous
@@ -686,8 +685,6 @@ def semdedup_prune(
         # restricted) nearest seed — SemDeDup's own approximation regime.
         # Every coarse seed is a seed and routes to itself (cos=1), so no
         # cell is seedless and every vector finds >= 1 candidate.
-        import math
-
         # same literal-threshold discipline as the sqrt-rate seeding: one
         # 1-row scalar collect of the seed count keeps the coarse filter a
         # plan literal (the in-plan crossJoin scalar would re-run the seed

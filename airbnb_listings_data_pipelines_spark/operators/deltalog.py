@@ -97,6 +97,11 @@ def _file_delta_stats(full_path: str) -> str | None:
                 nulls[name] = nulls.get(name, 0) + st.null_count
                 null_cover[name] = null_cover.get(name, 0) + 1
             if not st.has_min_max:
+                # an ALL-NULL row group legitimately has no min/max and
+                # contributes nothing to the non-null envelope — count it
+                # covered so the other row groups' exact range survives
+                if st.null_count is not None and st.null_count == row_group.num_rows:
+                    mm_cover[name] = mm_cover.get(name, 0) + 1
                 continue
             lo, hi = st.min, st.max
             if isinstance(lo, bytes) or isinstance(hi, bytes):
@@ -369,13 +374,11 @@ def _replay_delta_log(
     Returns ``(resolved_version, live add actions by path, metaData,
     protocol)``.
 
-    Envelope guards live here too: an unsupported ``protocol`` and a
-    PARTITIONED table (``metaData.partitionColumns`` non-empty) both
-    raise ``NotImplementedError`` — this reader hands an explicit file
-    list to ``spark.read.parquet``, which performs no partition-value
-    inference, so opening a partitioned table would silently drop the
-    partition columns instead of failing. Refusing loudly is what the
-    spec requires of readers facing features they do not implement."""
+    The unsupported-``protocol`` guard lives here (both consumers must
+    refuse what they cannot replay); the partitioned-table guard lives
+    in :func:`read_delta_snapshot` only — its explicit-file-list parquet
+    read is what would silently drop partition columns, while log
+    compaction round-trips partitioned metadata intact."""
     commits = sorted(
         f
         for f in os.listdir(delta_dir)
@@ -425,13 +428,6 @@ def _replay_delta_log(
                     live.pop(action["remove"]["path"], None)
     if metadata is None or metadata.get("schemaString") is None:
         raise FileNotFoundError(f"no metaData action at or below version {want}")
-    if metadata.get("partitionColumns"):
-        raise NotImplementedError(
-            "this reader implements unpartitioned Delta tables only; table "
-            f"declares partitionColumns={metadata['partitionColumns']} — an "
-            "explicit-file-list parquet read would silently drop the "
-            "partition columns"
-        )
     return want, live, metadata, protocol
 
 
@@ -475,6 +471,17 @@ def read_delta_snapshot(
     path = path.rstrip("/")
     delta_dir = os.path.join(path, DELTA_DIR)
     _want, live, metadata, _protocol = _replay_delta_log(spark, delta_dir, version)
+    if metadata.get("partitionColumns"):
+        # the partition-drop hazard is specific to THIS read path (an
+        # explicit-file-list parquet read performs no partition-value
+        # inference); log compaction round-trips partitioned metadata
+        # fine, so the guard lives here, not in the shared replay core
+        raise NotImplementedError(
+            "this reader implements unpartitioned Delta tables only; table "
+            f"declares partitionColumns={metadata['partitionColumns']} — an "
+            "explicit-file-list parquet read would silently drop the "
+            "partition columns"
+        )
     if not live:
         from pyspark.sql.types import StructType
 

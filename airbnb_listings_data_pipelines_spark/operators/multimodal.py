@@ -172,6 +172,10 @@ def decode_wav(content: bytes) -> dict:
         pos += 8 + clen + (clen & 1)
     if channels is None or data_len is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if channels == 0 or bits == 0 or sample_rate == 0 or bits % 8 != 0:
+        # zeroed/invalid fmt fields would ZeroDivisionError below — the
+        # contract is ValueError on any undecodable blob
+        raise ValueError("WAV fmt chunk has invalid channels/bits/sample_rate")
     n_samples = data_len // (channels * bits // 8)
     return {
         "channels": channels,

@@ -3110,7 +3110,9 @@ def x62_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.crossJoin(F.broadcast(scale)).select(
         "label", similarity.quantize_int8("embedding", F.col("__qscale")).alias("q")
     )
-    ex = q.select("label", F.posexplode("q").alias("dim", "v"))
+    # exploded_nonnull (outer-generate form): the inner posexplode's
+    # inferred filter would re-inline the quantize transform at the scan
+    ex = text.exploded_nonnull(q, F.col("q"), "v", "label", pos="dim")
     per_dim = ex.groupBy("label", "dim").agg(
         F.sum("v").alias("s"),
         F.sum(F.expr("v * v")).alias("ss"),
@@ -3175,11 +3177,11 @@ def x62_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x63_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    chars = (
-        docs.filter(F.length("text") > 0)
-        .select(F.explode(F.split(F.lower("text"), "")).alias("ch"))
-        .filter(F.col("ch") != "")
-    )
+    # exploded_nonnull: the inner explode's inferred filter would
+    # re-inline the char split at the scan (the x45 trap)
+    chars = text.exploded_nonnull(
+        docs.filter(F.length("text") > 0), F.split(F.lower("text"), ""), "ch"
+    ).filter(F.col("ch") != "")
     counts = (
         chars.groupBy("ch")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -3359,8 +3361,13 @@ def x64_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x65_unigram_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.filter(F.length(F.trim("text")) > 0).select(
-        "source", F.explode(text.tokens(F.lower(F.col("text")))).alias("w")
+    # exploded_nonnull, not explode: the inner-generate inferred filter
+    # would re-inline the regex tokenize at the scan (the x45 trap)
+    tok = text.exploded_nonnull(
+        docs.filter(F.length(F.trim("text")) > 0),
+        text.tokens(F.lower(F.col("text"))),
+        "w",
+        "source",
     )
     sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
     sw = sw.localCheckpoint(eager=True)  # feeds three branches: one tokenize

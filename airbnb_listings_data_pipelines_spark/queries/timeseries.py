@@ -392,14 +392,16 @@ def q74_rolling_distinct_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch"), "user_id"
     )
     days = ev.select("day_epoch").distinct()
-    expanded = ev.select(
-        F.explode(
-            F.sequence(
-                F.col("day_epoch"),
-                F.col("day_epoch") + F.lit(6 * day),
-                F.lit(day),
-            )
-        ).alias("window_day"),
+    # exploded_nonnull: an inner explode's inferred filter would re-inline
+    # sequence+date_trunc+unix_timestamp at the scan (the x45 trap)
+    from ..operators.text import exploded_nonnull
+
+    expanded = exploded_nonnull(
+        ev,
+        F.sequence(
+            F.col("day_epoch"), F.col("day_epoch") + F.lit(6 * day), F.lit(day)
+        ),
+        "window_day",
         "user_id",
     )
     return (
