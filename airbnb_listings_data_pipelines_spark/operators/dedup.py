@@ -842,3 +842,71 @@ def remove_duplicate_spans(
         .alias("n_removed"),
         F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    min_containment_ppm: int = 0,
+    hash_fn: Callable[[Column], Column] = F.xxhash64,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT for near-dup candidates (Broder 1997, "On
+    the resemblance and containment of documents" — public paper):
+    containment(A in B) = |S(A) ∩ S(B)| / |S(A)| over distinct n-gram
+    shingle sets, on the ppm integer grid. Asymmetry is the point —
+    a quote or a subset document scores high containment in its superset
+    while Jaccard (x05) stays low, so this is the quote/subset-detection
+    twin of the symmetric near-dup belt.
+
+    Candidate-bounded, never all-pairs: pairs come from the winnowing
+    fingerprint index (winnowing_neardup_pairs — docs sharing >=
+    ``min_shared`` fingerprints), and the exact shingle intersection is
+    computed by routing A's shingles THROUGH the candidate pair list and
+    probing B's shingle set on the (id_b, shingle) equi-key — work is
+    sum over candidates of |S(A)|, linear in the candidate list times
+    document size. At 100 TB key the probe by xxhash64(shingle) (8-byte
+    keys) exactly as exact_dedup's doc notes; the raw-shingle join here
+    keeps the DuckDB oracle a plain string join.
+
+    Returns ``id_a, id_b, shared_shingles, cont_a_ppm, cont_b_ppm``
+    (id_a < id_b; cont_a_ppm = containment of A in B) for candidates
+    whose LARGER direction clears ``min_containment_ppm``.
+    """
+    from .text import exploded_nonnull
+
+    cands = winnowing_neardup_pairs(
+        df, id_col, text_col, k, window, min_shared, hash_fn
+    ).select("id_a", "id_b")
+    base = df.select(F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("__lc"))
+    sh = exploded_nonnull(base, char_shingles_lc("__lc", n), "sh", "id")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_side = cands.join(
+        sh.select(F.col("id").alias("id_a"), "sh"), "id_a"
+    )  # (id_a, id_b, sh) — A's shingles routed through the pair list
+    inter = (
+        a_side.join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("__na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("__nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared_shingles").cast("long").alias("shared_shingles"),
+            F.expr("shared_shingles * 1000000L div __na").cast("long").alias("cont_a_ppm"),
+            F.expr("shared_shingles * 1000000L div __nb").cast("long").alias("cont_b_ppm"),
+        )
+        .filter(
+            F.greatest(F.col("cont_a_ppm"), F.col("cont_b_ppm"))
+            >= F.lit(min_containment_ppm)
+        )
+    )

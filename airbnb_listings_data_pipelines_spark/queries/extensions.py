@@ -3400,3 +3400,54 @@ def x65_unigram_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(__dsum + (__qall - __qpresent)) div 2").cast("long").alias("tv_ppm"),
         )
     )
+
+
+@query(
+    "x66_containment_pairs",
+    oracle=_WINNOW_CTES.rstrip() + """
+    , cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM (SELECT DISTINCT doc_id, fp FROM fps) a
+      JOIN (SELECT DISTINCT doc_id, fp FROM fps) b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ), sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               list_transform(range(1, greatest(length(lower(text)), 3) - 3 + 2),
+                              i -> substring(lower(text), i, 3)))) AS sh
+      FROM documents
+    ), sizes AS (
+      SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS shared
+      FROM cand c
+      JOIN sh a ON a.id = c.id_a
+      JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.shared AS BIGINT) AS shared_shingles,
+           CAST(i.shared * 1000000 // sa.n_sh AS BIGINT) AS cont_a_ppm,
+           CAST(i.shared * 1000000 // sb.n_sh AS BIGINT) AS cont_b_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    """,
+    survey_rows=("EXT-dedup", "J7", "A8"),
+    doc="Asymmetric containment for near-dup candidates (Broder 1997): "
+    "containment(A in B) = |S(A) ∩ S(B)| div |S(A)| over distinct 3-gram "
+    "shingles, ppm grid — the quote/subset detector Jaccard misses (a "
+    "short doc inside a long one scores ~1e6 containment but low "
+    "Jaccard). Candidates from the winnowing fingerprint index (x39/x40 "
+    "machinery, md5 grid for the oracle; xxhash64 at scale); the exact "
+    "intersection routes A's shingles through the candidate list and "
+    "probes B's set on an equi-key, so work is candidate-bounded "
+    "(sum |S(A)| over pairs), never all-pairs. Completes the dedup "
+    "family: exact (x01), Jaccard (x05), MinHash (x06), SimHash "
+    "(x07/x16), winnowing (x39/x40), spans (x45/x56), semantic (x52), "
+    "containment (x66). See operators/dedup.containment_pairs.",
+)
+def x66_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, hash_fn=dedup.md5_hash32)

@@ -414,3 +414,29 @@ def test_semdedup_two_level_assignment_invariants(spark):
     # modes should agree for the vast majority of vectors
     agree = sum(1 for v in one if one[v].cluster == two[v].cluster)
     assert agree / len(one) >= 0.7
+
+
+def test_containment_detects_subset_that_jaccard_misses(spark):
+    """A short doc quoted inside a long one: containment of the subset is
+    ~1e6 while Jaccard stays low — the asymmetry x66 exists for."""
+    short = "the quick brown fox jumps over the lazy dog"
+    long = short + " " + "lorem ipsum dolor sit amet consectetur adipiscing elit " * 5
+    docs = spark.createDataFrame([(1, short), (2, long)], ["doc_id", "text"])
+    out = dedup.containment_pairs(docs, min_shared=1, hash_fn=dedup.md5_hash32)
+    rows = {(r.id_a, r.id_b): r for r in out.collect()}
+    r = rows[(1, 2)]
+    assert r.cont_a_ppm == 1_000_000  # every shingle of the short doc is in the long one
+    assert r.cont_b_ppm < 600_000     # but the long doc is NOT contained in the short
+    # Jaccard on the same pair is low (inter/union dominated by the long doc)
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    assert all(row.jaccard < 0.6 for row in jac)
+
+
+def test_containment_pairs_candidate_bounded(spark):
+    """Docs sharing no winnowing fingerprint never reach the exact
+    intersection: disjoint texts produce zero candidate pairs."""
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb ccc ddd eee fff"), (2, "ggg hhh iii jjj kkk lll")],
+        ["doc_id", "text"],
+    )
+    assert dedup.containment_pairs(docs, min_shared=1).count() == 0
