@@ -440,3 +440,48 @@ def test_containment_pairs_candidate_bounded(spark):
         ["doc_id", "text"],
     )
     assert dedup.containment_pairs(docs, min_shared=1).count() == 0
+
+
+def test_containment_matches_python_reference_on_random_corpora(spark):
+    """Differential vs a pure-Python shingle-set reference on seeded random
+    word-soup corpora: for every candidate pair the exact intersection and
+    both ppm containments must match; candidate generation must be a
+    subset of all pairs but include every heavy-overlap pair (winnowing
+    guarantee on long shared runs)."""
+    import random
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rng = random.Random(13)
+    rows = []
+    for d in range(8):
+        n = rng.randrange(6, 14)
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant a guaranteed subset pair: doc 100 is a verbatim slice of doc 101
+    base = " ".join(rng.choice(vocab) for _ in range(12))
+    rows.append((100, base))
+    rows.append((101, base + " omega kappa"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): (r.shared_shingles, r.cont_a_ppm, r.cont_b_ppm)
+        for r in dedup.containment_pairs(
+            docs, min_shared=1, hash_fn=dedup.md5_hash32
+        ).collect()
+    }
+
+    def shingles(t):
+        t = t.lower()
+        n = 3
+        if len(t) <= n:
+            return {t}
+        return {t[i : i + n] for i in range(len(t) - n + 1)}
+
+    sets = {d: shingles(t) for d, t in rows}
+    for (a, b), (inter, ca, cb) in got.items():
+        ref_inter = len(sets[a] & sets[b])
+        assert inter == ref_inter, (a, b)
+        assert ca == ref_inter * 1_000_000 // len(sets[a])
+        assert cb == ref_inter * 1_000_000 // len(sets[b])
+        assert inter <= min(len(sets[a]), len(sets[b]))
+        assert ca <= 1_000_000 and cb <= 1_000_000
+    assert (100, 101) in got
+    assert got[(100, 101)][1] == 1_000_000  # the planted subset is detected

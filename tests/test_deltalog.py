@@ -311,3 +311,44 @@ def test_reader_refuses_partitioned_tables(spark, tmp_path):
         fh.write("\n".join(lines) + "\n")
     with pytest.raises(NotImplementedError, match="partitionColumns"):
         read_delta_snapshot(spark, path)
+
+
+def test_random_operation_sequences_roundtrip(spark, tmp_path):
+    """Property-style differential: random merge/optimize sequences (seeded,
+    deterministic) — after every export, the Delta log-replay reader must
+    equal the txlog reader at EVERY version, and a checkpoint written at a
+    random point must not change any answer."""
+    import random
+
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        write_delta_checkpoint,
+    )
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"t{seed}")
+        t = TxLogTable.create(
+            spark, path, spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+        )
+        n_ops = 5
+        for i in range(n_ops):
+            op = rng.choice(["merge", "merge", "optimize"])
+            if op == "merge":
+                rows = [
+                    (rng.randrange(8), rng.choice("xyzw")) for _ in range(rng.randrange(1, 4))
+                ]
+                merge_into_txlog(
+                    spark, t, spark.createDataFrame(rows, ["id", "v"]), ["id"]
+                )
+            else:
+                t.optimize(target_files=rng.choice([1, 2]))
+            t.to_delta_log()
+            if rng.random() < 0.4:
+                write_delta_checkpoint(spark, path)
+            # latest snapshots agree after every step
+            assert _rows(read_delta_snapshot(spark, path)) == _rows(t.read()), (seed, i)
+        # full version-by-version time travel at the end
+        for v in range(t.version() + 1):
+            assert _rows(read_delta_snapshot(spark, path, version=v)) == _rows(
+                t.read_version(v)
+            ), (seed, v)
