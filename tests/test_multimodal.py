@@ -345,3 +345,52 @@ def test_jpeg_truncated_sof_raises_valueerror():
     truncated = blob[: sof_at + 5]  # cut mid-SOF
     with _pytest.raises(ValueError, match="truncated|missing SOF"):
         multimodal.decode_jpeg(truncated)
+
+
+def test_codec_error_contract_fuzz():
+    """Every stdlib decoder raises ValueError (the documented contract) on
+    arbitrary garbage — never struct.error / IndexError / ZeroDivisionError
+    that would bypass dirty-corpus callers catching (ValueError, TypeError).
+    Fuzz: random bytes, plus every truncation of a VALID blob (the
+    adversarial case: magic passes, structure cut mid-field)."""
+    import random
+
+    rng = random.Random(41)
+    valid = {
+        "bmp": multimodal.make_bmp(6, 4, lambda x, y: (x, y, 1)),
+        "wav": multimodal.make_wav([3, -2, 7], sample_rate=8000),
+        "png": _make_png(5, 4, lambda x, y: (x, y, 2)),
+        "jpeg": _make_jpeg_header(19, 11),
+    }
+    decoders = {
+        "bmp": multimodal.decode_bmp,
+        "wav": multimodal.decode_wav,
+        "png": multimodal.decode_png,
+        "jpeg": multimodal.decode_jpeg,
+    }
+    for kind, dec in decoders.items():
+        # random garbage (some prefixed with the right magic)
+        for i in range(200):
+            blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 120)))
+            if i % 3 == 0:
+                blob = valid[kind][: rng.randrange(1, 12)] + blob
+            try:
+                dec(blob)
+            except ValueError:
+                pass  # the contract
+            # any other exception type propagates and fails the test
+        # every truncation of the valid blob either decodes (header was
+        # complete) or raises ValueError
+        for cut in range(len(valid[kind])):
+            try:
+                dec(valid[kind][:cut])
+            except ValueError:
+                pass
+        # byte-flip mutations of the valid blob
+        for _ in range(120):
+            b = bytearray(valid[kind])
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            try:
+                dec(bytes(b))
+            except ValueError:
+                pass
