@@ -488,3 +488,59 @@ def read_delta_snapshot(
         schema = StructType.fromJson(json.loads(metadata["schemaString"]))
         return spark.createDataFrame([], schema)
     return spark.read.parquet(*[os.path.join(path, f) for f in sorted(live)])
+
+
+def read_delta_where(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with FILE-LEVEL data skipping driven by the Delta
+    log's ``add.stats`` (the numbers :func:`export_delta_log` writes and
+    external Delta writers ship): only files whose stats envelope for
+    ``column`` overlaps ``[lo, hi]`` are handed to the scan, with the
+    residual row filter applied on top — skipping is an optimization,
+    never a semantics change. Files lacking stats (or min/max for the
+    column) are conservatively kept; rows with NULL in ``column`` never
+    satisfy the residual range predicate, so null-only files being
+    skipped (their stats carry no min/max) is consistent.
+
+    This is the Delta-native twin of ``txlog.TxLogTable.read_where``
+    (which derives the same envelopes from parquet footers at query
+    time): here the log IS the statistics store, so skipping needs no
+    footer reads at all — the 100 TB point of stats-in-log.
+    """
+    from pyspark.sql import functions as F
+
+    path = path.rstrip("/")
+    delta_dir = os.path.join(path, DELTA_DIR)
+    _want, live, metadata, _protocol = _replay_delta_log(spark, delta_dir, version)
+    if metadata.get("partitionColumns"):
+        raise NotImplementedError(
+            "this reader implements unpartitioned Delta tables only"
+        )
+    kept = []
+    for f, add in sorted(live.items()):
+        stats_raw = add.get("stats")
+        keep = True
+        if stats_raw:
+            try:
+                stats = json.loads(stats_raw)
+                mn = stats.get("minValues", {}).get(column)
+                mx = stats.get("maxValues", {}).get(column)
+                if mn is not None and mx is not None:
+                    keep = mn <= hi and mx >= lo
+            except (json.JSONDecodeError, TypeError):
+                keep = True  # malformed stats: never skip on bad metadata
+        if keep:
+            kept.append(f)
+    if not kept:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(metadata["schemaString"]))
+        return spark.createDataFrame([], schema).filter(F.lit(False))
+    df = spark.read.parquet(*[os.path.join(path, f) for f in kept])
+    return df.filter((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))

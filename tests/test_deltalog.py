@@ -352,3 +352,30 @@ def test_random_operation_sequences_roundtrip(spark, tmp_path):
             assert _rows(read_delta_snapshot(spark, path, version=v)) == _rows(
                 t.read_version(v)
             ), (seed, v)
+
+
+def test_read_delta_where_skips_files_by_log_stats(spark, tmp_path):
+    """Stats-driven skipping: two disjoint-range files; a range query must
+    read ONLY the overlapping file (verified via the input_file_name set)
+    and return exactly the rows the full-scan filter returns."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        read_delta_where,
+    )
+
+    path = str(tmp_path / "t")
+    lo_df = spark.createDataFrame([(i, "lo") for i in range(10)], ["id", "v"]).coalesce(1)
+    t = TxLogTable.create(spark, path, lo_df)
+    hi_df = spark.createDataFrame([(i, "hi") for i in range(100, 110)], ["id", "v"]).coalesce(1)
+    adds = t._write_data(hi_df)
+    t.commit(adds=adds, removes=[], base_version=0, op="append")
+    t.to_delta_log()
+    got = read_delta_where(spark, path, "id", 100, 105)
+    rows = got.collect()
+    assert {r.id for r in rows} == set(range(100, 106))
+    files_read = {r[0] for r in got.select(F.input_file_name()).distinct().collect()}
+    assert len(files_read) == 1, files_read  # the lo file was skipped via stats
+    # semantics equal to the unskipped filter
+    full = read_delta_snapshot(spark, path).filter("id BETWEEN 100 AND 105")
+    assert _rows(got) == _rows(full)
+    # a range nothing matches: empty result, no crash
+    assert read_delta_where(spark, path, "id", 50, 60).count() == 0
