@@ -53,8 +53,9 @@ def _delta_commit_name(version: int) -> str:
 
 def _schema_string(spark: SparkSession, path: str, files: list[str]) -> str:
     """Delta's ``metaData.schemaString`` is the Spark StructType JSON —
-    derived here from the parquet footers of the first live snapshot
-    (schema-on-write, as Delta requires)."""
+    derived from the parquet footers of the latest live snapshot's
+    on-disk files (schema-on-write, as Delta requires; see
+    export_delta_log's vacuum note)."""
     df = spark.read.parquet(*[os.path.join(path, f) for f in files])
     return df.schema.json()
 
