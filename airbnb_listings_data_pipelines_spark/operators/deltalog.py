@@ -376,9 +376,9 @@ def _replay_delta_log(
     protocol)``.
 
     The unsupported-``protocol`` guard lives here (both consumers must
-    refuse what they cannot replay); the partitioned-table guard lives
-    in :func:`read_delta_snapshot` only — its explicit-file-list parquet
-    read is what would silently drop partition columns, while log
+    refuse what they cannot replay); the partitioned-table guard
+    (:func:`_refuse_partitioned`) is applied only by the file-list READ
+    paths — read_delta_snapshot and read_delta_where — while log
     compaction round-trips partitioned metadata intact."""
     commits = sorted(
         f
@@ -472,23 +472,36 @@ def read_delta_snapshot(
     path = path.rstrip("/")
     delta_dir = os.path.join(path, DELTA_DIR)
     _want, live, metadata, _protocol = _replay_delta_log(spark, delta_dir, version)
+    _refuse_partitioned(metadata)
+    if not live:
+        from pyspark.sql.types import StructType
+
+        return _empty_snapshot(spark, metadata)
+    return spark.read.parquet(*[os.path.join(path, f) for f in sorted(live)])
+
+
+def _empty_snapshot(spark: SparkSession, metadata: dict) -> DataFrame:
+    """Zero-row DataFrame with the metaData schema (shared by both read
+    paths so their empty-snapshot behavior cannot drift)."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(metadata["schemaString"]))
+    return spark.createDataFrame([], schema)
+
+
+def _refuse_partitioned(metadata: dict) -> None:
+    """Shared guard for BOTH file-list read paths (read_delta_snapshot and
+    read_delta_where): an explicit-file-list parquet read performs no
+    partition-value inference, so opening a partitioned table would
+    silently drop the partition columns. Log compaction does NOT use
+    this guard — it round-trips partitioned metadata intact."""
     if metadata.get("partitionColumns"):
-        # the partition-drop hazard is specific to THIS read path (an
-        # explicit-file-list parquet read performs no partition-value
-        # inference); log compaction round-trips partitioned metadata
-        # fine, so the guard lives here, not in the shared replay core
         raise NotImplementedError(
             "this reader implements unpartitioned Delta tables only; table "
             f"declares partitionColumns={metadata['partitionColumns']} — an "
             "explicit-file-list parquet read would silently drop the "
             "partition columns"
         )
-    if not live:
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(json.loads(metadata["schemaString"]))
-        return spark.createDataFrame([], schema)
-    return spark.read.parquet(*[os.path.join(path, f) for f in sorted(live)])
 
 
 def read_delta_where(
@@ -504,10 +517,12 @@ def read_delta_where(
     external Delta writers ship): only files whose stats envelope for
     ``column`` overlaps ``[lo, hi]`` are handed to the scan, with the
     residual row filter applied on top — skipping is an optimization,
-    never a semantics change. Files lacking stats (or min/max for the
-    column) are conservatively kept; rows with NULL in ``column`` never
-    satisfy the residual range predicate, so null-only files being
-    skipped (their stats carry no min/max) is consistent.
+    never a semantics change. Conservative-keep rules: files lacking
+    stats, lacking min/max for the column (including null-only files,
+    which stay in the scan and simply contribute no rows past the
+    residual filter), carrying malformed stats of ANY shape, or carrying
+    NaN bounds are all KEPT — the overlap test is written in the
+    NaN-safe negated form so an unordered comparison can never skip.
 
     This is the Delta-native twin of ``txlog.TxLogTable.read_where``
     (which derives the same envelopes from parquet footers at query
@@ -519,10 +534,7 @@ def read_delta_where(
     path = path.rstrip("/")
     delta_dir = os.path.join(path, DELTA_DIR)
     _want, live, metadata, _protocol = _replay_delta_log(spark, delta_dir, version)
-    if metadata.get("partitionColumns"):
-        raise NotImplementedError(
-            "this reader implements unpartitioned Delta tables only"
-        )
+    _refuse_partitioned(metadata)
     kept = []
     for f, add in sorted(live.items()):
         stats_raw = add.get("stats")
@@ -533,15 +545,16 @@ def read_delta_where(
                 mn = stats.get("minValues", {}).get(column)
                 mx = stats.get("maxValues", {}).get(column)
                 if mn is not None and mx is not None:
-                    keep = mn <= hi and mx >= lo
-            except (json.JSONDecodeError, TypeError):
-                keep = True  # malformed stats: never skip on bad metadata
+                    # negated form: NaN makes both comparisons False -> keep
+                    keep = not (mn > hi or mx < lo)
+            except (json.JSONDecodeError, TypeError, AttributeError):
+                keep = True  # malformed stats of any shape: never skip
         if keep:
             kept.append(f)
+    residual = (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
     if not kept:
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(json.loads(metadata["schemaString"]))
-        return spark.createDataFrame([], schema).filter(F.lit(False))
+        # same residual filter on the empty frame so a typo'd column name
+        # raises the same AnalysisException as the non-empty path
+        return _empty_snapshot(spark, metadata).filter(residual)
     df = spark.read.parquet(*[os.path.join(path, f) for f in kept])
-    return df.filter((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
+    return df.filter(residual)

@@ -372,10 +372,41 @@ def test_read_delta_where_skips_files_by_log_stats(spark, tmp_path):
     got = read_delta_where(spark, path, "id", 100, 105)
     rows = got.collect()
     assert {r.id for r in rows} == set(range(100, 106))
-    files_read = {r[0] for r in got.select(F.input_file_name()).distinct().collect()}
-    assert len(files_read) == 1, files_read  # the lo file was skipped via stats
+    # the skip must be visible at the SCAN level, pre-residual-filter:
+    # inputFiles() lists the files handed to the reader, so a broken
+    # skipper (keep=True for all) fails here even though the residual
+    # filter would hide it from a row-level assertion
+    assert len(got.inputFiles()) == 1, got.inputFiles()
+    assert len(read_delta_snapshot(spark, path).inputFiles()) == 2
     # semantics equal to the unskipped filter
     full = read_delta_snapshot(spark, path).filter("id BETWEEN 100 AND 105")
     assert _rows(got) == _rows(full)
     # a range nothing matches: empty result, no crash
     assert read_delta_where(spark, path, "id", 50, 60).count() == 0
+    # NaN bounds in foreign stats must KEEP the file (negated-form test):
+    # corrupt the hi file's stats to NaN and re-read — rows still found
+    import json as _json
+
+    c1 = os.path.join(path, "_delta_log", "0" * 19 + "1.json")
+    lines = open(c1).read().splitlines()
+    for i, line in enumerate(lines):
+        a = _json.loads(line)
+        if "add" in a:
+            a["add"]["stats"] = '{"minValues":{"id":NaN},"maxValues":{"id":NaN},"nullCount":{}}'
+            lines[i] = _json.dumps(a)
+    with open(c1, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    assert {r.id for r in read_delta_where(spark, path, "id", 100, 105).collect()} == set(
+        range(100, 106)
+    )
+    # malformed non-dict stats: conservative keep, no crash
+    for i, line in enumerate(lines):
+        a = _json.loads(line)
+        if "add" in a:
+            a["add"]["stats"] = "4"
+            lines[i] = _json.dumps(a)
+    with open(c1, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    assert {r.id for r in read_delta_where(spark, path, "id", 100, 105).collect()} == set(
+        range(100, 106)
+    )
