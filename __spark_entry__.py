@@ -38,8 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (those all have round-3+ driver evidence). After this window, no
 # registry query's driver evidence predates round 3. Everything outside
 # the window stays covered by tools/check_oracle.py's full bit-exact
-# registry sweep (133/133 at the end of round 4; 140 registered after the
-# round-5 additions x61-x66 + q74, each oracle-checked on registration).
+# registry sweep (133/133 at the end of round 4; 141 registered after the
+# round-5 additions x61-x67 + q74, each oracle-checked on registration).
 _CHECK_FIRST = [
     # never driver-checked — slot 1
     "x60_corpus_datacard",
@@ -76,7 +76,7 @@ _CHECK_FIRST = [
     "x23_tfidf_top_terms",
     "x24_hash_reservoir_per_lang",
     "x25_quartile_feature_bins",
-    # round-5 additions — slots 34-40; remaining slots auto-fill with
+    # round-5 additions — slots 34-41; remaining slots auto-fill with
     # round-3-evidence queries from registry order.
     "x61_training_shard_manifest",
     "x62_embedding_dispersion",
@@ -85,6 +85,7 @@ _CHECK_FIRST = [
     "q74_rolling_distinct_window",
     "x65_unigram_tv_distance",
     "x66_containment_pairs",
+    "x67_neardup_threshold_curve",
 ]
 
 

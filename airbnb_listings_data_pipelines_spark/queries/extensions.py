@@ -3451,3 +3451,82 @@ def x65_unigram_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x66_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.containment_pairs(docs, hash_fn=dedup.md5_hash32)
+
+
+@query(
+    "x67_neardup_threshold_curve",
+    oracle="WITH "
+    + _SIMHASH_FP_CTE
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ), thr AS (
+      SELECT unnest(range(0, 4)) AS thr
+    ), le AS (
+      SELECT t.thr, p.id_a, p.id_b
+      FROM thr t LEFT JOIN pairs p ON p.hamming <= t.thr
+    ), cnt AS (
+      SELECT thr, COUNT(id_a) AS n_pairs_le FROM le GROUP BY 1
+    ), aff AS (
+      SELECT thr, COUNT(DISTINCT doc) AS n_docs
+      FROM (SELECT thr, unnest([id_a, id_b]) AS doc
+            FROM le WHERE id_a IS NOT NULL)
+      GROUP BY 1
+    ), nd AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT CAST(c.thr AS BIGINT) AS hamming_threshold,
+           CAST(c.n_pairs_le AS BIGINT) AS n_pairs_le,
+           CAST(COALESCE(a.n_docs, 0) AS BIGINT) AS n_docs_affected,
+           CAST(COALESCE(a.n_docs, 0) * 1000000 // nd.n AS BIGINT)
+             AS affected_ppm
+    FROM cnt c LEFT JOIN aff a USING (thr), nd
+    """,
+    survey_rows=("EXT-dedup", "A2", "W5"),
+    doc="Near-dup threshold calibration curve — the artifact you consult "
+    "BEFORE picking a dedup cutoff (how aggressive is Hamming <= d?): "
+    "for each SimHash threshold d in 0..3, the cumulative pair count, "
+    "the number of distinct documents touched, and the affected fraction "
+    "of the corpus on the ppm grid (an upper bound on the dedup drop "
+    "rate at that threshold — components collapse at most this many). "
+    "Pairs come from x16's pigeonhole-banded candidates (complete for "
+    "d < chunks, so the curve is exact, not sampled; md5 grid for the "
+    "oracle); the curve itself is one threshold explode (each pair "
+    "contributes to thresholds >= its distance — no per-threshold "
+    "rescans) + two bounded rollups; the threshold spine left-joins so "
+    "empty thresholds report zeros rather than vanishing. Pairs with "
+    "x25 (quartile bins) and x51 (histograms) in the "
+    "measure-before-acting belt; the action is x22/x27's CC collapse.",
+)
+def x67_neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_neardup_pairs(docs, hash_fn=dedup.md5_hash32).select(
+        "id_a", "id_b", "hamming"
+    )
+    # each pair contributes to every threshold >= its hamming distance
+    th = text.exploded_nonnull(
+        pairs, F.sequence(F.col("hamming"), F.lit(3)), "thr", "id_a", "id_b"
+    )
+    cnt = th.groupBy("thr").agg(F.count(F.lit(1)).alias("n_pairs_le"))
+    aff = (
+        text.exploded_nonnull(th, F.array("id_a", "id_b"), "doc", "thr")
+        .distinct()
+        .groupBy("thr")
+        .agg(F.count(F.lit(1)).alias("n_docs_affected"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("__nd"))
+    spine = spark.range(4).select(F.col("id").cast("long").alias("thr"))
+    return (
+        spine.join(F.broadcast(cnt), "thr", "left")
+        .join(F.broadcast(aff), "thr", "left")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("thr").alias("hamming_threshold"),
+            F.coalesce("n_pairs_le", F.lit(0)).cast("long").alias("n_pairs_le"),
+            F.coalesce("n_docs_affected", F.lit(0)).cast("long").alias("n_docs_affected"),
+            F.expr("coalesce(n_docs_affected, 0L) * 1000000L div __nd")
+            .cast("long")
+            .alias("affected_ppm"),
+        )
+    )

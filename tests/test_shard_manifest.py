@@ -186,3 +186,26 @@ def test_unigram_tv_distance_bounds_and_extremes(spark):
     assert out["s_diff"].tv_ppm > out["s_same1"].tv_ppm
     assert abs(out["s_same1"].tv_ppm - 333_333) < 10
     assert abs(out["s_diff"].tv_ppm - 666_666) < 10
+
+
+def test_threshold_curve_is_monotone_and_consistent(spark):
+    """x67 invariants: cumulative counts are non-decreasing in the
+    threshold, affected docs are bounded by 2*pairs, exactly 4 spine rows
+    exist, and the curve agrees with the raw x16 pair distribution."""
+    reg = load_all()
+    rows = sorted(
+        reg["x67_neardup_threshold_curve"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r.hamming_threshold,
+    )
+    assert [r.hamming_threshold for r in rows] == [0, 1, 2, 3]
+    assert all(a.n_pairs_le <= b.n_pairs_le for a, b in zip(rows, rows[1:]))
+    assert all(a.n_docs_affected <= b.n_docs_affected for a, b in zip(rows, rows[1:]))
+    for r in rows:
+        assert r.n_docs_affected <= 2 * r.n_pairs_le
+        assert 0 <= r.affected_ppm <= 1_000_000
+    from collections import Counter
+
+    pairs = reg["x16_simhash_neardup_pairs"].fn(spark, SF_SMALL).collect()
+    dist = Counter(p.hamming for p in pairs)
+    for r in rows:
+        assert r.n_pairs_le == sum(v for h, v in dist.items() if h <= r.hamming_threshold)
