@@ -3504,10 +3504,12 @@ def x67_neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.simhash_neardup_pairs(docs, hash_fn=dedup.md5_hash32).select(
         "id_a", "id_b", "hamming"
     )
-    # each pair contributes to every threshold >= its hamming distance
+    # each pair contributes to every threshold >= its hamming distance;
+    # the exploded pair set feeds TWO branches (cnt + aff), so it is
+    # materialized once (x65 discipline — ReuseExchange is not guaranteed)
     th = text.exploded_nonnull(
         pairs, F.sequence(F.col("hamming"), F.lit(3)), "thr", "id_a", "id_b"
-    )
+    ).localCheckpoint(eager=True)
     cnt = th.groupBy("thr").agg(F.count(F.lit(1)).alias("n_pairs_le"))
     aff = (
         text.exploded_nonnull(th, F.array("id_a", "id_b"), "doc", "thr")

@@ -8,13 +8,16 @@ from __future__ import annotations
 
 import importlib.util
 import re
+from pathlib import Path
 
 from airbnb_listings_data_pipelines_spark.queries.registry import load_all
+
+REPO = Path(__file__).resolve().parents[1]
 
 
 def _entry_module():
     spec = importlib.util.spec_from_file_location(
-        "spark_entry_consistency", "/root/repo/__spark_entry__.py"
+        "spark_entry_consistency", str(REPO / "__spark_entry__.py")
     )
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
@@ -23,10 +26,10 @@ def _entry_module():
 
 def test_registry_count_citations_match_reality():
     n = len(load_all())
-    readme = open("/root/repo/README.md").read()
+    readme = open(REPO / "README.md").read()
     m = re.search(r"registry: (\d+) queries", readme)
     assert m and int(m.group(1)) == n, f"README cites {m and m.group(1)}, registry has {n}"
-    pyproject = open("/root/repo/pyproject.toml").read()
+    pyproject = open(REPO / "pyproject.toml").read()
     m2 = re.search(r"differential sweep \((\d+) queries\)", pyproject)
     assert m2 and int(m2.group(1)) == n, f"pyproject cites {m2 and m2.group(1)}, registry has {n}"
 
