@@ -28,64 +28,76 @@ def entry(spark: SparkSession) -> DataFrame:
     return reg["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
-# The driver checks the first 50 registry entries per round. Round-5
-# window: x60_corpus_datacard leads (added after round 4's window froze,
-# so it is the only query with ZERO driver artifacts), followed by the
-# 32 queries whose latest driver evidence is round 2 (the q40-q53
-# window/asof/funnel breadth block and the x01-x25 curation belt).
-# That is 33 explicit slots; queries added in round 5 fill the next
-# slots, and any remainder up to 50 auto-fills from registry order
-# (those all have round-3+ driver evidence). After this window, no
-# registry query's driver evidence predates round 3. Everything outside
-# the window stays covered by tools/check_oracle.py's full bit-exact
-# registry sweep (133/133 at the end of round 4; 141 registered after the
-# round-5 additions x61-x67 + q74, each oracle-checked on registration).
+# The driver checks the first 50 registry entries per round. Round-6
+# window: the 48 queries whose latest driver evidence is round 3 (the
+# union over CORRECTNESS_r01..r05 of each query's newest green round) —
+# the §2 core belt q01-q31 singles, the q54-q68 breadth block, and
+# x28-x36. Queries added in round 6 fill the remaining slots; any
+# leftover auto-fills from registry order (all round-4+ evidence).
+# After this window, no registry query's driver evidence predates
+# round 4. Everything outside the window stays covered by
+# tools/check_oracle.py's full bit-exact registry sweep (141/141 at the
+# end of round 5; round-6 additions are oracle-checked on registration).
+#
+# Evidence-audit note: the round-1 driver files contain three names that
+# never passed — x06_minhash_lsh_pairs, x10_lsh_ann_topk,
+# x14_ivf_ann_topk. Those are pre-oracle round-1 names; the queries were
+# renamed to x06_minhash_lsh_recall / x10_lsh_ann_recall /
+# x14_ivf_ann_recall when they gained invariant oracles in round 2, and
+# the renamed successors are driver-green (r2/r4/r5). They are renames,
+# not never-checked queries.
 _CHECK_FIRST = [
-    # never driver-checked — slot 1
-    "x60_corpus_datacard",
-    # latest driver evidence round 2 — slots 2-33
-    "q40_moving_average_rows_frame",
-    "q41_trailing_range_frame",
-    "q42_quartiles_array",
-    "q43_null_safe_join",
-    "q44_string_function_breadth",
-    "q45_conditional_expression_breadth",
-    "q46_math_function_breadth",
-    "q47_date_arithmetic_breadth",
-    "q48_asof_join_last_click",
-    "q49_range_join_click_counts",
-    "q50_funnel_view_click_purchase",
-    "q51_unpivot_long_form",
-    "q52_percent_rank_cume_dist",
-    "q53_new_vs_returning_users",
-    "x01_dedup_exact",
-    "x02_token_count",
-    "x03_quality_scores",
-    "x04_lang_id",
-    "x07_simhash",
-    "x08_fingerprint_stats",
-    "x09_cosine_topk",
-    "x11_multimodal_features",
-    "x12_top_tokens",
-    "x13_embedding_neardup_pairs",
-    "x15_curation_pipeline",
-    "x16_simhash_neardup_pairs",
-    "x17_collect_per_source",
-    "x18_token_budget_packing",
-    "x19_stratified_sample",
-    "x23_tfidf_top_terms",
-    "x24_hash_reservoir_per_lang",
-    "x25_quartile_feature_bins",
-    # round-5 additions — slots 34-41; remaining slots auto-fill with
-    # round-3-evidence queries from registry order.
-    "x61_training_shard_manifest",
-    "x62_embedding_dispersion",
-    "x63_char_coverage",
-    "x64_cross_source_dup_matrix",
-    "q74_rolling_distinct_window",
-    "x65_unigram_tv_distance",
-    "x66_containment_pairs",
-    "x67_neardup_threshold_curve",
+    # latest driver evidence round 3 — slots 1-48
+    "q01_pricing_summary",
+    "q02_filter_projection",
+    "q03_join_topk_revenue",
+    "q04_full_outer_subaggs",
+    "q05_left_join_distinct_dim",
+    "q06_scalar_subquery",
+    "q07_dedup_row_number",
+    "q08_rank_ties_per_group",
+    "q09_lag_mom_change",
+    "q10_windowed_share",
+    "q11_median_percentile",
+    "q12_count_distinct",
+    "q13_distinct_projection",
+    "q14_case_ladder",
+    "q15_string_functions",
+    "q16_date_functions",
+    "q17_union_by_name",
+    "q18_try_cast_price",
+    "q20_largest_share_owner",
+    "q21_global_topk",
+    "q22_conditional_rates",
+    "q24_file_lineage",
+    "q25_sql_view_catalog",
+    "q26_salted_skew_agg",
+    "q27_salted_count_distinct",
+    "q29_topk_join_rank_detail",
+    "q30_dedup_max_by",
+    "q31_semi_anti_joins",
+    "q54_grouping_sets",
+    "q55_window_value_functions",
+    "q56_higher_order_array_functions",
+    "q57_regexp_breadth",
+    "q58_correlated_scalar_subquery",
+    "q60_recursive_cte_spine",
+    "q63_gapfill_locf",
+    "q64_retention_cohorts",
+    "q65_variant_semistructured",
+    "q66_stats_aggregate_breadth",
+    "q68_native_session_window",
+    "x28_ngram_contamination",
+    "x29_token_rarity_score",
+    "x30_source_mixture_sample",
+    "x31_repetition_stats",
+    "x32_corpus_line_dedup",
+    "x33_pii_redaction",
+    "x34_quantized_ann",
+    "x35_weighted_bernoulli_sample",
+    "x36_mergeable_hll_rollup",
+    # round-6 additions fill slots 49+; remainder auto-fills from
+    # registry order (all have round-4+ driver evidence).
 ]
 
 
