@@ -47,6 +47,9 @@ class CommitConflict(Exception):
     """Another writer committed the version this writer raced for."""
 
 
+_TYPE_INFER_KEY = "spark.sql.sources.partitionColumnTypeInference.enabled"
+
+
 _LOG_DIR = "_txlog"
 _CHECKPOINT_EVERY = 20
 
@@ -62,16 +65,49 @@ class TxLogTable:
         self.spark = spark
         self.path = path.rstrip("/")
         self.log_dir = os.path.join(self.path, _LOG_DIR)
+        self._pmeta: tuple[list[str], "object"] | None = None
 
     # ------------------------------------------------------------- create
 
     @classmethod
-    def create(cls, spark: SparkSession, path: str, df: DataFrame) -> "TxLogTable":
-        """Create a new table at ``path`` from ``df`` (version 0)."""
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+    ) -> "TxLogTable":
+        """Create a new table at ``path`` from ``df`` (version 0).
+
+        ``partition_by`` makes this a PARTITIONED table (the reference's own
+        fact-table shape — ``design.sql:413`` partitions ``fact_listing``
+        monthly by snapshot date): data files live under hive-style
+        ``col=value/`` directories, the log records relative paths, and
+        :meth:`read_where` on a partition column prunes by DIRECTORY NAME —
+        zero footer reads, zero data reads for untouched partitions, which
+        is the 100 TB point of partitioning. Partition column NAMES and
+        exact TYPES are recorded in commit 0; readers reattach the columns
+        via one ``basePath`` scan with partition-type inference disabled
+        and cast to the recorded types (inference would corrupt e.g. a
+        string column holding ``"07"`` into the integer 7)."""
         t = cls(spark, path)
+        pby = list(partition_by or [])
+        missing = [c for c in pby if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition_by columns absent from df: {missing}")
         os.makedirs(t.log_dir, exist_ok=False)
-        files = t._write_data(df)
-        t._try_commit(0, adds=files, removes=[], op="create")
+        t._pmeta = (pby, df.select(*pby).schema if pby else None)
+        files = t._write_data(df, _pby=pby)
+        t._try_commit(
+            0,
+            adds=files,
+            removes=[],
+            op="create",
+            extra={
+                "partition_by": pby,
+                "partition_schema": df.select(*pby).schema.json() if pby else None,
+            },
+        )
         return t
 
     @classmethod
@@ -87,6 +123,88 @@ class TxLogTable:
         )
         t._try_commit(0, adds=files, removes=[], op="convert")
         return t
+
+    # -------------------------------------------------------- partitioning
+
+    def partition_meta(self) -> tuple[list[str], "object"]:
+        """(partition column names, their StructType) from commit 0 —
+        ``([], None)`` for unpartitioned tables. Commit files are never
+        deleted (vacuum touches data only), so commit 0 is always there."""
+        if self._pmeta is None:
+            from pyspark.sql.types import StructType
+
+            with open(os.path.join(self.log_dir, _commit_name(0))) as fh:
+                c0 = json.load(fh)
+            pby = c0.get("partition_by") or []
+            schema = (
+                StructType.fromJson(json.loads(c0["partition_schema"]))
+                if pby
+                else None
+            )
+            self._pmeta = (pby, schema)
+        return self._pmeta
+
+    def _read_files(self, files: list[str]) -> DataFrame:
+        """ONE parquet scan over an explicit live-file list, reattaching
+        partition columns for partitioned tables via the ``basePath``
+        option (Spark's documented mechanism for partition discovery over
+        explicit file lists). Partition-type inference is disabled for the
+        (eager) resolution and the recorded commit-0 types are cast back —
+        inference is lossy (string ``"07"`` → int 7) and the recorded
+        schema is authoritative."""
+        paths = [os.path.join(self.path, f) for f in files]
+        pby, pschema = self.partition_meta()
+        if not pby:
+            return self.spark.read.parquet(*paths)
+        from pyspark.sql import functions as F
+
+        old = self.spark.conf.get(_TYPE_INFER_KEY, "true")
+        self.spark.conf.set(_TYPE_INFER_KEY, "false")
+        try:
+            # schema resolution happens eagerly at .parquet(), so the conf
+            # can be restored immediately after (verified: the returned
+            # DataFrame keeps its string-typed partition columns)
+            df = self.spark.read.option("basePath", self.path).parquet(*paths)
+        finally:
+            self.spark.conf.set(_TYPE_INFER_KEY, old)
+        for fld in pschema.fields:
+            df = df.withColumn(fld.name, F.col(fld.name).cast(fld.dataType))
+        return df
+
+    def _empty(self) -> DataFrame:
+        """Zero-row snapshot with the table schema (incl. partition cols)."""
+        pby, _ = self.partition_meta()
+        if not pby:
+            return self.spark.read.parquet(self.path).limit(0)
+        old = self.spark.conf.get(_TYPE_INFER_KEY, "true")
+        self.spark.conf.set(_TYPE_INFER_KEY, "false")
+        try:
+            df = self.spark.read.parquet(self.path)
+        finally:
+            self.spark.conf.set(_TYPE_INFER_KEY, old)
+        from pyspark.sql import functions as F
+
+        _pby, pschema = self.partition_meta()
+        for fld in pschema.fields:
+            df = df.withColumn(fld.name, F.col(fld.name).cast(fld.dataType))
+        return df.limit(0)
+
+    @staticmethod
+    def _partition_values(rel_path: str) -> dict[str, str | None]:
+        """Parse hive-style ``col=value`` segments out of a relative data
+        file path, unescaping the %XX escapes Spark's writer applies to
+        special characters. ``__HIVE_DEFAULT_PARTITION__`` is the writer's
+        null sentinel → None."""
+        from urllib.parse import unquote
+
+        out: dict[str, str | None] = {}
+        for seg in rel_path.split("/")[:-1]:
+            if "=" not in seg:
+                continue
+            k, _, v = seg.partition("=")
+            v = unquote(v)
+            out[unquote(k)] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        return out
 
     # -------------------------------------------------------------- state
 
@@ -133,8 +251,8 @@ class TxLogTable:
         """Snapshot read: exactly the files the latest commit resolves to."""
         _v, files = self._replay()
         if not files:
-            return self.spark.read.parquet(self.path).limit(0)
-        return self.spark.read.parquet(*[os.path.join(self.path, f) for f in files])
+            return self._empty()
+        return self._read_files(files)
 
     def read_version(self, version: int) -> DataFrame:
         """Time travel (Delta paper §4.3, ``VERSION AS OF``): read the table
@@ -144,8 +262,8 @@ class TxLogTable:
         the time-travel horizon IS the vacuum retention."""
         _v, files = self._replay(as_of=version)
         if not files:
-            return self.spark.read.parquet(self.path).limit(0)
-        return self.spark.read.parquet(*[os.path.join(self.path, f) for f in files])
+            return self._empty()
+        return self._read_files(files)
 
     def history(self) -> list[dict]:
         out = []
@@ -164,17 +282,32 @@ class TxLogTable:
 
     # ------------------------------------------------------------- commit
 
-    def _write_data(self, df: DataFrame) -> list[str]:
+    def _write_data(self, df: DataFrame, _pby: list[str] | None = None) -> list[str]:
         """Write ``df`` as new parquet files under the table dir; returns
-        their names. Files are invisible until a commit references them."""
+        their names (relative paths — for partitioned tables these include
+        the hive-style ``col=value/`` directories, which is also where the
+        Delta export reads ``partitionValues`` from). Files are invisible
+        until a commit references them."""
+        pby = self.partition_meta()[0] if _pby is None else _pby
         tmp = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
-        df.write.parquet(tmp)
+        if pby:
+            # partitionBy writes hive-style dirs and OMITS the partition
+            # columns from the data files — the same physical layout the
+            # Delta protocol prescribes; readers reattach via basePath
+            df.write.partitionBy(*pby).parquet(tmp)
+        else:
+            df.write.parquet(tmp)
         names = []
-        for f in sorted(os.listdir(tmp)):
-            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+        for root, _dirs, fs in sorted(os.walk(tmp)):
+            rel_dir = os.path.relpath(root, tmp)
+            for f in sorted(fs):
+                if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                    continue
                 new = f"part-{uuid.uuid4().hex}.parquet"
-                os.rename(os.path.join(tmp, f), os.path.join(self.path, new))
-                names.append(new)
+                rel = new if rel_dir == "." else os.path.join(rel_dir, new)
+                os.makedirs(os.path.dirname(os.path.join(self.path, rel)) or self.path, exist_ok=True)
+                os.rename(os.path.join(root, f), os.path.join(self.path, rel))
+                names.append(rel.replace(os.sep, "/"))
         import shutil
 
         shutil.rmtree(tmp)
@@ -218,16 +351,37 @@ class TxLogTable:
         (min, max) envelope for ``column`` overlaps [lo, hi] are handed to
         the scan; the residual row filter is applied on top (skipping is an
         optimization, never a semantics change). Files lacking stats for
-        the column are conservatively kept."""
+        the column are conservatively kept.
+
+        On a PARTITION column the skip needs no footers at all: the value
+        is parsed from the file's ``col=value`` directory name and compared
+        driver-side — untouched partitions are never listed, opened, or
+        read, the partition-pruning contract a 100 TB fact table relies on.
+        Null partitions (``__HIVE_DEFAULT_PARTITION__``) are skipped: a
+        null never satisfies the range residual."""
         from pyspark.sql import functions as F
 
-        kept = []
-        for f, env in self.file_stats([column]).items():
-            if column not in env or (env[column][0] <= hi and env[column][1] >= lo):
-                kept.append(f)
+        pby, pschema = self.partition_meta()
+        if column in pby:
+            fld = pschema[column].dataType
+            kept = []
+            for f in self.files():
+                raw = self._partition_values(f).get(column)
+                if raw is None:
+                    continue
+                v = _parse_partition_value(raw, fld)
+                if v is None:
+                    kept.append(f)  # unparseable: conservatively keep
+                elif lo <= v <= hi:
+                    kept.append(f)
+        else:
+            kept = []
+            for f, env in self.file_stats([column]).items():
+                if column not in env or (env[column][0] <= hi and env[column][1] >= lo):
+                    kept.append(f)
         if not kept:
             return self.read().filter(F.lit(False))
-        df = self.spark.read.parquet(*[os.path.join(self.path, f) for f in kept])
+        df = self._read_files(kept)
         return df.filter((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
 
     def diff_versions(self, v_old: int, v_new: int) -> DataFrame:
@@ -249,7 +403,7 @@ class TxLogTable:
         def _read(files: list[str]) -> DataFrame | None:
             if not files:
                 return None
-            return self.spark.read.parquet(*[os.path.join(self.path, f) for f in files])
+            return self._read_files(files)
 
         old_df, new_df = _read(only_old), _read(only_new)
         if old_df is None and new_df is None:
@@ -263,10 +417,16 @@ class TxLogTable:
         return added.unionByName(removed)
 
     def _try_commit(
-        self, version: int, adds: list[str], removes: list[str], op: str
+        self,
+        version: int,
+        adds: list[str],
+        removes: list[str],
+        op: str,
+        extra: dict | None = None,
     ) -> None:
         """Atomically create commit ``version``; raise CommitConflict if a
-        racing writer got there first (O_EXCL create is the arbiter)."""
+        racing writer got there first (O_EXCL create is the arbiter).
+        ``extra`` carries commit-0-only table metadata (partition spec)."""
         is_ckpt = op in ("create", "convert") or (
             version % _CHECKPOINT_EVERY == 0 and version > 0
         )
@@ -276,7 +436,7 @@ class TxLogTable:
             adds = sorted((set(live) - set(removes)) | set(adds))
             removes = []
         payload = json.dumps(
-            {"op": op, "adds": adds, "removes": removes, "checkpoint": is_ckpt}
+            {"op": op, "adds": adds, "removes": removes, "checkpoint": is_ckpt, **(extra or {})}
         )
         target = os.path.join(self.log_dir, _commit_name(version))
         try:
@@ -344,16 +504,55 @@ class TxLogTable:
             except FileNotFoundError:
                 continue
         deleted = []
-        for f in os.listdir(self.path):
-            full = os.path.join(self.path, f)
-            if not os.path.isfile(full) or not f.endswith(".parquet"):
+        for root, dirs, fs in os.walk(self.path):
+            # never descend into the logs or staging dirs
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in fs:
+                if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, self.path).replace(os.sep, "/")
+                if rel not in referenced:
+                    os.remove(full)
+                    deleted.append(rel)
+        # drop partition dirs a vacuum emptied (cosmetic; readers use the log)
+        for root, _dirs, _fs in os.walk(self.path, topdown=False):
+            rel = os.path.relpath(root, self.path)
+            if rel in (".",) or rel.split(os.sep)[0].startswith(("_", ".")):
                 continue
-            if f.startswith(("_", ".")):
-                continue
-            if f not in referenced:
-                os.remove(full)
-                deleted.append(f)
+            try:
+                os.rmdir(root)  # only succeeds if empty
+            except OSError:
+                pass
         return sorted(deleted)
+
+
+def _parse_partition_value(raw: str, dtype) -> object | None:
+    """Typed python value of a hive partition-dir string, for driver-side
+    partition pruning. Returns None (= conservatively keep the file) for
+    unparseable values or types without a defined dir serialization."""
+    import datetime
+    import decimal
+
+    name = dtype.typeName()
+    try:
+        if name in ("byte", "short", "integer", "long"):
+            return int(raw)
+        if name in ("float", "double"):
+            return float(raw)
+        if name == "decimal":
+            return decimal.Decimal(raw)
+        if name == "date":
+            return datetime.date.fromisoformat(raw)
+        if name == "timestamp":
+            return datetime.datetime.fromisoformat(raw)
+        if name == "boolean":
+            return {"true": True, "false": False}.get(raw.lower())
+        if name == "string":
+            return raw
+    except (ValueError, decimal.InvalidOperation):
+        return None
+    return None
 
 
 def merge_into_txlog(

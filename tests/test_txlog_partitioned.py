@@ -1,0 +1,152 @@
+"""Partitioned commit-log tables (operators/txlog with partition_by) —
+the reference's own fact-table shape (design.sql:413 partitions
+fact_listing by monthly snapshot date; SURVEY §1.4.1). Verifies the
+hive-layout write, exact partition-column reconstruction (types recorded
+in commit 0, never re-inferred), directory-level partition pruning in
+read_where, time travel, MERGE, vacuum recursion into partition dirs,
+and the change feed — all over the partitioned layout."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_listings_data_pipelines_spark.operators.txlog import (
+    TxLogTable,
+    merge_into_txlog,
+)
+
+D = datetime.date
+
+
+def _df(spark, rows):
+    # `code` is a STRING with leading zeros — the partition-type-inference
+    # trap: default inference would read code=07 back as int 7
+    return spark.createDataFrame(rows, "k int, v string, file_date date, code string")
+
+
+@pytest.fixture()
+def ptable(spark, tmp_path):
+    df = _df(
+        spark,
+        [
+            (1, "a", D(2024, 1, 1), "07"),
+            (2, "b", D(2024, 1, 2), "07"),
+            (3, "c", D(2024, 1, 2), "08"),
+            (4, "d", D(2024, 2, 1), "07"),
+        ],
+    )
+    return TxLogTable.create(
+        spark, str(tmp_path / "pt"), df, partition_by=["file_date", "code"]
+    )
+
+
+def test_partitioned_layout_and_roundtrip(spark, ptable):
+    # hive-style dirs on disk, relative paths in the log
+    assert all("/" in f and "file_date=" in f and "code=" in f for f in ptable.files())
+    got = ptable.read()
+    # exact schema: partition columns keep their recorded types
+    assert dict(got.dtypes)["file_date"] == "date"
+    assert dict(got.dtypes)["code"] == "string"
+    rows = {(r.k, r.v, r.file_date, r.code) for r in got.collect()}
+    assert rows == {
+        (1, "a", D(2024, 1, 1), "07"),
+        (2, "b", D(2024, 1, 2), "07"),
+        (3, "c", D(2024, 1, 2), "08"),
+        (4, "d", D(2024, 2, 1), "07"),
+    }
+
+
+def test_partition_column_values_exact_not_inferred(spark, ptable):
+    # "07" must come back as the string "07", not the integer 7 —
+    # the recorded commit-0 types are authoritative
+    codes = {r.code for r in ptable.read().select("code").distinct().collect()}
+    assert codes == {"07", "08"}
+
+
+def test_read_where_prunes_by_directory(spark, ptable):
+    got = ptable.read_where("file_date", D(2024, 1, 1), D(2024, 1, 31))
+    assert {r.k for r in got.collect()} == {1, 2, 3}
+    # pruning proof: only files under matching partition dirs are scanned
+    scanned = {
+        os.path.relpath(p, ptable.path)
+        for p in (
+            r[0].replace("file:", "")
+            for r in got.select(F.input_file_name()).distinct().collect()
+        )
+    }
+    assert scanned, "expected a non-empty scan"
+    assert all(f.startswith("file_date=2024-01-0") for f in scanned)
+    # and on the string partition column too
+    got2 = ptable.read_where("code", "08", "08")
+    assert {r.k for r in got2.collect()} == {3}
+
+
+def test_read_where_data_column_still_works(spark, ptable):
+    got = ptable.read_where("k", 2, 3)
+    assert {(r.k, r.code) for r in got.collect()} == {(2, "07"), (3, "08")}
+
+
+def test_merge_time_travel_and_change_feed(spark, ptable):
+    src = _df(spark, [(2, "B", D(2024, 1, 2), "07"), (5, "e", D(2024, 3, 1), "09")])
+    merge_into_txlog(spark, ptable, src, keys=["k"])
+    assert ptable.version() == 1
+    now = {(r.k, r.v) for r in ptable.read().collect()}
+    assert now == {(1, "a"), (2, "B"), (3, "c"), (4, "d"), (5, "e")}
+    # time travel reconstructs the pre-merge snapshot incl. partition cols
+    then = {(r.k, r.v, r.code) for r in ptable.read_version(0).collect()}
+    assert then == {(1, "a", "07"), (2, "b", "07"), (3, "c", "08"), (4, "d", "07")}
+    # change feed carries the partition columns
+    feed = ptable.diff_versions(0, 1)
+    changes = {(r.k, r.v, r.change_type) for r in feed.collect()}
+    assert (5, "e", "insert") in changes and (2, "b", "delete") in changes
+    assert (2, "B", "insert") in changes
+    assert "file_date" in feed.columns and "code" in feed.columns
+
+
+def test_vacuum_recurses_into_partition_dirs(spark, ptable):
+    merge_into_txlog(
+        spark, ptable, _df(spark, [(1, "A", D(2024, 1, 1), "07")]), keys=["k"]
+    )
+    on_disk_before = len(glob.glob(os.path.join(ptable.path, "**", "*.parquet"), recursive=True))
+    deleted = ptable.vacuum(retain_versions=1)
+    assert deleted, "v0 files replaced by the merge must be vacuumable"
+    assert all("/" in f for f in deleted), "deletions happen inside partition dirs"
+    on_disk_after = len(glob.glob(os.path.join(ptable.path, "**", "*.parquet"), recursive=True))
+    assert on_disk_after == on_disk_before - len(deleted)
+    # live snapshot unharmed
+    assert {(r.k, r.v) for r in ptable.read().collect()} == {
+        (1, "A"), (2, "b"), (3, "c"), (4, "d"),
+    }
+
+
+def test_optimize_preserves_partitioning(spark, ptable):
+    v = ptable.optimize()
+    assert v == 1
+    assert all("file_date=" in f for f in ptable.files())
+    assert {(r.k, r.code) for r in ptable.read().collect()} == {
+        (1, "07"), (2, "07"), (3, "08"), (4, "07"),
+    }
+
+
+def test_null_partition_value_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x")], "k int, v string, p string"
+    )
+    t = TxLogTable.create(spark, str(tmp_path / "nt"), df, partition_by=["p"])
+    rows = {(r.k, r.p) for r in t.read().collect()}
+    assert rows == {(1, None), (2, "x")}
+    # a range read_where on p never matches the null partition
+    assert {r.k for r in t.read_where("p", "a", "z").collect()} == {2}
+
+
+def test_unpartitioned_tables_unchanged(spark, tmp_path):
+    df = _df(spark, [(1, "a", D(2024, 1, 1), "07")])
+    t = TxLogTable.create(spark, str(tmp_path / "flat"), df)
+    assert t.partition_meta() == ([], None)
+    assert all("/" not in f for f in t.files())
+    assert {r.code for r in t.read().collect()} == {"07"}
