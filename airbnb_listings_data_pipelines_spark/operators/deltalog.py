@@ -21,8 +21,11 @@ ordered sequence of ``<version>.json`` files of newline-delimited JSON
   travel. This is the second, txlog-independent reader path: it never
   looks at ``_txlog``.
 
-Feature envelope, stated plainly: tables here are unpartitioned parquet
-with flat schemas and no deletion vectors / column mapping / generated
+Feature envelope, stated plainly: tables here are flat-schema parquet,
+optionally HIVE-PARTITIONED (``metaData.partitionColumns`` +
+``add.partitionValues`` are exported and reconstructed — partition
+columns live in the log, not the data files, exactly as the protocol
+prescribes), with no deletion vectors / column mapping / generated
 columns, so the export pins ``minReaderVersion=1, minWriterVersion=2``
 and the reader refuses (loudly) protocols beyond what it implements —
 refusing is what the Delta spec REQUIRES of readers that meet an
@@ -38,8 +41,10 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import time
 import uuid
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -47,17 +52,34 @@ DELTA_DIR = "_delta_log"
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
+@dataclass
+class _DeltaState:
+    """Replayed log state at a version. ``tombstones`` (unexpired
+    ``remove`` actions) and ``txns`` (latest ``txn`` per appId) are
+    carried so checkpoints preserve them as PROTOCOL.md requires —
+    external engines rely on tombstones for VACUUM safety and on txn
+    app versions for streaming idempotence."""
+
+    version: int
+    live: dict[str, dict]
+    metadata: dict | None
+    protocol: dict
+    tombstones: dict[str, dict] = field(default_factory=dict)
+    txns: dict[str, dict] = field(default_factory=dict)
+
+
 def _delta_commit_name(version: int) -> str:
     return f"{version:020d}.json"
 
 
-def _schema_string(spark: SparkSession, path: str, files: list[str]) -> str:
+def _schema_string(spark: SparkSession, table, files: list[str]) -> str:
     """Delta's ``metaData.schemaString`` is the Spark StructType JSON —
-    derived from the parquet footers of the latest live snapshot's
-    on-disk files (schema-on-write, as Delta requires; see
-    export_delta_log's vacuum note)."""
-    df = spark.read.parquet(*[os.path.join(path, f) for f in files])
-    return df.schema.json()
+    derived from the latest live snapshot's on-disk files (schema-on-write,
+    as Delta requires; see export_delta_log's vacuum note). For partitioned
+    tables the table's own reader reattaches the partition columns with
+    their recorded exact types, so the schemaString carries ALL columns
+    including partition columns, as the protocol requires."""
+    return table._read_files(files).schema.json()
 
 
 def _file_delta_stats(full_path: str) -> str | None:
@@ -150,7 +172,36 @@ def export_delta_log(spark: SparkSession, table) -> int:
     delta_dir = os.path.join(table.path, DELTA_DIR)
     os.makedirs(delta_dir, exist_ok=True)
     latest, _live = table._replay()
+    pby, _pschema = table.partition_meta()
     now_ms = int(time.time() * 1000)
+    # metaData refresh on incremental export: a schema that evolved AFTER
+    # the first export would otherwise stay frozen in commit 0 (Delta
+    # commits are immutable), leaving external readers to decode newer
+    # parquet files against a stale schemaString. Compare the live schema
+    # against the exported metaData and, when they differ, emit a fresh
+    # metaData action (same table id — the id is the table's identity for
+    # its whole life) inside the FIRST newly-exported commit.
+    meta_refresh: dict | None = None
+    has_exported = any(
+        re.fullmatch(r"\d{20}\.json", f) for f in os.listdir(delta_dir)
+    ) or os.path.exists(os.path.join(delta_dir, "_last_checkpoint"))
+    if has_exported:
+        exported = _replay_delta_log(spark, delta_dir)
+        live_files = [
+            f for f in _live if os.path.exists(os.path.join(table.path, f))
+        ]
+        current_schema = _schema_string(spark, table, live_files) if live_files else None
+        if current_schema is not None and json.loads(
+            exported.metadata["schemaString"]
+        ) != json.loads(current_schema):
+            if exported.version >= latest:
+                raise RuntimeError(
+                    f"table schema changed but every txlog version (≤{latest}) "
+                    "is already exported — no new Delta commit can carry the "
+                    "refreshed metaData; this indicates log tampering"
+                )
+            meta_refresh = dict(exported.metadata)
+            meta_refresh["schemaString"] = current_schema
     prev: set[str] = set()
     # ONE forward pass over the txlog (applying each commit to a running
     # file set) instead of table._replay(as_of=v) per version — the latter
@@ -200,13 +251,16 @@ def export_delta_log(spark: SparkSession, table) -> int:
                     "metaData": {
                         "id": uuid.uuid4().hex,
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": _schema_string(spark, table.path, schema_files),
-                        "partitionColumns": [],
+                        "schemaString": _schema_string(spark, table, schema_files),
+                        "partitionColumns": list(pby),
                         "configuration": {},
                         "createdTime": now_ms,
                     }
                 }
             )
+        elif meta_refresh is not None:
+            actions.append({"metaData": meta_refresh})
+            meta_refresh = None
         for f in sorted(cur - prev):
             full = os.path.join(table.path, f)
             # a file can be gone already if this version predates a vacuum;
@@ -214,9 +268,16 @@ def export_delta_log(spark: SparkSession, table) -> int:
             # removes it), so zero stats on the dead-version add entry are
             # inert — time travel past the vacuum horizon fails either way
             exists = os.path.exists(full)
+            # partitionValues come from the hive-style relative path the
+            # txlog writer produced; the dir strings are already the
+            # protocol's partition-value serialization (ISO dates, plain
+            # ints, raw strings), with the writer's %XX escapes undone
+            pvals = (
+                {c: table._partition_values(f).get(c) for c in pby} if pby else {}
+            )
             add = {
                 "path": f,
-                "partitionValues": {},
+                "partitionValues": pvals,
                 "size": os.path.getsize(full) if exists else 0,
                 "modificationTime": int(os.path.getmtime(full) * 1000)
                 if exists
@@ -268,19 +329,24 @@ def write_delta_checkpoint(spark: SparkSession, path: str, version: int | None =
     """Write a parquet checkpoint of the Delta log at ``version`` (default:
     latest) plus ``_last_checkpoint`` — the protocol's log-compaction step,
     letting readers skip the JSON commits at/below the checkpoint. The
-    checkpoint rows use the protocol's top-level ``add``/``metaData``/
-    ``protocol`` struct columns; paths/sizes come from replaying the JSON
-    log (via :func:`read_delta_snapshot`'s replay core). Returns the
-    checkpointed version.
+    checkpoint rows use the protocol's top-level ``add``/``remove``/
+    ``metaData``/``protocol``/``txn`` struct columns; paths/sizes come
+    from replaying the JSON log (via :func:`read_delta_snapshot`'s replay
+    core). Returns the checkpointed version.
 
     At 100 TB this is what bounds snapshot resolution: O(live files) parquet
     rows read vectorized, instead of O(commits) JSON files."""
     path = path.rstrip("/")
     delta_dir = os.path.join(path, DELTA_DIR)
-    want, live, metadata, protocol = _replay_delta_log(spark, delta_dir, version)
+    state = _replay_delta_log(spark, delta_dir, version)
+    want = state.version
     add_t = (
         "struct<path:string,partitionValues:map<string,string>,size:bigint,"
         "modificationTime:bigint,dataChange:boolean,stats:string>"
+    )
+    rm_t = (
+        "struct<path:string,deletionTimestamp:bigint,dataChange:boolean,"
+        "partitionValues:map<string,string>,size:bigint>"
     )
     meta_t = (
         "struct<id:string,format:struct<provider:string,"
@@ -289,15 +355,25 @@ def write_delta_checkpoint(spark: SparkSession, path: str, version: int | None =
         "createdTime:bigint>"
     )
     proto_t = "struct<minReaderVersion:int,minWriterVersion:int>"
-    rows = [json.dumps({"add": a, "metaData": None, "protocol": None}) for a in live.values()]
-    rows.append(json.dumps({"add": None, "metaData": metadata, "protocol": None}))
-    rows.append(json.dumps({"add": None, "metaData": None, "protocol": protocol}))
+    txn_t = "struct<appId:string,version:bigint,lastUpdated:bigint>"
+    blank = {"add": None, "remove": None, "metaData": None, "protocol": None, "txn": None}
+    rows = [json.dumps({**blank, "add": a}) for a in state.live.values()]
+    # PROTOCOL.md: checkpoints must preserve unexpired remove tombstones
+    # (VACUUM safety for external engines) and per-app txn versions
+    # (streaming idempotence) — without them, log-head cleanup after a
+    # checkpoint would silently discard that state
+    rows += [json.dumps({**blank, "remove": r}) for r in state.tombstones.values()]
+    rows += [json.dumps({**blank, "txn": t}) for t in state.txns.values()]
+    rows.append(json.dumps({**blank, "metaData": state.metadata}))
+    rows.append(json.dumps({**blank, "protocol": state.protocol}))
     cp = (
         spark.createDataFrame([(r,) for r in rows], "value string")
         .selectExpr(
-            f"from_json(value, 'add {add_t}, metaData {meta_t}, protocol {proto_t}') AS a"
+            "from_json(value, '"
+            f"add {add_t}, remove {rm_t}, metaData {meta_t}, "
+            f"protocol {proto_t}, txn {txn_t}') AS a"
         )
-        .select("a.add", "a.metaData", "a.protocol")
+        .select("a.add", "a.remove", "a.metaData", "a.protocol", "a.txn")
     )
     stage = os.path.join(delta_dir, f".ckpt-stage-{uuid.uuid4().hex}")
     cp.coalesce(1).write.parquet(stage)
@@ -324,12 +400,13 @@ def _read_last_checkpoint(delta_dir: str) -> dict | None:
 
 def _checkpoint_rows(
     spark: SparkSession, delta_dir: str, version: int, parts: int | None
-) -> tuple[dict[str, dict], dict | None, dict]:
+) -> _DeltaState:
     """Replay a parquet checkpoint (single- or multi-part) into the full
     state it carries: live ``add`` actions (path -> add dict, stats and
-    sizes preserved), the ``metaData`` action, and the ``protocol`` —
-    exactly as the protocol's checkpoint schema stores them (top-level
-    struct columns)."""
+    sizes preserved), the ``metaData`` action, the ``protocol``, plus the
+    ``remove`` tombstones and ``txn`` app versions PROTOCOL.md requires
+    checkpoints to preserve — exactly as the protocol's checkpoint schema
+    stores them (top-level struct columns)."""
     if parts:
         names = [
             os.path.join(
@@ -341,49 +418,57 @@ def _checkpoint_rows(
         names = [os.path.join(delta_dir, f"{version:020d}.checkpoint.parquet")]
     cp = spark.read.parquet(*names)
     cols = cp.columns
-    live: dict[str, dict] = {}
-    metadata: dict | None = None
-    protocol = dict(_PROTOCOL)
+    state = _DeltaState(version, {}, None, dict(_PROTOCOL))
     rows = cp.select(
-        *(c for c in ("add", "remove", "metaData", "protocol") if c in cols)
+        *(c for c in ("add", "remove", "metaData", "protocol", "txn") if c in cols)
     ).collect()
     for r in rows:
         add = r["add"] if "add" in cols else None
         if add is not None and add["path"] is not None:
             d = add.asDict(recursive=True)
-            live[d["path"]] = {k: v for k, v in d.items() if v is not None}
+            state.live[d["path"]] = {k: v for k, v in d.items() if v is not None}
+        rm = r["remove"] if "remove" in cols else None
+        if rm is not None and rm["path"] is not None:
+            d = rm.asDict(recursive=True)
+            state.tombstones[d["path"]] = {k: v for k, v in d.items() if v is not None}
         md = r["metaData"] if "metaData" in cols else None
         if md is not None and md["schemaString"] is not None:
-            metadata = md.asDict(recursive=True)
+            state.metadata = md.asDict(recursive=True)
         proto = r["protocol"] if "protocol" in cols else None
         if proto is not None and proto["minReaderVersion"] is not None:
             _check_protocol({"minReaderVersion": proto["minReaderVersion"]})
-            protocol = {
+            state.protocol = {
                 k: v for k, v in proto.asDict(recursive=True).items() if v is not None
             }
-    return live, metadata, protocol
+        txn = r["txn"] if "txn" in cols else None
+        if txn is not None and txn["appId"] is not None:
+            d = txn.asDict(recursive=True)
+            state.txns[d["appId"]] = {k: v for k, v in d.items() if v is not None}
+    return state
 
 
 def _replay_delta_log(
     spark: SparkSession, delta_dir: str, version: int | None = None
-) -> tuple[int, dict[str, dict], dict, dict]:
+) -> _DeltaState:
     """The ONE replay core shared by :func:`read_delta_snapshot` and
     :func:`write_delta_checkpoint` (a single implementation so protocol
     fixes cannot drift between reader and checkpointer): bootstrap from
     the newest parquet checkpoint at/below the requested version, verify
     JSON-commit contiguity, then apply the JSON tail's actions in order.
-    Returns ``(resolved_version, live add actions by path, metaData,
-    protocol)``.
+    Returns the replayed :class:`_DeltaState` (live adds by path, metaData,
+    protocol, unexpired remove tombstones, latest txn per appId).
 
     The unsupported-``protocol`` guard lives here (both consumers must
-    refuse what they cannot replay); the partitioned-table guard
-    (:func:`_refuse_partitioned`) is applied only by the file-list READ
-    paths — read_delta_snapshot and read_delta_where — while log
-    compaction round-trips partitioned metadata intact."""
+    refuse what they cannot replay)."""
+    # EXACT single-version commit names only (20-digit zero-padded, the
+    # protocol's file-naming rule). Delta 3.x / delta-rs log compactions
+    # write `<start>.<end>.compacted.json` carrying the NET actions of a
+    # version range — replaying one as "version <start>" would apply
+    # future-state actions and corrupt time travel inside the range, so
+    # they must not match here (the JSON commits they summarize are still
+    # present; compactions are a read optimization, never a replacement).
     commits = sorted(
-        f
-        for f in os.listdir(delta_dir)
-        if f.endswith(".json") and f.split(".")[0].isdigit()
+        f for f in os.listdir(delta_dir) if re.fullmatch(r"\d{20}\.json", f)
     )
     versions = [int(f.split(".")[0]) for f in commits]
     lc = _read_last_checkpoint(delta_dir)
@@ -395,18 +480,15 @@ def _replay_delta_log(
     want = latest if version is None else version
     if want > latest:
         raise FileNotFoundError(f"version {want} not in Delta log (latest {latest})")
-    live: dict[str, dict] = {}
-    metadata: dict | None = None
-    protocol = dict(_PROTOCOL)
+    state = _DeltaState(want, {}, None, dict(_PROTOCOL))
     start_after = -1
     # bootstrap from the existing checkpoint (NOT only the JSON commits):
     # after log-head cleanup the state below the checkpoint exists nowhere
     # else, and ignoring it would either fail (no metaData) or silently
     # drop every file added in the expired commits
     if lc and lc.get("version", -1) <= want:
-        live, metadata, protocol = _checkpoint_rows(
-            spark, delta_dir, lc["version"], lc.get("parts")
-        )
+        state = _checkpoint_rows(spark, delta_dir, lc["version"], lc.get("parts"))
+        state.version = want
         start_after = lc["version"]
     _verify_contiguous(versions, start_after, want, delta_dir)
     for name, v in zip(commits, versions):
@@ -420,16 +502,23 @@ def _replay_delta_log(
                 action = json.loads(line)
                 if "protocol" in action:
                     _check_protocol(action["protocol"])
-                    protocol = action["protocol"]
+                    state.protocol = action["protocol"]
                 elif "metaData" in action:
-                    metadata = action["metaData"]
+                    state.metadata = action["metaData"]
                 elif "add" in action:
-                    live[action["add"]["path"]] = action["add"]
+                    state.live[action["add"]["path"]] = action["add"]
+                    # re-adding a removed path supersedes its tombstone
+                    state.tombstones.pop(action["add"]["path"], None)
                 elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
-    if metadata is None or metadata.get("schemaString") is None:
+                    state.live.pop(action["remove"]["path"], None)
+                    state.tombstones[action["remove"]["path"]] = action["remove"]
+                elif "txn" in action:
+                    app = action["txn"].get("appId")
+                    if app is not None:
+                        state.txns[app] = action["txn"]
+    if state.metadata is None or state.metadata.get("schemaString") is None:
         raise FileNotFoundError(f"no metaData action at or below version {want}")
-    return want, live, metadata, protocol
+    return state
 
 
 def _verify_contiguous(
@@ -468,16 +557,18 @@ def read_delta_snapshot(
     Replays the newest parquet checkpoint at/below the requested version
     (if any) then the JSON commits after it, applying ``add``/``remove``
     actions in order — the replay rule PROTOCOL.md specifies.
+
+    PARTITIONED tables are reconstructed from the log's
+    ``add.partitionValues`` (authoritative per the protocol — partition
+    columns are not stored in the data files), typed by the
+    ``metaData.schemaString``: see :func:`_read_live_files`.
     """
     path = path.rstrip("/")
     delta_dir = os.path.join(path, DELTA_DIR)
-    _want, live, metadata, _protocol = _replay_delta_log(spark, delta_dir, version)
-    _refuse_partitioned(metadata)
-    if not live:
-        from pyspark.sql.types import StructType
-
-        return _empty_snapshot(spark, metadata)
-    return spark.read.parquet(*[os.path.join(path, f) for f in sorted(live)])
+    state = _replay_delta_log(spark, delta_dir, version)
+    if not state.live:
+        return _empty_snapshot(spark, state.metadata)
+    return _read_live_files(spark, path, state.live, state.metadata)
 
 
 def _empty_snapshot(spark: SparkSession, metadata: dict) -> DataFrame:
@@ -489,19 +580,79 @@ def _empty_snapshot(spark: SparkSession, metadata: dict) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
-def _refuse_partitioned(metadata: dict) -> None:
-    """Shared guard for BOTH file-list read paths (read_delta_snapshot and
-    read_delta_where): an explicit-file-list parquet read performs no
-    partition-value inference, so opening a partitioned table would
-    silently drop the partition columns. Log compaction does NOT use
-    this guard — it round-trips partitioned metadata intact."""
-    if metadata.get("partitionColumns"):
-        raise NotImplementedError(
-            "this reader implements unpartitioned Delta tables only; table "
-            f"declares partitionColumns={metadata['partitionColumns']} — an "
-            "explicit-file-list parquet read would silently drop the "
-            "partition columns"
+def _read_live_files(
+    spark: SparkSession, path: str, live: dict[str, dict], metadata: dict
+) -> DataFrame:
+    """ONE parquet scan over the live file list, reattaching partition
+    columns for partitioned tables from the log's ``add.partitionValues``
+    (the authoritative store per PROTOCOL.md — partition columns are not
+    in the data files) cast to the ``schemaString`` types.
+
+    Scale shape: the data stays a single explicit-file-list scan; the
+    file→partition-values mapping is a driver-built DataFrame of
+    O(live files) rows broadcast-joined on the file's basename (extracted
+    with ``input_file_name``), so one scan + one broadcast regardless of
+    partition count — no per-partition plan nodes. Basenames written by
+    Spark/Delta/delta-rs embed UUIDs and are table-unique; if a foreign
+    log violates that (duplicate basenames, or characters whose URI
+    encoding in ``input_file_name`` could diverge from the raw name), we
+    fall back to per-partition-group scans unioned together — correct for
+    any log, with plan size O(distinct partition tuples); stated plainly.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(metadata["schemaString"]))
+    pcols = metadata.get("partitionColumns") or []
+    ordered = sorted(live)
+    paths = [os.path.join(path, f) for f in ordered]
+    if not pcols:
+        return spark.read.parquet(*paths)
+    fields = {fld.name: fld for fld in schema.fields}
+    missing = [c for c in pcols if c not in fields]
+    if missing:
+        raise ValueError(f"partitionColumns {missing} absent from schemaString")
+    basenames = [f.rsplit("/", 1)[-1] for f in ordered]
+    plain = all(re.fullmatch(r"[A-Za-z0-9._=-]+", b) for b in basenames)
+    if plain and len(set(basenames)) == len(basenames):
+        data = spark.read.parquet(*paths)
+        rows = []
+        for f, b in zip(ordered, basenames):
+            pv = live[f].get("partitionValues") or {}
+            rows.append((b, *[pv.get(c) for c in pcols]))
+        map_schema = "__base string" + "".join(
+            f", __pv{i} string" for i in range(len(pcols))
         )
+        mapping = spark.createDataFrame(rows, map_schema)
+        out = (
+            data.withColumn(
+                "__base", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            )
+            .join(F.broadcast(mapping), "__base", "inner")
+            .drop("__base")
+        )
+        for i, c in enumerate(pcols):
+            out = out.withColumn(c, F.col(f"__pv{i}").cast(fields[c].dataType)).drop(
+                f"__pv{i}"
+            )
+        return out.select(*[fld.name for fld in schema.fields])
+    # fallback: group files by partition tuple, one scan per group
+    groups: dict[tuple, list[str]] = {}
+    for f in ordered:
+        pv = live[f].get("partitionValues") or {}
+        groups.setdefault(tuple(pv.get(c) for c in pcols), []).append(
+            os.path.join(path, f)
+        )
+    parts = []
+    for key in sorted(groups, key=lambda k: tuple((v is None, v) for v in k)):
+        g = spark.read.parquet(*groups[key])
+        for c, v in zip(pcols, key):
+            g = g.withColumn(c, F.lit(v).cast(fields[c].dataType))
+        parts.append(g.select(*[fld.name for fld in schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def read_delta_where(
@@ -524,37 +675,62 @@ def read_delta_where(
     NaN bounds are all KEPT — the overlap test is written in the
     NaN-safe negated form so an unordered comparison can never skip.
 
+    On a PARTITION column the skip uses ``add.partitionValues`` instead:
+    the string value is parsed to the schemaString type and compared
+    driver-side, so untouched partitions' files are never listed in the
+    scan at all — Delta-native partition pruning. Files whose
+    partitionValues lack the column (foreign-log defect) are kept
+    conservatively; a null partition value is skipped (null never
+    satisfies the range residual).
+
     This is the Delta-native twin of ``txlog.TxLogTable.read_where``
     (which derives the same envelopes from parquet footers at query
     time): here the log IS the statistics store, so skipping needs no
     footer reads at all — the 100 TB point of stats-in-log.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
 
     path = path.rstrip("/")
     delta_dir = os.path.join(path, DELTA_DIR)
-    _want, live, metadata, _protocol = _replay_delta_log(spark, delta_dir, version)
-    _refuse_partitioned(metadata)
-    kept = []
-    for f, add in sorted(live.items()):
-        stats_raw = add.get("stats")
-        keep = True
-        if stats_raw:
-            try:
-                stats = json.loads(stats_raw)
-                mn = stats.get("minValues", {}).get(column)
-                mx = stats.get("maxValues", {}).get(column)
-                if mn is not None and mx is not None:
-                    # negated form: NaN makes both comparisons False -> keep
-                    keep = not (mn > hi or mx < lo)
-            except (json.JSONDecodeError, TypeError, AttributeError):
-                keep = True  # malformed stats of any shape: never skip
-        if keep:
-            kept.append(f)
+    state = _replay_delta_log(spark, delta_dir, version)
+    live, metadata = state.live, state.metadata
+    pcols = metadata.get("partitionColumns") or []
+    kept: dict[str, dict] = {}
+    if column in pcols:
+        from .txlog import _parse_partition_value
+
+        schema = StructType.fromJson(json.loads(metadata["schemaString"]))
+        dtype = schema[column].dataType
+        for f, add in sorted(live.items()):
+            pv = add.get("partitionValues") or {}
+            if column not in pv:
+                kept[f] = add  # foreign log without the value: never skip
+                continue
+            if pv[column] is None:
+                continue  # null partition: fails the range residual anyway
+            v = _parse_partition_value(pv[column], dtype)
+            if v is None or lo <= v <= hi:
+                kept[f] = add
+    else:
+        for f, add in sorted(live.items()):
+            stats_raw = add.get("stats")
+            keep = True
+            if stats_raw:
+                try:
+                    stats = json.loads(stats_raw)
+                    mn = stats.get("minValues", {}).get(column)
+                    mx = stats.get("maxValues", {}).get(column)
+                    if mn is not None and mx is not None:
+                        # negated form: NaN makes both comparisons False -> keep
+                        keep = not (mn > hi or mx < lo)
+                except (json.JSONDecodeError, TypeError, AttributeError):
+                    keep = True  # malformed stats of any shape: never skip
+            if keep:
+                kept[f] = add
     residual = (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
     if not kept:
         # same residual filter on the empty frame so a typo'd column name
         # raises the same AnalysisException as the non-empty path
         return _empty_snapshot(spark, metadata).filter(residual)
-    df = spark.read.parquet(*[os.path.join(path, f) for f in kept])
-    return df.filter(residual)
+    return _read_live_files(spark, path, kept, metadata).filter(residual)

@@ -295,10 +295,11 @@ def test_export_after_vacuum_derives_schema_from_live_files(spark, tmp_path):
     assert [f.name for f in got.schema.fields] == ["id", "v"]
 
 
-def test_reader_refuses_partitioned_tables(spark, tmp_path):
-    """metaData.partitionColumns non-empty: an explicit-file-list parquet
-    read would silently drop the partition columns, so the reader must
-    refuse loudly (the spec's unsupported-feature contract)."""
+def test_reader_rejects_partition_column_missing_from_schema(spark, tmp_path):
+    """Partitioned tables ARE read now (round 6) — but a log whose
+    partitionColumns name a column absent from schemaString is corrupt,
+    and silently dropping the column would be a wrong answer; it must
+    raise loudly."""
     path = str(tmp_path / "t")
     t = _make_table(spark, path)
     t.to_delta_log()
@@ -309,8 +310,8 @@ def test_reader_refuses_partitioned_tables(spark, tmp_path):
     lines[1] = json.dumps(meta)
     with open(c0, "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    with pytest.raises(NotImplementedError, match="partitionColumns"):
-        read_delta_snapshot(spark, path)
+    with pytest.raises(ValueError, match="absent from schemaString"):
+        read_delta_snapshot(spark, path).collect()
 
 
 def test_random_operation_sequences_roundtrip(spark, tmp_path):

@@ -1,0 +1,258 @@
+"""Partitioned Delta interop (round 6): export emits partitionColumns +
+per-add partitionValues; the independent log-replay reader reconstructs
+partition columns from the LOG (one scan + one broadcast file-map join),
+read_delta_where prunes whole partitions with zero listing of their
+files, checkpoints round-trip partitioned state plus remove tombstones
+and txn app versions, log-compaction files are never replayed as
+commits, and incremental re-export refreshes a changed schema.
+All per the public delta.io PROTOCOL.md."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+    read_delta_snapshot,
+    read_delta_where,
+    write_delta_checkpoint,
+)
+from airbnb_listings_data_pipelines_spark.operators.txlog import (
+    TxLogTable,
+    merge_into_txlog,
+)
+
+D = datetime.date
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _pt(spark, path) -> TxLogTable:
+    df = spark.createDataFrame(
+        [
+            (1, "a", D(2024, 1, 1), "07"),
+            (2, "b", D(2024, 1, 2), "07"),
+            (3, "c", D(2024, 1, 2), "08"),
+            (4, "d", D(2024, 2, 1), "07"),
+        ],
+        "k int, v string, file_date date, code string",
+    )
+    return TxLogTable.create(spark, path, df, partition_by=["file_date", "code"])
+
+
+def test_partitioned_export_and_reader_parity(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _pt(spark, path)
+    merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(2, "B", D(2024, 1, 2), "07"), (5, "e", D(2024, 3, 1), "09")],
+            "k int, v string, file_date date, code string",
+        ),
+        keys=["k"],
+    )
+    t.to_delta_log()
+    # commit 0: partitionColumns declared; schemaString includes them typed
+    with open(os.path.join(path, "_delta_log", "0" * 20 + ".json")) as fh:
+        actions = [json.loads(line) for line in fh if line.strip()]
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert meta["partitionColumns"] == ["file_date", "code"]
+    fields = {f["name"]: f["type"] for f in json.loads(meta["schemaString"])["fields"]}
+    assert fields["file_date"] == "date" and fields["code"] == "string"
+    # every add carries the partition values parsed from its hive path
+    for a in actions:
+        if "add" in a:
+            pv = a["add"]["partitionValues"]
+            assert set(pv) == {"file_date", "code"}
+            assert f"file_date={pv['file_date']}" in a["add"]["path"]
+    # independent reader parity at both versions, with exact types
+    got = read_delta_snapshot(spark, path)
+    assert dict(got.dtypes)["file_date"] == "date"
+    assert dict(got.dtypes)["code"] == "string"
+    assert _rows(got) == _rows(t.read())
+    assert _rows(read_delta_snapshot(spark, path, version=0)) == _rows(t.read_version(0))
+    # the inference trap stays closed through the Delta path too
+    assert {r.code for r in got.collect()} == {"07", "08", "09"}
+
+
+def test_partition_pruning_never_lists_untouched_partitions(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    t = _pt(spark, path)
+    t.to_delta_log()
+    # spy on which parquet files the reader hands to Spark
+    import pyspark.sql.readwriter as rw
+
+    handed: list[str] = []
+    orig = rw.DataFrameReader.parquet
+
+    def spy(self, *paths):
+        handed.extend(paths)
+        return orig(self, *paths)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", spy)
+    got = read_delta_where(spark, path, "file_date", D(2024, 1, 1), D(2024, 1, 31))
+    assert {r.k for r in got.collect()} == {1, 2, 3}
+    data_files = [p for p in handed if p.endswith(".parquet")]
+    assert data_files, "expected a non-empty scan"
+    assert all("file_date=2024-01-0" in p for p in data_files), (
+        "files of untouched partitions must never be listed: "
+        f"{[p for p in data_files if 'file_date=2024-01-0' not in p]}"
+    )
+    # string partition column prunes exactly too
+    handed.clear()
+    got2 = read_delta_where(spark, path, "code", "08", "08")
+    assert {r.k for r in got2.collect()} == {3}
+    assert all("code=08" in p for p in handed if p.endswith(".parquet"))
+
+
+def test_partitioned_checkpoint_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _pt(spark, path)
+    merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(1, "A", D(2024, 1, 1), "07")], "k int, v string, file_date date, code string"
+        ),
+        keys=["k"],
+    )
+    t.to_delta_log()
+    before = _rows(read_delta_snapshot(spark, path))
+    v = write_delta_checkpoint(spark, path)
+    assert v == 1
+    # drop the JSON head the checkpoint covers: reader must still resolve
+    for f in list(os.listdir(os.path.join(path, "_delta_log"))):
+        if f.endswith(".json") and f != "_last_checkpoint":
+            os.remove(os.path.join(path, "_delta_log", f))
+    got = read_delta_snapshot(spark, path)
+    assert _rows(got) == before
+    assert dict(got.dtypes)["code"] == "string"
+    pruned = read_delta_where(spark, path, "code", "08", "08")
+    assert {r.k for r in pruned.collect()} == {3}
+
+
+def test_checkpoint_preserves_tombstones_and_txns(spark, tmp_path):
+    """PROTOCOL.md: checkpoints must carry unexpired remove tombstones
+    (VACUUM safety) and txn app versions (streaming idempotence). Build a
+    foreign-style log with both, checkpoint it, expire the JSON head, and
+    re-checkpoint: the state must survive the round-trip."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    df.coalesce(1).write.parquet(path)
+    data = next(f for f in os.listdir(path) if f.endswith(".parquet"))
+    ddir = os.path.join(path, "_delta_log")
+    os.makedirs(ddir)
+    meta = {
+        "id": "tbl-1",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": df.schema.json(),
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    c0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": meta},
+        {"add": {"path": data, "partitionValues": {}, "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "gone.parquet", "partitionValues": {}, "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"txn": {"appId": "stream-1", "version": 41, "lastUpdated": 5}},
+    ]
+    c1 = [
+        {"remove": {"path": "gone.parquet", "deletionTimestamp": 123, "dataChange": True}},
+        {"txn": {"appId": "stream-1", "version": 42, "lastUpdated": 6}},
+    ]
+    for i, actions in enumerate((c0, c1)):
+        with open(os.path.join(ddir, f"{i:020d}.json"), "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    assert write_delta_checkpoint(spark, path) == 1
+    cp = spark.read.parquet(os.path.join(ddir, f"{1:020d}.checkpoint.parquet"))
+    assert "remove" in cp.columns and "txn" in cp.columns
+    tomb = [r for r in cp.select("remove").collect() if r[0] and r[0]["path"]]
+    assert [t[0]["path"] for t in tomb] == ["gone.parquet"]
+    assert [t[0]["deletionTimestamp"] for t in tomb] == [123]
+    txns = [r for r in cp.select("txn").collect() if r[0] and r[0]["appId"]]
+    assert [(x[0]["appId"], x[0]["version"]) for x in txns] == [("stream-1", 42)]
+    # expire the JSON head; the checkpoint alone must reproduce the state
+    for f in (f"{0:020d}.json", f"{1:020d}.json"):
+        os.remove(os.path.join(ddir, f))
+    assert _rows(read_delta_snapshot(spark, path)) == {(1, "a")}
+    # and a SECOND checkpoint built purely from the first keeps carrying them
+    with open(os.path.join(ddir, f"{2:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"timestamp": 7}}) + "\n")
+    assert write_delta_checkpoint(spark, path) == 2
+    cp2 = spark.read.parquet(os.path.join(ddir, f"{2:020d}.checkpoint.parquet"))
+    tomb2 = [r[0]["path"] for r in cp2.select("remove").collect() if r[0] and r[0]["path"]]
+    txn2 = [(r[0]["appId"], r[0]["version"]) for r in cp2.select("txn").collect() if r[0] and r[0]["appId"]]
+    assert tomb2 == ["gone.parquet"] and txn2 == [("stream-1", 42)]
+
+
+def test_compacted_log_files_are_not_replayed_as_commits(spark, tmp_path):
+    """Delta 3.x / delta-rs write `<start>.<end>.compacted.json` carrying
+    the NET actions of a version range; replaying one as 'version start'
+    would apply future state inside the range. The reader must ignore
+    them entirely (the JSON commits they summarize are still present)."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    t = TxLogTable.create(spark, path, df)
+    merge_into_txlog(
+        spark, t, spark.createDataFrame([(3, "c")], ["id", "v"]), ["id"]
+    )
+    t.to_delta_log()
+    # forge a compaction of versions 0..1 that nets out to ONLY v1's state,
+    # as an external log-compacting writer would
+    ddir = os.path.join(path, "_delta_log")
+    state1 = read_delta_snapshot(spark, path, version=1)
+    net = [{"add": {"path": f, "partitionValues": {}, "size": 1,
+                    "modificationTime": 0, "dataChange": True}}
+           for f in t.files()]
+    with open(os.path.join(ddir, f"{0:020d}.{1:020d}.compacted.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in net) + "\n")
+    # version-0 time travel must NOT see v1's files through the compaction
+    assert _rows(read_delta_snapshot(spark, path, version=0)) == _rows(t.read_version(0))
+    assert _rows(read_delta_snapshot(spark, path)) == _rows(state1)
+
+
+def test_incremental_export_refreshes_changed_schema(spark, tmp_path):
+    """ADVICE round 5: metaData is written once at first export; if the
+    txlog schema evolves afterwards, the next incremental export must
+    append a fresh metaData action (same table id) so external readers
+    decode new files with the right schema."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    t = TxLogTable.create(spark, path, df)
+    t.to_delta_log()
+    with open(os.path.join(path, "_delta_log", "0" * 20 + ".json")) as fh:
+        first_meta = next(
+            json.loads(l)["metaData"] for l in fh if '"metaData"' in l
+        )
+    # schema evolution via merge (adds column w)
+    merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame([(2, "b", 9)], ["id", "v", "w"]),
+        ["id"],
+        evolve_schema=True,
+    )
+    t.to_delta_log()
+    with open(os.path.join(path, "_delta_log", f"{1:020d}.json")) as fh:
+        actions = [json.loads(line) for line in fh if line.strip()]
+    metas = [a["metaData"] for a in actions if "metaData" in a]
+    assert len(metas) == 1, "commit 1 must carry the refreshed metaData"
+    assert metas[0]["id"] == first_meta["id"], "table id is stable for life"
+    names = [f["name"] for f in json.loads(metas[0]["schemaString"])["fields"]]
+    assert "w" in names
+    got = read_delta_snapshot(spark, path)
+    assert "w" in got.columns
+    assert _rows(got) == _rows(t.read())
+    # re-export with no schema change adds nothing new
+    t.to_delta_log()
+    with open(os.path.join(path, "_delta_log", f"{1:020d}.json")) as fh:
+        still = [json.loads(line) for line in fh if line.strip()]
+    assert sum(1 for a in still if "metaData" in a) == 1
