@@ -98,6 +98,7 @@ _CHECK_FIRST = [
     "x36_mergeable_hll_rollup",
     # round-6 additions fill slots 49+; remainder auto-fills from
     # registry order (all have round-4+ driver evidence).
+    "x68_semdedup_two_level",
 ]
 
 

@@ -678,7 +678,7 @@ def semdedup_prune(
         # TWO-LEVEL assignment (the true-linear scale path, IVF fit/serve
         # split applied to the medoid table itself): coarse-quantize the
         # seeds by a nested hash threshold (coarse set is a deterministic
-        # SUBSET of the seeds — expected k^(1/2) of them), route every
+        # SUBSET of the seeds — expected sqrt(k) of them), route every
         # seed and every vector to its argmax coarse cell, then argmax
         # only over the seeds in that cell. Assignment drops from N*k to
         # ~N*2*sqrt(k) cosines at the cost of an approximate (cell-
@@ -686,13 +686,26 @@ def semdedup_prune(
         # Every coarse seed is a seed and routes to itself (cos=1), so no
         # cell is seedless and every vector finds >= 1 candidate.
         # same literal-threshold discipline as the sqrt-rate seeding: one
-        # 1-row scalar collect of the seed count keeps the coarse filter a
-        # plan literal (the in-plan crossJoin scalar would re-run the seed
-        # count in every downstream branch) and makes the guard probe a
-        # true scan-until-first-match
-        k_total = seeds.agg(F.count(F.lit(1))).collect()[0][0]
+        # 1-row scalar collect of the seed count + max hash keeps the
+        # coarse filter a plan literal (the in-plan crossJoin scalar would
+        # re-run the seed aggregate in every downstream branch).
+        #
+        # The nested cut is a fraction of the SEEDS' OWN hash range
+        # (max+1, so the max-hash seed itself stays eligible at k=1),
+        # NOT of 2^32: seed hashes are uniform on [0, seed-threshold),
+        # so floor((max+1)/sqrt(k)) selects an expected k/sqrt(k) =
+        # sqrt(k) of them. Cutting at 2^32/k^(1/4) — the round-5 form —
+        # always exceeds the seed threshold, making coarse == seeds and
+        # silently degenerating two-level into single-level with MORE
+        # cosines (caught when this path was promoted to an oracled
+        # registry query, x68; its bit-exact twin would have been
+        # vacuously identical to x52's).
+        k_total, max_h = seeds.agg(
+            F.count(F.lit(1)),
+            F.max(md5_hash32(F.col("__seed_id").cast("string"))),
+        ).collect()[0]
         c_threshold = (
-            math.floor(4294967296.0 / math.sqrt(math.sqrt(float(k_total))))
+            math.floor((float(max_h) + 1.0) / math.sqrt(float(k_total)))
             if k_total
             else 0
         )

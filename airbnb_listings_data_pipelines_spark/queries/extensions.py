@@ -3532,3 +3532,90 @@ def x67_neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("affected_ppm"),
         )
     )
+
+
+_SEMDEDUP2_ORACLE = f"""
+    WITH h AS (
+      SELECT vec_id, embedding,
+             list_sum(list_transform(range(1, 9), i ->
+               (strpos('0123456789abcdef',
+                       substring(md5(CAST(vec_id AS VARCHAR)), i, 1)) - 1)
+               * CAST(pow(16, 8 - i) AS BIGINT))) AS hh
+      FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS seed_id, embedding AS svec, hh
+      FROM h WHERE hh < CAST(floor(4294967296.0 /
+        sqrt(CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE))) AS BIGINT)
+    ), stats AS (
+      SELECT CAST(floor((CAST(MAX(hh) AS DOUBLE) + 1.0)
+                        / sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS c_thr
+      FROM seeds
+    ), coarse0 AS (
+      SELECT s.seed_id AS cell, s.svec AS cvec
+      FROM seeds s, stats t WHERE s.hh < t.c_thr
+    ), coarse AS (
+      SELECT cell, cvec FROM coarse0
+      UNION ALL
+      SELECT seed_id AS cell, svec AS cvec
+      FROM (SELECT seed_id, svec,
+                   row_number() OVER (ORDER BY hh, seed_id) AS rn FROM seeds)
+      WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM coarse0)
+    ), seed_cells AS (
+      SELECT seed_id, svec, cell
+      FROM (SELECT s.seed_id, s.svec, c.cell,
+                   {_dk_cos('s.svec', 'c.cvec')} AS cc
+            FROM seeds s, coarse c)
+      QUALIFY row_number() OVER (PARTITION BY seed_id
+                                 ORDER BY cc DESC, cell) = 1
+    ), vec_cells AS (
+      SELECT vec_id, embedding, cell
+      FROM (SELECT e.vec_id, e.embedding, c.cell,
+                   {_dk_cos('e.embedding', 'c.cvec')} AS cc
+            FROM embeddings e, coarse c)
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cc DESC, cell) = 1
+    ), assign AS (
+      SELECT vec_id, embedding, seed_id AS cluster
+      FROM (SELECT v.vec_id, v.embedding, sc.seed_id,
+                   {_dk_cos('v.embedding', 'sc.svec')} AS c
+            FROM vec_cells v JOIN seed_cells sc ON v.cell = sc.cell)
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY c DESC, seed_id) = 1
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_dk_cos('a.embedding', 'b.embedding')} >= 0.4
+    )
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+           CAST(a.cluster AS BIGINT) AS cluster,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+@query(
+    "x68_semdedup_two_level",
+    oracle=_SEMDEDUP2_ORACLE,
+    survey_rows=("EXT-dedup", "EXT-similarity", "J5", "W1"),
+    doc="SemDeDup with TWO-LEVEL assignment — the linear-cost production "
+    "shape x52's docstring prescribes at k beyond ~1k, now a first-class "
+    "oracled path (round-5 verdict item 4). The sqrt-rate seeds are "
+    "coarse-quantized by a nested hash cut at floor((max_seed_hash+1)/"
+    "sqrt(k)) — a fraction of the seeds' OWN hash range, expected "
+    "sqrt(k) cells (the round-5 cut at 2^32/k^(1/4) always exceeded the "
+    "seed threshold, making coarse == seeds and two-level a silent "
+    "no-op; promoting the path to this bit-exact oracle exposed that — "
+    "fixed in operators/dedup.semdedup_prune). Every vector routes to "
+    "its nearest coarse cell, then argmaxes only that cell's seeds: "
+    "N*k assignment cosines drop to ~N*2*sqrt(k), the prune stage is "
+    "x52's unchanged. Cell-restricted nearest seed is approximate — "
+    "SemDeDup's own regime (cluster granularity, not exact NN, drives "
+    "dedup quality). Scale shape: two broadcast argmax passes (no "
+    "shuffle) + one cluster-keyed shuffle for the prune self-join; "
+    "thresholds are 1-row-scalar plan literals (house discipline). "
+    "operators/dedup.semdedup_prune(two_level=True).",
+)
+def x68_semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semdedup_prune(emb, tau=0.4, two_level=True)

@@ -66,10 +66,44 @@ EXCLUDED = {
 }
 
 
+def _load_snapshot() -> dict:
+    """Contention self-diagnosis (round-5 lesson: the driver's BENCH_r05
+    ran on a loaded box and showed every query — including map-only ones —
+    uniformly 1.2-1.7x slower; a plan regression is never uniform across
+    unrelated operators, contention is). Record 1-min loadavg and the
+    running-process count so a polluted run is self-labeling."""
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:
+        load1 = load5 = -1.0
+    nproc = os.cpu_count() or 1
+    running = 0
+    try:
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/stat") as fh:
+                    s = fh.read()
+                if s[s.rindex(")") + 2] == "R":
+                    running += 1
+            except (OSError, ValueError, IndexError):
+                continue
+    except OSError:
+        running = -1
+    return {
+        "loadavg_1m": round(load1, 2),
+        "loadavg_5m": round(load5, 2),
+        "cpus": nproc,
+        "running_procs": running,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    load_before = _load_snapshot()
     reg = load_all()
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
@@ -88,6 +122,13 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings[n] for n in HEADLINE), 4)
+    load_after = _load_snapshot()
+    # "contended" = sustained external load: 1-min loadavg before the run
+    # already above half the cores (this bench itself is the only thing
+    # that should be running), or the pre-run loadavg exceeds what the
+    # warm-up could explain. Conservative flag — false negatives possible,
+    # but a true flag means the numbers must not be trended.
+    contended = load_before["loadavg_1m"] > load_before["cpus"] * 0.5
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(
@@ -96,6 +137,9 @@ def main() -> None:
                 "all_queries_total": round(sum(timings.values()), 4),
                 "excluded": EXCLUDED,
                 "sf": sf,
+                "load_before": load_before,
+                "load_after": load_after,
+                "contended": contended,
             },
             f,
             indent=1,
@@ -113,6 +157,9 @@ def main() -> None:
                 "all_queries_total": round(sum(timings.values()), 4),
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
+                "loadavg_before": load_before["loadavg_1m"],
+                "loadavg_after": load_after["loadavg_1m"],
+                "contended": contended,
             }
         )
     )
