@@ -40,3 +40,52 @@ def curate_documents(
     if drop_unknown_lang:
         out = out.filter(F.col("predicted_lang") != "und")
     return out.select(id_col, "predicted_lang", "n_chars", "n_tokens", "stopword_ratio")
+
+
+def neardup_candidates_production(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    hash_fn=None,
+) -> tuple[DataFrame, DataFrame]:
+    """The production near-dup ordering as an API, not prose: EXACT dedup
+    first (x01), fingerprint candidate generation second (x16/x39/x40/
+    x66/x67 machinery).
+
+    SCALING.md's probes show why the order is load-bearing: on a corpus
+    with verbatim replication, every clique of c identical documents
+    contributes c*(c-1)/2 verbatim candidate pairs AND multiplies every
+    cross-document pair by up to c^2 — the winnowing index is
+    candidate-bounded, so the pair list (and everything downstream:
+    exact shingle verification, containment, threshold curves) inflates
+    quadratically in the replication factor. Collapsing identical texts
+    to their min-id representative FIRST removes that term entirely; the
+    10x-probe "clique artifact" recorded for x16/x40/x66/x67 is exactly
+    what this function prevents.
+
+    Returns ``(candidates, representatives)``:
+
+    - ``candidates``: ``id_a, id_b, shared_fps`` over REPRESENTATIVE ids
+      only (min ``id_col`` per distinct ``text_col``), ids ordered
+      ``id_a < id_b`` — the x39-shaped pair list.
+    - ``representatives``: ``id_col, n_copies`` — one row per kept
+      representative with its exact-duplicate group size, so callers can
+      fan group-level decisions back out to all copies (or weight by
+      multiplicity) without ever re-pairing them.
+    """
+    from pyspark.sql import functions as F
+
+    h = hash_fn if hash_fn is not None else F.xxhash64
+    reps_rows = dedup.exact_dedup(docs, [text_col], id_col)
+    counts = (
+        docs.groupBy(text_col).agg(
+            F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
+        )
+    ).select(id_col, F.col("n_copies").cast("long").alias("n_copies"))
+    cands = dedup.winnowing_neardup_pairs(
+        reps_rows, id_col, text_col, k, window, min_shared, h
+    )
+    return cands, counts
