@@ -99,6 +99,7 @@ _CHECK_FIRST = [
     # round-6 additions fill slots 49+; remainder auto-fills from
     # registry order (all have round-4+ driver evidence).
     "x68_semdedup_two_level",
+    "x69_delta_partition_roundtrip",
 ]
 
 

@@ -111,17 +111,50 @@ class TxLogTable:
         return t
 
     @classmethod
-    def convert(cls, spark: SparkSession, path: str) -> "TxLogTable":
+    def convert(
+        cls,
+        spark: SparkSession,
+        path: str,
+        partition_by: list[str] | None = None,
+    ) -> "TxLogTable":
         """Adopt an existing plain-parquet directory: version 0 references
-        the current files in place (no rewrite, like Delta's CONVERT)."""
+        the current files in place (no rewrite, like Delta's CONVERT).
+        For a hive-partitioned directory pass ``partition_by`` — the
+        partition column TYPES are taken from one partition-discovery read
+        of the existing layout (Spark's inference), recorded in commit 0,
+        and exact from then on; files are adopted recursively."""
         t = cls(spark, path)
+        pby = list(partition_by or [])
+        if pby:
+            probe = spark.read.parquet(t.path)
+            missing = [c for c in pby if c not in probe.columns]
+            if missing:
+                raise ValueError(
+                    f"partition_by columns not discovered in {t.path}: {missing}"
+                )
+            pschema = probe.select(*pby).schema
         os.makedirs(t.log_dir, exist_ok=False)
-        files = sorted(
-            f
-            for f in os.listdir(t.path)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        files = []
+        for root, dirs, fs in sorted(os.walk(t.path)):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            rel_dir = os.path.relpath(root, t.path)
+            if not pby and rel_dir != ".":
+                continue  # unpartitioned adoption stays top-level only
+            for f in sorted(fs):
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    rel = f if rel_dir == "." else os.path.join(rel_dir, f)
+                    files.append(rel.replace(os.sep, "/"))
+        t._pmeta = (pby, pschema if pby else None)
+        t._try_commit(
+            0,
+            adds=files,
+            removes=[],
+            op="convert",
+            extra={
+                "partition_by": pby,
+                "partition_schema": pschema.json() if pby else None,
+            },
         )
-        t._try_commit(0, adds=files, removes=[], op="convert")
         return t
 
     # -------------------------------------------------------- partitioning

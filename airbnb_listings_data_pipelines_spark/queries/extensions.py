@@ -3619,3 +3619,58 @@ _SEMDEDUP2_ORACLE = f"""
 def x68_semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.semdedup_prune(emb, tau=0.4, two_level=True)
+
+
+@query(
+    "x69_delta_partition_roundtrip",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS o_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY 1
+    """,
+    survey_rows=("EXT-tableformat", "S7", "A8", "P9"),
+    doc="Partitioned lakehouse roundtrip under the value-hash gate: orders "
+    "-> month-partitioned commit-log table (txlog partition_by, hive "
+    "layout, exact recorded types) -> Delta-protocol export "
+    "(partitionColumns + per-add partitionValues) -> the INDEPENDENT "
+    "log-replay reader's read_delta_where pruning one year of monthly "
+    "partitions driver-side (untouched partitions never listed) -> "
+    "per-month rollup. The oracle aggregates the raw orders table "
+    "directly, so a hash match proves the whole write/export/replay/"
+    "prune path is lossless — partition values, types, and row data. "
+    "Money on the integer-cents grid (floor(x*100), IEEE-exact scalar) "
+    "per the float-reduction rule. Builds its table in a per-call temp "
+    "dir (eager, bounded: one orders-sized write per run). "
+    "operators/txlog + operators/deltalog.",
+)
+def x69_delta_partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import tempfile
+
+    from ..operators.deltalog import read_delta_where
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.trunc("o_orderdate", "month")
+    )
+    root = tempfile.mkdtemp(prefix="x69_delta_")
+    t = TxLogTable.create(spark, root + "/orders", orders, partition_by=["o_month"])
+    t.to_delta_log()
+    snap = read_delta_where(
+        spark,
+        root + "/orders",
+        "o_month",
+        datetime.date(1995, 1, 1),
+        datetime.date(1995, 12, 1),
+    )
+    return snap.groupBy(
+        F.date_format("o_month", "yyyy-MM").alias("o_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0))).cast("long").alias("total_cents"),
+    )

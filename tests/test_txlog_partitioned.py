@@ -150,3 +150,30 @@ def test_unpartitioned_tables_unchanged(spark, tmp_path):
     assert t.partition_meta() == ([], None)
     assert all("/" not in f for f in t.files())
     assert {r.code for r in t.read().collect()} == {"07"}
+
+
+def test_convert_adopts_partitioned_hive_dir(spark, tmp_path):
+    """CONVERT over an existing hive-partitioned directory: files adopted
+    in place (recursively, no rewrite), partition columns recorded and
+    reconstructed, merges work afterwards."""
+    path = str(tmp_path / "hive")
+    _df(
+        spark,
+        [(1, "a", D(2024, 1, 1), "07"), (2, "b", D(2024, 1, 2), "08")],
+    ).write.partitionBy("file_date").parquet(path)
+    before = {
+        os.path.relpath(p, path)
+        for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    }
+    t = TxLogTable.convert(spark, path, partition_by=["file_date"])
+    assert set(t.files()) == before, "no rewrite — original files referenced"
+    got = t.read()
+    assert dict(got.dtypes)["file_date"] == "date"
+    assert {(r.k, r.file_date) for r in got.collect()} == {
+        (1, D(2024, 1, 1)), (2, D(2024, 1, 2)),
+    }
+    merge_into_txlog(
+        spark, t, _df(spark, [(3, "c", D(2024, 2, 1), "09")]), keys=["k"]
+    )
+    assert {r.k for r in t.read().collect()} == {1, 2, 3}
+    assert {r.k for r in t.read_where("file_date", D(2024, 2, 1), D(2024, 2, 28)).collect()} == {3}
