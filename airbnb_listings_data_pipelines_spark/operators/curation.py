@@ -79,12 +79,15 @@ def neardup_candidates_production(
     from pyspark.sql import functions as F
 
     h = hash_fn if hash_fn is not None else F.xxhash64
-    reps_rows = dedup.exact_dedup(docs, [text_col], id_col)
-    counts = (
-        docs.groupBy(text_col).agg(
-            F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
-        )
-    ).select(id_col, F.col("n_copies").cast("long").alias("n_copies"))
+    # ONE groupBy yields both outputs: the min-id representative IS the
+    # exact-dedup survivor when text is the whole key, and groupBy
+    # partial-aggregates map-side where exact_dedup's row_number window
+    # cannot — so the candidates path shuffles the corpus once, not twice
+    grouped = docs.groupBy(text_col).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
+    )
+    reps_rows = grouped.select(id_col, text_col)
+    counts = grouped.select(id_col, F.col("n_copies").cast("long").alias("n_copies"))
     cands = dedup.winnowing_neardup_pairs(
         reps_rows, id_col, text_col, k, window, min_shared, h
     )

@@ -156,6 +156,45 @@ def _file_delta_stats(full_path: str) -> str | None:
     )
 
 
+def _schema_fields(schema_string: str) -> list[tuple[str, object]]:
+    """(name, dataType) pairs of a schemaString — nullability excluded,
+    it is presentation noise for schema-evolution comparisons."""
+    from pyspark.sql.types import StructType
+
+    return [
+        (f.name, f.dataType)
+        for f in StructType.fromJson(json.loads(schema_string)).fields
+    ]
+
+
+def _version_schema_differs(
+    table, cur: set, pby: list[str], exported_fields: list | None
+) -> bool:
+    """Does txlog version ``cur``'s on-disk schema differ from the exported
+    metaData's? Sampled from ONE existing file's footer (metadata-only
+    pyarrow read; files within a version are homogeneous here — every
+    txlog commit is a full rewrite) plus the recorded partition types.
+    Versions whose files are all vacuumed return False (defer the refresh
+    to the next version — their schema is unknowable and their adds are
+    inert)."""
+    from .txlog import _footer_schema
+
+    sample = next(
+        (f for f in sorted(cur) if os.path.exists(os.path.join(table.path, f))),
+        None,
+    )
+    if sample is None or exported_fields is None:
+        return False
+    fields = [
+        (f.name, f.dataType)
+        for f in _footer_schema(os.path.join(table.path, sample)).fields
+    ]
+    if pby:
+        _pby, pschema = table.partition_meta()
+        fields += [(f.name, f.dataType) for f in pschema.fields]
+    return fields != exported_fields
+
+
 def export_delta_log(spark: SparkSession, table) -> int:
     """Write/refresh a Delta-protocol ``_delta_log`` mirroring every
     version of a :class:`txlog.TxLogTable`. Returns the latest exported
@@ -180,8 +219,13 @@ def export_delta_log(spark: SparkSession, table) -> int:
     # parquet files against a stale schemaString. Compare the live schema
     # against the exported metaData and, when they differ, emit a fresh
     # metaData action (same table id — the id is the table's identity for
-    # its whole life) inside the FIRST newly-exported commit.
+    # its whole life) inside the first newly-exported commit WHOSE OWN
+    # FILE SCHEMA DIFFERS from the exported one — not blindly the first
+    # new commit: versions between the export head and the evolution
+    # still carry the old schema, and stamping the new metaData on them
+    # would make VERSION AS OF show a column that did not exist yet.
     meta_refresh: dict | None = None
+    exported_fields: list[tuple[str, object]] | None = None
     has_exported = any(
         re.fullmatch(r"\d{20}\.json", f) for f in os.listdir(delta_dir)
     ) or os.path.exists(os.path.join(delta_dir, "_last_checkpoint"))
@@ -202,6 +246,7 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 )
             meta_refresh = dict(exported.metadata)
             meta_refresh["schemaString"] = current_schema
+            exported_fields = _schema_fields(exported.metadata["schemaString"])
     prev: set[str] = set()
     # ONE forward pass over the txlog (applying each commit to a running
     # file set) instead of table._replay(as_of=v) per version — the latter
@@ -258,7 +303,9 @@ def export_delta_log(spark: SparkSession, table) -> int:
                     }
                 }
             )
-        elif meta_refresh is not None:
+        elif meta_refresh is not None and _version_schema_differs(
+            table, cur, pby, exported_fields
+        ):
             actions.append({"metaData": meta_refresh})
             meta_refresh = None
         for f in sorted(cur - prev):
@@ -272,9 +319,11 @@ def export_delta_log(spark: SparkSession, table) -> int:
             # txlog writer produced; the dir strings are already the
             # protocol's partition-value serialization (ISO dates, plain
             # ints, raw strings), with the writer's %XX escapes undone
-            pvals = (
-                {c: table._partition_values(f).get(c) for c in pby} if pby else {}
-            )
+            if pby:
+                parsed = table._partition_values(f)
+                pvals = {c: parsed.get(c) for c in pby}
+            else:
+                pvals = {}
             add = {
                 "path": f,
                 "partitionValues": pvals,
@@ -606,8 +655,14 @@ def _read_live_files(
     pcols = metadata.get("partitionColumns") or []
     ordered = sorted(live)
     paths = [os.path.join(path, f) for f in ordered]
+    # data columns are read under the schemaString's EXPLICIT schema, not
+    # footer inference: PROTOCOL.md allows data files written before a
+    # schema evolution to lack later-added columns (readers must null-fill
+    # them from metaData), and footer sampling would resolve such a mixed
+    # table nondeterministically — whichever file Spark samples wins
+    data_schema = StructType([f for f in schema.fields if f.name not in pcols])
     if not pcols:
-        return spark.read.parquet(*paths)
+        return spark.read.schema(data_schema).parquet(*paths)
     fields = {fld.name: fld for fld in schema.fields}
     missing = [c for c in pcols if c not in fields]
     if missing:
@@ -615,7 +670,7 @@ def _read_live_files(
     basenames = [f.rsplit("/", 1)[-1] for f in ordered]
     plain = all(re.fullmatch(r"[A-Za-z0-9._=-]+", b) for b in basenames)
     if plain and len(set(basenames)) == len(basenames):
-        data = spark.read.parquet(*paths)
+        data = spark.read.schema(data_schema).parquet(*paths)
         rows = []
         for f, b in zip(ordered, basenames):
             pv = live[f].get("partitionValues") or {}
@@ -645,7 +700,7 @@ def _read_live_files(
         )
     parts = []
     for key in sorted(groups, key=lambda k: tuple((v is None, v) for v in k)):
-        g = spark.read.parquet(*groups[key])
+        g = spark.read.schema(data_schema).parquet(*groups[key])
         for c, v in zip(pcols, key):
             g = g.withColumn(c, F.lit(v).cast(fields[c].dataType))
         parts.append(g.select(*[fld.name for fld in schema.fields]))

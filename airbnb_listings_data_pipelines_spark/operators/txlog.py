@@ -47,7 +47,15 @@ class CommitConflict(Exception):
     """Another writer committed the version this writer raced for."""
 
 
-_TYPE_INFER_KEY = "spark.sql.sources.partitionColumnTypeInference.enabled"
+def _footer_schema(path: str):
+    """Spark StructType of one parquet file's footer — a metadata-only
+    pyarrow read, no Spark job, no row groups touched."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return from_arrow_schema(
+        pq.ParquetFile(path).schema_arrow, prefer_timestamp_ntz=True
+    )
 
 
 _LOG_DIR = "_txlog"
@@ -135,15 +143,20 @@ class TxLogTable:
             pschema = probe.select(*pby).schema
         os.makedirs(t.log_dir, exist_ok=False)
         files = []
-        for root, dirs, fs in sorted(os.walk(t.path)):
+        # NOT sorted(os.walk(...)): sorted() would materialize the whole
+        # walk before the dirs[:] pruning runs, silently descending into
+        # _delta_log/_staging/hidden dirs and adopting e.g. checkpoint
+        # parquets as data files; determinism comes from sorting `files`
+        for root, dirs, fs in os.walk(t.path):
             dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             rel_dir = os.path.relpath(root, t.path)
             if not pby and rel_dir != ".":
                 continue  # unpartitioned adoption stays top-level only
-            for f in sorted(fs):
+            for f in fs:
                 if f.endswith(".parquet") and not f.startswith(("_", ".")):
                     rel = f if rel_dir == "." else os.path.join(rel_dir, f)
                     files.append(rel.replace(os.sep, "/"))
+        files.sort()
         t._pmeta = (pby, pschema if pby else None)
         t._try_commit(
             0,
@@ -181,45 +194,38 @@ class TxLogTable:
         """ONE parquet scan over an explicit live-file list, reattaching
         partition columns for partitioned tables via the ``basePath``
         option (Spark's documented mechanism for partition discovery over
-        explicit file lists). Partition-type inference is disabled for the
-        (eager) resolution and the recorded commit-0 types are cast back —
-        inference is lossy (string ``"07"`` → int 7) and the recorded
-        schema is authoritative."""
+        explicit file lists) plus an EXPLICIT user schema: data fields from
+        one footer (metadata-only pyarrow read, homogeneous within a
+        snapshot — every commit here is a full rewrite), partition fields
+        from the commit-0 recorded types. The explicit schema means
+        partition-type inference never runs — inference is lossy (string
+        ``"07"`` → int 7) — and needs no session-conf mutation, so
+        concurrent readers on a shared SparkSession are unaffected."""
         paths = [os.path.join(self.path, f) for f in files]
         pby, pschema = self.partition_meta()
         if not pby:
             return self.spark.read.parquet(*paths)
-        from pyspark.sql import functions as F
-
-        old = self.spark.conf.get(_TYPE_INFER_KEY, "true")
-        self.spark.conf.set(_TYPE_INFER_KEY, "false")
-        try:
-            # schema resolution happens eagerly at .parquet(), so the conf
-            # can be restored immediately after (verified: the returned
-            # DataFrame keeps its string-typed partition columns)
-            df = self.spark.read.option("basePath", self.path).parquet(*paths)
-        finally:
-            self.spark.conf.set(_TYPE_INFER_KEY, old)
+        schema = _footer_schema(paths[0])
         for fld in pschema.fields:
-            df = df.withColumn(fld.name, F.col(fld.name).cast(fld.dataType))
-        return df
+            schema = schema.add(fld)
+        return (
+            self.spark.read.schema(schema)
+            .option("basePath", self.path)
+            .parquet(*paths)
+        )
 
     def _empty(self) -> DataFrame:
-        """Zero-row snapshot with the table schema (incl. partition cols)."""
-        pby, _ = self.partition_meta()
-        if not pby:
-            return self.spark.read.parquet(self.path).limit(0)
-        old = self.spark.conf.get(_TYPE_INFER_KEY, "true")
-        self.spark.conf.set(_TYPE_INFER_KEY, "false")
-        try:
-            df = self.spark.read.parquet(self.path)
-        finally:
-            self.spark.conf.set(_TYPE_INFER_KEY, old)
-        from pyspark.sql import functions as F
+        """Zero-row snapshot with the table schema (incl. partition cols).
+        Inference may mangle partition TYPES on the probe read; the cast
+        to the recorded types fixes the dtype, and values are irrelevant
+        on a zero-row frame."""
+        pby, pschema = self.partition_meta()
+        df = self.spark.read.parquet(self.path)
+        if pby:
+            from pyspark.sql import functions as F
 
-        _pby, pschema = self.partition_meta()
-        for fld in pschema.fields:
-            df = df.withColumn(fld.name, F.col(fld.name).cast(fld.dataType))
+            for fld in pschema.fields:
+                df = df.withColumn(fld.name, F.col(fld.name).cast(fld.dataType))
         return df.limit(0)
 
     @staticmethod

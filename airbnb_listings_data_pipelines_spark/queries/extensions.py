@@ -3621,6 +3621,9 @@ def x68_semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semdedup_prune(emb, tau=0.4, two_level=True)
 
 
+_X69_SCRATCH: dict[str, str] = {}
+
+
 @query(
     "x69_delta_partition_roundtrip",
     oracle="""
@@ -3644,12 +3647,15 @@ def x68_semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     "directly, so a hash match proves the whole write/export/replay/"
     "prune path is lossless — partition values, types, and row data. "
     "Money on the integer-cents grid (floor(x*100), IEEE-exact scalar) "
-    "per the float-reduction rule. Builds its table in a per-call temp "
-    "dir (eager, bounded: one orders-sized write per run). "
+    "per the float-reduction rule. Builds its table in ONE per-process "
+    "scratch dir, rebuilt in place per invocation and removed at exit — "
+    "disk stays bounded at a single orders-sized copy across sweeps. "
     "operators/txlog + operators/deltalog.",
 )
 def x69_delta_partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
     import datetime
+    import shutil
     import tempfile
 
     from ..operators.deltalog import read_delta_where
@@ -3658,7 +3664,21 @@ def x69_delta_partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "o_month", F.trunc("o_orderdate", "month")
     )
-    root = tempfile.mkdtemp(prefix="x69_delta_")
+    # ONE scratch dir per (process, sf_dir), rebuilt in place on every
+    # invocation and removed at interpreter exit: repeated sweeps/bench
+    # runs stay bounded at a single orders-sized copy instead of leaking
+    # a table per run. Rebuilding (rather than reusing) keeps min-of-N
+    # timings measuring the same write+export+replay work every time;
+    # DataFrames returned by PREVIOUS invocations in the same process
+    # reference the replaced files and must not be re-executed after a
+    # rebuild (the driver executes each result promptly).
+    key = "x69" + sf_dir
+    root = _X69_SCRATCH.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="x69_delta_")
+        _X69_SCRATCH[key] = root
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root + "/orders", ignore_errors=True)
     t = TxLogTable.create(spark, root + "/orders", orders, partition_by=["o_month"])
     t.to_delta_log()
     snap = read_delta_where(

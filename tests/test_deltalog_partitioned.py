@@ -309,3 +309,67 @@ def test_duckdb_delta_extension_opens_exported_table(spark, tmp_path):
     )
     ours = {(r.k, r.v, r.code) for r in read_delta_snapshot(spark, path).collect()}
     assert got == ours
+
+
+def test_metadata_refresh_lands_on_the_evolution_commit(spark, tmp_path):
+    """Review fix (round 6): versions exported between the export head and
+    the schema evolution still carry the OLD schema — stamping the fresh
+    metaData on the first new commit regardless would make VERSION AS OF
+    show a column before it existed. The refresh must land on the commit
+    whose files actually changed schema."""
+    path = str(tmp_path / "t")
+    t = TxLogTable.create(spark, path, spark.createDataFrame([(1, "a")], ["id", "v"]))
+    t.to_delta_log()  # export head = v0, schema (id, v)
+    # v1: same schema; v2: evolves (adds w)
+    merge_into_txlog(spark, t, spark.createDataFrame([(2, "b")], ["id", "v"]), ["id"])
+    merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame([(3, "c", 9)], ["id", "v", "w"]),
+        ["id"],
+        evolve_schema=True,
+    )
+    t.to_delta_log()
+    ddir = os.path.join(path, "_delta_log")
+    metas = {}
+    for v in (1, 2):
+        with open(os.path.join(ddir, f"{v:020d}.json")) as fh:
+            metas[v] = [json.loads(l)["metaData"] for l in fh if '"metaData"' in l]
+    assert metas[1] == [], "commit 1 (old schema) must NOT carry the refresh"
+    assert len(metas[2]) == 1 and "w" in metas[2][0]["schemaString"]
+    # VERSION AS OF 1 shows the old schema; latest shows the new
+    v1 = read_delta_snapshot(spark, path, version=1)
+    assert v1.columns == ["id", "v"]
+    assert _rows(v1) == _rows(t.read_version(1))
+    assert "w" in read_delta_snapshot(spark, path).columns
+
+
+def test_evolved_foreign_table_null_fills_old_files(spark, tmp_path):
+    """PROTOCOL.md: data files written before a schema evolution may lack
+    later-added columns; readers must null-fill them from schemaString —
+    NOT sample a footer and hope. Forge a foreign-style log whose commit-0
+    file lacks column w while the metaData declares it."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    spark.createDataFrame([(1, "a")], ["id", "v"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    old_file = next(f for f in os.listdir(path) if f.endswith(".parquet"))
+    full_schema = spark.createDataFrame([(1, "a", 0)], ["id", "v", "w"]).schema
+    ddir = os.path.join(path, "_delta_log")
+    os.makedirs(ddir)
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "tbl-evo", "format": {"provider": "parquet", "options": {}},
+            "schemaString": full_schema.json(), "partitionColumns": [],
+            "configuration": {}, "createdTime": 0,
+        }},
+        {"add": {"path": old_file, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(ddir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    got = read_delta_snapshot(spark, path)
+    assert got.columns == ["id", "v", "w"]
+    assert _rows(got) == {(1, "a", None)}

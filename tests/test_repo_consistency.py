@@ -64,9 +64,13 @@ def _latest_green_rounds():
     import glob
     import json
 
+    import os
+
     latest: dict[str, int] = {}
     for f in glob.glob(str(REPO / "CORRECTNESS_r*.json")):
-        m = re.search(r"r(\d+)", f)
+        # match on the basename: the absolute path may itself contain
+        # "r<digits>" (e.g. /home/user2/), which re.search would hit first
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(f))
         d = json.load(open(f))
         qs = d.get("queries", d)
         for k, v in qs.items():

@@ -177,3 +177,30 @@ def test_convert_adopts_partitioned_hive_dir(spark, tmp_path):
     )
     assert {r.k for r in t.read().collect()} == {1, 2, 3}
     assert {r.k for r in t.read_where("file_date", D(2024, 2, 1), D(2024, 2, 28)).collect()} == {3}
+
+
+def test_convert_never_adopts_underscore_dirs(spark, tmp_path):
+    """Review fix (round 6): sorted(os.walk(...)) materialized the walk
+    before dirs[:] pruning, so convert descended into _delta_log/_staging
+    dirs and adopted e.g. checkpoint parquets as data files."""
+    path = str(tmp_path / "hive")
+    _df(spark, [(1, "a", D(2024, 1, 1), "07")]).write.partitionBy(
+        "file_date"
+    ).parquet(path)
+    # plant a parquet inside an underscore dir (a checkpoint-like file
+    # whose basename does NOT start with '_' or '.')
+    trap = os.path.join(path, "_delta_log")
+    os.makedirs(trap)
+    _df(spark, [(9, "x", D(2030, 1, 1), "99")]).coalesce(1).write.parquet(
+        os.path.join(trap, "ckpt")
+    )
+    inner = next(
+        f for f in os.listdir(os.path.join(trap, "ckpt")) if f.endswith(".parquet")
+    )
+    os.rename(
+        os.path.join(trap, "ckpt", inner),
+        os.path.join(trap, "00000000000000000001.checkpoint.parquet"),
+    )
+    t = TxLogTable.convert(spark, path, partition_by=["file_date"])
+    assert all(not f.startswith("_") for f in t.files())
+    assert {r.k for r in t.read().collect()} == {1}
