@@ -374,7 +374,12 @@ def export_delta_log(spark: SparkSession, table) -> int:
     return latest
 
 
-def write_delta_checkpoint(spark: SparkSession, path: str, version: int | None = None) -> int:
+def write_delta_checkpoint(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    parts: int | None = None,
+) -> int:
     """Write a parquet checkpoint of the Delta log at ``version`` (default:
     latest) plus ``_last_checkpoint`` — the protocol's log-compaction step,
     letting readers skip the JSON commits at/below the checkpoint. The
@@ -382,6 +387,12 @@ def write_delta_checkpoint(spark: SparkSession, path: str, version: int | None =
     ``metaData``/``protocol``/``txn`` struct columns; paths/sizes come
     from replaying the JSON log (via :func:`read_delta_snapshot`'s replay
     core). Returns the checkpointed version.
+
+    ``parts`` writes a MULTI-PART checkpoint (the protocol's
+    ``<v>.checkpoint.<p>.<parts>.parquet`` naming, ``_last_checkpoint``
+    carrying ``parts``): at 100 TB a checkpoint holds millions of add
+    rows, and a single-part write funnels them through one task — parts
+    spread both the write and the reader's bootstrap scan.
 
     At 100 TB this is what bounds snapshot resolution: O(live files) parquet
     rows read vectorized, instead of O(commits) JSON files."""
@@ -425,16 +436,31 @@ def write_delta_checkpoint(spark: SparkSession, path: str, version: int | None =
         .select("a.add", "a.remove", "a.metaData", "a.protocol", "a.txn")
     )
     stage = os.path.join(delta_dir, f".ckpt-stage-{uuid.uuid4().hex}")
-    cp.coalesce(1).write.parquet(stage)
-    part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-    target = os.path.join(delta_dir, f"{want:020d}.checkpoint.parquet")
-    os.replace(os.path.join(stage, part), target)
+    n_parts = int(parts) if parts and parts > 1 else 1
+    (cp.repartition(n_parts) if n_parts > 1 else cp.coalesce(1)).write.parquet(stage)
+    part_files = [f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")]
+    # empty shuffle partitions produce no files — the actual part count is
+    # whatever landed; names and _last_checkpoint must agree with reality
+    n_parts = len(part_files)
+    if n_parts == 1:
+        target = os.path.join(delta_dir, f"{want:020d}.checkpoint.parquet")
+        os.replace(os.path.join(stage, part_files[0]), target)
+    else:
+        for p, f in enumerate(part_files, start=1):
+            target = os.path.join(
+                delta_dir,
+                f"{want:020d}.checkpoint.{p:010d}.{n_parts:010d}.parquet",
+            )
+            os.replace(os.path.join(stage, f), target)
     import shutil
 
     shutil.rmtree(stage)
+    lc = {"version": want, "size": len(rows)}
+    if n_parts > 1:
+        lc["parts"] = n_parts
     tmp = os.path.join(delta_dir, f".lc-{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
-        json.dump({"version": want, "size": len(rows)}, fh)
+        json.dump(lc, fh)
     os.replace(tmp, os.path.join(delta_dir, "_last_checkpoint"))
     return want
 

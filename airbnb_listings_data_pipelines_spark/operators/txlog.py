@@ -492,7 +492,9 @@ class TxLogTable:
 
     # ----------------------------------------------------------- optimize
 
-    def optimize(self, target_files: int = 1) -> int:
+    def optimize(
+        self, target_files: int = 1, zorder_by: list[str] | None = None
+    ) -> int:
         """Small-file compaction as ONE atomic commit (Delta's OPTIMIZE):
         rewrite the live snapshot into ``target_files`` files, commit the
         swap, return the new version. Logically a no-op — readers before,
@@ -502,9 +504,78 @@ class TxLogTable:
         crash leaves only vacuumable orphans (same guarantee as merge).
         Contrast maintenance.compact_parquet_dir, whose directory swap has
         a documented unavailability window — under a commit log the swap
-        IS the commit."""
+        IS the commit.
+
+        ``zorder_by`` is Delta's ``OPTIMIZE ... ZORDER BY``: the rewrite
+        range-partitions and sorts along a Morton curve over the given
+        columns (maintenance.zvalue — pure built-ins, whole-stage
+        codegen), so the rewritten files' footer min/max envelopes — and
+        the per-file stats the Delta export publishes — are tight on
+        EVERY z-ordered column and :meth:`read_where` /
+        ``read_delta_where`` prune on any of them, which a single-column
+        sort cannot give. Columns are auto-quantized to the bit grid
+        from one min/max scalar collect (numeric/date/timestamp only —
+        strings have no locality-preserving quantization and are
+        refused). For partitioned tables the range partitioning leads
+        with the partition columns so partition dirs stay contiguous."""
+        from pyspark.sql import functions as F
+
         base_version, base_files = self._replay()
-        adds = self._write_data(self.read().coalesce(target_files))
+        snap = self.read()
+        if zorder_by:
+            from .maintenance import zvalue
+
+            pby, _ = self.partition_meta()
+            bad = [c for c in zorder_by if c in pby]
+            if bad:
+                raise ValueError(
+                    f"zorder_by columns {bad} are partition columns — "
+                    "partitioning already clusters them"
+                )
+            bits = min(16, 62 // max(len(zorder_by), 1))
+            grid = (1 << bits) - 1
+            dtypes = dict(snap.dtypes)
+
+            def _to_long(c: str):
+                t = dtypes[c]
+                if t == "date":
+                    return F.datediff(F.col(c), F.lit("1970-01-01"))
+                if t.startswith("timestamp"):
+                    return F.unix_timestamp(F.col(c))
+                if t in ("tinyint", "smallint", "int", "bigint", "float", "double") or t.startswith("decimal"):
+                    return F.col(c).cast("double")
+                raise ValueError(f"zorder_by on {c}: {t} has no locality-preserving quantization")
+
+            longs = {c: _to_long(c) for c in zorder_by}
+            # one bounded scalar collect: per-column min/max for grid scaling
+            aggs = []
+            for c in zorder_by:
+                aggs += [F.min(longs[c]).alias(f"__lo_{c}"), F.max(longs[c]).alias(f"__hi_{c}")]
+            row = snap.agg(*aggs).collect()[0]
+            quantized = []
+            for c in zorder_by:
+                lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+                if lo is None or hi is None or float(hi) == float(lo):
+                    quantized.append(F.lit(0).cast("long"))
+                else:
+                    quantized.append(
+                        F.floor(
+                            (longs[c].cast("double") - F.lit(float(lo)))
+                            * F.lit(float(grid))
+                            / F.lit(float(hi) - float(lo))
+                        ).cast("long")
+                    )
+            z = zvalue(quantized, bits=bits)
+            keys = [F.col(c) for c in pby] + [F.col("__z")]
+            snap = (
+                snap.withColumn("__z", z)
+                .repartitionByRange(target_files, *keys)
+                .sortWithinPartitions(*keys)
+                .drop("__z")
+            )
+        else:
+            snap = snap.coalesce(target_files)
+        adds = self._write_data(snap)
         try:
             return self.commit(
                 adds=adds, removes=base_files, base_version=base_version, op="optimize"

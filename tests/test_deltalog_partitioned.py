@@ -373,3 +373,36 @@ def test_evolved_foreign_table_null_fills_old_files(spark, tmp_path):
     got = read_delta_snapshot(spark, path)
     assert got.columns == ["id", "v", "w"]
     assert _rows(got) == {(1, "a", None)}
+
+
+def test_multipart_checkpoint_roundtrip(spark, tmp_path):
+    """Protocol multi-part checkpoints (<v>.checkpoint.<p>.<parts>.parquet
+    + parts in _last_checkpoint): at 100 TB a checkpoint holds millions of
+    add rows and must not funnel through one task. Reader bootstraps from
+    all parts after the JSON head expires."""
+    path = str(tmp_path / "t")
+    t = _pt(spark, path)
+    merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(5, "e", D(2024, 3, 1), "09")], "k int, v string, file_date date, code string"
+        ),
+        keys=["k"],
+    )
+    t.to_delta_log()
+    before = _rows(read_delta_snapshot(spark, path))
+    assert write_delta_checkpoint(spark, path, parts=3) == 1
+    ddir = os.path.join(path, "_delta_log")
+    lc = json.load(open(os.path.join(ddir, "_last_checkpoint")))
+    n = lc.get("parts")
+    assert n and n >= 2, f"expected a multi-part checkpoint, got {lc}"
+    names = [f for f in os.listdir(ddir) if ".checkpoint." in f]
+    assert len(names) == n
+    assert all(f.endswith(f".{n:010d}.parquet") for f in names)
+    for f in list(os.listdir(ddir)):
+        if f.endswith(".json") and f != "_last_checkpoint":
+            os.remove(os.path.join(ddir, f))
+    got = read_delta_snapshot(spark, path)
+    assert _rows(got) == before
+    assert dict(got.dtypes)["code"] == "string"

@@ -204,3 +204,55 @@ def test_convert_never_adopts_underscore_dirs(spark, tmp_path):
     t = TxLogTable.convert(spark, path, partition_by=["file_date"])
     assert all(not f.startswith("_") for f in t.files())
     assert {r.k for r in t.read().collect()} == {1}
+
+
+def test_optimize_zorder_prunes_on_both_columns(spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY through the commit log: after a z-ordered
+    rewrite, footer envelopes are tight on BOTH z-columns, so read_where
+    skips files on either — which a single-column sort cannot give. Also
+    proves the rewrite is logically a no-op and export-composable."""
+    import pyspark.sql.functions as F
+
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        read_delta_where,
+    )
+
+    n = 4096
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") % 64).cast("int").alias("a"),
+            F.floor(F.col("id") / 64).cast("int").alias("b"),
+        )
+        .repartition(16)  # scattered layout: every file spans all of a and b
+    )
+    t = TxLogTable.create(spark, str(tmp_path / "z"), df)
+    before = {tuple(r) for r in t.read().collect()}
+    v = t.optimize(target_files=8, zorder_by=["a", "b"])
+    assert v == 1
+    assert {tuple(r) for r in t.read().collect()} == before  # no-op logically
+    total = len(t.files())
+    assert total >= 4
+
+    def kept(column, lo, hi):
+        return sum(
+            1
+            for f, env in t.file_stats([column]).items()
+            if column not in env or (env[column][0] <= hi and env[column][1] >= lo)
+        )
+
+    assert kept("a", 0, 7) < total, "z-order must prune on column a"
+    assert kept("b", 0, 7) < total, "z-order must prune on column b"
+    assert {r.a for r in t.read_where("a", 0, 7).collect()} == set(range(8))
+    # the Delta export publishes the tightened stats; skipping composes
+    t.to_delta_log()
+    got = read_delta_where(spark, t.path, "b", 0, 7)
+    assert {r.b for r in got.collect()} == set(range(8))
+
+
+def test_optimize_zorder_refuses_partition_and_string_columns(spark, ptable):
+    with pytest.raises(ValueError, match="partition columns"):
+        ptable.optimize(zorder_by=["file_date"])
+    with pytest.raises(ValueError, match="quantization"):
+        ptable.optimize(zorder_by=["v"])
