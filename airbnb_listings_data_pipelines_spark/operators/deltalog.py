@@ -622,12 +622,20 @@ def _check_protocol(protocol: dict) -> None:
 
 
 def read_delta_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Open a Delta table at ``path`` by replaying its ``_delta_log`` —
     a txlog-independent reader usable on ANY Delta table whose protocol
     is minReaderVersion 1 (plain parquet, JSON commits, optional parquet
-    checkpoints). ``version`` gives ``VERSION AS OF`` time travel.
+    checkpoints). ``version`` gives ``VERSION AS OF`` time travel;
+    ``timestamp_ms`` gives ``TIMESTAMP AS OF`` (the newest version whose
+    commit timestamp is <= the requested instant — Delta's resolution
+    rule; commit time comes from the in-commit ``commitInfo.timestamp``,
+    falling back to the commit file's mtime exactly as Delta does for
+    logs whose writers omit commitInfo).
 
     Replays the newest parquet checkpoint at/below the requested version
     (if any) then the JSON commits after it, applying ``add``/``remove``
@@ -640,10 +648,47 @@ def read_delta_snapshot(
     """
     path = path.rstrip("/")
     delta_dir = os.path.join(path, DELTA_DIR)
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass either version or timestamp_ms, not both")
+        version = _version_at_timestamp(delta_dir, timestamp_ms)
     state = _replay_delta_log(spark, delta_dir, version)
     if not state.live:
         return _empty_snapshot(spark, state.metadata)
     return _read_live_files(spark, path, state.live, state.metadata)
+
+
+def _version_at_timestamp(delta_dir: str, timestamp_ms: int) -> int:
+    """TIMESTAMP AS OF resolution: the newest version whose commit
+    timestamp <= ``timestamp_ms``. Only JSON commits carry timestamps;
+    versions compacted below the newest checkpoint after log-head cleanup
+    are not resolvable by time (same envelope as Delta itself, which
+    pins time travel to the available log head)."""
+    best: int | None = None
+    for f in sorted(os.listdir(delta_dir)):
+        if not re.fullmatch(r"\d{20}\.json", f):
+            continue
+        v = int(f.split(".")[0])
+        full = os.path.join(delta_dir, f)
+        ts = None
+        with open(full) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action and action["commitInfo"].get("timestamp") is not None:
+                    ts = int(action["commitInfo"]["timestamp"])
+                    break
+        if ts is None:
+            ts = int(os.path.getmtime(full) * 1000)
+        if ts <= timestamp_ms:
+            best = v if best is None else max(best, v)
+    if best is None:
+        raise FileNotFoundError(
+            f"no commit in {delta_dir} at or before timestamp {timestamp_ms} ms"
+        )
+    return best
 
 
 def _empty_snapshot(spark: SparkSession, metadata: dict) -> DataFrame:

@@ -406,3 +406,33 @@ def test_multipart_checkpoint_roundtrip(spark, tmp_path):
     got = read_delta_snapshot(spark, path)
     assert _rows(got) == before
     assert dict(got.dtypes)["code"] == "string"
+
+
+def test_timestamp_as_of_resolution(spark, tmp_path):
+    """TIMESTAMP AS OF: newest version whose commit timestamp <= the
+    instant, from commitInfo.timestamp (file-mtime fallback per Delta).
+    Forged timestamps make the resolution deterministic."""
+    path = str(tmp_path / "t")
+    t = TxLogTable.create(spark, path, spark.createDataFrame([(1, "a")], ["id", "v"]))
+    merge_into_txlog(spark, t, spark.createDataFrame([(2, "b")], ["id", "v"]), ["id"])
+    t.to_delta_log()
+    ddir = os.path.join(path, "_delta_log")
+    # rewrite commitInfo timestamps: v0 @ t=1000, v1 @ t=2000
+    for v, ts in ((0, 1000), (1, 2000)):
+        f = os.path.join(ddir, f"{v:020d}.json")
+        actions = [json.loads(l) for l in open(f) if l.strip()]
+        for a in actions:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+        with open(f, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    assert _rows(read_delta_snapshot(spark, path, timestamp_ms=1500)) == _rows(
+        t.read_version(0)
+    )
+    assert _rows(read_delta_snapshot(spark, path, timestamp_ms=2000)) == _rows(
+        t.read_version(1)
+    )
+    with pytest.raises(FileNotFoundError, match="at or before timestamp"):
+        read_delta_snapshot(spark, path, timestamp_ms=999)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta_snapshot(spark, path, version=0, timestamp_ms=1500)
