@@ -167,34 +167,6 @@ def _schema_fields(schema_string: str) -> list[tuple[str, object]]:
     ]
 
 
-def _version_schema_differs(
-    table, cur: set, pby: list[str], exported_fields: list | None
-) -> bool:
-    """Does txlog version ``cur``'s on-disk schema differ from the exported
-    metaData's? Sampled from ONE existing file's footer (metadata-only
-    pyarrow read; files within a version are homogeneous here — every
-    txlog commit is a full rewrite) plus the recorded partition types.
-    Versions whose files are all vacuumed return False (defer the refresh
-    to the next version — their schema is unknowable and their adds are
-    inert)."""
-    from .txlog import _footer_schema
-
-    sample = next(
-        (f for f in sorted(cur) if os.path.exists(os.path.join(table.path, f))),
-        None,
-    )
-    if sample is None or exported_fields is None:
-        return False
-    fields = [
-        (f.name, f.dataType)
-        for f in _footer_schema(os.path.join(table.path, sample)).fields
-    ]
-    if pby:
-        _pby, pschema = table.partition_meta()
-        fields += [(f.name, f.dataType) for f in pschema.fields]
-    return fields != exported_fields
-
-
 def export_delta_log(spark: SparkSession, table) -> int:
     """Write/refresh a Delta-protocol ``_delta_log`` mirroring every
     version of a :class:`txlog.TxLogTable`. Returns the latest exported
@@ -216,37 +188,25 @@ def export_delta_log(spark: SparkSession, table) -> int:
     # metaData refresh on incremental export: a schema that evolved AFTER
     # the first export would otherwise stay frozen in commit 0 (Delta
     # commits are immutable), leaving external readers to decode newer
-    # parquet files against a stale schemaString. Compare the live schema
-    # against the exported metaData and, when they differ, emit a fresh
-    # metaData action (same table id — the id is the table's identity for
-    # its whole life) inside the first newly-exported commit WHOSE OWN
-    # FILE SCHEMA DIFFERS from the exported one — not blindly the first
-    # new commit: versions between the export head and the evolution
-    # still carry the old schema, and stamping the new metaData on them
-    # would make VERSION AS OF show a column that did not exist yet.
-    meta_refresh: dict | None = None
-    exported_fields: list[tuple[str, object]] | None = None
+    # parquet files against a stale schemaString. Each newly-exported
+    # commit is compared against the newest metaData already in the Delta
+    # log, and a fresh metaData action (same table id — the id is the
+    # table's identity for its whole life) carrying THAT VERSION'S schema
+    # is emitted exactly at each version whose schema changed — so
+    # VERSION AS OF between evolutions shows exactly the columns that
+    # existed then, for any number of evolutions per export. The schema
+    # of a version comes from the txlog commit's recorded payload (exact
+    # Spark types), falling back to one existing file's footer for
+    # legacy logs.
+    meta_id: str | None = None
+    meta_fields: list | None = None
     has_exported = any(
         re.fullmatch(r"\d{20}\.json", f) for f in os.listdir(delta_dir)
     ) or os.path.exists(os.path.join(delta_dir, "_last_checkpoint"))
     if has_exported:
         exported = _replay_delta_log(spark, delta_dir)
-        live_files = [
-            f for f in _live if os.path.exists(os.path.join(table.path, f))
-        ]
-        current_schema = _schema_string(spark, table, live_files) if live_files else None
-        if current_schema is not None and json.loads(
-            exported.metadata["schemaString"]
-        ) != json.loads(current_schema):
-            if exported.version >= latest:
-                raise RuntimeError(
-                    f"table schema changed but every txlog version (≤{latest}) "
-                    "is already exported — no new Delta commit can carry the "
-                    "refreshed metaData; this indicates log tampering"
-                )
-            meta_refresh = dict(exported.metadata)
-            meta_refresh["schemaString"] = current_schema
-            exported_fields = _schema_fields(exported.metadata["schemaString"])
+        meta_id = exported.metadata["id"]
+        meta_fields = _schema_fields(exported.metadata["schemaString"])
     prev: set[str] = set()
     # ONE forward pass over the txlog (applying each commit to a running
     # file set) instead of table._replay(as_of=v) per version — the latter
@@ -260,6 +220,33 @@ def export_delta_log(spark: SparkSession, table) -> int:
     for name in tx_entries:
         with open(os.path.join(table.log_dir, name)) as fh:
             tx_state[int(name.split(".")[0])] = json.load(fh)
+    def _schema_json_at(v: int, cur_files: set) -> str | None:
+        """Exact schema of txlog version ``v``: the commit's recorded
+        payload, else one existing file's footer plus the recorded
+        partition fields (legacy logs), else None (all files vacuumed)."""
+        c = tx_state.get(v) or {}
+        if c.get("schema"):
+            return c["schema"]
+        sample = next(
+            (
+                f
+                for f in sorted(cur_files)
+                if os.path.exists(os.path.join(table.path, f))
+            ),
+            None,
+        )
+        if sample is None:
+            return None
+        from .txlog import _footer_schema
+
+        schema = _footer_schema(os.path.join(table.path, sample))
+        if pby:
+            _p, pschema = table.partition_meta()
+            for fld in pschema.fields:
+                if fld.name not in schema.fieldNames():
+                    schema = schema.add(fld)
+        return schema.json()
+
     cur: set[str] = set()
     for v in range(latest + 1):
         c = tx_state.get(v)
@@ -275,39 +262,54 @@ def export_delta_log(spark: SparkSession, table) -> int:
             continue
         actions: list[dict] = []
         if v == 0:
-            # metaData.schemaString comes from the LATEST live snapshot's
-            # on-disk files, not version 0's: vacuum may have deleted v0's
-            # files (the add-action path below handles exactly that case),
-            # and the current snapshot is always readable. The export
-            # writes one metaData action, so an evolved schema collapses
-            # to the latest — which is what a reader of the latest
-            # snapshot needs; stated plainly.
-            schema_files = [
-                f for f in _live if os.path.exists(os.path.join(table.path, f))
-            ] or [f for f in sorted(cur) if os.path.exists(os.path.join(table.path, f))]
-            if not schema_files:
-                raise FileNotFoundError(
-                    f"no live data file of {table.path} exists on disk — "
-                    "cannot derive metaData.schemaString for the Delta export"
-                )
+            schema0 = _schema_json_at(0, cur)
+            if schema0 is None:
+                # legacy log, v0 files vacuumed: the latest live snapshot
+                # is the only readable schema source left; stated plainly
+                schema_files = [
+                    f for f in _live if os.path.exists(os.path.join(table.path, f))
+                ]
+                if not schema_files:
+                    raise FileNotFoundError(
+                        f"no live data file of {table.path} exists on disk — "
+                        "cannot derive metaData.schemaString for the Delta export"
+                    )
+                schema0 = _schema_string(spark, table, schema_files)
+            meta_id = meta_id or uuid.uuid4().hex
+            meta_fields = _schema_fields(schema0)
             actions.append({"protocol": dict(_PROTOCOL)})
             actions.append(
                 {
                     "metaData": {
-                        "id": uuid.uuid4().hex,
+                        "id": meta_id,
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": _schema_string(spark, table, schema_files),
+                        "schemaString": schema0,
                         "partitionColumns": list(pby),
                         "configuration": {},
                         "createdTime": now_ms,
                     }
                 }
             )
-        elif meta_refresh is not None and _version_schema_differs(
-            table, cur, pby, exported_fields
-        ):
-            actions.append({"metaData": meta_refresh})
-            meta_refresh = None
+        else:
+            sj = _schema_json_at(v, cur)
+            if (
+                sj is not None
+                and meta_fields is not None
+                and _schema_fields(sj) != meta_fields
+            ):
+                meta_fields = _schema_fields(sj)
+                actions.append(
+                    {
+                        "metaData": {
+                            "id": meta_id,
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": sj,
+                            "partitionColumns": list(pby),
+                            "configuration": {},
+                            "createdTime": now_ms,
+                        }
+                    }
+                )
         for f in sorted(cur - prev):
             full = os.path.join(table.path, f)
             # a file can be gone already if this version predates a vacuum;
@@ -660,11 +662,19 @@ def read_delta_snapshot(
 
 def _version_at_timestamp(delta_dir: str, timestamp_ms: int) -> int:
     """TIMESTAMP AS OF resolution: the newest version whose commit
-    timestamp <= ``timestamp_ms``. Only JSON commits carry timestamps;
-    versions compacted below the newest checkpoint after log-head cleanup
-    are not resolvable by time (same envelope as Delta itself, which
-    pins time travel to the available log head)."""
-    best: int | None = None
+    timestamp <= ``timestamp_ms``, after adjusting raw timestamps to be
+    MONOTONICALLY increasing in version order (ts_v := max(raw_v,
+    ts_{v-1} + 1 ms)) — Delta's own rule. Without it, a foreign log with
+    clock skew (or mtime-fallback commits mixed with commitInfo ones)
+    could resolve to a version whose replay includes commits newer than
+    the requested instant. Only JSON commits carry timestamps; versions
+    compacted below the newest checkpoint after log-head cleanup are not
+    resolvable by time (same envelope as Delta itself, which pins time
+    travel to the available log head). Per commit only the commitInfo
+    line is json-parsed (substring pre-filter) — resolution stays
+    O(commits), not O(total log bytes), even though this exporter writes
+    commitInfo last."""
+    raw: list[tuple[int, int]] = []
     for f in sorted(os.listdir(delta_dir)):
         if not re.fullmatch(r"\d{20}\.json", f):
             continue
@@ -673,17 +683,28 @@ def _version_at_timestamp(delta_dir: str, timestamp_ms: int) -> int:
         ts = None
         with open(full) as fh:
             for line in fh:
-                line = line.strip()
-                if not line:
+                if '"commitInfo"' not in line:
                     continue
-                action = json.loads(line)
-                if "commitInfo" in action and action["commitInfo"].get("timestamp") is not None:
-                    ts = int(action["commitInfo"]["timestamp"])
+                try:
+                    action = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                info = action.get("commitInfo")
+                if info is not None and info.get("timestamp") is not None:
+                    ts = int(info["timestamp"])
                     break
         if ts is None:
             ts = int(os.path.getmtime(full) * 1000)
+        raw.append((v, ts))
+    raw.sort()
+    best: int | None = None
+    prev_ts: int | None = None
+    for v, ts in raw:
+        if prev_ts is not None and ts <= prev_ts:
+            ts = prev_ts + 1
+        prev_ts = ts
         if ts <= timestamp_ms:
-            best = v if best is None else max(best, v)
+            best = v
     if best is None:
         raise FileNotFoundError(
             f"no commit in {delta_dir} at or before timestamp {timestamp_ms} ms"

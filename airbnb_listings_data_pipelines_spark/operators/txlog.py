@@ -49,13 +49,48 @@ class CommitConflict(Exception):
 
 def _footer_schema(path: str):
     """Spark StructType of one parquet file's footer — a metadata-only
-    pyarrow read, no Spark job, no row groups touched."""
+    pyarrow read, no Spark job, no row groups touched.
+
+    Spark-written files embed the EXACT original Spark schema in the
+    footer key-value metadata (``org.apache.spark.sql.parquet.row.
+    metadata``) — preferred, because it distinguishes TIMESTAMP (LTZ)
+    from TIMESTAMP_NTZ, which the arrow-level schema cannot for INT96
+    (Spark's default physical timestamp encoding carries no tz flag
+    arrow can see). For foreign files without the embedded schema, fall
+    back to the arrow schema with INT96 columns corrected to LTZ —
+    treating INT96 as NTZ would shift every value by the session tz
+    offset AND declare a schemaString needing the timestampNtz reader
+    feature (minReaderVersion 3) in a log pinned to 1."""
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql.types import StructType, TimestampType
 
-    return from_arrow_schema(
-        pq.ParquetFile(path).schema_arrow, prefer_timestamp_ntz=True
-    )
+    pf = pq.ParquetFile(path)
+    meta = pf.schema_arrow.metadata or {}
+    embedded = meta.get(b"org.apache.spark.sql.parquet.row.metadata")
+    if embedded:
+        try:
+            return StructType.fromJson(json.loads(embedded.decode("utf-8")))
+        except (ValueError, KeyError, TypeError):
+            pass  # malformed embedding: fall through to arrow
+    schema = from_arrow_schema(pf.schema_arrow, prefer_timestamp_ntz=True)
+    int96 = {
+        pf.schema.column(i).name
+        for i in range(len(pf.schema.names))
+        if pf.schema.column(i).physical_type == "INT96"
+    }
+    if int96:
+        from pyspark.sql.types import StructField
+
+        schema = StructType(
+            [
+                StructField(f.name, TimestampType(), f.nullable)
+                if f.name in int96
+                else f
+                for f in schema.fields
+            ]
+        )
+    return schema
 
 
 _LOG_DIR = "_txlog"
@@ -114,6 +149,7 @@ class TxLogTable:
             extra={
                 "partition_by": pby,
                 "partition_schema": df.select(*pby).schema.json() if pby else None,
+                "schema": df.schema.json(),
             },
         )
         return t
@@ -158,6 +194,12 @@ class TxLogTable:
                     files.append(rel.replace(os.sep, "/"))
         files.sort()
         t._pmeta = (pby, pschema if pby else None)
+        if pby:
+            schema_json = probe.schema.json()
+        elif files:
+            schema_json = _footer_schema(os.path.join(t.path, files[0])).json()
+        else:
+            schema_json = None
         t._try_commit(
             0,
             adds=files,
@@ -166,6 +208,7 @@ class TxLogTable:
             extra={
                 "partition_by": pby,
                 "partition_schema": pschema.json() if pby else None,
+                "schema": schema_json,
             },
         )
         return t
@@ -190,35 +233,71 @@ class TxLogTable:
             self._pmeta = (pby, schema)
         return self._pmeta
 
-    def _read_files(self, files: list[str]) -> DataFrame:
-        """ONE parquet scan over an explicit live-file list, reattaching
-        partition columns for partitioned tables via the ``basePath``
-        option (Spark's documented mechanism for partition discovery over
-        explicit file lists) plus an EXPLICIT user schema: data fields from
-        one footer (metadata-only pyarrow read, homogeneous within a
-        snapshot — every commit here is a full rewrite), partition fields
-        from the commit-0 recorded types. The explicit schema means
-        partition-type inference never runs — inference is lossy (string
-        ``"07"`` → int 7) — and needs no session-conf mutation, so
-        concurrent readers on a shared SparkSession are unaffected."""
+    def _schema_at(self, as_of: int | None = None) -> str | None:
+        """The table's EXACT Spark schema (StructType JSON) effective at
+        ``as_of`` (default: latest) — the newest commit at/below it that
+        recorded a ``schema`` payload. Every commit this writer produces
+        records one, so reads never guess types from footers: the schema
+        is authoritative per VERSION, which is what makes time travel
+        across a schema evolution exact. None only for legacy logs
+        written before schemas were recorded. O(commits) small-JSON reads,
+        same cost class as :meth:`_replay`."""
+        best: tuple[int, str] | None = None
+        for name in os.listdir(self.log_dir):
+            if not name.endswith(".json"):
+                continue
+            v = int(name.split(".")[0])
+            if as_of is not None and v > as_of:
+                continue
+            with open(os.path.join(self.log_dir, name)) as fh:
+                c = json.load(fh)
+            s = c.get("schema")
+            if s is not None and (best is None or v > best[0]):
+                best = (v, s)
+        return best[1] if best else None
+
+    def _read_files(self, files: list[str], schema_json: str | None = None) -> DataFrame:
+        """ONE parquet scan over an explicit live-file list under the
+        version's RECORDED schema (``schema_json`` from :meth:`_schema_at`)
+        — exact Spark types always (no partition-type inference, no INT96
+        timestamp ambiguity, no footer sampling), files predating a schema
+        evolution null-filled, and no session-conf mutation so concurrent
+        readers on a shared SparkSession are unaffected. Partitioned
+        tables add the ``basePath`` option (Spark's documented mechanism
+        for partition discovery over explicit file lists); Spark appends
+        partition columns last, so the recorded column order is restored
+        with a select. Legacy logs without recorded schemas fall back to
+        one footer's schema (exact for Spark-written files via the
+        embedded row metadata) plus the commit-0 partition types."""
+        from pyspark.sql.types import StructType
+
         paths = [os.path.join(self.path, f) for f in files]
         pby, pschema = self.partition_meta()
-        if not pby:
+        if schema_json is None:
+            schema_json = self._schema_at()
+        if schema_json is not None:
+            schema = StructType.fromJson(json.loads(schema_json))
+        elif pby:
+            schema = _footer_schema(paths[0])
+            for fld in pschema.fields:
+                if fld.name not in schema.fieldNames():
+                    schema = schema.add(fld)
+        else:
             return self.spark.read.parquet(*paths)
-        schema = _footer_schema(paths[0])
-        for fld in pschema.fields:
-            schema = schema.add(fld)
-        return (
-            self.spark.read.schema(schema)
-            .option("basePath", self.path)
-            .parquet(*paths)
-        )
+        reader = self.spark.read.schema(schema)
+        if pby:
+            reader = reader.option("basePath", self.path)
+        return reader.parquet(*paths).select(*schema.fieldNames())
 
     def _empty(self) -> DataFrame:
-        """Zero-row snapshot with the table schema (incl. partition cols).
-        Inference may mangle partition TYPES on the probe read; the cast
-        to the recorded types fixes the dtype, and values are irrelevant
-        on a zero-row frame."""
+        """Zero-row snapshot with the table schema (incl. partition cols)."""
+        schema_json = self._schema_at()
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
         pby, pschema = self.partition_meta()
         df = self.spark.read.parquet(self.path)
         if pby:
@@ -291,7 +370,7 @@ class TxLogTable:
         _v, files = self._replay()
         if not files:
             return self._empty()
-        return self._read_files(files)
+        return self._read_files(files, self._schema_at())
 
     def read_version(self, version: int) -> DataFrame:
         """Time travel (Delta paper §4.3, ``VERSION AS OF``): read the table
@@ -302,7 +381,7 @@ class TxLogTable:
         _v, files = self._replay(as_of=version)
         if not files:
             return self._empty()
-        return self._read_files(files)
+        return self._read_files(files, self._schema_at(as_of=version))
 
     def history(self) -> list[dict]:
         out = []
@@ -420,7 +499,7 @@ class TxLogTable:
                     kept.append(f)
         if not kept:
             return self.read().filter(F.lit(False))
-        df = self._read_files(kept)
+        df = self._read_files(kept, self._schema_at())
         return df.filter((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
 
     def diff_versions(self, v_old: int, v_new: int) -> DataFrame:
@@ -436,13 +515,17 @@ class TxLogTable:
 
         _va, files_old = self._replay(as_of=v_old)
         _vb, files_new = self._replay(as_of=v_new)
+        # both sides read under v_new's schema: files predating an
+        # evolution null-fill the added columns, so the change feed has
+        # ONE schema and an update still cancels into its delete+insert
+        schema_new = self._schema_at(as_of=v_new)
         only_old = sorted(set(files_old) - set(files_new))
         only_new = sorted(set(files_new) - set(files_old))
 
         def _read(files: list[str]) -> DataFrame | None:
             if not files:
                 return None
-            return self._read_files(files)
+            return self._read_files(files, schema_new)
 
         old_df, new_df = _read(only_old), _read(only_new)
         if old_df is None and new_df is None:
@@ -485,9 +568,21 @@ class TxLogTable:
         with os.fdopen(fd, "w") as fh:
             fh.write(payload)
 
-    def commit(self, adds: list[str], removes: list[str], base_version: int, op: str) -> int:
-        """Commit against ``base_version``; CommitConflict if stale."""
-        self._try_commit(base_version + 1, adds, removes, op)
+    def commit(
+        self,
+        adds: list[str],
+        removes: list[str],
+        base_version: int,
+        op: str,
+        schema: str | None = None,
+    ) -> int:
+        """Commit against ``base_version``; CommitConflict if stale.
+        ``schema`` records the post-commit table schema (StructType JSON)
+        so per-version reads and the Delta export never guess types."""
+        self._try_commit(
+            base_version + 1, adds, removes, op,
+            extra={"schema": schema} if schema is not None else None,
+        )
         return base_version + 1
 
     # ----------------------------------------------------------- optimize
@@ -526,6 +621,9 @@ class TxLogTable:
             from .maintenance import zvalue
 
             pby, _ = self.partition_meta()
+            absent = [c for c in zorder_by if c not in snap.columns]
+            if absent:
+                raise ValueError(f"zorder_by columns absent from table: {absent}")
             bad = [c for c in zorder_by if c in pby]
             if bad:
                 raise ValueError(
@@ -578,7 +676,8 @@ class TxLogTable:
         adds = self._write_data(snap)
         try:
             return self.commit(
-                adds=adds, removes=base_files, base_version=base_version, op="optimize"
+                adds=adds, removes=base_files, base_version=base_version,
+                op="optimize", schema=snap.schema.json(),
             )
         except CommitConflict:
             for f in adds:
@@ -688,7 +787,10 @@ def merge_into_txlog(
         merged = merge_frames(target, source, keys, when_matched, when_not_matched, evolve_schema)
         adds = table._write_data(merged)
         try:
-            table.commit(adds=adds, removes=base_files, base_version=base_version, op="merge")
+            table.commit(
+                adds=adds, removes=base_files, base_version=base_version,
+                op="merge", schema=merged.schema.json(),
+            )
             return table.read()
         except CommitConflict:
             # loser's data files are orphans; drop them and retry on the

@@ -436,3 +436,88 @@ def test_timestamp_as_of_resolution(spark, tmp_path):
         read_delta_snapshot(spark, path, timestamp_ms=999)
     with pytest.raises(ValueError, match="not both"):
         read_delta_snapshot(spark, path, version=0, timestamp_ms=1500)
+
+
+def test_ltz_timestamps_survive_partitioned_roundtrip(spark, tmp_path):
+    """Second-review fix: INT96 (Spark's default physical encoding for
+    TIMESTAMP/LTZ) carries no tz flag arrow can see, so footer-guessing
+    misread it as TIMESTAMP_NTZ — wrong dtype, tz-shifted values, and a
+    schemaString demanding the timestampNtz reader feature in a
+    minReaderVersion=1 log. Schemas are now recorded per commit."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 30), "07")],
+        "id bigint, ts timestamp, code string",
+    )
+    t = TxLogTable.create(spark, path, df, partition_by=["code"])
+    got = t.read()
+    assert dict(got.dtypes)["ts"] == "timestamp", dict(got.dtypes)
+    assert got.collect()[0].ts == dt.datetime(2024, 1, 1, 12, 30)
+    t.to_delta_log()
+    with open(os.path.join(path, "_delta_log", "0" * 20 + ".json")) as fh:
+        meta = next(json.loads(l)["metaData"] for l in fh if '"metaData"' in l)
+    fields = {f["name"]: f["type"] for f in json.loads(meta["schemaString"])["fields"]}
+    assert fields["ts"] == "timestamp", fields
+    snap = read_delta_snapshot(spark, path)
+    assert dict(snap.dtypes)["ts"] == "timestamp"
+    assert snap.collect()[0].ts == dt.datetime(2024, 1, 1, 12, 30)
+
+
+def test_each_evolution_gets_its_own_metadata_commit(spark, tmp_path):
+    """Second-review fix: TWO evolutions between exports must produce TWO
+    metaData refreshes, each carrying that version's schema — not one
+    final-schema refresh at the first differing commit (which showed a
+    later column one version early)."""
+    path = str(tmp_path / "t")
+    t = TxLogTable.create(spark, path, spark.createDataFrame([(1, "a")], ["id", "v"]))
+    t.to_delta_log()
+    merge_into_txlog(
+        spark, t, spark.createDataFrame([(2, "b", 8)], ["id", "v", "w"]), ["id"],
+        evolve_schema=True,
+    )
+    merge_into_txlog(
+        spark, t, spark.createDataFrame([(3, "c", 9, 4)], ["id", "v", "w", "u"]), ["id"],
+        evolve_schema=True,
+    )
+    t.to_delta_log()
+    ddir = os.path.join(path, "_delta_log")
+    names = {}
+    for v in (1, 2):
+        with open(os.path.join(ddir, f"{v:020d}.json")) as fh:
+            ms = [json.loads(l)["metaData"] for l in fh if '"metaData"' in l]
+        names[v] = [f["name"] for f in json.loads(ms[0]["schemaString"])["fields"]] if ms else None
+    assert names[1] == ["id", "v", "w"], names
+    assert names[2] == ["id", "v", "w", "u"], names
+    v1 = read_delta_snapshot(spark, path, version=1)
+    assert v1.columns == ["id", "v", "w"]
+    assert _rows(v1) == _rows(t.read_version(1))
+    assert read_delta_snapshot(spark, path, version=2).columns == ["id", "v", "w", "u"]
+
+
+def test_timestamp_as_of_monotonizes_skewed_clocks(spark, tmp_path):
+    """Delta's rule: commit timestamps are adjusted to be monotonically
+    increasing before TIMESTAMP AS OF resolution. A foreign log where a
+    LATER version carries an EARLIER raw timestamp (writer clock skew)
+    must not resolve past commits newer than the instant."""
+    path = str(tmp_path / "t")
+    t = TxLogTable.create(spark, path, spark.createDataFrame([(1, "a")], ["id", "v"]))
+    merge_into_txlog(spark, t, spark.createDataFrame([(2, "b")], ["id", "v"]), ["id"])
+    t.to_delta_log()
+    ddir = os.path.join(path, "_delta_log")
+    # v0 @ 2000 (skewed ahead), v1 @ 1000 (behind) -> adjusted: v0=2000, v1=2001
+    for v, ts in ((0, 2000), (1, 1000)):
+        f = os.path.join(ddir, f"{v:020d}.json")
+        actions = [json.loads(l) for l in open(f) if l.strip()]
+        for a in actions:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+        with open(f, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    assert _rows(read_delta_snapshot(spark, path, timestamp_ms=2000)) == _rows(
+        t.read_version(0)
+    ), "raw ts of v1 (1000) must NOT make v1 resolvable at t=2000"
+    assert _rows(read_delta_snapshot(spark, path, timestamp_ms=2001)) == _rows(
+        t.read_version(1)
+    )
