@@ -129,10 +129,11 @@ class TxLogTable:
         :meth:`read_where` on a partition column prunes by DIRECTORY NAME —
         zero footer reads, zero data reads for untouched partitions, which
         is the 100 TB point of partitioning. Partition column NAMES and
-        exact TYPES are recorded in commit 0; readers reattach the columns
-        via one ``basePath`` scan with partition-type inference disabled
-        and cast to the recorded types (inference would corrupt e.g. a
-        string column holding ``"07"`` into the integer 7)."""
+        exact TYPES are recorded in commit 0 (and the FULL table schema in
+        every commit); readers reattach the columns via one ``basePath``
+        scan under the recorded schema, so partition-type inference never
+        runs (it would corrupt e.g. a string column holding ``"07"`` into
+        the integer 7)."""
         t = cls(spark, path)
         pby = list(partition_by or [])
         missing = [c for c in pby if c not in df.columns]
