@@ -41,6 +41,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(Exception):
@@ -434,17 +435,21 @@ class TxLogTable:
 
     # ------------------------------------------------------- data skipping
 
-    def file_stats(self, columns: list[str] | None = None) -> dict[str, dict]:
-        """Per-live-file column (min, max) envelopes from the parquet
-        footers — the statistics Delta stores per add-entry for data
-        skipping (Delta paper §4.4). Derived here from footers at query
-        time; persisting them into the commit at write time is the same
-        information one hop earlier. Footer reads are metadata-only
-        (no row groups touched)."""
+    def file_stats(
+        self, columns: list[str] | None = None, files: list[str] | None = None
+    ) -> dict[str, dict]:
+        """Per-file column (min, max) envelopes from the parquet footers —
+        the statistics Delta stores per add-entry for data skipping (Delta
+        paper §4.4). Derived here from footers at query time; persisting
+        them into the commit at write time is the same information one hop
+        earlier. Footer reads are metadata-only (no row groups touched).
+        ``files`` defaults to the latest snapshot's live list; DML passes
+        an explicit replay-consistent list so retry loops stat the exact
+        snapshot they are about to commit against."""
         import pyarrow.parquet as pq
 
         stats: dict[str, dict] = {}
-        for f in self.files():
+        for f in self.files() if files is None else files:
             md = pq.ParquetFile(os.path.join(self.path, f)).metadata
             env: dict[str, tuple] = {}
             for rg in range(md.num_row_groups):
@@ -480,11 +485,24 @@ class TxLogTable:
         null never satisfies the range residual."""
         from pyspark.sql import functions as F
 
+        kept = self._prune_files(self.files(), column, lo, hi)
+        if not kept:
+            return self.read().filter(F.lit(False))
+        df = self._read_files(kept, self._schema_at())
+        return df.filter((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
+
+    def _prune_files(self, files: list[str], column: str, lo, hi) -> list[str]:
+        """The file subset of ``files`` that may hold rows with ``column``
+        in [lo, hi]: directory-name comparison for partition columns (zero
+        I/O), footer (min, max) envelopes otherwise (metadata-only reads).
+        Shared by :meth:`read_where` and the DML prune hints; takes the
+        file list explicitly so DML retry loops prune the replay-consistent
+        snapshot they will commit against."""
         pby, pschema = self.partition_meta()
         if column in pby:
             fld = pschema[column].dataType
             kept = []
-            for f in self.files():
+            for f in files:
                 raw = self._partition_values(f).get(column)
                 if raw is None:
                     continue
@@ -493,15 +511,197 @@ class TxLogTable:
                     kept.append(f)  # unparseable: conservatively keep
                 elif lo <= v <= hi:
                     kept.append(f)
-        else:
-            kept = []
-            for f, env in self.file_stats([column]).items():
-                if column not in env or (env[column][0] <= hi and env[column][1] >= lo):
-                    kept.append(f)
-        if not kept:
-            return self.read().filter(F.lit(False))
-        df = self._read_files(kept, self._schema_at())
-        return df.filter((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
+            return kept
+        kept = []
+        for f, env in self.file_stats([column], files=files).items():
+            if column not in env or (env[column][0] <= hi and env[column][1] >= lo):
+                kept.append(f)
+        return kept
+
+    # ----------------------------------------------------- row-level DML
+
+    def _rel_path(self, uri: str) -> str:
+        """Relative data-file path from a ``_metadata.file_path`` URI.
+        Hadoop emits the single-slash ``file:/...`` form; urlparse handles
+        both it and ``file:///...``. Unquoted exactly once: the URI
+        percent-encodes the on-disk name, which for hive partition dirs
+        already contains the writer's own %XX escapes as literal chars."""
+        from urllib.parse import unquote, urlparse
+
+        p = unquote(urlparse(uri).path) if ":" in uri.split("/", 1)[0] else uri
+        return os.path.relpath(p, os.path.abspath(self.path)).replace(os.sep, "/")
+
+    def _scan_with_filepath(self, files: list[str], schema_json: str | None) -> DataFrame:
+        """:meth:`_read_files` plus Spark's hidden ``_metadata.file_path``
+        column (aliased ``__file``) — the hook copy-on-write DML uses to
+        discover which files contain affected rows. Selected directly on
+        the scan output, where metadata columns are resolvable."""
+        from pyspark.sql.types import StructType
+
+        paths = [os.path.join(self.path, f) for f in files]
+        pby, _pschema = self.partition_meta()
+        if schema_json is None:
+            schema_json = self._schema_at()
+        schema = StructType.fromJson(json.loads(schema_json))
+        reader = self.spark.read.schema(schema)
+        if pby:
+            reader = reader.option("basePath", self.path)
+        scan = reader.parquet(*paths)
+        return scan.select(
+            *schema.fieldNames(), F.col("_metadata.file_path").alias("__file")
+        )
+
+    def _touched_files(self, candidates: list[str], cond) -> list[str]:
+        """Files among ``candidates`` holding >=1 row where ``cond`` is
+        TRUE — Delta's MERGE/DELETE "find touched files" job: ONE scan
+        projecting only the file-path metadata column, with the predicate
+        pushed to the parquet reader (row-group stats skip non-matching
+        groups without decoding). The collect is bounded at O(touched
+        files) driver-side strings — the same cost class as the commit
+        itself, which must list those files."""
+        if not candidates:
+            return []
+        hits = (
+            self._scan_with_filepath(candidates, self._schema_at())
+            .filter(cond)
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        return sorted(self._rel_path(r["__file"]) for r in hits)
+
+    def delete_where(
+        self,
+        condition,
+        prune: tuple[str, object, object] | None = None,
+        max_retries: int = 3,
+    ) -> int:
+        """``DELETE FROM t WHERE condition`` as an atomic copy-on-write
+        commit: only files that CONTAIN matching rows are rewritten
+        (without those rows); every other file is carried over untouched
+        in the log — at 100 TB a delete hitting 0.1% of rows rewrites
+        0.1%-ish of files, not the table. Rows where the condition is
+        NULL are kept (SQL DELETE semantics: only TRUE deletes).
+
+        ``condition`` is a Column or SQL string. ``prune`` is an optional
+        ``(column, lo, hi)`` hint bounding BOTH the touched-file discovery
+        scan and the rewrite to files overlapping the range (directory
+        names for partition columns — a partition-scoped delete never
+        lists other partitions; footer stats otherwise). The hint is an
+        optimization only: rows outside it simply aren't deleted, so the
+        caller must pass a range the condition implies. On
+        CommitConflict the delete recomputes against the winner's
+        snapshot and retries (deterministic function of snapshot +
+        condition)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        for _attempt in range(max_retries + 1):
+            base_version, base_files = self._replay()
+            cands = (
+                self._prune_files(base_files, *prune) if prune else base_files
+            )
+            touched = self._touched_files(cands, cond)
+            schema_json = self._schema_at()
+            adds: list[str] = []
+            if touched:
+                keep = self._read_files(touched, schema_json).filter(
+                    ~F.coalesce(cond, F.lit(False))
+                )
+                adds = self._write_data(keep)
+            try:
+                return self.commit(
+                    adds=adds, removes=touched, base_version=base_version,
+                    op="delete", schema=schema_json,
+                )
+            except CommitConflict:
+                for f in adds:
+                    os.remove(os.path.join(self.path, f))
+        raise CommitConflict(f"delete gave up after {max_retries} retries")
+
+    def update_where(
+        self,
+        condition,
+        assignments: dict,
+        prune: tuple[str, object, object] | None = None,
+        max_retries: int = 3,
+    ) -> int:
+        """``UPDATE t SET ... WHERE condition`` as an atomic copy-on-write
+        commit — same touched-file discovery, rewrite, and retry contract
+        as :meth:`delete_where`. ``assignments`` maps column name ->
+        Column/SQL-string; right-hand sides see the PRE-update row (SQL
+        UPDATE semantics — all assignments evaluate against old values,
+        so ``{"a": "b", "b": "a"}`` swaps). Assigned values are cast to
+        the column's existing type, so the table schema never drifts.
+        Updating a partition column is allowed: the rewrite's
+        partitionBy write moves rows to their new directories and the
+        commit retires the old files — exactly how a copy-on-write
+        lakehouse handles partition-key updates."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        from pyspark.sql.types import StructType
+
+        schema_json0 = self._schema_at()
+        fields = {
+            f.name: f.dataType
+            for f in StructType.fromJson(json.loads(schema_json0)).fields
+        }
+        unknown = sorted(set(assignments) - set(fields))
+        if unknown:
+            raise ValueError(f"update_where assigns absent columns: {unknown}")
+        sets = {
+            c: (F.expr(v) if isinstance(v, str) else v).cast(fields[c])
+            for c, v in assignments.items()
+        }
+        hit = F.coalesce(cond, F.lit(False))
+        for _attempt in range(max_retries + 1):
+            base_version, base_files = self._replay()
+            cands = (
+                self._prune_files(base_files, *prune) if prune else base_files
+            )
+            touched = self._touched_files(cands, cond)
+            schema_json = self._schema_at()
+            adds: list[str] = []
+            if touched:
+                df = self._read_files(touched, schema_json)
+                rewritten = df.select(
+                    *[
+                        F.when(hit, sets[c]).otherwise(F.col(c)).alias(c)
+                        if c in sets
+                        else F.col(c)
+                        for c in df.columns
+                    ]
+                )
+                adds = self._write_data(rewritten)
+            try:
+                return self.commit(
+                    adds=adds, removes=touched, base_version=base_version,
+                    op="update", schema=schema_json,
+                )
+            except CommitConflict:
+                for f in adds:
+                    os.remove(os.path.join(self.path, f))
+        raise CommitConflict(f"update gave up after {max_retries} retries")
+
+    def _touched_by_keys(
+        self, files: list[str], source: DataFrame, keys: list[str]
+    ) -> list[str]:
+        """Files among ``files`` holding >=1 row whose key appears in
+        ``source`` — MERGE's touched-file discovery (the Delta MERGE
+        design's first job): one scan projecting keys + file path,
+        LEFT SEMI joined to the source's distinct keys. AQE broadcasts
+        the key set when small (the daily-batch case); a genuinely huge
+        source degrades to one shuffle semi-join, still O(|target| +
+        |source|). NULL source keys never match (SQL equality) — they
+        surface as inserts downstream, touching no file."""
+        if not files:
+            return []
+        scan = self._scan_with_filepath(files, self._schema_at())
+        hits = (
+            scan.select("__file", *keys)
+            .join(source.select(*keys).distinct(), keys, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        return sorted(self._rel_path(r["__file"]) for r in hits)
 
     def diff_versions(self, v_old: int, v_new: int) -> DataFrame:
         """Row-level change feed between two snapshots: UNION of rows added
@@ -774,22 +974,47 @@ def merge_into_txlog(
     when_not_matched: str = "insert",
     max_retries: int = 3,
     evolve_schema: bool = False,
+    rewrite: str = "touched",
 ) -> DataFrame:
     """MERGE with an atomic, snapshot-isolated commit (same logical
     semantics as merge.merge_into_parquet; see module docstring for the
     guarantees). On CommitConflict the merge recomputes against the new
     snapshot and retries — correct because the merge result is a pure
-    function of (target snapshot, source)."""
+    function of (target snapshot, source).
+
+    ``rewrite='touched'`` (default) is copy-on-write at FILE granularity —
+    the Delta MERGE physical design: first find the files that contain
+    any source key (:meth:`TxLogTable._touched_by_keys`, one semi-join
+    scan), then run the merge against ONLY those files' rows; matched
+    updates/deletes can only live there, and not-matched source rows fall
+    out of the same full-outer join as inserts. Untouched files are
+    carried over in the log unrewritten — at 100 TB a daily batch
+    touching 0.1% of keys rewrites that sliver, not the table. With
+    ``evolve_schema=True`` the widened schema is recorded on the merge
+    commit and untouched pre-evolution files null-fill the new columns at
+    read time (:meth:`TxLogTable._read_files`). ``rewrite='full'`` keeps
+    the whole-table rewrite (clusters every row into fresh files — the
+    right call when the merge touches most files anyway)."""
     from .merge import merge_frames
 
+    assert rewrite in ("touched", "full")
     for _attempt in range(max_retries + 1):
         base_version, base_files = table._replay()
-        target = table.read()
+        if rewrite == "full":
+            removes = base_files
+            target = table.read()
+        else:
+            removes = table._touched_by_keys(base_files, source, keys)
+            target = (
+                table._read_files(removes, table._schema_at())
+                if removes
+                else table._empty()
+            )
         merged = merge_frames(target, source, keys, when_matched, when_not_matched, evolve_schema)
         adds = table._write_data(merged)
         try:
             table.commit(
-                adds=adds, removes=base_files, base_version=base_version,
+                adds=adds, removes=removes, base_version=base_version,
                 op="merge", schema=merged.schema.json(),
             )
             return table.read()

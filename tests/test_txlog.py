@@ -71,7 +71,10 @@ def test_old_snapshot_files_survive_until_vacuum(spark, table):
     """The no-unavailability-window guarantee: a commit must not delete the
     files a concurrent reader's snapshot references."""
     _v, old_files = table._replay()
-    merge_into_txlog(spark, table, _df(spark, [(1, "A", 2)]), keys=["k"])
+    # full rewrite: every old file is superseded, so each must survive the
+    # commit (for concurrent readers) yet fall to vacuum. The touched
+    # rewrite keeps most files LIVE instead — covered by the COW tests.
+    merge_into_txlog(spark, table, _df(spark, [(1, "A", 2)]), keys=["k"], rewrite="full")
     for f in old_files:
         assert os.path.exists(os.path.join(table.path, f))  # still readable
     removed = table.vacuum()
@@ -172,8 +175,10 @@ def test_time_travel_reads_each_version(spark, table):
 
 
 def test_vacuum_retention_bounds_time_travel(spark, table):
-    merge_into_txlog(spark, table, _df(spark, [(4, "d", 2)]), keys=["k"])
-    merge_into_txlog(spark, table, _df(spark, [(5, "e", 3)]), keys=["k"])
+    # full rewrites supersede v0's files (a touched-rewrite pure insert
+    # would keep them live forever — nothing for retention to expire)
+    merge_into_txlog(spark, table, _df(spark, [(4, "d", 2)]), keys=["k"], rewrite="full")
+    merge_into_txlog(spark, table, _df(spark, [(5, "e", 3)]), keys=["k"], rewrite="full")
     # retain 2 versions: v1 and v2 stay readable, v0's files may go
     table.vacuum(retain_versions=2)
     assert {r.k for r in table.read_version(1).collect()} == {1, 2, 3, 4}
@@ -233,6 +238,180 @@ def test_file_skipping_prunes_and_preserves_results(spark, tmp_path):
     assert len(kept) == 1
     # non-overlapping range reads nothing
     assert t.read_where("k", 5000, 6000).count() == 0
+
+
+# --------------------------------------------------- copy-on-write DML
+
+
+def _ranged_table(spark, tmp_path, name="dml"):
+    """Four files with disjoint k-ranges (0-99, 100-199, 200-299, 300-399)
+    — the shape that makes 'only touched files rewritten' assertable."""
+    t = TxLogTable.create(
+        spark, str(tmp_path / name),
+        spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k int, v string").coalesce(1),
+    )
+    for lo in (100, 200, 300):
+        t.commit(
+            adds=t._write_data(
+                spark.createDataFrame(
+                    [(i, f"v{i}") for i in range(lo, lo + 100)], "k int, v string"
+                ).coalesce(1)
+            ),
+            removes=[], base_version=t.version(), op="append",
+        )
+    assert len(t.files()) == 4
+    return t
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    t = _ranged_table(spark, tmp_path)
+    before = set(t.files())
+    v = t.delete_where("k >= 210 AND k < 220")
+    after = set(t.files())
+    assert v == t.version() and t.history()[-1]["op"] == "delete"
+    # exactly one file held matching rows; the other three carry over
+    assert len(before & after) == 3
+    got = sorted(r.k for r in t.read().collect())
+    assert got == [k for k in range(400) if not (210 <= k < 220)]
+    # pre-delete snapshot still time-travel-readable
+    assert t.read_version(v - 1).count() == 400
+
+
+def test_delete_where_null_condition_keeps_rows(spark, table):
+    # SQL DELETE: rows where the predicate is NULL are KEPT
+    upd = _df(spark, [(9, None, 1)])
+    t = merge_into_txlog(spark, table, upd, keys=["k"])
+    table.delete_where(F.col("v") < "b")  # NULL for k=9, TRUE for k=1
+    got = {r.k for r in table.read().collect()}
+    assert got == {2, 3, 9}
+
+
+def test_delete_where_prune_hint_bounds_discovery(spark, tmp_path):
+    t = _ranged_table(spark, tmp_path)
+    # the prune hint must shrink the candidate list to the one file
+    cands = t._prune_files(t.files(), "k", 210, 219)
+    assert len(cands) == 1
+    v = t.delete_where((F.col("k") >= 210) & (F.col("k") <= 219), prune=("k", 210, 219))
+    assert t.read().count() == 390 and v == t.version()
+
+
+def test_delete_where_noop_commits_faithful_history(spark, table):
+    v0 = table.version()
+    v = table.delete_where("k > 1000")
+    assert v == v0 + 1
+    h = table.history()[-1]
+    assert h["op"] == "delete" and h["n_adds"] == 0 and h["n_removes"] == 0
+    assert table.read().count() == 3
+
+
+def test_update_where_sql_assignment_semantics(spark, tmp_path):
+    t = TxLogTable.create(
+        spark, str(tmp_path / "upd"),
+        spark.createDataFrame([(1, 10, 20), (2, 30, 40)], "k int, a int, b int"),
+    )
+    # RHS sees PRE-update values: {a: b, b: a} swaps
+    t.update_where("k = 1", {"a": "b", "b": "a"})
+    got = {(r.k, r.a, r.b) for r in t.read().collect()}
+    assert got == {(1, 20, 10), (2, 30, 40)}
+    # assigned values cast to the column's existing type (schema stable)
+    t.update_where("k = 2", {"a": F.lit(7.9)})
+    assert dict(t.read().dtypes)["a"] == "int"
+    assert {r.a for r in t.read().filter("k = 2").collect()} == {7}
+    with pytest.raises(ValueError, match="absent columns"):
+        t.update_where("k = 1", {"nope": F.lit(1)})
+
+
+def test_update_where_moves_rows_across_partitions(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(30)], "k int, p int, v int"
+    )
+    t = TxLogTable.create(spark, str(tmp_path / "pupd"), df, partition_by=["p"])
+    t.update_where("k < 3", {"p": F.lit(9)})
+    got = {(r.k, r.p) for r in t.read().filter("k < 3").collect()}
+    assert got == {(0, 9), (1, 9), (2, 9)}
+    # moved rows' files live under the new partition directory
+    moved = [f for f in t.files() if f.startswith("p=9/")]
+    assert moved
+    # untouched partition rows unchanged
+    assert t.read().count() == 30
+
+
+def test_merge_touched_rewrites_only_matching_files(spark, tmp_path):
+    t = _ranged_table(spark, tmp_path, "mrg")
+    before = set(t.files())
+    src = spark.createDataFrame([(250, "UPD"), (999, "NEW")], "k int, v string")
+    out = merge_into_txlog(spark, t, src, keys=["k"])  # default rewrite='touched'
+    after = set(t.files())
+    # only the 200-299 file was rewritten; 3 of 4 carried over
+    assert len(before & after) == 3
+    vals = {r.k: r.v for r in out.filter("k in (250, 999, 50)").collect()}
+    assert vals == {250: "UPD", 999: "NEW", 50: "v50"}
+    assert out.count() == 401
+
+
+def test_merge_touched_equals_full_including_evolution(spark, tmp_path):
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(50)], "k int, v string")
+    src = spark.createDataFrame(
+        [(7, "u7", 1.5), (70, "n70", 2.5)], "k int, v string, w double"
+    )
+    t1 = TxLogTable.create(spark, str(tmp_path / "full"), base.repartition(4))
+    t2 = TxLogTable.create(spark, str(tmp_path / "touched"), base.repartition(4))
+    a = merge_into_txlog(spark, t1, src, ["k"], evolve_schema=True, rewrite="full")
+    b = merge_into_txlog(spark, t2, src, ["k"], evolve_schema=True, rewrite="touched")
+    assert a.schema == b.schema
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # untouched pre-evolution files null-fill the new column at read time
+    assert t2.read().filter("k = 3").collect()[0]["w"] is None
+
+
+def test_delete_retries_after_conflict(spark, table, monkeypatch):
+    real_commit = TxLogTable.commit
+    state = {"raced": False}
+
+    def racing_commit(self, adds, removes, base_version, op, schema=None):
+        if not state["raced"] and op == "delete":
+            state["raced"] = True
+            w = TxLogTable(spark, self.path)
+            wa = w._write_data(_df(spark, [(7, "raced", 5)]))
+            real_commit(w, adds=wa, removes=[], base_version=base_version, op="append")
+        return real_commit(self, adds, removes, base_version, op, schema=schema)
+
+    monkeypatch.setattr(TxLogTable, "commit", racing_commit)
+    table.delete_where("k = 2")
+    got = {r.k for r in table.read().collect()}
+    assert got == {1, 3, 7} and state["raced"]
+
+
+def test_dml_change_feed_is_row_exact(spark, tmp_path):
+    """diff_versions across copy-on-write commits must show exactly the
+    changed rows — unchanged rows in rewritten files cancel."""
+    t = _ranged_table(spark, tmp_path, "cdf")
+    v0 = t.version()
+    t.delete_where("k = 205")
+    t.update_where("k = 301", {"v": F.lit("X")})
+    cdf = t.diff_versions(v0, t.version()).collect()
+    by_type = {}
+    for r in cdf:
+        by_type.setdefault(r.change_type, set()).add((r.k, r.v))
+    assert by_type["delete"] == {(205, "v205"), (301, "v301")}
+    assert by_type["insert"] == {(301, "X")}
+
+
+def test_dml_exports_through_delta_log(spark, tmp_path):
+    """A delete + update sequence must survive the Delta export / replay
+    path — partial removes+adds per commit, not just full rewrites."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        read_delta_snapshot,
+    )
+
+    t = _ranged_table(spark, tmp_path, "dlta")
+    t.delete_where("k >= 390")
+    t.update_where("k = 0", {"v": F.lit("zero")})
+    t.to_delta_log()
+    got = read_delta_snapshot(spark, t.path)
+    assert got.count() == 390
+    assert got.filter("k = 0").collect()[0]["v"] == "zero"
+    assert got.filter("k >= 390").count() == 0
 
 
 def test_diff_versions_change_feed(spark, table):
