@@ -3694,3 +3694,159 @@ def x69_delta_partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0))).cast("long").alias("total_cents"),
     )
+
+
+_DML_SCRATCH: dict[str, str] = {}
+
+
+def _dml_scratch(key: str) -> str:
+    """ONE scratch dir per (process, key), rebuilt in place per invocation
+    and removed at interpreter exit — the x69 bounded-disk pattern."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = _DML_SCRATCH.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="txdml_")
+        _DML_SCRATCH[key] = root
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root + "/t", ignore_errors=True)
+    return root + "/t"
+
+
+@query(
+    "x70_cow_dml_delete_update",
+    oracle="""
+    WITH after_delete AS (
+      SELECT * FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
+    ),
+    after_update AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CASE WHEN o_orderstatus = 'P' THEN 7 ELSE o_shippriority END
+               AS o_shippriority,
+             CASE WHEN o_orderstatus = 'P' THEN upper(o_comment)
+                  ELSE o_comment END AS o_comment,
+             o_totalprice
+      FROM after_delete
+    )
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_shippriority) AS BIGINT) AS ship_sum,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(SUM(CASE WHEN o_comment = upper(o_comment) THEN 1 ELSE 0 END)
+             AS BIGINT) AS upper_n
+    FROM after_update GROUP BY 1, 2
+    """,
+    survey_rows=("EXT-tableformat", "P7", "A8", "F2"),
+    doc="Row-level DML on a commit-log table under the value-hash gate: "
+    "orders -> txlog (8 key-ranged files), DELETE WHERE status/priority, "
+    "then UPDATE WHERE status='P' (two assignments, one referencing the "
+    "pre-update row), then a rollup over the final snapshot. Both "
+    "statements are COPY-ON-WRITE at file granularity — touched-file "
+    "discovery is one pushed-down scan of _metadata.file_path, and only "
+    "files containing affected rows are rewritten (at 100 TB a DML "
+    "touching 0.1% of rows rewrites that sliver; untouched-file "
+    "preservation is asserted in tests/test_txlog.py). The oracle applies "
+    "the same DELETE/UPDATE as CTE filters over raw orders, so a hash "
+    "match proves the DML semantics AND the write/commit/read path are "
+    "lossless. Money on the integer-cents grid; the upper_n flag proves "
+    "the comment rewrite applied (ASCII corpus — upper() agrees "
+    "cross-engine). operators/txlog.delete_where/update_where.",
+)
+def x70_cow_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _dml_scratch("x70" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(8, "o_orderkey")
+    )
+    t.delete_where("o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'")
+    t.update_where(
+        "o_orderstatus = 'P'",
+        {"o_shippriority": F.lit(7), "o_comment": F.upper(F.col("o_comment"))},
+    )
+    snap = t.read()
+    return snap.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_shippriority").cast("long").alias("ship_sum"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0))).cast("long").alias("total_cents"),
+        F.sum(
+            F.when(F.col("o_comment") == F.upper("o_comment"), 1).otherwise(0)
+        ).cast("long").alias("upper_n"),
+    )
+
+
+@query(
+    "x71_merge_changefeed",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+    ),
+    upd_old AS (SELECT * FROM base WHERE o_orderkey % 10 = 3),
+    upd_new AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM upd_old
+    ),
+    ins AS (
+      SELECT -o_orderkey AS o_orderkey, o_custkey, o_totalprice,
+             'N' AS o_orderstatus
+      FROM base WHERE o_orderkey % 10 = 7
+    ),
+    changes AS (
+      SELECT 'delete' AS change_type, * FROM upd_old
+      UNION ALL SELECT 'insert', * FROM upd_new
+      UNION ALL SELECT 'insert', * FROM ins
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM changes GROUP BY 1
+    """,
+    survey_rows=("EXT-tableformat", "J1", "A2", "A8"),
+    doc="MERGE + row-exact change feed on a commit-log table: orders "
+    "snapshot -> txlog v0; a source batch of updates (keys ending in 3: "
+    "price +1000, status 'U') and inserts (negated keys ending in 7) is "
+    "MERGEd copy-on-write (touched-file discovery semi-join — only files "
+    "holding matched keys rewritten); diff_versions(v0, v1) then emits "
+    "the row-level change feed by EXCEPT ALL over the NON-SHARED files "
+    "only (carried-over files cancel by construction, unchanged rows in "
+    "rewritten files cancel in the multiset diff). The oracle constructs "
+    "the expected delete/insert multiset directly from raw orders — an "
+    "update must appear as exactly its delete+insert pair, Delta CDF's "
+    "representation. Scalar float adds (x+1000.0) and the cents grid are "
+    "IEEE-exact cross-engine. operators/txlog.merge_into_txlog + "
+    "diff_versions.",
+)
+def x71_merge_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.txlog import TxLogTable, merge_into_txlog
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = _dml_scratch("x71" + sf_dir)
+    t = TxLogTable.create(spark, path, base.repartitionByRange(8, "o_orderkey"))
+    updates = (
+        base.filter(F.col("o_orderkey") % 10 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    inserts = base.filter(F.col("o_orderkey") % 10 == 7).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    merge_into_txlog(spark, t, updates.unionByName(inserts), keys=["o_orderkey"])
+    cdf = t.diff_versions(0, 1)
+    return cdf.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0))).cast("long").alias("total_cents"),
+    )
