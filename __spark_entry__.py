@@ -28,16 +28,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return reg["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
-# The driver checks the first 50 registry entries per round. Round-6
-# window: the 48 queries whose latest driver evidence is round 3 (the
-# union over CORRECTNESS_r01..r05 of each query's newest green round) —
-# the §2 core belt q01-q31 singles, the q54-q68 breadth block, and
-# x28-x36. Queries added in round 6 fill the remaining slots; any
-# leftover auto-fills from registry order (all round-4+ evidence).
-# After this window, no registry query's driver evidence predates
-# round 4. Everything outside the window stays covered by
-# tools/check_oracle.py's full bit-exact registry sweep (141/141 at the
-# end of round 5; round-6 additions are oracle-checked on registration).
+# The driver checks the first 50 registry entries per round. Round-7
+# window: never-driver-checked queries lead (x70/x71 — added in the
+# round-6 snapshot commit after that round's correctness run), then the
+# 43 queries whose latest driver evidence is round 4 (the union over
+# CORRECTNESS_r01..r06 of each query's newest green round), then 5
+# fillers from the round-5-stale set in registry order. After this
+# window, no registry query's driver evidence predates round 5.
+# Membership is derived from the committed CORRECTNESS files and
+# enforced by tests/test_repo_consistency.py::
+# test_window_rotation_covers_stalest_evidence. Everything outside the
+# window stays covered by tools/check_oracle.py's full bit-exact
+# registry sweep (145/145 at the start of round 7).
 #
 # Evidence-audit note: the round-1 driver files contain three names that
 # never passed — x06_minhash_lsh_pairs, x10_lsh_ann_topk,
@@ -47,59 +49,59 @@ def entry(spark: SparkSession) -> DataFrame:
 # the renamed successors are driver-green (r2/r4/r5). They are renames,
 # not never-checked queries.
 _CHECK_FIRST = [
-    # latest driver evidence round 3 — slots 1-48
-    "q01_pricing_summary",
-    "q02_filter_projection",
-    "q03_join_topk_revenue",
-    "q04_full_outer_subaggs",
-    "q05_left_join_distinct_dim",
-    "q06_scalar_subquery",
-    "q07_dedup_row_number",
-    "q08_rank_ties_per_group",
-    "q09_lag_mom_change",
-    "q10_windowed_share",
-    "q11_median_percentile",
-    "q12_count_distinct",
-    "q13_distinct_projection",
-    "q14_case_ladder",
-    "q15_string_functions",
-    "q16_date_functions",
-    "q17_union_by_name",
-    "q18_try_cast_price",
-    "q20_largest_share_owner",
-    "q21_global_topk",
-    "q22_conditional_rates",
-    "q24_file_lineage",
-    "q25_sql_view_catalog",
-    "q26_salted_skew_agg",
-    "q27_salted_count_distinct",
-    "q29_topk_join_rank_detail",
-    "q30_dedup_max_by",
-    "q31_semi_anti_joins",
-    "q54_grouping_sets",
-    "q55_window_value_functions",
-    "q56_higher_order_array_functions",
-    "q57_regexp_breadth",
-    "q58_correlated_scalar_subquery",
-    "q60_recursive_cte_spine",
-    "q63_gapfill_locf",
-    "q64_retention_cohorts",
-    "q65_variant_semistructured",
-    "q66_stats_aggregate_breadth",
-    "q68_native_session_window",
-    "x28_ngram_contamination",
-    "x29_token_rarity_score",
-    "x30_source_mixture_sample",
-    "x31_repetition_stats",
-    "x32_corpus_line_dedup",
-    "x33_pii_redaction",
-    "x34_quantized_ann",
-    "x35_weighted_bernoulli_sample",
-    "x36_mergeable_hll_rollup",
-    # round-6 additions fill slots 49+; remainder auto-fills from
-    # registry order (all have round-4+ driver evidence).
-    "x68_semdedup_two_level",
-    "x69_delta_partition_roundtrip",
+    # never driver-checked — slots 1-2
+    "x70_cow_dml_delete_update",
+    "x71_merge_changefeed",
+    # latest driver evidence round 4 — slots 3-45
+    "x37_embedding_decontamination",
+    "x38_retrieve_rerank",
+    "x39_winnowing_fingerprints",
+    "x40_winnowing_neardup_pairs",
+    "x41_pq_ann_recall",
+    "x42_bpe_pair_counts",
+    "x43_lang_id_ngram",
+    "x45_duplicate_span_coverage",
+    "x46_leakage_safe_split",
+    "x47_heavy_hitters_mg",
+    "x48_temperature_mixture_sample",
+    "x49_bm25_retrieval",
+    "x50_dsir_importance_selection",
+    "x52_semdedup_prune",
+    "x53_hard_negative_mining",
+    "x54_fuzzy_record_linkage",
+    "x55_bigram_lm_quality",
+    "x56_span_decontaminate",
+    "x57_pagerank_trade_graph",
+    "x58_bloom_line_membership",
+    "x59_hybrid_rrf_retrieval",
+    "q28_approx_sketch_aggregates",
+    "q32_rollup_hierarchy",
+    "q34_intersect_except",
+    "q35_pivot_status_by_priority",
+    "q37_month_spine_gap_fill",
+    "q38_lateral_top2_per_customer",
+    "q39_snowflake_dialect_frontend",
+    "q59_intersect_except_all",
+    "q61_bitwise_breadth",
+    "q62_cube_status_year",
+    "q67_map_functions",
+    "q69_content_hashing_encoding",
+    "q70_pivot_revenue_matrix",
+    "q71_exists_semi_anti",
+    "q72_group_by_all_ergonomics",
+    "q73_filter_clause_aggregates",
+    "x51_mergeable_quantile_histogram",
+    "q19_events_tumbling",
+    "q23_events_sessionize_gap",
+    "q33_events_daily_top_users",
+    "q36_json_extraction",
+    "x44_attribution_join",
+    # round-5-stale fillers (registry order) — slots 46-50
+    "x01_dedup_exact",
+    "x02_token_count",
+    "x03_quality_scores",
+    "x04_lang_id",
+    "x05_ngram_jaccard_pairs",
 ]
 
 

@@ -539,10 +539,19 @@ class TxLogTable:
         from pyspark.sql.types import StructType
 
         paths = [os.path.join(self.path, f) for f in files]
-        pby, _pschema = self.partition_meta()
+        pby, pschema = self.partition_meta()
         if schema_json is None:
             schema_json = self._schema_at()
-        schema = StructType.fromJson(json.loads(schema_json))
+        if schema_json is not None:
+            schema = StructType.fromJson(json.loads(schema_json))
+        else:
+            # Legacy log with no recorded schema (pre-schema convert()):
+            # same footer fallback as _read_files — exact for
+            # Spark-written files — plus the commit-0 partition types.
+            schema = _footer_schema(paths[0])
+            for fld in pschema.fields:
+                if fld.name not in schema.fieldNames():
+                    schema = schema.add(fld)
         reader = self.spark.read.schema(schema)
         if pby:
             reader = reader.option("basePath", self.path)
@@ -639,10 +648,13 @@ class TxLogTable:
         from pyspark.sql.types import StructType
 
         schema_json0 = self._schema_at()
-        fields = {
-            f.name: f.dataType
-            for f in StructType.fromJson(json.loads(schema_json0)).fields
-        }
+        if schema_json0 is not None:
+            target = StructType.fromJson(json.loads(schema_json0))
+        else:
+            # Legacy log with no recorded schema: the snapshot's schema
+            # (footer fallback inside _read_files) is the target types.
+            target = self.read().schema
+        fields = {f.name: f.dataType for f in target.fields}
         unknown = sorted(set(assignments) - set(fields))
         if unknown:
             raise ValueError(f"update_where assigns absent columns: {unknown}")

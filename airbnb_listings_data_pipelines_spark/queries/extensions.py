@@ -3723,38 +3723,40 @@ def _dml_scratch(key: str) -> str:
       WHERE NOT (o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
     ),
     after_update AS (
-      SELECT o_orderstatus, o_orderpriority,
-             CASE WHEN o_orderstatus = 'P' THEN 7 ELSE o_shippriority END
-               AS o_shippriority,
-             CASE WHEN o_orderstatus = 'P' THEN upper(o_comment)
-                  ELSE o_comment END AS o_comment,
-             o_totalprice
-      FROM after_delete
+      SELECT d.o_orderkey, d.o_custkey, d.o_orderstatus,
+             CASE WHEN d.o_orderstatus = 'P' THEN d.o_totalprice + 10.0
+                  ELSE d.o_totalprice END AS o_totalprice,
+             CASE WHEN d.o_orderstatus = 'P'
+                  THEN concat('R-', d.o_orderpriority)
+                  ELSE d.o_orderpriority END AS o_orderpriority
+      FROM after_delete AS d
     )
     SELECT o_orderstatus, o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(o_shippriority) AS BIGINT) AS ship_sum,
            CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
              AS total_cents,
-           CAST(SUM(CASE WHEN o_comment = upper(o_comment) THEN 1 ELSE 0 END)
-             AS BIGINT) AS upper_n
+           CAST(SUM(CASE WHEN o_orderpriority LIKE 'R-%' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_repriced
     FROM after_update GROUP BY 1, 2
     """,
-    survey_rows=("EXT-tableformat", "P7", "A8", "F2"),
+    survey_rows=("EXT-tableformat", "P7", "A8", "F9"),
     doc="Row-level DML on a commit-log table under the value-hash gate: "
     "orders -> txlog (8 key-ranged files), DELETE WHERE status/priority, "
-    "then UPDATE WHERE status='P' (two assignments, one referencing the "
-    "pre-update row), then a rollup over the final snapshot. Both "
-    "statements are COPY-ON-WRITE at file granularity — touched-file "
-    "discovery is one pushed-down scan of _metadata.file_path, and only "
-    "files containing affected rows are rewritten (at 100 TB a DML "
-    "touching 0.1% of rows rewrites that sliver; untouched-file "
-    "preservation is asserted in tests/test_txlog.py). The oracle applies "
-    "the same DELETE/UPDATE as CTE filters over raw orders, so a hash "
-    "match proves the DML semantics AND the write/commit/read path are "
-    "lossless. Money on the integer-cents grid; the upper_n flag proves "
-    "the comment rewrite applied (ASCII corpus — upper() agrees "
-    "cross-engine). operators/txlog.delete_where/update_where.",
+    "then UPDATE WHERE status='P' (two assignments, BOTH referencing the "
+    "pre-update row: price +10.0 and a 'R-'-prefixed priority), then a "
+    "rollup over the final snapshot. Both statements are COPY-ON-WRITE "
+    "at file granularity — touched-file discovery is one pushed-down "
+    "scan of _metadata.file_path, and only files containing affected "
+    "rows are rewritten (at 100 TB a DML touching 0.1% of rows rewrites "
+    "that sliver; untouched-file preservation is asserted in "
+    "tests/test_txlog.py). The oracle applies the same DELETE/UPDATE as "
+    "CTE filters over raw orders — with every pre-update column "
+    "reference QUALIFIED (d.*) so the output aliases cannot shadow them "
+    "— so a hash match proves the DML semantics AND the "
+    "write/commit/read path are lossless. Money on the integer-cents "
+    "grid after an IEEE-exact +10.0 (same double op both engines); the "
+    "n_repriced flag proves the priority rewrite applied. "
+    "operators/txlog.delete_where/update_where.",
 )
 def x70_cow_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.txlog import TxLogTable
@@ -3767,16 +3769,20 @@ def x70_cow_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete_where("o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'")
     t.update_where(
         "o_orderstatus = 'P'",
-        {"o_shippriority": F.lit(7), "o_comment": F.upper(F.col("o_comment"))},
+        {
+            "o_totalprice": F.col("o_totalprice") + F.lit(10.0),
+            "o_orderpriority": F.concat(F.lit("R-"), F.col("o_orderpriority")),
+        },
     )
     snap = t.read()
     return snap.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum("o_shippriority").cast("long").alias("ship_sum"),
-        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0))).cast("long").alias("total_cents"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
         F.sum(
-            F.when(F.col("o_comment") == F.upper("o_comment"), 1).otherwise(0)
-        ).cast("long").alias("upper_n"),
+            F.when(F.col("o_orderpriority").startswith("R-"), 1).otherwise(0)
+        ).cast("long").alias("n_repriced"),
     )
 
 

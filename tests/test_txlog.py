@@ -426,3 +426,62 @@ def test_diff_versions_change_feed(spark, table):
     # unchanged rows never appear
     flat = {kv for s in by_type.values() for kv in s}
     assert (1, "a") not in flat and (3, "c") not in flat
+
+
+def test_delete_retry_racing_optimize_converges(spark, tmp_path):
+    """A delete_where whose first attempt loses the commit race to an
+    OPTIMIZE must recompute against the compacted snapshot and converge:
+    final rows = optimize's (logical no-op) ∘ delete's semantics, with
+    both commits in the history (round-6 verdict item 5 — compaction and
+    row-level DML share the CommitConflict retry loop, so their
+    interleaving needs an explicit convergence proof)."""
+    t = _ranged_table(spark, tmp_path, "race1")
+    t2 = TxLogTable(spark, t.path)  # the racing writer's handle
+    fired = {}
+    orig = t._touched_files
+
+    def touched_then_race(cands, cond):
+        res = orig(cands, cond)
+        if "v" not in fired:
+            # between delete's discovery scan and its commit, OPTIMIZE
+            # lands: delete's base_version goes stale
+            fired["v"] = t2.optimize(target_files=2)
+        return res
+
+    t._touched_files = touched_then_race
+    v = t.delete_where("k >= 100 AND k < 120")
+    assert fired["v"] == v - 1, "optimize committed first; delete retried on top"
+    got = sorted(r.k for r in t.read().collect())
+    assert got == [k for k in range(400) if not (100 <= k < 120)]
+    assert [h["op"] for h in t.history()[-2:]] == ["optimize", "delete"]
+    # the loser's aborted attempt left no orphan data files
+    assert t.vacuum(retain_versions=0) == [] or all(
+        f not in t.files() for f in t.vacuum(retain_versions=0)
+    )
+
+
+def test_optimize_rerun_after_losing_to_delete_converges(spark, tmp_path):
+    """The reverse interleaving: OPTIMIZE loses the race to a delete_where.
+    optimize() documents no internal retry — it raises CommitConflict and
+    the caller re-runs against the winner's snapshot; the re-run must
+    compact the POST-delete table (the deleted rows stay gone)."""
+    t = _ranged_table(spark, tmp_path, "race2")
+    t2 = TxLogTable(spark, t.path)
+    orig_write = t._write_data
+    fired = {}
+
+    def write_then_race(df, _pby=None):
+        adds = orig_write(df, _pby)
+        if "v" not in fired:
+            fired["v"] = t2.delete_where("k >= 300")
+        return adds
+
+    t._write_data = write_then_race
+    with pytest.raises(CommitConflict):
+        t.optimize(target_files=1)
+    v = t.optimize(target_files=1)  # caller re-runs, as documented
+    assert v == t.version()
+    got = sorted(r.k for r in t.read().collect())
+    assert got == list(range(300)), "re-run compacted the post-delete snapshot"
+    assert len(t.files()) == 1
+    assert [h["op"] for h in t.history()[-2:]] == ["delete", "optimize"]
