@@ -3856,3 +3856,78 @@ def x71_merge_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderkey").alias("n_keys"),
         F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0))).cast("long").alias("total_cents"),
     )
+
+
+@query(
+    "x72_dml_partition_scoped",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderstatus, o_totalprice,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m') AS o_month
+      FROM orders
+    ),
+    after_delete AS (
+      SELECT * FROM base
+      WHERE NOT (o_month = '1995-03' AND o_orderstatus = 'F')
+    ),
+    after_update AS (
+      SELECT b.o_orderstatus, b.o_month,
+             CASE WHEN b.o_month = '1996-06' AND b.o_orderstatus = 'P'
+                  THEN b.o_totalprice + 5.0 ELSE b.o_totalprice END
+               AS o_totalprice
+      FROM after_delete AS b
+    )
+    SELECT o_month, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM after_update GROUP BY 1, 2
+    """,
+    survey_rows=("EXT-tableformat", "P9", "A8", "F5"),
+    doc="Partition-scoped row-level DML on a PARTITIONED commit-log table "
+    "— the shape a 100 TB lakehouse actually runs (the reference's own "
+    "fact table is month-partitioned, design.sql:413): orders -> "
+    "month-partitioned txlog (hive layout, exact recorded types), then "
+    "DELETE WHERE inside one partition and UPDATE WHERE inside another, "
+    "each with the (o_month, m, m) prune hint, so the touched-file "
+    "DISCOVERY scan is bounded to that partition's files by DIRECTORY "
+    "NAME — zero footer reads, zero data reads, zero listing of the "
+    "other ~75 monthly partitions (asserted by a scan spy in "
+    "tests/test_txlog_partitioned.py) — and the copy-on-write rewrite "
+    "lands back under the same partition dir. The oracle applies the "
+    "same statements as CTE filters over raw orders with every "
+    "pre-update reference qualified, so a hash match proves "
+    "partition-pruned DML is lossless end-to-end. Money on the "
+    "integer-cents grid after an IEEE-exact +5.0. "
+    "operators/txlog.delete_where/update_where(prune=...).",
+)
+def x72_dml_partition_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.trunc("o_orderdate", "month")
+    )
+    path = _dml_scratch("x72" + sf_dir)
+    t = TxLogTable.create(spark, path, orders, partition_by=["o_month"])
+    m_del = datetime.date(1995, 3, 1)
+    t.delete_where(
+        (F.col("o_month") == F.lit(m_del)) & (F.col("o_orderstatus") == "F"),
+        prune=("o_month", m_del, m_del),
+    )
+    m_upd = datetime.date(1996, 6, 1)
+    t.update_where(
+        (F.col("o_month") == F.lit(m_upd)) & (F.col("o_orderstatus") == "P"),
+        {"o_totalprice": F.col("o_totalprice") + F.lit(5.0)},
+        prune=("o_month", m_upd, m_upd),
+    )
+    snap = t.read()
+    return snap.groupBy(
+        F.date_format("o_month", "yyyy-MM").alias("o_month"), "o_orderstatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
+    )

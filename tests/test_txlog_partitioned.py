@@ -256,3 +256,51 @@ def test_optimize_zorder_refuses_partition_and_string_columns(spark, ptable):
         ptable.optimize(zorder_by=["file_date"])
     with pytest.raises(ValueError, match="quantization"):
         ptable.optimize(zorder_by=["v"])
+
+
+def test_partition_scoped_dml_discovery_never_leaves_partition(spark, ptable):
+    """A DELETE/UPDATE with the partition prune hint must bound BOTH the
+    touched-file discovery scan and the rewrite to the hinted partition's
+    files — directory-name pruning, zero reads of other partitions (the
+    x72 contract). Spied at the _scan_with_filepath seam: every candidate
+    list the discovery scan receives stays inside the partition dir."""
+    scanned_lists = []
+    orig = ptable._scan_with_filepath
+
+    def spy(files, schema_json):
+        scanned_lists.append(list(files))
+        return orig(files, schema_json)
+
+    ptable._scan_with_filepath = spy
+    before = set(ptable.files())
+    ptable.delete_where(
+        (F.col("file_date") == D(2024, 1, 2)) & (F.col("v") == "b"),
+        prune=("file_date", D(2024, 1, 2), D(2024, 1, 2)),
+    )
+    assert scanned_lists, "discovery scan ran"
+    for files in scanned_lists:
+        assert files and all(f.startswith("file_date=2024-01-02/") for f in files)
+    after = set(ptable.files())
+    # untouched partitions carry over by NAME (no rewrite, no read)
+    outside = {f for f in before if not f.startswith("file_date=2024-01-02/")}
+    assert outside <= after
+    # the touched file held ONLY the deleted row, so the rewrite adds
+    # nothing — pure file retirement, the cheapest possible delete
+    assert after < before
+    assert all(f.startswith("file_date=2024-01-02/") for f in after - before)
+    got = {(r.k, r.v) for r in ptable.read().collect()}
+    assert got == {(1, "a"), (3, "c"), (4, "d")}
+
+    # same contract for UPDATE
+    scanned_lists.clear()
+    ptable._scan_with_filepath = spy  # re-arm on the new snapshot
+    ptable.update_where(
+        (F.col("file_date") == D(2024, 2, 1)) & (F.col("k") == 4),
+        {"v": F.lit("D")},
+        prune=("file_date", D(2024, 2, 1), D(2024, 2, 1)),
+    )
+    for files in scanned_lists:
+        assert files and all(f.startswith("file_date=2024-02-01/") for f in files)
+    assert {(r.k, r.v) for r in ptable.read().collect()} == {
+        (1, "a"), (3, "c"), (4, "D"),
+    }
