@@ -485,3 +485,92 @@ def test_optimize_rerun_after_losing_to_delete_converges(spark, tmp_path):
     assert got == list(range(300)), "re-run compacted the post-delete snapshot"
     assert len(t.files()) == 1
     assert [h["op"] for h in t.history()[-2:]] == ["delete", "optimize"]
+
+
+def test_multiwriter_stress_converges(spark, tmp_path):
+    """Four concurrent writers — DELETE, UPDATE, OPTIMIZE, APPEND — race on
+    one table through the O_EXCL commit arbiter. The 2-way race tests above
+    pin specific interleavings; this pins the general case: whatever order
+    the commits landed in, (a) the log replays to a consistent snapshot,
+    (b) every remove retired a file that was live at its base version,
+    (c) the final rows are the DETERMINISTIC fixed point of the four ops
+    (predicates chosen so outcome is interleaving-independent: deletes win
+    over updates on overlapping keys, appended keys match no predicate)."""
+    import json as _json
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "stress")
+    base = spark.createDataFrame(
+        [(k, "v") for k in range(800)], "k int, v string"
+    ).repartitionByRange(8, "k")
+    TxLogTable.create(spark, path, base)
+
+    def deleter():
+        TxLogTable(spark, path).delete_where("k % 17 = 3", max_retries=20)
+
+    def updater():
+        TxLogTable(spark, path).update_where(
+            "k % 13 = 2", {"v": F.lit("u")}, max_retries=20
+        )
+
+    def optimizer():
+        t = TxLogTable(spark, path)
+        for _ in range(20):
+            try:
+                t.optimize(target_files=4)
+                return
+            except CommitConflict:
+                continue
+        raise AssertionError("optimize never landed")
+
+    def appender():
+        t = TxLogTable(spark, path)
+        # appended keys match neither DML predicate -> outcome deterministic
+        rows = [(k, "new") for k in range(10000, 10040)
+                if k % 17 != 3 and k % 13 != 2]
+        adds = t._write_data(spark.createDataFrame(rows, "k int, v string"))
+        for _ in range(20):
+            try:
+                t.commit(adds=adds, removes=[], base_version=t.version(), op="append")
+                return
+            except CommitConflict:
+                continue
+        raise AssertionError("append never landed")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        futs = [ex.submit(f) for f in (deleter, updater, optimizer, appender)]
+        for f in futs:
+            f.result()  # re-raise any writer failure
+
+    t = TxLogTable(spark, path)
+    # (a)+(b): structural replay invariants over the raw log
+    import os as _os
+
+    commits = {}
+    for name in sorted(_os.listdir(t.log_dir)):
+        if name.endswith(".json"):
+            with open(_os.path.join(t.log_dir, name)) as fh:
+                commits[int(name.split(".")[0])] = _json.load(fh)
+    versions = sorted(commits)
+    assert versions == list(range(len(versions))), "dense version sequence"
+    live: set[str] = set()
+    for v in versions:
+        c = commits[v]
+        if c.get("checkpoint") and c["op"] not in ("create", "convert"):
+            live = set(c["adds"])
+            continue
+        dangling = set(c["removes"]) - live
+        assert not dangling, f"v{v} retired files not live: {dangling}"
+        live = (live - set(c["removes"])) | set(c["adds"])
+    assert set(t.files()) == live
+    for f in live:
+        assert _os.path.exists(_os.path.join(t.path, f)), f"missing data file {f}"
+    # (c): deterministic fixed point regardless of commit order
+    expected = {
+        (k, "u" if k % 13 == 2 else "v") for k in range(800) if k % 17 != 3
+    } | {(k, "new") for k in range(10000, 10040) if k % 17 != 3 and k % 13 != 2}
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == expected
+    ops = sorted(c["op"] for c in commits.values())
+    assert ops.count("delete") >= 1 and ops.count("update") >= 1
+    assert ops.count("optimize") == 1 and ops.count("append") == 1
