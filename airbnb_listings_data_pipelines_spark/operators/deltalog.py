@@ -200,14 +200,24 @@ def export_delta_log(spark: SparkSession, table) -> int:
     # legacy logs.
     meta_id: str | None = None
     meta_fields: list | None = None
+    meta_schema_str: str | None = None
+    meta_cfg: dict | None = None
     has_exported = any(
         re.fullmatch(r"\d{20}\.json", f) for f in os.listdir(delta_dir)
     ) or os.path.exists(os.path.join(delta_dir, "_last_checkpoint"))
     if has_exported:
         exported = _replay_delta_log(spark, delta_dir)
         meta_id = exported.metadata["id"]
-        meta_fields = _schema_fields(exported.metadata["schemaString"])
+        meta_schema_str = exported.metadata["schemaString"]
+        meta_fields = _schema_fields(meta_schema_str)
+        meta_cfg = exported.metadata.get("configuration") or {}
     prev: set[str] = set()
+    # running CHECK-constraint set, folded alongside the file set so the
+    # export can mirror constraints as delta.constraints.* configuration
+    # (the protocol's representation) at every metaData emission — and
+    # refresh metaData when the set changes, upgrading minWriterVersion
+    # to 3 (invariants/constraints) the first time one appears
+    cur_checks: dict[str, str] = {}
     # ONE forward pass over the txlog (applying each commit to a running
     # file set) instead of table._replay(as_of=v) per version — the latter
     # re-reads the log from scratch per version, O(V^2) log reads on a
@@ -256,6 +266,15 @@ def export_delta_log(spark: SparkSession, table) -> int:
             cur = set(c["adds"])
         else:
             cur = (cur - set(c["removes"])) | set(c["adds"])
+        had_checks = bool(cur_checks)
+        ck = c.get("check")
+        if ck and c.get("op") == "add_check":
+            cur_checks[ck["name"]] = ck["expr"]
+        elif ck and c.get("op") == "drop_check":
+            cur_checks.pop(ck["name"], None)
+        cfg = {
+            f"delta.constraints.{n}": e for n, e in sorted(cur_checks.items())
+        }
         target = os.path.join(delta_dir, _delta_commit_name(v))
         if os.path.exists(target):
             prev = set(cur)
@@ -277,7 +296,12 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 schema0 = _schema_string(spark, table, schema_files)
             meta_id = meta_id or uuid.uuid4().hex
             meta_fields = _schema_fields(schema0)
-            actions.append({"protocol": dict(_PROTOCOL)})
+            meta_schema_str = schema0
+            meta_cfg = cfg
+            proto = dict(_PROTOCOL)
+            if cfg:
+                proto["minWriterVersion"] = 3  # constraints need writer v3
+            actions.append({"protocol": proto})
             actions.append(
                 {
                     "metaData": {
@@ -285,27 +309,44 @@ def export_delta_log(spark: SparkSession, table) -> int:
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": schema0,
                         "partitionColumns": list(pby),
-                        "configuration": {},
+                        "configuration": cfg,
                         "createdTime": now_ms,
                     }
                 }
             )
         else:
             sj = _schema_json_at(v, cur)
-            if (
+            schema_changed = (
                 sj is not None
                 and meta_fields is not None
                 and _schema_fields(sj) != meta_fields
-            ):
-                meta_fields = _schema_fields(sj)
+            )
+            cfg_changed = meta_cfg is not None and cfg != meta_cfg
+            schema_str = sj if sj is not None else meta_schema_str
+            if (schema_changed or cfg_changed) and schema_str is not None:
+                if schema_changed:
+                    meta_fields = _schema_fields(sj)
+                meta_schema_str = schema_str
+                if cfg and not had_checks:
+                    # first constraint: upgrade the protocol in the same
+                    # commit (Delta requires writer v3 for constraints)
+                    actions.append(
+                        {
+                            "protocol": {
+                                "minReaderVersion": 1,
+                                "minWriterVersion": 3,
+                            }
+                        }
+                    )
+                meta_cfg = cfg
                 actions.append(
                     {
                         "metaData": {
                             "id": meta_id,
                             "format": {"provider": "parquet", "options": {}},
-                            "schemaString": sj,
+                            "schemaString": schema_str,
                             "partitionColumns": list(pby),
-                            "configuration": {},
+                            "configuration": cfg,
                             "createdTime": now_ms,
                         }
                     }
@@ -346,6 +387,19 @@ def export_delta_log(spark: SparkSession, table) -> int:
                         "path": f,
                         "deletionTimestamp": now_ms,
                         "dataChange": True,
+                    }
+                }
+            )
+        if c.get("txn"):
+            # mirror the txlog streaming-transaction marker as the Delta
+            # protocol's txn action, so an external engine taking over the
+            # sink resumes idempotently from the same (appId, version)
+            actions.append(
+                {
+                    "txn": {
+                        "appId": c["txn"]["appId"],
+                        "version": int(c["txn"]["version"]),
+                        "lastUpdated": now_ms,
                     }
                 }
             )

@@ -44,6 +44,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class CheckViolation(Exception):
+    """A CHECK constraint rejected a write (or existing rows rejected a
+    new constraint). The offending data files are removed before raising,
+    so a failed write leaves the table exactly as it was."""
+
+
 class CommitConflict(Exception):
     """Another writer committed the version this writer raced for."""
 
@@ -402,12 +408,26 @@ class TxLogTable:
 
     # ------------------------------------------------------------- commit
 
-    def _write_data(self, df: DataFrame, _pby: list[str] | None = None) -> list[str]:
+    def _write_data(
+        self,
+        df: DataFrame,
+        _pby: list[str] | None = None,
+        _validate: bool = True,
+    ) -> list[str]:
         """Write ``df`` as new parquet files under the table dir; returns
         their names (relative paths — for partitioned tables these include
         the hive-style ``col=value/`` directories, which is also where the
         Delta export reads ``partitionValues`` from). Files are invisible
-        until a commit references them."""
+        until a commit references them.
+
+        CHECK constraints are enforced HERE — the single chokepoint every
+        data-adding path goes through — by ONE aggregate scan over the
+        NEWLY WRITTEN files only (predicates pushed to their footers;
+        the table itself is never re-read, so enforcement stays O(batch)
+        at any table size). On violation the new files are removed and
+        :class:`CheckViolation` raised — nothing was committed, so the
+        table is untouched. ``_validate=False`` is for row-preserving
+        rewrites (optimize, delete's keep-side) whose rows already passed."""
         pby = self.partition_meta()[0] if _pby is None else _pby
         tmp = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         if pby:
@@ -431,6 +451,34 @@ class TxLogTable:
         import shutil
 
         shutil.rmtree(tmp)
+        checks = self.checks() if _validate else {}
+        if checks and names:
+            paths = [os.path.join(self.path, n) for n in names]
+            # footer schema of the just-written files (they share one) +
+            # recorded partition fields via basePath — NEVER inference
+            schema = _footer_schema(paths[0])
+            if pby:
+                pschema = self.partition_meta()[1]
+                for fld in pschema.fields:
+                    if fld.name not in schema.fieldNames():
+                        schema = schema.add(fld)
+            reader = self.spark.read.schema(schema)
+            if pby:
+                reader = reader.option("basePath", self.path)
+            # one scan, all constraints: min(passes) per check — 0 = violated
+            aggs = [
+                F.min(F.coalesce(F.expr(e), F.lit(True)).cast("int")).alias(n)
+                for n, e in checks.items()
+            ]
+            row = reader.parquet(*paths).agg(*aggs).collect()[0]
+            failed = [n for n in checks if row[n] == 0]
+            if failed:
+                for n in names:
+                    os.remove(os.path.join(self.path, n))
+                raise CheckViolation(
+                    "write rejected by CHECK "
+                    + ", ".join(f"{n}: {checks[n]}" for n in failed)
+                )
         return names
 
     # ------------------------------------------------------- data skipping
@@ -615,7 +663,8 @@ class TxLogTable:
                 keep = self._read_files(touched, schema_json).filter(
                     ~F.coalesce(cond, F.lit(False))
                 )
-                adds = self._write_data(keep)
+                # kept rows are unchanged — already satisfy every CHECK
+                adds = self._write_data(keep, _validate=False)
             try:
                 return self.commit(
                     adds=adds, removes=touched, base_version=base_version,
@@ -788,15 +837,100 @@ class TxLogTable:
         base_version: int,
         op: str,
         schema: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Commit against ``base_version``; CommitConflict if stale.
         ``schema`` records the post-commit table schema (StructType JSON)
-        so per-version reads and the Delta export never guess types."""
+        so per-version reads and the Delta export never guess types.
+        ``txn`` is an ``(app_id, version)`` streaming-transaction marker
+        (the Delta protocol's ``txn`` action): a foreachBatch sink passes
+        its (query id, batch id) so a crash-replayed micro-batch can be
+        recognized and skipped — see :meth:`last_txn_version`. The Delta
+        export mirrors it as a ``txn`` action for external engines."""
+        extra: dict = {}
+        if schema is not None:
+            extra["schema"] = schema
+        if txn is not None:
+            extra["txn"] = {"appId": str(txn[0]), "version": int(txn[1])}
         self._try_commit(
-            base_version + 1, adds, removes, op,
-            extra={"schema": schema} if schema is not None else None,
+            base_version + 1, adds, removes, op, extra=extra or None
         )
         return base_version + 1
+
+    def last_txn_version(self, app_id: str) -> int | None:
+        """The highest streaming-transaction ``version`` committed for
+        ``app_id``, or None — Delta's idempotent-writes contract: a sink
+        must skip any batch whose id is <= this. O(commits) small-JSON
+        reads, the same cost class as :meth:`_replay`."""
+        best: int | None = None
+        for name in os.listdir(self.log_dir):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(self.log_dir, name)) as fh:
+                c = json.load(fh)
+            t = c.get("txn")
+            if t and t.get("appId") == app_id:
+                v = int(t["version"])
+                best = v if best is None else max(best, v)
+        return best
+
+    def append(
+        self,
+        df: DataFrame,
+        txn: tuple[str, int] | None = None,
+        max_retries: int = 3,
+    ) -> int:
+        """Atomic append commit: write ``df``'s rows as new files and add
+        them to the log (no existing file is read or rewritten — the
+        cheapest write path, O(batch) regardless of table size). Columns
+        are aligned and cast to the table's recorded schema so appends
+        can never drift it. With ``txn=(app_id, version)`` the append is
+        IDEMPOTENT per (app_id, version): if that transaction is already
+        in the log the call is a no-op — the exactly-once guarantee a
+        streaming sink needs, because a replayed append is NOT naturally
+        idempotent (unlike a keyed upsert). The idempotency re-check runs
+        inside the retry loop, so two racing instances of the same batch
+        cannot both land."""
+        schema_json = self._schema_at()
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            target = StructType.fromJson(json.loads(schema_json))
+            missing = [f.name for f in target.fields if f.name not in df.columns]
+            if missing:
+                raise ValueError(f"append missing table columns: {missing}")
+            df = df.select(
+                *[F.col(f.name).cast(f.dataType) for f in target.fields]
+            )
+        adds: list[str] | None = None
+        for _attempt in range(max_retries + 1):
+            # ORDER MATTERS: capture base_version BEFORE the txn check.
+            # The check then covers every commit at/below base_version,
+            # and any commit that lands after it forces CommitConflict on
+            # ours — which re-runs the check. Checking before capturing
+            # (or capturing at commit time) leaves a window where a
+            # racing instance of the SAME batch commits between our check
+            # and our commit at the next version: no collision, double
+            # append.
+            base_version = self.version()
+            if txn is not None:
+                last = self.last_txn_version(txn[0])
+                if last is not None and txn[1] <= last:
+                    # replayed batch: already committed (possibly by a
+                    # racing instance mid-retry) — drop our files, no-op
+                    for f in adds or []:
+                        os.remove(os.path.join(self.path, f))
+                    return self.version()
+            if adds is None:
+                adds = self._write_data(df)
+            try:
+                return self.commit(
+                    adds=adds, removes=[], base_version=base_version,
+                    op="append", schema=schema_json, txn=txn,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"append gave up after {max_retries} retries")
 
     # ----------------------------------------------------------- optimize
 
@@ -886,7 +1020,8 @@ class TxLogTable:
             )
         else:
             snap = snap.coalesce(target_files)
-        adds = self._write_data(snap)
+        # logical no-op: rows unchanged, every CHECK already holds
+        adds = self._write_data(snap, _validate=False)
         try:
             return self.commit(
                 adds=adds, removes=base_files, base_version=base_version,
@@ -898,6 +1033,128 @@ class TxLogTable:
             raise
 
     # ------------------------------------------------------- delta interop
+
+    # ---------------------------------------------------- refs (tags)
+
+    _REF_NAME = r"[A-Za-z0-9][A-Za-z0-9._-]*"
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Create an IMMUTABLE named tag at ``version`` (default: latest)
+        — Iceberg's tag ref: a human-readable time-travel anchor that
+        also PINS the version's files against :meth:`vacuum` regardless
+        of the retain_versions window (the actual operational point:
+        "keep the snapshot we trained v1 on" must survive routine
+        retention). O_EXCL create — re-tagging an existing name fails
+        loudly; delete + re-create is an explicit two-step."""
+        import re as _re
+
+        if not _re.fullmatch(self._REF_NAME, name):
+            raise ValueError(f"invalid tag name: {name!r}")
+        v = self.version() if version is None else int(version)
+        if not 0 <= v <= self.version():
+            raise ValueError(f"version {v} does not exist")
+        refs = os.path.join(self.log_dir, "refs")
+        os.makedirs(refs, exist_ok=True)
+        fd = os.open(
+            os.path.join(refs, f"{name}.json"),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+        with os.fdopen(fd, "w") as fh:
+            fh.write(json.dumps({"version": v}))
+        return v
+
+    def tags(self) -> dict[str, int]:
+        refs = os.path.join(self.log_dir, "refs")
+        if not os.path.isdir(refs):
+            return {}
+        out = {}
+        for f in sorted(os.listdir(refs)):
+            if f.endswith(".json"):
+                with open(os.path.join(refs, f)) as fh:
+                    out[f[:-5]] = json.load(fh)["version"]
+        return out
+
+    def read_tag(self, name: str) -> DataFrame:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no tag {name!r}; have {sorted(tags)}")
+        return self.read_version(tags[name])
+
+    def drop_tag(self, name: str) -> None:
+        os.remove(os.path.join(self.log_dir, "refs", f"{name}.json"))
+
+    # ---------------------------------------------- CHECK constraints
+
+    def checks(self, as_of: int | None = None) -> dict[str, str]:
+        """Active CHECK constraints (name -> SQL expr) at ``as_of``
+        (default: latest) — add_check/drop_check commits folded in
+        version order. {} before commit 0 exists (mid-create)."""
+        if not os.path.exists(os.path.join(self.log_dir, _commit_name(0))):
+            return {}
+        out: dict[str, str] = {}
+        for name in sorted(
+            f for f in os.listdir(self.log_dir) if f.endswith(".json")
+        ):
+            v = int(name.split(".")[0])
+            if as_of is not None and v > as_of:
+                continue
+            with open(os.path.join(self.log_dir, name)) as fh:
+                c = json.load(fh)
+            ck = c.get("check")
+            if not ck:
+                continue
+            if c.get("op") == "add_check":
+                out[ck["name"]] = ck["expr"]
+            elif c.get("op") == "drop_check":
+                out.pop(ck["name"], None)
+        return out
+
+    def add_check(self, name: str, expr: str, max_retries: int = 3) -> int:
+        """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)`` (Delta's
+        constraint surface): recorded in the log as its own commit and
+        enforced on every subsequent data-adding write (one pushed-down
+        scan of the NEW files only — never the table; see
+        :meth:`_write_data`). Existing rows are validated first, so a
+        constraint can never be born already-violated. SQL CHECK
+        semantics: NULL passes, only FALSE violates."""
+        import re as _re
+
+        if not _re.fullmatch(self._REF_NAME, name):
+            raise ValueError(f"invalid constraint name: {name!r}")
+        bad = (
+            self.read()
+            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise CheckViolation(
+                f"existing rows violate CHECK {name}: {expr}"
+            )
+        for _attempt in range(max_retries + 1):
+            try:
+                self._try_commit(
+                    self.version() + 1, adds=[], removes=[], op="add_check",
+                    extra={"check": {"name": name, "expr": expr}},
+                )
+                return self.version()
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"add_check gave up after {max_retries} retries")
+
+    def drop_check(self, name: str, max_retries: int = 3) -> int:
+        if name not in self.checks():
+            raise KeyError(f"no CHECK constraint {name!r}")
+        for _attempt in range(max_retries + 1):
+            try:
+                self._try_commit(
+                    self.version() + 1, adds=[], removes=[], op="drop_check",
+                    extra={"check": {"name": name}},
+                )
+                return self.version()
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"drop_check gave up after {max_retries} retries")
 
     def to_delta_log(self) -> int:
         """Export/refresh a Delta-protocol ``_delta_log`` for this table so
@@ -920,7 +1177,13 @@ class TxLogTable:
         touches the live snapshot (retain_versions >= 1 always)."""
         latest, live = self._replay()
         referenced = set(live)
-        for v in range(max(0, latest - max(retain_versions, 1) + 1), latest):
+        keep_versions = set(
+            range(max(0, latest - max(retain_versions, 1) + 1), latest)
+        )
+        # tagged versions are PINNED outside the retention window —
+        # "the snapshot we trained v1 on" must survive routine retention
+        keep_versions |= set(self.tags().values())
+        for v in keep_versions:
             try:
                 referenced |= set(self._replay(as_of=v)[1])
             except FileNotFoundError:
@@ -987,12 +1250,18 @@ def merge_into_txlog(
     max_retries: int = 3,
     evolve_schema: bool = False,
     rewrite: str = "touched",
+    txn: tuple[str, int] | None = None,
 ) -> DataFrame:
     """MERGE with an atomic, snapshot-isolated commit (same logical
     semantics as merge.merge_into_parquet; see module docstring for the
     guarantees). On CommitConflict the merge recomputes against the new
     snapshot and retries — correct because the merge result is a pure
     function of (target snapshot, source).
+
+    ``txn=(app_id, version)`` makes the merge idempotent per transaction
+    (checked before work and inside the retry loop): a crash-replayed
+    streaming micro-batch that already committed is a no-op — see
+    :meth:`TxLogTable.append` / ``streaming/upsert.py``.
 
     ``rewrite='touched'`` (default) is copy-on-write at FILE granularity —
     the Delta MERGE physical design: first find the files that contain
@@ -1011,7 +1280,14 @@ def merge_into_txlog(
 
     assert rewrite in ("touched", "full")
     for _attempt in range(max_retries + 1):
+        # base_version FIRST, txn check SECOND (same reasoning as
+        # TxLogTable.append): a same-batch racer committing after our
+        # check then conflicts with our commit, which re-runs the check.
         base_version, base_files = table._replay()
+        if txn is not None:
+            last = table.last_txn_version(txn[0])
+            if last is not None and txn[1] <= last:
+                return table.read()
         if rewrite == "full":
             removes = base_files
             target = table.read()
@@ -1027,7 +1303,7 @@ def merge_into_txlog(
         try:
             table.commit(
                 adds=adds, removes=removes, base_version=base_version,
-                op="merge", schema=merged.schema.json(),
+                op="merge", schema=merged.schema.json(), txn=txn,
             )
             return table.read()
         except CommitConflict:

@@ -3931,3 +3931,66 @@ def x72_dml_partition_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@query(
+    "x73_stream_exactly_once_ingest",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY 1
+    """,
+    survey_rows=("EXT-streaming", "EXT-tableformat", "A2", "A8"),
+    doc="Exactly-once streaming ingestion under the value-hash gate: "
+    "orders split into 4 micro-batch files -> Structured Streaming file "
+    "source (maxFilesPerTrigger=1) -> append_stream_txlog foreachBatch "
+    "sink, each batch committing with txn=(app_id, batch_id) — then a "
+    "CRASH REPLAY is forced by re-applying the final batch with its "
+    "already-committed txn id, which the log recognizes and skips. The "
+    "oracle is a plain rollup over raw orders, so a hash match proves "
+    "n_orders == n_keys per group: at-least-once delivery plus txn "
+    "dedup = exactly-once, even though a replayed APPEND is not "
+    "naturally idempotent. COUNT(*) vs COUNT(DISTINCT o_orderkey) in "
+    "the SAME result makes any double-append a visible hash break, not "
+    "a silent one. Appends are O(batch) — no existing file is read or "
+    "rewritten per trigger, so table size never enters per-trigger cost "
+    "at 100 TB. streaming/upsert.append_stream_txlog + "
+    "operators/txlog.append/last_txn_version.",
+)
+def x73_stream_exactly_once_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.txlog import TxLogTable
+    from ..streaming.upsert import append_stream_txlog
+
+    root = _dml_scratch("x73" + sf_dir)
+    src, target, ckpt = root + "/src", root + "/table", root + "/ckpt"
+    orders = load_table(spark, sf_dir, "orders")
+    for i in range(4):
+        orders.filter(F.col("o_orderkey") % 4 == i).coalesce(1).write.parquet(
+            f"{src}/b{i}.parquet"
+        )
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = append_stream_txlog(stream, target, ckpt, app_id="x73")
+    q.processAllAvailable()
+    q.stop()
+    t = TxLogTable(spark, target)
+    # forced crash replay: the checkpoint committed but (we pretend) the
+    # driver died before acknowledging — the batch arrives again with the
+    # same txn id and MUST be a no-op
+    last = t.last_txn_version("x73")
+    t.append(
+        orders.filter(F.col("o_orderkey") % 4 == last % 4), txn=("x73", last)
+    )
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
+    )

@@ -77,3 +77,95 @@ def upsert_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def append_stream_txlog(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    app_id: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming APPEND into a commit-log table.
+
+    A replayed append is NOT naturally idempotent (unlike the keyed
+    upsert above), so checkpoint-replay alone gives at-least-once. The
+    txlog ``txn`` marker closes the gap — Delta's idempotent-writes
+    design: each micro-batch commits with ``txn=(app_id, batch_id)``,
+    and a batch whose id is already in the log is skipped inside the
+    commit retry loop (no double-append even if two instances race). The
+    Delta export mirrors the marker as a protocol ``txn`` action, so an
+    external engine can take over the sink and resume from the same
+    (appId, version). First batch creates the table.
+
+    Per-trigger cost is O(batch): appends write new files only, never
+    read or rewrite existing ones — at 100 TB the table size never
+    enters the per-trigger cost."""
+    from ..operators.txlog import TxLogTable
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        _ensure_table(batch, table_path)
+        t = TxLogTable(batch.sparkSession, table_path)
+        t.append(batch, txn=(app_id, batch_id))
+
+    writer = stream.writeStream.foreachBatch(apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _ensure_table(batch: DataFrame, table_path: str) -> None:
+    """Create the table as ZERO rows + schema if absent. The first data
+    batch then lands through the txn-marked commit like every other —
+    if create() itself carried the rows, a batch-0 replay between the
+    create commit and the checkpoint write would double-append (the
+    create records no txn). Two racing first batches: one create wins
+    the O_EXCL makedirs, the loser proceeds to its txn-marked commit."""
+    from ..operators.txlog import TxLogTable
+
+    if os.path.exists(os.path.join(table_path, "_txlog")):
+        return
+    try:
+        TxLogTable.create(batch.sparkSession, table_path, batch.limit(0))
+    except FileExistsError:
+        pass
+
+
+def upsert_stream_txlog(
+    stream: DataFrame,
+    table_path: str,
+    keys: list[str],
+    order_col: str,
+    checkpoint_dir: str,
+    app_id: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming MERGE into a commit-log table: the txlog
+    twin of :func:`upsert_stream`, with two upgrades — the MERGE commit
+    is atomic and snapshot-isolated (no staged-swap unavailability
+    window), and the ``txn=(app_id, batch_id)`` marker makes replays
+    no-ops BY LOG STATE rather than relying on upsert idempotency (which
+    silently breaks the moment someone adds a non-idempotent clause like
+    a counter increment). Copy-on-write at file granularity: each
+    trigger rewrites only files containing batch keys."""
+    from ..operators.txlog import TxLogTable, merge_into_txlog
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        b = latest_per_key(batch, keys, order_col)
+        spark = batch.sparkSession
+        _ensure_table(b, table_path)
+        t = TxLogTable(spark, table_path)
+        merge_into_txlog(spark, t, b, keys, txn=(app_id, batch_id))
+
+    writer = stream.writeStream.foreachBatch(apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -107,14 +107,14 @@ def test_merge_retries_after_conflict(spark, table, monkeypatch):
     real_commit = TxLogTable.commit
     state = {"raced": False}
 
-    def racing_commit(self, adds, removes, base_version, op, schema=None):
+    def racing_commit(self, adds, removes, base_version, op, schema=None, txn=None):
         if not state["raced"]:
             state["raced"] = True
             # interleave a competing writer that wins version base+1
             w = TxLogTable(spark, self.path)
             wa = w._write_data(_df(spark, [(7, "raced", 5)]))
             real_commit(w, adds=wa, removes=[], base_version=base_version, op="append")
-        return real_commit(self, adds, removes, base_version, op, schema=schema)
+        return real_commit(self, adds, removes, base_version, op, schema=schema, txn=txn)
 
     monkeypatch.setattr(TxLogTable, "commit", racing_commit)
     out = merge_into_txlog(spark, table, _df(spark, [(2, "B", 2)]), keys=["k"])
@@ -470,8 +470,8 @@ def test_optimize_rerun_after_losing_to_delete_converges(spark, tmp_path):
     orig_write = t._write_data
     fired = {}
 
-    def write_then_race(df, _pby=None):
-        adds = orig_write(df, _pby)
+    def write_then_race(df, _pby=None, _validate=True):
+        adds = orig_write(df, _pby, _validate)
         if "v" not in fired:
             fired["v"] = t2.delete_where("k >= 300")
         return adds

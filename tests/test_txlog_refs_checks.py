@@ -1,0 +1,192 @@
+"""Named tags (Iceberg-style immutable refs) and CHECK constraints
+(Delta's ALTER TABLE ADD CONSTRAINT surface) on the commit-log table.
+Tags pin snapshots against vacuum retention; checks are enforced at the
+single write chokepoint by one aggregate scan over the NEW files only —
+O(batch) at any table size — and a rejected write leaves the table
+byte-identical."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_listings_data_pipelines_spark.operators.txlog import (
+    CheckViolation,
+    TxLogTable,
+    merge_into_txlog,
+)
+
+
+def _t(spark, tmp_path, rows=((1, 10.0), (2, 20.0))):
+    return TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(list(rows), "k int, price double"),
+    )
+
+
+# ------------------------------------------------------------------ tags
+
+
+def test_tag_read_and_immutability(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    t.tag("v1.0")
+    t.append(spark.createDataFrame([(3, 30.0)], "k int, price double"))
+    t.tag("after-append", version=t.version())
+    assert t.tags() == {"v1.0": 0, "after-append": 1}
+    assert {r.k for r in t.read_tag("v1.0").collect()} == {1, 2}
+    assert {r.k for r in t.read_tag("after-append").collect()} == {1, 2, 3}
+    with pytest.raises(FileExistsError):
+        t.tag("v1.0", version=1)  # immutable: re-tag fails loudly
+    with pytest.raises(ValueError):
+        t.tag("nope", version=99)
+    with pytest.raises(ValueError):
+        t.tag("../escape")
+    with pytest.raises(KeyError):
+        t.read_tag("absent")
+    t.drop_tag("after-append")
+    assert t.tags() == {"v1.0": 0}
+
+
+def test_tagged_version_survives_vacuum(spark, tmp_path):
+    """The operational point of tags: retention must not eat a pinned
+    snapshot. Same table, same vacuum call — files of the tagged version
+    survive; after drop_tag they are collected."""
+    t = _t(spark, tmp_path)
+    t.tag("train-v1")
+    # three rewrites push version 0 far outside retain_versions=1
+    for i in range(3):
+        t.optimize(target_files=1)
+    t.vacuum(retain_versions=1)
+    assert {r.k for r in t.read_tag("train-v1").collect()} == {1, 2}
+    t.drop_tag("train-v1")
+    deleted = t.vacuum(retain_versions=1)
+    assert deleted, "untagging released the old files to retention"
+    with pytest.raises(Exception):
+        t.read_version(0).collect()  # past the horizon once unpinned
+
+
+# ----------------------------------------------------------------- checks
+
+
+def test_check_rejects_bad_append_atomically(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    t.add_check("price_pos", "price >= 0")
+    v = t.version()
+    files_before = sorted(
+        f for f in os.listdir(t.path) if f.endswith(".parquet")
+    )
+    with pytest.raises(CheckViolation, match="price_pos"):
+        t.append(spark.createDataFrame([(9, -1.0)], "k int, price double"))
+    # nothing committed, no orphan data files
+    assert t.version() == v
+    assert sorted(
+        f for f in os.listdir(t.path) if f.endswith(".parquet")
+    ) == files_before
+    assert {r.k for r in t.read().collect()} == {1, 2}
+    # a good append still lands
+    t.append(spark.createDataFrame([(3, 3.0)], "k int, price double"))
+    assert {r.k for r in t.read().collect()} == {1, 2, 3}
+
+
+def test_check_null_passes_false_violates(spark, tmp_path):
+    # SQL CHECK semantics: NULL is not a violation
+    t = _t(spark, tmp_path)
+    t.add_check("price_pos", "price >= 0")
+    t.append(
+        spark.createDataFrame([(5, None)], "k int, price double")
+    )  # NULL passes
+    assert t.read().count() == 3
+
+
+def test_check_enforced_on_update_and_merge(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    t.add_check("price_pos", "price >= 0")
+    with pytest.raises(CheckViolation):
+        t.update_where("k = 1", {"price": F.lit(-5.0)})
+    assert t.read().filter("price < 0").count() == 0
+    with pytest.raises(CheckViolation):
+        merge_into_txlog(
+            spark,
+            t,
+            spark.createDataFrame([(2, -9.0)], "k int, price double"),
+            keys=["k"],
+        )
+    # valid DML still flows; delete/optimize (row-preserving) unaffected
+    t.update_where("k = 1", {"price": F.lit(99.0)})
+    t.delete_where("k = 2")
+    t.optimize(target_files=1)
+    assert {(r.k, r.price) for r in t.read().collect()} == {(1, 99.0)}
+
+
+def test_add_check_validates_existing_rows(spark, tmp_path):
+    t = _t(spark, tmp_path, rows=[(1, 10.0), (2, -1.0)])
+    with pytest.raises(CheckViolation, match="existing rows"):
+        t.add_check("price_pos", "price >= 0")
+    assert t.checks() == {}
+
+
+def test_drop_check_lifts_enforcement_and_time_travels(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    t.add_check("price_pos", "price >= 0")
+    v_with = t.version()
+    t.drop_check("price_pos")
+    assert t.checks() == {}
+    assert t.checks(as_of=v_with) == {"price_pos": "price >= 0"}
+    t.append(spark.createDataFrame([(9, -1.0)], "k int, price double"))
+    assert t.read().filter("price < 0").count() == 1
+    with pytest.raises(KeyError):
+        t.drop_check("absent")
+
+
+def test_check_on_partition_column(spark, tmp_path):
+    """Constraint referencing a partition column: the validation scan
+    reattaches partition values under the RECORDED types (basePath +
+    explicit schema, never inference)."""
+    import datetime
+
+    D = datetime.date
+    df = spark.createDataFrame(
+        [(1, D(2024, 1, 1)), (2, D(2024, 2, 1))], "k int, d date"
+    )
+    t = TxLogTable.create(
+        spark, str(tmp_path / "pt"), df, partition_by=["d"]
+    )
+    t.add_check("recent", "d >= DATE'2024-01-01'")
+    with pytest.raises(CheckViolation, match="recent"):
+        t.append(
+            spark.createDataFrame([(3, D(2023, 12, 31))], "k int, d date")
+        )
+    t.append(spark.createDataFrame([(3, D(2024, 3, 1))], "k int, d date"))
+    assert t.read().count() == 3
+
+
+def test_delta_export_mirrors_constraints(spark, tmp_path):
+    """The exported _delta_log must carry active checks as the protocol's
+    delta.constraints.* configuration, upgrading minWriterVersion to 3 in
+    the same commit the first constraint lands (Delta requires writer v3
+    to enforce constraints); a drop refreshes metaData without them."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        _replay_delta_log,
+    )
+
+    t = _t(spark, tmp_path)
+    t.add_check("price_pos", "price >= 0")
+    t.to_delta_log()
+    dd = os.path.join(t.path, "_delta_log")
+    st = _replay_delta_log(spark, dd)
+    assert st.metadata["configuration"] == {
+        "delta.constraints.price_pos": "price >= 0"
+    }
+    assert st.protocol["minWriterVersion"] == 3
+    # version 0 predates the constraint: its metaData has no constraints
+    st0 = _replay_delta_log(spark, dd, version=0)
+    assert st0.metadata["configuration"] == {}
+    assert st0.protocol["minWriterVersion"] == 2
+    # drop + incremental re-export refreshes configuration
+    t.drop_check("price_pos")
+    t.to_delta_log()
+    st2 = _replay_delta_log(spark, dd)
+    assert st2.metadata["configuration"] == {}
