@@ -896,11 +896,20 @@ class TxLogTable:
             from pyspark.sql.types import StructType
 
             target = StructType.fromJson(json.loads(schema_json))
-            missing = [f.name for f in target.fields if f.name not in df.columns]
-            if missing:
-                raise ValueError(f"append missing table columns: {missing}")
+            # Delta's append enforcement: EXTRA columns are rejected
+            # loudly (silently dropping them loses data); MISSING columns
+            # null-fill (so producers keep working across an add_column
+            # evolution); everything casts to the recorded type.
+            extra = sorted(set(df.columns) - set(target.fieldNames()))
+            if extra:
+                raise ValueError(f"append has columns absent from table: {extra}")
             df = df.select(
-                *[F.col(f.name).cast(f.dataType) for f in target.fields]
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in target.fields
+                ]
             )
         adds: list[str] | None = None
         for _attempt in range(max_retries + 1):
@@ -1141,6 +1150,41 @@ class TxLogTable:
             except CommitConflict:
                 continue
         raise CommitConflict(f"add_check gave up after {max_retries} retries")
+
+    def add_column(self, name: str, dtype, max_retries: int = 3) -> int:
+        """``ALTER TABLE ADD COLUMN`` as a METADATA-ONLY commit: the
+        widened schema is recorded on the commit and every existing file
+        null-fills the new column at read time (the same mechanism that
+        serves pre-evolution files after ``merge_into_txlog(...,
+        evolve_schema=True)``) — zero data rewritten, O(1) regardless of
+        table size, exactly Delta's ADD COLUMNS. Time travel is exact:
+        reads at earlier versions use that version's recorded schema, so
+        the column simply doesn't exist before this commit. ``dtype`` is
+        a Spark DataType or DDL string ("decimal(12,2)")."""
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        if isinstance(dtype, str):
+            dtype = _parse_datatype_string(dtype)
+        schema_json = self._schema_at()
+        if schema_json is None:
+            raise ValueError(
+                "add_column requires a recorded schema (legacy log: "
+                "run one write to record it first)"
+            )
+        schema = StructType.fromJson(json.loads(schema_json))
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        new_json = schema.add(name, dtype, nullable=True).json()
+        for _attempt in range(max_retries + 1):
+            try:
+                self._try_commit(
+                    self.version() + 1, adds=[], removes=[], op="add_column",
+                    extra={"schema": new_json},
+                )
+                return self.version()
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"add_column gave up after {max_retries} retries")
 
     def drop_check(self, name: str, max_retries: int = 3) -> int:
         if name not in self.checks():

@@ -97,10 +97,18 @@ def test_append_aligns_and_casts_to_table_schema(spark, tmp_path):
     t.append(b)
     assert dict(t.read().dtypes) == {"id": "bigint", "val": "string"}
     assert {(r.id, r.val) for r in t.read().collect()} == {(1, "a"), (2, "b")}
+    # Delta append enforcement: missing columns null-fill (evolution
+    # tolerance), extra columns are rejected (silent drop = data loss)
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    assert {(r.id, r.val) for r in t.read().collect()} == {
+        (1, "a"), (2, "b"), (3, None),
+    }
     import pytest
 
-    with pytest.raises(ValueError, match="missing table columns"):
-        t.append(spark.createDataFrame([(3,)], "id long"))
+    with pytest.raises(ValueError, match="absent from table"):
+        t.append(
+            spark.createDataFrame([(4, "d", 1)], "id long, val string, oops int")
+        )
 
 
 def test_merge_txn_replay_is_noop(spark, tmp_path):

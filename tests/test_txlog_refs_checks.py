@@ -190,3 +190,42 @@ def test_delta_export_mirrors_constraints(spark, tmp_path):
     t.to_delta_log()
     st2 = _replay_delta_log(spark, dd)
     assert st2.metadata["configuration"] == {}
+
+
+# ------------------------------------------------------------- add_column
+
+
+def test_add_column_metadata_only_evolution(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN: zero data rewritten — pre-evolution files
+    null-fill at read; time travel before the commit shows no column;
+    appends in the OLD shape keep working (null-fill); the Delta export
+    refreshes metaData exactly at the evolution commit."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        _replay_delta_log,
+    )
+
+    t = _t(spark, tmp_path)
+    files_before = set(t.files())
+    v = t.add_column("discount", "double")
+    assert set(t.files()) == files_before, "metadata-only: no data rewrite"
+    assert dict(t.read().dtypes)["discount"] == "double"
+    assert t.read().filter("discount IS NULL").count() == 2
+    assert "discount" not in t.read_version(v - 1).columns  # exact time travel
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("discount", "double")
+    # old-shape producer still appends (null-fill); new shape lands typed
+    t.append(spark.createDataFrame([(3, 30.0)], "k int, price double"))
+    t.append(
+        spark.createDataFrame(
+            [(4, 40.0, 0.1)], "k int, price double, discount double"
+        )
+    )
+    got = {(r.k, r.discount) for r in t.read().collect()}
+    assert got == {(1, None), (2, None), (3, None), (4, 0.1)}
+    # Delta export: metaData refresh lands ON the evolution commit
+    t.to_delta_log()
+    dd = os.path.join(t.path, "_delta_log")
+    st_before = _replay_delta_log(spark, dd, version=v - 1)
+    st_at = _replay_delta_log(spark, dd, version=v)
+    assert "discount" not in st_before.metadata["schemaString"]
+    assert "discount" in st_at.metadata["schemaString"]
