@@ -933,9 +933,14 @@ class TxLogTable:
             if adds is None:
                 adds = self._write_data(df)
             try:
+                # record the schema CURRENT at this attempt, not the one
+                # the rows were aligned to: if an add_column landed while
+                # we retried, recording the pre-evolution schema here
+                # would silently roll the evolution back (our old-shape
+                # files are still legal — they null-fill the new column)
                 return self.commit(
                     adds=adds, removes=[], base_version=base_version,
-                    op="append", schema=schema_json, txn=txn,
+                    op="append", schema=self._schema_at(), txn=txn,
                 )
             except CommitConflict:
                 continue

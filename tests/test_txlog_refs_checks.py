@@ -229,3 +229,24 @@ def test_add_column_metadata_only_evolution(spark, tmp_path):
     st_at = _replay_delta_log(spark, dd, version=v)
     assert "discount" not in st_before.metadata["schemaString"]
     assert "discount" in st_at.metadata["schemaString"]
+
+
+def test_append_retry_preserves_concurrent_evolution(spark, tmp_path):
+    """An append whose first commit loses the race to an add_column must
+    NOT roll the evolution back: the retry records the schema current at
+    commit time (its old-shape files legally null-fill the new column)."""
+    t = _t(spark, tmp_path)
+    t2 = TxLogTable(spark, t.path)
+    orig = t.commit
+    fired = {}
+
+    def race(adds, removes, base_version, op, schema=None, txn=None):
+        if "v" not in fired:
+            fired["v"] = t2.add_column("extra", "int")
+        return orig(adds, removes, base_version, op, schema=schema, txn=txn)
+
+    t.commit = race
+    t.append(spark.createDataFrame([(3, 30.0)], "k int, price double"))
+    assert fired["v"] == 1 and t.version() == 2
+    assert "extra" in t.read().columns, "append retry rolled back add_column"
+    assert t.read().filter("extra IS NULL").count() == 3
