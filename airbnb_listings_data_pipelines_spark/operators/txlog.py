@@ -1048,6 +1048,40 @@ class TxLogTable:
 
     # ------------------------------------------------------- delta interop
 
+    def restore(self, version: int, max_retries: int = 3) -> int:
+        """Delta's ``RESTORE TABLE ... TO VERSION AS OF``: make the live
+        snapshot equal ``version``'s file set (and recorded schema) with
+        ONE metadata commit — adds = that version's files missing from
+        live, removes = live files not in it. No data is copied or
+        rewritten, so restore is O(changed files) driver-side JSON at any
+        table size, and the restore itself is a normal commit: history is
+        preserved, time travel still shows the pre-restore states, and a
+        bad restore is undone by another restore. Requires the target
+        version's files to still exist (within the vacuum horizon) —
+        raises FileNotFoundError naming the missing files otherwise."""
+        _v, want = self._replay(as_of=version)
+        gone = [
+            f for f in want if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if gone:
+            raise FileNotFoundError(
+                f"cannot restore to version {version}: {len(gone)} of its "
+                f"files were vacuumed (first: {gone[0]})"
+            )
+        schema = self._schema_at(as_of=version)
+        for _attempt in range(max_retries + 1):
+            base_version, live = self._replay()
+            adds = sorted(set(want) - set(live))
+            removes = sorted(set(live) - set(want))
+            try:
+                return self.commit(
+                    adds=adds, removes=removes, base_version=base_version,
+                    op="restore", schema=schema,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"restore gave up after {max_retries} retries")
+
     # ---------------------------------------------------- refs (tags)
 
     _REF_NAME = r"[A-Za-z0-9][A-Za-z0-9._-]*"

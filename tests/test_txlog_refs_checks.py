@@ -250,3 +250,52 @@ def test_append_retry_preserves_concurrent_evolution(spark, tmp_path):
     assert fired["v"] == 1 and t.version() == 2
     assert "extra" in t.read().columns, "append retry rolled back add_column"
     assert t.read().filter("extra IS NULL").count() == 3
+
+
+# ---------------------------------------------------------------- restore
+
+
+def test_restore_is_metadata_only_and_reversible(spark, tmp_path):
+    """RESTORE TO VERSION AS OF: live set snaps back to the target
+    version's files with one commit — no data copied; history preserved;
+    a restore is itself restorable; schema restores with it."""
+    t = _t(spark, tmp_path)  # v0: {1, 2}
+    t.append(spark.createDataFrame([(3, 30.0)], "k int, price double"))  # v1
+    t.delete_where("k = 1")  # v2: {2, 3}
+    n_parquet = len(
+        [f for f in os.listdir(t.path) if f.endswith(".parquet")]
+    )
+    v = t.restore(1)
+    assert v == 3 and t.history()[-1]["op"] == "restore"
+    assert {r.k for r in t.read().collect()} == {1, 2, 3}  # v1 exactly
+    # metadata-only: no new data files appeared
+    assert len(
+        [f for f in os.listdir(t.path) if f.endswith(".parquet")]
+    ) == n_parquet
+    # pre-restore states still time-travel
+    assert {r.k for r in t.read_version(2).collect()} == {2, 3}
+    # restore the restore
+    t.restore(2)
+    assert {r.k for r in t.read().collect()} == {2, 3}
+
+
+def test_restore_restores_schema_before_evolution(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    t.add_column("discount", "double")  # v1
+    t.append(
+        spark.createDataFrame(
+            [(3, 30.0, 0.5)], "k int, price double, discount double"
+        )
+    )  # v2
+    t.restore(0)
+    assert t.read().columns == ["k", "price"], "schema restored with data"
+    assert {r.k for r in t.read().collect()} == {1, 2}
+
+
+def test_restore_past_vacuum_horizon_fails_loudly(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    t.optimize(target_files=1)
+    t.optimize(target_files=1)
+    t.vacuum(retain_versions=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.restore(0)
