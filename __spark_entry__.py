@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver checks the first 50 registry entries per round. Round-7
 # window: never-driver-checked queries lead (x70/x71 — added in the
 # round-6 snapshot commit after that round's correctness run — and the
-# round-7 additions x72/x73), then the 43 queries whose latest driver
+# round-7 additions x72-x74), then the 43 queries whose latest driver
 # evidence is round 4 (the union over CORRECTNESS_r01..r06 of each
 # query's newest green round), then 4 fillers from the round-5-stale
 # set in registry order. After this
@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # enforced by tests/test_repo_consistency.py::
 # test_window_rotation_covers_stalest_evidence. Everything outside the
 # window stays covered by tools/check_oracle.py's full bit-exact
-# registry sweep (145/145 at the start of round 7; x72/x73 added and gate-checked in round 7).
+# registry sweep (145/145 at the start of round 7; x72-x74 added and gate-checked in round 7).
 #
 # Evidence-audit note: the round-1 driver files contain three names that
 # never passed — x06_minhash_lsh_pairs, x10_lsh_ann_topk,
@@ -50,12 +50,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # the renamed successors are driver-green (r2/r4/r5). They are renames,
 # not never-checked queries.
 _CHECK_FIRST = [
-    # never driver-checked — slots 1-4
+    # never driver-checked — slots 1-5
     "x70_cow_dml_delete_update",
     "x71_merge_changefeed",
     "x72_dml_partition_scoped",
     "x73_stream_exactly_once_ingest",
-    # latest driver evidence round 4 — slots 5-47
+    "x74_tag_restore_roundtrip",
+    # latest driver evidence round 4 — slots 6-48
     "x37_embedding_decontamination",
     "x38_retrieve_rerank",
     "x39_winnowing_fingerprints",
@@ -99,10 +100,9 @@ _CHECK_FIRST = [
     "q33_events_daily_top_users",
     "q36_json_extraction",
     "x44_attribution_join",
-    # round-5-stale fillers (registry order) — slots 48-50
+    # round-5-stale fillers (registry order) — slots 49-50
     "x01_dedup_exact",
     "x02_token_count",
-    "x03_quality_scores",
 ]
 
 

@@ -3994,3 +3994,56 @@ def x73_stream_exactly_once_ingest(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@query(
+    "x74_tag_restore_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY 1
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8"),
+    doc="Tag + RESTORE as an undo proof under the value-hash gate: "
+    "orders -> txlog, tag 'baseline' at v0, then DAMAGE the table (an "
+    "append of negated-key junk rows, then a DELETE of real rows), then "
+    "RESTORE to the tagged version — one metadata commit, zero data "
+    "copied — and roll up the final snapshot. The oracle aggregates raw "
+    "orders directly, so a hash match proves restore returns the table "
+    "BIT-IDENTICALLY to the pinned snapshot: every damaged row gone, "
+    "every deleted row back, schema included. n_keys doubles as the "
+    "junk-detector (negated keys would inflate COUNT(*) over COUNT("
+    "DISTINCT positive keys) and break the hash). At 100 TB restore is "
+    "O(changed files) driver-side JSON — the undo path never touches "
+    "data. operators/txlog.tag/restore.",
+)
+def x74_tag_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _dml_scratch("x74" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(8, "o_orderkey")
+    )
+    t.tag("baseline")
+    junk = orders.limit(500).select(
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    t.append(junk)
+    t.delete_where("o_orderkey % 7 = 0")
+    t.restore(t.tags()["baseline"])
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
+    )
