@@ -33,8 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-6 snapshot commit after that round's correctness run — and the
 # round-7 additions x72-x74), then the 43 queries whose latest driver
 # evidence is round 4 (the union over CORRECTNESS_r01..r06 of each
-# query's newest green round), then 4 fillers from the round-5-stale
-# set in registry order. After this
+# query's newest green round), then 2 fillers from the round-5-stale
+# set in registry order (5 + 43 + 2 = 50 slots). After this
 # window, no registry query's driver evidence predates round 5.
 # Membership is derived from the committed CORRECTNESS files and
 # enforced by tests/test_repo_consistency.py::

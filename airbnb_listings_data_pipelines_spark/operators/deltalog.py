@@ -267,8 +267,14 @@ def export_delta_log(spark: SparkSession, table) -> int:
         else:
             cur = (cur - set(c["removes"])) | set(c["adds"])
         had_checks = bool(cur_checks)
+        cr = c.get("checks_reset")
         ck = c.get("check")
-        if ck and c.get("op") == "add_check":
+        if cr is not None:
+            # restore commit: constraint set reverts wholesale (txlog
+            # RESTORE restores metadata like Delta's does) — mirror the
+            # reverted set into delta.constraints.* below
+            cur_checks = dict(cr)
+        elif ck and c.get("op") == "add_check":
             cur_checks[ck["name"]] = ck["expr"]
         elif ck and c.get("op") == "drop_check":
             cur_checks.pop(ck["name"], None)

@@ -413,6 +413,7 @@ class TxLogTable:
         df: DataFrame,
         _pby: list[str] | None = None,
         _validate: bool = True,
+        _checks: dict[str, str] | None = None,
     ) -> list[str]:
         """Write ``df`` as new parquet files under the table dir; returns
         their names (relative paths — for partitioned tables these include
@@ -451,35 +452,52 @@ class TxLogTable:
         import shutil
 
         shutil.rmtree(tmp)
-        checks = self.checks() if _validate else {}
+        if _validate:
+            checks = self.checks() if _checks is None else _checks
+        else:
+            checks = {}
         if checks and names:
-            paths = [os.path.join(self.path, n) for n in names]
-            # footer schema of the just-written files (they share one) +
-            # recorded partition fields via basePath — NEVER inference
-            schema = _footer_schema(paths[0])
-            if pby:
-                pschema = self.partition_meta()[1]
-                for fld in pschema.fields:
-                    if fld.name not in schema.fieldNames():
-                        schema = schema.add(fld)
-            reader = self.spark.read.schema(schema)
-            if pby:
-                reader = reader.option("basePath", self.path)
-            # one scan, all constraints: min(passes) per check — 0 = violated
-            aggs = [
-                F.min(F.coalesce(F.expr(e), F.lit(True)).cast("int")).alias(n)
-                for n, e in checks.items()
-            ]
-            row = reader.parquet(*paths).agg(*aggs).collect()[0]
-            failed = [n for n in checks if row[n] == 0]
-            if failed:
-                for n in names:
-                    os.remove(os.path.join(self.path, n))
-                raise CheckViolation(
-                    "write rejected by CHECK "
-                    + ", ".join(f"{n}: {checks[n]}" for n in failed)
-                )
+            self._enforce_checks(names, checks, pby)
         return names
+
+    def _enforce_checks(
+        self, names: list[str], checks: dict[str, str], pby: list[str]
+    ) -> None:
+        """Enforce ``checks`` over the staged files ``names`` with ONE
+        aggregate scan (new files only — the table is never re-read). On
+        violation the staged files are removed and CheckViolation raised.
+        Called by :meth:`_write_data` at write time, and again by
+        :meth:`append`'s retry loop when a concurrent add_check landed
+        after the files were written — otherwise rows validated against
+        the old constraint set could commit over a newer constraint."""
+        if not (checks and names):
+            return
+        paths = [os.path.join(self.path, n) for n in names]
+        # footer schema of the just-written files (they share one) +
+        # recorded partition fields via basePath — NEVER inference
+        schema = _footer_schema(paths[0])
+        if pby:
+            pschema = self.partition_meta()[1]
+            for fld in pschema.fields:
+                if fld.name not in schema.fieldNames():
+                    schema = schema.add(fld)
+        reader = self.spark.read.schema(schema)
+        if pby:
+            reader = reader.option("basePath", self.path)
+        # one scan, all constraints: min(passes) per check — 0 = violated
+        aggs = [
+            F.min(F.coalesce(F.expr(e), F.lit(True)).cast("int")).alias(n)
+            for n, e in checks.items()
+        ]
+        row = reader.parquet(*paths).agg(*aggs).collect()[0]
+        failed = [n for n in checks if row[n] == 0]
+        if failed:
+            for n in names:
+                os.remove(os.path.join(self.path, n))
+            raise CheckViolation(
+                "write rejected by CHECK "
+                + ", ".join(f"{n}: {checks[n]}" for n in failed)
+            )
 
     # ------------------------------------------------------- data skipping
 
@@ -862,17 +880,38 @@ class TxLogTable:
         ``app_id``, or None — Delta's idempotent-writes contract: a sink
         must skip any batch whose id is <= this. O(commits) small-JSON
         reads, the same cost class as :meth:`_replay`."""
+        try:
+            return self._latest_and_txn(app_id)[1]
+        except FileNotFoundError:
+            return None
+
+    def _latest_and_txn(
+        self, app_id: str | None
+    ) -> tuple[int, int | None]:
+        """(latest committed version, highest txn version for ``app_id``)
+        in ONE directory pass — the latest version is the max commit
+        number (no file opened for it), and the txn scan opens each
+        commit json once. ``app_id=None`` skips the txn scan entirely, so
+        a plain append's per-attempt log cost is one listdir. A streaming
+        sink calling this per micro-batch on a long log pays one
+        small-JSON pass instead of the three full scans the naive
+        version() + last_txn_version() + version() sequence costs."""
+        entries = sorted(
+            f for f in os.listdir(self.log_dir) if f.endswith(".json")
+        )
+        if not entries:
+            raise FileNotFoundError(f"no commits in {self.log_dir}")
+        latest = int(entries[-1].split(".")[0])
         best: int | None = None
-        for name in os.listdir(self.log_dir):
-            if not name.endswith(".json"):
-                continue
-            with open(os.path.join(self.log_dir, name)) as fh:
-                c = json.load(fh)
-            t = c.get("txn")
-            if t and t.get("appId") == app_id:
-                v = int(t["version"])
-                best = v if best is None else max(best, v)
-        return best
+        if app_id is not None:
+            for name in entries:
+                with open(os.path.join(self.log_dir, name)) as fh:
+                    c = json.load(fh)
+                t = c.get("txn")
+                if t and t.get("appId") == app_id:
+                    v = int(t["version"])
+                    best = v if best is None else max(best, v)
+        return latest, best
 
     def append(
         self,
@@ -912,6 +951,7 @@ class TxLogTable:
                 ]
             )
         adds: list[str] | None = None
+        validated: dict[str, str] | None = None
         for _attempt in range(max_retries + 1):
             # ORDER MATTERS: capture base_version BEFORE the txn check.
             # The check then covers every commit at/below base_version,
@@ -920,18 +960,37 @@ class TxLogTable:
             # (or capturing at commit time) leaves a window where a
             # racing instance of the SAME batch commits between our check
             # and our commit at the next version: no collision, double
-            # append.
-            base_version = self.version()
-            if txn is not None:
-                last = self.last_txn_version(txn[0])
-                if last is not None and txn[1] <= last:
-                    # replayed batch: already committed (possibly by a
-                    # racing instance mid-retry) — drop our files, no-op
-                    for f in adds or []:
-                        os.remove(os.path.join(self.path, f))
-                    return self.version()
+            # append. One directory pass serves both lookups.
+            base_version, last = self._latest_and_txn(
+                txn[0] if txn is not None else None
+            )
+            if txn is not None and last is not None and txn[1] <= last:
+                # replayed batch: already committed (possibly by a
+                # racing instance mid-retry) — drop our files, no-op
+                for f in adds or []:
+                    os.remove(os.path.join(self.path, f))
+                return base_version
             if adds is None:
-                adds = self._write_data(df)
+                validated = self.checks()
+                adds = self._write_data(df, _checks=validated)
+            else:
+                # files already staged from a lost race: if an add_check
+                # landed since they were validated, re-validate against
+                # the NEW constraints only — otherwise rows checked under
+                # the old set would commit over a live constraint the
+                # add_check's own existing-row scan could not see (our
+                # staged files were invisible to it)
+                current = self.checks()
+                if current != validated:
+                    fresh = {
+                        n: e
+                        for n, e in current.items()
+                        if validated is None or validated.get(n) != e
+                    }
+                    self._enforce_checks(
+                        adds, fresh, self.partition_meta()[0]
+                    )
+                    validated = current
             try:
                 # record the schema CURRENT at this attempt, not the one
                 # the rows were aligned to: if an add_column landed while
@@ -944,6 +1003,8 @@ class TxLogTable:
                 )
             except CommitConflict:
                 continue
+        for f in adds or []:
+            os.remove(os.path.join(self.path, f))
         raise CommitConflict(f"append gave up after {max_retries} retries")
 
     # ----------------------------------------------------------- optimize
@@ -1058,26 +1119,50 @@ class TxLogTable:
         preserved, time travel still shows the pre-restore states, and a
         bad restore is undone by another restore. Requires the target
         version's files to still exist (within the vacuum horizon) —
-        raises FileNotFoundError naming the missing files otherwise."""
+        raises FileNotFoundError naming the missing files otherwise.
+        Like Delta's RESTORE, table METADATA is restored too: the
+        recorded schema AND the CHECK-constraint set revert to the
+        target version's (the restore commit carries a ``checks_reset``
+        action that :meth:`checks` and the Delta export fold in) —
+        otherwise restoring past an add_column would leave a live check
+        referencing a column the schema no longer has, and every
+        subsequent validated write would die on an unresolved column."""
+        version = int(version)
+        if not 0 <= version <= self.version():
+            raise ValueError(f"version {version} does not exist")
         _v, want = self._replay(as_of=version)
-        gone = [
-            f for f in want if not os.path.exists(os.path.join(self.path, f))
-        ]
-        if gone:
-            raise FileNotFoundError(
-                f"cannot restore to version {version}: {len(gone)} of its "
-                f"files were vacuumed (first: {gone[0]})"
-            )
         schema = self._schema_at(as_of=version)
+        target_checks = self.checks(as_of=version)
         for _attempt in range(max_retries + 1):
+            # existence check per attempt, after capturing the base: a
+            # vacuum running between a one-shot check and the commit
+            # could delete target files and leave the restored snapshot
+            # referencing them. A vacuum racing INSIDE this narrower
+            # window remains possible (vacuum takes no lock) — the
+            # operational guard is tagging snapshots you must restore to
+            # (tags pin files against vacuum regardless of retention).
+            gone = [
+                f
+                for f in want
+                if not os.path.exists(os.path.join(self.path, f))
+            ]
+            if gone:
+                raise FileNotFoundError(
+                    f"cannot restore to version {version}: {len(gone)} of "
+                    f"its files were vacuumed (first: {gone[0]})"
+                )
             base_version, live = self._replay()
             adds = sorted(set(want) - set(live))
             removes = sorted(set(live) - set(want))
+            extra: dict = {"checks_reset": target_checks}
+            if schema is not None:
+                extra["schema"] = schema
             try:
-                return self.commit(
-                    adds=adds, removes=removes, base_version=base_version,
-                    op="restore", schema=schema,
+                self._try_commit(
+                    base_version + 1, adds=adds, removes=removes,
+                    op="restore", extra=extra,
                 )
+                return base_version + 1
             except CommitConflict:
                 continue
         raise CommitConflict(f"restore gave up after {max_retries} retries")
@@ -1129,7 +1214,17 @@ class TxLogTable:
         return self.read_version(tags[name])
 
     def drop_tag(self, name: str) -> None:
-        os.remove(os.path.join(self.log_dir, "refs", f"{name}.json"))
+        # same name guard as tag(): without it a traversal name like
+        # "../000000000005" resolves outside refs/ and deletes a COMMIT
+        # file — a hole in the version sequence that replay cannot detect
+        import re as _re
+
+        if not _re.fullmatch(self._REF_NAME, name):
+            raise ValueError(f"invalid tag name: {name!r}")
+        try:
+            os.remove(os.path.join(self.log_dir, "refs", f"{name}.json"))
+        except FileNotFoundError:
+            raise KeyError(f"no tag {name!r}; have {sorted(self.tags())}")
 
     # ---------------------------------------------- CHECK constraints
 
@@ -1148,6 +1243,13 @@ class TxLogTable:
                 continue
             with open(os.path.join(self.log_dir, name)) as fh:
                 c = json.load(fh)
+            cr = c.get("checks_reset")
+            if cr is not None:
+                # restore commit: the constraint set reverts wholesale to
+                # the restored version's (mirrors Delta RESTORE restoring
+                # table metadata, not just the file set)
+                out = dict(cr)
+                continue
             ck = c.get("check")
             if not ck:
                 continue
@@ -1169,23 +1271,30 @@ class TxLogTable:
 
         if not _re.fullmatch(self._REF_NAME, name):
             raise ValueError(f"invalid constraint name: {name!r}")
-        bad = (
-            self.read()
-            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
-            .limit(1)
-            .count()
-        )
-        if bad:
-            raise CheckViolation(
-                f"existing rows violate CHECK {name}: {expr}"
-            )
         for _attempt in range(max_retries + 1):
+            # validate INSIDE the retry loop, after capturing the base
+            # version: the scan then covers every commit <= base, and a
+            # write landing after base forces CommitConflict on ours —
+            # which re-validates. Validating once up front leaves a
+            # window where a concurrent append commits rows the scan
+            # never saw and the constraint is born already-violated.
+            base_version = self.version()
+            bad = (
+                self.read()
+                .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise CheckViolation(
+                    f"existing rows violate CHECK {name}: {expr}"
+                )
             try:
                 self._try_commit(
-                    self.version() + 1, adds=[], removes=[], op="add_check",
+                    base_version + 1, adds=[], removes=[], op="add_check",
                     extra={"check": {"name": name, "expr": expr}},
                 )
-                return self.version()
+                return base_version + 1
             except CommitConflict:
                 continue
         raise CommitConflict(f"add_check gave up after {max_retries} retries")

@@ -118,21 +118,43 @@ def append_stream_txlog(
     return writer.start()
 
 
-def _ensure_table(batch: DataFrame, table_path: str) -> None:
+def _ensure_table(
+    batch: DataFrame, table_path: str, timeout_s: float = 120.0
+) -> None:
     """Create the table as ZERO rows + schema if absent. The first data
     batch then lands through the txn-marked commit like every other —
     if create() itself carried the rows, a batch-0 replay between the
     create commit and the checkpoint write would double-append (the
     create records no txn). Two racing first batches: one create wins
-    the O_EXCL makedirs, the loser proceeds to its txn-marked commit."""
-    from ..operators.txlog import TxLogTable
+    the O_EXCL makedirs; the loser must then WAIT for the winner's
+    commit 0 to appear — create() makedirs the log dir, runs a
+    multi-second Spark write, and only then commits, so "log dir
+    exists" alone does not mean the table is appendable yet (an
+    immediate append would die on FileNotFoundError and kill the
+    streaming query). Polls with a timeout so a crashed winner (log dir
+    but never a commit 0) surfaces as a clear error, not a hang."""
+    import time
 
-    if os.path.exists(os.path.join(table_path, "_txlog")):
-        return
-    try:
-        TxLogTable.create(batch.sparkSession, table_path, batch.limit(0))
-    except FileExistsError:
-        pass
+    from ..operators.txlog import TxLogTable, _commit_name
+
+    log_dir = os.path.join(table_path, "_txlog")
+    if not os.path.exists(log_dir):
+        try:
+            TxLogTable.create(batch.sparkSession, table_path, batch.limit(0))
+            return
+        except FileExistsError:
+            pass  # lost the makedirs race — fall through and wait
+    commit0 = os.path.join(log_dir, _commit_name(0))
+    deadline = time.monotonic() + timeout_s
+    while not os.path.exists(commit0):
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"{log_dir} exists but commit 0 never appeared within "
+                f"{timeout_s:.0f}s — a racing create() likely crashed "
+                "between makedirs and its first commit; remove the "
+                "_txlog dir to let the next batch re-create the table"
+            )
+        time.sleep(0.05)
 
 
 def upsert_stream_txlog(

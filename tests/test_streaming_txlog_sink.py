@@ -206,3 +206,63 @@ def test_delta_export_mirrors_txn_action(spark, tmp_path):
     t.to_delta_log()
     state = _replay_delta_log(spark, os.path.join(t.path, "_delta_log"))
     assert state.txns["ingest-1"]["version"] == 1
+
+
+def test_ensure_table_waits_for_racing_creators_commit0(spark, tmp_path):
+    """The create() loser must WAIT for the winner's commit 0: create()
+    makedirs the log dir, runs a multi-second Spark write, then commits
+    — between those, '_txlog exists' does not mean appendable, and an
+    immediate append would kill the streaming query on
+    FileNotFoundError. A crashed winner surfaces as TimeoutError, not a
+    hang or an opaque crash."""
+    import threading
+    import time
+
+    import pytest
+
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        TxLogTable,
+        _commit_name,
+    )
+    from airbnb_listings_data_pipelines_spark.streaming.upsert import (
+        _ensure_table,
+    )
+
+    batch = spark.createDataFrame([(1, 10.0)], "k int, price double")
+
+    # crashed winner: log dir exists, commit 0 never lands
+    dead = str(tmp_path / "dead")
+    os.makedirs(os.path.join(dead, "_txlog"))
+    with pytest.raises(TimeoutError, match="commit 0 never appeared"):
+        _ensure_table(batch, dead, timeout_s=0.3)
+
+    # slow winner: commit 0 lands mid-wait; the loser then proceeds
+    slow = str(tmp_path / "slow")
+    os.makedirs(os.path.join(slow, "_txlog"))
+
+    def winner():
+        time.sleep(0.3)
+        # commit 0 appearing is all the loser waits on
+        with open(
+            os.path.join(slow, "_txlog", _commit_name(0)), "w"
+        ) as fh:
+            json.dump(
+                {
+                    "op": "create",
+                    "adds": [],
+                    "removes": [],
+                    "checkpoint": True,
+                    "partition_by": [],
+                    "partition_schema": None,
+                    "schema": batch.schema.json(),
+                },
+                fh,
+            )
+
+    th = threading.Thread(target=winner)
+    th.start()
+    _ensure_table(batch, slow, timeout_s=10.0)
+    th.join()
+    t = TxLogTable(spark, slow)
+    t.append(batch)
+    assert t.read().count() == 1

@@ -299,3 +299,155 @@ def test_restore_past_vacuum_horizon_fails_loudly(spark, tmp_path):
     t.vacuum(retain_versions=1)
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         t.restore(0)
+
+
+# ----------------------------------------- review fixes: races & guards
+
+
+def test_drop_tag_rejects_traversal_and_missing(spark, tmp_path):
+    """drop_tag shares tag()'s name guard — a traversal name would
+    resolve outside refs/ and delete a COMMIT file (a hole in the
+    version sequence replay cannot detect)."""
+    t = _t(spark, tmp_path)
+    t.tag("keep")
+    with pytest.raises(ValueError, match="invalid tag name"):
+        t.drop_tag("../" + "0" * 12)
+    with pytest.raises(KeyError, match="absent"):
+        t.drop_tag("absent")
+    assert t.tags() == {"keep": 0}
+    assert t.version() == 0  # no commit file was harmed
+
+
+def test_restore_out_of_range_raises(spark, tmp_path):
+    """restore(version > latest) must raise, not silently no-op-commit
+    'restoring' to the current state (a typo'd version would otherwise
+    report success)."""
+    t = _t(spark, tmp_path)
+    with pytest.raises(ValueError, match="does not exist"):
+        t.restore(99)
+    with pytest.raises(ValueError, match="does not exist"):
+        t.restore(-1)
+    assert t.version() == 0
+
+
+def test_restore_restores_check_set(spark, tmp_path):
+    """RESTORE restores table METADATA like Delta's: the CHECK set
+    reverts with the schema. Without this, restoring past an add_column
+    leaves a live check referencing a column the restored schema no
+    longer has — every later validated write dies on an unresolved
+    column and its staged files leak."""
+    t = _t(spark, tmp_path)  # v0: k, price; no checks
+    t.add_column("discount", "double")  # v1
+    t.add_check("d_ok", "discount >= 0")  # v2 (NULLs pass)
+    t.restore(0)  # v3: schema AND checks revert
+    assert t.checks() == {}
+    assert t.read().columns == ["k", "price"]
+    # the write that used to die on AnalysisException now lands clean
+    t.append(spark.createDataFrame([(3, 30.0)], "k int, price double"))
+    assert {r.k for r in t.read().collect()} == {1, 2, 3}
+    # restoring forward brings the constraint back
+    t.restore(2)
+    assert t.checks() == {"d_ok": "discount >= 0"}
+    # time travel over checks stays exact across the resets
+    assert t.checks(as_of=3) == {}
+    assert t.checks(as_of=2) == {"d_ok": "discount >= 0"}
+
+
+def test_restore_checks_reset_mirrors_to_delta_export(spark, tmp_path):
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        _replay_delta_log,
+    )
+
+    t = _t(spark, tmp_path)
+    t.add_check("price_pos", "price >= 0")  # v1
+    t.restore(0)  # v2: constraint set reverts to {}
+    t.to_delta_log()
+    dd = os.path.join(t.path, "_delta_log")
+    assert _replay_delta_log(spark, dd, version=1).metadata[
+        "configuration"
+    ] == {"delta.constraints.price_pos": "price >= 0"}
+    assert _replay_delta_log(spark, dd).metadata["configuration"] == {}
+
+
+def test_add_check_revalidates_after_losing_race(spark, tmp_path):
+    """A concurrent append that commits BETWEEN add_check's existing-row
+    scan and its commit must be re-validated on the retry — otherwise
+    the constraint is born already-violated over rows the scan never
+    saw."""
+    t = _t(spark, tmp_path)
+    t2 = TxLogTable(spark, t.path)
+    orig = t._try_commit
+    fired = {}
+
+    def race(version, adds, removes, op, extra=None):
+        if "v" not in fired:
+            # violating row lands after the validation scan ran
+            fired["v"] = t2.append(
+                spark.createDataFrame([(9, -1.0)], "k int, price double")
+            )
+        return orig(version, adds=adds, removes=removes, op=op, extra=extra)
+
+    t._try_commit = race
+    with pytest.raises(CheckViolation, match="existing rows violate"):
+        t.add_check("price_pos", "price >= 0")
+    assert "price_pos" not in t.checks(), "constraint must not have landed"
+    assert fired["v"] == 1 and t.version() == 1
+
+
+def test_append_retry_revalidates_against_new_check(spark, tmp_path):
+    """An append whose staged (invisible) files violate a check that a
+    CONCURRENT add_check commits mid-retry must fail CheckViolation on
+    the retry — the add_check's own existing-row scan could not see the
+    staged files, so the append side must re-validate them."""
+    t = _t(spark, tmp_path)
+    t2 = TxLogTable(spark, t.path)
+    orig = t.commit
+    fired = {}
+
+    def race(adds, removes, base_version, op, schema=None, txn=None):
+        if "v" not in fired:
+            # constraint lands while our files sit staged: existing rows
+            # all pass, so add_check succeeds — and our commit conflicts
+            fired["v"] = t2.add_check("price_pos", "price >= 0")
+        return orig(adds, removes, base_version, op, schema=schema, txn=txn)
+
+    t.commit = race
+    files_before = sorted(
+        f for f in os.listdir(t.path) if f.endswith(".parquet")
+    )
+    with pytest.raises(CheckViolation, match="price_pos"):
+        t.append(spark.createDataFrame([(9, -1.0)], "k int, price double"))
+    # staged files were removed; table rows untouched; constraint active
+    assert sorted(
+        f for f in os.listdir(t.path) if f.endswith(".parquet")
+    ) == files_before
+    assert {r.k for r in t.read().collect()} == {1, 2}
+    assert t.checks() == {"price_pos": "price >= 0"}
+
+
+def test_append_cleans_staged_files_on_retry_exhaustion(spark, tmp_path):
+    """Exhausting retries must not leave orphan parquet in the table dir
+    (delete/update already clean up per-conflict; append cleans on the
+    final raise) — a persistently-losing streaming sink would otherwise
+    accumulate invisible files until vacuum."""
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        CommitConflict,
+    )
+
+    t = _t(spark, tmp_path)
+
+    def always_lose(*a, **k):
+        raise CommitConflict("simulated")
+
+    t.commit = always_lose
+    files_before = sorted(
+        f for f in os.listdir(t.path) if f.endswith(".parquet")
+    )
+    with pytest.raises(CommitConflict, match="gave up"):
+        t.append(
+            spark.createDataFrame([(3, 30.0)], "k int, price double"),
+            max_retries=1,
+        )
+    assert sorted(
+        f for f in os.listdir(t.path) if f.endswith(".parquet")
+    ) == files_before
