@@ -1359,14 +1359,34 @@ class TxLogTable:
 
     # ------------------------------------------------------------- vacuum
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 1, min_age_s: float = 0.0
+    ) -> list[str]:
         """Delete data files referenced by NO retained snapshot: orphans
         from crashed/losing writers, plus files whose only references are
         versions older than the retention window. ``retain_versions`` is
         the time-travel horizon (Delta's retention period expressed in
         versions rather than hours): the newest N versions stay readable
         via :meth:`read_version`; older versions may lose files. Never
-        touches the live snapshot (retain_versions >= 1 always)."""
+        touches the live snapshot (retain_versions >= 1 always).
+
+        ``min_age_s`` skips files younger than that many seconds (mtime)
+        — the guard Delta's retention-hours check provides: a CONCURRENT
+        writer's staged-but-uncommitted files look like orphans to this
+        scan, and deleting them makes that writer commit references to
+        vanished files. Production vacuums should set it above the
+        longest write duration; the 0.0 default keeps single-writer
+        usage (and tests) immediate.
+
+        A vacuum that deleted anything also records itself in the log as
+        a data-unchanged ``op="vacuum"`` commit listing the deleted
+        files: an audit trail in :meth:`history`, and the commit forces
+        CommitConflict on any concurrently-retrying writer (e.g.
+        :meth:`restore`, whose per-attempt existence re-check then runs
+        against the post-vacuum reality instead of racing it)."""
+        import time as _time
+
+        now = _time.time()
         latest, live = self._replay()
         referenced = set(live)
         keep_versions = set(
@@ -1390,6 +1410,8 @@ class TxLogTable:
                 full = os.path.join(root, f)
                 rel = os.path.relpath(full, self.path).replace(os.sep, "/")
                 if rel not in referenced:
+                    if min_age_s > 0 and now - os.path.getmtime(full) < min_age_s:
+                        continue  # possibly staged by an in-flight writer
                     os.remove(full)
                     deleted.append(rel)
         # drop partition dirs a vacuum emptied (cosmetic; readers use the log)
@@ -1401,6 +1423,20 @@ class TxLogTable:
                 os.rmdir(root)  # only succeeds if empty
             except OSError:
                 pass
+        if deleted:
+            # best-effort audit commit; the deletions above already
+            # happened, so a persistent conflict is not an error — the
+            # conflicting commits themselves served as the writer signal
+            for _attempt in range(3):
+                try:
+                    self._try_commit(
+                        self.version() + 1, adds=[], removes=[],
+                        op="vacuum",
+                        extra={"vacuumed": sorted(deleted)},
+                    )
+                    break
+                except CommitConflict:
+                    continue
         return sorted(deleted)
 
 

@@ -289,7 +289,9 @@ def test_export_after_vacuum_derives_schema_from_live_files(spark, tmp_path):
     removed = t.vacuum(retain_versions=1)
     assert removed, "vacuum should drop v0's files for this test to bite"
     v = t.to_delta_log()
-    assert v == 1
+    # v2 is the vacuum audit commit (data-unchanged; exports as a
+    # commitInfo-only Delta commit)
+    assert v == 2 and t.history()[-1]["op"] == "vacuum"
     got = read_delta_snapshot(spark, path)
     assert _rows(got) == _rows(t.read())
     assert [f.name for f in got.schema.fields] == ["id", "v"]

@@ -7,6 +7,7 @@ byte-identical."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -451,3 +452,43 @@ def test_append_cleans_staged_files_on_retry_exhaustion(spark, tmp_path):
     assert sorted(
         f for f in os.listdir(t.path) if f.endswith(".parquet")
     ) == files_before
+
+
+def test_vacuum_age_guard_spares_staged_files(spark, tmp_path):
+    """min_age_s is the staged-file guard (Delta's retention-hours
+    analog): a concurrent writer's staged-but-uncommitted parquet looks
+    like an orphan to vacuum, and deleting it would make that writer
+    commit references to vanished files."""
+    t = _t(spark, tmp_path)
+    # stage files the way a racing append would: written, uncommitted
+    staged = t._write_data(
+        spark.createDataFrame([(9, 90.0)], "k int, price double")
+    )
+    assert t.vacuum(retain_versions=1, min_age_s=3600) == []
+    for f in staged:
+        assert os.path.exists(os.path.join(t.path, f)), "staged file eaten"
+    # without the guard the same files are collectable orphans
+    deleted = t.vacuum(retain_versions=1)
+    assert set(deleted) == set(staged)
+
+
+def test_vacuum_records_audit_commit(spark, tmp_path):
+    """A deleting vacuum logs itself: history shows op='vacuum' with the
+    deleted files, and the commit gives concurrently-retrying writers
+    (restore) a CommitConflict signal instead of a silent race. A no-op
+    vacuum stays out of the log."""
+    t = _t(spark, tmp_path)
+    v0 = t.version()
+    assert t.vacuum(retain_versions=1) == []  # nothing to delete
+    assert t.version() == v0, "no-op vacuum must not pollute the log"
+    t.optimize(target_files=1)
+    deleted = t.vacuum(retain_versions=1)
+    assert deleted
+    h = t.history()[-1]
+    assert h["op"] == "vacuum" and h["n_adds"] == 0 and h["n_removes"] == 0
+    with open(
+        os.path.join(t.log_dir, f"{t.version():012d}.json")
+    ) as fh:
+        assert json.load(fh)["vacuumed"] == sorted(deleted)
+    # the audit commit is data-unchanged: live set identical across it
+    assert set(t._replay(as_of=t.version() - 1)[1]) == set(t.files())
