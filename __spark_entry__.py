@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # enforced by tests/test_repo_consistency.py::
 # test_window_rotation_covers_stalest_evidence. Everything outside the
 # window stays covered by tools/check_oracle.py's full bit-exact
-# registry sweep (145/145 at the start of round 7; x72-x74 added and gate-checked in round 7).
+# registry sweep (145/145 at the start of round 7; x72-x76 added and gate-checked in round 7).
 #
 # Evidence-audit note: the round-1 driver files contain three names that
 # never passed — x06_minhash_lsh_pairs, x10_lsh_ann_topk,
@@ -100,9 +100,11 @@ _CHECK_FIRST = [
     "q33_events_daily_top_users",
     "q36_json_extraction",
     "x44_attribution_join",
-    # round-5-stale fillers (registry order) — slots 49-50
-    "x01_dedup_exact",
-    "x02_token_count",
+    # never driver-checked round-7 additions — slots 49-50 (they
+    # displace the round-5-stale fillers: never-checked leads per the
+    # window guard's rule)
+    "x75_change_data_feed",
+    "x76_zero_copy_clone",
 ]
 
 

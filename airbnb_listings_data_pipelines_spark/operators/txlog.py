@@ -818,6 +818,94 @@ class TxLogTable:
         removed = old_df.exceptAll(new_df).withColumn("change_type", F.lit("delete"))
         return added.unionByName(removed)
 
+    def read_changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        net: bool = True,
+    ) -> DataFrame:
+        """Per-commit Change Data Feed (Delta's ``table_changes``): every
+        row-level change in commits ``[from_version, to_version]``, each
+        tagged ``_change_type`` ('insert'/'delete') and
+        ``_commit_version``. Unlike :meth:`diff_versions` (endpoint
+        diff — a row inserted then deleted inside the range cancels),
+        this preserves INTERMEDIATE history, which is what an
+        incremental consumer tailing the log needs: process commits
+        [last_seen+1, latest], checkpoint latest, repeat — each poll
+        costs O(files changed in that range), never O(table).
+
+        Per commit, changes derive from the log's file delta (live set
+        at v minus live at v-1 — computed checkpoint-aware in ONE pass
+        over the commit jsons, so checkpoint commits whose recorded adds
+        are the full live list still yield their true delta): rows of
+        added files are inserts, rows of removed files deletes. A
+        copy-on-write writer rewrites whole touched files, so rewrite
+        noise (unchanged rows) appears as identical delete+insert pairs;
+        ``net=True`` cancels those per commit with one EXCEPT ALL each
+        way over that commit's changed files only — an UPDATE then
+        surfaces as exactly its old-row delete + new-row insert, Delta
+        CDF's representation. ``net=False`` returns the raw
+        file-granularity feed (cheaper: no shuffle at all).
+
+        All files read under ``to_version``'s recorded schema (earlier
+        files null-fill evolved columns) so the feed has one schema.
+        Data-unchanged commits (add_check, restore that alters nothing,
+        vacuum audits) contribute no rows."""
+        latest = self.version()
+        to_version = latest if to_version is None else int(to_version)
+        from_version = int(from_version)
+        if not 0 <= from_version <= to_version <= latest:
+            raise ValueError(
+                f"invalid change range [{from_version}, {to_version}] "
+                f"for table at version {latest}"
+            )
+        # one checkpoint-aware pass: per-version live sets -> file deltas
+        per_commit: list[tuple[int, list[str], list[str]]] = []
+        live: set[str] = set()
+        prev: set[str] = set()
+        for name in sorted(
+            f for f in os.listdir(self.log_dir) if f.endswith(".json")
+        ):
+            v = int(name.split(".")[0])
+            if v > to_version:
+                break
+            with open(os.path.join(self.log_dir, name)) as fh:
+                c = json.load(fh)
+            if c.get("checkpoint"):
+                live = set(c["adds"])
+            else:
+                live = (live - set(c["removes"])) | set(c["adds"])
+            if v >= from_version:
+                per_commit.append(
+                    (v, sorted(live - prev), sorted(prev - live))
+                )
+            prev = set(live)
+        schema = self._schema_at(as_of=to_version)
+        parts: list[DataFrame] = []
+        for v, adds, removes in per_commit:
+            ins = self._read_files(adds, schema) if adds else None
+            dels = self._read_files(removes, schema) if removes else None
+            if net and ins is not None and dels is not None:
+                ins, dels = ins.exceptAll(dels), dels.exceptAll(ins)
+            for df, ct in ((ins, "insert"), (dels, "delete")):
+                if df is not None:
+                    parts.append(
+                        df.withColumn("_change_type", F.lit(ct)).withColumn(
+                            "_commit_version", F.lit(v).cast("int")
+                        )
+                    )
+        if not parts:
+            return (
+                self.read()
+                .limit(0)
+                .withColumn("_change_type", F.lit(""))
+                .withColumn("_commit_version", F.lit(0).cast("int"))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _try_commit(
         self,
         version: int,
@@ -1166,6 +1254,57 @@ class TxLogTable:
             except CommitConflict:
                 continue
         raise CommitConflict(f"restore gave up after {max_retries} retries")
+
+    def clone(self, dest_path: str) -> "TxLogTable":
+        """``CREATE TABLE ... CLONE`` (Delta's zero-copy clone): a new
+        independent table at ``dest_path`` whose version 0 is this
+        table's live snapshot — NO data is copied. Files are HARDLINKED
+        (the local-FS realization of a shallow clone's by-reference
+        files; an object-store implementation would record absolute URIs
+        in the log instead). Independence is safe because data files are
+        immutable by construction: every writer path here is
+        copy-on-write (new files only) and vacuum's delete merely
+        unlinks one table's directory entry — so DML, OPTIMIZE, or
+        vacuum on either table leaves the other byte-identical, which is
+        exactly the clone-for-experiments contract (test a risky
+        migration on the clone, keep serving from the source).
+
+        Full table METADATA carries over: recorded schema, partition
+        spec, and the active CHECK-constraint set (via a commit-0
+        ``checks_reset``). History does NOT carry over — the clone
+        starts at version 0 with no tags, Delta's clone semantics.
+        Driver-side cost is O(live files) link syscalls, zero bytes
+        moved at any table size."""
+        import shutil
+
+        dest = TxLogTable(self.spark, dest_path)
+        version, files = self._replay()
+        schema_json = self._schema_at()
+        pby, pschema = self.partition_meta()
+        os.makedirs(dest.log_dir, exist_ok=False)  # loudly refuse overwrite
+        for f in files:
+            src = os.path.join(self.path, f)
+            dst = os.path.join(dest.path, f)
+            os.makedirs(os.path.dirname(dst) or dest.path, exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)  # cross-device fallback
+        dest._pmeta = (pby, pschema)
+        dest._try_commit(
+            0,
+            adds=files,
+            removes=[],
+            op="clone",
+            extra={
+                "partition_by": pby,
+                "partition_schema": pschema.json() if pby else None,
+                "schema": schema_json,
+                "checks_reset": self.checks(),
+                "cloned_from": {"path": self.path, "version": version},
+            },
+        )
+        return dest
 
     # ---------------------------------------------------- refs (tags)
 

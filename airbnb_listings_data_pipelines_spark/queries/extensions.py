@@ -4047,3 +4047,145 @@ def x74_tag_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@query(
+    "x75_change_data_feed",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
+    ),
+    deleted AS (
+      SELECT * FROM base
+      WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+    ),
+    after_delete AS (
+      SELECT * FROM base
+      WHERE NOT (o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
+    ),
+    upd_old AS (SELECT * FROM after_delete WHERE o_orderstatus = 'P'),
+    upd_new AS (
+      SELECT u.o_orderkey, u.o_custkey, u.o_orderstatus,
+             u.o_totalprice + 10.0 AS o_totalprice, u.o_orderdate,
+             concat('R-', u.o_orderpriority) AS o_orderpriority
+      FROM upd_old AS u
+    ),
+    changes AS (
+      SELECT CAST(1 AS INTEGER) AS _commit_version,
+             'delete' AS _change_type, * FROM deleted
+      UNION ALL SELECT CAST(2 AS INTEGER), 'delete', * FROM upd_old
+      UNION ALL SELECT CAST(2 AS INTEGER), 'insert', * FROM upd_new
+    )
+    SELECT _commit_version, _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM changes GROUP BY 1, 2
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8", "F9"),
+    doc="Per-commit Change Data Feed (Delta's table_changes) under the "
+    "value-hash gate: orders -> txlog (8 key-ranged files, v0), DELETE "
+    "WHERE status/priority (v1), UPDATE WHERE status='P' (v2, price "
+    "+10.0 and 'R-' priority prefix), then read_changes(1, 2) — every "
+    "row-level change per commit, tagged _change_type/_commit_version. "
+    "net=True cancels the copy-on-write rewrite noise (unchanged rows "
+    "of rewritten files appear as identical delete+insert pairs and "
+    "EXCEPT-ALL out, per commit, over that commit's changed files "
+    "only), so the UPDATE surfaces as exactly its old-row delete + "
+    "new-row insert — Delta CDF's representation. The oracle constructs "
+    "the expected per-commit multiset from raw orders by replaying the "
+    "same predicates as CTEs, with pre-update references qualified "
+    "(u.*). Unlike x71's endpoint diff, the per-commit feed preserves "
+    "INTERMEDIATE history — the incremental-consumer contract: tail "
+    "[last_seen+1, latest] at O(changed files) per poll, never "
+    "O(table). operators/txlog.read_changes.",
+)
+def x75_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _dml_scratch("x75" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(8, "o_orderkey")
+    )
+    t.delete_where("o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'")
+    t.update_where(
+        "o_orderstatus = 'P'",
+        {
+            "o_totalprice": F.col("o_totalprice") + F.lit(10.0),
+            "o_orderpriority": F.concat(F.lit("R-"), F.col("o_orderpriority")),
+        },
+    )
+    feed = t.read_changes(1, 2)
+    return feed.groupBy("_commit_version", "_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+@query(
+    "x76_zero_copy_clone",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
+    ),
+    clone_after_dml AS (
+      SELECT * FROM src WHERE o_orderkey % 3 <> 0
+    ),
+    both_sides AS (
+      SELECT 'source' AS side, * FROM src
+      UNION ALL SELECT 'clone', * FROM clone_after_dml
+    )
+    SELECT side, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM both_sides GROUP BY 1, 2
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8", "P7"),
+    doc="CREATE TABLE CLONE (Delta's zero-copy clone) under the "
+    "value-hash gate: orders -> txlog source, clone() (hardlinked "
+    "files — zero bytes moved at any table size, the local-FS "
+    "realization of a shallow clone), DELETE WHERE o_orderkey % 3 = 0 "
+    "on the CLONE only, then a side-tagged rollup over BOTH tables. A "
+    "hash match proves (a) the clone's v0 equals the source snapshot, "
+    "(b) clone-side copy-on-write DML diverges the clone, and (c) the "
+    "source stays byte-identical through it — the "
+    "clone-for-experiments isolation contract. The oracle builds both "
+    "sides from raw orders (the clone side = the same modulo filter). "
+    "operators/txlog.TxLogTable.clone.",
+)
+def x76_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.txlog import TxLogTable
+
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _dml_scratch("x76" + sf_dir)
+    # the scratch helper rebuilds only <root>/t per invocation; the clone
+    # lives beside it and must be cleared too or a re-run (bench's
+    # min-of-N) hits clone()'s FileExistsError refusal
+    shutil.rmtree(path + "_clone", ignore_errors=True)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(8, "o_orderkey")
+    )
+    c = t.clone(path + "_clone")
+    c.delete_where("o_orderkey % 3 = 0")
+    src = t.read().withColumn("side", F.lit("source"))
+    cl = c.read().withColumn("side", F.lit("clone"))
+    return src.unionByName(cl).groupBy("side", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
+    )

@@ -574,3 +574,105 @@ def test_multiwriter_stress_converges(spark, tmp_path):
     ops = sorted(c["op"] for c in commits.values())
     assert ops.count("delete") >= 1 and ops.count("update") >= 1
     assert ops.count("optimize") == 1 and ops.count("append") == 1
+
+
+# ------------------------------------------------------- change data feed
+
+
+def _cdf_rows(df):
+    return {
+        (r._commit_version, r._change_type, r.k, r.price)
+        for r in df.collect()
+    }
+
+
+def test_read_changes_per_commit_feed(spark):
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        t = TxLogTable.create(
+            spark,
+            os.path.join(d, "t"),
+            # ONE file so the k=1 delete's copy-on-write rewrite carries
+            # k=2 along — the rewrite noise net=True must cancel
+            spark.createDataFrame(
+                [(1, 10.0), (2, 20.0)], "k int, price double"
+            ).coalesce(1),
+        )  # v0
+        t.append(spark.createDataFrame([(3, 30.0)], "k int, price double"))  # v1
+        t.delete_where("k = 1")  # v2
+        t.update_where("k = 2", {"price": F.col("price") + 5.0})  # v3
+        got = _cdf_rows(t.read_changes(1, 3))
+        assert got == {
+            (1, "insert", 3, 30.0),
+            (2, "delete", 1, 10.0),
+            (3, "delete", 2, 20.0),  # update = delete+insert pair
+            (3, "insert", 2, 25.0),
+        }
+        # net=True cancelled the copy-on-write rewrite noise: v2's
+        # rewrite of the file holding k=1,2 re-adds k=2 unchanged — the
+        # raw feed shows it, the net feed does not
+        raw = _cdf_rows(t.read_changes(2, 2, net=False))
+        assert (2, "insert", 2, 20.0) in raw and (2, "delete", 2, 20.0) in raw
+        # full-range from 0 includes the create
+        assert (0, "insert", 1, 10.0) in _cdf_rows(t.read_changes(0))
+        with pytest.raises(ValueError, match="invalid change range"):
+            t.read_changes(2, 99)
+        with pytest.raises(ValueError, match="invalid change range"):
+            t.read_changes(3, 2)
+
+
+def test_read_changes_preserves_intermediate_history(spark):
+    """The CDF's point vs diff_versions: a row inserted then deleted
+    INSIDE the range cancels in the endpoint diff but must appear (both
+    events) in the per-commit feed."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        t = TxLogTable.create(
+            spark,
+            os.path.join(d, "t"),
+            spark.createDataFrame([(1, 10.0)], "k int, price double"),
+        )  # v0
+        t.append(spark.createDataFrame([(9, 90.0)], "k int, price double"))  # v1
+        t.delete_where("k = 9")  # v2
+        assert t.diff_versions(0, 2).count() == 0  # endpoint diff: cancels
+        got = _cdf_rows(t.read_changes(1, 2))
+        assert got == {(1, "insert", 9, 90.0), (2, "delete", 9, 90.0)}
+
+
+def test_read_changes_skips_metadata_commits_and_handles_checkpoints(spark):
+    """add_check / vacuum-audit commits contribute no rows, and a
+    checkpoint commit inside the range yields its TRUE file delta, not
+    the full live list its json records."""
+    import tempfile
+
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        _CHECKPOINT_EVERY,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        t = TxLogTable.create(
+            spark,
+            os.path.join(d, "t"),
+            spark.createDataFrame([(0, 0.0)], "k int, price double"),
+        )
+        t.add_check("price_ok", "price >= 0")  # v1: metadata only
+        # drive a checkpoint commit (every _CHECKPOINT_EVERY) via appends
+        upto = _CHECKPOINT_EVERY + 1
+        for i in range(2, upto + 1):
+            t.append(
+                spark.createDataFrame([(i, float(i))], "k int, price double")
+            )
+        ck = _CHECKPOINT_EVERY
+        feed = t.read_changes(ck, ck)
+        assert _cdf_rows(feed) == {(ck, "insert", ck, float(ck))}, (
+            "checkpoint commit must yield its true delta, not the full "
+            "live list"
+        )
+        # the metadata-only commit contributes nothing
+        assert t.read_changes(1, 1).count() == 0
+        # incremental-consumer shape: tail [last+1, latest] sees only new
+        assert _cdf_rows(t.read_changes(upto, upto)) == {
+            (upto, "insert", upto, float(upto))
+        }

@@ -492,3 +492,56 @@ def test_vacuum_records_audit_commit(spark, tmp_path):
         assert json.load(fh)["vacuumed"] == sorted(deleted)
     # the audit commit is data-unchanged: live set identical across it
     assert set(t._replay(as_of=t.version() - 1)[1]) == set(t.files())
+
+
+# ---------------------------------------------------------------- clone
+
+
+def test_clone_is_zero_copy_and_independent(spark, tmp_path):
+    """Zero-copy clone: hardlinked files (no bytes moved), full metadata
+    (schema + checks) carried, and DML/vacuum on either side leaves the
+    other byte-identical — the clone-for-experiments contract."""
+    t = _t(spark, tmp_path)
+    t.add_check("price_pos", "price >= 0")
+    c = t.clone(str(tmp_path / "c"))
+    assert {r.k for r in c.read().collect()} == {1, 2}
+    assert c.checks() == {"price_pos": "price >= 0"}
+    assert c.version() == 0 and c.tags() == {}  # fresh history, no tags
+    # zero-copy: same inode (hardlink), not a byte copy
+    f = t.files()[0]
+    assert os.path.samefile(
+        os.path.join(t.path, f), os.path.join(c.path, f)
+    )
+    # clone-side DML + vacuum never touches the source
+    c.delete_where("k = 1")
+    c.optimize(target_files=1)
+    c.vacuum(retain_versions=1)
+    assert {r.k for r in t.read().collect()} == {1, 2}, "source mutated"
+    assert {r.k for r in c.read().collect()} == {2}
+    # source-side vacuum never touches the clone
+    t.optimize(target_files=1)
+    t.vacuum(retain_versions=1)
+    assert {r.k for r in c.read().collect()} == {2}
+    # clone enforces the carried constraint
+    with pytest.raises(CheckViolation):
+        c.append(spark.createDataFrame([(9, -1.0)], "k int, price double"))
+    # refuses to overwrite an existing table
+    with pytest.raises(FileExistsError):
+        t.clone(str(tmp_path / "c"))
+
+
+def test_clone_partitioned_table(spark, tmp_path):
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "p"),
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+            "k int, part string, price double",
+        ),
+        partition_by=["part"],
+    )
+    c = t.clone(str(tmp_path / "pc"))
+    assert c.partition_meta()[0] == ["part"]
+    # partition pruning works on the clone (directory-name pruning)
+    got = {r.k for r in c.read_where("part", "a", "a").collect()}
+    assert got == {1, 3}
