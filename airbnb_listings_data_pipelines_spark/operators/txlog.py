@@ -108,6 +108,90 @@ def _commit_name(version: int) -> str:
     return f"{version:012d}.json"
 
 
+def replay_log(log_dir: str, as_of: int | None = None) -> tuple[int, list[str]]:
+    """(version, live file list) at the latest version or at ``as_of`` —
+    the commit-log fold, as a pure os/json function (no SparkSession) so
+    both :class:`TxLogTable` and the ``txlog`` Python DataSource (whose
+    reader objects are pickled to executors) share ONE replay
+    implementation. Replays from the newest checkpoint commit (full
+    file list) at or before the requested version, not the whole log."""
+    entries = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
+    if not entries:
+        raise FileNotFoundError(f"no commits in {log_dir}")
+    commits = []
+    for name in entries:
+        version = int(name.split(".")[0])
+        if as_of is not None and version > as_of:
+            continue
+        with open(os.path.join(log_dir, name)) as fh:
+            commits.append((version, json.load(fh)))
+    if not commits:
+        raise FileNotFoundError(
+            f"no commit at or before version {as_of} in {log_dir}"
+        )
+    commits.sort()
+    # start from the last checkpoint commit (carries the full list)
+    start = 0
+    for i, (_v, c) in enumerate(commits):
+        if c.get("checkpoint"):
+            start = i
+    live: set[str] = set()
+    for _v, c in commits[start:]:
+        if c.get("checkpoint"):
+            live = set(c["adds"])
+        else:
+            live -= set(c["removes"])
+            live |= set(c["adds"])
+    return commits[-1][0], sorted(live)
+
+
+def schema_json_at(log_dir: str, as_of: int | None = None) -> str | None:
+    """The recorded table schema (StructType JSON) effective at ``as_of``
+    — newest commit at/below it carrying a ``schema`` payload; None for
+    legacy logs. Session-free twin of :meth:`TxLogTable._schema_at`."""
+    best: tuple[int, str] | None = None
+    for name in os.listdir(log_dir):
+        if not name.endswith(".json"):
+            continue
+        v = int(name.split(".")[0])
+        if as_of is not None and v > as_of:
+            continue
+        with open(os.path.join(log_dir, name)) as fh:
+            c = json.load(fh)
+        s = c.get("schema")
+        if s is not None and (best is None or v > best[0]):
+            best = (v, s)
+    return best[1] if best else None
+
+
+def commit_file_deltas(
+    log_dir: str, from_version: int, to_version: int
+) -> list[tuple[int, list[str], list[str]]]:
+    """Per-commit (version, files added, files removed) over
+    ``[from_version, to_version]``, computed checkpoint-aware in ONE
+    pass (a checkpoint commit's recorded adds are the full live list;
+    its TRUE delta is live(v) - live(v-1)). Shared by
+    :meth:`TxLogTable.read_changes` and the ``txlog`` streaming
+    DataSource's offset-range planner."""
+    per_commit: list[tuple[int, list[str], list[str]]] = []
+    live: set[str] = set()
+    prev: set[str] = set()
+    for name in sorted(f for f in os.listdir(log_dir) if f.endswith(".json")):
+        v = int(name.split(".")[0])
+        if v > to_version:
+            break
+        with open(os.path.join(log_dir, name)) as fh:
+            c = json.load(fh)
+        if c.get("checkpoint"):
+            live = set(c["adds"])
+        else:
+            live = (live - set(c["removes"])) | set(c["adds"])
+        if v >= from_version:
+            per_commit.append((v, sorted(live - prev), sorted(prev - live)))
+        prev = set(live)
+    return per_commit
+
+
 class TxLogTable:
     """A parquet table whose live file set is governed by a commit log."""
 
@@ -250,19 +334,7 @@ class TxLogTable:
         across a schema evolution exact. None only for legacy logs
         written before schemas were recorded. O(commits) small-JSON reads,
         same cost class as :meth:`_replay`."""
-        best: tuple[int, str] | None = None
-        for name in os.listdir(self.log_dir):
-            if not name.endswith(".json"):
-                continue
-            v = int(name.split(".")[0])
-            if as_of is not None and v > as_of:
-                continue
-            with open(os.path.join(self.log_dir, name)) as fh:
-                c = json.load(fh)
-            s = c.get("schema")
-            if s is not None and (best is None or v > best[0]):
-                best = (v, s)
-        return best[1] if best else None
+        return schema_json_at(self.log_dir, as_of)
 
     def _read_files(self, files: list[str], schema_json: str | None = None) -> DataFrame:
         """ONE parquet scan over an explicit live-file list under the
@@ -337,35 +409,10 @@ class TxLogTable:
     def _replay(self, as_of: int | None = None) -> tuple[int, list[str]]:
         """Version + live file list, at the latest version or (time travel)
         at ``as_of``. Replays from the newest checkpoint (a full-file-list
-        commit) at or before the requested version, not the whole log."""
-        entries = sorted(f for f in os.listdir(self.log_dir) if f.endswith(".json"))
-        if not entries:
-            raise FileNotFoundError(f"no commits in {self.log_dir}")
-        commits = []
-        for name in entries:
-            version = int(name.split(".")[0])
-            if as_of is not None and version > as_of:
-                continue
-            with open(os.path.join(self.log_dir, name)) as fh:
-                commits.append((version, json.load(fh)))
-        if not commits:
-            raise FileNotFoundError(
-                f"no commit at or before version {as_of} in {self.log_dir}"
-            )
-        commits.sort()
-        # start from the last checkpoint commit (carries the full list)
-        start = 0
-        for i, (_v, c) in enumerate(commits):
-            if c.get("checkpoint"):
-                start = i
-        live: set[str] = set()
-        for _v, c in commits[start:]:
-            if c.get("checkpoint"):
-                live = set(c["adds"])
-            else:
-                live -= set(c["removes"])
-                live |= set(c["adds"])
-        return commits[-1][0], sorted(live)
+        commit) at or before the requested version, not the whole log.
+        Delegates to the module-level :func:`replay_log` (session-free so
+        the ``txlog`` Python DataSource can run it on any process)."""
+        return replay_log(self.log_dir, as_of)
 
     def version(self) -> int:
         return self._replay()[0]
@@ -860,26 +907,9 @@ class TxLogTable:
                 f"for table at version {latest}"
             )
         # one checkpoint-aware pass: per-version live sets -> file deltas
-        per_commit: list[tuple[int, list[str], list[str]]] = []
-        live: set[str] = set()
-        prev: set[str] = set()
-        for name in sorted(
-            f for f in os.listdir(self.log_dir) if f.endswith(".json")
-        ):
-            v = int(name.split(".")[0])
-            if v > to_version:
-                break
-            with open(os.path.join(self.log_dir, name)) as fh:
-                c = json.load(fh)
-            if c.get("checkpoint"):
-                live = set(c["adds"])
-            else:
-                live = (live - set(c["removes"])) | set(c["adds"])
-            if v >= from_version:
-                per_commit.append(
-                    (v, sorted(live - prev), sorted(prev - live))
-                )
-            prev = set(live)
+        per_commit = commit_file_deltas(
+            self.log_dir, from_version, to_version
+        )
         schema = self._schema_at(as_of=to_version)
         parts: list[DataFrame] = []
         for v, adds, removes in per_commit:

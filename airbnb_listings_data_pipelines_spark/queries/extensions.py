@@ -4189,3 +4189,71 @@ def x76_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@query(
+    "x77_python_datasource_read",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    current_side AS (
+      SELECT * FROM src WHERE o_orderkey % 5 <> 0
+    ),
+    both_sides AS (
+      SELECT 'current' AS side, * FROM current_side
+      UNION ALL SELECT 'v0', * FROM src
+    )
+    SELECT side, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM both_sides GROUP BY 1, 2
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8", "P7"),
+    doc="The txlog PYTHON DATASOURCE (Spark 4 SPARK-44076 API) under "
+    "the value-hash gate: orders -> txlog, DELETE WHERE key % 5 = 0, "
+    "then the table is read back STRICTLY through "
+    "spark.read.format('txlog') — the registered source plans one "
+    "InputPartition per live file and reads Arrow-vectorized in "
+    "Spark's Python workers — once at the current version and once "
+    "with versionAsOf=0 (time travel through the source), side-tagged "
+    "and rolled up. A hash match proves the whole third surface of the "
+    "table format (native reader, Delta export, and now the DataSource "
+    "API) returns identical bytes. The module is self-contained and "
+    "shipped by value (cloudpickle) so the driver's vanilla session "
+    "needs no package install on its workers. "
+    "sources/txlog_source.TxLogDataSource.",
+)
+def x77_python_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.txlog import TxLogTable
+    from ..sources import txlog_source
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _dml_scratch("x77" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(8, "o_orderkey")
+    )
+    t.delete_where("o_orderkey % 5 = 0")
+    txlog_source.register(spark)
+    cur = (
+        spark.read.format("txlog")
+        .load(t.path)
+        .withColumn("side", F.lit("current"))
+    )
+    v0 = (
+        spark.read.format("txlog")
+        .option("versionAsOf", 0)
+        .load(t.path)
+        .withColumn("side", F.lit("v0"))
+    )
+    return cur.unionByName(v0).groupBy("side", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
+    )

@@ -1,0 +1,390 @@
+"""``spark.read.format("txlog")`` / ``spark.readStream.format("txlog")``
+— a PySpark 4 Python DataSource over the commit-log table, so ANY Spark
+job can consume a txlog table through the engine's own source API
+(register once, then plain ``.format("txlog").load(path)``). Public
+analogs: Delta's Spark connector (batch + streaming source over a
+transaction log) and the ``pyspark.sql.datasource`` API introduced in
+Spark 4 (SPARK-44076 Python Data Source API).
+
+Batch read: snapshot at the latest version or ``versionAsOf`` — one
+InputPartition per live data file, so scan parallelism is file-level
+exactly like the native reader, and each partition is read
+Arrow-vectorized (pyarrow record batches handed straight to Spark — no
+per-row Python). Files written before a schema evolution null-fill the
+evolved columns; hive partition columns are reattached as constants
+parsed from the directory name under the RECORDED partition types
+(never inference — the string-"07"-to-int-7 trap).
+
+Streaming read: the commit log IS the changelog, so offsets are commit
+versions. ``initialOffset`` honors ``startingVersion`` (default 0 =
+process the existing table then tail); ``latestOffset`` is the current
+log head; ``partitions(start, end)`` plans one InputPartition per file
+ADDED in ``(start, end]`` — the append-only contract of a streaming
+table source (Delta's: readers see inserts; a commit that REMOVES
+files — DML/OPTIMIZE — raises unless ``skipChangeCommits=true``, which
+skips that commit entirely, exactly Delta's option). Exactly-once
+follows from offset checkpointing + the log's immutability: a replayed
+range plans the identical file set.
+
+SELF-CONTAINMENT IS LOAD-BEARING: Spark runs this code in THREE kinds
+of python process — the user's driver, task workers (batch read), and
+the streaming source's long-lived planner runner. Only the driver is
+guaranteed to have this package importable; cloudpickle ships classes
+BY REFERENCE unless their module is registered for by-value pickling,
+and the streaming runner does not apply ``addPyFile`` paths. So this
+module (a) imports nothing package-internal — the commit-log fold
+helpers are INLINED pure twins of operators/txlog.py's (equivalence is
+pinned by tests/test_txlog_datasource.py), and (b) ``register()``
+registers the module for by-value pickling with Spark's bundled
+cloudpickle, making every process self-sufficient. pyspark/pyarrow
+imports stay by-reference (present in every Spark python process).
+
+Scale shape: offset planning is driver-side small-JSON (O(commits in
+range)); data movement is O(files added in range) per micro-batch —
+table size never enters a poll. At 100 TB a quiet table streams for
+the cost of a directory listing per trigger.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+
+def register(spark) -> None:
+    """Register the ``txlog`` format on ``spark``. Ships this module BY
+    VALUE (cloudpickle) so streaming planner runners and task workers
+    need no package install, and additionally ``addPyFile``s a package
+    zip for batch workers — either mechanism alone covers batch; the
+    by-value registration is what makes STREAMING work on a vanilla
+    session (the streaming runner ignores pyFiles)."""
+    import sys
+    import tempfile
+    import zipfile
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    sc = spark.sparkContext
+    if not getattr(sc, "_txlog_pkg_shipped", False):
+        pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        root = os.path.dirname(pkg_dir)
+        zpath = os.path.join(
+            tempfile.mkdtemp(prefix="txlog_pkg_"),
+            os.path.basename(pkg_dir) + ".zip",
+        )
+        with zipfile.ZipFile(zpath, "w") as z:
+            for r, _dirs, fs in os.walk(pkg_dir):
+                for f in fs:
+                    if f.endswith(".py"):
+                        full = os.path.join(r, f)
+                        z.write(full, os.path.relpath(full, root))
+        sc.addPyFile(zpath)
+        sc._txlog_pkg_shipped = True
+    spark.dataSource.register(TxLogDataSource)
+
+
+# ---- inlined pure commit-log helpers (twins of operators/txlog.py's
+# replay_log / schema_json_at / commit_file_deltas / partition parsing;
+# tests/test_txlog_datasource.py pins them equivalent) ----
+
+
+def _replay(log_dir: str, as_of: int | None = None) -> tuple[int, list[str]]:
+    entries = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
+    if not entries:
+        raise FileNotFoundError(f"no commits in {log_dir}")
+    commits = []
+    for name in entries:
+        v = int(name.split(".")[0])
+        if as_of is not None and v > as_of:
+            continue
+        with open(os.path.join(log_dir, name)) as fh:
+            commits.append((v, json.load(fh)))
+    if not commits:
+        raise FileNotFoundError(
+            f"no commit at or before version {as_of} in {log_dir}"
+        )
+    commits.sort()
+    start = 0
+    for i, (_v, c) in enumerate(commits):
+        if c.get("checkpoint"):
+            start = i
+    live: set[str] = set()
+    for _v, c in commits[start:]:
+        if c.get("checkpoint"):
+            live = set(c["adds"])
+        else:
+            live = (live - set(c["removes"])) | set(c["adds"])
+    return commits[-1][0], sorted(live)
+
+
+def _schema_json_at(log_dir: str, as_of: int | None = None) -> str | None:
+    best: tuple[int, str] | None = None
+    for name in os.listdir(log_dir):
+        if not name.endswith(".json"):
+            continue
+        v = int(name.split(".")[0])
+        if as_of is not None and v > as_of:
+            continue
+        with open(os.path.join(log_dir, name)) as fh:
+            c = json.load(fh)
+        s = c.get("schema")
+        if s is not None and (best is None or v > best[0]):
+            best = (v, s)
+    return best[1] if best else None
+
+
+def _deltas(
+    log_dir: str, from_version: int, to_version: int
+) -> list[tuple[int, list[str], list[str]]]:
+    out: list[tuple[int, list[str], list[str]]] = []
+    live: set[str] = set()
+    prev: set[str] = set()
+    for name in sorted(f for f in os.listdir(log_dir) if f.endswith(".json")):
+        v = int(name.split(".")[0])
+        if v > to_version:
+            break
+        with open(os.path.join(log_dir, name)) as fh:
+            c = json.load(fh)
+        if c.get("checkpoint"):
+            live = set(c["adds"])
+        else:
+            live = (live - set(c["removes"])) | set(c["adds"])
+        if v >= from_version:
+            out.append((v, sorted(live - prev), sorted(prev - live)))
+        prev = set(live)
+    return out
+
+
+def _raw_pvals(rel_path: str) -> dict:
+    from urllib.parse import unquote
+
+    out: dict = {}
+    for seg in rel_path.split("/")[:-1]:
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        v = unquote(v)
+        out[unquote(k)] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+    return out
+
+
+def _typed_pval(raw: str | None, dtype):
+    import datetime
+    import decimal
+
+    if raw is None:
+        return None
+    name = dtype.typeName()
+    try:
+        if name in ("byte", "short", "integer", "long"):
+            return int(raw)
+        if name in ("float", "double"):
+            return float(raw)
+        if name == "decimal":
+            return decimal.Decimal(raw)
+        if name == "date":
+            return datetime.date.fromisoformat(raw)
+        if name == "timestamp":
+            return datetime.datetime.fromisoformat(raw)
+        if name == "boolean":
+            return {"true": True, "false": False}.get(raw.lower())
+        if name == "string":
+            return raw
+    except (ValueError, decimal.InvalidOperation):
+        return None
+    return None
+
+
+def _partition_meta(log_dir: str):
+    """(partition column names, partition StructType|None) from commit 0."""
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(log_dir, f"{0:012d}.json")) as fh:
+        c0 = json.load(fh)
+    pby = c0.get("partition_by") or []
+    pschema = (
+        StructType.fromJson(json.loads(c0["partition_schema"])) if pby else None
+    )
+    return pby, pschema
+
+
+# --------------------------------------------------------------- readers
+
+
+class _FileSlice(InputPartition):
+    """One data file + its pre-parsed hive partition values (name ->
+    typed python value). Pickled to executors — plain data only."""
+
+    def __init__(self, full_path: str, pvals: dict):
+        self.full_path = full_path
+        self.pvals = pvals
+
+
+def _opt(options: dict, name: str, default=None):
+    """Spark delivers DataSource options with LOWERCASED keys (the JVM
+    side is case-insensitive) — look up accordingly."""
+    return options.get(name.lower(), options.get(name, default))
+
+
+def _log_dir(options: dict) -> str:
+    path = _opt(options, "path")
+    if not path:
+        raise ValueError("txlog source requires a path: .load('<table dir>')")
+    return os.path.join(path, "_txlog")
+
+
+def _plan_files(
+    table_path: str, files: list[str], pby: list[str], pschema
+) -> list[_FileSlice]:
+    slices = []
+    for f in files:
+        raw = _raw_pvals(f)
+        pvals = {
+            fld.name: _typed_pval(raw.get(fld.name), fld.dataType)
+            for fld in (pschema.fields if pschema is not None else [])
+            if fld.name in pby
+        }
+        slices.append(_FileSlice(os.path.join(table_path, f), pvals))
+    return slices
+
+
+def _read_slice(slice_: _FileSlice, schema) -> Iterator["pa.RecordBatch"]:
+    """Arrow-vectorized read of one file, aligned to the declared table
+    schema: missing columns (pre-evolution files) null-fill, partition
+    columns materialize as constants from the parsed dir values, and
+    every column casts to the exact declared Arrow type so the batches
+    Spark receives match the source schema bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    target = pa.schema(
+        [pa.field(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
+    )
+    pf = pq.ParquetFile(slice_.full_path)
+    for batch in pf.iter_batches():
+        n = batch.num_rows
+        arrays = []
+        for f in schema.fields:
+            at = to_arrow_type(f.dataType)
+            if f.name in slice_.pvals:
+                arrays.append(pa.array([slice_.pvals[f.name]] * n, type=at))
+            elif f.name in batch.schema.names:
+                col = batch.column(batch.schema.get_field_index(f.name))
+                arrays.append(
+                    col if col.type == at else col.cast(at, safe=False)
+                )
+            else:
+                arrays.append(pa.nulls(n, type=at))
+        yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
+class TxLogBatchReader(DataSourceReader):
+    def __init__(self, options: dict, schema):
+        self.schema_ = schema
+        self.path = _opt(options, "path")
+        log_dir = _log_dir(options)
+        as_of = _opt(options, "versionAsOf")
+        _v, files = _replay(
+            log_dir, int(as_of) if as_of is not None else None
+        )
+        pby, pschema = _partition_meta(log_dir)
+        self.slices = _plan_files(self.path, files, pby, pschema)
+
+    def partitions(self):
+        return self.slices
+
+    def read(self, partition: _FileSlice):
+        return _read_slice(partition, self.schema_)
+
+
+class TxLogStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict, schema):
+        self.schema_ = schema
+        self.path = _opt(options, "path")
+        self.log_dir = _log_dir(options)
+        self.starting = int(_opt(options, "startingVersion", 0))
+        self.skip_change = (
+            str(_opt(options, "skipChangeCommits", "false")).lower() == "true"
+        )
+
+    # offsets are commit versions: {"version": last PROCESSED version}
+    def initialOffset(self) -> dict:
+        return {"version": self.starting - 1}
+
+    def latestOffset(self) -> dict:
+        return {"version": _replay(self.log_dir)[0]}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        if hi <= lo:
+            return []
+        pby, pschema = _partition_meta(self.log_dir)
+        files: list[str] = []
+        for v, adds, removes in _deltas(self.log_dir, lo + 1, hi):
+            if removes:
+                if self.skip_change:
+                    continue  # Delta's skipChangeCommits: drop the commit
+                raise ValueError(
+                    f"txlog stream source: commit {v} removes files "
+                    "(DML/OPTIMIZE) — streaming reads are append-only; "
+                    "set skipChangeCommits=true to skip change commits, "
+                    "or consume row-level changes via "
+                    "TxLogTable.read_changes"
+                )
+            files.extend(adds)
+        return _plan_files(self.path, files, pby, pschema)
+
+    def read(self, partition: _FileSlice):
+        return _read_slice(partition, self.schema_)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint; the log is immutable
+
+    def stop(self) -> None:
+        pass
+
+
+class TxLogDataSource(DataSource):
+    """Register with :func:`register` (preferred — handles worker
+    shipping) or ``spark.dataSource.register(TxLogDataSource)``; then
+    ``spark.read.format("txlog").load(path)`` (options: ``versionAsOf``)
+    and ``spark.readStream.format("txlog").load(path)`` (options:
+    ``startingVersion``, ``skipChangeCommits``)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txlog"
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        as_of = _opt(self.options, "versionAsOf")
+        sj = _schema_json_at(
+            _log_dir(self.options),
+            int(as_of) if as_of is not None else None,
+        )
+        if sj is None:
+            raise ValueError(
+                "txlog source requires a recorded schema (legacy log: "
+                "run one write to record it first)"
+            )
+        return StructType.fromJson(json.loads(sj))
+
+    def reader(self, schema) -> TxLogBatchReader:
+        return TxLogBatchReader(dict(self.options), schema)
+
+    def streamReader(self, schema) -> TxLogStreamReader:
+        return TxLogStreamReader(dict(self.options), schema)
