@@ -98,14 +98,15 @@ _CHECK_FIRST = [
     "q19_events_tumbling",
     "q23_events_sessionize_gap",
     "q33_events_daily_top_users",
-    "q36_json_extraction",
-    # never driver-checked round-7 additions — slots 48-50 (they
-    # displace the round-5-stale fillers and x44_attribution_join, the
-    # last round-4-stale entry in registry order: never-checked leads
-    # per the window guard's rule; x44 heads the round-8 rotation)
+    # never driver-checked round-7 additions — slots 47-50 (they
+    # displace the round-5-stale fillers and the last two round-4-stale
+    # entries in registry order, q36_json_extraction and
+    # x44_attribution_join: never-checked leads per the window guard's
+    # rule; q36/x44 head the round-8 rotation)
     "x75_change_data_feed",
     "x76_zero_copy_clone",
     "x77_python_datasource_read",
+    "x78_column_mapping_evolution",
 ]
 
 

@@ -266,6 +266,17 @@ def export_delta_log(spark: SparkSession, table) -> int:
             cur = set(c["adds"])
         else:
             cur = (cur - set(c["removes"])) | set(c["adds"])
+        cm = c.get("column_mapping")
+        if cm and any(lg != ph for lg, ph in cm.items()):
+            raise NotImplementedError(
+                f"Delta export refused: commit {v} column-maps "
+                f"{sorted(lg for lg, ph in cm.items() if lg != ph)} — "
+                "faithful export needs columnMapping=name (reader v2 / "
+                "writer v5 + per-field physicalName metadata), which "
+                "this exporter does not implement. The native reader, "
+                "read_changes, and the txlog DataSource all honor the "
+                "mapping."
+            )
         had_checks = bool(cur_checks)
         cr = c.get("checks_reset")
         ck = c.get("check")

@@ -108,6 +108,10 @@ def _commit_name(version: int) -> str:
     return f"{version:012d}.json"
 
 
+# sentinel: "caller didn't specify a mapping — resolve the latest one"
+_MAPPING_DEFAULT = object()
+
+
 def replay_log(log_dir: str, as_of: int | None = None) -> tuple[int, list[str]]:
     """(version, live file list) at the latest version or at ``as_of`` —
     the commit-log fold, as a pure os/json function (no SparkSession) so
@@ -162,6 +166,48 @@ def schema_json_at(log_dir: str, as_of: int | None = None) -> str | None:
         if s is not None and (best is None or v > best[0]):
             best = (v, s)
     return best[1] if best else None
+
+
+def mapping_at(log_dir: str, as_of: int | None = None) -> dict | None:
+    """The column mapping (logical name -> PHYSICAL parquet column name)
+    effective at ``as_of`` — newest commit at/below it carrying a
+    ``column_mapping`` payload (each such commit records the FULL
+    mapping, so latest-wins is the whole fold). None = identity (table
+    never renamed/dropped a column — the overwhelmingly common case,
+    zero overhead). This is Delta's column-mapping design: RENAME
+    changes only the logical name (physical stays, so no file is
+    rewritten), DROP removes the logical binding, and a re-added name
+    gets a FRESH physical name so dropped data can never resurrect."""
+    best: tuple[int, dict] | None = None
+    for name in os.listdir(log_dir):
+        if not name.endswith(".json"):
+            continue
+        v = int(name.split(".")[0])
+        if as_of is not None and v > as_of:
+            continue
+        with open(os.path.join(log_dir, name)) as fh:
+            c = json.load(fh)
+        m = c.get("column_mapping")
+        if m is not None and (best is None or v > best[0]):
+            best = (v, m)
+    return best[1] if best else None
+
+
+def _physical_struct(schema, mapping: dict | None):
+    """``schema`` with every field renamed logical -> physical (identity
+    when unmapped) — the schema the parquet FILES actually carry."""
+    from pyspark.sql.types import StructField, StructType
+
+    if not mapping:
+        return schema
+    return StructType(
+        [
+            StructField(
+                mapping.get(f.name, f.name), f.dataType, f.nullable, f.metadata
+            )
+            for f in schema.fields
+        ]
+    )
 
 
 def commit_file_deltas(
@@ -336,7 +382,17 @@ class TxLogTable:
         same cost class as :meth:`_replay`."""
         return schema_json_at(self.log_dir, as_of)
 
-    def _read_files(self, files: list[str], schema_json: str | None = None) -> DataFrame:
+    def _mapping_at(self, as_of: int | None = None) -> dict | None:
+        """Column mapping (logical -> physical) at ``as_of`` — see
+        :func:`mapping_at`. None = identity (never renamed/dropped)."""
+        return mapping_at(self.log_dir, as_of)
+
+    def _read_files(
+        self,
+        files: list[str],
+        schema_json: str | None = None,
+        mapping=_MAPPING_DEFAULT,
+    ) -> DataFrame:
         """ONE parquet scan over an explicit live-file list under the
         version's RECORDED schema (``schema_json`` from :meth:`_schema_at`)
         — exact Spark types always (no partition-type inference, no INT96
@@ -355,6 +411,10 @@ class TxLogTable:
         pby, pschema = self.partition_meta()
         if schema_json is None:
             schema_json = self._schema_at()
+            if mapping is _MAPPING_DEFAULT:
+                mapping = self._mapping_at()
+        elif mapping is _MAPPING_DEFAULT:
+            mapping = self._mapping_at()
         if schema_json is not None:
             schema = StructType.fromJson(json.loads(schema_json))
         elif pby:
@@ -362,12 +422,24 @@ class TxLogTable:
             for fld in pschema.fields:
                 if fld.name not in schema.fieldNames():
                     schema = schema.add(fld)
+            mapping = None  # legacy log: never column-mapped
         else:
             return self.spark.read.parquet(*paths)
-        reader = self.spark.read.schema(schema)
+        physical = _physical_struct(schema, mapping)
+        reader = self.spark.read.schema(physical)
         if pby:
             reader = reader.option("basePath", self.path)
-        return reader.parquet(*paths).select(*schema.fieldNames())
+        scan = reader.parquet(*paths)
+        # physical -> logical rename restores the user-facing names and
+        # the recorded column order (partition cols come back last from
+        # Spark's discovery; renames of partition cols are refused, so
+        # their logical==physical always)
+        return scan.select(
+            *[
+                F.col(p.name).alias(l.name)
+                for p, l in zip(physical.fields, schema.fields)
+            ]
+        )
 
     def _empty(self) -> DataFrame:
         """Zero-row snapshot with the table schema (incl. partition cols)."""
@@ -436,7 +508,11 @@ class TxLogTable:
         _v, files = self._replay(as_of=version)
         if not files:
             return self._empty()
-        return self._read_files(files, self._schema_at(as_of=version))
+        return self._read_files(
+            files,
+            self._schema_at(as_of=version),
+            mapping=self._mapping_at(as_of=version),
+        )
 
     def history(self) -> list[dict]:
         out = []
@@ -477,6 +553,15 @@ class TxLogTable:
         table is untouched. ``_validate=False`` is for row-preserving
         rewrites (optimize, delete's keep-side) whose rows already passed."""
         pby = self.partition_meta()[0] if _pby is None else _pby
+        mapping = self._mapping_at() if os.path.isdir(self.log_dir) else None
+        if mapping:
+            # column-mapped table: files carry PHYSICAL names (renames
+            # stay metadata-only; a re-added dropped name writes under a
+            # fresh physical name so old data cannot resurrect).
+            # Partition columns are never mapped (renames refused).
+            df = df.select(
+                *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+            )
         tmp = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         if pby:
             # partitionBy writes hive-style dirs and OMITS the partition
@@ -531,12 +616,20 @@ class TxLogTable:
         reader = self.spark.read.schema(schema)
         if pby:
             reader = reader.option("basePath", self.path)
+        scan = reader.parquet(*paths)
+        mapping = self._mapping_at()
+        if mapping:
+            # files carry physical names; check exprs reference LOGICAL
+            # names — rename back before evaluating
+            for lg, ph in mapping.items():
+                if ph != lg:
+                    scan = scan.withColumnRenamed(ph, lg)
         # one scan, all constraints: min(passes) per check — 0 = violated
         aggs = [
             F.min(F.coalesce(F.expr(e), F.lit(True)).cast("int")).alias(n)
             for n, e in checks.items()
         ]
-        row = reader.parquet(*paths).agg(*aggs).collect()[0]
+        row = scan.agg(*aggs).collect()[0]
         failed = [n for n in checks if row[n] == 0]
         if failed:
             for n in names:
@@ -625,9 +718,12 @@ class TxLogTable:
                 elif lo <= v <= hi:
                     kept.append(f)
             return kept
+        # footers carry PHYSICAL column names on a column-mapped table
+        mapping = self._mapping_at()
+        phys = (mapping or {}).get(column, column)
         kept = []
-        for f, env in self.file_stats([column], files=files).items():
-            if column not in env or (env[column][0] <= hi and env[column][1] >= lo):
+        for f, env in self.file_stats([phys], files=files).items():
+            if phys not in env or (env[phys][0] <= hi and env[phys][1] >= lo):
                 kept.append(f)
         return kept
 
@@ -655,6 +751,7 @@ class TxLogTable:
         pby, pschema = self.partition_meta()
         if schema_json is None:
             schema_json = self._schema_at()
+        mapping = self._mapping_at()
         if schema_json is not None:
             schema = StructType.fromJson(json.loads(schema_json))
         else:
@@ -665,12 +762,18 @@ class TxLogTable:
             for fld in pschema.fields:
                 if fld.name not in schema.fieldNames():
                     schema = schema.add(fld)
-        reader = self.spark.read.schema(schema)
+            mapping = None  # legacy log: never column-mapped
+        physical = _physical_struct(schema, mapping)
+        reader = self.spark.read.schema(physical)
         if pby:
             reader = reader.option("basePath", self.path)
         scan = reader.parquet(*paths)
         return scan.select(
-            *schema.fieldNames(), F.col("_metadata.file_path").alias("__file")
+            *[
+                F.col(p.name).alias(l.name)
+                for p, l in zip(physical.fields, schema.fields)
+            ],
+            F.col("_metadata.file_path").alias("__file"),
         )
 
     def _touched_files(self, candidates: list[str], cond) -> list[str]:
@@ -849,10 +952,12 @@ class TxLogTable:
         only_old = sorted(set(files_old) - set(files_new))
         only_new = sorted(set(files_new) - set(files_old))
 
+        mapping_new = self._mapping_at(as_of=v_new)
+
         def _read(files: list[str]) -> DataFrame | None:
             if not files:
                 return None
-            return self._read_files(files, schema_new)
+            return self._read_files(files, schema_new, mapping=mapping_new)
 
         old_df, new_df = _read(only_old), _read(only_new)
         if old_df is None and new_df is None:
@@ -911,10 +1016,17 @@ class TxLogTable:
             self.log_dir, from_version, to_version
         )
         schema = self._schema_at(as_of=to_version)
+        mp = self._mapping_at(as_of=to_version)
         parts: list[DataFrame] = []
         for v, adds, removes in per_commit:
-            ins = self._read_files(adds, schema) if adds else None
-            dels = self._read_files(removes, schema) if removes else None
+            ins = (
+                self._read_files(adds, schema, mapping=mp) if adds else None
+            )
+            dels = (
+                self._read_files(removes, schema, mapping=mp)
+                if removes
+                else None
+            )
             if net and ins is not None and dels is not None:
                 ins, dels = ins.exceptAll(dels), dels.exceptAll(ins)
             for df, ct in ((ins, "insert"), (dels, "delete")):
@@ -1275,6 +1387,13 @@ class TxLogTable:
             extra: dict = {"checks_reset": target_checks}
             if schema is not None:
                 extra["schema"] = schema
+            # the column mapping reverts with the schema ({} = explicit
+            # identity, for a restore to a pre-mapping version); only
+            # recorded when it actually differs, so never-mapped tables
+            # stay out of mapping mode
+            tgt_map = self._mapping_at(as_of=version)
+            if self._mapping_at() != tgt_map:
+                extra["column_mapping"] = tgt_map or {}
             try:
                 self._try_commit(
                     base_version + 1, adds=adds, removes=removes,
@@ -1331,6 +1450,13 @@ class TxLogTable:
                 "partition_schema": pschema.json() if pby else None,
                 "schema": schema_json,
                 "checks_reset": self.checks(),
+                # a column-mapped source's files carry physical names —
+                # the clone must read them under the same mapping
+                **(
+                    {"column_mapping": self._mapping_at()}
+                    if self._mapping_at() is not None
+                    else {}
+                ),
                 "cloned_from": {"path": self.path, "version": version},
             },
         )
@@ -1492,16 +1618,160 @@ class TxLogTable:
         if name in schema.fieldNames():
             raise ValueError(f"column {name!r} already exists")
         new_json = schema.add(name, dtype, nullable=True).json()
+        extra: dict = {"schema": new_json}
+        mapping = self._mapping_at()
+        if mapping:
+            # column-mapping mode (a rename/drop happened): the new
+            # column writes under a FRESH physical name — if it reuses a
+            # previously-dropped logical name, the dropped files' old
+            # physical column must NOT resurrect (Delta's re-add rule)
+            mapping = dict(mapping)
+            mapping[name] = f"col_{uuid.uuid4().hex[:12]}"
+            extra["column_mapping"] = mapping
         for _attempt in range(max_retries + 1):
             try:
                 self._try_commit(
                     self.version() + 1, adds=[], removes=[], op="add_column",
-                    extra={"schema": new_json},
+                    extra=extra,
                 )
                 return self.version()
             except CommitConflict:
                 continue
         raise CommitConflict(f"add_column gave up after {max_retries} retries")
+
+    def _column_mapping_guards(self, name: str, op: str) -> "object":
+        """Shared preconditions for rename/drop: column exists, is not a
+        partition column (partition dirs embed the name — a metadata-only
+        rename cannot hold), and no active CHECK references it (the
+        constraint expr would silently dangle). Returns the current
+        logical StructType."""
+        import re as _re
+
+        from pyspark.sql.types import StructType
+
+        schema_json = self._schema_at()
+        if schema_json is None:
+            raise ValueError(
+                f"{op} requires a recorded schema (legacy log: run one "
+                "write to record it first)"
+            )
+        schema = StructType.fromJson(json.loads(schema_json))
+        if name not in schema.fieldNames():
+            raise ValueError(f"no column {name!r}")
+        if name in self.partition_meta()[0]:
+            raise ValueError(
+                f"{op} of partition column {name!r} refused: hive "
+                "directory names embed it — a metadata-only change "
+                "cannot hold"
+            )
+        referencing = [
+            n
+            for n, e in self.checks().items()
+            if _re.search(rf"\b{_re.escape(name)}\b", e)
+        ]
+        if referencing:
+            raise ValueError(
+                f"{op} of {name!r} refused: CHECK constraint(s) "
+                f"{referencing} reference it — drop them first"
+            )
+        return schema
+
+    def rename_column(
+        self, old: str, new: str, max_retries: int = 3
+    ) -> int:
+        """``ALTER TABLE RENAME COLUMN`` as a METADATA-ONLY commit via
+        column mapping (Delta's columnMapping=name design, reference
+        Delta PROTOCOL 'Column Mapping'): the LOGICAL name changes; the
+        PHYSICAL parquet column name stays, so ZERO files are rewritten
+        at any table size. Reads select physical names and alias back;
+        writes rename logical -> physical at the :meth:`_write_data`
+        chokepoint. Time travel is exact: reads at earlier versions use
+        that version's recorded schema AND mapping. The Delta export
+        refuses column-mapped tables loudly (protocol writer v5 not
+        implemented); the native reader, change feed, and the txlog
+        DataSource all honor the mapping."""
+        schema = self._column_mapping_guards(old, "rename_column")
+        if new in schema.fieldNames():
+            raise ValueError(f"column {new!r} already exists")
+        if not new or "/" in new or "=" in new:
+            raise ValueError(f"invalid column name: {new!r}")
+        mapping = self._mapping_at()
+        mapping = (
+            {f.name: f.name for f in schema.fields}
+            if mapping is None
+            else dict(mapping)
+        )
+        mapping[new] = mapping.pop(old)
+        from pyspark.sql.types import StructField, StructType
+
+        new_schema = StructType(
+            [
+                StructField(
+                    new if f.name == old else f.name,
+                    f.dataType,
+                    f.nullable,
+                    f.metadata,
+                )
+                for f in schema.fields
+            ]
+        )
+        for _attempt in range(max_retries + 1):
+            try:
+                self._try_commit(
+                    self.version() + 1, adds=[], removes=[],
+                    op="rename_column",
+                    extra={
+                        "schema": new_schema.json(),
+                        "column_mapping": mapping,
+                    },
+                )
+                return self.version()
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"rename_column gave up after {max_retries} retries"
+        )
+
+    def drop_column(self, name: str, max_retries: int = 3) -> int:
+        """``ALTER TABLE DROP COLUMN`` as a METADATA-ONLY commit: the
+        logical binding disappears; the physical data stays in existing
+        files (invisible — reads never select it) and vanishes
+        physically as copy-on-write rewrites retire those files. Time
+        travel before the drop still shows the column. Re-adding the
+        same logical name later maps to a FRESH physical name (see
+        :meth:`add_column`), so the dropped values can never
+        resurrect."""
+        schema = self._column_mapping_guards(name, "drop_column")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the only column")
+        mapping = self._mapping_at()
+        mapping = (
+            {f.name: f.name for f in schema.fields}
+            if mapping is None
+            else dict(mapping)
+        )
+        mapping.pop(name, None)
+        from pyspark.sql.types import StructType
+
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        for _attempt in range(max_retries + 1):
+            try:
+                self._try_commit(
+                    self.version() + 1, adds=[], removes=[],
+                    op="drop_column",
+                    extra={
+                        "schema": new_schema.json(),
+                        "column_mapping": mapping,
+                    },
+                )
+                return self.version()
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"drop_column gave up after {max_retries} retries"
+        )
 
     def drop_check(self, name: str, max_retries: int = 3) -> int:
         if name not in self.checks():

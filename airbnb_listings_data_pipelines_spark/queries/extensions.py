@@ -4257,3 +4257,61 @@ def x77_python_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@query(
+    "x78_column_mapping_evolution",
+    oracle="""
+    WITH cur AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice
+               + CASE WHEN o_orderstatus = 'P' THEN 5.0 ELSE 0.0 END
+               AS o_amount
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_amount * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_null_dates
+    FROM cur GROUP BY 1
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8", "F9"),
+    doc="RENAME/DROP COLUMN via column mapping (Delta's "
+    "columnMapping=name design) under the value-hash gate: orders -> "
+    "txlog, RENAME o_totalprice -> o_amount (metadata-only: zero files "
+    "rewritten; reads resolve logical -> physical and alias back), "
+    "copy-on-write UPDATE through the mapping (amount +5.0 WHERE "
+    "status='P' — predicate AND assignment on the NEW name over files "
+    "carrying the OLD physical name), DROP o_orderdate, then re-ADD "
+    "the same logical name — which maps to a FRESH physical column, so "
+    "the rollup's n_null_dates == n_orders PROVES the dropped values "
+    "did not resurrect (the Delta re-add rule). The oracle replays the "
+    "logical transformations over raw orders. "
+    "operators/txlog.rename_column/drop_column + mapping_at.",
+)
+def x78_column_mapping_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _dml_scratch("x78" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(8, "o_orderkey")
+    )
+    t.rename_column("o_totalprice", "o_amount")
+    t.update_where(
+        "o_orderstatus = 'P'", {"o_amount": F.col("o_amount") + F.lit(5.0)}
+    )
+    t.drop_column("o_orderdate")
+    t.add_column("o_orderdate", "date")
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.floor(F.col("o_amount") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_dates"),
+    )

@@ -207,6 +207,24 @@ def _typed_pval(raw: str | None, dtype):
     return None
 
 
+def _mapping_json_at(log_dir: str, as_of: int | None = None) -> dict | None:
+    """Column mapping (logical -> PHYSICAL parquet name) at ``as_of`` —
+    inlined twin of operators/txlog.mapping_at. None = identity."""
+    best: tuple[int, dict] | None = None
+    for name in os.listdir(log_dir):
+        if not name.endswith(".json"):
+            continue
+        v = int(name.split(".")[0])
+        if as_of is not None and v > as_of:
+            continue
+        with open(os.path.join(log_dir, name)) as fh:
+            c = json.load(fh)
+        m = c.get("column_mapping")
+        if m is not None and (best is None or v > best[0]):
+            best = (v, m)
+    return best[1] if best else None
+
+
 def _partition_meta(log_dir: str):
     """(partition column names, partition StructType|None) from commit 0."""
     from pyspark.sql.types import StructType
@@ -260,16 +278,21 @@ def _plan_files(
     return slices
 
 
-def _read_slice(slice_: _FileSlice, schema) -> Iterator["pa.RecordBatch"]:
+def _read_slice(
+    slice_: _FileSlice, schema, mapping: dict | None = None
+) -> Iterator["pa.RecordBatch"]:
     """Arrow-vectorized read of one file, aligned to the declared table
     schema: missing columns (pre-evolution files) null-fill, partition
-    columns materialize as constants from the parsed dir values, and
-    every column casts to the exact declared Arrow type so the batches
-    Spark receives match the source schema bit-for-bit."""
+    columns materialize as constants from the parsed dir values, column
+    mapping resolves each LOGICAL field to its PHYSICAL parquet column
+    (rename/drop are metadata-only), and every column casts to the
+    exact declared Arrow type so the batches Spark receives match the
+    source schema bit-for-bit."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_type
 
+    mapping = mapping or {}
     target = pa.schema(
         [pa.field(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
     )
@@ -279,10 +302,11 @@ def _read_slice(slice_: _FileSlice, schema) -> Iterator["pa.RecordBatch"]:
         arrays = []
         for f in schema.fields:
             at = to_arrow_type(f.dataType)
+            phys = mapping.get(f.name, f.name)
             if f.name in slice_.pvals:
                 arrays.append(pa.array([slice_.pvals[f.name]] * n, type=at))
-            elif f.name in batch.schema.names:
-                col = batch.column(batch.schema.get_field_index(f.name))
+            elif phys in batch.schema.names:
+                col = batch.column(batch.schema.get_field_index(phys))
                 arrays.append(
                     col if col.type == at else col.cast(at, safe=False)
                 )
@@ -297,17 +321,17 @@ class TxLogBatchReader(DataSourceReader):
         self.path = _opt(options, "path")
         log_dir = _log_dir(options)
         as_of = _opt(options, "versionAsOf")
-        _v, files = _replay(
-            log_dir, int(as_of) if as_of is not None else None
-        )
+        v = int(as_of) if as_of is not None else None
+        _v, files = _replay(log_dir, v)
         pby, pschema = _partition_meta(log_dir)
+        self.mapping = _mapping_json_at(log_dir, v)
         self.slices = _plan_files(self.path, files, pby, pschema)
 
     def partitions(self):
         return self.slices
 
     def read(self, partition: _FileSlice):
-        return _read_slice(partition, self.schema_)
+        return _read_slice(partition, self.schema_, self.mapping)
 
 
 class TxLogStreamReader(DataSourceStreamReader):
@@ -319,6 +343,10 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.skip_change = (
             str(_opt(options, "skipChangeCommits", "false")).lower() == "true"
         )
+        # resolved once at query start, like the schema: a stream's
+        # declared columns are fixed, so the logical->physical binding
+        # is too (physical names never change after a file is written)
+        self.mapping = _mapping_json_at(self.log_dir)
 
     # offsets are commit versions: {"version": last PROCESSED version}
     def initialOffset(self) -> dict:
@@ -348,7 +376,7 @@ class TxLogStreamReader(DataSourceStreamReader):
         return _plan_files(self.path, files, pby, pschema)
 
     def read(self, partition: _FileSlice):
-        return _read_slice(partition, self.schema_)
+        return _read_slice(partition, self.schema_, self.mapping)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint; the log is immutable
