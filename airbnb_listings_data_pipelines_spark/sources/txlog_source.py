@@ -26,6 +26,15 @@ skips that commit entirely, exactly Delta's option). Exactly-once
 follows from offset checkpointing + the log's immutability: a replayed
 range plans the identical file set.
 
+Change Data Feed: ``readChangeFeed=true`` on either API (Delta's
+option) returns per-commit change rows tagged ``_change_type`` /
+``_commit_version`` — batch over ``[startingVersion, endingVersion]``,
+streaming as a tail where DML/OPTIMIZE commits are first-class change
+rows instead of errors. The feed is RAW file granularity (rewrite
+pairs included, like Delta CDF without CDC files); the net per-commit
+feed is ``TxLogTable.read_changes``. Removed files must still exist —
+the CDF horizon is the vacuum horizon, same as time travel.
+
 SELF-CONTAINMENT IS LOAD-BEARING: Spark runs this code in THREE kinds
 of python process — the user's driver, task workers (batch read), and
 the streaming source's long-lived planner runner. Only the driver is
@@ -243,11 +252,20 @@ def _partition_meta(log_dir: str):
 
 class _FileSlice(InputPartition):
     """One data file + its pre-parsed hive partition values (name ->
-    typed python value). Pickled to executors — plain data only."""
+    typed python value). ``change`` is None for snapshot reads, or
+    ``(change_type, commit_version)`` for Change-Data-Feed slices —
+    the reader then emits the two CDF metadata columns as constants.
+    Pickled to executors — plain data only."""
 
-    def __init__(self, full_path: str, pvals: dict):
+    def __init__(
+        self,
+        full_path: str,
+        pvals: dict,
+        change: tuple | None = None,
+    ):
         self.full_path = full_path
         self.pvals = pvals
+        self.change = change
 
 
 def _opt(options: dict, name: str, default=None):
@@ -278,6 +296,38 @@ def _plan_files(
     return slices
 
 
+def _cdf_on(options: dict) -> bool:
+    return str(_opt(options, "readChangeFeed", "false")).lower() == "true"
+
+
+def _plan_changes(
+    table_path: str, log_dir: str, lo: int, hi: int, pby, pschema
+) -> list[_FileSlice]:
+    """Change-Data-Feed planning for commits ``[lo, hi]``: each commit's
+    added files become insert slices, removed files delete slices — the
+    RAW file-granularity feed (a copy-on-write rewrite's unchanged rows
+    appear as matching delete+insert pairs, exactly Delta CDF without
+    CDC files; consumers needing the net feed use
+    TxLogTable.read_changes, which cancels them per commit)."""
+    slices: list[_FileSlice] = []
+    for v, adds, removes in _deltas(log_dir, lo, hi):
+        for f, ct in [(a, "insert") for a in adds] + [
+            (r, "delete") for r in removes
+        ]:
+            raw = _raw_pvals(f)
+            pvals = {
+                fld.name: _typed_pval(raw.get(fld.name), fld.dataType)
+                for fld in (pschema.fields if pschema is not None else [])
+                if fld.name in pby
+            }
+            slices.append(
+                _FileSlice(
+                    os.path.join(table_path, f), pvals, change=(ct, v)
+                )
+            )
+    return slices
+
+
 def _read_slice(
     slice_: _FileSlice, schema, mapping: dict | None = None
 ) -> Iterator["pa.RecordBatch"]:
@@ -303,7 +353,11 @@ def _read_slice(
         for f in schema.fields:
             at = to_arrow_type(f.dataType)
             phys = mapping.get(f.name, f.name)
-            if f.name in slice_.pvals:
+            if slice_.change is not None and f.name == "_change_type":
+                arrays.append(pa.array([slice_.change[0]] * n, type=at))
+            elif slice_.change is not None and f.name == "_commit_version":
+                arrays.append(pa.array([slice_.change[1]] * n, type=at))
+            elif f.name in slice_.pvals:
                 arrays.append(pa.array([slice_.pvals[f.name]] * n, type=at))
             elif phys in batch.schema.names:
                 col = batch.column(batch.schema.get_field_index(phys))
@@ -321,11 +375,28 @@ class TxLogBatchReader(DataSourceReader):
         self.path = _opt(options, "path")
         log_dir = _log_dir(options)
         as_of = _opt(options, "versionAsOf")
-        v = int(as_of) if as_of is not None else None
-        _v, files = _replay(log_dir, v)
         pby, pschema = _partition_meta(log_dir)
-        self.mapping = _mapping_json_at(log_dir, v)
-        self.slices = _plan_files(self.path, files, pby, pschema)
+        if _cdf_on(options):
+            # batch CDF (Delta: spark.read.option("readChangeFeed",
+            # "true").option("startingVersion", N)): per-commit change
+            # slices over [startingVersion, endingVersion]
+            latest = _replay(log_dir)[0]
+            lo = int(_opt(options, "startingVersion", 0))
+            hi = int(_opt(options, "endingVersion", latest))
+            if not 0 <= lo <= hi <= latest:
+                raise ValueError(
+                    f"invalid change range [{lo}, {hi}] for table at "
+                    f"version {latest}"
+                )
+            self.mapping = _mapping_json_at(log_dir, hi)
+            self.slices = _plan_changes(
+                self.path, log_dir, lo, hi, pby, pschema
+            )
+        else:
+            v = int(as_of) if as_of is not None else None
+            _v, files = _replay(log_dir, v)
+            self.mapping = _mapping_json_at(log_dir, v)
+            self.slices = _plan_files(self.path, files, pby, pschema)
 
     def partitions(self):
         return self.slices
@@ -343,6 +414,7 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.skip_change = (
             str(_opt(options, "skipChangeCommits", "false")).lower() == "true"
         )
+        self.cdf = _cdf_on(options)
         # resolved once at query start, like the schema: a stream's
         # declared columns are fixed, so the logical->physical binding
         # is too (physical names never change after a file is written)
@@ -360,6 +432,13 @@ class TxLogStreamReader(DataSourceStreamReader):
         if hi <= lo:
             return []
         pby, pschema = _partition_meta(self.log_dir)
+        if self.cdf:
+            # streaming CDF: every commit in the range streams its file
+            # delta as tagged change rows — DML/OPTIMIZE commits are
+            # first-class, not errors
+            return _plan_changes(
+                self.path, self.log_dir, lo + 1, hi, pby, pschema
+            )
         files: list[str] = []
         for v, adds, removes in _deltas(self.log_dir, lo + 1, hi):
             if removes:
@@ -397,9 +476,12 @@ class TxLogDataSource(DataSource):
         return "txlog"
 
     def schema(self):
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import IntegerType, StringType, StructType
 
-        as_of = _opt(self.options, "versionAsOf")
+        if _cdf_on(self.options):
+            as_of = _opt(self.options, "endingVersion")
+        else:
+            as_of = _opt(self.options, "versionAsOf")
         sj = _schema_json_at(
             _log_dir(self.options),
             int(as_of) if as_of is not None else None,
@@ -409,7 +491,12 @@ class TxLogDataSource(DataSource):
                 "txlog source requires a recorded schema (legacy log: "
                 "run one write to record it first)"
             )
-        return StructType.fromJson(json.loads(sj))
+        schema = StructType.fromJson(json.loads(sj))
+        if _cdf_on(self.options):
+            schema = schema.add("_change_type", StringType()).add(
+                "_commit_version", IntegerType()
+            )
+        return schema
 
     def reader(self, schema) -> TxLogBatchReader:
         return TxLogBatchReader(dict(self.options), schema)

@@ -149,3 +149,79 @@ def test_inlined_helpers_match_canonical(registered, tmp_path, monkeypatch):
     assert txlog_source._deltas(log, 0, t.version()) == txmod.commit_file_deltas(
         log, 0, t.version()
     )
+
+
+def test_batch_cdf_reads_per_commit_changes(registered, tmp_path):
+    """readChangeFeed=true (Delta's option): per-commit change rows with
+    _change_type/_commit_version. Raw file granularity — a copy-on-write
+    rewrite's unchanged rows appear as matching delete+insert pairs
+    (exactly Delta CDF without CDC files); the NET feed is
+    TxLogTable.read_changes."""
+    spark = registered
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(3, 30.0)], "k int, price double"))  # v1
+    t.delete_where("k = 1")  # v2: rewrites the (1,2) file -> keeps 2
+    cdf = (
+        spark.read.format("txlog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .load(t.path)
+    )
+    got = sorted(
+        (r._commit_version, r._change_type, r.k) for r in cdf.collect()
+    )
+    assert got == [
+        (1, "insert", 3),
+        (2, "delete", 1),
+        (2, "delete", 2),
+        (2, "insert", 2),  # rewrite pair for the surviving row
+    ]
+    # endingVersion bounds the range; bad ranges raise
+    only_v1 = (
+        spark.read.format("txlog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .option("endingVersion", 1)
+        .load(t.path)
+    )
+    assert [(r._commit_version, r.k) for r in only_v1.collect()] == [(1, 3)]
+    with pytest.raises(Exception, match="invalid change range"):
+        spark.read.format("txlog").option("readChangeFeed", "true").option(
+            "startingVersion", 99
+        ).load(t.path).collect()
+
+
+def test_stream_cdf_tails_dml_as_changes(registered, tmp_path):
+    """Streaming CDF: DML commits are first-class change rows, not
+    errors — the stream that WOULD have died append-only keeps tailing."""
+    spark = registered
+    t = _mk(spark, str(tmp_path / "t"))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("txlog")
+            .option("readChangeFeed", "true")
+            .load(t.path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    t.delete_where("k = 1")
+    drain()
+    got = sorted(
+        (r._commit_version, r._change_type, r.k)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (0, "insert", 1),
+        (0, "insert", 2),
+        (1, "delete", 1),
+        (1, "delete", 2),
+        (1, "insert", 2),
+    ]
