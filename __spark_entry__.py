@@ -97,16 +97,17 @@ _CHECK_FIRST = [
     "x51_mergeable_quantile_histogram",
     "q19_events_tumbling",
     "q23_events_sessionize_gap",
-    "q33_events_daily_top_users",
-    # never driver-checked round-7 additions — slots 47-50 (they
-    # displace the round-5-stale fillers and the last two round-4-stale
-    # entries in registry order, q36_json_extraction and
+    # never driver-checked round-7 additions — slots 46-50 (they
+    # displace the round-5-stale fillers and the last three
+    # round-4-stale entries in registry order,
+    # q33_events_daily_top_users, q36_json_extraction and
     # x44_attribution_join: never-checked leads per the window guard's
-    # rule; q36/x44 head the round-8 rotation)
+    # rule; q33/q36/x44 head the round-8 rotation)
     "x75_change_data_feed",
     "x76_zero_copy_clone",
     "x77_python_datasource_read",
     "x78_column_mapping_evolution",
+    "x79_convert_from_delta",
 ]
 
 

@@ -351,6 +351,102 @@ class TxLogTable:
         )
         return t
 
+    @classmethod
+    def convert_from_delta(cls, spark: SparkSession, path: str) -> "TxLogTable":
+        """``CONVERT FROM DELTA``: adopt a foreign Delta table IN PLACE —
+        replay its ``_delta_log`` (the independent reader's replay core,
+        so checkpoint bootstrap / tombstones / protocol guards all
+        apply), then write txlog commit 0 referencing the SAME data
+        files: zero bytes moved at any table size, and the two logs
+        coexist in the directory. Completes the bidirectional interop
+        story (txlog -> Delta was ``to_delta_log``). Carried over:
+        exact schema (Delta's schemaString IS the Spark StructType
+        JSON), partition spec, CHECK constraints
+        (``delta.constraints.*`` -> a commit-0 ``checks_reset``), and
+        streaming transaction markers (one no-op ``txn`` commit per
+        appId, so an exactly-once sink migrated from the Delta table
+        resumes at the right batch — :meth:`last_txn_version` finds
+        them).
+
+        Refused loudly: column-mapped Delta tables (physical-name
+        metadata not implemented, same gate as the export) and
+        partitioned tables whose file paths are not hive-style (this
+        reader reattaches partition values from ``col=value`` dirs; a
+        foreign writer that relies on ``partitionValues`` alone cannot
+        be adopted losslessly). After conversion the txlog is
+        authoritative — :meth:`to_delta_log` refuses (its version
+        numbering would misalign with the pre-existing foreign log)."""
+        from pyspark.sql.types import StructType
+
+        from .deltalog import _replay_delta_log
+
+        t = cls(spark, path)
+        if os.path.exists(t.log_dir):
+            raise FileExistsError(f"{t.log_dir} already exists")
+        st = _replay_delta_log(spark, os.path.join(path, "_delta_log"))
+        meta = st.metadata or {}
+        cfg = meta.get("configuration") or {}
+        if cfg.get("delta.columnMapping.mode") not in (None, "", "none"):
+            raise NotImplementedError(
+                "convert_from_delta refused: the Delta table uses column "
+                f"mapping mode {cfg['delta.columnMapping.mode']!r} — "
+                "physical-name metadata is not implemented (same gate as "
+                "the export)"
+            )
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        pby = list(meta.get("partitionColumns") or [])
+        files = sorted(st.live)
+        gone = [f for f in files if not os.path.exists(os.path.join(path, f))]
+        if gone:
+            raise FileNotFoundError(
+                f"cannot convert: {len(gone)} live Delta files missing on "
+                f"disk (first: {gone[0]})"
+            )
+        if pby:
+            bad = [
+                f
+                for f in files
+                if any(c not in cls._partition_values(f) for c in pby)
+            ]
+            if bad:
+                raise ValueError(
+                    "convert_from_delta refused: partitioned table has "
+                    f"non-hive file paths (first: {bad[0]}) — partition "
+                    "values cannot be reattached from directory names"
+                )
+        checks = {
+            k[len("delta.constraints."):]: v
+            for k, v in cfg.items()
+            if k.startswith("delta.constraints.")
+        }
+        pschema = (
+            StructType([schema[c] for c in pby]) if pby else None
+        )
+        os.makedirs(t.log_dir, exist_ok=False)
+        t._pmeta = (pby, pschema)
+        t._try_commit(
+            0,
+            adds=files,
+            removes=[],
+            op="convert_delta",
+            extra={
+                "partition_by": pby,
+                "partition_schema": pschema.json() if pby else None,
+                "schema": schema.json(),
+                "checks_reset": checks,
+                "converted_from_delta": st.version,
+            },
+        )
+        # txn carry-over: one no-op commit per appId so exactly-once
+        # sinks resume idempotently after migrating to the txlog sink
+        for app_id in sorted(st.txns):
+            t.commit(
+                adds=[], removes=[], base_version=t.version(),
+                op="txn_carryover",
+                txn=(app_id, int(st.txns[app_id]["version"])),
+            )
+        return t
+
     # -------------------------------------------------------- partitioning
 
     def partition_meta(self) -> tuple[list[str], "object"]:
@@ -1791,7 +1887,20 @@ class TxLogTable:
         """Export/refresh a Delta-protocol ``_delta_log`` for this table so
         external Delta readers can open it — see
         :func:`operators.deltalog.export_delta_log` (incremental,
-        version-number-preserving). Returns the latest exported version."""
+        version-number-preserving). Returns the latest exported version.
+        Refused on a table adopted via :meth:`convert_from_delta`: the
+        export's version numbering (txlog version N -> delta commit N)
+        would collide with the pre-existing foreign log's history."""
+        with open(os.path.join(self.log_dir, _commit_name(0))) as fh:
+            c0 = json.load(fh)
+        if "converted_from_delta" in c0:
+            raise ValueError(
+                "to_delta_log refused: this table was adopted from an "
+                f"existing _delta_log (at its version "
+                f"{c0['converted_from_delta']}) — re-exporting would "
+                "misalign version numbering with the foreign log's "
+                "history"
+            )
         from .deltalog import export_delta_log
 
         return export_delta_log(self.spark, self)

@@ -4315,3 +4315,54 @@ def x78_column_mapping_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_null_dates"),
     )
+
+
+@query(
+    "x79_convert_from_delta",
+    oracle="""
+    WITH kept AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE o_orderkey % 4 <> 0
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM kept GROUP BY 1
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8", "P7"),
+    doc="CONVERT FROM DELTA under the value-hash gate — the reverse "
+    "interop direction (x69 proved txlog -> Delta): orders -> txlog -> "
+    "Delta export, the txlog is DELETED (leaving a plain Delta table), "
+    "convert_from_delta adopts it IN PLACE (zero bytes moved: commit 0 "
+    "references the same files, schema from Delta's schemaString), and "
+    "the adopted table immediately runs copy-on-write DML (DELETE "
+    "WHERE key % 4 = 0) before the rollup. A hash match against raw "
+    "orders proves the whole adopt-then-write path is lossless. "
+    "operators/txlog.TxLogTable.convert_from_delta.",
+)
+def x79_convert_from_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _dml_scratch("x79" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(8, "o_orderkey")
+    )
+    t.to_delta_log()
+    shutil.rmtree(t.log_dir)  # now a plain Delta table
+    c = TxLogTable.convert_from_delta(spark, path)
+    c.delete_where("o_orderkey % 4 = 0")
+    return c.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
+    )

@@ -85,6 +85,8 @@ def append_stream_txlog(
     checkpoint_dir: str,
     app_id: str,
     available_now: bool = True,
+    compact_every: int | None = None,
+    compact_target_files: int = 8,
 ):
     """Exactly-once streaming APPEND into a commit-log table.
 
@@ -100,8 +102,17 @@ def append_stream_txlog(
 
     Per-trigger cost is O(batch): appends write new files only, never
     read or rewrite existing ones — at 100 TB the table size never
-    enters the per-trigger cost."""
-    from ..operators.txlog import TxLogTable
+    enters the per-trigger cost.
+
+    ``compact_every=N`` is auto-compaction (Delta's autoOptimize for
+    the small-files problem every append sink creates): after N data
+    commits since the last compaction, the sink runs
+    ``optimize(target_files=compact_target_files)`` inline. Losing the
+    optimize commit race is FINE and ignored — compaction is a logical
+    no-op, and the next trigger retries; the append itself already
+    committed, so exactly-once is unaffected. The check is one
+    driver-side history scan (O(commits) small JSON)."""
+    from ..operators.txlog import CommitConflict, TxLogTable
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
@@ -109,6 +120,18 @@ def append_stream_txlog(
         _ensure_table(batch, table_path)
         t = TxLogTable(batch.sparkSession, table_path)
         t.append(batch, txn=(app_id, batch_id))
+        if compact_every:
+            since = 0
+            for h in reversed(t.history()):
+                if h["op"] in ("optimize", "create", "convert"):
+                    break
+                if h["n_adds"]:
+                    since += 1
+            if since >= compact_every:
+                try:
+                    t.optimize(target_files=compact_target_files)
+                except CommitConflict:
+                    pass  # logical no-op lost a race; next trigger retries
 
     writer = stream.writeStream.foreachBatch(apply).option(
         "checkpointLocation", checkpoint_dir

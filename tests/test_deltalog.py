@@ -413,3 +413,98 @@ def test_read_delta_where_skips_files_by_log_stats(spark, tmp_path):
     assert {r.id for r in read_delta_where(spark, path, "id", 100, 105).collect()} == set(
         range(100, 106)
     )
+
+
+# ---------------------------------------------------- CONVERT FROM DELTA
+
+
+def test_convert_from_delta_adopts_in_place(spark, tmp_path):
+    """Bidirectional interop: a foreign Delta table (simulated by
+    exporting ours and deleting the txlog) adopts back into a txlog
+    with ZERO data movement — same files, exact schema, constraints and
+    streaming txn markers carried, and the new txlog is immediately
+    writable with full enforcement."""
+    import shutil
+
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        CheckViolation,
+        TxLogTable,
+    )
+
+    path = str(tmp_path / "t")
+    t = TxLogTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, price double"),
+    )
+    t.add_check("price_pos", "price >= 0")
+    t.append(
+        spark.createDataFrame([(3, 30.0)], "k int, price double"),
+        txn=("sink-a", 7),
+    )
+    t.to_delta_log()
+    expected = sorted((r.k, r.price) for r in t.read().collect())
+    files_before = set(t.files())
+    shutil.rmtree(t.log_dir)  # now it is "just" a Delta table
+
+    c = TxLogTable.convert_from_delta(spark, path)
+    assert sorted((r.k, r.price) for r in c.read().collect()) == expected
+    assert set(c.files()) == files_before, "conversion moved data"
+    assert c.checks() == {"price_pos": "price >= 0"}
+    assert c.last_txn_version("sink-a") == 7  # exactly-once sink resumes
+    assert c.history()[0]["op"] == "convert_delta"
+    # adopted table enforces and writes like any other
+    with pytest.raises(CheckViolation):
+        c.append(spark.createDataFrame([(9, -1.0)], "k int, price double"))
+    c.append(spark.createDataFrame([(4, 40.0)], "k int, price double"))
+    assert {r.k for r in c.read().collect()} == {1, 2, 3, 4}
+    # the txlog is now authoritative: re-export would misalign versions
+    with pytest.raises(ValueError, match="misalign"):
+        c.to_delta_log()
+    # double-adoption refused
+    with pytest.raises(FileExistsError):
+        TxLogTable.convert_from_delta(spark, path)
+
+
+def test_convert_from_delta_partitioned_and_guards(spark, tmp_path):
+    import json as _json
+    import shutil
+
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        TxLogTable,
+    )
+
+    path = str(tmp_path / "p")
+    t = TxLogTable.create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "07", 10.0), (2, "1", 20.0)], "k int, bucket string, price double"
+        ),
+        partition_by=["bucket"],
+    )
+    t.to_delta_log()
+    shutil.rmtree(t.log_dir)
+    c = TxLogTable.convert_from_delta(spark, path)
+    assert c.partition_meta()[0] == ["bucket"]
+    # exact recorded partition types: the string "07" did not become 7
+    assert dict(c.read().dtypes)["bucket"] == "string"
+    assert {(r.k, r.bucket) for r in c.read().collect()} == {(1, "07"), (2, "1")}
+    # column-mapped foreign tables are refused loudly
+    mapped = str(tmp_path / "m")
+    t2 = TxLogTable.create(
+        spark, mapped, spark.createDataFrame([(1, 1.0)], "k int, v double")
+    )
+    t2.to_delta_log()
+    shutil.rmtree(t2.log_dir)
+    c0 = os.path.join(mapped, "_delta_log", f"{0:020d}.json")
+    lines = open(c0).read().splitlines()
+    out = []
+    for ln in lines:
+        d = _json.loads(ln)
+        if "metaData" in d:
+            d["metaData"]["configuration"]["delta.columnMapping.mode"] = "name"
+        out.append(_json.dumps(d))
+    open(c0, "w").write("\n".join(out) + "\n")
+    with pytest.raises(NotImplementedError, match="column "):
+        TxLogTable.convert_from_delta(spark, mapped)

@@ -266,3 +266,41 @@ def test_ensure_table_waits_for_racing_creators_commit0(spark, tmp_path):
     t = TxLogTable(spark, slow)
     t.append(batch)
     assert t.read().count() == 1
+
+
+def test_append_sink_auto_compacts(spark, tmp_path):
+    """compact_every=N (Delta's autoOptimize shape): the sink triggers
+    an inline OPTIMIZE after N data commits since the last compaction —
+    rows identical before/after, file count bounded, history shows the
+    optimize commits."""
+    from pyspark.sql import functions as F
+
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        TxLogTable,
+    )
+    from airbnb_listings_data_pipelines_spark.streaming.upsert import (
+        append_stream_txlog,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(12)], "k int, price double"
+    ).repartition(6).write.parquet(src)
+    table = str(tmp_path / "table")
+    q = append_stream_txlog(
+        spark.readStream.schema("k int, price double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        table,
+        str(tmp_path / "ck"),
+        app_id="sink",
+        compact_every=3,
+        compact_target_files=1,
+    )
+    q.awaitTermination(180)
+    t = TxLogTable(spark, table)
+    assert {r.k for r in t.read().collect()} == set(range(12))
+    ops = [h["op"] for h in t.history()]
+    assert "optimize" in ops, f"no compaction ran: {ops}"
+    # compaction bounds live file count below the per-trigger growth
+    assert len(t.files()) <= 4, (len(t.files()), ops)
