@@ -149,11 +149,15 @@ def replay_log(log_dir: str, as_of: int | None = None) -> tuple[int, list[str]]:
     return commits[-1][0], sorted(live)
 
 
-def schema_json_at(log_dir: str, as_of: int | None = None) -> str | None:
-    """The recorded table schema (StructType JSON) effective at ``as_of``
-    — newest commit at/below it carrying a ``schema`` payload; None for
-    legacy logs. Session-free twin of :meth:`TxLogTable._schema_at`."""
-    best: tuple[int, str] | None = None
+def schema_and_mapping_at(
+    log_dir: str, as_of: int | None = None
+) -> tuple[str | None, dict | None]:
+    """(recorded schema JSON, column mapping) effective at ``as_of`` in
+    ONE log pass — readers need both on every snapshot read, and the
+    two latest-wins folds walk the same commit files, so scanning twice
+    would double the per-read small-JSON I/O on long logs."""
+    best_s: tuple[int, str] | None = None
+    best_m: tuple[int, dict] | None = None
     for name in os.listdir(log_dir):
         if not name.endswith(".json"):
             continue
@@ -163,9 +167,22 @@ def schema_json_at(log_dir: str, as_of: int | None = None) -> str | None:
         with open(os.path.join(log_dir, name)) as fh:
             c = json.load(fh)
         s = c.get("schema")
-        if s is not None and (best is None or v > best[0]):
-            best = (v, s)
-    return best[1] if best else None
+        if s is not None and (best_s is None or v > best_s[0]):
+            best_s = (v, s)
+        m = c.get("column_mapping")
+        if m is not None and (best_m is None or v > best_m[0]):
+            best_m = (v, m)
+    return (
+        best_s[1] if best_s else None,
+        best_m[1] if best_m else None,
+    )
+
+
+def schema_json_at(log_dir: str, as_of: int | None = None) -> str | None:
+    """The recorded table schema (StructType JSON) effective at ``as_of``
+    — newest commit at/below it carrying a ``schema`` payload; None for
+    legacy logs. Session-free twin of :meth:`TxLogTable._schema_at`."""
+    return schema_and_mapping_at(log_dir, as_of)[0]
 
 
 def mapping_at(log_dir: str, as_of: int | None = None) -> dict | None:
@@ -178,19 +195,7 @@ def mapping_at(log_dir: str, as_of: int | None = None) -> dict | None:
     changes only the logical name (physical stays, so no file is
     rewritten), DROP removes the logical binding, and a re-added name
     gets a FRESH physical name so dropped data can never resurrect."""
-    best: tuple[int, dict] | None = None
-    for name in os.listdir(log_dir):
-        if not name.endswith(".json"):
-            continue
-        v = int(name.split(".")[0])
-        if as_of is not None and v > as_of:
-            continue
-        with open(os.path.join(log_dir, name)) as fh:
-            c = json.load(fh)
-        m = c.get("column_mapping")
-        if m is not None and (best is None or v > best[0]):
-            best = (v, m)
-    return best[1] if best else None
+    return schema_and_mapping_at(log_dir, as_of)[1]
 
 
 def _physical_struct(schema, mapping: dict | None):
@@ -212,14 +217,16 @@ def _physical_struct(schema, mapping: dict | None):
 
 def commit_file_deltas(
     log_dir: str, from_version: int, to_version: int
-) -> list[tuple[int, list[str], list[str]]]:
-    """Per-commit (version, files added, files removed) over
+) -> list[tuple[int, list[str], list[str], str]]:
+    """Per-commit (version, files added, files removed, op) over
     ``[from_version, to_version]``, computed checkpoint-aware in ONE
     pass (a checkpoint commit's recorded adds are the full live list;
-    its TRUE delta is live(v) - live(v-1)). Shared by
+    its TRUE delta is live(v) - live(v-1)). The op lets consumers
+    distinguish data-unchanged rewrites (OPTIMIZE — Delta's
+    ``dataChange=false``) from real DML. Shared by
     :meth:`TxLogTable.read_changes` and the ``txlog`` streaming
     DataSource's offset-range planner."""
-    per_commit: list[tuple[int, list[str], list[str]]] = []
+    per_commit: list[tuple[int, list[str], list[str], str]] = []
     live: set[str] = set()
     prev: set[str] = set()
     for name in sorted(f for f in os.listdir(log_dir) if f.endswith(".json")):
@@ -233,7 +240,9 @@ def commit_file_deltas(
         else:
             live = (live - set(c["removes"])) | set(c["adds"])
         if v >= from_version:
-            per_commit.append((v, sorted(live - prev), sorted(prev - live)))
+            per_commit.append(
+                (v, sorted(live - prev), sorted(prev - live), c.get("op") or "")
+            )
         prev = set(live)
     return per_commit
 
@@ -505,10 +514,11 @@ class TxLogTable:
 
         paths = [os.path.join(self.path, f) for f in files]
         pby, pschema = self.partition_meta()
-        if schema_json is None:
+        if schema_json is None and mapping is _MAPPING_DEFAULT:
+            # one combined log pass for both latest-wins folds
+            schema_json, mapping = schema_and_mapping_at(self.log_dir)
+        elif schema_json is None:
             schema_json = self._schema_at()
-            if mapping is _MAPPING_DEFAULT:
-                mapping = self._mapping_at()
         elif mapping is _MAPPING_DEFAULT:
             mapping = self._mapping_at()
         if schema_json is not None:
@@ -633,6 +643,7 @@ class TxLogTable:
         _pby: list[str] | None = None,
         _validate: bool = True,
         _checks: dict[str, str] | None = None,
+        _mapping=_MAPPING_DEFAULT,
     ) -> list[str]:
         """Write ``df`` as new parquet files under the table dir; returns
         their names (relative paths — for partitioned tables these include
@@ -649,7 +660,10 @@ class TxLogTable:
         table is untouched. ``_validate=False`` is for row-preserving
         rewrites (optimize, delete's keep-side) whose rows already passed."""
         pby = self.partition_meta()[0] if _pby is None else _pby
-        mapping = self._mapping_at() if os.path.isdir(self.log_dir) else None
+        if _mapping is not _MAPPING_DEFAULT:
+            mapping = _mapping
+        else:
+            mapping = self._mapping_at() if os.path.isdir(self.log_dir) else None
         if mapping:
             # column-mapped table: files carry PHYSICAL names (renames
             # stay metadata-only; a re-added dropped name writes under a
@@ -685,11 +699,15 @@ class TxLogTable:
         else:
             checks = {}
         if checks and names:
-            self._enforce_checks(names, checks, pby)
+            self._enforce_checks(names, checks, pby, mapping=mapping)
         return names
 
     def _enforce_checks(
-        self, names: list[str], checks: dict[str, str], pby: list[str]
+        self,
+        names: list[str],
+        checks: dict[str, str],
+        pby: list[str],
+        mapping=_MAPPING_DEFAULT,
     ) -> None:
         """Enforce ``checks`` over the staged files ``names`` with ONE
         aggregate scan (new files only — the table is never re-read). On
@@ -713,7 +731,8 @@ class TxLogTable:
         if pby:
             reader = reader.option("basePath", self.path)
         scan = reader.parquet(*paths)
-        mapping = self._mapping_at()
+        if mapping is _MAPPING_DEFAULT:
+            mapping = self._mapping_at()
         if mapping:
             # files carry physical names; check exprs reference LOGICAL
             # names — rename back before evaluating
@@ -1114,7 +1133,12 @@ class TxLogTable:
         schema = self._schema_at(as_of=to_version)
         mp = self._mapping_at(as_of=to_version)
         parts: list[DataFrame] = []
-        for v, adds, removes in per_commit:
+        for v, adds, removes, op in per_commit:
+            if op == "optimize":
+                # data-unchanged rewrite (Delta's dataChange=false): the
+                # feed excludes it — net=True would only cancel it at
+                # the cost of reading the whole rewritten snapshot twice
+                continue
             ins = (
                 self._read_files(adds, schema, mapping=mp) if adds else None
             )
@@ -1133,11 +1157,20 @@ class TxLogTable:
                         )
                     )
         if not parts:
-            return (
-                self.read()
-                .limit(0)
-                .withColumn("_change_type", F.lit(""))
-                .withColumn("_commit_version", F.lit(0).cast("int"))
+            # empty feed under to_version's schema (NOT the current
+            # one): an incremental consumer unions successive polls by
+            # name, so the schema must not depend on whether a given
+            # range happened to be empty
+            if schema is not None:
+                from pyspark.sql.types import StructType
+
+                base = self.spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(schema))
+                )
+            else:
+                base = self.read().limit(0)  # legacy log: no recorded schema
+            return base.withColumn("_change_type", F.lit("")).withColumn(
+                "_commit_version", F.lit(0).cast("int")
             )
         out = parts[0]
         for p in parts[1:]:
@@ -1182,6 +1215,7 @@ class TxLogTable:
         op: str,
         schema: str | None = None,
         txn: tuple[str, int] | None = None,
+        column_mapping: dict | None = None,
     ) -> int:
         """Commit against ``base_version``; CommitConflict if stale.
         ``schema`` records the post-commit table schema (StructType JSON)
@@ -1196,6 +1230,8 @@ class TxLogTable:
             extra["schema"] = schema
         if txn is not None:
             extra["txn"] = {"appId": str(txn[0]), "version": int(txn[1])}
+        if column_mapping is not None:
+            extra["column_mapping"] = column_mapping
         self._try_commit(
             base_version + 1, adds, removes, op, extra=extra or None
         )
@@ -1524,7 +1560,12 @@ class TxLogTable:
 
         dest = TxLogTable(self.spark, dest_path)
         version, files = self._replay()
-        schema_json = self._schema_at()
+        # all metadata pinned to the SAME captured version: a writer
+        # committing between the replay and these reads must not
+        # produce a torn clone (v files under v+1 schema/checks/mapping)
+        schema_json = self._schema_at(as_of=version)
+        clone_checks = self.checks(as_of=version)
+        clone_mapping = self._mapping_at(as_of=version)
         pby, pschema = self.partition_meta()
         os.makedirs(dest.log_dir, exist_ok=False)  # loudly refuse overwrite
         for f in files:
@@ -1545,12 +1586,12 @@ class TxLogTable:
                 "partition_by": pby,
                 "partition_schema": pschema.json() if pby else None,
                 "schema": schema_json,
-                "checks_reset": self.checks(),
+                "checks_reset": clone_checks,
                 # a column-mapped source's files carry physical names —
                 # the clone must read them under the same mapping
                 **(
-                    {"column_mapping": self._mapping_at()}
-                    if self._mapping_at() is not None
+                    {"column_mapping": clone_mapping}
+                    if clone_mapping is not None
                     else {}
                 ),
                 "cloned_from": {"path": self.path, "version": version},
@@ -1704,33 +1745,35 @@ class TxLogTable:
 
         if isinstance(dtype, str):
             dtype = _parse_datatype_string(dtype)
-        schema_json = self._schema_at()
-        if schema_json is None:
-            raise ValueError(
-                "add_column requires a recorded schema (legacy log: "
-                "run one write to record it first)"
-            )
-        schema = StructType.fromJson(json.loads(schema_json))
-        if name in schema.fieldNames():
-            raise ValueError(f"column {name!r} already exists")
-        new_json = schema.add(name, dtype, nullable=True).json()
-        extra: dict = {"schema": new_json}
-        mapping = self._mapping_at()
-        if mapping:
-            # column-mapping mode (a rename/drop happened): the new
-            # column writes under a FRESH physical name — if it reuses a
-            # previously-dropped logical name, the dropped files' old
-            # physical column must NOT resurrect (Delta's re-add rule)
-            mapping = dict(mapping)
-            mapping[name] = f"col_{uuid.uuid4().hex[:12]}"
-            extra["column_mapping"] = mapping
         for _attempt in range(max_retries + 1):
+            # payload recomputed per attempt — see rename_column
+            base_version = self.version()
+            schema_json = self._schema_at()
+            if schema_json is None:
+                raise ValueError(
+                    "add_column requires a recorded schema (legacy log: "
+                    "run one write to record it first)"
+                )
+            schema = StructType.fromJson(json.loads(schema_json))
+            if name in schema.fieldNames():
+                raise ValueError(f"column {name!r} already exists")
+            extra: dict = {"schema": schema.add(name, dtype, nullable=True).json()}
+            mapping = self._mapping_at()
+            if mapping:
+                # column-mapping mode (a rename/drop happened): the new
+                # column writes under a FRESH physical name — if it
+                # reuses a previously-dropped logical name, the dropped
+                # files' old physical column must NOT resurrect (Delta's
+                # re-add rule)
+                mapping = dict(mapping)
+                mapping[name] = f"col_{uuid.uuid4().hex[:12]}"
+                extra["column_mapping"] = mapping
             try:
                 self._try_commit(
-                    self.version() + 1, adds=[], removes=[], op="add_column",
+                    base_version + 1, adds=[], removes=[], op="add_column",
                     extra=extra,
                 )
-                return self.version()
+                return base_version + 1
             except CommitConflict:
                 continue
         raise CommitConflict(f"add_column gave up after {max_retries} retries")
@@ -1786,42 +1829,50 @@ class TxLogTable:
         refuses column-mapped tables loudly (protocol writer v5 not
         implemented); the native reader, change feed, and the txlog
         DataSource all honor the mapping."""
-        schema = self._column_mapping_guards(old, "rename_column")
-        if new in schema.fieldNames():
-            raise ValueError(f"column {new!r} already exists")
-        if not new or "/" in new or "=" in new:
-            raise ValueError(f"invalid column name: {new!r}")
-        mapping = self._mapping_at()
-        mapping = (
-            {f.name: f.name for f in schema.fields}
-            if mapping is None
-            else dict(mapping)
-        )
-        mapping[new] = mapping.pop(old)
+        import re as _re
+
         from pyspark.sql.types import StructField, StructType
 
-        new_schema = StructType(
-            [
-                StructField(
-                    new if f.name == old else f.name,
-                    f.dataType,
-                    f.nullable,
-                    f.metadata,
-                )
-                for f in schema.fields
-            ]
-        )
+        # names outside this shape break F.col() resolution at the
+        # _write_data mapping chokepoint (dots parse as struct access)
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+            raise ValueError(f"invalid column name: {new!r}")
         for _attempt in range(max_retries + 1):
+            # payload recomputed per attempt (like restore): committing a
+            # pre-conflict schema/mapping would silently erase whatever
+            # the winning commit changed (e.g. a concurrent add_column)
+            base_version = self.version()
+            schema = self._column_mapping_guards(old, "rename_column")
+            if new in schema.fieldNames():
+                raise ValueError(f"column {new!r} already exists")
+            mapping = self._mapping_at()
+            mapping = (
+                {f.name: f.name for f in schema.fields}
+                if mapping is None
+                else dict(mapping)
+            )
+            mapping[new] = mapping.pop(old)
+            new_schema = StructType(
+                [
+                    StructField(
+                        new if f.name == old else f.name,
+                        f.dataType,
+                        f.nullable,
+                        f.metadata,
+                    )
+                    for f in schema.fields
+                ]
+            )
             try:
                 self._try_commit(
-                    self.version() + 1, adds=[], removes=[],
+                    base_version + 1, adds=[], removes=[],
                     op="rename_column",
                     extra={
                         "schema": new_schema.json(),
                         "column_mapping": mapping,
                     },
                 )
-                return self.version()
+                return base_version + 1
             except CommitConflict:
                 continue
         raise CommitConflict(
@@ -1837,32 +1888,34 @@ class TxLogTable:
         same logical name later maps to a FRESH physical name (see
         :meth:`add_column`), so the dropped values can never
         resurrect."""
-        schema = self._column_mapping_guards(name, "drop_column")
-        if len(schema.fields) == 1:
-            raise ValueError("cannot drop the only column")
-        mapping = self._mapping_at()
-        mapping = (
-            {f.name: f.name for f in schema.fields}
-            if mapping is None
-            else dict(mapping)
-        )
-        mapping.pop(name, None)
         from pyspark.sql.types import StructType
 
-        new_schema = StructType(
-            [f for f in schema.fields if f.name != name]
-        )
         for _attempt in range(max_retries + 1):
+            # payload recomputed per attempt — see rename_column
+            base_version = self.version()
+            schema = self._column_mapping_guards(name, "drop_column")
+            if len(schema.fields) == 1:
+                raise ValueError("cannot drop the only column")
+            mapping = self._mapping_at()
+            mapping = (
+                {f.name: f.name for f in schema.fields}
+                if mapping is None
+                else dict(mapping)
+            )
+            mapping.pop(name, None)
+            new_schema = StructType(
+                [f for f in schema.fields if f.name != name]
+            )
             try:
                 self._try_commit(
-                    self.version() + 1, adds=[], removes=[],
+                    base_version + 1, adds=[], removes=[],
                     op="drop_column",
                     extra={
                         "schema": new_schema.json(),
                         "column_mapping": mapping,
                     },
                 )
-                return self.version()
+                return base_version + 1
             except CommitConflict:
                 continue
         raise CommitConflict(
@@ -2075,11 +2128,29 @@ def merge_into_txlog(
                 else table._empty()
             )
         merged = merge_frames(target, source, keys, when_matched, when_not_matched, evolve_schema)
-        adds = table._write_data(merged)
+        # column-mapped table + schema evolution: any column NEW to the
+        # mapping writes under a FRESH physical name and the merge
+        # commit records the extended mapping — otherwise a previously
+        # DROPPED column's identity-mapped name would resurrect the old
+        # files' values (or collide with a renamed column's physical
+        # name). Same rule as add_column.
+        mapping = table._mapping_at()
+        new_mapping = None
+        if mapping:
+            absent = [c for c in merged.columns if c not in mapping]
+            if absent:
+                new_mapping = dict(mapping)
+                for c in absent:
+                    new_mapping[c] = f"col_{uuid.uuid4().hex[:12]}"
+        adds = table._write_data(
+            merged,
+            _mapping=new_mapping if new_mapping is not None else _MAPPING_DEFAULT,
+        )
         try:
             table.commit(
                 adds=adds, removes=removes, base_version=base_version,
                 op="merge", schema=merged.schema.json(), txn=txn,
+                column_mapping=new_mapping,
             )
             return table.read()
         except CommitConflict:

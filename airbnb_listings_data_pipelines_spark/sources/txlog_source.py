@@ -156,8 +156,8 @@ def _schema_json_at(log_dir: str, as_of: int | None = None) -> str | None:
 
 def _deltas(
     log_dir: str, from_version: int, to_version: int
-) -> list[tuple[int, list[str], list[str]]]:
-    out: list[tuple[int, list[str], list[str]]] = []
+) -> list[tuple[int, list[str], list[str], str]]:
+    out: list[tuple[int, list[str], list[str], str]] = []
     live: set[str] = set()
     prev: set[str] = set()
     for name in sorted(f for f in os.listdir(log_dir) if f.endswith(".json")):
@@ -171,7 +171,9 @@ def _deltas(
         else:
             live = (live - set(c["removes"])) | set(c["adds"])
         if v >= from_version:
-            out.append((v, sorted(live - prev), sorted(prev - live)))
+            out.append(
+                (v, sorted(live - prev), sorted(prev - live), c.get("op") or "")
+            )
         prev = set(live)
     return out
 
@@ -190,6 +192,13 @@ def _raw_pvals(rel_path: str) -> dict:
 
 
 def _typed_pval(raw: str | None, dtype):
+    """Typed python value of one hive partition-dir string. UNLIKE the
+    pruning twin (operators/txlog._parse_partition_value, where an
+    unparseable value means "conservatively keep the file"), here the
+    value becomes ROW DATA — returning None for a value we cannot parse
+    would silently emit wrong NULLs, so unsupported types and
+    unparseable strings raise instead. True nulls
+    (``__HIVE_DEFAULT_PARTITION__``) arrive as raw=None and stay None."""
     import datetime
     import decimal
 
@@ -208,12 +217,21 @@ def _typed_pval(raw: str | None, dtype):
         if name == "timestamp":
             return datetime.datetime.fromisoformat(raw)
         if name == "boolean":
-            return {"true": True, "false": False}.get(raw.lower())
+            low = raw.lower()
+            if low in ("true", "false"):
+                return low == "true"
+            raise ValueError(raw)
         if name == "string":
             return raw
-    except (ValueError, decimal.InvalidOperation):
-        return None
-    return None
+    except (ValueError, decimal.InvalidOperation) as e:
+        raise ValueError(
+            f"txlog source: cannot parse partition value {raw!r} as "
+            f"{name} — refusing to emit a wrong NULL"
+        ) from e
+    raise ValueError(
+        f"txlog source: partition type {name!r} has no supported "
+        "directory-name parse — refusing to emit a wrong NULL"
+    )
 
 
 def _mapping_json_at(log_dir: str, as_of: int | None = None) -> dict | None:
@@ -310,7 +328,9 @@ def _plan_changes(
     CDC files; consumers needing the net feed use
     TxLogTable.read_changes, which cancels them per commit)."""
     slices: list[_FileSlice] = []
-    for v, adds, removes in _deltas(log_dir, lo, hi):
+    for v, adds, removes, op in _deltas(log_dir, lo, hi):
+        if op == "optimize":
+            continue  # data-unchanged rewrite: excluded from the feed
         for f, ct in [(a, "insert") for a in adds] + [
             (r, "delete") for r in removes
         ]:
@@ -440,8 +460,13 @@ class TxLogStreamReader(DataSourceStreamReader):
                 self.path, self.log_dir, lo + 1, hi, pby, pschema
             )
         files: list[str] = []
-        for v, adds, removes in _deltas(self.log_dir, lo + 1, hi):
+        for v, adds, removes, op in _deltas(self.log_dir, lo + 1, hi):
             if removes:
+                if op == "optimize":
+                    # compaction is row-identical (Delta dataChange=false):
+                    # skip silently — an auto-compacting upstream sink
+                    # must not kill downstream tails
+                    continue
                 if self.skip_change:
                     continue  # Delta's skipChangeCommits: drop the commit
                 raise ValueError(

@@ -123,9 +123,15 @@ def append_stream_txlog(
         if compact_every:
             since = 0
             for h in reversed(t.history()):
-                if h["op"] in ("optimize", "create", "convert"):
+                # stop at any full-snapshot op; count DATA ops by NAME —
+                # n_adds lies at checkpoint commits (their recorded adds
+                # are the full live list, so even a metadata-only commit
+                # landing on a checkpoint boundary reports adds)
+                if h["op"] in (
+                    "optimize", "create", "convert", "convert_delta", "clone",
+                ):
                     break
-                if h["n_adds"]:
+                if h["op"] in ("append", "merge", "delete", "update"):
                     since += 1
             if since >= compact_every:
                 try:

@@ -107,14 +107,14 @@ def test_merge_retries_after_conflict(spark, table, monkeypatch):
     real_commit = TxLogTable.commit
     state = {"raced": False}
 
-    def racing_commit(self, adds, removes, base_version, op, schema=None, txn=None):
+    def racing_commit(self, adds, removes, base_version, op, schema=None, txn=None, column_mapping=None):
         if not state["raced"]:
             state["raced"] = True
             # interleave a competing writer that wins version base+1
             w = TxLogTable(spark, self.path)
             wa = w._write_data(_df(spark, [(7, "raced", 5)]))
             real_commit(w, adds=wa, removes=[], base_version=base_version, op="append")
-        return real_commit(self, adds, removes, base_version, op, schema=schema, txn=txn)
+        return real_commit(self, adds, removes, base_version, op, schema=schema, txn=txn, column_mapping=column_mapping)
 
     monkeypatch.setattr(TxLogTable, "commit", racing_commit)
     out = merge_into_txlog(spark, table, _df(spark, [(2, "B", 2)]), keys=["k"])

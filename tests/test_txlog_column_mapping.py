@@ -166,3 +166,127 @@ def test_datasource_reads_mapped_table(spark, tmp_path):
     v0 = spark.read.format("txlog").option("versionAsOf", 0).load(t.path)
     assert v0.columns == ["k", "price"]
     assert {(r.k, r.price) for r in v0.collect()} == {(1, 10.0), (2, 20.0)}
+
+
+# ------------------------------------------- review-fix regressions
+
+
+def test_evolving_merge_respects_mapping_fresh_name_rule(spark, tmp_path):
+    """merge_into_txlog(evolve_schema=True) re-introducing a DROPPED
+    logical name must behave like add_column: fresh physical name, so
+    untouched pre-drop files null-fill instead of resurrecting the old
+    values."""
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        merge_into_txlog,
+    )
+
+    t = _t(spark, tmp_path, rows=((1, 10.0), (2, 20.0)))
+    t.drop_column("price")  # files still physically carry 'price'
+    merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame([(2, 99.0)], "k int, price double"),
+        ["k"],
+        evolve_schema=True,
+    )
+    got = {(r.k, r.price) for r in t.read().collect()}
+    # k=1's file was untouched by the merge: its old price must NOT
+    # resurrect; k=2 was rewritten with the merged value
+    assert got == {(1, None), (2, 99.0)}, got
+    # and the mapping records a fresh physical name for the column
+    m = t._mapping_at()
+    assert m["price"] != "price"
+
+
+def test_rename_retry_preserves_concurrent_add_column(spark, tmp_path):
+    """A rename losing its commit race to an add_column must recompute
+    its payload: committing the pre-conflict schema/mapping would erase
+    the concurrently added column."""
+    t = _t(spark, tmp_path)
+    t2 = TxLogTable(spark, t.path)
+    orig = t._try_commit
+    fired = {}
+
+    def race(version, adds, removes, op, extra=None):
+        if op == "rename_column" and "v" not in fired:
+            fired["v"] = t2.add_column("extra", "int")
+        return orig(version, adds=adds, removes=removes, op=op, extra=extra)
+
+    t._try_commit = race
+    t.rename_column("price", "amount")
+    assert fired["v"] == 1 and t.version() == 2
+    cols = t.read().columns
+    assert "extra" in cols and "amount" in cols, (
+        f"rename retry erased concurrent evolution: {cols}"
+    )
+
+
+def test_invalid_rename_target_names_rejected(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    for bad in ("total.price", "a b", "x`y", "", "1col", "a/b", "a=b"):
+        with pytest.raises(ValueError, match="invalid column name"):
+            t.rename_column("price", bad)
+
+
+def test_read_changes_skips_optimize_and_keeps_schema_on_empty(spark, tmp_path):
+    """OPTIMIZE is dataChange=false: excluded from the feed entirely.
+    And an empty range returns to_version's schema, not the current
+    table's — successive polls must union cleanly by name."""
+    t = _t(spark, tmp_path)
+    t.optimize(target_files=1)  # v1: rewrite, logically a no-op
+    assert t.read_changes(1, 1).count() == 0
+    t.add_column("extra", "int")  # v2 (schema evolves AFTER the range)
+    empty = t.read_changes(1, 1)
+    assert "extra" not in empty.columns, (
+        "empty feed leaked the CURRENT schema instead of to_version's"
+    )
+    assert empty.columns == ["k", "price", "_change_type", "_commit_version"]
+
+
+def test_stream_source_survives_auto_compaction(spark, tmp_path):
+    """An OPTIMIZE commit in the tailed range is row-identical — the
+    append-only streaming source must skip it silently (Delta
+    dataChange=false), not die or require skipChangeCommits."""
+    from airbnb_listings_data_pipelines_spark.sources import txlog_source
+
+    txlog_source.register(spark)
+    t = _t(spark, tmp_path)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("txlog")
+            .load(t.path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    t.append(spark.createDataFrame([(3, 30.0)], "k int, price double"))
+    t.optimize(target_files=1)  # the auto-compaction shape
+    t.append(spark.createDataFrame([(4, 40.0)], "k int, price double"))
+    drain()
+    assert sorted(r.k for r in spark.read.parquet(out).collect()) == [
+        1, 2, 3, 4,
+    ], "optimize commit broke or polluted the tail"
+
+
+def test_datasource_partition_value_never_wrong_null(spark, tmp_path):
+    """The DataSource must RAISE on a partition value it cannot parse,
+    never silently emit NULL row data (the pruning twin's
+    conservatively-keep contract does not apply to values)."""
+    from airbnb_listings_data_pipelines_spark.sources.txlog_source import (
+        _typed_pval,
+    )
+    from pyspark.sql.types import DateType, StringType, TimestampNTZType
+
+    assert _typed_pval(None, StringType()) is None  # true null stays null
+    assert _typed_pval("07", StringType()) == "07"
+    with pytest.raises(ValueError, match="wrong NULL"):
+        _typed_pval("not-a-date", DateType())
+    with pytest.raises(ValueError, match="wrong NULL"):
+        _typed_pval("2020-01-01T00:00:00", TimestampNTZType())
