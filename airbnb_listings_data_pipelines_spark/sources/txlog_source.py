@@ -435,6 +435,18 @@ class TxLogStreamReader(DataSourceStreamReader):
             str(_opt(options, "skipChangeCommits", "false")).lower() == "true"
         )
         self.cdf = _cdf_on(options)
+        mf = _opt(options, "maxFilesPerTrigger")
+        mb = _opt(options, "maxBytesPerTrigger")
+        self.max_files = int(mf) if mf is not None else None
+        self.max_bytes = int(mb) if mb is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        if self.max_bytes is not None and self.max_bytes < 1:
+            raise ValueError("maxBytesPerTrigger must be >= 1")
+        # admission-control cursor: the highest version this reader has
+        # already handed to the engine (offered via latestOffset, planned
+        # via partitions, or committed). None until one of those runs.
+        self._cursor: int | None = None
         # resolved once at query start, like the schema: a stream's
         # declared columns are fixed, so the logical->physical binding
         # is too (physical names never change after a file is written)
@@ -442,10 +454,70 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     # offsets are commit versions: {"version": last PROCESSED version}
     def initialOffset(self) -> dict:
+        self._cursor = self.starting - 1
         return {"version": self.starting - 1}
 
+    def _counts_toward_cap(self, adds, removes, op) -> list[str]:
+        """The files a commit would contribute to the NEXT microbatch
+        (mirrors :meth:`partitions`): CDF mode reads adds+removes;
+        append-only mode skips optimize/skipped-change commits."""
+        if self.cdf:
+            return list(adds) + list(removes)
+        if removes and (op == "optimize" or self.skip_change):
+            return []
+        return list(adds)
+
     def latestOffset(self) -> dict:
-        return {"version": _replay(self.log_dir)[0]}
+        """Rate-limited offset advancement (Delta's ``maxFilesPerTrigger``
+        / ``maxBytesPerTrigger``): advance at most as many commits as fit
+        the caps, always >= 1 commit so the stream makes progress even
+        when a single commit exceeds them. Offsets are commit versions,
+        so admission granularity is a commit — same as Delta's.
+
+        API caveat (documented, not fixable here): the Python DataSource
+        API has no SupportsAdmissionControl — ``latestOffset()`` cannot
+        see the checkpointed start offset. A fresh query seeds the cursor
+        via ``initialOffset`` and a restart with a pending batch seeds it
+        via ``partitions``, so every batch those plan is capped; a restart
+        whose batches were all committed plans its FIRST batch uncapped
+        (and ``trigger(availableNow=True)`` snapshots one latestOffset per
+        run, so a drain-restart loop caps only each run's first batch)."""
+        latest = _replay(self.log_dir)[0]
+        if (
+            (self.max_files is None and self.max_bytes is None)
+            or self._cursor is None
+            or latest <= self._cursor
+        ):
+            if self._cursor is None or latest > self._cursor:
+                self._cursor = latest
+            return {"version": latest}
+        files = 0
+        nbytes = 0
+        end = self._cursor
+        for v, adds, removes, op in _deltas(
+            self.log_dir, self._cursor + 1, latest
+        ):
+            batch_files = self._counts_toward_cap(adds, removes, op)
+            n = len(batch_files)
+            b = 0
+            if self.max_bytes is not None:
+                for f in batch_files:
+                    try:
+                        b += os.path.getsize(os.path.join(self.path, f))
+                    except OSError:
+                        pass  # vacuumed between list and stat: size 0
+            over = (
+                self.max_files is not None and files + n > self.max_files
+            ) or (self.max_bytes is not None and nbytes + b > self.max_bytes)
+            if over and end > self._cursor:
+                break  # cap reached and >=1 commit already admitted
+            files += n
+            nbytes += b
+            end = v
+            if over:
+                break  # single over-cap commit: admit it alone
+        self._cursor = end
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
