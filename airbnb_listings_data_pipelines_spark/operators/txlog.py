@@ -225,15 +225,33 @@ def commit_file_deltas(
     distinguish data-unchanged rewrites (OPTIMIZE — Delta's
     ``dataChange=false``) from real DML. Shared by
     :meth:`TxLogTable.read_changes` and the ``txlog`` streaming
-    DataSource's offset-range planner."""
+    DataSource's offset-range planner.
+
+    Bootstraps from the newest CHECKPOINT commit (full-file-list) at or
+    below ``from_version - 1`` — found by a short backward scan (commits
+    are checkpointed every ``_CHECKPOINT_EVERY``, so <= that many opens)
+    — instead of folding from commit 0: a long-lived streaming tail
+    polling this per trigger pays O(commits in range + checkpoint
+    interval), never O(total commits)."""
+    entries = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
+    versions = [int(n.split(".")[0]) for n in entries]
+    # backward scan for the bootstrap checkpoint strictly below the range
+    start_idx, live = 0, set()
+    for i in range(len(entries) - 1, -1, -1):
+        if versions[i] >= from_version:
+            continue
+        with open(os.path.join(log_dir, entries[i])) as fh:
+            c = json.load(fh)
+        if c.get("checkpoint"):
+            start_idx, live = i + 1, set(c["adds"])
+            break
     per_commit: list[tuple[int, list[str], list[str], str]] = []
-    live: set[str] = set()
-    prev: set[str] = set()
-    for name in sorted(f for f in os.listdir(log_dir) if f.endswith(".json")):
-        v = int(name.split(".")[0])
+    prev = set(live)
+    for i in range(start_idx, len(entries)):
+        v = versions[i]
         if v > to_version:
             break
-        with open(os.path.join(log_dir, name)) as fh:
+        with open(os.path.join(log_dir, entries[i])) as fh:
             c = json.load(fh)
         if c.get("checkpoint"):
             live = set(c["adds"])
@@ -735,10 +753,14 @@ class TxLogTable:
             mapping = self._mapping_at()
         if mapping:
             # files carry physical names; check exprs reference LOGICAL
-            # names — rename back before evaluating
-            for lg, ph in mapping.items():
-                if ph != lg:
-                    scan = scan.withColumnRenamed(ph, lg)
+            # names — rename back in ONE atomic select (sequential
+            # withColumnRenamed breaks on swap-cycle mappings: an
+            # intermediate rename collides with a still-unrenamed
+            # physical column of the same name)
+            inv = {ph: lg for lg, ph in mapping.items()}
+            scan = scan.select(
+                *[F.col(c).alias(inv.get(c, c)) for c in scan.columns]
+            )
         # one scan, all constraints: min(passes) per check — 0 = violated
         aggs = [
             F.min(F.coalesce(F.expr(e), F.lit(True)).cast("int")).alias(n)
@@ -1926,12 +1948,16 @@ class TxLogTable:
         if name not in self.checks():
             raise KeyError(f"no CHECK constraint {name!r}")
         for _attempt in range(max_retries + 1):
+            # capture the base per attempt and return base + 1 — the
+            # committed version (re-reading the log after the commit
+            # could return a CONCURRENT writer's later version instead)
+            base_version = self.version()
             try:
                 self._try_commit(
-                    self.version() + 1, adds=[], removes=[], op="drop_check",
+                    base_version + 1, adds=[], removes=[], op="drop_check",
                     extra={"check": {"name": name}},
                 )
-                return self.version()
+                return base_version + 1
             except CommitConflict:
                 continue
         raise CommitConflict(f"drop_check gave up after {max_retries} retries")

@@ -157,14 +157,28 @@ def _schema_json_at(log_dir: str, as_of: int | None = None) -> str | None:
 def _deltas(
     log_dir: str, from_version: int, to_version: int
 ) -> list[tuple[int, list[str], list[str], str]]:
+    # bootstrap from the newest checkpoint below the range (short
+    # backward scan; checkpoints land every ~20 commits) so a streaming
+    # tail's per-trigger poll is O(commits in range + checkpoint
+    # interval), never O(total commits)
+    entries = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
+    versions = [int(n.split(".")[0]) for n in entries]
+    start_idx, live = 0, set()
+    for i in range(len(entries) - 1, -1, -1):
+        if versions[i] >= from_version:
+            continue
+        with open(os.path.join(log_dir, entries[i])) as fh:
+            c = json.load(fh)
+        if c.get("checkpoint"):
+            start_idx, live = i + 1, set(c["adds"])
+            break
     out: list[tuple[int, list[str], list[str], str]] = []
-    live: set[str] = set()
-    prev: set[str] = set()
-    for name in sorted(f for f in os.listdir(log_dir) if f.endswith(".json")):
-        v = int(name.split(".")[0])
+    prev = set(live)
+    for i in range(start_idx, len(entries)):
+        v = versions[i]
         if v > to_version:
             break
-        with open(os.path.join(log_dir, name)) as fh:
+        with open(os.path.join(log_dir, entries[i])) as fh:
             c = json.load(fh)
         if c.get("checkpoint"):
             live = set(c["adds"])
@@ -521,6 +535,11 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
+        # seed the admission cursor on restart: a replayed pending batch
+        # plans through here before any latestOffset call, and without
+        # the seed the first latestOffset would advance to the log head
+        # uncapped, ignoring maxFilesPerTrigger/maxBytesPerTrigger
+        self._cursor = max(self._cursor if self._cursor is not None else -1, hi)
         if hi <= lo:
             return []
         pby, pschema = _partition_meta(self.log_dir)

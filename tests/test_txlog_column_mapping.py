@@ -290,3 +290,25 @@ def test_datasource_partition_value_never_wrong_null(spark, tmp_path):
         _typed_pval("not-a-date", DateType())
     with pytest.raises(ValueError, match="wrong NULL"):
         _typed_pval("2020-01-01T00:00:00", TimestampNTZType())
+
+
+def test_checks_enforced_through_swap_cycle_mapping(spark, tmp_path):
+    """A swap-cycle mapping (a->tmp, b->a, tmp->b leaves logical 'k'
+    bound to physical 'price' and vice versa) must still evaluate CHECKs
+    against the right data: the physical->logical rename is one atomic
+    select — sequential withColumnRenamed would collide an intermediate
+    name with a still-unrenamed physical column (round-7 ADVICE)."""
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, price double"),
+    )
+    t.rename_column("k", "tmp")
+    t.rename_column("price", "k")
+    t.rename_column("tmp", "price")  # now logical k <-> physical price
+    t.add_check("k_big", "k >= 10.0")  # k is the old price column
+    with pytest.raises(CheckViolation, match="k_big"):
+        t.append(spark.createDataFrame([(5.0, 3)], "k double, price int"))
+    t.append(spark.createDataFrame([(30.0, 3)], "k double, price int"))
+    got = {(r.price, r.k) for r in t.read().collect()}
+    assert got == {(1, 10.0), (2, 20.0), (3, 30.0)}
