@@ -277,6 +277,18 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 "read_changes, and the txlog DataSource all honor the "
                 "mapping."
             )
+        if c.get("dvs") or c.get("dvs_reset") or c.get("dvs_state"):
+            raise NotImplementedError(
+                f"Delta export refused: commit {v} carries deletion "
+                "vectors — a faithful export needs Delta's "
+                "deletionVectors table feature (reader v3 / writer v7, "
+                "RoaringBitmap sidecars), which this exporter does not "
+                "implement; the export mirrors EVERY version 1:1, so a "
+                "historical DV commit blocks the whole log. Unblock: "
+                "OPTIMIZE (folds live vectors into plain files), then "
+                "CLONE to a fresh table (zero-copy, starts history at "
+                "version 0) and export the clone."
+            )
         had_checks = bool(cur_checks)
         cr = c.get("checks_reset")
         ck = c.get("check")

@@ -119,6 +119,27 @@ def replay_log(log_dir: str, as_of: int | None = None) -> tuple[int, list[str]]:
     reader objects are pickled to executors) share ONE replay
     implementation. Replays from the newest checkpoint commit (full
     file list) at or before the requested version, not the whole log."""
+    v, files, _dvs = replay_log_full(log_dir, as_of)
+    return v, files
+
+
+def replay_log_full(
+    log_dir: str, as_of: int | None = None
+) -> tuple[int, list[str], dict[str, dict]]:
+    """(version, live files, deletion-vector state) — the full fold.
+
+    The DV state maps a live data file's relative path to its descriptor
+    ``{"sidecar": <rel path of the parquet sidecar holding its deleted
+    (file basename, row_index) rows>, "cardinality": <deleted-row
+    count>}`` — the merge-on-read half of the table format (public
+    design: Delta's deletion vectors): a delete marks row POSITIONS in a
+    tiny sidecar instead of rewriting the data file, so a 1-row delete
+    costs O(deleted rows) bytes, not a file rewrite. Fold rules per
+    commit: removed files drop their DV (the data left the table or was
+    compacted), ``dvs`` entries replace per-file descriptors (a new DV
+    for a file supersedes its old one — DML always writes the union),
+    ``dvs_reset`` (restore) replaces the whole state, and checkpoint
+    commits carry the full state as ``dvs_state``."""
     entries = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
     if not entries:
         raise FileNotFoundError(f"no commits in {log_dir}")
@@ -140,13 +161,21 @@ def replay_log(log_dir: str, as_of: int | None = None) -> tuple[int, list[str]]:
         if c.get("checkpoint"):
             start = i
     live: set[str] = set()
+    dvs: dict[str, dict] = {}
     for _v, c in commits[start:]:
         if c.get("checkpoint"):
             live = set(c["adds"])
+            dvs = dict(c.get("dvs_state") or {})
         else:
             live -= set(c["removes"])
             live |= set(c["adds"])
-    return commits[-1][0], sorted(live)
+            for f in c["removes"]:
+                dvs.pop(f, None)
+            if c.get("dvs_reset") is not None:
+                dvs = dict(c["dvs_reset"])
+            for f, desc in (c.get("dvs") or {}).items():
+                dvs[f] = desc
+    return commits[-1][0], sorted(live), dvs
 
 
 def schema_and_mapping_at(
@@ -218,6 +247,17 @@ def _physical_struct(schema, mapping: dict | None):
 def commit_file_deltas(
     log_dir: str, from_version: int, to_version: int
 ) -> list[tuple[int, list[str], list[str], str]]:
+    """Back-compat tuple shape of :func:`commit_deltas_full` — consumers
+    that predate deletion vectors (file-granularity CDF planning)."""
+    return [
+        (c["v"], c["adds"], c["removes"], c["op"])
+        for c in commit_deltas_full(log_dir, from_version, to_version)
+    ]
+
+
+def commit_deltas_full(
+    log_dir: str, from_version: int, to_version: int
+) -> list[dict]:
     """Per-commit (version, files added, files removed, op) over
     ``[from_version, to_version]``, computed checkpoint-aware in ONE
     pass (a checkpoint commit's recorded adds are the full live list;
@@ -232,21 +272,33 @@ def commit_file_deltas(
     are checkpointed every ``_CHECKPOINT_EVERY``, so <= that many opens)
     — instead of folding from commit 0: a long-lived streaming tail
     polling this per trigger pays O(commits in range + checkpoint
-    interval), never O(total commits)."""
+    interval), never O(total commits).
+
+    Each record is a dict: ``v``, ``adds``/``removes`` (TRUE file
+    deltas), ``op``, plus the deletion-vector deltas a row-exact change
+    feed needs: ``dv_changed`` maps a file live on BOTH sides of the
+    commit whose DV descriptor changed to ``(old_desc|None,
+    new_desc|None)`` (grown DV = rows deleted; shrunk/cleared — a
+    restore — = rows resurrected); ``dv_removed`` maps a removed file to
+    the DV it carried BEFORE the commit (so its rows are NOT re-reported
+    as deletes); ``dv_added`` maps an added file to the DV it carries
+    AFTER (a restore re-adding a DV'd file)."""
     entries = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
     versions = [int(n.split(".")[0]) for n in entries]
     # backward scan for the bootstrap checkpoint strictly below the range
-    start_idx, live = 0, set()
+    start_idx, live, dvs = 0, set(), {}
     for i in range(len(entries) - 1, -1, -1):
         if versions[i] >= from_version:
             continue
         with open(os.path.join(log_dir, entries[i])) as fh:
             c = json.load(fh)
         if c.get("checkpoint"):
-            start_idx, live = i + 1, set(c["adds"])
+            start_idx = i + 1
+            live = set(c["adds"])
+            dvs = dict(c.get("dvs_state") or {})
             break
-    per_commit: list[tuple[int, list[str], list[str], str]] = []
-    prev = set(live)
+    per_commit: list[dict] = []
+    prev, prev_dvs = set(live), dict(dvs)
     for i in range(start_idx, len(entries)):
         v = versions[i]
         if v > to_version:
@@ -255,13 +307,37 @@ def commit_file_deltas(
             c = json.load(fh)
         if c.get("checkpoint"):
             live = set(c["adds"])
+            dvs = dict(c.get("dvs_state") or {})
         else:
             live = (live - set(c["removes"])) | set(c["adds"])
+            for f in c["removes"]:
+                dvs.pop(f, None)
+            if c.get("dvs_reset") is not None:
+                dvs = dict(c["dvs_reset"])
+            for f, desc in (c.get("dvs") or {}).items():
+                dvs[f] = desc
         if v >= from_version:
+            adds = sorted(live - prev)
+            removes = sorted(prev - live)
+            both = live & prev
             per_commit.append(
-                (v, sorted(live - prev), sorted(prev - live), c.get("op") or "")
+                {
+                    "v": v,
+                    "adds": adds,
+                    "removes": removes,
+                    "op": c.get("op") or "",
+                    "dv_changed": {
+                        f: (prev_dvs.get(f), dvs.get(f))
+                        for f in sorted(both)
+                        if prev_dvs.get(f) != dvs.get(f)
+                    },
+                    "dv_removed": {
+                        f: prev_dvs[f] for f in removes if f in prev_dvs
+                    },
+                    "dv_added": {f: dvs[f] for f in adds if f in dvs},
+                }
             )
-        prev = set(live)
+        prev, prev_dvs = set(live), dict(dvs)
     return per_commit
 
 
@@ -515,6 +591,7 @@ class TxLogTable:
         files: list[str],
         schema_json: str | None = None,
         mapping=_MAPPING_DEFAULT,
+        dvs: dict[str, dict] | None = None,
     ) -> DataFrame:
         """ONE parquet scan over an explicit live-file list under the
         version's RECORDED schema (``schema_json`` from :meth:`_schema_at`)
@@ -539,6 +616,7 @@ class TxLogTable:
             schema_json = self._schema_at()
         elif mapping is _MAPPING_DEFAULT:
             mapping = self._mapping_at()
+        dv_df = self._dv_frame(dvs, files) if dvs else None
         if schema_json is not None:
             schema = StructType.fromJson(json.loads(schema_json))
         elif pby:
@@ -548,7 +626,10 @@ class TxLogTable:
                     schema = schema.add(fld)
             mapping = None  # legacy log: never column-mapped
         else:
-            return self.spark.read.parquet(*paths)
+            if dv_df is None:
+                return self.spark.read.parquet(*paths)
+            schema = _footer_schema(paths[0])
+            mapping = None
         physical = _physical_struct(schema, mapping)
         reader = self.spark.read.schema(physical)
         if pby:
@@ -558,12 +639,24 @@ class TxLogTable:
         # the recorded column order (partition cols come back last from
         # Spark's discovery; renames of partition cols are refused, so
         # their logical==physical always)
-        return scan.select(
-            *[
-                F.col(p.name).alias(l.name)
-                for p, l in zip(physical.fields, schema.fields)
-            ]
+        cols = [
+            F.col(p.name).alias(l.name)
+            for p, l in zip(physical.fields, schema.fields)
+        ]
+        if dv_df is None:
+            return scan.select(*cols)
+        # merge-on-read: anti-join out deletion-vector rows on (file
+        # basename, in-file row index) — both JVM-side metadata columns;
+        # basenames are uuid-unique by construction (guarded at DV
+        # creation), so the basename alone identifies the file
+        scan = scan.select(
+            *cols,
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__dvf"),
+            F.col("_metadata.row_index").alias("__dvi"),
         )
+        return self._anti_join_dv(scan, dv_df).drop("__dvf", "__dvi")
 
     def _empty(self) -> DataFrame:
         """Zero-row snapshot with the table schema (incl. partition cols)."""
@@ -610,32 +703,96 @@ class TxLogTable:
         the ``txlog`` Python DataSource can run it on any process)."""
         return replay_log(self.log_dir, as_of)
 
+    def _replay_full(
+        self, as_of: int | None = None
+    ) -> tuple[int, list[str], dict[str, dict]]:
+        """(version, live files, deletion-vector state) — see
+        :func:`replay_log_full`."""
+        return replay_log_full(self.log_dir, as_of)
+
     def version(self) -> int:
         return self._replay()[0]
 
     def files(self) -> list[str]:
         return self._replay()[1]
 
+    def dvs(self, as_of: int | None = None) -> dict[str, dict]:
+        """Deletion-vector state (file -> descriptor) at ``as_of``
+        (default: latest). Empty for tables that never ran merge-on-read
+        DML — the common case, zero overhead on every read path."""
+        return self._replay_full(as_of)[2]
+
+    def _dv_frame(
+        self, dvs: dict[str, dict], files: list[str]
+    ) -> DataFrame | None:
+        """The deleted (file basename, row_index) rows covering the
+        subset of ``files`` that carry a DV under ``dvs`` — None when
+        none do (the zero-overhead fast path every non-DV table takes).
+        Sidecars are parquet; one sidecar may pack DVs for many files
+        (a DML commit writes ONE sidecar), and a file's descriptor names
+        the exact sidecar holding its CURRENT vector, so rows are taken
+        only from (sidecar, file) pairs the state actually binds —
+        a stale sidecar still live for another file can never leak rows.
+        Broadcast below a row threshold (descriptors carry cardinality,
+        so the decision costs no job)."""
+        hit = {f: dvs[f] for f in files if f in dvs}
+        if not hit:
+            return None
+        by_sidecar: dict[str, list[str]] = {}
+        for f, desc in hit.items():
+            by_sidecar.setdefault(desc["sidecar"], []).append(
+                os.path.basename(f)
+            )
+        parts = []
+        for sc in sorted(by_sidecar):
+            df = self.spark.read.parquet(os.path.join(self.path, sc))
+            parts.append(
+                df.filter(F.col("file").isin(by_sidecar[sc])).select(
+                    "file", "row_index"
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        total = sum(int(d.get("cardinality") or 0) for d in hit.values())
+        return F.broadcast(out) if total <= 500_000 else out
+
+    @staticmethod
+    def _anti_join_dv(scan: DataFrame, dv_df: DataFrame) -> DataFrame:
+        """Drop rows whose (file basename, row index) appears in the DV
+        frame — one JVM-side anti join (broadcast when the DV is small),
+        never a Python filter."""
+        return scan.join(
+            dv_df,
+            (scan["__dvf"] == dv_df["file"])
+            & (scan["__dvi"] == dv_df["row_index"]),
+            "left_anti",
+        )
+
     def read(self) -> DataFrame:
-        """Snapshot read: exactly the files the latest commit resolves to."""
-        _v, files = self._replay()
+        """Snapshot read: exactly the files the latest commit resolves to,
+        minus deletion-vector rows."""
+        _v, files, dvs = self._replay_full()
         if not files:
             return self._empty()
-        return self._read_files(files, self._schema_at())
+        return self._read_files(files, self._schema_at(), dvs=dvs)
 
     def read_version(self, version: int) -> DataFrame:
         """Time travel (Delta paper §4.3, ``VERSION AS OF``): read the table
         exactly as it was after commit ``version``. Works because commits
         only ever ADD files — a version's data files stay on disk until
         :meth:`vacuum` drops versions older than its retention window, so
-        the time-travel horizon IS the vacuum retention."""
-        _v, files = self._replay(as_of=version)
+        the time-travel horizon IS the vacuum retention. Deletion-vector
+        state is per-version too: a read before a DV delete shows the
+        rows, after it doesn't."""
+        _v, files, dvs = self._replay_full(as_of=version)
         if not files:
             return self._empty()
         return self._read_files(
             files,
             self._schema_at(as_of=version),
             mapping=self._mapping_at(as_of=version),
+            dvs=dvs,
         )
 
     def history(self) -> list[dict]:
@@ -649,6 +806,7 @@ class TxLogTable:
                     "op": c.get("op"),
                     "n_adds": len(c["adds"]),
                     "n_removes": len(c["removes"]),
+                    "n_dvs": len(c.get("dvs") or {}),
                 }
             )
         return out
@@ -698,11 +856,18 @@ class TxLogTable:
             df.write.partitionBy(*pby).parquet(tmp)
         else:
             df.write.parquet(tmp)
+        import pyarrow.parquet as pq
+
         names = []
         for root, _dirs, fs in sorted(os.walk(tmp)):
             rel_dir = os.path.relpath(root, tmp)
             for f in sorted(fs):
                 if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                    continue
+                if pq.ParquetFile(os.path.join(root, f)).metadata.num_rows == 0:
+                    # empty shuffle partitions write zero-row parts;
+                    # registering them leaves files no DML can ever
+                    # touch (and every scan must still open)
                     continue
                 new = f"part-{uuid.uuid4().hex}.parquet"
                 rel = new if rel_dir == "." else os.path.join(rel_dir, new)
@@ -828,10 +993,11 @@ class TxLogTable:
         null never satisfies the range residual."""
         from pyspark.sql import functions as F
 
-        kept = self._prune_files(self.files(), column, lo, hi)
+        _v, files, dvs = self._replay_full()
+        kept = self._prune_files(files, column, lo, hi)
         if not kept:
             return self.read().filter(F.lit(False))
-        df = self._read_files(kept, self._schema_at())
+        df = self._read_files(kept, self._schema_at(), dvs=dvs)
         return df.filter((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
 
     def _prune_files(self, files: list[str], column: str, lo, hi) -> list[str]:
@@ -877,11 +1043,18 @@ class TxLogTable:
         p = unquote(urlparse(uri).path) if ":" in uri.split("/", 1)[0] else uri
         return os.path.relpath(p, os.path.abspath(self.path)).replace(os.sep, "/")
 
-    def _scan_with_filepath(self, files: list[str], schema_json: str | None) -> DataFrame:
+    def _scan_with_filepath(
+        self,
+        files: list[str],
+        schema_json: str | None,
+        dvs: dict[str, dict] | None = None,
+    ) -> DataFrame:
         """:meth:`_read_files` plus Spark's hidden ``_metadata.file_path``
-        column (aliased ``__file``) — the hook copy-on-write DML uses to
-        discover which files contain affected rows. Selected directly on
-        the scan output, where metadata columns are resolvable."""
+        column (aliased ``__file``) and in-file row position (``__ridx``)
+        — the hooks DML uses to discover which files/rows are affected.
+        Selected directly on the scan output, where metadata columns are
+        resolvable. With ``dvs``, already-deleted rows are anti-joined
+        out so DML can never re-match them."""
         from pyspark.sql.types import StructType
 
         paths = [os.path.join(self.path, f) for f in files]
@@ -905,15 +1078,64 @@ class TxLogTable:
         if pby:
             reader = reader.option("basePath", self.path)
         scan = reader.parquet(*paths)
-        return scan.select(
+        out = scan.select(
             *[
                 F.col(p.name).alias(l.name)
                 for p, l in zip(physical.fields, schema.fields)
             ],
             F.col("_metadata.file_path").alias("__file"),
+            F.col("_metadata.row_index").alias("__ridx"),
         )
+        dv_df = self._dv_frame(dvs, files) if dvs else None
+        if dv_df is None:
+            return out
+        out = out.withColumn(
+            "__dvf", F.element_at(F.split(F.col("__file"), "/"), -1)
+        ).withColumn("__dvi", F.col("__ridx"))
+        return self._anti_join_dv(out, dv_df).drop("__dvf", "__dvi")
 
-    def _touched_files(self, candidates: list[str], cond) -> list[str]:
+    def _rows_at_indices(
+        self,
+        files: list[str],
+        idx_df: DataFrame,
+        schema_json: str | None,
+        mapping: dict | None,
+    ) -> DataFrame:
+        """The rows of ``files`` whose (basename, in-file row index)
+        appears in ``idx_df`` (columns ``file``, ``row_index``) — the
+        row-exact read a deletion-vector change feed needs: one scan of
+        only the affected files, one broadcast semi-join on metadata
+        columns, no Python in the row path."""
+        from pyspark.sql.types import StructType
+
+        paths = [os.path.join(self.path, f) for f in files]
+        pby, _pschema = self.partition_meta()
+        schema = StructType.fromJson(json.loads(schema_json))
+        physical = _physical_struct(schema, mapping)
+        reader = self.spark.read.schema(physical)
+        if pby:
+            reader = reader.option("basePath", self.path)
+        scan = reader.parquet(*paths).select(
+            *[
+                F.col(p.name).alias(l.name)
+                for p, l in zip(physical.fields, schema.fields)
+            ],
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__dvf"),
+            F.col("_metadata.row_index").alias("__dvi"),
+        )
+        idx_df = F.broadcast(idx_df)
+        return scan.join(
+            idx_df,
+            (scan["__dvf"] == idx_df["file"])
+            & (scan["__dvi"] == idx_df["row_index"]),
+            "left_semi",
+        ).drop("__dvf", "__dvi")
+
+    def _touched_files(
+        self, candidates: list[str], cond, dvs: dict[str, dict] | None = None
+    ) -> list[str]:
         """Files among ``candidates`` holding >=1 row where ``cond`` is
         TRUE — Delta's MERGE/DELETE "find touched files" job: ONE scan
         projecting only the file-path metadata column, with the predicate
@@ -924,7 +1146,7 @@ class TxLogTable:
         if not candidates:
             return []
         hits = (
-            self._scan_with_filepath(candidates, self._schema_at())
+            self._scan_with_filepath(candidates, self._schema_at(), dvs=dvs)
             .filter(cond)
             .select("__file")
             .distinct()
@@ -937,6 +1159,7 @@ class TxLogTable:
         condition,
         prune: tuple[str, object, object] | None = None,
         max_retries: int = 3,
+        mode: str = "cow",
     ) -> int:
         """``DELETE FROM t WHERE condition`` as an atomic copy-on-write
         commit: only files that CONTAIN matching rows are rewritten
@@ -954,18 +1177,31 @@ class TxLogTable:
         caller must pass a range the condition implies. On
         CommitConflict the delete recomputes against the winner's
         snapshot and retries (deterministic function of snapshot +
-        condition)."""
+        condition).
+
+        ``mode='dv'`` is MERGE-ON-READ (Delta's deletion vectors): no
+        data file is rewritten — the matching rows' positions are
+        recorded in a tiny parquet sidecar and anti-joined out at read
+        time, so a sliver delete costs O(deleted rows) bytes instead of
+        O(touched files). A file whose every live row matches is removed
+        outright (no all-rows-deleted DV). The copy-on-write default
+        remains the compaction story: any later COW DML or OPTIMIZE that
+        rewrites a DV'd file folds the vector away."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        if mode == "dv":
+            return self._dml_dv(cond, None, prune, max_retries, op="delete")
+        if mode != "cow":
+            raise ValueError(f"unknown DML mode {mode!r} (cow|dv)")
         for _attempt in range(max_retries + 1):
-            base_version, base_files = self._replay()
+            base_version, base_files, dvs = self._replay_full()
             cands = (
                 self._prune_files(base_files, *prune) if prune else base_files
             )
-            touched = self._touched_files(cands, cond)
+            touched = self._touched_files(cands, cond, dvs=dvs)
             schema_json = self._schema_at()
             adds: list[str] = []
             if touched:
-                keep = self._read_files(touched, schema_json).filter(
+                keep = self._read_files(touched, schema_json, dvs=dvs).filter(
                     ~F.coalesce(cond, F.lit(False))
                 )
                 # kept rows are unchanged — already satisfy every CHECK
@@ -986,6 +1222,7 @@ class TxLogTable:
         assignments: dict,
         prune: tuple[str, object, object] | None = None,
         max_retries: int = 3,
+        mode: str = "cow",
     ) -> int:
         """``UPDATE t SET ... WHERE condition`` as an atomic copy-on-write
         commit — same touched-file discovery, rewrite, and retry contract
@@ -997,7 +1234,12 @@ class TxLogTable:
         Updating a partition column is allowed: the rewrite's
         partitionBy write moves rows to their new directories and the
         commit retires the old files — exactly how a copy-on-write
-        lakehouse handles partition-key updates."""
+        lakehouse handles partition-key updates.
+
+        ``mode='dv'`` is MERGE-ON-READ: matched rows' positions go into a
+        deletion-vector sidecar and ONLY the updated rows are written as
+        new files — bytes written scale with matched rows, not touched
+        files. The new rows run the normal CHECK gate."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         from pyspark.sql.types import StructType
 
@@ -1017,16 +1259,20 @@ class TxLogTable:
             for c, v in assignments.items()
         }
         hit = F.coalesce(cond, F.lit(False))
+        if mode == "dv":
+            return self._dml_dv(cond, sets, prune, max_retries, op="update")
+        if mode != "cow":
+            raise ValueError(f"unknown DML mode {mode!r} (cow|dv)")
         for _attempt in range(max_retries + 1):
-            base_version, base_files = self._replay()
+            base_version, base_files, dvs = self._replay_full()
             cands = (
                 self._prune_files(base_files, *prune) if prune else base_files
             )
-            touched = self._touched_files(cands, cond)
+            touched = self._touched_files(cands, cond, dvs=dvs)
             schema_json = self._schema_at()
             adds: list[str] = []
             if touched:
-                df = self._read_files(touched, schema_json)
+                df = self._read_files(touched, schema_json, dvs=dvs)
                 rewritten = df.select(
                     *[
                         F.when(hit, sets[c]).otherwise(F.col(c)).alias(c)
@@ -1046,8 +1292,148 @@ class TxLogTable:
                     os.remove(os.path.join(self.path, f))
         raise CommitConflict(f"update gave up after {max_retries} retries")
 
+    def _write_sidecar(self, df: DataFrame) -> str:
+        """Write one deletion-vector sidecar (columns ``file`` = data-file
+        basename, ``row_index`` = in-file row position) under ``_dv/`` and
+        return its table-relative path. One file: a DV is O(deleted rows)
+        — by the time it is big enough for one file to matter, COW/OPTIMIZE
+        is the right tool (the documented compaction story)."""
+        import shutil
+
+        os.makedirs(os.path.join(self.path, "_dv"), exist_ok=True)
+        tmp = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        df.select(
+            F.col("file").cast("string"), F.col("row_index").cast("long")
+        ).coalesce(1).write.parquet(tmp)
+        rel = f"_dv/dv-{uuid.uuid4().hex}.parquet"
+        for f in sorted(os.listdir(tmp)):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                os.rename(os.path.join(tmp, f), os.path.join(self.path, rel))
+                break
+        shutil.rmtree(tmp)
+        return rel
+
+    def _dml_dv(
+        self,
+        cond,
+        sets: dict | None,
+        prune: tuple[str, object, object] | None,
+        max_retries: int,
+        op: str,
+    ) -> int:
+        """Merge-on-read DELETE (``sets=None``) / UPDATE: record matched
+        row POSITIONS in a deletion-vector sidecar instead of rewriting
+        the touched files — the public Delta deletion-vector design.
+        Per attempt: (1) one discovery scan over the (pruned, DV-applied)
+        candidates collects per-file matched counts — bounded at
+        O(touched files), the same class as COW's touched-file list;
+        (2) UPDATE writes ONLY the matched rows, post-assignment, as new
+        files (normal CHECK gate); (3) one sidecar gets the matched
+        positions plus the touched files' PRIOR vectors (a file's DV is
+        always the full union, so a reader needs exactly one sidecar per
+        file); (4) files whose vector would cover every row are retired
+        outright (remove, no DV). Bytes written scale with matched rows
+        — the sliver-DML cost model COW cannot give (SCALING.md)."""
+        import pyarrow.parquet as pq
+
+        hit = F.coalesce(cond, F.lit(False))
+        for _attempt in range(max_retries + 1):
+            base_version, base_files, dvs = self._replay_full()
+            by_base: dict[str, str] = {}
+            for f in base_files:
+                b = os.path.basename(f)
+                if b in by_base:
+                    raise ValueError(
+                        f"mode='dv' refused: live files {by_base[b]!r} and "
+                        f"{f!r} share a basename (foreign-adopted layout?) "
+                        "— deletion vectors key on basenames; use "
+                        "mode='cow'"
+                    )
+                by_base[b] = f
+            cands = (
+                self._prune_files(base_files, *prune) if prune else base_files
+            )
+            schema_json = self._schema_at()
+            scan = self._scan_with_filepath(cands, schema_json, dvs=dvs)
+            matched = scan.filter(hit)
+            base_expr = F.element_at(F.split(F.col("__file"), "/"), -1)
+            counts = {
+                r["b"]: r["n"]
+                for r in matched.select(base_expr.alias("b"))
+                .groupBy("b")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            if not counts:
+                try:
+                    # faithful history: a no-op DML still commits (same
+                    # contract as the COW path)
+                    return self.commit(
+                        adds=[], removes=[], base_version=base_version,
+                        op=op, schema=schema_json,
+                    )
+                except CommitConflict:
+                    continue
+            touched = sorted(by_base[b] for b in counts)
+            adds: list[str] = []
+            if sets is not None:
+                data_cols = [
+                    c for c in matched.columns if c not in ("__file", "__ridx")
+                ]
+                updated = matched.select(
+                    *[
+                        sets[c].alias(c) if c in sets else F.col(c)
+                        for c in data_cols
+                    ]
+                )
+                adds = self._write_data(updated)
+            new_rows = matched.select(
+                base_expr.alias("file"), F.col("__ridx").alias("row_index")
+            )
+            old_df = self._dv_frame(dvs, touched)
+            dv_union = (
+                new_rows if old_df is None else new_rows.unionByName(old_df)
+            )
+            sidecar: str | None = self._write_sidecar(dv_union)
+            removes, dv_updates = [], {}
+            for b in sorted(counts):
+                rel = by_base[b]
+                # matched rows are disjoint from the prior vector (the
+                # discovery scan was DV-applied), so the new cardinality
+                # is exact without a recount
+                card = counts[b] + int(
+                    (dvs.get(rel) or {}).get("cardinality") or 0
+                )
+                nrows = pq.ParquetFile(
+                    os.path.join(self.path, rel)
+                ).metadata.num_rows
+                if card >= nrows:
+                    removes.append(rel)
+                else:
+                    dv_updates[rel] = {"sidecar": sidecar, "cardinality": card}
+            if not dv_updates:
+                # every touched file fully covered — the sidecar is
+                # referenced by nothing
+                os.remove(os.path.join(self.path, sidecar))
+                sidecar = None
+            try:
+                return self.commit(
+                    adds=adds, removes=removes, base_version=base_version,
+                    op=op, schema=schema_json, dvs=dv_updates or None,
+                )
+            except CommitConflict:
+                if sidecar is not None:
+                    os.remove(os.path.join(self.path, sidecar))
+                for f in adds:
+                    os.remove(os.path.join(self.path, f))
+        raise CommitConflict(f"{op} (dv) gave up after {max_retries} retries")
+
     def _touched_by_keys(
-        self, files: list[str], source: DataFrame, keys: list[str]
+        self,
+        files: list[str],
+        source: DataFrame,
+        keys: list[str],
+        dvs: dict[str, dict] | None = None,
     ) -> list[str]:
         """Files among ``files`` holding >=1 row whose key appears in
         ``source`` — MERGE's touched-file discovery (the Delta MERGE
@@ -1059,7 +1445,7 @@ class TxLogTable:
         surface as inserts downstream, touching no file."""
         if not files:
             return []
-        scan = self._scan_with_filepath(files, self._schema_at())
+        scan = self._scan_with_filepath(files, self._schema_at(), dvs=dvs)
         hits = (
             scan.select("__file", *keys)
             .join(source.select(*keys).distinct(), keys, "left_semi")
@@ -1080,23 +1466,34 @@ class TxLogTable:
         implementation reads only each side's non-shared files."""
         from pyspark.sql import functions as F
 
-        _va, files_old = self._replay(as_of=v_old)
-        _vb, files_new = self._replay(as_of=v_new)
+        _va, files_old, dvs_old = self._replay_full(as_of=v_old)
+        _vb, files_new, dvs_new = self._replay_full(as_of=v_new)
         # both sides read under v_new's schema: files predating an
         # evolution null-fill the added columns, so the change feed has
         # ONE schema and an update still cancels into its delete+insert
         schema_new = self._schema_at(as_of=v_new)
-        only_old = sorted(set(files_old) - set(files_new))
-        only_new = sorted(set(files_new) - set(files_old))
+        # a file live in BOTH versions whose deletion vector changed
+        # holds row-level differences — read it on both sides (under
+        # each side's DV state); files with identical DVs still cancel
+        # without being read
+        dv_changed = sorted(
+            f
+            for f in set(files_old) & set(files_new)
+            if dvs_old.get(f) != dvs_new.get(f)
+        )
+        only_old = sorted(set(files_old) - set(files_new)) + dv_changed
+        only_new = sorted(set(files_new) - set(files_old)) + dv_changed
 
         mapping_new = self._mapping_at(as_of=v_new)
 
-        def _read(files: list[str]) -> DataFrame | None:
+        def _read(files: list[str], dvs: dict) -> DataFrame | None:
             if not files:
                 return None
-            return self._read_files(files, schema_new, mapping=mapping_new)
+            return self._read_files(
+                files, schema_new, mapping=mapping_new, dvs=dvs
+            )
 
-        old_df, new_df = _read(only_old), _read(only_new)
+        old_df, new_df = _read(only_old, dvs_old), _read(only_new, dvs_new)
         if old_df is None and new_df is None:
             return self.read().limit(0).withColumn("change_type", F.lit(""))
         base = old_df if old_df is not None else new_df
@@ -1149,23 +1546,32 @@ class TxLogTable:
                 f"for table at version {latest}"
             )
         # one checkpoint-aware pass: per-version live sets -> file deltas
-        per_commit = commit_file_deltas(
+        per_commit = commit_deltas_full(
             self.log_dir, from_version, to_version
         )
         schema = self._schema_at(as_of=to_version)
         mp = self._mapping_at(as_of=to_version)
         parts: list[DataFrame] = []
-        for v, adds, removes, op in per_commit:
+        for rec in per_commit:
+            v, adds, removes, op = rec["v"], rec["adds"], rec["removes"], rec["op"]
             if op == "optimize":
                 # data-unchanged rewrite (Delta's dataChange=false): the
                 # feed excludes it — net=True would only cancel it at
                 # the cost of reading the whole rewritten snapshot twice
                 continue
+            # added files read under the DV they carry AT v (a restore
+            # can re-add a DV'd file); removed files under the DV they
+            # carried BEFORE v — otherwise rows already deleted by an
+            # earlier vector would be re-reported as fresh deletes
             ins = (
-                self._read_files(adds, schema, mapping=mp) if adds else None
+                self._read_files(adds, schema, mapping=mp, dvs=rec["dv_added"])
+                if adds
+                else None
             )
             dels = (
-                self._read_files(removes, schema, mapping=mp)
+                self._read_files(
+                    removes, schema, mapping=mp, dvs=rec["dv_removed"]
+                )
                 if removes
                 else None
             )
@@ -1177,6 +1583,46 @@ class TxLogTable:
                         df.withColumn("_change_type", F.lit(ct)).withColumn(
                             "_commit_version", F.lit(v).cast("int")
                         )
+                    )
+            # deletion-vector deltas on files live across the commit:
+            # grown vector = row-exact deletes (merge-on-read DML),
+            # shrunk/cleared = row-exact re-inserts (restore). Groups
+            # share sidecar pairs, so the work is one tiny sidecar
+            # except-all + one pushed-down semi-join per group.
+            groups: dict[tuple, list[str]] = {}
+            for f, (old, new) in rec["dv_changed"].items():
+                key = (
+                    old["sidecar"] if old else None,
+                    new["sidecar"] if new else None,
+                )
+                groups.setdefault(key, []).append(f)
+            for (osc, nsc), fs in sorted(groups.items(), key=str):
+                bset = [os.path.basename(f) for f in fs]
+
+                def _side(sc: str | None) -> DataFrame | None:
+                    if sc is None:
+                        return None
+                    return (
+                        self.spark.read.parquet(os.path.join(self.path, sc))
+                        .filter(F.col("file").isin(bset))
+                        .select("file", "row_index")
+                    )
+
+                new_rows, old_rows = _side(nsc), _side(osc)
+                if new_rows is None:
+                    del_idx, ins_idx = None, old_rows
+                elif old_rows is None:
+                    del_idx, ins_idx = new_rows, None
+                else:
+                    del_idx = new_rows.exceptAll(old_rows)
+                    ins_idx = old_rows.exceptAll(new_rows)
+                for idx_df, ct in ((del_idx, "delete"), (ins_idx, "insert")):
+                    if idx_df is None:
+                        continue
+                    parts.append(
+                        self._rows_at_indices(sorted(fs), idx_df, schema, mp)
+                        .withColumn("_change_type", F.lit(ct))
+                        .withColumn("_commit_version", F.lit(v).cast("int"))
                     )
         if not parts:
             # empty feed under to_version's schema (NOT the current
@@ -1213,13 +1659,23 @@ class TxLogTable:
         is_ckpt = op in ("create", "convert") or (
             version % _CHECKPOINT_EVERY == 0 and version > 0
         )
+        extra = dict(extra or {})
         if is_ckpt and op not in ("create", "convert"):
-            # checkpoint commits carry the FULL post-commit file list
-            _v, live = self._replay()
+            # checkpoint commits carry the FULL post-commit file list AND
+            # the full post-commit deletion-vector state (so replays
+            # bootstrapping here need no earlier commit)
+            _v, live, dvstate = self._replay_full()
+            new_dvs = dict(dvstate)
+            for f in removes:
+                new_dvs.pop(f, None)
+            if extra.get("dvs_reset") is not None:
+                new_dvs = dict(extra.pop("dvs_reset"))
+            new_dvs.update(extra.pop("dvs", None) or {})
+            extra["dvs_state"] = new_dvs
             adds = sorted((set(live) - set(removes)) | set(adds))
             removes = []
         payload = json.dumps(
-            {"op": op, "adds": adds, "removes": removes, "checkpoint": is_ckpt, **(extra or {})}
+            {"op": op, "adds": adds, "removes": removes, "checkpoint": is_ckpt, **extra}
         )
         target = os.path.join(self.log_dir, _commit_name(version))
         try:
@@ -1238,6 +1694,7 @@ class TxLogTable:
         schema: str | None = None,
         txn: tuple[str, int] | None = None,
         column_mapping: dict | None = None,
+        dvs: dict[str, dict] | None = None,
     ) -> int:
         """Commit against ``base_version``; CommitConflict if stale.
         ``schema`` records the post-commit table schema (StructType JSON)
@@ -1246,7 +1703,9 @@ class TxLogTable:
         (the Delta protocol's ``txn`` action): a foreachBatch sink passes
         its (query id, batch id) so a crash-replayed micro-batch can be
         recognized and skipped — see :meth:`last_txn_version`. The Delta
-        export mirrors it as a ``txn`` action for external engines."""
+        export mirrors it as a ``txn`` action for external engines.
+        ``dvs`` records per-file deletion-vector descriptors this commit
+        sets (merge-on-read DML) — each REPLACES that file's prior DV."""
         extra: dict = {}
         if schema is not None:
             extra["schema"] = schema
@@ -1254,6 +1713,8 @@ class TxLogTable:
             extra["txn"] = {"appId": str(txn[0]), "version": int(txn[1])}
         if column_mapping is not None:
             extra["column_mapping"] = column_mapping
+        if dvs is not None:
+            extra["dvs"] = dvs
         self._try_commit(
             base_version + 1, adds, removes, op, extra=extra or None
         )
@@ -1514,9 +1975,13 @@ class TxLogTable:
         version = int(version)
         if not 0 <= version <= self.version():
             raise ValueError(f"version {version} does not exist")
-        _v, want = self._replay(as_of=version)
+        _v, want, want_dvs = self._replay_full(as_of=version)
         schema = self._schema_at(as_of=version)
         target_checks = self.checks(as_of=version)
+        # DV sidecars the target version reads through must exist too
+        want_with_sidecars = sorted(
+            set(want) | {d["sidecar"] for d in want_dvs.values()}
+        )
         for _attempt in range(max_retries + 1):
             # existence check per attempt, after capturing the base: a
             # vacuum running between a one-shot check and the commit
@@ -1527,7 +1992,7 @@ class TxLogTable:
             # (tags pin files against vacuum regardless of retention).
             gone = [
                 f
-                for f in want
+                for f in want_with_sidecars
                 if not os.path.exists(os.path.join(self.path, f))
             ]
             if gone:
@@ -1538,7 +2003,12 @@ class TxLogTable:
             base_version, live = self._replay()
             adds = sorted(set(want) - set(live))
             removes = sorted(set(live) - set(want))
-            extra: dict = {"checks_reset": target_checks}
+            # deletion-vector state reverts wholesale with the file set
+            # ({} = explicit no-DVs) — rows a later DV deleted resurrect
+            extra: dict = {
+                "checks_reset": target_checks,
+                "dvs_reset": want_dvs,
+            }
             if schema is not None:
                 extra["schema"] = schema
             # the column mapping reverts with the schema ({} = explicit
@@ -1581,7 +2051,7 @@ class TxLogTable:
         import shutil
 
         dest = TxLogTable(self.spark, dest_path)
-        version, files = self._replay()
+        version, files, clone_dvs = self._replay_full()
         # all metadata pinned to the SAME captured version: a writer
         # committing between the replay and these reads must not
         # produce a torn clone (v files under v+1 schema/checks/mapping)
@@ -1590,7 +2060,10 @@ class TxLogTable:
         clone_mapping = self._mapping_at(as_of=version)
         pby, pschema = self.partition_meta()
         os.makedirs(dest.log_dir, exist_ok=False)  # loudly refuse overwrite
-        for f in files:
+        # deletion-vector sidecars travel with the data files (paths in
+        # descriptors are table-relative, so they stay valid)
+        sidecars = sorted({d["sidecar"] for d in clone_dvs.values()})
+        for f in files + sidecars:
             src = os.path.join(self.path, f)
             dst = os.path.join(dest.path, f)
             os.makedirs(os.path.dirname(dst) or dest.path, exist_ok=True)
@@ -1609,6 +2082,7 @@ class TxLogTable:
                 "partition_schema": pschema.json() if pby else None,
                 "schema": schema_json,
                 "checks_reset": clone_checks,
+                **({"dvs": clone_dvs} if clone_dvs else {}),
                 # a column-mapped source's files carry physical names —
                 # the clone must read them under the same mapping
                 **(
@@ -2014,8 +2488,9 @@ class TxLogTable:
         import time as _time
 
         now = _time.time()
-        latest, live = self._replay()
+        latest, live, live_dvs = self._replay_full()
         referenced = set(live)
+        referenced_sidecars = {d["sidecar"] for d in live_dvs.values()}
         keep_versions = set(
             range(max(0, latest - max(retain_versions, 1) + 1), latest)
         )
@@ -2024,10 +2499,25 @@ class TxLogTable:
         keep_versions |= set(self.tags().values())
         for v in keep_versions:
             try:
-                referenced |= set(self._replay(as_of=v)[1])
+                _v, vfiles, vdvs = self._replay_full(as_of=v)
             except FileNotFoundError:
                 continue
+            referenced |= set(vfiles)
+            referenced_sidecars |= {d["sidecar"] for d in vdvs.values()}
         deleted = []
+        # deletion-vector sidecars referenced by no retained snapshot
+        # (superseded vectors, losers of DML races) are orphans too
+        dv_dir = os.path.join(self.path, "_dv")
+        if os.path.isdir(dv_dir):
+            for f in sorted(os.listdir(dv_dir)):
+                rel = f"_dv/{f}"
+                if not f.endswith(".parquet") or rel in referenced_sidecars:
+                    continue
+                full = os.path.join(dv_dir, f)
+                if min_age_s > 0 and now - os.path.getmtime(full) < min_age_s:
+                    continue  # possibly staged by an in-flight DML
+                os.remove(full)
+                deleted.append(rel)
         for root, dirs, fs in os.walk(self.path):
             # never descend into the logs or staging dirs
             dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
@@ -2138,7 +2628,7 @@ def merge_into_txlog(
         # base_version FIRST, txn check SECOND (same reasoning as
         # TxLogTable.append): a same-batch racer committing after our
         # check then conflicts with our commit, which re-runs the check.
-        base_version, base_files = table._replay()
+        base_version, base_files, dvs = table._replay_full()
         if txn is not None:
             last = table.last_txn_version(txn[0])
             if last is not None and txn[1] <= last:
@@ -2147,9 +2637,9 @@ def merge_into_txlog(
             removes = base_files
             target = table.read()
         else:
-            removes = table._touched_by_keys(base_files, source, keys)
+            removes = table._touched_by_keys(base_files, source, keys, dvs=dvs)
             target = (
-                table._read_files(removes, table._schema_at())
+                table._read_files(removes, table._schema_at(), dvs=dvs)
                 if removes
                 else table._empty()
             )

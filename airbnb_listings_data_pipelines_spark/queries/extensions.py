@@ -4366,3 +4366,96 @@ def x79_convert_from_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@query(
+    "x80_deletion_vector_dml",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders
+    ),
+    del1 AS (SELECT * FROM base WHERE o_orderkey % 5 = 0),
+    live1 AS (SELECT * FROM base WHERE o_orderkey % 5 <> 0),
+    upd_old AS (
+      SELECT * FROM live1
+      WHERE o_orderstatus = 'O' AND o_orderkey % 3 = 1
+    ),
+    upd_new AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice + 25.0 AS o_totalprice,
+             concat('DV-', o_orderpriority) AS o_orderpriority
+      FROM upd_old
+    ),
+    live2 AS (
+      SELECT * FROM live1
+      WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 3 = 1)
+      UNION ALL SELECT * FROM upd_new
+    ),
+    labeled AS (
+      SELECT 1 AS commit_version, 'delete' AS change_type, * FROM del1
+      UNION ALL SELECT 2, 'delete', * FROM upd_old
+      UNION ALL SELECT 2, 'insert', * FROM upd_new
+      UNION ALL SELECT 2, 'snapshot', * FROM live2
+    )
+    SELECT commit_version, change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM labeled GROUP BY 1, 2
+    """,
+    survey_rows=("EXT-tableformat", "P7", "A2", "A8"),
+    doc="Merge-on-read DML via DELETION VECTORS under the value-hash "
+    "gate (public design: Delta's deletion vectors): orders -> txlog "
+    "(8 key-ranged files); DELETE WHERE key%5=0 with mode='dv' writes "
+    "NO data file — matched row positions land in a tiny parquet "
+    "sidecar anti-joined out at read time (bytes ~ O(deleted rows), "
+    "not O(touched files) — the sliver-DML cost model COW cannot "
+    "give, probe in SCALING.md); UPDATE ... mode='dv' writes ONLY the "
+    "updated rows as new files and vectors the old positions. The "
+    "result unions the ROW-EXACT change feed of both commits (a DV "
+    "growth is pure deletes — no rewrite noise to cancel; the update "
+    "is exactly its delete+insert pair) with the final snapshot "
+    "rollup, so one hash match proves the vectors, the feed, and the "
+    "merge-on-read read path all at once. The oracle rebuilds the "
+    "same multisets from raw orders with the update applied over the "
+    "post-delete rows only (DV-applied discovery can never re-match "
+    "deleted rows). operators/txlog.TxLogTable._dml_dv (delete_where/"
+    "update_where mode='dv'), read_changes.",
+)
+def x80_deletion_vector_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    path = _dml_scratch("x80" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(8, "o_orderkey")
+    )
+    t.delete_where("o_orderkey % 5 = 0", mode="dv")
+    t.update_where(
+        "o_orderstatus = 'O' AND o_orderkey % 3 = 1",
+        {
+            "o_totalprice": F.col("o_totalprice") + F.lit(25.0),
+            "o_orderpriority": F.concat(F.lit("DV-"), F.col("o_orderpriority")),
+        },
+        mode="dv",
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
+    ]
+    feed = t.read_changes(1, 2).groupBy(
+        F.col("_commit_version").cast("int").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(*aggs)
+    snap = t.read().agg(*aggs).select(
+        F.lit(2).cast("int").alias("commit_version"),
+        F.lit("snapshot").alias("change_type"),
+        "n_rows", "n_keys", "total_cents",
+    )
+    return feed.unionByName(snap)

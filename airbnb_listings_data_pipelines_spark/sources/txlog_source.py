@@ -110,6 +110,15 @@ def register(spark) -> None:
 
 
 def _replay(log_dir: str, as_of: int | None = None) -> tuple[int, list[str]]:
+    v, files, _dvs = _replay_full(log_dir, as_of)
+    return v, files
+
+
+def _replay_full(
+    log_dir: str, as_of: int | None = None
+) -> tuple[int, list[str], dict]:
+    """(version, live files, deletion-vector state) — inlined twin of
+    operators/txlog.replay_log_full (see there for the fold rules)."""
     entries = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
     if not entries:
         raise FileNotFoundError(f"no commits in {log_dir}")
@@ -130,12 +139,20 @@ def _replay(log_dir: str, as_of: int | None = None) -> tuple[int, list[str]]:
         if c.get("checkpoint"):
             start = i
     live: set[str] = set()
+    dvs: dict = {}
     for _v, c in commits[start:]:
         if c.get("checkpoint"):
             live = set(c["adds"])
+            dvs = dict(c.get("dvs_state") or {})
         else:
             live = (live - set(c["removes"])) | set(c["adds"])
-    return commits[-1][0], sorted(live)
+            for f in c["removes"]:
+                dvs.pop(f, None)
+            if c.get("dvs_reset") is not None:
+                dvs = dict(c["dvs_reset"])
+            for f, desc in (c.get("dvs") or {}).items():
+                dvs[f] = desc
+    return commits[-1][0], sorted(live), dvs
 
 
 def _schema_json_at(log_dir: str, as_of: int | None = None) -> str | None:
@@ -157,23 +174,34 @@ def _schema_json_at(log_dir: str, as_of: int | None = None) -> str | None:
 def _deltas(
     log_dir: str, from_version: int, to_version: int
 ) -> list[tuple[int, list[str], list[str], str]]:
-    # bootstrap from the newest checkpoint below the range (short
-    # backward scan; checkpoints land every ~20 commits) so a streaming
-    # tail's per-trigger poll is O(commits in range + checkpoint
-    # interval), never O(total commits)
+    return [
+        (c["v"], c["adds"], c["removes"], c["op"])
+        for c in _deltas_full(log_dir, from_version, to_version)
+    ]
+
+
+def _deltas_full(log_dir: str, from_version: int, to_version: int) -> list[dict]:
+    """Per-commit file + deletion-vector deltas — inlined twin of
+    operators/txlog.commit_deltas_full (see there for the record shape).
+    Bootstraps from the newest checkpoint below the range (short
+    backward scan; checkpoints land every ~20 commits) so a streaming
+    tail's per-trigger poll is O(commits in range + checkpoint
+    interval), never O(total commits)."""
     entries = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
     versions = [int(n.split(".")[0]) for n in entries]
-    start_idx, live = 0, set()
+    start_idx, live, dvs = 0, set(), {}
     for i in range(len(entries) - 1, -1, -1):
         if versions[i] >= from_version:
             continue
         with open(os.path.join(log_dir, entries[i])) as fh:
             c = json.load(fh)
         if c.get("checkpoint"):
-            start_idx, live = i + 1, set(c["adds"])
+            start_idx = i + 1
+            live = set(c["adds"])
+            dvs = dict(c.get("dvs_state") or {})
             break
-    out: list[tuple[int, list[str], list[str], str]] = []
-    prev = set(live)
+    out: list[dict] = []
+    prev, prev_dvs = set(live), dict(dvs)
     for i in range(start_idx, len(entries)):
         v = versions[i]
         if v > to_version:
@@ -182,13 +210,37 @@ def _deltas(
             c = json.load(fh)
         if c.get("checkpoint"):
             live = set(c["adds"])
+            dvs = dict(c.get("dvs_state") or {})
         else:
             live = (live - set(c["removes"])) | set(c["adds"])
+            for f in c["removes"]:
+                dvs.pop(f, None)
+            if c.get("dvs_reset") is not None:
+                dvs = dict(c["dvs_reset"])
+            for f, desc in (c.get("dvs") or {}).items():
+                dvs[f] = desc
         if v >= from_version:
+            adds = sorted(live - prev)
+            removes = sorted(prev - live)
+            both = live & prev
             out.append(
-                (v, sorted(live - prev), sorted(prev - live), c.get("op") or "")
+                {
+                    "v": v,
+                    "adds": adds,
+                    "removes": removes,
+                    "op": c.get("op") or "",
+                    "dv_changed": {
+                        f: (prev_dvs.get(f), dvs.get(f))
+                        for f in sorted(both)
+                        if prev_dvs.get(f) != dvs.get(f)
+                    },
+                    "dv_removed": {
+                        f: prev_dvs[f] for f in removes if f in prev_dvs
+                    },
+                    "dv_added": {f: dvs[f] for f in adds if f in dvs},
+                }
             )
-        prev = set(live)
+        prev, prev_dvs = set(live), dict(dvs)
     return out
 
 
@@ -287,6 +339,15 @@ class _FileSlice(InputPartition):
     typed python value). ``change`` is None for snapshot reads, or
     ``(change_type, commit_version)`` for Change-Data-Feed slices —
     the reader then emits the two CDF metadata columns as constants.
+
+    Deletion vectors: ``dv_skip`` is the full path of the sidecar whose
+    (file, row_index) rows for THIS file are dropped (snapshot reads and
+    whole-file CDF slices honor the vector in force at their version);
+    ``dv_take`` is a ``(first, second)`` sidecar-path pair — the slice
+    emits ONLY rows at indices present in ``first`` and absent from
+    ``second`` (``second`` may be None): the row-exact delta of a DV
+    change (grown = deletes, shrunk = restore re-inserts).
+
     Pickled to executors — plain data only."""
 
     def __init__(
@@ -294,10 +355,14 @@ class _FileSlice(InputPartition):
         full_path: str,
         pvals: dict,
         change: tuple | None = None,
+        dv_skip: str | None = None,
+        dv_take: tuple | None = None,
     ):
         self.full_path = full_path
         self.pvals = pvals
         self.change = change
+        self.dv_skip = dv_skip
+        self.dv_take = dv_take
 
 
 def _opt(options: dict, name: str, default=None):
@@ -314,7 +379,11 @@ def _log_dir(options: dict) -> str:
 
 
 def _plan_files(
-    table_path: str, files: list[str], pby: list[str], pschema
+    table_path: str,
+    files: list[str],
+    pby: list[str],
+    pschema,
+    dvs: dict | None = None,
 ) -> list[_FileSlice]:
     slices = []
     for f in files:
@@ -324,7 +393,16 @@ def _plan_files(
             for fld in (pschema.fields if pschema is not None else [])
             if fld.name in pby
         }
-        slices.append(_FileSlice(os.path.join(table_path, f), pvals))
+        desc = (dvs or {}).get(f)
+        slices.append(
+            _FileSlice(
+                os.path.join(table_path, f),
+                pvals,
+                dv_skip=(
+                    os.path.join(table_path, desc["sidecar"]) if desc else None
+                ),
+            )
+        )
     return slices
 
 
@@ -340,26 +418,79 @@ def _plan_changes(
     RAW file-granularity feed (a copy-on-write rewrite's unchanged rows
     appear as matching delete+insert pairs, exactly Delta CDF without
     CDC files; consumers needing the net feed use
-    TxLogTable.read_changes, which cancels them per commit)."""
+    TxLogTable.read_changes, which cancels them per commit). Deletion
+    vectors are honored row-exactly: added files drop the vector they
+    carry AT the commit, removed files the vector they carried BEFORE it
+    (already-deleted rows never re-report), and a DV change on a file
+    live across the commit plans index-delta slices — grown vector =
+    deletes, shrunk (restore) = re-inserts."""
+
+    def _pv(f: str) -> dict:
+        raw = _raw_pvals(f)
+        return {
+            fld.name: _typed_pval(raw.get(fld.name), fld.dataType)
+            for fld in (pschema.fields if pschema is not None else [])
+            if fld.name in pby
+        }
+
+    def _sc(desc) -> str | None:
+        return os.path.join(table_path, desc["sidecar"]) if desc else None
+
     slices: list[_FileSlice] = []
-    for v, adds, removes, op in _deltas(log_dir, lo, hi):
+    for rec in _deltas_full(log_dir, lo, hi):
+        v, op = rec["v"], rec["op"]
         if op == "optimize":
             continue  # data-unchanged rewrite: excluded from the feed
-        for f, ct in [(a, "insert") for a in adds] + [
-            (r, "delete") for r in removes
-        ]:
-            raw = _raw_pvals(f)
-            pvals = {
-                fld.name: _typed_pval(raw.get(fld.name), fld.dataType)
-                for fld in (pschema.fields if pschema is not None else [])
-                if fld.name in pby
-            }
+        for f in rec["adds"]:
             slices.append(
                 _FileSlice(
-                    os.path.join(table_path, f), pvals, change=(ct, v)
+                    os.path.join(table_path, f),
+                    _pv(f),
+                    change=("insert", v),
+                    dv_skip=_sc(rec["dv_added"].get(f)),
                 )
             )
+        for f in rec["removes"]:
+            slices.append(
+                _FileSlice(
+                    os.path.join(table_path, f),
+                    _pv(f),
+                    change=("delete", v),
+                    dv_skip=_sc(rec["dv_removed"].get(f)),
+                )
+            )
+        for f, (old, new) in sorted(rec["dv_changed"].items()):
+            full = os.path.join(table_path, f)
+            if new is not None:
+                # rows newly deleted at v: in new vector, not in old
+                slices.append(
+                    _FileSlice(
+                        full, _pv(f), change=("delete", v),
+                        dv_take=(_sc(new), _sc(old)),
+                    )
+                )
+            if old is not None:
+                # rows resurrected at v (restore): in old, not in new
+                slices.append(
+                    _FileSlice(
+                        full, _pv(f), change=("insert", v),
+                        dv_take=(_sc(old), _sc(new)),
+                    )
+                )
     return slices
+
+
+def _dv_indices(sidecar_path: str, basename: str):
+    """Deleted row indices for one data file from one sidecar — a
+    predicate-pushed read of the tiny (file, row_index) parquet."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        sidecar_path,
+        filters=[("file", "==", basename)],
+        columns=["row_index"],
+    )
+    return tbl["row_index"].to_numpy(zero_copy_only=False)
 
 
 def _read_slice(
@@ -371,7 +502,10 @@ def _read_slice(
     mapping resolves each LOGICAL field to its PHYSICAL parquet column
     (rename/drop are metadata-only), and every column casts to the
     exact declared Arrow type so the batches Spark receives match the
-    source schema bit-for-bit."""
+    source schema bit-for-bit. Deletion vectors mask rows by in-file
+    position with one vectorized ``np.isin`` per batch (``dv_skip``
+    drops the vector's rows; ``dv_take`` keeps ONLY an index delta)."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_type
@@ -380,9 +514,37 @@ def _read_slice(
     target = pa.schema(
         [pa.field(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
     )
+    basename = os.path.basename(slice_.full_path)
+    skip = take = None
+    if slice_.dv_take is not None:
+        first, second = slice_.dv_take
+        take = np.setdiff1d(
+            _dv_indices(first, basename),
+            _dv_indices(second, basename) if second else np.empty(0, "int64"),
+        )
+        if take.size == 0:
+            return  # empty delta: never open the data file
+    elif slice_.dv_skip is not None:
+        skip = _dv_indices(slice_.dv_skip, basename)
+        if skip.size == 0:
+            skip = None
     pf = pq.ParquetFile(slice_.full_path)
+    offset = 0
     for batch in pf.iter_batches():
         n = batch.num_rows
+        if take is not None or skip is not None:
+            idx = np.arange(offset, offset + n)
+            offset += n
+            mask = (
+                np.isin(idx, take)
+                if take is not None
+                else ~np.isin(idx, skip)
+            )
+            if not mask.any():
+                continue
+            if not mask.all():
+                batch = batch.filter(pa.array(mask))
+            n = batch.num_rows
         arrays = []
         for f in schema.fields:
             at = to_arrow_type(f.dataType)
@@ -428,9 +590,9 @@ class TxLogBatchReader(DataSourceReader):
             )
         else:
             v = int(as_of) if as_of is not None else None
-            _v, files = _replay(log_dir, v)
+            _v, files, dvs = _replay_full(log_dir, v)
             self.mapping = _mapping_json_at(log_dir, v)
-            self.slices = _plan_files(self.path, files, pby, pschema)
+            self.slices = _plan_files(self.path, files, pby, pschema, dvs=dvs)
 
     def partitions(self):
         return self.slices
@@ -551,8 +713,9 @@ class TxLogStreamReader(DataSourceStreamReader):
                 self.path, self.log_dir, lo + 1, hi, pby, pschema
             )
         files: list[str] = []
-        for v, adds, removes, op in _deltas(self.log_dir, lo + 1, hi):
-            if removes:
+        for rec in _deltas_full(self.log_dir, lo + 1, hi):
+            v, adds, removes, op = rec["v"], rec["adds"], rec["removes"], rec["op"]
+            if removes or rec["dv_changed"]:
                 if op == "optimize":
                     # compaction is row-identical (Delta dataChange=false):
                     # skip silently — an auto-compacting upstream sink
@@ -561,11 +724,11 @@ class TxLogStreamReader(DataSourceStreamReader):
                 if self.skip_change:
                     continue  # Delta's skipChangeCommits: drop the commit
                 raise ValueError(
-                    f"txlog stream source: commit {v} removes files "
-                    "(DML/OPTIMIZE) — streaming reads are append-only; "
-                    "set skipChangeCommits=true to skip change commits, "
-                    "or consume row-level changes via "
-                    "TxLogTable.read_changes"
+                    f"txlog stream source: commit {v} removes files or "
+                    "rows (DML/OPTIMIZE/deletion vectors) — streaming "
+                    "reads are append-only; set skipChangeCommits=true "
+                    "to skip change commits, or consume row-level "
+                    "changes via TxLogTable.read_changes"
                 )
             files.extend(adds)
         return _plan_files(self.path, files, pby, pschema)

@@ -440,8 +440,8 @@ def test_delete_retry_racing_optimize_converges(spark, tmp_path):
     fired = {}
     orig = t._touched_files
 
-    def touched_then_race(cands, cond):
-        res = orig(cands, cond)
+    def touched_then_race(cands, cond, **kw):
+        res = orig(cands, cond, **kw)
         if "v" not in fired:
             # between delete's discovery scan and its commit, OPTIMIZE
             # lands: delete's base_version goes stale

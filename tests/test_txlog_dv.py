@@ -1,0 +1,379 @@
+"""Merge-on-read DML via deletion vectors (public design: Delta Lake's
+deletion vectors, reader v3/writer v7 table feature): a delete records
+matched row POSITIONS in a tiny parquet sidecar applied at read time by
+one anti join — bytes written scale with deleted rows, not touched
+files; a DV update writes ONLY the updated rows as new files and DVs the
+old positions. Copy-on-write remains the compaction story: any COW
+DML or OPTIMIZE that rewrites a DV'd file folds the vector away.
+
+Every consumption surface must honor the vectors: snapshot reads, time
+travel, read_where skipping, COW DML and MERGE on a DV'd table, CDF
+(net row-exact and raw via the DataSource), diff_versions, restore
+(vectors revert — rows resurrect), clone (sidecars travel), vacuum
+(superseded sidecars are orphans; referenced ones pinned), and the
+``txlog`` Python DataSource (batch + CDF)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_listings_data_pipelines_spark.operators.txlog import (
+    CheckViolation,
+    TxLogTable,
+    merge_into_txlog,
+)
+
+
+def _mk(spark, tmp_path, n=100, parts=4, name="t"):
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i % 3) for i in range(n)], "k int, v string, g int"
+    ).repartition(parts)
+    return TxLogTable.create(spark, str(tmp_path / name), df)
+
+
+def _keys(t):
+    return sorted(r.k for r in t.read().collect())
+
+
+def test_dv_delete_rewrites_no_data_file(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    files0 = set(t.files())
+    sizes0 = {f: os.path.getsize(os.path.join(t.path, f)) for f in files0}
+    t.delete_where("k % 10 = 0", mode="dv")
+    assert set(t.files()) == files0, "no data file added or removed"
+    for f, s in sizes0.items():
+        assert os.path.getsize(os.path.join(t.path, f)) == s
+    assert _keys(t) == [i for i in range(100) if i % 10 != 0]
+    # the vector is tiny: sidecar bytes << the touched files it spares
+    side = {d["sidecar"] for d in t.dvs().values()}
+    assert len(side) == 1
+    sidecar_bytes = os.path.getsize(os.path.join(t.path, side.pop()))
+    touched_bytes = sum(
+        sizes0[f] for f in t.dvs()
+    )
+    assert sidecar_bytes < touched_bytes
+
+
+def test_dv_delete_null_condition_keeps_rows(spark, tmp_path):
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, None), (2, 5)], "k int, x int"),
+    )
+    t.delete_where("x > 1", mode="dv")  # NULL -> kept (SQL DELETE)
+    assert {r.k for r in t.read().collect()} == {1}
+
+
+def test_dv_time_travel_and_read_where(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where("k < 50", mode="dv")
+    assert t.read_version(0).count() == 100
+    assert t.read_version(1).count() == 50
+    got = sorted(r.k for r in t.read_where("k", 40, 60).collect())
+    assert got == list(range(50, 61))
+
+
+def test_dv_update_writes_only_matched_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    files0 = set(t.files())
+    t.update_where("k = 7", {"v": F.lit("SEVEN")}, mode="dv")
+    new_files = set(t.files()) - files0
+    assert files0 <= set(t.files()), "old files stay (merge-on-read)"
+    import pyarrow.parquet as pq
+
+    assert (
+        sum(
+            pq.ParquetFile(os.path.join(t.path, f)).metadata.num_rows
+            for f in new_files
+        )
+        == 1
+    )
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[7] == "SEVEN" and len(rows) == 100
+
+
+def test_dv_update_sees_pre_update_values(spark, tmp_path):
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, 10, 100)], "k int, a int, b int"),
+    )
+    t.update_where("k = 1", {"a": "b", "b": "a"}, mode="dv")  # swap
+    r = t.read().collect()[0]
+    assert (r.a, r.b) == (100, 10)
+
+
+def test_dv_full_file_coverage_retires_file(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where("true", mode="dv")
+    assert t.files() == [] and t.dvs() == {}
+    assert t.read().count() == 0
+    assert t.read_version(0).count() == 100
+
+
+def test_dv_deletes_accumulate_and_stay_deleted(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where("k < 10", mode="dv")
+    t.delete_where("k < 20", mode="dv")  # overlap: rows 0-9 already gone
+    assert _keys(t) == list(range(20, 100))
+    total = sum(d["cardinality"] for d in t.dvs().values())
+    assert total == 20
+    # a second delete of already-deleted rows is a faithful no-op commit
+    v = t.delete_where("k < 20", mode="dv")
+    assert _keys(t) == list(range(20, 100))
+    assert t.history()[-1]["op"] == "delete"
+    assert v == t.version()
+
+
+def test_cow_dml_on_dvd_table_folds_vectors(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where("k < 10", mode="dv")
+    t.delete_where("k >= 90")  # COW: rewrites touched files DV-applied
+    assert _keys(t) == list(range(10, 90))
+    # files the COW delete rewrote lost their vectors
+    for f in t.dvs():
+        assert f in t.files()
+    t.optimize(target_files=2)
+    assert t.dvs() == {} and _keys(t) == list(range(10, 90))
+
+
+def test_merge_on_dvd_table_never_resurrects(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=20, parts=2)
+    t.delete_where("k = 5", mode="dv")
+    src = spark.createDataFrame(
+        [(5, "FIVE", 99), (100, "new", 1)], "k int, v string, g int"
+    )
+    merge_into_txlog(spark, t, src, keys=["k"])
+    rows = {r.k: r.v for r in t.read().collect()}
+    # k=5 was deleted -> the merge re-INSERTS it (not-matched path)
+    assert rows[5] == "FIVE" and rows[100] == "new" and len(rows) == 21
+
+
+def test_dv_restore_resurrects_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where("k < 50", mode="dv")  # v1
+    t.delete_where("k < 70", mode="dv")  # v2
+    t.restore(1)
+    assert _keys(t) == list(range(50, 100))
+    t.restore(0)
+    assert _keys(t) == list(range(100))
+    assert t.dvs() == {}
+
+
+def test_dv_clone_carries_sidecars(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where("k % 2 = 0", mode="dv")
+    c = t.clone(str(tmp_path / "c"))
+    assert sorted(r.k for r in c.read().collect()) == list(range(1, 100, 2))
+    # independence: vacuuming the source leaves the clone intact
+    t.delete_where("k < 90")  # COW rewrite retires DV'd files in source
+    t.vacuum(retain_versions=1)
+    assert sorted(r.k for r in c.read().collect()) == list(range(1, 100, 2))
+
+
+def test_dv_vacuum_gc_superseded_sidecars(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where("k < 10", mode="dv")  # sidecar A
+    sc_a = {d["sidecar"] for d in t.dvs().values()}.pop()
+    t.delete_where("k < 20", mode="dv")  # sidecar B supersedes A
+    sc_b = {d["sidecar"] for d in t.dvs().values()}.pop()
+    assert sc_a != sc_b
+    deleted = t.vacuum(retain_versions=1)
+    assert sc_a in deleted
+    assert os.path.exists(os.path.join(t.path, sc_b))
+    assert _keys(t) == list(range(20, 100))
+    # v1 is gone (its sidecar vacuumed); latest still exact
+    with pytest.raises(Exception):
+        t.read_version(1).collect()
+
+
+def test_dv_vacuum_pins_tagged_sidecars(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where("k < 10", mode="dv")
+    t.tag("model-v1", 1)
+    sc_a = {d["sidecar"] for d in t.dvs().values()}.pop()
+    t.delete_where("k < 20", mode="dv")
+    deleted = t.vacuum(retain_versions=1)
+    assert sc_a not in deleted
+    assert t.read_tag("model-v1").count() == 90
+
+
+def test_dv_read_changes_row_exact(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where("k < 10", mode="dv")  # v1: 10 deletes, 0 inserts
+    t.update_where("k = 50", {"v": F.lit("X")}, mode="dv")  # v2: 1+1
+    ch = t.read_changes(1, 2)
+    agg = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in ch.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert agg == {(1, "delete"): 10, (2, "delete"): 1, (2, "insert"): 1}
+    v2 = {
+        (r.k, r.v, r["_change_type"])
+        for r in ch.filter("_commit_version = 2").collect()
+    }
+    assert v2 == {(50, "v50", "delete"), (50, "X", "insert")}
+
+
+def test_dv_read_changes_restore_reinserts(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=20, parts=2)
+    t.delete_where("k < 5", mode="dv")  # v1
+    t.restore(0)  # v2: rows 0-4 resurrect
+    ch = t.read_changes(2, 2)
+    got = {(r.k, r["_change_type"]) for r in ch.collect()}
+    assert got == {(k, "insert") for k in range(5)}
+
+
+def test_dv_diff_versions_netting(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where("k < 10", mode="dv")
+    t.delete_where("k < 30", mode="dv")
+    d = t.diff_versions(1, 2)
+    got = {(r.k, r.change_type) for r in d.collect()}
+    assert got == {(k, "delete") for k in range(10, 30)}
+
+
+def test_dv_checkpoint_commit_carries_state(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=50, parts=2)
+    t.delete_where("k = 0", mode="dv")
+    # push past a checkpoint boundary (every 20 commits)
+    for i in range(21):
+        t.append(spark.createDataFrame([(1000 + i, "a", 0)], "k int, v string, g int"))
+    assert 0 not in set(_keys(t)), "DV survives the checkpoint fold"
+    assert t.dvs() != {}
+    assert t.read_version(t.version()).count() == 49 + 21
+
+
+def test_dv_datasource_batch_and_cdf(spark, tmp_path):
+    from airbnb_listings_data_pipelines_spark.sources.txlog_source import (
+        register,
+    )
+
+    register(spark)
+    t = _mk(spark, tmp_path)
+    t.delete_where("k < 10", mode="dv")
+    t.update_where("k = 50", {"v": F.lit("X")}, mode="dv")
+    got = spark.read.format("txlog").load(t.path)
+    assert sorted(r.k for r in got.collect()) == list(range(10, 100))
+    assert {r.v for r in got.filter("k = 50").collect()} == {"X"}
+    # versionAsOf honors per-version DV state
+    v1 = spark.read.format("txlog").option("versionAsOf", 1).load(t.path)
+    assert v1.count() == 90
+    # CDF: DV deltas arrive as row-exact change slices
+    cdf = (
+        spark.read.format("txlog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .load(t.path)
+    )
+    agg = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in cdf.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert agg == {(1, "delete"): 10, (2, "delete"): 1, (2, "insert"): 1}
+
+
+def test_dv_stream_source_guards_dv_commits(spark, tmp_path):
+    from airbnb_listings_data_pipelines_spark.sources.txlog_source import (
+        register,
+    )
+
+    register(spark)
+    t = _mk(spark, tmp_path, n=20, parts=2)
+    t.delete_where("k < 5", mode="dv")
+    t.append(spark.createDataFrame([(777, "n", 0)], "k int, v string, g int"))
+    # skipChangeCommits: the DV commit is dropped, the append flows
+    q = (
+        spark.readStream.format("txlog")
+        .option("skipChangeCommits", "true")
+        .load(t.path)
+        .writeStream.format("memory")
+        .queryName("dv_skip_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.k for r in spark.sql("select * from dv_skip_stream").collect()}
+    assert got == set(range(20)) | {777}
+
+
+def test_dv_update_runs_check_gate(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10, parts=1)
+    t.add_check("k_nonneg", "k >= 0")
+    with pytest.raises(CheckViolation, match="k_nonneg"):
+        t.update_where("k = 3", {"k": F.lit(-1)}, mode="dv")
+    assert _keys(t) == list(range(10)), "failed update left no trace"
+    assert t.dvs() == {}
+
+
+def test_dv_delete_racing_append_converges(spark, tmp_path):
+    """A DV delete that loses its commit race re-runs against the
+    winner's snapshot: the append's rows survive, the delete's rows go."""
+    t = _mk(spark, tmp_path, n=20, parts=2)
+    orig_commit = TxLogTable.commit
+    raced = {"done": False}
+
+    def racing_commit(self, *a, **kw):
+        if not raced["done"] and kw.get("op") == "delete":
+            raced["done"] = True
+            t2 = TxLogTable(spark, self.path)
+            t2.append(
+                spark.createDataFrame([(500, "r", 0)], "k int, v string, g int")
+            )
+        return orig_commit(self, *a, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(TxLogTable, "commit", racing_commit):
+        t.delete_where("k < 5", mode="dv")
+    assert _keys(t) == list(range(5, 20)) + [500]
+
+
+def test_dv_basename_collision_refused(spark, tmp_path):
+    """Foreign-adopted layouts can hold duplicate basenames across
+    partition dirs — DVs key on basenames, so mode='dv' refuses loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "foreign"
+    for part in ("g=0", "g=1"):
+        os.makedirs(root / part)
+        pq.write_table(
+            pa.table({"k": [1, 2]}), str(root / part / "data.parquet")
+        )
+    t = TxLogTable.convert(spark, str(root), partition_by=["g"])
+    with pytest.raises(ValueError, match="basename"):
+        t.delete_where("k = 1", mode="dv")
+    # the COW path still works on the same layout
+    t.delete_where("k = 1")
+    assert sorted((r.k, r.g) for r in t.read().collect()) == [(2, 0), (2, 1)]
+
+
+def test_dv_delta_export_refuses_then_optimize_clone_unblocks(spark, tmp_path):
+    """The export mirrors every version 1:1, so a historical DV commit
+    blocks the whole log even after compaction; the documented unblock
+    is OPTIMIZE (fold vectors) + zero-copy CLONE (fresh history)."""
+    t = _mk(spark, tmp_path, n=10, parts=1)
+    t.delete_where("k = 3", mode="dv")
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        t.to_delta_log()
+    t.optimize()  # folds the vector into plain files
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        t.to_delta_log()  # commit 1 still carries the DV history
+    c = t.clone(str(tmp_path / "fresh"))
+    v = c.to_delta_log()
+    assert v == c.version() == 0
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        read_delta_snapshot,
+    )
+
+    assert sorted(
+        r.k for r in read_delta_snapshot(spark, c.path).collect()
+    ) == [k for k in range(10) if k != 3]

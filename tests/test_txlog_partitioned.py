@@ -267,9 +267,9 @@ def test_partition_scoped_dml_discovery_never_leaves_partition(spark, ptable):
     scanned_lists = []
     orig = ptable._scan_with_filepath
 
-    def spy(files, schema_json):
+    def spy(files, schema_json, **kw):
         scanned_lists.append(list(files))
-        return orig(files, schema_json)
+        return orig(files, schema_json, **kw)
 
     ptable._scan_with_filepath = spy
     before = set(ptable.files())
