@@ -28,19 +28,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return reg["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
-# The driver checks the first 50 registry entries per round. Round-7
-# window: never-driver-checked queries lead (x70/x71 — added in the
-# round-6 snapshot commit after that round's correctness run — and the
-# round-7 additions x72-x74), then the 43 queries whose latest driver
-# evidence is round 4 (the union over CORRECTNESS_r01..r06 of each
-# query's newest green round), then 2 fillers from the round-5-stale
-# set in registry order (5 + 43 + 2 = 50 slots). After this
-# window, no registry query's driver evidence predates round 5.
-# Membership is derived from the committed CORRECTNESS files and
-# enforced by tests/test_repo_consistency.py::
-# test_window_rotation_covers_stalest_evidence. Everything outside the
-# window stays covered by tools/check_oracle.py's full bit-exact
-# registry sweep (145/145 at the start of round 7; x72-x76 added and gate-checked in round 7).
+# The driver checks the first 50 registry entries per round. Round-8
+# window: the never-driver-checked round-7-snapshot addition x80 leads,
+# then the three queries whose latest driver evidence is round 4
+# (q33/q36/x44 — displaced by the round-7 governance additions, exactly
+# as predicted in the round-7 window comment), then 44 fillers from the
+# round-5-stale set in registry order (1 + 3 + 44 = 48 slots; new
+# round-8 queries x81+ are appended to the head as they are registered,
+# displacing the tail fillers). After this window, no registry query's
+# driver evidence predates round 5. Membership is derived from the
+# committed CORRECTNESS files and enforced by tests/test_repo_consistency
+# .py::test_window_rotation_covers_stalest_evidence. Everything outside
+# the window stays covered by tools/check_oracle.py's full bit-exact
+# registry sweep (153/153 at the start of round 8).
 #
 # Evidence-audit note: the round-1 driver files contain three names that
 # never passed — x06_minhash_lsh_pairs, x10_lsh_ann_topk,
@@ -50,64 +50,57 @@ def entry(spark: SparkSession) -> DataFrame:
 # the renamed successors are driver-green (r2/r4/r5). They are renames,
 # not never-checked queries.
 _CHECK_FIRST = [
-    # never driver-checked — slots 1-5
-    "x70_cow_dml_delete_update",
-    "x71_merge_changefeed",
-    "x72_dml_partition_scoped",
-    "x73_stream_exactly_once_ingest",
-    "x74_tag_restore_roundtrip",
-    # latest driver evidence round 4 — slots 6-48
-    "x37_embedding_decontamination",
-    "x38_retrieve_rerank",
-    "x39_winnowing_fingerprints",
-    "x40_winnowing_neardup_pairs",
-    "x41_pq_ann_recall",
-    "x42_bpe_pair_counts",
-    "x43_lang_id_ngram",
-    "x45_duplicate_span_coverage",
-    "x46_leakage_safe_split",
-    "x47_heavy_hitters_mg",
-    "x48_temperature_mixture_sample",
-    "x49_bm25_retrieval",
-    "x50_dsir_importance_selection",
-    "x52_semdedup_prune",
-    "x53_hard_negative_mining",
-    "x54_fuzzy_record_linkage",
-    "x55_bigram_lm_quality",
-    "x56_span_decontaminate",
-    "x57_pagerank_trade_graph",
-    "x58_bloom_line_membership",
-    "x59_hybrid_rrf_retrieval",
-    "q28_approx_sketch_aggregates",
-    "q32_rollup_hierarchy",
-    "q34_intersect_except",
-    "q35_pivot_status_by_priority",
-    "q37_month_spine_gap_fill",
-    "q38_lateral_top2_per_customer",
-    "q39_snowflake_dialect_frontend",
-    "q59_intersect_except_all",
-    "q61_bitwise_breadth",
-    "q62_cube_status_year",
-    "q67_map_functions",
-    "q69_content_hashing_encoding",
-    "q70_pivot_revenue_matrix",
-    "q71_exists_semi_anti",
-    "q72_group_by_all_ergonomics",
-    "q73_filter_clause_aggregates",
-    "x51_mergeable_quantile_histogram",
-    "q19_events_tumbling",
-    "q23_events_sessionize_gap",
-    # never driver-checked round-7 additions — slots 46-50 (they
-    # displace the round-5-stale fillers and the last three
-    # round-4-stale entries in registry order,
-    # q33_events_daily_top_users, q36_json_extraction and
-    # x44_attribution_join: never-checked leads per the window guard's
-    # rule; q33/q36/x44 head the round-8 rotation)
-    "x75_change_data_feed",
-    "x76_zero_copy_clone",
-    "x77_python_datasource_read",
-    "x78_column_mapping_evolution",
-    "x79_convert_from_delta",
+    # never driver-checked — slot 1 (round-8 additions appended here)
+    "x80_deletion_vector_dml",
+    # latest driver evidence round 4 — slots 2-4
+    "q33_events_daily_top_users",
+    "q36_json_extraction",
+    "x44_attribution_join",
+    # round-5-stale fillers in registry order — slots 5-48
+    "x01_dedup_exact",
+    "x02_token_count",
+    "x03_quality_scores",
+    "x04_lang_id",
+    "x05_ngram_jaccard_pairs",
+    "x06_minhash_lsh_recall",
+    "x07_simhash",
+    "x08_fingerprint_stats",
+    "x09_cosine_topk",
+    "x10_lsh_ann_recall",
+    "x11_multimodal_features",
+    "x12_top_tokens",
+    "x13_embedding_neardup_pairs",
+    "x14_ivf_ann_recall",
+    "x15_curation_pipeline",
+    "x16_simhash_neardup_pairs",
+    "x22_dedup_components",
+    "x27_component_survivors",
+    "x23_tfidf_top_terms",
+    "x24_hash_reservoir_per_lang",
+    "x25_quartile_feature_bins",
+    "x26_incremental_dedup",
+    "x17_collect_per_source",
+    "x18_token_budget_packing",
+    "x19_stratified_sample",
+    "x20_scd2_version_history",
+    "x21_token_chunking",
+    "x60_corpus_datacard",
+    "x61_training_shard_manifest",
+    "x62_embedding_dispersion",
+    "x63_char_coverage",
+    "x64_cross_source_dup_matrix",
+    "x65_unigram_tv_distance",
+    "x66_containment_pairs",
+    "x67_neardup_threshold_curve",
+    "q40_moving_average_rows_frame",
+    "q41_trailing_range_frame",
+    "q42_quartiles_array",
+    "q43_null_safe_join",
+    "q44_string_function_breadth",
+    "q45_conditional_expression_breadth",
+    "q46_math_function_breadth",
+    "q47_date_arithmetic_breadth",
+    "q51_unpivot_long_form",
 ]
 
 
