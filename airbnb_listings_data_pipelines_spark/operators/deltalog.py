@@ -25,11 +25,15 @@ Feature envelope, stated plainly: tables here are flat-schema parquet,
 optionally HIVE-PARTITIONED (``metaData.partitionColumns`` +
 ``add.partitionValues`` are exported and reconstructed — partition
 columns live in the log, not the data files, exactly as the protocol
-prescribes), with no deletion vectors / column mapping / generated
-columns, so the export pins ``minReaderVersion=1, minWriterVersion=2``
-and the reader refuses (loudly) protocols beyond what it implements —
-refusing is what the Delta spec REQUIRES of readers that meet an
-unsupported ``minReaderVersion``.
+prescribes). COLUMN MAPPING (mode=name) is supported in both directions:
+a txlog table that renamed/dropped columns exports with protocol
+``minReaderVersion=2, minWriterVersion=5`` and per-field
+``delta.columnMapping.{id,physicalName}`` metadata (Delta's own upgrade
+path — versions before the first rename stay reader-v1), and the reader
+resolves physical parquet columns through that metadata for any
+mode=none/name table. Deletion vectors and mode=id remain refused
+(loudly) — refusing is what the Delta spec REQUIRES of readers that meet
+an unsupported protocol.
 
 At 100 TB the shapes match txlog's: a commit is O(files touched) JSON
 bytes; snapshot resolution reads the log tail after the newest
@@ -167,6 +171,49 @@ def _schema_fields(schema_string: str) -> list[tuple[str, object]]:
     ]
 
 
+def _annotated_schema(
+    schema_json: str, mapping: dict, phys_ids: dict[str, int]
+) -> str:
+    """schemaString for columnMapping=name: every field carries
+    ``delta.columnMapping.id`` + ``delta.columnMapping.physicalName``
+    metadata (delta.io PROTOCOL.md 'Column Mapping' — the writer-v5
+    representation external readers resolve physical parquet columns
+    through). ``mapping`` is logical -> physical (identity when a field
+    is absent); ``phys_ids`` must already hold every physical name's id."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType.fromJson(json.loads(schema_json))
+    fields = []
+    for f in schema.fields:
+        ph = mapping.get(f.name, f.name)
+        md = dict(f.metadata or {})
+        md["delta.columnMapping.id"] = phys_ids[ph]
+        md["delta.columnMapping.physicalName"] = ph
+        fields.append(StructField(f.name, f.dataType, f.nullable, md))
+    return StructType(fields).json()
+
+
+def _mapping_mode(metadata: dict | None) -> str:
+    """The table's column-mapping mode from metaData.configuration
+    (PROTOCOL.md: absent == 'none')."""
+    cfg = (metadata or {}).get("configuration") or {}
+    return cfg.get("delta.columnMapping.mode", "none")
+
+
+def _physical_names(metadata: dict) -> dict[str, str]:
+    """logical field name -> physical parquet column name, resolved from
+    the schemaString's ``delta.columnMapping.physicalName`` field
+    metadata (identity for unannotated fields — legal for mode=none
+    tables and for fields an upgrade left identity-mapped)."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(metadata["schemaString"]))
+    return {
+        f.name: (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+        for f in schema.fields
+    }
+
+
 def export_delta_log(spark: SparkSession, table) -> int:
     """Write/refresh a Delta-protocol ``_delta_log`` mirroring every
     version of a :class:`txlog.TxLogTable`. Returns the latest exported
@@ -202,6 +249,7 @@ def export_delta_log(spark: SparkSession, table) -> int:
     meta_fields: list | None = None
     meta_schema_str: str | None = None
     meta_cfg: dict | None = None
+    emitted_proto: dict | None = None
     has_exported = any(
         re.fullmatch(r"\d{20}\.json", f) for f in os.listdir(delta_dir)
     ) or os.path.exists(os.path.join(delta_dir, "_last_checkpoint"))
@@ -211,6 +259,7 @@ def export_delta_log(spark: SparkSession, table) -> int:
         meta_schema_str = exported.metadata["schemaString"]
         meta_fields = _schema_fields(meta_schema_str)
         meta_cfg = exported.metadata.get("configuration") or {}
+        emitted_proto = dict(exported.protocol)
     prev: set[str] = set()
     # running CHECK-constraint set, folded alongside the file set so the
     # export can mirror constraints as delta.constraints.* configuration
@@ -218,6 +267,29 @@ def export_delta_log(spark: SparkSession, table) -> int:
     # refresh metaData when the set changes, upgrading minWriterVersion
     # to 3 (invariants/constraints) the first time one appears
     cur_checks: dict[str, str] = {}
+    # running column mapping (logical -> physical, latest full payload
+    # wins — txlog's own fold rule). The first NON-identity mapping flips
+    # the export into columnMapping=name mode for the rest of the log
+    # (protocol reader 2 / writer 5 + per-field physicalName metadata —
+    # Delta's own no-downgrade upgrade path, so versions before the flip
+    # stay reader-v1-readable exactly as they were). Column ids are
+    # assigned per PHYSICAL name in first-appearance order over the fold
+    # — deterministic across incremental re-exports because the txlog
+    # commits below the exported head are immutable, and never reused
+    # because a physical name is never recycled (re-ADD mints a fresh
+    # one); maxColumnId is the id high-water mark the spec requires.
+    cur_mapping: dict[str, str] | None = None
+    mapping_mode = False
+    phys_ids: dict[str, int] = {}
+    max_id = 0
+
+    def _ensure_ids(sj: str, mapping: dict | None) -> None:
+        nonlocal max_id
+        for nm, _dt in _schema_fields(sj):
+            ph = (mapping or {}).get(nm, nm)
+            if ph not in phys_ids:
+                max_id += 1
+                phys_ids[ph] = max_id
     # ONE forward pass over the txlog (applying each commit to a running
     # file set) instead of table._replay(as_of=v) per version — the latter
     # re-reads the log from scratch per version, O(V^2) log reads on a
@@ -267,16 +339,14 @@ def export_delta_log(spark: SparkSession, table) -> int:
         else:
             cur = (cur - set(c["removes"])) | set(c["adds"])
         cm = c.get("column_mapping")
-        if cm and any(lg != ph for lg, ph in cm.items()):
-            raise NotImplementedError(
-                f"Delta export refused: commit {v} column-maps "
-                f"{sorted(lg for lg, ph in cm.items() if lg != ph)} — "
-                "faithful export needs columnMapping=name (reader v2 / "
-                "writer v5 + per-field physicalName metadata), which "
-                "this exporter does not implement. The native reader, "
-                "read_changes, and the txlog DataSource all honor the "
-                "mapping."
-            )
+        if cm is not None:
+            cur_mapping = dict(cm)
+            if not mapping_mode and any(
+                lg != ph for lg, ph in cur_mapping.items()
+            ):
+                mapping_mode = True
+        if c.get("schema"):
+            _ensure_ids(c["schema"], cur_mapping)
         if c.get("dvs") or c.get("dvs_reset") or c.get("dvs_state"):
             raise NotImplementedError(
                 f"Delta export refused: commit {v} carries deletion "
@@ -289,7 +359,6 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 "CLONE to a fresh table (zero-copy, starts history at "
                 "version 0) and export the clone."
             )
-        had_checks = bool(cur_checks)
         cr = c.get("checks_reset")
         ck = c.get("check")
         if cr is not None:
@@ -304,6 +373,15 @@ def export_delta_log(spark: SparkSession, table) -> int:
         cfg = {
             f"delta.constraints.{n}": e for n, e in sorted(cur_checks.items())
         }
+        if mapping_mode:
+            cfg["delta.columnMapping.mode"] = "name"
+            cfg["delta.columnMapping.maxColumnId"] = str(max_id)
+        if mapping_mode:
+            want_proto = {"minReaderVersion": 2, "minWriterVersion": 5}
+        elif cfg:
+            want_proto = {"minReaderVersion": 1, "minWriterVersion": 3}
+        else:
+            want_proto = dict(_PROTOCOL)
         target = os.path.join(delta_dir, _delta_commit_name(v))
         if os.path.exists(target):
             prev = set(cur)
@@ -325,12 +403,14 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 schema0 = _schema_string(spark, table, schema_files)
             meta_id = meta_id or uuid.uuid4().hex
             meta_fields = _schema_fields(schema0)
+            if mapping_mode:
+                _ensure_ids(schema0, cur_mapping)
+                cfg["delta.columnMapping.maxColumnId"] = str(max_id)
+                schema0 = _annotated_schema(schema0, cur_mapping or {}, phys_ids)
             meta_schema_str = schema0
             meta_cfg = cfg
-            proto = dict(_PROTOCOL)
-            if cfg:
-                proto["minWriterVersion"] = 3  # constraints need writer v3
-            actions.append({"protocol": proto})
+            emitted_proto = want_proto
+            actions.append({"protocol": want_proto})
             actions.append(
                 {
                     "metaData": {
@@ -355,18 +435,21 @@ def export_delta_log(spark: SparkSession, table) -> int:
             if (schema_changed or cfg_changed) and schema_str is not None:
                 if schema_changed:
                     meta_fields = _schema_fields(sj)
-                meta_schema_str = schema_str
-                if cfg and not had_checks:
-                    # first constraint: upgrade the protocol in the same
-                    # commit (Delta requires writer v3 for constraints)
-                    actions.append(
-                        {
-                            "protocol": {
-                                "minReaderVersion": 1,
-                                "minWriterVersion": 3,
-                            }
-                        }
+                if emitted_proto is not None and want_proto != emitted_proto:
+                    # protocol upgrade in the same commit: first
+                    # constraint needs writer v3; first non-identity
+                    # column mapping needs reader 2 / writer 5 (Delta
+                    # requires the upgrade to land with or before the
+                    # feature's first metaData)
+                    actions.append({"protocol": want_proto})
+                    emitted_proto = want_proto
+                if mapping_mode and sj is not None:
+                    _ensure_ids(sj, cur_mapping)
+                    cfg["delta.columnMapping.maxColumnId"] = str(max_id)
+                    schema_str = _annotated_schema(
+                        sj, cur_mapping or {}, phys_ids
                     )
+                meta_schema_str = schema_str
                 meta_cfg = cfg
                 actions.append(
                     {
@@ -699,10 +782,11 @@ def _verify_contiguous(
 
 
 def _check_protocol(protocol: dict) -> None:
-    if protocol.get("minReaderVersion", 1) > 1:
+    if protocol.get("minReaderVersion", 1) > 2:
         raise NotImplementedError(
-            "this reader implements Delta protocol minReaderVersion=1 "
-            f"(basic parquet + JSON log); table requires {protocol}"
+            "this reader implements Delta protocol minReaderVersion<=2 "
+            "(parquet + JSON log + column mapping); table requires "
+            f"{protocol}"
         )
 
 
@@ -795,13 +879,48 @@ def _version_at_timestamp(delta_dir: str, timestamp_ms: int) -> int:
     return best
 
 
+def _logical_schema(metadata: dict):
+    """The user-facing StructType of a metaData action, with the
+    delta.columnMapping.* field annotations stripped (they are physical
+    plumbing, not part of the logical schema a query sees — keeping them
+    would make an exported table's snapshot schema differ from the
+    native reader's)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType.fromJson(json.loads(metadata["schemaString"]))
+    return StructType(
+        [
+            StructField(
+                f.name,
+                f.dataType,
+                f.nullable,
+                {
+                    k: v
+                    for k, v in (f.metadata or {}).items()
+                    if not k.startswith("delta.columnMapping.")
+                },
+            )
+            for f in schema.fields
+        ]
+    )
+
+
+def _require_supported_mapping(metadata: dict) -> str:
+    """'none' or 'name'; mode=id (physical columns resolved by parquet
+    field ids, a layout this engine's writers never produce) is refused
+    loudly as the spec requires of readers that cannot honor a mode."""
+    mode = _mapping_mode(metadata)
+    if mode not in ("none", "name"):
+        raise NotImplementedError(
+            f"delta.columnMapping.mode={mode!r} not supported (none|name)"
+        )
+    return mode
+
+
 def _empty_snapshot(spark: SparkSession, metadata: dict) -> DataFrame:
     """Zero-row DataFrame with the metaData schema (shared by both read
     paths so their empty-snapshot behavior cannot drift)."""
-    from pyspark.sql.types import StructType
-
-    schema = StructType.fromJson(json.loads(metadata["schemaString"]))
-    return spark.createDataFrame([], schema)
+    return spark.createDataFrame([], _logical_schema(metadata))
 
 
 def _read_live_files(
@@ -824,9 +943,11 @@ def _read_live_files(
     any log, with plan size O(distinct partition tuples); stated plainly.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
-    schema = StructType.fromJson(json.loads(metadata["schemaString"]))
+    mode = _require_supported_mapping(metadata)
+    schema = _logical_schema(metadata)
+    phys = _physical_names(metadata)
     pcols = metadata.get("partitionColumns") or []
     ordered = sorted(live)
     paths = [os.path.join(path, f) for f in ordered]
@@ -834,10 +955,29 @@ def _read_live_files(
     # footer inference: PROTOCOL.md allows data files written before a
     # schema evolution to lack later-added columns (readers must null-fill
     # them from metaData), and footer sampling would resolve such a mixed
-    # table nondeterministically — whichever file Spark samples wins
-    data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+    # table nondeterministically — whichever file Spark samples wins.
+    # Under columnMapping=name the files carry PHYSICAL column names: the
+    # scan schema uses each field's physicalName and ONE select aliases
+    # back to logical names (files predating a re-add simply null-fill
+    # the fresh physical name — dropped data can never resurrect).
+    data_fields = [f for f in schema.fields if f.name not in pcols]
+    data_schema = StructType(
+        [
+            StructField(phys[f.name], f.dataType, f.nullable)
+            for f in data_fields
+        ]
+    )
+
+    def _scan(some_paths: list[str]) -> DataFrame:
+        df = spark.read.schema(data_schema).parquet(*some_paths)
+        if mode == "name":
+            df = df.select(
+                *[F.col(phys[f.name]).alias(f.name) for f in data_fields]
+            )
+        return df
+
     if not pcols:
-        return spark.read.schema(data_schema).parquet(*paths)
+        return _scan(paths)
     fields = {fld.name: fld for fld in schema.fields}
     missing = [c for c in pcols if c not in fields]
     if missing:
@@ -845,11 +985,16 @@ def _read_live_files(
     basenames = [f.rsplit("/", 1)[-1] for f in ordered]
     plain = all(re.fullmatch(r"[A-Za-z0-9._=-]+", b) for b in basenames)
     if plain and len(set(basenames)) == len(basenames):
-        data = spark.read.schema(data_schema).parquet(*paths)
+        data = _scan(paths)
         rows = []
         for f, b in zip(ordered, basenames):
             pv = live[f].get("partitionValues") or {}
-            rows.append((b, *[pv.get(c) for c in pcols]))
+            # columnMapping keys partitionValues by PHYSICAL name (the
+            # spec's rule); identity-mapped and mode=none logs key by the
+            # logical name — physical-first lookup serves both
+            rows.append(
+                (b, *[pv.get(phys.get(c, c), pv.get(c)) for c in pcols])
+            )
         map_schema = "__base string" + "".join(
             f", __pv{i} string" for i in range(len(pcols))
         )
@@ -870,12 +1015,12 @@ def _read_live_files(
     groups: dict[tuple, list[str]] = {}
     for f in ordered:
         pv = live[f].get("partitionValues") or {}
-        groups.setdefault(tuple(pv.get(c) for c in pcols), []).append(
-            os.path.join(path, f)
-        )
+        groups.setdefault(
+            tuple(pv.get(phys.get(c, c), pv.get(c)) for c in pcols), []
+        ).append(os.path.join(path, f))
     parts = []
     for key in sorted(groups, key=lambda k: tuple((v is None, v) for v in k)):
-        g = spark.read.schema(data_schema).parquet(*groups[key])
+        g = _scan(groups[key])
         for c, v in zip(pcols, key):
             g = g.withColumn(c, F.lit(v).cast(fields[c].dataType))
         parts.append(g.select(*[fld.name for fld in schema.fields]))
@@ -926,20 +1071,25 @@ def read_delta_where(
     state = _replay_delta_log(spark, delta_dir, version)
     live, metadata = state.live, state.metadata
     pcols = metadata.get("partitionColumns") or []
+    # stats and partitionValues are keyed by PHYSICAL column name under
+    # columnMapping (they describe the parquet layout); identity for
+    # unmapped tables
+    _require_supported_mapping(metadata)
+    phys_col = _physical_names(metadata).get(column, column)
     kept: dict[str, dict] = {}
     if column in pcols:
         from .txlog import _parse_partition_value
 
-        schema = StructType.fromJson(json.loads(metadata["schemaString"]))
-        dtype = schema[column].dataType
+        dtype = _logical_schema(metadata)[column].dataType
         for f, add in sorted(live.items()):
             pv = add.get("partitionValues") or {}
-            if column not in pv:
+            key = phys_col if phys_col in pv else column
+            if key not in pv:
                 kept[f] = add  # foreign log without the value: never skip
                 continue
-            if pv[column] is None:
+            if pv[key] is None:
                 continue  # null partition: fails the range residual anyway
-            v = _parse_partition_value(pv[column], dtype)
+            v = _parse_partition_value(pv[key], dtype)
             if v is None or lo <= v <= hi:
                 kept[f] = add
     else:
@@ -949,8 +1099,8 @@ def read_delta_where(
             if stats_raw:
                 try:
                     stats = json.loads(stats_raw)
-                    mn = stats.get("minValues", {}).get(column)
-                    mx = stats.get("maxValues", {}).get(column)
+                    mn = stats.get("minValues", {}).get(phys_col)
+                    mx = stats.get("maxValues", {}).get(phys_col)
                     if mn is not None and mx is not None:
                         # negated form: NaN makes both comparisons False -> keep
                         keep = not (mn > hi or mx < lo)

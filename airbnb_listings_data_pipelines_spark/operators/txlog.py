@@ -471,17 +471,25 @@ class TxLogTable:
         resumes at the right batch — :meth:`last_txn_version` finds
         them).
 
-        Refused loudly: column-mapped Delta tables (physical-name
-        metadata not implemented, same gate as the export) and
-        partitioned tables whose file paths are not hive-style (this
-        reader reattaches partition values from ``col=value`` dirs; a
-        foreign writer that relies on ``partitionValues`` alone cannot
-        be adopted losslessly). After conversion the txlog is
+        Column-mapped tables (``delta.columnMapping.mode=name``) are
+        adopted faithfully: each field's ``physicalName`` metadata
+        becomes the txlog ``column_mapping`` payload on commit 0, so
+        reads alias physical parquet columns back to logical names and
+        later re-adds mint fresh physical names exactly as on a
+        natively-renamed table. Refused loudly: mode=id tables
+        (parquet-field-id resolution not implemented) and partitioned
+        tables whose file paths are not hive-style (this reader
+        reattaches partition values from ``col=value`` dirs; a foreign
+        writer that relies on ``partitionValues`` alone cannot be
+        adopted losslessly). After conversion the txlog is
         authoritative — :meth:`to_delta_log` refuses (its version
         numbering would misalign with the pre-existing foreign log)."""
-        from pyspark.sql.types import StructType
-
-        from .deltalog import _replay_delta_log
+        from .deltalog import (
+            _logical_schema,
+            _physical_names,
+            _replay_delta_log,
+            _require_supported_mapping,
+        )
 
         t = cls(spark, path)
         if os.path.exists(t.log_dir):
@@ -489,15 +497,19 @@ class TxLogTable:
         st = _replay_delta_log(spark, os.path.join(path, "_delta_log"))
         meta = st.metadata or {}
         cfg = meta.get("configuration") or {}
-        if cfg.get("delta.columnMapping.mode") not in (None, "", "none"):
-            raise NotImplementedError(
-                "convert_from_delta refused: the Delta table uses column "
-                f"mapping mode {cfg['delta.columnMapping.mode']!r} — "
-                "physical-name metadata is not implemented (same gate as "
-                "the export)"
-            )
-        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        mode = _require_supported_mapping(meta)
+        schema = _logical_schema(meta)
+        mapping = _physical_names(meta) if mode == "name" else None
         pby = list(meta.get("partitionColumns") or [])
+        if mapping is not None:
+            bad_p = [c for c in pby if mapping.get(c, c) != c]
+            if bad_p:
+                raise NotImplementedError(
+                    "convert_from_delta refused: partition column(s) "
+                    f"{bad_p} are column-mapped to different physical "
+                    "names — hive directory names embed the physical "
+                    "name, which this adoption path cannot re-alias"
+                )
         files = sorted(st.live)
         gone = [f for f in files if not os.path.exists(os.path.join(path, f))]
         if gone:
@@ -522,23 +534,32 @@ class TxLogTable:
             for k, v in cfg.items()
             if k.startswith("delta.constraints.")
         }
+        from pyspark.sql.types import StructType
+
         pschema = (
             StructType([schema[c] for c in pby]) if pby else None
         )
         os.makedirs(t.log_dir, exist_ok=False)
         t._pmeta = (pby, pschema)
+        extra0 = {
+            "partition_by": pby,
+            "partition_schema": pschema.json() if pby else None,
+            "schema": schema.json(),
+            "checks_reset": checks,
+            "converted_from_delta": st.version,
+        }
+        if mapping is not None:
+            # adopt mode=name wholesale (identity entries included): the
+            # mapping being PRESENT is what makes later add_column mint
+            # fresh physical names, matching the source table's re-add
+            # semantics
+            extra0["column_mapping"] = mapping
         t._try_commit(
             0,
             adds=files,
             removes=[],
             op="convert_delta",
-            extra={
-                "partition_by": pby,
-                "partition_schema": pschema.json() if pby else None,
-                "schema": schema.json(),
-                "checks_reset": checks,
-                "converted_from_delta": st.version,
-            },
+            extra=extra0,
         )
         # txn carry-over: one no-op commit per appId so exactly-once
         # sinks resume idempotently after migrating to the txlog sink
@@ -2321,10 +2342,10 @@ class TxLogTable:
         at any table size. Reads select physical names and alias back;
         writes rename logical -> physical at the :meth:`_write_data`
         chokepoint. Time travel is exact: reads at earlier versions use
-        that version's recorded schema AND mapping. The Delta export
-        refuses column-mapped tables loudly (protocol writer v5 not
-        implemented); the native reader, change feed, and the txlog
-        DataSource all honor the mapping."""
+        that version's recorded schema AND mapping. The native reader,
+        change feed, txlog DataSource, and the Delta export (protocol
+        reader 2 / writer 5 with per-field physicalName metadata) all
+        honor the mapping."""
         import re as _re
 
         from pyspark.sql.types import StructField, StructType

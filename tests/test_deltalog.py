@@ -490,7 +490,9 @@ def test_convert_from_delta_partitioned_and_guards(spark, tmp_path):
     # exact recorded partition types: the string "07" did not become 7
     assert dict(c.read().dtypes)["bucket"] == "string"
     assert {(r.k, r.bucket) for r in c.read().collect()} == {(1, "07"), (2, "1")}
-    # column-mapped foreign tables are refused loudly
+    # mode=id foreign tables are refused loudly (parquet-field-id
+    # resolution is not implemented; mode=name IS adopted — see
+    # test_txlog_column_mapping.test_convert_from_delta_adopts_mapped_table)
     mapped = str(tmp_path / "m")
     t2 = TxLogTable.create(
         spark, mapped, spark.createDataFrame([(1, 1.0)], "k int, v double")
@@ -503,8 +505,8 @@ def test_convert_from_delta_partitioned_and_guards(spark, tmp_path):
     for ln in lines:
         d = _json.loads(ln)
         if "metaData" in d:
-            d["metaData"]["configuration"]["delta.columnMapping.mode"] = "name"
+            d["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
         out.append(_json.dumps(d))
     open(c0, "w").write("\n".join(out) + "\n")
-    with pytest.raises(NotImplementedError, match="column "):
+    with pytest.raises(NotImplementedError, match="columnMapping.mode"):
         TxLogTable.convert_from_delta(spark, mapped)

@@ -128,12 +128,148 @@ def test_change_feed_and_read_where_through_mapping(spark, tmp_path):
     assert got == {2}
 
 
-def test_delta_export_refuses_mapped_tables(spark, tmp_path):
+def test_delta_export_of_mapped_table_roundtrips(spark, tmp_path):
+    """Delta export of a renamed+dropped+re-added table (protocol
+    reader 2 / writer 5, columnMapping=name): the independent log-replay
+    reader matches the native reader row-for-row at EVERY version, the
+    upgrade commit carries the mode=name configuration + per-field
+    physicalName metadata, and incremental re-export after further DML
+    stays green. Reference: delta.io PROTOCOL.md 'Column Mapping'."""
+    import json as _json
+
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        read_delta_snapshot,
+        read_delta_where,
+    )
+
     t = _t(spark, tmp_path)
-    t.to_delta_log()  # fine pre-mapping
+    t.to_delta_log()  # v0 exported pre-mapping (stays reader v1)
+    t.rename_column("price", "amount")  # v1: activates columnMapping
+    t.drop_column("k")  # v2: schema narrows to [amount]
+    t.add_column("note", "string")  # v3
+    t.append(
+        spark.createDataFrame(
+            [(30.0, "x")], "amount double, note string"
+        ).coalesce(1)
+    )  # v4
+    t.to_delta_log()
+    for v in range(t.version() + 1):
+        d = read_delta_snapshot(spark, str(tmp_path / "t"), version=v)
+        n = t.read_version(v)
+        assert d.columns == n.columns, f"v{v} columns"
+        assert sorted(map(tuple, d.collect())) == sorted(
+            map(tuple, n.collect())
+        ), f"v{v} rows"
+    # the upgrade commit: protocol 2/5 + annotated metaData
+    dl = str(tmp_path / "t" / "_delta_log")
+    acts = [
+        _json.loads(ln)
+        for ln in open(os.path.join(dl, f"{1:020d}.json"))
+        if ln.strip()
+    ]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto == {"minReaderVersion": 2, "minWriterVersion": 5}
+    md = next(a["metaData"] for a in acts if "metaData" in a)
+    assert md["configuration"]["delta.columnMapping.mode"] == "name"
+    fields = _json.loads(md["schemaString"])["fields"]
+    by_name = {f["name"]: f["metadata"] for f in fields}
+    assert by_name["amount"]["delta.columnMapping.physicalName"] == "price"
+    assert by_name["k"]["delta.columnMapping.physicalName"] == "k"
+    ids = [f["metadata"]["delta.columnMapping.id"] for f in fields]
+    assert len(set(ids)) == len(ids) and all(isinstance(i, int) for i in ids)
+    # stats-driven skipping resolves the logical name through the mapping
+    got = {
+        r.amount
+        for r in read_delta_where(
+            spark, str(tmp_path / "t"), "amount", 15.0, 25.0
+        ).collect()
+    }
+    assert got == {20.0}
+    # incremental re-export after more DML under the mapping
+    t.delete_where("amount = 10.0")
+    t.to_delta_log()
+    d = read_delta_snapshot(spark, str(tmp_path / "t"))
+    assert sorted(map(tuple, d.collect())) == sorted(
+        map(tuple, t.read().collect())
+    )
+
+
+def test_delta_export_fresh_physical_name_on_readd(spark, tmp_path):
+    """DROP then re-ADD of the same logical name: the export's field
+    metadata carries the FRESH physical name and a NEW column id (never
+    reused — maxColumnId is the high-water mark), and external replay
+    null-fills the re-added column for pre-drop files instead of
+    resurrecting dropped values."""
+    import json as _json
+
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        read_delta_snapshot,
+    )
+
+    t = _t(spark, tmp_path)
+    t.rename_column("price", "amount")  # activate mapping
+    t.drop_column("amount")
+    t.add_column("amount", "double")  # fresh physical name
+    t.to_delta_log()
+    d = read_delta_snapshot(spark, str(tmp_path / "t"))
+    assert {(r.k, r.amount) for r in d.collect()} == {(1, None), (2, None)}
+    dl = str(tmp_path / "t" / "_delta_log")
+    last_md = None
+    for v in range(t.version() + 1):
+        p = os.path.join(dl, f"{v:020d}.json")
+        for ln in open(p):
+            a = _json.loads(ln)
+            if "metaData" in a:
+                last_md = a["metaData"]
+    fields = _json.loads(last_md["schemaString"])["fields"]
+    amt = next(f for f in fields if f["name"] == "amount")
+    ph = amt["metadata"]["delta.columnMapping.physicalName"]
+    assert ph not in ("price", "amount"), "re-add must mint a fresh physical name"
+    max_id = int(last_md["configuration"]["delta.columnMapping.maxColumnId"])
+    assert amt["metadata"]["delta.columnMapping.id"] == max_id
+
+
+def test_delta_checkpoint_preserves_mapping_state(spark, tmp_path):
+    """A parquet checkpoint of a column-mapped export must carry the
+    protocol (2/5) and the annotated metaData through — a reader
+    bootstrapping from the checkpoint alone still resolves physical
+    columns correctly."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        read_delta_snapshot,
+        write_delta_checkpoint,
+    )
+
+    t = _t(spark, tmp_path)
     t.rename_column("price", "amount")
-    with pytest.raises(NotImplementedError, match="column-maps"):
-        t.to_delta_log()
+    t.append(spark.createDataFrame([(3, 30.0)], "k int, amount double"))
+    t.to_delta_log()
+    write_delta_checkpoint(spark, str(tmp_path / "t"))
+    d = read_delta_snapshot(spark, str(tmp_path / "t"))
+    assert d.columns == ["k", "amount"]
+    assert sorted(map(tuple, d.collect())) == sorted(
+        map(tuple, t.read().collect())
+    )
+
+
+def test_convert_from_delta_adopts_mapped_table(spark, tmp_path):
+    """CONVERT FROM DELTA of a columnMapping=name table: the physicalName
+    field metadata becomes the txlog column_mapping, reads alias back to
+    logical names, and a later re-add mints a fresh physical name (the
+    mapping is active from adoption)."""
+    import shutil
+
+    t = _t(spark, tmp_path)
+    t.rename_column("price", "amount")
+    t.to_delta_log()
+    expect = sorted(map(tuple, t.read().collect()))
+    shutil.rmtree(t.log_dir)
+    c = TxLogTable.convert_from_delta(spark, str(tmp_path / "t"))
+    assert c.read().columns == ["k", "amount"]
+    assert sorted(map(tuple, c.read().collect())) == expect
+    # mapping is live: dropping and re-adding cannot resurrect old bytes
+    c.drop_column("amount")
+    c.add_column("amount", "double")
+    assert {(r.k, r.amount) for r in c.read().collect()} == {(1, None), (2, None)}
 
 
 def test_clone_carries_mapping(spark, tmp_path):
