@@ -22,10 +22,13 @@ What this gives over the staged-swap backend (and what it does not):
   the retry is safe). This is last-committer-wins at whole-table
   granularity — coarser than Delta's per-file conflict analysis, stated
   plainly.
-- **Scope.** Create-exclusive is atomic on local filesystems (O_EXCL)
-  and HDFS; S3-style object stores need a coordination service for the
-  final create (the Delta paper's LogStore) — same caveat, same fix, out
-  of scope here.
+- **Scope.** The atomic publish is factored behind :class:`CommitArbiter`
+  (the Delta paper's LogStore seam): :class:`PosixExclArbiter` (default)
+  uses O_EXCL create — atomic on local filesystems and HDFS;
+  :class:`ConditionalPutArbiter` models the object-store primitive
+  (S3 ``If-None-Match: *``, GCS ``ifGenerationMatch=0``, Azure
+  ``If-None-Match: *``) for S3-style stores, where conditional PUT is
+  the arbiter and no external lock service is needed.
 
 At 100 TB: the log holds file NAMES, not data — a commit is O(files
 touched) JSON bytes; snapshot resolution is a driver-side read of the log
@@ -52,6 +55,73 @@ class CheckViolation(Exception):
 
 class CommitConflict(Exception):
     """Another writer committed the version this writer raced for."""
+
+
+class CommitArbiter:
+    """The ONE primitive the whole commit protocol rides on: atomically
+    publish ``payload`` at ``target`` iff nothing exists there, returning
+    whether THIS caller won. Everything else in the log design (optimistic
+    retries, snapshot isolation, checkpointing) is built on top, so
+    porting the table format to a new storage system means implementing
+    exactly this seam — the Delta paper's LogStore abstraction
+    (Armbrust et al., VLDB 2020 §3.2)."""
+
+    def put_if_absent(self, target: str, payload: str) -> bool:
+        raise NotImplementedError
+
+
+class PosixExclArbiter(CommitArbiter):
+    """Create-exclusive file creation (``O_EXCL``) — atomic on local
+    filesystems and HDFS-like stores where create-no-overwrite is a
+    first-class primitive. The default backend."""
+
+    def put_if_absent(self, target: str, payload: str) -> bool:
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        return True
+
+
+class ConditionalPutArbiter(CommitArbiter):
+    """Simulated object-store CONDITIONAL PUT: S3 ``If-None-Match: *``
+    (GA since 2024 — no external lock table needed anymore), GCS
+    ``ifGenerationMatch=0``, Azure Blob ``If-None-Match: *``. The store's
+    metadata service serializes key creation and the winning PUT appears
+    with its COMPLETE body; here a process-wide mutex + in-flight set
+    stand in for the service and a temp-write + rename materializes the
+    body, so readers never observe a partial object — the same
+    read-after-write envelope a strongly-consistent object store gives.
+    A key deleted later (tag removal) may be re-created, exactly as a
+    real conditional PUT checks CURRENT existence, not history.
+
+    The simulation arbitrates within one process (the in-flight set is
+    class-level, shared across all handles/threads); cross-process
+    correctness on a real object store comes from the service itself.
+    """
+
+    import threading as _threading
+
+    _lock = _threading.Lock()
+    _in_flight: set[str] = set()
+
+    def put_if_absent(self, target: str, payload: str) -> bool:
+        key = os.path.abspath(target)
+        with self._lock:
+            if key in self._in_flight or os.path.exists(key):
+                return False
+            self._in_flight.add(key)
+        try:
+            tmp = f"{key}.put-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                fh.write(payload)
+            os.replace(tmp, key)
+            return True
+        finally:
+            with self._lock:
+                self._in_flight.discard(key)
 
 
 def _footer_schema(path: str):
@@ -344,11 +414,21 @@ def commit_deltas_full(
 class TxLogTable:
     """A parquet table whose live file set is governed by a commit log."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        arbiter: CommitArbiter | None = None,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.log_dir = os.path.join(self.path, _LOG_DIR)
         self._pmeta: tuple[list[str], "object"] | None = None
+        # the put-if-absent backend every commit/tag publish goes through
+        # (per-HANDLE: pass the same arbiter to every writer of a table;
+        # mixing backends on one table forfeits the atomicity guarantee,
+        # exactly as mixing LogStores does in Delta)
+        self.arbiter = arbiter or PosixExclArbiter()
 
     # ------------------------------------------------------------- create
 
@@ -359,6 +439,7 @@ class TxLogTable:
         path: str,
         df: DataFrame,
         partition_by: list[str] | None = None,
+        arbiter: CommitArbiter | None = None,
     ) -> "TxLogTable":
         """Create a new table at ``path`` from ``df`` (version 0).
 
@@ -374,7 +455,7 @@ class TxLogTable:
         scan under the recorded schema, so partition-type inference never
         runs (it would corrupt e.g. a string column holding ``"07"`` into
         the integer 7)."""
-        t = cls(spark, path)
+        t = cls(spark, path, arbiter=arbiter)
         pby = list(partition_by or [])
         missing = [c for c in pby if c not in df.columns]
         if missing:
@@ -1699,12 +1780,8 @@ class TxLogTable:
             {"op": op, "adds": adds, "removes": removes, "checkpoint": is_ckpt, **extra}
         )
         target = os.path.join(self.log_dir, _commit_name(version))
-        try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError as e:
-            raise CommitConflict(f"version {version} already committed") from e
-        with os.fdopen(fd, "w") as fh:
-            fh.write(payload)
+        if not self.arbiter.put_if_absent(target, payload):
+            raise CommitConflict(f"version {version} already committed")
 
     def commit(
         self,
@@ -2137,12 +2214,9 @@ class TxLogTable:
             raise ValueError(f"version {v} does not exist")
         refs = os.path.join(self.log_dir, "refs")
         os.makedirs(refs, exist_ok=True)
-        fd = os.open(
-            os.path.join(refs, f"{name}.json"),
-            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-        )
-        with os.fdopen(fd, "w") as fh:
-            fh.write(json.dumps({"version": v}))
+        ref = os.path.join(refs, f"{name}.json")
+        if not self.arbiter.put_if_absent(ref, json.dumps({"version": v})):
+            raise FileExistsError(f"tag {name!r} already exists")
         return v
 
     def tags(self) -> dict[str, int]:

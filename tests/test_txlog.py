@@ -487,34 +487,46 @@ def test_optimize_rerun_after_losing_to_delete_converges(spark, tmp_path):
     assert [h["op"] for h in t.history()[-2:]] == ["delete", "optimize"]
 
 
-def test_multiwriter_stress_converges(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["posix_excl", "conditional_put"])
+def test_multiwriter_stress_converges(spark, tmp_path, backend):
     """Four concurrent writers — DELETE, UPDATE, OPTIMIZE, APPEND — race on
-    one table through the O_EXCL commit arbiter. The 2-way race tests above
+    one table through the commit arbiter. The 2-way race tests above
     pin specific interleavings; this pins the general case: whatever order
     the commits landed in, (a) the log replays to a consistent snapshot,
     (b) every remove retired a file that was live at its base version,
     (c) the final rows are the DETERMINISTIC fixed point of the four ops
     (predicates chosen so outcome is interleaving-independent: deletes win
-    over updates on overlapping keys, appended keys match no predicate)."""
+    over updates on overlapping keys, appended keys match no predicate).
+
+    Run against BOTH arbiter backends: the default O_EXCL file creation
+    and the simulated object-store conditional PUT (the S3/GCS/Azure
+    put-if-absent mapping — SCALING.md 'commit arbiter')."""
     import json as _json
     from concurrent.futures import ThreadPoolExecutor
 
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        ConditionalPutArbiter,
+    )
+
+    arb = ConditionalPutArbiter() if backend == "conditional_put" else None
     path = str(tmp_path / "stress")
     base = spark.createDataFrame(
         [(k, "v") for k in range(800)], "k int, v string"
     ).repartitionByRange(8, "k")
-    TxLogTable.create(spark, path, base)
+    TxLogTable.create(spark, path, base, arbiter=arb)
 
     def deleter():
-        TxLogTable(spark, path).delete_where("k % 17 = 3", max_retries=20)
+        TxLogTable(spark, path, arbiter=arb).delete_where(
+            "k % 17 = 3", max_retries=20
+        )
 
     def updater():
-        TxLogTable(spark, path).update_where(
+        TxLogTable(spark, path, arbiter=arb).update_where(
             "k % 13 = 2", {"v": F.lit("u")}, max_retries=20
         )
 
     def optimizer():
-        t = TxLogTable(spark, path)
+        t = TxLogTable(spark, path, arbiter=arb)
         for _ in range(20):
             try:
                 t.optimize(target_files=4)
@@ -524,7 +536,7 @@ def test_multiwriter_stress_converges(spark, tmp_path):
         raise AssertionError("optimize never landed")
 
     def appender():
-        t = TxLogTable(spark, path)
+        t = TxLogTable(spark, path, arbiter=arb)
         # appended keys match neither DML predicate -> outcome deterministic
         rows = [(k, "new") for k in range(10000, 10040)
                 if k % 17 != 3 and k % 13 != 2]
@@ -574,6 +586,36 @@ def test_multiwriter_stress_converges(spark, tmp_path):
     ops = sorted(c["op"] for c in commits.values())
     assert ops.count("delete") >= 1 and ops.count("update") >= 1
     assert ops.count("optimize") == 1 and ops.count("append") == 1
+
+
+def test_conditional_put_arbiter_semantics(tmp_path):
+    """The simulated object-store arbiter's contract, pinned directly:
+    exactly one of N racing PUTs for a key wins; losers see False and the
+    winner's COMPLETE body; a deleted key may be re-created (conditional
+    PUT checks current existence, not history — S3 If-None-Match: * /
+    GCS ifGenerationMatch=0 semantics)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        ConditionalPutArbiter,
+    )
+
+    arb = ConditionalPutArbiter()
+    key = str(tmp_path / "00000000000000000001.json")
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        wins = list(
+            ex.map(lambda i: arb.put_if_absent(key, f"body-{i}"), range(8))
+        )
+    assert sum(wins) == 1, "exactly one PUT must win"
+    body = open(key).read()
+    assert body.startswith("body-") and wins[int(body.split("-")[1])]
+    # existing key: refused
+    assert arb.put_if_absent(key, "other") is False
+    assert open(key).read() == body
+    # delete then re-create: allowed
+    os.remove(key)
+    assert arb.put_if_absent(key, "fresh") is True
+    assert open(key).read() == "fresh"
 
 
 # ------------------------------------------------------- change data feed
