@@ -33,14 +33,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # then the three queries whose latest driver evidence is round 4
 # (q33/q36/x44 — displaced by the round-7 governance additions, exactly
 # as predicted in the round-7 window comment), then 44 fillers from the
-# round-5-stale set in registry order (1 + 3 + 44 = 48 slots; new
+# round-5-stale set in registry order (2 + 3 + 44 = 49 slots; new
 # round-8 queries x81+ are appended to the head as they are registered,
 # displacing the tail fillers). After this window, no registry query's
 # driver evidence predates round 5. Membership is derived from the
 # committed CORRECTNESS files and enforced by tests/test_repo_consistency
 # .py::test_window_rotation_covers_stalest_evidence. Everything outside
 # the window stays covered by tools/check_oracle.py's full bit-exact
-# registry sweep (153/153 at the start of round 8).
+# registry sweep (154/154 at the start of round 8; x81 added and gate-checked in round 8).
 #
 # Evidence-audit note: the round-1 driver files contain three names that
 # never passed — x06_minhash_lsh_pairs, x10_lsh_ann_topk,
@@ -50,13 +50,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # the renamed successors are driver-green (r2/r4/r5). They are renames,
 # not never-checked queries.
 _CHECK_FIRST = [
-    # never driver-checked — slot 1 (round-8 additions appended here)
+    # never driver-checked — slots 1-2 (round-8 additions appended here)
     "x80_deletion_vector_dml",
-    # latest driver evidence round 4 — slots 2-4
+    "x81_sql_governance_dml",
+    # latest driver evidence round 4 — slots 3-5
     "q33_events_daily_top_users",
     "q36_json_extraction",
     "x44_attribution_join",
-    # round-5-stale fillers in registry order — slots 5-48
+    # round-5-stale fillers in registry order — slots 6-49
     "x01_dedup_exact",
     "x02_token_count",
     "x03_quality_scores",

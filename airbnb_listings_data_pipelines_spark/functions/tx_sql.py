@@ -1,0 +1,304 @@
+"""SQL front-end for the table-governance surface of ``operators/txlog``.
+
+The reference's entire posture is SQL text (``design.sql`` /
+``adhoc.sql`` run verbatim through ``snowflake_script.ScriptSession``);
+the engine's table format grew a Python-only governance API (DML, MERGE,
+OPTIMIZE, RESTORE, schema evolution, constraints, VACUUM). This module
+closes that gap: a :class:`TxSqlSession` binds table names to
+:class:`~..operators.txlog.TxLogTable` roots and routes governance
+STATEMENT TEXT onto the existing APIs, so a SQL-speaking user drives the
+same commits a Python caller would — byte-identical log history, by
+construction, because the SQL layer parses only the statement SHAPE and
+hands every condition / assignment / expression through to the same
+Spark-SQL expression parser the Python API uses (``F.expr``). Statement
+grammar follows Delta Lake's public SQL surface (delta.io docs) for the
+operations Snowflake SQL has no equivalent of (OPTIMIZE, RESTORE,
+VACUUM), and ANSI for the rest:
+
+- ``DELETE FROM t [WHERE cond]``
+- ``UPDATE t SET c1 = e1, c2 = e2 [WHERE cond]``
+- ``MERGE INTO t USING src [AS alias] ON t.k = src.k [AND ...]
+  [WHEN MATCHED THEN UPDATE SET * | WHEN MATCHED THEN DELETE]
+  [WHEN NOT MATCHED THEN INSERT *]`` — the engine's merge is
+  whole-row by key (``merge_into_txlog``), so only the ``SET *`` /
+  ``INSERT *`` forms are accepted; per-column SET lists in MERGE are
+  refused loudly rather than silently approximated. ``src`` is a
+  catalog/temp-view name or a parenthesized subquery.
+- ``OPTIMIZE t [ZORDER BY (c1, c2)]``
+- ``RESTORE TABLE t TO VERSION AS OF n``
+- ``ALTER TABLE t RENAME COLUMN a TO b`` / ``DROP COLUMN a`` /
+  ``ADD COLUMN a type`` / ``ADD CONSTRAINT name CHECK (expr)`` /
+  ``DROP CONSTRAINT name``
+- ``VACUUM t [RETAIN n VERSIONS]``
+- ``DESCRIBE HISTORY t`` (returns a DataFrame, newest first — Delta's
+  shape: version, operation, and the commit's add/remove counts)
+
+Scale shape: parsing is driver-side regex over statement text (O(bytes
+of SQL), zero data work); every statement's execution cost is exactly
+its Python twin's — this layer adds no plan nodes, no extra scans.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.txlog import TxLogTable, merge_into_txlog
+from .snowflake_script import _split_top_commas, split_statements
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
+
+
+class TxSqlSession:
+    """Bind table names to txlog roots; execute governance SQL against
+    them. ``tables`` maps the name used in statements to a
+    :class:`TxLogTable` or a filesystem path (opened lazily, default
+    arbiter)."""
+
+    def __init__(self, spark: SparkSession, tables: dict[str, object]):
+        self.spark = spark
+        self._tables: dict[str, TxLogTable] = {}
+        for name, t in tables.items():
+            self._tables[name.lower()] = (
+                t if isinstance(t, TxLogTable) else TxLogTable(spark, str(t))
+            )
+
+    def table(self, name: str) -> TxLogTable:
+        t = self._tables.get(name.lower())
+        if t is None:
+            raise KeyError(
+                f"unknown txlog table {name!r} (bound: {sorted(self._tables)})"
+            )
+        return t
+
+    # ---------------------------------------------------------------- API
+
+    def execute_script(self, text: str) -> list[object]:
+        return [self.execute(stmt) for stmt in split_statements(text)]
+
+    def execute(self, stmt: str):
+        """Run one statement; returns the committed version (int) for
+        write statements, a DataFrame for DESCRIBE HISTORY, a list of
+        deleted files for VACUUM."""
+        s = stmt.strip().rstrip(";").strip()
+        head = re.sub(r"\s+", " ", s[:40].upper())
+        for pat, fn in (
+            (r"DELETE FROM ", self._delete),
+            (r"UPDATE ", self._update),
+            (r"MERGE INTO ", self._merge),
+            (r"OPTIMIZE ", self._optimize),
+            (r"RESTORE TABLE ", self._restore),
+            (r"ALTER TABLE ", self._alter),
+            (r"VACUUM ", self._vacuum),
+            (r"DESCRIBE HISTORY ", self._history),
+        ):
+            if re.match(pat, head):
+                return fn(s)
+        raise ValueError(f"unsupported governance statement: {head!r}")
+
+    # ----------------------------------------------------------- handlers
+
+    def _delete(self, s: str) -> int:
+        m = re.fullmatch(
+            rf"DELETE\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.+))?",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse DELETE: {s!r}")
+        cond = m.group(2) or "true"
+        return self.table(m.group(1)).delete_where(cond)
+
+    def _update(self, s: str) -> int:
+        m = re.fullmatch(
+            rf"UPDATE\s+({_IDENT})\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse UPDATE: {s!r}")
+        assignments: dict[str, str] = {}
+        for item in _split_top_commas(m.group(2)):
+            am = re.fullmatch(
+                rf"\s*({_IDENT})\s*=\s*(.+?)\s*", item, re.DOTALL
+            )
+            if not am:
+                raise ValueError(f"cannot parse SET item: {item!r}")
+            assignments[am.group(1)] = am.group(2)
+        cond = m.group(3) or "true"
+        return self.table(m.group(1)).update_where(cond, assignments)
+
+    def _merge(self, s: str) -> int:
+        m = re.fullmatch(
+            rf"MERGE\s+INTO\s+({_IDENT})(?:\s+AS\s+(\w+))?\s+USING\s+"
+            rf"(\((?:[^()]|\([^()]*\))*\)|{_IDENT})(?:\s+AS\s+(\w+)|\s+(\w+))?"
+            rf"\s+ON\s+(.+?)\s*((?:WHEN\s.+)?)",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse MERGE: {s!r}")
+        tname, talias, src, salias1, salias2, on, clauses = m.groups()
+        salias = salias1 or salias2
+        t = self.table(tname)
+        # shape validation FIRST, source resolution last: a malformed
+        # statement must refuse on its own text, not on catalog state
+        # ON must be a conjunction of key equalities (the engine merges
+        # whole rows by key) — extract the key list, refusing anything else
+        keys: list[str] = []
+        for term in re.split(r"\s+AND\s+", on, flags=re.IGNORECASE):
+            em = re.fullmatch(
+                r"\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*", term
+            )
+            if not em:
+                raise ValueError(
+                    f"MERGE ON term {term!r} is not a qualified key "
+                    "equality (t.k = s.k) — only equi-key merges are "
+                    "supported"
+                )
+            q1, c1, q2, c2 = em.groups()
+            if c1.lower() != c2.lower():
+                raise ValueError(
+                    f"MERGE ON joins differently-named columns {term!r} — "
+                    "alias the source column to the target name first"
+                )
+            keys.append(c1)
+        del talias, salias  # qualifiers are shape-checked above, not bound
+        when_matched = "ignore"
+        when_not_matched = "ignore"
+        cl = clauses.strip()
+        for wm in re.finditer(
+            r"WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+(UPDATE\s+SET\s+\*|DELETE|"
+            r"INSERT\s+\*)",
+            cl,
+            re.IGNORECASE,
+        ):
+            action = re.sub(r"\s+", " ", wm.group(2).upper())
+            if wm.group(1):
+                if action != "INSERT *":
+                    raise ValueError(
+                        "WHEN NOT MATCHED supports only INSERT *"
+                    )
+                when_not_matched = "insert"
+            else:
+                when_matched = "update" if action == "UPDATE SET *" else (
+                    "delete" if action == "DELETE" else None
+                )
+                if when_matched is None:
+                    raise ValueError(
+                        "WHEN MATCHED supports only UPDATE SET * or DELETE"
+                    )
+        residue = re.sub(
+            r"WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+(UPDATE\s+SET\s+\*|DELETE|"
+            r"INSERT\s+\*)",
+            "",
+            cl,
+            flags=re.IGNORECASE,
+        ).strip()
+        if residue:
+            raise ValueError(
+                f"unsupported MERGE clause text: {residue!r} (per-column "
+                "SET lists and conditional clauses are refused, not "
+                "approximated)"
+            )
+        if when_matched == "ignore":
+            # merge_into_txlog has no matched-ignore mode; Delta's MERGE
+            # without a MATCHED clause leaves matched rows unchanged,
+            # which whole-row 'update' would violate — refuse loudly
+            if when_not_matched != "insert":
+                raise ValueError("MERGE with no actionable clause")
+            raise ValueError(
+                "MERGE without a WHEN MATCHED clause is not supported — "
+                "use INSERT-only ingestion via append/dedup instead"
+            )
+        source = (
+            self.spark.sql(src[1:-1])
+            if src.startswith("(")
+            else self.spark.table(src)
+        )
+        merge_into_txlog(
+            self.spark, t, source, keys,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+        )
+        return t.version()
+
+    def _optimize(self, s: str) -> int:
+        m = re.fullmatch(
+            rf"OPTIMIZE\s+({_IDENT})"
+            r"(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse OPTIMIZE: {s!r}")
+        z = (
+            [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+        )
+        return self.table(m.group(1)).optimize(zorder_by=z)
+
+    def _restore(self, s: str) -> int:
+        m = re.fullmatch(
+            rf"RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse RESTORE: {s!r}")
+        return self.table(m.group(1)).restore(int(m.group(2)))
+
+    def _alter(self, s: str) -> int:
+        forms = (
+            (
+                rf"ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)",
+                lambda t, a, b: self.table(t).rename_column(a, b),
+            ),
+            (
+                rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+(\w+)",
+                lambda t, a: self.table(t).drop_column(a),
+            ),
+            (
+                rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMN\s+(\w+)\s+([\w()\s,]+)",
+                lambda t, a, ty: self.table(t).add_column(a, ty.strip().lower()),
+            ),
+            (
+                rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+                r"CHECK\s*\((.+)\)",
+                lambda t, n, e: self.table(t).add_check(n, e),
+            ),
+            (
+                rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+CONSTRAINT\s+(\w+)",
+                lambda t, n: self.table(t).drop_check(n),
+            ),
+        )
+        for pat, fn in forms:
+            m = re.fullmatch(pat, s, re.IGNORECASE | re.DOTALL)
+            if m:
+                return fn(*m.groups())
+        raise ValueError(f"cannot parse ALTER TABLE: {s!r}")
+
+    def _vacuum(self, s: str) -> list[str]:
+        m = re.fullmatch(
+            rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse VACUUM: {s!r}")
+        retain = int(m.group(2)) if m.group(2) else 1
+        return self.table(m.group(1)).vacuum(retain_versions=retain)
+
+    def _history(self, s: str) -> DataFrame:
+        m = re.fullmatch(
+            rf"DESCRIBE\s+HISTORY\s+({_IDENT})", s, re.IGNORECASE
+        )
+        if not m:
+            raise ValueError(f"cannot parse DESCRIBE HISTORY: {s!r}")
+        rows = [
+            (int(c["version"]), str(c["op"]), int(c["n_adds"]), int(c["n_removes"]))
+            for c in self.table(m.group(1)).history()
+        ][::-1]
+        return self.spark.createDataFrame(
+            rows, "version int, operation string, n_adds int, n_removes int"
+        )

@@ -4459,3 +4459,93 @@ def x80_deletion_vector_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows", "n_keys", "total_cents",
     )
     return feed.unionByName(snap)
+
+
+@query(
+    "x81_sql_governance_dml",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    live1 AS (SELECT * FROM base WHERE o_orderkey % 4 <> 0),
+    live2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM live1
+    ),
+    src AS (
+      SELECT o_orderkey, 'M' AS o_orderstatus, 1.0 AS o_totalprice
+      FROM base WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N', 2.0
+      FROM base WHERE o_orderkey % 100 = 7
+    ),
+    final AS (
+      SELECT * FROM live2 WHERE o_orderkey % 10 <> 3
+      UNION ALL SELECT * FROM src
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM final GROUP BY o_orderstatus
+    """,
+    survey_rows=("EXT-tableformat", "S11", "P7", "A2", "A8"),
+    doc="SQL-DRIVEN table governance (functions/tx_sql.TxSqlSession — "
+    "the round-7 verdict's item 5): the reference's posture is pure SQL "
+    "text, so the table format's whole governance surface is driven "
+    "here as STATEMENTS — DELETE FROM, UPDATE ... SET, MERGE INTO "
+    "(matched update + not-matched insert from a temp-view source), "
+    "ALTER TABLE RENAME COLUMN, OPTIMIZE ... ZORDER BY — routed onto "
+    "the exact txlog APIs a Python caller uses (the router parses "
+    "statement shape only; every expression goes through F.expr), so "
+    "the commit history is byte-identical to the Python twin "
+    "(tests/test_tx_sql.py pins that). The oracle rebuilds the final "
+    "state from raw orders: delete k%4=0, +10 on status F, merge "
+    "replacing k%10=3 rows wholesale and inserting shifted new keys. "
+    "One hash match proves the SQL router, the DML semantics, the "
+    "whole-row merge, the metadata-only rename (output column is the "
+    "RENAMED name), and that OPTIMIZE is a logical no-op.",
+)
+def x81_sql_governance_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.tx_sql import TxSqlSession
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _dml_scratch("x81" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(8, "o_orderkey")
+    )
+    orders.filter("o_orderkey % 10 = 3").selectExpr(
+        "o_orderkey", "'M' AS o_orderstatus", "CAST(1.0 AS double) AS o_totalprice"
+    ).unionByName(
+        orders.filter("o_orderkey % 100 = 7").selectExpr(
+            "o_orderkey + 100000000 AS o_orderkey",
+            "'N' AS o_orderstatus",
+            "CAST(2.0 AS double) AS o_totalprice",
+        )
+    ).createOrReplaceTempView("x81_src")
+    sess = TxSqlSession(spark, {"t": t})
+    sess.execute_script(
+        """
+        DELETE FROM t WHERE o_orderkey % 4 = 0;
+        UPDATE t SET o_totalprice = o_totalprice + 10.0
+          WHERE o_orderstatus = 'F';
+        MERGE INTO t USING x81_src AS s ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *;
+        ALTER TABLE t RENAME COLUMN o_totalprice TO price;
+        OPTIMIZE t ZORDER BY (o_orderkey);
+        """
+    )
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.floor(F.col("price") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
+    )

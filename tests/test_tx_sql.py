@@ -1,0 +1,145 @@
+"""SQL governance surface (functions/tx_sql.py): the same statements
+driven as SQL text and as Python API calls must produce IDENTICAL commit
+histories (op sequence, add/remove counts) and identical final rows —
+the SQL layer parses statement shape only and routes every expression
+through the same F.expr path, so divergence would mean the router bound
+the wrong API. Grammar follows Delta Lake's public SQL surface for
+OPTIMIZE/RESTORE/VACUUM and ANSI for DML/ALTER."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_listings_data_pipelines_spark.functions.tx_sql import TxSqlSession
+from airbnb_listings_data_pipelines_spark.operators.txlog import (
+    TxLogTable,
+    merge_into_txlog,
+)
+
+
+def _mk(spark, path, n=40):
+    return TxLogTable.create(
+        spark,
+        str(path),
+        spark.createDataFrame(
+            [(k, k % 5, float(k)) for k in range(n)],
+            "k int, grp int, amt double",
+        ).repartitionByRange(4, "k"),
+    )
+
+
+def _hist_sig(t):
+    return [(c["op"], c["n_adds"] > 0, c["n_removes"] > 0) for c in t.history()]
+
+
+def _rows(t):
+    return sorted(map(tuple, t.read().collect()))
+
+
+def test_sql_vs_python_identical_history_and_rows(spark, tmp_path):
+    """The verdict's done-criterion: one script of governance statements
+    executed via SQL text and the equivalent Python calls on a twin
+    table — commit-history signature and final rows must match exactly."""
+    ts = _mk(spark, tmp_path / "sql")
+    tp = _mk(spark, tmp_path / "py")
+    spark.createDataFrame(
+        [(2, 9, 200.0), (100, 0, 100.0)], "k int, grp int, amt double"
+    ).createOrReplaceTempView("merge_src")
+
+    sess = TxSqlSession(spark, {"t": ts})
+    sess.execute_script(
+        """
+        DELETE FROM t WHERE k % 7 = 3;
+        UPDATE t SET amt = amt * 2, grp = grp + 10 WHERE k < 10;
+        MERGE INTO t USING merge_src AS s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *;
+        ALTER TABLE t RENAME COLUMN amt TO amount;
+        ALTER TABLE t ADD CONSTRAINT amt_pos CHECK (amount >= 0);
+        OPTIMIZE t ZORDER BY (k, grp);
+        """
+    )
+
+    tp.delete_where("k % 7 = 3")
+    tp.update_where(
+        "k < 10", {"amt": "amt * 2", "grp": "grp + 10"}
+    )
+    merge_into_txlog(spark, tp, spark.table("merge_src"), ["k"])
+    tp.rename_column("amt", "amount")
+    tp.add_check("amt_pos", "amount >= 0")
+    tp.optimize(zorder_by=["k", "grp"])
+
+    assert _hist_sig(ts) == _hist_sig(tp)
+    assert ts.read().columns == tp.read().columns
+    assert _rows(ts) == _rows(tp)
+    assert ts.checks() == tp.checks()
+
+
+def test_sql_restore_vacuum_history(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=20)
+    sess = TxSqlSession(spark, {"t": t})
+    sess.execute("DELETE FROM t WHERE k >= 10")
+    assert t.read().count() == 10
+    sess.execute("RESTORE TABLE t TO VERSION AS OF 0")
+    assert t.read().count() == 20
+    h = sess.execute("DESCRIBE HISTORY t")
+    ops = [r.operation for r in h.collect()]
+    assert ops[0] == "restore" and "delete" in ops
+    assert h.columns == ["version", "operation", "n_adds", "n_removes"]
+    deleted = sess.execute("VACUUM t RETAIN 1 VERSIONS")
+    assert isinstance(deleted, list)
+    assert t.read().count() == 20  # live snapshot untouched
+
+
+def test_sql_merge_delete_and_subquery_source(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=10)
+    sess = TxSqlSession(spark, {"t": t})
+    sess.execute(
+        "MERGE INTO t USING (SELECT 3 AS k, 0 AS grp, 0.0 AS amt) s "
+        "ON t.k = s.k WHEN MATCHED THEN DELETE"
+    )
+    assert {r.k for r in t.read().collect()} == set(range(10)) - {3}
+
+
+def test_sql_alter_add_drop_column_and_constraint(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=5)
+    sess = TxSqlSession(spark, {"t": t})
+    sess.execute("ALTER TABLE t ADD COLUMN note string")
+    assert t.read().columns == ["k", "grp", "amt", "note"]
+    sess.execute("ALTER TABLE t DROP COLUMN note")
+    assert t.read().columns == ["k", "grp", "amt"]
+    sess.execute("ALTER TABLE t ADD CONSTRAINT g CHECK (grp < 100)")
+    assert t.checks() == {"g": "grp < 100"}
+    sess.execute("ALTER TABLE t DROP CONSTRAINT g")
+    assert t.checks() == {}
+
+
+def test_sql_refusals_are_loud(spark, tmp_path):
+    """Unsupported shapes refuse with a clear message instead of silently
+    approximating (per-column MERGE SET lists, non-equi ON, unknown
+    tables, arbitrary statements)."""
+    t = _mk(spark, tmp_path / "t", n=5)
+    sess = TxSqlSession(spark, {"t": t})
+    with pytest.raises(ValueError, match="refused, not"):
+        sess.execute(
+            "MERGE INTO t USING t2 ON t.k = t2.k "
+            "WHEN MATCHED THEN UPDATE SET amt = 0"
+        )
+    with pytest.raises(ValueError, match="key equality"):
+        sess.execute(
+            "MERGE INTO t USING t2 ON t.k > t2.k WHEN MATCHED THEN DELETE"
+        )
+    with pytest.raises(KeyError, match="unknown txlog table"):
+        sess.execute("DELETE FROM nope WHERE true")
+    with pytest.raises(ValueError, match="unsupported governance"):
+        sess.execute("TRUNCATE TABLE t")
+
+
+def test_sql_delete_without_where_and_update_all(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=6)
+    sess = TxSqlSession(spark, {"t": t})
+    sess.execute("UPDATE t SET amt = 0.0")
+    assert {r.amt for r in t.read().collect()} == {0.0}
+    sess.execute("DELETE FROM t")
+    assert t.read().count() == 0
