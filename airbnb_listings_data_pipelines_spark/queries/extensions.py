@@ -4549,3 +4549,106 @@ def x81_sql_governance_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@query(
+    "x82_medallion_cdf_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    live1 AS (SELECT * FROM base WHERE o_orderkey % 6 <> 2),
+    live2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 7.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM live1
+    ),
+    final AS (
+      SELECT * FROM live2
+      UNION ALL
+      SELECT o_orderkey + 50000000, 'Z', 3.0
+      FROM base WHERE o_orderkey % 9 = 4
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM final GROUP BY o_orderstatus
+    """,
+    survey_rows=("EXT-streaming", "EXT-tableformat", "A2", "A8"),
+    doc="MEDALLION COMPOSITION PROOF (round-7 verdict item 6): bronze "
+    "table A takes a create + DELETE + UPDATE + append; a Structured "
+    "Streaming CDF tail (readStream.format('txlog') with "
+    "readChangeFeed=true — sources/txlog_source.py) feeds "
+    "streaming/upsert.cdf_apply_stream_txlog, which NETS the raw "
+    "file-granularity feed per key (insert orders above delete at equal "
+    "commit, so update pairs and rewrite noise net to post-images) and "
+    "applies it to silver table B as txn-marked upsert + delete merges. "
+    "Then a CRASH REPLAY is forced: the final batch's merge re-runs "
+    "with its already-committed txn id and MUST be a no-op by log "
+    "state. The result rolls up B, and the oracle rebuilds A's final "
+    "snapshot from raw orders — one hash match proves the CDF tail, "
+    "the netting rule, the exactly-once markers, and that B converged "
+    "to A bit-exactly across the crash. Per-trigger cost is O(changed "
+    "files) upstream + O(batch) merge downstream — table sizes never "
+    "enter a poll (10x probe in SCALING.md).",
+)
+def x82_medallion_cdf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.txlog import TxLogTable, merge_into_txlog
+    from ..sources import txlog_source
+    from ..streaming.upsert import cdf_apply_stream_txlog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = _dml_scratch("x82" + sf_dir)
+    a_path, b_path, ckpt = root + "/bronze", root + "/silver", root + "/ckpt"
+    a = TxLogTable.create(
+        spark, a_path, orders.repartitionByRange(8, "o_orderkey")
+    )
+    a.delete_where("o_orderkey % 6 = 2")
+    a.update_where(
+        "o_orderstatus = 'O'",
+        {"o_totalprice": F.col("o_totalprice") + F.lit(7.0)},
+    )
+    a.append(
+        orders.filter("o_orderkey % 9 = 4").selectExpr(
+            "o_orderkey + 50000000 AS o_orderkey",
+            "'Z' AS o_orderstatus",
+            "CAST(3.0 AS double) AS o_totalprice",
+        )
+    )
+    txlog_source.register(spark)
+    stream = (
+        spark.readStream.format("txlog")
+        .option("readChangeFeed", "true")
+        .load(a_path)
+    )
+    q = cdf_apply_stream_txlog(
+        stream, b_path, ["o_orderkey"], ckpt, app_id="x82"
+    )
+    q.awaitTermination(300)
+    b = TxLogTable(spark, b_path)
+    # forced crash replay: the sink committed its last merge but (we
+    # pretend) died before the checkpoint acknowledged — the same batch
+    # arrives again with the same txn id and MUST be a no-op by log
+    # state; the poison rows would break the hash if applied
+    last = b.last_txn_version("x82")
+    poison = spark.createDataFrame(
+        [(1, "XX", -999.0)],
+        "o_orderkey int, o_orderstatus string, o_totalprice double",
+    ).selectExpr(
+        "CAST(o_orderkey AS bigint) AS o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    merge_into_txlog(spark, b, poison, ["o_orderkey"], txn=("x82", last))
+    return b.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
+    )
