@@ -24,7 +24,10 @@ VACUUM), and ANSI for the rest:
   ``INSERT *`` forms are accepted; per-column SET lists in MERGE are
   refused loudly rather than silently approximated. ``src`` is a
   catalog/temp-view name or a parenthesized subquery.
-- ``OPTIMIZE t [ZORDER BY (c1, c2)]``
+- ``OPTIMIZE t [WHERE col = v | WHERE col BETWEEN lo AND hi]
+  [ZORDER BY (c1, c2)]`` — WHERE scopes the compaction to overlapping
+  files (partition dirs / footer envelopes), Delta's partition-scoped
+  OPTIMIZE
 - ``RESTORE TABLE t TO VERSION AS OF n``
 - ``ALTER TABLE t RENAME COLUMN a TO b`` / ``DROP COLUMN a`` /
   ``ADD COLUMN a type`` / ``ADD CONSTRAINT name CHECK (expr)`` /
@@ -48,6 +51,22 @@ from ..operators.txlog import TxLogTable, merge_into_txlog
 from .snowflake_script import _split_top_commas, split_statements
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
+
+
+def _lit(tok: str):
+    """A SQL literal token -> Python value: quoted string, int, float, or
+    date-like string (partition values parse from their recorded type
+    downstream, so '2024-01-01' stays a string here)."""
+    if tok.startswith("'") and tok.endswith("'"):
+        return tok[1:-1]
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        return tok
 
 
 class TxSqlSession:
@@ -227,16 +246,39 @@ class TxSqlSession:
     def _optimize(self, s: str) -> int:
         m = re.fullmatch(
             rf"OPTIMIZE\s+({_IDENT})"
+            r"(?:\s+WHERE\s+(.+?))?"
             r"(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?",
             s,
-            re.IGNORECASE,
+            re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError(f"cannot parse OPTIMIZE: {s!r}")
+        prune = None
+        if m.group(2):
+            # Delta's OPTIMIZE ... WHERE takes file-selection predicates;
+            # the engine's file-scoping primitive is a range, so accept
+            # the two range shapes and refuse anything else loudly
+            w = m.group(2).strip()
+            bm = re.fullmatch(
+                r"(\w+)\s+BETWEEN\s+('[^']*'|[\w.-]+)\s+AND\s+('[^']*'|[\w.-]+)",
+                w,
+                re.IGNORECASE,
+            )
+            em = re.fullmatch(r"(\w+)\s*=\s*('[^']*'|[\w.-]+)", w)
+            if bm:
+                prune = (bm.group(1), _lit(bm.group(2)), _lit(bm.group(3)))
+            elif em:
+                v = _lit(em.group(2))
+                prune = (em.group(1), v, v)
+            else:
+                raise ValueError(
+                    f"OPTIMIZE WHERE supports 'col = v' and 'col BETWEEN "
+                    f"lo AND hi' (file-range scoping), got: {w!r}"
+                )
         z = (
-            [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+            [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
         )
-        return self.table(m.group(1)).optimize(zorder_by=z)
+        return self.table(m.group(1)).optimize(zorder_by=z, prune=prune)
 
     def _restore(self, s: str) -> int:
         m = re.fullmatch(

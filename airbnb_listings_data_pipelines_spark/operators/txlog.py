@@ -1108,10 +1108,24 @@ class TxLogTable:
         I/O), footer (min, max) envelopes otherwise (metadata-only reads).
         Shared by :meth:`read_where` and the DML prune hints; takes the
         file list explicitly so DML retry loops prune the replay-consistent
-        snapshot they will commit against."""
+        snapshot they will commit against. String bounds against a
+        non-string column are coerced through the partition-value parser
+        (the type the SQL front-end cannot know: ``'2024-03-01'`` against
+        a DATE partition compares as a date, not a string)."""
         pby, pschema = self.partition_meta()
         if column in pby:
             fld = pschema[column].dataType
+            from pyspark.sql.types import StringType
+
+            if not isinstance(fld, StringType):
+                if isinstance(lo, str):
+                    lo = _parse_partition_value(lo, fld)
+                if isinstance(hi, str):
+                    hi = _parse_partition_value(hi, fld)
+                if lo is None or hi is None:
+                    raise ValueError(
+                        f"prune bounds for {column!r} do not parse as {fld}"
+                    )
             kept = []
             for f in files:
                 raw = self._partition_values(f).get(column)
@@ -1953,7 +1967,10 @@ class TxLogTable:
     # ----------------------------------------------------------- optimize
 
     def optimize(
-        self, target_files: int = 1, zorder_by: list[str] | None = None
+        self,
+        target_files: int = 1,
+        zorder_by: list[str] | None = None,
+        prune: tuple[str, object, object] | None = None,
     ) -> int:
         """Small-file compaction as ONE atomic commit (Delta's OPTIMIZE):
         rewrite the live snapshot into ``target_files`` files, commit the
@@ -1962,9 +1979,21 @@ class TxLogTable:
         retry loop: on CommitConflict the caller simply re-runs against
         the new snapshot. Data files are written before the commit, so a
         crash leaves only vacuumable orphans (same guarantee as merge).
-        Contrast maintenance.compact_parquet_dir, whose directory swap has
-        a documented unavailability window — under a commit log the swap
-        IS the commit.
+        Contrast maintenance.compact_parquet_dir, whose directory swap
+        has a documented unavailability window — under a commit log the
+        swap IS the commit.
+
+        ``prune=(column, lo, hi)`` SCOPES the compaction to files
+        overlapping the range — Delta's ``OPTIMIZE ... WHERE`` (partition
+        predicates resolve by DIRECTORY NAME, zero I/O; other columns by
+        footer envelopes). At 100 TB nobody compacts the whole table: the
+        operational shape is "optimize yesterday's partition", which
+        reads and rewrites that partition only — cost O(selected files),
+        table size never enters. Selecting zero files returns the current
+        version without committing. Deletion vectors on selected files
+        fold away (the rewrite reads DV-applied rows and retires the
+        vectored files — the documented DV compaction story); vectors on
+        UNSELECTED files are untouched and stay live.
 
         ``zorder_by`` is Delta's ``OPTIMIZE ... ZORDER BY``: the rewrite
         range-partitions and sorts along a Morton curve over the given
@@ -1980,8 +2009,18 @@ class TxLogTable:
         with the partition columns so partition dirs stay contiguous."""
         from pyspark.sql import functions as F
 
-        base_version, base_files = self._replay()
-        snap = self.read()
+        base_version, base_files, dvs = self._replay_full()
+        if prune is not None:
+            files = self._prune_files(base_files, *prune)
+            if not files:
+                return base_version  # nothing overlaps: no-op, no commit
+        else:
+            files = base_files
+        snap = (
+            self._read_files(files, self._schema_at(), dvs=dvs)
+            if files
+            else self._empty()
+        )
         if zorder_by:
             from .maintenance import zvalue
 
@@ -2042,8 +2081,8 @@ class TxLogTable:
         adds = self._write_data(snap, _validate=False)
         try:
             return self.commit(
-                adds=adds, removes=base_files, base_version=base_version,
-                op="optimize", schema=snap.schema.json(),
+                adds=adds, removes=files, base_version=base_version,
+                op="optimize", schema=self._schema_at() or snap.schema.json(),
             )
         except CommitConflict:
             for f in adds:

@@ -143,3 +143,54 @@ def test_sql_delete_without_where_and_update_all(spark, tmp_path):
     assert {r.amt for r in t.read().collect()} == {0.0}
     sess.execute("DELETE FROM t")
     assert t.read().count() == 0
+
+
+def test_scoped_optimize_python_and_sql(spark, tmp_path):
+    """OPTIMIZE ... WHERE (Delta's partition-scoped compaction): only
+    files overlapping the range are rewritten; others — including their
+    deletion vectors — are untouched. Zero-overlap is a no-op without a
+    commit. At 100 TB this is the operational shape: optimize one
+    partition, never the table."""
+    import datetime
+
+    from airbnb_listings_data_pipelines_spark.operators.txlog import TxLogTable
+
+    rows = [
+        (k, datetime.date(2024, 1 + k % 3, 1), float(k)) for k in range(30)
+    ]
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(rows, "k int, month date, amt double"),
+        partition_by=["month"],
+    )
+    t.append(spark.createDataFrame(
+        [(100 + i, datetime.date(2024, 2, 1), 0.5) for i in range(4)],
+        "k int, month date, amt double",
+    ))
+    # DV on a MARCH file: must survive a February-scoped optimize
+    t.delete_where("k = 2 AND month = DATE'2024-03-01'", mode="dv")
+    before = sorted(map(tuple, t.read().collect()))
+    feb = datetime.date(2024, 2, 1)
+    files_before = set(t.files())
+    feb_before = {f for f in files_before if "month=2024-02-01" in f}
+    v = t.optimize(target_files=1, prune=("month", feb, feb))
+    files_after = set(t.files())
+    assert sorted(map(tuple, t.read().collect())) == before
+    # untouched partitions carried over; february compacted to one file
+    assert files_before - feb_before <= files_after
+    feb_after = {f for f in files_after if "month=2024-02-01" in f}
+    assert len(feb_after) == 1 and feb_after.isdisjoint(feb_before)
+    assert t.dvs(), "march deletion vector must survive a feb-scoped optimize"
+    # zero-overlap: no-op, no commit
+    none_month = datetime.date(2030, 1, 1)
+    assert t.optimize(prune=("month", none_month, none_month)) == v
+    assert t.version() == v
+    # the SQL twin compacts march and FOLDS its vector away
+    sess = TxSqlSession(spark, {"t": t})
+    sess.execute("OPTIMIZE t WHERE month = '2024-03-01'")
+    assert not t.dvs(), "march optimize must fold the vector"
+    assert sorted(map(tuple, t.read().collect())) == before
+    # refusal: arbitrary predicates are not silently approximated
+    with pytest.raises(ValueError, match="file-range scoping"):
+        sess.execute("OPTIMIZE t WHERE month = '2024-02-01' OR k = 3")
