@@ -33,7 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # then the three queries whose latest driver evidence is round 4
 # (q33/q36/x44 — displaced by the round-7 governance additions, exactly
 # as predicted in the round-7 window comment), then 44 fillers from the
-# round-5-stale set in registry order (3 + 3 + 44 = 50 slots; new
+# round-5-stale set in registry order (4 + 3 + 44 = 51 entries — the last filler
+# q51 falls outside the 50-slot window and returns next round; new
 # round-8 queries x81+ are appended to the head as they are registered,
 # displacing the tail fillers). After this window, no registry query's
 # driver evidence predates round 5. Membership is derived from the
@@ -50,15 +51,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # the renamed successors are driver-green (r2/r4/r5). They are renames,
 # not never-checked queries.
 _CHECK_FIRST = [
-    # never driver-checked — slots 1-3 (round-8 additions appended here)
+    # never driver-checked — slots 1-4 (round-8 additions appended here)
     "x80_deletion_vector_dml",
     "x81_sql_governance_dml",
     "x82_medallion_cdf_pipeline",
-    # latest driver evidence round 4 — slots 4-6
+    "x83_log_retention_cleanup",
+    # latest driver evidence round 4 — slots 5-7
     "q33_events_daily_top_users",
     "q36_json_extraction",
     "x44_attribution_join",
-    # round-5-stale fillers in registry order — slots 7-50
+    # round-5-stale fillers in registry order — slots 8-51
     "x01_dedup_exact",
     "x02_token_count",
     "x03_quality_scores",

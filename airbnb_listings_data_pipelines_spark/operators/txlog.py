@@ -355,6 +355,17 @@ def commit_deltas_full(
     AFTER (a restore re-adding a DV'd file)."""
     entries = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
     versions = [int(n.split(".")[0]) for n in entries]
+    if versions and versions[0] > from_version:
+        # the range starts below the retained log head (cleanup_log
+        # truncated it): the deltas are unreconstructible — refuse
+        # loudly instead of silently reporting the bootstrap snapshot
+        # as one giant insert
+        raise FileNotFoundError(
+            f"change feed from version {from_version} is below the "
+            f"retained log head (oldest commit: {versions[0]}) — the "
+            "commits were deleted by cleanup_log; the CDF horizon is "
+            "the log-retention horizon"
+        )
     # backward scan for the bootstrap checkpoint strictly below the range
     start_idx, live, dvs = 0, set(), {}
     for i in range(len(entries) - 1, -1, -1):
@@ -656,13 +667,35 @@ class TxLogTable:
 
     def partition_meta(self) -> tuple[list[str], "object"]:
         """(partition column names, their StructType) from commit 0 —
-        ``([], None)`` for unpartitioned tables. Commit files are never
-        deleted (vacuum touches data only), so commit 0 is always there."""
+        ``([], None)`` for unpartitioned tables. After
+        :meth:`cleanup_log` truncated the log head, the OLDEST retained
+        commit is a metadata-complete checkpoint carrying the same
+        ``partition_by``/``partition_schema`` payload, so the fallback
+        reads that instead."""
         if self._pmeta is None:
             from pyspark.sql.types import StructType
 
-            with open(os.path.join(self.log_dir, _commit_name(0))) as fh:
-                c0 = json.load(fh)
+            c0_path = os.path.join(self.log_dir, _commit_name(0))
+            if os.path.exists(c0_path):
+                with open(c0_path) as fh:
+                    c0 = json.load(fh)
+            else:
+                oldest = sorted(
+                    f
+                    for f in os.listdir(self.log_dir)
+                    if f.endswith(".json")
+                )
+                if not oldest:
+                    raise FileNotFoundError(f"no commits in {self.log_dir}")
+                with open(os.path.join(self.log_dir, oldest[0])) as fh:
+                    c0 = json.load(fh)
+                if "partition_by" not in c0:
+                    raise FileNotFoundError(
+                        f"{self.log_dir}: commit 0 is gone and the oldest "
+                        f"retained commit {oldest[0]} carries no partition "
+                        "spec — the log head was truncated below a "
+                        "metadata-complete checkpoint"
+                    )
             pby = c0.get("partition_by") or []
             schema = (
                 StructType.fromJson(json.loads(c0["partition_schema"]))
@@ -1772,7 +1805,7 @@ class TxLogTable:
         """Atomically create commit ``version``; raise CommitConflict if a
         racing writer got there first (O_EXCL create is the arbiter).
         ``extra`` carries commit-0-only table metadata (partition spec)."""
-        is_ckpt = op in ("create", "convert") or (
+        is_ckpt = op in ("create", "convert", "cleanup_log") or (
             version % _CHECKPOINT_EVERY == 0 and version > 0
         )
         extra = dict(extra or {})
@@ -1790,6 +1823,42 @@ class TxLogTable:
             extra["dvs_state"] = new_dvs
             adds = sorted((set(live) - set(removes)) | set(adds))
             removes = []
+            # METADATA-COMPLETE checkpoints: also stamp the full
+            # post-commit schema / column mapping / CHECK set / partition
+            # spec / per-app streaming-txn high-waters, so every fold can
+            # bootstrap at this commit alone — the precondition for
+            # :meth:`cleanup_log` deleting the commits below it. setdefault
+            # keeps any state the op itself carries (restore's
+            # checks_reset, rename's column_mapping). The extra folds are
+            # O(commits) small-JSON reads ONCE per _CHECKPOINT_EVERY
+            # commits — same cost class as the _replay_full above.
+            if extra.get("schema") is None:
+                sj = self._schema_at()
+                if sj is not None:
+                    extra["schema"] = sj
+            if "column_mapping" not in extra:
+                m = self._mapping_at()
+                if m is not None:
+                    extra["column_mapping"] = m
+            if "checks_reset" not in extra:
+                cur_checks = self.checks()
+                ck = extra.get("check")
+                if ck and op == "add_check":
+                    cur_checks[ck["name"]] = ck["expr"]
+                elif ck and op == "drop_check":
+                    cur_checks.pop(ck["name"], None)
+                extra["checks_reset"] = cur_checks
+            pby, pschema = self.partition_meta()
+            extra.setdefault("partition_by", pby)
+            extra.setdefault(
+                "partition_schema", pschema.json() if pby else None
+            )
+            txns = self._txns_state()
+            t = extra.get("txn")
+            if t is not None:
+                app, tv = str(t["appId"]), int(t["version"])
+                txns[app] = max(txns.get(app, tv), tv)
+            extra["txns_state"] = txns
         payload = json.dumps(
             {"op": op, "adds": adds, "removes": removes, "checkpoint": is_ckpt, **extra}
         )
@@ -1842,17 +1911,39 @@ class TxLogTable:
         except FileNotFoundError:
             return None
 
+    def _txns_state(self) -> dict[str, int]:
+        """Per-app streaming-transaction high-water marks (appId -> max
+        committed txn version) folded over the retained log: checkpoint
+        commits' ``txns_state`` snapshots plus every commit's own ``txn``
+        marker — so the fold survives :meth:`cleanup_log` truncating the
+        commits the markers originally rode on."""
+        out: dict[str, int] = {}
+        for name in sorted(
+            f for f in os.listdir(self.log_dir) if f.endswith(".json")
+        ):
+            with open(os.path.join(self.log_dir, name)) as fh:
+                c = json.load(fh)
+            for app, v in (c.get("txns_state") or {}).items():
+                out[app] = max(out.get(app, int(v)), int(v))
+            t = c.get("txn")
+            if t and t.get("appId") is not None:
+                app, v = str(t["appId"]), int(t["version"])
+                out[app] = max(out.get(app, v), v)
+        return out
+
     def _latest_and_txn(
         self, app_id: str | None
     ) -> tuple[int, int | None]:
         """(latest committed version, highest txn version for ``app_id``)
         in ONE directory pass — the latest version is the max commit
         number (no file opened for it), and the txn scan opens each
-        commit json once. ``app_id=None`` skips the txn scan entirely, so
-        a plain append's per-attempt log cost is one listdir. A streaming
-        sink calling this per micro-batch on a long log pays one
-        small-JSON pass instead of the three full scans the naive
-        version() + last_txn_version() + version() sequence costs."""
+        commit json once (checkpoint ``txns_state`` snapshots included,
+        so the answer survives log cleanup). ``app_id=None`` skips the
+        txn scan entirely, so a plain append's per-attempt log cost is
+        one listdir. A streaming sink calling this per micro-batch on a
+        long log pays one small-JSON pass instead of the three full
+        scans the naive version() + last_txn_version() + version()
+        sequence costs."""
         entries = sorted(
             f for f in os.listdir(self.log_dir) if f.endswith(".json")
         )
@@ -1867,6 +1958,10 @@ class TxLogTable:
                 t = c.get("txn")
                 if t and t.get("appId") == app_id:
                     v = int(t["version"])
+                    best = v if best is None else max(best, v)
+                ts = c.get("txns_state") or {}
+                if app_id in ts:
+                    v = int(ts[app_id])
                     best = v if best is None else max(best, v)
         return latest, best
 
@@ -2293,13 +2388,16 @@ class TxLogTable:
     def checks(self, as_of: int | None = None) -> dict[str, str]:
         """Active CHECK constraints (name -> SQL expr) at ``as_of``
         (default: latest) — add_check/drop_check commits folded in
-        version order. {} before commit 0 exists (mid-create)."""
-        if not os.path.exists(os.path.join(self.log_dir, _commit_name(0))):
+        version order, bootstrapped by any ``checks_reset`` snapshot
+        (restore commits and metadata-complete checkpoints carry one, so
+        the fold survives log cleanup). {} mid-create (no commit yet)."""
+        entries = sorted(
+            f for f in os.listdir(self.log_dir) if f.endswith(".json")
+        )
+        if not entries:
             return {}
         out: dict[str, str] = {}
-        for name in sorted(
-            f for f in os.listdir(self.log_dir) if f.endswith(".json")
-        ):
+        for name in entries:
             v = int(name.split(".")[0])
             if as_of is not None and v > as_of:
                 continue
@@ -2575,10 +2673,22 @@ class TxLogTable:
         external Delta readers can open it — see
         :func:`operators.deltalog.export_delta_log` (incremental,
         version-number-preserving). Returns the latest exported version.
-        Refused on a table adopted via :meth:`convert_from_delta`: the
-        export's version numbering (txlog version N -> delta commit N)
-        would collide with the pre-existing foreign log's history."""
-        with open(os.path.join(self.log_dir, _commit_name(0))) as fh:
+        Refused on a table adopted via :meth:`convert_from_delta` (the
+        export's version numbering — txlog version N -> delta commit N —
+        would collide with the pre-existing foreign log's history) and
+        on a table whose log head was truncated by :meth:`cleanup_log`
+        (the export mirrors EVERY version 1:1 and cannot reconstruct
+        deleted commits; export BEFORE cleaning up, or CLONE to a fresh
+        table and export the clone)."""
+        c0_path = os.path.join(self.log_dir, _commit_name(0))
+        if not os.path.exists(c0_path):
+            raise ValueError(
+                "to_delta_log refused: commit 0 was truncated by "
+                "cleanup_log — the export mirrors every version 1:1 and "
+                "cannot reconstruct deleted commits. Export before "
+                "cleanup, or clone() to a fresh table and export that."
+            )
+        with open(c0_path) as fh:
             c0 = json.load(fh)
         if "converted_from_delta" in c0:
             raise ValueError(
@@ -2689,6 +2799,69 @@ class TxLogTable:
                 except CommitConflict:
                     continue
         return sorted(deleted)
+
+    def cleanup_log(self, retain_versions: int = 50) -> list[str]:
+        """Delete commit JSONs below the retention horizon — Delta's log
+        cleanup (its ``logRetentionDuration``, expressed in versions).
+        Without it a years-old 100 TB table accumulates millions of
+        commit files and every metadata fold (schema, checks, txn
+        markers) pays an O(total commits) directory walk forever; with
+        it the log stays O(retention window).
+
+        The horizon is the newest METADATA-COMPLETE checkpoint commit at
+        or below ``latest - retain_versions + 1`` — a checkpoint that
+        carries the full file list, DV state, schema, column mapping,
+        CHECK set, partition spec, and streaming-txn high-waters
+        (:meth:`_try_commit` stamps all of these on every periodic
+        checkpoint), so every fold bootstraps at the horizon alone.
+        Tagged versions are PINNED: the horizon never rises above the
+        oldest tag, so ``read_tag``/restore-to-tag survive cleanup.
+
+        What is GIVEN UP below the horizon, stated plainly (the same
+        envelope as Delta's log cleanup): time travel, RESTORE targets,
+        CDF ranges, and new streams with an explicit ``startingVersion``
+        below it all raise loudly; a default-start stream clamps to the
+        horizon snapshot; :meth:`to_delta_log` refuses afterward (the
+        export mirrors versions 1:1 — export first, or clone and export
+        the clone). Returns the deleted commit file names.
+
+        Concurrency: commits are immutable and new versions only grow,
+        so cleanup never races a writer's commit; a reader that listed
+        the log just before cleanup may lose a sub-horizon commit
+        mid-replay and retry — the window is the same one Delta accepts,
+        bounded by keeping ``retain_versions`` generous."""
+        retain = max(int(retain_versions), 1)
+        latest = self.version()
+        min_keep = max(0, latest - retain + 1)
+        tags = self.tags()
+        if tags:
+            min_keep = min(min_keep, min(tags.values()))
+        required = (
+            "schema",
+            "checks_reset",
+            "partition_by",
+            "txns_state",
+            "dvs_state",
+        )
+        horizon = 0
+        entries = sorted(
+            f for f in os.listdir(self.log_dir) if f.endswith(".json")
+        )
+        for name in entries:
+            v = int(name.split(".")[0])
+            if v > min_keep or v == 0:
+                continue
+            with open(os.path.join(self.log_dir, name)) as fh:
+                c = json.load(fh)
+            if c.get("checkpoint") and all(k in c for k in required):
+                horizon = max(horizon, v)
+        deleted = []
+        for name in entries:
+            if int(name.split(".")[0]) < horizon:
+                os.remove(os.path.join(self.log_dir, name))
+                deleted.append(name)
+        self._pmeta = None  # partition cache may now resolve via fallback
+        return deleted
 
 
 def _parse_partition_value(raw: str, dtype) -> object | None:

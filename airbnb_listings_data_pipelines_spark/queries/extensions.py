@@ -4652,3 +4652,73 @@ def x82_medallion_cdf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@query(
+    "x83_log_retention_cleanup",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 3 <> 1
+    ),
+    markers AS (
+      SELECT CAST(-seq AS BIGINT) AS o_orderkey, 'L' AS o_orderstatus,
+             CAST(seq AS DOUBLE) AS o_totalprice
+      FROM (SELECT UNNEST(range(1, 23)) AS seq)
+    ),
+    final AS (SELECT * FROM base UNION ALL SELECT * FROM markers)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM final GROUP BY o_orderstatus
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8"),
+    doc="LOG RETENTION under the value-hash gate (Delta's log cleanup, "
+    "round-8 addition): orders -> txlog, a DELETE, then 22 one-row "
+    "marker appends drive the log past the periodic metadata-complete "
+    "checkpoint (every 20 commits it stamps full file list + DV state + "
+    "schema + mapping + CHECK set + partition spec + txn high-waters); "
+    "cleanup_log(retain_versions=2) then DELETES every commit json "
+    "below that checkpoint. The rollup runs on a FRESH handle over the "
+    "truncated log, and the oracle rebuilds the same multiset from raw "
+    "orders + the arithmetic marker series — a hash match proves the "
+    "horizon checkpoint alone reconstructs the exact snapshot (rows, "
+    "schema, types) with the sub-horizon history gone. The query also "
+    "asserts commits were actually deleted. At 100 TB this is what "
+    "keeps a years-old table's metadata O(retention window) instead of "
+    "O(lifetime commits). operators/txlog.cleanup_log.",
+)
+def x83_log_retention_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.txlog import _CHECKPOINT_EVERY, TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _dml_scratch("x83" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(8, "o_orderkey")
+    )
+    t.delete_where("o_orderkey % 3 = 1")  # v1
+    for seq in range(1, 23):  # v2..v23: past the v20 checkpoint
+        t.append(
+            spark.createDataFrame(
+                [(-seq, "L", float(seq))],
+                "o_orderkey long, o_orderstatus string, o_totalprice double",
+            )
+        )
+    deleted = t.cleanup_log(retain_versions=2)
+    assert deleted, "cleanup must truncate commits below the checkpoint"
+    retained = [f for f in os.listdir(t.log_dir) if f.endswith(".json")]
+    assert min(int(f.split(".")[0]) for f in retained) == _CHECKPOINT_EVERY
+    fresh = TxLogTable(spark, path)
+    return fresh.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
+    )

@@ -189,6 +189,16 @@ def _deltas_full(log_dir: str, from_version: int, to_version: int) -> list[dict]
     interval), never O(total commits)."""
     entries = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
     versions = [int(n.split(".")[0]) for n in entries]
+    if versions and versions[0] > from_version:
+        # range starts below the retained log head (cleanup_log): the
+        # deltas are unreconstructible — same loud refusal as the
+        # operators/txlog twin
+        raise FileNotFoundError(
+            f"change feed from version {from_version} is below the "
+            f"retained log head (oldest commit: {versions[0]}) — the "
+            "commits were deleted by cleanup_log; the CDF horizon is "
+            "the log-retention horizon"
+        )
     start_idx, live, dvs = 0, set(), {}
     for i in range(len(entries) - 1, -1, -1):
         if versions[i] >= from_version:
@@ -319,10 +329,22 @@ def _mapping_json_at(log_dir: str, as_of: int | None = None) -> dict | None:
 
 
 def _partition_meta(log_dir: str):
-    """(partition column names, partition StructType|None) from commit 0."""
+    """(partition column names, partition StructType|None) from commit 0 —
+    falling back to the oldest retained commit after cleanup_log
+    truncated the head (it is then a metadata-complete checkpoint
+    carrying the same partition payload; inlined twin of
+    operators/txlog.TxLogTable.partition_meta)."""
     from pyspark.sql.types import StructType
 
-    with open(os.path.join(log_dir, f"{0:012d}.json")) as fh:
+    c0_path = os.path.join(log_dir, f"{0:012d}.json")
+    if not os.path.exists(c0_path):
+        oldest = sorted(
+            f for f in os.listdir(log_dir) if f.endswith(".json")
+        )
+        if not oldest:
+            raise FileNotFoundError(f"no commits in {log_dir}")
+        c0_path = os.path.join(log_dir, oldest[0])
+    with open(c0_path) as fh:
         c0 = json.load(fh)
     pby = c0.get("partition_by") or []
     pschema = (
@@ -630,8 +652,23 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     # offsets are commit versions: {"version": last PROCESSED version}
     def initialOffset(self) -> dict:
-        self._cursor = self.starting - 1
-        return {"version": self.starting - 1}
+        start = self.starting
+        if start == 0:
+            # "process the existing table then tail": after cleanup_log
+            # truncated the head, version 0 is gone — clamp to the oldest
+            # retained commit, which cleanup's invariant guarantees is a
+            # FULL-LIST checkpoint, so the first batch is exactly the
+            # snapshot at that version (Delta's startingVersion clamps
+            # the same way). An EXPLICIT startingVersion below the head
+            # still fails loudly in the delta fold — the caller asked for
+            # versions that no longer exist.
+            entries = sorted(
+                f for f in os.listdir(self.log_dir) if f.endswith(".json")
+            )
+            if entries:
+                start = max(start, int(entries[0].split(".")[0]))
+        self._cursor = start - 1
+        return {"version": start - 1}
 
     def _counts_toward_cap(self, adds, removes, op) -> list[str]:
         """The files a commit would contribute to the NEXT microbatch
@@ -713,6 +750,7 @@ class TxLogStreamReader(DataSourceStreamReader):
                 self.path, self.log_dir, lo + 1, hi, pby, pschema
             )
         files: list[str] = []
+        dvs: dict = {}
         for rec in _deltas_full(self.log_dir, lo + 1, hi):
             v, adds, removes, op = rec["v"], rec["adds"], rec["removes"], rec["op"]
             if removes or rec["dv_changed"]:
@@ -731,7 +769,16 @@ class TxLogStreamReader(DataSourceStreamReader):
                     "changes via TxLogTable.read_changes"
                 )
             files.extend(adds)
-        return _plan_files(self.path, files, pby, pschema)
+            # a file added ALREADY carrying a deletion vector (the
+            # clamped bootstrap snapshot after cleanup_log, or a restore
+            # re-adding a DV'd file): its vectored rows were never part
+            # of the snapshot — apply the vector at read, this is not a
+            # change commit
+            for f in adds:
+                d = rec["dv_added"].get(f)
+                if d is not None:
+                    dvs[f] = d
+        return _plan_files(self.path, files, pby, pschema, dvs=dvs)
 
     def read(self, partition: _FileSlice):
         return _read_slice(partition, self.schema_, self.mapping)

@@ -1,0 +1,175 @@
+"""Log retention (TxLogTable.cleanup_log): commit JSONs below a
+metadata-complete checkpoint horizon are deleted — Delta's log cleanup.
+Every fold must survive truncation because periodic checkpoints now
+stamp the FULL metadata state (schema, column mapping, CHECK set,
+partition spec, streaming-txn high-waters) alongside the file list and
+DV state. What's below the horizon raises loudly; nothing silently
+degrades."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_listings_data_pipelines_spark.operators.txlog import (
+    _CHECKPOINT_EVERY,
+    TxLogTable,
+)
+
+
+def _mk(spark, path):
+    return TxLogTable.create(
+        spark,
+        str(path),
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(12)], "k int, v double"
+        ).coalesce(1),
+    )
+
+
+def _drive_past_checkpoint(spark, t):
+    """Commit past the first periodic checkpoint with a mix of ops whose
+    state must survive truncation: DML, schema evolution via mapping,
+    constraints, txn-marked appends."""
+    t.update_where("k = 1", {"v": F.lit(100.0)})  # v1
+    t.rename_column("v", "val")  # v2
+    t.add_check("val_lo", "val >= -1000")  # v3
+    t.append(
+        spark.createDataFrame([(50, 50.0)], "k int, val double"),
+        txn=("app-a", 7),
+    )  # v4
+    t.delete_where("k = 9", mode="dv")  # v5: live DV state
+    n = 12
+    while t.version() < _CHECKPOINT_EVERY + 2:
+        t.append(
+            spark.createDataFrame([(100 + n, 1.0)], "k int, val double")
+        )
+        n += 1
+
+
+def test_cleanup_preserves_every_fold(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    _drive_past_checkpoint(spark, t)
+    latest = t.version()
+    before_rows = sorted(map(tuple, t.read().collect()))
+    before_checks = t.checks()
+    before_cols = t.read().columns
+    before_txn = t.last_txn_version("app-a")
+    before_dvs = t.dvs()
+    assert before_dvs, "scenario must leave a live deletion vector"
+
+    deleted = t.cleanup_log(retain_versions=2)
+    assert deleted, "commits below the checkpoint horizon must be deleted"
+    oldest = min(
+        int(f.split(".")[0])
+        for f in os.listdir(t.log_dir)
+        if f.endswith(".json")
+    )
+    assert oldest == _CHECKPOINT_EVERY, "horizon = the periodic checkpoint"
+
+    # every fold survives, on a FRESH handle (no warm caches)
+    t2 = TxLogTable(spark, t.path)
+    assert sorted(map(tuple, t2.read().collect())) == before_rows
+    assert t2.read().columns == before_cols  # rename survived
+    assert t2.checks() == before_checks  # constraint survived
+    assert t2.last_txn_version("app-a") == before_txn  # txn high-water
+    assert t2.dvs() == before_dvs  # merge-on-read state
+    assert t2.partition_meta() == ([], None)
+    # retained time travel works from the horizon up; below raises
+    assert t2.read_version(oldest).count() > 0
+    assert t2.read_version(latest).count() > 0
+    with pytest.raises(FileNotFoundError):
+        t2.read_version(oldest - 1)
+    # CDF: from the horizon fine, below refuses loudly
+    assert t2.read_changes(oldest + 1, latest).count() >= 0
+    with pytest.raises(FileNotFoundError, match="retained log head"):
+        t2.read_changes(1, latest).count()
+    # appends still work and the next periodic checkpoint still lands
+    t2.append(spark.createDataFrame([(999, 9.0)], "k int, val double"))
+    assert t2.read().filter("k = 999").count() == 1
+
+
+def test_cleanup_respects_tags_and_retention(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.tag("baseline", 0)
+    _drive_past_checkpoint(spark, t)
+    # the tag pins version 0: nothing may be deleted
+    assert t.cleanup_log(retain_versions=1) == []
+    assert os.path.exists(os.path.join(t.log_dir, f"{0:012d}.json"))
+    assert t.read_tag("baseline").count() == 12
+    # untag -> cleanup proceeds; tag at a retained version stays readable
+    t.drop_tag("baseline")
+    t.tag("late", t.version())
+    assert t.cleanup_log(retain_versions=2)
+    assert t.read_tag("late").count() == t.read().count()
+
+
+def test_cleanup_is_noop_before_first_checkpoint(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.update_where("k = 1", {"v": F.lit(5.0)})
+    assert t.cleanup_log(retain_versions=1) == []
+    assert os.path.exists(os.path.join(t.log_dir, f"{0:012d}.json"))
+
+
+def test_delta_export_refuses_after_cleanup(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    _drive_past_checkpoint(spark, t)
+    t.cleanup_log(retain_versions=2)
+    with pytest.raises(ValueError, match="cleanup_log"):
+        t.to_delta_log()
+
+
+def test_partitioned_table_survives_cleanup(spark, tmp_path):
+    import datetime
+
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "p"),
+        spark.createDataFrame(
+            [(k, datetime.date(2024, 1 + k % 2, 1), float(k)) for k in range(8)],
+            "k int, month date, amt double",
+        ),
+        partition_by=["month"],
+    )
+    while t.version() < _CHECKPOINT_EVERY:
+        t.append(
+            spark.createDataFrame(
+                [(100 + t.version(), datetime.date(2024, 1, 1), 1.0)],
+                "k int, month date, amt double",
+            )
+        )
+    before = sorted(map(tuple, t.read().collect()))
+    assert t.cleanup_log(retain_versions=1)
+    t2 = TxLogTable(spark, t.path)
+    assert t2.partition_meta()[0] == ["month"]  # commit-0 fallback path
+    assert sorted(map(tuple, t2.read().collect())) == before
+    # partition pruning still resolves types from the checkpoint spec
+    feb = datetime.date(2024, 2, 1)
+    assert t2.read_where("month", feb, feb).count() == 4
+
+
+def test_fresh_stream_clamps_to_horizon_snapshot(spark, tmp_path):
+    """A default-start stream on a cleaned-up table bootstraps from the
+    horizon checkpoint's snapshot instead of dying on the deleted
+    commits (Delta's startingVersion clamp)."""
+    from airbnb_listings_data_pipelines_spark.sources import txlog_source
+
+    txlog_source.register(spark)
+    t = _mk(spark, tmp_path / "t")
+    _drive_past_checkpoint(spark, t)
+    t.cleanup_log(retain_versions=2)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("txlog")
+        .load(t.path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == sorted(map(tuple, t.read().collect()))
