@@ -35,6 +35,10 @@ VACUUM), and ANSI for the rest:
 - ``VACUUM t [RETAIN n VERSIONS]``
 - ``DESCRIBE HISTORY t`` (returns a DataFrame, newest first — Delta's
   shape: version, operation, and the commit's add/remove counts)
+- ``SELECT ... FROM t [VERSION AS OF n]`` — snapshot / time-travel
+  reads; each referenced (table, version) registers as a temp view and
+  the statement runs through plain Spark SQL (Catalyst plans it; this
+  layer only resolves names and versions)
 
 Scale shape: parsing is driver-side regex over statement text (O(bytes
 of SQL), zero data work); every statement's execution cost is exactly
@@ -111,6 +115,7 @@ class TxSqlSession:
             (r"ALTER TABLE ", self._alter),
             (r"VACUUM ", self._vacuum),
             (r"DESCRIBE HISTORY ", self._history),
+            (r"SELECT ", self._select),
         ):
             if re.match(pat, head):
                 return fn(s)
@@ -330,6 +335,41 @@ class TxSqlSession:
             raise ValueError(f"cannot parse VACUUM: {s!r}")
         retain = int(m.group(2)) if m.group(2) else 1
         return self.table(m.group(1)).vacuum(retain_versions=retain)
+
+    def _select(self, s: str) -> DataFrame:
+        """Run a SELECT whose FROM references bound txlog tables, with
+        Delta's time-travel clause: ``FROM t [VERSION AS OF n]``. Each
+        referenced table's snapshot registers as a temp view named after
+        its binding, then the (clause-stripped) statement runs through
+        plain Spark SQL — the query plan IS Spark's, this layer only
+        resolves the table names and versions."""
+        versioned: set[tuple[str, int]] = set()
+
+        def _strip(m: re.Match) -> str:
+            name = m.group(1)
+            if name.lower() in self._tables:
+                v = int(m.group(2))
+                versioned.add((name.lower(), v))
+                # distinct view per (table, version): the same table may
+                # appear at several versions in one query (e.g. a
+                # current-vs-v0 self-join)
+                return f" {name.lower()}__v{v} "
+            return m.group(0)
+
+        body = re.sub(
+            rf"\s({_IDENT})\s+VERSION\s+AS\s+OF\s+(\d+)\b",
+            _strip,
+            f" {s} ",
+            flags=re.IGNORECASE,
+        ).strip()
+        for name, v in versioned:
+            self._tables[name].read_version(v).createOrReplaceTempView(
+                f"{name}__v{v}"
+            )
+        for name, t in self._tables.items():
+            if re.search(rf"\b{re.escape(name)}\b", body, re.IGNORECASE):
+                t.read().createOrReplaceTempView(name)
+        return self.spark.sql(body)
 
     def _history(self, s: str) -> DataFrame:
         m = re.fullmatch(

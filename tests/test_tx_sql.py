@@ -194,3 +194,16 @@ def test_scoped_optimize_python_and_sql(spark, tmp_path):
     # refusal: arbitrary predicates are not silently approximated
     with pytest.raises(ValueError, match="file-range scoping"):
         sess.execute("OPTIMIZE t WHERE month = '2024-02-01' OR k = 3")
+
+
+def test_sql_select_with_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=10)
+    sess = TxSqlSession(spark, {"t": t})
+    sess.execute("DELETE FROM t WHERE k >= 5")
+    cur = sess.execute("SELECT COUNT(*) AS n FROM t").first().n
+    v0 = sess.execute("SELECT COUNT(*) AS n FROM t VERSION AS OF 0").first().n
+    assert (cur, v0) == (5, 10)
+    joined = sess.execute(
+        "SELECT a.k FROM t a JOIN t VERSION AS OF 0 b ON a.k = b.k"
+    )
+    assert joined.count() == 5
