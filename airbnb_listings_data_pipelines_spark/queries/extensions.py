@@ -4664,7 +4664,7 @@ def x82_medallion_cdf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     markers AS (
       SELECT CAST(-seq AS BIGINT) AS o_orderkey, 'L' AS o_orderstatus,
              CAST(seq AS DOUBLE) AS o_totalprice
-      FROM (SELECT UNNEST(range(1, 23)) AS seq)
+      FROM (SELECT UNNEST(range(1, 4)) AS seq)
     ),
     final AS (SELECT * FROM base UNION ALL SELECT * FROM markers)
     SELECT o_orderstatus,
@@ -4676,10 +4676,12 @@ def x82_medallion_cdf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_rows=("EXT-tableformat", "A2", "A8"),
     doc="LOG RETENTION under the value-hash gate (Delta's log cleanup, "
-    "round-8 addition): orders -> txlog, a DELETE, then 22 one-row "
-    "marker appends drive the log past the periodic metadata-complete "
-    "checkpoint (every 20 commits it stamps full file list + DV state + "
-    "schema + mapping + CHECK set + partition spec + txn high-waters); "
+    "round-8 addition): orders -> txlog, a DELETE, 3 one-row marker "
+    "appends, then 9 add/drop-column pairs (metadata-only commits — "
+    "how a real table racks up versions without data churn) drive the "
+    "log past the periodic metadata-complete checkpoint (every 20 "
+    "commits it stamps full file list + DV state + schema + mapping + "
+    "CHECK set + partition spec + txn high-waters); "
     "cleanup_log(retain_versions=2) then DELETES every commit json "
     "below that checkpoint. The rollup runs on a FRESH handle over the "
     "truncated log, and the oracle rebuilds the same multiset from raw "
@@ -4703,13 +4705,16 @@ def x83_log_retention_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, orders.repartitionByRange(8, "o_orderkey")
     )
     t.delete_where("o_orderkey % 3 = 1")  # v1
-    for seq in range(1, 23):  # v2..v23: past the v20 checkpoint
+    for seq in range(1, 4):  # v2..v4: data-carrying commits below the horizon
         t.append(
             spark.createDataFrame(
                 [(-seq, "L", float(seq))],
                 "o_orderkey long, o_orderstatus string, o_totalprice double",
             )
         )
+    for i in range(9):  # v5..v22: metadata-only commits past the v20 checkpoint
+        t.add_column(f"zz_scratch_{i}", "int")
+        t.drop_column(f"zz_scratch_{i}")
     deleted = t.cleanup_log(retain_versions=2)
     assert deleted, "cleanup must truncate commits below the checkpoint"
     retained = [f for f in os.listdir(t.log_dir) if f.endswith(".json")]
