@@ -33,8 +33,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # then the three queries whose latest driver evidence is round 4
 # (q33/q36/x44 — displaced by the round-7 governance additions, exactly
 # as predicted in the round-7 window comment), then 44 fillers from the
-# round-5-stale set in registry order (4 + 3 + 44 = 51 entries — the last filler
-# q51 falls outside the 50-slot window and returns next round; new
+# round-5-stale set in registry order (5 + 3 + 44 = 52 entries — the
+# last two fillers fall outside the 50-slot window and return next
+# round; new
 # round-8 queries x81+ are appended to the head as they are registered,
 # displacing the tail fillers). After this window, no registry query's
 # driver evidence predates round 5. Membership is derived from the
@@ -51,11 +52,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # the renamed successors are driver-green (r2/r4/r5). They are renames,
 # not never-checked queries.
 _CHECK_FIRST = [
-    # never driver-checked — slots 1-4 (round-8 additions appended here)
+    # never driver-checked — slots 1-5 (round-8 additions appended here)
     "x80_deletion_vector_dml",
     "x81_sql_governance_dml",
     "x82_medallion_cdf_pipeline",
     "x83_log_retention_cleanup",
+    "x84_delta_mapped_export_roundtrip",
     # latest driver evidence round 4 — slots 5-7
     "q33_events_daily_top_users",
     "q36_json_extraction",

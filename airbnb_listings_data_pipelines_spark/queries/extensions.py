@@ -4727,3 +4727,71 @@ def x83_log_retention_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@query(
+    "x84_delta_mapped_export_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    live1 AS (SELECT * FROM base WHERE o_orderkey % 8 <> 5),
+    final AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice AS price,
+             CAST(NULL AS VARCHAR) AS note
+      FROM live1
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(price * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(COUNT(note) AS BIGINT) AS n_notes
+    FROM final GROUP BY o_orderstatus
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8"),
+    doc="COLUMN-MAPPED DELTA EXPORT ROUNDTRIP under the value-hash gate "
+    "(round-8: writer protocol v5, delta.io PROTOCOL.md 'Column "
+    "Mapping'): orders -> txlog, DELETE, then RENAME o_totalprice -> "
+    "price, DROP + re-ADD note (fresh physical name), and a "
+    "partition-scoped-style range OPTIMIZE over one key slice "
+    "(prune=(o_orderkey, lo, hi) — only overlapping files rewritten); "
+    "export to _delta_log (the first non-identity mapping upgrades the "
+    "protocol to reader 2 / writer 5 with per-field id/physicalName "
+    "metadata), then read the table back through the INDEPENDENT "
+    "log-replay Delta reader (never touches _txlog) and roll up. The "
+    "oracle rebuilds the state from raw orders — a hash match proves "
+    "the export's physical-name annotations, the reader's physical-> "
+    "logical resolution, null-fill of the re-added column for pre-drop "
+    "files (dropped data can never resurrect: n_notes = 0), and that "
+    "the scoped optimize was a logical no-op. "
+    "operators/deltalog.export_delta_log/read_delta_snapshot.",
+)
+def x84_delta_mapped_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.deltalog import read_delta_snapshot
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _dml_scratch("x84" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(8, "o_orderkey")
+    )
+    t.delete_where("o_orderkey % 8 = 5")  # v1
+    t.add_column("note", "string")  # v2
+    t.rename_column("o_totalprice", "price")  # v3: activates mapping
+    t.drop_column("note")  # v4
+    t.add_column("note", "string")  # v5: fresh physical name
+    lo = int(t.read().selectExpr("min(o_orderkey)").first()[0])
+    t.optimize(target_files=2, prune=("o_orderkey", lo, lo + 1000))  # v6
+    t.to_delta_log()
+    d = read_delta_snapshot(spark, path)
+    return d.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.floor(F.col("price") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
+        F.count("note").alias("n_notes"),
+    )
