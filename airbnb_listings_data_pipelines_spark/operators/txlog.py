@@ -2141,6 +2141,26 @@ class TxLogTable:
                     return F.unix_timestamp(F.col(c))
                 if t in ("tinyint", "smallint", "int", "bigint", "float", "double") or t.startswith("decimal"):
                     return F.col(c).cast("double")
+                if t == "string":
+                    # prefix quantization (Delta z-orders strings the
+                    # same way): first 6 UTF-8 bytes, LEFT-justified
+                    # (hex rpad) so shorter strings order before their
+                    # extensions, as a 48-bit integer — exactly
+                    # representable in the double grid math below. A
+                    # clustering heuristic only — footer min/max stay
+                    # exact string envelopes, so read_where pruning is
+                    # unaffected.
+                    return F.conv(
+                        F.rpad(
+                            F.hex(
+                                F.substring(F.encode(F.col(c), "UTF-8"), 1, 6)
+                            ),
+                            12,
+                            "0",
+                        ),
+                        16,
+                        10,
+                    ).cast("double")
                 raise ValueError(f"zorder_by on {c}: {t} has no locality-preserving quantization")
 
             longs = {c: _to_long(c) for c in zorder_by}

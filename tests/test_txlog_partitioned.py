@@ -251,11 +251,35 @@ def test_optimize_zorder_prunes_on_both_columns(spark, tmp_path):
     assert {r.b for r in got.collect()} == set(range(8))
 
 
-def test_optimize_zorder_refuses_partition_and_string_columns(spark, ptable):
+def test_optimize_zorder_refuses_partition_columns(spark, ptable):
     with pytest.raises(ValueError, match="partition columns"):
         ptable.optimize(zorder_by=["file_date"])
-    with pytest.raises(ValueError, match="quantization"):
-        ptable.optimize(zorder_by=["v"])
+
+
+def test_optimize_zorder_string_prefix_quantization(spark, tmp_path):
+    """Z-order on a STRING column (Delta supports it; round-8 addition):
+    the first-6-byte prefix quantization clusters lexicographically-near
+    values into the same files, so footer envelopes tighten and
+    read_where prunes on the string column. Logical no-op as always."""
+    rows = [(i, f"{chr(97 + i % 4)}-key-{i:04d}") for i in range(400)]
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(rows, "k int, name string").repartition(4),
+    )
+    before = sorted(map(tuple, t.read().collect()))
+    t.optimize(target_files=4, zorder_by=["name"])
+    assert sorted(map(tuple, t.read().collect())) == before
+    # prefix clustering: each rewritten file's (min, max) name envelope
+    # must span at most 2 of the 4 leading-letter groups
+    stats = t.file_stats(["name"])
+    assert len(stats) == 4
+    for env in stats.values():
+        mn, mx = env["name"]
+        assert ord(mx[0]) - ord(mn[0]) <= 1, (mn, mx)
+    # and skipping works on the string column via those envelopes
+    got = {r.k for r in t.read_where("name", "a", "a~").collect()}
+    assert got == {i for i in range(400) if i % 4 == 0}
 
 
 def test_partition_scoped_dml_discovery_never_leaves_partition(spark, ptable):
