@@ -204,8 +204,23 @@ class TxSqlSession:
                     raise ValueError(
                         "WHEN NOT MATCHED supports only INSERT *"
                     )
+                if when_not_matched != "ignore":
+                    raise ValueError(
+                        "duplicate WHEN NOT MATCHED clause — refused, not "
+                        "last-wins"
+                    )
                 when_not_matched = "insert"
             else:
+                if when_matched != "ignore":
+                    # two unconditional MATCHED clauses (a ported
+                    # conditional Delta MERGE with its conditions
+                    # stripped): last-wins would silently change
+                    # semantics — refuse
+                    raise ValueError(
+                        "duplicate WHEN MATCHED clause — refused, not "
+                        "last-wins (conditional multi-clause MERGE is "
+                        "not supported)"
+                    )
                 when_matched = "update" if action == "UPDATE SET *" else (
                     "delete" if action == "DELETE" else None
                 )

@@ -355,16 +355,20 @@ def commit_deltas_full(
     AFTER (a restore re-adding a DV'd file)."""
     entries = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
     versions = [int(n.split(".")[0]) for n in entries]
-    if versions and versions[0] > from_version:
-        # the range starts below the retained log head (cleanup_log
-        # truncated it): the deltas are unreconstructible — refuse
-        # loudly instead of silently reporting the bootstrap snapshot
-        # as one giant insert
+    if versions and versions[0] > 0 and from_version <= versions[0]:
+        # the range needs pre-horizon state (cleanup_log truncated the
+        # log): computing version v's TRUE delta needs live(v-1), so any
+        # from_version at or below the oldest retained commit is
+        # unreconstructible — refuse loudly instead of silently
+        # reporting the horizon checkpoint's full file list as one
+        # giant insert. (The streaming source's clamped bootstrap WANTS
+        # exactly that snapshot-as-first-batch and keeps its own, laxer
+        # guard — see sources/txlog_source._deltas_full.)
         raise FileNotFoundError(
-            f"change feed from version {from_version} is below the "
-            f"retained log head (oldest commit: {versions[0]}) — the "
-            "commits were deleted by cleanup_log; the CDF horizon is "
-            "the log-retention horizon"
+            f"change feed from version {from_version} needs state below "
+            f"the retained log head (oldest commit: {versions[0]}) — "
+            "those commits were deleted by cleanup_log; the CDF horizon "
+            "is the log-retention horizon"
         )
     # backward scan for the bootstrap checkpoint strictly below the range
     start_idx, live, dvs = 0, set(), {}
@@ -1170,6 +1174,27 @@ class TxLogTable:
                 elif lo <= v <= hi:
                     kept.append(f)
             return kept
+        # string bounds against a typed non-partition column: coerce via
+        # the recorded schema (same promise as the partition branch —
+        # footer envelopes are typed values, not strings)
+        if isinstance(lo, str) or isinstance(hi, str):
+            sj = self._schema_at()
+            if sj is not None:
+                from pyspark.sql.types import StringType, StructType
+
+                schema = StructType.fromJson(json.loads(sj))
+                if column in schema.fieldNames() and not isinstance(
+                    schema[column].dataType, StringType
+                ):
+                    dt = schema[column].dataType
+                    if isinstance(lo, str):
+                        lo = _parse_partition_value(lo, dt)
+                    if isinstance(hi, str):
+                        hi = _parse_partition_value(hi, dt)
+                    if lo is None or hi is None:
+                        raise ValueError(
+                            f"prune bounds for {column!r} do not parse as {dt}"
+                        )
         # footers carry PHYSICAL column names on a column-mapped table
         mapping = self._mapping_at()
         phys = (mapping or {}).get(column, column)
@@ -1819,7 +1844,11 @@ class TxLogTable:
                 new_dvs.pop(f, None)
             if extra.get("dvs_reset") is not None:
                 new_dvs = dict(extra.pop("dvs_reset"))
-            new_dvs.update(extra.pop("dvs", None) or {})
+            # keep the per-commit "dvs" delta alongside the full state:
+            # every fold reads dvs_state on checkpoints (the delta is
+            # inert there), but history()/DESCRIBE HISTORY/byte probes
+            # report a DV DML landing on a checkpoint boundary from it
+            new_dvs.update(extra.get("dvs") or {})
             extra["dvs_state"] = new_dvs
             adds = sorted((set(live) - set(removes)) | set(adds))
             removes = []
@@ -2881,6 +2910,25 @@ class TxLogTable:
                 os.remove(os.path.join(self.log_dir, name))
                 deleted.append(name)
         self._pmeta = None  # partition cache may now resolve via fallback
+        if deleted:
+            # best-effort audit commit (same posture as vacuum's): records
+            # what was truncated in history, and — because op="cleanup_log"
+            # forces the checkpoint path — lands a FRESH metadata-complete
+            # checkpoint at the head, so the next cleanup's horizon is
+            # already staged
+            for _attempt in range(3):
+                try:
+                    self._try_commit(
+                        self.version() + 1, adds=[], removes=[],
+                        op="cleanup_log",
+                        extra={
+                            "log_truncated_below": horizon,
+                            "n_commits_deleted": len(deleted),
+                        },
+                    )
+                    break
+                except CommitConflict:
+                    continue
         return deleted
 
 

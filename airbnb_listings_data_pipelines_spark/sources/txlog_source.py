@@ -670,15 +670,26 @@ class TxLogStreamReader(DataSourceStreamReader):
         self._cursor = start - 1
         return {"version": start - 1}
 
-    def _counts_toward_cap(self, adds, removes, op) -> list[str]:
+    def _counts_toward_cap(self, rec: dict) -> list[str]:
         """The files a commit would contribute to the NEXT microbatch
-        (mirrors :meth:`partitions`): CDF mode reads adds+removes;
-        append-only mode skips optimize/skipped-change commits."""
+        (mirrors :meth:`partitions`, deletion vectors included): CDF
+        mode reads adds + removes + one slice per DV-changed file;
+        append-only mode skips optimize and skipped-change commits —
+        and a commit with removes OR a DV change IS a change commit
+        (a mode='dv' DML admits zero files when skipChangeCommits
+        drops it, instead of charging the cap for files never
+        planned)."""
         if self.cdf:
-            return list(adds) + list(removes)
-        if removes and (op == "optimize" or self.skip_change):
+            return (
+                list(rec["adds"])
+                + list(rec["removes"])
+                + sorted(rec["dv_changed"])
+            )
+        if (rec["removes"] or rec["dv_changed"]) and (
+            rec["op"] == "optimize" or self.skip_change
+        ):
             return []
-        return list(adds)
+        return list(rec["adds"])
 
     def latestOffset(self) -> dict:
         """Rate-limited offset advancement (Delta's ``maxFilesPerTrigger``
@@ -707,10 +718,9 @@ class TxLogStreamReader(DataSourceStreamReader):
         files = 0
         nbytes = 0
         end = self._cursor
-        for v, adds, removes, op in _deltas(
-            self.log_dir, self._cursor + 1, latest
-        ):
-            batch_files = self._counts_toward_cap(adds, removes, op)
+        for rec in _deltas_full(self.log_dir, self._cursor + 1, latest):
+            v = rec["v"]
+            batch_files = self._counts_toward_cap(rec)
             n = len(batch_files)
             b = 0
             if self.max_bytes is not None:

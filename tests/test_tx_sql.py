@@ -207,3 +207,40 @@ def test_sql_select_with_time_travel(spark, tmp_path):
         "SELECT a.k FROM t a JOIN t VERSION AS OF 0 b ON a.k = b.k"
     )
     assert joined.count() == 5
+
+
+def test_sql_merge_duplicate_clauses_refused(spark, tmp_path):
+    """Two unconditional WHEN MATCHED clauses (a ported conditional Delta
+    MERGE) must refuse, not last-wins (review finding)."""
+    t = _mk(spark, tmp_path / "t", n=5)
+    sess = TxSqlSession(spark, {"t": t})
+    with pytest.raises(ValueError, match="duplicate WHEN MATCHED"):
+        sess.execute(
+            "MERGE INTO t USING src ON t.k = src.k "
+            "WHEN MATCHED THEN UPDATE SET * WHEN MATCHED THEN DELETE"
+        )
+    assert t.version() == 0, "refusal must happen before any commit"
+
+
+def test_scoped_optimize_on_nonpartition_date_column(spark, tmp_path):
+    """OPTIMIZE WHERE on a NON-partition DATE column: the SQL layer's
+    string bounds coerce through the recorded schema before the footer
+    envelope comparison (review finding)."""
+    import datetime
+
+    from airbnb_listings_data_pipelines_spark.operators.txlog import TxLogTable
+
+    rows = [
+        (k, datetime.date(2024, 1, 1 + k % 20), float(k)) for k in range(40)
+    ]
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(rows, "k int, d date, amt double")
+        .repartitionByRange(4, "d"),
+    )
+    before = sorted(map(tuple, t.read().collect()))
+    sess = TxSqlSession(spark, {"t": t})
+    sess.execute("OPTIMIZE t WHERE d BETWEEN '2024-01-01' AND '2024-01-05'")
+    assert sorted(map(tuple, t.read().collect())) == before
+    assert t.history()[-1]["op"] == "optimize"

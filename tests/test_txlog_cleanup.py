@@ -173,3 +173,39 @@ def test_fresh_stream_clamps_to_horizon_snapshot(spark, tmp_path):
     q.awaitTermination(180)
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got == sorted(map(tuple, t.read().collect()))
+
+
+def test_batch_cdf_refuses_at_and_below_horizon(spark, tmp_path):
+    """read_changes needs live(from_version - 1): after cleanup, a range
+    STARTING at the horizon is just as unreconstructible as one below it
+    — both must refuse (review finding: the horizon checkpoint's full
+    list must never be misreported as one giant insert)."""
+    t = _mk(spark, tmp_path / "t")
+    _drive_past_checkpoint(spark, t)
+    t.cleanup_log(retain_versions=2)
+    oldest = min(
+        int(f.split(".")[0])
+        for f in os.listdir(t.log_dir)
+        if f.endswith(".json")
+    )
+    with pytest.raises(FileNotFoundError, match="retained log head"):
+        t.read_changes(oldest, t.version()).count()
+    assert t.read_changes(oldest + 1, t.version()).count() >= 0
+
+
+def test_cleanup_audit_commit_and_staged_next_horizon(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    _drive_past_checkpoint(spark, t)
+    v_before = t.version()
+    assert t.cleanup_log(retain_versions=2)
+    hist = t.history()
+    assert hist[-1]["op"] == "cleanup_log" and hist[-1]["version"] == v_before + 1
+    # the audit commit is itself a metadata-complete checkpoint: the
+    # NEXT cleanup can truncate straight up to it once retention allows
+    import json as _json
+
+    with open(
+        os.path.join(t.log_dir, f"{v_before + 1:012d}.json")
+    ) as fh:
+        c = _json.load(fh)
+    assert c["checkpoint"] and "txns_state" in c and "checks_reset" in c
