@@ -28,86 +28,67 @@ def entry(spark: SparkSession) -> DataFrame:
     return reg["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
-# The driver checks the first 50 registry entries per round. Round-8
-# window: the never-driver-checked round-7-snapshot addition x80 leads,
-# then the three queries whose latest driver evidence is round 4
-# (q33/q36/x44 — displaced by the round-7 governance additions, exactly
-# as predicted in the round-7 window comment), then 44 fillers from the
-# round-5-stale set in registry order (5 + 3 + 44 = 52 entries — the
-# last two fillers fall outside the 50-slot window and return next
-# round; new
-# round-8 queries x81+ are appended to the head as they are registered,
-# displacing the tail fillers). After this window, no registry query's
-# driver evidence predates round 5. Membership is derived from the
-# committed CORRECTNESS files and enforced by tests/test_repo_consistency
-# .py::test_window_rotation_covers_stalest_evidence. Everything outside
-# the window stays covered by tools/check_oracle.py's full bit-exact
-# registry sweep (154/154 at the start of round 8; x81 added and gate-checked in round 8).
+# The driver checks the first 50 registry entries per round. As of
+# round 8 the window is DERIVED, not hand-kept (the round-7 verdict's
+# suggested fix for the every-round end-of-round red on the rotation
+# guard): never-driver-checked queries lead (registry order), then all
+# queries ascending by their newest green round in the committed
+# CORRECTNESS_r*.json files (ties in registry order). The moment the
+# driver drops a new CORRECTNESS file into the repo, the ordering
+# re-derives and the next window automatically leads with whatever is
+# now stalest — tests/test_repo_consistency.py::
+# test_window_rotation_covers_stalest_evidence re-derives the same fold
+# independently and can no longer disagree. Everything outside the
+# window stays covered by tools/check_oracle.py's full bit-exact
+# registry sweep (157/157 mid-round-8; x81-x84 added and gate-checked
+# in round 8).
 #
 # Evidence-audit note: the round-1 driver files contain three names that
 # never passed — x06_minhash_lsh_pairs, x10_lsh_ann_topk,
 # x14_ivf_ann_topk. Those are pre-oracle round-1 names; the queries were
 # renamed to x06_minhash_lsh_recall / x10_lsh_ann_recall /
 # x14_ivf_ann_recall when they gained invariant oracles in round 2, and
-# the renamed successors are driver-green (r2/r4/r5). They are renames,
-# not never-checked queries.
-_CHECK_FIRST = [
-    # never driver-checked — slots 1-5 (round-8 additions appended here)
-    "x80_deletion_vector_dml",
-    "x81_sql_governance_dml",
-    "x82_medallion_cdf_pipeline",
-    "x83_log_retention_cleanup",
-    "x84_delta_mapped_export_roundtrip",
-    # latest driver evidence round 4 — slots 5-7
-    "q33_events_daily_top_users",
-    "q36_json_extraction",
-    "x44_attribution_join",
-    # round-5-stale fillers in registry order — slots 8-51
-    "x01_dedup_exact",
-    "x02_token_count",
-    "x03_quality_scores",
-    "x04_lang_id",
-    "x05_ngram_jaccard_pairs",
-    "x06_minhash_lsh_recall",
-    "x07_simhash",
-    "x08_fingerprint_stats",
-    "x09_cosine_topk",
-    "x10_lsh_ann_recall",
-    "x11_multimodal_features",
-    "x12_top_tokens",
-    "x13_embedding_neardup_pairs",
-    "x14_ivf_ann_recall",
-    "x15_curation_pipeline",
-    "x16_simhash_neardup_pairs",
-    "x22_dedup_components",
-    "x27_component_survivors",
-    "x23_tfidf_top_terms",
-    "x24_hash_reservoir_per_lang",
-    "x25_quartile_feature_bins",
-    "x26_incremental_dedup",
-    "x17_collect_per_source",
-    "x18_token_budget_packing",
-    "x19_stratified_sample",
-    "x20_scd2_version_history",
-    "x21_token_chunking",
-    "x60_corpus_datacard",
-    "x61_training_shard_manifest",
-    "x62_embedding_dispersion",
-    "x63_char_coverage",
-    "x64_cross_source_dup_matrix",
-    "x65_unigram_tv_distance",
-    "x66_containment_pairs",
-    "x67_neardup_threshold_curve",
-    "q40_moving_average_rows_frame",
-    "q41_trailing_range_frame",
-    "q42_quartiles_array",
-    "q43_null_safe_join",
-    "q44_string_function_breadth",
-    "q45_conditional_expression_breadth",
-    "q46_math_function_breadth",
-    "q47_date_arithmetic_breadth",
-    "q51_unpivot_long_form",
-]
+# the renamed successors are driver-green (r2/r4/r5); the green filter
+# below excludes the dead names automatically.
+
+
+def _latest_green_rounds() -> dict[str, int]:
+    """Each query's newest driver-green round (rows+schema+hash all
+    true), folded over the committed CORRECTNESS_r*.json files."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(f))
+        if not m:
+            continue
+        try:
+            with open(f) as fh:
+                d = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for k, v in d.get("queries", d).items():
+            if (
+                isinstance(v, dict)
+                and v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match", True)
+            ):
+                latest[k] = max(latest.get(k, 0), int(m.group(1)))
+    return latest
+
+
+def _derived_check_first() -> list[str]:
+    reg = list(load_all())
+    latest = _latest_green_rounds()
+    pos = {n: i for i, n in enumerate(reg)}
+    return sorted(reg, key=lambda q: (latest.get(q, -1), pos[q]))
+
+
+_CHECK_FIRST = _derived_check_first()
 
 
 def _ordered():
