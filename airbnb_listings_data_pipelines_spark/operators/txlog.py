@@ -2872,7 +2872,15 @@ class TxLogTable:
         below it all raise loudly; a default-start stream clamps to the
         horizon snapshot; :meth:`to_delta_log` refuses afterward (the
         export mirrors versions 1:1 — export first, or clone and export
-        the clone). Returns the deleted commit file names.
+        the clone). One ambiguity is inherent to version-number offsets:
+        a stream whose CHECKPOINTED offset is exactly ``horizon - 1``
+        (it consumed through horizon-1 before the cleanup) is
+        indistinguishable from a fresh clamped stream, and on restart
+        re-emits the horizon snapshot — keyed/exactly-once sinks
+        (upsert, CDC apply) absorb the replay; plain append sinks
+        behind on consumption should restart from a fresh checkpoint.
+        Keep ``retain_versions`` comfortably above the slowest
+        consumer's lag. Returns the deleted commit file names.
 
         Concurrency: commits are immutable and new versions only grow,
         so cleanup never races a writer's commit; a reader that listed
