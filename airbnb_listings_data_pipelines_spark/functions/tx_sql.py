@@ -57,6 +57,26 @@ from .snowflake_script import _split_top_commas, split_statements
 _IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
 
 
+def _split_where(text: str) -> tuple[str, str | None]:
+    """Split ``text`` at its first top-level ``WHERE`` keyword — outside
+    single-quoted literals — returning (head, condition|None). A naive
+    regex split corrupts statements whose string literals contain the
+    word (``SET note = 'kept where found'``)."""
+    in_str = False
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str and text[i : i + 5].upper() == "WHERE":
+            before = text[i - 1] if i else " "
+            after = text[i + 5] if i + 5 < n else " "
+            if before.isspace() and after.isspace():
+                return text[:i].rstrip(), text[i + 5 :].strip()
+        i += 1
+    return text.rstrip(), None
+
+
 def _lit(tok: str):
     """A SQL literal token -> Python value: quoted string, int, float, or
     date-like string (partition values parse from their recorded type
@@ -124,20 +144,19 @@ class TxSqlSession:
     # ----------------------------------------------------------- handlers
 
     def _delete(self, s: str) -> int:
+        head, cond = _split_where(s)
         m = re.fullmatch(
-            rf"DELETE\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.+))?",
-            s,
-            re.IGNORECASE | re.DOTALL,
+            rf"DELETE\s+FROM\s+({_IDENT})", head, re.IGNORECASE
         )
         if not m:
             raise ValueError(f"cannot parse DELETE: {s!r}")
-        cond = m.group(2) or "true"
-        return self.table(m.group(1)).delete_where(cond)
+        return self.table(m.group(1)).delete_where(cond or "true")
 
     def _update(self, s: str) -> int:
+        head, cond = _split_where(s)
         m = re.fullmatch(
-            rf"UPDATE\s+({_IDENT})\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?",
-            s,
+            rf"UPDATE\s+({_IDENT})\s+SET\s+(.+)",
+            head,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
@@ -150,8 +169,7 @@ class TxSqlSession:
             if not am:
                 raise ValueError(f"cannot parse SET item: {item!r}")
             assignments[am.group(1)] = am.group(2)
-        cond = m.group(3) or "true"
-        return self.table(m.group(1)).update_where(cond, assignments)
+        return self.table(m.group(1)).update_where(cond or "true", assignments)
 
     def _merge(self, s: str) -> int:
         m = re.fullmatch(

@@ -244,3 +244,21 @@ def test_scoped_optimize_on_nonpartition_date_column(spark, tmp_path):
     sess.execute("OPTIMIZE t WHERE d BETWEEN '2024-01-01' AND '2024-01-05'")
     assert sorted(map(tuple, t.read().collect())) == before
     assert t.history()[-1]["op"] == "optimize"
+
+
+def test_sql_where_keyword_inside_string_literal(spark, tmp_path):
+    """String literals containing ' WHERE ' must not split the statement
+    (quote-aware top-level WHERE scan)."""
+    from airbnb_listings_data_pipelines_spark.operators.txlog import TxLogTable
+
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, note string"),
+    )
+    sess = TxSqlSession(spark, {"t": t})
+    sess.execute("UPDATE t SET note = 'kept WHERE found' WHERE k = 1")
+    got = dict((r.k, r.note) for r in t.read().collect())
+    assert got == {1: "kept WHERE found", 2: "b"}
+    sess.execute("DELETE FROM t WHERE note = 'kept WHERE found'")
+    assert {r.k for r in t.read().collect()} == {2}
