@@ -35,6 +35,8 @@ VACUUM), and ANSI for the rest:
 - ``VACUUM t [RETAIN n VERSIONS]``
 - ``DESCRIBE HISTORY t`` (returns a DataFrame, newest first — Delta's
   shape: version, operation, and the commit's add/remove counts)
+- ``DESCRIBE DETAIL t`` (one row: format, version, numFiles,
+  sizeInBytes, partition columns, DV and CHECK counts)
 - ``SELECT ... FROM t [VERSION AS OF n]`` — snapshot / time-travel
   reads; each referenced (table, version) registers as a temp view and
   the statement runs through plain Spark SQL (Catalyst plans it; this
@@ -135,6 +137,7 @@ class TxSqlSession:
             (r"ALTER TABLE ", self._alter),
             (r"VACUUM ", self._vacuum),
             (r"DESCRIBE HISTORY ", self._history),
+            (r"DESCRIBE DETAIL ", self._detail),
             (r"SELECT ", self._select),
         ):
             if re.match(pat, head):
@@ -403,6 +406,42 @@ class TxSqlSession:
             if re.search(rf"\b{re.escape(name)}\b", body, re.IGNORECASE):
                 t.read().createOrReplaceTempView(name)
         return self.spark.sql(body)
+
+    def _detail(self, s: str) -> DataFrame:
+        """Delta's ``DESCRIBE DETAIL``: one row of table facts — format,
+        current version, live file count and bytes, partition columns,
+        active deletion-vector count, CHECK-constraint count. All
+        driver-side metadata (log fold + getsize over live files)."""
+        import os as _os
+
+        m = re.fullmatch(
+            rf"DESCRIBE\s+DETAIL\s+({_IDENT})", s, re.IGNORECASE
+        )
+        if not m:
+            raise ValueError(f"cannot parse DESCRIBE DETAIL: {s!r}")
+        t = self.table(m.group(1))
+        files = t.files()
+        size = sum(
+            _os.path.getsize(_os.path.join(t.path, f))
+            for f in files
+            if _os.path.exists(_os.path.join(t.path, f))
+        )
+        row = (
+            "txlog",
+            t.path,
+            int(t.version()),
+            len(files),
+            int(size),
+            list(t.partition_meta()[0]),
+            len(t.dvs()),
+            len(t.checks()),
+        )
+        return self.spark.createDataFrame(
+            [row],
+            "format string, location string, version int, numFiles int, "
+            "sizeInBytes bigint, partitionColumns array<string>, "
+            "numDeletionVectors int, numCheckConstraints int",
+        )
 
     def _history(self, s: str) -> DataFrame:
         m = re.fullmatch(

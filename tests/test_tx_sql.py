@@ -262,3 +262,14 @@ def test_sql_where_keyword_inside_string_literal(spark, tmp_path):
     assert got == {1: "kept WHERE found", 2: "b"}
     sess.execute("DELETE FROM t WHERE note = 'kept WHERE found'")
     assert {r.k for r in t.read().collect()} == {2}
+
+
+def test_sql_describe_detail(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=10)
+    sess = TxSqlSession(spark, {"t": t})
+    sess.execute("DELETE FROM t WHERE k = 3")
+    sess.execute("ALTER TABLE t ADD CONSTRAINT g CHECK (grp >= 0)")
+    r = sess.execute("DESCRIBE DETAIL t").first()
+    assert r.format == "txlog" and r.version == 2
+    assert r.numFiles == len(t.files()) and r.sizeInBytes > 0
+    assert r.partitionColumns == [] and r.numCheckConstraints == 1
