@@ -334,8 +334,11 @@ def export_delta_log(spark: SparkSession, table) -> int:
         c = tx_state.get(v)
         if c is None:
             raise FileNotFoundError(f"txlog {table.log_dir} missing commit {v}")
+        ck_dvs: dict = {}
         if c.get("checkpoint"):
-            cur = set(c["adds"])
+            from .txlog import _checkpoint_state
+
+            cur, ck_dvs = _checkpoint_state(table.log_dir, c)
         else:
             cur = (cur - set(c["removes"])) | set(c["adds"])
         cm = c.get("column_mapping")
@@ -347,7 +350,7 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 mapping_mode = True
         if c.get("schema"):
             _ensure_ids(c["schema"], cur_mapping)
-        if c.get("dvs") or c.get("dvs_reset") or c.get("dvs_state"):
+        if c.get("dvs") or c.get("dvs_reset") or c.get("dvs_state") or ck_dvs:
             raise NotImplementedError(
                 f"Delta export refused: commit {v} carries deletion "
                 "vectors — a faithful export needs Delta's "

@@ -173,6 +173,40 @@ def _footer_schema(path: str):
 _LOG_DIR = "_txlog"
 _CHECKPOINT_EVERY = 20
 
+# checkpoint commits inline their full live-file list as JSON below this
+# many files; at/above it the list (and DV state) goes to a PARQUET
+# sidecar under _txlog/ckpt/ — Delta stores checkpoints as parquet for
+# exactly this reason: at ~10M live files a JSON parse is seconds where
+# a vectorized parquet read is not. Instance-overridable
+# (TxLogTable.ckpt_sidecar_min_files) so tests exercise the sidecar
+# path on small tables.
+_CKPT_SIDECAR_MIN_FILES = 50_000
+
+
+def _checkpoint_state(log_dir: str, c: dict) -> tuple[set, dict]:
+    """(live file set, dvs_state) carried by a CHECKPOINT commit: inline
+    ``adds``/``dvs_state`` for ordinary tables, or the parquet sidecar
+    named by ``adds_sidecar`` for huge file counts. The ONE reader every
+    fold must use — reading ``c["adds"]`` directly on a sidecar'd
+    checkpoint silently yields an empty table."""
+    sc = c.get("adds_sidecar")
+    if not sc:
+        return set(c["adds"]), dict(c.get("dvs_state") or {})
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(log_dir, sc))
+    files = tbl.column("file").to_pylist()
+    dvs: dict[str, dict] = {}
+    if "dv_sidecar" in tbl.column_names:
+        for f, s, card in zip(
+            files,
+            tbl.column("dv_sidecar").to_pylist(),
+            tbl.column("dv_cardinality").to_pylist(),
+        ):
+            if s is not None:
+                dvs[f] = {"sidecar": s, "cardinality": int(card)}
+    return set(files), dvs
+
 
 def _commit_name(version: int) -> str:
     return f"{version:012d}.json"
@@ -234,8 +268,7 @@ def replay_log_full(
     dvs: dict[str, dict] = {}
     for _v, c in commits[start:]:
         if c.get("checkpoint"):
-            live = set(c["adds"])
-            dvs = dict(c.get("dvs_state") or {})
+            live, dvs = _checkpoint_state(log_dir, c)
         else:
             live -= set(c["removes"])
             live |= set(c["adds"])
@@ -379,8 +412,7 @@ def commit_deltas_full(
             c = json.load(fh)
         if c.get("checkpoint"):
             start_idx = i + 1
-            live = set(c["adds"])
-            dvs = dict(c.get("dvs_state") or {})
+            live, dvs = _checkpoint_state(log_dir, c)
             break
     per_commit: list[dict] = []
     prev, prev_dvs = set(live), dict(dvs)
@@ -391,8 +423,7 @@ def commit_deltas_full(
         with open(os.path.join(log_dir, entries[i])) as fh:
             c = json.load(fh)
         if c.get("checkpoint"):
-            live = set(c["adds"])
-            dvs = dict(c.get("dvs_state") or {})
+            live, dvs = _checkpoint_state(log_dir, c)
         else:
             live = (live - set(c["removes"])) | set(c["adds"])
             for f in c["removes"]:
@@ -444,6 +475,8 @@ class TxLogTable:
         # mixing backends on one table forfeits the atomicity guarantee,
         # exactly as mixing LogStores does in Delta)
         self.arbiter = arbiter or PosixExclArbiter()
+        # checkpoint live-list sidecar threshold — see _CKPT_SIDECAR_MIN_FILES
+        self.ckpt_sidecar_min_files = _CKPT_SIDECAR_MIN_FILES
 
     # ------------------------------------------------------------- create
 
@@ -943,7 +976,7 @@ class TxLogTable:
                 {
                     "version": int(name.split(".")[0]),
                     "op": c.get("op"),
-                    "n_adds": len(c["adds"]),
+                    "n_adds": int(c.get("n_adds", len(c["adds"]))),
                     "n_removes": len(c["removes"]),
                     "n_dvs": len(c.get("dvs") or {}),
                 }
@@ -1888,12 +1921,65 @@ class TxLogTable:
                 app, tv = str(t["appId"]), int(t["version"])
                 txns[app] = max(txns.get(app, tv), tv)
             extra["txns_state"] = txns
+        ckpt_sidecar: str | None = None
+        if (
+            is_ckpt
+            and op not in ("create", "convert")
+            and len(adds) >= self.ckpt_sidecar_min_files
+        ):
+            # huge live-file count: the full list + DV state go to a
+            # parquet sidecar (vectorized to read) instead of inline
+            # JSON; every fold routes through _checkpoint_state
+            ckpt_sidecar = self._write_ckpt_sidecar(
+                version, adds, extra.get("dvs_state") or {}
+            )
+            extra["adds_sidecar"] = ckpt_sidecar
+            extra["n_adds"] = len(adds)
+            extra["dvs_state"] = {}
+            adds = []
         payload = json.dumps(
             {"op": op, "adds": adds, "removes": removes, "checkpoint": is_ckpt, **extra}
         )
         target = os.path.join(self.log_dir, _commit_name(version))
         if not self.arbiter.put_if_absent(target, payload):
+            if ckpt_sidecar is not None:
+                # losing writer's sidecar is an orphan — remove it
+                try:
+                    os.remove(os.path.join(self.log_dir, ckpt_sidecar))
+                except OSError:
+                    pass
             raise CommitConflict(f"version {version} already committed")
+
+    def _write_ckpt_sidecar(
+        self, version: int, adds: list[str], dvs: dict
+    ) -> str:
+        """Write a checkpoint's live-file list + DV state as one parquet
+        file under ``_txlog/ckpt/``; returns the log-relative path.
+        Driver-side pyarrow write (no Spark job) — the list is already
+        in driver memory either way."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.join(self.log_dir, "ckpt"), exist_ok=True)
+        rel = f"ckpt/{version:012d}-{uuid.uuid4().hex}.parquet"
+        files = sorted(adds)
+        tbl = pa.table(
+            {
+                "file": pa.array(files, pa.string()),
+                "dv_sidecar": pa.array(
+                    [(dvs.get(f) or {}).get("sidecar") for f in files],
+                    pa.string(),
+                ),
+                "dv_cardinality": pa.array(
+                    [(dvs.get(f) or {}).get("cardinality") for f in files],
+                    pa.int64(),
+                ),
+            }
+        )
+        tmp = os.path.join(self.log_dir, f".ckpt-stage-{uuid.uuid4().hex}")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(self.log_dir, rel))
+        return rel
 
     def commit(
         self,
@@ -2915,7 +3001,20 @@ class TxLogTable:
         deleted = []
         for name in entries:
             if int(name.split(".")[0]) < horizon:
-                os.remove(os.path.join(self.log_dir, name))
+                full = os.path.join(self.log_dir, name)
+                try:
+                    with open(full) as fh:
+                        sc = json.load(fh).get("adds_sidecar")
+                except (OSError, ValueError):
+                    sc = None
+                os.remove(full)
+                if sc:
+                    # the truncated checkpoint's parquet live-list
+                    # sidecar is unreferenced once its commit is gone
+                    try:
+                        os.remove(os.path.join(self.log_dir, sc))
+                    except OSError:
+                        pass
                 deleted.append(name)
         self._pmeta = None  # partition cache may now resolve via fallback
         if deleted:

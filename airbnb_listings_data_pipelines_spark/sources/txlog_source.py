@@ -114,6 +114,29 @@ def _replay(log_dir: str, as_of: int | None = None) -> tuple[int, list[str]]:
     return v, files
 
 
+def _ckpt_state(log_dir: str, c: dict) -> tuple[set, dict]:
+    """(live file set, dvs_state) of a CHECKPOINT commit — inlined twin
+    of operators/txlog._checkpoint_state: inline adds/dvs_state, or the
+    parquet sidecar named by ``adds_sidecar`` for huge file counts."""
+    sc = c.get("adds_sidecar")
+    if not sc:
+        return set(c["adds"]), dict(c.get("dvs_state") or {})
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(log_dir, sc))
+    files = tbl.column("file").to_pylist()
+    dvs: dict = {}
+    if "dv_sidecar" in tbl.column_names:
+        for f, sdc, card in zip(
+            files,
+            tbl.column("dv_sidecar").to_pylist(),
+            tbl.column("dv_cardinality").to_pylist(),
+        ):
+            if sdc is not None:
+                dvs[f] = {"sidecar": sdc, "cardinality": int(card)}
+    return set(files), dvs
+
+
 def _replay_full(
     log_dir: str, as_of: int | None = None
 ) -> tuple[int, list[str], dict]:
@@ -142,8 +165,7 @@ def _replay_full(
     dvs: dict = {}
     for _v, c in commits[start:]:
         if c.get("checkpoint"):
-            live = set(c["adds"])
-            dvs = dict(c.get("dvs_state") or {})
+            live, dvs = _ckpt_state(log_dir, c)
         else:
             live = (live - set(c["removes"])) | set(c["adds"])
             for f in c["removes"]:
@@ -207,8 +229,7 @@ def _deltas_full(log_dir: str, from_version: int, to_version: int) -> list[dict]
             c = json.load(fh)
         if c.get("checkpoint"):
             start_idx = i + 1
-            live = set(c["adds"])
-            dvs = dict(c.get("dvs_state") or {})
+            live, dvs = _ckpt_state(log_dir, c)
             break
     out: list[dict] = []
     prev, prev_dvs = set(live), dict(dvs)
@@ -219,8 +240,7 @@ def _deltas_full(log_dir: str, from_version: int, to_version: int) -> list[dict]
         with open(os.path.join(log_dir, entries[i])) as fh:
             c = json.load(fh)
         if c.get("checkpoint"):
-            live = set(c["adds"])
-            dvs = dict(c.get("dvs_state") or {})
+            live, dvs = _ckpt_state(log_dir, c)
         else:
             live = (live - set(c["removes"])) | set(c["adds"])
             for f in c["removes"]:

@@ -209,3 +209,59 @@ def test_cleanup_audit_commit_and_staged_next_horizon(spark, tmp_path):
     ) as fh:
         c = _json.load(fh)
     assert c["checkpoint"] and "txns_state" in c and "checks_reset" in c
+
+
+def test_parquet_sidecar_checkpoints_roundtrip(spark, tmp_path):
+    """Above ckpt_sidecar_min_files the checkpoint's live list + DV state
+    live in a parquet sidecar (Delta stores checkpoints as parquet for
+    the same reason: JSON parse time at millions of files). Forced on
+    via threshold=0: every fold — snapshot, time travel, CDF, history,
+    DataSource stream, cleanup — must behave identically to inline
+    checkpoints."""
+    from airbnb_listings_data_pipelines_spark.sources import txlog_source
+
+    t = _mk(spark, tmp_path / "t")
+    t.ckpt_sidecar_min_files = 0
+    _drive_past_checkpoint(spark, t)
+    ckpts = [
+        f for f in os.listdir(os.path.join(t.log_dir, "ckpt"))
+        if f.endswith(".parquet")
+    ]
+    assert ckpts, "the periodic checkpoint must have written a sidecar"
+    import json as _json
+
+    with open(os.path.join(t.log_dir, f"{_CHECKPOINT_EVERY:012d}.json")) as fh:
+        c = _json.load(fh)
+    assert c["adds"] == [] and c["adds_sidecar"] and c["n_adds"] > 0
+    # every fold reads through the sidecar
+    t2 = TxLogTable(spark, t.path)
+    assert t2.read().count() > 0
+    assert t2.dvs(), "DV state must survive the sidecar roundtrip"
+    assert t2.read_version(_CHECKPOINT_EVERY).count() > 0
+    assert t2.read_changes(_CHECKPOINT_EVERY + 1, t2.version()).count() >= 0
+    hist = {h["version"]: h for h in t2.history()}
+    assert hist[_CHECKPOINT_EVERY]["n_adds"] > 0  # from n_adds, not adds
+    # the DataSource's inlined twin reads the sidecar too
+    txlog_source.register(spark)
+    ds = spark.read.format("txlog").load(t.path)
+    assert sorted(map(tuple, ds.collect())) == sorted(
+        map(tuple, t2.read().collect())
+    )
+    # cleanup truncates up to the sidecar'd checkpoint and keeps working
+    before = sorted(map(tuple, t2.read().collect()))
+    assert t2.cleanup_log(retain_versions=2)
+    t3 = TxLogTable(spark, t.path)
+    assert sorted(map(tuple, t3.read().collect())) == before
+
+
+def test_sidecar_checkpoint_refuses_delta_export_when_dvs(spark, tmp_path):
+    """A sidecar'd checkpoint carrying DV state must still trip the Delta
+    export's deletion-vector refusal — hiding the state in the sidecar
+    cannot smuggle a DV table past the protocol gate."""
+    import pytest as _pytest
+
+    t = _mk(spark, tmp_path / "t")
+    t.ckpt_sidecar_min_files = 0
+    _drive_past_checkpoint(spark, t)
+    with _pytest.raises(NotImplementedError, match="deletion "):
+        t.to_delta_log()
