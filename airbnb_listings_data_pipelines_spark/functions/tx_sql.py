@@ -15,6 +15,11 @@ grammar follows Delta Lake's public SQL surface (delta.io docs) for the
 operations Snowflake SQL has no equivalent of (OPTIMIZE, RESTORE,
 VACUUM), and ANSI for the rest:
 
+- ``CREATE TABLE t [PARTITIONED BY (c1, ...)] AS <select>`` (the name
+  must be bound to a filesystem root — SQL cannot invent storage)
+- ``INSERT INTO t <select> | VALUES (...)`` — positional full-arity
+  alignment (standard SQL), lands as an append commit under the CHECK
+  gate
 - ``DELETE FROM t [WHERE cond]``
 - ``UPDATE t SET c1 = e1, c2 = e2 [WHERE cond]``
 - ``MERGE INTO t USING src [AS alias] ON t.k = src.k [AND ...]
@@ -129,6 +134,8 @@ class TxSqlSession:
         s = stmt.strip().rstrip(";").strip()
         head = re.sub(r"\s+", " ", s[:40].upper())
         for pat, fn in (
+            (r"CREATE TABLE ", self._create),
+            (r"INSERT INTO ", self._insert),
             (r"DELETE FROM ", self._delete),
             (r"UPDATE ", self._update),
             (r"MERGE INTO ", self._merge),
@@ -145,6 +152,67 @@ class TxSqlSession:
         raise ValueError(f"unsupported governance statement: {head!r}")
 
     # ----------------------------------------------------------- handlers
+
+    def _create(self, s: str) -> int:
+        """``CREATE TABLE t [PARTITIONED BY (c1, ...)] AS <select>``:
+        materialize the SELECT as commit 0 of the bound root. The name
+        must already be bound (the session maps names to filesystem
+        roots — SQL cannot invent storage locations)."""
+        m = re.fullmatch(
+            rf"CREATE\s+TABLE\s+({_IDENT})"
+            r"(?:\s+PARTITIONED\s+BY\s+\(([^)]+)\))?"
+            r"\s+AS\s+(.+)",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE TABLE: {s!r}")
+        name = m.group(1).lower()
+        if name not in self._tables:
+            raise KeyError(
+                f"unknown txlog table {name!r} (bind a root for it first)"
+            )
+        t = self._tables[name]
+        pby = (
+            [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+        )
+        created = TxLogTable.create(
+            self.spark,
+            t.path,
+            self.spark.sql(m.group(3)),
+            partition_by=pby,
+            arbiter=t.arbiter,
+        )
+        self._tables[name] = created
+        return 0
+
+    def _insert(self, s: str) -> int:
+        """``INSERT INTO t <select>`` / ``INSERT INTO t VALUES (...)``:
+        an append commit — column alignment, casts, and CHECK
+        enforcement are the append path's (extra columns reject loudly,
+        missing ones null-fill)."""
+        m = re.fullmatch(
+            rf"INSERT\s+INTO\s+({_IDENT})\s+(.+)",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse INSERT: {s!r}")
+        body = m.group(2).strip()
+        t = self.table(m.group(1))
+        cols = t.read().columns
+        if re.match(r"VALUES\b", body, re.IGNORECASE):
+            df = self.spark.sql(f"SELECT * FROM ({body})")
+        else:
+            df = self.spark.sql(body)
+        # standard SQL INSERT alignment: POSITIONAL, full arity (the
+        # by-name null-fill path belongs to append(), not to INSERT text)
+        if len(df.columns) != len(cols):
+            raise ValueError(
+                f"INSERT INTO {m.group(1)}: query produces "
+                f"{len(df.columns)} columns, table has {len(cols)}"
+            )
+        return t.append(df.toDF(*cols))
 
     def _delete(self, s: str) -> int:
         head, cond = _split_where(s)

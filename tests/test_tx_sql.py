@@ -273,3 +273,34 @@ def test_sql_describe_detail(spark, tmp_path):
     assert r.format == "txlog" and r.version == 2
     assert r.numFiles == len(t.files()) and r.sizeInBytes > 0
     assert r.partitionColumns == [] and r.numCheckConstraints == 1
+
+
+def test_sql_create_table_and_insert(spark, tmp_path):
+    """CREATE TABLE ... AS and INSERT INTO (SELECT and VALUES forms):
+    the remaining write-path gaps in the SQL surface."""
+    from airbnb_listings_data_pipelines_spark.operators.txlog import TxLogTable
+
+    root = str(tmp_path / "new")
+    sess = TxSqlSession(spark, {"n": root})
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k int, amt double"
+    ).createOrReplaceTempView("src_rows")
+    sess.execute("CREATE TABLE n AS SELECT * FROM src_rows")
+    t = TxLogTable(spark, root)
+    assert t.version() == 0 and t.read().count() == 2
+    sess.execute("INSERT INTO n SELECT k + 10, amt FROM src_rows")
+    sess.execute("INSERT INTO n VALUES (99, 0.5), (100, 1.5)")
+    assert {r.k for r in t.read().collect()} == {1, 2, 11, 12, 99, 100}
+    assert t.version() == 2
+    # partitioned CTAS
+    proot = str(tmp_path / "p")
+    sess2 = TxSqlSession(spark, {"p": proot})
+    sess2.execute(
+        "CREATE TABLE p PARTITIONED BY (k) AS SELECT * FROM src_rows"
+    )
+    assert TxLogTable(spark, proot).partition_meta()[0] == ["k"]
+    # unbound name refuses
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="bind a root"):
+        sess.execute("CREATE TABLE nope AS SELECT 1 AS x")
