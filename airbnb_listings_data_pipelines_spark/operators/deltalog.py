@@ -682,10 +682,16 @@ def _checkpoint_rows(
             state.metadata = md.asDict(recursive=True)
         proto = r["protocol"] if "protocol" in cols else None
         if proto is not None and proto["minReaderVersion"] is not None:
-            _check_protocol({"minReaderVersion": proto["minReaderVersion"]})
-            state.protocol = {
-                k: v for k, v in proto.asDict(recursive=True).items() if v is not None
+            # pass the FULL action: a foreign v3 checkpoint's
+            # readerFeatures list decides acceptance, not the version
+            # number alone
+            pd = {
+                k: v
+                for k, v in proto.asDict(recursive=True).items()
+                if v is not None
             }
+            _check_protocol(pd)
+            state.protocol = pd
         txn = r["txn"] if "txn" in cols else None
         if txn is not None and txn["appId"] is not None:
             d = txn.asDict(recursive=True)
@@ -784,13 +790,37 @@ def _verify_contiguous(
         )
 
 
+# reader TABLE FEATURES this implementation honors (PROTOCOL.md 'Table
+# Features', reader version 3): columnMapping resolves physical columns
+# via schemaString metadata; timestampNtz is just a Spark type the scans
+# already read. Everything else (deletionVectors, v2Checkpoint, ...)
+# refuses — the spec REQUIRES readers to refuse features they cannot
+# honor.
+_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
+
+
 def _check_protocol(protocol: dict) -> None:
-    if protocol.get("minReaderVersion", 1) > 2:
+    mrv = protocol.get("minReaderVersion", 1)
+    if mrv <= 2:
+        return
+    feats = protocol.get("readerFeatures")
+    if mrv == 3 and feats is not None:
+        unsupported = sorted(set(feats) - _SUPPORTED_READER_FEATURES)
+        if not unsupported:
+            # Delta 3.x writes the table-features protocol form even for
+            # tables whose feature set this reader fully implements —
+            # refusing on the version number alone would reject tables
+            # we can read faithfully
+            return
         raise NotImplementedError(
-            "this reader implements Delta protocol minReaderVersion<=2 "
-            "(parquet + JSON log + column mapping); table requires "
-            f"{protocol}"
+            f"table requires reader features {unsupported} "
+            f"(supported: {sorted(_SUPPORTED_READER_FEATURES)})"
         )
+    raise NotImplementedError(
+        "this reader implements Delta protocol minReaderVersion<=2 plus "
+        "reader-version-3 TABLE FEATURES limited to "
+        f"{sorted(_SUPPORTED_READER_FEATURES)}; table requires {protocol}"
+    )
 
 
 def read_delta_snapshot(

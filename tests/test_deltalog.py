@@ -510,3 +510,113 @@ def test_convert_from_delta_partitioned_and_guards(spark, tmp_path):
     open(c0, "w").write("\n".join(out) + "\n")
     with pytest.raises(NotImplementedError, match="columnMapping.mode"):
         TxLogTable.convert_from_delta(spark, mapped)
+
+
+def _write_foreign_log(path, protocol, schema_string, files, cfg=None):
+    """Synthesize a minimal foreign _delta_log: protocol + metaData +
+    one add per file (already on disk)."""
+    import json as _json
+    import time as _time
+
+    dl = os.path.join(path, "_delta_log")
+    os.makedirs(dl, exist_ok=True)
+    actions = [
+        {"protocol": protocol},
+        {
+            "metaData": {
+                "id": "feat-test",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": cfg or {},
+                "createdTime": int(_time.time() * 1000),
+            }
+        },
+    ]
+    for f in files:
+        actions.append(
+            {
+                "add": {
+                    "path": f,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(path, f)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+    with open(os.path.join(dl, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+
+def test_reader_accepts_table_features_protocol(spark, tmp_path):
+    """Delta 3.x writes protocol reader 3 / writer 7 with explicit
+    feature lists even for tables this reader fully implements — accept
+    when every readerFeature is supported (columnMapping via the
+    schemaString's physicalName metadata here), refuse otherwise."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k int, col_a1b2 double"
+    ).coalesce(1).write.parquet(path)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "k"}},
+            {"name": "price", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col_a1b2"}},
+        ],
+    }
+    _write_foreign_log(
+        path,
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping"],
+            "writerFeatures": ["columnMapping", "appendOnly"],
+        },
+        _json.dumps(schema),
+        files,
+        cfg={
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": "2",
+        },
+    )
+    got = read_delta_snapshot(spark, path)
+    assert got.columns == ["k", "price"]
+    assert {(r.k, r.price) for r in got.collect()} == {(1, 10.0), (2, 20.0)}
+    # convert adopts the features-form mapped table too
+    c = TxLogTable.convert_from_delta(spark, path)
+    assert {(r.k, r.price) for r in c.read().collect()} == {(1, 10.0), (2, 20.0)}
+
+
+def test_reader_refuses_unsupported_table_feature(spark, tmp_path):
+    import json as _json
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1,)], "k int").coalesce(1).write.parquet(path)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}}
+        ],
+    }
+    _write_foreign_log(
+        path,
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        },
+        _json.dumps(schema),
+        files,
+    )
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        read_delta_snapshot(spark, path)
