@@ -4795,3 +4795,49 @@ def x84_delta_mapped_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
         .alias("total_cents"),
         F.count("note").alias("n_notes"),
     )
+
+
+@query(
+    "x85_jsonl_corpus_roundtrip",
+    oracle="""
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_text_len
+    FROM documents GROUP BY source, lang
+    """,
+    survey_rows=("EXT-sources", "S7", "A2", "A8"),
+    doc="JSONL CORPUS ROUNDTRIP under the value-hash gate: training-data "
+    "pipelines interchange corpora as gzip'd JSON-Lines shards (one doc "
+    "per line), not parquet — this proves the engine's jsonl sink+source "
+    "are byte-faithful. documents -> 4 deterministic hash shards -> "
+    "df.write.json with gzip codec -> spark.read.schema(...).json back "
+    "(EXPLICIT schema: json inference would type-drift ids and re-order "
+    "columns nondeterministically) -> rollup incl. SUM(length(text)), "
+    "which breaks the hash on ANY unicode/escape mangling in the "
+    "json round-trip (documents carry multi-script text). The oracle "
+    "aggregates the parquet documents table directly, so a match proves "
+    "the jsonl path loses nothing. At 100 TB: shards are written "
+    "repartition(n)-parallel, read back splittable-per-file; gzip is "
+    "per-shard (the standard .jsonl.gz corpus layout, e.g. C4/RedPajama "
+    "distribution shape). Plain spark.read/write.json — Catalyst plans "
+    "it; no custom code in the hot path.",
+)
+def x85_jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    root = _dml_scratch("x85" + sf_dir)
+    shards = root + "/shards"
+    (
+        docs.repartition(4, F.col("doc_id"))
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(shards)
+    )
+    back = spark.read.schema(docs.schema).json(shards)
+    return back.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.length("text")).cast("long").alias("total_text_len"),
+    )
