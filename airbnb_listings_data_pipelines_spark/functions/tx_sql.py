@@ -73,6 +73,9 @@ def _split_where(text: str) -> tuple[str, str | None]:
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
+        if in_str and ch == "\\":
+            i += 2  # Spark SQL literals honor backslash escapes (\')
+            continue
         if ch == "'":
             in_str = not in_str
         elif not in_str and text[i : i + 5].upper() == "WHERE":
@@ -221,7 +224,14 @@ class TxSqlSession:
         )
         if not m:
             raise ValueError(f"cannot parse DELETE: {s!r}")
-        return self.table(m.group(1)).delete_where(cond or "true")
+        if cond is not None and not cond.strip():
+            # a dangling WHERE is a broken statement, not a full-table
+            # DELETE — silently widening the predicate would be the worst
+            # possible recovery
+            raise ValueError(f"WHERE with no condition: {s!r}")
+        return self.table(m.group(1)).delete_where(
+            cond if cond is not None else "true"
+        )
 
     def _update(self, s: str) -> int:
         head, cond = _split_where(s)
@@ -240,7 +250,11 @@ class TxSqlSession:
             if not am:
                 raise ValueError(f"cannot parse SET item: {item!r}")
             assignments[am.group(1)] = am.group(2)
-        return self.table(m.group(1)).update_where(cond or "true", assignments)
+        if cond is not None and not cond.strip():
+            raise ValueError(f"WHERE with no condition: {s!r}")
+        return self.table(m.group(1)).update_where(
+            cond if cond is not None else "true", assignments
+        )
 
     def _merge(self, s: str) -> int:
         m = re.fullmatch(
@@ -488,7 +502,10 @@ class TxSqlSession:
         if not m:
             raise ValueError(f"cannot parse DESCRIBE DETAIL: {s!r}")
         t = self.table(m.group(1))
-        files = t.files()
+        # ONE log fold yields version, live files, and DV state — three
+        # separate accessor calls would re-parse the whole log (and
+        # re-read a sidecar'd checkpoint) per field
+        version, files, dvs = t._replay_full()
         size = sum(
             _os.path.getsize(_os.path.join(t.path, f))
             for f in files
@@ -497,11 +514,11 @@ class TxSqlSession:
         row = (
             "txlog",
             t.path,
-            int(t.version()),
+            int(version),
             len(files),
             int(size),
             list(t.partition_meta()[0]),
-            len(t.dvs()),
+            len(dvs),
             len(t.checks()),
         )
         return self.spark.createDataFrame(

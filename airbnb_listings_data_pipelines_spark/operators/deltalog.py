@@ -585,7 +585,13 @@ def write_delta_checkpoint(
         "partitionColumns:array<string>,configuration:map<string,string>,"
         "createdTime:bigint>"
     )
-    proto_t = "struct<minReaderVersion:int,minWriterVersion:int>"
+    # feature lists included: checkpointing a reader-v3 TABLE-FEATURES
+    # table must not strip the lists the protocol's validity (and this
+    # reader's acceptance) depends on
+    proto_t = (
+        "struct<minReaderVersion:int,minWriterVersion:int,"
+        "readerFeatures:array<string>,writerFeatures:array<string>>"
+    )
     txn_t = "struct<appId:string,version:bigint,lastUpdated:bigint>"
     blank = {"add": None, "remove": None, "metaData": None, "protocol": None, "txn": None}
     rows = [json.dumps({**blank, "add": a}) for a in state.live.values()]

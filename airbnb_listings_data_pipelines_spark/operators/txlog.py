@@ -2897,6 +2897,38 @@ class TxLogTable:
                     continue  # possibly staged by an in-flight DML
                 os.remove(full)
                 deleted.append(rel)
+        # checkpoint live-list sidecars referenced by NO commit (a writer
+        # crashed between sidecar write and commit publish, or lost the
+        # race and its unlink failed) are orphans too — without this
+        # sweep a crash-prone table accumulates full-live-list parquets
+        # under _txlog/ckpt/ forever
+        ckpt_dir = os.path.join(self.log_dir, "ckpt")
+        if os.path.isdir(ckpt_dir):
+            referenced_ckpts = set()
+            for name in sorted(
+                f for f in os.listdir(self.log_dir) if f.endswith(".json")
+            ):
+                with open(os.path.join(self.log_dir, name)) as fh:
+                    sc = json.load(fh).get("adds_sidecar")
+                if sc:
+                    referenced_ckpts.add(sc)
+            for f in sorted(os.listdir(ckpt_dir)):
+                rel = f"ckpt/{f}"
+                full = os.path.join(ckpt_dir, f)
+                if rel in referenced_ckpts:
+                    continue
+                if min_age_s > 0 and now - os.path.getmtime(full) < min_age_s:
+                    continue  # possibly staged by an in-flight checkpoint
+                os.remove(full)
+                deleted.append(f"_txlog/{rel}")
+        # abandoned staging temp files from crashed sidecar writes
+        for f in sorted(os.listdir(self.log_dir)):
+            if f.startswith(".ckpt-stage-"):
+                full = os.path.join(self.log_dir, f)
+                if min_age_s > 0 and now - os.path.getmtime(full) < min_age_s:
+                    continue
+                os.remove(full)
+                deleted.append(f"_txlog/{f}")
         for root, dirs, fs in os.walk(self.path):
             # never descend into the logs or staging dirs
             dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
@@ -2990,24 +3022,26 @@ class TxLogTable:
         entries = sorted(
             f for f in os.listdir(self.log_dir) if f.endswith(".json")
         )
+        # one parse per sub-horizon commit: the same scan that finds the
+        # horizon also remembers each commit's checkpoint sidecar (only
+        # checkpoints have one; commit 0 never does), so the deletion
+        # loop below re-opens nothing
+        sidecars: dict[str, str] = {}
         for name in entries:
             v = int(name.split(".")[0])
             if v > min_keep or v == 0:
                 continue
             with open(os.path.join(self.log_dir, name)) as fh:
                 c = json.load(fh)
+            if c.get("adds_sidecar"):
+                sidecars[name] = c["adds_sidecar"]
             if c.get("checkpoint") and all(k in c for k in required):
                 horizon = max(horizon, v)
         deleted = []
         for name in entries:
             if int(name.split(".")[0]) < horizon:
-                full = os.path.join(self.log_dir, name)
-                try:
-                    with open(full) as fh:
-                        sc = json.load(fh).get("adds_sidecar")
-                except (OSError, ValueError):
-                    sc = None
-                os.remove(full)
+                os.remove(os.path.join(self.log_dir, name))
+                sc = sidecars.get(name)
                 if sc:
                     # the truncated checkpoint's parquet live-list
                     # sidecar is unreferenced once its commit is gone

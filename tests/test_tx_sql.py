@@ -304,3 +304,26 @@ def test_sql_create_table_and_insert(spark, tmp_path):
 
     with _pytest.raises(KeyError, match="bind a root"):
         sess.execute("CREATE TABLE nope AS SELECT 1 AS x")
+
+
+def test_sql_dangling_where_refused_and_escaped_quotes(spark, tmp_path):
+    """Review findings: a trailing WHERE with no condition must refuse
+    (not silently widen to the whole table), and backslash-escaped
+    quotes inside literals must not flip the WHERE splitter's
+    string-tracking."""
+    from airbnb_listings_data_pipelines_spark.operators.txlog import TxLogTable
+
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, note string"),
+    )
+    sess = TxSqlSession(spark, {"t": t})
+    with pytest.raises(ValueError, match="WHERE with no condition"):
+        sess.execute("DELETE FROM t WHERE")
+    with pytest.raises(ValueError, match="WHERE with no condition"):
+        sess.execute("UPDATE t SET note = 'x' WHERE   ")
+    assert t.read().count() == 2, "broken statements must mutate nothing"
+    sess.execute(r"UPDATE t SET note = 'a\'s WHERE x' WHERE k = 1")
+    got = dict((r.k, r.note) for r in t.read().collect())
+    assert got == {1: "a's WHERE x", 2: "b"}

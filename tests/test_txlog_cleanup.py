@@ -238,7 +238,14 @@ def test_parquet_sidecar_checkpoints_roundtrip(spark, tmp_path):
     assert t2.read().count() > 0
     assert t2.dvs(), "DV state must survive the sidecar roundtrip"
     assert t2.read_version(_CHECKPOINT_EVERY).count() > 0
-    assert t2.read_changes(_CHECKPOINT_EVERY + 1, t2.version()).count() >= 0
+    # CDF over the post-checkpoint tail: the commits after the sidecar'd
+    # checkpoint are pure one-row appends, so the feed must be exactly
+    # one insert per commit in the range — a real content check, not
+    # count() >= 0
+    feed = t2.read_changes(_CHECKPOINT_EVERY + 1, t2.version())
+    n_range = t2.version() - _CHECKPOINT_EVERY
+    assert feed.count() == n_range
+    assert {r._change_type for r in feed.collect()} == {"insert"}
     hist = {h["version"]: h for h in t2.history()}
     assert hist[_CHECKPOINT_EVERY]["n_adds"] > 0  # from n_adds, not adds
     # the DataSource's inlined twin reads the sidecar too
@@ -265,3 +272,26 @@ def test_sidecar_checkpoint_refuses_delta_export_when_dvs(spark, tmp_path):
     _drive_past_checkpoint(spark, t)
     with _pytest.raises(NotImplementedError, match="deletion "):
         t.to_delta_log()
+
+
+def test_vacuum_sweeps_orphan_checkpoint_sidecars(spark, tmp_path):
+    """A crash between sidecar write and commit publish leaves an
+    unreferenced live-list parquet under _txlog/ckpt/ — vacuum's stated
+    job is deleting crashed writers' orphans, so it must sweep these
+    (and abandoned .ckpt-stage temp files) while keeping referenced
+    sidecars."""
+    t = _mk(spark, tmp_path / "t")
+    t.ckpt_sidecar_min_files = 0
+    _drive_past_checkpoint(spark, t)
+    ckpt_dir = os.path.join(t.log_dir, "ckpt")
+    referenced = set(os.listdir(ckpt_dir))
+    # simulate the crash artifacts
+    orphan = os.path.join(ckpt_dir, "000000000099-deadbeef.parquet")
+    open(orphan, "wb").write(b"not really parquet")
+    stage = os.path.join(t.log_dir, ".ckpt-stage-deadbeef")
+    open(stage, "wb").write(b"partial")
+    deleted = t.vacuum()
+    assert "_txlog/ckpt/000000000099-deadbeef.parquet" in deleted
+    assert "_txlog/.ckpt-stage-deadbeef" in deleted
+    assert referenced <= set(os.listdir(ckpt_dir)), "referenced sidecars kept"
+    assert t.read().count() > 0
