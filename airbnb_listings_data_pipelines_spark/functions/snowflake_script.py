@@ -495,17 +495,30 @@ class ScriptSession:
 
 
 def _split_top_commas(text: str) -> list[str]:
-    out, depth, buf = [], 0, []
-    for ch in text:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            out.append("".join(buf).strip())
-            buf = []
-        else:
-            buf.append(ch)
+    """Split at commas that are at paren depth 0 AND outside
+    single-quoted literals — ``note = 'a,b'`` must not split."""
+    out, depth, buf, in_str = [], 0, [], False
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if in_str and ch == "\\":
+            buf.append(text[i : i + 2])
+            i += 2  # Spark SQL literals honor backslash escapes (\')
+            continue
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append("".join(buf).strip())
+                buf = []
+                i += 1
+                continue
+        buf.append(ch)
+        i += 1
     if "".join(buf).strip():
         out.append("".join(buf).strip())
     return [x for x in out if x]

@@ -66,10 +66,13 @@ _IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
 
 def _split_where(text: str) -> tuple[str, str | None]:
     """Split ``text`` at its first top-level ``WHERE`` keyword — outside
-    single-quoted literals — returning (head, condition|None). A naive
-    regex split corrupts statements whose string literals contain the
-    word (``SET note = 'kept where found'``)."""
+    single-quoted literals AND outside parentheses — returning
+    (head, condition|None). A naive regex split corrupts statements
+    whose string literals contain the word (``SET note = 'kept where
+    found'``) or whose expressions hold a parenthesized subquery
+    (``SET v = (SELECT ... WHERE ...) WHERE k = 1``)."""
     in_str = False
+    depth = 0
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
@@ -78,7 +81,11 @@ def _split_where(text: str) -> tuple[str, str | None]:
             continue
         if ch == "'":
             in_str = not in_str
-        elif not in_str and text[i : i + 5].upper() == "WHERE":
+        elif not in_str and ch == "(":
+            depth += 1
+        elif not in_str and ch == ")":
+            depth -= 1
+        elif not in_str and depth == 0 and text[i : i + 5].upper() == "WHERE":
             before = text[i - 1] if i else " "
             after = text[i + 5] if i + 5 < n else " "
             if before.isspace() and after.isspace():
@@ -461,6 +468,16 @@ class TxSqlSession:
         its binding, then the (clause-stripped) statement runs through
         plain Spark SQL — the query plan IS Spark's, this layer only
         resolves the table names and versions."""
+        import uuid as _uuid
+
+        # every snapshot registers under a UNIQUE internal view name and
+        # the statement is rewritten to reference it — a plain
+        # createOrReplaceTempView(binding_name) would silently clobber
+        # any pre-existing user temp view of the same name in the shared
+        # SparkSession. The internal views are dropped after analysis
+        # (spark.sql resolves the plan eagerly; execution later does not
+        # re-resolve the view names).
+        tag = _uuid.uuid4().hex[:8]
         versioned: set[tuple[str, int]] = set()
 
         def _strip(m: re.Match) -> str:
@@ -471,7 +488,7 @@ class TxSqlSession:
                 # distinct view per (table, version): the same table may
                 # appear at several versions in one query (e.g. a
                 # current-vs-v0 self-join)
-                return f" {name.lower()}__v{v} "
+                return f" {name.lower()}__v{v}__{tag} "
             return m.group(0)
 
         body = re.sub(
@@ -480,14 +497,45 @@ class TxSqlSession:
             f" {s} ",
             flags=re.IGNORECASE,
         ).strip()
-        for name, v in versioned:
-            self._tables[name].read_version(v).createOrReplaceTempView(
-                f"{name}__v{v}"
-            )
-        for name, t in self._tables.items():
-            if re.search(rf"\b{re.escape(name)}\b", body, re.IGNORECASE):
-                t.read().createOrReplaceTempView(name)
-        return self.spark.sql(body)
+        bare: set[str] = set()
+
+        def _rewrite_bare(text: str) -> str:
+            # rewrite word-occurrences of bound table names OUTSIDE
+            # single-quoted literals (a literal like 'see table events'
+            # must not be touched)
+            parts = re.split(r"('(?:[^'\\]|\\.)*')", text)
+            for i in range(0, len(parts), 2):
+                seg = parts[i]
+                for name in self._tables:
+
+                    def _sub(m: re.Match, name=name) -> str:
+                        bare.add(name)
+                        return f"{name}__{tag}"
+
+                    seg = re.sub(
+                        rf"\b{re.escape(name)}\b",
+                        _sub,
+                        seg,
+                        flags=re.IGNORECASE,
+                    )
+                parts[i] = seg
+            return "".join(parts)
+
+        body = _rewrite_bare(body)
+        views = []
+        try:
+            for name, v in versioned:
+                vn = f"{name}__v{v}__{tag}"
+                self._tables[name].read_version(v).createOrReplaceTempView(vn)
+                views.append(vn)
+            for name in bare:
+                vn = f"{name}__{tag}"
+                self._tables[name].read().createOrReplaceTempView(vn)
+                views.append(vn)
+            return self.spark.sql(body)
+        finally:
+            for vn in views:
+                self.spark.catalog.dropTempView(vn)
 
     def _detail(self, s: str) -> DataFrame:
         """Delta's ``DESCRIBE DETAIL``: one row of table facts — format,

@@ -438,14 +438,34 @@ def export_delta_log(spark: SparkSession, table) -> int:
             if (schema_changed or cfg_changed) and schema_str is not None:
                 if schema_changed:
                     meta_fields = _schema_fields(sj)
-                if emitted_proto is not None and want_proto != emitted_proto:
+                if emitted_proto is not None and (
+                    want_proto["minReaderVersion"]
+                    > emitted_proto["minReaderVersion"]
+                    or want_proto["minWriterVersion"]
+                    > emitted_proto["minWriterVersion"]
+                ):
                     # protocol upgrade in the same commit: first
                     # constraint needs writer v3; first non-identity
                     # column mapping needs reader 2 / writer 5 (Delta
                     # requires the upgrade to land with or before the
-                    # feature's first metaData)
-                    actions.append({"protocol": want_proto})
-                    emitted_proto = want_proto
+                    # feature's first metaData). The versions are
+                    # latched: Delta PROTOCOL.md requires them to be
+                    # monotonically non-decreasing, so when cfg later
+                    # shrinks (last CHECK dropped, restore to an
+                    # unconstrained state) we never re-emit a lower
+                    # protocol.
+                    upgraded = {
+                        "minReaderVersion": max(
+                            want_proto["minReaderVersion"],
+                            emitted_proto["minReaderVersion"],
+                        ),
+                        "minWriterVersion": max(
+                            want_proto["minWriterVersion"],
+                            emitted_proto["minWriterVersion"],
+                        ),
+                    }
+                    actions.append({"protocol": upgraded})
+                    emitted_proto = upgraded
                 if mapping_mode and sj is not None:
                     _ensure_ids(sj, cur_mapping)
                     cfg["delta.columnMapping.maxColumnId"] = str(max_id)

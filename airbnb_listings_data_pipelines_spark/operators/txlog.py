@@ -2904,14 +2904,25 @@ class TxLogTable:
         # under _txlog/ckpt/ forever
         ckpt_dir = os.path.join(self.log_dir, "ckpt")
         if os.path.isdir(ckpt_dir):
-            referenced_ckpts = set()
-            for name in sorted(
-                f for f in os.listdir(self.log_dir) if f.endswith(".json")
-            ):
-                with open(os.path.join(self.log_dir, name)) as fh:
-                    sc = json.load(fh).get("adds_sidecar")
-                if sc:
-                    referenced_ckpts.add(sc)
+
+            def _referenced_ckpts() -> set:
+                refs = set()
+                for name in sorted(
+                    f
+                    for f in os.listdir(self.log_dir)
+                    if f.endswith(".json")
+                ):
+                    try:
+                        with open(os.path.join(self.log_dir, name)) as fh:
+                            sc = json.load(fh).get("adds_sidecar")
+                    except (OSError, ValueError):
+                        continue
+                    if sc:
+                        refs.add(sc)
+                return refs
+
+            candidates = []
+            referenced_ckpts = _referenced_ckpts()
             for f in sorted(os.listdir(ckpt_dir)):
                 rel = f"ckpt/{f}"
                 full = os.path.join(ckpt_dir, f)
@@ -2919,8 +2930,23 @@ class TxLogTable:
                     continue
                 if min_age_s > 0 and now - os.path.getmtime(full) < min_age_s:
                     continue  # possibly staged by an in-flight checkpoint
-                os.remove(full)
-                deleted.append(f"_txlog/{rel}")
+                candidates.append((rel, full))
+            if candidates:
+                # a checkpoint commit can PUBLISH between the commit-JSON
+                # listing above and the ckpt/ listing: its just-written
+                # sidecar would look unreferenced even though a committed
+                # checkpoint now points at it. Re-list the commit JSONs
+                # immediately before deleting and only remove sidecars
+                # that are STILL unreferenced — this closes the
+                # list-order race down to the publish-vs-remove instant
+                # (callers who vacuum concurrently with live writers
+                # should additionally pass min_age_s > 0).
+                referenced_ckpts = _referenced_ckpts()
+                for rel, full in candidates:
+                    if rel in referenced_ckpts:
+                        continue
+                    os.remove(full)
+                    deleted.append(f"_txlog/{rel}")
         # abandoned staging temp files from crashed sidecar writes
         for f in sorted(os.listdir(self.log_dir)):
             if f.startswith(".ckpt-stage-"):

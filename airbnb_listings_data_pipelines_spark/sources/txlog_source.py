@@ -357,15 +357,27 @@ def _partition_meta(log_dir: str):
     from pyspark.sql.types import StructType
 
     c0_path = os.path.join(log_dir, f"{0:012d}.json")
-    if not os.path.exists(c0_path):
+    if os.path.exists(c0_path):
+        with open(c0_path) as fh:
+            c0 = json.load(fh)
+    else:
         oldest = sorted(
             f for f in os.listdir(log_dir) if f.endswith(".json")
         )
         if not oldest:
             raise FileNotFoundError(f"no commits in {log_dir}")
-        c0_path = os.path.join(log_dir, oldest[0])
-    with open(c0_path) as fh:
-        c0 = json.load(fh)
+        with open(os.path.join(log_dir, oldest[0])) as fh:
+            c0 = json.load(fh)
+        if "partition_by" not in c0:
+            # mirrors TxLogTable.partition_meta: a truncated head whose
+            # oldest survivor is NOT a metadata-complete checkpoint must
+            # fail loudly, not silently read a partitioned table as
+            # unpartitioned (all partition columns null)
+            raise FileNotFoundError(
+                f"{log_dir}: commit 0 is gone and the oldest retained "
+                f"commit {oldest[0]} carries no partition spec — the log "
+                "head was truncated below a metadata-complete checkpoint"
+            )
     pby = c0.get("partition_by") or []
     pschema = (
         StructType.fromJson(json.loads(c0["partition_schema"])) if pby else None

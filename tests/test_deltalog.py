@@ -620,3 +620,41 @@ def test_reader_refuses_unsupported_table_feature(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="deletionVectors"):
         read_delta_snapshot(spark, path)
+
+
+def test_export_never_downgrades_protocol(spark, tmp_path):
+    """Delta PROTOCOL.md requires protocol versions to be monotonically
+    non-decreasing. Dropping the LAST CHECK constraint empties the
+    table configuration, which used to revert want_proto to
+    minWriterVersion=2 and re-emit a protocol action — a downgrade that
+    real Delta readers reject. The protocol must latch at its max."""
+    path = str(tmp_path / "t")
+    t = TxLogTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, price double"),
+    )
+    t.add_check("price_pos", "price >= 0")  # -> writer v3 on export
+    t.drop_check("price_pos")  # cfg shrinks back to {}
+    t.append(spark.createDataFrame([(3, 30.0)], "k int, price double"))
+    t.to_delta_log()
+    delta_dir = os.path.join(path, "_delta_log")
+    protos = []
+    for name in sorted(os.listdir(delta_dir)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(delta_dir, name)) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "protocol" in a:
+                    protos.append(
+                        (
+                            a["protocol"]["minReaderVersion"],
+                            a["protocol"]["minWriterVersion"],
+                        )
+                    )
+    assert (1, 3) in protos, "the CHECK-era upgrade must be emitted"
+    assert protos == sorted(protos), f"protocol downgraded: {protos}"
+    # and the latched log still replays
+    got = {tuple(r) for r in read_delta_snapshot(spark, path).collect()}
+    assert got == {tuple(r) for r in t.read().collect()}

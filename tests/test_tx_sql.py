@@ -327,3 +327,70 @@ def test_sql_dangling_where_refused_and_escaped_quotes(spark, tmp_path):
     sess.execute(r"UPDATE t SET note = 'a\'s WHERE x' WHERE k = 1")
     got = dict((r.k, r.note) for r in t.read().collect())
     assert got == {1: "a's WHERE x", 2: "b"}
+
+
+def test_split_where_is_paren_aware_and_commas_quote_aware(spark, tmp_path):
+    """Review findings: WHERE inside a parenthesized subexpression must
+    not terminate the statement head, and a comma inside a string
+    literal must not split a SET list."""
+    from airbnb_listings_data_pipelines_spark.functions.tx_sql import (
+        _split_where,
+    )
+
+    head, cond = _split_where(
+        "UPDATE t SET v = (SELECT max(k) FROM u WHERE u.g = t.g) WHERE k = 1"
+    )
+    assert cond == "k = 1"
+    assert head.endswith("(SELECT max(k) FROM u WHERE u.g = t.g)")
+    # no top-level WHERE at all: the parenthesized one must not count
+    head2, cond2 = _split_where("DELETE FROM t (WHERE)")
+    assert cond2 is None
+    # executed end-to-end: multi-assignment with a comma in a literal
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(1, "a", 0.0), (2, "b", 0.0)], "k int, note string, amt double"
+        ),
+    )
+    sess = TxSqlSession(spark, {"t": t})
+    sess.execute("UPDATE t SET note = 'a,b', amt = 9.5 WHERE k = 1")
+    got = {(r.k, r.note, r.amt) for r in t.read().collect()}
+    assert got == {(1, "a,b", 9.5), (2, "b", 0.0)}
+    # CASE expression holding both a comma-bearing literal and parens
+    sess.execute(
+        "UPDATE t SET note = (CASE WHEN k = 2 THEN 'x,y' ELSE note END)"
+    )
+    got = {(r.k, r.note) for r in t.read().select("k", "note").collect()}
+    assert got == {(1, "a,b"), (2, "x,y")}
+
+
+def test_select_does_not_clobber_user_temp_views(spark, tmp_path):
+    """Review finding: SELECT used to createOrReplaceTempView under the
+    binding name, silently replacing any same-named user temp view in
+    the shared SparkSession. Snapshots now register under unique
+    internal names (statement rewritten) and are dropped afterwards."""
+    t = _mk(spark, tmp_path / "t", n=6)
+    sess = TxSqlSession(spark, {"t": t})
+    # a user temp view that collides with the binding name
+    spark.createDataFrame([(777,)], "sentinel int").createOrReplaceTempView(
+        "t"
+    )
+    try:
+        got = sess.execute("SELECT count(*) AS n FROM t").first().n
+        assert got == 6, "bound txlog table must win inside the session"
+        # the user's view survives untouched
+        assert spark.table("t").first().sentinel == 777
+        # time-travel form too
+        n0 = (
+            sess.execute("SELECT count(*) AS n FROM t VERSION AS OF 0")
+            .first()
+            .n
+        )
+        assert n0 == 6
+        assert spark.table("t").first().sentinel == 777
+        # literals naming the table must not be rewritten
+        lit = sess.execute("SELECT 't' AS tag FROM t LIMIT 1").first().tag
+        assert lit == "t"
+    finally:
+        spark.catalog.dropTempView("t")

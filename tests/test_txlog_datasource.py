@@ -225,3 +225,30 @@ def test_stream_cdf_tails_dml_as_changes(registered, tmp_path):
         (1, "delete", 2),
         (1, "insert", 2),
     ]
+
+
+def test_partition_meta_raises_on_headless_unspecced_log(registered, tmp_path):
+    """Review finding: when commit 0 is gone and the oldest retained
+    commit carries no partition spec (head truncated outside
+    cleanup_log's checkpoint invariant), _partition_meta used to fall
+    back to pby=[] — silently reading a PARTITIONED table as
+    unpartitioned (partition columns all null). It must raise like the
+    operator twin TxLogTable.partition_meta does."""
+    path = str(tmp_path / "t")
+    t = TxLogTable.create(
+        registered,
+        path,
+        registered.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "k int, g string, price double"
+        ),
+        partition_by=["g"],
+    )
+    t.append(
+        registered.createDataFrame([(3, "a", 30.0)], "k int, g string, price double")
+    )
+    # corrupt the head the way an external mis-truncation would:
+    # delete commit 0; commit 1 is a plain append, not a
+    # metadata-complete checkpoint
+    os.remove(os.path.join(t.log_dir, f"{0:012d}.json"))
+    with pytest.raises(FileNotFoundError, match="partition spec"):
+        txlog_source._partition_meta(t.log_dir)
