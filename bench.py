@@ -66,6 +66,69 @@ EXCLUDED = {
 }
 
 
+def _lineage(sf_dir: str) -> dict:
+    """Testdata lineage stamp (round-8 lesson: /root/testdata was
+    regenerated mid-round, silently invalidating the cross-round bench
+    comparison — the repo's convention is that cross-lineage comparisons
+    don't count, so the artifact must carry enough to detect a change).
+    Hashes the (name, size, mtime_ns) listing of the SF dir — cheap,
+    no file reads — and records the newest mtime human-readably."""
+    import hashlib
+    from datetime import datetime, timezone
+
+    entries = []
+    newest = 0.0
+    try:
+        for name in sorted(os.listdir(sf_dir)):
+            full = os.path.join(sf_dir, name)
+            try:
+                st = os.stat(full)
+            except OSError:
+                continue
+            entries.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+            newest = max(newest, st.st_mtime)
+    except OSError:
+        return {"dir": sf_dir, "digest": None, "newest_mtime": None}
+    digest = hashlib.sha256("\n".join(entries).encode()).hexdigest()[:16]
+    return {
+        "dir": sf_dir,
+        "digest": digest,
+        "n_files": len(entries),
+        "newest_mtime": datetime.fromtimestamp(
+            newest, tz=timezone.utc
+        ).isoformat(timespec="seconds"),
+    }
+
+
+def _disk_snapshot() -> dict:
+    """Cumulative I/O counters from /proc/diskstats, summed over real
+    block devices (loop/ram excluded). The before/after delta localizes
+    contention the loadavg can't see: round 8's 27% same-code spread
+    concentrated in filesystem-heavy queries while loadavg looked idle."""
+    sectors_read = sectors_written = io_ms = 0
+    try:
+        with open("/proc/diskstats") as fh:
+            for line in fh:
+                f = line.split()
+                if len(f) < 14 or f[2].startswith(("loop", "ram", "dm-")):
+                    continue
+                # whole devices only (partitions double-count the parent)
+                if f[2][-1].isdigit() and not f[2].startswith("nvme"):
+                    continue
+                if f[2].startswith("nvme") and "p" in f[2][4:]:
+                    continue
+                sectors_read += int(f[5])
+                sectors_written += int(f[9])
+                io_ms += int(f[12])
+    except OSError:
+        return {"sectors_read": -1, "sectors_written": -1, "io_ms": -1}
+    return {
+        "sectors_read": sectors_read,
+        "sectors_written": sectors_written,
+        "io_ms": io_ms,
+    }
+
+
 def _load_snapshot() -> dict:
     """Contention self-diagnosis (round-5 lesson: the driver's BENCH_r05
     ran on a loaded box and showed every query — including map-only ones —
@@ -104,6 +167,8 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     load_before = _load_snapshot()
+    disk_before = _disk_snapshot()
+    lineage = _lineage(sf_dir)
     reg = load_all()
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
@@ -113,9 +178,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     names = list(HEADLINE) + [n for n in reg if n not in HEADLINE and n not in EXCLUDED]
+    # min-of-3 for the headline total (the regression-gated number):
+    # round 8 measured a 27% same-code, same-data spread on single-shot
+    # timings; min-of-N is the standard noise floor. Non-headline
+    # queries stay min-of-2 to bound total bench wall-clock.
     for name in names:
         best = float("inf")
-        for _ in range(2):  # first run pays whole-stage-codegen compilation
+        repeats = 3 if name in HEADLINE else 2
+        for _ in range(repeats):  # first run pays codegen compilation
             t0 = time.perf_counter()
             reg[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -123,6 +193,11 @@ def main() -> None:
 
     total = round(sum(timings[n] for n in HEADLINE), 4)
     load_after = _load_snapshot()
+    disk_after = _disk_snapshot()
+    disk_delta = {
+        k: (disk_after[k] - disk_before[k] if disk_before[k] >= 0 else -1)
+        for k in disk_after
+    }
     # "contended" = sustained external load: 1-min loadavg before the run
     # already above half the cores (this bench itself is the only thing
     # that should be running), or the pre-run loadavg exceeds what the
@@ -137,8 +212,11 @@ def main() -> None:
                 "all_queries_total": round(sum(timings.values()), 4),
                 "excluded": EXCLUDED,
                 "sf": sf,
+                "lineage": lineage,
+                "repeats": {"headline": 3, "rest": 2, "stat": "min"},
                 "load_before": load_before,
                 "load_after": load_after,
+                "disk_delta": disk_delta,
                 "contended": contended,
             },
             f,
@@ -157,8 +235,12 @@ def main() -> None:
                 "all_queries_total": round(sum(timings.values()), 4),
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
+                "lineage": lineage["digest"],
+                "lineage_mtime": lineage["newest_mtime"],
+                "repeats": 3,
                 "loadavg_before": load_before["loadavg_1m"],
                 "loadavg_after": load_after["loadavg_1m"],
+                "disk_io_ms": disk_delta["io_ms"],
                 "contended": contended,
             }
         )
