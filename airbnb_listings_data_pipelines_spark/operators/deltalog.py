@@ -31,9 +31,14 @@ a txlog table that renamed/dropped columns exports with protocol
 ``delta.columnMapping.{id,physicalName}`` metadata (Delta's own upgrade
 path — versions before the first rename stay reader-v1), and the reader
 resolves physical parquet columns through that metadata for any
-mode=none/name table. Deletion vectors and mode=id remain refused
-(loudly) — refusing is what the Delta spec REQUIRES of readers that meet
-an unsupported protocol.
+mode=none/name table. DELETION VECTORS are supported in both directions
+under the ``deletionVectors`` table feature (reader 3 / writer 7):
+export re-encodes txlog sidecars as RoaringBitmap ``.bin`` files with
+per-add ``deletionVector`` descriptors (:mod:`operators.roaring`
+implements the public binary formats), and the reader anti-joins
+descriptor bitmaps out of any foreign snapshot (storageType u/i/p).
+mode=id remains refused (loudly) — refusing is what the Delta spec
+REQUIRES of readers that meet an unsupported protocol.
 
 At 100 TB the shapes match txlog's: a commit is O(files touched) JSON
 bytes; snapshot resolution reads the log tail after the newest
@@ -330,17 +335,37 @@ def export_delta_log(spark: SparkSession, table) -> int:
         return schema.json()
 
     cur: set[str] = set()
+    # running deletion-vector state (file -> txlog descriptor), folded
+    # with exactly txlog.replay_log_full's rules; dv_prev is the state at
+    # the previously emitted version so each Delta commit carries the
+    # true per-version DV delta. The first nonempty state latches
+    # dv_feature: from that version on the export runs under the
+    # deletionVectors TABLE FEATURE (reader v3 / writer v7 — Delta
+    # PROTOCOL.md), and txlog sidecars are re-encoded as RoaringBitmap
+    # DV files (operators/roaring.py) named in add.deletionVector
+    # descriptors.
+    dv_state: dict[str, dict] = {}
+    dv_prev: dict[str, dict] = {}
+    dv_feature = False
     for v in range(latest + 1):
         c = tx_state.get(v)
         if c is None:
             raise FileNotFoundError(f"txlog {table.log_dir} missing commit {v}")
-        ck_dvs: dict = {}
         if c.get("checkpoint"):
             from .txlog import _checkpoint_state
 
             cur, ck_dvs = _checkpoint_state(table.log_dir, c)
+            dv_state = dict(ck_dvs)
         else:
             cur = (cur - set(c["removes"])) | set(c["adds"])
+            for f in c["removes"]:
+                dv_state.pop(f, None)
+            if c.get("dvs_reset") is not None:
+                dv_state = dict(c["dvs_reset"])
+            for f, d in (c.get("dvs") or {}).items():
+                dv_state[f] = d
+        if dv_state:
+            dv_feature = True
         cm = c.get("column_mapping")
         if cm is not None:
             cur_mapping = dict(cm)
@@ -350,18 +375,6 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 mapping_mode = True
         if c.get("schema"):
             _ensure_ids(c["schema"], cur_mapping)
-        if c.get("dvs") or c.get("dvs_reset") or c.get("dvs_state") or ck_dvs:
-            raise NotImplementedError(
-                f"Delta export refused: commit {v} carries deletion "
-                "vectors — a faithful export needs Delta's "
-                "deletionVectors table feature (reader v3 / writer v7, "
-                "RoaringBitmap sidecars), which this exporter does not "
-                "implement; the export mirrors EVERY version 1:1, so a "
-                "historical DV commit blocks the whole log. Unblock: "
-                "OPTIMIZE (folds live vectors into plain files), then "
-                "CLONE to a fresh table (zero-copy, starts history at "
-                "version 0) and export the clone."
-            )
         cr = c.get("checks_reset")
         ck = c.get("check")
         if cr is not None:
@@ -379,7 +392,31 @@ def export_delta_log(spark: SparkSession, table) -> int:
         if mapping_mode:
             cfg["delta.columnMapping.mode"] = "name"
             cfg["delta.columnMapping.maxColumnId"] = str(max_id)
-        if mapping_mode:
+        if dv_feature:
+            cfg["delta.enableDeletionVectors"] = "true"
+            # table-features protocol: readerFeatures lists what a reader
+            # must honor; writerFeatures additionally carries the legacy
+            # features the pre-upgrade writer version implied (the
+            # upgrade rule in PROTOCOL.md 'Table Features')
+            rf = {"deletionVectors"}
+            wf = {"appendOnly", "invariants", "deletionVectors"}
+            if cur_checks:
+                wf.add("checkConstraints")
+            if mapping_mode:
+                rf.add("columnMapping")
+                wf |= {
+                    "checkConstraints",
+                    "generatedColumns",
+                    "changeDataFeed",
+                    "columnMapping",
+                }
+            want_proto = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(rf),
+                "writerFeatures": sorted(wf),
+            }
+        elif mapping_mode:
             want_proto = {"minReaderVersion": 2, "minWriterVersion": 5}
         elif cfg:
             want_proto = {"minReaderVersion": 1, "minWriterVersion": 3}
@@ -388,6 +425,7 @@ def export_delta_log(spark: SparkSession, table) -> int:
         target = os.path.join(delta_dir, _delta_commit_name(v))
         if os.path.exists(target):
             prev = set(cur)
+            dv_prev = dict(dv_state)
             continue
         actions: list[dict] = []
         if v == 0:
@@ -438,34 +476,23 @@ def export_delta_log(spark: SparkSession, table) -> int:
             if (schema_changed or cfg_changed) and schema_str is not None:
                 if schema_changed:
                     meta_fields = _schema_fields(sj)
-                if emitted_proto is not None and (
-                    want_proto["minReaderVersion"]
-                    > emitted_proto["minReaderVersion"]
-                    or want_proto["minWriterVersion"]
-                    > emitted_proto["minWriterVersion"]
-                ):
+                if emitted_proto is not None:
                     # protocol upgrade in the same commit: first
                     # constraint needs writer v3; first non-identity
-                    # column mapping needs reader 2 / writer 5 (Delta
+                    # column mapping needs reader 2 / writer 5; first
+                    # deletion vector needs the table-features form
+                    # (reader 3 / writer 7 + feature lists). Delta
                     # requires the upgrade to land with or before the
-                    # feature's first metaData). The versions are
-                    # latched: Delta PROTOCOL.md requires them to be
-                    # monotonically non-decreasing, so when cfg later
-                    # shrinks (last CHECK dropped, restore to an
-                    # unconstrained state) we never re-emit a lower
-                    # protocol.
-                    upgraded = {
-                        "minReaderVersion": max(
-                            want_proto["minReaderVersion"],
-                            emitted_proto["minReaderVersion"],
-                        ),
-                        "minWriterVersion": max(
-                            want_proto["minWriterVersion"],
-                            emitted_proto["minWriterVersion"],
-                        ),
-                    }
-                    actions.append({"protocol": upgraded})
-                    emitted_proto = upgraded
+                    # feature's first metaData. The protocol is LATCHED
+                    # via merge (versions max'd, feature lists unioned):
+                    # PROTOCOL.md requires monotonically non-decreasing
+                    # protocols, so when cfg later shrinks (last CHECK
+                    # dropped, restore to an unconstrained state) we
+                    # never re-emit a lower one.
+                    upgraded = _proto_merge(emitted_proto, want_proto)
+                    if upgraded != emitted_proto:
+                        actions.append({"protocol": upgraded})
+                        emitted_proto = upgraded
                 if mapping_mode and sj is not None:
                     _ensure_ids(sj, cur_mapping)
                     cfg["delta.columnMapping.maxColumnId"] = str(max_id)
@@ -486,7 +513,20 @@ def export_delta_log(spark: SparkSession, table) -> int:
                         }
                     }
                 )
-        for f in sorted(cur - prev):
+        # Delta DV descriptors for every live file whose vector is NEW at
+        # this version (fresh DML, checkpoint/restore state change, or a
+        # file added with a vector). One RoaringBitmap DV file per
+        # exported version packs all of them (Delta's own layout).
+        dv_new = {
+            f: dv_state[f]
+            for f in cur
+            if dv_state.get(f) is not None and dv_prev.get(f) != dv_state[f]
+        }
+        delta_dvs = (
+            _materialize_delta_dvs(table, dv_new) if dv_new else {}
+        )
+
+        def _add_action(f: str, dv: dict | None) -> dict:
             full = os.path.join(table.path, f)
             # a file can be gone already if this version predates a vacuum;
             # it then never reaches the LATEST live set (some later commit
@@ -513,8 +553,21 @@ def export_delta_log(spark: SparkSession, table) -> int:
             }
             stats = _file_delta_stats(full) if exists else None
             if stats is not None:
+                if dv is not None:
+                    # stats on a DV-carrying file describe the PHYSICAL
+                    # file (deleted rows included): tightBounds=false is
+                    # how the protocol marks min/max as possibly wider
+                    # than the live rows
+                    s = json.loads(stats)
+                    s["tightBounds"] = False
+                    stats = json.dumps(s)
                 add["stats"] = stats
-            actions.append({"add": add})
+            if dv is not None:
+                add["deletionVector"] = dv
+            return add
+
+        for f in sorted(cur - prev):
+            actions.append({"add": _add_action(f, delta_dvs.get(f))})
         for f in sorted(prev - cur):
             actions.append(
                 {
@@ -525,6 +578,25 @@ def export_delta_log(spark: SparkSession, table) -> int:
                     }
                 }
             )
+        # a live file whose DV state CHANGED (new/updated vector, or a
+        # restore clearing it) is re-committed: remove + add with the
+        # current descriptor — exactly how Delta's own DML represents a
+        # vector update on an unchanged data file
+        for f in sorted(
+            f
+            for f in cur & prev
+            if dv_prev.get(f) != dv_state.get(f)
+        ):
+            actions.append(
+                {
+                    "remove": {
+                        "path": f,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+            actions.append({"add": _add_action(f, delta_dvs.get(f))})
         if c.get("txn"):
             # mirror the txlog streaming-transaction marker as the Delta
             # protocol's txn action, so an external engine taking over the
@@ -562,7 +634,94 @@ def export_delta_log(spark: SparkSession, table) -> int:
         finally:
             os.unlink(tmp)
         prev = set(cur)
+        dv_prev = dict(dv_state)
     return latest
+
+
+def _proto_merge(a: dict, b: dict) -> dict:
+    """Least upper bound of two protocol actions: versions max'd, feature
+    lists unioned — the only legal direction (PROTOCOL.md requires
+    protocols to be monotonically non-decreasing, and a feature once
+    listed can never be dropped)."""
+    out = {
+        "minReaderVersion": max(
+            a.get("minReaderVersion", 1), b.get("minReaderVersion", 1)
+        ),
+        "minWriterVersion": max(
+            a.get("minWriterVersion", 1), b.get("minWriterVersion", 1)
+        ),
+    }
+    rf = set(a.get("readerFeatures") or []) | set(b.get("readerFeatures") or [])
+    wf = set(a.get("writerFeatures") or []) | set(b.get("writerFeatures") or [])
+    if rf:
+        out["readerFeatures"] = sorted(rf)
+    if wf:
+        out["writerFeatures"] = sorted(wf)
+    return out
+
+
+def _materialize_delta_dvs(table, need: dict[str, dict]) -> dict[str, dict]:
+    """Re-encode txlog deletion-vector sidecars as ONE Delta DV file for
+    an export version. ``need`` maps table-relative data-file paths to
+    their txlog descriptors (``{"sidecar": rel, "cardinality": n}``);
+    returns per-file Delta ``deletionVector`` descriptors (storageType
+    ``u``, shared uuid-named ``.bin`` at the table root, per-file
+    offset/sizeInBytes/cardinality).
+
+    Cost shape: each referenced sidecar parquet is read ONCE driver-side
+    via pyarrow (sidecar bytes are O(deleted rows) — the same payload any
+    Delta writer materializes to build a bitmap); blobs are packed and
+    the file published with write-tmp + atomic rename. A crash between
+    bin write and commit publish leaves an unreferenced .bin orphan —
+    never read by anyone (descriptors name exact uuids), cleanable by
+    generic orphan sweeps."""
+    import pyarrow.parquet as pq
+
+    from . import roaring
+
+    by_sidecar: dict[str, list[str]] = {}
+    for f, d in need.items():
+        by_sidecar.setdefault(d["sidecar"], []).append(f)
+    rows_by_file: dict[str, list[int]] = {}
+    for sc in sorted(by_sidecar):
+        tbl = pq.read_table(
+            os.path.join(table.path, sc), columns=["file", "row_index"]
+        )
+        # sidecar rows key files by basename (legacy) or relative path —
+        # accept both so pre-/post-keying-change sidecars export alike
+        wanted: dict[str, str] = {}
+        for f in by_sidecar[sc]:
+            wanted[os.path.basename(f)] = f
+            wanted[f] = f
+        for fb, ri in zip(
+            tbl.column("file").to_pylist(), tbl.column("row_index").to_pylist()
+        ):
+            tgt = wanted.get(fb)
+            if tgt is not None:
+                rows_by_file.setdefault(tgt, []).append(int(ri))
+    files_sorted = sorted(need)
+    blobs = [
+        roaring.serialize_rba(sorted(set(rows_by_file.get(f, []))))
+        for f in files_sorted
+    ]
+    u = uuid.uuid4()
+    raw, offsets = roaring.pack_dv_file(blobs)
+    name = f"deletion_vector_{u}.bin"
+    tmp = os.path.join(table.path, f".{name}.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "wb") as fh:
+        fh.write(raw)
+    os.replace(tmp, os.path.join(table.path, name))
+    enc = roaring.encode_uuid_b85(u)
+    out: dict[str, dict] = {}
+    for f, blob, off in zip(files_sorted, blobs, offsets):
+        out[f] = {
+            "storageType": "u",
+            "pathOrInlineDv": enc,
+            "offset": off,
+            "sizeInBytes": len(blob),
+            "cardinality": len(set(rows_by_file.get(f, []))),
+        }
+    return out
 
 
 def write_delta_checkpoint(
@@ -593,7 +752,9 @@ def write_delta_checkpoint(
     want = state.version
     add_t = (
         "struct<path:string,partitionValues:map<string,string>,size:bigint,"
-        "modificationTime:bigint,dataChange:boolean,stats:string>"
+        "modificationTime:bigint,dataChange:boolean,stats:string,"
+        "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+        "offset:int,sizeInBytes:int,cardinality:bigint>>"
     )
     rm_t = (
         "struct<path:string,deletionTimestamp:bigint,dataChange:boolean,"
@@ -819,10 +980,11 @@ def _verify_contiguous(
 # reader TABLE FEATURES this implementation honors (PROTOCOL.md 'Table
 # Features', reader version 3): columnMapping resolves physical columns
 # via schemaString metadata; timestampNtz is just a Spark type the scans
-# already read. Everything else (deletionVectors, v2Checkpoint, ...)
-# refuses — the spec REQUIRES readers to refuse features they cannot
-# honor.
-_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
+# already read; deletionVectors anti-joins add.deletionVector bitmaps
+# out of the scan (operators/roaring.py decodes the RoaringBitmap
+# blobs). Everything else (v2Checkpoint, ...) refuses — the spec
+# REQUIRES readers to refuse features they cannot honor.
+_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz", "deletionVectors"}
 
 
 def _check_protocol(protocol: dict) -> None:
@@ -1026,17 +1188,53 @@ def _read_live_files(
             for f in data_fields
         ]
     )
+    # deletionVectors (table feature, reader v3): live adds carrying a
+    # descriptor get their deleted row positions anti-joined out on
+    # (file basename, _metadata.row_index) — the same JVM-side plan the
+    # txlog reader uses; bitmap decoding runs inside mapInPandas tasks
+    # (see _delta_dv_rows), never on the driver
+    dv_live = {
+        f: a["deletionVector"] for f, a in live.items() if a.get("deletionVector")
+    }
 
     def _scan(some_paths: list[str]) -> DataFrame:
         df = spark.read.schema(data_schema).parquet(*some_paths)
-        if mode == "name":
-            df = df.select(
-                *[F.col(phys[f.name]).alias(f.name) for f in data_fields]
+        cols = (
+            [F.col(phys[f.name]).alias(f.name) for f in data_fields]
+            if mode == "name"
+            else [F.col(f.name) for f in data_fields]
+        )
+        if dv_live:
+            cols += [
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__dvf"),
+                F.col("_metadata.row_index").alias("__dvi"),
+            ]
+        return df.select(*cols)
+
+    def _apply_dv(df: DataFrame) -> DataFrame:
+        if not dv_live:
+            return df
+        basenames = [f.rsplit("/", 1)[-1] for f in ordered]
+        if len(set(basenames)) != len(basenames):
+            # the anti-join keys on basenames (what _metadata.file_path
+            # yields without path-escaping ambiguity); a colliding
+            # foreign layout would over-delete rows from the wrong file
+            raise NotImplementedError(
+                "deletionVectors on a Delta log whose live files share "
+                "basenames is not supported (row positions would be "
+                "anti-joined out of the wrong file)"
             )
-        return df
+        dv_df = _delta_dv_rows(spark, path, dv_live)
+        return df.join(
+            dv_df,
+            (df["__dvf"] == dv_df["file"]) & (df["__dvi"] == dv_df["row_index"]),
+            "left_anti",
+        ).drop("__dvf", "__dvi")
 
     if not pcols:
-        return _scan(paths)
+        return _apply_dv(_scan(paths))
     fields = {fld.name: fld for fld in schema.fields}
     missing = [c for c in pcols if c not in fields]
     if missing:
@@ -1069,7 +1267,7 @@ def _read_live_files(
             out = out.withColumn(c, F.col(f"__pv{i}").cast(fields[c].dataType)).drop(
                 f"__pv{i}"
             )
-        return out.select(*[fld.name for fld in schema.fields])
+        return _apply_dv(out).select(*[fld.name for fld in schema.fields])
     # fallback: group files by partition tuple, one scan per group
     groups: dict[tuple, list[str]] = {}
     for f in ordered:
@@ -1077,16 +1275,60 @@ def _read_live_files(
         groups.setdefault(
             tuple(pv.get(phys.get(c, c), pv.get(c)) for c in pcols), []
         ).append(os.path.join(path, f))
+    keep = [fld.name for fld in schema.fields] + (
+        ["__dvf", "__dvi"] if dv_live else []
+    )
     parts = []
     for key in sorted(groups, key=lambda k: tuple((v is None, v) for v in k)):
         g = _scan(groups[key])
         for c, v in zip(pcols, key):
             g = g.withColumn(c, F.lit(v).cast(fields[c].dataType))
-        parts.append(g.select(*[fld.name for fld in schema.fields]))
+        parts.append(g.select(*keep))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return _apply_dv(out).select(*[fld.name for fld in schema.fields])
+
+
+def _delta_dv_rows(
+    spark: SparkSession, table_path: str, dv_live: dict[str, dict]
+) -> DataFrame:
+    """(file basename, row_index) rows deleted by the live deletion
+    vectors — the anti-join side of the snapshot read. Descriptors ship
+    as a tiny DataFrame; the RoaringBitmap blobs are fetched + decoded
+    INSIDE mapInPandas tasks (operators/roaring.py pickled by value, so
+    a vanilla external session needs no package install) — at 100 TB a
+    table can carry thousands of vectors totalling far more positions
+    than a driver should hold. Broadcast below the same cardinality
+    threshold the txlog reader uses."""
+    import json as _json
+
+    from pyspark import cloudpickle
+    from pyspark.sql import functions as F
+
+    from . import roaring
+
+    cloudpickle.register_pickle_by_value(roaring)
+    decode = roaring.decode_descriptor
+    rows = [
+        (f.rsplit("/", 1)[-1], _json.dumps(desc))
+        for f, desc in sorted(dv_live.items())
+    ]
+    desc_df = spark.createDataFrame(rows, "file string, desc string")
+    if len(rows) > 1:
+        desc_df = desc_df.repartition(min(len(rows), 32))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for file, desc in zip(pdf["file"], pdf["desc"]):
+                idx = decode(_json.loads(desc), table_path)
+                yield pd.DataFrame({"file": file, "row_index": idx})
+
+    out = desc_df.mapInPandas(gen, "file string, row_index long")
+    total = sum(int(d.get("cardinality") or 0) for d in dv_live.values())
+    return F.broadcast(out) if total <= 500_000 else out
 
 
 def read_delta_where(

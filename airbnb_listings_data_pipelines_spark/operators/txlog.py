@@ -594,7 +594,10 @@ class TxLogTable:
         story (txlog -> Delta was ``to_delta_log``). Carried over:
         exact schema (Delta's schemaString IS the Spark StructType
         JSON), partition spec, CHECK constraints
-        (``delta.constraints.*`` -> a commit-0 ``checks_reset``), and
+        (``delta.constraints.*`` -> a commit-0 ``checks_reset``),
+        DELETION VECTORS (add.deletionVector RoaringBitmap blobs decoded
+        and re-encoded as a commit-0 txlog sidecar — merge-on-read
+        deletes survive adoption row-exactly), and
         streaming transaction markers (one no-op ``txn`` commit per
         appId, so an exactly-once sink migrated from the Delta table
         resumes at the right batch — :meth:`last_txn_version` finds
@@ -646,6 +649,53 @@ class TxLogTable:
                 f"cannot convert: {len(gone)} live Delta files missing on "
                 f"disk (first: {gone[0]})"
             )
+        # deletionVectors adoption: live adds carrying a descriptor have
+        # their RoaringBitmap blobs decoded (all storage types) and
+        # re-encoded as ONE txlog sidecar parquet, registered as commit-0
+        # ``dvs`` state — merge-on-read semantics carry over exactly.
+        # Basenames must be unique (the sidecar keys on them, same
+        # invariant mode='dv' DML enforces).
+        dv_adds = {
+            f: a["deletionVector"]
+            for f, a in st.live.items()
+            if a.get("deletionVector")
+        }
+        dvs0: dict[str, dict] | None = None
+        if dv_adds:
+            from .roaring import decode_descriptor
+
+            basenames = [f.rsplit("/", 1)[-1] for f in files]
+            if len(set(basenames)) != len(basenames):
+                raise NotImplementedError(
+                    "convert_from_delta refused: table carries deletion "
+                    "vectors AND duplicate live-file basenames — txlog "
+                    "sidecars key row positions by basename"
+                )
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            fcol: list[str] = []
+            rcol: list[int] = []
+            dvs0 = {}
+            for f in sorted(dv_adds):
+                idx = decode_descriptor(dv_adds[f], path)
+                b = os.path.basename(f)
+                fcol.extend([b] * len(idx))
+                rcol.extend(idx)
+                dvs0[f] = {"cardinality": len(idx)}
+            os.makedirs(os.path.join(path, "_dv"), exist_ok=True)
+            sidecar = f"_dv/dv-{uuid.uuid4().hex}.parquet"
+            pq.write_table(
+                pa.table(
+                    {
+                        "file": pa.array(fcol, type=pa.string()),
+                        "row_index": pa.array(rcol, type=pa.int64()),
+                    }
+                ),
+                os.path.join(path, sidecar),
+            )
+            for f in dvs0:
+                dvs0[f]["sidecar"] = sidecar
         if pby:
             bad = [
                 f
@@ -677,6 +727,8 @@ class TxLogTable:
             "checks_reset": checks,
             "converted_from_delta": st.version,
         }
+        if dvs0:
+            extra0["dvs"] = dvs0
         if mapping is not None:
             # adopt mode=name wholesale (identity entries included): the
             # mapping being PRESENT is what makes later add_column mint

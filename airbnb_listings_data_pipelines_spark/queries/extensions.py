@@ -4841,3 +4841,84 @@ def x85_jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.sum(F.length("text")).cast("long").alias("total_text_len"),
     )
+
+
+@query(
+    "x86_delta_dv_export_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    live1 AS (SELECT * FROM base WHERE o_orderkey % 5 <> 0),
+    live2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'O' AND o_orderkey % 3 = 1
+                  THEN o_totalprice + 50.0 ELSE o_totalprice END
+               AS o_totalprice
+      FROM live1
+    ),
+    labeled AS (
+      SELECT 1 AS at_version, * FROM live1
+      UNION ALL SELECT 2, * FROM live2
+    )
+    SELECT at_version, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM labeled GROUP BY 1, 2
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8"),
+    doc="DELETION-VECTOR DELTA EXPORT ROUNDTRIP under the value-hash "
+    "gate (round-9: the deletionVectors TABLE FEATURE, delta.io "
+    "PROTOCOL.md reader v3 / writer v7): orders -> txlog; DELETE "
+    "k%5=0 mode='dv' (v1) and UPDATE +50 on open k%3=1 orders "
+    "mode='dv' (v2) leave LIVE vectors — no OPTIMIZE fold; export "
+    "re-encodes the txlog sidecars as RoaringBitmap .bin files "
+    "(operators/roaring.py — serialization conformance-tested against "
+    "the JVM org.roaringbitmap implementation Spark bundles) named by "
+    "add.deletionVector descriptors, upgrading the protocol to the "
+    "table-features form. The INDEPENDENT log-replay reader (never "
+    "touches _txlog) then reads BOTH versions — time travel across "
+    "two different vector states of the same files, bitmap decode in "
+    "mapInPandas tasks, one JVM anti-join on _metadata.row_index per "
+    "scan. The oracle rebuilds both states from raw orders; a hash "
+    "match proves descriptor emission, bitmap encode+decode, per-"
+    "version DV supersession, and the merge-on-read read path. "
+    "operators/deltalog.export_delta_log/_materialize_delta_dvs/"
+    "read_delta_snapshot, operators/roaring.py.",
+)
+def x86_delta_dv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.deltalog import read_delta_snapshot
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _dml_scratch("x86" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(8, "o_orderkey")
+    )
+    t.delete_where("o_orderkey % 5 = 0", mode="dv")  # v1: delete vector
+    t.update_where(
+        "o_orderstatus = 'O' AND o_orderkey % 3 = 1",
+        {"o_totalprice": F.col("o_totalprice") + F.lit(50.0)},
+        mode="dv",
+    )  # v2: update vectors supersede v1's on shared files
+    t.to_delta_log()
+    parts = []
+    for ver in (1, 2):
+        d = read_delta_snapshot(spark, path, version=ver)
+        parts.append(
+            d.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("o_orderkey").alias("n_keys"),
+                F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+                .cast("long")
+                .alias("total_cents"),
+            ).select(
+                F.lit(ver).cast("int").alias("at_version"),
+                "o_orderstatus", "n_orders", "n_keys", "total_cents",
+            )
+        )
+    return parts[0].unionByName(parts[1])

@@ -261,17 +261,45 @@ def test_parquet_sidecar_checkpoints_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, t3.read().collect())) == before
 
 
-def test_sidecar_checkpoint_refuses_delta_export_when_dvs(spark, tmp_path):
-    """A sidecar'd checkpoint carrying DV state must still trip the Delta
-    export's deletion-vector refusal — hiding the state in the sidecar
-    cannot smuggle a DV table past the protocol gate."""
-    import pytest as _pytest
+def test_sidecar_checkpoint_dv_state_exports_to_delta(spark, tmp_path):
+    """A sidecar'd checkpoint carrying DV state used to trip the Delta
+    export's refusal; round 9's deletionVectors-feature export must fold
+    the sidecar's dvs_state like any commit and export faithfully —
+    combined here with column mapping and CHECKs, so the table-features
+    protocol carries ALL three and the independent reader resolves
+    physical names AND anti-joins the vectors."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        read_delta_snapshot,
+    )
 
     t = _mk(spark, tmp_path / "t")
     t.ckpt_sidecar_min_files = 0
     _drive_past_checkpoint(spark, t)
-    with _pytest.raises(NotImplementedError, match="deletion "):
-        t.to_delta_log()
+    t.to_delta_log()
+    proto = _read_protocols(t.path)[-1]
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert {"deletionVectors", "columnMapping"} <= set(proto["readerFeatures"])
+    assert "checkConstraints" in proto["writerFeatures"]
+    expect = sorted(map(tuple, t.read().collect()))
+    got = sorted(map(tuple, read_delta_snapshot(spark, t.path).collect()))
+    assert got == expect
+    assert not any(r[0] == 9 for r in got), "DV'd row must stay deleted"
+
+
+def _read_protocols(path):
+    import json as _json
+
+    delta_dir = os.path.join(path, "_delta_log")
+    out = []
+    for name in sorted(os.listdir(delta_dir)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(delta_dir, name)) as fh:
+            for line in fh:
+                a = _json.loads(line)
+                if "protocol" in a:
+                    out.append(a["protocol"])
+    return out
 
 
 def test_vacuum_sweeps_orphan_checkpoint_sidecars(spark, tmp_path):

@@ -356,24 +356,138 @@ def test_dv_basename_collision_refused(spark, tmp_path):
     assert sorted((r.k, r.g) for r in t.read().collect()) == [(2, 0), (2, 1)]
 
 
-def test_dv_delta_export_refuses_then_optimize_clone_unblocks(spark, tmp_path):
-    """The export mirrors every version 1:1, so a historical DV commit
-    blocks the whole log even after compaction; the documented unblock
-    is OPTIMIZE (fold vectors) + zero-copy CLONE (fresh history)."""
-    t = _mk(spark, tmp_path, n=10, parts=1)
-    t.delete_where("k = 3", mode="dv")
-    with pytest.raises(NotImplementedError, match="deletion vectors"):
-        t.to_delta_log()
-    t.optimize()  # folds the vector into plain files
-    with pytest.raises(NotImplementedError, match="deletion vectors"):
-        t.to_delta_log()  # commit 1 still carries the DV history
-    c = t.clone(str(tmp_path / "fresh"))
-    v = c.to_delta_log()
-    assert v == c.version() == 0
+def test_dv_delta_export_roundtrip_live_vectors(spark, tmp_path):
+    """Round-8 gap closed: a table holding LIVE deletion vectors exports
+    under Delta's deletionVectors table feature (reader 3 / writer 7,
+    RoaringBitmap .bin sidecars, add.deletionVector descriptors) and the
+    independent _delta_log reader replays it row-exactly — no OPTIMIZE
+    fold needed. Covers delete + update vectors (multiple sidecars),
+    protocol/feature emission, and time travel across DV versions."""
+    import json as _json
+
     from airbnb_listings_data_pipelines_spark.operators.deltalog import (
         read_delta_snapshot,
     )
 
-    assert sorted(
-        r.k for r in read_delta_snapshot(spark, c.path).collect()
-    ) == [k for k in range(10) if k != 3]
+    t = _mk(spark, tmp_path, n=30, parts=3)
+    t.delete_where("k % 10 = 0", mode="dv")  # v1: delete DV
+    t.update_where("k = 7", {"v": F.lit("SEVEN")}, mode="dv")  # v2: update DV
+    assert len({d["sidecar"] for d in t.dvs().values()}) >= 2
+    v = t.to_delta_log()
+    assert v == t.version() == 2
+    # the exported protocol carries the table-features form
+    delta_dir = os.path.join(t.path, "_delta_log")
+    protos = []
+    descs = []
+    for name in sorted(os.listdir(delta_dir)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(delta_dir, name)) as fh:
+            for line in fh:
+                a = _json.loads(line)
+                if "protocol" in a:
+                    protos.append(a["protocol"])
+                if "add" in a and a["add"].get("deletionVector"):
+                    descs.append(a["add"]["deletionVector"])
+    assert protos[-1]["minReaderVersion"] == 3
+    assert protos[-1]["minWriterVersion"] == 7
+    assert "deletionVectors" in protos[-1]["readerFeatures"]
+    assert "deletionVectors" in protos[-1]["writerFeatures"]
+    assert descs and all(d["storageType"] == "u" for d in descs)
+    # stats on DV-carrying adds are marked wide-bounds
+    with open(os.path.join(delta_dir, f"{1:020d}.json")) as fh:
+        for line in fh:
+            a = _json.loads(line)
+            if "add" in a and a["add"].get("deletionVector"):
+                assert _json.loads(a["add"]["stats"])["tightBounds"] is False
+    # independent reader parity, latest + time travel at every version
+    expect_now = sorted((r.k, r.v) for r in t.read().collect())
+    got_now = sorted(
+        (r.k, r.v) for r in read_delta_snapshot(spark, t.path).collect()
+    )
+    assert got_now == expect_now
+    for ver in range(3):
+        exp = sorted((r.k, r.v) for r in t.read_version(ver).collect())
+        got = sorted(
+            (r.k, r.v)
+            for r in read_delta_snapshot(spark, t.path, version=ver).collect()
+        )
+        assert got == exp, f"version {ver} mismatch"
+
+
+def test_dv_delta_export_incremental_and_optimize_fold(spark, tmp_path):
+    """Incremental re-export after more DV DML appends only the missing
+    commits; an OPTIMIZE that folds vectors exports as remove+add of
+    plain files and the reader drops the descriptors."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        read_delta_snapshot,
+    )
+
+    t = _mk(spark, tmp_path, n=20, parts=2)
+    t.delete_where("k < 3", mode="dv")
+    assert t.to_delta_log() == 1
+    t.delete_where("k >= 17", mode="dv")  # extends one file's vector
+    t.optimize()
+    assert t.to_delta_log() == t.version()
+    expect = sorted(r.k for r in t.read().collect())
+    assert expect == list(range(3, 17))
+    got = sorted(r.k for r in read_delta_snapshot(spark, t.path).collect())
+    assert got == expect
+    # post-OPTIMIZE snapshot carries no descriptors
+    import json as _json
+
+    delta_dir = os.path.join(t.path, "_delta_log")
+    latest = sorted(
+        f for f in os.listdir(delta_dir) if f.endswith(".json")
+    )[-1]
+    with open(os.path.join(delta_dir, latest)) as fh:
+        for line in fh:
+            a = _json.loads(line)
+            if "add" in a:
+                assert not a["add"].get("deletionVector")
+
+
+def test_dv_delta_export_restore_resurrects_rows(spark, tmp_path):
+    """RESTORE reverts DV state; the export must re-add the file WITHOUT
+    a descriptor so external readers resurrect the rows at that version."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        read_delta_snapshot,
+    )
+
+    t = _mk(spark, tmp_path, n=12, parts=1)
+    t.delete_where("k = 5", mode="dv")
+    t.restore(0)
+    t.to_delta_log()
+    got = sorted(r.k for r in read_delta_snapshot(spark, t.path).collect())
+    assert got == list(range(12)), "restored rows must resurrect"
+    got1 = sorted(
+        r.k for r in read_delta_snapshot(spark, t.path, version=1).collect()
+    )
+    assert got1 == [k for k in range(12) if k != 5]
+
+
+def test_convert_from_delta_adopts_deletion_vectors(spark, tmp_path):
+    """Import direction: CONVERT FROM DELTA on a DV-carrying log decodes
+    the bitmaps into a txlog sidecar — reads match, and further DML /
+    OPTIMIZE work on the adopted table."""
+    import shutil
+
+    t = _mk(spark, tmp_path, n=20, parts=2, name="src")
+    t.delete_where("k % 5 = 0", mode="dv")
+    t.to_delta_log()
+    expect = sorted(r.k for r in t.read().collect())
+    shutil.rmtree(t.log_dir)  # now it is "just" a Delta table with DVs
+
+    c = TxLogTable.convert_from_delta(spark, t.path)
+    assert sorted(r.k for r in c.read().collect()) == expect
+    assert c.dvs(), "adopted table must carry DV state"
+    # merge-on-read DML keeps working on the adopted vectors
+    c.delete_where("k = 7", mode="dv")
+    assert sorted(r.k for r in c.read().collect()) == [
+        k for k in expect if k != 7
+    ]
+    c.optimize()
+    assert not c.dvs()
+    assert sorted(r.k for r in c.read().collect()) == [
+        k for k in expect if k != 7
+    ]
