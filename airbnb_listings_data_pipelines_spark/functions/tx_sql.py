@@ -22,13 +22,16 @@ VACUUM), and ANSI for the rest:
   gate
 - ``DELETE FROM t [WHERE cond]``
 - ``UPDATE t SET c1 = e1, c2 = e2 [WHERE cond]``
-- ``MERGE INTO t USING src [AS alias] ON t.k = src.k [AND ...]
-  [WHEN MATCHED THEN UPDATE SET * | WHEN MATCHED THEN DELETE]
-  [WHEN NOT MATCHED THEN INSERT *]`` — the engine's merge is
-  whole-row by key (``merge_into_txlog``), so only the ``SET *`` /
-  ``INSERT *`` forms are accepted; per-column SET lists in MERGE are
-  refused loudly rather than silently approximated. ``src`` is a
-  catalog/temp-view name or a parenthesized subquery.
+- ``MERGE INTO t [AS a] USING src [AS b] ON t.k = src.k [AND ...]
+  [WHEN MATCHED THEN UPDATE SET * | UPDATE SET c = expr, ... | DELETE]
+  [WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (exprs)]`` —
+  Delta's MERGE surface: whole-row AND per-column forms
+  (``merge_into_txlog`` ``matched_set``/``insert_values``). Per-column
+  expressions may reference both sides via the statement's aliases (or
+  raw names); unlisted columns keep target values on UPDATE and insert
+  NULL on INSERT, Delta's rules. Conditional clauses (``WHEN MATCHED
+  AND cond``) are refused loudly rather than silently approximated.
+  ``src`` is a catalog/temp-view name or a parenthesized subquery.
 - ``OPTIMIZE t [WHERE col = v | WHERE col BETWEEN lo AND hi]
   [ZORDER BY (c1, c2)]`` — WHERE scopes the compaction to overlapping
   files (partition dirs / footer envelopes), Delta's partition-scoped
@@ -92,6 +95,62 @@ def _split_where(text: str) -> tuple[str, str | None]:
                 return text[:i].rstrip(), text[i + 5 :].strip()
         i += 1
     return text.rstrip(), None
+
+
+_WHEN_CLAUSE = re.compile(
+    r"WHEN\s+(NOT\s+)?MATCHED\s*(THEN|AND)\b", re.IGNORECASE
+)
+
+
+def _split_merge_clauses(text: str) -> list[tuple[bool, str]]:
+    """Split a MERGE statement's WHEN-clause tail into
+    ``[(is_not_matched, action_text), ...]``. Clause starts are
+    ``WHEN [NOT] MATCHED THEN`` at paren depth 0, outside string
+    literals — a ``CASE WHEN cond THEN`` inside a SET expression never
+    matches (its WHEN is not followed by the MATCHED keyword).
+    Conditional clauses (``WHEN MATCHED AND cond THEN``) are detected
+    here and refused loudly — restricting them to the unconditional
+    forms is the engine's documented MERGE envelope."""
+    starts: list[tuple[int, int, bool]] = []  # (start, action_at, is_not)
+    in_str = False
+    depth = 0
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if in_str and ch == "\\":
+            i += 2
+            continue
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str and ch == "(":
+            depth += 1
+        elif not in_str and ch == ")":
+            depth -= 1
+        elif not in_str and depth == 0 and text[i : i + 4].upper() == "WHEN":
+            m = _WHEN_CLAUSE.match(text, i)
+            if m:
+                if m.group(2).upper() == "AND":
+                    raise ValueError(
+                        "conditional MERGE clauses (WHEN MATCHED AND "
+                        "cond) are not supported — split the merge or "
+                        "fold the condition into the source query"
+                    )
+                starts.append((i, m.end(), bool(m.group(1))))
+                i = m.end()
+                continue
+        i += 1
+    if not starts:
+        raise ValueError(
+            f"no WHEN [NOT] MATCHED THEN clause found in: {text!r}"
+        )
+    head = text[: starts[0][0]].strip()
+    if head:
+        raise ValueError(f"unsupported MERGE clause text: {head!r}")
+    out = []
+    for idx, (_start, action_at, is_not) in enumerate(starts):
+        end = starts[idx + 1][0] if idx + 1 < len(starts) else n
+        out.append((is_not, text[action_at:end].strip()))
+    return out
 
 
 def _lit(tok: str):
@@ -298,28 +357,86 @@ class TxSqlSession:
                     "alias the source column to the target name first"
                 )
             keys.append(c1)
-        del talias, salias  # qualifiers are shape-checked above, not bound
+        # expressions in per-column clauses reference the statement's
+        # aliases (or raw names); the merge core's join sides are
+        # literally `t` and `s`, so alias-qualified references are
+        # rewritten (outside string literals) before F.expr sees them
+        qual_map: dict[str, str] = {}
+        for q in (talias, tname):
+            if q:
+                qual_map[q.lower()] = "t"
+        for q in (salias, src if not src.startswith("(") else None):
+            if q:
+                qual_map[q.lower()] = "s"
+
+        def _requalify(expr: str) -> str:
+            parts = re.split(r"('(?:[^'\\]|\\.)*')", expr)
+            for i in range(0, len(parts), 2):
+                seg = parts[i]
+                for q, canon in qual_map.items():
+                    seg = re.sub(
+                        rf"\b{re.escape(q)}\s*\.",
+                        canon + ".",
+                        seg,
+                        flags=re.IGNORECASE,
+                    )
+                parts[i] = seg
+            return "".join(parts)
+
+        def _strip_qualifier(col: str) -> str:
+            col = col.strip()
+            if "." in col:
+                q, _, bare = col.partition(".")
+                if q.strip().lower() not in qual_map and q.strip() not in (
+                    "t",
+                    "s",
+                ):
+                    raise ValueError(
+                        f"SET/INSERT column {col!r} carries an unknown "
+                        "qualifier"
+                    )
+                return bare.strip()
+            return col
+
         when_matched = "ignore"
         when_not_matched = "ignore"
-        cl = clauses.strip()
-        for wm in re.finditer(
-            r"WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+(UPDATE\s+SET\s+\*|DELETE|"
-            r"INSERT\s+\*)",
-            cl,
-            re.IGNORECASE,
-        ):
-            action = re.sub(r"\s+", " ", wm.group(2).upper())
-            if wm.group(1):
-                if action != "INSERT *":
-                    raise ValueError(
-                        "WHEN NOT MATCHED supports only INSERT *"
-                    )
+        matched_set: dict[str, str] = {}
+        insert_values: dict[str, str] = {}
+        for is_not, action in _split_merge_clauses(clauses.strip()):
+            a = action.strip()
+            if is_not:
                 if when_not_matched != "ignore":
                     raise ValueError(
                         "duplicate WHEN NOT MATCHED clause — refused, not "
                         "last-wins"
                     )
+                if re.fullmatch(r"INSERT\s+\*", a, re.IGNORECASE):
+                    when_not_matched = "insert"
+                    continue
+                im = re.fullmatch(
+                    r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)",
+                    a,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not im:
+                    raise ValueError(
+                        "WHEN NOT MATCHED supports INSERT * or "
+                        f"INSERT (cols) VALUES (exprs), got: {a!r}"
+                    )
+                cols = [_strip_qualifier(c) for c in _split_top_commas(im.group(1))]
+                exprs = [
+                    _requalify(e) for e in _split_top_commas(im.group(2))
+                ]
+                if len(cols) != len(exprs) or not cols:
+                    raise ValueError(
+                        f"INSERT column/value count mismatch: {len(cols)} "
+                        f"columns, {len(exprs)} values"
+                    )
+                dup = {c for c in cols if cols.count(c) > 1}
+                if dup:
+                    raise ValueError(f"INSERT lists column(s) {sorted(dup)} twice")
                 when_not_matched = "insert"
+                insert_values = dict(zip(cols, exprs))
             else:
                 if when_matched != "ignore":
                     # two unconditional MATCHED clauses (a ported
@@ -331,26 +448,31 @@ class TxSqlSession:
                         "last-wins (conditional multi-clause MERGE is "
                         "not supported)"
                     )
-                when_matched = "update" if action == "UPDATE SET *" else (
-                    "delete" if action == "DELETE" else None
+                if re.fullmatch(r"DELETE", a, re.IGNORECASE):
+                    when_matched = "delete"
+                    continue
+                if re.fullmatch(r"UPDATE\s+SET\s+\*", a, re.IGNORECASE):
+                    when_matched = "update"
+                    continue
+                um = re.fullmatch(
+                    r"UPDATE\s+SET\s+(.+)", a, re.IGNORECASE | re.DOTALL
                 )
-                if when_matched is None:
+                if not um:
                     raise ValueError(
-                        "WHEN MATCHED supports only UPDATE SET * or DELETE"
+                        "WHEN MATCHED supports UPDATE SET * / "
+                        f"UPDATE SET c = expr, ... / DELETE, got: {a!r}"
                     )
-        residue = re.sub(
-            r"WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+(UPDATE\s+SET\s+\*|DELETE|"
-            r"INSERT\s+\*)",
-            "",
-            cl,
-            flags=re.IGNORECASE,
-        ).strip()
-        if residue:
-            raise ValueError(
-                f"unsupported MERGE clause text: {residue!r} (per-column "
-                "SET lists and conditional clauses are refused, not "
-                "approximated)"
-            )
+                for item in _split_top_commas(um.group(1)):
+                    am = re.fullmatch(
+                        r"\s*([\w.]+)\s*=\s*(.+?)\s*", item, re.DOTALL
+                    )
+                    if not am:
+                        raise ValueError(f"cannot parse SET item: {item!r}")
+                    col = _strip_qualifier(am.group(1))
+                    if col in matched_set:
+                        raise ValueError(f"SET lists column {col!r} twice")
+                    matched_set[col] = _requalify(am.group(2))
+                when_matched = "update"
         if when_matched == "ignore":
             # merge_into_txlog has no matched-ignore mode; Delta's MERGE
             # without a MATCHED clause leaves matched rows unchanged,
@@ -370,6 +492,8 @@ class TxSqlSession:
             self.spark, t, source, keys,
             when_matched=when_matched,
             when_not_matched=when_not_matched,
+            matched_set=matched_set or None,
+            insert_values=insert_values or None,
         )
         return t.version()
 

@@ -91,6 +91,8 @@ def merge_frames(
     when_matched: str = "update",
     when_not_matched: str = "insert",
     evolve_schema: bool = False,
+    matched_set: dict | None = None,
+    insert_values: dict | None = None,
 ) -> DataFrame:
     """The pure merge computation shared by both physical backends
     (staged-swap here, commit-log in operators/txlog): one full-outer
@@ -102,9 +104,58 @@ def merge_frames(
     the output schema (pre-merge target rows carry NULL); columns the
     source LACKS keep their target values on update (an update sets only
     the columns the source actually provides) and are NULL on insert.
-    Key columns must exist on both sides either way."""
+    Key columns must exist on both sides either way.
+
+    PER-COLUMN forms (Delta's actual MERGE SQL surface):
+
+    - ``matched_set`` (with ``when_matched='update'``): maps target
+      column -> Column expression for ``WHEN MATCHED THEN UPDATE SET
+      c = expr``; expressions reference the join sides as ``t.<col>`` /
+      ``s.<col>``. Columns NOT listed keep their TARGET values (unlike
+      whole-row update, where the source row wins) — exactly Delta's
+      rule.
+    - ``insert_values`` (with ``when_not_matched='insert'``): maps
+      target column -> Column expression over ``s.<col>`` for ``WHEN NOT
+      MATCHED THEN INSERT (cols) VALUES (exprs)``. Columns NOT listed —
+      including merge keys — insert NULL, Delta's rule.
+
+    Either dict restricts the source only to containing the merge keys
+    (plus whatever its expressions reference); the output schema is the
+    TARGET schema with every per-column expression cast to the target
+    column's type (Delta casts on write the same way). Incompatible with
+    ``evolve_schema`` (refused loudly)."""
     assert when_matched in ("update", "delete")
     assert when_not_matched in ("insert", "ignore")
+    if matched_set or insert_values:
+        if evolve_schema:
+            raise ValueError(
+                "per-column matched_set/insert_values cannot combine with "
+                "evolve_schema — the output schema is the target schema"
+            )
+        if matched_set and when_matched != "update":
+            raise ValueError("matched_set requires when_matched='update'")
+        if insert_values and when_not_matched != "insert":
+            raise ValueError(
+                "insert_values requires when_not_matched='insert'"
+            )
+        bad = sorted(
+            (set(matched_set or {}) | set(insert_values or {}))
+            - set(target.columns)
+        )
+        if bad:
+            raise ValueError(
+                f"per-column MERGE names column(s) {bad} absent from the "
+                "target schema"
+            )
+        missing_keys = [c for c in keys if c not in source.columns]
+        if missing_keys:
+            raise ValueError(
+                f"merge keys {missing_keys} absent from the source"
+            )
+        return _merge_frames_percol(
+            target, source, keys, when_matched, when_not_matched,
+            matched_set or {}, insert_values or {},
+        )
     src_orig, tgt_orig = set(source.columns), set(target.columns)
     if evolve_schema:
         assert set(keys) <= src_orig & tgt_orig, "merge keys must exist on both sides"
@@ -144,3 +195,75 @@ def merge_frames(
         return F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
 
     return j.filter(keep).select(*[pick(c) for c in cols])
+
+
+def _merge_frames_percol(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: str,
+    when_not_matched: str,
+    matched_set: dict,
+    insert_values: dict,
+) -> DataFrame:
+    """Per-column MERGE core (see :func:`merge_frames`): same single
+    full-outer join, but matched rows evaluate ``matched_set`` exprs
+    (unlisted columns keep target values) and source-only rows evaluate
+    ``insert_values`` exprs (unlisted columns — keys included — are
+    NULL). Exprs are cast to the target column type, Delta's
+    cast-on-write rule. Still one JVM-side join + projection: the exprs
+    land in the same whole-stage-codegen select as the column picks."""
+    tgt_types = {f.name: f.dataType for f in target.schema.fields}
+    t = target.withColumn("__t", F.lit(1)).alias("t")
+    s = source.withColumn("__s", F.lit(1)).alias("s")
+    j = t.join(s, keys, "full_outer")
+    matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
+    source_only = F.col("t.__t").isNull()
+
+    keep = F.lit(True)
+    if when_matched == "delete":
+        keep = keep & ~matched
+    if when_not_matched == "ignore":
+        keep = keep & ~source_only
+
+    def as_col(e) -> F.Column:
+        return F.expr(e) if isinstance(e, str) else e
+
+    # a MIXED statement lists only one side per-column; the other side
+    # falls back to whole-row semantics (UPDATE SET * takes the source
+    # value where the source has the column; INSERT * likewise)
+    whole_row_update = when_matched == "update" and not matched_set
+    whole_row_insert = when_not_matched == "insert" and not insert_values
+    src_cols = set(source.columns)
+
+    def pick(c: str) -> F.Column:
+        # baseline: the target's value (for keys the USING join already
+        # coalesced the column, but a kept target row's key == the
+        # coalesced key, so F.col(c) is exact there; source-only rows
+        # are overridden below)
+        base = F.col(c) if c in keys else F.col(f"t.{c}")
+        out = base
+        if when_matched == "update":
+            if c in matched_set:
+                out = F.when(
+                    matched, as_col(matched_set[c]).cast(tgt_types[c])
+                ).otherwise(out)
+            elif whole_row_update and c in src_cols and c not in keys:
+                out = F.when(
+                    matched, F.col(f"s.{c}").cast(tgt_types[c])
+                ).otherwise(out)
+        if when_not_matched == "insert":
+            if c in insert_values:
+                ins = as_col(insert_values[c]).cast(tgt_types[c])
+            elif whole_row_insert and c in src_cols:
+                ins = (
+                    F.col(c)
+                    if c in keys
+                    else F.col(f"s.{c}").cast(tgt_types[c])
+                )
+            else:
+                ins = F.lit(None).cast(tgt_types[c])
+            out = F.when(source_only, ins).otherwise(out)
+        return out.alias(c)
+
+    return j.filter(keep).select(*[pick(c) for c in target.columns])

@@ -3190,6 +3190,8 @@ def merge_into_txlog(
     evolve_schema: bool = False,
     rewrite: str = "touched",
     txn: tuple[str, int] | None = None,
+    matched_set: dict | None = None,
+    insert_values: dict | None = None,
 ) -> DataFrame:
     """MERGE with an atomic, snapshot-isolated commit (same logical
     semantics as merge.merge_into_parquet; see module docstring for the
@@ -3237,7 +3239,11 @@ def merge_into_txlog(
                 if removes
                 else table._empty()
             )
-        merged = merge_frames(target, source, keys, when_matched, when_not_matched, evolve_schema)
+        merged = merge_frames(
+            target, source, keys, when_matched, when_not_matched,
+            evolve_schema, matched_set=matched_set,
+            insert_values=insert_values,
+        )
         # column-mapped table + schema evolution: any column NEW to the
         # mapping writes under a FRESH physical name and the merge
         # commit records the extended mapping — otherwise a previously

@@ -113,3 +113,143 @@ def test_mismatched_schema_still_rejected_without_evolution(spark):
 
     with _pytest.raises(AssertionError):
         merge_frames(target, source, ["k"])
+
+
+def test_percol_matched_set_updates_only_listed_columns(spark):
+    """Delta's WHEN MATCHED THEN UPDATE SET c = expr: listed columns get
+    the expression (both sides referencable as t./s.), unlisted columns
+    KEEP TARGET VALUES (whole-row update would take the source), and the
+    source may carry a different schema as long as keys exist."""
+    from airbnb_listings_data_pipelines_spark.operators.merge import (
+        merge_frames,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "v", "amt"]
+    )
+    source = spark.createDataFrame(
+        [(2, 5.0), (9, 9.0)], ["k", "delta"]  # no v, no amt
+    )
+    out = merge_frames(
+        target,
+        source,
+        ["k"],
+        matched_set={"amt": F.expr("t.amt + s.delta")},
+        when_not_matched="ignore",
+    )
+    got = {(r.k, r.v, r.amt) for r in out.collect()}
+    assert got == {(1, "a", 10.0), (2, "b", 25.0), (3, "c", 30.0)}
+
+
+def test_percol_insert_values_null_fills_unlisted(spark):
+    """WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs): listed columns
+    evaluate over s., unlisted columns (keys included, if unlisted)
+    insert NULL, and exprs cast to the target type — Delta's rules."""
+    from airbnb_listings_data_pipelines_spark.operators.merge import (
+        merge_frames,
+    )
+
+    target = spark.createDataFrame([(1, "a", 10.0)], ["k", "v", "amt"])
+    source = spark.createDataFrame([(1, 100), (7, 700)], ["k", "raw"])
+    out = merge_frames(
+        target,
+        source,
+        ["k"],
+        matched_set={"amt": F.expr("s.raw")},  # int -> double cast
+        insert_values={"k": F.expr("s.k"), "amt": F.expr("s.raw * 2")},
+    )
+    got = {(r.k, r.v, r.amt) for r in out.collect()}
+    assert got == {(1, "a", 100.0), (7, None, 1400.0)}
+    # insert omitting the KEY: Delta inserts NULL (k=1 matches and is
+    # deleted; only source-only k=7 inserts)
+    out2 = merge_frames(
+        target,
+        source,
+        ["k"],
+        when_matched="delete",
+        insert_values={"amt": F.expr("s.raw")},
+    )
+    got2 = {(r.k, r.v, r.amt) for r in out2.collect()}
+    assert got2 == {(None, None, 700.0)}
+
+
+def test_percol_mixed_with_whole_row_insert(spark):
+    """Per-column UPDATE combined with INSERT *: the star side falls back
+    to whole-row semantics over the columns the source provides."""
+    from airbnb_listings_data_pipelines_spark.operators.merge import (
+        merge_frames,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["k", "v", "amt"]
+    )
+    source = spark.createDataFrame(
+        [(2, "B2", 2.0), (5, "e", 50.0)], ["k", "v", "amt"]
+    )
+    out = merge_frames(
+        target, source, ["k"], matched_set={"amt": F.expr("t.amt + s.amt")}
+    )
+    got = {(r.k, r.v, r.amt) for r in out.collect()}
+    # matched k=2: amt updated per-column, v KEEPS target ('b');
+    # inserted k=5: whole row from source
+    assert got == {(1, "a", 10.0), (2, "b", 22.0), (5, "e", 50.0)}
+
+
+def test_percol_refusals(spark):
+    import pytest as _pytest
+
+    from airbnb_listings_data_pipelines_spark.operators.merge import (
+        merge_frames,
+    )
+
+    target = spark.createDataFrame([(1, "a")], ["k", "v"])
+    source = spark.createDataFrame([(1, "b")], ["k", "v"])
+    with _pytest.raises(ValueError, match="absent from the target"):
+        merge_frames(target, source, ["k"], matched_set={"nope": F.lit(1)})
+    with _pytest.raises(ValueError, match="evolve_schema"):
+        merge_frames(
+            target, source, ["k"],
+            matched_set={"v": F.lit("x")}, evolve_schema=True,
+        )
+    with _pytest.raises(ValueError, match="when_matched"):
+        merge_frames(
+            target, source, ["k"],
+            when_matched="delete", matched_set={"v": F.lit("x")},
+        )
+    with _pytest.raises(ValueError, match="keys.*absent from the source"):
+        merge_frames(
+            target,
+            spark.createDataFrame([("b",)], ["v"]),
+            ["k"],
+            matched_set={"v": F.lit("x")},
+        )
+
+
+def test_percol_through_txlog_backend(spark, tmp_path):
+    """merge_into_txlog threads matched_set/insert_values through the
+    touched-file copy-on-write path: only files holding source keys are
+    rewritten and the per-column semantics hold."""
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        TxLogTable,
+        merge_into_txlog,
+    )
+
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(k, f"v{k}", float(k)) for k in range(20)], ["k", "v", "amt"]
+        ).repartitionByRange(4, "k"),
+    )
+    files0 = set(t.files())
+    src = spark.createDataFrame([(3, 1000.0), (99, 9.0)], ["k", "bump"])
+    merge_into_txlog(
+        spark, t, src, ["k"],
+        matched_set={"amt": F.expr("t.amt + s.bump")},
+        insert_values={"k": F.expr("s.k"), "amt": F.expr("s.bump")},
+    )
+    got = {(r.k, r.v, r.amt) for r in t.read().collect()}
+    assert (3, "v3", 1003.0) in got and (99, None, 9.0) in got
+    assert (5, "v5", 5.0) in got
+    kept = files0 & set(t.files())
+    assert kept, "untouched files must carry over unrewritten"
