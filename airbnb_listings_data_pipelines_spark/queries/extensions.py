@@ -4922,3 +4922,102 @@ def x86_delta_dv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+@query(
+    "x87_sql_percol_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    src AS (
+      SELECT o_orderkey, 5.0 AS bump FROM base WHERE o_orderkey % 7 = 3
+      UNION ALL
+      SELECT o_orderkey + 70000000, 2.5 FROM base WHERE o_orderkey % 11 = 5
+    ),
+    merged AS (
+      SELECT b.o_orderkey,
+             CASE WHEN s.o_orderkey IS NOT NULL
+                  THEN 'U' ELSE b.o_orderstatus END AS o_orderstatus,
+             CASE WHEN s.o_orderkey IS NOT NULL
+                  THEN CASE WHEN b.o_totalprice > 100000.0
+                            THEN b.o_totalprice + s.bump * 2.0
+                            ELSE b.o_totalprice + s.bump END
+                  ELSE b.o_totalprice END AS o_totalprice
+      FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+      UNION ALL
+      SELECT s.o_orderkey, NULL, s.bump * 4.0
+      FROM src s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM base b WHERE b.o_orderkey = s.o_orderkey
+      )
+    )
+    SELECT COALESCE(o_orderstatus, '<null>') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM merged GROUP BY 1
+    """,
+    survey_rows=("EXT-tableformat", "J1", "A2", "A8"),
+    doc="PER-COLUMN MERGE under the value-hash gate (round-9 verdict "
+    "item 4 — Delta's actual MERGE SQL surface): orders -> txlog, then "
+    "ONE SQL statement through functions/tx_sql with WHEN MATCHED THEN "
+    "UPDATE SET c = expr lists (expressions referencing BOTH join "
+    "sides via the statement's aliases, including a CASE WHEN inside "
+    "a SET item — the clause splitter must not confuse its THEN with "
+    "a WHEN-clause boundary) and WHEN NOT MATCHED THEN INSERT (cols) "
+    "VALUES (exprs). Semantics proven by the hash: matched rows "
+    "update ONLY the listed columns (unlisted keep target values — "
+    "whole-row would take the source), inserted rows NULL-fill "
+    "unlisted columns, expressions cast on write to target types. "
+    "Physically one full-outer join + one codegen'd projection "
+    "(operators/merge._merge_frames_percol) on the touched-file "
+    "copy-on-write path — untouched files carry over by reference. "
+    "The oracle rebuilds the same final state from raw orders with a "
+    "LEFT JOIN + anti-join UNION.",
+)
+def x87_sql_percol_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.tx_sql import TxSqlSession
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _dml_scratch("x87" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(8, "o_orderkey")
+    )
+    orders.filter("o_orderkey % 7 = 3").selectExpr(
+        "o_orderkey", "CAST(5.0 AS double) AS bump"
+    ).unionByName(
+        orders.filter("o_orderkey % 11 = 5").selectExpr(
+            "o_orderkey + 70000000 AS o_orderkey",
+            "CAST(2.5 AS double) AS bump",
+        )
+    ).createOrReplaceTempView("x87_src")
+    sess = TxSqlSession(spark, {"t": t})
+    sess.execute(
+        "MERGE INTO t AS tgt USING x87_src AS s "
+        "ON tgt.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET "
+        "o_orderstatus = 'U', "
+        "o_totalprice = CASE WHEN tgt.o_totalprice > 100000.0 "
+        "THEN tgt.o_totalprice + s.bump * 2.0 "
+        "ELSE tgt.o_totalprice + s.bump END "
+        "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice) "
+        "VALUES (s.o_orderkey, s.bump * 4.0)"
+    )
+    return (
+        t.read()
+        .groupBy(
+            F.coalesce("o_orderstatus", F.lit("<null>")).alias("status")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+            F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
