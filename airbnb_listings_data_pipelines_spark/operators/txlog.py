@@ -198,13 +198,23 @@ def _checkpoint_state(log_dir: str, c: dict) -> tuple[set, dict]:
     files = tbl.column("file").to_pylist()
     dvs: dict[str, dict] = {}
     if "dv_sidecar" in tbl.column_names:
-        for f, s, card in zip(
+        # dv_pathkey is absent on pre-relative-path-keying checkpoints —
+        # its None default means "legacy basename-keyed sidecar"
+        pks = (
+            tbl.column("dv_pathkey").to_pylist()
+            if "dv_pathkey" in tbl.column_names
+            else [None] * len(files)
+        )
+        for f, s, card, pk in zip(
             files,
             tbl.column("dv_sidecar").to_pylist(),
             tbl.column("dv_cardinality").to_pylist(),
+            pks,
         ):
             if s is not None:
                 dvs[f] = {"sidecar": s, "cardinality": int(card)}
+                if pk is not None:
+                    dvs[f]["pathkey"] = pk
     return set(files), dvs
 
 
@@ -234,8 +244,10 @@ def replay_log_full(
 
     The DV state maps a live data file's relative path to its descriptor
     ``{"sidecar": <rel path of the parquet sidecar holding its deleted
-    (file basename, row_index) rows>, "cardinality": <deleted-row
-    count>}`` — the merge-on-read half of the table format (public
+    (file, row_index) rows>, "cardinality": <deleted-row count>,
+    "pathkey": <"rel" when the sidecar's file column holds relative
+    paths; absent on legacy basename-keyed sidecars>}`` — the
+    merge-on-read half of the table format (public
     design: Delta's deletion vectors): a delete marks row POSITIONS in a
     tiny sidecar instead of rewriting the data file, so a 1-row delete
     costs O(deleted rows) bytes, not a file rewrite. Fold rules per
@@ -651,10 +663,11 @@ class TxLogTable:
             )
         # deletionVectors adoption: live adds carrying a descriptor have
         # their RoaringBitmap blobs decoded (all storage types) and
-        # re-encoded as ONE txlog sidecar parquet, registered as commit-0
-        # ``dvs`` state — merge-on-read semantics carry over exactly.
-        # Basenames must be unique (the sidecar keys on them, same
-        # invariant mode='dv' DML enforces).
+        # re-encoded as ONE txlog sidecar parquet keyed by RELATIVE
+        # path, registered as commit-0 ``dvs`` state — merge-on-read
+        # semantics carry over exactly, including nested layouts with
+        # colliding basenames (read-side scans split per collision
+        # group).
         dv_adds = {
             f: a["deletionVector"]
             for f, a in st.live.items()
@@ -664,13 +677,6 @@ class TxLogTable:
         if dv_adds:
             from .roaring import decode_descriptor
 
-            basenames = [f.rsplit("/", 1)[-1] for f in files]
-            if len(set(basenames)) != len(basenames):
-                raise NotImplementedError(
-                    "convert_from_delta refused: table carries deletion "
-                    "vectors AND duplicate live-file basenames — txlog "
-                    "sidecars key row positions by basename"
-                )
             import pyarrow as pa
             import pyarrow.parquet as pq
 
@@ -679,10 +685,9 @@ class TxLogTable:
             dvs0 = {}
             for f in sorted(dv_adds):
                 idx = decode_descriptor(dv_adds[f], path)
-                b = os.path.basename(f)
-                fcol.extend([b] * len(idx))
+                fcol.extend([f] * len(idx))
                 rcol.extend(idx)
-                dvs0[f] = {"cardinality": len(idx)}
+                dvs0[f] = {"cardinality": len(idx), "pathkey": "rel"}
             os.makedirs(os.path.join(path, "_dv"), exist_ok=True)
             sidecar = f"_dv/dv-{uuid.uuid4().hex}.parquet"
             pq.write_table(
@@ -855,10 +860,6 @@ class TxLogTable:
             schema = _footer_schema(paths[0])
             mapping = None
         physical = _physical_struct(schema, mapping)
-        reader = self.spark.read.schema(physical)
-        if pby:
-            reader = reader.option("basePath", self.path)
-        scan = reader.parquet(*paths)
         # physical -> logical rename restores the user-facing names and
         # the recorded column order (partition cols come back last from
         # Spark's discovery; renames of partition cols are refused, so
@@ -867,20 +868,38 @@ class TxLogTable:
             F.col(p.name).alias(l.name)
             for p, l in zip(physical.fields, schema.fields)
         ]
+
+        def _scan(subset: list[str]) -> DataFrame:
+            reader = self.spark.read.schema(physical)
+            if pby:
+                reader = reader.option("basePath", self.path)
+            return reader.parquet(*[os.path.join(self.path, f) for f in subset])
+
         if dv_df is None:
-            return scan.select(*cols)
-        # merge-on-read: anti-join out deletion-vector rows on (file
-        # basename, in-file row index) — both JVM-side metadata columns;
-        # basenames are uuid-unique by construction (guarded at DV
-        # creation), so the basename alone identifies the file
-        scan = scan.select(
-            *cols,
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
-            ).alias("__dvf"),
-            F.col("_metadata.row_index").alias("__dvi"),
+            return _scan(files).select(*cols)
+        # merge-on-read: anti-join out deletion-vector rows on (scan
+        # group, file basename, in-file row index) — all JVM-side
+        # metadata columns; basenames are unique WITHIN a scan group
+        # (one group for every Spark-written layout), so the key
+        # identifies the file without parsing the URI-encoded dirs
+        groups = self._basename_groups(files)
+        parts = [
+            _scan(fs).select(
+                *cols,
+                F.lit(g).alias("__dvg"),
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__dvf"),
+                F.col("_metadata.row_index").alias("__dvi"),
+            )
+            for g, fs in enumerate(groups)
+        ]
+        scan = parts[0]
+        for p in parts[1:]:
+            scan = scan.unionByName(p)
+        return self._anti_join_dv(scan, self._dv_keyed(dv_df, groups)).drop(
+            "__dvg", "__dvf", "__dvi"
         )
-        return self._anti_join_dv(scan, dv_df).drop("__dvf", "__dvi")
 
     def _empty(self) -> DataFrame:
         """Zero-row snapshot with the table schema (incl. partition cols)."""
@@ -946,10 +965,32 @@ class TxLogTable:
         DML — the common case, zero overhead on every read path."""
         return self._replay_full(as_of)[2]
 
+    def _sidecar_rows(
+        self, sidecar: str, rel_files: list[str], pathkey: str | None
+    ) -> DataFrame:
+        """The (file = RELATIVE path, row_index) rows of one sidecar for
+        exactly ``rel_files``. Sidecars written since the relative-path
+        keying (descriptor ``pathkey == 'rel'``) store the relative path
+        directly; legacy sidecars store basenames, which the pre-change
+        DML guaranteed globally unique, so a tiny broadcast-joined
+        basename -> relative-path mapping recovers the exact keys."""
+        df = self.spark.read.parquet(os.path.join(self.path, sidecar))
+        if pathkey == "rel":
+            return df.filter(F.col("file").isin(rel_files)).select(
+                "file", "row_index"
+            )
+        mapping = self.spark.createDataFrame(
+            [(os.path.basename(f), f) for f in rel_files],
+            "file string, __rel string",
+        )
+        return df.join(F.broadcast(mapping), "file").select(
+            F.col("__rel").alias("file"), "row_index"
+        )
+
     def _dv_frame(
         self, dvs: dict[str, dict], files: list[str]
     ) -> DataFrame | None:
-        """The deleted (file basename, row_index) rows covering the
+        """The deleted (file = RELATIVE path, row_index) rows covering the
         subset of ``files`` that carry a DV under ``dvs`` — None when
         none do (the zero-overhead fast path every non-DV table takes).
         Sidecars are parquet; one sidecar may pack DVs for many files
@@ -957,24 +998,24 @@ class TxLogTable:
         the exact sidecar holding its CURRENT vector, so rows are taken
         only from (sidecar, file) pairs the state actually binds —
         a stale sidecar still live for another file can never leak rows.
-        Broadcast below a row threshold (descriptors carry cardinality,
-        so the decision costs no job)."""
+        Legacy basename-keyed sidecar rows normalize to relative paths
+        here, so every consumer sees ONE keying. Broadcast below a row
+        threshold (descriptors carry cardinality, so the decision costs
+        no job)."""
         hit = {f: dvs[f] for f in files if f in dvs}
         if not hit:
             return None
-        by_sidecar: dict[str, list[str]] = {}
+        by_sidecar: dict[tuple[str, str | None], list[str]] = {}
         for f, desc in hit.items():
-            by_sidecar.setdefault(desc["sidecar"], []).append(
-                os.path.basename(f)
+            by_sidecar.setdefault(
+                (desc["sidecar"], desc.get("pathkey")), []
+            ).append(f)
+        parts = [
+            self._sidecar_rows(sc, fs, pk)
+            for (sc, pk), fs in sorted(
+                by_sidecar.items(), key=lambda kv: str(kv[0])
             )
-        parts = []
-        for sc in sorted(by_sidecar):
-            df = self.spark.read.parquet(os.path.join(self.path, sc))
-            parts.append(
-                df.filter(F.col("file").isin(by_sidecar[sc])).select(
-                    "file", "row_index"
-                )
-            )
+        ]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -982,14 +1023,65 @@ class TxLogTable:
         return F.broadcast(out) if total <= 500_000 else out
 
     @staticmethod
-    def _anti_join_dv(scan: DataFrame, dv_df: DataFrame) -> DataFrame:
-        """Drop rows whose (file basename, row index) appears in the DV
-        frame — one JVM-side anti join (broadcast when the DV is small),
-        never a Python filter."""
+    def _basename_groups(files: list[str]) -> list[list[str]]:
+        """Partition ``files`` into the fewest scan groups such that
+        basenames are unique WITHIN each group. Spark-written layouts
+        (uuid part files) always yield ONE group — the common case costs
+        nothing; only foreign-adopted layouts with colliding basenames
+        (e.g. CONVERT FROM DELTA of a nested dir tree full of
+        ``data.parquet``) fan out to one scan per collision depth."""
+        seen: dict[str, int] = {}
+        groups: list[list[str]] = []
+        for f in files:
+            b = f.rsplit("/", 1)[-1]
+            g = seen.get(b, 0)
+            seen[b] = g + 1
+            if len(groups) <= g:
+                groups.append([])
+            groups[g].append(f)
+        return groups
+
+    def _dv_keyed(
+        self, dv_df: DataFrame, groups: list[list[str]]
+    ) -> DataFrame:
+        """Rewrite a relative-path-keyed DV frame to the (scan group id,
+        basename, row_index) shape the anti/semi join below matches
+        against. Within one scan group basenames are unique, so (group,
+        basename) identifies the file exactly — and the scan side can
+        compute its key from ``_metadata.file_path`` without parsing the
+        URI-encoded directory components (only the basename, whose
+        Spark-written characters are URI-safe, is extracted JVM-side).
+        Single group: a pure projection. Multiple groups: one tiny
+        broadcast-joined (relative path -> group) mapping."""
+        if len(groups) == 1:
+            return dv_df.select(
+                F.lit(0).alias("__g"),
+                F.element_at(F.split(F.col("file"), "/"), -1).alias("__b"),
+                "row_index",
+            )
+        rows = [
+            (f, g, f.rsplit("/", 1)[-1])
+            for g, fs in enumerate(groups)
+            for f in fs
+        ]
+        mapping = self.spark.createDataFrame(
+            rows, "file string, __g int, __b string"
+        )
+        return dv_df.join(F.broadcast(mapping), "file").select(
+            "__g", "__b", "row_index"
+        )
+
+    @staticmethod
+    def _anti_join_dv(scan: DataFrame, dv_keyed: DataFrame) -> DataFrame:
+        """Drop scan rows whose (scan group, file basename, row index)
+        appears in the keyed DV frame — one JVM-side anti join
+        (broadcast when the DV is small), never a Python filter. The
+        scan must carry ``__dvg``/``__dvf``/``__dvi``."""
         return scan.join(
-            dv_df,
-            (scan["__dvf"] == dv_df["file"])
-            & (scan["__dvi"] == dv_df["row_index"]),
+            dv_keyed,
+            (scan["__dvg"] == dv_keyed["__g"])
+            & (scan["__dvf"] == dv_keyed["__b"])
+            & (scan["__dvi"] == dv_keyed["row_index"]),
             "left_anti",
         )
 
@@ -1333,25 +1425,41 @@ class TxLogTable:
                     schema = schema.add(fld)
             mapping = None  # legacy log: never column-mapped
         physical = _physical_struct(schema, mapping)
-        reader = self.spark.read.schema(physical)
-        if pby:
-            reader = reader.option("basePath", self.path)
-        scan = reader.parquet(*paths)
-        out = scan.select(
-            *[
-                F.col(p.name).alias(l.name)
-                for p, l in zip(physical.fields, schema.fields)
-            ],
-            F.col("_metadata.file_path").alias("__file"),
-            F.col("_metadata.row_index").alias("__ridx"),
-        )
+
+        def _scan(subset: list[str]) -> DataFrame:
+            reader = self.spark.read.schema(physical)
+            if pby:
+                reader = reader.option("basePath", self.path)
+            return reader.parquet(
+                *[os.path.join(self.path, f) for f in subset]
+            ).select(
+                *[
+                    F.col(p.name).alias(l.name)
+                    for p, l in zip(physical.fields, schema.fields)
+                ],
+                F.col("_metadata.file_path").alias("__file"),
+                F.col("_metadata.row_index").alias("__ridx"),
+            )
+
         dv_df = self._dv_frame(dvs, files) if dvs else None
         if dv_df is None:
-            return out
-        out = out.withColumn(
-            "__dvf", F.element_at(F.split(F.col("__file"), "/"), -1)
-        ).withColumn("__dvi", F.col("__ridx"))
-        return self._anti_join_dv(out, dv_df).drop("__dvf", "__dvi")
+            return _scan(files)
+        groups = self._basename_groups(files)
+        parts = [
+            _scan(fs)
+            .withColumn("__dvg", F.lit(g))
+            .withColumn(
+                "__dvf", F.element_at(F.split(F.col("__file"), "/"), -1)
+            )
+            .withColumn("__dvi", F.col("__ridx"))
+            for g, fs in enumerate(groups)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return self._anti_join_dv(out, self._dv_keyed(dv_df, groups)).drop(
+            "__dvg", "__dvf", "__dvi"
+        )
 
     def _rows_at_indices(
         self,
@@ -1360,37 +1468,49 @@ class TxLogTable:
         schema_json: str | None,
         mapping: dict | None,
     ) -> DataFrame:
-        """The rows of ``files`` whose (basename, in-file row index)
+        """The rows of ``files`` whose (RELATIVE path, in-file row index)
         appears in ``idx_df`` (columns ``file``, ``row_index``) — the
         row-exact read a deletion-vector change feed needs: one scan of
-        only the affected files, one broadcast semi-join on metadata
-        columns, no Python in the row path."""
+        only the affected files (per basename-collision group), one
+        broadcast semi-join on metadata columns, no Python in the row
+        path."""
         from pyspark.sql.types import StructType
 
-        paths = [os.path.join(self.path, f) for f in files]
         pby, _pschema = self.partition_meta()
         schema = StructType.fromJson(json.loads(schema_json))
         physical = _physical_struct(schema, mapping)
-        reader = self.spark.read.schema(physical)
-        if pby:
-            reader = reader.option("basePath", self.path)
-        scan = reader.parquet(*paths).select(
-            *[
-                F.col(p.name).alias(l.name)
-                for p, l in zip(physical.fields, schema.fields)
-            ],
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
-            ).alias("__dvf"),
-            F.col("_metadata.row_index").alias("__dvi"),
-        )
-        idx_df = F.broadcast(idx_df)
+        groups = self._basename_groups(files)
+
+        def _scan(subset: list[str], g: int) -> DataFrame:
+            reader = self.spark.read.schema(physical)
+            if pby:
+                reader = reader.option("basePath", self.path)
+            return reader.parquet(
+                *[os.path.join(self.path, f) for f in subset]
+            ).select(
+                *[
+                    F.col(p.name).alias(l.name)
+                    for p, l in zip(physical.fields, schema.fields)
+                ],
+                F.lit(g).alias("__dvg"),
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__dvf"),
+                F.col("_metadata.row_index").alias("__dvi"),
+            )
+
+        parts = [_scan(fs, g) for g, fs in enumerate(groups)]
+        scan = parts[0]
+        for p in parts[1:]:
+            scan = scan.unionByName(p)
+        keyed = F.broadcast(self._dv_keyed(idx_df, groups))
         return scan.join(
-            idx_df,
-            (scan["__dvf"] == idx_df["file"])
-            & (scan["__dvi"] == idx_df["row_index"]),
+            keyed,
+            (scan["__dvg"] == keyed["__g"])
+            & (scan["__dvf"] == keyed["__b"])
+            & (scan["__dvi"] == keyed["row_index"]),
             "left_semi",
-        ).drop("__dvf", "__dvi")
+        ).drop("__dvg", "__dvf", "__dvi")
 
     def _touched_files(
         self, candidates: list[str], cond, dvs: dict[str, dict] | None = None
@@ -1553,7 +1673,10 @@ class TxLogTable:
 
     def _write_sidecar(self, df: DataFrame) -> str:
         """Write one deletion-vector sidecar (columns ``file`` = data-file
-        basename, ``row_index`` = in-file row position) under ``_dv/`` and
+        RELATIVE path — descriptors mark ``pathkey: rel``; pre-change
+        sidecars keyed basenames and still read via the legacy branch of
+        :meth:`_sidecar_rows` — ``row_index`` = in-file row position)
+        under ``_dv/`` and
         return its table-relative path. One file: a DV is O(deleted rows)
         — by the time it is big enough for one file to matter, COW/OPTIMIZE
         is the right tool (the documented compaction story)."""
@@ -1598,31 +1721,23 @@ class TxLogTable:
         hit = F.coalesce(cond, F.lit(False))
         for _attempt in range(max_retries + 1):
             base_version, base_files, dvs = self._replay_full()
-            by_base: dict[str, str] = {}
-            for f in base_files:
-                b = os.path.basename(f)
-                if b in by_base:
-                    raise ValueError(
-                        f"mode='dv' refused: live files {by_base[b]!r} and "
-                        f"{f!r} share a basename (foreign-adopted layout?) "
-                        "— deletion vectors key on basenames; use "
-                        "mode='cow'"
-                    )
-                by_base[b] = f
             cands = (
                 self._prune_files(base_files, *prune) if prune else base_files
             )
             schema_json = self._schema_at()
             scan = self._scan_with_filepath(cands, schema_json, dvs=dvs)
             matched = scan.filter(hit)
-            base_expr = F.element_at(F.split(F.col("__file"), "/"), -1)
-            counts = {
-                r["b"]: r["n"]
-                for r in matched.select(base_expr.alias("b"))
-                .groupBy("b")
+            # per-file match counts keyed by the scan's file-path URI,
+            # decoded to relative paths driver-side (_rel_path handles
+            # the URI percent-encoding exactly once) — O(touched files)
+            uri_rows = (
+                matched.select(F.col("__file").alias("u"))
+                .groupBy("u")
                 .agg(F.count("*").alias("n"))
                 .collect()
-            }
+            )
+            rel_by_uri = {r["u"]: self._rel_path(r["u"]) for r in uri_rows}
+            counts = {rel_by_uri[r["u"]]: r["n"] for r in uri_rows}
             if not counts:
                 try:
                     # faithful history: a no-op DML still commits (same
@@ -1633,7 +1748,7 @@ class TxLogTable:
                     )
                 except CommitConflict:
                     continue
-            touched = sorted(by_base[b] for b in counts)
+            touched = sorted(counts)
             adds: list[str] = []
             if sets is not None:
                 data_cols = [
@@ -1646,8 +1761,16 @@ class TxLogTable:
                     ]
                 )
                 adds = self._write_data(updated)
-            new_rows = matched.select(
-                base_expr.alias("file"), F.col("__ridx").alias("row_index")
+            # sidecar rows key by RELATIVE path: a tiny broadcast-joined
+            # (URI -> relative path) mapping built from the counts
+            # collect above (no extra job, O(touched files) rows)
+            uri_map = self.spark.createDataFrame(
+                list(rel_by_uri.items()), "__file string, file string"
+            )
+            new_rows = (
+                matched.select("__file", F.col("__ridx").alias("row_index"))
+                .join(F.broadcast(uri_map), "__file")
+                .select("file", "row_index")
             )
             old_df = self._dv_frame(dvs, touched)
             dv_union = (
@@ -1655,12 +1778,11 @@ class TxLogTable:
             )
             sidecar: str | None = self._write_sidecar(dv_union)
             removes, dv_updates = [], {}
-            for b in sorted(counts):
-                rel = by_base[b]
+            for rel in touched:
                 # matched rows are disjoint from the prior vector (the
                 # discovery scan was DV-applied), so the new cardinality
                 # is exact without a recount
-                card = counts[b] + int(
+                card = counts[rel] + int(
                     (dvs.get(rel) or {}).get("cardinality") or 0
                 )
                 nrows = pq.ParquetFile(
@@ -1669,7 +1791,11 @@ class TxLogTable:
                 if card >= nrows:
                     removes.append(rel)
                 else:
-                    dv_updates[rel] = {"sidecar": sidecar, "cardinality": card}
+                    dv_updates[rel] = {
+                        "sidecar": sidecar,
+                        "cardinality": card,
+                        "pathkey": "rel",
+                    }
             if not dv_updates:
                 # every touched file fully covered — the sidecar is
                 # referenced by nothing
@@ -1850,24 +1976,23 @@ class TxLogTable:
             # except-all + one pushed-down semi-join per group.
             groups: dict[tuple, list[str]] = {}
             for f, (old, new) in rec["dv_changed"].items():
+                # a sidecar is written by ONE commit, so its keying is a
+                # function of the sidecar — carrying pathkey in the
+                # group key keeps both sides normalized to rel paths
+                # even across the basename->relative keying change
                 key = (
-                    old["sidecar"] if old else None,
-                    new["sidecar"] if new else None,
+                    (old["sidecar"], old.get("pathkey")) if old else None,
+                    (new["sidecar"], new.get("pathkey")) if new else None,
                 )
                 groups.setdefault(key, []).append(f)
-            for (osc, nsc), fs in sorted(groups.items(), key=str):
-                bset = [os.path.basename(f) for f in fs]
+            for (okey, nkey), fs in sorted(groups.items(), key=str):
 
-                def _side(sc: str | None) -> DataFrame | None:
-                    if sc is None:
+                def _side(sk: tuple | None) -> DataFrame | None:
+                    if sk is None:
                         return None
-                    return (
-                        self.spark.read.parquet(os.path.join(self.path, sc))
-                        .filter(F.col("file").isin(bset))
-                        .select("file", "row_index")
-                    )
+                    return self._sidecar_rows(sk[0], fs, sk[1])
 
-                new_rows, old_rows = _side(nsc), _side(osc)
+                new_rows, old_rows = _side(nkey), _side(okey)
                 if new_rows is None:
                     del_idx, ins_idx = None, old_rows
                 elif old_rows is None:
@@ -2025,6 +2150,10 @@ class TxLogTable:
                 "dv_cardinality": pa.array(
                     [(dvs.get(f) or {}).get("cardinality") for f in files],
                     pa.int64(),
+                ),
+                "dv_pathkey": pa.array(
+                    [(dvs.get(f) or {}).get("pathkey") for f in files],
+                    pa.string(),
                 ),
             }
         )

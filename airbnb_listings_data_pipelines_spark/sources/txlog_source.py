@@ -394,13 +394,17 @@ class _FileSlice(InputPartition):
     ``(change_type, commit_version)`` for Change-Data-Feed slices —
     the reader then emits the two CDF metadata columns as constants.
 
-    Deletion vectors: ``dv_skip`` is the full path of the sidecar whose
-    (file, row_index) rows for THIS file are dropped (snapshot reads and
+    Deletion vectors: ``dv_skip`` is a ``(sidecar full path, file key)``
+    pair — the sidecar rows whose ``file`` column equals the key (the
+    file's RELATIVE path for ``pathkey == 'rel'`` descriptors, its
+    basename for legacy sidecars) are dropped (snapshot reads and
     whole-file CDF slices honor the vector in force at their version);
-    ``dv_take`` is a ``(first, second)`` sidecar-path pair — the slice
+    ``dv_take`` is a ``(first, second)`` pair of such pairs — the slice
     emits ONLY rows at indices present in ``first`` and absent from
     ``second`` (``second`` may be None): the row-exact delta of a DV
-    change (grown = deletes, shrunk = restore re-inserts).
+    change (grown = deletes, shrunk = restore re-inserts). The key is
+    resolved at PLANNING time from the descriptor, so executors never
+    parse paths.
 
     Pickled to executors — plain data only."""
 
@@ -409,7 +413,7 @@ class _FileSlice(InputPartition):
         full_path: str,
         pvals: dict,
         change: tuple | None = None,
-        dv_skip: str | None = None,
+        dv_skip: tuple | None = None,
         dv_take: tuple | None = None,
     ):
         self.full_path = full_path
@@ -452,12 +456,21 @@ def _plan_files(
             _FileSlice(
                 os.path.join(table_path, f),
                 pvals,
-                dv_skip=(
-                    os.path.join(table_path, desc["sidecar"]) if desc else None
-                ),
+                dv_skip=_dv_ref(table_path, f, desc),
             )
         )
     return slices
+
+
+def _dv_ref(table_path: str, f: str, desc: dict | None) -> tuple | None:
+    """(sidecar full path, file lookup key) for a DV descriptor — the
+    key is the file's relative path for ``pathkey == 'rel'`` sidecars,
+    its basename for legacy ones (pre-change DML guaranteed those
+    globally unique)."""
+    if not desc:
+        return None
+    key = f if desc.get("pathkey") == "rel" else os.path.basename(f)
+    return (os.path.join(table_path, desc["sidecar"]), key)
 
 
 def _cdf_on(options: dict) -> bool:
@@ -487,9 +500,6 @@ def _plan_changes(
             if fld.name in pby
         }
 
-    def _sc(desc) -> str | None:
-        return os.path.join(table_path, desc["sidecar"]) if desc else None
-
     slices: list[_FileSlice] = []
     for rec in _deltas_full(log_dir, lo, hi):
         v, op = rec["v"], rec["op"]
@@ -501,7 +511,7 @@ def _plan_changes(
                     os.path.join(table_path, f),
                     _pv(f),
                     change=("insert", v),
-                    dv_skip=_sc(rec["dv_added"].get(f)),
+                    dv_skip=_dv_ref(table_path, f, rec["dv_added"].get(f)),
                 )
             )
         for f in rec["removes"]:
@@ -510,17 +520,19 @@ def _plan_changes(
                     os.path.join(table_path, f),
                     _pv(f),
                     change=("delete", v),
-                    dv_skip=_sc(rec["dv_removed"].get(f)),
+                    dv_skip=_dv_ref(table_path, f, rec["dv_removed"].get(f)),
                 )
             )
         for f, (old, new) in sorted(rec["dv_changed"].items()):
             full = os.path.join(table_path, f)
+            oref = _dv_ref(table_path, f, old)
+            nref = _dv_ref(table_path, f, new)
             if new is not None:
                 # rows newly deleted at v: in new vector, not in old
                 slices.append(
                     _FileSlice(
                         full, _pv(f), change=("delete", v),
-                        dv_take=(_sc(new), _sc(old)),
+                        dv_take=(nref, oref),
                     )
                 )
             if old is not None:
@@ -528,20 +540,22 @@ def _plan_changes(
                 slices.append(
                     _FileSlice(
                         full, _pv(f), change=("insert", v),
-                        dv_take=(_sc(old), _sc(new)),
+                        dv_take=(oref, nref),
                     )
                 )
     return slices
 
 
-def _dv_indices(sidecar_path: str, basename: str):
-    """Deleted row indices for one data file from one sidecar — a
-    predicate-pushed read of the tiny (file, row_index) parquet."""
+def _dv_indices(ref: tuple):
+    """Deleted row indices for one data file from one ``(sidecar path,
+    file key)`` ref — a predicate-pushed read of the tiny
+    (file, row_index) parquet, keyed exactly as the planner resolved
+    the descriptor (relative path or legacy basename)."""
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(
-        sidecar_path,
-        filters=[("file", "==", basename)],
+        ref[0],
+        filters=[("file", "==", ref[1])],
         columns=["row_index"],
     )
     return tbl["row_index"].to_numpy(zero_copy_only=False)
@@ -568,18 +582,17 @@ def _read_slice(
     target = pa.schema(
         [pa.field(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
     )
-    basename = os.path.basename(slice_.full_path)
     skip = take = None
     if slice_.dv_take is not None:
         first, second = slice_.dv_take
         take = np.setdiff1d(
-            _dv_indices(first, basename),
-            _dv_indices(second, basename) if second else np.empty(0, "int64"),
+            _dv_indices(first),
+            _dv_indices(second) if second else np.empty(0, "int64"),
         )
         if take.size == 0:
             return  # empty delta: never open the data file
     elif slice_.dv_skip is not None:
-        skip = _dv_indices(slice_.dv_skip, basename)
+        skip = _dv_indices(slice_.dv_skip)
         if skip.size == 0:
             skip = None
     pf = pq.ParquetFile(slice_.full_path)
