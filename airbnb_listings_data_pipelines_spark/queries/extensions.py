@@ -5021,3 +5021,107 @@ def x87_sql_percol_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_cents"),
         )
     )
+
+
+@query(
+    "x88_medallion_cdf_dv_upstream",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    live1 AS (SELECT * FROM base WHERE o_orderkey % 7 <> 3),
+    live2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 11.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM live1
+    ),
+    live3 AS (SELECT * FROM live2 WHERE o_orderkey % 10 <> 6),
+    final AS (
+      SELECT * FROM live3
+      UNION ALL
+      SELECT o_orderkey + 60000000, 'Y', 4.0
+      FROM base WHERE o_orderkey % 8 = 5
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM final GROUP BY o_orderstatus
+    """,
+    survey_rows=("EXT-streaming", "EXT-tableformat", "A2", "A8"),
+    doc="MEDALLION CDC WITH DELETION-VECTOR UPSTREAM (round-9 verdict "
+    "item 6): same bronze->silver composition as x82, but every bronze "
+    "DML is MERGE-ON-READ (mode='dv') — the feed carries NO rewrite "
+    "noise, only vectors: the streaming CDF tail "
+    "(readStream.format('txlog') readChangeFeed=true) must emit each "
+    "DV growth as row-level deletes per trigger (dv_take index-delta "
+    "slices, sources/txlog_source._plan_changes), a DV update as its "
+    "exact delete+insert pair, and a SECOND delete that grows vectors "
+    "already live on both original AND update-added files as only the "
+    "newly-deleted rows. A forced crash replay of the final merge must "
+    "no-op by txn log state. The oracle rebuilds bronze's final "
+    "snapshot from raw orders; the hash proves silver converged "
+    "bit-exactly while bronze still holds live vectors (asserted — no "
+    "COW fold happened). Per-trigger cost is O(vector delta bytes) "
+    "upstream — at 100 TB a 1-row bronze delete streams ONE sidecar "
+    "row-index read, never a file rewrite.",
+)
+def x88_medallion_cdf_dv_upstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.txlog import TxLogTable, merge_into_txlog
+    from ..sources import txlog_source
+    from ..streaming.upsert import cdf_apply_stream_txlog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = _dml_scratch("x88" + sf_dir)
+    a_path, b_path, ckpt = root + "/bronze", root + "/silver", root + "/ckpt"
+    a = TxLogTable.create(
+        spark, a_path, orders.repartitionByRange(8, "o_orderkey")
+    )
+    a.delete_where("o_orderkey % 7 = 3", mode="dv")
+    a.update_where(
+        "o_orderstatus = 'F'",
+        {"o_totalprice": F.col("o_totalprice") + F.lit(11.0)},
+        mode="dv",
+    )
+    a.delete_where("o_orderkey % 10 = 6", mode="dv")
+    a.append(
+        orders.filter("o_orderkey % 8 = 5").selectExpr(
+            "o_orderkey + 60000000 AS o_orderkey",
+            "'Y' AS o_orderstatus",
+            "CAST(4.0 AS double) AS o_totalprice",
+        )
+    )
+    txlog_source.register(spark)
+    stream = (
+        spark.readStream.format("txlog")
+        .option("readChangeFeed", "true")
+        .load(a_path)
+    )
+    q = cdf_apply_stream_txlog(
+        stream, b_path, ["o_orderkey"], ckpt, app_id="x88"
+    )
+    q.awaitTermination(300)
+    if not a.dvs():
+        raise AssertionError("bronze lost its vectors — DV mode not live")
+    b = TxLogTable(spark, b_path)
+    last = b.last_txn_version("x88")
+    poison = spark.createDataFrame(
+        [(1, "XX", -999.0)],
+        "o_orderkey int, o_orderstatus string, o_totalprice double",
+    ).selectExpr(
+        "CAST(o_orderkey AS bigint) AS o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    merge_into_txlog(spark, b, poison, ["o_orderkey"], txn=("x88", last))
+    return b.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
+    )

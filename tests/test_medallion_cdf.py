@@ -112,3 +112,41 @@ def test_netting_rule_update_pair_and_rewrite_noise(registered, tmp_path):
     assert _snap(b) == _snap(a)
     assert {r.s for r in b.read().filter("k = 3").collect()} == {"upd"}
     assert b.read().filter("k = 5").count() == 0
+
+
+def test_silver_converges_with_dv_upstream(registered, tmp_path):
+    """Round-9 verdict item 6: bronze takes MERGE-ON-READ DML
+    (mode='dv') — no rewrite noise, just vectors. The streaming CDF
+    tail must emit each DV growth as row-level deletes per trigger
+    (dv_take index-delta slices), a DV update as its exact
+    delete+insert pair, and a SECOND growth of the same file's vector
+    as only the newly-deleted rows — silver converges at every drain."""
+    spark = registered
+    a_path, b_path, ckpt = (
+        str(tmp_path / "a"),
+        str(tmp_path / "b"),
+        str(tmp_path / "ck"),
+    )
+    a = TxLogTable.create(
+        spark,
+        a_path,
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(20)], "k int, v double"
+        ).repartitionByRange(4, "k"),
+    )
+    _drain(spark, a_path, b_path, ckpt)
+    b = TxLogTable(spark, b_path)
+    assert _snap(b) == _snap(a)
+
+    a.delete_where("k % 5 = 1", mode="dv")
+    a.update_where("k % 4 = 2", {"v": F.col("v") + 100.0}, mode="dv")
+    _drain(spark, a_path, b_path, ckpt)
+    assert _snap(b) == _snap(a)
+
+    # vector GROWTH on files already vectored + re-insert of a deleted
+    # key across commits; the delta slices must carry only the new rows
+    a.delete_where("k < 4", mode="dv")
+    a.append(spark.createDataFrame([(1, -1.0)], "k int, v double"))
+    _drain(spark, a_path, b_path, ckpt)
+    assert _snap(b) == _snap(a)
+    assert a.dvs(), "upstream must still hold live vectors (no COW fold)"
