@@ -3321,6 +3321,7 @@ def merge_into_txlog(
     txn: tuple[str, int] | None = None,
     matched_set: dict | None = None,
     insert_values: dict | None = None,
+    clauses: dict | None = None,
 ) -> DataFrame:
     """MERGE with an atomic, snapshot-isolated commit (same logical
     semantics as merge.merge_into_parquet; see module docstring for the
@@ -3345,10 +3346,28 @@ def merge_into_txlog(
     commit and untouched pre-evolution files null-fill the new columns at
     read time (:meth:`TxLogTable._read_files`). ``rewrite='full'`` keeps
     the whole-table rewrite (clusters every row into fresh files — the
-    right call when the merge touches most files anyway)."""
-    from .merge import merge_frames
+    right call when the merge touches most files anyway).
+
+    ``clauses`` takes the FULL Delta MERGE surface — ``{"matched":
+    [...], "not_matched": [...], "not_matched_by_source": [...]}`` per
+    :func:`merge.merge_clauses` (conditional, ordered, per-column) —
+    and is mutually exclusive with the simple-form parameters. A
+    ``not_matched_by_source`` clause can touch ANY target row, so the
+    touched-file discovery widens to every live file for that shape
+    (Delta's physical rule too); without one, discovery stays the
+    one-semi-join touched-by-keys scan."""
+    from .merge import merge_clauses, merge_frames
 
     assert rewrite in ("touched", "full")
+    if clauses is not None and (
+        matched_set or insert_values or evolve_schema
+        or when_matched != "update" or when_not_matched != "insert"
+    ):
+        raise ValueError(
+            "clauses= is the full MERGE surface — it cannot combine "
+            "with when_matched/when_not_matched/matched_set/"
+            "insert_values/evolve_schema"
+        )
     for _attempt in range(max_retries + 1):
         # base_version FIRST, txn check SECOND (same reasoning as
         # TxLogTable.append): a same-batch racer committing after our
@@ -3358,7 +3377,11 @@ def merge_into_txlog(
             last = table.last_txn_version(txn[0])
             if last is not None and txn[1] <= last:
                 return table.read()
-        if rewrite == "full":
+        if rewrite == "full" or (
+            clauses is not None and clauses.get("not_matched_by_source")
+        ):
+            # a NOT MATCHED BY SOURCE clause can hit any target row:
+            # every live file is a rewrite candidate (Delta's rule)
             removes = base_files
             target = table.read()
         else:
@@ -3368,11 +3391,19 @@ def merge_into_txlog(
                 if removes
                 else table._empty()
             )
-        merged = merge_frames(
-            target, source, keys, when_matched, when_not_matched,
-            evolve_schema, matched_set=matched_set,
-            insert_values=insert_values,
-        )
+        if clauses is not None:
+            merged = merge_clauses(
+                target, source, keys,
+                matched=clauses.get("matched"),
+                not_matched=clauses.get("not_matched"),
+                not_matched_by_source=clauses.get("not_matched_by_source"),
+            )
+        else:
+            merged = merge_frames(
+                target, source, keys, when_matched, when_not_matched,
+                evolve_schema, matched_set=matched_set,
+                insert_values=insert_values,
+            )
         # column-mapped table + schema evolution: any column NEW to the
         # mapping writes under a FRESH physical name and the merge
         # commit records the extended mapping — otherwise a previously

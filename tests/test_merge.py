@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from airbnb_listings_data_pipelines_spark.operators.merge import merge_into_parquet
@@ -253,3 +254,157 @@ def test_percol_through_txlog_backend(spark, tmp_path):
     assert (5, "v5", 5.0) in got
     kept = files0 & set(t.files())
     assert kept, "untouched files must carry over unrewritten"
+
+
+def test_merge_clauses_conditional_first_match_wins(spark):
+    """Full Delta clause surface: ordered conditional MATCHED clauses —
+    first clause whose condition holds wins, rows no clause accepts
+    keep their target values."""
+    from airbnb_listings_data_pipelines_spark.operators.merge import (
+        merge_clauses,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        ["k", "v", "amt"],
+    )
+    source = spark.createDataFrame(
+        [(1, 100.0), (2, 5.0), (3, -1.0), (9, 9.0)], ["k", "bump"]
+    )
+    out = merge_clauses(
+        target,
+        source,
+        ["k"],
+        matched=[
+            {"cond": "s.bump < 0", "action": "delete"},
+            {
+                "cond": "s.bump >= 50",
+                "action": "update",
+                "set": {"v": F.lit("BIG"), "amt": F.expr("t.amt + s.bump")},
+            },
+            {"cond": None, "action": "update", "set": {"amt": F.expr("s.bump")}},
+        ],
+        not_matched=[
+            {"cond": "s.bump > 5", "values": {"k": F.expr("s.k"), "amt": F.expr("s.bump")}},
+        ],
+    )
+    got = {(r.k, r.v, r.amt) for r in out.collect()}
+    assert got == {
+        (1, "BIG", 110.0),  # second clause (first false)
+        (2, "b", 5.0),      # fallthrough unconditional clause, v kept
+        # 3 deleted by first clause
+        (4, "d", 40.0),     # matched by nothing? no — 4 has no source row:
+                            # it is a TARGET-ONLY row, kept (no nmbs clause)
+        (9, None, 9.0),     # conditional insert accepted
+    }
+    # source row failing every NOT MATCHED condition is NOT inserted
+    out2 = merge_clauses(
+        target,
+        source,
+        ["k"],
+        matched=[{"cond": None, "action": "update", "set": {"amt": F.expr("s.bump")}}],
+        not_matched=[{"cond": "s.bump > 100", "values": {"k": F.expr("s.k")}}],
+    )
+    assert 9 not in {r.k for r in out2.collect()}
+
+
+def test_merge_clauses_not_matched_by_source(spark):
+    """NOT MATCHED BY SOURCE clauses hit target-only rows: conditional
+    DELETE + fallthrough UPDATE, with rows no clause accepts kept."""
+    from airbnb_listings_data_pipelines_spark.operators.merge import (
+        merge_clauses,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "v", "amt"]
+    )
+    source = spark.createDataFrame([(1, 0.0)], ["k", "bump"])
+    out = merge_clauses(
+        target,
+        source,
+        ["k"],
+        matched=[{"cond": None, "action": "update", "set": {"v": F.lit("M")}}],
+        not_matched_by_source=[
+            {"cond": "t.amt > 25", "action": "delete"},
+            {
+                "cond": None,
+                "action": "update",
+                "set": {"v": F.lit("STALE")},
+            },
+        ],
+    )
+    got = {(r.k, r.v, r.amt) for r in out.collect()}
+    assert got == {(1, "M", 10.0), (2, "STALE", 20.0)}  # 3 deleted
+
+
+def test_merge_clauses_refusals(spark):
+    import pytest as _pytest
+
+    from airbnb_listings_data_pipelines_spark.operators.merge import (
+        merge_clauses,
+    )
+
+    target = spark.createDataFrame([(1, "a")], ["k", "v"])
+    source = spark.createDataFrame([(1, "b")], ["k", "v"])
+    with _pytest.raises(ValueError, match="at least one"):
+        merge_clauses(target, source, ["k"])
+    with _pytest.raises(ValueError, match="unreachable"):
+        merge_clauses(
+            target, source, ["k"],
+            matched=[
+                {"cond": None, "action": "delete"},
+                {"cond": "t.v = 'a'", "action": "delete"},
+            ],
+        )
+    with _pytest.raises(ValueError, match="SET list"):
+        merge_clauses(
+            target, source, ["k"],
+            not_matched_by_source=[{"cond": None, "action": "update"}],
+        )
+    with _pytest.raises(ValueError, match="absent from the target"):
+        merge_clauses(
+            target, source, ["k"],
+            matched=[{"cond": None, "action": "update", "set": {"zz": F.lit(1)}}],
+        )
+
+
+def test_merge_clauses_through_txlog_backend(spark, tmp_path):
+    """clauses= threads through merge_into_txlog; a NOT MATCHED BY
+    SOURCE clause widens the rewrite to every live file (it can touch
+    any target row), matched/insert clauses stay touched-file CoW."""
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        TxLogTable,
+        merge_into_txlog,
+    )
+
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(20)], ["k", "amt"]
+        ).repartitionByRange(4, "k"),
+    )
+    src = spark.createDataFrame([(3, 100.0), (99, 9.0)], ["k", "bump"])
+    merge_into_txlog(
+        spark, t, src, ["k"],
+        clauses={
+            "matched": [
+                {"cond": "t.k % 2 = 1", "action": "update",
+                 "set": {"amt": F.expr("t.amt + s.bump")}},
+            ],
+            "not_matched": [{"cond": None, "values": {"k": F.expr("s.k"), "amt": F.expr("s.bump")}}],
+            "not_matched_by_source": [
+                {"cond": "t.k >= 18", "action": "delete"},
+            ],
+        },
+    )
+    got = {r.k: r.amt for r in t.read().collect()}
+    assert got[3] == 103.0 and got[99] == 9.0
+    assert 18 not in got and 19 not in got
+    assert got[4] == 4.0, "matched-clause condition false -> target kept"
+    with pytest.raises(ValueError, match="cannot combine"):
+        merge_into_txlog(
+            spark, t, src, ["k"],
+            when_matched="delete",
+            clauses={"matched": [{"cond": None, "action": "delete"}]},
+        )

@@ -117,14 +117,15 @@ def test_sql_alter_add_drop_column_and_constraint(spark, tmp_path):
 
 def test_sql_refusals_are_loud(spark, tmp_path):
     """Unsupported shapes refuse with a clear message instead of silently
-    approximating (conditional MERGE clauses, non-equi ON, unknown
+    approximating (unreachable MERGE clauses, non-equi ON, unknown
     tables, arbitrary statements)."""
     t = _mk(spark, tmp_path / "t", n=5)
     sess = TxSqlSession(spark, {"t": t})
-    with pytest.raises(ValueError, match="conditional MERGE clauses"):
+    with pytest.raises(ValueError, match="unreachable"):
         sess.execute(
             "MERGE INTO t USING t2 ON t.k = t2.k "
-            "WHEN MATCHED AND t.amt > 0 THEN UPDATE SET amt = 0"
+            "WHEN MATCHED THEN UPDATE SET amt = 0 "
+            "WHEN MATCHED AND t.amt > 0 THEN DELETE"
         )
     with pytest.raises(ValueError, match="key equality"):
         sess.execute(
@@ -210,11 +211,13 @@ def test_sql_select_with_time_travel(spark, tmp_path):
 
 
 def test_sql_merge_duplicate_clauses_refused(spark, tmp_path):
-    """Two unconditional WHEN MATCHED clauses (a ported conditional Delta
-    MERGE) must refuse, not last-wins (review finding)."""
+    """Two unconditional WHEN MATCHED clauses must refuse as
+    unreachable (Delta's clause-order rule), not last-wins — originally
+    a review finding against the single-clause grammar; the rule
+    carries over to the multi-clause surface."""
     t = _mk(spark, tmp_path / "t", n=5)
     sess = TxSqlSession(spark, {"t": t})
-    with pytest.raises(ValueError, match="duplicate WHEN MATCHED"):
+    with pytest.raises(ValueError, match="unreachable"):
         sess.execute(
             "MERGE INTO t USING src ON t.k = src.k "
             "WHEN MATCHED THEN UPDATE SET * WHEN MATCHED THEN DELETE"
@@ -469,10 +472,15 @@ def test_sql_percol_merge_refusals(spark, tmp_path):
             "MERGE INTO t USING src ON t.k = src.k "
             "WHEN MATCHED THEN UPDATE SET amt = 1, amt = 2"
         )
-    with pytest.raises(ValueError, match="conditional MERGE"):
+    with pytest.raises(ValueError, match="WHEN NOT MATCHED BY SOURCE"):
         sess.execute(
             "MERGE INTO t USING src ON t.k = src.k "
-            "WHEN MATCHED AND t.amt > 0 THEN DELETE"
+            "WHEN MATCHED BY SOURCE THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="cannot UPDATE SET \\*"):
+        sess.execute(
+            "MERGE INTO t USING src ON t.k = src.k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
         )
     assert t.version() == 0, "refusals must precede any commit"
     # CASE WHEN inside a SET expression must not confuse clause split
@@ -485,3 +493,76 @@ def test_sql_percol_merge_refusals(spark, tmp_path):
         "amt = CASE WHEN src1.b > 1 THEN src1.b ELSE t.amt END"
     )
     assert {r.amt for r in t.read().filter("k = 1").collect()} == {5.0}
+
+
+def test_sql_conditional_merge_matches_python_twin(spark, tmp_path):
+    """Delta's full MERGE clause surface through SQL: conditional
+    ordered MATCHED clauses (incl. a CASE WHEN inside a clause
+    CONDITION — its THENs must not terminate the condition), a
+    conditional NOT MATCHED, and NOT MATCHED BY SOURCE — identical
+    commit history and rows vs the Python clauses= twin."""
+    rows = [(k, k % 5, float(k)) for k in range(40)]
+    src_rows = [(k, 100.0 + k) for k in range(0, 60, 4)]
+    t_sql = _mk(spark, tmp_path / "sql")
+    t_py = _mk(spark, tmp_path / "py")
+    spark.createDataFrame(
+        src_rows, "k int, bump double"
+    ).createOrReplaceTempView("cbumps")
+    sess = TxSqlSession(spark, {"t": t_sql})
+    sess.execute(
+        "MERGE INTO t AS tgt USING cbumps AS b ON tgt.k = b.k "
+        "WHEN MATCHED AND tgt.grp = 0 THEN DELETE "
+        "WHEN MATCHED AND CASE WHEN b.bump > 120 THEN true ELSE false END "
+        "THEN UPDATE SET amt = tgt.amt + b.bump "
+        "WHEN MATCHED THEN UPDATE SET grp = -9 "
+        "WHEN NOT MATCHED AND b.k < 50 THEN INSERT (k, amt) "
+        "VALUES (b.k, b.bump) "
+        "WHEN NOT MATCHED BY SOURCE AND tgt.k > 35 THEN UPDATE SET "
+        "grp = 77"
+    )
+    clauses = {
+        "matched": [
+            {"cond": "t.grp = 0", "action": "delete"},
+            {
+                "cond": "CASE WHEN s.bump > 120 THEN true ELSE false END",
+                "action": "update",
+                "set": {"amt": "t.amt + s.bump"},
+            },
+            {"cond": None, "action": "update", "set": {"grp": "-9"}},
+        ],
+        "not_matched": [
+            {"cond": "s.k < 50", "values": {"k": "s.k", "amt": "s.bump"}},
+        ],
+        "not_matched_by_source": [
+            {"cond": "t.k > 35", "action": "update", "set": {"grp": "77"}},
+        ],
+    }
+    merge_into_txlog(
+        spark, t_py, spark.table("cbumps"), ["k"], clauses=clauses
+    )
+    assert _hist_sig(t_sql) == _hist_sig(t_py)
+    assert _rows(t_sql) == _rows(t_py)
+    got = {r.k: (r.grp, r.amt) for r in t_sql.read().collect()}
+    assert 0 not in got and 20 not in got, "grp=0 matched rows deleted"
+    assert got[24] == (4, 24.0 + 124.0), "CASE-WHEN condition clause"
+    assert got[4] == (-9, 4.0), "fallthrough clause: grp set, amt kept"
+    assert got[44] == (None, 144.0) and 52 not in got, "conditional insert"
+    assert got[37] == (77, 37.0) and got[35][0] == 0, "nmbs update"
+
+
+def test_sql_insert_only_merge_now_supported(spark, tmp_path):
+    """MERGE without a WHEN MATCHED clause (insert-only dedup ingest —
+    Delta's idiom) routes through the clause core: matched rows keep
+    their target values untouched."""
+    t = _mk(spark, tmp_path / "t", n=5)
+    spark.createDataFrame(
+        [(3, 0, -1.0), (30, 0, 30.0)], "k int, grp int, amt double"
+    ).createOrReplaceTempView("ins_src")
+    sess = TxSqlSession(spark, {"t": t})
+    sess.execute(
+        "MERGE INTO t USING ins_src ON t.k = ins_src.k "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.k: r.amt for r in t.read().collect()}
+    assert got[3] == 3.0, "matched row untouched (not overwritten)"
+    assert got[30] == 30.0, "source-only row inserted"
