@@ -604,3 +604,101 @@ def test_legacy_basename_sidecars_still_read(spark, tmp_path):
     assert sorted(r.k for r in t3.read().collect()) == [
         i for i in range(40) if i % 10 and i != 11
     ]
+
+
+def test_convert_from_delta_dv_colliding_basenames(spark, tmp_path):
+    """Round-9 keying change, import direction: a foreign Delta table
+    whose nested layout repeats a basename (sub1/data.parquet,
+    sub2/data.parquet) AND carries deletion vectors now ADOPTS instead
+    of refusing — the re-encoded sidecar keys relative paths, and
+    further merge-on-read DML works on the adopted table."""
+    import base64
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from airbnb_listings_data_pipelines_spark.operators.roaring import (
+        serialize_rba,
+    )
+
+    path = str(tmp_path / "foreign")
+    for sub, ks in (("sub1", range(5)), ("sub2", range(5, 10))):
+        os.makedirs(os.path.join(path, sub))
+        pq.write_table(
+            pa.table({"k": pa.array(list(ks), pa.int64())}),
+            os.path.join(path, sub, "data.parquet"),
+        )
+
+    def _inline_dv(idx):
+        blob = serialize_rba(idx)
+        return {
+            "storageType": "i",
+            "pathOrInlineDv": base64.b85encode(blob).decode("ascii"),
+            "offset": 0,
+            "sizeInBytes": len(blob),
+            "cardinality": len(idx),
+        }
+
+    dl = os.path.join(path, "_delta_log")
+    os.makedirs(dl)
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {},
+                }
+            ],
+        }
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "dv-collide",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        },
+    ]
+    for sub, idx in (("sub1", [1]), ("sub2", [2])):
+        f = f"{sub}/data.parquet"
+        actions.append(
+            {
+                "add": {
+                    "path": f,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(path, f)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "deletionVector": _inline_dv(idx),
+                }
+            }
+        )
+    with open(os.path.join(dl, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    c = TxLogTable.convert_from_delta(spark, path)
+    assert sorted(r.k for r in c.read().collect()) == [0, 2, 3, 4, 5, 6, 8, 9]
+    dvs = c.dvs()
+    assert set(dvs) == {"sub1/data.parquet", "sub2/data.parquet"}
+    assert all(d["pathkey"] == "rel" for d in dvs.values())
+    # merge-on-read DML on the adopted colliding layout: the new vector
+    # unions with the adopted one per file, keyed by relative path
+    c.delete_where("k = 2", mode="dv")
+    assert sorted(r.k for r in c.read().collect()) == [0, 3, 4, 5, 6, 8, 9]
+    assert c.dvs()["sub1/data.parquet"]["cardinality"] == 2
