@@ -163,6 +163,10 @@ def _split_merge_clauses(text: str) -> list[tuple[str, str | None, str]]:
     starts: list[tuple[int, str | None, int, str]] = []
     in_str = False
     depth = 0
+    case_depth = 0  # a CASE expression's own WHENs are never clauses —
+    # even `CASE WHEN matched THEN ...` over a column literally named
+    # `matched` (review finding: the MATCHED-keyword check alone does
+    # not cover unqualified columns spelled like the keyword)
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
@@ -175,30 +179,39 @@ def _split_merge_clauses(text: str) -> list[tuple[str, str | None, str]]:
             depth += 1
         elif not in_str and ch == ")":
             depth -= 1
-        elif not in_str and depth == 0 and text[i : i + 4].upper() == "WHEN":
-            m = _WHEN_CLAUSE.match(text, i)
-            if m:
-                if m.group(2) and not m.group(1):
-                    raise ValueError(
-                        "WHEN MATCHED BY SOURCE is not a clause — did "
-                        "you mean WHEN NOT MATCHED BY SOURCE?"
+        elif not in_str and depth == 0 and ch.isalpha():
+            wm = re.match(r"[A-Za-z_]+", text[i:])
+            word = wm.group(0).upper()
+            if word == "CASE":
+                case_depth += 1
+            elif word == "END" and case_depth:
+                case_depth -= 1
+            elif word == "WHEN" and case_depth == 0:
+                m = _WHEN_CLAUSE.match(text, i)
+                if m:
+                    if m.group(2) and not m.group(1):
+                        raise ValueError(
+                            "WHEN MATCHED BY SOURCE is not a clause — "
+                            "did you mean WHEN NOT MATCHED BY SOURCE?"
+                        )
+                    kind = (
+                        "m"
+                        if not m.group(1)
+                        else ("nmbs" if m.group(2) else "nm")
                     )
-                kind = (
-                    "m"
-                    if not m.group(1)
-                    else ("nmbs" if m.group(2) else "nm")
-                )
-                if m.group(3).upper() == "AND":
-                    then_at = _scan_to_then(text, m.end())
-                    cond = text[m.end() : then_at].strip()
-                    if not cond:
-                        raise ValueError("empty MERGE clause condition")
-                    starts.append((i, cond, then_at + len("THEN"), kind))
-                    i = then_at + len("THEN")
-                else:
-                    starts.append((i, None, m.end(), kind))
-                    i = m.end()
-                continue
+                    if m.group(3).upper() == "AND":
+                        then_at = _scan_to_then(text, m.end())
+                        cond = text[m.end() : then_at].strip()
+                        if not cond:
+                            raise ValueError("empty MERGE clause condition")
+                        starts.append((i, cond, then_at + len("THEN"), kind))
+                        i = then_at + len("THEN")
+                    else:
+                        starts.append((i, None, m.end(), kind))
+                        i = m.end()
+                    continue
+            i += len(wm.group(0))
+            continue
         i += 1
     if not starts:
         raise ValueError(
@@ -429,20 +442,30 @@ class TxSqlSession:
                 qual_map[q.lower()] = "t"
         for q in (salias, src if not src.startswith("(") else None):
             if q:
+                if qual_map.get(q.lower()) == "t":
+                    raise ValueError(
+                        f"MERGE qualifier {q!r} names BOTH sides — "
+                        "alias the source differently"
+                    )
                 qual_map[q.lower()] = "s"
 
+        # ONE combined pattern applied in ONE pass: sequential per-alias
+        # substitution would re-scan already-rewritten text (a source
+        # aliased 't' would hijack the canonical 't.' the target pass
+        # just produced and silently swap join sides — review finding)
+        qual_re = re.compile(
+            r"\b(" + "|".join(re.escape(q) for q in qual_map) + r")\s*\.",
+            re.IGNORECASE,
+        ) if qual_map else None
+
         def _requalify(expr: str) -> str:
+            if qual_re is None:
+                return expr
             parts = re.split(r"('(?:[^'\\]|\\.)*')", expr)
             for i in range(0, len(parts), 2):
-                seg = parts[i]
-                for q, canon in qual_map.items():
-                    seg = re.sub(
-                        rf"\b{re.escape(q)}\s*\.",
-                        canon + ".",
-                        seg,
-                        flags=re.IGNORECASE,
-                    )
-                parts[i] = seg
+                parts[i] = qual_re.sub(
+                    lambda m: qual_map[m.group(1).lower()] + ".", parts[i]
+                )
             return "".join(parts)
 
         def _strip_qualifier(col: str) -> str:
@@ -712,45 +735,47 @@ class TxSqlSession:
             f" {s} ",
             flags=re.IGNORECASE,
         ).strip()
-        bare: set[str] = set()
-
-        def _rewrite_bare(text: str) -> str:
-            # rewrite word-occurrences of bound table names OUTSIDE
-            # single-quoted literals (a literal like 'see table events'
-            # must not be touched)
-            parts = re.split(r"('(?:[^'\\]|\\.)*')", text)
-            for i in range(0, len(parts), 2):
-                seg = parts[i]
-                for name in self._tables:
-
-                    def _sub(m: re.Match, name=name) -> str:
-                        bare.add(name)
-                        return f"{name}__{tag}"
-
-                    seg = re.sub(
-                        rf"\b{re.escape(name)}\b",
-                        _sub,
-                        seg,
-                        flags=re.IGNORECASE,
-                    )
-                parts[i] = seg
-            return "".join(parts)
-
-        body = _rewrite_bare(body)
+        # bound names the statement mentions as a WORD outside string
+        # literals (single- or double-quoted — Spark's default parser
+        # treats both as literals). Used only to decide WHICH snapshots
+        # to register; the statement text itself is never rewritten, so
+        # a column or alias spelled like a bound table cannot be
+        # corrupted (review finding: the previous rewrite broke
+        # `SELECT status FROM events` with a table bound as `status`
+        # and mangled double-quoted literals).
+        stripped = re.sub(
+            r"('(?:[^'\\]|\\.)*')|(\"(?:[^\"\\]|\\.)*\")", " ", body
+        )
+        words = {w.lower() for w in re.findall(r"[A-Za-z_][\w]*", stripped)}
+        bare = [n for n in self._tables if n.lower() in words]
         views = []
+        saved: list[tuple[str, DataFrame]] = []
+        temp_names = {
+            tb.name.lower()
+            for tb in self.spark.catalog.listTables()
+            if tb.isTemporary
+        }
         try:
             for name, v in versioned:
                 vn = f"{name}__v{v}__{tag}"
                 self._tables[name].read_version(v).createOrReplaceTempView(vn)
                 views.append(vn)
             for name in bare:
-                vn = f"{name}__{tag}"
-                self._tables[name].read().createOrReplaceTempView(vn)
-                views.append(vn)
+                # the binding name itself hosts the snapshot for this
+                # statement; a pre-existing USER temp view of that name
+                # is captured (analyzed plan) and re-registered after —
+                # spark.sql resolves eagerly, so the returned DataFrame
+                # never sees the restore
+                if name.lower() in temp_names:
+                    saved.append((name, self.spark.table(name)))
+                self._tables[name].read().createOrReplaceTempView(name)
+                views.append(name)
             return self.spark.sql(body)
         finally:
             for vn in views:
                 self.spark.catalog.dropTempView(vn)
+            for name, df in saved:
+                df.createOrReplaceTempView(name)
 
     def _detail(self, s: str) -> DataFrame:
         """Delta's ``DESCRIBE DETAIL``: one row of table facts — format,

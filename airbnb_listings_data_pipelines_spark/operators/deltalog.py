@@ -687,12 +687,20 @@ def _materialize_delta_dvs(table, need: dict[str, dict]) -> dict[str, dict]:
         tbl = pq.read_table(
             os.path.join(table.path, sc), columns=["file", "row_index"]
         )
-        # sidecar rows key files by basename (legacy) or relative path —
-        # accept both so pre-/post-keying-change sidecars export alike
+        # sidecar rows key files by the descriptor's recorded keying —
+        # relative path (pathkey=rel) or legacy basename. Keying is per
+        # DESCRIPTOR, never both-at-once: a dual mapping would let a
+        # nested file's basename clobber a root file's relative path on
+        # colliding-basename layouts (review finding, round 9)
         wanted: dict[str, str] = {}
         for f in by_sidecar[sc]:
-            wanted[os.path.basename(f)] = f
-            wanted[f] = f
+            key = f if need[f].get("pathkey") == "rel" else os.path.basename(f)
+            if key in wanted:
+                raise ValueError(
+                    f"ambiguous DV sidecar key {key!r}: files "
+                    f"{wanted[key]!r} and {f!r} collide — cannot export"
+                )
+            wanted[key] = f
         for fb, ri in zip(
             tbl.column("file").to_pylist(), tbl.column("row_index").to_pylist()
         ):
@@ -1197,7 +1205,7 @@ def _read_live_files(
         f: a["deletionVector"] for f, a in live.items() if a.get("deletionVector")
     }
 
-    def _scan(some_paths: list[str]) -> DataFrame:
+    def _scan(some_paths: list[str], g: int = 0) -> DataFrame:
         df = spark.read.schema(data_schema).parquet(*some_paths)
         cols = (
             [F.col(phys[f.name]).alias(f.name) for f in data_fields]
@@ -1206,6 +1214,7 @@ def _read_live_files(
         )
         if dv_live:
             cols += [
+                F.lit(g).alias("__dvg"),
                 F.element_at(
                     F.split(F.col("_metadata.file_path"), "/"), -1
                 ).alias("__dvf"),
@@ -1213,28 +1222,57 @@ def _read_live_files(
             ]
         return df.select(*cols)
 
-    def _apply_dv(df: DataFrame) -> DataFrame:
+    def _apply_dv(df: DataFrame, rel_groups: dict[str, int]) -> DataFrame:
+        """Anti-join deleted positions out on (scan group, basename,
+        row index): ``rel_groups`` maps each scanned file's relative
+        path to the id its scan carried — basenames are unique WITHIN a
+        group, so the key is exact even on colliding-basename foreign
+        layouts (the pre-round-9 refusal is gone; same technique as the
+        txlog reader's basename groups)."""
         if not dv_live:
             return df
-        basenames = [f.rsplit("/", 1)[-1] for f in ordered]
-        if len(set(basenames)) != len(basenames):
-            # the anti-join keys on basenames (what _metadata.file_path
-            # yields without path-escaping ambiguity); a colliding
-            # foreign layout would over-delete rows from the wrong file
-            raise NotImplementedError(
-                "deletionVectors on a Delta log whose live files share "
-                "basenames is not supported (row positions would be "
-                "anti-joined out of the wrong file)"
-            )
         dv_df = _delta_dv_rows(spark, path, dv_live)
+        mapping = spark.createDataFrame(
+            [
+                (f, rel_groups[f], f.rsplit("/", 1)[-1])
+                for f in sorted(dv_live)
+            ],
+            "file string, __g int, __b string",
+        )
+        keyed = dv_df.join(F.broadcast(mapping), "file").select(
+            "__g", "__b", "row_index"
+        )
         return df.join(
-            dv_df,
-            (df["__dvf"] == dv_df["file"]) & (df["__dvi"] == dv_df["row_index"]),
+            keyed,
+            (df["__dvg"] == keyed["__g"])
+            & (df["__dvf"] == keyed["__b"])
+            & (df["__dvi"] == keyed["row_index"]),
             "left_anti",
-        ).drop("__dvf", "__dvi")
+        ).drop("__dvg", "__dvf", "__dvi")
+
+    def _basename_groups(files: list[str]) -> list[list[str]]:
+        seen: dict[str, int] = {}
+        out: list[list[str]] = []
+        for f in files:
+            b = f.rsplit("/", 1)[-1]
+            g = seen.get(b, 0)
+            seen[b] = g + 1
+            if len(out) <= g:
+                out.append([])
+            out[g].append(f)
+        return out
 
     if not pcols:
-        return _apply_dv(_scan(paths))
+        bgroups = _basename_groups(ordered)
+        rel_groups = {f: g for g, fs in enumerate(bgroups) for f in fs}
+        parts = [
+            _scan([os.path.join(path, f) for f in fs], g)
+            for g, fs in enumerate(bgroups)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return _apply_dv(out, rel_groups)
     fields = {fld.name: fld for fld in schema.fields}
     missing = [c for c in pcols if c not in fields]
     if missing:
@@ -1267,34 +1305,45 @@ def _read_live_files(
             out = out.withColumn(c, F.col(f"__pv{i}").cast(fields[c].dataType)).drop(
                 f"__pv{i}"
             )
-        return _apply_dv(out).select(*[fld.name for fld in schema.fields])
-    # fallback: group files by partition tuple, one scan per group
+        return _apply_dv(out, {f: 0 for f in ordered}).select(
+            *[fld.name for fld in schema.fields]
+        )
+    # fallback: group files by partition tuple, one scan per group —
+    # one hive dir per group, so basenames are unique within each scan
+    # and the group index doubles as the DV scan-group key
     groups: dict[tuple, list[str]] = {}
     for f in ordered:
         pv = live[f].get("partitionValues") or {}
         groups.setdefault(
             tuple(pv.get(phys.get(c, c), pv.get(c)) for c in pcols), []
-        ).append(os.path.join(path, f))
+        ).append(f)
     keep = [fld.name for fld in schema.fields] + (
-        ["__dvf", "__dvi"] if dv_live else []
+        ["__dvg", "__dvf", "__dvi"] if dv_live else []
     )
     parts = []
-    for key in sorted(groups, key=lambda k: tuple((v is None, v) for v in k)):
-        g = _scan(groups[key])
+    rel_groups: dict[str, int] = {}
+    for gi, key in enumerate(
+        sorted(groups, key=lambda k: tuple((v is None, v) for v in k))
+    ):
+        for f in groups[key]:
+            rel_groups[f] = gi
+        g = _scan([os.path.join(path, f) for f in groups[key]], gi)
         for c, v in zip(pcols, key):
             g = g.withColumn(c, F.lit(v).cast(fields[c].dataType))
         parts.append(g.select(*keep))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return _apply_dv(out).select(*[fld.name for fld in schema.fields])
+    return _apply_dv(out, rel_groups).select(
+        *[fld.name for fld in schema.fields]
+    )
 
 
 def _delta_dv_rows(
     spark: SparkSession, table_path: str, dv_live: dict[str, dict]
 ) -> DataFrame:
-    """(file basename, row_index) rows deleted by the live deletion
-    vectors — the anti-join side of the snapshot read. Descriptors ship
+    """(file RELATIVE path, row_index) rows deleted by the live
+    deletion vectors — the anti-join side of the snapshot read. Descriptors ship
     as a tiny DataFrame; the RoaringBitmap blobs are fetched + decoded
     INSIDE mapInPandas tasks (operators/roaring.py pickled by value, so
     a vanilla external session needs no package install) — at 100 TB a
@@ -1311,8 +1360,7 @@ def _delta_dv_rows(
     cloudpickle.register_pickle_by_value(roaring)
     decode = roaring.decode_descriptor
     rows = [
-        (f.rsplit("/", 1)[-1], _json.dumps(desc))
-        for f, desc in sorted(dv_live.items())
+        (f, _json.dumps(desc)) for f, desc in sorted(dv_live.items())
     ]
     desc_df = spark.createDataFrame(rows, "file string, desc string")
     if len(rows) > 1:

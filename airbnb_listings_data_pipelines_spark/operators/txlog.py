@@ -3377,6 +3377,9 @@ def merge_into_txlog(
             last = table.last_txn_version(txn[0])
             if last is not None and txn[1] <= last:
                 return table.read()
+        insert_only = clauses is not None and not (
+            clauses.get("matched") or clauses.get("not_matched_by_source")
+        )
         if rewrite == "full" or (
             clauses is not None and clauses.get("not_matched_by_source")
         ):
@@ -3384,6 +3387,22 @@ def merge_into_txlog(
             # every live file is a rewrite candidate (Delta's rule)
             removes = base_files
             target = table.read()
+        elif insert_only:
+            # Delta's insert-only MERGE optimization: matched rows keep
+            # their target values by construction, so nothing is
+            # rewritten — one key-pruned anti-join filters the source
+            # to genuinely-new keys, and the commit only ADDS files
+            removes = []
+            target = table._empty()
+            src_eff = source
+            if base_files:
+                src_eff = source.join(
+                    table._read_files(
+                        base_files, table._schema_at(), dvs=dvs
+                    ).select(*keys),
+                    keys,
+                    "left_anti",
+                )
         else:
             removes = table._touched_by_keys(base_files, source, keys, dvs=dvs)
             target = (
@@ -3393,7 +3412,9 @@ def merge_into_txlog(
             )
         if clauses is not None:
             merged = merge_clauses(
-                target, source, keys,
+                target,
+                src_eff if insert_only else source,
+                keys,
                 matched=clauses.get("matched"),
                 not_matched=clauses.get("not_matched"),
                 not_matched_by_source=clauses.get("not_matched_by_source"),

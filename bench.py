@@ -107,15 +107,24 @@ def _disk_snapshot() -> dict:
     concentrated in filesystem-heavy queries while loadavg looked idle."""
     sectors_read = sectors_written = io_ms = 0
     try:
+        # /sys/block lists WHOLE devices only (partitions live under
+        # their parent) — the authoritative filter: a digit-suffix
+        # heuristic drops real whole devices like mmcblk0/md0/nbd0
+        try:
+            whole = set(os.listdir("/sys/block"))
+        except OSError:
+            whole = set()
         with open("/proc/diskstats") as fh:
             for line in fh:
                 f = line.split()
                 if len(f) < 14 or f[2].startswith(("loop", "ram", "dm-")):
                     continue
-                # whole devices only (partitions double-count the parent)
-                if f[2][-1].isdigit() and not f[2].startswith("nvme"):
-                    continue
-                if f[2].startswith("nvme") and "p" in f[2][4:]:
+                if whole:
+                    if f[2] not in whole:
+                        continue  # partition: parent already counted
+                elif f[2][-1].isdigit() and not f[2].startswith("nvme"):
+                    continue  # fallback heuristic when /sys is absent
+                elif f[2].startswith("nvme") and "p" in f[2][4:]:
                     continue
                 sectors_read += int(f[5])
                 sectors_written += int(f[9])

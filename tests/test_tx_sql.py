@@ -566,3 +566,98 @@ def test_sql_insert_only_merge_now_supported(spark, tmp_path):
     got = {r.k: r.amt for r in t.read().collect()}
     assert got[3] == 3.0, "matched row untouched (not overwritten)"
     assert got[30] == 30.0, "source-only row inserted"
+
+
+def test_merge_source_aliased_t_does_not_swap_sides(spark, tmp_path):
+    """Review finding: sequential alias substitution let a source
+    aliased 't' hijack already-canonicalized target references. The
+    combined single-pass rewrite must keep each side's references."""
+    t_ev = _mk(spark, tmp_path / "ev", n=6)
+    spark.createDataFrame(
+        [(2, 1000.0)], "k int, amt double"  # source amt differs wildly
+    ).createOrReplaceTempView("trades")
+    sess = TxSqlSession(spark, {"events": t_ev})
+    sess.execute(
+        "MERGE INTO events USING trades t ON events.k = t.k "
+        "WHEN MATCHED THEN UPDATE SET amt = events.amt + t.amt"
+    )
+    got = {r.k: r.amt for r in t_ev.read().collect()}
+    assert got[2] == 2.0 + 1000.0, "target+source, not source+source"
+    # a qualifier naming BOTH sides is refused, not last-wins
+    with pytest.raises(ValueError, match="BOTH sides"):
+        sess.execute(
+            "MERGE INTO events AS x USING trades AS x ON x.k = x.k "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_select_literals_and_columns_not_rewritten(spark, tmp_path):
+    """Review finding: the bare-name rewrite corrupted double-quoted
+    literals and column/alias positions spelled like a bound table.
+    The snapshot now registers under the binding name itself (with any
+    shadowed user temp view restored), so the statement text is never
+    touched."""
+    t = _mk(spark, tmp_path / "t", n=3)
+    # second binding whose name collides with a COLUMN of t
+    t2 = _mk(spark, tmp_path / "g", n=2)
+    sess = TxSqlSession(spark, {"events": t, "grp": t2})
+    row = sess.execute(
+        'SELECT "see events table" AS note, grp FROM events WHERE k = 1'
+    ).first()
+    assert row.note == "see events table"
+    assert row.grp == 1
+    # user temp view shadowed during the statement is restored after
+    spark.range(5).createOrReplaceTempView("events")
+    try:
+        assert sess.execute("SELECT COUNT(*) AS n FROM events").first().n == 3
+        assert spark.table("events").count() == 5, "user view restored"
+    finally:
+        spark.catalog.dropTempView("events")
+
+
+def test_case_when_over_column_named_matched(spark, tmp_path):
+    """Review finding: `CASE WHEN matched THEN` over a column literally
+    named `matched` must not split a bogus clause — the splitter tracks
+    CASE/END nesting in the clause tail too."""
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        TxLogTable,
+    )
+
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(1, True, 0.0), (2, False, 0.0)], "k int, matched boolean, amt double"
+        ),
+    )
+    spark.createDataFrame([(1, 5.0), (2, 7.0)], "k int, b double").createOrReplaceTempView(
+        "m_src"
+    )
+    sess = TxSqlSession(spark, {"t": t})
+    sess.execute(
+        "MERGE INTO t USING m_src ON t.k = m_src.k "
+        "WHEN MATCHED THEN UPDATE SET "
+        "amt = CASE WHEN matched THEN m_src.b ELSE -1.0 END"
+    )
+    got = {r.k: r.amt for r in t.read().collect()}
+    assert got == {1: 5.0, 2: -1.0}
+
+
+def test_insert_only_merge_rewrites_nothing(spark, tmp_path):
+    """Review finding: insert-only MERGE must not rewrite files holding
+    matched keys (Delta's insert-only optimization) — commit history
+    shows zero removes and untouched files carry over."""
+    t = _mk(spark, tmp_path / "t", n=8)
+    files0 = set(t.files())
+    spark.createDataFrame(
+        [(3, 0, -1.0), (80, 0, 80.0)], "k int, grp int, amt double"
+    ).createOrReplaceTempView("io_src")
+    sess = TxSqlSession(spark, {"t": t})
+    sess.execute(
+        "MERGE INTO t USING io_src ON t.k = io_src.k "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert t.history()[-1]["n_removes"] == 0
+    assert files0 <= set(t.files()), "all prior files carried over"
+    got = {r.k: r.amt for r in t.read().collect()}
+    assert got[3] == 3.0 and got[80] == 80.0 and len(got) == 9

@@ -702,3 +702,36 @@ def test_convert_from_delta_dv_colliding_basenames(spark, tmp_path):
     c.delete_where("k = 2", mode="dv")
     assert sorted(r.k for r in c.read().collect()) == [0, 3, 4, 5, 6, 8, 9]
     assert c.dvs()["sub1/data.parquet"]["cardinality"] == 2
+
+
+def test_dv_export_colliding_basenames(spark, tmp_path):
+    """Review finding: the export's sidecar-row attribution used a dual
+    basename+relpath mapping that silently cross-attributed vectors on
+    colliding-basename layouts. Keying now follows each descriptor's
+    recorded pathkey — export a nested colliding layout holding live
+    vectors and replay it through the independent Delta reader."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        read_delta_snapshot,
+    )
+
+    root = tmp_path / "foreign"
+    for part, ks in (("g=0", [1, 2, 3]), ("g=1", [4, 5, 6])):
+        os.makedirs(root / part)
+        pq.write_table(
+            pa.table({"k": pa.array(ks, pa.int64())}),
+            str(root / part / "data.parquet"),
+        )
+    t = TxLogTable.convert(spark, str(root), partition_by=["g"])
+    t.delete_where("k = 2", mode="dv")  # vector on g=0/data.parquet
+    t.delete_where("k = 5", mode="dv")  # vector on g=1/data.parquet
+    t.to_delta_log()
+    got = read_delta_snapshot(spark, str(root))
+    assert sorted((r.k, r.g) for r in got.collect()) == [
+        (1, 0),
+        (3, 0),
+        (4, 1),
+        (6, 1),
+    ]
