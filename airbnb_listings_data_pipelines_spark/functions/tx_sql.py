@@ -22,7 +22,8 @@ VACUUM), and ANSI for the rest:
   gate
 - ``DELETE FROM t [WHERE cond]``
 - ``UPDATE t SET c1 = e1, c2 = e2 [WHERE cond]``
-- ``MERGE INTO t [AS a] USING src [AS b] ON t.k = src.k [AND ...]
+- ``MERGE [WITH SCHEMA EVOLUTION] INTO t [AS a] USING src [AS b]
+  ON t.k = src.k [AND ...]
   {WHEN MATCHED [AND cond] THEN UPDATE SET * | UPDATE SET c = expr, ...
   | DELETE} ... {WHEN NOT MATCHED [AND cond] THEN INSERT * |
   INSERT (cols) VALUES (exprs)} ... {WHEN NOT MATCHED BY SOURCE
@@ -282,7 +283,7 @@ class TxSqlSession:
             (r"INSERT INTO ", self._insert),
             (r"DELETE FROM ", self._delete),
             (r"UPDATE ", self._update),
-            (r"MERGE INTO ", self._merge),
+            (r"MERGE (WITH SCHEMA EVOLUTION )?INTO ", self._merge),
             (r"OPTIMIZE ", self._optimize),
             (r"RESTORE TABLE ", self._restore),
             (r"ALTER TABLE ", self._alter),
@@ -399,7 +400,8 @@ class TxSqlSession:
 
     def _merge(self, s: str) -> int:
         m = re.fullmatch(
-            rf"MERGE\s+INTO\s+({_IDENT})(?:\s+AS\s+(\w+))?\s+USING\s+"
+            rf"MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+"
+            rf"({_IDENT})(?:\s+AS\s+(\w+))?\s+USING\s+"
             rf"(\((?:[^()]|\([^()]*\))*\)|{_IDENT})(?:\s+AS\s+(\w+)|\s+(\w+))?"
             rf"\s+ON\s+(.+?)\s*((?:WHEN\s.+)?)",
             s,
@@ -407,7 +409,7 @@ class TxSqlSession:
         )
         if not m:
             raise ValueError(f"cannot parse MERGE: {s!r}")
-        tname, talias, src, salias1, salias2, on, clauses = m.groups()
+        evolve, tname, talias, src, salias1, salias2, on, clauses = m.groups()
         salias = salias1 or salias2
         t = self.table(tname)
         # shape validation FIRST, source resolution last: a malformed
@@ -596,6 +598,7 @@ class TxSqlSession:
                 when_not_matched="insert" if nm_cl else "ignore",
                 matched_set=mc["set"] or None,
                 insert_values=(nm_cl[0]["values"] or None) if nm_cl else None,
+                evolve_schema=bool(evolve),
             )
         else:
             # full Delta clause surface: conditional, ordered,
@@ -608,6 +611,7 @@ class TxSqlSession:
                     "not_matched": nm_cl,
                     "not_matched_by_source": nmbs_cl,
                 },
+                evolve_schema=bool(evolve),
             )
         return t.version()
 

@@ -122,31 +122,30 @@ def merge_frames(
     Either dict restricts the source only to containing the merge keys
     (plus whatever its expressions reference); the output schema is the
     TARGET schema with every per-column expression cast to the target
-    column's type (Delta casts on write the same way). Incompatible with
-    ``evolve_schema`` (refused loudly)."""
+    column's type (Delta casts on write the same way) — or, with
+    ``evolve_schema=True``, the target schema WIDENED by the source's
+    new columns first (Delta's autoMerge + per-column composition), so
+    a SET/VALUES list may also assign the new columns."""
     assert when_matched in ("update", "delete")
     assert when_not_matched in ("insert", "ignore")
     if matched_set or insert_values:
-        if evolve_schema:
-            raise ValueError(
-                "per-column matched_set/insert_values cannot combine with "
-                "evolve_schema — the output schema is the target schema"
-            )
         if matched_set and when_matched != "update":
             raise ValueError("matched_set requires when_matched='update'")
         if insert_values and when_not_matched != "insert":
             raise ValueError(
                 "insert_values requires when_not_matched='insert'"
             )
-        bad = sorted(
-            (set(matched_set or {}) | set(insert_values or {}))
-            - set(target.columns)
-        )
-        if bad:
-            raise ValueError(
-                f"per-column MERGE names column(s) {bad} absent from the "
-                "target schema"
+        if not evolve_schema:
+            bad = sorted(
+                (set(matched_set or {}) | set(insert_values or {}))
+                - set(target.columns)
             )
+            if bad:
+                raise ValueError(
+                    f"per-column MERGE names column(s) {bad} absent from "
+                    "the target schema (pass evolve_schema=True to add "
+                    "source columns)"
+                )
         missing_keys = [c for c in keys if c not in source.columns]
         if missing_keys:
             raise ValueError(
@@ -155,6 +154,7 @@ def merge_frames(
         return _merge_frames_percol(
             target, source, keys, when_matched, when_not_matched,
             matched_set or {}, insert_values or {},
+            evolve_schema=evolve_schema,
         )
     src_orig, tgt_orig = set(source.columns), set(target.columns)
     if evolve_schema:
@@ -205,6 +205,7 @@ def _merge_frames_percol(
     when_not_matched: str,
     matched_set: dict,
     insert_values: dict,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Per-column MERGE (see :func:`merge_frames`), expressed as the
     single-unconditional-clause case of the general :func:`merge_clauses`
@@ -222,7 +223,8 @@ def _merge_frames_percol(
         else []
     )
     return merge_clauses(
-        target, source, keys, matched=matched, not_matched=not_matched
+        target, source, keys, matched=matched, not_matched=not_matched,
+        evolve_schema=evolve_schema,
     )
 
 
@@ -233,6 +235,7 @@ def merge_clauses(
     matched: list[dict] | None = None,
     not_matched: list[dict] | None = None,
     not_matched_by_source: list[dict] | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """The FULL Delta MERGE surface as one pure computation: ordered,
     optionally CONDITIONAL clause lists for all three row classes of the
@@ -268,6 +271,19 @@ def merge_clauses(
     not_matched_by_source = list(not_matched_by_source or [])
     if not (matched or not_matched or not_matched_by_source):
         raise ValueError("MERGE needs at least one WHEN clause")
+    if evolve_schema:
+        # Delta's autoMerge: source columns NEW to the target widen the
+        # output schema up front (pre-merge target rows carry NULL) —
+        # after this the clause machinery needs no special cases:
+        # SET */INSERT * pick the new columns up as ordinary source
+        # columns, explicit lists may assign them, untouched rows keep
+        # the NULL fill
+        tgt_cols = set(target.columns)
+        for f in source.schema.fields:
+            if f.name not in tgt_cols:
+                target = target.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
 
     def _validate(clauses: list[dict], kind: str) -> None:
         for i, cl in enumerate(clauses):

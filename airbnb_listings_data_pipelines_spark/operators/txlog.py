@@ -3360,13 +3360,13 @@ def merge_into_txlog(
 
     assert rewrite in ("touched", "full")
     if clauses is not None and (
-        matched_set or insert_values or evolve_schema
+        matched_set or insert_values
         or when_matched != "update" or when_not_matched != "insert"
     ):
         raise ValueError(
             "clauses= is the full MERGE surface — it cannot combine "
             "with when_matched/when_not_matched/matched_set/"
-            "insert_values/evolve_schema"
+            "insert_values (evolve_schema composes with it)"
         )
     for _attempt in range(max_retries + 1):
         # base_version FIRST, txn check SECOND (same reasoning as
@@ -3418,6 +3418,7 @@ def merge_into_txlog(
                 matched=clauses.get("matched"),
                 not_matched=clauses.get("not_matched"),
                 not_matched_by_source=clauses.get("not_matched_by_source"),
+                evolve_schema=evolve_schema,
             )
         else:
             merged = merge_frames(

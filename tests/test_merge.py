@@ -207,11 +207,9 @@ def test_percol_refusals(spark):
     source = spark.createDataFrame([(1, "b")], ["k", "v"])
     with _pytest.raises(ValueError, match="absent from the target"):
         merge_frames(target, source, ["k"], matched_set={"nope": F.lit(1)})
-    with _pytest.raises(ValueError, match="evolve_schema"):
-        merge_frames(
-            target, source, ["k"],
-            matched_set={"v": F.lit("x")}, evolve_schema=True,
-        )
+    # percol + evolve_schema is now a SUPPORTED composition (Delta's
+    # autoMerge with per-column clauses) — covered by
+    # test_merge_clauses_schema_evolution
     with _pytest.raises(ValueError, match="when_matched"):
         merge_frames(
             target, source, ["k"],
@@ -408,3 +406,38 @@ def test_merge_clauses_through_txlog_backend(spark, tmp_path):
             when_matched="delete",
             clauses={"matched": [{"cond": None, "action": "delete"}]},
         )
+
+
+def test_merge_clauses_schema_evolution(spark):
+    """evolve_schema composes with the clause surface (Delta's
+    autoMerge): new source columns widen the output schema up front —
+    SET * takes them on updated rows, INSERT * fills them, untouched
+    target rows carry NULL, and explicit lists may assign them."""
+    from airbnb_listings_data_pipelines_spark.operators.merge import (
+        merge_clauses,
+    )
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    source = spark.createDataFrame(
+        [(2, "B", 9.0), (5, "e", 5.0)], ["k", "v", "score"]
+    )
+    out = merge_clauses(
+        target,
+        source,
+        ["k"],
+        matched=[{"cond": None, "action": "update", "set": None}],  # SET *
+        not_matched=[{"cond": None, "values": None}],  # INSERT *
+        evolve_schema=True,
+    )
+    assert out.columns == ["k", "v", "score"]
+    got = {(r.k, r.v, r.score) for r in out.collect()}
+    assert got == {(1, "a", None), (2, "B", 9.0), (5, "e", 5.0)}
+    # explicit per-column assignment of an evolved column
+    out2 = merge_clauses(
+        target, source, ["k"],
+        matched=[{"cond": None, "action": "update",
+                  "set": {"score": F.expr("s.score * 2")}}],
+        evolve_schema=True,
+    )
+    got2 = {(r.k, r.v, r.score) for r in out2.collect()}
+    assert got2 == {(1, "a", None), (2, "b", 18.0)}

@@ -661,3 +661,44 @@ def test_insert_only_merge_rewrites_nothing(spark, tmp_path):
     assert files0 <= set(t.files()), "all prior files carried over"
     got = {r.k: r.amt for r in t.read().collect()}
     assert got[3] == 3.0 and got[80] == 80.0 and len(got) == 9
+
+
+def test_sql_merge_with_schema_evolution(spark, tmp_path):
+    """Delta's MERGE WITH SCHEMA EVOLUTION syntax: new source columns
+    widen the table on both the simple and the clause dispatch path."""
+    t = _mk(spark, tmp_path / "t", n=4)
+    spark.createDataFrame(
+        [(1, 7, 1.0, "x1"), (40, 0, 40.0, "x40")],
+        "k int, grp int, amt double, tag string",
+    ).createOrReplaceTempView("ev_src")
+    sess = TxSqlSession(spark, {"t": t})
+    sess.execute(
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING ev_src "
+        "ON t.k = ev_src.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert t.read().columns == ["k", "grp", "amt", "tag"]
+    got = {r.k: (r.grp, r.tag) for r in t.read().collect()}
+    assert got[1] == (7, "x1") and got[40] == (0, "x40")
+    assert got[2] == (2, None), "untouched rows NULL-fill the new column"
+    # clause path (conditional) with evolution
+    spark.createDataFrame(
+        [(2, 99.0, "deep")], "k int, w double, note string"
+    ).createOrReplaceTempView("ev_src2")
+    sess.execute(
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING ev_src2 AS s2 "
+        "ON t.k = s2.k "
+        "WHEN MATCHED AND s2.w > 50 THEN UPDATE SET note = s2.note "
+        "WHEN MATCHED THEN DELETE"
+    )
+    cols = t.read().columns
+    assert "note" in cols and "w" in cols
+    assert {r.note for r in t.read().filter("k = 2").collect()} == {"deep"}
+    # without the WITH SCHEMA EVOLUTION keyword, unknown SET columns
+    # still refuse loudly
+    with pytest.raises(ValueError, match="absent from the target"):
+        sess.execute(
+            "MERGE INTO t USING ev_src2 ON t.k = ev_src2.k "
+            "WHEN MATCHED THEN UPDATE SET brand_new = 1"
+        )
