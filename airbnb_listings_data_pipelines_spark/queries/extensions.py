@@ -5244,3 +5244,94 @@ def x89_sql_conditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@query(
+    "x90_insert_only_merge_ingest",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 3 = 0
+    ),
+    b1 AS (
+      SELECT o_orderkey, 'A' AS o_orderstatus,
+             o_totalprice + 1.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    b2 AS (
+      SELECT o_orderkey, 'B' AS o_orderstatus,
+             o_totalprice + 2.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    after1 AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT * FROM b1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)
+    ),
+    final AS (
+      SELECT * FROM after1
+      UNION ALL
+      SELECT * FROM b2 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM after1)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM final GROUP BY o_orderstatus
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8"),
+    doc="INSERT-ONLY MERGE INGEST under the value-hash gate (Delta's "
+    "dedup-ingest idiom + its insert-only physical optimization): two "
+    "at-least-once batches with overlapping keys land via MERGE ... "
+    "WHEN NOT MATCHED THEN INSERT * — matched (already-ingested) rows "
+    "must keep their EXISTING values untouched, which the hash proves "
+    "against a NOT IN rebuild. Physically each merge is ONE key-pruned "
+    "anti-join + an ADD-ONLY commit: the query itself raises if any "
+    "merge commit removed a file (merge_into_txlog's insert-only path "
+    "skips touched-file rewrite entirely — at 100 TB an ingest batch "
+    "costs O(batch), never a rewrite of files that happen to hold "
+    "already-seen keys; the exactly-once streaming twin is "
+    "append_stream_txlog's txn markers).",
+)
+def x90_insert_only_merge_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.tx_sql import TxSqlSession
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _dml_scratch("x90" + sf_dir)
+    t = TxLogTable.create(
+        spark,
+        path,
+        orders.filter("o_orderkey % 3 = 0").repartitionByRange(
+            8, "o_orderkey"
+        ),
+    )
+    sess = TxSqlSession(spark, {"t": t})
+    for mod, status, bump, view in (
+        (2, "A", 1.0, "x90_b1"),
+        (5, "B", 2.0, "x90_b2"),
+    ):
+        orders.filter(f"o_orderkey % {mod} = 0").selectExpr(
+            "o_orderkey",
+            f"'{status}' AS o_orderstatus",
+            f"o_totalprice + {bump} AS o_totalprice",
+        ).createOrReplaceTempView(view)
+        sess.execute(
+            f"MERGE INTO t USING {view} ON t.o_orderkey = {view}.o_orderkey "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    removed = [c for c in t.history() if c["op"] == "merge" and c["n_removes"]]
+    if removed:
+        raise AssertionError(
+            f"insert-only merges must be add-only, saw removes: {removed}"
+        )
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
+    )
