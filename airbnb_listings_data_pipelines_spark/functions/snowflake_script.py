@@ -495,19 +495,24 @@ class ScriptSession:
 
 
 def _split_top_commas(text: str) -> list[str]:
-    """Split at commas that are at paren depth 0 AND outside
-    single-quoted literals — ``note = 'a,b'`` must not split."""
-    out, depth, buf, in_str = [], 0, [], False
+    """Split at commas that are at paren depth 0 AND outside quoted
+    spans — ``note = 'a,b'`` must not split, and neither must a
+    double-quoted span (a string literal under Spark's default parser,
+    a quoted identifier under Snowflake's — opaque either way)."""
+    out, depth, buf, in_q = [], 0, [], None
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
-        if in_str and ch == "\\":
+        if in_q and ch == "\\":
             buf.append(text[i : i + 2])
             i += 2  # Spark SQL literals honor backslash escapes (\')
             continue
-        if ch == "'":
-            in_str = not in_str
-        elif not in_str:
+        if in_q:
+            if ch == in_q:
+                in_q = None
+        elif ch in "'\"":
+            in_q = ch
+        else:
             if ch == "(":
                 depth += 1
             elif ch == ")":

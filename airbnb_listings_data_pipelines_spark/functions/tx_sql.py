@@ -72,33 +72,73 @@ from .snowflake_script import _split_top_commas, split_statements
 _IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
 
 
+# ONE literal/paren scanner shared by every statement splitter below —
+# the review flagged five hand-rolled divergent copies; this mask is
+# now the single place that knows Spark SQL's literal forms (single-
+# AND double-quoted, both string literals under Spark's default
+# parser, backslash escapes honored).
+_LITERAL_RE = re.compile(r"('(?:[^'\\]|\\.)*')|(\"(?:[^\"\\]|\\.)*\")")
+
+
+def _sql_mask(text: str) -> tuple[list[bool], list[int]]:
+    """Per-index ``(in_literal, paren_depth)`` for a SQL fragment:
+    ``in_literal[i]`` is True when ``text[i]`` sits inside a string
+    literal (quotes included); ``depth[i]`` is the parenthesis depth at
+    ``i`` counting outside-literal parens only."""
+    n = len(text)
+    lit = [False] * n
+    depth = [0] * n
+    in_q: str | None = None
+    d = 0
+    i = 0
+    while i < n:
+        ch = text[i]
+        if in_q:
+            lit[i] = True
+            depth[i] = d
+            if ch == "\\" and i + 1 < n:
+                lit[i + 1] = True
+                depth[i + 1] = d
+                i += 2
+                continue
+            if ch == in_q:
+                in_q = None
+            i += 1
+            continue
+        if ch in "'\"":
+            in_q = ch
+            lit[i] = True
+        elif ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+        depth[i] = d
+        i += 1
+    return lit, depth
+
+
+def _sql_words(text: str, lit: list[bool], depth: list[int], start: int = 0):
+    """(position, UPPERCASED word) for every identifier-shaped token at
+    paren depth 0 outside literals, from ``start`` on."""
+    for m in re.finditer(r"[A-Za-z_][\w]*", text):
+        p = m.start()
+        if p >= start and not lit[p] and depth[p] == 0:
+            if p and text[p - 1] == ".":
+                continue  # qualified member (t.case, s.where): not a keyword
+            yield p, m.group(0).upper()
+
+
 def _split_where(text: str) -> tuple[str, str | None]:
     """Split ``text`` at its first top-level ``WHERE`` keyword — outside
-    single-quoted literals AND outside parentheses — returning
+    string literals AND outside parentheses — returning
     (head, condition|None). A naive regex split corrupts statements
     whose string literals contain the word (``SET note = 'kept where
     found'``) or whose expressions hold a parenthesized subquery
     (``SET v = (SELECT ... WHERE ...) WHERE k = 1``)."""
-    in_str = False
-    depth = 0
-    i, n = 0, len(text)
-    while i < n:
-        ch = text[i]
-        if in_str and ch == "\\":
-            i += 2  # Spark SQL literals honor backslash escapes (\')
-            continue
-        if ch == "'":
-            in_str = not in_str
-        elif not in_str and ch == "(":
-            depth += 1
-        elif not in_str and ch == ")":
-            depth -= 1
-        elif not in_str and depth == 0 and text[i : i + 5].upper() == "WHERE":
-            before = text[i - 1] if i else " "
-            after = text[i + 5] if i + 5 < n else " "
-            if before.isspace() and after.isspace():
-                return text[:i].rstrip(), text[i + 5 :].strip()
-        i += 1
+    lit, depth = _sql_mask(text)
+    for p, w in _sql_words(text, lit, depth):
+        if w == "WHERE":
+            return text[:p].rstrip(), text[p + 5 :].strip()
     return text.rstrip(), None
 
 
@@ -108,43 +148,21 @@ _WHEN_CLAUSE = re.compile(
 )
 
 
-def _scan_to_then(text: str, start: int) -> int:
+def _scan_to_then(
+    text: str, start: int, lit: list[bool], depth: list[int]
+) -> int:
     """Index of the THEN that terminates a clause CONDITION starting at
     ``start``: the first THEN at paren depth 0, outside string literals,
     and outside any CASE...END (whose own THENs must not terminate the
     condition). Raises if none found."""
-    in_str = False
-    depth = 0
     case_depth = 0
-    i, n = start, len(text)
-    while i < n:
-        ch = text[i]
-        if in_str:
-            if ch == "\\":
-                i += 2
-                continue
-            if ch == "'":
-                in_str = False
-            i += 1
-            continue
-        if ch == "'":
-            in_str = True
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif depth == 0 and ch.isalpha():
-            m = re.match(r"[A-Za-z_]+", text[i:])
-            word = m.group(0).upper()
-            if word == "CASE":
-                case_depth += 1
-            elif word == "END" and case_depth:
-                case_depth -= 1
-            elif word == "THEN" and case_depth == 0:
-                return i
-            i += len(m.group(0))
-            continue
-        i += 1
+    for p, w in _sql_words(text, lit, depth, start):
+        if w == "CASE":
+            case_depth += 1
+        elif w == "END" and case_depth:
+            case_depth -= 1
+        elif w == "THEN" and case_depth == 0:
+            return p
     raise ValueError(
         f"MERGE clause condition never reaches THEN: {text[start:]!r}"
     )
@@ -162,58 +180,41 @@ def _split_merge_clauses(text: str) -> list[tuple[str, str | None, str]]:
     CONDITION keeps its own THENs (see :func:`_scan_to_then`)."""
     # (clause_start, cond_or_None, action_at, kind)
     starts: list[tuple[int, str | None, int, str]] = []
-    in_str = False
-    depth = 0
+    lit, depth = _sql_mask(text)
     case_depth = 0  # a CASE expression's own WHENs are never clauses —
     # even `CASE WHEN matched THEN ...` over a column literally named
     # `matched` (review finding: the MATCHED-keyword check alone does
     # not cover unqualified columns spelled like the keyword)
-    i, n = 0, len(text)
-    while i < n:
-        ch = text[i]
-        if in_str and ch == "\\":
-            i += 2
+    resume = 0  # words consumed by a recognized clause head are skipped
+    for p, word in _sql_words(text, lit, depth):
+        if p < resume:
             continue
-        if ch == "'":
-            in_str = not in_str
-        elif not in_str and ch == "(":
-            depth += 1
-        elif not in_str and ch == ")":
-            depth -= 1
-        elif not in_str and depth == 0 and ch.isalpha():
-            wm = re.match(r"[A-Za-z_]+", text[i:])
-            word = wm.group(0).upper()
-            if word == "CASE":
-                case_depth += 1
-            elif word == "END" and case_depth:
-                case_depth -= 1
-            elif word == "WHEN" and case_depth == 0:
-                m = _WHEN_CLAUSE.match(text, i)
-                if m:
-                    if m.group(2) and not m.group(1):
-                        raise ValueError(
-                            "WHEN MATCHED BY SOURCE is not a clause — "
-                            "did you mean WHEN NOT MATCHED BY SOURCE?"
-                        )
-                    kind = (
-                        "m"
-                        if not m.group(1)
-                        else ("nmbs" if m.group(2) else "nm")
-                    )
-                    if m.group(3).upper() == "AND":
-                        then_at = _scan_to_then(text, m.end())
-                        cond = text[m.end() : then_at].strip()
-                        if not cond:
-                            raise ValueError("empty MERGE clause condition")
-                        starts.append((i, cond, then_at + len("THEN"), kind))
-                        i = then_at + len("THEN")
-                    else:
-                        starts.append((i, None, m.end(), kind))
-                        i = m.end()
-                    continue
-            i += len(wm.group(0))
-            continue
-        i += 1
+        if word == "CASE":
+            case_depth += 1
+        elif word == "END" and case_depth:
+            case_depth -= 1
+        elif word == "WHEN" and case_depth == 0:
+            m = _WHEN_CLAUSE.match(text, p)
+            if not m:
+                continue
+            if m.group(2) and not m.group(1):
+                raise ValueError(
+                    "WHEN MATCHED BY SOURCE is not a clause — "
+                    "did you mean WHEN NOT MATCHED BY SOURCE?"
+                )
+            kind = (
+                "m" if not m.group(1) else ("nmbs" if m.group(2) else "nm")
+            )
+            if m.group(3).upper() == "AND":
+                then_at = _scan_to_then(text, m.end(), lit, depth)
+                cond = text[m.end() : then_at].strip()
+                if not cond:
+                    raise ValueError("empty MERGE clause condition")
+                starts.append((p, cond, then_at + len("THEN"), kind))
+                resume = then_at + len("THEN")
+            else:
+                starts.append((p, None, m.end(), kind))
+                resume = m.end()
     if not starts:
         raise ValueError(
             f"no WHEN [NOT] MATCHED [BY SOURCE] THEN clause found in: "
@@ -224,7 +225,7 @@ def _split_merge_clauses(text: str) -> list[tuple[str, str | None, str]]:
         raise ValueError(f"unsupported MERGE clause text: {head!r}")
     out = []
     for idx, (_start, cond, action_at, kind) in enumerate(starts):
-        end = starts[idx + 1][0] if idx + 1 < len(starts) else n
+        end = starts[idx + 1][0] if idx + 1 < len(starts) else len(text)
         out.append((kind, cond, text[action_at:end].strip()))
     return out
 
@@ -463,12 +464,19 @@ class TxSqlSession:
         def _requalify(expr: str) -> str:
             if qual_re is None:
                 return expr
-            parts = re.split(r"('(?:[^'\\]|\\.)*')", expr)
-            for i in range(0, len(parts), 2):
-                parts[i] = qual_re.sub(
-                    lambda m: qual_map[m.group(1).lower()] + ".", parts[i]
-                )
-            return "".join(parts)
+            parts = _LITERAL_RE.split(expr)
+            out = []
+            for seg in parts:
+                if seg and seg[0] in "'\"":
+                    out.append(seg)  # literal span: untouched
+                elif seg:
+                    out.append(
+                        qual_re.sub(
+                            lambda m: qual_map[m.group(1).lower()] + ".",
+                            seg,
+                        )
+                    )
+            return "".join(out)
 
         def _strip_qualifier(col: str) -> str:
             col = col.strip()
@@ -747,9 +755,7 @@ class TxSqlSession:
         # corrupted (review finding: the previous rewrite broke
         # `SELECT status FROM events` with a table bound as `status`
         # and mangled double-quoted literals).
-        stripped = re.sub(
-            r"('(?:[^'\\]|\\.)*')|(\"(?:[^\"\\]|\\.)*\")", " ", body
-        )
+        stripped = _LITERAL_RE.sub(" ", body)
         words = {w.lower() for w in re.findall(r"[A-Za-z_][\w]*", stripped)}
         bare = [n for n in self._tables if n.lower() in words]
         views = []

@@ -702,3 +702,36 @@ def test_sql_merge_with_schema_evolution(spark, tmp_path):
             "MERGE INTO t USING ev_src2 ON t.k = ev_src2.k "
             "WHEN MATCHED THEN UPDATE SET brand_new = 1"
         )
+
+
+def test_double_quoted_literals_survive_all_splitters(spark, tmp_path):
+    """Spark's default parser treats double-quoted text as STRING
+    literals — the shared literal mask must protect them in the WHERE
+    splitter, the SET-comma splitter, MERGE clause splitting, and
+    alias requalification alike."""
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        TxLogTable,
+    )
+
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(1, "x", 0.0), (2, "y", 0.0)], "k int, note string, amt double"
+        ),
+    )
+    sess = TxSqlSession(spark, {"t": t})
+    sess.execute('UPDATE t SET note = "a, where b" WHERE k = 1')
+    got = {r.k: r.note for r in t.read().collect()}
+    assert got[1] == "a, where b" and got[2] == "y"
+    spark.createDataFrame([(2, 9.0)], "k int, b double").createOrReplaceTempView(
+        "dq_src"
+    )
+    sess.execute(
+        "MERGE INTO t AS tgt USING dq_src AS s ON tgt.k = s.k "
+        'WHEN MATCHED THEN UPDATE SET note = "when matched then s.b", '
+        "amt = s.b"
+    )
+    got2 = {r.k: (r.note, r.amt) for r in t.read().collect()}
+    assert got2[2] == ("when matched then s.b", 9.0)
+    assert got2[1] == ("a, where b", 0.0)
