@@ -463,6 +463,7 @@ def commit_deltas_full(
                         f: prev_dvs[f] for f in removes if f in prev_dvs
                     },
                     "dv_added": {f: dvs[f] for f in adds if f in dvs},
+                    "cdc": c.get("cdc"),
                 }
             )
         prev, prev_dvs = set(live), dict(dvs)
@@ -1539,6 +1540,7 @@ class TxLogTable:
         prune: tuple[str, object, object] | None = None,
         max_retries: int = 3,
         mode: str = "cow",
+        cdc: bool = False,
     ) -> int:
         """``DELETE FROM t WHERE condition`` as an atomic copy-on-write
         commit: only files that CONTAIN matching rows are rewritten
@@ -1565,9 +1567,20 @@ class TxLogTable:
         O(touched files). A file whose every live row matches is removed
         outright (no all-rows-deleted DV). The copy-on-write default
         remains the compaction story: any later COW DML or OPTIMIZE that
-        rewrites a DV'd file folds the vector away."""
+        rewrites a DV'd file folds the vector away.
+
+        ``cdc=True`` additionally writes the deleted rows into a
+        change-data sidecar (Delta's CDF ``_change_data`` design): feed
+        consumers then stream O(deleted rows) for this commit instead of
+        the touched files' full delete+insert rewrite noise. Refused
+        with mode='dv' — a DV commit's feed is already row-exact."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         if mode == "dv":
+            if cdc:
+                raise ValueError(
+                    "cdc=True is redundant with mode='dv': deletion-"
+                    "vector commits already feed row-exact deltas"
+                )
             return self._dml_dv(cond, None, prune, max_retries, op="delete")
         if mode != "cow":
             raise ValueError(f"unknown DML mode {mode!r} (cow|dv)")
@@ -1579,20 +1592,28 @@ class TxLogTable:
             touched = self._touched_files(cands, cond, dvs=dvs)
             schema_json = self._schema_at()
             adds: list[str] = []
+            cdc_rel: str | None = None
             if touched:
-                keep = self._read_files(touched, schema_json, dvs=dvs).filter(
-                    ~F.coalesce(cond, F.lit(False))
-                )
+                base_df = self._read_files(touched, schema_json, dvs=dvs)
+                keep = base_df.filter(~F.coalesce(cond, F.lit(False)))
                 # kept rows are unchanged — already satisfy every CHECK
                 adds = self._write_data(keep, _validate=False)
+                if cdc:
+                    cdc_rel = self._write_cdc(
+                        base_df.filter(
+                            F.coalesce(cond, F.lit(False))
+                        ).withColumn("_change_type", F.lit("delete"))
+                    )
             try:
                 return self.commit(
                     adds=adds, removes=touched, base_version=base_version,
-                    op="delete", schema=schema_json,
+                    op="delete", schema=schema_json, cdc=cdc_rel,
                 )
             except CommitConflict:
                 for f in adds:
                     os.remove(os.path.join(self.path, f))
+                if cdc_rel is not None:
+                    os.remove(os.path.join(self.path, cdc_rel))
         raise CommitConflict(f"delete gave up after {max_retries} retries")
 
     def update_where(
@@ -1602,6 +1623,7 @@ class TxLogTable:
         prune: tuple[str, object, object] | None = None,
         max_retries: int = 3,
         mode: str = "cow",
+        cdc: bool = False,
     ) -> int:
         """``UPDATE t SET ... WHERE condition`` as an atomic copy-on-write
         commit — same touched-file discovery, rewrite, and retry contract
@@ -1639,6 +1661,11 @@ class TxLogTable:
         }
         hit = F.coalesce(cond, F.lit(False))
         if mode == "dv":
+            if cdc:
+                raise ValueError(
+                    "cdc=True is redundant with mode='dv': deletion-"
+                    "vector commits already feed row-exact deltas"
+                )
             return self._dml_dv(cond, sets, prune, max_retries, op="update")
         if mode != "cow":
             raise ValueError(f"unknown DML mode {mode!r} (cow|dv)")
@@ -1650,6 +1677,7 @@ class TxLogTable:
             touched = self._touched_files(cands, cond, dvs=dvs)
             schema_json = self._schema_at()
             adds: list[str] = []
+            cdc_rel: str | None = None
             if touched:
                 df = self._read_files(touched, schema_json, dvs=dvs)
                 rewritten = df.select(
@@ -1661,14 +1689,28 @@ class TxLogTable:
                     ]
                 )
                 adds = self._write_data(rewritten)
+                if cdc:
+                    matched = df.filter(hit)
+                    pre = matched.withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                    post = matched.select(
+                        *[
+                            sets[c].alias(c) if c in sets else F.col(c)
+                            for c in matched.columns
+                        ]
+                    ).withColumn("_change_type", F.lit("insert"))
+                    cdc_rel = self._write_cdc(pre.unionByName(post))
             try:
                 return self.commit(
                     adds=adds, removes=touched, base_version=base_version,
-                    op="update", schema=schema_json,
+                    op="update", schema=schema_json, cdc=cdc_rel,
                 )
             except CommitConflict:
                 for f in adds:
                     os.remove(os.path.join(self.path, f))
+                if cdc_rel is not None:
+                    os.remove(os.path.join(self.path, cdc_rel))
         raise CommitConflict(f"update gave up after {max_retries} retries")
 
     def _write_sidecar(self, df: DataFrame) -> str:
@@ -1694,6 +1736,75 @@ class TxLogTable:
                 break
         shutil.rmtree(tmp)
         return rel
+
+    def _write_cdc(self, df: DataFrame) -> str:
+        """Write one change-data sidecar (this commit's EXACT row-level
+        changes: table columns + ``_change_type``) under ``_cdc/`` and
+        return its table-relative path — the public Delta CDF
+        ``_change_data`` design: feed readers stream O(changed rows)
+        bytes for the commit instead of re-reading and re-diffing the
+        rewritten files. Data columns write under their PHYSICAL names
+        when the table is column-mapped (stable across later renames,
+        same rule as data files); ``_change_type`` is never mapped. One
+        file per commit: cdc bytes are O(changed rows), and a change set
+        big enough for one file to matter means the commit itself
+        rewrote that much data — same cost class, 2x the write."""
+        import shutil
+
+        mapping = self._mapping_at()
+        if mapping:
+            df = df.select(
+                *[
+                    F.col(c).alias(mapping.get(c, c))
+                    for c in df.columns
+                    if c != "_change_type"
+                ],
+                "_change_type",
+            )
+        os.makedirs(os.path.join(self.path, "_cdc"), exist_ok=True)
+        tmp = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        df.coalesce(1).write.parquet(tmp)
+        rel = f"_cdc/cdc-{uuid.uuid4().hex}.parquet"
+        for f in sorted(os.listdir(tmp)):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                os.rename(os.path.join(tmp, f), os.path.join(self.path, rel))
+                break
+        shutil.rmtree(tmp)
+        return rel
+
+    def _read_cdc(
+        self, rel: str, schema_json: str | None, mapping: dict | None, v: int
+    ) -> DataFrame:
+        """Read one change-data sidecar back under the FEED's schema
+        (``read_changes`` reads every commit under ``to_version``'s
+        recorded schema): columns added after the sidecar was written
+        null-fill, later-dropped physical columns are ignored, and the
+        physical -> logical rename follows the feed-time mapping."""
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        full = os.path.join(self.path, rel)
+        if schema_json is None:
+            return (
+                self.spark.read.parquet(full)
+                .withColumn("_commit_version", F.lit(v).cast("int"))
+            )
+        sch = StructType.fromJson(json.loads(schema_json))
+        phys = _physical_struct(sch, mapping)
+        read_schema = StructType(
+            list(phys.fields) + [StructField("_change_type", StringType())]
+        )
+        return (
+            self.spark.read.schema(read_schema)
+            .parquet(full)
+            .select(
+                *[
+                    F.col(pf.name).alias(lf.name)
+                    for pf, lf in zip(phys.fields, sch.fields)
+                ],
+                "_change_type",
+            )
+            .withColumn("_commit_version", F.lit(v).cast("int"))
+        )
 
     def _dml_dv(
         self,
@@ -1939,6 +2050,12 @@ class TxLogTable:
         parts: list[DataFrame] = []
         for rec in per_commit:
             v, adds, removes, op = rec["v"], rec["adds"], rec["removes"], rec["op"]
+            if rec.get("cdc"):
+                # the commit recorded its EXACT changes in a change-data
+                # sidecar: stream O(changed rows) and skip the file-delta
+                # diff AND the rewrite-noise netting entirely
+                parts.append(self._read_cdc(rec["cdc"], schema, mp, v))
+                continue
             if op == "optimize":
                 # data-unchanged rewrite (Delta's dataChange=false): the
                 # feed excludes it — net=True would only cancel it at
@@ -2172,6 +2289,7 @@ class TxLogTable:
         txn: tuple[str, int] | None = None,
         column_mapping: dict | None = None,
         dvs: dict[str, dict] | None = None,
+        cdc: str | None = None,
     ) -> int:
         """Commit against ``base_version``; CommitConflict if stale.
         ``schema`` records the post-commit table schema (StructType JSON)
@@ -2182,7 +2300,11 @@ class TxLogTable:
         recognized and skipped — see :meth:`last_txn_version`. The Delta
         export mirrors it as a ``txn`` action for external engines.
         ``dvs`` records per-file deletion-vector descriptors this commit
-        sets (merge-on-read DML) — each REPLACES that file's prior DV."""
+        sets (merge-on-read DML) — each REPLACES that file's prior DV.
+        ``cdc`` names a change-data sidecar (``_cdc/...parquet``) holding
+        this commit's EXACT row-level changes (the public Delta CDF
+        ``_change_data`` design) — feed readers use it instead of
+        diffing the commit's file delta."""
         extra: dict = {}
         if schema is not None:
             extra["schema"] = schema
@@ -2192,6 +2314,8 @@ class TxLogTable:
             extra["column_mapping"] = column_mapping
         if dvs is not None:
             extra["dvs"] = dvs
+        if cdc is not None:
+            extra["cdc"] = cdc
         self._try_commit(
             base_version + 1, adds, removes, op, extra=extra or None
         )
@@ -3128,6 +3252,46 @@ class TxLogTable:
                         continue
                     os.remove(full)
                     deleted.append(f"_txlog/{rel}")
+        # change-data sidecars referenced by NO surviving commit JSON
+        # (their commit was truncated by cleanup_log, or a writer lost
+        # its commit race and the unlink failed) are orphans — same
+        # re-list-before-delete discipline as the ckpt sweep above
+        cdc_dir = os.path.join(self.path, "_cdc")
+        if os.path.isdir(cdc_dir):
+
+            def _referenced_cdc() -> set:
+                refs = set()
+                for name in sorted(
+                    f
+                    for f in os.listdir(self.log_dir)
+                    if f.endswith(".json")
+                ):
+                    try:
+                        with open(os.path.join(self.log_dir, name)) as fh:
+                            c = json.load(fh).get("cdc")
+                    except (OSError, ValueError):
+                        continue
+                    if c:
+                        refs.add(c)
+                return refs
+
+            cdc_candidates = []
+            refs = _referenced_cdc()
+            for f in sorted(os.listdir(cdc_dir)):
+                rel = f"_cdc/{f}"
+                full = os.path.join(cdc_dir, f)
+                if not f.endswith(".parquet") or rel in refs:
+                    continue
+                if min_age_s > 0 and now - os.path.getmtime(full) < min_age_s:
+                    continue  # possibly staged by an in-flight DML
+                cdc_candidates.append((rel, full))
+            if cdc_candidates:
+                refs = _referenced_cdc()
+                for rel, full in cdc_candidates:
+                    if rel in refs:
+                        continue
+                    os.remove(full)
+                    deleted.append(rel)
         # abandoned staging temp files from crashed sidecar writes
         for f in sorted(os.listdir(self.log_dir)):
             if f.startswith(".ckpt-stage-"):

@@ -127,13 +127,21 @@ def _ckpt_state(log_dir: str, c: dict) -> tuple[set, dict]:
     files = tbl.column("file").to_pylist()
     dvs: dict = {}
     if "dv_sidecar" in tbl.column_names:
-        for f, sdc, card in zip(
+        pks = (
+            tbl.column("dv_pathkey").to_pylist()
+            if "dv_pathkey" in tbl.column_names
+            else [None] * len(files)
+        )
+        for f, sdc, card, pk in zip(
             files,
             tbl.column("dv_sidecar").to_pylist(),
             tbl.column("dv_cardinality").to_pylist(),
+            pks,
         ):
             if sdc is not None:
                 dvs[f] = {"sidecar": sdc, "cardinality": int(card)}
+                if pk is not None:
+                    dvs[f]["pathkey"] = pk
     return set(files), dvs
 
 
@@ -268,6 +276,7 @@ def _deltas_full(log_dir: str, from_version: int, to_version: int) -> list[dict]
                         f: prev_dvs[f] for f in removes if f in prev_dvs
                     },
                     "dv_added": {f: dvs[f] for f in adds if f in dvs},
+                    "cdc": c.get("cdc"),
                 }
             )
         prev, prev_dvs = set(live), dict(dvs)
@@ -505,6 +514,19 @@ def _plan_changes(
         v, op = rec["v"], rec["op"]
         if op == "optimize":
             continue  # data-unchanged rewrite: excluded from the feed
+        if rec.get("cdc"):
+            # the commit recorded its exact changes in a change-data
+            # sidecar — ONE O(changed rows) slice replaces the touched
+            # files' delete+insert rewrite noise; _change_type comes
+            # from the sidecar itself (the "__cdc__" marker)
+            slices.append(
+                _FileSlice(
+                    os.path.join(table_path, rec["cdc"]),
+                    {},
+                    change=("__cdc__", v),
+                )
+            )
+            continue
         for f in rec["adds"]:
             slices.append(
                 _FileSlice(
@@ -617,7 +639,17 @@ def _read_slice(
             at = to_arrow_type(f.dataType)
             phys = mapping.get(f.name, f.name)
             if slice_.change is not None and f.name == "_change_type":
-                arrays.append(pa.array([slice_.change[0]] * n, type=at))
+                if slice_.change[0] == "__cdc__":
+                    # change-data slice: the sidecar stores the real
+                    # per-row change type; never synthesize a constant
+                    col = batch.column(
+                        batch.schema.get_field_index("_change_type")
+                    )
+                    arrays.append(
+                        col if col.type == at else col.cast(at, safe=False)
+                    )
+                else:
+                    arrays.append(pa.array([slice_.change[0]] * n, type=at))
             elif slice_.change is not None and f.name == "_commit_version":
                 arrays.append(pa.array([slice_.change[1]] * n, type=at))
             elif f.name in slice_.pvals:

@@ -107,7 +107,7 @@ def test_merge_retries_after_conflict(spark, table, monkeypatch):
     real_commit = TxLogTable.commit
     state = {"raced": False}
 
-    def racing_commit(self, adds, removes, base_version, op, schema=None, txn=None, column_mapping=None):
+    def racing_commit(self, adds, removes, base_version, op, schema=None, txn=None, column_mapping=None, **kw):
         if not state["raced"]:
             state["raced"] = True
             # interleave a competing writer that wins version base+1
@@ -368,7 +368,7 @@ def test_delete_retries_after_conflict(spark, table, monkeypatch):
     real_commit = TxLogTable.commit
     state = {"raced": False}
 
-    def racing_commit(self, adds, removes, base_version, op, schema=None):
+    def racing_commit(self, adds, removes, base_version, op, schema=None, **kw):
         if not state["raced"] and op == "delete":
             state["raced"] = True
             w = TxLogTable(spark, self.path)

@@ -252,3 +252,35 @@ def test_partition_meta_raises_on_headless_unspecced_log(registered, tmp_path):
     os.remove(os.path.join(t.log_dir, f"{0:012d}.json"))
     with pytest.raises(FileNotFoundError, match="partition spec"):
         txlog_source._partition_meta(t.log_dir)
+
+
+def test_datasource_dv_pathkey_survives_checkpoint_sidecar(
+    registered, tmp_path
+):
+    """The inlined _ckpt_state twin must carry dv_pathkey through a
+    parquet checkpoint sidecar: a PARTITIONED table's rel-keyed vector
+    (basename != relative path) read via the DataSource after a
+    cleanup_log bootstrap would silently mis-key otherwise."""
+    spark = registered
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(k, k % 2) for k in range(20)], "k int, g int"
+        ),
+        partition_by=["g"],
+    )
+    t.delete_where("k < 4", mode="dv")
+    for i in range(3):
+        t.append(
+            spark.createDataFrame([(100 + i, 0)], "k int, g int")
+        )
+    t.ckpt_sidecar_min_files = 1
+    t.cleanup_log(retain_versions=2)
+    got = sorted(
+        r.k
+        for r in spark.read.format("txlog")
+        .load(str(tmp_path / "t"))
+        .collect()
+    )
+    assert got == list(range(4, 20)) + [100, 101, 102]
