@@ -324,6 +324,25 @@ def merge_clauses(
     if missing_keys:
         raise ValueError(f"merge keys {missing_keys} absent from the source")
 
+    plan = _build_clause_plan(
+        target, source, keys, matched, not_matched, not_matched_by_source
+    )
+    return plan["out"]()
+
+
+def _build_clause_plan(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    matched: list[dict],
+    not_matched: list[dict],
+    not_matched_by_source: list[dict],
+) -> dict:
+    """The shared physical plan behind :func:`merge_clauses` and
+    :func:`merge_clauses_cdc`: ONE full-outer join + integer clause
+    selectors, with the per-column pick / keep machinery exposed so the
+    cdc builder derives the EXACT change set from the identical
+    semantics (never a reimplementation that could drift)."""
     tgt_types = {f.name: f.dataType for f in target.schema.fields}
     src_cols = set(source.columns)
     t = target.withColumn("__t", F.lit(1)).alias("t")
@@ -413,4 +432,107 @@ def merge_clauses(
             out = F.when(is_src & (F.col("__isel") == i), ins).otherwise(out)
         return out.alias(c)
 
-    return j.filter(keep).select(*[pick(c) for c in target.columns])
+    def tval(c: str) -> F.Column:
+        """The pre-merge TARGET value of a column (keys come back
+        coalesced from the USING join — exact for target-side rows)."""
+        return (F.col(c) if c in keys else F.col(f"t.{c}")).alias(c)
+
+    m_upd = [
+        i for i, cl in enumerate(matched)
+        if cl.get("action", "update") == "update"
+    ]
+    n_upd = [
+        i
+        for i, cl in enumerate(not_matched_by_source)
+        if cl.get("action") == "update"
+    ]
+    return {
+        "j": j,
+        "is_m": is_m,
+        "is_src": is_src,
+        "is_tgt": is_tgt,
+        "keep": keep,
+        "pick": pick,
+        "tval": tval,
+        "columns": list(target.columns),
+        "m_del": m_del,
+        "n_del": n_del,
+        "m_upd": m_upd,
+        "n_upd": n_upd,
+        "out": lambda: j.filter(keep).select(
+            *[pick(c) for c in target.columns]
+        ),
+    }
+
+
+def merge_clauses_cdc(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    matched: list[dict] | None = None,
+    not_matched: list[dict] | None = None,
+    not_matched_by_source: list[dict] | None = None,
+    evolve_schema: bool = False,
+) -> DataFrame:
+    """The EXACT row-level change set of the identical
+    :func:`merge_clauses` call (public design: Delta CDF's MERGE change
+    data): delete-selected rows surface as their target pre-images
+    tagged 'delete'; update-selected rows as a pre-image 'delete' +
+    post-image 'insert' pair — pairs whose post-image equals the
+    pre-image are OMITTED (they are not changes; the netted file-delta
+    feed cancels them, and both feed forms must stay row-identical);
+    insert-selected source rows as 'insert'. Built from the SAME clause
+    plan (join, selectors, per-column picks) the merge itself uses, so
+    the change set cannot drift from the merge semantics. One extra
+    pass over the join — callers opt in per commit (the COW DML twin
+    cost model: cdc adds O(changed rows) write to the rewrite)."""
+    matched = list(matched or [])
+    not_matched = list(not_matched or [])
+    not_matched_by_source = list(not_matched_by_source or [])
+    if not (matched or not_matched or not_matched_by_source):
+        raise ValueError("MERGE needs at least one WHEN clause")
+    if evolve_schema:
+        tgt_cols = set(target.columns)
+        for f in source.schema.fields:
+            if f.name not in tgt_cols:
+                target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
+    plan = _build_clause_plan(
+        target, source, keys, matched, not_matched, not_matched_by_source
+    )
+    j, pick, tval = plan["j"], plan["pick"], plan["tval"]
+    cols = plan["columns"]
+    parts = []
+    del_rows = (
+        plan["is_m"] & F.col("__msel").isin(plan["m_del"] or [-2])
+    ) | (plan["is_tgt"] & F.col("__nsel").isin(plan["n_del"] or [-2]))
+    parts.append(
+        j.filter(del_rows)
+        .select(*[tval(c) for c in cols])
+        .withColumn("_change_type", F.lit("delete"))
+    )
+    upd_rows = (
+        plan["is_m"] & F.col("__msel").isin(plan["m_upd"] or [-2])
+    ) | (plan["is_tgt"] & F.col("__nsel").isin(plan["n_upd"] or [-2]))
+    changed = (
+        j.filter(upd_rows)
+        .select(
+            F.struct(*[tval(c) for c in cols]).alias("__pre"),
+            F.struct(*[pick(c) for c in cols]).alias("__post"),
+        )
+        .filter(~F.col("__pre").eqNullSafe(F.col("__post")))
+    )
+    parts.append(
+        changed.select("__pre.*").withColumn("_change_type", F.lit("delete"))
+    )
+    parts.append(
+        changed.select("__post.*").withColumn("_change_type", F.lit("insert"))
+    )
+    parts.append(
+        j.filter(plan["is_src"] & (F.col("__isel") >= 0))
+        .select(*[pick(c) for c in cols])
+        .withColumn("_change_type", F.lit("insert"))
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1690,16 +1690,30 @@ class TxLogTable:
                 )
                 adds = self._write_data(rewritten)
                 if cdc:
-                    matched = df.filter(hit)
-                    pre = matched.withColumn(
+                    # rows whose assignments are NO-OPS are not changes:
+                    # the netted file-delta feed cancels their identical
+                    # delete+insert pair, so the sidecar must omit them
+                    # too — both feed forms stay row-identical
+                    m2 = df.filter(hit).withColumn(
+                        "__post",
+                        F.struct(
+                            *[
+                                (sets[c] if c in sets else F.col(c)).alias(c)
+                                for c in df.columns
+                            ]
+                        ),
+                    )
+                    m2 = m2.filter(
+                        ~F.struct(*[F.col(c) for c in df.columns]).eqNullSafe(
+                            F.col("__post")
+                        )
+                    )
+                    pre = m2.drop("__post").withColumn(
                         "_change_type", F.lit("delete")
                     )
-                    post = matched.select(
-                        *[
-                            sets[c].alias(c) if c in sets else F.col(c)
-                            for c in matched.columns
-                        ]
-                    ).withColumn("_change_type", F.lit("insert"))
+                    post = m2.select("__post.*").withColumn(
+                        "_change_type", F.lit("insert")
+                    )
                     cdc_rel = self._write_cdc(pre.unionByName(post))
             try:
                 return self.commit(
@@ -3486,6 +3500,7 @@ def merge_into_txlog(
     matched_set: dict | None = None,
     insert_values: dict | None = None,
     clauses: dict | None = None,
+    cdc: bool = False,
 ) -> DataFrame:
     """MERGE with an atomic, snapshot-isolated commit (same logical
     semantics as merge.merge_into_parquet; see module docstring for the
@@ -3519,8 +3534,14 @@ def merge_into_txlog(
     ``not_matched_by_source`` clause can touch ANY target row, so the
     touched-file discovery widens to every live file for that shape
     (Delta's physical rule too); without one, discovery stays the
-    one-semi-join touched-by-keys scan."""
-    from .merge import merge_clauses, merge_frames
+    one-semi-join touched-by-keys scan.
+
+    ``cdc=True`` records the merge's EXACT row-level changes in a
+    change-data sidecar (merge.merge_clauses_cdc — the same clause plan
+    the merge runs, so the set cannot drift): feed readers then stream
+    O(changed rows) for this commit instead of netting the touched
+    files' rewrite noise. Costs one extra pass over the merge join."""
+    from .merge import merge_clauses, merge_clauses_cdc, merge_frames
 
     assert rewrite in ("touched", "full")
     if clauses is not None and (
@@ -3608,11 +3629,38 @@ def merge_into_txlog(
             merged,
             _mapping=new_mapping if new_mapping is not None else _MAPPING_DEFAULT,
         )
+        cdc_rel: str | None = None
+        if cdc:
+            if clauses is not None and insert_only:
+                # insert-only: the merge output IS the change set
+                cdc_df = merged.withColumn("_change_type", F.lit("insert"))
+            else:
+                cl = clauses if clauses is not None else {
+                    "matched": (
+                        [{"action": "delete"}]
+                        if when_matched == "delete"
+                        else [{"action": "update", "set": matched_set or None}]
+                    ),
+                    "not_matched": (
+                        [{"values": insert_values or None}]
+                        if when_not_matched == "insert"
+                        else []
+                    ),
+                    "not_matched_by_source": [],
+                }
+                cdc_df = merge_clauses_cdc(
+                    target, source, keys,
+                    matched=cl.get("matched"),
+                    not_matched=cl.get("not_matched"),
+                    not_matched_by_source=cl.get("not_matched_by_source"),
+                    evolve_schema=evolve_schema,
+                )
+            cdc_rel = table._write_cdc(cdc_df)
         try:
             table.commit(
                 adds=adds, removes=removes, base_version=base_version,
                 op="merge", schema=merged.schema.json(), txn=txn,
-                column_mapping=new_mapping,
+                column_mapping=new_mapping, cdc=cdc_rel,
             )
             return table.read()
         except CommitConflict:
@@ -3620,4 +3668,6 @@ def merge_into_txlog(
             # winner's snapshot
             for f in adds:
                 os.remove(os.path.join(table.path, f))
+            if cdc_rel is not None:
+                os.remove(os.path.join(table.path, cdc_rel))
     raise CommitConflict(f"merge gave up after {max_retries} retries")

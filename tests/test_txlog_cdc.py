@@ -228,3 +228,75 @@ def test_cdc_losing_writer_cleans_sidecar(spark, tmp_path):
     dels = {r.k for r in t.read_changes(1, t.version())
             .filter("_change_type = 'delete'").collect()}
     assert dels == set(range(5))
+
+
+def test_cdc_merge_matches_netted_twin(spark, tmp_path):
+    """merge_into_txlog(cdc=True): the sidecar's change set must equal
+    the netted file-delta feed of an identical merge without cdc —
+    conditional update/delete clauses, a no-op update clause (SET
+    amt = amt, omitted from the sidecar), inserts, and NOT MATCHED BY
+    SOURCE all in one statement."""
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        merge_into_txlog,
+    )
+
+    clauses = {
+        "matched": [
+            {"cond": "s.bump < 0", "action": "delete"},
+            {"cond": "s.bump > 50", "action": "update",
+             "set": {"amt": "t.amt + s.bump"}},
+            {"cond": None, "action": "update", "set": {"amt": "t.amt"}},
+        ],
+        "not_matched": [
+            {"cond": None, "values": {"k": "s.k", "amt": "s.bump"}},
+        ],
+        "not_matched_by_source": [
+            {"cond": "t.k >= 38", "action": "delete"},
+        ],
+    }
+    src = spark.createDataFrame(
+        [(1, 100.0), (2, 5.0), (3, -1.0), (99, 9.0)], "k int, bump double"
+    )
+    feeds = {}
+    for name, cdc in (("a", True), ("b", False)):
+        t = _mk(spark, tmp_path / name)
+        merge_into_txlog(spark, t, src, ["k"], clauses=clauses, cdc=cdc)
+        feeds[name] = _feed(t, 1, 1)
+    assert feeds["a"] == feeds["b"]
+    # the no-op clause (k=2: SET amt = t.amt) must appear in NEITHER
+    ks = {r[0] for r in feeds["a"]}
+    assert 2 not in ks
+    assert {r[0] for r in feeds["a"] if r[3] == "insert"} >= {1, 99}
+    assert {r[0] for r in feeds["a"] if r[3] == "delete"} >= {3, 38, 39}
+
+
+def test_cdc_insert_only_merge_sidecar(spark, tmp_path):
+    """Insert-only merge with cdc: the sidecar is exactly the inserted
+    rows (matched keys contribute nothing)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        merge_into_txlog,
+    )
+
+    t = _mk(spark, tmp_path / "t", n=10)
+    src = spark.createDataFrame(
+        [(3, "x", 0.0), (50, "new", 50.0), (51, "new", 51.0)],
+        "k int, v string, amt double",
+    )
+    merge_into_txlog(
+        spark, t, src, ["k"],
+        clauses={"not_matched": [{"values": None}]},
+        cdc=True,
+    )
+    with open(os.path.join(t.log_dir, f"{1:012d}.json")) as fh:
+        rec = json.load(fh)
+    n = pq.ParquetFile(os.path.join(t.path, rec["cdc"])).metadata.num_rows
+    assert n == 2
+    got = _feed(t, 1, 1)
+    assert got == [
+        (50, "new", 50.0, "insert", 1),
+        (51, "new", 51.0, "insert", 1),
+    ]
