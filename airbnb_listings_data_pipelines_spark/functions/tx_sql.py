@@ -54,6 +54,10 @@ VACUUM), and ANSI for the rest:
   reads; each referenced (table, version) registers as a temp view and
   the statement runs through plain Spark SQL (Catalyst plans it; this
   layer only resolves names and versions)
+- ``SELECT ... FROM table_changes(t, lo[, hi])`` — Delta's CDF TVF:
+  the per-commit change feed (``read_changes``) as a relation, rows
+  tagged ``_change_type``/``_commit_version``; ``hi`` defaults to the
+  latest version
 
 Scale shape: parsing is driver-side regex over statement text (O(bytes
 of SQL), zero data work); every statement's execution cost is exactly
@@ -252,8 +256,19 @@ class TxSqlSession:
     :class:`TxLogTable` or a filesystem path (opened lazily, default
     arbiter)."""
 
-    def __init__(self, spark: SparkSession, tables: dict[str, object]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: dict[str, object],
+        cdc: bool = False,
+    ):
+        """``cdc=True`` makes every COW DELETE/UPDATE/MERGE this session
+        executes record a change-data sidecar — the session-scoped
+        analog of Delta's ``delta.enableChangeDataFeed`` table property
+        (this engine's tables carry no property store; the flag lives
+        on the session that drives them)."""
         self.spark = spark
+        self.cdc = bool(cdc)
         self._tables: dict[str, TxLogTable] = {}
         for name, t in tables.items():
             self._tables[name.lower()] = (
@@ -373,7 +388,7 @@ class TxSqlSession:
             # possible recovery
             raise ValueError(f"WHERE with no condition: {s!r}")
         return self.table(m.group(1)).delete_where(
-            cond if cond is not None else "true"
+            cond if cond is not None else "true", cdc=self.cdc
         )
 
     def _update(self, s: str) -> int:
@@ -396,7 +411,7 @@ class TxSqlSession:
         if cond is not None and not cond.strip():
             raise ValueError(f"WHERE with no condition: {s!r}")
         return self.table(m.group(1)).update_where(
-            cond if cond is not None else "true", assignments
+            cond if cond is not None else "true", assignments, cdc=self.cdc
         )
 
     def _merge(self, s: str) -> int:
@@ -607,6 +622,7 @@ class TxSqlSession:
                 matched_set=mc["set"] or None,
                 insert_values=(nm_cl[0]["values"] or None) if nm_cl else None,
                 evolve_schema=bool(evolve),
+                cdc=self.cdc,
             )
         else:
             # full Delta clause surface: conditional, ordered,
@@ -620,6 +636,7 @@ class TxSqlSession:
                     "not_matched_by_source": nmbs_cl,
                 },
                 evolve_schema=bool(evolve),
+                cdc=self.cdc,
             )
         return t.version()
 
@@ -747,6 +764,44 @@ class TxSqlSession:
             f" {s} ",
             flags=re.IGNORECASE,
         ).strip()
+        # Delta's table_changes(name, lo[, hi]) TVF: each call resolves
+        # to a read_changes view under a unique internal name (function
+        # calls cannot be left for Spark SQL to resolve; literals are
+        # protected by the shared mask regex)
+        tc_views: list[tuple[str, int, int | None]] = []
+
+        def _strip_tc(text: str) -> str:
+            parts = _LITERAL_RE.split(text)
+            out = []
+            for seg in parts:
+                if seg is None:
+                    continue
+                if seg and seg[0] in "'\"":
+                    out.append(seg)
+                    continue
+
+                def sub(m: re.Match) -> str:
+                    name = m.group(1).lower()
+                    if name not in self._tables:
+                        return m.group(0)
+                    lo = int(m.group(2))
+                    hi = int(m.group(3)) if m.group(3) else None
+                    tc_views.append((name, lo, hi))
+                    tail = "latest" if hi is None else str(hi)
+                    return f" {name}__tc{lo}_{tail}__{tag} "
+
+                out.append(
+                    re.sub(
+                        r"TABLE_CHANGES\s*\(\s*'?(\w+)'?\s*,\s*(\d+)"
+                        r"\s*(?:,\s*(\d+))?\s*\)",
+                        sub,
+                        seg,
+                        flags=re.IGNORECASE,
+                    )
+                )
+            return "".join(out)
+
+        body = _strip_tc(body)
         # bound names the statement mentions as a WORD outside string
         # literals (single- or double-quoted — Spark's default parser
         # treats both as literals). Used only to decide WHICH snapshots
@@ -769,6 +824,14 @@ class TxSqlSession:
             for name, v in versioned:
                 vn = f"{name}__v{v}__{tag}"
                 self._tables[name].read_version(v).createOrReplaceTempView(vn)
+                views.append(vn)
+            for name, lo, hi in tc_views:
+                t = self._tables[name]
+                tail = "latest" if hi is None else str(hi)
+                vn = f"{name}__tc{lo}_{tail}__{tag}"
+                t.read_changes(
+                    lo, t.version() if hi is None else hi
+                ).createOrReplaceTempView(vn)
                 views.append(vn)
             for name in bare:
                 # the binding name itself hosts the snapshot for this

@@ -735,3 +735,42 @@ def test_double_quoted_literals_survive_all_splitters(spark, tmp_path):
     got2 = {r.k: (r.note, r.amt) for r in t.read().collect()}
     assert got2[2] == ("when matched then s.b", 9.0)
     assert got2[1] == ("a, where b", 0.0)
+
+
+def test_sql_table_changes_tvf_and_session_cdc(spark, tmp_path):
+    """Delta-parity pair: TxSqlSession(cdc=True) records change-data
+    sidecars for every COW DML it drives (the session-scoped analog of
+    delta.enableChangeDataFeed), and SELECT ... FROM table_changes(t,
+    lo[, hi]) exposes the per-commit feed as a relation."""
+    import json
+    import os
+
+    t = _mk(spark, tmp_path / "t", n=20)
+    sess = TxSqlSession(spark, {"t": t}, cdc=True)
+    sess.execute("DELETE FROM t WHERE k % 5 = 1")
+    sess.execute("UPDATE t SET amt = amt + 100 WHERE k % 4 = 2")
+    spark.createDataFrame(
+        [(3, 0, 333.0), (90, 0, 90.0)], "k int, grp int, amt double"
+    ).createOrReplaceTempView("tc_src")
+    sess.execute(
+        "MERGE INTO t USING tc_src ON t.k = tc_src.k "
+        "WHEN MATCHED THEN UPDATE SET amt = tc_src.amt "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    for v in (1, 2, 3):
+        with open(os.path.join(t.log_dir, f"{v:012d}.json")) as fh:
+            assert json.load(fh).get("cdc"), f"commit {v} missing sidecar"
+    agg = sess.execute(
+        "SELECT _commit_version AS v, _change_type AS ct, "
+        "COUNT(*) AS n FROM table_changes(t, 1, 2) GROUP BY 1, 2"
+    )
+    got = {(r.v, r.ct): r.n for r in agg.collect()}
+    # v1 deletes k%5=1 of 0..19 -> 4 rows; v2 updates k%4=2 minus the
+    # deleted k=6 -> {2,10,14,18}: 4 pre + 4 post
+    assert got == {(1, "delete"): 4, (2, "delete"): 4, (2, "insert"): 4}
+    # open upper bound reaches the merge commit; literals stay intact
+    row = sess.execute(
+        "SELECT COUNT(*) AS n, 'table_changes(t, 1)' AS lit "
+        "FROM table_changes(t, 3) WHERE _change_type = 'insert'"
+    ).first()
+    assert row.n == 2 and row.lit == "table_changes(t, 1)"
