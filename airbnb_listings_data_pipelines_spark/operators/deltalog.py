@@ -347,6 +347,14 @@ def export_delta_log(spark: SparkSession, table) -> int:
     dv_state: dict[str, dict] = {}
     dv_prev: dict[str, dict] = {}
     dv_feature = False
+    # changeDataFeed latch: the first txlog commit carrying a change-data
+    # sidecar flips delta.enableChangeDataFeed and the CDF writer
+    # requirement for the rest of the log. cdc actions are emitted for
+    # UNPARTITIONED tables only — Delta requires per-cdc-file
+    # partitionValues (one file per partition), while txlog sidecars pack
+    # all partitions into one parquet with the partition columns INLINE;
+    # a partitioned export stays valid, its feed just is not mirrored.
+    cdc_feature = False
     for v in range(latest + 1):
         c = tx_state.get(v)
         if c is None:
@@ -366,6 +374,8 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 dv_state[f] = d
         if dv_state:
             dv_feature = True
+        if c.get("cdc") and not pby:
+            cdc_feature = True
         cm = c.get("column_mapping")
         if cm is not None:
             cur_mapping = dict(cm)
@@ -392,6 +402,8 @@ def export_delta_log(spark: SparkSession, table) -> int:
         if mapping_mode:
             cfg["delta.columnMapping.mode"] = "name"
             cfg["delta.columnMapping.maxColumnId"] = str(max_id)
+        if cdc_feature:
+            cfg["delta.enableChangeDataFeed"] = "true"
         if dv_feature:
             cfg["delta.enableDeletionVectors"] = "true"
             # table-features protocol: readerFeatures lists what a reader
@@ -402,6 +414,8 @@ def export_delta_log(spark: SparkSession, table) -> int:
             wf = {"appendOnly", "invariants", "deletionVectors"}
             if cur_checks:
                 wf.add("checkConstraints")
+            if cdc_feature:
+                wf.add("changeDataFeed")
             if mapping_mode:
                 rf.add("columnMapping")
                 wf |= {
@@ -418,6 +432,10 @@ def export_delta_log(spark: SparkSession, table) -> int:
             }
         elif mapping_mode:
             want_proto = {"minReaderVersion": 2, "minWriterVersion": 5}
+        elif cdc_feature:
+            # legacy protocol: Change Data Feed requires writer v4
+            # (which also covers constraints' v3)
+            want_proto = {"minReaderVersion": 1, "minWriterVersion": 4}
         elif cfg:
             want_proto = {"minReaderVersion": 1, "minWriterVersion": 3}
         else:
@@ -597,6 +615,40 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 }
             )
             actions.append({"add": _add_action(f, delta_dvs.get(f))})
+        if c.get("cdc") and not pby:
+            # mirror the change-data sidecar as Delta's AddCDCFile action
+            # (CDF's _change_data design): HARDLINK the parquet under
+            # _change_data/ with the sidecar's own uuid basename (stable
+            # across re-exports) — the hardlink also survives a later
+            # txlog cleanup_log/vacuum of the original. A sidecar already
+            # vacuumed before the first export is simply not mirrored
+            # (the CDF horizon is the retention horizon). Change types
+            # are insert/delete — updates surface as their exact
+            # delete+insert pair, coarser than Delta's update_pre/
+            # postimage but valid CDF content.
+            src_cdc = os.path.join(table.path, c["cdc"])
+            if os.path.exists(src_cdc):
+                cd_dir = os.path.join(table.path, "_change_data")
+                os.makedirs(cd_dir, exist_ok=True)
+                bn = os.path.basename(c["cdc"])
+                dst = os.path.join(cd_dir, bn)
+                if not os.path.exists(dst):
+                    try:
+                        os.link(src_cdc, dst)
+                    except OSError:
+                        import shutil as _sh
+
+                        _sh.copyfile(src_cdc, dst)
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": f"_change_data/{bn}",
+                            "partitionValues": {},
+                            "size": os.path.getsize(dst),
+                            "dataChange": False,
+                        }
+                    }
+                )
         if c.get("txn"):
             # mirror the txlog streaming-transaction marker as the Delta
             # protocol's txn action, so an external engine taking over the

@@ -567,3 +567,37 @@ def test_delta_rs_opens_deletion_vector_export(spark, tmp_path):
     }
     assert got == ours
     assert all(k % 4 != 0 for k, _ in got) and (7, 700.0) in got
+
+
+def test_delta_rs_reads_exported_change_data_feed(spark, tmp_path):
+    """Gated third-party check: delta-rs must load our exported CDF
+    (AddCDCFile actions + _change_data parquets) via load_cdf and agree
+    with read_changes — insert/delete change types (updates surface as
+    their exact pair; this exporter never writes update_pre/postimage)."""
+    deltalake = _deltalake_or_skip()
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        TxLogTable,
+    )
+
+    path = str(tmp_path / "t")
+    t = TxLogTable.create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(20)], "k int, amt double"
+        ),
+    )
+    t.delete_where("k % 5 = 1", cdc=True)
+    t.update_where("k = 4", {"amt": F.lit(44.0)}, cdc=True)
+    t.to_delta_log()
+    dt = deltalake.DeltaTable(path)
+    cdf = dt.load_cdf(starting_version=1, ending_version=2).read_all()
+    theirs = sorted(
+        (r["k"], r["amt"], r["_change_type"], r["_commit_version"])
+        for r in cdf.to_pylist()
+    )
+    ours = sorted(
+        (r.k, r.amt, r._change_type, r._commit_version)
+        for r in t.read_changes(1, 2).collect()
+    )
+    assert theirs == ours

@@ -300,3 +300,109 @@ def test_cdc_insert_only_merge_sidecar(spark, tmp_path):
         (50, "new", 50.0, "insert", 1),
         (51, "new", 51.0, "insert", 1),
     ]
+
+
+def test_cdc_delta_export_mirrors_change_data(spark, tmp_path):
+    """Export composition (the DV-export lesson applied to cdc): a
+    txlog table with change-data sidecars exports them as Delta
+    AddCDCFile actions under _change_data/, flips
+    delta.enableChangeDataFeed + the CDF writer requirement, snapshot
+    replay ignores the cdc actions, and the mirrored parquets hold the
+    exact change rows. Partitioned tables export WITHOUT cdc actions
+    (Delta needs per-partition cdc files) — documented limitation."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        read_delta_snapshot,
+    )
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        merge_into_txlog,
+    )
+
+    t = _mk(spark, tmp_path / "t", n=30)
+    t.delete_where("k % 10 = 3", cdc=True)  # v1: 3 deletes
+    t.update_where("k = 4", {"amt": F.lit(400.0)}, cdc=True)  # v2: 1 pair
+    merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(5, "M", 5.5), (77, "new", 77.0)], "k int, v string, amt double"
+        ),
+        ["k"],
+        cdc=True,
+    )  # v3: 1 update pair + 1 insert
+    t.to_delta_log()
+
+    got = read_delta_snapshot(spark, t.path)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, t.read().collect())
+    )
+    dl = os.path.join(t.path, "_delta_log")
+    cdc_actions = {}
+    protos, cfgs = [], []
+    for f in sorted(os.listdir(dl)):
+        if not f.endswith(".json"):
+            continue
+        v = int(f.split(".")[0])
+        with open(os.path.join(dl, f)) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "cdc" in a:
+                    cdc_actions[v] = a["cdc"]
+                if "protocol" in a:
+                    protos.append(a["protocol"])
+                if "metaData" in a:
+                    cfgs.append(a["metaData"]["configuration"])
+    assert set(cdc_actions) == {1, 2, 3}
+    assert protos[-1]["minWriterVersion"] >= 4
+    assert cfgs[-1].get("delta.enableChangeDataFeed") == "true"
+    rows = {
+        v: pq.ParquetFile(
+            os.path.join(t.path, a["path"])
+        ).metadata.num_rows
+        for v, a in cdc_actions.items()
+    }
+    assert rows == {1: 3, 2: 2, 3: 3}
+    for a in cdc_actions.values():
+        assert a["path"].startswith("_change_data/")
+        assert a["partitionValues"] == {} and a["dataChange"] is False
+        assert a["size"] == os.path.getsize(os.path.join(t.path, a["path"]))
+    # re-export is a no-op on immutable commits
+    before = sorted(os.listdir(dl))
+    t.to_delta_log()
+    assert sorted(os.listdir(dl)) == before
+    # the mirrored file survives txlog retention (hardlink)
+    for i in range(25):
+        t.append(
+            spark.createDataFrame(
+                [(2000 + i, "x", 0.0)], "k int, v string, amt double"
+            )
+        )
+    t.cleanup_log(retain_versions=2)
+    t.vacuum(retain_versions=1)
+    p1 = os.path.join(t.path, cdc_actions[1]["path"])
+    assert os.path.exists(p1), "exported _change_data survives vacuum"
+
+    # partitioned: valid export, no cdc actions, no CDF property
+    tp = TxLogTable.create(
+        spark,
+        str(tmp_path / "p"),
+        spark.createDataFrame(
+            [(k, k % 2, float(k)) for k in range(10)],
+            "k int, g int, amt double",
+        ),
+        partition_by=["g"],
+    )
+    tp.delete_where("k = 1", cdc=True)
+    tp.to_delta_log()
+    dlp = os.path.join(tp.path, "_delta_log")
+    body = "".join(
+        open(os.path.join(dlp, f)).read()
+        for f in os.listdir(dlp)
+        if f.endswith(".json")
+    )
+    assert '"cdc"' not in body and "enableChangeDataFeed" not in body
+    got_p = read_delta_snapshot(spark, tp.path)
+    assert got_p.count() == 9
