@@ -40,6 +40,7 @@ and is implemented in :meth:`_replay` via `_checkpoint`).
 from __future__ import annotations
 
 import json
+import math
 import os
 import uuid
 
@@ -172,6 +173,209 @@ def _footer_schema(path: str):
 
 _LOG_DIR = "_txlog"
 _CHECKPOINT_EVERY = 20
+
+# per-file statistics (numRecords / minValues / maxValues / nullCount) are
+# recorded for at most this many leading top-level columns — Delta's
+# dataSkippingNumIndexedCols default. Envelopes on a 1000-column table
+# would bloat every commit for columns nobody ranges on; the cap keeps a
+# commit's stats payload O(files x 32) at any schema width.
+_STATS_MAX_COLS = 32
+
+# string min/max longer than this are PREFIX-truncated in recorded stats
+# (min truncates plainly — a prefix is <= the true min; max truncates and
+# appends U+10FFFF so the bound stays >= every string sharing the prefix).
+# Unbounded string stats would persist megabyte document bodies into the
+# log; 64 chars keeps range pruning effective for keys and codes.
+_STATS_STR_MAX = 64
+
+
+def _stat_value(v):
+    """A parquet footer min/max as a JSON-safe stats value, or None when
+    the type has no defined serialization. Dates/timestamps serialize as
+    ISO strings (timestamps UTC-normalized, offset dropped) and decimals
+    as plain strings — :func:`_coerce_stat` re-types them against the
+    recorded schema at prune time, so comparisons never mix kinds."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bytes):
+        try:
+            v = v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, bool) or isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return v if math.isfinite(v) else None
+    if isinstance(v, str):
+        return v
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return None
+
+
+def footer_stats_dict(
+    full_path: str, max_cols: int = _STATS_MAX_COLS
+) -> dict | None:
+    """Per-file statistics from the parquet footer, the shape Delta's
+    ``add.stats`` records (PROTOCOL.md "Per-file Statistics"):
+    ``{"numRecords", "minValues", "maxValues", "nullCount"}``. Metadata-
+    only — no row groups are read. A column's envelope is published ONLY
+    if every row group contributed (a partial envelope would be NARROWER
+    than the file's true range and make a reader data-skip a file that
+    holds matching rows — silent wrong results); all-null row groups
+    count as covered for min/max. Nested columns and the tail beyond
+    ``max_cols`` top-level columns are omitted (partial stats are legal;
+    missing columns are conservatively kept by every consumer)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(full_path).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    mm_cover: dict[str, int] = {}
+    null_cover: dict[str, int] = {}
+    col_order: list[str] = []
+    n_rg = md.num_row_groups
+    for rg in range(n_rg):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested columns: flat-schema envelope only
+                continue
+            if rg == 0:
+                col_order.append(name)
+            if name not in col_order[:max_cols]:
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+                null_cover[name] = null_cover.get(name, 0) + 1
+            if not st.has_min_max:
+                # an ALL-NULL row group has no min/max and contributes
+                # nothing to the non-null envelope — still covered
+                if (
+                    st.null_count is not None
+                    and st.null_count == row_group.num_rows
+                ):
+                    mm_cover[name] = mm_cover.get(name, 0) + 1
+                continue
+            lo, hi = _stat_value(st.min), _stat_value(st.max)
+            if lo is None or hi is None:
+                continue
+            if isinstance(lo, str) and len(lo) > _STATS_STR_MAX:
+                lo = lo[:_STATS_STR_MAX]
+            if isinstance(hi, str) and len(hi) > _STATS_STR_MAX:
+                hi = hi[:_STATS_STR_MAX] + chr(0x10FFFF)
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            mm_cover[name] = mm_cover.get(name, 0) + 1
+    out = {
+        "numRecords": md.num_rows,
+        "minValues": {c: v for c, v in mins.items() if mm_cover.get(c) == n_rg},
+        "maxValues": {c: v for c, v in maxs.items() if mm_cover.get(c) == n_rg},
+        "nullCount": {
+            c: v for c, v in nulls.items() if null_cover.get(c) == n_rg
+        },
+    }
+    return out
+
+
+def _coerce_stat(v, dtype):
+    """A recorded stats value re-typed against the table schema for a
+    driver-side range comparison: numerics/bools/strings pass through;
+    ISO/decimal strings parse via the partition-value rules. None =
+    unusable (the consumer conservatively keeps the file)."""
+    if v is None:
+        return None
+    name = dtype.typeName()
+    if name in ("byte", "short", "integer", "long", "float", "double"):
+        return v if isinstance(v, (int, float)) else None
+    if name == "boolean":
+        return v if isinstance(v, bool) else None
+    if name == "string":
+        return v if isinstance(v, str) else None
+    if isinstance(v, str):
+        import datetime
+
+        parsed = _parse_partition_value(v, dtype)
+        if isinstance(parsed, datetime.datetime) and parsed.tzinfo is not None:
+            # foreign stats (adopted Delta tables) may carry offsets —
+            # normalize so comparisons never mix aware and naive
+            parsed = parsed.astimezone(datetime.timezone.utc).replace(
+                tzinfo=None
+            )
+        return parsed
+    return None
+
+
+def replay_stats(log_dir: str, as_of: int | None = None) -> dict[str, dict]:
+    """Per-file statistics state at ``as_of`` (default: latest) — the
+    stats fold, mirroring :func:`replay_log_full`'s DV fold rule:
+    checkpoint commits carry the full ``stats_state`` (inline, or
+    a ``stats_json`` column in the parquet live-list sidecar), removes
+    drop entries, ``stats_reset`` (restore) replaces the state wholesale,
+    and each commit's own ``stats`` map merges last. Data files are
+    immutable, so a file's entry is identical in every fold that holds
+    it — consumers may fold at latest and apply to any replay-consistent
+    file list. Commits predating stats recording simply contribute
+    nothing: every consumer treats a missing file entry as "no stats"
+    and falls back to parquet footers (an optimization degraded, never
+    an answer changed)."""
+    entries = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
+    commits = []
+    for name in entries:
+        version = int(name.split(".")[0])
+        if as_of is not None and version > as_of:
+            continue
+        with open(os.path.join(log_dir, name)) as fh:
+            commits.append((version, json.load(fh)))
+    commits.sort()
+    start = 0
+    for i, (_v, c) in enumerate(commits):
+        if c.get("checkpoint"):
+            start = i
+    stats: dict[str, dict] = {}
+    for _v, c in commits[start:]:
+        if c.get("checkpoint"):
+            sc = c.get("adds_sidecar")
+            if sc:
+                import pyarrow.parquet as pq
+
+                stats = {}
+                full = os.path.join(log_dir, sc)
+                # pre-stats sidecars lack the column — state resets to
+                # "no stats" there and footers cover the older files
+                if "stats_json" in pq.read_schema(full).names:
+                    tbl = pq.read_table(full, columns=["file", "stats_json"])
+                    for f, sj in zip(
+                        tbl.column("file").to_pylist(),
+                        tbl.column("stats_json").to_pylist(),
+                    ):
+                        if sj is not None:
+                            stats[f] = json.loads(sj)
+            else:
+                stats = dict(c.get("stats_state") or {})
+        else:
+            for f in c["removes"]:
+                stats.pop(f, None)
+        if c.get("stats_reset") is not None:
+            stats = dict(c["stats_reset"])
+        for f, d in (c.get("stats") or {}).items():
+            stats[f] = d
+    return stats
 
 # checkpoint commits inline their full live-file list as JSON below this
 # many files; at/above it the list (and DV state) goes to a PARQUET
@@ -726,12 +930,32 @@ class TxLogTable:
         )
         os.makedirs(t.log_dir, exist_ok=False)
         t._pmeta = (pby, pschema)
+        # foreign per-file statistics adopt as-is (Delta's add.stats is
+        # the same envelope this log records); files the foreign writer
+        # left statless get footer-derived entries stamped by the commit
+        stats0: dict[str, dict] = {}
+        for f, a in st.live.items():
+            s = a.get("stats")
+            if not s:
+                continue
+            try:
+                d = json.loads(s) if isinstance(s, str) else dict(s)
+            except (ValueError, TypeError):
+                continue
+            ent = {
+                k: d[k]
+                for k in ("numRecords", "minValues", "maxValues", "nullCount")
+                if k in d
+            }
+            if ent:
+                stats0[f] = ent
         extra0 = {
             "partition_by": pby,
             "partition_schema": pschema.json() if pby else None,
             "schema": schema.json(),
             "checks_reset": checks,
             "converted_from_delta": st.version,
+            **({"stats": stats0} if stats0 else {}),
         }
         if dvs0:
             extra0["dvs"] = dvs0
@@ -1295,6 +1519,40 @@ class TxLogTable:
             stats[f] = env
         return stats
 
+    def stats_at(self, as_of: int | None = None) -> dict[str, dict]:
+        """Per-file recorded statistics at ``as_of`` (default: latest):
+        ``{rel_path: {"numRecords", "minValues", "maxValues",
+        "nullCount"}}`` — the log-side fold (:func:`replay_stats`).
+        Files committed before stats recording existed are absent;
+        consumers fall back to footers for those."""
+        return replay_stats(self.log_dir, as_of)
+
+    def row_count(self, as_of: int | None = None) -> int:
+        """Exact COUNT(*) of the snapshot at ``as_of`` from METADATA
+        ALONE: sum of the live files' recorded ``numRecords`` minus the
+        deletion-vector cardinalities — zero data rows read, O(live
+        files) driver-side work at any table size (Delta answers
+        ``SELECT COUNT(*)`` from add.stats the same way). Files missing
+        a recorded count (committed before stats recording) fall back to
+        one parquet footer open each — still metadata-only. Exactness
+        holds because every data-adding path records the physical row
+        count of its immutable files and merge-on-read deletes are
+        exactly the DV cardinalities."""
+        _v, files, dvs = self._replay_full(as_of)
+        stats = self.stats_at(as_of)
+        total = 0
+        for f in files:
+            n = (stats.get(f) or {}).get("numRecords")
+            if n is None:
+                import pyarrow.parquet as pq
+
+                n = pq.ParquetFile(
+                    os.path.join(self.path, f)
+                ).metadata.num_rows
+            total += int(n)
+        total -= sum(int(d.get("cardinality", 0)) for d in dvs.values())
+        return total
+
     def read_where(self, column: str, lo, hi) -> DataFrame:
         """Snapshot read with FILE-LEVEL skipping: only files whose footer
         (min, max) envelope for ``column`` overlaps [lo, hi] are handed to
@@ -1373,14 +1631,49 @@ class TxLogTable:
                         raise ValueError(
                             f"prune bounds for {column!r} do not parse as {dt}"
                         )
-        # footers carry PHYSICAL column names on a column-mapped table
+        # stats (log-recorded and footer alike) carry PHYSICAL column
+        # names on a column-mapped table
         mapping = self._mapping_at()
         phys = (mapping or {}).get(column, column)
-        kept = []
-        for f, env in self.file_stats([phys], files=files).items():
+        dt = None
+        sj = self._schema_at()
+        if sj is not None:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(sj))
+            if column in schema.fieldNames():
+                dt = schema[column].dataType
+        # LOG-RECORDED envelopes first: zero I/O of any kind — the prune
+        # decision for a stats-carrying file is a driver-side compare
+        # against state already folded from the commit log, which is the
+        # difference between "plan time opens every footer over the
+        # network" and "plan time opens nothing" on a 100 TB table.
+        # Files without usable log stats fall back to footer envelopes.
+        log_stats = self.stats_at() if dt is not None else {}
+        keep: set[str] = set()
+        need_footer: list[str] = []
+        for f in files:
+            env = log_stats.get(f)
+            if env is None:
+                need_footer.append(f)
+                continue
+            n = env.get("numRecords")
+            nc = (env.get("nullCount") or {}).get(phys)
+            if n is not None and nc is not None and int(nc) == int(n):
+                # every value is NULL: no row can satisfy a range
+                # residual, drop the file without touching it
+                continue
+            slo = _coerce_stat((env.get("minValues") or {}).get(phys), dt)
+            shi = _coerce_stat((env.get("maxValues") or {}).get(phys), dt)
+            if slo is None or shi is None:
+                need_footer.append(f)
+                continue
+            if slo <= hi and shi >= lo:
+                keep.add(f)
+        for f, env in self.file_stats([phys], files=need_footer).items():
             if phys not in env or (env[phys][0] <= hi and env[phys][1] >= lo):
-                kept.append(f)
-        return kept
+                keep.add(f)
+        return [f for f in files if f in keep]
 
     # ----------------------------------------------------- row-level DML
 
@@ -2175,6 +2468,25 @@ class TxLogTable:
             version % _CHECKPOINT_EVERY == 0 and version > 0
         )
         extra = dict(extra or {})
+        # per-file statistics stamped at the commit that ADDS the file
+        # (Delta's add.stats, one hop earlier than deriving them from
+        # footers at query time): numRecords powers metadata-only
+        # COUNT(*), min/max envelopes power zero-I/O file skipping. The
+        # footers were just written (or adopted) by this very op, so the
+        # reads are warm metadata-only opens, O(this commit's adds).
+        # Restore re-adds OLD files — their entries arrive via
+        # ``stats_reset``; explicit ``stats`` (clone carry-over,
+        # convert_from_delta's foreign adoption) are trusted as given.
+        if adds and extra.get("stats_reset") is None:
+            st_map = dict(extra.get("stats") or {})
+            for f in adds:
+                if f in st_map:
+                    continue
+                d = footer_stats_dict(os.path.join(self.path, f))
+                if d is not None:
+                    st_map[f] = d
+            if st_map:
+                extra["stats"] = st_map
         if is_ckpt and op not in ("create", "convert"):
             # checkpoint commits carry the FULL post-commit file list AND
             # the full post-commit deletion-vector state (so replays
@@ -2191,6 +2503,16 @@ class TxLogTable:
             # report a DV DML landing on a checkpoint boundary from it
             new_dvs.update(extra.get("dvs") or {})
             extra["dvs_state"] = new_dvs
+            # the stats fold mirrors the DV fold: full post-commit state
+            # on every checkpoint so bootstrapping folds (and cleanup_log
+            # truncation) never lose a retained file's envelope
+            new_stats = replay_stats(self.log_dir)
+            for f in removes:
+                new_stats.pop(f, None)
+            if extra.get("stats_reset") is not None:
+                new_stats = dict(extra.pop("stats_reset"))
+            new_stats.update(extra.get("stats") or {})
+            extra["stats_state"] = new_stats
             adds = sorted((set(live) - set(removes)) | set(adds))
             removes = []
             # METADATA-COMPLETE checkpoints: also stamp the full
@@ -2239,11 +2561,15 @@ class TxLogTable:
             # parquet sidecar (vectorized to read) instead of inline
             # JSON; every fold routes through _checkpoint_state
             ckpt_sidecar = self._write_ckpt_sidecar(
-                version, adds, extra.get("dvs_state") or {}
+                version,
+                adds,
+                extra.get("dvs_state") or {},
+                extra.get("stats_state") or {},
             )
             extra["adds_sidecar"] = ckpt_sidecar
             extra["n_adds"] = len(adds)
             extra["dvs_state"] = {}
+            extra["stats_state"] = {}
             adds = []
         payload = json.dumps(
             {"op": op, "adds": adds, "removes": removes, "checkpoint": is_ckpt, **extra}
@@ -2259,7 +2585,7 @@ class TxLogTable:
             raise CommitConflict(f"version {version} already committed")
 
     def _write_ckpt_sidecar(
-        self, version: int, adds: list[str], dvs: dict
+        self, version: int, adds: list[str], dvs: dict, stats: dict | None = None
     ) -> str:
         """Write a checkpoint's live-file list + DV state as one parquet
         file under ``_txlog/ckpt/``; returns the log-relative path.
@@ -2284,6 +2610,16 @@ class TxLogTable:
                 ),
                 "dv_pathkey": pa.array(
                     [(dvs.get(f) or {}).get("pathkey") for f in files],
+                    pa.string(),
+                ),
+                # per-file stats as one JSON string per row — the same
+                # envelope Delta's parquet checkpoints carry in their
+                # add.stats column
+                "stats_json": pa.array(
+                    [
+                        json.dumps(stats[f]) if f in (stats or {}) else None
+                        for f in files
+                    ],
                     pa.string(),
                 ),
             }
@@ -2690,10 +3026,13 @@ class TxLogTable:
             adds = sorted(set(want) - set(live))
             removes = sorted(set(live) - set(want))
             # deletion-vector state reverts wholesale with the file set
-            # ({} = explicit no-DVs) — rows a later DV deleted resurrect
+            # ({} = explicit no-DVs) — rows a later DV deleted resurrect;
+            # per-file stats revert the same way (re-added old files get
+            # their original envelopes back without a footer re-read)
             extra: dict = {
                 "checks_reset": target_checks,
                 "dvs_reset": want_dvs,
+                "stats_reset": replay_stats(self.log_dir, as_of=version),
             }
             if schema is not None:
                 extra["schema"] = schema
@@ -2758,12 +3097,21 @@ class TxLogTable:
             except OSError:
                 shutil.copy2(src, dst)  # cross-device fallback
         dest._pmeta = (pby, pschema)
+        # stats carry over by reference (files are the same bytes) —
+        # commit 0 re-records them without re-reading any footer
+        fset = set(files)
+        clone_stats = {
+            f: s
+            for f, s in replay_stats(self.log_dir, as_of=version).items()
+            if f in fset
+        }
         dest._try_commit(
             0,
             adds=files,
             removes=[],
             op="clone",
             extra={
+                **({"stats": clone_stats} if clone_stats else {}),
                 "partition_by": pby,
                 "partition_schema": pschema.json() if pby else None,
                 "schema": schema_json,
