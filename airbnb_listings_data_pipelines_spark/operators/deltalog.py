@@ -623,9 +623,10 @@ def export_delta_log(spark: SparkSession, table) -> int:
             # txlog cleanup_log/vacuum of the original. A sidecar already
             # vacuumed before the first export is simply not mirrored
             # (the CDF horizon is the retention horizon). Change types
-            # are insert/delete — updates surface as their exact
-            # delete+insert pair, coarser than Delta's update_pre/
-            # postimage but valid CDF content.
+            # are Delta's native four: insert/delete plus
+            # update_preimage/update_postimage for updates — sidecars
+            # tag them at write time, so the hardlink is already
+            # external-consumer-exact.
             src_cdc = os.path.join(table.path, c["cdc"])
             if os.path.exists(src_cdc):
                 cd_dir = os.path.join(table.path, "_change_data")
@@ -1360,9 +1361,12 @@ def _read_live_files(
         return _apply_dv(out, {f: 0 for f in ordered}).select(
             *[fld.name for fld in schema.fields]
         )
-    # fallback: group files by partition tuple, one scan per group —
-    # one hive dir per group, so basenames are unique within each scan
-    # and the group index doubles as the DV scan-group key
+    # fallback: group files by partition tuple, one scan per group.
+    # Delta permits ARBITRARY file paths, so two files can share both a
+    # partitionValues tuple and a basename (different directories) —
+    # sub-split each tuple group with _basename_groups exactly like the
+    # unpartitioned path, so basenames stay unique within every scan
+    # group and the DV anti-join key (group id, basename) is exact
     groups: dict[tuple, list[str]] = {}
     for f in ordered:
         pv = live[f].get("partitionValues") or {}
@@ -1374,15 +1378,18 @@ def _read_live_files(
     )
     parts = []
     rel_groups: dict[str, int] = {}
-    for gi, key in enumerate(
-        sorted(groups, key=lambda k: tuple((v is None, v) for v in k))
+    gi = 0
+    for key in sorted(
+        groups, key=lambda k: tuple((v is None, v) for v in k)
     ):
-        for f in groups[key]:
-            rel_groups[f] = gi
-        g = _scan([os.path.join(path, f) for f in groups[key]], gi)
-        for c, v in zip(pcols, key):
-            g = g.withColumn(c, F.lit(v).cast(fields[c].dataType))
-        parts.append(g.select(*keep))
+        for sub in _basename_groups(groups[key]):
+            for f in sub:
+                rel_groups[f] = gi
+            g = _scan([os.path.join(path, f) for f in sub], gi)
+            for c, v in zip(pcols, key):
+                g = g.withColumn(c, F.lit(v).cast(fields[c].dataType))
+            parts.append(g.select(*keep))
+            gi += 1
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

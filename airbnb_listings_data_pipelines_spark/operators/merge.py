@@ -477,9 +477,10 @@ def merge_clauses_cdc(
     """The EXACT row-level change set of the identical
     :func:`merge_clauses` call (public design: Delta CDF's MERGE change
     data): delete-selected rows surface as their target pre-images
-    tagged 'delete'; update-selected rows as a pre-image 'delete' +
-    post-image 'insert' pair — pairs whose post-image equals the
-    pre-image are OMITTED (they are not changes; the netted file-delta
+    tagged 'delete'; update-selected rows as an 'update_preimage' +
+    'update_postimage' pair (Delta CDF's native tags — the internal
+    feed maps them to delete/insert at read) — pairs whose post-image
+    equals the pre-image are OMITTED (they are not changes; the netted file-delta
     feed cancels them, and both feed forms must stay row-identical);
     insert-selected source rows as 'insert'. Built from the SAME clause
     plan (join, selectors, per-column picks) the merge itself uses, so
@@ -521,11 +522,20 @@ def merge_clauses_cdc(
         )
         .filter(~F.col("__pre").eqNullSafe(F.col("__post")))
     )
+    # Delta CDF's update representation: pre/post images carry their own
+    # change types so external consumers (SCD-2 builders, audit feeds)
+    # can distinguish an update from an unrelated delete+insert; the
+    # INTERNAL feed maps them back to delete/insert at read
+    # (TxLogTable._read_cdc) so the netted-file-delta equivalence holds
     parts.append(
-        changed.select("__pre.*").withColumn("_change_type", F.lit("delete"))
+        changed.select("__pre.*").withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
     )
     parts.append(
-        changed.select("__post.*").withColumn("_change_type", F.lit("insert"))
+        changed.select("__post.*").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
     )
     parts.append(
         j.filter(plan["is_src"] & (F.col("__isel") >= 0))

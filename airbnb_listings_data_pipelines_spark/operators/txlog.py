@@ -1872,7 +1872,9 @@ class TxLogTable:
             if cdc:
                 raise ValueError(
                     "cdc=True is redundant with mode='dv': deletion-"
-                    "vector commits already feed row-exact deltas"
+                    "vector commits already feed row-exact deltas — "
+                    "read_changes() derives the changed rows from the "
+                    "DV delta directly; drop cdc=True"
                 )
             return self._dml_dv(cond, None, prune, max_retries, op="delete")
         if mode != "cow":
@@ -1933,7 +1935,15 @@ class TxLogTable:
         ``mode='dv'`` is MERGE-ON-READ: matched rows' positions go into a
         deletion-vector sidecar and ONLY the updated rows are written as
         new files — bytes written scale with matched rows, not touched
-        files. The new rows run the normal CHECK gate."""
+        files. The new rows run the normal CHECK gate.
+
+        ``cdc=True`` writes the exact pre/post images into a change-data
+        sidecar computed by a SECOND evaluation of the match plan, so
+        ``condition`` and the assignment expressions must be
+        DETERMINISTIC (no ``rand()``/``uuid()``, no source view whose
+        contents can shift between the two passes) — otherwise the
+        recorded change set can diverge from the rows actually
+        committed. Same requirement as ``merge_into_txlog(cdc=True)``."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         from pyspark.sql.types import StructType
 
@@ -1957,7 +1967,9 @@ class TxLogTable:
             if cdc:
                 raise ValueError(
                     "cdc=True is redundant with mode='dv': deletion-"
-                    "vector commits already feed row-exact deltas"
+                    "vector commits already feed row-exact deltas — "
+                    "read_changes() derives the changed rows from the "
+                    "DV delta directly; drop cdc=True"
                 )
             return self._dml_dv(cond, sets, prune, max_retries, op="update")
         if mode != "cow":
@@ -2001,11 +2013,15 @@ class TxLogTable:
                             F.col("__post")
                         )
                     )
+                    # sidecar carries Delta CDF's update_pre/postimage
+                    # tags (external _change_data consumers distinguish
+                    # updates); the internal feed maps them back to
+                    # delete/insert in _read_cdc
                     pre = m2.drop("__post").withColumn(
-                        "_change_type", F.lit("delete")
+                        "_change_type", F.lit("update_preimage")
                     )
                     post = m2.select("__post.*").withColumn(
-                        "_change_type", F.lit("insert")
+                        "_change_type", F.lit("update_postimage")
                     )
                     cdc_rel = self._write_cdc(pre.unionByName(post))
             try:
@@ -2086,15 +2102,31 @@ class TxLogTable:
         (``read_changes`` reads every commit under ``to_version``'s
         recorded schema): columns added after the sidecar was written
         null-fill, later-dropped physical columns are ignored, and the
-        physical -> logical rename follows the feed-time mapping."""
+        physical -> logical rename follows the feed-time mapping.
+
+        Sidecars tag updates with Delta CDF's ``update_preimage`` /
+        ``update_postimage`` (so the verbatim ``_change_data`` export
+        carries native update semantics); the INTERNAL feed contract is
+        insert/delete row-identical with the netted file-delta path, so
+        those map back here."""
         from pyspark.sql.types import StringType, StructField, StructType
 
+        ct = (
+            F.when(
+                F.col("_change_type") == "update_preimage", F.lit("delete")
+            )
+            .when(
+                F.col("_change_type") == "update_postimage", F.lit("insert")
+            )
+            .otherwise(F.col("_change_type"))
+            .alias("_change_type")
+        )
         full = os.path.join(self.path, rel)
         if schema_json is None:
-            return (
-                self.spark.read.parquet(full)
-                .withColumn("_commit_version", F.lit(v).cast("int"))
-            )
+            df = self.spark.read.parquet(full)
+            return df.select(
+                *[c for c in df.columns if c != "_change_type"], ct
+            ).withColumn("_commit_version", F.lit(v).cast("int"))
         sch = StructType.fromJson(json.loads(schema_json))
         phys = _physical_struct(sch, mapping)
         read_schema = StructType(
@@ -2108,7 +2140,7 @@ class TxLogTable:
                     F.col(pf.name).alias(lf.name)
                     for pf, lf in zip(phys.fields, sch.fields)
                 ],
-                "_change_type",
+                ct,
             )
             .withColumn("_commit_version", F.lit(v).cast("int"))
         )
@@ -3888,7 +3920,12 @@ def merge_into_txlog(
     change-data sidecar (merge.merge_clauses_cdc — the same clause plan
     the merge runs, so the set cannot drift): feed readers then stream
     O(changed rows) for this commit instead of netting the touched
-    files' rewrite noise. Costs one extra pass over the merge join."""
+    files' rewrite noise. Costs one extra pass over the merge join —
+    which means clause conditions, SET expressions, and the source
+    frame must be DETERMINISTIC across the two passes (no ``rand()``/
+    ``uuid()``, no view over shifting data); a nondeterministic merge
+    with cdc=True can record a change set that diverges from the rows
+    actually committed."""
     from .merge import merge_clauses, merge_clauses_cdc, merge_frames
 
     assert rewrite in ("touched", "full")
@@ -3910,7 +3947,10 @@ def merge_into_txlog(
             last = table.last_txn_version(txn[0])
             if last is not None and txn[1] <= last:
                 return table.read()
-        insert_only = clauses is not None and not (
+        # rewrite='full' forces the whole-table path, so the insert-only
+        # source pruning (src_eff) never runs there — gate on the mode or
+        # the merge call below would read an unbound src_eff
+        insert_only = rewrite != "full" and clauses is not None and not (
             clauses.get("matched") or clauses.get("not_matched_by_source")
         )
         if rewrite == "full" or (

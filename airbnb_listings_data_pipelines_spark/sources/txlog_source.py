@@ -641,9 +641,24 @@ def _read_slice(
             if slice_.change is not None and f.name == "_change_type":
                 if slice_.change[0] == "__cdc__":
                     # change-data slice: the sidecar stores the real
-                    # per-row change type; never synthesize a constant
+                    # per-row change type; never synthesize a constant.
+                    # Sidecars tag updates update_pre/postimage (Delta
+                    # CDF's export form) — the internal feed contract is
+                    # insert/delete, so map back here (same rule as
+                    # TxLogTable._read_cdc)
+                    import pyarrow.compute as pc
+
                     col = batch.column(
                         batch.schema.get_field_index("_change_type")
+                    )
+                    col = pc.if_else(
+                        pc.equal(col, "update_preimage"),
+                        pa.scalar("delete", type=col.type),
+                        pc.if_else(
+                            pc.equal(col, "update_postimage"),
+                            pa.scalar("insert", type=col.type),
+                            col,
+                        ),
                     )
                     arrays.append(
                         col if col.type == at else col.cast(at, safe=False)

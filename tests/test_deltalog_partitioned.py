@@ -601,3 +601,95 @@ def test_delta_rs_reads_exported_change_data_feed(spark, tmp_path):
         for r in t.read_changes(1, 2).collect()
     )
     assert theirs == ours
+
+
+def test_partitioned_dv_colliding_basenames_within_partition(spark, tmp_path):
+    """Round-9 ADVICE: the fallback partitioned path keyed the DV
+    anti-join on (partition-group id, basename), assuming one hive dir
+    per partition group — Delta permits arbitrary paths, so two files
+    sharing BOTH a partitionValues tuple and a basename in different
+    directories cross-attributed deletion-vector rows (rows deleted from
+    the wrong file). The group now sub-splits per basename like the
+    unpartitioned path."""
+    import base64
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from airbnb_listings_data_pipelines_spark.operators.roaring import (
+        serialize_rba,
+    )
+
+    path = str(tmp_path / "foreign")
+    for sub, ks in (("sub1", range(5)), ("sub2", range(5, 10))):
+        os.makedirs(os.path.join(path, sub))
+        pq.write_table(
+            pa.table({"k": pa.array(list(ks), pa.int64())}),
+            os.path.join(path, sub, "data.parquet"),
+        )
+
+    def _inline_dv(idx):
+        blob = serialize_rba(idx)
+        return {
+            "storageType": "i",
+            "pathOrInlineDv": base64.b85encode(blob).decode("ascii"),
+            "offset": 0,
+            "sizeInBytes": len(blob),
+            "cardinality": len(idx),
+        }
+
+    dl = os.path.join(path, "_delta_log")
+    os.makedirs(dl)
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "g", "type": "long", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "dv-part-collide",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                "partitionColumns": ["g"],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        },
+    ]
+    # SAME partition tuple (g=0), SAME basename, different dirs,
+    # DIFFERENT deleted positions: sub1 drops idx 1 (k=1), sub2 idx 2
+    # (k=7). Cross-attribution would also drop k=6 and k=2.
+    for sub, idx in (("sub1", [1]), ("sub2", [2])):
+        f = f"{sub}/data.parquet"
+        actions.append(
+            {
+                "add": {
+                    "path": f,
+                    "partitionValues": {"g": "0"},
+                    "size": os.path.getsize(os.path.join(path, f)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "deletionVector": _inline_dv(idx),
+                }
+            }
+        )
+    with open(os.path.join(dl, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    got = read_delta_snapshot(spark, path)
+    assert _rows(got) == {
+        (k, 0) for k in (0, 2, 3, 4, 5, 6, 8, 9)
+    }

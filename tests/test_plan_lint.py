@@ -1,6 +1,7 @@
 """Plan lint: every registry query's PHYSICAL plan is swept for the two
 antipatterns that silently destroy 100 TB scalability, so a regression in
-any of the 95 queries fails CI, not a code review:
+any registry query (the lint sweeps load_all(), every registered one)
+fails CI, not a code review:
 
 - ``BatchEvalPython`` — a row-at-a-time (pickled) Python UDF in the plan.
   The engine's contract is JVM built-ins on hot paths and Arrow-vectorized

@@ -406,3 +406,89 @@ def test_cdc_delta_export_mirrors_change_data(spark, tmp_path):
     assert '"cdc"' not in body and "enableChangeDataFeed" not in body
     got_p = read_delta_snapshot(spark, tp.path)
     assert got_p.count() == 9
+
+
+def test_sidecar_raw_tags_are_delta_four_type(spark, tmp_path):
+    """The sidecar PARQUET carries Delta CDF's native four change types
+    (update_preimage/update_postimage for updates) so the verbatim
+    _change_data export has native update semantics — while the INTERNAL
+    feed (batch read_changes AND the streaming DataSource) maps them
+    back to the delete/insert contract."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        merge_into_txlog,
+    )
+    from airbnb_listings_data_pipelines_spark.sources import txlog_source
+
+    t = _mk(spark, tmp_path / "t", n=10, parts=1)
+    t.update_where("k = 4", {"amt": F.lit(400.0)}, cdc=True)  # v1
+    merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(5, "M", 5.5), (77, "new", 77.0)], "k int, v string, amt double"
+        ),
+        ["k"],
+        cdc=True,
+    )  # v2: one update pair + one insert
+    raw = {}
+    for v in (1, 2):
+        with open(os.path.join(t.log_dir, f"{v:012d}.json")) as fh:
+            rel = json.load(fh)["cdc"]
+        tb = pq.read_table(os.path.join(t.path, rel))
+        raw[v] = sorted(
+            zip(tb.column("k").to_pylist(), tb.column("_change_type").to_pylist())
+        )
+    assert raw[1] == [(4, "update_postimage"), (4, "update_preimage")]
+    assert raw[2] == [
+        (5, "update_postimage"),
+        (5, "update_preimage"),
+        (77, "insert"),
+    ]
+    # internal batch feed: mapped back to the delete/insert contract
+    got = _feed(t, 1, 2)
+    assert {r[3] for r in got} == {"insert", "delete"}
+    assert (4, "v4", 4.0, "delete", 1) in got
+    assert (4, "v4", 400.0, "insert", 1) in got
+    # streaming/batch DataSource CDF: same mapping in the Arrow reader
+    txlog_source.register(spark)
+    cdf = (
+        spark.read.format("txlog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load(t.path)
+    )
+    assert {r._change_type for r in cdf.collect()} == {"insert", "delete"}
+
+
+def test_merge_full_rewrite_with_insert_only_clauses(spark, tmp_path):
+    """Regression (round-9 ADVICE): rewrite='full' + insert-only clauses
+    crashed with UnboundLocalError because the insert-only source
+    pruning never ran on the full-rewrite path."""
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        merge_into_txlog,
+    )
+
+    t = _mk(spark, tmp_path / "t", n=10)
+    src = spark.createDataFrame(
+        [(3, "dup", 0.0), (50, "new", 50.0)], "k int, v string, amt double"
+    )
+    out = merge_into_txlog(
+        spark, t, src, ["k"],
+        clauses={"not_matched": [{"values": None}]},
+        rewrite="full",
+    )
+    rows = sorted((r.k, r.v) for r in out.collect())
+    # matched key 3 keeps target values; only k=50 inserts
+    assert (3, "v3") in rows and (50, "new") in rows and len(rows) == 11
+    # cdc composes with it too
+    t2 = _mk(spark, tmp_path / "t2", n=10)
+    merge_into_txlog(
+        spark, t2, src, ["k"],
+        clauses={"not_matched": [{"values": None}]},
+        rewrite="full", cdc=True,
+    )
+    assert _feed(t2, 1, 1) == [(50, "new", 50.0, "insert", 1)]
