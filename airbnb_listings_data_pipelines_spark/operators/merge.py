@@ -266,6 +266,30 @@ def merge_clauses(
     ``set``/``values`` expression to a branch of the per-column pick —
     no per-clause joins, no Python in the row path, same 100 TB shape
     as the unconditional merge."""
+    plan = prepare_clause_plan(
+        target, source, keys, matched, not_matched, not_matched_by_source,
+        evolve_schema,
+    )
+    return plan["out"]()
+
+
+def prepare_clause_plan(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    matched: list[dict] | None = None,
+    not_matched: list[dict] | None = None,
+    not_matched_by_source: list[dict] | None = None,
+    evolve_schema: bool = False,
+) -> dict:
+    """Validate + normalize the clause lists, apply schema evolution, and
+    build the shared physical plan — the ONE entry every MERGE consumer
+    rides (merged output via :func:`merge_clauses`, exact change set via
+    :func:`merge_clauses_cdc`, and the deletion-vector position plan in
+    ``txlog.merge_into_txlog(mode='dv')``), so the semantics can never
+    drift between them. ``target`` may carry extra positional columns
+    (``__file``/``__ridx``) — clause validation checks only the named
+    set/values columns, and callers choose which columns to select."""
     matched = list(matched or [])
     not_matched = list(not_matched or [])
     not_matched_by_source = list(not_matched_by_source or [])
@@ -324,10 +348,9 @@ def merge_clauses(
     if missing_keys:
         raise ValueError(f"merge keys {missing_keys} absent from the source")
 
-    plan = _build_clause_plan(
+    return _build_clause_plan(
         target, source, keys, matched, not_matched, not_matched_by_source
     )
-    return plan["out"]()
 
 
 def _build_clause_plan(
@@ -487,18 +510,9 @@ def merge_clauses_cdc(
     the change set cannot drift from the merge semantics. One extra
     pass over the join — callers opt in per commit (the COW DML twin
     cost model: cdc adds O(changed rows) write to the rewrite)."""
-    matched = list(matched or [])
-    not_matched = list(not_matched or [])
-    not_matched_by_source = list(not_matched_by_source or [])
-    if not (matched or not_matched or not_matched_by_source):
-        raise ValueError("MERGE needs at least one WHEN clause")
-    if evolve_schema:
-        tgt_cols = set(target.columns)
-        for f in source.schema.fields:
-            if f.name not in tgt_cols:
-                target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
-    plan = _build_clause_plan(
-        target, source, keys, matched, not_matched, not_matched_by_source
+    plan = prepare_clause_plan(
+        target, source, keys, matched, not_matched, not_matched_by_source,
+        evolve_schema,
     )
     j, pick, tval = plan["j"], plan["pick"], plan["tval"]
     cols = plan["columns"]

@@ -24,7 +24,8 @@ What this gives over the staged-swap backend (and what it does not):
   plainly.
 - **Scope.** The atomic publish is factored behind :class:`CommitArbiter`
   (the Delta paper's LogStore seam): :class:`PosixExclArbiter` (default)
-  uses O_EXCL create — atomic on local filesystems and HDFS;
+  stages the complete payload then publishes with link(2) — create-if-
+  absent atomic for existence AND content on local filesystems and HDFS;
   :class:`ConditionalPutArbiter` models the object-store primitive
   (S3 ``If-None-Match: *``, GCS ``ifGenerationMatch=0``, Azure
   ``If-None-Match: *``) for S3-style stores, where conditional PUT is
@@ -65,25 +66,58 @@ class CommitArbiter:
     retries, snapshot isolation, checkpointing) is built on top, so
     porting the table format to a new storage system means implementing
     exactly this seam — the Delta paper's LogStore abstraction
-    (Armbrust et al., VLDB 2020 §3.2)."""
+    (Armbrust et al., VLDB 2020 §3.2).
+
+    ``fault_hook`` is a documented TEST SEAM (the same shape Delta's own
+    LogStore fault-injection suites use): when set, implementations call
+    it at their internal transition points — ``("staged"|"reserved",
+    target)`` after the payload is durable-but-unpublished, and
+    ``("published", target)`` after the commit is visible but before the
+    caller is acked. A hook that raises simulates a writer crashing in
+    that window; a hook that sleeps simulates a slow PUT. Production
+    code never sets it."""
+
+    fault_hook = None
+
+    def _fault(self, stage: str, target: str) -> None:
+        hook = self.fault_hook
+        if hook is not None:
+            hook(stage, target)
 
     def put_if_absent(self, target: str, payload: str) -> bool:
         raise NotImplementedError
 
 
 class PosixExclArbiter(CommitArbiter):
-    """Create-exclusive file creation (``O_EXCL``) — atomic on local
-    filesystems and HDFS-like stores where create-no-overwrite is a
-    first-class primitive. The default backend."""
+    """Create-exclusive publish for POSIX/HDFS-like stores. The payload
+    is STAGED COMPLETE in a hidden sibling temp file first and published
+    with ``os.link(tmp, target)`` — link(2) fails EEXIST when the target
+    exists, so the publish is atomic for BOTH existence and content. The
+    previous O_EXCL-create-then-write form had a crash window between
+    creating the name and writing the body: a writer dying there left a
+    truncated commit json that every replayer would choke on. A crashed
+    writer now leaves either nothing or (real process death only) an
+    orphan ``.staging-*`` temp that no replay ever reads (replays list
+    ``*.json``). The default backend."""
 
     def put_if_absent(self, target: str, payload: str) -> bool:
+        d = os.path.dirname(target) or "."
+        tmp = os.path.join(d, f".staging-{uuid.uuid4().hex}")
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w") as fh:
-            fh.write(payload)
-        return True
+            with open(tmp, "w") as fh:
+                fh.write(payload)
+            self._fault("staged", target)
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                return False
+            self._fault("published", target)
+            return True
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 class ConditionalPutArbiter(CommitArbiter):
@@ -114,15 +148,26 @@ class ConditionalPutArbiter(CommitArbiter):
             if key in self._in_flight or os.path.exists(key):
                 return False
             self._in_flight.add(key)
+        tmp = f"{key}.put-{uuid.uuid4().hex}"
         try:
-            tmp = f"{key}.put-{uuid.uuid4().hex}"
+            self._fault("reserved", key)
             with open(tmp, "w") as fh:
                 fh.write(payload)
             os.replace(tmp, key)
+            self._fault("published", key)
             return True
         finally:
+            # a crashed (raising) PUT releases its reservation and sweeps
+            # its temp body — the store analogue: a timed-out PUT never
+            # materializes and the key becomes creatable again. Callers
+            # told False while the PUT was in flight simply retry their
+            # CommitConflict loop and win the now-free key.
             with self._lock:
                 self._in_flight.discard(key)
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _footer_schema(path: str):
@@ -3866,6 +3911,197 @@ def _parse_partition_value(raw: str, dtype) -> object | None:
     return None
 
 
+def _simple_form_clauses(
+    when_matched: str,
+    when_not_matched: str,
+    matched_set: dict | None,
+    insert_values: dict | None,
+) -> dict:
+    """The simple-form MERGE parameters as their equivalent clause lists
+    — ONE conversion shared by the cdc sidecar and the mode='dv' path,
+    so neither can drift from :func:`merge.merge_frames` semantics."""
+    return {
+        "matched": (
+            [{"action": "delete"}]
+            if when_matched == "delete"
+            else [{"action": "update", "set": matched_set or None}]
+        ),
+        "not_matched": (
+            [{"values": insert_values or None}]
+            if when_not_matched == "insert"
+            else []
+        ),
+        "not_matched_by_source": [],
+    }
+
+
+def _merge_into_dv(
+    spark: SparkSession,
+    table: TxLogTable,
+    source: DataFrame,
+    keys: list[str],
+    clauses: dict,
+    evolve_schema: bool,
+    max_retries: int,
+    txn: tuple[str, int] | None,
+) -> DataFrame:
+    """Merge-on-read MERGE (Delta's deletion-vector MERGE physical
+    design), the :func:`merge_into_txlog` ``mode='dv'`` body. Per
+    attempt:
+
+    1. touched-file discovery — the same one-semi-join scan as
+       copy-on-write (every live file when a NOT MATCHED BY SOURCE
+       clause exists, Delta's rule);
+    2. ONE positional scan of the touched files
+       (:meth:`TxLogTable._scan_with_filepath`: rows + ``__file``/
+       ``__ridx``, prior vectors anti-joined out) feeds the SHARED
+       clause plan (:func:`merge.prepare_clause_plan` — identical
+       selectors/picks to the COW merge, so semantics cannot drift);
+    3. positions leaving the table = delete-selected rows plus CHANGED
+       update-selected rows (post-image != pre-image; no-op updates
+       touch nothing) — per-file counts collect O(touched files)
+       driver rows, the Delta MERGE metadata plane;
+    4. new files = update post-images + accepted inserts (CHECK-gated
+       through the normal :meth:`_write_data` chokepoint);
+    5. one DV sidecar carries the new positions unioned with the
+       touched files' PRIOR vectors (full-union-per-file invariant);
+       a file whose vector would cover every row is retired outright.
+
+    Bytes written scale with CHANGED rows, not touched files — the
+    1-row-per-file daily upsert writes slivers where COW rewrites every
+    touched file (SCALING.md probe). The change feed needs no sidecar:
+    ``read_changes`` derives row-exact deletes from the DV delta and
+    inserts from the new files."""
+    import pyarrow.parquet as pq
+
+    from .merge import prepare_clause_plan
+
+    matched = list(clauses.get("matched") or [])
+    not_matched = list(clauses.get("not_matched") or [])
+    nmbs = list(clauses.get("not_matched_by_source") or [])
+    for _attempt in range(max_retries + 1):
+        base_version, base_files, dvs = table._replay_full()
+        if txn is not None:
+            last = table.last_txn_version(txn[0])
+            if last is not None and txn[1] <= last:
+                return table.read()
+        schema_json = table._schema_at()
+        touched_files = (
+            list(base_files)
+            if nmbs
+            else table._touched_by_keys(base_files, source, keys, dvs=dvs)
+        )
+        if touched_files:
+            target = table._scan_with_filepath(
+                touched_files, schema_json, dvs=dvs
+            )
+        else:
+            target = (
+                table._empty()
+                .withColumn("__file", F.lit(None).cast("string"))
+                .withColumn("__ridx", F.lit(None).cast("long"))
+            )
+        plan = prepare_clause_plan(
+            target, source, keys, matched, not_matched, nmbs,
+            evolve_schema=evolve_schema,
+        )
+        j, pick, tval = plan["j"], plan["pick"], plan["tval"]
+        data_cols = [
+            c for c in plan["columns"] if c not in ("__file", "__ridx")
+        ]
+        is_m, is_src, is_tgt = plan["is_m"], plan["is_src"], plan["is_tgt"]
+        del_sel = (
+            is_m & F.col("__msel").isin(plan["m_del"] or [-2])
+        ) | (is_tgt & F.col("__nsel").isin(plan["n_del"] or [-2]))
+        upd_sel = (
+            is_m & F.col("__msel").isin(plan["m_upd"] or [-2])
+        ) | (is_tgt & F.col("__nsel").isin(plan["n_upd"] or [-2]))
+        changed = ~F.struct(*[tval(c) for c in data_cols]).eqNullSafe(
+            F.struct(*[pick(c) for c in data_cols])
+        )
+        doomed = del_sel | (upd_sel & changed)
+        # 3: per-file counts of positions leaving the table
+        uri_rows = (
+            j.filter(doomed)
+            .select(F.col("__file").alias("u"))
+            .groupBy("u")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        rel_by_uri = {r["u"]: table._rel_path(r["u"]) for r in uri_rows}
+        counts = {rel_by_uri[r["u"]]: r["n"] for r in uri_rows}
+        # 4: new files — CHECK gate runs here, BEFORE any sidecar exists,
+        # so a CheckViolation leaves no orphan metadata
+        new_rows = j.filter(
+            (upd_sel & changed) | (is_src & (F.col("__isel") >= 0))
+        ).select(*[pick(c) for c in data_cols])
+        mapping = table._mapping_at()
+        new_mapping = None
+        if mapping:
+            absent = [c for c in data_cols if c not in mapping]
+            if absent:
+                new_mapping = dict(mapping)
+                for c in absent:
+                    new_mapping[c] = f"col_{uuid.uuid4().hex[:12]}"
+        adds = table._write_data(
+            new_rows,
+            _mapping=new_mapping if new_mapping is not None else _MAPPING_DEFAULT,
+        )
+        # 5: one sidecar = new positions + touched files' prior vectors
+        sidecar: str | None = None
+        removes: list[str] = []
+        dv_updates: dict[str, dict] = {}
+        if counts:
+            doomed_rel = sorted(counts)
+            uri_map = spark.createDataFrame(
+                list(rel_by_uri.items()), "__file string, file string"
+            )
+            new_pos = (
+                j.filter(doomed)
+                .select("__file", F.col("__ridx").alias("row_index"))
+                .join(F.broadcast(uri_map), "__file")
+                .select("file", "row_index")
+            )
+            old_pos = table._dv_frame(dvs, doomed_rel)
+            dv_union = (
+                new_pos if old_pos is None else new_pos.unionByName(old_pos)
+            )
+            sidecar = table._write_sidecar(dv_union)
+            for rel in doomed_rel:
+                # new positions are disjoint from the prior vector (the
+                # positional scan was DV-applied) — cardinality is exact
+                card = counts[rel] + int(
+                    (dvs.get(rel) or {}).get("cardinality") or 0
+                )
+                nrows = pq.ParquetFile(
+                    os.path.join(table.path, rel)
+                ).metadata.num_rows
+                if card >= nrows:
+                    removes.append(rel)
+                else:
+                    dv_updates[rel] = {
+                        "sidecar": sidecar,
+                        "cardinality": card,
+                        "pathkey": "rel",
+                    }
+            if not dv_updates:
+                os.remove(os.path.join(table.path, sidecar))
+                sidecar = None
+        try:
+            table.commit(
+                adds=adds, removes=removes, base_version=base_version,
+                op="merge", schema=new_rows.schema.json(), txn=txn,
+                column_mapping=new_mapping, dvs=dv_updates or None,
+            )
+            return table.read()
+        except CommitConflict:
+            for f in adds:
+                os.remove(os.path.join(table.path, f))
+            if sidecar is not None:
+                os.remove(os.path.join(table.path, sidecar))
+    raise CommitConflict(f"merge (dv) gave up after {max_retries} retries")
+
+
 def merge_into_txlog(
     spark: SparkSession,
     table: TxLogTable,
@@ -3881,6 +4117,7 @@ def merge_into_txlog(
     insert_values: dict | None = None,
     clauses: dict | None = None,
     cdc: bool = False,
+    mode: str = "cow",
 ) -> DataFrame:
     """MERGE with an atomic, snapshot-isolated commit (same logical
     semantics as merge.merge_into_parquet; see module docstring for the
@@ -3925,7 +4162,20 @@ def merge_into_txlog(
     frame must be DETERMINISTIC across the two passes (no ``rand()``/
     ``uuid()``, no view over shifting data); a nondeterministic merge
     with cdc=True can record a change set that diverges from the rows
-    actually committed."""
+    actually committed.
+
+    ``mode='dv'`` is MERGE-ON-READ (Delta's deletion-vector MERGE):
+    matched deletes and CHANGED matched updates record their target
+    rows' POSITIONS in a deletion-vector sidecar, and only the update
+    post-images + accepted inserts are written as new files — a daily
+    upsert batch updating one row per touched file writes O(changed
+    rows) bytes instead of rewriting every touched file. Same clause
+    plan, same semantics (:func:`merge.prepare_clause_plan` is shared),
+    no-op updates (post-image == pre-image) touch nothing, and a file
+    whose vector would cover every row is retired outright. ``cdc`` and
+    ``rewrite='full'`` are rejected with it — a DV commit's feed is
+    already row-exact (``read_changes`` derives the pre-images from the
+    DV delta) and merge-on-read never rewrites touched files."""
     from .merge import merge_clauses, merge_clauses_cdc, merge_frames
 
     assert rewrite in ("touched", "full")
@@ -3938,6 +4188,27 @@ def merge_into_txlog(
             "with when_matched/when_not_matched/matched_set/"
             "insert_values (evolve_schema composes with it)"
         )
+    if mode == "dv":
+        if cdc:
+            raise ValueError(
+                "cdc=True is redundant with mode='dv': deletion-"
+                "vector commits already feed row-exact deltas — "
+                "read_changes() derives the changed rows from the "
+                "DV delta directly; drop cdc=True"
+            )
+        if rewrite != "touched":
+            raise ValueError(
+                "rewrite= applies to copy-on-write only — mode='dv' "
+                "never rewrites touched files"
+            )
+        cl = clauses if clauses is not None else _simple_form_clauses(
+            when_matched, when_not_matched, matched_set, insert_values
+        )
+        return _merge_into_dv(
+            spark, table, source, keys, cl, evolve_schema, max_retries, txn
+        )
+    if mode != "cow":
+        raise ValueError(f"unknown MERGE mode {mode!r} (cow|dv)")
     for _attempt in range(max_retries + 1):
         # base_version FIRST, txn check SECOND (same reasoning as
         # TxLogTable.append): a same-batch racer committing after our
@@ -4023,19 +4294,9 @@ def merge_into_txlog(
                 # insert-only: the merge output IS the change set
                 cdc_df = merged.withColumn("_change_type", F.lit("insert"))
             else:
-                cl = clauses if clauses is not None else {
-                    "matched": (
-                        [{"action": "delete"}]
-                        if when_matched == "delete"
-                        else [{"action": "update", "set": matched_set or None}]
-                    ),
-                    "not_matched": (
-                        [{"values": insert_values or None}]
-                        if when_not_matched == "insert"
-                        else []
-                    ),
-                    "not_matched_by_source": [],
-                }
+                cl = clauses if clauses is not None else _simple_form_clauses(
+                    when_matched, when_not_matched, matched_set, insert_values
+                )
                 cdc_df = merge_clauses_cdc(
                     target, source, keys,
                     matched=cl.get("matched"),

@@ -718,3 +718,269 @@ def test_read_changes_skips_metadata_commits_and_handles_checkpoints(spark):
         assert _cdf_rows(t.read_changes(upto, upto)) == {
             (upto, "insert", upto, float(upto))
         }
+
+
+# ---------------------------------------------- commit-arbiter fault injection
+# The CommitArbiter seam is the trust anchor for every table-format
+# guarantee; these tests inject writer crashes and slow PUTs at the
+# arbiter's internal transition points (the documented fault_hook test
+# seam) on BOTH backends — the failure modes a real object store / posix
+# log store exhibits: a writer dying mid-PUT, a PUT that lands but whose
+# ack is lost, and a slow PUT racing a second committer.
+
+
+class _Crash(RuntimeError):
+    """Simulated writer death inside the arbiter."""
+
+
+def _mk_arbiter(backend):
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        ConditionalPutArbiter,
+        PosixExclArbiter,
+    )
+
+    return (
+        PosixExclArbiter() if backend == "posix_excl"
+        else ConditionalPutArbiter()
+    )
+
+
+_PRE_PUBLISH = {"posix_excl": "staged", "conditional_put": "reserved"}
+
+
+@pytest.mark.parametrize("backend", ["posix_excl", "conditional_put"])
+@pytest.mark.parametrize("stage", ["pre_publish", "published"])
+def test_arbiter_crash_never_exposes_partial_commit(tmp_path, backend, stage):
+    """A writer crashing INSIDE the publish leaves either NOTHING (crash
+    before the atomic publish: next writer wins with a complete body) or
+    the COMPLETE crashed-writer body (crash after publish, ack lost:
+    next writer correctly loses). A truncated body is never visible —
+    the PosixExclArbiter's old O_EXCL create-then-write form failed
+    exactly this (crash between create and write left an empty json
+    every replayer would choke on)."""
+    arb = _mk_arbiter(backend)
+    key = str(tmp_path / "000000000001.json")
+    trip = _PRE_PUBLISH[backend] if stage == "pre_publish" else "published"
+
+    def hook(st, target):
+        if st == trip:
+            raise _Crash(st)
+
+    arb.fault_hook = hook
+    with pytest.raises(_Crash):
+        arb.put_if_absent(key, "BODY-CRASHED")
+    arb.fault_hook = None
+    if stage == "pre_publish":
+        assert not os.path.exists(key), "unpublished crash leaves nothing"
+        assert arb.put_if_absent(key, "BODY-NEXT") is True
+        assert open(key).read() == "BODY-NEXT"
+    else:
+        assert open(key).read() == "BODY-CRASHED", "published = durable"
+        assert arb.put_if_absent(key, "BODY-NEXT") is False
+        assert open(key).read() == "BODY-CRASHED"
+    leftovers = sorted(
+        f for f in os.listdir(tmp_path) if f != os.path.basename(key)
+    )
+    assert leftovers == [], f"stray temp bodies: {leftovers}"
+
+
+@pytest.mark.parametrize("backend", ["posix_excl", "conditional_put"])
+def test_slow_put_racing_second_committer(tmp_path, backend):
+    """A slow PUT (writer stalls between reserve/stage and publish) races
+    a fast second committer for the same version key: EXACTLY one wins,
+    the final body is one writer's complete payload, and the loser can
+    land at the next version. On the conditional-PUT store the in-flight
+    reservation makes the fast writer lose and retry; on posix the fast
+    writer can win the link and the slow one's publish then fails — both
+    resolutions preserve exactly-one-winner."""
+    import threading
+    import time
+
+    arb = _mk_arbiter(backend)
+    key = str(tmp_path / "000000000001.json")
+    release = threading.Event()
+
+    def hook(st, target):
+        if st == _PRE_PUBLISH[backend]:
+            release.wait(10)
+
+    arb.fault_hook = hook
+    results = {}
+
+    def slow():
+        results["slow"] = arb.put_if_absent(key, "BODY-SLOW")
+
+    t = threading.Thread(target=slow)
+    t.start()
+    time.sleep(0.2)  # slow writer is now stalled pre-publish
+    fast_arb = _mk_arbiter(backend)  # separate handle, same store
+    fast_first = fast_arb.put_if_absent(key, "BODY-FAST")
+    release.set()
+    t.join()
+    wins = [results["slow"], fast_first]
+    if not any(wins):
+        # conditional-put: fast writer was refused while the slow PUT
+        # was in flight — its CommitConflict retry loop tries again now
+        fast_retry = fast_arb.put_if_absent(key, "BODY-FAST")
+        wins.append(fast_retry)
+    assert sum(wins) == 1, f"exactly one winner, got {wins}"
+    body = open(key).read()
+    assert body in ("BODY-SLOW", "BODY-FAST"), "complete body only"
+    # the loser proceeds at the next version unimpeded
+    nxt = str(tmp_path / "000000000002.json")
+    assert arb.put_if_absent(nxt, "NEXT") or fast_arb.put_if_absent(nxt, "NEXT")
+
+
+@pytest.mark.parametrize("backend", ["posix_excl", "conditional_put"])
+def test_writer_crash_mid_commit_table_stays_committable(
+    spark, tmp_path, backend
+):
+    """Table-level: a DML writer dying inside the arbiter (pre-publish)
+    must leave the LOG bit-for-bit as it was — other writers commit,
+    every retained json replays, and the dead writer's own retry
+    succeeds against the post-crash snapshot."""
+    import json as _json
+
+    arb = _mk_arbiter(backend)
+    path = str(tmp_path / "t")
+    t = TxLogTable.create(
+        spark, path, _df(spark, [(k, "v", 1) for k in range(20)]), arbiter=arb
+    )
+
+    def hook(st, target):
+        if st == _PRE_PUBLISH[backend]:
+            raise _Crash(st)
+
+    arb.fault_hook = hook
+    with pytest.raises(_Crash):
+        t.delete_where("k < 5")
+    arb.fault_hook = None
+    # log unchanged and fully parseable (no truncated json)
+    names = sorted(f for f in os.listdir(t.log_dir) if f.endswith(".json"))
+    assert names == ["000000000000.json"]
+    for n in names:
+        with open(os.path.join(t.log_dir, n)) as fh:
+            _json.load(fh)
+    # another writer proceeds; then the crashed writer's retry lands
+    t2 = TxLogTable(spark, path, arbiter=_mk_arbiter(backend))
+    t2.append(_df(spark, [(100, "new", 1)]))
+    t.delete_where("k < 5")
+    assert sorted(r.k for r in t.read().collect()) == list(range(5, 20)) + [100]
+    assert [h["op"] for h in t.history()] == ["create", "append", "delete"]
+
+
+@pytest.mark.parametrize("backend", ["posix_excl", "conditional_put"])
+def test_crash_after_put_before_ack_txn_replay_is_noop(
+    spark, tmp_path, backend
+):
+    """Lost ack: the PUT landed (commit durable) but the writer died
+    before observing True. A crash-replay of the same streaming batch
+    with the same txn marker is a NO-OP — exactly-once holds across the
+    lost ack; and a DIFFERENT later batch for the same app commits
+    normally."""
+    arb = _mk_arbiter(backend)
+    path = str(tmp_path / "t")
+    t = TxLogTable.create(
+        spark, path, _df(spark, [(1, "a", 1)]), arbiter=arb
+    )
+
+    def hook(st, target):
+        if st == "published":
+            raise _Crash(st)
+
+    arb.fault_hook = hook
+    with pytest.raises(_Crash):
+        t.append(_df(spark, [(2, "b", 1)]), txn=("app", 7))
+    arb.fault_hook = None
+    assert t.version() == 1, "the commit IS durable despite the lost ack"
+    assert t.last_txn_version("app") == 7
+    # replayed batch (same txn): no-op — no duplicate rows, no commit
+    t.append(_df(spark, [(2, "b", 1)]), txn=("app", 7))
+    assert t.version() == 1
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [(1, "a"), (2, "b")]
+    # the next batch commits normally
+    t.append(_df(spark, [(3, "c", 1)]), txn=("app", 8))
+    assert t.version() == 2 and t.last_txn_version("app") == 8
+
+
+@pytest.mark.parametrize("backend", ["posix_excl", "conditional_put"])
+def test_crash_after_put_without_txn_duplicates_on_retry(
+    spark, tmp_path, backend
+):
+    """The inverse contract, pinned: WITHOUT a txn marker a lost-ack
+    append retried by the writer double-applies (the retry sees a fresh
+    snapshot and lands at the next version) — this is exactly why the
+    streaming sink passes txn=(app_id, batch_id); the docstring's
+    'a replayed append is NOT naturally idempotent' made testable."""
+    arb = _mk_arbiter(backend)
+    path = str(tmp_path / "t")
+    t = TxLogTable.create(spark, path, _df(spark, [(1, "a", 1)]), arbiter=arb)
+
+    def hook(st, target):
+        if st == "published":
+            raise _Crash(st)
+
+    arb.fault_hook = hook
+    with pytest.raises(_Crash):
+        t.append(_df(spark, [(2, "b", 1)]))
+    arb.fault_hook = None
+    t.append(_df(spark, [(2, "b", 1)]))  # naive retry
+    assert t.version() == 2
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 2]
+
+
+@pytest.mark.parametrize("backend", ["posix_excl", "conditional_put"])
+def test_arbiter_stress_with_random_crash_faults(tmp_path, backend):
+    """8 threads race 12 keys while ~1/3 of PUT attempts crash at a
+    random transition point: for every key at most one caller ever
+    observes True, every key that exists holds one complete payload, and
+    a key with no acked winner can only exist if some caller crashed
+    post-publish (lost ack) — never a partial or mixed body."""
+    import random
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = random.Random(42)
+    arb = _mk_arbiter(backend)
+    faults = {"n": 0}
+    lock = threading.Lock()
+
+    def hook(st, target):
+        with lock:
+            roll = rng.random()
+        if roll < 0.33:
+            faults["n"] += 1
+            raise _Crash(st)
+
+    arb.fault_hook = hook
+    keys = [str(tmp_path / f"{v:012d}.json") for v in range(12)]
+    acked: dict[str, list[str]] = {k: [] for k in keys}
+    alock = threading.Lock()
+
+    def worker(wid):
+        for k in keys:
+            for _attempt in range(50):
+                try:
+                    won = arb.put_if_absent(k, f"W{wid}")
+                except _Crash:
+                    continue  # simulated death; "restarted" writer retries
+                if won:
+                    with alock:
+                        acked[k].append(f"W{wid}")
+                break
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(worker, range(8)))
+    arb.fault_hook = None
+    assert faults["n"] > 0, "faults must actually have fired"
+    for k in keys:
+        assert len(acked[k]) <= 1, f"two acked winners for {k}"
+        if os.path.exists(k):
+            body = open(k).read()
+            assert body.startswith("W") and len(body) == 2, "complete body"
+            if acked[k]:
+                assert body == acked[k][0], "body is the acked winner's"
+    stray = sorted(
+        f for f in os.listdir(tmp_path) if not f.endswith(".json")
+    )
+    assert stray == [], f"leaked temp bodies: {stray}"
