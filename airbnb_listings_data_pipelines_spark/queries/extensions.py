@@ -5447,3 +5447,154 @@ def x91_cdc_sidecar_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{want} — sidecars must be O(changed rows) exact"
             )
     return agg
+
+
+@query(
+    "x92_dv_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    upd AS (
+      SELECT o_orderkey, 9.0 AS delta FROM base WHERE o_orderkey % 6 = 2
+    ),
+    kept AS (
+      SELECT b.o_orderkey,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN 'U'
+                  ELSE b.o_orderstatus END AS o_orderstatus,
+             CASE WHEN u.o_orderkey IS NOT NULL
+                  THEN b.o_totalprice + u.delta
+                  ELSE b.o_totalprice END AS o_totalprice
+      FROM base b LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey
+      WHERE b.o_orderkey % 6 <> 1
+    ),
+    final AS (
+      SELECT * FROM kept
+      UNION ALL
+      SELECT o_orderkey + 80000000, 'N', 6.0
+      FROM base WHERE o_orderkey % 9 = 2
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM final GROUP BY o_orderstatus
+    """,
+    survey_rows=("EXT-tableformat", "EXT-streaming", "J1", "A2", "A8"),
+    doc="MERGE-ON-READ MERGE (mode='dv' — the round-10 verdict item "
+    "composing the DV writer with the clause plan) under the value-hash "
+    "gate: one multi-clause MERGE (conditional DELETE, conditional "
+    "per-column UPDATE, a deliberate NO-OP update clause, conditional "
+    "INSERT) lands as deletion vectors + sliver files instead of a "
+    "copy-on-write rewrite. Physical assertions: the merge commit "
+    "REMOVES no file (untouched AND touched files stay live, positions "
+    "vectored out), and the commit's total DV cardinality equals the "
+    "EXACT count of deleted + genuinely-changed rows — the no-op "
+    "clause's rows contribute nothing (merge._build_clause_plan's "
+    "pre/post struct compare gates the vector). Composition: the "
+    "streaming CDF tail then applies the DV merge's feed (row-exact "
+    "deletes from the vector delta, inserts from the sliver files) "
+    "into a silver table whose aggregate hash-matches the oracle's "
+    "LEFT-JOIN rebuild — the x88 medallion story with MERGE itself "
+    "merge-on-read. At 100 TB a daily upsert updating one row per "
+    "touched file writes O(changed rows) bytes (tests/"
+    "test_txlog_merge_dv.py pins >5x under the COW twin at 8 files); "
+    "operators/txlog._merge_into_dv.",
+)
+def x92_dv_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    from ..operators.txlog import TxLogTable, merge_into_txlog
+    from ..sources import txlog_source
+    from ..streaming.upsert import cdf_apply_stream_txlog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = _dml_scratch("x92" + sf_dir)
+    a_path, b_path, ckpt = root + "/bronze", root + "/silver", root + "/ckpt"
+    a = TxLogTable.create(
+        spark, a_path, orders.repartitionByRange(8, "o_orderkey")
+    )
+    files_before = set(a.files())
+    src = (
+        orders.filter("o_orderkey % 6 = 1")
+        .selectExpr("o_orderkey", "'D' AS action", "CAST(0.0 AS double) AS delta")
+        .unionByName(
+            orders.filter("o_orderkey % 6 = 2").selectExpr(
+                "o_orderkey", "'U' AS action", "CAST(9.0 AS double) AS delta"
+            )
+        )
+        .unionByName(
+            orders.filter("o_orderkey % 6 = 3").selectExpr(
+                "o_orderkey", "'K' AS action", "CAST(0.0 AS double) AS delta"
+            )
+        )
+        .unionByName(
+            orders.filter("o_orderkey % 9 = 2").selectExpr(
+                "o_orderkey + 80000000 AS o_orderkey",
+                "'I' AS action",
+                "CAST(6.0 AS double) AS delta",
+            )
+        )
+    )
+    merge_into_txlog(
+        spark, a, src, ["o_orderkey"],
+        clauses={
+            "matched": [
+                {"cond": "s.action = 'D'", "action": "delete"},
+                {"cond": "s.action = 'U'", "action": "update",
+                 "set": {"o_totalprice": "t.o_totalprice + s.delta",
+                         "o_orderstatus": "'U'"}},
+                # deliberate NO-OP: matched 'K' rows keep their values —
+                # they must leave NO vector position and NO sliver row
+                {"cond": None, "action": "update",
+                 "set": {"o_totalprice": "t.o_totalprice"}},
+            ],
+            "not_matched": [
+                {"cond": "s.action = 'I'",
+                 "values": {"o_orderkey": "s.o_orderkey",
+                            "o_orderstatus": "'N'",
+                            "o_totalprice": "s.delta"}},
+            ],
+        },
+        mode="dv",
+    )
+    with open(os.path.join(a.log_dir, f"{a.version():012d}.json")) as fh:
+        mc = json.load(fh)
+    if mc["removes"]:
+        raise AssertionError(
+            f"merge-on-read rewrote/removed files: {mc['removes']}"
+        )
+    if not files_before <= set(a.files()):
+        raise AssertionError("a pre-merge file left the live set")
+    n_del = orders.filter("o_orderkey % 6 = 1").count()
+    n_upd = orders.filter("o_orderkey % 6 = 2").count()
+    vectored = sum(d["cardinality"] for d in (mc.get("dvs") or {}).values())
+    if vectored != n_del + n_upd:
+        raise AssertionError(
+            f"DV cardinality {vectored} != exact changed rows "
+            f"{n_del + n_upd} — no-op clause leaked into the vectors"
+        )
+    txlog_source.register(spark)
+    stream = (
+        spark.readStream.format("txlog")
+        .option("readChangeFeed", "true")
+        .load(a_path)
+    )
+    q = cdf_apply_stream_txlog(
+        stream, b_path, ["o_orderkey"], ckpt, app_id="x92"
+    )
+    q.awaitTermination(300)
+    if not a.dvs():
+        raise AssertionError("bronze lost its vectors — DV mode not live")
+    b = TxLogTable(spark, b_path)
+    return b.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
+    )
