@@ -5598,3 +5598,140 @@ def x92_dv_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@query(
+    "x93_foreign_delta_stream",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    live1 AS (SELECT * FROM base WHERE o_orderkey % 9 <> 4),
+    live2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 2 THEN o_totalprice + 13.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM live1
+    ),
+    final AS (
+      SELECT * FROM live2
+      UNION ALL
+      SELECT o_orderkey + 70000000, 'Z', 3.0
+      FROM base WHERE o_orderkey % 12 = 7
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM final GROUP BY o_orderstatus
+    """,
+    survey_rows=("EXT-streaming", "EXT-tableformat", "A2", "A8"),
+    doc="FOREIGN DELTA TABLE AS A STREAMING SOURCE, no adoption "
+    "(round-10 verdict item 4): a Delta table the engine does NOT own "
+    "— built by exporting a native table (DV delete + cdc update "
+    "commits become deletionVector adds + AddCDCFile actions), "
+    "STRIPPING the txlog, then INDEPENDENTLY MUTATING the bare "
+    "_delta_log with a hand-authored append commit the engine never "
+    "saw — is tailed by readStream.format('txlog') readChangeFeed=true "
+    "straight off its _delta_log (sources/txlog_source._dlog_* fold "
+    "twins, public PROTOCOL.md) into a silver merge whose aggregate "
+    "hash-matches the oracle rebuild. The slices are the same shapes "
+    "the native tail plans: RoaringBitmap DV deltas decode row-exact "
+    "deletes, AddCDCFile slices stream O(changed rows) with Delta's "
+    "update_pre/postimage tags mapped to the feed contract, "
+    "partitionValues come from the LOG not the path. At 100 TB the "
+    "medallion story no longer requires owning bronze: per-trigger "
+    "cost stays O(changed commits), and a foreign writer's vacuum/"
+    "checkpoint cadence is honored (checkpoint bootstrap, contiguity "
+    "refusal).",
+)
+def x93_foreign_delta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..operators.txlog import TxLogTable
+    from ..sources import txlog_source
+    from ..streaming.upsert import cdf_apply_stream_txlog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = _dml_scratch("x93" + sf_dir)
+    native, foreign = root + "/native", root + "/foreign"
+    b_path, ckpt = root + "/silver", root + "/ckpt"
+    t = TxLogTable.create(
+        spark, native, orders.repartitionByRange(8, "o_orderkey")
+    )
+    t.delete_where("o_orderkey % 9 = 4", mode="dv")  # v1: DV commit
+    t.update_where(
+        "o_orderkey % 11 = 2",
+        {"o_totalprice": F.col("o_totalprice") + F.lit(13.0)},
+        cdc=True,
+    )  # v2: cdc sidecar -> AddCDCFile on export
+    t.to_delta_log()
+    shutil.copytree(native, foreign)
+    shutil.rmtree(os.path.join(foreign, "_txlog"))
+    # the independent mutation: a foreign writer appends rows + commit v3
+    new_rows = (
+        orders.filter("o_orderkey % 12 = 7")
+        .selectExpr(
+            "o_orderkey + 70000000 AS o_orderkey",
+            "'Z' AS o_orderstatus",
+            "CAST(3.0 AS double) AS o_totalprice",
+        )
+        .toPandas()
+    )
+    rel = "foreign-append.parquet"
+    pq.write_table(
+        pa.Table.from_pandas(new_rows, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("o_orderkey", pa.int64()),
+                    ("o_orderstatus", pa.string()),
+                    ("o_totalprice", pa.float64()),
+                ]
+            )
+        ),
+        os.path.join(foreign, rel),
+    )
+    with open(
+        os.path.join(foreign, "_delta_log", f"{3:020d}.json"), "w"
+    ) as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(foreign, rel)),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    txlog_source.register(spark)
+    q = cdf_apply_stream_txlog(
+        spark.readStream.format("txlog")
+        .option("readChangeFeed", "true")
+        .load(foreign),
+        b_path,
+        ["o_orderkey"],
+        ckpt,
+        app_id="x93",
+    )
+    q.awaitTermination(300)
+    b = TxLogTable(spark, b_path)
+    return b.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
+    )

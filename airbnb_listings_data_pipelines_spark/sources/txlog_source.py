@@ -70,6 +70,10 @@ from pyspark.sql.datasource import (
 if TYPE_CHECKING:  # pragma: no cover
     import pyarrow as pa
 
+# set by register(): operators/roaring.decode_descriptor, carried into
+# package-less processes via the by-value module pickle
+_DELTA_DV_DECODE = None
+
 
 def register(spark) -> None:
     """Register the ``txlog`` format on ``spark``. Ships this module BY
@@ -84,6 +88,17 @@ def register(spark) -> None:
 
     from pyspark import cloudpickle
 
+    # foreign-Delta deletion vectors decode with operators/roaring;
+    # stash the function as a module global HERE (driver-side, package
+    # importable) and register its module by value, so the by-value
+    # pickle of THIS module carries the decoder into planner runners and
+    # workers that cannot import the package (same self-containment
+    # contract as the inlined fold twins)
+    global _DELTA_DV_DECODE
+    from ..operators import roaring as _roaring
+
+    cloudpickle.register_pickle_by_value(_roaring)
+    _DELTA_DV_DECODE = _roaring.decode_descriptor
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     sc = spark.sparkContext
     if not getattr(sc, "_txlog_pkg_shipped", False):
@@ -149,7 +164,21 @@ def _replay_full(
     log_dir: str, as_of: int | None = None
 ) -> tuple[int, list[str], dict]:
     """(version, live files, deletion-vector state) — inlined twin of
-    operators/txlog.replay_log_full (see there for the fold rules)."""
+    operators/txlog.replay_log_full (see there for the fold rules).
+    Foreign Delta logs fold via the _dlog twins (descriptors are Delta
+    DV descriptors there, distinguished by their storageType key)."""
+    if _is_delta(log_dir):
+        st = _dlog_replay(log_dir, as_of)
+        live = st["live"]
+        return (
+            st["v"],
+            sorted(live),
+            {
+                f: a["deletionVector"]
+                for f, a in live.items()
+                if a.get("deletionVector")
+            },
+        )
     entries = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
     if not entries:
         raise FileNotFoundError(f"no commits in {log_dir}")
@@ -186,6 +215,9 @@ def _replay_full(
 
 
 def _schema_json_at(log_dir: str, as_of: int | None = None) -> str | None:
+    if _is_delta(log_dir):
+        # Delta's schemaString IS Spark StructType JSON (PROTOCOL.md)
+        return _dlog_replay(log_dir, as_of)["meta"]["schemaString"]
     best: tuple[int, str] | None = None
     for name in os.listdir(log_dir):
         if not name.endswith(".json"):
@@ -217,6 +249,8 @@ def _deltas_full(log_dir: str, from_version: int, to_version: int) -> list[dict]
     backward scan; checkpoints land every ~20 commits) so a streaming
     tail's per-trigger poll is O(commits in range + checkpoint
     interval), never O(total commits)."""
+    if _is_delta(log_dir):
+        return _dlog_deltas_full(log_dir, from_version, to_version)
     entries = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
     versions = [int(n.split(".")[0]) for n in entries]
     if versions and versions[0] > from_version:
@@ -342,6 +376,8 @@ def _typed_pval(raw: str | None, dtype):
 def _mapping_json_at(log_dir: str, as_of: int | None = None) -> dict | None:
     """Column mapping (logical -> PHYSICAL parquet name) at ``as_of`` —
     inlined twin of operators/txlog.mapping_at. None = identity."""
+    if _is_delta(log_dir):
+        return _dlog_mapping(_dlog_replay(log_dir, as_of)["meta"])
     best: tuple[int, dict] | None = None
     for name in os.listdir(log_dir):
         if not name.endswith(".json"):
@@ -365,6 +401,8 @@ def _partition_meta(log_dir: str):
     operators/txlog.TxLogTable.partition_meta)."""
     from pyspark.sql.types import StructType
 
+    if _is_delta(log_dir):
+        return _dlog_partition_meta(log_dir)
     c0_path = os.path.join(log_dir, f"{0:012d}.json")
     if os.path.exists(c0_path):
         with open(c0_path) as fh:
@@ -392,6 +430,307 @@ def _partition_meta(log_dir: str):
         StructType.fromJson(json.loads(c0["partition_schema"])) if pby else None
     )
     return pby, pschema
+
+
+# ---- inlined foreign-Delta fold twins (public delta.io PROTOCOL.md;
+# round-10: stream a _delta_log the engine doesn't own, no adoption).
+# Same self-containment contract as the txlog twins above: raw json +
+# pyarrow only, no SparkSession (the planner runner has none), no
+# package imports (register() stashes the roaring DV decoder). ----
+
+
+def _dlog_commits(log_dir: str) -> list[tuple[int, str]]:
+    """(version, filename) of every single-version Delta JSON commit —
+    20-digit names only; log compactions (`<s>.<e>.compacted.json`) and
+    .crc files never match (they are read optimizations, not commits)."""
+    import re
+
+    out = []
+    for f in os.listdir(log_dir):
+        if re.fullmatch(r"\d{20}\.json", f):
+            out.append((int(f.split(".")[0]), f))
+    return sorted(out)
+
+
+def _dlog_last_checkpoint(log_dir: str) -> dict | None:
+    p = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _dlog_check_protocol(proto: dict) -> None:
+    """Refuse what the fold cannot replay — the same loud-refusal rule
+    as operators/deltalog._check_protocol, inlined. Classic parquet
+    checkpoints + deletionVectors + columnMapping(name) are supported;
+    v2Checkpoint would change the checkpoint format under us."""
+    ok = {
+        "deletionVectors", "columnMapping", "timestampNtz",
+        "appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns",
+    }
+    rf = set(proto.get("readerFeatures") or [])
+    bad = rf - ok
+    if proto.get("minReaderVersion", 1) > 3 or bad:
+        raise NotImplementedError(
+            f"unsupported Delta reader requirement: minReaderVersion="
+            f"{proto.get('minReaderVersion')}, readerFeatures={sorted(bad)}"
+        )
+
+
+def _dlog_norm_add(add: dict) -> dict:
+    """Normalize one add action (json or pyarrow-checkpoint row): map
+    types arrive as lists of (k, v) pairs from pyarrow; an all-null
+    deletionVector struct means none."""
+    pv = add.get("partitionValues")
+    if isinstance(pv, list):
+        pv = dict(pv)
+    dv = add.get("deletionVector") or None
+    if dv is not None and not dv.get("storageType"):
+        dv = None
+    return {
+        "path": add["path"],
+        "partitionValues": pv or {},
+        "deletionVector": dv,
+    }
+
+
+def _dlog_norm_meta(md: dict) -> dict:
+    cfg = md.get("configuration")
+    if isinstance(cfg, list):
+        md = {**md, "configuration": dict(cfg)}
+    return md
+
+
+def _dlog_ckpt_state(
+    log_dir: str, version: int, parts
+) -> tuple[dict, dict | None]:
+    """(live {path: normalized add}, metadata|None) from a CLASSIC
+    parquet checkpoint, read with pyarrow — one action per row."""
+    import pyarrow.parquet as pq
+
+    if parts:
+        names = [
+            f"{version:020d}.checkpoint.{i:010d}.{int(parts):010d}.parquet"
+            for i in range(1, int(parts) + 1)
+        ]
+    else:
+        names = [f"{version:020d}.checkpoint.parquet"]
+    live: dict[str, dict] = {}
+    metadata = None
+    for name in names:
+        tbl = pq.read_table(os.path.join(log_dir, name))
+        cols = set(tbl.column_names)
+        for row in tbl.to_pylist():
+            add = row.get("add") if "add" in cols else None
+            if add and add.get("path"):
+                live[add["path"]] = _dlog_norm_add(add)
+            md = row.get("metaData") if "metaData" in cols else None
+            if md and md.get("schemaString"):
+                metadata = _dlog_norm_meta(md)
+            proto = row.get("protocol") if "protocol" in cols else None
+            if proto and proto.get("minReaderVersion") is not None:
+                _dlog_check_protocol(proto)
+    return live, metadata
+
+
+def _dlog_apply(
+    log_dir: str, fname: str
+) -> tuple[dict | None, dict, set, list[str], bool]:
+    """Parse one Delta JSON commit: (metadata|None, adds {path: add},
+    removed paths, cdc rel paths, any-dataChange flag). A remove+add of
+    one path in the same commit is a DV/metadata update — the add wins
+    (callers pop removes first, then apply adds)."""
+    meta = None
+    adds: dict[str, dict] = {}
+    removes: set[str] = set()
+    cdc: list[str] = []
+    any_dc = False
+    with open(os.path.join(log_dir, fname)) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            a = json.loads(line)
+            if "metaData" in a:
+                meta = _dlog_norm_meta(a["metaData"])
+            elif "protocol" in a:
+                _dlog_check_protocol(a["protocol"])
+            elif "add" in a:
+                adds[a["add"]["path"]] = _dlog_norm_add(a["add"])
+                if a["add"].get("dataChange", True):
+                    any_dc = True
+            elif "remove" in a:
+                removes.add(a["remove"]["path"])
+                if a["remove"].get("dataChange", True):
+                    any_dc = True
+            elif "cdc" in a:
+                pv = a["cdc"].get("partitionValues")
+                if isinstance(pv, list):
+                    pv = dict(pv)
+                cdc.append(
+                    {"path": a["cdc"]["path"], "partitionValues": pv or {}}
+                )
+    return meta, adds, removes, cdc, any_dc
+
+
+def _dlog_replay(log_dir: str, as_of: int | None = None) -> dict:
+    """Snapshot fold: {"v", "live" {path: normalized add}, "meta"} at
+    ``as_of`` (default latest) — checkpoint bootstrap + contiguous JSON
+    tail, loud refusal when commits below the head are needed."""
+    commits = _dlog_commits(log_dir)
+    lc = _dlog_last_checkpoint(log_dir)
+    latest = max(
+        commits[-1][0] if commits else -1,
+        lc["version"] if lc else -1,
+    )
+    if latest < 0:
+        raise FileNotFoundError(f"no Delta commits in {log_dir}")
+    want = latest if as_of is None else int(as_of)
+    if want > latest:
+        raise FileNotFoundError(
+            f"version {want} not in Delta log (latest {latest})"
+        )
+    live: dict[str, dict] = {}
+    meta = None
+    start_after = -1
+    if lc and lc.get("version", -1) <= want:
+        live, meta = _dlog_ckpt_state(
+            log_dir, lc["version"], lc.get("parts")
+        )
+        start_after = lc["version"]
+    have = [v for v, _ in commits if start_after < v <= want]
+    if have != list(range(start_after + 1, want + 1)):
+        raise FileNotFoundError(
+            f"Delta log {log_dir}: non-contiguous JSON commits above "
+            f"checkpoint {start_after} (need through {want}, have {have})"
+        )
+    for v, fname in commits:
+        if v <= start_after or v > want:
+            continue
+        m2, adds, removes, _cdc, _dc = _dlog_apply(log_dir, fname)
+        if m2 is not None:
+            meta = m2
+        for p in removes:
+            live.pop(p, None)
+        live.update(adds)
+    if meta is None or meta.get("schemaString") is None:
+        raise FileNotFoundError(
+            f"no metaData action at or below version {want} in {log_dir}"
+        )
+    return {"v": want, "live": live, "meta": meta}
+
+
+def _dlog_rec(v: int, prev: dict, new: dict, cdc: list, nodata: bool) -> dict:
+    """One per-commit record in the SAME shape _deltas_full emits for
+    txlog commits, plus ``pvals`` (delta files carry partitionValues in
+    the LOG, not necessarily in hive paths)."""
+    padds, nadds = set(prev), set(new)
+    adds = sorted(nadds - padds)
+    removes = sorted(padds - nadds)
+    both = padds & nadds
+
+    def dv(side, f):
+        return side[f].get("deletionVector")
+
+    return {
+        "v": v,
+        "adds": adds,
+        "removes": removes,
+        "op": "optimize" if nodata else "write",
+        "dv_changed": {
+            f: (dv(prev, f), dv(new, f))
+            for f in sorted(both)
+            if dv(prev, f) != dv(new, f)
+        },
+        "dv_removed": {f: dv(prev, f) for f in removes if dv(prev, f)},
+        "dv_added": {f: dv(new, f) for f in adds if dv(new, f)},
+        "cdc": list(cdc),
+        "pvals": {
+            f: (new.get(f) or prev.get(f))["partitionValues"]
+            for f in set(adds) | set(removes) | both
+        },
+    }
+
+
+def _dlog_deltas_full(log_dir: str, lo: int, hi: int) -> list[dict]:
+    """Per-commit deltas for ``[lo, hi]`` — JSON actions ARE the delta;
+    prior DV descriptors come from the fold state. When the JSON head
+    expired above ``lo``, the checkpoint at/below the head bootstraps
+    ONE synthetic full-snapshot record (the same clamped-bootstrap
+    behavior the txlog stream has after cleanup_log)."""
+    commits = dict(_dlog_commits(log_dir))
+    lc = _dlog_last_checkpoint(log_dir)
+    out: list[dict] = []
+    prev: dict[str, dict] = {}
+    start = lo
+    head = min(commits) if commits else None
+    if head is not None and head > lo:
+        if not (lc and lo <= lc.get("version", -1) < head):
+            raise FileNotFoundError(
+                f"change feed from version {lo} is below the retained "
+                f"Delta log head (oldest commit: {head}) and no "
+                "checkpoint covers the gap"
+            )
+        live, _meta = _dlog_ckpt_state(
+            log_dir, lc["version"], lc.get("parts")
+        )
+        out.append(_dlog_rec(lc["version"], {}, live, [], False))
+        prev = live
+        start = lc["version"] + 1
+    elif lo > 0:
+        prev = _dlog_replay(log_dir, lo - 1)["live"]
+    for v in range(start, hi + 1):
+        fname = commits.get(v)
+        if fname is None:
+            break
+        _m, adds, removes, cdc, any_dc = _dlog_apply(log_dir, fname)
+        new = dict(prev)
+        for p in removes:
+            new.pop(p, None)
+        new.update(adds)
+        out.append(_dlog_rec(v, prev, new, cdc, not any_dc))
+        prev = new
+    return out
+
+
+def _dlog_mapping(meta: dict) -> dict | None:
+    """logical -> PHYSICAL column names under columnMapping=name (from
+    the schemaString field annotations); None for mode none; loud for
+    mode id (field-id resolution is a parquet-schema feature this
+    reader does not implement)."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode == "none":
+        return None
+    if mode != "name":
+        raise NotImplementedError(f"columnMapping mode {mode!r}")
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    return {
+        f.name: (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+        for f in schema.fields
+    }
+
+
+def _dlog_partition_meta(log_dir: str):
+    from pyspark.sql.types import StructType
+
+    meta = _dlog_replay(log_dir)["meta"]
+    pby = list(meta.get("partitionColumns") or [])
+    if not pby:
+        return [], None
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    by_name = {f.name: f for f in schema.fields}
+    return pby, StructType([by_name[c] for c in pby])
 
 
 # --------------------------------------------------------------- readers
@@ -439,10 +778,37 @@ def _opt(options: dict, name: str, default=None):
 
 
 def _log_dir(options: dict) -> str:
+    """The table's log directory: ``_txlog`` when present, else a FOREIGN
+    ``_delta_log`` (round-10: medallion pipelines can stream straight
+    from tables the engine doesn't own — no CONVERT/adoption needed; the
+    Delta fold twins below plan the same slice shapes from Delta's JSON
+    commits per the public PROTOCOL.md)."""
     path = _opt(options, "path")
     if not path:
         raise ValueError("txlog source requires a path: .load('<table dir>')")
-    return os.path.join(path, "_txlog")
+    tx = os.path.join(path, "_txlog")
+    dl = os.path.join(path, "_delta_log")
+    if not os.path.isdir(tx) and os.path.isdir(dl):
+        return dl
+    return tx
+
+
+def _is_delta(log_dir: str) -> bool:
+    return os.path.basename(log_dir.rstrip("/")) == "_delta_log"
+
+
+def _typed_pvals(raw: dict, pby: list[str], pschema, mapping: dict | None):
+    """Typed partition values from one raw (string) map. Delta keys
+    partitionValues by PHYSICAL name under columnMapping (the spec's
+    rule); physical-first lookup serves both."""
+    out = {}
+    for fld in (pschema.fields if pschema is not None else []):
+        if fld.name not in pby:
+            continue
+        phys = (mapping or {}).get(fld.name, fld.name)
+        v = raw.get(phys, raw.get(fld.name))
+        out[fld.name] = _typed_pval(v, fld.dataType)
+    return out
 
 
 def _plan_files(
@@ -451,15 +817,16 @@ def _plan_files(
     pby: list[str],
     pschema,
     dvs: dict | None = None,
+    raw_pvals: dict | None = None,
+    mapping: dict | None = None,
 ) -> list[_FileSlice]:
+    """``raw_pvals`` (file -> raw string map) overrides hive-path
+    parsing — Delta records partitionValues in the LOG and permits
+    non-hive file paths."""
     slices = []
     for f in files:
-        raw = _raw_pvals(f)
-        pvals = {
-            fld.name: _typed_pval(raw.get(fld.name), fld.dataType)
-            for fld in (pschema.fields if pschema is not None else [])
-            if fld.name in pby
-        }
+        raw = raw_pvals[f] if raw_pvals is not None else _raw_pvals(f)
+        pvals = _typed_pvals(raw, pby, pschema, mapping)
         desc = (dvs or {}).get(f)
         slices.append(
             _FileSlice(
@@ -472,12 +839,16 @@ def _plan_files(
 
 
 def _dv_ref(table_path: str, f: str, desc: dict | None) -> tuple | None:
-    """(sidecar full path, file lookup key) for a DV descriptor — the
-    key is the file's relative path for ``pathkey == 'rel'`` sidecars,
-    its basename for legacy ones (pre-change DML guaranteed those
-    globally unique)."""
+    """(sidecar full path, file lookup key) for a txlog DV descriptor —
+    the key is the file's relative path for ``pathkey == 'rel'``
+    sidecars, its basename for legacy ones (pre-change DML guaranteed
+    those globally unique). A foreign DELTA descriptor (it carries
+    ``storageType``) becomes a tagged 3-tuple the executor decodes with
+    the roaring module register() stashed."""
     if not desc:
         return None
+    if "storageType" in desc:
+        return ("__delta__", table_path, json.dumps(desc, sort_keys=True))
     key = f if desc.get("pathkey") == "rel" else os.path.basename(f)
     return (os.path.join(table_path, desc["sidecar"]), key)
 
@@ -487,7 +858,8 @@ def _cdf_on(options: dict) -> bool:
 
 
 def _plan_changes(
-    table_path: str, log_dir: str, lo: int, hi: int, pby, pschema
+    table_path: str, log_dir: str, lo: int, hi: int, pby, pschema,
+    mapping: dict | None = None,
 ) -> list[_FileSlice]:
     """Change-Data-Feed planning for commits ``[lo, hi]``: each commit's
     added files become insert slices, removed files delete slices — the
@@ -501,31 +873,42 @@ def _plan_changes(
     live across the commit plans index-delta slices — grown vector =
     deletes, shrunk (restore) = re-inserts."""
 
-    def _pv(f: str) -> dict:
-        raw = _raw_pvals(f)
-        return {
-            fld.name: _typed_pval(raw.get(fld.name), fld.dataType)
-            for fld in (pschema.fields if pschema is not None else [])
-            if fld.name in pby
-        }
-
     slices: list[_FileSlice] = []
     for rec in _deltas_full(log_dir, lo, hi):
         v, op = rec["v"], rec["op"]
+        rec_pvals = rec.get("pvals")  # Delta recs: partitionValues from the log
+
+        def _pv(f: str) -> dict:
+            raw = rec_pvals[f] if rec_pvals is not None else _raw_pvals(f)
+            return _typed_pvals(raw, pby, pschema, mapping)
+
         if op == "optimize":
             continue  # data-unchanged rewrite: excluded from the feed
         if rec.get("cdc"):
-            # the commit recorded its exact changes in a change-data
-            # sidecar — ONE O(changed rows) slice replaces the touched
+            # the commit recorded its exact changes in change-data
+            # sidecar(s) — O(changed rows) slices replace the touched
             # files' delete+insert rewrite noise; _change_type comes
-            # from the sidecar itself (the "__cdc__" marker)
-            slices.append(
-                _FileSlice(
-                    os.path.join(table_path, rec["cdc"]),
-                    {},
-                    change=("__cdc__", v),
+            # from the sidecar itself (the "__cdc__" marker). txlog
+            # commits carry one sidecar; Delta commits may carry one
+            # AddCDCFile per partition.
+            cdcs = rec["cdc"]
+            if isinstance(cdcs, str):
+                cdcs = [cdcs]
+            for c in cdcs:
+                if isinstance(c, dict):  # Delta AddCDCFile: pvals in the log
+                    cp = c["path"]
+                    cpv = _typed_pvals(
+                        c.get("partitionValues") or {}, pby, pschema, mapping
+                    )
+                else:  # txlog sidecar: all columns live in the parquet
+                    cp, cpv = c, {}
+                slices.append(
+                    _FileSlice(
+                        os.path.join(table_path, cp),
+                        cpv,
+                        change=("__cdc__", v),
+                    )
                 )
-            )
             continue
         for f in rec["adds"]:
             slices.append(
@@ -572,7 +955,18 @@ def _dv_indices(ref: tuple):
     """Deleted row indices for one data file from one ``(sidecar path,
     file key)`` ref — a predicate-pushed read of the tiny
     (file, row_index) parquet, keyed exactly as the planner resolved
-    the descriptor (relative path or legacy basename)."""
+    the descriptor (relative path or legacy basename). A ``__delta__``
+    ref decodes the RoaringBitmap descriptor instead (operators/roaring
+    via the register()-stashed function, so package-less workers work)."""
+    if ref[0] == "__delta__":
+        import numpy as np
+
+        decode = _DELTA_DV_DECODE
+        if decode is None:  # direct module use without register()
+            from ..operators.roaring import decode_descriptor as decode
+        return np.asarray(
+            decode(json.loads(ref[2]), ref[1]), dtype=np.int64
+        )
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(
@@ -700,13 +1094,31 @@ class TxLogBatchReader(DataSourceReader):
                 )
             self.mapping = _mapping_json_at(log_dir, hi)
             self.slices = _plan_changes(
-                self.path, log_dir, lo, hi, pby, pschema
+                self.path, log_dir, lo, hi, pby, pschema,
+                mapping=self.mapping,
             )
         else:
             v = int(as_of) if as_of is not None else None
-            _v, files, dvs = _replay_full(log_dir, v)
-            self.mapping = _mapping_json_at(log_dir, v)
-            self.slices = _plan_files(self.path, files, pby, pschema, dvs=dvs)
+            if _is_delta(log_dir):
+                st = _dlog_replay(log_dir, v)
+                files = sorted(st["live"])
+                dvs = {
+                    f: a["deletionVector"]
+                    for f, a in st["live"].items()
+                    if a.get("deletionVector")
+                }
+                raw_pvals = {
+                    f: a["partitionValues"] for f, a in st["live"].items()
+                }
+                self.mapping = _dlog_mapping(st["meta"])
+            else:
+                _v, files, dvs = _replay_full(log_dir, v)
+                raw_pvals = None
+                self.mapping = _mapping_json_at(log_dir, v)
+            self.slices = _plan_files(
+                self.path, files, pby, pschema, dvs=dvs,
+                raw_pvals=raw_pvals, mapping=self.mapping,
+            )
 
     def partitions(self):
         return self.slices
@@ -745,7 +1157,7 @@ class TxLogStreamReader(DataSourceStreamReader):
     # offsets are commit versions: {"version": last PROCESSED version}
     def initialOffset(self) -> dict:
         start = self.starting
-        if start == 0:
+        if start == 0 and not _is_delta(self.log_dir):
             # "process the existing table then tail": after cleanup_log
             # truncated the head, version 0 is gone — clamp to the oldest
             # retained commit, which cleanup's invariant guarantees is a
@@ -753,7 +1165,10 @@ class TxLogStreamReader(DataSourceStreamReader):
             # snapshot at that version (Delta's startingVersion clamps
             # the same way). An EXPLICIT startingVersion below the head
             # still fails loudly in the delta fold — the caller asked for
-            # versions that no longer exist.
+            # versions that no longer exist. (Foreign Delta logs need no
+            # clamp: _dlog_deltas_full bootstraps a synthetic
+            # full-snapshot record from the parquet checkpoint when the
+            # JSON head expired above the requested floor.)
             entries = sorted(
                 f for f in os.listdir(self.log_dir) if f.endswith(".json")
             )
@@ -849,10 +1264,12 @@ class TxLogStreamReader(DataSourceStreamReader):
             # delta as tagged change rows — DML/OPTIMIZE commits are
             # first-class, not errors
             return _plan_changes(
-                self.path, self.log_dir, lo + 1, hi, pby, pschema
+                self.path, self.log_dir, lo + 1, hi, pby, pschema,
+                mapping=self.mapping,
             )
         files: list[str] = []
         dvs: dict = {}
+        raw_pvals: dict = {}
         for rec in _deltas_full(self.log_dir, lo + 1, hi):
             v, adds, removes, op = rec["v"], rec["adds"], rec["removes"], rec["op"]
             if removes or rec["dv_changed"]:
@@ -880,7 +1297,12 @@ class TxLogStreamReader(DataSourceStreamReader):
                 d = rec["dv_added"].get(f)
                 if d is not None:
                     dvs[f] = d
-        return _plan_files(self.path, files, pby, pschema, dvs=dvs)
+                if rec.get("pvals") is not None:
+                    raw_pvals[f] = rec["pvals"][f]
+        return _plan_files(
+            self.path, files, pby, pschema, dvs=dvs,
+            raw_pvals=raw_pvals or None, mapping=self.mapping,
+        )
 
     def read(self, partition: _FileSlice):
         return _read_slice(partition, self.schema_, self.mapping)
