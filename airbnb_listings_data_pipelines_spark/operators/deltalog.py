@@ -56,6 +56,7 @@ import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DELTA_DIR = "_delta_log"
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
@@ -1522,3 +1523,295 @@ def read_delta_where(
         # raises the same AnalysisException as the non-empty path
         return _empty_snapshot(spark, metadata).filter(residual)
     return _read_live_files(spark, path, kept, metadata).filter(residual)
+
+
+# ------------------------------------------------- foreign change feed
+
+
+def _parse_delta_commit(delta_dir: str, version: int):
+    """One Delta JSON commit's actions: (adds {path: action}, removed
+    paths, cdc actions, any-dataChange flag). Loud when the commit file
+    expired — the CDF horizon is the foreign log-retention horizon."""
+    fname = os.path.join(delta_dir, _delta_commit_name(version))
+    if not os.path.exists(fname):
+        raise FileNotFoundError(
+            f"change feed needs Delta commit {version}, missing from "
+            f"{delta_dir} — the foreign log was cleaned below it"
+        )
+    adds: dict[str, dict] = {}
+    removes: set[str] = set()
+    cdc: list[dict] = []
+    any_dc = False
+    with open(fname) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            a = json.loads(line)
+            if "add" in a:
+                adds[a["add"]["path"]] = a["add"]
+                any_dc = any_dc or a["add"].get("dataChange", True)
+            elif "remove" in a:
+                removes.add(a["remove"]["path"])
+                any_dc = any_dc or a["remove"].get("dataChange", True)
+            elif "cdc" in a:
+                cdc.append(a["cdc"])
+            elif "protocol" in a:
+                _check_protocol(a["protocol"])
+    return adds, removes, cdc, any_dc
+
+
+def _pv_column(fields: dict, phys: dict, pv: dict, c: str):
+    """One partition column as a typed literal — partitionValues are
+    keyed by PHYSICAL name under columnMapping (physical-first lookup
+    serves both)."""
+    raw = pv.get(phys.get(c, c), pv.get(c))
+    return F.lit(raw).cast(fields[c].dataType)
+
+
+def _read_delta_cdc(
+    spark: SparkSession, path: str, cdc_actions: list[dict],
+    metadata: dict, v: int,
+) -> DataFrame:
+    """Rows of a commit's ``_change_data`` files (AddCDCFile actions) —
+    the row-exact change set. Delta's ``update_preimage`` /
+    ``update_postimage`` tags map to the engine's delete/insert feed
+    contract (the same rule TxLogTable._read_cdc applies to native
+    sidecars). Partition columns attach from each action's
+    partitionValues (cdc files omit them, like data files)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    _require_supported_mapping(metadata)
+    schema = _logical_schema(metadata)
+    phys = _physical_names(metadata)
+    pcols = metadata.get("partitionColumns") or []
+    fields = {fl.name: fl for fl in schema.fields}
+    data_fields = [fl for fl in schema.fields if fl.name not in pcols]
+    read_schema = StructType(
+        [StructField(phys[fl.name], fl.dataType, True) for fl in data_fields]
+        + [StructField("_change_type", StringType())]
+    )
+    parts = []
+    for a in cdc_actions:
+        df = (
+            spark.read.schema(read_schema)
+            .parquet(os.path.join(path, a["path"]))
+            .select(
+                *[
+                    F.col(phys[fl.name]).alias(fl.name)
+                    for fl in data_fields
+                ],
+                "_change_type",
+            )
+        )
+        pv = a.get("partitionValues") or {}
+        for c in pcols:
+            df = df.withColumn(c, _pv_column(fields, phys, pv, c))
+        parts.append(
+            df.select(*[fl.name for fl in schema.fields], "_change_type")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    ct = (
+        F.when(F.col("_change_type") == "update_preimage", F.lit("delete"))
+        .when(F.col("_change_type") == "update_postimage", F.lit("insert"))
+        .otherwise(F.col("_change_type"))
+        .alias("_change_type")
+    )
+    return out.select(*[fl.name for fl in schema.fields], ct).withColumn(
+        "_commit_version", F.lit(v).cast("int")
+    )
+
+
+def _dv_index_delta(
+    spark: SparkSession, table_path: str, old_desc: dict | None,
+    new_desc: dict | None, want: str,
+):
+    """Row indexes a DV change adds ('grown' = new - old: deletes) or
+    removes ('shrunk' = old - new: restore re-inserts), or None when the
+    minuend side is absent. RoaringBitmap decode runs INSIDE a
+    mapInPandas task (roaring pickled by value), never on the driver —
+    the same executor-side rule _delta_dv_rows follows."""
+    import json as _json
+
+    from pyspark import cloudpickle
+
+    from . import roaring
+
+    cloudpickle.register_pickle_by_value(roaring)
+    decode = roaring.decode_descriptor
+    minuend, subtrahend = (
+        (new_desc, old_desc) if want == "grown" else (old_desc, new_desc)
+    )
+    if minuend is None:
+        return None
+    row = (
+        _json.dumps(minuend),
+        _json.dumps(subtrahend) if subtrahend is not None else None,
+    )
+    desc_df = spark.createDataFrame([row], "m string, s string")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for m, s in zip(pdf["m"], pdf["s"]):
+                mi = decode(_json.loads(m), table_path)
+                si = (
+                    set(decode(_json.loads(s), table_path))
+                    if s is not None
+                    else set()
+                )
+                yield pd.DataFrame(
+                    {
+                        "row_index": pd.Series(
+                            [i for i in mi if i not in si], dtype="int64"
+                        )
+                    }
+                )
+
+    out = desc_df.mapInPandas(gen, "row_index long")
+    card = int(minuend.get("cardinality") or 0)
+    return F.broadcast(out) if card <= 500_000 else out
+
+
+def _delta_rows_at_indices(
+    spark: SparkSession, path: str, f: str, add: dict, metadata: dict,
+    idx_df: DataFrame,
+) -> DataFrame:
+    """The rows of ONE file at the given in-file row indexes — the
+    row-exact read a DV-delta change feed needs: one scan of the file,
+    one semi-join on ``_metadata.row_index``, partition columns from the
+    add action's partitionValues."""
+    from pyspark.sql.types import StructField, StructType
+
+    _require_supported_mapping(metadata)
+    schema = _logical_schema(metadata)
+    phys = _physical_names(metadata)
+    pcols = metadata.get("partitionColumns") or []
+    fields = {fl.name: fl for fl in schema.fields}
+    data_fields = [fl for fl in schema.fields if fl.name not in pcols]
+    data_schema = StructType(
+        [
+            StructField(phys[fl.name], fl.dataType, fl.nullable)
+            for fl in data_fields
+        ]
+    )
+    df = (
+        spark.read.schema(data_schema)
+        .parquet(os.path.join(path, f))
+        .select(
+            *[F.col(phys[fl.name]).alias(fl.name) for fl in data_fields],
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+    )
+    pv = add.get("partitionValues") or {}
+    for c in pcols:
+        df = df.withColumn(c, _pv_column(fields, phys, pv, c))
+    return df.join(
+        idx_df, df["__ri"] == idx_df["row_index"], "left_semi"
+    ).select(*[fl.name for fl in schema.fields])
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int,
+    net: bool = True,
+) -> DataFrame:
+    """Per-commit Change Data Feed over a FOREIGN Delta log — Delta's
+    ``table_changes`` computed straight from ``_delta_log`` JSON commits
+    (public PROTOCOL.md), no adoption required. The independent half of
+    CONVERT FROM DELTA's history story: an adopted table's
+    ``read_changes`` serves pre-adoption versions through this reader,
+    so the CDF horizon survives conversion.
+
+    Per commit: AddCDCFile actions win (row-exact, O(changed rows));
+    else added files are inserts and removed files deletes, with
+    ``net=True`` cancelling copy-on-write rewrite noise per commit
+    (EXCEPT ALL both ways — the same rule TxLogTable.read_changes
+    applies); a deletion-vector change on a file live across the commit
+    yields row-exact index-delta rows (grown = deletes, shrunk =
+    restore re-inserts). Commits whose every action carries
+    ``dataChange=false`` (OPTIMIZE) contribute nothing. All commits
+    read under ``to_version``'s metadata — one feed schema."""
+    delta_dir = os.path.join(path, "_delta_log")
+    from_version, to_version = int(from_version), int(to_version)
+    if from_version > to_version or from_version < 0:
+        raise ValueError(
+            f"invalid change range [{from_version}, {to_version}]"
+        )
+    st_hi = _replay_delta_log(spark, delta_dir, to_version)
+    metadata = st_hi.metadata
+    schema = _logical_schema(metadata)
+    prev = (
+        {}
+        if from_version == 0
+        else dict(_replay_delta_log(spark, delta_dir, from_version - 1).live)
+    )
+    parts: list[DataFrame] = []
+    for v in range(from_version, to_version + 1):
+        adds, removes, cdc, any_dc = _parse_delta_commit(delta_dir, v)
+        cur = prev
+        new = dict(prev)
+        for p in removes:
+            new.pop(p, None)
+        new.update(adds)
+        prev = new
+        if not any_dc:
+            continue  # dataChange=false rewrite (OPTIMIZE): not a change
+        if cdc:
+            parts.append(_read_delta_cdc(spark, path, cdc, metadata, v))
+            continue
+        added = {f: a for f, a in adds.items() if f not in cur}
+        removed = {
+            f: cur[f] for f in removes if f in cur and f not in adds
+        }
+        # added files read under the DV they carry AT v; removed files
+        # under the DV they carried BEFORE v (already-deleted rows never
+        # re-report) — both descriptors ride the live dicts
+        ins = _read_live_files(spark, path, added, metadata) if added else None
+        dels = (
+            _read_live_files(spark, path, removed, metadata)
+            if removed
+            else None
+        )
+        if net and ins is not None and dels is not None:
+            ins, dels = ins.exceptAll(dels), dels.exceptAll(ins)
+        for df, ct in ((ins, "insert"), (dels, "delete")):
+            if df is not None:
+                parts.append(
+                    df.withColumn("_change_type", F.lit(ct)).withColumn(
+                        "_commit_version", F.lit(v).cast("int")
+                    )
+                )
+        for f in sorted(set(adds) & set(cur)):
+            old_dv = cur[f].get("deletionVector")
+            new_dv = adds[f].get("deletionVector")
+            if old_dv == new_dv:
+                continue
+            for want, ct in (("grown", "delete"), ("shrunk", "insert")):
+                idx = _dv_index_delta(spark, path, old_dv, new_dv, want)
+                if idx is None:
+                    continue
+                parts.append(
+                    _delta_rows_at_indices(
+                        spark, path, f, adds[f], metadata, idx
+                    )
+                    .withColumn("_change_type", F.lit(ct))
+                    .withColumn("_commit_version", F.lit(v).cast("int"))
+                )
+    if not parts:
+        return (
+            _empty_snapshot(spark, metadata)
+            .withColumn("_change_type", F.lit(""))
+            .withColumn("_commit_version", F.lit(0).cast("int"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        *[fl.name for fl in schema.fields], "_change_type", "_commit_version"
+    )

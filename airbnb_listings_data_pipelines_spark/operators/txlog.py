@@ -1000,7 +1000,14 @@ class TxLogTable:
             "schema": schema.json(),
             "checks_reset": checks,
             "converted_from_delta": st.version,
+            # the adoption commit is CHECKPOINT-marked (metadata-complete
+            # full state, nothing below it in the txlog) — checkpoint
+            # folds read dvs_state/stats_state, so the full adopted
+            # state goes there; the per-commit forms stay alongside for
+            # history()/byte probes, inert in the fold
+            "stats_state": stats0,
             **({"stats": stats0} if stats0 else {}),
+            "dvs_state": dvs0 or {},
         }
         if dvs0:
             extra0["dvs"] = dvs0
@@ -1010,8 +1017,15 @@ class TxLogTable:
             # fresh physical names, matching the source table's re-add
             # semantics
             extra0["column_mapping"] = mapping
+        # commit at the FOREIGN LATEST VERSION, not 0: the adopted table
+        # keeps ONE continuous version space — versions < st.version are
+        # the pre-adoption Delta history, still served by read_changes /
+        # table_changes() straight from the coexisting _delta_log
+        # (deltalog.read_delta_changes); versions > st.version are txlog
+        # commits. Nothing below the adoption commit exists in the
+        # txlog, so it doubles as the bootstrap checkpoint.
         t._try_commit(
-            0,
+            st.version,
             adds=files,
             removes=[],
             op="convert_delta",
@@ -2425,13 +2439,54 @@ class TxLogTable:
                 f"invalid change range [{from_version}, {to_version}] "
                 f"for table at version {latest}"
             )
-        # one checkpoint-aware pass: per-version live sets -> file deltas
-        per_commit = commit_deltas_full(
-            self.log_dir, from_version, to_version
-        )
         schema = self._schema_at(as_of=to_version)
         mp = self._mapping_at(as_of=to_version)
         parts: list[DataFrame] = []
+        # CONVERT FROM DELTA keeps ONE continuous version space: the
+        # adoption commit sits at the foreign latest version, and every
+        # version at/below it is PRE-ADOPTION history — served straight
+        # from the coexisting _delta_log (deltalog.read_delta_changes),
+        # aligned to the feed schema so post-adoption column evolution
+        # null-fills. The adoption commit itself is included there (its
+        # txlog file-delta would be the full snapshot, which is NOT what
+        # delta version N changed).
+        entries = sorted(
+            f for f in os.listdir(self.log_dir) if f.endswith(".json")
+        )
+        oldest = int(entries[0].split(".")[0]) if entries else 0
+        if from_version <= oldest and oldest > 0:
+            with open(os.path.join(self.log_dir, entries[0])) as fh:
+                c0 = json.load(fh)
+            if c0.get("op") == "convert_delta":
+                from .deltalog import read_delta_changes
+
+                dl = read_delta_changes(
+                    self.spark, self.path, from_version,
+                    min(to_version, oldest), net=net,
+                )
+                if schema is not None:
+                    from pyspark.sql.types import StructType
+
+                    want = StructType.fromJson(json.loads(schema))
+                    dl = dl.select(
+                        *[
+                            F.col(fl.name).cast(fl.dataType).alias(fl.name)
+                            if fl.name in dl.columns
+                            else F.lit(None).cast(fl.dataType).alias(fl.name)
+                            for fl in want.fields
+                        ],
+                        "_change_type",
+                        "_commit_version",
+                    )
+                parts.append(dl)
+                from_version = oldest + 1
+        if from_version > to_version:
+            per_commit = []
+        else:
+            # one checkpoint-aware pass: per-version live sets -> deltas
+            per_commit = commit_deltas_full(
+                self.log_dir, from_version, to_version
+            )
         for rec in per_commit:
             v, adds, removes, op = rec["v"], rec["adds"], rec["removes"], rec["op"]
             if rec.get("cdc"):
@@ -2541,9 +2596,9 @@ class TxLogTable:
         """Atomically create commit ``version``; raise CommitConflict if a
         racing writer got there first (O_EXCL create is the arbiter).
         ``extra`` carries commit-0-only table metadata (partition spec)."""
-        is_ckpt = op in ("create", "convert", "cleanup_log") or (
-            version % _CHECKPOINT_EVERY == 0 and version > 0
-        )
+        is_ckpt = op in (
+            "create", "convert", "convert_delta", "cleanup_log"
+        ) or (version % _CHECKPOINT_EVERY == 0 and version > 0)
         extra = dict(extra or {})
         # per-file statistics stamped at the commit that ADDS the file
         # (Delta's add.stats, one hop earlier than deriving them from
@@ -2564,7 +2619,7 @@ class TxLogTable:
                     st_map[f] = d
             if st_map:
                 extra["stats"] = st_map
-        if is_ckpt and op not in ("create", "convert"):
+        if is_ckpt and op not in ("create", "convert", "convert_delta"):
             # checkpoint commits carry the FULL post-commit file list AND
             # the full post-commit deletion-vector state (so replays
             # bootstrapping here need no earlier commit)
@@ -2631,7 +2686,7 @@ class TxLogTable:
         ckpt_sidecar: str | None = None
         if (
             is_ckpt
-            and op not in ("create", "convert")
+            and op not in ("create", "convert", "convert_delta")
             and len(adds) >= self.ckpt_sidecar_min_files
         ):
             # huge live-file count: the full list + DV state go to a
@@ -3559,6 +3614,22 @@ class TxLogTable:
         (the export mirrors EVERY version 1:1 and cannot reconstruct
         deleted commits; export BEFORE cleaning up, or CLONE to a fresh
         table and export the clone)."""
+        entries = sorted(
+            f for f in os.listdir(self.log_dir) if f.endswith(".json")
+        )
+        if entries:
+            # an adopted table's OLDEST commit is the convert_delta
+            # snapshot (it sits at the foreign latest version, not 0)
+            with open(os.path.join(self.log_dir, entries[0])) as fh:
+                c_old = json.load(fh)
+            if "converted_from_delta" in c_old:
+                raise ValueError(
+                    "to_delta_log refused: this table was adopted from "
+                    f"an existing _delta_log (at its version "
+                    f"{c_old['converted_from_delta']}) — re-exporting "
+                    "would misalign version numbering with the foreign "
+                    "log's history"
+                )
         c0_path = os.path.join(self.log_dir, _commit_name(0))
         if not os.path.exists(c0_path):
             raise ValueError(
@@ -3566,16 +3637,6 @@ class TxLogTable:
                 "cleanup_log — the export mirrors every version 1:1 and "
                 "cannot reconstruct deleted commits. Export before "
                 "cleanup, or clone() to a fresh table and export that."
-            )
-        with open(c0_path) as fh:
-            c0 = json.load(fh)
-        if "converted_from_delta" in c0:
-            raise ValueError(
-                "to_delta_log refused: this table was adopted from an "
-                f"existing _delta_log (at its version "
-                f"{c0['converted_from_delta']}) — re-exporting would "
-                "misalign version numbering with the foreign log's "
-                "history"
             )
         from .deltalog import export_delta_log
 

@@ -362,3 +362,108 @@ def test_fold_twins_match_deltalog_reader(registered, spark, tmp_path):
     assert sorted(map(tuple, via_source.collect())) == sorted(
         map(tuple, via_deltalog.collect())
     )
+
+
+# ----------------------------- pre-adoption CDF (CONVERT keeps history)
+
+
+def test_convert_keeps_preadoption_cdf(registered, spark, tmp_path):
+    """Round-10 verdict item 6: CONVERT FROM DELTA adopts at the foreign
+    LATEST version (one continuous version space) and read_changes over
+    pre-adoption versions serves the foreign log's history — AddCDCFile
+    commits row-exact, DV commits as index deltas, COW commits netted —
+    IDENTICAL to the native table's own feed before export."""
+    import shutil
+
+    t = _mk_exported(spark, tmp_path / "native")  # v0..v3 + _delta_log
+    native_feed = sorted(
+        map(
+            tuple,
+            t.read_changes(1, 3)
+            .select("k", "v", "amt", "_change_type", "_commit_version")
+            .collect(),
+        )
+    )
+    foreign = _foreignize(str(tmp_path / "native"), str(tmp_path / "foreign"))
+    c = TxLogTable.convert_from_delta(spark, foreign)
+    # unified version space: the adoption commit sits at delta latest
+    assert c.version() == 3
+    assert c.history()[0]["op"] == "convert_delta"
+    got = sorted(
+        map(
+            tuple,
+            c.read_changes(1, 3)
+            .select("k", "v", "amt", "_change_type", "_commit_version")
+            .collect(),
+        )
+    )
+    assert got == native_feed, "pre-adoption feed != native feed"
+    # a range SPANNING the adoption boundary: pre-adoption (delta) +
+    # post-adoption (txlog) commits in one feed
+    c.delete_where("k = 5")  # v4, native txlog commit
+    span = c.read_changes(2, 4)
+    by_cv = {}
+    for r in span.collect():
+        by_cv.setdefault((r._commit_version, r._change_type), set()).add(r.k)
+    assert by_cv[(2, "insert")] == {0, 7, 14, 21, 28, 35}  # cdc commit
+    assert by_cv[(3, "insert")] == {100}
+    assert by_cv[(4, "delete")] == {5}
+    # pre-adoption commit 0 (the create) surfaces as inserts
+    v0 = c.read_changes(0, 0)
+    assert v0.count() == 40
+    # post-adoption schema evolution: the feed reads under TO_VERSION's
+    # schema, so a pre-adoption-only range keeps the delta-era schema
+    # and a range reaching past the add_column null-fills it
+    c.add_column("extra", "int")
+    assert "extra" not in c.read_changes(1, 1).columns
+    ev = c.read_changes(1, c.version())
+    assert "extra" in ev.columns
+    pre = [r for r in ev.collect() if r._commit_version == 1]
+    assert len(pre) == 4 and all(r.extra is None for r in pre)
+
+
+def test_convert_preadoption_table_changes_tvf(registered, spark, tmp_path):
+    """The SQL surface: table_changes(t, lo, hi) over pre-adoption
+    versions on an adopted table."""
+    from airbnb_listings_data_pipelines_spark.functions.tx_sql import (
+        TxSqlSession,
+    )
+
+    t = _mk_exported(spark, tmp_path / "native")
+    native = {
+        (r._commit_version, r._change_type, r.k)
+        for r in t.read_changes(1, 2).collect()
+    }
+    foreign = _foreignize(str(tmp_path / "native"), str(tmp_path / "foreign"))
+    c = TxLogTable.convert_from_delta(spark, foreign)
+    sess = TxSqlSession(spark, {"t": c})
+    got = {
+        (r._commit_version, r._change_type, r.k)
+        for r in sess.execute(
+            "SELECT k, _change_type, _commit_version FROM table_changes(t, 1, 2)"
+        ).collect()
+    }
+    assert got == native
+
+
+def test_read_delta_changes_standalone(registered, spark, tmp_path):
+    """deltalog.read_delta_changes works on a bare foreign log with no
+    txlog at all — the operator-level twin of the DataSource CDF, with
+    per-commit netting."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        read_delta_changes,
+    )
+
+    t = _mk_exported(spark, tmp_path / "native")
+    foreign = _foreignize(str(tmp_path / "native"), str(tmp_path / "foreign"))
+    got = read_delta_changes(spark, foreign, 1, 3)
+    by_cv = {}
+    for r in got.collect():
+        by_cv.setdefault((r._commit_version, r._change_type), set()).add(r.k)
+    assert by_cv[(1, "delete")] == {3, 13, 23, 33}  # DV index delta
+    assert by_cv[(2, "delete")] == by_cv[(2, "insert")] == {0, 7, 14, 21, 28, 35}
+    assert by_cv[(3, "insert")] == {100}
+    # truncated foreign log below the range: loud refusal
+    os.remove(os.path.join(foreign, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(FileNotFoundError, match="missing|cleaned below"):
+        read_delta_changes(spark, foreign, 1, 3).collect()
