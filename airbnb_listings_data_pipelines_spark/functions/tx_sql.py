@@ -45,6 +45,15 @@ VACUUM), and ANSI for the rest:
 - ``ALTER TABLE t RENAME COLUMN a TO b`` / ``DROP COLUMN a`` /
   ``ADD COLUMN a type`` / ``ADD CONSTRAINT name CHECK (expr)`` /
   ``DROP CONSTRAINT name``
+- ``ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', ...)`` /
+  ``UNSET TBLPROPERTIES [IF EXISTS] ('k', ...)`` — Delta's table
+  properties, recorded as metadata commits, exported into the Delta
+  ``configuration`` and adopted back by CONVERT FROM DELTA. Behavioral:
+  ``delta.enableDeletionVectors`` 'true' routes DELETE/UPDATE/MERGE to
+  merge-on-read (vectors + slivers, no touched-file rewrite);
+  ``delta.appendOnly`` 'true' refuses row-modifying commits at the
+  protocol chokepoint (insert-only merges and no-op DML stay legal,
+  Delta's rule)
 - ``VACUUM t [RETAIN n VERSIONS]``
 - ``DESCRIBE HISTORY t`` (returns a DataFrame, newest first — Delta's
   shape: version, operation, and the commit's add/remove counts)
@@ -387,8 +396,12 @@ class TxSqlSession:
             # DELETE — silently widening the predicate would be the worst
             # possible recovery
             raise ValueError(f"WHERE with no condition: {s!r}")
-        return self.table(m.group(1)).delete_where(
-            cond if cond is not None else "true", cdc=self.cdc
+        t = self.table(m.group(1))
+        mode = self._dml_mode(t)
+        return t.delete_where(
+            cond if cond is not None else "true",
+            mode=mode,
+            cdc=self.cdc and mode == "cow",
         )
 
     def _update(self, s: str) -> int:
@@ -410,8 +423,13 @@ class TxSqlSession:
             assignments[am.group(1)] = am.group(2)
         if cond is not None and not cond.strip():
             raise ValueError(f"WHERE with no condition: {s!r}")
-        return self.table(m.group(1)).update_where(
-            cond if cond is not None else "true", assignments, cdc=self.cdc
+        t = self.table(m.group(1))
+        mode = self._dml_mode(t)
+        return t.update_where(
+            cond if cond is not None else "true",
+            assignments,
+            mode=mode,
+            cdc=self.cdc and mode == "cow",
         )
 
     def _merge(self, s: str) -> int:
@@ -610,6 +628,8 @@ class TxSqlSession:
                 c["cond"] is None for c in matched_cl + nm_cl
             )
         )
+        mode = self._dml_mode(t)
+        cdc = self.cdc and mode == "cow"
         if simple:
             # the one-unconditional-clause-per-side shape keeps the
             # original simple-form call (byte-identical commit history
@@ -622,7 +642,8 @@ class TxSqlSession:
                 matched_set=mc["set"] or None,
                 insert_values=(nm_cl[0]["values"] or None) if nm_cl else None,
                 evolve_schema=bool(evolve),
-                cdc=self.cdc,
+                cdc=cdc,
+                mode=mode,
             )
         else:
             # full Delta clause surface: conditional, ordered,
@@ -636,7 +657,8 @@ class TxSqlSession:
                     "not_matched_by_source": nmbs_cl,
                 },
                 evolve_schema=bool(evolve),
-                cdc=self.cdc,
+                cdc=cdc,
+                mode=mode,
             )
         return t.version()
 
@@ -687,8 +709,67 @@ class TxSqlSession:
             raise ValueError(f"cannot parse RESTORE: {s!r}")
         return self.table(m.group(1)).restore(int(m.group(2)))
 
+    def _dml_mode(self, t: TxLogTable) -> str:
+        """Delta's behavioral property: ``delta.enableDeletionVectors``
+        'true' routes SQL DELETE/UPDATE/MERGE to merge-on-read (the DML
+        writes vectors + slivers instead of rewriting touched files) —
+        exactly how the property drives Delta's own DML. The session cdc
+        flag is moot under dv (a DV commit's feed is already row-exact)."""
+        return (
+            "dv"
+            if t.properties().get("delta.enableDeletionVectors") == "true"
+            else "cow"
+        )
+
+    @staticmethod
+    def _parse_tblprops(body: str, with_values: bool) -> dict | list:
+        def unq(x: str) -> str:
+            x = x.strip()
+            return x[1:-1] if x and x[0] in "'\"" and x[-1] == x[0] else x
+
+        items = _split_top_commas(body)
+        if with_values:
+            out: dict = {}
+            for item in items:
+                m = re.fullmatch(
+                    r"\s*('[^']*'|\"[^\"]*\"|[\w.-]+)\s*=\s*"
+                    r"('[^']*'|\"[^\"]*\"|[\w.-]+)\s*",
+                    item,
+                )
+                if not m:
+                    raise ValueError(
+                        f"cannot parse TBLPROPERTIES item: {item!r}"
+                    )
+                out[unq(m.group(1))] = unq(m.group(2))
+            return out
+        keys = []
+        for item in items:
+            m = re.fullmatch(
+                r"\s*('[^']*'|\"[^\"]*\"|[\w.-]+)\s*", item
+            )
+            if not m:
+                raise ValueError(
+                    f"cannot parse TBLPROPERTIES key: {item!r}"
+                )
+            keys.append(unq(m.group(1)))
+        return keys
+
     def _alter(self, s: str) -> int:
         forms = (
+            (
+                rf"ALTER\s+TABLE\s+({_IDENT})\s+SET\s+TBLPROPERTIES\s*"
+                r"\((.+)\)",
+                lambda t, kv: self.table(t).set_properties(
+                    self._parse_tblprops(kv, with_values=True)
+                ),
+            ),
+            (
+                rf"ALTER\s+TABLE\s+({_IDENT})\s+UNSET\s+TBLPROPERTIES\s*"
+                r"(?:IF\s+EXISTS\s*)?\((.+)\)",
+                lambda t, ks: self.table(t).unset_properties(
+                    self._parse_tblprops(ks, with_values=False)
+                ),
+            ),
             (
                 rf"ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)",
                 lambda t, a, b: self.table(t).rename_column(a, b),

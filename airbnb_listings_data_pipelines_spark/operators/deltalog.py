@@ -273,6 +273,7 @@ def export_delta_log(spark: SparkSession, table) -> int:
     # refresh metaData when the set changes, upgrading minWriterVersion
     # to 3 (invariants/constraints) the first time one appears
     cur_checks: dict[str, str] = {}
+    cur_props: dict[str, str] = {}
     # running column mapping (logical -> physical, latest full payload
     # wins — txlog's own fold rule). The first NON-identity mapping flips
     # the export into columnMapping=name mode for the rest of the log
@@ -397,8 +398,28 @@ def export_delta_log(spark: SparkSession, table) -> int:
             cur_checks[ck["name"]] = ck["expr"]
         elif ck and c.get("op") == "drop_check":
             cur_checks.pop(ck["name"], None)
+        # table properties fold (TBLPROPERTIES) — mirrored verbatim into
+        # metaData.configuration; engine-managed keys (constraints,
+        # columnMapping, feature flags the export derives itself) win on
+        # collision, and set_properties refuses the shadowable ones
+        pr = c.get("properties_reset")
+        if pr is not None:
+            cur_props = dict(pr)
+        for k, val in (c.get("properties") or {}).items():
+            if val is None:
+                cur_props.pop(k, None)
+            else:
+                cur_props[k] = str(val)
+        if cur_props.get("delta.enableDeletionVectors") == "true":
+            # the property REQUIRES the table feature in the protocol
+            # (PROTOCOL.md) even before the first vector exists
+            dv_feature = True
         cfg = {
-            f"delta.constraints.{n}": e for n, e in sorted(cur_checks.items())
+            **dict(sorted(cur_props.items())),
+            **{
+                f"delta.constraints.{n}": e
+                for n, e in sorted(cur_checks.items())
+            },
         }
         if mapping_mode:
             cfg["delta.columnMapping.mode"] = "name"

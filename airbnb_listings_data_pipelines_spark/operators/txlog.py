@@ -1008,6 +1008,18 @@ class TxLogTable:
             "stats_state": stats0,
             **({"stats": stats0} if stats0 else {}),
             "dvs_state": dvs0 or {},
+            # foreign configuration adopts as table properties —
+            # constraints map to first-class checks above and the
+            # column mapping to first-class log payload, so those keys
+            # are excluded; behavioral flags (delta.appendOnly,
+            # delta.enableDeletionVectors) and custom keys carry over
+            "properties_reset": {
+                k: v
+                for k, v in cfg.items()
+                if not k.startswith(
+                    ("delta.constraints.", "delta.columnMapping.")
+                )
+            },
         }
         if dvs0:
             extra0["dvs"] = dvs0
@@ -2672,6 +2684,17 @@ class TxLogTable:
                 elif ck and op == "drop_check":
                     cur_checks.pop(ck["name"], None)
                 extra["checks_reset"] = cur_checks
+            if "properties_reset" not in extra:
+                # same lifecycle as checks_reset: the checkpoint snapshots
+                # the POST-commit property state (a set/unset landing on a
+                # checkpoint boundary folds its own delta in)
+                cur_props = self.properties()
+                for k, v in (extra.get("properties") or {}).items():
+                    if v is None:
+                        cur_props.pop(k, None)
+                    else:
+                        cur_props[k] = v
+                extra["properties_reset"] = cur_props
             pby, pschema = self.partition_meta()
             extra.setdefault("partition_by", pby)
             extra.setdefault(
@@ -2787,6 +2810,21 @@ class TxLogTable:
         this commit's EXACT row-level changes (the public Delta CDF
         ``_change_data`` design) — feed readers use it instead of
         diffing the commit's file delta."""
+        # Delta's delta.appendOnly contract, enforced at the protocol
+        # chokepoint exactly as Delta does: a DML/MERGE commit that
+        # retires files or grows deletion vectors is refused; appends,
+        # insert-only merges, no-op DML, OPTIMIZE (row-preserving) and
+        # metadata commits stay legal.
+        if (
+            (removes or dvs)
+            and op in ("delete", "update", "merge")
+            and self.properties().get("delta.appendOnly") == "true"
+        ):
+            raise ValueError(
+                f"{op} refused: it would remove or modify rows and the "
+                "table carries delta.appendOnly=true — unset it first "
+                "(ALTER TABLE ... UNSET TBLPROPERTIES ('delta.appendOnly'))"
+            )
         extra: dict = {}
         if schema is not None:
             extra["schema"] = schema
@@ -3165,6 +3203,9 @@ class TxLogTable:
                 "checks_reset": target_checks,
                 "dvs_reset": want_dvs,
                 "stats_reset": replay_stats(self.log_dir, as_of=version),
+                # table properties revert with the rest of the metadata
+                # (Delta RESTORE restores table configuration too)
+                "properties_reset": self.properties(as_of=version),
             }
             if schema is not None:
                 extra["schema"] = schema
@@ -3248,6 +3289,7 @@ class TxLogTable:
                 "partition_schema": pschema.json() if pby else None,
                 "schema": schema_json,
                 "checks_reset": clone_checks,
+                "properties_reset": self.properties(as_of=version),
                 **({"dvs": clone_dvs} if clone_dvs else {}),
                 # a column-mapped source's files carry physical names —
                 # the clone must read them under the same mapping
@@ -3601,6 +3643,99 @@ class TxLogTable:
             except CommitConflict:
                 continue
         raise CommitConflict(f"drop_check gave up after {max_retries} retries")
+
+    # --------------------------------------------------- table properties
+
+    def properties(self, as_of: int | None = None) -> dict[str, str]:
+        """Table properties (Delta's TBLPROPERTIES surface) at ``as_of``
+        (default: latest): per-commit ``properties`` maps fold in
+        version order (a None value unsets the key), bootstrapped by any
+        ``properties_reset`` snapshot (restore commits and
+        metadata-complete checkpoints carry one, so the fold survives
+        log cleanup — the same lifecycle as :meth:`checks`). Behavioral
+        properties the engine honors: ``delta.enableDeletionVectors``
+        ('true' routes SQL DELETE/UPDATE/MERGE to merge-on-read,
+        functions/tx_sql) and ``delta.appendOnly`` ('true' refuses DML).
+        Everything else is carried metadata — exported into the Delta
+        ``metaData.configuration`` and adopted back by
+        :meth:`convert_from_delta`."""
+        entries = sorted(
+            f for f in os.listdir(self.log_dir) if f.endswith(".json")
+        )
+        out: dict[str, str] = {}
+        for name in entries:
+            v = int(name.split(".")[0])
+            if as_of is not None and v > as_of:
+                continue
+            with open(os.path.join(self.log_dir, name)) as fh:
+                c = json.load(fh)
+            pr = c.get("properties_reset")
+            if pr is not None:
+                out = dict(pr)
+            for k, val in (c.get("properties") or {}).items():
+                if val is None:
+                    out.pop(k, None)
+                else:
+                    out[k] = str(val)
+        return out
+
+    def set_properties(
+        self, props: dict[str, str], max_retries: int = 3
+    ) -> int:
+        """``ALTER TABLE SET TBLPROPERTIES``: one metadata-only commit
+        recording the key/value map. ``delta.constraints.*`` keys are
+        refused (constraints are first-class via :meth:`add_check` —
+        a string property would silently skip enforcement), and
+        ``delta.columnMapping.*`` keys are refused (the mapping is
+        first-class log payload; a stale property would lie to export)."""
+        if not props:
+            raise ValueError("SET TBLPROPERTIES needs at least one key")
+        bad = [
+            k
+            for k in props
+            if k.startswith(("delta.constraints.", "delta.columnMapping."))
+        ]
+        if bad:
+            raise ValueError(
+                f"properties {bad} shadow first-class log payloads — use "
+                "add_check/rename_column instead"
+            )
+        clean = {str(k): str(v) for k, v in props.items()}
+        for _attempt in range(max_retries + 1):
+            base_version = self.version()
+            try:
+                self._try_commit(
+                    base_version + 1, adds=[], removes=[],
+                    op="set_properties", extra={"properties": clean},
+                )
+                return base_version + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"set_properties gave up after {max_retries} retries"
+        )
+
+    def unset_properties(
+        self, keys: list[str], max_retries: int = 3
+    ) -> int:
+        """``ALTER TABLE UNSET TBLPROPERTIES``: records None per key —
+        absent keys unset silently (Delta's IF EXISTS semantics)."""
+        if not keys:
+            raise ValueError("UNSET TBLPROPERTIES needs at least one key")
+        payload = {str(k): None for k in keys}
+        for _attempt in range(max_retries + 1):
+            base_version = self.version()
+            try:
+                self._try_commit(
+                    base_version + 1, adds=[], removes=[],
+                    op="unset_properties", extra={"properties": payload},
+                )
+                return base_version + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"unset_properties gave up after {max_retries} retries"
+        )
 
     def to_delta_log(self) -> int:
         """Export/refresh a Delta-protocol ``_delta_log`` for this table so

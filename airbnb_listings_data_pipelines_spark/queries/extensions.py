@@ -5844,3 +5844,120 @@ def x94_delta_cdc_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS total_cents "
         "FROM table_changes(t, 1, 2) GROUP BY 1, 2"
     )
+
+
+@query(
+    "x95_sql_tblproperties_dv",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    live1 AS (SELECT * FROM base WHERE NOT (o_orderkey % 10 = 3)),
+    live2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM live1
+    ),
+    merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 5 THEN 'M'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 5 THEN o_totalprice + 7.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM live2
+    ),
+    final AS (
+      SELECT * FROM merged
+      UNION ALL
+      SELECT o_orderkey + 50000000, 'I', 1.5
+      FROM base WHERE o_orderkey % 13 = 6
+      UNION ALL
+      -- source keys the DELETE removed re-enter as NOT MATCHED inserts
+      SELECT o_orderkey, 'I', 7.0
+      FROM base WHERE o_orderkey % 11 = 5 AND o_orderkey % 10 = 3
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM final GROUP BY o_orderstatus
+    """,
+    survey_rows=("EXT-tableformat", "S8", "A2", "A8"),
+    doc="TABLE PROPERTIES AS THE SQL GOVERNANCE KNOB (Delta's "
+    "TBLPROPERTIES surface, round-10 extension): ALTER TABLE ... SET "
+    "TBLPROPERTIES ('delta.enableDeletionVectors'='true') flips the "
+    "table to MERGE-ON-READ for the whole SQL DML surface — the "
+    "subsequent DELETE, UPDATE and multi-clause MERGE statements land "
+    "as deletion vectors + sliver files (the query asserts every DML "
+    "commit removed NO file and grew a vector), then UNSET routes the "
+    "final statement back to copy-on-write. delta.appendOnly is the "
+    "sibling behavioral property (refused row-modifying commits at the "
+    "protocol chokepoint — tests/test_tblproperties.py); inert keys "
+    "export into Delta metaData.configuration and adopt back via "
+    "CONVERT FROM DELTA. At 100 TB this is the governance story Delta "
+    "users actually run: one property flip turns a rewrite-heavy "
+    "nightly DML into O(changed rows) writes, no pipeline code change. "
+    "operators/txlog.properties/set_properties, functions/tx_sql.",
+)
+def x95_sql_tblproperties_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    from ..functions.tx_sql import TxSqlSession
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _dml_scratch("x95" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(8, "o_orderkey")
+    )
+    orders.filter("o_orderkey % 11 = 5").selectExpr(
+        "o_orderkey", "CAST(7.0 AS double) AS bump"
+    ).unionByName(
+        orders.filter("o_orderkey % 13 = 6").selectExpr(
+            "o_orderkey + 50000000 AS o_orderkey",
+            "CAST(1.5 AS double) AS bump",
+        )
+    ).createOrReplaceTempView("x95_src")
+    sess = TxSqlSession(spark, {"t": t})
+    sess.execute(
+        "ALTER TABLE t SET TBLPROPERTIES "
+        "('delta.enableDeletionVectors' = 'true', 'owner' = 'x95')"
+    )
+    sess.execute("DELETE FROM t WHERE o_orderkey % 10 = 3")
+    sess.execute(
+        "UPDATE t SET o_totalprice = o_totalprice + 100.0 "
+        "WHERE o_orderkey % 7 = 1"
+    )
+    sess.execute(
+        "MERGE INTO t USING x95_src AS s ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET "
+        "o_totalprice = t.o_totalprice + s.bump, o_orderstatus = 'M' "
+        "WHEN NOT MATCHED THEN "
+        "INSERT (o_orderkey, o_orderstatus, o_totalprice) "
+        "VALUES (s.o_orderkey, 'I', s.bump)"
+    )
+    for name in sorted(os.listdir(t.log_dir)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(t.log_dir, name)) as fh:
+            c = json.load(fh)
+        if c.get("op") in ("delete", "update", "merge"):
+            if c["removes"] or not c.get("dvs"):
+                raise AssertionError(
+                    f"{c['op']} did not land merge-on-read under the "
+                    "TBLPROPERTIES routing"
+                )
+    if not t.dvs():
+        raise AssertionError("table lost its vectors")
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
+    )
