@@ -1396,7 +1396,25 @@ class TxLogTable:
         :meth:`vacuum` drops versions older than its retention window, so
         the time-travel horizon IS the vacuum retention. Deletion-vector
         state is per-version too: a read before a DV delete shows the
-        rows, after it doesn't."""
+        rows, after it doesn't.
+
+        On a table adopted via :meth:`convert_from_delta` (one
+        continuous version space, adoption commit at the foreign latest
+        version), versions BELOW the adoption commit time-travel the
+        pre-adoption Delta history straight from the coexisting
+        ``_delta_log`` — the same dispatch :meth:`read_changes` uses."""
+        entries = sorted(
+            f for f in os.listdir(self.log_dir) if f.endswith(".json")
+        )
+        if entries and version < int(entries[0].split(".")[0]):
+            with open(os.path.join(self.log_dir, entries[0])) as fh:
+                c0 = json.load(fh)
+            if c0.get("op") == "convert_delta":
+                from .deltalog import read_delta_snapshot
+
+                return read_delta_snapshot(
+                    self.spark, self.path, version=version
+                )
         _v, files, dvs = self._replay_full(as_of=version)
         if not files:
             return self._empty()

@@ -467,3 +467,27 @@ def test_read_delta_changes_standalone(registered, spark, tmp_path):
     os.remove(os.path.join(foreign, "_delta_log", f"{1:020d}.json"))
     with pytest.raises(FileNotFoundError, match="missing|cleaned below"):
         read_delta_changes(spark, foreign, 1, 3).collect()
+
+
+def test_convert_keeps_preadoption_time_travel(registered, spark, tmp_path):
+    """read_version (and SELECT ... VERSION AS OF through tx_sql) below
+    the adoption commit time-travels the pre-adoption Delta history."""
+    t = _mk_exported(spark, tmp_path / "native")
+    pre_v0 = sorted(map(tuple, t.read_version(0).collect()))
+    pre_v1 = sorted(map(tuple, t.read_version(1).collect()))
+    foreign = _foreignize(str(tmp_path / "native"), str(tmp_path / "foreign"))
+    c = TxLogTable.convert_from_delta(spark, foreign)
+    assert sorted(map(tuple, c.read_version(0).collect())) == pre_v0
+    assert sorted(map(tuple, c.read_version(1).collect())) == pre_v1
+    # the adoption version itself reads from the txlog
+    assert sorted(map(tuple, c.read_version(3).collect())) == sorted(
+        map(tuple, t.read().collect())
+    )
+    # SQL time travel rides the same dispatch
+    from airbnb_listings_data_pipelines_spark.functions.tx_sql import (
+        TxSqlSession,
+    )
+
+    sess = TxSqlSession(spark, {"t": c})
+    n0 = sess.execute("SELECT COUNT(*) AS n FROM t VERSION AS OF 0").collect()
+    assert n0[0].n == 40
