@@ -3676,20 +3676,33 @@ class TxLogTable:
         functions/tx_sql) and ``delta.appendOnly`` ('true' refuses DML).
         Everything else is carried metadata — exported into the Delta
         ``metaData.configuration`` and adopted back by
-        :meth:`convert_from_delta`."""
+        :meth:`convert_from_delta`.
+
+        Cost shape: a REVERSE scan that stops at the newest
+        ``properties_reset`` snapshot (every metadata-complete
+        checkpoint carries one since round 10), so the per-call work is
+        O(checkpoint interval) commits, not O(log) — this runs on every
+        DML commit (the appendOnly gate) and every tx_sql DML statement
+        (the dv-routing probe). Pre-round-10 logs without a snapshot
+        fall back to one full pass."""
         entries = sorted(
             f for f in os.listdir(self.log_dir) if f.endswith(".json")
         )
-        out: dict[str, str] = {}
-        for name in entries:
+        tail: list[dict] = []
+        base: dict[str, str] = {}
+        for name in reversed(entries):
             v = int(name.split(".")[0])
             if as_of is not None and v > as_of:
                 continue
             with open(os.path.join(self.log_dir, name)) as fh:
                 c = json.load(fh)
-            pr = c.get("properties_reset")
-            if pr is not None:
-                out = dict(pr)
+            tail.append(c)
+            if c.get("properties_reset") is not None:
+                base = dict(c["properties_reset"])
+                break
+        out = base
+        for c in reversed(tail):  # oldest-first; the snapshot commit's
+            # own per-commit delta re-applies on top (idempotent)
             for k, val in (c.get("properties") or {}).items():
                 if val is None:
                     out.pop(k, None)
@@ -4234,10 +4247,17 @@ def _merge_into_dv(
             F.struct(*[pick(c) for c in data_cols])
         )
         doomed = del_sel | (upd_sel & changed)
-        # 3: per-file counts of positions leaving the table
+        # 3: per-file counts of DISTINCT positions leaving the table.
+        # Distinct is load-bearing: duplicate source keys produce one
+        # doomed JOIN ROW per duplicate at the SAME (file, row index) —
+        # counting rows would inflate the vector cardinality and could
+        # wrongly retire a file whose unmatched rows are still live
+        # (review finding, round 10). The COW twin merely duplicates
+        # output rows; here the position set must be exact.
         uri_rows = (
             j.filter(doomed)
-            .select(F.col("__file").alias("u"))
+            .select(F.col("__file").alias("u"), F.col("__ridx"))
+            .distinct()
             .groupBy("u")
             .agg(F.count("*").alias("n"))
             .collect()
@@ -4273,6 +4293,7 @@ def _merge_into_dv(
             new_pos = (
                 j.filter(doomed)
                 .select("__file", F.col("__ridx").alias("row_index"))
+                .distinct()  # same exact-position rule as the counts
                 .join(F.broadcast(uri_map), "__file")
                 .select("file", "row_index")
             )

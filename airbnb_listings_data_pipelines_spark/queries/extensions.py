@@ -5867,7 +5867,7 @@ def x94_delta_cdc_import(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE o_totalprice END AS o_totalprice
       FROM live2
     ),
-    final AS (
+    unioned AS (
       SELECT * FROM merged
       UNION ALL
       SELECT o_orderkey + 50000000, 'I', 1.5
@@ -5876,7 +5876,9 @@ def x94_delta_cdc_import(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- source keys the DELETE removed re-enter as NOT MATCHED inserts
       SELECT o_orderkey, 'I', 7.0
       FROM base WHERE o_orderkey % 11 = 5 AND o_orderkey % 10 = 3
-    )
+    ),
+    -- the final copy-on-write DELETE after UNSET TBLPROPERTIES
+    final AS (SELECT * FROM unioned WHERE o_orderkey % 17 <> 2)
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
@@ -5941,19 +5943,34 @@ def x95_sql_tblproperties_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "INSERT (o_orderkey, o_orderstatus, o_totalprice) "
         "VALUES (s.o_orderkey, 'I', s.bump)"
     )
+    if not t.dvs():
+        raise AssertionError("the dv-routed DML left no live vectors")
+    unset_v = sess.execute(
+        "ALTER TABLE t UNSET TBLPROPERTIES ('delta.enableDeletionVectors')"
+    )
+    # back to copy-on-write: the rewrite folds the touched files'
+    # vectors away — the documented COW-compaction story
+    cow_v = sess.execute("DELETE FROM t WHERE o_orderkey % 17 = 2")
     for name in sorted(os.listdir(t.log_dir)):
         if not name.endswith(".json"):
             continue
+        v = int(name.split(".")[0])
         with open(os.path.join(t.log_dir, name)) as fh:
             c = json.load(fh)
-        if c.get("op") in ("delete", "update", "merge"):
+        if c.get("op") not in ("delete", "update", "merge"):
+            continue
+        if v < unset_v:
             if c["removes"] or not c.get("dvs"):
                 raise AssertionError(
                     f"{c['op']} did not land merge-on-read under the "
                     "TBLPROPERTIES routing"
                 )
-    if not t.dvs():
-        raise AssertionError("table lost its vectors")
+        elif v == cow_v:
+            if not c["removes"] or c.get("dvs"):
+                raise AssertionError(
+                    "the post-UNSET DELETE must route back to "
+                    "copy-on-write (removes, no vectors)"
+                )
     return t.read().groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_orderkey").alias("n_keys"),

@@ -670,25 +670,39 @@ def _dlog_deltas_full(log_dir: str, lo: int, hi: int) -> list[dict]:
     start = lo
     head = min(commits) if commits else None
     if head is not None and head > lo:
-        if not (lc and lo <= lc.get("version", -1) < head):
+        cv = lc.get("version", -1) if lc else -1
+        if cv < lo:
             raise FileNotFoundError(
                 f"change feed from version {lo} is below the retained "
                 f"Delta log head (oldest commit: {head}) and no "
                 "checkpoint covers the gap"
             )
-        live, _meta = _dlog_ckpt_state(
-            log_dir, lc["version"], lc.get("parts")
-        )
-        out.append(_dlog_rec(lc["version"], {}, live, [], False))
+        if cv > hi:
+            # the whole requested range predates the checkpoint and its
+            # JSON commits were cleaned — refusing loudly beats emitting
+            # a full-snapshot record OUTSIDE the asked-for range
+            raise FileNotFoundError(
+                f"change range [{lo}, {hi}] lies below the Delta "
+                f"checkpoint at {cv} with its JSON commits cleaned — "
+                "those deltas are unreconstructible"
+            )
+        # a checkpoint at cv covers everything <= cv even when the JSON
+        # commit AT cv is still retained (cv >= head) — bootstrap one
+        # synthetic full-snapshot record and walk the tail
+        live, _meta = _dlog_ckpt_state(log_dir, cv, lc.get("parts"))
+        out.append(_dlog_rec(cv, {}, live, [], False))
         prev = live
-        start = lc["version"] + 1
+        start = cv + 1
     elif lo > 0:
         prev = _dlog_replay(log_dir, lo - 1)["live"]
-    for v in range(start, hi + 1):
-        fname = commits.get(v)
-        if fname is None:
-            break
-        _m, adds, removes, cdc, any_dc = _dlog_apply(log_dir, fname)
+    have = sorted(v for v in commits if start <= v <= hi)
+    if have != list(range(start, min(hi, max(commits, default=start - 1)) + 1)):
+        raise FileNotFoundError(
+            f"Delta log {log_dir}: non-contiguous JSON commits in "
+            f"[{start}, {hi}] (have {have}) — cannot emit partial deltas"
+        )
+    for v in have:
+        _m, adds, removes, cdc, any_dc = _dlog_apply(log_dir, commits[v])
         new = dict(prev)
         for p in removes:
             new.pop(p, None)

@@ -491,3 +491,88 @@ def test_convert_keeps_preadoption_time_travel(registered, spark, tmp_path):
     sess = TxSqlSession(spark, {"t": c})
     n0 = sess.execute("SELECT COUNT(*) AS n FROM t VERSION AS OF 0").collect()
     assert n0[0].n == 40
+
+
+def test_foreign_checkpoint_at_retained_json_head(registered, spark, tmp_path):
+    """Review finding (round 10): a foreign writer that cleans JSON
+    commits strictly BELOW its checkpoint (the checkpoint-version json
+    survives) must still bootstrap — the checkpoint covers the gap
+    exactly."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        write_delta_checkpoint,
+    )
+
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "native"),
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(10)], "k int, amt double"
+        ).coalesce(1),
+    )
+    t.append(spark.createDataFrame([(100, 1.0)], "k int, amt double"))  # v1
+    t.append(spark.createDataFrame([(101, 2.0)], "k int, amt double"))  # v2
+    t.to_delta_log()
+    foreign = _foreignize(str(tmp_path / "native"), str(tmp_path / "foreign"))
+    write_delta_checkpoint(spark, foreign, version=1)
+    # clean STRICTLY below the checkpoint: 00..01.json stays
+    os.remove(os.path.join(foreign, "_delta_log", f"{0:020d}.json"))
+    stream = spark.readStream.format("txlog").load(foreign)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("fhead")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.k for r in spark.sql("select * from fhead").collect())
+    assert got == sorted(list(range(10)) + [100, 101])
+
+
+def test_foreign_cdf_range_below_cleaned_checkpoint_refused(
+    registered, spark, tmp_path
+):
+    """Review finding (round 10): a CDF range lying entirely below a
+    checkpoint whose JSON commits were cleaned must refuse loudly — not
+    emit a full-snapshot record OUTSIDE the requested range."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        write_delta_checkpoint,
+    )
+
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "native"),
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(6)], "k int, amt double"
+        ).coalesce(1),
+    )
+    for i in range(4):  # v1..v4
+        t.append(
+            spark.createDataFrame([(100 + i, 1.0)], "k int, amt double")
+        )
+    t.to_delta_log()
+    foreign = _foreignize(str(tmp_path / "native"), str(tmp_path / "foreign"))
+    write_delta_checkpoint(spark, foreign, version=3)
+    for v in range(4):  # JSON head now starts at 4, checkpoint at 3
+        os.remove(os.path.join(foreign, "_delta_log", f"{v:020d}.json"))
+    with pytest.raises(Exception, match="unreconstructible|below"):
+        (
+            spark.read.format("txlog")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "0")
+            .option("endingVersion", "2")
+            .load(foreign)
+            .collect()
+        )
+    # and a range REACHING the checkpoint bootstraps + tails fine
+    ok = (
+        spark.read.format("txlog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("endingVersion", "4")
+        .load(foreign)
+    )
+    byv = {}
+    for r in ok.collect():
+        byv.setdefault(r._commit_version, set()).add(r.k)
+    assert byv[3] == set(range(6)) | {100, 101, 102}, "snapshot at ckpt"
+    assert byv[4] == {103}

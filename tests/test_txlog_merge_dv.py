@@ -363,3 +363,50 @@ def test_dv_merge_export_and_delta_replay(spark, tmp_path):
     t.to_delta_log()
     got = read_delta_snapshot(spark, t.path)
     assert sorted(map(tuple, got.collect())) == _rows(t)
+
+
+def test_dv_merge_duplicate_source_keys_exact_positions(spark, tmp_path):
+    """Review finding (round 10): duplicate source keys yield one doomed
+    JOIN row per duplicate at the SAME position — un-deduped, the
+    vector cardinality inflates and a file whose unmatched rows are
+    still live gets wrongly retired (silent data loss). Positions must
+    be DISTINCT."""
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(3)], "k int, amt double"
+        ).coalesce(1),  # ONE file of 3 rows
+    )
+    # source repeats key 0 three times: card would hit nrows=3 un-deduped
+    src = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (0, 3.0)], "k int, bump double"
+    )
+    merge_into_txlog(
+        spark, t, src, ["k"],
+        clauses={"matched": [{"action": "delete"}]},
+        mode="dv",
+    )
+    got = sorted(r.k for r in t.read().collect())
+    assert got == [1, 2], "unmatched rows must survive"
+    assert len(t.files()) == 1, "the file must NOT be retired"
+    assert sum(d["cardinality"] for d in t.dvs().values()) == 1
+    # duplicate UPDATE matches: one distinct position, THREE output rows
+    # (the COW-twin duplication rule), vector exact
+    t2 = TxLogTable.create(
+        spark,
+        str(tmp_path / "t2"),
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(3)], "k int, amt double"
+        ).coalesce(1),
+    )
+    merge_into_txlog(
+        spark, t2, src, ["k"],
+        clauses={"matched": [
+            {"action": "update", "set": {"amt": "t.amt + s.bump"}}
+        ]},
+        mode="dv",
+    )
+    assert sum(d["cardinality"] for d in t2.dvs().values()) == 1
+    rows = sorted((r.k, r.amt) for r in t2.read().collect())
+    assert rows == [(0, 1.0), (0, 2.0), (0, 3.0), (1, 1.0), (2, 2.0)]
