@@ -55,6 +55,8 @@ VACUUM), and ANSI for the rest:
   protocol chokepoint (insert-only merges and no-op DML stay legal,
   Delta's rule)
 - ``VACUUM t [RETAIN n VERSIONS]``
+- ``SHOW TBLPROPERTIES t [('key')]`` (all properties as key/value rows,
+  or the one named key)
 - ``DESCRIBE HISTORY t`` (returns a DataFrame, newest first — Delta's
   shape: version, operation, and the commit's add/remove counts)
 - ``DESCRIBE DETAIL t`` (one row: format, version, numFiles,
@@ -315,6 +317,7 @@ class TxSqlSession:
             (r"VACUUM ", self._vacuum),
             (r"DESCRIBE HISTORY ", self._history),
             (r"DESCRIBE DETAIL ", self._detail),
+            (r"SHOW TBLPROPERTIES ", self._show_props),
             (r"SELECT ", self._select),
         ):
             if re.match(pat, head):
@@ -962,12 +965,39 @@ class TxSqlSession:
             list(t.partition_meta()[0]),
             len(dvs),
             len(t.checks()),
+            t.properties(),
         )
         return self.spark.createDataFrame(
             [row],
             "format string, location string, version int, numFiles int, "
             "sizeInBytes bigint, partitionColumns array<string>, "
-            "numDeletionVectors int, numCheckConstraints int",
+            "numDeletionVectors int, numCheckConstraints int, "
+            "properties map<string,string>",
+        )
+
+    def _show_props(self, s: str) -> DataFrame:
+        """Delta's ``SHOW TBLPROPERTIES t [('key')]``: all properties as
+        (key, value) rows, or one row for the named key (value null when
+        unset — Delta returns an error message string there; a typed
+        null is the honest relational form)."""
+        m = re.fullmatch(
+            rf"SHOW\s+TBLPROPERTIES\s+({_IDENT})"
+            r"(?:\s*\(\s*('[^']*'|\"[^\"]*\"|[\w.-]+)\s*\))?",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse SHOW TBLPROPERTIES: {s!r}")
+        props = self.table(m.group(1)).properties()
+        if m.group(2):
+            k = m.group(2).strip()
+            if k and k[0] in "'\"":
+                k = k[1:-1]
+            rows = [(k, props.get(k))]
+        else:
+            rows = sorted(props.items())
+        return self.spark.createDataFrame(
+            rows, "key string, value string"
         )
 
     def _history(self, s: str) -> DataFrame:

@@ -200,3 +200,23 @@ def test_properties_export_import_roundtrip(spark, tmp_path):
     assert not cc["removes"] and cc.get("dvs")
     # and the exported delta snapshot still replays (sanity)
     assert read_delta_snapshot(spark, t.path).count() == 20
+
+
+def test_show_tblproperties_and_describe_detail(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=5)
+    sess = TxSqlSession(spark, {"t": t})
+    assert sess.execute("SHOW TBLPROPERTIES t").count() == 0
+    sess.execute(
+        "ALTER TABLE t SET TBLPROPERTIES ('owner' = 'eng', 'tier' = 'gold')"
+    )
+    rows = {
+        (r.key, r.value)
+        for r in sess.execute("SHOW TBLPROPERTIES t").collect()
+    }
+    assert rows == {("owner", "eng"), ("tier", "gold")}
+    one = sess.execute("SHOW TBLPROPERTIES t ('owner')").collect()
+    assert [(r.key, r.value) for r in one] == [("owner", "eng")]
+    missing = sess.execute("SHOW TBLPROPERTIES t ('nope')").collect()
+    assert [(r.key, r.value) for r in missing] == [("nope", None)]
+    detail = sess.execute("DESCRIBE DETAIL t").collect()[0]
+    assert detail.properties == {"owner": "eng", "tier": "gold"}
