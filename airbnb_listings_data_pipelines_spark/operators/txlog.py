@@ -1989,7 +1989,7 @@ class TxLogTable:
                         ).withColumn("_change_type", F.lit("delete"))
                     )
             try:
-                return self.commit(
+                return self._commit_dml(
                     adds=adds, removes=touched, base_version=base_version,
                     op="delete", schema=schema_json, cdc=cdc_rel,
                 )
@@ -2114,7 +2114,7 @@ class TxLogTable:
                     )
                     cdc_rel = self._write_cdc(pre.unionByName(post))
             try:
-                return self.commit(
+                return self._commit_dml(
                     adds=adds, removes=touched, base_version=base_version,
                     op="update", schema=schema_json, cdc=cdc_rel,
                 )
@@ -2341,7 +2341,7 @@ class TxLogTable:
                 os.remove(os.path.join(self.path, sidecar))
                 sidecar = None
             try:
-                return self.commit(
+                return self._commit_dml(
                     adds=adds, removes=removes, base_version=base_version,
                     op=op, schema=schema_json, dvs=dv_updates or None,
                 )
@@ -3662,6 +3662,72 @@ class TxLogTable:
                 continue
         raise CommitConflict(f"drop_check gave up after {max_retries} retries")
 
+    # ------------------------------------------- isolation / retry-rebase
+
+    def _rebase_base(self, base_version: int) -> int | None:
+        """WriteSerializable retry-rebase (the Delta paper's §3.3 logical
+        conflict check, Delta's ``delta.isolationLevel`` semantics): when
+        EVERY commit that landed after ``base_version`` is a blind append
+        — op 'append', adds only, no removes/DVs/metadata, not a
+        checkpoint — a DML/MERGE loser may
+        re-commit its already-written result at the new head WITHOUT
+        recomputation: the appends commute with it (their rows were
+        invisible to the DML's snapshot, and WriteSerializable permits
+        ordering them after the DML). Returns the new base version, or
+        None when any interleaved commit is not a blind append — the
+        caller then recomputes against the fresh snapshot, which is the
+        Serializable behavior and the DEFAULT (Delta defaults to
+        WriteSerializable; this engine keeps the stricter default and
+        makes the relaxation an explicit property opt-in).
+
+        At 1000 concurrent writers this is the difference between a DML
+        whose cost is O(its own work) and one that re-runs its scans and
+        rewrites for every append that slips in front of it."""
+        iso = self.properties().get("delta.isolationLevel", "Serializable")
+        if iso.lower() != "writeserializable":
+            return None
+        latest = self.version()
+        for v in range(base_version + 1, latest + 1):
+            try:
+                with open(
+                    os.path.join(self.log_dir, _commit_name(v))
+                ) as fh:
+                    c = json.load(fh)
+            except OSError:
+                return None
+            if (
+                c.get("op") != "append"
+                or c.get("removes")
+                or c.get("dvs")
+                or c.get("dvs_reset") is not None
+                or c.get("checkpoint")
+            ):
+                return None
+            # an interleaved append MAY carry a streaming-txn marker —
+            # it only matters to txn-marked commits, and those never
+            # rebase (_commit_dml re-raises so the idempotency check
+            # re-runs); a streaming ingest's append stream is exactly
+            # the contention this rebase exists for
+        return latest
+
+    def _commit_dml(self, **kw) -> int:
+        """:meth:`commit` plus the WriteSerializable retry-rebase: on
+        CommitConflict, re-commit the SAME payload at the new head when
+        :meth:`_rebase_base` allows it; otherwise re-raise so the caller
+        recomputes. txn-marked commits never rebase — the idempotency
+        check must re-run against the interleaved commits (a racing
+        instance of the same batch may have landed one)."""
+        while True:
+            try:
+                return self.commit(**kw)
+            except CommitConflict:
+                if kw.get("txn") is not None:
+                    raise
+                nb = self._rebase_base(kw["base_version"])
+                if nb is None:
+                    raise
+                kw["base_version"] = nb
+
     # --------------------------------------------------- table properties
 
     def properties(self, as_of: int | None = None) -> dict[str, str]:
@@ -4323,7 +4389,7 @@ def _merge_into_dv(
                 os.remove(os.path.join(table.path, sidecar))
                 sidecar = None
         try:
-            table.commit(
+            table._commit_dml(
                 adds=adds, removes=removes, base_version=base_version,
                 op="merge", schema=new_rows.schema.json(), txn=txn,
                 column_mapping=new_mapping, dvs=dv_updates or None,
@@ -4541,7 +4607,7 @@ def merge_into_txlog(
                 )
             cdc_rel = table._write_cdc(cdc_df)
         try:
-            table.commit(
+            table._commit_dml(
                 adds=adds, removes=removes, base_version=base_version,
                 op="merge", schema=merged.schema.json(), txn=txn,
                 column_mapping=new_mapping, cdc=cdc_rel,
