@@ -3153,7 +3153,13 @@ class TxLogTable:
         # logical no-op: rows unchanged, every CHECK already holds
         adds = self._write_data(snap, _validate=False)
         try:
-            return self.commit(
+            # a compaction is ROW-PRESERVING, so rebasing over blind
+            # appends is correct under ANY isolation level (Delta's own
+            # conflict rule: OPTIMIZE conflicts only on overlapping file
+            # removal) — _rebase_always skips the property gate; a busy
+            # ingest stream no longer forces the whole rewrite to rerun
+            return self._commit_dml(
+                _rebase_always=True,
                 adds=adds, removes=files, base_version=base_version,
                 op="optimize", schema=self._schema_at() or snap.schema.json(),
             )
@@ -3664,7 +3670,9 @@ class TxLogTable:
 
     # ------------------------------------------- isolation / retry-rebase
 
-    def _rebase_base(self, base_version: int) -> int | None:
+    def _rebase_base(
+        self, base_version: int, force: bool = False
+    ) -> int | None:
         """WriteSerializable retry-rebase (the Delta paper's §3.3 logical
         conflict check, Delta's ``delta.isolationLevel`` semantics): when
         EVERY commit that landed after ``base_version`` is a blind append
@@ -3683,9 +3691,12 @@ class TxLogTable:
         At 1000 concurrent writers this is the difference between a DML
         whose cost is O(its own work) and one that re-runs its scans and
         rewrites for every append that slips in front of it."""
-        iso = self.properties().get("delta.isolationLevel", "Serializable")
-        if iso.lower() != "writeserializable":
-            return None
+        if not force:
+            iso = self.properties().get(
+                "delta.isolationLevel", "Serializable"
+            )
+            if iso.lower() != "writeserializable":
+                return None
         latest = self.version()
         for v in range(base_version + 1, latest + 1):
             try:
@@ -3710,20 +3721,25 @@ class TxLogTable:
             # the contention this rebase exists for
         return latest
 
-    def _commit_dml(self, **kw) -> int:
+    def _commit_dml(self, _rebase_always: bool = False, **kw) -> int:
         """:meth:`commit` plus the WriteSerializable retry-rebase: on
         CommitConflict, re-commit the SAME payload at the new head when
         :meth:`_rebase_base` allows it; otherwise re-raise so the caller
         recomputes. txn-marked commits never rebase — the idempotency
         check must re-run against the interleaved commits (a racing
-        instance of the same batch may have landed one)."""
+        instance of the same batch may have landed one).
+        ``_rebase_always`` skips the isolation-property gate for
+        ROW-PRESERVING commits (OPTIMIZE), whose append-rebase is
+        correct under any isolation level."""
         while True:
             try:
                 return self.commit(**kw)
             except CommitConflict:
                 if kw.get("txn") is not None:
                     raise
-                nb = self._rebase_base(kw["base_version"])
+                nb = self._rebase_base(
+                    kw["base_version"], force=_rebase_always
+                )
                 if nb is None:
                     raise
                 kw["base_version"] = nb

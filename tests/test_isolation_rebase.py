@@ -173,3 +173,24 @@ def test_rebase_sql_property_surface(spark, tmp_path):
     ):
         sess.execute("DELETE FROM t WHERE k >= 0")
     assert [r.k for r in t.read().collect()] == [800]
+
+
+def test_optimize_rebases_over_appends_any_isolation(spark, tmp_path):
+    """OPTIMIZE is row-preserving, so its append-rebase needs NO
+    isolation opt-in (Delta's rule: compaction conflicts only on
+    overlapping file removal) — a busy ingest stream no longer forces
+    the whole rewrite to rerun."""
+    t = _mk(spark, tmp_path / "t")  # default Serializable
+    with _race_append_once(
+        spark,
+        "k int, v string, amt double",
+        [(900, "late", 9.0)],
+        on_op="optimize",
+    ):
+        t.optimize(target_files=1)  # would raise CommitConflict pre-rebase
+    ks = sorted(r.k for r in t.read().collect())
+    assert ks == list(range(20)) + [900]
+    ops = [h["op"] for h in t.history()]
+    assert ops[-2:] == ["append", "optimize"]
+    # compacted files + the appended file
+    assert len(t.files()) == 2
