@@ -523,18 +523,40 @@ def _dlog_ckpt_state(
     live: dict[str, dict] = {}
     metadata = None
     for name in names:
-        tbl = pq.read_table(os.path.join(log_dir, name))
-        cols = set(tbl.column_names)
-        for row in tbl.to_pylist():
-            add = row.get("add") if "add" in cols else None
-            if add and add.get("path"):
-                live[add["path"]] = _dlog_norm_add(add)
-            md = row.get("metaData") if "metaData" in cols else None
-            if md and md.get("schemaString"):
-                metadata = _dlog_norm_meta(md)
-            proto = row.get("protocol") if "protocol" in cols else None
-            if proto and proto.get("minReaderVersion") is not None:
-                _dlog_check_protocol(proto)
+        full = os.path.join(log_dir, name)
+        have = set(pq.read_schema(full).names)
+        want = [c for c in ("add", "metaData", "protocol") if c in have]
+        tbl = pq.read_table(full, columns=want)
+        # COLUMNAR struct-field extraction, not per-row dicts: a 100 TB
+        # table's checkpoint holds millions of add rows — to_pylist()
+        # of whole rows would materialize every nested field of every
+        # action kind; field() slices only what the fold needs
+        if "add" in want:
+            add = tbl.column("add").combine_chunks()
+            paths = add.field("path").to_pylist()
+            pvs = add.field("partitionValues").to_pylist()
+            dvs = (
+                add.field("deletionVector").to_pylist()
+                if "deletionVector" in [f.name for f in add.type]
+                else [None] * len(paths)
+            )
+            for p, pv, dv in zip(paths, pvs, dvs):
+                if p is not None:
+                    live[p] = _dlog_norm_add(
+                        {
+                            "path": p,
+                            "partitionValues": pv,
+                            "deletionVector": dv,
+                        }
+                    )
+        if "metaData" in want:
+            for md in tbl.column("metaData").to_pylist():
+                if md and md.get("schemaString"):
+                    metadata = _dlog_norm_meta(md)
+        if "protocol" in want:
+            for proto in tbl.column("protocol").to_pylist():
+                if proto and proto.get("minReaderVersion") is not None:
+                    _dlog_check_protocol(proto)
     return live, metadata
 
 
