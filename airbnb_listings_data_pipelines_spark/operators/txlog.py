@@ -2280,8 +2280,9 @@ class TxLogTable:
             if not counts:
                 try:
                     # faithful history: a no-op DML still commits (same
-                    # contract as the COW path)
-                    return self.commit(
+                    # contract as the COW path — and it rebases like any
+                    # other DML commit, review finding round 10)
+                    return self._commit_dml(
                         adds=[], removes=[], base_version=base_version,
                         op=op, schema=schema_json,
                     )
@@ -3670,9 +3671,7 @@ class TxLogTable:
 
     # ------------------------------------------- isolation / retry-rebase
 
-    def _rebase_base(
-        self, base_version: int, force: bool = False
-    ) -> int | None:
+    def _rebase_base(self, base_version: int) -> int | None:
         """WriteSerializable retry-rebase (the Delta paper's §3.3 logical
         conflict check, Delta's ``delta.isolationLevel`` semantics): when
         EVERY commit that landed after ``base_version`` is a blind append
@@ -3691,13 +3690,11 @@ class TxLogTable:
         At 1000 concurrent writers this is the difference between a DML
         whose cost is O(its own work) and one that re-runs its scans and
         rewrites for every append that slips in front of it."""
-        if not force:
-            iso = self.properties().get(
-                "delta.isolationLevel", "Serializable"
-            )
-            if iso.lower() != "writeserializable":
-                return None
-        latest = self.version()
+        # purely STRUCTURAL check — the isolation-property gate lives in
+        # _commit_dml (loop-invariant there: any interleaved
+        # set_properties commit has op != 'append' and blocks the rebase
+        # anyway). Latest version via one listdir, not a full log fold.
+        latest = self._latest_and_txn(None)[0]
         for v in range(base_version + 1, latest + 1):
             try:
                 with open(
@@ -3721,6 +3718,13 @@ class TxLogTable:
             # the contention this rebase exists for
         return latest
 
+    # rebase retries are cheap (one listdir + O(interleaved commits)
+    # small-JSON reads, no recompute) but MUST be bounded: a sustained
+    # append stream could otherwise livelock the DML past its own
+    # max_retries contract — 64 lost version races in a row means the
+    # caller should surface the contention, not spin
+    _REBASE_MAX = 64
+
     def _commit_dml(self, _rebase_always: bool = False, **kw) -> int:
         """:meth:`commit` plus the WriteSerializable retry-rebase: on
         CommitConflict, re-commit the SAME payload at the new head when
@@ -3730,19 +3734,33 @@ class TxLogTable:
         instance of the same batch may have landed one).
         ``_rebase_always`` skips the isolation-property gate for
         ROW-PRESERVING commits (OPTIMIZE), whose append-rebase is
-        correct under any isolation level."""
-        while True:
+        correct under any isolation level. The property gate resolves
+        ONCE per call (loop-invariant: an interleaved set_properties
+        commit is not a blind append, so it blocks the rebase anyway)."""
+        iso_ok: bool | None = True if _rebase_always else None
+        for _attempt in range(self._REBASE_MAX):
             try:
                 return self.commit(**kw)
             except CommitConflict:
                 if kw.get("txn") is not None:
                     raise
-                nb = self._rebase_base(
-                    kw["base_version"], force=_rebase_always
-                )
+                if iso_ok is None:
+                    iso_ok = (
+                        self.properties()
+                        .get("delta.isolationLevel", "Serializable")
+                        .lower()
+                        == "writeserializable"
+                    )
+                if not iso_ok:
+                    raise
+                nb = self._rebase_base(kw["base_version"])
                 if nb is None:
                     raise
                 kw["base_version"] = nb
+        raise CommitConflict(
+            f"rebase lost {self._REBASE_MAX} version races in a row — "
+            "sustained write contention; retry or batch the appends"
+        )
 
     # --------------------------------------------------- table properties
 

@@ -533,11 +533,20 @@ def _dlog_ckpt_state(
         # action kind; field() slices only what the fold needs
         if "add" in want:
             add = tbl.column("add").combine_chunks()
+            fields = [f.name for f in add.type]
+            if "path" not in fields:
+                continue  # degenerate checkpoint: no adds recorded
             paths = add.field("path").to_pylist()
-            pvs = add.field("partitionValues").to_pylist()
+            # a minimal foreign writer may omit optional struct fields —
+            # tolerate exactly like the row-wise .get() form did
+            pvs = (
+                add.field("partitionValues").to_pylist()
+                if "partitionValues" in fields
+                else [None] * len(paths)
+            )
             dvs = (
                 add.field("deletionVector").to_pylist()
-                if "deletionVector" in [f.name for f in add.type]
+                if "deletionVector" in fields
                 else [None] * len(paths)
             )
             for p, pv, dv in zip(paths, pvs, dvs):
