@@ -576,3 +576,34 @@ def test_foreign_cdf_range_below_cleaned_checkpoint_refused(
         byv.setdefault(r._commit_version, set()).add(r.k)
     assert byv[3] == set(range(6)) | {100, 101, 102}, "snapshot at ckpt"
     assert byv[4] == {103}
+
+
+def test_cdf_twins_datasource_vs_operator(registered, spark, tmp_path):
+    """Twin-equivalence pin for the two foreign-Delta CDF readers: the
+    DataSource batch CDF (txlog_source._dlog_* twins, raw file
+    granularity) and deltalog.read_delta_changes(net=False) must emit
+    the IDENTICAL multiset over the same foreign log — the same
+    equivalence contract the txlog fold twins carry."""
+    from collections import Counter
+
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        read_delta_changes,
+    )
+
+    _mk_exported(spark, tmp_path / "native")
+    foreign = _foreignize(str(tmp_path / "native"), str(tmp_path / "foreign"))
+    via_source = (
+        spark.read.format("txlog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load(foreign)
+    )
+    via_operator = read_delta_changes(spark, foreign, 0, 3, net=False)
+    a = Counter(map(tuple, via_source.collect()))
+    b = Counter(
+        map(
+            tuple,
+            via_operator.select(*via_source.columns).collect(),
+        )
+    )
+    assert a == b
