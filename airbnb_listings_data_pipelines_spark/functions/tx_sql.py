@@ -41,7 +41,9 @@ VACUUM), and ANSI for the rest:
   [ZORDER BY (c1, c2)]`` — WHERE scopes the compaction to overlapping
   files (partition dirs / footer envelopes), Delta's partition-scoped
   OPTIMIZE
-- ``RESTORE TABLE t TO VERSION AS OF n``
+- ``RESTORE TABLE t TO VERSION AS OF n`` / ``TO TIMESTAMP AS OF ts``
+  (timestamps resolve via monotonized commit mtimes, Delta's fallback
+  rule; numeric literals are epoch seconds, strings ISO-8601)
 - ``ALTER TABLE t RENAME COLUMN a TO b`` / ``DROP COLUMN a`` /
   ``ADD COLUMN a type`` / ``ADD CONSTRAINT name CHECK (expr)`` /
   ``DROP CONSTRAINT name``
@@ -54,14 +56,15 @@ VACUUM), and ANSI for the rest:
   ``delta.appendOnly`` 'true' refuses row-modifying commits at the
   protocol chokepoint (insert-only merges and no-op DML stay legal,
   Delta's rule)
-- ``VACUUM t [RETAIN n VERSIONS]``
+- ``VACUUM t [RETAIN n VERSIONS] [DRY RUN]``
 - ``SHOW TBLPROPERTIES t [('key')]`` (all properties as key/value rows,
   or the one named key)
 - ``DESCRIBE HISTORY t`` (returns a DataFrame, newest first — Delta's
   shape: version, operation, and the commit's add/remove counts)
 - ``DESCRIBE DETAIL t`` (one row: format, version, numFiles,
   sizeInBytes, partition columns, DV and CHECK counts)
-- ``SELECT ... FROM t [VERSION AS OF n]`` — snapshot / time-travel
+- ``SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF ts]`` —
+  snapshot / time-travel
   reads; each referenced (table, version) registers as a temp view and
   the statement runs through plain Spark SQL (Catalyst plans it; this
   layer only resolves names and versions)
@@ -708,9 +711,20 @@ class TxSqlSession:
             s,
             re.IGNORECASE,
         )
-        if not m:
-            raise ValueError(f"cannot parse RESTORE: {s!r}")
-        return self.table(m.group(1)).restore(int(m.group(2)))
+        if m:
+            return self.table(m.group(1)).restore(int(m.group(2)))
+        m = re.fullmatch(
+            rf"RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+TIMESTAMP\s+AS\s+OF\s+"
+            r"('[^']*'|\"[^\"]*\"|[\d.]+)",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            t = self.table(m.group(1))
+            return t.restore(
+                t.version_at_timestamp(self._parse_timestamp_ms(m.group(2)))
+            )
+        raise ValueError(f"cannot parse RESTORE: {s!r}")
 
     def _dml_mode(self, t: TxLogTable) -> str:
         """Delta's behavioral property: ``delta.enableDeletionVectors``
@@ -803,14 +817,34 @@ class TxSqlSession:
 
     def _vacuum(self, s: str) -> list[str]:
         m = re.fullmatch(
-            rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?",
+            rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?"
+            r"(\s+DRY\s+RUN)?",
             s,
             re.IGNORECASE,
         )
         if not m:
             raise ValueError(f"cannot parse VACUUM: {s!r}")
         retain = int(m.group(2)) if m.group(2) else 1
-        return self.table(m.group(1)).vacuum(retain_versions=retain)
+        return self.table(m.group(1)).vacuum(
+            retain_versions=retain, dry_run=bool(m.group(3))
+        )
+
+    @staticmethod
+    def _parse_timestamp_ms(raw: str) -> int:
+        """A TIMESTAMP AS OF literal -> epoch milliseconds: numeric
+        strings are epoch SECONDS (fractions allowed); anything else
+        parses as ISO-8601 (naive values use the local clock, matching
+        datetime.timestamp() — the same convention file mtimes carry)."""
+        import datetime as _dt
+
+        v = raw.strip()
+        if v and v[0] in "'\"":
+            v = v[1:-1]
+        try:
+            return int(float(v) * 1000)
+        except ValueError:
+            pass
+        return int(_dt.datetime.fromisoformat(v).timestamp() * 1000)
 
     def _select(self, s: str) -> DataFrame:
         """Run a SELECT whose FROM references bound txlog tables, with
@@ -842,10 +876,28 @@ class TxSqlSession:
                 return f" {name.lower()}__v{v}__{tag} "
             return m.group(0)
 
+        def _ts_to_version(m: re.Match) -> str:
+            name = m.group(1)
+            if name.lower() not in self._tables:
+                return m.group(0)
+            v = self.table(name).version_at_timestamp(
+                self._parse_timestamp_ms(m.group(2))
+            )
+            return f" {name} VERSION AS OF {v} "
+
+        # TIMESTAMP AS OF resolves to a version FIRST, then rides the
+        # same versioned-view machinery as VERSION AS OF
+        pre = re.sub(
+            rf"\s({_IDENT})\s+TIMESTAMP\s+AS\s+OF\s+"
+            r"('[^']*'|\"[^\"]*\"|[\d.]+)",
+            _ts_to_version,
+            f" {s} ",
+            flags=re.IGNORECASE,
+        )
         body = re.sub(
             rf"\s({_IDENT})\s+VERSION\s+AS\s+OF\s+(\d+)\b",
             _strip,
-            f" {s} ",
+            pre,
             flags=re.IGNORECASE,
         ).strip()
         # Delta's table_changes(name, lo[, hi]) TVF: each call resolves

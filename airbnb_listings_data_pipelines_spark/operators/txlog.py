@@ -1425,6 +1425,38 @@ class TxLogTable:
             dvs=dvs,
         )
 
+    def version_at_timestamp(self, timestamp_ms: int) -> int:
+        """``TIMESTAMP AS OF`` resolution: the newest version whose
+        commit time <= ``timestamp_ms`` — commit-file mtimes adjusted to
+        be MONOTONICALLY increasing in version order (ts_v :=
+        max(raw_v, ts_{v-1} + 1 ms)), Delta's own rule (its fallback
+        when commitInfo is absent is exactly the file modification
+        time). The resolvable window is the retained log, same envelope
+        as Delta; copying a table resets mtimes, so pin important
+        snapshots with :meth:`tag` rather than wall clocks."""
+        raw: list[tuple[int, int]] = []
+        for f in sorted(
+            n for n in os.listdir(self.log_dir) if n.endswith(".json")
+        ):
+            v = int(f.split(".")[0])
+            raw.append(
+                (v, int(os.path.getmtime(os.path.join(self.log_dir, f)) * 1000))
+            )
+        best: int | None = None
+        prev_ts: int | None = None
+        for v, ts in raw:
+            if prev_ts is not None and ts <= prev_ts:
+                ts = prev_ts + 1
+            prev_ts = ts
+            if ts <= int(timestamp_ms):
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no commit in {self.log_dir} at or before timestamp "
+                f"{timestamp_ms} ms"
+            )
+        return best
+
     def history(self) -> list[dict]:
         out = []
         for name in sorted(f for f in os.listdir(self.log_dir) if f.endswith(".json")):
@@ -3911,7 +3943,10 @@ class TxLogTable:
     # ------------------------------------------------------------- vacuum
 
     def vacuum(
-        self, retain_versions: int = 1, min_age_s: float = 0.0
+        self,
+        retain_versions: int = 1,
+        min_age_s: float = 0.0,
+        dry_run: bool = False,
     ) -> list[str]:
         """Delete data files referenced by NO retained snapshot: orphans
         from crashed/losing writers, plus files whose only references are
@@ -3934,7 +3969,11 @@ class TxLogTable:
         files: an audit trail in :meth:`history`, and the commit forces
         CommitConflict on any concurrently-retrying writer (e.g.
         :meth:`restore`, whose per-attempt existence re-check then runs
-        against the post-vacuum reality instead of racing it)."""
+        against the post-vacuum reality instead of racing it).
+
+        ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``) returns the
+        would-delete list and touches NOTHING — no removals, no audit
+        commit."""
         import time as _time
 
         now = _time.time()
@@ -3966,7 +4005,8 @@ class TxLogTable:
                 full = os.path.join(dv_dir, f)
                 if min_age_s > 0 and now - os.path.getmtime(full) < min_age_s:
                     continue  # possibly staged by an in-flight DML
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 deleted.append(rel)
         # checkpoint live-list sidecars referenced by NO commit (a writer
         # crashed between sidecar write and commit publish, or lost the
@@ -4016,7 +4056,8 @@ class TxLogTable:
                 for rel, full in candidates:
                     if rel in referenced_ckpts:
                         continue
-                    os.remove(full)
+                    if not dry_run:
+                        os.remove(full)
                     deleted.append(f"_txlog/{rel}")
         # change-data sidecars referenced by NO surviving commit JSON
         # (their commit was truncated by cleanup_log, or a writer lost
@@ -4056,7 +4097,8 @@ class TxLogTable:
                 for rel, full in cdc_candidates:
                     if rel in refs:
                         continue
-                    os.remove(full)
+                    if not dry_run:
+                        os.remove(full)
                     deleted.append(rel)
         # abandoned staging temp files from crashed sidecar writes
         for f in sorted(os.listdir(self.log_dir)):
@@ -4064,7 +4106,8 @@ class TxLogTable:
                 full = os.path.join(self.log_dir, f)
                 if min_age_s > 0 and now - os.path.getmtime(full) < min_age_s:
                     continue
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 deleted.append(f"_txlog/{f}")
         for root, dirs, fs in os.walk(self.path):
             # never descend into the logs or staging dirs
@@ -4077,10 +4120,13 @@ class TxLogTable:
                 if rel not in referenced:
                     if min_age_s > 0 and now - os.path.getmtime(full) < min_age_s:
                         continue  # possibly staged by an in-flight writer
-                    os.remove(full)
+                    if not dry_run:
+                        os.remove(full)
                     deleted.append(rel)
         # drop partition dirs a vacuum emptied (cosmetic; readers use the log)
-        for root, _dirs, _fs in os.walk(self.path, topdown=False):
+        for root, _dirs, _fs in (
+            [] if dry_run else os.walk(self.path, topdown=False)
+        ):
             rel = os.path.relpath(root, self.path)
             if rel in (".",) or rel.split(os.sep)[0].startswith(("_", ".")):
                 continue
@@ -4088,7 +4134,7 @@ class TxLogTable:
                 os.rmdir(root)  # only succeeds if empty
             except OSError:
                 pass
-        if deleted:
+        if deleted and not dry_run:
             # best-effort audit commit; the deletions above already
             # happened, so a persistent conflict is not an error — the
             # conflicting commits themselves served as the writer signal

@@ -774,3 +774,74 @@ def test_sql_table_changes_tvf_and_session_cdc(spark, tmp_path):
         "FROM table_changes(t, 3) WHERE _change_type = 'insert'"
     ).first()
     assert row.n == 2 and row.lit == "table_changes(t, 1)"
+
+
+def test_timestamp_as_of_and_vacuum_dry_run(spark, tmp_path):
+    """Round-10 SQL completeness: TIMESTAMP AS OF time travel (SELECT +
+    RESTORE, monotonized commit-mtime resolution — Delta's fallback
+    rule) and VACUUM ... DRY RUN (would-delete list, nothing touched)."""
+    import datetime
+    import os
+    import time
+
+    from airbnb_listings_data_pipelines_spark.functions.tx_sql import (
+        TxSqlSession,
+    )
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        TxLogTable,
+    )
+
+    path = str(tmp_path / "t")
+    t = TxLogTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, price double"),
+    )
+    t.append(spark.createDataFrame([(3, 30.0)], "k int, price double"))  # v1
+    # a timestamp strictly between v1 and v2 (mtimes are the clock)
+    v1_m = os.path.getmtime(os.path.join(t.log_dir, f"{1:012d}.json"))
+    time.sleep(1.1)
+    t.delete_where("k = 1")  # v2
+    mid = v1_m + 0.5
+    sess = TxSqlSession(spark, {"t": t})
+    # numeric literal = epoch seconds
+    got = sess.execute(
+        f"SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF {mid}"
+    ).collect()
+    assert got[0].n == 3, "resolved to v1 (before the delete)"
+    # ISO literal (local clock, matching mtimes)
+    iso = datetime.datetime.fromtimestamp(mid).isoformat()
+    got2 = sess.execute(
+        f"SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF '{iso}'"
+    ).collect()
+    assert got2[0].n == 3
+    # before every commit: loud
+    with pytest.raises(Exception, match="at or before timestamp"):
+        sess.execute("SELECT * FROM t TIMESTAMP AS OF 1000").collect()
+    # VACUUM DRY RUN after the delete: the retired file is listed but
+    # still on disk, no audit commit appears
+    v_before = t.version()
+    would = sess.execute("VACUUM t DRY RUN")
+    assert would, "the delete retired a file -> a candidate exists"
+    for f in would:
+        assert os.path.exists(os.path.join(t.path, f)), "DRY RUN deleted!"
+    assert t.version() == v_before, "DRY RUN must not commit"
+    # the real vacuum then deletes exactly that list
+    real = sess.execute("VACUUM t")
+    assert real == would
+    for f in real:
+        assert not os.path.exists(os.path.join(t.path, f))
+    # RESTORE TO TIMESTAMP AS OF — back to v1's content... files of v1
+    # were just vacuumed (retain 1), so restore refuses loudly; use a
+    # fresh table to prove the happy path
+    t2 = TxLogTable.create(
+        spark,
+        str(tmp_path / "t2"),
+        spark.createDataFrame([(1, 1.0)], "k int, price double"),
+    )
+    m0 = os.path.getmtime(os.path.join(t2.log_dir, f"{0:012d}.json"))
+    time.sleep(1.1)
+    t2.append(spark.createDataFrame([(2, 2.0)], "k int, price double"))
+    sess2 = TxSqlSession(spark, {"t": t2})
+    sess2.execute(f"RESTORE TABLE t TO TIMESTAMP AS OF {m0 + 0.5}")
+    assert sorted(r.k for r in t2.read().collect()) == [1]
