@@ -376,7 +376,7 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 dv_state[f] = d
         if dv_state:
             dv_feature = True
-        if c.get("cdc") and not pby:
+        if c.get("cdc"):
             cdc_feature = True
         cm = c.get("column_mapping")
         if cm is not None:
@@ -637,41 +637,52 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 }
             )
             actions.append({"add": _add_action(f, delta_dvs.get(f))})
-        if c.get("cdc") and not pby:
+        if c.get("cdc"):
             # mirror the change-data sidecar as Delta's AddCDCFile action
-            # (CDF's _change_data design): HARDLINK the parquet under
-            # _change_data/ with the sidecar's own uuid basename (stable
-            # across re-exports) — the hardlink also survives a later
-            # txlog cleanup_log/vacuum of the original. A sidecar already
-            # vacuumed before the first export is simply not mirrored
-            # (the CDF horizon is the retention horizon). Change types
-            # are Delta's native four: insert/delete plus
-            # update_preimage/update_postimage for updates — sidecars
-            # tag them at write time, so the hardlink is already
-            # external-consumer-exact.
+            # (CDF's _change_data design). Unpartitioned: HARDLINK the
+            # parquet under _change_data/ with the sidecar's own uuid
+            # basename (stable across re-exports) — the hardlink also
+            # survives a later txlog cleanup_log/vacuum of the original.
+            # Partitioned: the sidecar stores partition columns INLINE
+            # (one parquet per commit), Delta's _change_data files follow
+            # the data-file convention (values in partitionValues, not
+            # the file) — split per partition tuple with deterministic
+            # names (_export_partitioned_cdc). A sidecar already vacuumed
+            # before the first export is simply not mirrored (the CDF
+            # horizon is the retention horizon). Change types are Delta's
+            # native four: insert/delete plus update_preimage/
+            # update_postimage — sidecars tag them at write time, so the
+            # mirrored bytes are already external-consumer-exact.
             src_cdc = os.path.join(table.path, c["cdc"])
             if os.path.exists(src_cdc):
                 cd_dir = os.path.join(table.path, "_change_data")
                 os.makedirs(cd_dir, exist_ok=True)
                 bn = os.path.basename(c["cdc"])
-                dst = os.path.join(cd_dir, bn)
-                if not os.path.exists(dst):
-                    try:
-                        os.link(src_cdc, dst)
-                    except OSError:
-                        import shutil as _sh
+                if pby:
+                    actions.extend(
+                        _export_partitioned_cdc(
+                            table.path, src_cdc, bn, list(pby)
+                        )
+                    )
+                else:
+                    dst = os.path.join(cd_dir, bn)
+                    if not os.path.exists(dst):
+                        try:
+                            os.link(src_cdc, dst)
+                        except OSError:
+                            import shutil as _sh
 
-                        _sh.copyfile(src_cdc, dst)
-                actions.append(
-                    {
-                        "cdc": {
-                            "path": f"_change_data/{bn}",
-                            "partitionValues": {},
-                            "size": os.path.getsize(dst),
-                            "dataChange": False,
+                            _sh.copyfile(src_cdc, dst)
+                    actions.append(
+                        {
+                            "cdc": {
+                                "path": f"_change_data/{bn}",
+                                "partitionValues": {},
+                                "size": os.path.getsize(dst),
+                                "dataChange": False,
+                            }
                         }
-                    }
-                )
+                    )
         if c.get("txn"):
             # mirror the txlog streaming-transaction marker as the Delta
             # protocol's txn action, so an external engine taking over the
@@ -711,6 +722,68 @@ def export_delta_log(spark: SparkSession, table) -> int:
         prev = set(cur)
         dv_prev = dict(dv_state)
     return latest
+
+
+def _delta_pv_str(v) -> str | None:
+    """One partition value in Delta's partitionValues string
+    serialization (PROTOCOL.md): null stays null, booleans lowercase,
+    dates ISO, timestamps space-separated with microseconds, everything
+    else str()."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _export_partitioned_cdc(
+    table_path: str, src_cdc: str, bn: str, pby: list[str]
+) -> list[dict]:
+    """Split one txlog change-data sidecar into Delta's PER-PARTITION
+    ``_change_data`` files + AddCDCFile actions: group the sidecar's
+    rows by partition tuple, write each group WITHOUT the partition
+    columns (the data-file convention — values ride the action's
+    partitionValues). Names derive from the sidecar's uuid + the sorted
+    group ordinal, so re-exports are idempotent (skip-if-exists).
+    Driver-side pyarrow over O(changed rows) bytes — the same cost
+    class writing the sidecar had. Partition columns are never
+    column-mapped (renames refuse), so sidecar column names match the
+    logical partition names directly."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(src_cdc)
+    keep = [c for c in tbl.column_names if c not in pby]
+    pv_cols = [tbl.column(c).to_pylist() for c in pby]
+    groups: dict[tuple, list[int]] = {}
+    for i, vals in enumerate(zip(*pv_cols)):
+        groups.setdefault(tuple(_delta_pv_str(v) for v in vals), []).append(i)
+    stem = bn[:-len(".parquet")] if bn.endswith(".parquet") else bn
+    cd_dir = os.path.join(table_path, "_change_data")
+    actions: list[dict] = []
+    for gi, key in enumerate(
+        sorted(groups, key=lambda k: tuple((v is None, v) for v in k))
+    ):
+        name = f"{stem}-p{gi:05d}.parquet"
+        dst = os.path.join(cd_dir, name)
+        if not os.path.exists(dst):
+            pq.write_table(tbl.take(groups[key]).select(keep), dst)
+        actions.append(
+            {
+                "cdc": {
+                    "path": f"_change_data/{name}",
+                    "partitionValues": dict(zip(pby, key)),
+                    "size": os.path.getsize(dst),
+                    "dataChange": False,
+                }
+            }
+        )
+    return actions
 
 
 def _proto_merge(a: dict, b: dict) -> dict:

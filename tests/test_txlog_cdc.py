@@ -385,7 +385,14 @@ def test_cdc_delta_export_mirrors_change_data(spark, tmp_path):
     p1 = os.path.join(t.path, cdc_actions[1]["path"])
     assert os.path.exists(p1), "exported _change_data survives vacuum"
 
-    # partitioned: valid export, no cdc actions, no CDF property
+    # partitioned (round-10: the former no-cdc-export limitation is
+    # closed): the sidecar splits into PER-PARTITION _change_data files
+    # with partitionValues in the actions, and the foreign CDF readers
+    # reproduce the exact change set with typed partition columns
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        read_delta_changes,
+    )
+
     tp = TxLogTable.create(
         spark,
         str(tmp_path / "p"),
@@ -395,17 +402,31 @@ def test_cdc_delta_export_mirrors_change_data(spark, tmp_path):
         ),
         partition_by=["g"],
     )
-    tp.delete_where("k = 1", cdc=True)
+    tp.delete_where("k IN (1, 2)", cdc=True)  # one delete per partition
     tp.to_delta_log()
     dlp = os.path.join(tp.path, "_delta_log")
-    body = "".join(
-        open(os.path.join(dlp, f)).read()
-        for f in os.listdir(dlp)
-        if f.endswith(".json")
-    )
-    assert '"cdc"' not in body and "enableChangeDataFeed" not in body
+    cdc_p = []
+    for f in sorted(os.listdir(dlp)):
+        if f.endswith(".json"):
+            with open(os.path.join(dlp, f)) as fh:
+                for line in fh:
+                    a = json.loads(line)
+                    if "cdc" in a:
+                        cdc_p.append(a["cdc"])
+    assert len(cdc_p) == 2, "one _change_data file per touched partition"
+    assert {a["partitionValues"]["g"] for a in cdc_p} == {"0", "1"}
+    for a in cdc_p:
+        pf = pq.ParquetFile(os.path.join(tp.path, a["path"]))
+        assert pf.metadata.num_rows == 1
+        assert "g" not in pf.schema_arrow.names, (
+            "partition column must NOT be in the cdc file"
+        )
+    ch = read_delta_changes(spark, tp.path, 1, 1)
+    assert sorted((r.k, r.g, r._change_type) for r in ch.collect()) == [
+        (1, 1, "delete"), (2, 0, "delete")
+    ]
     got_p = read_delta_snapshot(spark, tp.path)
-    assert got_p.count() == 9
+    assert got_p.count() == 8
 
 
 def test_sidecar_raw_tags_are_delta_four_type(spark, tmp_path):
