@@ -831,19 +831,22 @@ class TxSqlSession:
 
     @staticmethod
     def _parse_timestamp_ms(raw: str) -> int:
-        """A TIMESTAMP AS OF literal -> epoch milliseconds: numeric
-        strings are epoch SECONDS (fractions allowed); anything else
-        parses as ISO-8601 (naive values use the local clock, matching
-        datetime.timestamp() — the same convention file mtimes carry)."""
+        """A TIMESTAMP AS OF literal -> epoch milliseconds: BARE numeric
+        literals are epoch SECONDS (fractions allowed); QUOTED strings
+        always parse as ISO-8601 — '2026' must not silently become
+        epoch-second 2026 (naive values use the local clock, matching
+        datetime.timestamp(), the same convention file mtimes carry)."""
         import datetime as _dt
 
         v = raw.strip()
-        if v and v[0] in "'\"":
+        quoted = bool(v) and v[0] in "'\""
+        if quoted:
             v = v[1:-1]
-        try:
-            return int(float(v) * 1000)
-        except ValueError:
-            pass
+        else:
+            try:
+                return int(float(v) * 1000)
+            except ValueError:
+                pass
         return int(_dt.datetime.fromisoformat(v).timestamp() * 1000)
 
     def _select(self, s: str) -> DataFrame:
@@ -876,6 +879,22 @@ class TxSqlSession:
                 return f" {name.lower()}__v{v}__{tag} "
             return m.group(0)
 
+        def _guard_literals(text: str, fn):
+            """Suppress a sub-callback for matches whose TABLE NAME sits
+            inside a string literal — the shared-mask discipline every
+            scanner in this module follows (a prior review flagged an
+            unmasked scanner corrupting literals; the time-travel
+            clauses can't use plain _LITERAL_RE segmentation because a
+            TIMESTAMP AS OF match legitimately ENDS in a literal)."""
+            lit, _d = _sql_mask(text)
+
+            def wrapped(m: re.Match) -> str:
+                if lit[m.start(1)]:
+                    return m.group(0)
+                return fn(m)
+
+            return wrapped
+
         def _ts_to_version(m: re.Match) -> str:
             name = m.group(1)
             if name.lower() not in self._tables:
@@ -887,16 +906,17 @@ class TxSqlSession:
 
         # TIMESTAMP AS OF resolves to a version FIRST, then rides the
         # same versioned-view machinery as VERSION AS OF
+        padded = f" {s} "
         pre = re.sub(
             rf"\s({_IDENT})\s+TIMESTAMP\s+AS\s+OF\s+"
             r"('[^']*'|\"[^\"]*\"|[\d.]+)",
-            _ts_to_version,
-            f" {s} ",
+            _guard_literals(padded, _ts_to_version),
+            padded,
             flags=re.IGNORECASE,
         )
         body = re.sub(
             rf"\s({_IDENT})\s+VERSION\s+AS\s+OF\s+(\d+)\b",
-            _strip,
+            _guard_literals(pre, _strip),
             pre,
             flags=re.IGNORECASE,
         ).strip()

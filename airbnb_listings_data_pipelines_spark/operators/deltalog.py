@@ -351,11 +351,13 @@ def export_delta_log(spark: SparkSession, table) -> int:
     dv_feature = False
     # changeDataFeed latch: the first txlog commit carrying a change-data
     # sidecar flips delta.enableChangeDataFeed and the CDF writer
-    # requirement for the rest of the log. cdc actions are emitted for
-    # UNPARTITIONED tables only — Delta requires per-cdc-file
-    # partitionValues (one file per partition), while txlog sidecars pack
-    # all partitions into one parquet with the partition columns INLINE;
-    # a partitioned export stays valid, its feed just is not mirrored.
+    # requirement for the rest of the log. Partitioned tables split each
+    # sidecar into per-partition _change_data files at export
+    # (_export_partitioned_cdc — Delta requires per-cdc-file
+    # partitionValues, while txlog sidecars pack all partitions into one
+    # parquet with the partition columns inline); the one remaining
+    # narrow limitation is TIMESTAMP partition columns, whose feed is
+    # not mirrored (serialization mismatch documented in the splitter).
     cdc_feature = False
     for v in range(latest + 1):
         c = tx_state.get(v)
@@ -755,9 +757,19 @@ def _export_partitioned_cdc(
     class writing the sidecar had. Partition columns are never
     column-mapped (renames refuse), so sidecar column names match the
     logical partition names directly."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(src_cdc)
+    # TIMESTAMP partition columns: pyarrow reads the sidecar's inline
+    # values UTC-normalized while the add actions' partitionValues come
+    # from session-local hive dir strings — the two serializations would
+    # disagree. Documented narrow limitation: such tables export WITHOUT
+    # cdc actions (foreign CDF readers fall back to the commit's
+    # remove+add file delta, coarser but correct).
+    for c in pby:
+        if pa.types.is_timestamp(tbl.schema.field(c).type):
+            return []
     keep = [c for c in tbl.column_names if c not in pby]
     pv_cols = [tbl.column(c).to_pylist() for c in pby]
     groups: dict[tuple, list[int]] = {}
@@ -772,7 +784,12 @@ def _export_partitioned_cdc(
         name = f"{stem}-p{gi:05d}.parquet"
         dst = os.path.join(cd_dir, name)
         if not os.path.exists(dst):
-            pq.write_table(tbl.take(groups[key]).select(keep), dst)
+            # stage-complete-then-replace: a crash mid-write must never
+            # leave a truncated file that skip-if-exists would then
+            # treat as complete forever (the file's own publish rule)
+            tmp = f"{dst}.tmp-{uuid.uuid4().hex}"
+            pq.write_table(tbl.take(groups[key]).select(keep), tmp)
+            os.replace(tmp, dst)
         actions.append(
             {
                 "cdc": {
@@ -1240,20 +1257,12 @@ def _version_at_timestamp(delta_dir: str, timestamp_ms: int) -> int:
         if ts is None:
             ts = int(os.path.getmtime(full) * 1000)
         raw.append((v, ts))
-    raw.sort()
-    best: int | None = None
-    prev_ts: int | None = None
-    for v, ts in raw:
-        if prev_ts is not None and ts <= prev_ts:
-            ts = prev_ts + 1
-        prev_ts = ts
-        if ts <= timestamp_ms:
-            best = v
-    if best is None:
-        raise FileNotFoundError(
-            f"no commit in {delta_dir} at or before timestamp {timestamp_ms} ms"
-        )
-    return best
+    # shared monotonize-and-select core (one place owns Delta's
+    # resolution rule, incl. the loud after-latest refusal) — see
+    # txlog.version_from_commit_times
+    from .txlog import version_from_commit_times
+
+    return version_from_commit_times(raw, timestamp_ms, delta_dir)
 
 
 def _logical_schema(metadata: dict):

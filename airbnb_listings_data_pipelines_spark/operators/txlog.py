@@ -471,6 +471,42 @@ def _commit_name(version: int) -> str:
     return f"{version:012d}.json"
 
 
+def version_from_commit_times(
+    raw: list[tuple[int, int]], timestamp_ms: int, where: str
+) -> int:
+    """The ONE monotonize-and-select core behind TIMESTAMP AS OF —
+    shared by :meth:`TxLogTable.version_at_timestamp` and
+    ``deltalog._version_at_timestamp`` so Delta's resolution rule cannot
+    drift between the two logs: timestamps adjust to be monotonically
+    increasing in version order (ts_v := max(raw_v, ts_{v-1} + 1 ms)),
+    the newest version with ts <= wanted wins, and BOTH out-of-range
+    sides raise loudly (Delta errors on a timestamp after the latest
+    commit too — silently returning the head would tell a user probing
+    the history window a wrong answer)."""
+    best: int | None = None
+    prev_ts: int | None = None
+    latest_ts: int | None = None
+    for v, ts in sorted(raw):
+        if prev_ts is not None and ts <= prev_ts:
+            ts = prev_ts + 1
+        prev_ts = ts
+        latest_ts = ts
+        if ts <= int(timestamp_ms):
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no commit in {where} at or before timestamp "
+            f"{timestamp_ms} ms"
+        )
+    if latest_ts is not None and int(timestamp_ms) > latest_ts:
+        raise FileNotFoundError(
+            f"timestamp {timestamp_ms} ms is after the latest commit of "
+            f"{where} ({latest_ts} ms) — use VERSION AS OF (or no "
+            "clause) for the current snapshot"
+        )
+    return best
+
+
 # sentinel: "caller didn't specify a mapping — resolve the latest one"
 _MAPPING_DEFAULT = object()
 
@@ -1433,7 +1469,10 @@ class TxLogTable:
         when commitInfo is absent is exactly the file modification
         time). The resolvable window is the retained log, same envelope
         as Delta; copying a table resets mtimes, so pin important
-        snapshots with :meth:`tag` rather than wall clocks."""
+        snapshots with :meth:`tag` rather than wall clocks. The
+        monotonize-and-select core is :func:`version_from_commit_times`,
+        SHARED with ``deltalog._version_at_timestamp`` — one place owns
+        the resolution rule (incl. the loud after-latest refusal)."""
         raw: list[tuple[int, int]] = []
         for f in sorted(
             n for n in os.listdir(self.log_dir) if n.endswith(".json")
@@ -1442,20 +1481,7 @@ class TxLogTable:
             raw.append(
                 (v, int(os.path.getmtime(os.path.join(self.log_dir, f)) * 1000))
             )
-        best: int | None = None
-        prev_ts: int | None = None
-        for v, ts in raw:
-            if prev_ts is not None and ts <= prev_ts:
-                ts = prev_ts + 1
-            prev_ts = ts
-            if ts <= int(timestamp_ms):
-                best = v
-        if best is None:
-            raise FileNotFoundError(
-                f"no commit in {self.log_dir} at or before timestamp "
-                f"{timestamp_ms} ms"
-            )
-        return best
+        return version_from_commit_times(raw, timestamp_ms, self.log_dir)
 
     def history(self) -> list[dict]:
         out = []

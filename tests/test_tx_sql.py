@@ -845,3 +845,58 @@ def test_timestamp_as_of_and_vacuum_dry_run(spark, tmp_path):
     sess2 = TxSqlSession(spark, {"t": t2})
     sess2.execute(f"RESTORE TABLE t TO TIMESTAMP AS OF {m0 + 0.5}")
     assert sorted(r.k for r in t2.read().collect()) == [1]
+
+
+def test_time_travel_clauses_never_touch_literals(spark, tmp_path):
+    """Review finding (round 10): the VERSION/TIMESTAMP AS OF rewrites
+    must skip matches inside string literals — a WHERE comparing against
+    text that happens to contain 't TIMESTAMP AS OF 12' is data, not a
+    clause."""
+    from airbnb_listings_data_pipelines_spark.functions.tx_sql import (
+        TxSqlSession,
+    )
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        TxLogTable,
+    )
+
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(1, "see t TIMESTAMP AS OF 12"), (2, "plain")],
+            "k int, note string",
+        ),
+    )
+    sess = TxSqlSession(spark, {"t": t})
+    got = sess.execute(
+        "SELECT k FROM t WHERE note = 'see t TIMESTAMP AS OF 12'"
+    ).collect()
+    assert [r.k for r in got] == [1]
+    got2 = sess.execute(
+        "SELECT k FROM t WHERE note = 't VERSION AS OF 0'"
+    ).collect()
+    assert got2 == []
+
+
+def test_timestamp_after_latest_refused(spark, tmp_path):
+    """Delta parity: a timestamp after the newest commit errors instead
+    of silently returning the head; quoted numerics parse as ISO."""
+    from airbnb_listings_data_pipelines_spark.functions.tx_sql import (
+        TxSqlSession,
+    )
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        TxLogTable,
+    )
+
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1,)], "k int"),
+    )
+    sess = TxSqlSession(spark, {"t": t})
+    with pytest.raises(Exception, match="after the latest commit"):
+        sess.execute(
+            "SELECT * FROM t TIMESTAMP AS OF '2099-01-01'"
+        ).collect()
+    with pytest.raises(Exception):  # '2026' is ISO year, not epoch 2026s
+        sess.execute("SELECT * FROM t TIMESTAMP AS OF '2026'").collect()
