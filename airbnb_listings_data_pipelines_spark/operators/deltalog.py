@@ -416,6 +416,12 @@ def export_delta_log(spark: SparkSession, table) -> int:
             # the property REQUIRES the table feature in the protocol
             # (PROTOCOL.md) even before the first vector exists
             dv_feature = True
+        # delta.checkpointPolicy=v2 (PROTOCOL.md "V2 Checkpoint Table
+        # Feature"): UUID-named checkpoints with sidecar files. The
+        # property requires the v2Checkpoint reader+writer feature — a
+        # classic reader must refuse rather than miss the UUID-named
+        # checkpoint _last_checkpoint points at.
+        v2ckpt_feature = cur_props.get("delta.checkpointPolicy") == "v2"
         cfg = {
             **dict(sorted(cur_props.items())),
             **{
@@ -428,14 +434,20 @@ def export_delta_log(spark: SparkSession, table) -> int:
             cfg["delta.columnMapping.maxColumnId"] = str(max_id)
         if cdc_feature:
             cfg["delta.enableChangeDataFeed"] = "true"
-        if dv_feature:
-            cfg["delta.enableDeletionVectors"] = "true"
+        if dv_feature or v2ckpt_feature:
             # table-features protocol: readerFeatures lists what a reader
             # must honor; writerFeatures additionally carries the legacy
             # features the pre-upgrade writer version implied (the
             # upgrade rule in PROTOCOL.md 'Table Features')
-            rf = {"deletionVectors"}
-            wf = {"appendOnly", "invariants", "deletionVectors"}
+            rf = set()
+            wf = {"appendOnly", "invariants"}
+            if dv_feature:
+                cfg["delta.enableDeletionVectors"] = "true"
+                rf.add("deletionVectors")
+                wf.add("deletionVectors")
+            if v2ckpt_feature:
+                rf.add("v2Checkpoint")
+                wf.add("v2Checkpoint")
             if cur_checks:
                 wf.add("checkConstraints")
             if cdc_feature:
@@ -902,6 +914,7 @@ def write_delta_checkpoint(
     path: str,
     version: int | None = None,
     parts: int | None = None,
+    v2: bool | None = None,
 ) -> int:
     """Write a parquet checkpoint of the Delta log at ``version`` (default:
     latest) plus ``_last_checkpoint`` — the protocol's log-compaction step,
@@ -917,12 +930,39 @@ def write_delta_checkpoint(
     rows, and a single-part write funnels them through one task — parts
     spread both the write and the reader's bootstrap scan.
 
+    ``v2`` writes a V2 CHECKPOINT (PROTOCOL.md "V2 Checkpoints"): a
+    UUID-named spec file ``<v>.checkpoint.<uuid>.json`` holding the
+    ``checkpointMetadata`` action plus all non-file actions, with the
+    add/remove file actions in parquet SIDECAR files under
+    ``_delta_log/_sidecars/`` referenced by ``sidecar`` actions.
+    ``parts`` then controls the sidecar count. Requires the
+    ``v2Checkpoint`` table feature in the log's protocol (set the
+    ``delta.checkpointPolicy=v2`` table property and re-export, which
+    upgrades the protocol); ``v2=None`` derives the format from that
+    property. V2's scale story over multi-part classic: sidecars need
+    no rigid part naming, so they can be written in parallel and — on
+    an unchanged partition range — REUSED by the next checkpoint
+    instead of rewritten.
+
     At 100 TB this is what bounds snapshot resolution: O(live files) parquet
     rows read vectorized, instead of O(commits) JSON files."""
     path = path.rstrip("/")
     delta_dir = os.path.join(path, DELTA_DIR)
     state = _replay_delta_log(spark, delta_dir, version)
     want = state.version
+    if v2 is None:
+        v2 = (state.metadata.get("configuration") or {}).get(
+            "delta.checkpointPolicy"
+        ) == "v2"
+    if v2 and "v2Checkpoint" not in (state.protocol.get("readerFeatures") or []):
+        raise ValueError(
+            "v2 checkpoint refused: the log's protocol does not carry the "
+            "v2Checkpoint reader feature, so classic readers would neither "
+            "find the UUID-named checkpoint nor know to refuse — set the "
+            "delta.checkpointPolicy=v2 table property and re-export first "
+            "(PROTOCOL.md requires the table feature before a v2 "
+            "checkpoint may be written)"
+        )
     add_t = (
         "struct<path:string,partitionValues:map<string,string>,size:bigint,"
         "modificationTime:bigint,dataChange:boolean,stats:string,"
@@ -947,6 +987,10 @@ def write_delta_checkpoint(
         "readerFeatures:array<string>,writerFeatures:array<string>>"
     )
     txn_t = "struct<appId:string,version:bigint,lastUpdated:bigint>"
+    if v2:
+        return _write_v2_checkpoint(
+            spark, delta_dir, state, want, parts, add_t, rm_t
+        )
     blank = {"add": None, "remove": None, "metaData": None, "protocol": None, "txn": None}
     rows = [json.dumps({**blank, "add": a}) for a in state.live.values()]
     # PROTOCOL.md: checkpoints must preserve unexpired remove tombstones
@@ -996,6 +1040,81 @@ def write_delta_checkpoint(
     return want
 
 
+SIDECAR_DIR = "_sidecars"
+
+
+def _write_v2_checkpoint(
+    spark: SparkSession,
+    delta_dir: str,
+    state: "_DeltaState",
+    want: int,
+    parts: int | None,
+    add_t: str,
+    rm_t: str,
+) -> int:
+    """V2-checkpoint writer (PROTOCOL.md "V2 Checkpoints"): file actions
+    go to UUID-named parquet SIDECARS under ``_delta_log/_sidecars/``;
+    the spec file ``<v>.checkpoint.<uuid>.json`` carries exactly one
+    ``checkpointMetadata`` action, the protocol/metaData/txn state, and
+    one ``sidecar`` action per sidecar file. Everything publishes
+    stage-complete-then-rename so a crash can never leave a truncated
+    checkpoint a reader would trust."""
+    blank = {"add": None, "remove": None}
+    file_rows = [json.dumps({**blank, "add": a}) for a in state.live.values()]
+    # PROTOCOL.md: checkpoints preserve unexpired remove tombstones
+    # (VACUUM safety) — in v2 form they are file actions, so sidecar rows
+    file_rows += [
+        json.dumps({**blank, "remove": r}) for r in state.tombstones.values()
+    ]
+    sidecars: list[dict] = []
+    sc_dir = os.path.join(delta_dir, SIDECAR_DIR)
+    if file_rows:
+        os.makedirs(sc_dir, exist_ok=True)
+        cp = (
+            spark.createDataFrame([(r,) for r in file_rows], "value string")
+            .selectExpr(f"from_json(value, 'add {add_t}, remove {rm_t}') AS a")
+            .select("a.add", "a.remove")
+        )
+        n_parts = int(parts) if parts and parts > 1 else 1
+        stage = os.path.join(delta_dir, f".ckpt-stage-{uuid.uuid4().hex}")
+        (cp.repartition(n_parts) if n_parts > 1 else cp.coalesce(1)).write.parquet(
+            stage
+        )
+        for f in sorted(os.listdir(stage)):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"{uuid.uuid4().hex}.parquet"
+            full = os.path.join(sc_dir, name)
+            os.replace(os.path.join(stage, f), full)
+            st = os.stat(full)
+            sidecars.append(
+                {
+                    "path": name,
+                    "sizeInBytes": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                }
+            )
+        import shutil
+
+        shutil.rmtree(stage)
+    lines = [json.dumps({"checkpointMetadata": {"version": want}})]
+    lines.append(json.dumps({"protocol": state.protocol}))
+    lines.append(json.dumps({"metaData": state.metadata}))
+    lines += [json.dumps({"txn": t}) for t in state.txns.values()]
+    lines += [json.dumps({"sidecar": s}) for s in sidecars]
+    manifest = f"{want:020d}.checkpoint.{uuid.uuid4().hex}.json"
+    tmp = os.path.join(delta_dir, f".v2ckpt-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, os.path.join(delta_dir, manifest))
+    lc = {"version": want, "size": len(lines) + len(file_rows)}
+    tmp = os.path.join(delta_dir, f".lc-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(lc, fh)
+    os.replace(tmp, os.path.join(delta_dir, "_last_checkpoint"))
+    return want
+
+
 def _read_last_checkpoint(delta_dir: str) -> dict | None:
     lc = os.path.join(delta_dir, "_last_checkpoint")
     if not os.path.exists(lc):
@@ -1004,31 +1123,36 @@ def _read_last_checkpoint(delta_dir: str) -> dict | None:
         return json.load(fh)
 
 
-def _checkpoint_rows(
-    spark: SparkSession, delta_dir: str, version: int, parts: int | None
-) -> _DeltaState:
-    """Replay a parquet checkpoint (single- or multi-part) into the full
-    state it carries: live ``add`` actions (path -> add dict, stats and
-    sizes preserved), the ``metaData`` action, the ``protocol``, plus the
-    ``remove`` tombstones and ``txn`` app versions PROTOCOL.md requires
-    checkpoints to preserve — exactly as the protocol's checkpoint schema
-    stores them (top-level struct columns)."""
-    if parts:
-        names = [
-            os.path.join(
-                delta_dir, f"{version:020d}.checkpoint.{p:010d}.{parts:010d}.parquet"
-            )
-            for p in range(1, parts + 1)
-        ]
-    else:
-        names = [os.path.join(delta_dir, f"{version:020d}.checkpoint.parquet")]
-    cp = spark.read.parquet(*names)
+def _resolve_v2_checkpoint(delta_dir: str, version: int) -> str | None:
+    """The v2 (UUID-named) checkpoint spec file for ``version``, or None.
+    Naming per PROTOCOL.md: ``<v>.checkpoint.<uniqueStr>.{json,parquet}``
+    — exactly one dot field between 'checkpoint' and the extension, which
+    cannot collide with classic multi-part names (two numeric fields).
+    Multiple writers may each have left a complete v2 checkpoint for the
+    same version; any is valid, so pick deterministically."""
+    pat = re.compile(
+        rf"{version:020d}\.checkpoint\.[^.]+\.(json|parquet)"
+    )
+    hits = sorted(f for f in os.listdir(delta_dir) if pat.fullmatch(f))
+    return hits[-1] if hits else None
+
+
+def _fold_parquet_actions(
+    spark: SparkSession, state: _DeltaState, paths: list[str]
+) -> list[dict]:
+    """Fold checkpoint-schema parquet rows (classic checkpoint parts, a
+    v2 spec file, or v2 sidecars) into ``state``; returns any ``sidecar``
+    actions found (v2 spec files only). Shared by all three so the
+    action semantics cannot drift between checkpoint forms."""
+    cp = spark.read.parquet(*paths)
     cols = cp.columns
-    state = _DeltaState(version, {}, None, dict(_PROTOCOL))
-    rows = cp.select(
-        *(c for c in ("add", "remove", "metaData", "protocol", "txn") if c in cols)
-    ).collect()
-    for r in rows:
+    want = [
+        c
+        for c in ("add", "remove", "metaData", "protocol", "txn", "sidecar")
+        if c in cols
+    ]
+    sidecars: list[dict] = []
+    for r in cp.select(*want).collect():
         add = r["add"] if "add" in cols else None
         if add is not None and add["path"] is not None:
             d = add.asDict(recursive=True)
@@ -1056,6 +1180,111 @@ def _checkpoint_rows(
         if txn is not None and txn["appId"] is not None:
             d = txn.asDict(recursive=True)
             state.txns[d["appId"]] = {k: v for k, v in d.items() if v is not None}
+        sc = r["sidecar"] if "sidecar" in cols else None
+        if sc is not None and sc["path"] is not None:
+            sidecars.append(sc.asDict(recursive=True))
+    return sidecars
+
+
+def _fold_json_action(state: _DeltaState, a: dict) -> dict | None:
+    """Fold one JSON action dict into ``state``; returns the sidecar
+    payload when the action is a ``sidecar`` reference."""
+    if "add" in a:
+        state.live[a["add"]["path"]] = a["add"]
+    elif "remove" in a:
+        state.tombstones[a["remove"]["path"]] = a["remove"]
+    elif "metaData" in a:
+        state.metadata = a["metaData"]
+    elif "protocol" in a:
+        _check_protocol(a["protocol"])
+        state.protocol = a["protocol"]
+    elif "txn" in a:
+        app = a["txn"].get("appId")
+        if app is not None:
+            state.txns[app] = a["txn"]
+    elif "sidecar" in a:
+        return a["sidecar"]
+    return None
+
+
+def _checkpoint_rows(
+    spark: SparkSession, delta_dir: str, version: int, parts: int | None
+) -> _DeltaState:
+    """Replay a checkpoint into the full state it carries: live ``add``
+    actions (path -> add dict, stats and sizes preserved), the
+    ``metaData`` action, the ``protocol``, plus the ``remove`` tombstones
+    and ``txn`` app versions PROTOCOL.md requires checkpoints to preserve
+    — exactly as the protocol's checkpoint schema stores them (top-level
+    struct columns). Handles all three protocol forms: classic single- or
+    multi-part parquet, and V2 (UUID-named json/parquet spec file +
+    parquet sidecars under ``_sidecars/``)."""
+    state = _DeltaState(version, {}, None, dict(_PROTOCOL))
+    if parts:
+        names = [
+            os.path.join(
+                delta_dir, f"{version:020d}.checkpoint.{p:010d}.{parts:010d}.parquet"
+            )
+            for p in range(1, parts + 1)
+        ]
+        _fold_parquet_actions(spark, state, names)
+        return state
+    classic = os.path.join(delta_dir, f"{version:020d}.checkpoint.parquet")
+    if os.path.exists(classic):
+        _fold_parquet_actions(spark, state, [classic])
+        return state
+    spec = _resolve_v2_checkpoint(delta_dir, version)
+    if spec is None:
+        # preserve the classic reader's error shape (missing file)
+        _fold_parquet_actions(spark, state, [classic])
+        return state
+    full = os.path.join(delta_dir, spec)
+    sidecars: list[dict] = []
+    ckpt_meta: dict | None = None
+    if spec.endswith(".json"):
+        with open(full) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "checkpointMetadata" in a:
+                    ckpt_meta = a["checkpointMetadata"]
+                    continue
+                sc = _fold_json_action(state, a)
+                if sc is not None:
+                    sidecars.append(sc)
+    else:
+        cp_cols = spark.read.parquet(full).columns
+        sidecars = _fold_parquet_actions(spark, state, [full])
+        if "checkpointMetadata" in cp_cols:
+            for r in (
+                spark.read.parquet(full)
+                .select("checkpointMetadata")
+                .where("checkpointMetadata.version IS NOT NULL")
+                .collect()
+            ):
+                ckpt_meta = r["checkpointMetadata"].asDict(recursive=True)
+    # PROTOCOL.md: readers MUST validate the embedded version — a
+    # misnamed/corrupt spec file must not silently replay as another
+    # version's state
+    if ckpt_meta is None or int(ckpt_meta.get("version", -1)) != version:
+        raise ValueError(
+            f"v2 checkpoint {spec} is invalid: checkpointMetadata.version="
+            f"{(ckpt_meta or {}).get('version')!r} does not match the "
+            f"file-name version {version}"
+        )
+    if sidecars:
+        paths = [
+            os.path.join(delta_dir, SIDECAR_DIR, s["path"]) for s in sidecars
+        ]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"v2 checkpoint {spec} references missing sidecar file(s) "
+                f"{[os.path.basename(p) for p in missing]} under "
+                f"{os.path.join(delta_dir, SIDECAR_DIR)}"
+            )
+        _fold_parquet_actions(spark, state, paths)
     return state
 
 
@@ -1155,9 +1384,16 @@ def _verify_contiguous(
 # via schemaString metadata; timestampNtz is just a Spark type the scans
 # already read; deletionVectors anti-joins add.deletionVector bitmaps
 # out of the scan (operators/roaring.py decodes the RoaringBitmap
-# blobs). Everything else (v2Checkpoint, ...) refuses — the spec
-# REQUIRES readers to refuse features they cannot honor.
-_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz", "deletionVectors"}
+# blobs); v2Checkpoint resolves UUID-named checkpoint spec files and
+# their _sidecars/ parquet file actions (_checkpoint_rows). Everything
+# else refuses — the spec REQUIRES readers to refuse features they
+# cannot honor.
+_SUPPORTED_READER_FEATURES = {
+    "columnMapping",
+    "timestampNtz",
+    "deletionVectors",
+    "v2Checkpoint",
+}
 
 
 def _check_protocol(protocol: dict) -> None:

@@ -466,12 +466,12 @@ def _dlog_last_checkpoint(log_dir: str) -> dict | None:
 def _dlog_check_protocol(proto: dict) -> None:
     """Refuse what the fold cannot replay — the same loud-refusal rule
     as operators/deltalog._check_protocol, inlined. Classic parquet
-    checkpoints + deletionVectors + columnMapping(name) are supported;
-    v2Checkpoint would change the checkpoint format under us."""
+    checkpoints + v2 (UUID-named spec file + _sidecars/) checkpoints +
+    deletionVectors + columnMapping(name) are supported."""
     ok = {
         "deletionVectors", "columnMapping", "timestampNtz",
         "appendOnly", "invariants", "checkConstraints",
-        "changeDataFeed", "generatedColumns",
+        "changeDataFeed", "generatedColumns", "v2Checkpoint",
     }
     rf = set(proto.get("readerFeatures") or [])
     bad = rf - ok
@@ -509,33 +509,134 @@ def _dlog_norm_meta(md: dict) -> dict:
 def _dlog_ckpt_state(
     log_dir: str, version: int, parts
 ) -> tuple[dict, dict | None]:
-    """(live {path: normalized add}, metadata|None) from a CLASSIC
-    parquet checkpoint, read with pyarrow — one action per row."""
-    import pyarrow.parquet as pq
-
+    """(live {path: normalized add}, metadata|None) from a checkpoint,
+    read with pyarrow — classic single-/multi-part parquet, or the V2
+    form (UUID-named json/parquet spec file with file actions in
+    ``_sidecars/`` parquet) when no classic file exists at ``version``."""
     if parts:
         names = [
             f"{version:020d}.checkpoint.{i:010d}.{int(parts):010d}.parquet"
             for i in range(1, int(parts) + 1)
         ]
-    else:
+    elif os.path.exists(
+        os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    ):
         names = [f"{version:020d}.checkpoint.parquet"]
+    else:
+        v2 = _dlog_resolve_v2(log_dir, version)
+        if v2 is not None:
+            return _dlog_v2_ckpt_state(log_dir, version, v2)
+        names = [f"{version:020d}.checkpoint.parquet"]  # loud ENOENT
     live: dict[str, dict] = {}
     metadata = None
     for name in names:
-        full = os.path.join(log_dir, name)
-        have = set(pq.read_schema(full).names)
-        want = [c for c in ("add", "metaData", "protocol") if c in have]
+        m = _dlog_fold_ckpt_parquet(os.path.join(log_dir, name), live)
+        if m is not None:
+            metadata = m
+    return live, metadata
+
+
+def _dlog_resolve_v2(log_dir: str, version: int) -> str | None:
+    """UUID-named v2 checkpoint spec file for ``version`` (PROTOCOL.md
+    naming: one dot field between 'checkpoint' and the extension — the
+    classic multi-part names have two numeric fields, so no collision);
+    deterministic pick when several complete ones coexist."""
+    import re
+
+    pat = re.compile(rf"{version:020d}\.checkpoint\.[^.]+\.(json|parquet)")
+    hits = sorted(f for f in os.listdir(log_dir) if pat.fullmatch(f))
+    return hits[-1] if hits else None
+
+
+def _dlog_v2_ckpt_state(
+    log_dir: str, version: int, spec: str
+) -> tuple[dict, dict | None]:
+    """Replay a V2 checkpoint: fold the spec file's own actions (json
+    lines or checkpoint-schema parquet), validate checkpointMetadata
+    against the file-name version as the spec requires, then fold the
+    referenced ``_sidecars/`` parquet file actions."""
+    live: dict[str, dict] = {}
+    metadata = None
+    sidecars: list[str] = []
+    ckpt_ver = None
+    full = os.path.join(log_dir, spec)
+    if spec.endswith(".json"):
+        with open(full) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "checkpointMetadata" in a:
+                    ckpt_ver = a["checkpointMetadata"].get("version")
+                elif "metaData" in a:
+                    metadata = _dlog_norm_meta(a["metaData"])
+                elif "protocol" in a:
+                    _dlog_check_protocol(a["protocol"])
+                elif "add" in a:
+                    live[a["add"]["path"]] = _dlog_norm_add(a["add"])
+                elif "sidecar" in a:
+                    sidecars.append(a["sidecar"]["path"])
+    else:
+        metadata, ckpt_ver, sidecars = _dlog_fold_v2_parquet(full, live)
+    if ckpt_ver is None or int(ckpt_ver) != version:
+        raise ValueError(
+            f"v2 checkpoint {spec} is invalid: checkpointMetadata.version="
+            f"{ckpt_ver!r} does not match the file-name version {version}"
+        )
+    for name in sidecars:
+        sc = os.path.join(log_dir, "_sidecars", name)
+        if not os.path.exists(sc):
+            raise FileNotFoundError(
+                f"v2 checkpoint {spec} references missing sidecar {name!r}"
+            )
+        m = _dlog_fold_ckpt_parquet(sc, live)
+        if m is not None:
+            metadata = m
+    return live, metadata
+
+
+def _dlog_fold_v2_parquet(full: str, live: dict):
+    """(metadata|None, checkpointMetadata.version|None, sidecar paths)
+    from a PARQUET v2 spec file; inline add actions fold into ``live``."""
+    import pyarrow.parquet as pq
+
+    metadata = _dlog_fold_ckpt_parquet(full, live)
+    have = set(pq.read_schema(full).names)
+    ckpt_ver = None
+    sidecars: list[str] = []
+    want = [c for c in ("checkpointMetadata", "sidecar") if c in have]
+    if want:
         tbl = pq.read_table(full, columns=want)
-        # COLUMNAR struct-field extraction, not per-row dicts: a 100 TB
-        # table's checkpoint holds millions of add rows — to_pylist()
-        # of whole rows would materialize every nested field of every
-        # action kind; field() slices only what the fold needs
-        if "add" in want:
-            add = tbl.column("add").combine_chunks()
-            fields = [f.name for f in add.type]
-            if "path" not in fields:
-                continue  # degenerate checkpoint: no adds recorded
+        if "checkpointMetadata" in want:
+            for cm in tbl.column("checkpointMetadata").to_pylist():
+                if cm and cm.get("version") is not None:
+                    ckpt_ver = cm["version"]
+        if "sidecar" in want:
+            for sc in tbl.column("sidecar").to_pylist():
+                if sc and sc.get("path"):
+                    sidecars.append(sc["path"])
+    return metadata, ckpt_ver, sidecars
+
+
+def _dlog_fold_ckpt_parquet(full: str, live: dict) -> dict | None:
+    """Fold one checkpoint-schema parquet file's add/metaData/protocol
+    actions into ``live``; returns the metaData payload if present —
+    shared by classic parts, v2 spec files, and v2 sidecars."""
+    import pyarrow.parquet as pq
+
+    metadata = None
+    have = set(pq.read_schema(full).names)
+    want = [c for c in ("add", "metaData", "protocol") if c in have]
+    tbl = pq.read_table(full, columns=want)
+    # COLUMNAR struct-field extraction, not per-row dicts: a 100 TB
+    # table's checkpoint holds millions of add rows — to_pylist()
+    # of whole rows would materialize every nested field of every
+    # action kind; field() slices only what the fold needs
+    if "add" in want:
+        add = tbl.column("add").combine_chunks()
+        fields = [f.name for f in add.type]
+        if "path" in fields:  # else degenerate: no adds recorded
             paths = add.field("path").to_pylist()
             # a minimal foreign writer may omit optional struct fields —
             # tolerate exactly like the row-wise .get() form did
@@ -558,15 +659,15 @@ def _dlog_ckpt_state(
                             "deletionVector": dv,
                         }
                     )
-        if "metaData" in want:
-            for md in tbl.column("metaData").to_pylist():
-                if md and md.get("schemaString"):
-                    metadata = _dlog_norm_meta(md)
-        if "protocol" in want:
-            for proto in tbl.column("protocol").to_pylist():
-                if proto and proto.get("minReaderVersion") is not None:
-                    _dlog_check_protocol(proto)
-    return live, metadata
+    if "metaData" in want:
+        for md in tbl.column("metaData").to_pylist():
+            if md and md.get("schemaString"):
+                metadata = _dlog_norm_meta(md)
+    if "protocol" in want:
+        for proto in tbl.column("protocol").to_pylist():
+            if proto and proto.get("minReaderVersion") is not None:
+                _dlog_check_protocol(proto)
+    return metadata
 
 
 def _dlog_apply(

@@ -612,13 +612,13 @@ def test_reader_refuses_unsupported_table_feature(spark, tmp_path):
         {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["v2Checkpoint"],
-            "writerFeatures": ["v2Checkpoint"],
+            "readerFeatures": ["typeWidening"],
+            "writerFeatures": ["typeWidening"],
         },
         _json.dumps(schema),
         files,
     )
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta_snapshot(spark, path)
 
 
