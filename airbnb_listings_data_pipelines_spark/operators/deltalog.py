@@ -220,6 +220,68 @@ def _physical_names(metadata: dict) -> dict[str, str]:
     }
 
 
+def _field_ids(metadata: dict) -> dict[str, int]:
+    """logical field name -> parquet field id, from the schemaString's
+    ``delta.columnMapping.id`` annotations (columnMapping mode=id tables
+    must carry them on every field)."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(metadata["schemaString"]))
+    ids = {
+        f.name: (f.metadata or {}).get("delta.columnMapping.id")
+        for f in schema.fields
+    }
+    missing = sorted(n for n, i in ids.items() if i is None)
+    if missing:
+        raise ValueError(
+            f"columnMapping mode=id but field(s) {missing} carry no "
+            "delta.columnMapping.id annotation — the mapping is "
+            "unresolvable"
+        )
+    return {n: int(i) for n, i in ids.items()}
+
+
+def _data_read_schema(spark, metadata: dict, data_fields: list):
+    """(parquet read schema, logical -> source-column name) for a scan of
+    data/cdc files under the table's columnMapping mode. mode=none reads
+    logical names as-is; mode=name reads PHYSICAL names (caller aliases
+    back to logical); mode=id reads by PARQUET FIELD ID — the schema
+    carries ``parquet.field.id`` metadata and Spark's field-id matching
+    (``spark.sql.parquet.fieldId.read.enabled``, enabled here for the
+    session) resolves the physical column PER FILE, which is the point of
+    id mode: the stored column name may differ file to file."""
+    from pyspark.sql.types import StructField, StructType
+
+    mode = _require_supported_mapping(metadata)
+    if mode == "id":
+        ids = _field_ids(metadata)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        return (
+            StructType(
+                [
+                    StructField(
+                        f.name,
+                        f.dataType,
+                        f.nullable,
+                        {"parquet.field.id": ids[f.name]},
+                    )
+                    for f in data_fields
+                ]
+            ),
+            {f.name: f.name for f in data_fields},
+        )
+    phys = _physical_names(metadata) if mode == "name" else {}
+    return (
+        StructType(
+            [
+                StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
+                for f in data_fields
+            ]
+        ),
+        {f.name: phys.get(f.name, f.name) for f in data_fields},
+    )
+
+
 def export_delta_log(spark: SparkSession, table) -> int:
     """Write/refresh a Delta-protocol ``_delta_log`` mirroring every
     version of a :class:`txlog.TxLogTable`. Returns the latest exported
@@ -1528,13 +1590,16 @@ def _logical_schema(metadata: dict):
 
 
 def _require_supported_mapping(metadata: dict) -> str:
-    """'none' or 'name'; mode=id (physical columns resolved by parquet
-    field ids, a layout this engine's writers never produce) is refused
-    loudly as the spec requires of readers that cannot honor a mode."""
+    """'none', 'name', or 'id' — all three protocol modes read; anything
+    else refuses loudly as the spec requires of readers that cannot
+    honor a mode. Under 'id' the data scans resolve columns by parquet
+    field id (:func:`_data_read_schema`); stats and partitionValues stay
+    keyed by physicalName in every mode (they describe the log, not the
+    parquet layout resolution)."""
     mode = _mapping_mode(metadata)
-    if mode not in ("none", "name"):
+    if mode not in ("none", "name", "id"):
         raise NotImplementedError(
-            f"delta.columnMapping.mode={mode!r} not supported (none|name)"
+            f"delta.columnMapping.mode={mode!r} not supported (none|name|id)"
         )
     return mode
 
@@ -1567,9 +1632,8 @@ def _read_live_files(
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
 
-    mode = _require_supported_mapping(metadata)
     schema = _logical_schema(metadata)
-    phys = _physical_names(metadata)
+    phys = _physical_names(metadata)  # pv/stats keys in every mode
     pcols = metadata.get("partitionColumns") or []
     ordered = sorted(live)
     paths = [os.path.join(path, f) for f in ordered]
@@ -1578,17 +1642,13 @@ def _read_live_files(
     # schema evolution to lack later-added columns (readers must null-fill
     # them from metaData), and footer sampling would resolve such a mixed
     # table nondeterministically — whichever file Spark samples wins.
-    # Under columnMapping=name the files carry PHYSICAL column names: the
-    # scan schema uses each field's physicalName and ONE select aliases
-    # back to logical names (files predating a re-add simply null-fill
-    # the fresh physical name — dropped data can never resurrect).
+    # Column-mapped files resolve through _data_read_schema (physical
+    # names under mode=name, parquet field ids under mode=id) and ONE
+    # select aliases back to logical names (files predating a re-add
+    # simply null-fill the fresh physical column — dropped data can
+    # never resurrect).
     data_fields = [f for f in schema.fields if f.name not in pcols]
-    data_schema = StructType(
-        [
-            StructField(phys[f.name], f.dataType, f.nullable)
-            for f in data_fields
-        ]
-    )
+    data_schema, src = _data_read_schema(spark, metadata, data_fields)
     # deletionVectors (table feature, reader v3): live adds carrying a
     # descriptor get their deleted row positions anti-joined out on
     # (file basename, _metadata.row_index) — the same JVM-side plan the
@@ -1600,11 +1660,7 @@ def _read_live_files(
 
     def _scan(some_paths: list[str], g: int = 0) -> DataFrame:
         df = spark.read.schema(data_schema).parquet(*some_paths)
-        cols = (
-            [F.col(phys[f.name]).alias(f.name) for f in data_fields]
-            if mode == "name"
-            else [F.col(f.name) for f in data_fields]
-        )
+        cols = [F.col(src[f.name]).alias(f.name) for f in data_fields]
         if dv_live:
             cols += [
                 F.lit(g).alias("__dvg"),
@@ -1920,15 +1976,14 @@ def _read_delta_cdc(
     partitionValues (cdc files omit them, like data files)."""
     from pyspark.sql.types import StringType, StructField, StructType
 
-    _require_supported_mapping(metadata)
     schema = _logical_schema(metadata)
-    phys = _physical_names(metadata)
+    phys = _physical_names(metadata)  # pv keys in every mode
     pcols = metadata.get("partitionColumns") or []
     fields = {fl.name: fl for fl in schema.fields}
     data_fields = [fl for fl in schema.fields if fl.name not in pcols]
+    data_schema, src = _data_read_schema(spark, metadata, data_fields)
     read_schema = StructType(
-        [StructField(phys[fl.name], fl.dataType, True) for fl in data_fields]
-        + [StructField("_change_type", StringType())]
+        list(data_schema.fields) + [StructField("_change_type", StringType())]
     )
     parts = []
     for a in cdc_actions:
@@ -1937,7 +1992,7 @@ def _read_delta_cdc(
             .parquet(os.path.join(path, a["path"]))
             .select(
                 *[
-                    F.col(phys[fl.name]).alias(fl.name)
+                    F.col(src[fl.name]).alias(fl.name)
                     for fl in data_fields
                 ],
                 "_change_type",
@@ -2023,25 +2078,17 @@ def _delta_rows_at_indices(
     row-exact read a DV-delta change feed needs: one scan of the file,
     one semi-join on ``_metadata.row_index``, partition columns from the
     add action's partitionValues."""
-    from pyspark.sql.types import StructField, StructType
-
-    _require_supported_mapping(metadata)
     schema = _logical_schema(metadata)
-    phys = _physical_names(metadata)
+    phys = _physical_names(metadata)  # pv keys in every mode
     pcols = metadata.get("partitionColumns") or []
     fields = {fl.name: fl for fl in schema.fields}
     data_fields = [fl for fl in schema.fields if fl.name not in pcols]
-    data_schema = StructType(
-        [
-            StructField(phys[fl.name], fl.dataType, fl.nullable)
-            for fl in data_fields
-        ]
-    )
+    data_schema, src = _data_read_schema(spark, metadata, data_fields)
     df = (
         spark.read.schema(data_schema)
         .parquet(os.path.join(path, f))
         .select(
-            *[F.col(phys[fl.name]).alias(fl.name) for fl in data_fields],
+            *[F.col(src[fl.name]).alias(fl.name) for fl in data_fields],
             F.col("_metadata.row_index").alias("__ri"),
         )
     )

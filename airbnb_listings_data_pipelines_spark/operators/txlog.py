@@ -928,6 +928,14 @@ class TxLogTable:
         meta = st.metadata or {}
         cfg = meta.get("configuration") or {}
         mode = _require_supported_mapping(meta)
+        if mode == "id":
+            raise NotImplementedError(
+                "convert_from_delta refused: columnMapping mode=id "
+                "resolves columns by parquet FIELD ID per file, which the "
+                "txlog reader's name-keyed mapping cannot represent — "
+                "read the table without adoption (read_delta_snapshot / "
+                "the txlog DataSource stream both honor mode=id)"
+            )
         schema = _logical_schema(meta)
         mapping = _physical_names(meta) if mode == "name" else None
         pby = list(meta.get("partitionColumns") or [])

@@ -393,6 +393,15 @@ def _mapping_json_at(log_dir: str, as_of: int | None = None) -> dict | None:
     return best[1] if best else None
 
 
+def _field_ids_json_at(log_dir: str, as_of: int | None = None) -> dict | None:
+    """logical -> parquet field id for a FOREIGN Delta log under
+    columnMapping mode=id; None for native txlogs (whose mapping is
+    name-keyed by construction) and for name/none Delta tables."""
+    if not _is_delta(log_dir):
+        return None
+    return _dlog_field_ids(_dlog_replay(log_dir, as_of)["meta"])
+
+
 def _partition_meta(log_dir: str):
     """(partition column names, partition StructType|None) from commit 0 —
     falling back to the oldest retained commit after cleanup_log
@@ -845,16 +854,17 @@ def _dlog_deltas_full(log_dir: str, lo: int, hi: int) -> list[dict]:
 
 
 def _dlog_mapping(meta: dict) -> dict | None:
-    """logical -> PHYSICAL column names under columnMapping=name (from
-    the schemaString field annotations); None for mode none; loud for
-    mode id (field-id resolution is a parquet-schema feature this
-    reader does not implement)."""
+    """logical -> PHYSICAL column names under columnMapping (from the
+    schemaString field annotations); None for mode none. Valid for BOTH
+    name and id modes — the spec requires physicalName annotations in
+    either, and partitionValues/stats stay keyed by physicalName even
+    when data columns resolve by field id (:func:`_dlog_field_ids`)."""
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
     if mode == "none":
         return None
-    if mode != "name":
+    if mode not in ("name", "id"):
         raise NotImplementedError(f"columnMapping mode {mode!r}")
     from pyspark.sql.types import StructType
 
@@ -865,6 +875,33 @@ def _dlog_mapping(meta: dict) -> dict | None:
         )
         for f in schema.fields
     }
+
+
+def _dlog_field_ids(meta: dict | None) -> dict | None:
+    """logical -> parquet FIELD ID when columnMapping mode=id (the mode
+    where data columns resolve by id, not name — the stored column name
+    may differ file to file); None otherwise. Loud when an id-mode field
+    lacks its delta.columnMapping.id annotation."""
+    if not meta:
+        return None
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) != "id":
+        return None
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    ids = {
+        f.name: (f.metadata or {}).get("delta.columnMapping.id")
+        for f in schema.fields
+    }
+    missing = sorted(n for n, i in ids.items() if i is None)
+    if missing:
+        raise ValueError(
+            f"columnMapping mode=id but field(s) {missing} carry no "
+            "delta.columnMapping.id annotation"
+        )
+    return {n: int(i) for n, i in ids.items()}
 
 
 def _dlog_partition_meta(log_dir: str):
@@ -1124,17 +1161,23 @@ def _dv_indices(ref: tuple):
 
 
 def _read_slice(
-    slice_: _FileSlice, schema, mapping: dict | None = None
+    slice_: _FileSlice,
+    schema,
+    mapping: dict | None = None,
+    ids: dict | None = None,
 ) -> Iterator["pa.RecordBatch"]:
     """Arrow-vectorized read of one file, aligned to the declared table
     schema: missing columns (pre-evolution files) null-fill, partition
     columns materialize as constants from the parsed dir values, column
     mapping resolves each LOGICAL field to its PHYSICAL parquet column
-    (rename/drop are metadata-only), and every column casts to the
-    exact declared Arrow type so the batches Spark receives match the
-    source schema bit-for-bit. Deletion vectors mask rows by in-file
-    position with one vectorized ``np.isin`` per batch (``dv_skip``
-    drops the vector's rows; ``dv_take`` keeps ONLY an index delta)."""
+    (rename/drop are metadata-only), ``ids`` (columnMapping mode=id)
+    resolves data columns by PARQUET FIELD ID per file instead — the
+    stored name may differ file to file, so ids win over names wherever
+    given — and every column casts to the exact declared Arrow type so
+    the batches Spark receives match the source schema bit-for-bit.
+    Deletion vectors mask rows by in-file position with one vectorized
+    ``np.isin`` per batch (``dv_skip`` drops the vector's rows;
+    ``dv_take`` keeps ONLY an index delta)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -1158,6 +1201,16 @@ def _read_slice(
         if skip.size == 0:
             skip = None
     pf = pq.ParquetFile(slice_.full_path)
+    fid_col: dict[int, str] = {}
+    if ids:
+        # field-id -> stored column name, from THIS file's arrow schema
+        # (pyarrow surfaces parquet field ids as PARQUET:field_id field
+        # metadata); an id absent from the file means the column
+        # postdates the file — null-fill, exactly like a missing name
+        for fld in pf.schema_arrow:
+            raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if raw is not None:
+                fid_col[int(raw)] = fld.name
     offset = 0
     for batch in pf.iter_batches():
         n = batch.num_rows
@@ -1177,7 +1230,10 @@ def _read_slice(
         arrays = []
         for f in schema.fields:
             at = to_arrow_type(f.dataType)
-            phys = mapping.get(f.name, f.name)
+            if ids and f.name in ids:
+                phys = fid_col.get(ids[f.name])  # None -> null-fill
+            else:
+                phys = mapping.get(f.name, f.name)
             if slice_.change is not None and f.name == "_change_type":
                 if slice_.change[0] == "__cdc__":
                     # change-data slice: the sidecar stores the real
@@ -1239,6 +1295,7 @@ class TxLogBatchReader(DataSourceReader):
                     f"version {latest}"
                 )
             self.mapping = _mapping_json_at(log_dir, hi)
+            self.ids = _field_ids_json_at(log_dir, hi)
             self.slices = _plan_changes(
                 self.path, log_dir, lo, hi, pby, pschema,
                 mapping=self.mapping,
@@ -1257,10 +1314,12 @@ class TxLogBatchReader(DataSourceReader):
                     f: a["partitionValues"] for f, a in st["live"].items()
                 }
                 self.mapping = _dlog_mapping(st["meta"])
+                self.ids = _dlog_field_ids(st["meta"])
             else:
                 _v, files, dvs = _replay_full(log_dir, v)
                 raw_pvals = None
                 self.mapping = _mapping_json_at(log_dir, v)
+                self.ids = None
             self.slices = _plan_files(
                 self.path, files, pby, pschema, dvs=dvs,
                 raw_pvals=raw_pvals, mapping=self.mapping,
@@ -1270,7 +1329,7 @@ class TxLogBatchReader(DataSourceReader):
         return self.slices
 
     def read(self, partition: _FileSlice):
-        return _read_slice(partition, self.schema_, self.mapping)
+        return _read_slice(partition, self.schema_, self.mapping, self.ids)
 
 
 class TxLogStreamReader(DataSourceStreamReader):
@@ -1299,6 +1358,7 @@ class TxLogStreamReader(DataSourceStreamReader):
         # declared columns are fixed, so the logical->physical binding
         # is too (physical names never change after a file is written)
         self.mapping = _mapping_json_at(self.log_dir)
+        self.ids = _field_ids_json_at(self.log_dir)
 
     # offsets are commit versions: {"version": last PROCESSED version}
     def initialOffset(self) -> dict:
@@ -1451,7 +1511,7 @@ class TxLogStreamReader(DataSourceStreamReader):
         )
 
     def read(self, partition: _FileSlice):
-        return _read_slice(partition, self.schema_, self.mapping)
+        return _read_slice(partition, self.schema_, self.mapping, self.ids)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint; the log is immutable
