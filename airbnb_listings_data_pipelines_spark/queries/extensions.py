@@ -6072,3 +6072,125 @@ def x96_write_serializable_rebase(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@query(
+    "x97_delta_v2_checkpoint_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    live2 AS (SELECT * FROM base WHERE o_orderkey % 5 <> 0),
+    live3 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'O' AND o_orderkey % 3 = 1
+                  THEN o_totalprice + 50.0 ELSE o_totalprice END
+               AS o_totalprice
+      FROM live2
+    ),
+    labeled AS (
+      SELECT 2 AS at_version, * FROM live2
+      UNION ALL SELECT 3, * FROM live3
+    )
+    SELECT at_version, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM labeled GROUP BY 1, 2
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8"),
+    doc="V2-CHECKPOINT ROUNDTRIP AFTER LOG RETENTION under the value-"
+    "hash gate (round-10: the v2Checkpoint TABLE FEATURE, delta.io "
+    "PROTOCOL.md 'V2 Checkpoints' — UUID-named checkpoint spec files "
+    "with add/remove file actions in parquet SIDECARS under "
+    "_delta_log/_sidecars/): orders -> txlog with the "
+    "delta.checkpointPolicy=v2 table property (v1), DELETE k%5=0 "
+    "mode='dv' (v2), export (protocol upgraded to carry v2Checkpoint), "
+    "V2 CHECKPOINT at v2, then UPDATE +50 on open k%3=1 mode='dv' "
+    "(v3) and incremental re-export. The JSON commits at/below the "
+    "checkpoint are DELETED (retention cleanup) — the expired state "
+    "exists ONLY in the v2 checkpoint. The independent log-replay "
+    "reader then reads BOTH versions: v2 purely from the checkpoint "
+    "bootstrap (manifest -> sidecar file actions -> live DV decode), "
+    "v3 from checkpoint + the JSON tail — with in-query structure "
+    "assertions (UUID-named spec file, sidecar present, NO classic "
+    "checkpoint file). The oracle rebuilds both states from raw "
+    "orders; a hash match proves the v2 write format, the sidecar "
+    "fold, checkpointMetadata validation, and DV survival through "
+    "checkpoint bootstrap. At 100 TB this is the log-compaction step "
+    "that bounds snapshot resolution to O(live files) parquet rows; "
+    "v2's sidecars drop the rigid part naming so they can be written "
+    "in parallel and reused across checkpoints. operators/deltalog."
+    "_write_v2_checkpoint/_checkpoint_rows, tests/"
+    "test_delta_v2_checkpoint.py.",
+)
+def x97_delta_v2_checkpoint_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import re
+
+    from ..operators.deltalog import (
+        export_delta_log,
+        read_delta_snapshot,
+        write_delta_checkpoint,
+    )
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _dml_scratch("x97" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(8, "o_orderkey")
+    )
+    t.set_properties({"delta.checkpointPolicy": "v2"})  # v1
+    t.delete_where("o_orderkey % 5 = 0", mode="dv")  # v2
+    export_delta_log(spark, t)
+    ckv = write_delta_checkpoint(spark, path)  # v2 form via the property
+    t.update_where(
+        "o_orderstatus = 'O' AND o_orderkey % 3 = 1",
+        {"o_totalprice": F.col("o_totalprice") + F.lit(50.0)},
+        mode="dv",
+    )  # v3
+    export_delta_log(spark, t)
+    dd = os.path.join(path, "_delta_log")
+    names = os.listdir(dd)
+    # structure gates: UUID-named spec file + sidecars, no classic file
+    if not any(
+        re.fullmatch(rf"{ckv:020d}\.checkpoint\.[^.]+\.json", f)
+        for f in names
+    ):
+        raise AssertionError(f"no v2 checkpoint spec file at {ckv}: {names}")
+    if any(re.fullmatch(r"\d{20}\.checkpoint\.parquet", f) for f in names):
+        raise AssertionError("classic checkpoint written under policy=v2")
+    if not os.listdir(os.path.join(dd, "_sidecars")):
+        raise AssertionError("v2 checkpoint wrote no sidecar files")
+    # retention cleanup: the state at/below the checkpoint survives ONLY
+    # in the v2 checkpoint
+    for f in names:
+        m = re.fullmatch(r"(\d{20})\.json", f)
+        if m and int(m.group(1)) <= ckv:
+            os.remove(os.path.join(dd, f))
+    parts = []
+    for ver in (2, 3):
+        d = read_delta_snapshot(spark, path, version=ver)
+        parts.append(
+            d.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("o_orderkey").alias("n_keys"),
+                F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+                .cast("long")
+                .alias("total_cents"),
+            )
+            .select(
+                F.lit(ver).cast("int").alias("at_version"),
+                "o_orderstatus",
+                "n_orders",
+                "n_keys",
+                "total_cents",
+            )
+        )
+    return parts[0].unionByName(parts[1])
