@@ -380,3 +380,60 @@ def chunk_tokens(
         F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
         "c.chunk_text",
     )
+
+
+def pack_sequence_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    seq_len: int = 2048,
+    shards: int = 8,
+) -> DataFrame:
+    """GPT-style CONCAT-AND-CHUNK sequence packing (the standard
+    pretraining batcher: all documents of a shard are concatenated in a
+    deterministic order and split into fixed ``seq_len``-token training
+    blocks; documents span block boundaries). Returns ONE ROW PER
+    DOCUMENT with its packed span: shard, token offsets
+    [tok_start, tok_end), and the block range [first_block, last_block]
+    it lands in — everything a loader needs to materialize any block's
+    token stream, and everything an auditor needs to answer "which docs
+    are in sequence i".
+
+    Zero-token documents are dropped (they occupy no span; callers
+    count them separately if needed).
+
+    Scale shape: packing is PER SHARD (``order_col % shards``), so the
+    only shuffle is one hash partition + per-shard sort for the
+    running-sum window — never a global total order. At 100 TB raise
+    ``shards`` so each shard's token stream fits a task comfortably;
+    blocks never cross shards, matching how real pipelines shard
+    training data. The whole plan is JVM-side (token counts are one
+    regex split in codegen; the cumulative sum is one window over the
+    shard partition)."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be >= 1")
+    if shards <= 0:
+        raise ValueError("shards must be >= 1")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = token_count(text_col)
+    return (
+        df.select(
+            F.col(order_col),
+            (F.col(order_col) % F.lit(shards)).cast("int").alias("shard"),
+            n.alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .withColumn("tok_end", F.sum("n_tokens").over(w))
+        .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+        .withColumn(
+            "first_block", F.floor(F.col("tok_start") / F.lit(seq_len))
+        )
+        .withColumn(
+            "last_block",
+            F.floor((F.col("tok_end") - F.lit(1)) / F.lit(seq_len)),
+        )
+    )

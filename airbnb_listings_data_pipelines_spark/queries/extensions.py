@@ -6194,3 +6194,102 @@ def x97_delta_v2_checkpoint_roundtrip(
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+@query(
+    "x98_sequence_packing",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS BIGINT) END AS n_tokens
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS tok_end
+      FROM d WHERE n_tokens > 0
+    ),
+    sp2 AS (
+      SELECT shard, n_tokens,
+             CAST(floor((tok_end - n_tokens) / 512.0) AS BIGINT)
+               AS first_block,
+             CAST(floor((tok_end - 1) / 512.0) AS BIGINT) AS last_block
+      FROM spans
+    ),
+    per_shard AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(MAX(last_block) + 1 AS BIGINT) AS n_blocks,
+             CAST(SUM(CASE WHEN last_block > first_block THEN 1 ELSE 0 END)
+                  AS BIGINT) AS boundary_docs
+      FROM sp2 GROUP BY shard
+    ),
+    per_block AS (
+      SELECT shard, UNNEST(generate_series(first_block, last_block)) AS blk
+      FROM sp2
+    ),
+    block_docs AS (
+      SELECT shard, blk, COUNT(*) AS nd FROM per_block GROUP BY 1, 2
+    ),
+    block_max AS (
+      SELECT shard, CAST(MAX(nd) AS BIGINT) AS max_block_docs
+      FROM block_docs GROUP BY shard
+    )
+    SELECT s.shard, s.n_docs, s.total_tokens, s.n_blocks, s.boundary_docs,
+           m.max_block_docs
+    FROM per_shard s JOIN block_max m USING (shard)
+    """,
+    survey_rows=("EXT-text", "A8", "W5"),
+    doc="SEQUENCE PACKING for LLM pretraining (concat-and-chunk, the "
+    "GPT-style batcher — round-10 belt extension): each shard "
+    "(doc_id % 8) concatenates its documents in doc_id order and "
+    "splits the token stream into fixed 512-token training blocks; "
+    "documents span block boundaries. pack_sequence_spans returns one "
+    "row per document with its token span [tok_start, tok_end) and "
+    "block range — the loader/auditor contract ('which docs are in "
+    "sequence i') — and the query rolls up per shard: docs, tokens, "
+    "blocks (== ceil(total/512)), boundary-spanning docs, and the max "
+    "docs overlapping one block (explode(sequence(first,last)) ~ "
+    "UNNEST(generate_series)). Scale shape: packing is PER SHARD — one "
+    "hash shuffle + per-shard sort for the running-sum window, never a "
+    "global total order; token counts are one codegen regex split; at "
+    "100 TB raise shards so each shard's stream fits a task. "
+    "operators/text.pack_sequence_spans.",
+)
+def x98_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import pack_sequence_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = pack_sequence_spans(
+        docs, text_col="text", order_col="doc_id", seq_len=512, shards=8
+    )
+    per_shard = spans.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.max("last_block") + F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(
+            (F.col("last_block") > F.col("first_block")).cast("long")
+        ).alias("boundary_docs"),
+    )
+    block_max = (
+        spans.select(
+            "shard",
+            F.explode(
+                F.sequence(F.col("first_block"), F.col("last_block"))
+            ).alias("blk"),
+        )
+        .groupBy("shard", "blk")
+        .count()
+        .groupBy("shard")
+        .agg(F.max("count").cast("long").alias("max_block_docs"))
+    )
+    return per_shard.join(block_max, "shard").select(
+        "shard", "n_docs", "total_tokens", "n_blocks", "boundary_docs",
+        "max_block_docs",
+    )

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 from airbnb_listings_data_pipelines_spark.operators import text
 
 
@@ -203,3 +205,65 @@ def test_ngram_lang_id_profile_join_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequence_spans_semantics(spark):
+    """Hand-checkable packing: one shard, seq_len=5, docs of 3/4/5/2
+    tokens -> stream of 14 tokens -> blocks [0,5) [5,10) [10,14).
+    Spans are contiguous, block ranges follow the floor math, and the
+    4-token doc spanning tokens [3,7) crosses the block boundary."""
+    from airbnb_listings_data_pipelines_spark.operators.text import (
+        pack_sequence_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),
+            (1, "d e f g"),
+            (2, "h i j k l"),
+            (3, "m n"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["tok_start"], r["tok_end"], r["first_block"], r["last_block"]
+        )
+        for r in pack_sequence_spans(
+            docs, seq_len=5, shards=1
+        ).collect()
+    }
+    assert got == {
+        0: (0, 3, 0, 0),
+        1: (3, 7, 0, 1),   # spans the block-0/1 boundary
+        2: (7, 12, 1, 2),
+        3: (12, 14, 2, 2),
+    }
+
+
+def test_pack_sequence_spans_drops_empty_and_shards(spark):
+    from airbnb_listings_data_pipelines_spark.operators.text import (
+        pack_sequence_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "   "), (2, "c"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = pack_sequence_spans(docs, seq_len=4, shards=2).collect()
+    # empty/whitespace docs occupy no span; shard = doc_id % 2
+    assert sorted((r["doc_id"], r["shard"]) for r in rows) == [(0, 0), (2, 0)]
+    # each shard's stream starts at token 0 (packing never crosses shards)
+    assert {r["tok_start"] for r in rows if r["tok_end"] == r["n_tokens"]} == {0}
+
+
+def test_pack_sequence_spans_validation(spark):
+    from airbnb_listings_data_pipelines_spark.operators.text import (
+        pack_sequence_spans,
+    )
+
+    docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequence_spans(docs, seq_len=0)
+    with pytest.raises(ValueError, match="shards"):
+        pack_sequence_spans(docs, shards=0)
