@@ -797,6 +797,22 @@ def export_delta_log(spark: SparkSession, table) -> int:
             os.unlink(tmp)
         prev = set(cur)
         dv_prev = dict(dv_state)
+    # delta.checkpointInterval (Delta's own auto-checkpoint property):
+    # after exporting, if the newest checkpoint lags the head by >= the
+    # interval, write one — v2 or classic per delta.checkpointPolicy.
+    # Without the property the export never checkpoints (explicit
+    # write_delta_checkpoint remains the manual path).
+    interval = (cur_props or {}).get("delta.checkpointInterval")
+    if interval is not None:
+        iv = int(interval)
+        if iv <= 0:
+            raise ValueError(
+                f"delta.checkpointInterval must be >= 1, got {interval!r}"
+            )
+        lc = _read_last_checkpoint(delta_dir)
+        ck_at = lc["version"] if lc else -1
+        if latest - ck_at >= iv:
+            write_delta_checkpoint(spark, table.path)
     return latest
 
 
@@ -1363,21 +1379,35 @@ def _replay_delta_log(
 
     The unsupported-``protocol`` guard lives here (both consumers must
     refuse what they cannot replay)."""
-    # EXACT single-version commit names only (20-digit zero-padded, the
-    # protocol's file-naming rule). Delta 3.x / delta-rs log compactions
-    # write `<start>.<end>.compacted.json` carrying the NET actions of a
-    # version range — replaying one as "version <start>" would apply
-    # future-state actions and corrupt time travel inside the range, so
-    # they must not match here (the JSON commits they summarize are still
-    # present; compactions are a read optimization, never a replacement).
+    # Single-version commits are EXACT 20-digit names (the protocol's
+    # file-naming rule). Log compactions (`<start>.<end>.compacted.json`,
+    # Delta 3.x / delta-rs) carry the NET actions of a version range —
+    # the snapshot fold may substitute one for its covered commits (one
+    # file open instead of end-start+1), but time travel INSIDE a
+    # compacted range still needs the single commits (a compaction
+    # replayed as "version <start>" would apply future-state actions).
     commits = sorted(
         f for f in os.listdir(delta_dir) if re.fullmatch(r"\d{20}\.json", f)
     )
     versions = [int(f.split(".")[0]) for f in commits]
+    by_version = dict(zip(versions, commits))
+    compactions: dict[int, tuple[int, str]] = {}
+    for f in os.listdir(delta_dir):
+        m = re.fullmatch(r"(\d{20})\.(\d{20})\.compacted\.json", f)
+        if m:
+            s, e = int(m.group(1)), int(m.group(2))
+            # widest range per start wins (fewest file opens)
+            if s not in compactions or e > compactions[s][0]:
+                compactions[s] = (e, f)
     lc = _read_last_checkpoint(delta_dir)
     # a fully-compacted log (checkpoint only, JSON head expired) is legal:
-    # the checkpoint version counts toward the latest resolvable version
-    latest = max(versions[-1] if versions else -1, lc["version"] if lc else -1)
+    # the checkpoint version counts toward the latest resolvable version,
+    # and so does a compaction's END version (its singles may be gone)
+    latest = max(
+        versions[-1] if versions else -1,
+        lc["version"] if lc else -1,
+        max((e for e, _ in compactions.values()), default=-1),
+    )
     if latest < 0:
         raise FileNotFoundError(f"no Delta commits in {delta_dir}")
     want = latest if version is None else version
@@ -1393,52 +1423,127 @@ def _replay_delta_log(
         state = _checkpoint_rows(spark, delta_dir, lc["version"], lc.get("parts"))
         state.version = want
         start_after = lc["version"]
-    _verify_contiguous(versions, start_after, want, delta_dir)
-    for name, v in zip(commits, versions):
-        if v <= start_after or v > want:
-            continue
-        with open(os.path.join(delta_dir, name)) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "protocol" in action:
-                    _check_protocol(action["protocol"])
-                    state.protocol = action["protocol"]
-                elif "metaData" in action:
-                    state.metadata = action["metaData"]
-                elif "add" in action:
-                    state.live[action["add"]["path"]] = action["add"]
-                    # re-adding a removed path supersedes its tombstone
-                    state.tombstones.pop(action["add"]["path"], None)
-                elif "remove" in action:
-                    state.live.pop(action["remove"]["path"], None)
-                    state.tombstones[action["remove"]["path"]] = action["remove"]
-                elif "txn" in action:
-                    app = action["txn"].get("appId")
-                    if app is not None:
-                        state.txns[app] = action["txn"]
+    # greedy contiguous cover of (start_after, want]: a compaction whose
+    # whole range fits replaces its commits; otherwise the single commit.
+    # Missing versions covered by NEITHER refuse — the spec's continuity
+    # rule, now with compactions as a second legal source of coverage.
+    v = start_after + 1
+    while v <= want:
+        comp = compactions.get(v)
+        if comp is not None and comp[0] <= want:
+            _fold_commit_file(os.path.join(delta_dir, comp[1]), state)
+            v = comp[0] + 1
+        elif v in by_version:
+            _fold_commit_file(os.path.join(delta_dir, by_version[v]), state)
+            v += 1
+        else:
+            raise FileNotFoundError(
+                f"Delta log {delta_dir} is missing commit {v} (no single "
+                f"commit and no compaction starting there fits within "
+                f"version {want}; checkpoint covers through {start_after}) "
+                "— cannot return a partial snapshot"
+            )
     if state.metadata is None or state.metadata.get("schemaString") is None:
         raise FileNotFoundError(f"no metaData action at or below version {want}")
     return state
 
 
-def _verify_contiguous(
-    versions: list[int], start_after: int, want: int, delta_dir: str
-) -> None:
-    """The Delta spec requires readers to verify version continuity: every
-    version in (start_after, want] must have a JSON commit, else the
-    replay would silently miss state (e.g. time travel below the newest
-    checkpoint after its covered JSON head was cleaned up)."""
-    have = {v for v in versions if start_after < v <= want}
-    missing = sorted(set(range(start_after + 1, want + 1)) - have)
-    if missing:
-        raise FileNotFoundError(
-            f"Delta log {delta_dir} is missing commit(s) {missing} needed to "
-            f"reconstruct version {want} (checkpoint covers through "
-            f"{start_after}) — cannot return a partial snapshot"
+def _fold_commit_file(full: str, state: _DeltaState) -> None:
+    """Apply one JSON commit's (or compaction's) actions to ``state`` in
+    file order — the single action-fold both the per-commit tail and the
+    compaction substitution use, so their semantics cannot drift."""
+    with open(full) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "protocol" in action:
+                _check_protocol(action["protocol"])
+                state.protocol = action["protocol"]
+            elif "metaData" in action:
+                state.metadata = action["metaData"]
+            elif "add" in action:
+                state.live[action["add"]["path"]] = action["add"]
+                # re-adding a removed path supersedes its tombstone
+                state.tombstones.pop(action["add"]["path"], None)
+            elif "remove" in action:
+                state.live.pop(action["remove"]["path"], None)
+                state.tombstones[action["remove"]["path"]] = action["remove"]
+            elif "txn" in action:
+                app = action["txn"].get("appId")
+                if app is not None:
+                    state.txns[app] = action["txn"]
+
+
+def write_delta_compaction(path: str, start: int, end: int) -> str:
+    """Write a LOG COMPACTION ``<start>.<end>.compacted.json`` (Delta
+    3.x / delta-kernel minor compaction): the NET actions of the single
+    commits in ``[start, end]`` — latest add per live-at-end path, net
+    removes, latest metaData/protocol/txn. Snapshot folds then open ONE
+    file for the range instead of ``end-start+1``; single commits remain
+    authoritative for time travel inside the range and for CDF (a
+    compaction nets away per-commit deltas by design, so change readers
+    never consume one). Returns the written file name.
+
+    At 100 TB this is the cheap half of log maintenance: checkpoints
+    rewrite O(live files) state, compactions cost O(actions in range)
+    JSON and need no Spark job at all — a tailing reader catching up
+    through a busy day folds hundreds of commits in tens of opens."""
+    if not 0 <= start <= end:
+        raise ValueError(f"invalid compaction range [{start}, {end}]")
+    if start == end:
+        raise ValueError(
+            "a single-version compaction is the commit itself — refuse "
+            "rather than write a redundant alias file"
         )
+    delta_dir = os.path.join(path.rstrip("/"), DELTA_DIR)
+    adds: dict[str, dict] = {}
+    removes: dict[str, dict] = {}
+    meta = proto = None
+    txns: dict[str, dict] = {}
+    for v in range(start, end + 1):
+        full = os.path.join(delta_dir, _delta_commit_name(v))
+        if not os.path.exists(full):
+            raise FileNotFoundError(
+                f"compaction [{start}, {end}] needs single commit {v}"
+            )
+        with open(full) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    adds[a["add"]["path"]] = a
+                    removes.pop(a["add"]["path"], None)
+                elif "remove" in a:
+                    removes[a["remove"]["path"]] = a
+                    adds.pop(a["remove"]["path"], None)
+                elif "metaData" in a:
+                    meta = a
+                elif "protocol" in a:
+                    proto = a
+                elif "txn" in a:
+                    app = a["txn"].get("appId")
+                    if app is not None:
+                        txns[app] = a
+                # cdc / commitInfo net away: compactions serve snapshot
+                # folds only, never change feeds
+    lines = []
+    if proto is not None:
+        lines.append(json.dumps(proto))
+    if meta is not None:
+        lines.append(json.dumps(meta))
+    lines += [json.dumps(a) for _, a in sorted(txns.items())]
+    lines += [json.dumps(a) for _, a in sorted(removes.items())]
+    lines += [json.dumps(a) for _, a in sorted(adds.items())]
+    name = f"{start:020d}.{end:020d}.compacted.json"
+    tmp = os.path.join(delta_dir, f".compact-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, os.path.join(delta_dir, name))
+    return name
 
 
 # reader TABLE FEATURES this implementation honors (PROTOCOL.md 'Table

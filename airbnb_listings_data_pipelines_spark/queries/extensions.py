@@ -6293,3 +6293,125 @@ def x98_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard", "n_docs", "total_tokens", "n_blocks", "boundary_docs",
         "max_block_docs",
     )
+
+
+@query(
+    "x99_log_compaction_substitution",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    app1 AS (
+      SELECT o_orderkey + 90000000 AS o_orderkey, 'A' AS o_orderstatus,
+             o_totalprice FROM base WHERE o_orderkey % 7 = 2
+    ),
+    live3 AS (
+      SELECT * FROM (
+        SELECT * FROM base UNION ALL SELECT * FROM app1
+      ) WHERE o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'B', o_totalprice
+      FROM base WHERE o_orderkey % 11 = 3
+    ),
+    labeled AS (
+      SELECT 0 AS at_version, * FROM base
+      UNION ALL SELECT 3, * FROM live3
+    )
+    SELECT at_version, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM labeled GROUP BY 1, 2
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8"),
+    doc="LOG-COMPACTION SUBSTITUTION under the value-hash gate "
+    "(round-10: Delta 3.x / delta-kernel minor compactions — "
+    "<start>.<end>.compacted.json carrying the NET actions of a commit "
+    "range): orders -> txlog, APPEND shifted clones (v1), DELETE k%5=0 "
+    "mode='dv' (v2 — the compaction must net the remove+re-add DV "
+    "update to the LATEST add), APPEND more (v3); export; "
+    "write_delta_compaction(1,3); then the covered SINGLE COMMITS ARE "
+    "DELETED — the range's state survives only in the compaction. The "
+    "independent reader reads v3 (commit 0 + the compaction — one file "
+    "open for three commits) AND v0 (below the range, untouched); an "
+    "in-query gate asserts time travel INSIDE the gap (v2) refuses "
+    "loudly, since compactions net per-commit deltas away and must "
+    "never serve them. The oracle rebuilds both states from raw "
+    "orders. At 100 TB compaction is the cheap half of log "
+    "maintenance: O(actions in range) JSON with no Spark job, so a "
+    "tailing reader catching up through a busy day folds hundreds of "
+    "commits in tens of file opens. operators/deltalog."
+    "write_delta_compaction/_fold_commit_file, tests/"
+    "test_delta_compaction.py.",
+)
+def x99_log_compaction_substitution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import re
+
+    from ..operators.deltalog import (
+        export_delta_log,
+        read_delta_snapshot,
+        write_delta_compaction,
+    )
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _dml_scratch("x99" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(8, "o_orderkey")
+    )
+    t.append(
+        orders.filter("o_orderkey % 7 = 2").selectExpr(
+            "o_orderkey + 90000000 AS o_orderkey",
+            "'A' AS o_orderstatus",
+            "o_totalprice",
+        )
+    )  # v1
+    t.delete_where("o_orderkey % 5 = 0", mode="dv")  # v2
+    t.append(
+        orders.filter("o_orderkey % 11 = 3").selectExpr(
+            "o_orderkey + 100000000 AS o_orderkey",
+            "'B' AS o_orderstatus",
+            "o_totalprice",
+        )
+    )  # v3
+    export_delta_log(spark, t)
+    write_delta_compaction(path, 1, 3)
+    dd = os.path.join(path, "_delta_log")
+    for f in os.listdir(dd):
+        m = re.fullmatch(r"(\d{20})\.json", f)
+        if m and 1 <= int(m.group(1)) <= 3:
+            os.remove(os.path.join(dd, f))
+    # gate: time travel INSIDE the compacted gap must refuse loudly
+    try:
+        read_delta_snapshot(spark, path, version=2)
+    except FileNotFoundError:
+        pass
+    else:
+        raise AssertionError("v2 resolved through a compaction — wrong")
+    parts = []
+    for ver in (0, 3):
+        d = read_delta_snapshot(spark, path, version=ver)
+        parts.append(
+            d.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("o_orderkey").alias("n_keys"),
+                F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+                .cast("long")
+                .alias("total_cents"),
+            )
+            .select(
+                F.lit(ver).cast("int").alias("at_version"),
+                "o_orderstatus",
+                "n_orders",
+                "n_keys",
+                "total_cents",
+            )
+        )
+    return parts[0].unionByName(parts[1])

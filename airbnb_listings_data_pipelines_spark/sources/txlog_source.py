@@ -719,15 +719,38 @@ def _dlog_apply(
     return meta, adds, removes, cdc, any_dc
 
 
+def _dlog_compactions(log_dir: str) -> dict[int, tuple[int, str]]:
+    """start -> (end, filename) of log compactions
+    (``<start>.<end>.compacted.json``), widest range per start. The
+    SNAPSHOT fold may substitute one for its covered single commits;
+    change feeds never consume them (per-commit deltas are netted away
+    by construction)."""
+    import re
+
+    out: dict[int, tuple[int, str]] = {}
+    for f in os.listdir(log_dir):
+        m = re.fullmatch(r"(\d{20})\.(\d{20})\.compacted\.json", f)
+        if m:
+            s, e = int(m.group(1)), int(m.group(2))
+            if s not in out or e > out[s][0]:
+                out[s] = (e, f)
+    return out
+
+
 def _dlog_replay(log_dir: str, as_of: int | None = None) -> dict:
     """Snapshot fold: {"v", "live" {path: normalized add}, "meta"} at
-    ``as_of`` (default latest) — checkpoint bootstrap + contiguous JSON
-    tail, loud refusal when commits below the head are needed."""
+    ``as_of`` (default latest) — checkpoint bootstrap + a contiguous
+    cover of the tail by single commits and/or log compactions (greedy:
+    a compaction that fits the remaining range replaces its commits),
+    loud refusal when a version is covered by neither."""
     commits = _dlog_commits(log_dir)
+    by_version = dict(commits)
+    compactions = _dlog_compactions(log_dir)
     lc = _dlog_last_checkpoint(log_dir)
     latest = max(
         commits[-1][0] if commits else -1,
         lc["version"] if lc else -1,
+        max((e for e, _ in compactions.values()), default=-1),
     )
     if latest < 0:
         raise FileNotFoundError(f"no Delta commits in {log_dir}")
@@ -744,15 +767,21 @@ def _dlog_replay(log_dir: str, as_of: int | None = None) -> dict:
             log_dir, lc["version"], lc.get("parts")
         )
         start_after = lc["version"]
-    have = [v for v, _ in commits if start_after < v <= want]
-    if have != list(range(start_after + 1, want + 1)):
-        raise FileNotFoundError(
-            f"Delta log {log_dir}: non-contiguous JSON commits above "
-            f"checkpoint {start_after} (need through {want}, have {have})"
-        )
-    for v, fname in commits:
-        if v <= start_after or v > want:
-            continue
+    v = start_after + 1
+    while v <= want:
+        comp = compactions.get(v)
+        if comp is not None and comp[0] <= want:
+            fname = comp[1]
+            v = comp[0] + 1
+        elif v in by_version:
+            fname = by_version[v]
+            v += 1
+        else:
+            raise FileNotFoundError(
+                f"Delta log {log_dir}: missing commit {v} above checkpoint "
+                f"{start_after} (no single commit, no fitting compaction; "
+                f"need through {want})"
+            )
         m2, adds, removes, _cdc, _dc = _dlog_apply(log_dir, fname)
         if m2 is not None:
             meta = m2
@@ -837,10 +866,15 @@ def _dlog_deltas_full(log_dir: str, lo: int, hi: int) -> list[dict]:
     elif lo > 0:
         prev = _dlog_replay(log_dir, lo - 1)["live"]
     have = sorted(v for v in commits if start <= v <= hi)
-    if have != list(range(start, min(hi, max(commits, default=start - 1)) + 1)):
+    if have != list(range(start, hi + 1)):
+        # every version in [start, hi] needs its SINGLE commit: log
+        # compactions net per-commit deltas away by construction, so a
+        # change feed can never substitute one — refuse rather than emit
+        # empty or partial deltas
         raise FileNotFoundError(
-            f"Delta log {log_dir}: non-contiguous JSON commits in "
-            f"[{start}, {hi}] (have {have}) — cannot emit partial deltas"
+            f"Delta log {log_dir}: missing single commit(s) in "
+            f"[{start}, {hi}] (have {have}) — change feeds need the "
+            "per-commit JSON; compactions cannot serve deltas"
         )
     for v in have:
         _m, adds, removes, cdc, any_dc = _dlog_apply(log_dir, commits[v])

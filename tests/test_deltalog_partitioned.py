@@ -196,8 +196,14 @@ def test_checkpoint_preserves_tombstones_and_txns(spark, tmp_path):
 def test_compacted_log_files_are_not_replayed_as_commits(spark, tmp_path):
     """Delta 3.x / delta-rs write `<start>.<end>.compacted.json` carrying
     the NET actions of a version range; replaying one as 'version start'
-    would apply future state inside the range. The reader must ignore
-    them entirely (the JSON commits they summarize are still present)."""
+    would apply future state inside the range. The snapshot fold may
+    SUBSTITUTE a fitting compaction for its covered commits (round 10),
+    but time travel INSIDE the range must never read v1's state through
+    it — the single commits stay authoritative there."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        write_delta_compaction,
+    )
+
     path = str(tmp_path / "t")
     df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
     t = TxLogTable.create(spark, path, df)
@@ -205,17 +211,11 @@ def test_compacted_log_files_are_not_replayed_as_commits(spark, tmp_path):
         spark, t, spark.createDataFrame([(3, "c")], ["id", "v"]), ["id"]
     )
     t.to_delta_log()
-    # forge a compaction of versions 0..1 that nets out to ONLY v1's state,
-    # as an external log-compacting writer would
-    ddir = os.path.join(path, "_delta_log")
     state1 = read_delta_snapshot(spark, path, version=1)
-    net = [{"add": {"path": f, "partitionValues": {}, "size": 1,
-                    "modificationTime": 0, "dataChange": True}}
-           for f in t.files()]
-    with open(os.path.join(ddir, f"{0:020d}.{1:020d}.compacted.json"), "w") as fh:
-        fh.write("\n".join(json.dumps(a) for a in net) + "\n")
+    write_delta_compaction(path, 0, 1)
     # version-0 time travel must NOT see v1's files through the compaction
     assert _rows(read_delta_snapshot(spark, path, version=0)) == _rows(t.read_version(0))
+    # the latest fold (which MAY use the compaction) agrees with v1
     assert _rows(read_delta_snapshot(spark, path)) == _rows(state1)
 
 
