@@ -421,6 +421,9 @@ def export_delta_log(spark: SparkSession, table) -> int:
     # narrow limitation is TIMESTAMP partition columns, whose feed is
     # not mirrored (serialization mismatch documented in the splitter).
     cdc_feature = False
+    # generated-columns latch: schema metadata carries the expressions;
+    # external WRITERS must honor them, hence the writer-v4 requirement
+    gen_feature = False
     for v in range(latest + 1):
         c = tx_state.get(v)
         if c is None:
@@ -442,6 +445,12 @@ def export_delta_log(spark: SparkSession, table) -> int:
             dv_feature = True
         if c.get("cdc"):
             cdc_feature = True
+        # generatedColumns latch (writer feature, legacy writer v4): the
+        # recorded schema carries delta.generationExpression metadata
+        if not gen_feature and '"delta.generationExpression"' in (
+            c.get("schema") or ""
+        ):
+            gen_feature = True
         cm = c.get("column_mapping")
         if cm is not None:
             cur_mapping = dict(cm)
@@ -514,6 +523,8 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 wf.add("checkConstraints")
             if cdc_feature:
                 wf.add("changeDataFeed")
+            if gen_feature:
+                wf.add("generatedColumns")
             if mapping_mode:
                 rf.add("columnMapping")
                 wf |= {
@@ -530,9 +541,9 @@ def export_delta_log(spark: SparkSession, table) -> int:
             }
         elif mapping_mode:
             want_proto = {"minReaderVersion": 2, "minWriterVersion": 5}
-        elif cdc_feature:
-            # legacy protocol: Change Data Feed requires writer v4
-            # (which also covers constraints' v3)
+        elif cdc_feature or gen_feature:
+            # legacy protocol: Change Data Feed AND Generated Columns
+            # both require writer v4 (which also covers constraints' v3)
             want_proto = {"minReaderVersion": 1, "minWriterVersion": 4}
         elif cfg:
             want_proto = {"minReaderVersion": 1, "minWriterVersion": 3}

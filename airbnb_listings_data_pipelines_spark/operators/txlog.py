@@ -43,10 +43,38 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _generated_checks(gen: dict[str, str]) -> dict[str, str]:
+    """Implicit write-time constraints for generated columns: the value a
+    writer supplies must null-safe-equal the generation expression —
+    exactly Delta's rule for explicit writes to GENERATED ALWAYS AS
+    columns. Named ``__generated_<col>`` so a violation message points at
+    the column."""
+    return {f"__generated_{c}": f"`{c}` <=> ({e})" for c, e in gen.items()}
+
+
+def _annotate_generated(schema_json: str, gen: dict[str, str]) -> str:
+    """Embed ``delta.generationExpression`` field metadata (Delta's own
+    representation of generated columns) into a schema JSON."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType.fromJson(json.loads(schema_json))
+    missing = sorted(set(gen) - set(schema.fieldNames()))
+    if missing:
+        raise ValueError(f"generated column(s) {missing} absent from schema")
+    fields = []
+    for f in schema.fields:
+        md = dict(f.metadata or {})
+        if f.name in gen:
+            md["delta.generationExpression"] = gen[f.name]
+        fields.append(StructField(f.name, f.dataType, f.nullable, md))
+    return StructType(fields).json()
 
 
 class CheckViolation(Exception):
@@ -786,6 +814,7 @@ class TxLogTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         arbiter: CommitArbiter | None = None,
+        generated: dict[str, str] | None = None,
     ) -> "TxLogTable":
         """Create a new table at ``path`` from ``df`` (version 0).
 
@@ -800,15 +829,55 @@ class TxLogTable:
         every commit); readers reattach the columns via one ``basePath``
         scan under the recorded schema, so partition-type inference never
         runs (it would corrupt e.g. a string column holding ``"07"`` into
-        the integer 7)."""
+        the integer 7).
+
+        ``generated`` declares GENERATED COLUMNS (``{name: sql_expr}``,
+        Delta's ``GENERATED ALWAYS AS`` — like Delta, declarable only at
+        create): a column absent from ``df`` (and from later appends) is
+        COMPUTED from its expression; when a writer supplies it
+        explicitly, every write validates ``col <=> (expr)`` at the
+        same chokepoint CHECK constraints use and refuses the commit on
+        mismatch. The expressions ride in the recorded schema as
+        ``delta.generationExpression`` field metadata — Delta's own
+        representation — so they survive schema evolution, restore,
+        checkpoints, export (external writers see the writer-v4
+        feature), and CONVERT FROM DELTA adoption. The classic use is a
+        generated PARTITION column (e.g. a date bucket of a timestamp):
+        producers append raw rows, the bucket computes on write, and
+        partition pruning works untouched."""
         t = cls(spark, path, arbiter=arbiter)
         pby = list(partition_by or [])
+        gen = dict(generated or {})
+        gen_checks: dict[str, str] = {}
+        if gen:
+            bad = [
+                c
+                for c in gen
+                if any(
+                    re.search(rf"\b{re.escape(c)}\b", e)
+                    for o, e in gen.items()
+                    if o != c
+                )
+            ]
+            if bad:
+                raise ValueError(
+                    f"generated column(s) {sorted(bad)} are referenced by "
+                    "other generation expressions — generated columns may "
+                    "only derive from non-generated columns"
+                )
+            for c, e in gen.items():
+                if c not in df.columns:
+                    df = df.withColumn(c, F.expr(e))
+            gen_checks = _generated_checks(gen)
         missing = [c for c in pby if c not in df.columns]
         if missing:
             raise ValueError(f"partition_by columns absent from df: {missing}")
         os.makedirs(t.log_dir, exist_ok=False)
         t._pmeta = (pby, df.select(*pby).schema if pby else None)
-        files = t._write_data(df, _pby=pby)
+        files = t._write_data(df, _pby=pby, _checks=gen_checks or None)
+        schema_json = df.schema.json()
+        if gen:
+            schema_json = _annotate_generated(schema_json, gen)
         t._try_commit(
             0,
             adds=files,
@@ -817,7 +886,7 @@ class TxLogTable:
             extra={
                 "partition_by": pby,
                 "partition_schema": df.select(*pby).schema.json() if pby else None,
-                "schema": df.schema.json(),
+                "schema": schema_json,
             },
         )
         return t
@@ -1575,6 +1644,14 @@ class TxLogTable:
         shutil.rmtree(tmp)
         if _validate:
             checks = self.checks() if _checks is None else _checks
+            # generated columns enforce at the same chokepoint: whatever
+            # value a write carries must null-safe-equal the generation
+            # expression (Delta's explicit-write rule) — DML/merge paths
+            # therefore cannot silently desynchronize a generated column
+            # from its sources
+            gen = self.generated_exprs()
+            if gen:
+                checks = {**_generated_checks(gen), **checks}
         else:
             checks = {}
         if checks and names:
@@ -3019,14 +3096,27 @@ class TxLogTable:
             extra = sorted(set(df.columns) - set(target.fieldNames()))
             if extra:
                 raise ValueError(f"append has columns absent from table: {extra}")
+            # a generated column absent from the batch COMPUTES from its
+            # expression (over the already-aligned, cast columns — so the
+            # stored value always re-validates against the stored
+            # sources); supplied values pass through and the _write_data
+            # chokepoint validates them against the expression
+            gen = self.generated_exprs()
             df = df.select(
                 *[
                     F.col(f.name).cast(f.dataType)
                     if f.name in df.columns
                     else F.lit(None).cast(f.dataType).alias(f.name)
                     for f in target.fields
+                    if f.name in df.columns or f.name not in gen
                 ]
             )
+            for f in target.fields:
+                if f.name not in df.columns:  # absent generated column
+                    df = df.withColumn(
+                        f.name, F.expr(gen[f.name]).cast(f.dataType)
+                    )
+            df = df.select(*[f.name for f in target.fields])
         adds: list[str] | None = None
         validated: dict[str, str] | None = None
         for _attempt in range(max_retries + 1):
@@ -3486,6 +3576,23 @@ class TxLogTable:
                 out.pop(ck["name"], None)
         return out
 
+    def generated_exprs(self, as_of: int | None = None) -> dict[str, str]:
+        """Generated columns (name -> generation SQL expr) at ``as_of``,
+        read from the recorded schema's ``delta.generationExpression``
+        field metadata — the schema fold already survives evolution,
+        restore, checkpoints, and adoption, so generation needs no fold
+        of its own. {} for tables without generated columns."""
+        sj = self._schema_at(as_of)
+        if sj is None:
+            return {}
+        from pyspark.sql.types import StructType
+
+        return {
+            f.name: (f.metadata or {})["delta.generationExpression"]
+            for f in StructType.fromJson(json.loads(sj)).fields
+            if "delta.generationExpression" in (f.metadata or {})
+        }
+
     def add_check(self, name: str, expr: str, max_retries: int = 3) -> int:
         """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)`` (Delta's
         constraint surface): recorded in the log as its own commit and
@@ -3607,6 +3714,17 @@ class TxLogTable:
             raise ValueError(
                 f"{op} of {name!r} refused: CHECK constraint(s) "
                 f"{referencing} reference it — drop them first"
+            )
+        gen_refs = [
+            c
+            for c, e in self.generated_exprs().items()
+            if c != name and _re.search(rf"\b{_re.escape(name)}\b", e)
+        ]
+        if gen_refs:
+            raise ValueError(
+                f"{op} of {name!r} refused: generated column(s) "
+                f"{gen_refs} derive from it — their expressions would "
+                "silently dangle"
             )
         return schema
 

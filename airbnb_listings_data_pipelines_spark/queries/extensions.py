@@ -6415,3 +6415,84 @@ def x99_log_compaction_substitution(
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+@query(
+    "x100_generated_column_bucketing",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    allr AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT o_orderkey + 50000000, 'G', o_totalprice
+      FROM base WHERE o_orderkey % 9 = 4
+    ),
+    wb AS (
+      SELECT *, CAST(o_orderkey % 4 AS INT) AS bucket FROM allr
+    )
+    SELECT bucket, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM wb GROUP BY 1, 2
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8"),
+    doc="GENERATED COLUMNS as partition buckets under the value-hash "
+    "gate (round-10: Delta's GENERATED ALWAYS AS, the "
+    "delta.generationExpression schema-metadata representation): "
+    "orders -> txlog CREATEd with generated bucket = "
+    "CAST(o_orderkey % 4 AS INT) AS THE PARTITION COLUMN — the classic "
+    "shape where producers append RAW rows and the bucket computes on "
+    "write (the appended clone batch carries no bucket column at all). "
+    "Explicit writes validate col <=> expr at the same chokepoint "
+    "CHECK constraints use, so no DML path can desynchronize the "
+    "bucket from its source; an in-query gate proves the PRUNED "
+    "read_where('bucket', 2, 2) (directory-name pruning, zero reads of "
+    "other partitions) agrees with the full-scan filter. The oracle "
+    "recomputes the bucket from raw keys — a hash match proves "
+    "generation-on-append, hive layout of a computed column, and the "
+    "enforcement seam. At 100 TB this is how raw event streams land "
+    "date-bucketed without producer cooperation. operators/txlog."
+    "create(generated=)/generated_exprs, tests/"
+    "test_generated_columns.py.",
+)
+def x100_generated_column_bucketing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _dml_scratch("x100" + sf_dir)
+    t = TxLogTable.create(
+        spark,
+        path,
+        orders.repartitionByRange(8, "o_orderkey"),
+        partition_by=["bucket"],
+        generated={"bucket": "CAST(o_orderkey % 4 AS INT)"},
+    )
+    t.append(
+        orders.filter("o_orderkey % 9 = 4").selectExpr(
+            "o_orderkey + 50000000 AS o_orderkey",
+            "'G' AS o_orderstatus",
+            "o_totalprice",
+        )
+    )  # bucket absent: computed on write ((k+50000000)%4 == k%4)
+    full = t.read()
+    pruned = t.read_where("bucket", 2, 2).count()
+    scanned = full.filter("bucket = 2").count()
+    if pruned != scanned or pruned == 0:
+        raise AssertionError(
+            f"partition-pruned read diverged: {pruned} != {scanned}"
+        )
+    return full.groupBy("bucket", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
+    )

@@ -1,0 +1,224 @@
+"""Generated columns (Delta's ``GENERATED ALWAYS AS``, PROTOCOL.md
+"Generated Columns" / the ``delta.generationExpression`` field-metadata
+representation): declared at create, computed when a writer omits the
+column, validated (null-safe equality with the expression) at the
+``_write_data`` chokepoint when a writer supplies it — the same seam
+CHECK constraints use, so no data-adding path can desynchronize a
+generated column from its sources. Expressions ride the recorded schema,
+so they survive evolution/restore/checkpoints, export to the Delta log
+(writer v4 / the generatedColumns table feature), and adoption.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_listings_data_pipelines_spark.operators.txlog import (
+    CheckViolation,
+    TxLogTable,
+)
+
+
+def _mk(spark, tmp_path, partition=False):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("amount")
+    )
+    t = TxLogTable.create(
+        spark,
+        path,
+        df,
+        partition_by=["bucket"] if partition else None,
+        generated={"bucket": "CAST(k % 3 AS INT)"},
+    )
+    return t, path
+
+
+def test_create_computes_absent_generated_column(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path)
+    rows = {r["k"]: r["bucket"] for r in t.read().collect()}
+    assert rows == {k: k % 3 for k in range(30)}
+    assert t.generated_exprs() == {"bucket": "CAST(k % 3 AS INT)"}
+    # pseudo-checks never leak into the user CHECK surface
+    assert t.checks() == {}
+
+
+def test_append_computes_and_validates(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path)
+    t.append(
+        spark.range(30, 40).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("amount")
+        )
+    )  # bucket absent -> computed
+    assert {r["k"]: r["bucket"] for r in t.read().filter("k >= 30").collect()} == {
+        k: k % 3 for k in range(30, 40)
+    }
+    # explicit CORRECT values pass
+    t.append(
+        spark.range(40, 45).selectExpr(
+            "id AS k", "id * 10 AS amount", "CAST(id % 3 AS INT) AS bucket"
+        )
+    )
+    # explicit WRONG values refuse, table untouched
+    before = t.read().count()
+    with pytest.raises(CheckViolation):
+        t.append(
+            spark.range(45, 50).selectExpr(
+                "id AS k", "id * 10 AS amount", "CAST(9 AS INT) AS bucket"
+            )
+        )
+    assert t.read().count() == before
+
+
+def test_update_cannot_desynchronize(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path)
+    # changing the SOURCE without the generated column refuses loudly
+    # (7 % 3 = 1 but 101 % 3 = 2 — the stale bucket no longer matches)
+    with pytest.raises(CheckViolation):
+        t.update_where("k = 7", {"k": F.lit(101)})
+    # a consistent update (both column and expression result move) passes
+    t.update_where(
+        "k = 7", {"k": F.lit(99), "bucket": F.lit(0)}
+    )
+    row = t.read().filter("k = 99").collect()
+    assert [(r["k"], r["bucket"]) for r in row] == [(99, 0)]
+
+
+def test_generated_partition_column_prunes(spark, tmp_path):
+    t, path = _mk(spark, tmp_path, partition=True)
+    t.append(
+        spark.range(30, 60).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("amount")
+        )
+    )
+    got = sorted(
+        r["k"] for r in t.read_where("bucket", 1, 1).collect()
+    )
+    assert got == [k for k in range(60) if k % 3 == 1]
+    # files live under hive dirs of the COMPUTED column
+    assert os.path.isdir(os.path.join(path, "bucket=1"))
+
+
+def test_source_column_rename_and_drop_refused(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="derive from it"):
+        t.rename_column("k", "key")
+    with pytest.raises(ValueError, match="derive from it"):
+        t.drop_column("k")
+    # dropping the GENERATED column itself is fine (expr goes with it)
+    t.drop_column("bucket")
+    assert t.generated_exprs() == {}
+    t.append(
+        spark.range(100, 105).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("amount")
+        )
+    )
+
+
+def test_generated_from_generated_refused(spark, tmp_path):
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="non-generated"):
+        TxLogTable.create(
+            spark,
+            str(tmp_path / "t"),
+            df,
+            generated={"a": "k + 1", "b": "a + 1"},
+        )
+
+
+def test_export_carries_expression_and_writer_v4(spark, tmp_path):
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        export_delta_log,
+        read_delta_snapshot,
+    )
+
+    t, path = _mk(spark, tmp_path)
+    export_delta_log(spark, t)
+    dd = os.path.join(path, "_delta_log")
+    actions = [
+        json.loads(s)
+        for s in open(os.path.join(dd, f"{0:020d}.json"))
+        if s.strip()
+    ]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minWriterVersion"] >= 4
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    fields = json.loads(meta["schemaString"])["fields"]
+    gen = {
+        f["name"]: f["metadata"].get("delta.generationExpression")
+        for f in fields
+        if f["metadata"].get("delta.generationExpression")
+    }
+    assert gen == {"bucket": "CAST(k % 3 AS INT)"}
+    snap = read_delta_snapshot(spark, path)
+    assert snap.filter("bucket <> CAST(k % 3 AS INT)").count() == 0
+
+
+def test_adoption_imports_generation(spark, tmp_path):
+    """A foreign Delta table whose schemaString carries
+    delta.generationExpression: CONVERT FROM DELTA adopts it, and appends
+    to the adopted table compute/validate the generated column."""
+    import time
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    df = spark.range(0, 10).selectExpr(
+        "id AS k", "CAST(id % 2 AS INT) AS even"
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {
+                "name": "even",
+                "type": "integer",
+                "nullable": True,
+                "metadata": {
+                    "delta.generationExpression": "CAST(k % 2 AS INT)"
+                },
+            },
+        ],
+    }
+    dl = os.path.join(path, "_delta_log")
+    os.makedirs(dl)
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {
+            "metaData": {
+                "id": "gen-import",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+    ] + [
+        {
+            "add": {
+                "path": f,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(path, f)),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+        for f in files
+    ]
+    with open(os.path.join(dl, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    t = TxLogTable.convert_from_delta(spark, path)
+    assert t.generated_exprs() == {"even": "CAST(k % 2 AS INT)"}
+    t.append(spark.range(10, 15).selectExpr("id AS k"))  # even computed
+    assert {
+        r["k"]: r["even"] for r in t.read().filter("k >= 10").collect()
+    } == {k: k % 2 for k in range(10, 15)}
+    with pytest.raises(CheckViolation):
+        t.append(
+            spark.range(15, 16).selectExpr("id AS k", "CAST(7 AS INT) AS even")
+        )
