@@ -146,6 +146,21 @@ def _sql_words(text: str, lit: list[bool], depth: list[int], start: int = 0):
             yield p, m.group(0).upper()
 
 
+def _split_top_commas(text: str) -> list[str]:
+    """Split on commas at paren depth 0 outside string literals — the
+    column-definition splitter (types like DECIMAL(10,2) and generation
+    expressions keep their inner commas)."""
+    lit, depth = _sql_mask(text)
+    parts: list[str] = []
+    start = 0
+    for i, ch in enumerate(text):
+        if ch == "," and not lit[i] and depth[i] == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _split_where(text: str) -> tuple[str, str | None]:
     """Split ``text`` at its first top-level ``WHERE`` keyword — outside
     string literals AND outside parentheses — returning
@@ -330,10 +345,20 @@ class TxSqlSession:
     # ----------------------------------------------------------- handlers
 
     def _create(self, s: str) -> int:
-        """``CREATE TABLE t [PARTITIONED BY (c1, ...)] AS <select>``:
-        materialize the SELECT as commit 0 of the bound root. The name
-        must already be bound (the session maps names to filesystem
-        roots — SQL cannot invent storage locations)."""
+        """``CREATE TABLE t [PARTITIONED BY (c1, ...)] AS <select>``
+        (CTAS), or the COLUMN-DEFINITION form
+        ``CREATE TABLE t (c1 TYPE [GENERATED ALWAYS AS (expr)], ...)
+        [PARTITIONED BY (...)]`` which creates an EMPTY table (commit 0,
+        zero files) whose schema — including Delta's GENERATED ALWAYS AS
+        columns — is recorded up front; INSERTs then compute/validate
+        the generated columns through the append path. The name must
+        already be bound (the session maps names to filesystem roots —
+        SQL cannot invent storage locations)."""
+        mh = re.match(
+            rf"CREATE\s+TABLE\s+({_IDENT})\s*\(", s, re.IGNORECASE
+        )
+        if mh:
+            return self._create_coldefs(s, mh)
         m = re.fullmatch(
             rf"CREATE\s+TABLE\s+({_IDENT})"
             r"(?:\s+PARTITIONED\s+BY\s+\(([^)]+)\))?"
@@ -362,13 +387,74 @@ class TxSqlSession:
         self._tables[name] = created
         return 0
 
+    def _create_coldefs(self, s: str, mh: "re.Match") -> int:
+        name = mh.group(1).lower()
+        if name not in self._tables:
+            raise KeyError(
+                f"unknown txlog table {name!r} (bind a root for it first)"
+            )
+        lit, depth = _sql_mask(s)
+        open_i = mh.end() - 1
+        close_i = next(
+            (
+                i
+                for i in range(open_i + 1, len(s))
+                if s[i] == ")" and not lit[i] and depth[i] == 0
+            ),
+            None,
+        )
+        if close_i is None:
+            raise ValueError(f"unbalanced column definitions: {s!r}")
+        tail = s[close_i + 1 :].strip()
+        pby = None
+        if tail:
+            mt = re.fullmatch(
+                r"PARTITIONED\s+BY\s+\(([^)]+)\)", tail, re.IGNORECASE
+            )
+            if not mt:
+                raise ValueError(
+                    f"cannot parse CREATE TABLE suffix {tail!r} (the "
+                    "column-definition form takes only PARTITIONED BY; "
+                    "use CTAS to seed data)"
+                )
+            pby = [c.strip() for c in mt.group(1).split(",")]
+        cols: list[tuple[str, str]] = []
+        gen: dict[str, str] = {}
+        for d in _split_top_commas(s[open_i + 1 : close_i]):
+            mc = re.fullmatch(
+                r"([A-Za-z_]\w*)\s+(.+?)"
+                r"(?:\s+GENERATED\s+ALWAYS\s+AS\s+\((.+)\))?",
+                d,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not mc:
+                raise ValueError(f"cannot parse column definition {d!r}")
+            cols.append((mc.group(1), mc.group(2).strip()))
+            if mc.group(3) is not None:
+                gen[mc.group(1)] = mc.group(3).strip()
+        ddl = ", ".join(f"{c} {ty}" for c, ty in cols)
+        t = self._tables[name]
+        created = TxLogTable.create(
+            self.spark,
+            t.path,
+            self.spark.createDataFrame([], ddl),
+            partition_by=pby,
+            arbiter=t.arbiter,
+            generated=gen or None,
+        )
+        self._tables[name] = created
+        return 0
+
     def _insert(self, s: str) -> int:
-        """``INSERT INTO t <select>`` / ``INSERT INTO t VALUES (...)``:
-        an append commit — column alignment, casts, and CHECK
-        enforcement are the append path's (extra columns reject loudly,
-        missing ones null-fill)."""
+        """``INSERT INTO t [(c1, ...)] <select|VALUES (...)>``: an append
+        commit — column alignment, casts, and CHECK enforcement are the
+        append path's (extra columns reject loudly, missing ones
+        null-fill — and missing GENERATED columns compute). Without a
+        column list the alignment is standard-SQL POSITIONAL at full
+        arity; with one, the listed names bind positionally and the rest
+        null-fill/compute via append()."""
         m = re.fullmatch(
-            rf"INSERT\s+INTO\s+({_IDENT})\s+(.+)",
+            rf"INSERT\s+INTO\s+({_IDENT})\s*(.+)",
             s,
             re.IGNORECASE | re.DOTALL,
         )
@@ -377,10 +463,44 @@ class TxSqlSession:
         body = m.group(2).strip()
         t = self.table(m.group(1))
         cols = t.read().columns
+        listed: list[str] | None = None
+        if body.startswith("("):
+            # a leading paren is a column list ONLY when its content is a
+            # bare identifier list — `INSERT INTO t (SELECT ...)` is a
+            # parenthesized query, not columns
+            lit, depth = _sql_mask(body)
+            close = next(
+                (
+                    i
+                    for i in range(1, len(body))
+                    if body[i] == ")" and not lit[i] and depth[i] == 0
+                ),
+                None,
+            )
+            if close is not None:
+                inner = body[1:close]
+                if re.fullmatch(
+                    r"\s*[A-Za-z_]\w*(\s*,\s*[A-Za-z_]\w*)*\s*", inner
+                ):
+                    listed = [c.strip() for c in inner.split(",")]
+                    body = body[close + 1 :].strip()
         if re.match(r"VALUES\b", body, re.IGNORECASE):
             df = self.spark.sql(f"SELECT * FROM ({body})")
         else:
             df = self.spark.sql(body)
+        if listed is not None:
+            unknown = sorted(set(listed) - set(cols))
+            if unknown:
+                raise ValueError(
+                    f"INSERT INTO {m.group(1)}: column(s) {unknown} "
+                    "absent from table"
+                )
+            if len(df.columns) != len(listed):
+                raise ValueError(
+                    f"INSERT INTO {m.group(1)}: query produces "
+                    f"{len(df.columns)} columns, list names {len(listed)}"
+                )
+            return t.append(df.toDF(*listed))
         # standard SQL INSERT alignment: POSITIONAL, full arity (the
         # by-name null-fill path belongs to append(), not to INSERT text)
         if len(df.columns) != len(cols):

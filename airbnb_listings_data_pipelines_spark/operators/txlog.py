@@ -345,7 +345,14 @@ def footer_stats_dict(
                 ):
                     mm_cover[name] = mm_cover.get(name, 0) + 1
                 continue
-            lo, hi = _stat_value(st.min), _stat_value(st.max)
+            try:
+                lo, hi = _stat_value(st.min), _stat_value(st.max)
+            except NotImplementedError:
+                # pyarrow cannot decode min/max for some physical types
+                # (e.g. fixed-len-byte-array DECIMAL) — stats are an
+                # OPTIONAL skipping aid, so record none for the column
+                # rather than failing the commit
+                continue
             if lo is None or hi is None:
                 continue
             if isinstance(lo, str) and len(lo) > _STATS_STR_MAX:

@@ -222,3 +222,65 @@ def test_adoption_imports_generation(spark, tmp_path):
         t.append(
             spark.range(15, 16).selectExpr("id AS k", "CAST(7 AS INT) AS even")
         )
+
+
+def test_sql_create_with_generated_and_column_list_insert(spark, tmp_path):
+    """The SQL surface: column-definition CREATE TABLE with GENERATED
+    ALWAYS AS, then INSERT with a column list omitting the generated
+    column (computed) and a full-arity INSERT supplying a wrong value
+    (refused)."""
+    from airbnb_listings_data_pipelines_spark.functions.tx_sql import (
+        TxSqlSession,
+    )
+
+    sess = TxSqlSession(spark, {"t": str(tmp_path / "t")})
+    sess.execute(
+        "CREATE TABLE t (k BIGINT, amount DECIMAL(10,2), "
+        "bucket INT GENERATED ALWAYS AS (CAST(k % 3 AS INT))) "
+        "PARTITIONED BY (bucket)"
+    )
+    sess.execute(
+        "INSERT INTO t (k, amount) "
+        "SELECT id, CAST(id AS DECIMAL(10,2)) FROM range(0, 9)"
+    )
+    got = {
+        r["k"]: r["bucket"]
+        for r in sess.execute("SELECT k, bucket FROM t").collect()
+    }
+    assert got == {k: k % 3 for k in range(9)}
+    # full-arity INSERT with an inconsistent generated value refuses
+    with pytest.raises(CheckViolation):
+        sess.execute("INSERT INTO t VALUES (100, 1.0, CAST(9 AS INT))")
+    # parenthesized query after the table name is NOT a column list
+    sess.execute(
+        "INSERT INTO t (k, amount) (SELECT 50, CAST(2.5 AS DECIMAL(10,2)))"
+    )
+    assert sess.execute("SELECT bucket FROM t WHERE k = 50").collect()[0][
+        "bucket"
+    ] == 50 % 3
+
+
+def test_decimal_column_commits_without_stats_crash(spark, tmp_path):
+    """pyarrow cannot decode min/max statistics for some physical types
+    (fixed-len-byte-array DECIMAL among them); stats are an optional
+    skipping aid, so a decimal column must cost its stats — never the
+    commit. (Latent until the column-definition CREATE made decimal
+    tables easy to reach.)"""
+    df = spark.range(5).selectExpr(
+        "id AS k", "CAST(id * 1.5 AS DECIMAL(10,2)) AS amount"
+    )
+    t = TxLogTable.create(spark, str(tmp_path / "t"), df.coalesce(1))
+    t.append(
+        spark.range(5, 8).selectExpr(
+            "id AS k", "CAST(id AS DECIMAL(10,2)) AS amount"
+        )
+    )
+    assert t.read().count() == 8
+    # k's stats still recorded (skipping works on supported types)
+    import json as _json
+
+    with open(os.path.join(t.log_dir, f"{0:012d}.json")) as fh:
+        c = _json.load(fh)
+    stats = next(iter((c.get("stats") or {}).values()), None)
+    if stats:
+        assert "k" in stats.get("minValues", {})
