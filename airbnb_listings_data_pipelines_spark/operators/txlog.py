@@ -2201,6 +2201,18 @@ class TxLogTable:
             c: (F.expr(v) if isinstance(v, str) else v).cast(fields[c])
             for c, v in assignments.items()
         }
+        # Delta's generated-column UPDATE rule: assigning a SOURCE column
+        # recomputes the generated columns that derive from it (unless
+        # the statement assigns them explicitly, in which case the
+        # _write_data chokepoint validates the supplied values)
+        recompute = self._gen_recompute(assignments)
+        if recompute and cdc:
+            raise ValueError(
+                "cdc=True with generated-column recomputation is not "
+                f"supported (columns {sorted(recompute)} would recompute "
+                "from the updated sources); omit cdc=True — the netted "
+                "file-delta feed from read_changes() is still row-exact"
+            )
         hit = F.coalesce(cond, F.lit(False))
         if mode == "dv":
             if cdc:
@@ -2230,8 +2242,22 @@ class TxLogTable:
                         if c in sets
                         else F.col(c)
                         for c in df.columns
-                    ]
+                    ],
+                    *([hit.alias("__hit")] if recompute else []),
                 )
+                if recompute:
+                    # second phase over the POST-assignment frame, so the
+                    # generation expressions see the updated sources; the
+                    # match flag was captured against PRE values (the
+                    # condition may reference an updated column)
+                    for g, e in recompute.items():
+                        rewritten = rewritten.withColumn(
+                            g,
+                            F.when(
+                                F.col("__hit"), F.expr(e).cast(fields[g])
+                            ).otherwise(F.col(g)),
+                        )
+                    rewritten = rewritten.select(*df.columns)
                 adds = self._write_data(rewritten)
                 if cdc:
                     # rows whose assignments are NO-OPS are not changes:
@@ -2450,6 +2476,12 @@ class TxLogTable:
                         for c in data_cols
                     ]
                 )
+                # every row here matched, so generated-column recompute
+                # is a plain second projection over the post frame
+                for g, e in self._gen_recompute(set(sets)).items():
+                    updated = updated.withColumn(
+                        g, F.expr(e).cast(updated.schema[g].dataType)
+                    )
                 adds = self._write_data(updated)
             # sidecar rows key by RELATIVE path: a tiny broadcast-joined
             # (URI -> relative path) mapping built from the counts
@@ -3582,6 +3614,21 @@ class TxLogTable:
             elif c.get("op") == "drop_check":
                 out.pop(ck["name"], None)
         return out
+
+    def _gen_recompute(self, assignments) -> dict[str, str]:
+        """Generated columns an UPDATE must RECOMPUTE: those not assigned
+        explicitly whose generation expression references an assigned
+        column (word-boundary match — the same reference test the
+        rename/drop guards use)."""
+        assigned = set(assignments)
+        return {
+            g: e
+            for g, e in self.generated_exprs().items()
+            if g not in assigned
+            and any(
+                re.search(rf"\b{re.escape(c)}\b", e) for c in assigned
+            )
+        }
 
     def generated_exprs(self, as_of: int | None = None) -> dict[str, str]:
         """Generated columns (name -> generation SQL expr) at ``as_of``,

