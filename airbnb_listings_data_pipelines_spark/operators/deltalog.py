@@ -368,9 +368,18 @@ def export_delta_log(spark: SparkSession, table) -> int:
         f for f in os.listdir(table.log_dir) if f.endswith(".json")
     )
     tx_state: dict[int, dict] = {}
+    tx_mtime: dict[int, int] = {}
     for name in tx_entries:
-        with open(os.path.join(table.log_dir, name)) as fh:
+        full_tx = os.path.join(table.log_dir, name)
+        with open(full_tx) as fh:
             tx_state[int(name.split(".")[0])] = json.load(fh)
+        # each exported commit's timestamp is ITS txlog commit's mtime,
+        # not the export run's wall clock — TIMESTAMP AS OF on the
+        # exported log then resolves the same instants the native
+        # table's history has, even when one export mirrors many commits
+        tx_mtime[int(name.split(".")[0])] = int(
+            os.path.getmtime(full_tx) * 1000
+        )
     def _schema_json_at(v: int, cur_files: set) -> str | None:
         """Exact schema of txlog version ``v``: the commit's recorded
         payload, else one existing file's footer plus the recorded
@@ -424,6 +433,11 @@ def export_delta_log(spark: SparkSession, table) -> int:
     # generated-columns latch: schema metadata carries the expressions;
     # external WRITERS must honor them, hence the writer-v4 requirement
     gen_feature = False
+    # in-commit timestamps: first version with the property on, and the
+    # running strictly-monotonic ICT (seeded from the last exported
+    # commit on incremental runs — _prev_ict)
+    ict_since: int | None = None
+    prev_ict: int | None = None
     for v in range(latest + 1):
         c = tx_state.get(v)
         if c is None:
@@ -493,6 +507,18 @@ def export_delta_log(spark: SparkSession, table) -> int:
         # classic reader must refuse rather than miss the UUID-named
         # checkpoint _last_checkpoint points at.
         v2ckpt_feature = cur_props.get("delta.checkpointPolicy") == "v2"
+        # delta.enableInCommitTimestamps (PROTOCOL.md "In-Commit
+        # Timestamps", writer feature): commitInfo carries a strictly
+        # monotonic inCommitTimestamp — TIMESTAMP AS OF then no longer
+        # depends on file mtimes a copy/restore can disturb. Enablement
+        # AFTER table creation records the provenance properties the
+        # spec requires (readers fall back to file timestamps below the
+        # enablement version).
+        ict_feature = (
+            cur_props.get("delta.enableInCommitTimestamps") == "true"
+        )
+        if ict_feature and ict_since is None:
+            ict_since = v
         cfg = {
             **dict(sorted(cur_props.items())),
             **{
@@ -505,7 +531,14 @@ def export_delta_log(spark: SparkSession, table) -> int:
             cfg["delta.columnMapping.maxColumnId"] = str(max_id)
         if cdc_feature:
             cfg["delta.enableChangeDataFeed"] = "true"
-        if dv_feature or v2ckpt_feature:
+        if ict_feature and ict_since and ict_since > 0:
+            # spec provenance for mid-life enablement: versions below
+            # this are resolved by file timestamps, at/above by ICT
+            cfg["delta.inCommitTimestampEnablementVersion"] = str(ict_since)
+            cfg["delta.inCommitTimestampEnablementTimestamp"] = str(
+                tx_mtime.get(ict_since, now_ms)
+            )
+        if dv_feature or v2ckpt_feature or ict_feature:
             # table-features protocol: readerFeatures lists what a reader
             # must honor; writerFeatures additionally carries the legacy
             # features the pre-upgrade writer version implied (the
@@ -519,6 +552,8 @@ def export_delta_log(spark: SparkSession, table) -> int:
             if v2ckpt_feature:
                 rf.add("v2Checkpoint")
                 wf.add("v2Checkpoint")
+            if ict_feature:
+                wf.add("inCommitTimestamp")
             if cur_checks:
                 wf.add("checkConstraints")
             if cdc_feature:
@@ -533,12 +568,23 @@ def export_delta_log(spark: SparkSession, table) -> int:
                     "changeDataFeed",
                     "columnMapping",
                 }
-            want_proto = {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": sorted(rf),
-                "writerFeatures": sorted(wf),
-            }
+            if rf:
+                want_proto = {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(rf),
+                    "writerFeatures": sorted(wf),
+                }
+            else:
+                # writer-only features (e.g. inCommitTimestamp alone):
+                # the spec pairs minWriterVersion 7 with a writerFeatures
+                # list, and readerFeatures exists ONLY at reader v3 — a
+                # classic reader can still read the data
+                want_proto = {
+                    "minReaderVersion": 2 if mapping_mode else 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": sorted(wf),
+                }
         elif mapping_mode:
             want_proto = {"minReaderVersion": 2, "minWriterVersion": 5}
         elif cdc_feature or gen_feature:
@@ -783,15 +829,20 @@ def export_delta_log(spark: SparkSession, table) -> int:
                     }
                 }
             )
-        actions.append(
-            {
-                "commitInfo": {
-                    "timestamp": now_ms,
-                    "operation": "txlog-export",
-                    "operationParameters": {"txlogVersion": str(v)},
-                }
-            }
-        )
+        info = {
+            "timestamp": tx_mtime.get(v, now_ms),
+            "operation": "txlog-export",
+            "operationParameters": {"txlogVersion": str(v)},
+        }
+        if ict_feature:
+            # in-commit timestamps (PROTOCOL.md, writer feature): the
+            # spec requires STRICT monotonicity, so clamp each commit's
+            # clock reading against the previous ICT
+            prev_ict = _prev_ict(delta_dir, v, prev_ict)
+            ict = max(tx_mtime.get(v, now_ms), (prev_ict or 0) + 1)
+            info["inCommitTimestamp"] = ict
+            prev_ict = ict
+        actions.append({"commitInfo": info})
         tmp = target + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
@@ -902,6 +953,32 @@ def _export_partitioned_cdc(
             }
         )
     return actions
+
+
+def _prev_ict(delta_dir: str, v: int, cur: int | None) -> int | None:
+    """Seed the strictly-monotonic in-commit-timestamp chain on an
+    incremental export: when the run's first ICT emission is version
+    ``v``, the floor is version ``v-1``'s recorded inCommitTimestamp
+    (or its commitInfo timestamp for pre-enablement commits). No-op once
+    the chain is running (``cur`` set) or at version 0."""
+    if cur is not None or v == 0:
+        return cur
+    full = os.path.join(delta_dir, _delta_commit_name(v - 1))
+    if not os.path.exists(full):
+        return cur
+    with open(full) as fh:
+        for line in fh:
+            if '"commitInfo"' not in line:
+                continue
+            try:
+                a = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            info = a.get("commitInfo") or {}
+            ts = info.get("inCommitTimestamp", info.get("timestamp"))
+            if ts is not None:
+                return int(ts)
+    return cur
 
 
 def _proto_merge(a: dict, b: dict) -> dict:
@@ -1665,9 +1742,15 @@ def _version_at_timestamp(delta_dir: str, timestamp_ms: int) -> int:
                 except json.JSONDecodeError:
                     continue
                 info = action.get("commitInfo")
-                if info is not None and info.get("timestamp") is not None:
-                    ts = int(info["timestamp"])
-                    break
+                if info is not None:
+                    # in-commit timestamps win when present (the ICT
+                    # feature's whole point: mtime/copy-proof history)
+                    raw_ts = info.get(
+                        "inCommitTimestamp", info.get("timestamp")
+                    )
+                    if raw_ts is not None:
+                        ts = int(raw_ts)
+                        break
         if ts is None:
             ts = int(os.path.getmtime(full) * 1000)
         raw.append((v, ts))
