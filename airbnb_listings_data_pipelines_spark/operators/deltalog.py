@@ -433,6 +433,9 @@ def export_delta_log(spark: SparkSession, table) -> int:
     # generated-columns latch: schema metadata carries the expressions;
     # external WRITERS must honor them, hence the writer-v4 requirement
     gen_feature = False
+    # identity-columns latch: schema metadata carries start/step/
+    # highWaterMark; external writers must advance the watermark (v6)
+    ident_feature = False
     # in-commit timestamps: first version with the property on, and the
     # running strictly-monotonic ICT (seeded from the last exported
     # commit on incremental runs — _prev_ict)
@@ -465,6 +468,11 @@ def export_delta_log(spark: SparkSession, table) -> int:
             c.get("schema") or ""
         ):
             gen_feature = True
+        # identityColumns latch (writer feature, legacy writer v6)
+        if not ident_feature and '"delta.identity.start"' in (
+            c.get("schema") or ""
+        ):
+            ident_feature = True
         cm = c.get("column_mapping")
         if cm is not None:
             cur_mapping = dict(cm)
@@ -560,6 +568,8 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 wf.add("changeDataFeed")
             if gen_feature:
                 wf.add("generatedColumns")
+            if ident_feature:
+                wf.add("identityColumns")
             if mapping_mode:
                 rf.add("columnMapping")
                 wf |= {
@@ -585,16 +595,24 @@ def export_delta_log(spark: SparkSession, table) -> int:
                     "minWriterVersion": 7,
                     "writerFeatures": sorted(wf),
                 }
-        elif mapping_mode:
-            want_proto = {"minReaderVersion": 2, "minWriterVersion": 5}
-        elif cdc_feature or gen_feature:
-            # legacy protocol: Change Data Feed AND Generated Columns
-            # both require writer v4 (which also covers constraints' v3)
-            want_proto = {"minReaderVersion": 1, "minWriterVersion": 4}
-        elif cfg:
-            want_proto = {"minReaderVersion": 1, "minWriterVersion": 3}
         else:
-            want_proto = dict(_PROTOCOL)
+            # legacy protocol ladder: the writer version is the max any
+            # present feature requires (constraints v3, CDF/generated
+            # columns v4, column mapping v5, identity columns v6);
+            # column mapping alone raises the reader to 2
+            mwv = 2
+            if cfg:
+                mwv = 3
+            if cdc_feature or gen_feature:
+                mwv = 4
+            if mapping_mode:
+                mwv = 5
+            if ident_feature:
+                mwv = 6
+            want_proto = {
+                "minReaderVersion": 2 if mapping_mode else 1,
+                "minWriterVersion": mwv,
+            }
         target = os.path.join(delta_dir, _delta_commit_name(v))
         if os.path.exists(target):
             prev = set(cur)

@@ -59,6 +59,43 @@ def _generated_checks(gen: dict[str, str]) -> dict[str, str]:
     return {f"__generated_{c}": f"`{c}` <=> ({e})" for c, e in gen.items()}
 
 
+def _annotate_identity(schema_json: str, ident: dict[str, tuple[int, int]]) -> str:
+    """Embed Delta's identity-column field metadata (``delta.identity.
+    start`` / ``.step`` / ``.allowExplicitInsert``) into a schema JSON —
+    GENERATED ALWAYS AS IDENTITY, so explicit inserts are disallowed."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType.fromJson(json.loads(schema_json))
+    missing = sorted(set(ident) - set(schema.fieldNames()))
+    if missing:
+        raise ValueError(f"identity column(s) {missing} absent from schema")
+    fields = []
+    for f in schema.fields:
+        md = dict(f.metadata or {})
+        if f.name in ident:
+            start, step = ident[f.name]
+            md["delta.identity.start"] = int(start)
+            md["delta.identity.step"] = int(step)
+            md["delta.identity.allowExplicitInsert"] = False
+        fields.append(StructField(f.name, f.dataType, f.nullable, md))
+    return StructType(fields).json()
+
+
+def _identity_hw_update(schema_json: str, hws: dict[str, int]) -> str:
+    """Record new identity high watermarks in a schema JSON (the
+    ``delta.identity.highWaterMark`` field metadata Delta uses)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType.fromJson(json.loads(schema_json))
+    fields = []
+    for f in schema.fields:
+        md = dict(f.metadata or {})
+        if f.name in hws:
+            md["delta.identity.highWaterMark"] = int(hws[f.name])
+        fields.append(StructField(f.name, f.dataType, f.nullable, md))
+    return StructType(fields).json()
+
+
 def _annotate_generated(schema_json: str, gen: dict[str, str]) -> str:
     """Embed ``delta.generationExpression`` field metadata (Delta's own
     representation of generated columns) into a schema JSON."""
@@ -822,6 +859,7 @@ class TxLogTable:
         partition_by: list[str] | None = None,
         arbiter: CommitArbiter | None = None,
         generated: dict[str, str] | None = None,
+        identity: dict[str, tuple[int, int]] | None = None,
     ) -> "TxLogTable":
         """Create a new table at ``path`` from ``df`` (version 0).
 
@@ -854,6 +892,24 @@ class TxLogTable:
         partition pruning works untouched."""
         t = cls(spark, path, arbiter=arbiter)
         pby = list(partition_by or [])
+        ident = {
+            c: (int(v[0]), int(v[1])) for c, v in (identity or {}).items()
+        }
+        for c, (_s, step) in ident.items():
+            if step == 0:
+                raise ValueError(f"identity column {c!r}: step must be != 0")
+            if c in df.columns:
+                raise ValueError(
+                    f"identity column {c!r} is GENERATED ALWAYS: it cannot "
+                    "be supplied at create — the engine assigns it"
+                )
+            if c in (generated or {}):
+                raise ValueError(f"{c!r} cannot be both generated and identity")
+            df = df.withColumn(c, F.lit(None).cast("long"))
+        if ident:
+            df = t._assign_identity(
+                df, {c: {"start": s, "step": st, "hw": None} for c, (s, st) in ident.items()}
+            )
         gen = dict(generated or {})
         gen_checks: dict[str, str] = {}
         if gen:
@@ -885,6 +941,16 @@ class TxLogTable:
         schema_json = df.schema.json()
         if gen:
             schema_json = _annotate_generated(schema_json, gen)
+        if ident:
+            schema_json = _annotate_identity(schema_json, ident)
+            meta0 = {
+                c: {"start": s, "step": st, "hw": None}
+                for c, (s, st) in ident.items()
+            }
+            if files:
+                schema_json = _identity_hw_update(
+                    schema_json, t._identity_new_hw(files, meta0)
+                )
         t._try_commit(
             0,
             adds=files,
@@ -2197,6 +2263,12 @@ class TxLogTable:
         unknown = sorted(set(assignments) - set(fields))
         if unknown:
             raise ValueError(f"update_where assigns absent columns: {unknown}")
+        ident_assigned = sorted(set(assignments) & set(self.identity_meta()))
+        if ident_assigned:
+            raise ValueError(
+                f"identity column(s) {ident_assigned} are GENERATED ALWAYS "
+                "— UPDATE cannot assign them"
+            )
         sets = {
             c: (F.expr(v) if isinstance(v, str) else v).cast(fields[c])
             for c, v in assignments.items()
@@ -3141,23 +3213,38 @@ class TxLogTable:
             # sources); supplied values pass through and the _write_data
             # chokepoint validates them against the expression
             gen = self.generated_exprs()
+            ident = self.identity_meta()
+            supplied = sorted(set(ident) & set(df.columns))
+            if supplied:
+                raise ValueError(
+                    f"identity column(s) {supplied} are GENERATED ALWAYS "
+                    "(allowExplicitInsert=false): the engine assigns them "
+                    "— drop them from the batch"
+                )
             df = df.select(
                 *[
                     F.col(f.name).cast(f.dataType)
                     if f.name in df.columns
                     else F.lit(None).cast(f.dataType).alias(f.name)
                     for f in target.fields
-                    if f.name in df.columns or f.name not in gen
+                    if f.name in df.columns
+                    or (f.name not in gen and f.name not in ident)
                 ]
             )
             for f in target.fields:
-                if f.name not in df.columns:  # absent generated column
+                if f.name not in df.columns and f.name in gen:
                     df = df.withColumn(
                         f.name, F.expr(gen[f.name]).cast(f.dataType)
                     )
+            if ident:
+                df_noid = df  # pre-assignment frame, kept for re-basing
+                df = self._assign_identity(df, ident)
             df = df.select(*[f.name for f in target.fields])
+        else:
+            ident = {}
         adds: list[str] | None = None
         validated: dict[str, str] | None = None
+        ident_hws: dict[str, int] | None = None
         for _attempt in range(max_retries + 1):
             # ORDER MATTERS: capture base_version BEFORE the txn check.
             # The check then covers every commit at/below base_version,
@@ -3176,9 +3263,28 @@ class TxLogTable:
                 for f in adds or []:
                     os.remove(os.path.join(self.path, f))
                 return base_version
+            if adds is not None and ident:
+                # identity re-base: if a racing append advanced a high
+                # watermark after our values were assigned, committing
+                # them would duplicate ids — drop the staged files and
+                # reassign beyond the NEW watermark
+                cur_ident = self.identity_meta()
+                if any(
+                    cur_ident.get(c, m)["hw"] != m["hw"]
+                    for c, m in ident.items()
+                ):
+                    for f in adds:
+                        os.remove(os.path.join(self.path, f))
+                    adds = None
+                    ident = cur_ident
+                    df = self._assign_identity(df_noid, ident).select(
+                        *df.columns
+                    )
             if adds is None:
                 validated = self.checks()
                 adds = self._write_data(df, _checks=validated)
+                if ident:
+                    ident_hws = self._identity_new_hw(adds, ident)
             else:
                 # files already staged from a lost race: if an add_check
                 # landed since they were validated, re-validate against
@@ -3203,9 +3309,14 @@ class TxLogTable:
                 # we retried, recording the pre-evolution schema here
                 # would silently roll the evolution back (our old-shape
                 # files are still legal — they null-fill the new column)
+                commit_schema = self._schema_at()
+                if ident_hws and commit_schema is not None:
+                    commit_schema = _identity_hw_update(
+                        commit_schema, ident_hws
+                    )
                 return self.commit(
                     adds=adds, removes=[], base_version=base_version,
-                    op="append", schema=self._schema_at(), txn=txn,
+                    op="append", schema=commit_schema, txn=txn,
                 )
             except CommitConflict:
                 continue
@@ -3629,6 +3740,77 @@ class TxLogTable:
                 re.search(rf"\b{re.escape(c)}\b", e) for c in assigned
             )
         }
+
+    def identity_meta(self, as_of: int | None = None) -> dict[str, dict]:
+        """Identity columns (name -> {start, step, hw}) at ``as_of``,
+        from the recorded schema's ``delta.identity.*`` field metadata.
+        ``hw`` is the high watermark (None before the first assignment);
+        like generation expressions, the schema fold carries identity
+        state through evolution, restore, checkpoints, and adoption."""
+        sj = self._schema_at(as_of)
+        if sj is None:
+            return {}
+        from pyspark.sql.types import StructType
+
+        out: dict[str, dict] = {}
+        for f in StructType.fromJson(json.loads(sj)).fields:
+            md = f.metadata or {}
+            if "delta.identity.start" in md:
+                out[f.name] = {
+                    "start": int(md["delta.identity.start"]),
+                    "step": int(md["delta.identity.step"]),
+                    "hw": (
+                        int(md["delta.identity.highWaterMark"])
+                        if "delta.identity.highWaterMark" in md
+                        else None
+                    ),
+                }
+        return out
+
+    @staticmethod
+    def _assign_identity(df: DataFrame, meta: dict[str, dict]) -> DataFrame:
+        """Assign identity values to ``df``: ``base + step * mid`` where
+        ``mid`` is ``monotonically_increasing_id()`` — every value is a
+        step-multiple offset from start and strictly beyond the high
+        watermark (Delta's GENERATED ALWAYS AS IDENTITY contract: unique
+        and monotonic in commit order, GAPS ALLOWED — which is what makes
+        assignment embarrassingly parallel: no global row numbering, no
+        coordination beyond the per-commit watermark)."""
+        for c, m in meta.items():
+            base = (
+                m["start"] if m["hw"] is None else m["hw"] + m["step"]
+            )
+            df = df.withColumn(
+                c,
+                (
+                    F.lit(base)
+                    + F.lit(m["step"]) * F.monotonically_increasing_id()
+                ).cast("long"),
+            )
+        return df
+
+    def _identity_new_hw(
+        self, adds: list[str], meta: dict[str, dict]
+    ) -> dict[str, int]:
+        """New high watermarks after writing ``adds``: the furthest
+        assigned value per identity column, read from the new files'
+        parquet FOOTER STATS (no data scan — the stats are already
+        computed by the write)."""
+        hws: dict[str, int] = {}
+        for f in adds:
+            d = footer_stats_dict(os.path.join(self.path, f))
+            for c, m in meta.items():
+                key = "maxValues" if m["step"] > 0 else "minValues"
+                v = (d.get(key) or {}).get(c)
+                if v is None:
+                    raise ValueError(
+                        f"identity column {c!r}: no footer min/max in "
+                        f"{f} — cannot advance the high watermark"
+                    )
+                cur = hws.get(c)
+                far = max if m["step"] > 0 else min
+                hws[c] = int(v) if cur is None else far(cur, int(v))
+        return hws
 
     def generated_exprs(self, as_of: int | None = None) -> dict[str, str]:
         """Generated columns (name -> generation SQL expr) at ``as_of``,
@@ -4766,6 +4948,13 @@ def merge_into_txlog(
     from .merge import merge_clauses, merge_clauses_cdc, merge_frames
 
     assert rewrite in ("touched", "full")
+    if table.identity_meta():
+        raise NotImplementedError(
+            "MERGE into a table with identity columns is not supported: "
+            "inserted rows would need watermark-fenced assignment inside "
+            "the clause plan — land new rows via append() (which assigns "
+            "identities) and use key-based DML for the rest"
+        )
     if clauses is not None and (
         matched_set or insert_values
         or when_matched != "update" or when_not_matched != "insert"

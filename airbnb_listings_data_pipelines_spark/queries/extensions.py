@@ -6496,3 +6496,82 @@ def x100_generated_column_bucketing(
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@query(
+    "x101_identity_column_assignment",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+    ),
+    allr AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT o_orderkey + 60000000, 'I' FROM base WHERE o_orderkey % 6 = 1
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_ids,
+           CAST(COUNT(*) AS BIGINT) AS n_step_aligned,
+           CAST(COUNT(*) AS BIGINT) AS n_beyond_start
+    FROM allr GROUP BY 1
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8"),
+    doc="IDENTITY COLUMNS under an INVARIANT oracle (round-10: Delta's "
+    "GENERATED ALWAYS AS IDENTITY, the delta.identity.{start,step,"
+    "highWaterMark,allowExplicitInsert} representation, writer v6): "
+    "orders -> txlog CREATEd with identity row_id (start 1000, step 2) "
+    "— the engine assigns base + step*monotonically_increasing_id(), "
+    "unique and beyond the high watermark with GAPS ALLOWED, which is "
+    "what makes assignment embarrassingly parallel (no global row "
+    "numbering, no coordination beyond the per-commit watermark, "
+    "advanced from the new files' FOOTER STATS with zero data scans). "
+    "A second append proves cross-commit uniqueness; an in-query gate "
+    "asserts every post-append id exceeds the first commit's recorded "
+    "watermark. The assigned VALUES are partitioning-dependent, so the "
+    "oracle checks INVARIANTS: per status, the distinct-id and "
+    "step-alignment and beyond-start counts must all equal the row "
+    "count the oracle derives from raw orders — any duplicate, "
+    "misaligned, or below-start id breaks the hash. Racing appends "
+    "re-base (tests/test_identity_columns.py pins the injected race). "
+    "operators/txlog.create(identity=)/_assign_identity.",
+)
+def x101_identity_column_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    path = _dml_scratch("x101" + sf_dir)
+    t = TxLogTable.create(
+        spark,
+        path,
+        orders.repartitionByRange(8, "o_orderkey"),
+        identity={"row_id": (1000, 2)},
+    )
+    hw0 = t.identity_meta()["row_id"]["hw"]
+    t.append(
+        orders.filter("o_orderkey % 6 = 1").selectExpr(
+            "o_orderkey + 60000000 AS o_orderkey", "'I' AS o_orderstatus"
+        )
+    )
+    full = t.read()
+    below = full.filter(
+        (F.col("o_orderstatus") == "I") & (F.col("row_id") <= F.lit(hw0))
+    ).count()
+    if below != 0:
+        raise AssertionError(
+            f"{below} appended ids at/below the prior watermark {hw0}"
+        )
+    return full.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("row_id").alias("n_unique_ids"),
+        F.sum(
+            ((F.col("row_id") - F.lit(1000)) % F.lit(2) == 0).cast("long")
+        ).alias("n_step_aligned"),
+        F.sum((F.col("row_id") >= F.lit(1000)).cast("long")).alias(
+            "n_beyond_start"
+        ),
+    )
