@@ -420,7 +420,27 @@ class TxSqlSession:
             pby = [c.strip() for c in mt.group(1).split(",")]
         cols: list[tuple[str, str]] = []
         gen: dict[str, str] = {}
+        identity: dict[str, tuple[int, int]] = {}
         for d in _split_top_commas(s[open_i + 1 : close_i]):
+            mi = re.fullmatch(
+                r"([A-Za-z_]\w*)\s+(.+?)\s+GENERATED\s+ALWAYS\s+AS\s+"
+                r"IDENTITY(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+"
+                r"INCREMENT\s+BY\s+(-?\d+)\s*\))?",
+                d,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if mi:
+                if mi.group(2).strip().upper() not in ("BIGINT", "LONG"):
+                    raise ValueError(
+                        f"identity column {mi.group(1)!r} must be BIGINT "
+                        f"(got {mi.group(2).strip()!r})"
+                    )
+                cols.append((mi.group(1), mi.group(2).strip()))
+                identity[mi.group(1)] = (
+                    int(mi.group(3) or 1),
+                    int(mi.group(4) or 1),
+                )
+                continue
             mc = re.fullmatch(
                 r"([A-Za-z_]\w*)\s+(.+?)"
                 r"(?:\s+GENERATED\s+ALWAYS\s+AS\s+\((.+)\))?",
@@ -432,7 +452,9 @@ class TxSqlSession:
             cols.append((mc.group(1), mc.group(2).strip()))
             if mc.group(3) is not None:
                 gen[mc.group(1)] = mc.group(3).strip()
-        ddl = ", ".join(f"{c} {ty}" for c, ty in cols)
+        ddl = ", ".join(
+            f"{c} {ty}" for c, ty in cols if c not in identity
+        )
         t = self._tables[name]
         created = TxLogTable.create(
             self.spark,
@@ -441,6 +463,7 @@ class TxSqlSession:
             partition_by=pby,
             arbiter=t.arbiter,
             generated=gen or None,
+            identity=identity or None,
         )
         self._tables[name] = created
         return 0

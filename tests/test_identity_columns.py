@@ -157,3 +157,32 @@ def test_export_carries_identity_metadata_writer_v6(spark, tmp_path):
     snap = read_delta_snapshot(spark, t.path)
     ids = [r["row_id"] for r in snap.collect()]
     assert len(set(ids)) == len(ids) == 10
+
+
+def test_sql_create_identity_and_insert(spark, tmp_path):
+    """SQL surface: GENERATED ALWAYS AS IDENTITY (START WITH .. INCREMENT
+    BY ..) in the column-definition CREATE; identity columns cannot be
+    supplied, so INSERT uses a column list (full-arity INSERT is
+    impossible by design — the engine owns the column)."""
+    from airbnb_listings_data_pipelines_spark.functions.tx_sql import (
+        TxSqlSession,
+    )
+
+    sess = TxSqlSession(spark, {"t": str(tmp_path / "t")})
+    sess.execute(
+        "CREATE TABLE t (k BIGINT, row_id BIGINT GENERATED ALWAYS AS "
+        "IDENTITY (START WITH 100 INCREMENT BY 5), v DOUBLE)"
+    )
+    sess.execute(
+        "INSERT INTO t (k, v) SELECT id, id * 1.0 FROM range(0, 7)"
+    )
+    rows = sess.execute("SELECT k, row_id FROM t").collect()
+    ids = [r["row_id"] for r in rows]
+    assert len(set(ids)) == 7
+    assert all(i >= 100 and (i - 100) % 5 == 0 for i in ids)
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        sess.execute("INSERT INTO t (k, row_id, v) SELECT 1, 2, 3.0")
+    with pytest.raises(ValueError, match="must be BIGINT"):
+        sess.execute(
+            "CREATE TABLE t (a INT GENERATED ALWAYS AS IDENTITY)"
+        )
