@@ -1299,6 +1299,118 @@ def _write_v2_checkpoint(
     return want
 
 
+def cleanup_delta_log(path: str, keep_after: int | None = None) -> list[str]:
+    """Delta metadata cleanup (the log-retention step Delta runs after
+    checkpointing): delete JSON commits, older checkpoints, and fully-
+    covered compactions STRICTLY BELOW the newest checkpoint at/under
+    ``keep_after`` (default: the newest checkpoint), then garbage-collect
+    ``_sidecars/`` files no remaining v2 checkpoint references. Returns
+    the deleted file names. Time travel below the horizon refuses loudly
+    afterwards (the readers' existing continuity rule); the checkpoint
+    itself is the horizon snapshot.
+
+    At 100 TB this is what keeps the mirrored log O(retention window)
+    instead of O(table lifetime) — same rationale as the txlog's own
+    cleanup_log, applied to the Delta mirror and its sidecar files."""
+    delta_dir = os.path.join(path.rstrip("/"), DELTA_DIR)
+    lc = _read_last_checkpoint(delta_dir)
+    if lc is None:
+        raise FileNotFoundError(
+            f"{delta_dir}: no checkpoint — write one first (cleanup below "
+            "a checkpoint is the only safe deletion the protocol allows)"
+        )
+    horizon = lc["version"]
+    if keep_after is not None:
+        if keep_after > horizon:
+            raise ValueError(
+                f"keep_after={keep_after} is above the newest checkpoint "
+                f"({horizon}) — state below it exists nowhere else"
+            )
+        # an older complete checkpoint can serve as the horizon
+        cands = sorted(
+            v
+            for v in (
+                _classic_checkpoint_versions(delta_dir)
+                | {
+                    int(f.split(".")[0])
+                    for f in os.listdir(delta_dir)
+                    if re.fullmatch(
+                        r"\d{20}\.checkpoint\.[^.]+\.(json|parquet)", f
+                    )
+                }
+            )
+            if v <= keep_after
+        )
+        if not cands:
+            raise FileNotFoundError(
+                f"no checkpoint at or below version {keep_after}"
+            )
+        horizon = cands[-1]
+    deleted: list[str] = []
+    for f in sorted(os.listdir(delta_dir)):
+        m1 = re.fullmatch(r"(\d{20})\.json", f)
+        m2 = re.fullmatch(r"(\d{20})\.checkpoint\..+", f)
+        m3 = re.fullmatch(r"(\d{20})\.(\d{20})\.compacted\.json", f)
+        drop = False
+        if m1 and int(m1.group(1)) < horizon:
+            drop = True
+        elif m2 and int(m2.group(1)) < horizon:
+            drop = True
+        elif m3 and int(m3.group(2)) < horizon:
+            drop = True
+        if drop:
+            os.remove(os.path.join(delta_dir, f))
+            deleted.append(f)
+    # sidecar GC: keep exactly what the remaining v2 spec files reference
+    sc_dir = os.path.join(delta_dir, SIDECAR_DIR)
+    if os.path.isdir(sc_dir):
+        referenced: set[str] = set()
+        for f in os.listdir(delta_dir):
+            if not re.fullmatch(
+                r"\d{20}\.checkpoint\.[^.]+\.(json|parquet)", f
+            ):
+                continue
+            full = os.path.join(delta_dir, f)
+            if f.endswith(".json"):
+                with open(full) as fh:
+                    for line in fh:
+                        if '"sidecar"' not in line:
+                            continue
+                        try:
+                            a = json.loads(line)
+                        except json.JSONDecodeError:
+                            continue
+                        if "sidecar" in a:
+                            referenced.add(a["sidecar"]["path"])
+            else:
+                import pyarrow.parquet as pq
+
+                have = set(pq.read_schema(full).names)
+                if "sidecar" in have:
+                    for sc in (
+                        pq.read_table(full, columns=["sidecar"])
+                        .column("sidecar")
+                        .to_pylist()
+                    ):
+                        if sc and sc.get("path"):
+                            referenced.add(sc["path"])
+        for f in sorted(os.listdir(sc_dir)):
+            if f not in referenced:
+                os.remove(os.path.join(sc_dir, f))
+                deleted.append(f"{SIDECAR_DIR}/{f}")
+    return deleted
+
+
+def _classic_checkpoint_versions(delta_dir: str) -> set[int]:
+    out = set()
+    for f in os.listdir(delta_dir):
+        if re.fullmatch(
+            r"\d{20}\.checkpoint\.parquet", f
+        ) or re.fullmatch(r"\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet", f):
+            out.add(int(f.split(".")[0]))
+    return out
+
+
 def _read_last_checkpoint(delta_dir: str) -> dict | None:
     lc = os.path.join(delta_dir, "_last_checkpoint")
     if not os.path.exists(lc):

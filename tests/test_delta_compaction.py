@@ -201,3 +201,66 @@ def test_checkpoint_interval_validation(spark, tmp_path):
     t.set_properties({"delta.checkpointInterval": "0"})
     with pytest.raises(ValueError, match="checkpointInterval"):
         export_delta_log(spark, t)
+
+
+def test_cleanup_delta_log_with_sidecar_gc(spark, tmp_path):
+    """Delta metadata cleanup: commits/checkpoints/compactions strictly
+    below the newest checkpoint are deleted and orphaned v2 sidecars are
+    garbage-collected; the horizon snapshot still reads, time travel
+    below it refuses loudly."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        cleanup_delta_log,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 30).select(F.col("id").alias("k"))
+    t = TxLogTable.create(spark, path, df.repartition(2))
+    t.set_properties({"delta.checkpointPolicy": "v2"})
+    t.append(spark.range(30, 40).select(F.col("id").alias("k")))
+    export_delta_log(spark, t)
+    write_delta_checkpoint(spark, path)  # v2 ckpt at 2, sidecar A
+    t.delete_where("k % 10 = 1", mode="dv")
+    export_delta_log(spark, t)
+    v = write_delta_checkpoint(spark, path)  # v2 ckpt at 3, sidecar B
+    t.append(spark.range(40, 45).select(F.col("id").alias("k")))
+    export_delta_log(spark, t)  # commit 4 above the horizon
+    dd = os.path.join(path, "_delta_log")
+    n_sidecars = len(os.listdir(os.path.join(dd, "_sidecars")))
+    assert n_sidecars >= 2
+    want = sorted(
+        r["k"] for r in read_delta_snapshot(spark, path).collect()
+    )
+    deleted = cleanup_delta_log(path)
+    names = set(os.listdir(dd))
+    # singles 0..2 and the version-2 checkpoint gone; 3 and 4 remain
+    assert f"{0:020d}.json" not in names
+    assert f"{2:020d}.json" not in names
+    assert f"{3:020d}.json" in names and f"{4:020d}.json" in names
+    assert not any(f.startswith(f"{2:020d}.checkpoint.") for f in names)
+    assert any(f.startswith(f"{v:020d}.checkpoint.") for f in names)
+    # orphaned sidecar (of the v2 checkpoint at 2) collected
+    assert any(d.startswith("_sidecars/") for d in deleted)
+    assert len(os.listdir(os.path.join(dd, "_sidecars"))) < n_sidecars
+    # latest still reads bit-for-bit; sub-horizon time travel refuses
+    got = sorted(r["k"] for r in read_delta_snapshot(spark, path).collect())
+    assert got == want
+    with pytest.raises(FileNotFoundError):
+        read_delta_snapshot(spark, path, version=1)
+    from airbnb_listings_data_pipelines_spark.sources.txlog_source import (
+        _dlog_replay,
+    )
+
+    assert _dlog_replay(dd)["v"] == 4
+
+
+def test_cleanup_requires_checkpoint_and_validates(spark, tmp_path):
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        cleanup_delta_log,
+    )
+
+    t, path = _mk(spark, tmp_path)
+    with pytest.raises(FileNotFoundError, match="no checkpoint"):
+        cleanup_delta_log(path)
+    v = write_delta_checkpoint(spark, path)
+    with pytest.raises(ValueError, match="above the newest checkpoint"):
+        cleanup_delta_log(path, keep_after=v + 5)
