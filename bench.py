@@ -213,7 +213,17 @@ def main() -> None:
     # warm-up could explain. Conservative flag — false negatives possible,
     # but a true flag means the numbers must not be trended.
     contended = load_before["loadavg_1m"] > load_before["cpus"] * 0.5
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # BENCH_DETAIL.json is the sf0.1 per-query record the round-over-round
+    # regression compare trends against — a smoke run at another SF must
+    # not clobber it with numbers from a different data scale (round-10
+    # lesson: an sf0.01 smoke overwrote it and the next commit swept the
+    # wrong-scale file in, poisoning the compare)
+    detail_name = (
+        "BENCH_DETAIL.json"
+        if sf is not None and abs(sf - 0.1) < 1e-9
+        else f"BENCH_DETAIL_sf{sf}.json"
+    )
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     with open(detail_path, "w") as f:
         json.dump(
             {
@@ -242,7 +252,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {n: timings[n] for n in HEADLINE},
                 "all_queries_total": round(sum(timings.values()), 4),
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_name,
                 "sf": sf,
                 "lineage": lineage["digest"],
                 "lineage_mtime": lineage["newest_mtime"],
