@@ -4705,6 +4705,7 @@ def _merge_into_dv(
     evolve_schema: bool,
     max_retries: int,
     txn: tuple[str, int] | None,
+    gen_recompute: dict[str, str] | None = None,
 ) -> DataFrame:
     """Merge-on-read MERGE (Delta's deletion-vector MERGE physical
     design), the :func:`merge_into_txlog` ``mode='dv'`` body. Per
@@ -4803,6 +4804,18 @@ def _merge_into_dv(
         new_rows = j.filter(
             (upd_sel & changed) | (is_src & (F.col("__isel") >= 0))
         ).select(*[pick(c) for c in data_cols])
+        if gen_recompute:
+            # post-image recompute over the new rows only — untouched
+            # rows stay in their files (DV-masked) with values the
+            # enforcement invariant already guarantees consistent
+            from pyspark.sql.types import StructType as _ST
+
+            _gt = {
+                f.name: f.dataType
+                for f in _ST.fromJson(json.loads(schema_json)).fields
+            }
+            for g, e in gen_recompute.items():
+                new_rows = new_rows.withColumn(g, F.expr(e).cast(_gt[g]))
         mapping = table._mapping_at()
         new_mapping = None
         if mapping:
@@ -4955,6 +4968,65 @@ def merge_into_txlog(
             "the clause plan — land new rows via append() (which assigns "
             "identities) and use key-based DML for the rest"
         )
+    # Delta's generated-column MERGE rule: generated columns no clause
+    # assigns (explicitly via SET/VALUES, or implicitly by appearing in
+    # a whole-row source) RECOMPUTE over the merge output — deterministic
+    # expressions reproduce the stored value for untouched rows, so one
+    # whole-frame projection is exact. Explicitly assigned generated
+    # columns stay writer-supplied and the _write_data chokepoint
+    # validates them.
+    gen_recompute: dict[str, str] = {}
+    _gen_all = table.generated_exprs()
+    if _gen_all:
+        _cl = clauses if clauses is not None else _simple_form_clauses(
+            when_matched, when_not_matched, matched_set, insert_values
+        )
+        _assigned: set[str] = set()
+        _whole_row = False
+        for _c in _cl.get("matched") or []:
+            if _c.get("action", "update") == "update":
+                if _c.get("set"):
+                    _assigned |= set(_c["set"])
+                else:
+                    _whole_row = True
+        for _c in _cl.get("not_matched") or []:
+            if _c.get("values"):
+                _assigned |= set(_c["values"])
+            else:
+                _whole_row = True
+        for _c in _cl.get("not_matched_by_source") or []:
+            if _c.get("action") == "update" and _c.get("set"):
+                _assigned |= set(_c["set"])
+        if _whole_row:
+            _assigned |= set(source.columns)
+        gen_recompute = {
+            g: e for g, e in _gen_all.items() if g not in _assigned
+        }
+        if gen_recompute and clauses is None and not matched_set and not insert_values:
+            # whole-row form requires source/target schema equality;
+            # sources naturally omit generated columns, so widen with
+            # typed NULLs — the post-merge recompute overwrites them
+            from pyspark.sql.types import StructType as _ST0
+
+            _gt0 = {
+                f.name: f.dataType
+                for f in _ST0.fromJson(
+                    json.loads(table._schema_at())
+                ).fields
+            }
+            for g in gen_recompute:
+                if g not in source.columns and g in _gt0:
+                    source = source.withColumn(
+                        g, F.lit(None).cast(_gt0[g])
+                    )
+        if gen_recompute and cdc:
+            raise ValueError(
+                "cdc=True with generated-column recomputation is not "
+                f"supported (columns {sorted(gen_recompute)} would "
+                "recompute from merged sources); omit cdc=True — the "
+                "netted file-delta feed from read_changes() is still "
+                "row-exact"
+            )
     if clauses is not None and (
         matched_set or insert_values
         or when_matched != "update" or when_not_matched != "insert"
@@ -4981,7 +5053,8 @@ def merge_into_txlog(
             when_matched, when_not_matched, matched_set, insert_values
         )
         return _merge_into_dv(
-            spark, table, source, keys, cl, evolve_schema, max_retries, txn
+            spark, table, source, keys, cl, evolve_schema, max_retries, txn,
+            gen_recompute=gen_recompute,
         )
     if mode != "cow":
         raise ValueError(f"unknown MERGE mode {mode!r} (cow|dv)")
@@ -5052,6 +5125,15 @@ def merge_into_txlog(
         # DROPPED column's identity-mapped name would resurrect the old
         # files' values (or collide with a renamed column's physical
         # name). Same rule as add_column.
+        if gen_recompute:
+            from pyspark.sql.types import StructType as _ST
+
+            _gt = {
+                f.name: f.dataType
+                for f in _ST.fromJson(json.loads(table._schema_at())).fields
+            }
+            for g, e in gen_recompute.items():
+                merged = merged.withColumn(g, F.expr(e).cast(_gt[g]))
         mapping = table._mapping_at()
         new_mapping = None
         if mapping:

@@ -308,3 +308,82 @@ def test_decimal_column_commits_without_stats_crash(spark, tmp_path):
     stats = next(iter((c.get("stats") or {}).values()), None)
     if stats:
         assert "k" in stats.get("minValues", {})
+
+
+def test_merge_recomputes_generated(spark, tmp_path):
+    """Delta's MERGE rule: generated columns no clause assigns recompute
+    over the merge output — updates that move a source column move the
+    bucket, inserts get a computed bucket (the source never carries
+    it)."""
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        merge_into_txlog,
+    )
+
+    t, _ = _mk(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(7, 700), (100, 1000)], "k long, amount long"
+    )  # k=7 exists (update), k=100 is new (insert)
+    merge_into_txlog(spark, t, src, ["k"])
+    got = {r["k"]: r["bucket"] for r in t.read().collect()}
+    assert got[7] == 7 % 3 and got[100] == 100 % 3
+    assert len(got) == 31
+
+
+def test_merge_dv_mode_recomputes_generated(spark, tmp_path):
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        merge_into_txlog,
+    )
+
+    t, _ = _mk(spark, tmp_path)
+    src = spark.createDataFrame([(8, 80), (200, 2)], "k long, amount long")
+    merge_into_txlog(spark, t, src, ["k"], mode="dv")
+    got = {r["k"]: r["bucket"] for r in t.read().collect()}
+    assert got[8] == 8 % 3 and got[200] == 200 % 3
+    assert len(got) == 31
+
+
+def test_merge_explicit_generated_assignment_validated(spark, tmp_path):
+    """A clause that assigns the generated column explicitly is
+    validated, not recomputed — an inconsistent value refuses."""
+    from pyspark.sql import functions as SF
+
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        merge_into_txlog,
+    )
+
+    t, _ = _mk(spark, tmp_path)
+    src = spark.createDataFrame([(7, 700)], "k long, amount long")
+    with pytest.raises(CheckViolation):
+        merge_into_txlog(
+            spark,
+            t,
+            src,
+            ["k"],
+            matched_set={
+                "amount": SF.col("s.amount"),
+                "bucket": SF.lit(9),
+            },
+        )
+    # consistent explicit assignment passes
+    merge_into_txlog(
+        spark,
+        t,
+        src,
+        ["k"],
+        matched_set={
+            "amount": SF.col("s.amount"),
+            "bucket": SF.lit(7 % 3),
+        },
+    )
+    assert t.read().filter("k = 7").collect()[0]["amount"] == 700
+
+
+def test_merge_cdc_with_recompute_refuses(spark, tmp_path):
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        merge_into_txlog,
+    )
+
+    t, _ = _mk(spark, tmp_path)
+    src = spark.createDataFrame([(7, 700)], "k long, amount long")
+    with pytest.raises(ValueError, match="recomput"):
+        merge_into_txlog(spark, t, src, ["k"], cdc=True)
