@@ -149,12 +149,22 @@ def _sql_words(text: str, lit: list[bool], depth: list[int], start: int = 0):
 def _split_top_commas(text: str) -> list[str]:
     """Split on commas at paren depth 0 outside string literals — the
     column-definition splitter (types like DECIMAL(10,2) and generation
-    expressions keep their inner commas)."""
+    expressions keep their inner commas). Angle brackets are tracked at
+    paren depth 0 too: there they can only be TYPE brackets
+    (MAP<STRING,INT>, STRUCT<...>) — comparison operators only occur
+    inside parenthesized expressions, where angle depth is ignored."""
     lit, depth = _sql_mask(text)
     parts: list[str] = []
     start = 0
+    angle = 0
     for i, ch in enumerate(text):
-        if ch == "," and not lit[i] and depth[i] == 0:
+        if lit[i] or depth[i] != 0:
+            continue
+        if ch == "<":
+            angle += 1
+        elif ch == ">":
+            angle = max(0, angle - 1)
+        elif ch == "," and angle == 0:
             parts.append(text[start:i])
             start = i + 1
     parts.append(text[start:])
@@ -424,8 +434,7 @@ class TxSqlSession:
         for d in _split_top_commas(s[open_i + 1 : close_i]):
             mi = re.fullmatch(
                 r"([A-Za-z_]\w*)\s+(.+?)\s+GENERATED\s+ALWAYS\s+AS\s+"
-                r"IDENTITY(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+"
-                r"INCREMENT\s+BY\s+(-?\d+)\s*\))?",
+                r"IDENTITY(?:\s*\(([^)]*)\))?",
                 d,
                 re.IGNORECASE | re.DOTALL,
             )
@@ -435,10 +444,28 @@ class TxSqlSession:
                         f"identity column {mi.group(1)!r} must be BIGINT "
                         f"(got {mi.group(2).strip()!r})"
                     )
+                # START WITH / INCREMENT BY are each optional, any order
+                # (Delta's identity options grammar)
+                opts = mi.group(3) or ""
+                ms = re.search(r"START\s+WITH\s+(-?\d+)", opts, re.IGNORECASE)
+                mb = re.search(
+                    r"INCREMENT\s+BY\s+(-?\d+)", opts, re.IGNORECASE
+                )
+                rest = re.sub(
+                    r"START\s+WITH\s+-?\d+|INCREMENT\s+BY\s+-?\d+",
+                    "",
+                    opts,
+                    flags=re.IGNORECASE,
+                ).strip()
+                if rest:
+                    raise ValueError(
+                        f"unrecognized IDENTITY option(s) {rest!r} (takes "
+                        "START WITH n and/or INCREMENT BY m)"
+                    )
                 cols.append((mi.group(1), mi.group(2).strip()))
                 identity[mi.group(1)] = (
-                    int(mi.group(3) or 1),
-                    int(mi.group(4) or 1),
+                    int(ms.group(1)) if ms else 1,
+                    int(mb.group(1)) if mb else 1,
                 )
                 continue
             mc = re.fullmatch(
@@ -512,6 +539,12 @@ class TxSqlSession:
         else:
             df = self.spark.sql(body)
         if listed is not None:
+            if len(set(listed)) != len(listed):
+                dupes = sorted({c for c in listed if listed.count(c) > 1})
+                raise ValueError(
+                    f"INSERT INTO {m.group(1)}: duplicate column(s) "
+                    f"{dupes} in the column list"
+                )
             unknown = sorted(set(listed) - set(cols))
             if unknown:
                 raise ValueError(

@@ -206,6 +206,28 @@ def _mapping_mode(metadata: dict | None) -> str:
     return cfg.get("delta.columnMapping.mode", "none")
 
 
+def _field_meta(schema_string: str) -> dict[str, dict]:
+    """name -> field metadata with the EXPORT-managed
+    ``delta.columnMapping.*`` annotations stripped (the exporter adds
+    those itself; the txlog-recorded schema never carries them). This is
+    the metadata half of the metaData-refresh comparison: identity high
+    watermarks (``delta.identity.highWaterMark``) advance on every
+    append, and an export that compared only (name, type) pairs would
+    advertise identityColumns with a permanently stale watermark — an
+    external writer honoring it would then assign DUPLICATE ids."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(schema_string))
+    return {
+        f.name: {
+            k: v
+            for k, v in (f.metadata or {}).items()
+            if not k.startswith("delta.columnMapping.")
+        }
+        for f in schema.fields
+    }
+
+
 def _physical_names(metadata: dict) -> dict[str, str]:
     """logical field name -> physical parquet column name, resolved from
     the schemaString's ``delta.columnMapping.physicalName`` field
@@ -249,7 +271,15 @@ def _data_read_schema(spark, metadata: dict, data_fields: list):
     carries ``parquet.field.id`` metadata and Spark's field-id matching
     (``spark.sql.parquet.fieldId.read.enabled``, enabled here for the
     session) resolves the physical column PER FILE, which is the point of
-    id mode: the stored column name may differ file to file."""
+    id mode: the stored column name may differ file to file.
+
+    The conf is SESSION-GLOBAL and left on (the returned DataFrame
+    evaluates lazily — restoring it would race the execution). It only
+    changes behavior for reads whose REQUESTED schema carries
+    ``parquet.field.id`` metadata; plain reads and explicit schemas
+    without ids are unaffected, but a caller who builds id-annotated
+    schemas by hand should know resolution switches to by-id after the
+    first mode=id table read."""
     from pyspark.sql.types import StructField, StructType
 
     mode = _require_supported_mapping(metadata)
@@ -315,6 +345,7 @@ def export_delta_log(spark: SparkSession, table) -> int:
     # legacy logs.
     meta_id: str | None = None
     meta_fields: list | None = None
+    meta_field_meta: dict | None = None
     meta_schema_str: str | None = None
     meta_cfg: dict | None = None
     emitted_proto: dict | None = None
@@ -326,6 +357,7 @@ def export_delta_log(spark: SparkSession, table) -> int:
         meta_id = exported.metadata["id"]
         meta_schema_str = exported.metadata["schemaString"]
         meta_fields = _schema_fields(meta_schema_str)
+        meta_field_meta = _field_meta(meta_schema_str)
         meta_cfg = exported.metadata.get("configuration") or {}
         emitted_proto = dict(exported.protocol)
     prev: set[str] = set()
@@ -440,6 +472,7 @@ def export_delta_log(spark: SparkSession, table) -> int:
     # running strictly-monotonic ICT (seeded from the last exported
     # commit on incremental runs — _prev_ict)
     ict_since: int | None = None
+    ict_enable_ts: int | None = None
     prev_ict: int | None = None
     for v in range(latest + 1):
         c = tx_state.get(v)
@@ -527,6 +560,16 @@ def export_delta_log(spark: SparkSession, table) -> int:
         )
         if ict_feature and ict_since is None:
             ict_since = v
+            # the provenance timestamp must EQUAL the enablement
+            # commit's actual inCommitTimestamp (spec) — same monotonic
+            # clamp the emission applies against version v-1. LOCAL
+            # computation only: assigning prev_ict here would freeze the
+            # emission chain at the enablement version's floor on
+            # incremental exports whose already-exported tail carries
+            # higher ICTs (the emission seeds itself from the commit
+            # right below the first one it writes)
+            _floor = _prev_ict(delta_dir, v, None)
+            ict_enable_ts = max(tx_mtime.get(v, now_ms), (_floor or 0) + 1)
         cfg = {
             **dict(sorted(cur_props.items())),
             **{
@@ -541,10 +584,20 @@ def export_delta_log(spark: SparkSession, table) -> int:
             cfg["delta.enableChangeDataFeed"] = "true"
         if ict_feature and ict_since and ict_since > 0:
             # spec provenance for mid-life enablement: versions below
-            # this are resolved by file timestamps, at/above by ICT
-            cfg["delta.inCommitTimestampEnablementVersion"] = str(ict_since)
-            cfg["delta.inCommitTimestampEnablementTimestamp"] = str(
-                tx_mtime.get(ict_since, now_ms)
+            # this are resolved by file timestamps, at/above by ICT.
+            # Values already exported win (commits are immutable —
+            # recomputing them would force a spurious metaData re-emit
+            # with DIVERGENT provenance)
+            cfg["delta.inCommitTimestampEnablementVersion"] = (
+                meta_cfg or {}
+            ).get(
+                "delta.inCommitTimestampEnablementVersion", str(ict_since)
+            )
+            cfg["delta.inCommitTimestampEnablementTimestamp"] = (
+                meta_cfg or {}
+            ).get(
+                "delta.inCommitTimestampEnablementTimestamp",
+                str(ict_enable_ts),
             )
         if dv_feature or v2ckpt_feature or ict_feature:
             # table-features protocol: readerFeatures lists what a reader
@@ -635,6 +688,7 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 schema0 = _schema_string(spark, table, schema_files)
             meta_id = meta_id or uuid.uuid4().hex
             meta_fields = _schema_fields(schema0)
+            meta_field_meta = _field_meta(schema0)
             if mapping_mode:
                 _ensure_ids(schema0, cur_mapping)
                 cfg["delta.columnMapping.maxColumnId"] = str(max_id)
@@ -660,13 +714,20 @@ def export_delta_log(spark: SparkSession, table) -> int:
             schema_changed = (
                 sj is not None
                 and meta_fields is not None
-                and _schema_fields(sj) != meta_fields
+                and (
+                    _schema_fields(sj) != meta_fields
+                    # field METADATA changes matter too: identity high
+                    # watermarks advance on every append, and external
+                    # writers honoring identityColumns must see them
+                    or _field_meta(sj) != meta_field_meta
+                )
             )
             cfg_changed = meta_cfg is not None and cfg != meta_cfg
             schema_str = sj if sj is not None else meta_schema_str
             if (schema_changed or cfg_changed) and schema_str is not None:
                 if schema_changed:
                     meta_fields = _schema_fields(sj)
+                    meta_field_meta = _field_meta(sj)
                 if emitted_proto is not None:
                     # protocol upgrade in the same commit: first
                     # constraint needs writer v3; first non-identity
@@ -1419,6 +1480,31 @@ def _read_last_checkpoint(delta_dir: str) -> dict | None:
         return json.load(fh)
 
 
+def _checkpoint_versions(delta_dir: str) -> dict[int, int | None]:
+    """version -> parts (None for single-part classic and v2) of every
+    checkpoint present, from the DIRECTORY LISTING — the reader-side
+    complement of ``_last_checkpoint``: time travel below the newest
+    checkpoint must bootstrap from an OLDER one when retention kept it
+    (``cleanup_delta_log(keep_after=...)``), which ``_last_checkpoint``
+    alone can never find."""
+    out: dict[int, int | None] = {}
+    for f in os.listdir(delta_dir):
+        m = re.fullmatch(r"(\d{20})\.checkpoint\.parquet", f)
+        if m:
+            out.setdefault(int(m.group(1)), None)
+            continue
+        m = re.fullmatch(
+            r"(\d{20})\.checkpoint\.\d{10}\.(\d{10})\.parquet", f
+        )
+        if m:
+            out[int(m.group(1))] = int(m.group(2))
+            continue
+        m = re.fullmatch(r"(\d{20})\.checkpoint\.[^.]+\.(json|parquet)", f)
+        if m:
+            out.setdefault(int(m.group(1)), None)
+    return out
+
+
 def _resolve_v2_checkpoint(delta_dir: str, version: int) -> str | None:
     """The v2 (UUID-named) checkpoint spec file for ``version``, or None.
     Naming per PROTOCOL.md: ``<v>.checkpoint.<uniqueStr>.{json,parquet}``
@@ -1435,19 +1521,24 @@ def _resolve_v2_checkpoint(delta_dir: str, version: int) -> str | None:
 
 def _fold_parquet_actions(
     spark: SparkSession, state: _DeltaState, paths: list[str]
-) -> list[dict]:
+) -> tuple[list[dict], dict | None]:
     """Fold checkpoint-schema parquet rows (classic checkpoint parts, a
-    v2 spec file, or v2 sidecars) into ``state``; returns any ``sidecar``
-    actions found (v2 spec files only). Shared by all three so the
-    action semantics cannot drift between checkpoint forms."""
+    v2 spec file, or v2 sidecars) into ``state``; returns (``sidecar``
+    actions, ``checkpointMetadata`` payload) — both v2-spec-file-only,
+    collected in the SAME single pass as the action fold. Shared by all
+    three forms so the action semantics cannot drift."""
     cp = spark.read.parquet(*paths)
     cols = cp.columns
     want = [
         c
-        for c in ("add", "remove", "metaData", "protocol", "txn", "sidecar")
+        for c in (
+            "add", "remove", "metaData", "protocol", "txn",
+            "sidecar", "checkpointMetadata",
+        )
         if c in cols
     ]
     sidecars: list[dict] = []
+    ckpt_meta: dict | None = None
     for r in cp.select(*want).collect():
         add = r["add"] if "add" in cols else None
         if add is not None and add["path"] is not None:
@@ -1479,7 +1570,10 @@ def _fold_parquet_actions(
         sc = r["sidecar"] if "sidecar" in cols else None
         if sc is not None and sc["path"] is not None:
             sidecars.append(sc.asDict(recursive=True))
-    return sidecars
+        cm = r["checkpointMetadata"] if "checkpointMetadata" in cols else None
+        if cm is not None and cm["version"] is not None:
+            ckpt_meta = cm.asDict(recursive=True)
+    return sidecars, ckpt_meta
 
 
 def _fold_json_action(state: _DeltaState, a: dict) -> dict | None:
@@ -1550,16 +1644,7 @@ def _checkpoint_rows(
                 if sc is not None:
                     sidecars.append(sc)
     else:
-        cp_cols = spark.read.parquet(full).columns
-        sidecars = _fold_parquet_actions(spark, state, [full])
-        if "checkpointMetadata" in cp_cols:
-            for r in (
-                spark.read.parquet(full)
-                .select("checkpointMetadata")
-                .where("checkpointMetadata.version IS NOT NULL")
-                .collect()
-            ):
-                ckpt_meta = r["checkpointMetadata"].asDict(recursive=True)
+        sidecars, ckpt_meta = _fold_parquet_actions(spark, state, [full])
     # PROTOCOL.md: readers MUST validate the embedded version — a
     # misnamed/corrupt spec file must not silently replay as another
     # version's state
@@ -1609,14 +1694,17 @@ def _replay_delta_log(
     )
     versions = [int(f.split(".")[0]) for f in commits]
     by_version = dict(zip(versions, commits))
-    compactions: dict[int, tuple[int, str]] = {}
+    compactions: dict[int, list[tuple[int, str]]] = {}
     for f in os.listdir(delta_dir):
         m = re.fullmatch(r"(\d{20})\.(\d{20})\.compacted\.json", f)
         if m:
             s, e = int(m.group(1)), int(m.group(2))
-            # widest range per start wins (fewest file opens)
-            if s not in compactions or e > compactions[s][0]:
-                compactions[s] = (e, f)
+            compactions.setdefault(s, []).append((e, f))
+    for lst in compactions.values():
+        # widest FITTING range wins at selection time — keeping only the
+        # global widest would discard a narrower compaction that legally
+        # covers a smaller time-travel range
+        lst.sort(reverse=True)
     lc = _read_last_checkpoint(delta_dir)
     # a fully-compacted log (checkpoint only, JSON head expired) is legal:
     # the checkpoint version counts toward the latest resolvable version,
@@ -1624,7 +1712,7 @@ def _replay_delta_log(
     latest = max(
         versions[-1] if versions else -1,
         lc["version"] if lc else -1,
-        max((e for e, _ in compactions.values()), default=-1),
+        max((e for lst in compactions.values() for e, _ in lst), default=-1),
     )
     if latest < 0:
         raise FileNotFoundError(f"no Delta commits in {delta_dir}")
@@ -1633,22 +1721,31 @@ def _replay_delta_log(
         raise FileNotFoundError(f"version {want} not in Delta log (latest {latest})")
     state = _DeltaState(want, {}, None, dict(_PROTOCOL))
     start_after = -1
-    # bootstrap from the existing checkpoint (NOT only the JSON commits):
-    # after log-head cleanup the state below the checkpoint exists nowhere
-    # else, and ignoring it would either fail (no metaData) or silently
-    # drop every file added in the expired commits
-    if lc and lc.get("version", -1) <= want:
-        state = _checkpoint_rows(spark, delta_dir, lc["version"], lc.get("parts"))
+    # bootstrap from the NEWEST AVAILABLE checkpoint at/below the wanted
+    # version (NOT only _last_checkpoint): after log-head cleanup the
+    # state below a checkpoint exists nowhere else, and time travel
+    # below the newest checkpoint must use an OLDER retained one
+    # (cleanup_delta_log keep_after) that _last_checkpoint never names
+    ckpts = _checkpoint_versions(delta_dir)
+    cands = sorted(v for v in ckpts if v <= want)
+    if cands:
+        cv = cands[-1]
+        parts = ckpts[cv]
+        if lc and lc.get("version") == cv and lc.get("parts"):
+            parts = lc["parts"]
+        state = _checkpoint_rows(spark, delta_dir, cv, parts)
         state.version = want
-        start_after = lc["version"]
+        start_after = cv
     # greedy contiguous cover of (start_after, want]: a compaction whose
     # whole range fits replaces its commits; otherwise the single commit.
     # Missing versions covered by NEITHER refuse — the spec's continuity
     # rule, now with compactions as a second legal source of coverage.
     v = start_after + 1
     while v <= want:
-        comp = compactions.get(v)
-        if comp is not None and comp[0] <= want:
+        comp = next(
+            ((e, f) for e, f in compactions.get(v, ()) if e <= want), None
+        )
+        if comp is not None:
             _fold_commit_file(os.path.join(delta_dir, comp[1]), state)
             v = comp[0] + 1
         elif v in by_version:

@@ -4999,8 +4999,21 @@ def merge_into_txlog(
                 _assigned |= set(_c["set"])
         if _whole_row:
             _assigned |= set(source.columns)
+        # recompute only where values can actually change: inserted rows
+        # always need their generated columns computed; updated rows only
+        # when the expression references an assigned column (a delete-only
+        # merge recomputes NOTHING — and keeps cdc=True usable)
+        _has_insert = bool(_cl.get("not_matched"))
         gen_recompute = {
-            g: e for g, e in _gen_all.items() if g not in _assigned
+            g: e
+            for g, e in _gen_all.items()
+            if g not in _assigned
+            and (
+                _has_insert
+                or any(
+                    re.search(rf"\b{re.escape(c)}\b", e) for c in _assigned
+                )
+            )
         }
         if gen_recompute and clauses is None and not matched_set and not insert_values:
             # whole-row form requires source/target schema equality;

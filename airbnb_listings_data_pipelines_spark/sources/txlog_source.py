@@ -545,6 +545,29 @@ def _dlog_ckpt_state(
     return live, metadata
 
 
+def _dlog_ckpt_versions(log_dir: str) -> dict[int, int | None]:
+    """version -> parts of every checkpoint in the log (classic single/
+    multi-part and v2 uuid-named), from the directory listing — time
+    travel below the newest checkpoint bootstraps from an OLDER retained
+    one that _last_checkpoint never names."""
+    import re
+
+    out: dict[int, int | None] = {}
+    for f in os.listdir(log_dir):
+        m = re.fullmatch(r"(\d{20})\.checkpoint\.parquet", f)
+        if m:
+            out.setdefault(int(m.group(1)), None)
+            continue
+        m = re.fullmatch(r"(\d{20})\.checkpoint\.\d{10}\.(\d{10})\.parquet", f)
+        if m:
+            out[int(m.group(1))] = int(m.group(2))
+            continue
+        m = re.fullmatch(r"(\d{20})\.checkpoint\.[^.]+\.(json|parquet)", f)
+        if m:
+            out.setdefault(int(m.group(1)), None)
+    return out
+
+
 def _dlog_resolve_v2(log_dir: str, version: int) -> str | None:
     """UUID-named v2 checkpoint spec file for ``version`` (PROTOCOL.md
     naming: one dot field between 'checkpoint' and the extension — the
@@ -727,13 +750,14 @@ def _dlog_compactions(log_dir: str) -> dict[int, tuple[int, str]]:
     by construction)."""
     import re
 
-    out: dict[int, tuple[int, str]] = {}
+    out: dict[int, list[tuple[int, str]]] = {}
     for f in os.listdir(log_dir):
         m = re.fullmatch(r"(\d{20})\.(\d{20})\.compacted\.json", f)
         if m:
             s, e = int(m.group(1)), int(m.group(2))
-            if s not in out or e > out[s][0]:
-                out[s] = (e, f)
+            out.setdefault(s, []).append((e, f))
+    for lst in out.values():
+        lst.sort(reverse=True)  # widest FITTING wins at selection time
     return out
 
 
@@ -750,7 +774,7 @@ def _dlog_replay(log_dir: str, as_of: int | None = None) -> dict:
     latest = max(
         commits[-1][0] if commits else -1,
         lc["version"] if lc else -1,
-        max((e for e, _ in compactions.values()), default=-1),
+        max((e for lst in compactions.values() for e, _ in lst), default=-1),
     )
     if latest < 0:
         raise FileNotFoundError(f"no Delta commits in {log_dir}")
@@ -762,15 +786,23 @@ def _dlog_replay(log_dir: str, as_of: int | None = None) -> dict:
     live: dict[str, dict] = {}
     meta = None
     start_after = -1
-    if lc and lc.get("version", -1) <= want:
-        live, meta = _dlog_ckpt_state(
-            log_dir, lc["version"], lc.get("parts")
-        )
-        start_after = lc["version"]
+    # newest AVAILABLE checkpoint at/below want (listing, not only
+    # _last_checkpoint — same rule as deltalog._replay_delta_log)
+    ckpts = _dlog_ckpt_versions(log_dir)
+    cands = sorted(cv for cv in ckpts if cv <= want)
+    if cands:
+        cv = cands[-1]
+        parts = ckpts[cv]
+        if lc and lc.get("version") == cv and lc.get("parts"):
+            parts = lc["parts"]
+        live, meta = _dlog_ckpt_state(log_dir, cv, parts)
+        start_after = cv
     v = start_after + 1
     while v <= want:
-        comp = compactions.get(v)
-        if comp is not None and comp[0] <= want:
+        comp = next(
+            ((e, f) for e, f in compactions.get(v, ()) if e <= want), None
+        )
+        if comp is not None:
             fname = comp[1]
             v = comp[0] + 1
         elif v in by_version:

@@ -264,3 +264,73 @@ def test_cleanup_requires_checkpoint_and_validates(spark, tmp_path):
     v = write_delta_checkpoint(spark, path)
     with pytest.raises(ValueError, match="above the newest checkpoint"):
         cleanup_delta_log(path, keep_after=v + 5)
+
+
+def test_keep_after_horizon_is_readable(spark, tmp_path):
+    """Review finding (round 10): cleanup_delta_log(keep_after=) kept an
+    older checkpoint no reader could bootstrap from — readers consulted
+    only _last_checkpoint. Both readers now bootstrap from the newest
+    AVAILABLE checkpoint at/below the wanted version (directory
+    listing)."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        cleanup_delta_log,
+    )
+    from airbnb_listings_data_pipelines_spark.sources.txlog_source import (
+        _dlog_replay,
+    )
+
+    path = str(tmp_path / "t")
+    t = TxLogTable.create(
+        spark, path, spark.range(10).select(F.col("id").alias("k")).coalesce(1)
+    )
+    for i in range(5):  # v1..v5
+        t.append(
+            spark.range(10 * (i + 1), 10 * (i + 2)).select(
+                F.col("id").alias("k")
+            )
+        )
+    export_delta_log(spark, t)
+    write_delta_checkpoint(spark, path, version=2)
+    v_at_3 = sorted(
+        r["k"] for r in read_delta_snapshot(spark, path, version=3).collect()
+    )
+    write_delta_checkpoint(spark, path)  # newest at 5
+    cleanup_delta_log(path, keep_after=2)  # horizon = the v2 checkpoint
+    dd = os.path.join(path, "_delta_log")
+    assert f"{0:020d}.json" not in os.listdir(dd)
+    # versions BETWEEN the kept horizon and the head stay readable
+    got = sorted(
+        r["k"] for r in read_delta_snapshot(spark, path, version=3).collect()
+    )
+    assert got == v_at_3
+    assert _dlog_replay(dd, as_of=3)["v"] == 3
+    with pytest.raises(FileNotFoundError):
+        read_delta_snapshot(spark, path, version=1)
+
+
+def test_narrower_compaction_serves_smaller_range(spark, tmp_path):
+    """Review finding (round 10): keeping only the widest compaction per
+    start discarded a narrower one that legally covers a smaller
+    time-travel range. Selection now picks the widest FITTING range."""
+    t, path = _mk(spark, tmp_path)
+    v3 = sorted(
+        (r["k"], r["v"])
+        for r in read_delta_snapshot(spark, path, version=3).collect()
+    )
+    write_delta_compaction(path, 1, 2)
+    write_delta_compaction(path, 1, 3)
+    dd = os.path.join(path, "_delta_log")
+    for v in (1, 2, 3):
+        os.remove(os.path.join(dd, f"{v:020d}.json"))
+    # version 2 resolves through the NARROWER [1,2] compaction
+    assert read_delta_snapshot(spark, path, version=2).count() > 0
+    got = sorted(
+        (r["k"], r["v"])
+        for r in read_delta_snapshot(spark, path, version=3).collect()
+    )
+    assert got == v3
+    from airbnb_listings_data_pipelines_spark.sources.txlog_source import (
+        _dlog_replay,
+    )
+
+    assert _dlog_replay(dd, as_of=2)["v"] == 2

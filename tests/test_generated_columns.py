@@ -387,3 +387,24 @@ def test_merge_cdc_with_recompute_refuses(spark, tmp_path):
     src = spark.createDataFrame([(7, 700)], "k long, amount long")
     with pytest.raises(ValueError, match="recomput"):
         merge_into_txlog(spark, t, src, ["k"], cdc=True)
+
+
+def test_delete_only_merge_keeps_cdc_usable(spark, tmp_path):
+    """Review finding (round 10): MERGE cdc=True was refused for ANY
+    generated table; a delete-only merge recomputes nothing and must
+    keep the change feed."""
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        merge_into_txlog,
+    )
+
+    t, _ = _mk(spark, tmp_path)
+    src = spark.createDataFrame([(7,), (8,)], "k long")
+    merge_into_txlog(
+        spark,
+        t,
+        src,
+        ["k"],
+        clauses={"matched": [{"action": "delete"}], "not_matched": []},
+        cdc=True,
+    )
+    assert t.read().filter("k IN (7, 8)").count() == 0

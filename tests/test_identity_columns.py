@@ -186,3 +186,38 @@ def test_sql_create_identity_and_insert(spark, tmp_path):
         sess.execute(
             "CREATE TABLE t (a INT GENERATED ALWAYS AS IDENTITY)"
         )
+
+
+def test_incremental_export_reemits_metadata_on_hw_advance(spark, tmp_path):
+    """Review finding (round 10): the export compared only (name, type)
+    pairs, so an identity watermark advance never re-emitted metaData —
+    an external writer honoring identityColumns would read a stale
+    watermark and assign DUPLICATE ids. The refresh comparison now sees
+    field metadata."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        export_delta_log,
+    )
+
+    t = _mk(spark, tmp_path)
+    export_delta_log(spark, t)
+    dd = os.path.join(t.path, "_delta_log")
+
+    def hw_at(v):
+        for s in open(os.path.join(dd, f"{v:020d}.json")):
+            a = json.loads(s)
+            if "metaData" in a:
+                fld = next(
+                    f
+                    for f in json.loads(a["metaData"]["schemaString"])["fields"]
+                    if f["name"] == "row_id"
+                )
+                return fld["metadata"].get("delta.identity.highWaterMark")
+        return None
+
+    hw0 = hw_at(0)
+    assert hw0 is not None
+    t.append(spark.range(20, 30).select(F.col("id").alias("k")))
+    export_delta_log(spark, t)  # incremental: must re-emit metaData
+    hw1 = hw_at(1)
+    assert hw1 is not None and hw1 > hw0
+    assert hw1 == t.identity_meta()["row_id"]["hw"]
