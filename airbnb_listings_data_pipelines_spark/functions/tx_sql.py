@@ -491,6 +491,11 @@ class TxSqlSession:
             arbiter=t.arbiter,
             generated=gen or None,
             identity=identity or None,
+            # identity columns are excluded from the DDL (create assigns
+            # them), but the committed schema must keep the DECLARED
+            # position — `(row_id ... IDENTITY, k, v)` reads as
+            # (row_id, k, v), not (k, v, row_id)
+            column_order=[c for c, _ty in cols] if identity else None,
         )
         self._tables[name] = created
         return 0

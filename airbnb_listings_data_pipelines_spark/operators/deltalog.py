@@ -274,18 +274,35 @@ def _data_read_schema(spark, metadata: dict, data_fields: list):
     id mode: the stored column name may differ file to file.
 
     The conf is SESSION-GLOBAL and left on (the returned DataFrame
-    evaluates lazily — restoring it would race the execution). It only
+    evaluates lazily — restoring it would race the execution, and Spark's
+    ParquetOptions exposes no per-read equivalent: only compression/
+    mergeSchema/rebase options exist at the reader level). It only
     changes behavior for reads whose REQUESTED schema carries
     ``parquet.field.id`` metadata; plain reads and explicit schemas
-    without ids are unaffected, but a caller who builds id-annotated
+    without ids are unaffected — but a caller who builds id-annotated
     schemas by hand should know resolution switches to by-id after the
-    first mode=id table read."""
+    first mode=id table read, so the FIRST flip emits a warning."""
     from pyspark.sql.types import StructField, StructType
 
     mode = _require_supported_mapping(metadata)
     if mode == "id":
         ids = _field_ids(metadata)
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        if (
+            spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false")
+            != "true"
+        ):
+            import warnings
+
+            warnings.warn(
+                "columnMapping mode=id read: enabling "
+                "spark.sql.parquet.fieldId.read.enabled for the SESSION "
+                "(Spark has no per-read option; the returned DataFrame is "
+                "lazy, so it cannot be restored safely). Later reads whose "
+                "requested schema carries parquet.field.id metadata will "
+                "resolve columns by id instead of by name.",
+                stacklevel=3,
+            )
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         return (
             StructType(
                 [
@@ -916,12 +933,18 @@ def export_delta_log(spark: SparkSession, table) -> int:
         if ict_feature:
             # in-commit timestamps (PROTOCOL.md, writer feature): the
             # spec requires STRICT monotonicity, so clamp each commit's
-            # clock reading against the previous ICT
+            # clock reading against the previous ICT. The spec further
+            # requires the commitInfo carrying the ICT to be the FIRST
+            # action of the commit file (readers like delta-spark read
+            # only the first action to resolve the timestamp), so it is
+            # inserted at index 0 rather than appended.
             prev_ict = _prev_ict(delta_dir, v, prev_ict)
             ict = max(tx_mtime.get(v, now_ms), (prev_ict or 0) + 1)
             info["inCommitTimestamp"] = ict
             prev_ict = ict
-        actions.append({"commitInfo": info})
+            actions.insert(0, {"commitInfo": info})
+        else:
+            actions.append({"commitInfo": info})
         tmp = target + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
@@ -1505,6 +1528,38 @@ def _checkpoint_versions(delta_dir: str) -> dict[int, int | None]:
     return out
 
 
+def _usable_checkpoint_form(
+    delta_dir: str, version: int, parts: int | None
+) -> tuple[bool, int | None]:
+    """(usable, parts_to_replay_with) — completeness validation the
+    Delta spec requires of readers before trusting a checkpoint found by
+    directory listing: classic multi-part checkpoints publish each part
+    with its own rename (``_last_checkpoint`` written last), so a
+    crashed or still-running checkpoint write legally leaves e.g. part
+    1-of-3 only. Selecting that candidate would fail the ENTIRE snapshot
+    read even though an older checkpoint (or the JSON tail alone) can
+    serve it — so verify all N parts exist and are non-empty, fall
+    through to a complete single-part/v2 form at the same version, and
+    let the caller walk to the next-older candidate otherwise."""
+    if parts:
+        names = [
+            os.path.join(
+                delta_dir,
+                f"{version:020d}.checkpoint.{p:010d}.{int(parts):010d}.parquet",
+            )
+            for p in range(1, int(parts) + 1)
+        ]
+        if all(os.path.exists(n) and os.path.getsize(n) > 0 for n in names):
+            return True, int(parts)
+    classic = os.path.join(delta_dir, f"{version:020d}.checkpoint.parquet")
+    if os.path.exists(classic) and os.path.getsize(classic) > 0:
+        return True, None
+    spec = _resolve_v2_checkpoint(delta_dir, version)
+    if spec is not None and os.path.getsize(os.path.join(delta_dir, spec)) > 0:
+        return True, None
+    return False, None
+
+
 def _resolve_v2_checkpoint(delta_dir: str, version: int) -> str | None:
     """The v2 (UUID-named) checkpoint spec file for ``version``, or None.
     Naming per PROTOCOL.md: ``<v>.checkpoint.<uniqueStr>.{json,parquet}``
@@ -1727,15 +1782,21 @@ def _replay_delta_log(
     # below the newest checkpoint must use an OLDER retained one
     # (cleanup_delta_log keep_after) that _last_checkpoint never names
     ckpts = _checkpoint_versions(delta_dir)
-    cands = sorted(v for v in ckpts if v <= want)
-    if cands:
-        cv = cands[-1]
+    # walk candidates newest-first, validating COMPLETENESS before
+    # selection (spec rule): a crashed multi-part write leaves a partial
+    # part set the listing still surfaces — skip it and bootstrap from
+    # the next-older complete checkpoint (or the JSON tail alone)
+    for cv in sorted((v for v in ckpts if v <= want), reverse=True):
         parts = ckpts[cv]
         if lc and lc.get("version") == cv and lc.get("parts"):
             parts = lc["parts"]
-        state = _checkpoint_rows(spark, delta_dir, cv, parts)
+        usable, replay_parts = _usable_checkpoint_form(delta_dir, cv, parts)
+        if not usable:
+            continue
+        state = _checkpoint_rows(spark, delta_dir, cv, replay_parts)
         state.version = want
         start_after = cv
+        break
     # greedy contiguous cover of (start_after, want]: a compaction whose
     # whole range fits replaces its commits; otherwise the single commit.
     # Missing versions covered by NEITHER refuse — the spec's continuity

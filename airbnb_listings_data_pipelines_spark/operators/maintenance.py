@@ -68,7 +68,13 @@ def compact_parquet_dir(
             *sort_within_partitions
         )
     else:
-        out = df.coalesce(n_files) if n_files < df.rdd.getNumPartitions() else df.repartition(n_files)
+        # always a round-robin repartition: the whole directory is being
+        # rewritten anyway, and repartition balances bytes across the
+        # target files where coalesce would merely glue scan partitions
+        # together (skewed output files). This also avoids the
+        # df.rdd.getNumPartitions() probe the branch needed, which
+        # instantiated the deserialized-row RDD plan just to read a count.
+        out = df.repartition(n_files)
 
     staging = path.rstrip("/") + ".__compact__"
     out.write.mode("overwrite").parquet(staging)

@@ -860,6 +860,7 @@ class TxLogTable:
         arbiter: CommitArbiter | None = None,
         generated: dict[str, str] | None = None,
         identity: dict[str, tuple[int, int]] | None = None,
+        column_order: list[str] | None = None,
     ) -> "TxLogTable":
         """Create a new table at ``path`` from ``df`` (version 0).
 
@@ -932,6 +933,20 @@ class TxLogTable:
                 if c not in df.columns:
                     df = df.withColumn(c, F.expr(e))
             gen_checks = _generated_checks(gen)
+        if column_order is not None:
+            # identity (and absent generated) columns are materialized via
+            # withColumn, which APPENDS — a SQL front-end declaring
+            # `(row_id BIGINT GENERATED ALWAYS AS IDENTITY, k BIGINT)`
+            # must still get schema (row_id, k), as Delta does: SELECT *
+            # consumers and positional tooling see the declared order
+            if set(column_order) != set(df.columns) or len(column_order) != len(
+                df.columns
+            ):
+                raise ValueError(
+                    f"column_order {column_order} does not cover the table "
+                    f"columns {df.columns} exactly"
+                )
+            df = df.select(*column_order)
         missing = [c for c in pby if c not in df.columns]
         if missing:
             raise ValueError(f"partition_by columns absent from df: {missing}")

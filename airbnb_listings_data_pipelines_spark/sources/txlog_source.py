@@ -568,6 +568,34 @@ def _dlog_ckpt_versions(log_dir: str) -> dict[int, int | None]:
     return out
 
 
+def _dlog_usable_ckpt(
+    log_dir: str, version: int, parts
+) -> tuple[bool, int | None]:
+    """(usable, parts_to_replay_with) — the completeness validation the
+    Delta spec requires before trusting a listed checkpoint (mirror of
+    operators/deltalog._usable_checkpoint_form): a crashed multi-part
+    checkpoint write leaves a partial part set; skip it (falling through
+    to a complete single-part/v2 form at the same version) rather than
+    failing the whole snapshot read."""
+    if parts:
+        names = [
+            os.path.join(
+                log_dir,
+                f"{version:020d}.checkpoint.{i:010d}.{int(parts):010d}.parquet",
+            )
+            for i in range(1, int(parts) + 1)
+        ]
+        if all(os.path.exists(n) and os.path.getsize(n) > 0 for n in names):
+            return True, int(parts)
+    classic = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    if os.path.exists(classic) and os.path.getsize(classic) > 0:
+        return True, None
+    spec = _dlog_resolve_v2(log_dir, version)
+    if spec is not None and os.path.getsize(os.path.join(log_dir, spec)) > 0:
+        return True, None
+    return False, None
+
+
 def _dlog_resolve_v2(log_dir: str, version: int) -> str | None:
     """UUID-named v2 checkpoint spec file for ``version`` (PROTOCOL.md
     naming: one dot field between 'checkpoint' and the extension — the
@@ -789,14 +817,19 @@ def _dlog_replay(log_dir: str, as_of: int | None = None) -> dict:
     # newest AVAILABLE checkpoint at/below want (listing, not only
     # _last_checkpoint — same rule as deltalog._replay_delta_log)
     ckpts = _dlog_ckpt_versions(log_dir)
-    cands = sorted(cv for cv in ckpts if cv <= want)
-    if cands:
-        cv = cands[-1]
+    # newest-first with COMPLETENESS validation (spec rule): a partial
+    # multi-part checkpoint from a crashed/concurrent writer must not be
+    # selected; fall back to the next-older complete candidate
+    for cv in sorted((v for v in ckpts if v <= want), reverse=True):
         parts = ckpts[cv]
         if lc and lc.get("version") == cv and lc.get("parts"):
             parts = lc["parts"]
-        live, meta = _dlog_ckpt_state(log_dir, cv, parts)
+        usable, replay_parts = _dlog_usable_ckpt(log_dir, cv, parts)
+        if not usable:
+            continue
+        live, meta = _dlog_ckpt_state(log_dir, cv, replay_parts)
         start_after = cv
+        break
     v = start_after + 1
     while v <= want:
         comp = next(

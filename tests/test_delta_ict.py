@@ -100,6 +100,27 @@ def test_ict_commitinfo_and_protocol(spark, tmp_path):
     assert "delta.inCommitTimestampEnablementTimestamp" in cfg
 
 
+def test_ict_commitinfo_is_first_action(spark, tmp_path):
+    """PROTOCOL.md: when inCommitTimestamp is enabled the commitInfo
+    action MUST be the first action of the commit file — delta-spark
+    reads only the first action to resolve the ICT, so an appended
+    commitInfo would make external readers fall back to file mtimes."""
+    import re
+
+    _t, _path, dd = _mk(spark, tmp_path, ict=True)
+    checked = 0
+    for f in sorted(os.listdir(dd)):
+        if not re.fullmatch(r"\d{20}\.json", f):
+            continue
+        v = int(f.split(".")[0])
+        first = json.loads(open(os.path.join(dd, f)).readline())
+        if v >= 1:  # ICT enabled from version 1 onward
+            assert list(first) == ["commitInfo"], (v, list(first))
+            assert "inCommitTimestamp" in first["commitInfo"]
+            checked += 1
+    assert checked >= 2
+
+
 def test_ict_beats_disturbed_file_times(spark, tmp_path):
     """Rewrite commitInfo.timestamp to garbage AND scramble file mtimes:
     resolution still follows the in-commit timestamps."""

@@ -658,3 +658,56 @@ def test_export_never_downgrades_protocol(spark, tmp_path):
     # and the latched log still replays
     got = {tuple(r) for r in read_delta_snapshot(spark, path).collect()}
     assert got == {tuple(r) for r in t.read().collect()}
+
+
+def test_partial_multipart_checkpoint_falls_back(spark, tmp_path):
+    """Spec rule: a multi-part checkpoint is only valid when ALL parts
+    exist — a crashed/concurrent checkpoint writer leaves e.g. part
+    1-of-3 only. Readers must skip the incomplete candidate and serve
+    the snapshot from an older complete checkpoint (or the JSON tail),
+    not hard-fail the read."""
+    import re
+
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        write_delta_checkpoint,
+    )
+    from airbnb_listings_data_pipelines_spark.sources.txlog_source import (
+        _dlog_replay,
+    )
+
+    path = str(tmp_path / "t")
+    t = TxLogTable.create(
+        spark, path, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    )
+    t.append(spark.createDataFrame([(3, "c")], ["k", "v"]))
+    t.to_delta_log()
+    dd = os.path.join(path, "_delta_log")
+    v1 = write_delta_checkpoint(spark, path)  # complete single-part at 1
+    t.append(spark.createDataFrame([(4, "d")], ["k", "v"]))
+    t.to_delta_log()
+    v2 = write_delta_checkpoint(spark, path, parts=3)
+    assert (v1, v2) == (1, 2)
+    want = _rows(t.read())
+    # simulate the crashed multi-part write: drop parts 2 and 3 of the
+    # newest checkpoint (the directory listing still surfaces part 1,
+    # and _last_checkpoint still names version 2 with parts=3)
+    dropped = 0
+    for f in sorted(os.listdir(dd)):
+        m = re.fullmatch(r"\d{20}\.checkpoint\.(\d{10})\.0000000003\.parquet", f)
+        if m and int(m.group(1)) >= 2:
+            os.remove(os.path.join(dd, f))
+            dropped += 1
+    assert dropped == 2
+    # both independent readers fall back: older checkpoint at v1 + JSON
+    # tail commit 2 -> full correct snapshot
+    assert _rows(read_delta_snapshot(spark, path)) == want
+    r = _dlog_replay(dd)
+    assert r["v"] == 2 and len(r["live"]) > 0
+    # and with the JSON head expired below v1, the v1 bootstrap is the
+    # ONLY source of that state — still served
+    for f in sorted(os.listdir(dd)):
+        m = re.fullmatch(r"(\d{20})\.json", f)
+        if m and int(m.group(1)) <= 1:
+            os.remove(os.path.join(dd, f))
+    assert _rows(read_delta_snapshot(spark, path)) == want
+    assert _dlog_replay(dd)["v"] == 2

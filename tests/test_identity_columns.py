@@ -180,6 +180,9 @@ def test_sql_create_identity_and_insert(spark, tmp_path):
     ids = [r["row_id"] for r in rows]
     assert len(set(ids)) == 7
     assert all(i >= 100 and (i - 100) % 5 == 0 for i in ids)
+    # the committed schema preserves the DECLARED column position (like
+    # Delta): row_id sits between k and v, not appended at the end
+    assert sess.execute("SELECT * FROM t").columns == ["k", "row_id", "v"]
     with pytest.raises(ValueError, match="GENERATED ALWAYS"):
         sess.execute("INSERT INTO t (k, row_id, v) SELECT 1, 2, 3.0")
     with pytest.raises(ValueError, match="must be BIGINT"):
