@@ -4179,6 +4179,14 @@ class TxLogTable:
             except CommitConflict:
                 if kw.get("txn") is not None:
                     raise
+                if kw.get("schema") is not None and self.identity_meta():
+                    # identity watermark staleness: an interleaved blind
+                    # append may have advanced a high watermark, and re-
+                    # committing our captured schema at a newer version
+                    # would REGRESS it in the latest-wins fold (the next
+                    # append would assign duplicate ids). Recompute from
+                    # the new head instead of rebasing.
+                    raise
                 if iso_ok is None:
                     iso_ok = (
                         self.properties()
@@ -4687,6 +4695,23 @@ def _parse_partition_value(raw: str, dtype) -> object | None:
     return None
 
 
+def _dml_evolved_schema(stored_json: str | None, out_json: str) -> str:
+    """The schema a MERGE commit records: the STORED schema's fields —
+    field METADATA intact (identity/generation annotations, parquet
+    field ids; a DataFrame projection strips field metadata, so
+    recording the output frame's own schema would silently drop e.g.
+    ``delta.generationExpression`` from the latest-wins schema fold) —
+    widened by any columns the merge output added (``evolve_schema``).
+    Stored fields' types never differ from the output's (the clause
+    plan casts every expression to the target column's type)."""
+    if stored_json is None:
+        return out_json
+    sd, od = json.loads(stored_json), json.loads(out_json)
+    have = {f["name"] for f in sd["fields"]}
+    sd["fields"].extend(f for f in od["fields"] if f["name"] not in have)
+    return json.dumps(sd)
+
+
 def _simple_form_clauses(
     when_matched: str,
     when_not_matched: str,
@@ -4819,6 +4844,24 @@ def _merge_into_dv(
         new_rows = j.filter(
             (upd_sel & changed) | (is_src & (F.col("__isel") >= 0))
         ).select(*[pick(c) for c in data_cols])
+        cur_ident = table.identity_meta()
+        if cur_ident:
+            # update post-images carry their preserved (non-null) ids;
+            # accepted inserts surface NULL and are assigned beyond the
+            # watermark — re-read per attempt for racing-commit re-base
+            for c, m in cur_ident.items():
+                base = m["start"] if m["hw"] is None else m["hw"] + m["step"]
+                new_rows = new_rows.withColumn(
+                    c,
+                    F.when(
+                        F.col(c).isNull(),
+                        (
+                            F.lit(base)
+                            + F.lit(m["step"])
+                            * F.monotonically_increasing_id()
+                        ).cast("long"),
+                    ).otherwise(F.col(c)),
+                )
         if gen_recompute:
             # post-image recompute over the new rows only — untouched
             # rows stay in their files (DV-masked) with values the
@@ -4884,10 +4927,22 @@ def _merge_into_dv(
             if not dv_updates:
                 os.remove(os.path.join(table.path, sidecar))
                 sidecar = None
+        # stored schema (metadata intact) + evolution + watermark advance
+        # — same rule as the COW twin (see merge_into_txlog)
+        commit_schema = _dml_evolved_schema(schema_json, new_rows.schema.json())
+        if cur_ident and adds:
+            hws = table._identity_new_hw(adds, cur_ident)
+            ident_hws = {}
+            for c, m in cur_ident.items():
+                far = max if m["step"] > 0 else min
+                ident_hws[c] = (
+                    hws[c] if m["hw"] is None else far(m["hw"], hws[c])
+                )
+            commit_schema = _identity_hw_update(commit_schema, ident_hws)
         try:
             table._commit_dml(
                 adds=adds, removes=removes, base_version=base_version,
-                op="merge", schema=new_rows.schema.json(), txn=txn,
+                op="merge", schema=commit_schema, txn=txn,
                 column_mapping=new_mapping, dvs=dv_updates or None,
             )
             return table.read()
@@ -4976,13 +5031,53 @@ def merge_into_txlog(
     from .merge import merge_clauses, merge_clauses_cdc, merge_frames
 
     assert rewrite in ("touched", "full")
-    if table.identity_meta():
-        raise NotImplementedError(
-            "MERGE into a table with identity columns is not supported: "
-            "inserted rows would need watermark-fenced assignment inside "
-            "the clause plan — land new rows via append() (which assigns "
-            "identities) and use key-based DML for the rest"
+    ident_meta = table.identity_meta()
+    if ident_meta:
+        # identity columns are GENERATED ALWAYS: no clause may assign
+        # them and the source may not carry them. Matched rows keep
+        # their stored ids (the clause plan's baseline is the target
+        # value), NOT MATCHED inserts surface with NULL ids and are
+        # assigned beyond the current high watermark inside the merge
+        # projection below — Delta's identity MERGE contract.
+        _cl_i = clauses if clauses is not None else _simple_form_clauses(
+            when_matched, when_not_matched, matched_set, insert_values
         )
+        _ident_assigned: set[str] = set()
+        for _c in (_cl_i.get("matched") or []) + (
+            _cl_i.get("not_matched_by_source") or []
+        ):
+            _ident_assigned |= set(_c.get("set") or {})
+        for _c in _cl_i.get("not_matched") or []:
+            _ident_assigned |= set(_c.get("values") or {})
+        _bad = sorted(
+            (_ident_assigned | set(source.columns)) & set(ident_meta)
+        )
+        if _bad:
+            raise ValueError(
+                f"identity column(s) {_bad} are GENERATED ALWAYS "
+                "(allowExplicitInsert=false): a MERGE clause may not "
+                "assign them and the source may not carry them — matched "
+                "rows keep their ids, inserted rows are assigned beyond "
+                "the watermark by the engine"
+            )
+        if cdc and _cl_i.get("not_matched"):
+            raise ValueError(
+                "cdc=True with identity-column inserts is not supported: "
+                "the change-set pass would assign ids independently of "
+                "the committed rows (monotonically_increasing_id is not "
+                "stable across executions); omit cdc=True — the netted "
+                "file-delta feed from read_changes() is still row-exact"
+            )
+        if clauses is None:
+            # the simple whole-row form requires source/target schema
+            # equality, which an identity table's source can never meet
+            # (the engine owns the column). Route through the clause
+            # machinery instead: UPDATE SET * / INSERT * ignore columns
+            # ABSENT from the source — exactly identity's contract
+            # (matched rows keep their ids, inserts NULL-fill).
+            clauses = _cl_i
+            when_matched, when_not_matched = "update", "insert"
+            matched_set = insert_values = None
     # Delta's generated-column MERGE rule: generated columns no clause
     # assigns (explicitly via SET/VALUES, or implicitly by appearing in
     # a whole-row source) RECOMPUTE over the merge output — deterministic
@@ -5162,6 +5257,25 @@ def merge_into_txlog(
             }
             for g, e in gen_recompute.items():
                 merged = merged.withColumn(g, F.expr(e).cast(_gt[g]))
+        cur_ident: dict[str, dict] = {}
+        if ident_meta:
+            # re-read per attempt: a racing commit may have advanced a
+            # high watermark — assignment must start beyond the CURRENT
+            # one (a lost conflict drops our files and re-runs this)
+            cur_ident = table.identity_meta()
+            for c, m in cur_ident.items():
+                base = m["start"] if m["hw"] is None else m["hw"] + m["step"]
+                merged = merged.withColumn(
+                    c,
+                    F.when(
+                        F.col(c).isNull(),
+                        (
+                            F.lit(base)
+                            + F.lit(m["step"])
+                            * F.monotonically_increasing_id()
+                        ).cast("long"),
+                    ).otherwise(F.col(c)),
+                )
         mapping = table._mapping_at()
         new_mapping = None
         if mapping:
@@ -5191,10 +5305,27 @@ def merge_into_txlog(
                     evolve_schema=evolve_schema,
                 )
             cdc_rel = table._write_cdc(cdc_df)
+        # record the STORED schema (field metadata intact — a projection
+        # strips identity/generation annotations) widened by evolution,
+        # plus any identity watermark advance read from the new files'
+        # footer stats (clamped monotone: a no-insert merge's files hold
+        # only preserved ids at/below the current watermark)
+        commit_schema = _dml_evolved_schema(
+            table._schema_at(), merged.schema.json()
+        )
+        if cur_ident and adds:
+            hws = table._identity_new_hw(adds, cur_ident)
+            ident_hws = {}
+            for c, m in cur_ident.items():
+                far = max if m["step"] > 0 else min
+                ident_hws[c] = (
+                    hws[c] if m["hw"] is None else far(m["hw"], hws[c])
+                )
+            commit_schema = _identity_hw_update(commit_schema, ident_hws)
         try:
             table._commit_dml(
                 adds=adds, removes=removes, base_version=base_version,
-                op="merge", schema=merged.schema.json(), txn=txn,
+                op="merge", schema=commit_schema, txn=txn,
                 column_mapping=new_mapping, cdc=cdc_rel,
             )
             return table.read()

@@ -6575,3 +6575,107 @@ def x101_identity_column_assignment(
             "n_beyond_start"
         ),
     )
+
+
+@query(
+    "x102_identity_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+    ),
+    merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 2 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus
+      FROM base
+      UNION ALL
+      SELECT o_orderkey + 70000000, 'N' FROM base WHERE o_orderkey % 6 = 2
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_ids,
+           CAST(COUNT(*) AS BIGINT) AS n_step_aligned,
+           CAST(COUNT(*) AS BIGINT) AS n_beyond_start
+    FROM merged GROUP BY 1
+    """,
+    survey_rows=("EXT-tableformat", "J1", "A2", "A8"),
+    doc="IDENTITY COLUMNS x MERGE (round-11, closing the round-10 scope "
+    "refusal): orders -> txlog CREATEd with identity row_id (start 500, "
+    "step 3), then ONE merge-on-read MERGE (mode='dv') whose source "
+    "updates the status of keys %5==2 and inserts keys %6==2 shifted by "
+    "+70000000 — Delta's identity MERGE contract: matched rows KEEP "
+    "their stored ids (the clause plan's baseline is the target value; "
+    "updates land as DV positions + post-image slivers), NOT MATCHED "
+    "inserts are assigned base + step*monotonically_increasing_id() "
+    "beyond the high watermark inside the merge projection (no global "
+    "row numbering — embarrassingly parallel), and the watermark "
+    "advances from the merge's new files' FOOTER STATS clamped "
+    "monotone. In-query gates assert (a) every pre-merge row's id "
+    "survived the merge unchanged (one distributed join, zero driver "
+    "rows) and (b) every inserted id exceeds the pre-merge watermark. "
+    "Assigned VALUES are partitioning-dependent, so the oracle checks "
+    "INVARIANTS per status: distinct-id / step-alignment / beyond-start "
+    "counts must equal the row count DuckDB derives from raw orders — "
+    "any duplicated, clobbered, misaligned, or below-start id breaks "
+    "the hash. Racing merges recompute beyond the winner's watermark "
+    "(tests/test_identity_merge.py pins the injected race and the "
+    "refused stale-schema rebase). operators/txlog.merge_into_txlog + "
+    "_merge_into_dv.",
+)
+def x102_identity_merge_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.txlog import TxLogTable, merge_into_txlog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    path = _dml_scratch("x102" + sf_dir)
+    t = TxLogTable.create(
+        spark,
+        path,
+        orders.repartitionByRange(8, "o_orderkey"),
+        identity={"row_id": (500, 3)},
+    )
+    hw0 = t.identity_meta()["row_id"]["hw"]
+    pre = t.read().select(
+        "o_orderkey", F.col("row_id").alias("pre_id")
+    )
+    src = (
+        orders.filter("o_orderkey % 5 = 2")
+        .selectExpr("o_orderkey", "'U' AS o_orderstatus")
+        .unionByName(
+            orders.filter("o_orderkey % 6 = 2").selectExpr(
+                "o_orderkey + 70000000 AS o_orderkey",
+                "'N' AS o_orderstatus",
+            )
+        )
+    )
+    merge_into_txlog(spark, t, src, ["o_orderkey"], mode="dv")
+    full = t.read()
+    clobbered = (
+        full.join(pre, "o_orderkey")
+        .filter(F.col("row_id") != F.col("pre_id"))
+        .count()
+    )
+    if clobbered != 0:
+        raise AssertionError(
+            f"{clobbered} matched rows lost their identity values"
+        )
+    below = full.filter(
+        (F.col("o_orderstatus") == "N") & (F.col("row_id") <= F.lit(hw0))
+    ).count()
+    if below != 0:
+        raise AssertionError(
+            f"{below} inserted ids at/below the pre-merge watermark {hw0}"
+        )
+    return full.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("row_id").alias("n_unique_ids"),
+        F.sum(
+            ((F.col("row_id") - F.lit(500)) % F.lit(3) == 0).cast("long")
+        ).alias("n_step_aligned"),
+        F.sum((F.col("row_id") >= F.lit(500)).cast("long")).alias(
+            "n_beyond_start"
+        ),
+    )

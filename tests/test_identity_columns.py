@@ -82,9 +82,27 @@ def test_explicit_writes_refused(spark, tmp_path):
         merge_into_txlog,
     )
 
-    with pytest.raises(NotImplementedError, match="identity"):
+    # MERGE is supported (round 11), but the GENERATED ALWAYS contract
+    # still holds: no clause may assign an identity column and the
+    # source may not carry one
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
         merge_into_txlog(
-            spark, t, spark.range(2).selectExpr("id AS k"), ["k"]
+            spark,
+            t,
+            spark.range(2).selectExpr("id AS k", "id AS row_id"),
+            ["k"],
+        )
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        merge_into_txlog(
+            spark,
+            t,
+            spark.range(2).selectExpr("id AS k"),
+            ["k"],
+            clauses={
+                "matched": [
+                    {"action": "update", "set": {"row_id": F.lit(1)}}
+                ]
+            },
         )
 
 

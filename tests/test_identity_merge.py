@@ -1,0 +1,258 @@
+"""MERGE into identity-column tables (Delta's identity + MERGE
+composition, closing the round-10 v1 scope refusal): matched rows keep
+their stored ids (the clause plan's baseline is the target value),
+NOT MATCHED inserts are assigned ``base + step * mid`` beyond the
+current high watermark inside the merge projection, the watermark
+advances from the merge's new files' parquet footer stats (clamped
+monotone — a no-insert merge never regresses it), and racing commits
+force a recompute beyond the winner's watermark (the WriteSerializable
+schema rebase is refused for identity tables: re-committing a captured
+schema would regress the watermark in the latest-wins fold).
+
+Also pins the round-11 fix this work surfaced: a MERGE commit records
+the STORED schema (field metadata intact) widened by evolution — a
+DataFrame projection strips field metadata, so recording the output
+frame's own schema silently dropped ``delta.generationExpression`` /
+``delta.identity.*`` from the schema fold.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_listings_data_pipelines_spark.operators.txlog import (
+    TxLogTable,
+    merge_into_txlog,
+)
+
+
+def _mk(spark, tmp_path, name="t"):
+    path = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    return TxLogTable.create(
+        spark, path, df.repartition(2), identity={"row_id": (100, 5)}
+    )
+
+
+@pytest.mark.parametrize("mode", ["cow", "dv"])
+def test_merge_preserves_matched_assigns_inserts(spark, tmp_path, mode):
+    t = _mk(spark, tmp_path, name=f"t_{mode}")
+    before = {r["k"]: r["row_id"] for r in t.read().collect()}
+    hw0 = t.identity_meta()["row_id"]["hw"]
+    merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(2, "B"), (4, "d"), (5, "e")], "k bigint, v string"
+        ),
+        ["k"],
+        mode=mode,
+    )
+    rows = {r["k"]: (r["v"], r["row_id"]) for r in t.read().collect()}
+    assert {k: v for k, (v, _i) in rows.items()} == {
+        1: "a", 2: "B", 3: "c", 4: "d", 5: "e"
+    }
+    # matched rows (updated AND untouched) keep their ids
+    for k in (1, 2, 3):
+        assert rows[k][1] == before[k], (k, rows[k], before[k])
+    # inserts: unique, beyond the pre-merge watermark, step-aligned
+    ids = [rows[k][1] for k in rows]
+    assert len(set(ids)) == 5
+    for k in (4, 5):
+        assert rows[k][1] > hw0 and (rows[k][1] - 100) % 5 == 0
+    # the watermark advanced and a subsequent append lands beyond it
+    assert t.identity_meta()["row_id"]["hw"] == max(ids)
+    t.append(spark.createDataFrame([(6, "f")], "k bigint, v string"))
+    rows2 = {r["k"]: r["row_id"] for r in t.read().collect()}
+    assert rows2[6] > max(ids)
+    assert len(set(rows2.values())) == 6
+
+
+@pytest.mark.parametrize("mode", ["cow", "dv"])
+def test_no_insert_merge_keeps_watermark(spark, tmp_path, mode):
+    """A matched-only merge writes files holding only PRESERVED ids —
+    the watermark must not regress (clamped monotone)."""
+    t = _mk(spark, tmp_path, name=f"t_{mode}")
+    hw0 = t.identity_meta()["row_id"]["hw"]
+    merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame([(1, "A")], "k bigint, v string"),
+        ["k"],
+        clauses={"matched": [{"action": "update", "set": None}]},
+        mode=mode,
+    )
+    assert t.identity_meta()["row_id"]["hw"] == hw0
+    # and the next insert is still fenced beyond it
+    t.append(spark.createDataFrame([(9, "i")], "k bigint, v string"))
+    ids = sorted(r["row_id"] for r in t.read().collect())
+    assert len(set(ids)) == len(ids)
+
+
+def test_racing_append_mid_merge_no_duplicates(spark, tmp_path):
+    """Inject a racing append between the merge's snapshot read and its
+    commit: the merge loses the version race, recomputes against the
+    new head (fresh watermark), and no id is ever duplicated. The
+    WriteSerializable schema rebase must NOT swallow this conflict —
+    re-committing the merge's captured schema would regress the
+    watermark the racing append advanced."""
+    import unittest.mock as mock
+
+    t = _mk(spark, tmp_path)
+    t.set_properties({"delta.isolationLevel": "WriteSerializable"})
+    orig = TxLogTable.commit
+    fired = {"done": False}
+
+    def racing(self, *a, **kw):
+        if not fired["done"] and kw.get("op") == "merge":
+            fired["done"] = True
+            TxLogTable(spark, self.path).append(
+                spark.createDataFrame(
+                    [(50, "x"), (51, "y")], "k bigint, v string"
+                )
+            )
+        return orig(self, *a, **kw)
+
+    with mock.patch.object(TxLogTable, "commit", racing):
+        merge_into_txlog(
+            spark,
+            t,
+            spark.createDataFrame(
+                [(2, "B"), (7, "g"), (8, "h")], "k bigint, v string"
+            ),
+            ["k"],
+        )
+    assert fired["done"]
+    rows = {r["k"]: r["row_id"] for r in t.read().collect()}
+    assert set(rows) == {1, 2, 3, 7, 8, 50, 51}
+    ids = list(rows.values())
+    assert len(set(ids)) == len(ids), "duplicate identity values"
+    assert t.identity_meta()["row_id"]["hw"] == max(ids)
+
+
+def test_merge_commit_preserves_schema_metadata(spark, tmp_path):
+    """Round-11 fix: MERGE used to record the output frame's schema,
+    whose projection had STRIPPED the identity/generation field
+    metadata — the latest-wins fold then lost them table-wide."""
+    path = str(tmp_path / "t")
+    t = TxLogTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, 10.0)], "k bigint, v double"),
+        generated={"bucket": "CAST(v / 10 AS BIGINT)"},
+        identity={"row_id": (1, 1)},
+    )
+    for mode in ("cow", "dv"):
+        merge_into_txlog(
+            spark,
+            t,
+            spark.createDataFrame(
+                [(1, 30.0), (2, 20.0)], "k bigint, v double"
+            ),
+            ["k"],
+            mode=mode,
+        )
+        assert t.generated_exprs() == {"bucket": "CAST(v / 10 AS BIGINT)"}
+        im = t.identity_meta()
+        assert im["row_id"]["start"] == 1 and im["row_id"]["hw"] is not None
+    # generated values recomputed, ids unique, append still works
+    t.append(spark.createDataFrame([(7, 70.0)], "k bigint, v double"))
+    got = {r["k"]: (r["v"], r["bucket"]) for r in t.read().collect()}
+    assert got == {1: (30.0, 3), 2: (20.0, 2), 7: (70.0, 7)}
+    ids = [r["row_id"] for r in t.read().collect()]
+    assert len(set(ids)) == len(ids)
+
+
+def test_merge_evolve_schema_on_identity_table(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(2, "B", 1.5), (4, "d", 2.5)], "k bigint, v string, w double"
+        ),
+        ["k"],
+        evolve_schema=True,
+    )
+    rows = {r["k"]: (r["v"], r["w"]) for r in t.read().collect()}
+    assert rows == {
+        1: ("a", None), 2: ("B", 1.5), 3: ("c", None), 4: ("d", 2.5)
+    }
+    # evolution widened the schema WITHOUT losing the identity metadata
+    assert "row_id" in t.identity_meta()
+    ids = [r["row_id"] for r in t.read().collect()]
+    assert len(set(ids)) == len(ids)
+
+
+def test_cdc_with_identity_inserts_refused(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="cdc"):
+        merge_into_txlog(
+            spark,
+            t,
+            spark.createDataFrame([(4, "d")], "k bigint, v string"),
+            ["k"],
+            cdc=True,
+        )
+    # delete-only merge has no inserts to assign: cdc composes
+    merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame([(1, "zz")], "k bigint, v string"),
+        ["k"],
+        clauses={"matched": [{"action": "delete"}]},
+        cdc=True,
+    )
+    assert sorted(r["k"] for r in t.read().collect()) == [2, 3]
+
+
+def test_export_after_identity_merge_writer_v6(spark, tmp_path):
+    """The Delta export after an identity MERGE still carries the
+    identityColumns writer feature and the ADVANCED watermark — an
+    external Delta writer honoring it must not assign duplicates."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        export_delta_log,
+        read_delta_snapshot,
+    )
+
+    t = _mk(spark, tmp_path)
+    merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame([(2, "B"), (4, "d")], "k bigint, v string"),
+        ["k"],
+    )
+    export_delta_log(spark, t)
+    dd = os.path.join(t.path, "_delta_log")
+    hw = t.identity_meta()["row_id"]["hw"]
+    writer_ok, hws = False, []
+    for name in sorted(os.listdir(dd)):
+        if not name.endswith(".json") or name.count(".") != 1:
+            continue
+        for line in open(os.path.join(dd, name)):
+            a = json.loads(line)
+            if "protocol" in a:
+                p = a["protocol"]
+                # classic encoding: identity requires minWriterVersion 6;
+                # under table features (v7) it is the identityColumns
+                # writer feature instead
+                writer_ok = writer_ok or p.get(
+                    "minWriterVersion"
+                ) >= 6 and (
+                    p.get("minWriterVersion") < 7
+                    or "identityColumns" in (p.get("writerFeatures") or [])
+                )
+            if "metaData" in a:
+                for f in json.loads(a["metaData"]["schemaString"])["fields"]:
+                    md = f.get("metadata") or {}
+                    if "delta.identity.highWaterMark" in md:
+                        hws.append(md["delta.identity.highWaterMark"])
+    assert writer_ok
+    assert hws and hws[-1] == hw
+    got = {tuple(r) for r in read_delta_snapshot(spark, t.path).collect()}
+    assert got == {tuple(r) for r in t.read().collect()}
