@@ -560,3 +560,90 @@ def merge_clauses_cdc(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def merge_clauses_with_cdc(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    matched: list[dict] | None = None,
+    not_matched: list[dict] | None = None,
+    not_matched_by_source: list[dict] | None = None,
+    evolve_schema: bool = False,
+    post_transform=None,
+):
+    """SINGLE-PASS merge output + exact change set (round 11, replacing
+    the two-pass :func:`merge_clauses` + :func:`merge_clauses_cdc`
+    combination for cdc commits): the shared clause plan is evaluated
+    ONCE into a flat frame carrying the post-image columns, the
+    pre-image struct, and the row-class flags, and that frame is
+    PERSISTED — both the committed rows and the change sidecar then read
+    the same materialized values, so nondeterministic clause conditions
+    or SET expressions (``rand()``, a view over shifting data) and
+    engine-assigned values (identity columns, generated-column
+    recomputes) can never desynchronize the feed from the table.
+
+    ``post_transform(df)`` is applied to the flat post-image columns
+    BEFORE materialization — the hook where
+    :func:`txlog.merge_into_txlog` injects generated-column recompute
+    and identity assignment, which is exactly what makes their values
+    single-sourced.
+
+    Returns ``(merged, cdc, persisted)`` — the caller must
+    ``persisted.unpersist()`` after both consumers have executed.
+
+    Caveat (shared with Delta's own source materialization): Spark may
+    recompute a persisted partition lost to executor failure, re-running
+    nondeterministic expressions for those rows. ``MEMORY_AND_DISK``
+    bounds that to node loss; a stronger guarantee would require a
+    checkpoint write, which costs a full extra materialization."""
+    from pyspark.storagelevel import StorageLevel
+
+    plan = prepare_clause_plan(
+        target, source, keys, matched, not_matched, not_matched_by_source,
+        evolve_schema,
+    )
+    j, pick, tval = plan["j"], plan["pick"], plan["tval"]
+    cols = plan["columns"]
+    del_rows = (
+        plan["is_m"] & F.col("__msel").isin(plan["m_del"] or [-2])
+    ) | (plan["is_tgt"] & F.col("__nsel").isin(plan["n_del"] or [-2]))
+    upd_rows = (
+        plan["is_m"] & F.col("__msel").isin(plan["m_upd"] or [-2])
+    ) | (plan["is_tgt"] & F.col("__nsel").isin(plan["n_upd"] or [-2]))
+    ins_rows = plan["is_src"] & (F.col("__isel") >= 0)
+    flat = j.select(
+        *[pick(c) for c in cols],
+        F.struct(*[tval(c) for c in cols]).alias("__pre"),
+        plan["keep"].alias("__keep"),
+        del_rows.alias("__cdc_del"),
+        upd_rows.alias("__cdc_upd"),
+        ins_rows.alias("__cdc_ins"),
+    )
+    if post_transform is not None:
+        flat = post_transform(flat)
+    flat = flat.persist(StorageLevel.MEMORY_AND_DISK)
+    merged = flat.filter("__keep").select(*cols)
+    post = F.struct(*[F.col(c) for c in cols])
+    deletes = (
+        flat.filter("__cdc_del")
+        .select("__pre.*")
+        .withColumn("_change_type", F.lit("delete"))
+    )
+    ch = flat.filter("__cdc_upd").filter(~F.col("__pre").eqNullSafe(post))
+    parts = [
+        deletes,
+        ch.select("__pre.*").withColumn(
+            "_change_type", F.lit("update_preimage")
+        ),
+        ch.select(*cols).withColumn(
+            "_change_type", F.lit("update_postimage")
+        ),
+        flat.filter("__cdc_ins")
+        .select(*cols)
+        .withColumn("_change_type", F.lit("insert")),
+    ]
+    cdc = parts[0]
+    for p in parts[1:]:
+        cdc = cdc.unionByName(p)
+    return merged, cdc, flat

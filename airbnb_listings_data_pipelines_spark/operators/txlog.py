@@ -2208,16 +2208,31 @@ class TxLogTable:
             schema_json = self._schema_at()
             adds: list[str] = []
             cdc_rel: str | None = None
+            persisted = None
             if touched:
                 base_df = self._read_files(touched, schema_json, dvs=dvs)
-                keep = base_df.filter(~F.coalesce(cond, F.lit(False)))
+                hit = F.coalesce(cond, F.lit(False))
+                if cdc:
+                    # SINGLE-PASS (round 11): evaluate the condition ONCE
+                    # into a persisted flag so the kept rows and the
+                    # sidecar partition the file's rows EXACTLY — a
+                    # nondeterministic condition evaluated twice could
+                    # both keep and record-as-deleted the same row
+                    from pyspark.storagelevel import StorageLevel
+
+                    persisted = base_df.withColumn("__hit", hit).persist(
+                        StorageLevel.MEMORY_AND_DISK
+                    )
+                    keep = persisted.filter(~F.col("__hit")).drop("__hit")
+                else:
+                    keep = base_df.filter(~hit)
                 # kept rows are unchanged — already satisfy every CHECK
                 adds = self._write_data(keep, _validate=False)
                 if cdc:
                     cdc_rel = self._write_cdc(
-                        base_df.filter(
-                            F.coalesce(cond, F.lit(False))
-                        ).withColumn("_change_type", F.lit("delete"))
+                        persisted.filter("__hit")
+                        .drop("__hit")
+                        .withColumn("_change_type", F.lit("delete"))
                     )
             try:
                 return self._commit_dml(
@@ -2229,6 +2244,9 @@ class TxLogTable:
                     os.remove(os.path.join(self.path, f))
                 if cdc_rel is not None:
                     os.remove(os.path.join(self.path, cdc_rel))
+            finally:
+                if persisted is not None:
+                    persisted.unpersist()
         raise CommitConflict(f"delete gave up after {max_retries} retries")
 
     def update_where(
@@ -2293,13 +2311,6 @@ class TxLogTable:
         # the statement assigns them explicitly, in which case the
         # _write_data chokepoint validates the supplied values)
         recompute = self._gen_recompute(assignments)
-        if recompute and cdc:
-            raise ValueError(
-                "cdc=True with generated-column recomputation is not "
-                f"supported (columns {sorted(recompute)} would recompute "
-                "from the updated sources); omit cdc=True — the netted "
-                "file-delta feed from read_changes() is still row-exact"
-            )
         hit = F.coalesce(cond, F.lit(False))
         if mode == "dv":
             if cdc:
@@ -2321,58 +2332,91 @@ class TxLogTable:
             schema_json = self._schema_at()
             adds: list[str] = []
             cdc_rel: str | None = None
+            persisted = None
             if touched:
                 df = self._read_files(touched, schema_json, dvs=dvs)
-                rewritten = df.select(
-                    *[
-                        F.when(hit, sets[c]).otherwise(F.col(c)).alias(c)
-                        if c in sets
-                        else F.col(c)
-                        for c in df.columns
-                    ],
-                    *([hit.alias("__hit")] if recompute else []),
-                )
+                need_flags = recompute or cdc
+                if need_flags:
+                    # the condition is evaluated at EXACTLY ONE site (the
+                    # withColumn) and only the resulting column is
+                    # referenced afterwards: the same nondeterministic
+                    # Column object used at two sites of one projection
+                    # gets independently-seeded evaluations (verified —
+                    # rand() at a when() site and a flag site disagree
+                    # per row), which would desync the flag from the
+                    # assignments
+                    flagged = df.withColumn("__hit", hit)
+                    flat = flagged.select(
+                        *[
+                            F.when(F.col("__hit"), sets[c])
+                            .otherwise(F.col(c))
+                            .alias(c)
+                            if c in sets
+                            else F.col(c)
+                            for c in df.columns
+                        ],
+                        F.col("__hit"),
+                        *(
+                            [
+                                F.struct(
+                                    *[F.col(c) for c in df.columns]
+                                ).alias("__pre")
+                            ]
+                            if cdc
+                            else []
+                        ),
+                    )
+                else:
+                    flat = df.select(
+                        *[
+                            F.when(hit, sets[c]).otherwise(F.col(c)).alias(c)
+                            if c in sets
+                            else F.col(c)
+                            for c in df.columns
+                        ]
+                    )
                 if recompute:
                     # second phase over the POST-assignment frame, so the
                     # generation expressions see the updated sources; the
                     # match flag was captured against PRE values (the
                     # condition may reference an updated column)
                     for g, e in recompute.items():
-                        rewritten = rewritten.withColumn(
+                        flat = flat.withColumn(
                             g,
                             F.when(
                                 F.col("__hit"), F.expr(e).cast(fields[g])
                             ).otherwise(F.col(g)),
                         )
-                    rewritten = rewritten.select(*df.columns)
-                adds = self._write_data(rewritten)
+                if cdc:
+                    # SINGLE-PASS (round 11): the persisted frame feeds
+                    # BOTH the rewrite and the sidecar — nondeterministic
+                    # conditions/assignments and generated-column
+                    # recomputes are materialized once, so the feed can
+                    # never diverge from the committed rows (the
+                    # recomputed post-images land in the sidecar)
+                    from pyspark.storagelevel import StorageLevel
+
+                    persisted = flat.persist(StorageLevel.MEMORY_AND_DISK)
+                    flat = persisted
+                adds = self._write_data(flat.select(*df.columns))
                 if cdc:
                     # rows whose assignments are NO-OPS are not changes:
                     # the netted file-delta feed cancels their identical
                     # delete+insert pair, so the sidecar must omit them
                     # too — both feed forms stay row-identical
-                    m2 = df.filter(hit).withColumn(
-                        "__post",
-                        F.struct(
-                            *[
-                                (sets[c] if c in sets else F.col(c)).alias(c)
-                                for c in df.columns
-                            ]
-                        ),
-                    )
-                    m2 = m2.filter(
-                        ~F.struct(*[F.col(c) for c in df.columns]).eqNullSafe(
-                            F.col("__post")
+                    changed = flat.filter("__hit").filter(
+                        ~F.col("__pre").eqNullSafe(
+                            F.struct(*[F.col(c) for c in df.columns])
                         )
                     )
                     # sidecar carries Delta CDF's update_pre/postimage
                     # tags (external _change_data consumers distinguish
                     # updates); the internal feed maps them back to
                     # delete/insert in _read_cdc
-                    pre = m2.drop("__post").withColumn(
+                    pre = changed.select("__pre.*").withColumn(
                         "_change_type", F.lit("update_preimage")
                     )
-                    post = m2.select("__post.*").withColumn(
+                    post = changed.select(*df.columns).withColumn(
                         "_change_type", F.lit("update_postimage")
                     )
                     cdc_rel = self._write_cdc(pre.unionByName(post))
@@ -2386,6 +2430,9 @@ class TxLogTable:
                     os.remove(os.path.join(self.path, f))
                 if cdc_rel is not None:
                     os.remove(os.path.join(self.path, cdc_rel))
+            finally:
+                if persisted is not None:
+                    persisted.unpersist()
         raise CommitConflict(f"update gave up after {max_retries} retries")
 
     def _write_sidecar(self, df: DataFrame) -> str:
@@ -2528,7 +2575,16 @@ class TxLogTable:
             )
             schema_json = self._schema_at()
             scan = self._scan_with_filepath(cands, schema_json, dvs=dvs)
-            matched = scan.filter(hit)
+            # PERSISTED (round 11): the matched frame feeds THREE actions
+            # — the per-file counts, the update post-images, and the
+            # sidecar positions. Re-evaluating a nondeterministic
+            # condition across them could record a DV cardinality that
+            # disagrees with the masked positions and wrongly retire a
+            # file with live rows; one materialization (O(matched rows),
+            # the DV cost model's own budget) single-sources all three.
+            from pyspark.storagelevel import StorageLevel
+
+            matched = scan.filter(hit).persist(StorageLevel.MEMORY_AND_DISK)
             # per-file match counts keyed by the scan's file-path URI,
             # decoded to relative paths driver-side (_rel_path handles
             # the URI percent-encoding exactly once) — O(touched files)
@@ -2541,6 +2597,7 @@ class TxLogTable:
             rel_by_uri = {r["u"]: self._rel_path(r["u"]) for r in uri_rows}
             counts = {rel_by_uri[r["u"]]: r["n"] for r in uri_rows}
             if not counts:
+                matched.unpersist()
                 try:
                     # faithful history: a no-op DML still commits (same
                     # contract as the COW path — and it rebases like any
@@ -2620,6 +2677,8 @@ class TxLogTable:
                     os.remove(os.path.join(self.path, sidecar))
                 for f in adds:
                     os.remove(os.path.join(self.path, f))
+            finally:
+                matched.unpersist()
         raise CommitConflict(f"{op} (dv) gave up after {max_retries} retries")
 
     def _touched_by_keys(
@@ -4829,10 +4888,21 @@ def _merge_into_dv(
         # wrongly retire a file whose unmatched rows are still live
         # (review finding, round 10). The COW twin merely duplicates
         # output rows; here the position set must be exact.
-        uri_rows = (
+        # PERSISTED (round 11): counts and the sidecar positions must
+        # come from ONE evaluation — a nondeterministic clause condition
+        # re-rolled across the two actions could record a cardinality
+        # that disagrees with the masked positions and wrongly retire a
+        # file with live rows. O(changed rows), the DV budget.
+        from pyspark.storagelevel import StorageLevel
+
+        doomed_pos = (
             j.filter(doomed)
-            .select(F.col("__file").alias("u"), F.col("__ridx"))
+            .select("__file", "__ridx")
             .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        uri_rows = (
+            doomed_pos.select(F.col("__file").alias("u"))
             .groupBy("u")
             .agg(F.count("*").alias("n"))
             .collect()
@@ -4896,9 +4966,9 @@ def _merge_into_dv(
                 list(rel_by_uri.items()), "__file string, file string"
             )
             new_pos = (
-                j.filter(doomed)
-                .select("__file", F.col("__ridx").alias("row_index"))
-                .distinct()  # same exact-position rule as the counts
+                doomed_pos.select(
+                    "__file", F.col("__ridx").alias("row_index")
+                )
                 .join(F.broadcast(uri_map), "__file")
                 .select("file", "row_index")
             )
@@ -4951,6 +5021,8 @@ def _merge_into_dv(
                 os.remove(os.path.join(table.path, f))
             if sidecar is not None:
                 os.remove(os.path.join(table.path, sidecar))
+        finally:
+            doomed_pos.unpersist()
     raise CommitConflict(f"merge (dv) gave up after {max_retries} retries")
 
 
@@ -5006,15 +5078,16 @@ def merge_into_txlog(
     one-semi-join touched-by-keys scan.
 
     ``cdc=True`` records the merge's EXACT row-level changes in a
-    change-data sidecar (merge.merge_clauses_cdc — the same clause plan
-    the merge runs, so the set cannot drift): feed readers then stream
-    O(changed rows) for this commit instead of netting the touched
-    files' rewrite noise. Costs one extra pass over the merge join —
-    which means clause conditions, SET expressions, and the source
-    frame must be DETERMINISTIC across the two passes (no ``rand()``/
-    ``uuid()``, no view over shifting data); a nondeterministic merge
-    with cdc=True can record a change set that diverges from the rows
-    actually committed.
+    change-data sidecar, SINGLE-PASS since round 11
+    (:func:`merge.merge_clauses_with_cdc` — ONE persisted clause-plan
+    evaluation feeds both the committed rows and the sidecar, so
+    nondeterministic clause conditions / SET expressions (``rand()``,
+    a view over shifting data), generated-column recomputes, and
+    identity-column assignment can never desynchronize the feed from
+    the table): feed readers then stream O(changed rows) for this
+    commit instead of netting the touched files' rewrite noise. Costs
+    the materialization of the merge join's post-images (persisted
+    MEMORY_AND_DISK for the commit's duration).
 
     ``mode='dv'`` is MERGE-ON-READ (Delta's deletion-vector MERGE):
     matched deletes and CHANGED matched updates record their target
@@ -5028,7 +5101,7 @@ def merge_into_txlog(
     ``rewrite='full'`` are rejected with it — a DV commit's feed is
     already row-exact (``read_changes`` derives the pre-images from the
     DV delta) and merge-on-read never rewrites touched files."""
-    from .merge import merge_clauses, merge_clauses_cdc, merge_frames
+    from .merge import merge_clauses, merge_clauses_with_cdc, merge_frames
 
     assert rewrite in ("touched", "full")
     ident_meta = table.identity_meta()
@@ -5059,14 +5132,6 @@ def merge_into_txlog(
                 "assign them and the source may not carry them — matched "
                 "rows keep their ids, inserted rows are assigned beyond "
                 "the watermark by the engine"
-            )
-        if cdc and _cl_i.get("not_matched"):
-            raise ValueError(
-                "cdc=True with identity-column inserts is not supported: "
-                "the change-set pass would assign ids independently of "
-                "the committed rows (monotonically_increasing_id is not "
-                "stable across executions); omit cdc=True — the netted "
-                "file-delta feed from read_changes() is still row-exact"
             )
         if clauses is None:
             # the simple whole-row form requires source/target schema
@@ -5142,14 +5207,6 @@ def merge_into_txlog(
                     source = source.withColumn(
                         g, F.lit(None).cast(_gt0[g])
                     )
-        if gen_recompute and cdc:
-            raise ValueError(
-                "cdc=True with generated-column recomputation is not "
-                f"supported (columns {sorted(gen_recompute)} would "
-                "recompute from merged sources); omit cdc=True — the "
-                "netted file-delta feed from read_changes() is still "
-                "row-exact"
-            )
     if clauses is not None and (
         matched_set or insert_values
         or when_matched != "update" or when_not_matched != "insert"
@@ -5226,46 +5283,35 @@ def merge_into_txlog(
                 if removes
                 else table._empty()
             )
-        if clauses is not None:
-            merged = merge_clauses(
-                target,
-                src_eff if insert_only else source,
-                keys,
-                matched=clauses.get("matched"),
-                not_matched=clauses.get("not_matched"),
-                not_matched_by_source=clauses.get("not_matched_by_source"),
-                evolve_schema=evolve_schema,
-            )
-        else:
-            merged = merge_frames(
-                target, source, keys, when_matched, when_not_matched,
-                evolve_schema, matched_set=matched_set,
-                insert_values=insert_values,
-            )
-        # column-mapped table + schema evolution: any column NEW to the
-        # mapping writes under a FRESH physical name and the merge
-        # commit records the extended mapping — otherwise a previously
-        # DROPPED column's identity-mapped name would resurrect the old
-        # files' values (or collide with a renamed column's physical
-        # name). Same rule as add_column.
-        if gen_recompute:
-            from pyspark.sql.types import StructType as _ST
-
-            _gt = {
-                f.name: f.dataType
-                for f in _ST.fromJson(json.loads(table._schema_at())).fields
-            }
-            for g, e in gen_recompute.items():
-                merged = merged.withColumn(g, F.expr(e).cast(_gt[g]))
-        cur_ident: dict[str, dict] = {}
-        if ident_meta:
+        # post-image transform shared by every construction path below:
+        # generated-column recompute then identity assignment, operating
+        # on plain post-image columns — so it applies identically to the
+        # merged frame (non-cdc paths) and to the single-pass flat frame
+        # (cdc path), and the values are single-sourced either way
+        cur_ident: dict[str, dict] = (
             # re-read per attempt: a racing commit may have advanced a
             # high watermark — assignment must start beyond the CURRENT
             # one (a lost conflict drops our files and re-runs this)
-            cur_ident = table.identity_meta()
+            table.identity_meta()
+            if ident_meta
+            else {}
+        )
+
+        def _post(df: DataFrame) -> DataFrame:
+            if gen_recompute:
+                from pyspark.sql.types import StructType as _ST
+
+                _gt = {
+                    f.name: f.dataType
+                    for f in _ST.fromJson(
+                        json.loads(table._schema_at())
+                    ).fields
+                }
+                for g, e in gen_recompute.items():
+                    df = df.withColumn(g, F.expr(e).cast(_gt[g]))
             for c, m in cur_ident.items():
                 base = m["start"] if m["hw"] is None else m["hw"] + m["step"]
-                merged = merged.withColumn(
+                df = df.withColumn(
                     c,
                     F.when(
                         F.col(c).isNull(),
@@ -5276,6 +5322,79 @@ def merge_into_txlog(
                         ).cast("long"),
                     ).otherwise(F.col(c)),
                 )
+            return df
+
+        persisted = None
+        cdc_df: DataFrame | None = None
+        if cdc and not insert_only:
+            # SINGLE-PASS cdc (round 11): one persisted clause-plan
+            # evaluation feeds BOTH the committed rows and the change
+            # sidecar — nondeterministic conditions/SET expressions,
+            # generated-column recomputes, and identity assignment can
+            # no longer desynchronize the feed (they are materialized
+            # once). merge_clauses_with_cdc shares prepare_clause_plan,
+            # so the semantics cannot drift from the non-cdc paths.
+            if clauses is None and not (matched_set or insert_values):
+                # preserve the simple whole-row form's loud contract
+                # (merge_frames asserts it; the clause plan would
+                # silently keep target values for absent columns)
+                if not evolve_schema and set(source.columns) != set(
+                    target.columns
+                ):
+                    raise AssertionError(
+                        "source/target schemas must match"
+                    )
+            cl = clauses if clauses is not None else _simple_form_clauses(
+                when_matched, when_not_matched, matched_set, insert_values
+            )
+            merged, cdc_df, persisted = merge_clauses_with_cdc(
+                target,
+                source,
+                keys,
+                matched=cl.get("matched"),
+                not_matched=cl.get("not_matched"),
+                not_matched_by_source=cl.get("not_matched_by_source"),
+                evolve_schema=evolve_schema,
+                post_transform=_post,
+            )
+        elif clauses is not None:
+            merged = _post(
+                merge_clauses(
+                    target,
+                    src_eff if insert_only else source,
+                    keys,
+                    matched=clauses.get("matched"),
+                    not_matched=clauses.get("not_matched"),
+                    not_matched_by_source=clauses.get(
+                        "not_matched_by_source"
+                    ),
+                    evolve_schema=evolve_schema,
+                )
+            )
+        else:
+            merged = _post(
+                merge_frames(
+                    target, source, keys, when_matched, when_not_matched,
+                    evolve_schema, matched_set=matched_set,
+                    insert_values=insert_values,
+                )
+            )
+        if cdc and insert_only:
+            # insert-only: the merge output IS the change set — persist
+            # it so the data write and the sidecar write read the SAME
+            # materialized rows (identity assignment is not stable
+            # across executions)
+            from pyspark.storagelevel import StorageLevel
+
+            persisted = merged.persist(StorageLevel.MEMORY_AND_DISK)
+            merged = persisted
+            cdc_df = persisted.withColumn("_change_type", F.lit("insert"))
+        # column-mapped table + schema evolution: any column NEW to the
+        # mapping writes under a FRESH physical name and the merge
+        # commit records the extended mapping — otherwise a previously
+        # DROPPED column's identity-mapped name would resurrect the old
+        # files' values (or collide with a renamed column's physical
+        # name). Same rule as add_column.
         mapping = table._mapping_at()
         new_mapping = None
         if mapping:
@@ -5289,21 +5408,7 @@ def merge_into_txlog(
             _mapping=new_mapping if new_mapping is not None else _MAPPING_DEFAULT,
         )
         cdc_rel: str | None = None
-        if cdc:
-            if clauses is not None and insert_only:
-                # insert-only: the merge output IS the change set
-                cdc_df = merged.withColumn("_change_type", F.lit("insert"))
-            else:
-                cl = clauses if clauses is not None else _simple_form_clauses(
-                    when_matched, when_not_matched, matched_set, insert_values
-                )
-                cdc_df = merge_clauses_cdc(
-                    target, source, keys,
-                    matched=cl.get("matched"),
-                    not_matched=cl.get("not_matched"),
-                    not_matched_by_source=cl.get("not_matched_by_source"),
-                    evolve_schema=evolve_schema,
-                )
+        if cdc_df is not None:
             cdc_rel = table._write_cdc(cdc_df)
         # record the STORED schema (field metadata intact — a projection
         # strips identity/generation annotations) widened by evolution,
@@ -5336,4 +5441,7 @@ def merge_into_txlog(
                 os.remove(os.path.join(table.path, f))
             if cdc_rel is not None:
                 os.remove(os.path.join(table.path, cdc_rel))
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
     raise CommitConflict(f"merge gave up after {max_retries} retries")

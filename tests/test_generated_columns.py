@@ -103,12 +103,23 @@ def test_update_recomputes_generated_dv_mode(spark, tmp_path):
     ] == [(11000, 11000 % 3)]
 
 
-def test_update_cdc_with_recompute_refuses(spark, tmp_path):
+def test_update_cdc_with_recompute_single_sourced(spark, tmp_path):
+    """Round-11: generated-column recompute composes with cdc=True —
+    single-pass materialization puts the RECOMPUTED post-images in the
+    sidecar (pre-round-11 this combination was refused)."""
     t, _ = _mk(spark, tmp_path)
-    with pytest.raises(ValueError, match="recomput"):
-        t.update_where("k = 2", {"k": F.lit(300)}, cdc=True)
-    # cdc over a NON-source update is fine
-    t.update_where("k = 2", {"amount": F.lit(5)}, cdc=True)
+    t.update_where("k = 2", {"k": F.lit(300)}, cdc=True)
+    ver = t.version()
+    ch = t.read_changes(ver, ver).select(
+        "k", "bucket", "_change_type"
+    ).collect()
+    ins = {(r["k"], r["bucket"]) for r in ch if r["_change_type"] == "insert"}
+    dels = {(r["k"], r["bucket"]) for r in ch if r["_change_type"] == "delete"}
+    assert ins == {(300, 0)}  # 300 % 3 == 0, recomputed post-image
+    assert dels == {(2, 2)}
+    assert {tuple(r) for r in t.read().filter("k = 300").select("k", "bucket").collect()} == {(300, 0)}
+    # cdc over a NON-source update is fine too
+    t.update_where("k = 3", {"amount": F.lit(5)}, cdc=True)
 
 
 def test_generated_partition_column_prunes(spark, tmp_path):
@@ -378,15 +389,34 @@ def test_merge_explicit_generated_assignment_validated(spark, tmp_path):
     assert t.read().filter("k = 7").collect()[0]["amount"] == 700
 
 
-def test_merge_cdc_with_recompute_refuses(spark, tmp_path):
+def test_merge_cdc_with_recompute_single_sourced(spark, tmp_path):
+    """Round-11: MERGE generated-column recompute composes with
+    cdc=True — the sidecar carries the recomputed post-images from the
+    same materialized pass that wrote the table rows."""
     from airbnb_listings_data_pipelines_spark.operators.txlog import (
         merge_into_txlog,
     )
 
     t, _ = _mk(spark, tmp_path)
-    src = spark.createDataFrame([(7, 700)], "k long, amount long")
-    with pytest.raises(ValueError, match="recomput"):
-        merge_into_txlog(spark, t, src, ["k"], cdc=True)
+    src = spark.createDataFrame([(7, 700), (100, 70)], "k long, amount long")
+    merge_into_txlog(spark, t, src, ["k"], cdc=True)
+    ver = t.version()
+    ch = t.read_changes(ver, ver).select(
+        "k", "amount", "bucket", "_change_type"
+    ).collect()
+    ins = {
+        (r["k"], r["amount"], r["bucket"])
+        for r in ch
+        if r["_change_type"] == "insert"
+    }
+    # updated row's recomputed bucket (7 % 3 == 1) and the inserted
+    # row's computed bucket (100 % 3 == 1) both appear in the sidecar
+    assert ins == {(7, 700, 1), (100, 70, 1)}
+    got = {
+        tuple(r)
+        for r in t.read().filter("k in (7, 100)").collect()
+    }
+    assert got == {(7, 700, 1), (100, 70, 1)}
 
 
 def test_delete_only_merge_keeps_cdc_usable(spark, tmp_path):

@@ -189,17 +189,39 @@ def test_merge_evolve_schema_on_identity_table(spark, tmp_path):
     assert len(set(ids)) == len(ids)
 
 
-def test_cdc_with_identity_inserts_refused(spark, tmp_path):
+def test_cdc_with_identity_inserts_single_sourced(spark, tmp_path):
+    """Round-11 single-pass cdc: the sidecar's insert rows carry the
+    SAME engine-assigned ids as the committed rows (one persisted
+    evaluation feeds both — pre-round-11 this was refused because the
+    two passes would assign independently)."""
     t = _mk(spark, tmp_path)
-    with pytest.raises(ValueError, match="cdc"):
-        merge_into_txlog(
-            spark,
-            t,
-            spark.createDataFrame([(4, "d")], "k bigint, v string"),
-            ["k"],
-            cdc=True,
-        )
-    # delete-only merge has no inserts to assign: cdc composes
+    v = merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(2, "B"), (4, "d"), (5, "e")], "k bigint, v string"
+        ),
+        ["k"],
+        cdc=True,
+    )
+    assert v is not None
+    ver = t.version()
+    ch = t.read_changes(ver, ver)
+    # the internal feed maps update pre/post images to delete/insert, so
+    # k=2's update also surfaces as an insert — restrict to the true
+    # NOT MATCHED keys for the id comparison
+    ins = {
+        (r["k"], r["row_id"])
+        for r in ch.collect()
+        if r["_change_type"] == "insert" and r["k"] in (4, 5)
+    }
+    committed = {
+        (r["k"], r["row_id"])
+        for r in t.read().collect()
+        if r["k"] in (4, 5)
+    }
+    assert ins == committed, (ins, committed)
+    # delete-only merge cdc still composes
     merge_into_txlog(
         spark,
         t,
@@ -208,7 +230,7 @@ def test_cdc_with_identity_inserts_refused(spark, tmp_path):
         clauses={"matched": [{"action": "delete"}]},
         cdc=True,
     )
-    assert sorted(r["k"] for r in t.read().collect()) == [2, 3]
+    assert sorted(r["k"] for r in t.read().collect()) == [2, 3, 4, 5]
 
 
 def test_export_after_identity_merge_writer_v6(spark, tmp_path):

@@ -607,3 +607,120 @@ def test_feed_one_contract_across_dml_modes(spark, tmp_path):
         (2, "delete"): 5, (2, "insert"): 5,
         (3, "delete"): 2, (3, "insert"): 2,
     }
+
+
+def test_cdc_single_pass_exact_under_rand_condition(spark, tmp_path):
+    """Round-11 single-pass cdc (one persisted clause-plan evaluation
+    feeds both the committed rows and the sidecar): a NONDETERMINISTIC
+    matched condition (rand()) can no longer desynchronize the feed —
+    applying the sidecar's deltas to the pre-state must reproduce the
+    post-state EXACTLY. Pre-round-11 the change set came from a second
+    pass that re-rolled the dice."""
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        merge_into_txlog,
+    )
+
+    t = _mk(spark, tmp_path, n=200, parts=4)
+    pre = {tuple(r) for r in t.read().collect()}
+    src = spark.createDataFrame(
+        [(k, f"u{k}", float(k) + 1000.0) for k in range(200)],
+        "k int, v string, amt double",
+    )
+    merge_into_txlog(
+        spark,
+        t,
+        src,
+        ["k"],
+        clauses={
+            "matched": [
+                {"cond": "rand() < 0.5", "action": "update", "set": None}
+            ]
+        },
+        cdc=True,
+    )
+    post = {tuple(r) for r in t.read().collect()}
+    ver = t.version()
+    ch = t.read_changes(ver, ver).select(
+        "k", "v", "amt", "_change_type"
+    ).collect()
+    dels = {(r["k"], r["v"], r["amt"]) for r in ch if r["_change_type"] == "delete"}
+    inss = {(r["k"], r["v"], r["amt"]) for r in ch if r["_change_type"] == "insert"}
+    # the feed's deltas applied to pre-state reproduce post-state exactly
+    assert (pre - dels) | inss == post
+    assert dels <= pre and inss <= post
+    # some rows updated, some kept (sanity of the rand split — 200 coin
+    # flips landing all one way has p ~ 2^-199)
+    assert 0 < len(dels) < 200
+
+
+def test_cdc_generated_column_recompute_postimages(spark, tmp_path):
+    """Round-11: generated-column recompute now composes with cdc=True
+    (the recomputed post-images are materialized ONCE and land in the
+    sidecar — pre-round-11 this combination was refused). x91-style
+    exactness: sidecar rows == exact changed rows, recomputed values
+    included."""
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        TxLogTable,
+        merge_into_txlog,
+    )
+
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "g"),
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(40)], "k int, amt double"
+        ).repartition(4),
+        generated={"bucket": "CAST(amt / 10 AS INT)"},
+    )
+    merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(3, 35.0), (7, 71.0), (100, 5.0)], "k int, amt double"
+        ),
+        ["k"],
+        cdc=True,
+    )
+    ver = t.version()
+    ch = t.read_changes(ver, ver).select(
+        "k", "amt", "bucket", "_change_type"
+    ).collect()
+    inss = {
+        (r["k"], r["amt"], r["bucket"])
+        for r in ch
+        if r["_change_type"] == "insert"
+    }
+    dels = {
+        (r["k"], r["amt"], r["bucket"])
+        for r in ch
+        if r["_change_type"] == "delete"
+    }
+    # exact change set, recomputed buckets in the post-images
+    assert inss == {(3, 35.0, 3), (7, 71.0, 7), (100, 5.0, 0)}
+    assert dels == {(3, 3.0, 0), (7, 7.0, 0)}
+    # and the sidecar rows agree with the committed table state
+    got = {tuple(r) for r in t.read().filter("k in (3,7,100)").collect()}
+    assert got == {(3, 35.0, 3), (7, 71.0, 7), (100, 5.0, 0)}
+
+
+def test_cdc_update_delete_exact_under_rand(spark, tmp_path):
+    """UPDATE and DELETE with nondeterministic conditions + cdc=True:
+    the round-11 single-pass persist means the sidecar partitions the
+    rows EXACTLY as the rewrite did — feed deltas applied to pre-state
+    reproduce post-state."""
+    t = _mk(spark, tmp_path, n=200, parts=4)
+    pre = {tuple(r) for r in t.read().collect()}
+    t.update_where("rand() < 0.5", {"amt": F.col("amt") + 1000.0}, cdc=True)
+    mid = {tuple(r) for r in t.read().collect()}
+    ch = t.read_changes(1, 1).select("k", "v", "amt", "_change_type").collect()
+    dels = {(r["k"], r["v"], r["amt"]) for r in ch if r["_change_type"] == "delete"}
+    inss = {(r["k"], r["v"], r["amt"]) for r in ch if r["_change_type"] == "insert"}
+    assert (pre - dels) | inss == mid
+    assert 0 < len(dels) < 200
+    t.delete_where("rand() < 0.5", cdc=True)
+    post = {tuple(r) for r in t.read().collect()}
+    ch2 = t.read_changes(2, 2).select("k", "v", "amt", "_change_type").collect()
+    dels2 = {(r["k"], r["v"], r["amt"]) for r in ch2 if r["_change_type"] == "delete"}
+    assert all(r["_change_type"] == "delete" for r in ch2)
+    assert mid - dels2 == post and dels2 <= mid
+    assert 0 < len(dels2) < len(mid)
