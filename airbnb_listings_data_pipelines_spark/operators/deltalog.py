@@ -76,6 +76,10 @@ class _DeltaState:
     protocol: dict
     tombstones: dict[str, dict] = field(default_factory=dict)
     txns: dict[str, dict] = field(default_factory=dict)
+    # domainMetadata actions (PROTOCOL.md "Domain Metadata"): latest
+    # configuration per domain — row tracking keeps its rowIdHighWaterMark
+    # here, so checkpoints must preserve them like txn app versions
+    domains: dict[str, dict] = field(default_factory=dict)
 
 
 def _delta_commit_name(version: int) -> str:
@@ -491,6 +495,12 @@ def export_delta_log(spark: SparkSession, table) -> int:
     ict_since: int | None = None
     ict_enable_ts: int | None = None
     prev_ict: int | None = None
+    # row-tracking fold (PROTOCOL.md "Row Tracking", writer feature):
+    # per-file baseRowId -> add.baseRowId / add.defaultRowCommitVersion,
+    # high watermark -> the delta.rowTracking domainMetadata action
+    rt_bases: dict[str, int] = {}
+    rt_dcv: dict[str, int] = {}
+    rt_hw = -1
     for v in range(latest + 1):
         c = tx_state.get(v)
         if c is None:
@@ -510,6 +520,21 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 dv_state[f] = d
         if dv_state:
             dv_feature = True
+        if c.get("row_base_state") is not None:
+            rt_bases = {
+                str(k): int(x) for k, x in c["row_base_state"].items()
+            }
+        else:
+            if c.get("row_base_reset") is not None:
+                rt_bases = {
+                    str(k): int(x) for k, x in c["row_base_reset"].items()
+                }
+            for k, x in (c.get("row_base") or {}).items():
+                rt_bases[str(k)] = int(x)
+        for k in rt_bases:
+            rt_dcv.setdefault(k, v)
+        if c.get("row_hw") is not None:
+            rt_hw = max(rt_hw, int(c["row_hw"]))
         if c.get("cdc"):
             cdc_feature = True
         # generatedColumns latch (writer feature, legacy writer v4): the
@@ -575,6 +600,7 @@ def export_delta_log(spark: SparkSession, table) -> int:
         ict_feature = (
             cur_props.get("delta.enableInCommitTimestamps") == "true"
         )
+        rt_feature = cur_props.get("delta.enableRowTracking") == "true"
         if ict_feature and ict_since is None:
             ict_since = v
             # the provenance timestamp must EQUAL the enablement
@@ -599,6 +625,13 @@ def export_delta_log(spark: SparkSession, table) -> int:
             cfg["delta.columnMapping.maxColumnId"] = str(max_id)
         if cdc_feature:
             cfg["delta.enableChangeDataFeed"] = "true"
+        if rt_feature:
+            # the physical column rewrite paths materialize ids into —
+            # external readers resolve it from the config (spec rule)
+            cfg.setdefault(
+                "delta.rowTracking.materializedRowIdColumnName",
+                "_rt_row_id",
+            )
         if ict_feature and ict_since and ict_since > 0:
             # spec provenance for mid-life enablement: versions below
             # this are resolved by file timestamps, at/above by ICT.
@@ -616,7 +649,7 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 "delta.inCommitTimestampEnablementTimestamp",
                 str(ict_enable_ts),
             )
-        if dv_feature or v2ckpt_feature or ict_feature:
+        if dv_feature or v2ckpt_feature or ict_feature or rt_feature:
             # table-features protocol: readerFeatures lists what a reader
             # must honor; writerFeatures additionally carries the legacy
             # features the pre-upgrade writer version implied (the
@@ -632,6 +665,10 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 wf.add("v2Checkpoint")
             if ict_feature:
                 wf.add("inCommitTimestamp")
+            if rt_feature:
+                # rowTracking requires the domainMetadata writer feature
+                # (the watermark lives in a domain) — both writer-only
+                wf |= {"rowTracking", "domainMetadata"}
             if cur_checks:
                 wf.add("checkConstraints")
             if cdc_feature:
@@ -820,6 +857,9 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 else now_ms,
                 "dataChange": True,
             }
+            if rt_feature and f in rt_bases:
+                add["baseRowId"] = rt_bases[f]
+                add["defaultRowCommitVersion"] = rt_dcv.get(f, v)
             stats = _file_delta_stats(full) if exists else None
             if stats is not None:
                 if dv is not None:
@@ -912,6 +952,21 @@ def export_delta_log(spark: SparkSession, table) -> int:
                             }
                         }
                     )
+        if rt_feature and c.get("row_hw") is not None:
+            # PROTOCOL.md Row Tracking: the high watermark rides the
+            # delta.rowTracking domain — emitted on every commit that
+            # advanced it, so external writers fence fresh ids correctly
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": "delta.rowTracking",
+                        "configuration": json.dumps(
+                            {"rowIdHighWaterMark": int(c["row_hw"])}
+                        ),
+                        "removed": False,
+                    }
+                }
+            )
         if c.get("txn"):
             # mirror the txlog streaming-transaction marker as the Delta
             # protocol's txn action, so an external engine taking over the
@@ -1235,7 +1290,10 @@ def write_delta_checkpoint(
         "struct<path:string,partitionValues:map<string,string>,size:bigint,"
         "modificationTime:bigint,dataChange:boolean,stats:string,"
         "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
-        "offset:int,sizeInBytes:int,cardinality:bigint>>"
+        "offset:int,sizeInBytes:int,cardinality:bigint>,"
+        # row tracking: checkpoints must preserve the per-file base row
+        # ids or every metadata-derived id dies with the JSON head
+        "baseRowId:bigint,defaultRowCommitVersion:bigint>"
     )
     rm_t = (
         "struct<path:string,deletionTimestamp:bigint,dataChange:boolean,"
@@ -1259,7 +1317,10 @@ def write_delta_checkpoint(
         return _write_v2_checkpoint(
             spark, delta_dir, state, want, parts, add_t, rm_t
         )
-    blank = {"add": None, "remove": None, "metaData": None, "protocol": None, "txn": None}
+    blank = {
+        "add": None, "remove": None, "metaData": None, "protocol": None,
+        "txn": None, "domainMetadata": None,
+    }
     rows = [json.dumps({**blank, "add": a}) for a in state.live.values()]
     # PROTOCOL.md: checkpoints must preserve unexpired remove tombstones
     # (VACUUM safety for external engines) and per-app txn versions
@@ -1267,16 +1328,26 @@ def write_delta_checkpoint(
     # checkpoint would silently discard that state
     rows += [json.dumps({**blank, "remove": r}) for r in state.tombstones.values()]
     rows += [json.dumps({**blank, "txn": t}) for t in state.txns.values()]
+    # PROTOCOL.md "Domain Metadata": checkpoints preserve live domain
+    # configurations (row tracking keeps its watermark there)
+    rows += [
+        json.dumps({**blank, "domainMetadata": d})
+        for d in state.domains.values()
+    ]
     rows.append(json.dumps({**blank, "metaData": state.metadata}))
     rows.append(json.dumps({**blank, "protocol": state.protocol}))
+    dm_t = "STRUCT<domain: STRING, configuration: STRING, removed: BOOLEAN>"
     cp = (
         spark.createDataFrame([(r,) for r in rows], "value string")
         .selectExpr(
             "from_json(value, '"
             f"add {add_t}, remove {rm_t}, metaData {meta_t}, "
-            f"protocol {proto_t}, txn {txn_t}') AS a"
+            f"protocol {proto_t}, txn {txn_t}, domainMetadata {dm_t}') AS a"
         )
-        .select("a.add", "a.remove", "a.metaData", "a.protocol", "a.txn")
+        .select(
+            "a.add", "a.remove", "a.metaData", "a.protocol", "a.txn",
+            "a.domainMetadata",
+        )
     )
     stage = os.path.join(delta_dir, f".ckpt-stage-{uuid.uuid4().hex}")
     n_parts = int(parts) if parts and parts > 1 else 1
@@ -1369,6 +1440,9 @@ def _write_v2_checkpoint(
     lines.append(json.dumps({"protocol": state.protocol}))
     lines.append(json.dumps({"metaData": state.metadata}))
     lines += [json.dumps({"txn": t}) for t in state.txns.values()]
+    lines += [
+        json.dumps({"domainMetadata": d}) for d in state.domains.values()
+    ]
     lines += [json.dumps({"sidecar": s}) for s in sidecars]
     manifest = f"{want:020d}.checkpoint.{uuid.uuid4().hex}.json"
     tmp = os.path.join(delta_dir, f".v2ckpt-{uuid.uuid4().hex}")
@@ -1588,7 +1662,7 @@ def _fold_parquet_actions(
         c
         for c in (
             "add", "remove", "metaData", "protocol", "txn",
-            "sidecar", "checkpointMetadata",
+            "sidecar", "checkpointMetadata", "domainMetadata",
         )
         if c in cols
     ]
@@ -1622,6 +1696,13 @@ def _fold_parquet_actions(
         if txn is not None and txn["appId"] is not None:
             d = txn.asDict(recursive=True)
             state.txns[d["appId"]] = {k: v for k, v in d.items() if v is not None}
+        dm = r["domainMetadata"] if "domainMetadata" in cols else None
+        if dm is not None and dm["domain"] is not None:
+            d = dm.asDict(recursive=True)
+            if d.get("removed"):
+                state.domains.pop(d["domain"], None)
+            else:
+                state.domains[d["domain"]] = d
         sc = r["sidecar"] if "sidecar" in cols else None
         if sc is not None and sc["path"] is not None:
             sidecars.append(sc.asDict(recursive=True))
@@ -1647,6 +1728,12 @@ def _fold_json_action(state: _DeltaState, a: dict) -> dict | None:
         app = a["txn"].get("appId")
         if app is not None:
             state.txns[app] = a["txn"]
+    elif "domainMetadata" in a:
+        dm = a["domainMetadata"]
+        if dm.get("removed"):
+            state.domains.pop(dm.get("domain"), None)
+        elif dm.get("domain") is not None:
+            state.domains[dm["domain"]] = dm
     elif "sidecar" in a:
         return a["sidecar"]
     return None
@@ -1850,6 +1937,12 @@ def _fold_commit_file(full: str, state: _DeltaState) -> None:
                 app = action["txn"].get("appId")
                 if app is not None:
                     state.txns[app] = action["txn"]
+            elif "domainMetadata" in action:
+                dm = action["domainMetadata"]
+                if dm.get("removed"):
+                    state.domains.pop(dm.get("domain"), None)
+                elif dm.get("domain") is not None:
+                    state.domains[dm["domain"]] = dm
 
 
 def write_delta_compaction(path: str, start: int, end: int) -> str:
@@ -1998,6 +2091,115 @@ def read_delta_snapshot(
     if not state.live:
         return _empty_snapshot(spark, state.metadata)
     return _read_live_files(spark, path, state.live, state.metadata)
+
+
+def read_delta_row_ids(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot plus ``_row_id`` computed from the ``_delta_log`` ALONE
+    per the protocol's Row Tracking rules — the txlog-independent twin
+    of ``TxLogTable.read_with_row_ids``: a row's id is the materialized
+    row-id column (config ``delta.rowTracking.
+    materializedRowIdColumnName``) when non-null, else its file's
+    ``add.baseRowId`` plus the in-file row index. v1 scope:
+    unpartitioned tables, columnMapping mode none (the fixture shapes
+    the engine exports); deletion vectors are honored."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    path = path.rstrip("/")
+    delta_dir = os.path.join(path, DELTA_DIR)
+    state = _replay_delta_log(spark, delta_dir, version)
+    md = state.metadata
+    cfg = (md or {}).get("configuration") or {}
+    if cfg.get("delta.enableRowTracking") != "true":
+        raise ValueError(
+            "delta.enableRowTracking is not set on this table's metaData"
+        )
+    if (md or {}).get("partitionColumns"):
+        raise NotImplementedError(
+            "read_delta_row_ids: partitioned tables are out of v1 scope"
+        )
+    if _require_supported_mapping(md) != "none":
+        raise NotImplementedError(
+            "read_delta_row_ids: column-mapped tables are out of v1 scope"
+        )
+    mat_col = cfg.get(
+        "delta.rowTracking.materializedRowIdColumnName", "_rt_row_id"
+    )
+    schema = _logical_schema(md)
+    if not state.live:
+        return spark.createDataFrame(
+            [], StructType(list(schema.fields)).add("_row_id", LongType())
+        )
+    ordered = sorted(state.live)
+    basenames = [f.rsplit("/", 1)[-1] for f in ordered]
+    if len(set(basenames)) != len(basenames):
+        raise NotImplementedError(
+            "read_delta_row_ids: colliding data-file basenames are out "
+            "of v1 scope"
+        )
+    rows = []
+    for f, b in zip(ordered, basenames):
+        base = state.live[f].get("baseRowId")
+        if base is None:
+            raise ValueError(
+                f"add action for {f!r} carries no baseRowId — the log "
+                "was not written with row tracking"
+            )
+        rows.append((b, int(base)))
+    bmap = F.broadcast(
+        spark.createDataFrame(rows, "__rtf string, __rtbase long")
+    )
+    read_schema = StructType(
+        list(schema.fields) + [StructField(mat_col, LongType(), True)]
+    )
+    scan = spark.read.schema(read_schema).parquet(
+        *[os.path.join(path, f) for f in ordered]
+    ).select(
+        *[F.col(f.name) for f in schema.fields],
+        F.col(mat_col),
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("__rtf"),
+        F.col("_metadata.row_index").alias("__rti"),
+    )
+    dv_live = {
+        f: a["deletionVector"]
+        for f, a in state.live.items()
+        if a.get("deletionVector")
+    }
+    if dv_live:
+        dv_df = _delta_dv_rows(spark, path, dv_live)
+        keyed = dv_df.select(
+            F.element_at(F.split(F.col("file"), "/"), -1).alias("__rtf"),
+            F.col("row_index").alias("__rti"),
+        )
+        scan = scan.join(
+            F.broadcast(keyed), ["__rtf", "__rti"], "left_anti"
+        )
+    return (
+        scan.join(bmap, "__rtf", "left")
+        .select(
+            *[F.col(f.name) for f in schema.fields],
+            F.coalesce(
+                F.col(mat_col), F.col("__rtbase") + F.col("__rti")
+            ).alias("_row_id"),
+        )
+    )
+
+
+def delta_row_id_high_watermark(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int | None:
+    """The ``rowIdHighWaterMark`` from the ``delta.rowTracking``
+    domainMetadata at ``version`` (None when the domain is absent) — the
+    value an external writer must fence fresh base row ids beyond."""
+    delta_dir = os.path.join(path.rstrip("/"), DELTA_DIR)
+    state = _replay_delta_log(spark, delta_dir, version)
+    dm = state.domains.get("delta.rowTracking")
+    if dm is None:
+        return None
+    return int(json.loads(dm["configuration"])["rowIdHighWaterMark"])
 
 
 def _version_at_timestamp(delta_dir: str, timestamp_ms: int) -> int:

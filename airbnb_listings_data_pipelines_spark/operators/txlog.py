@@ -582,6 +582,12 @@ def version_from_commit_times(
 # sentinel: "caller didn't specify a mapping — resolve the latest one"
 _MAPPING_DEFAULT = object()
 
+# Row tracking (Delta's rowTracking writer feature): the PHYSICAL column
+# rewrite paths materialize stable row ids into. Never part of the
+# logical schema — explicit-schema reads ignore it; the row-id read path
+# coalesces it over the metadata-derived (baseRowId + row index) form.
+_ROW_ID_PHYS = "_rt_row_id"
+
 
 def replay_log(log_dir: str, as_of: int | None = None) -> tuple[int, list[str]]:
     """(version, live file list) at the latest version or at ``as_of`` —
@@ -2013,13 +2019,17 @@ class TxLogTable:
         files: list[str],
         schema_json: str | None,
         dvs: dict[str, dict] | None = None,
+        extra_fields: list | None = None,
     ) -> DataFrame:
         """:meth:`_read_files` plus Spark's hidden ``_metadata.file_path``
         column (aliased ``__file``) and in-file row position (``__ridx``)
         — the hooks DML uses to discover which files/rows are affected.
         Selected directly on the scan output, where metadata columns are
         resolvable. With ``dvs``, already-deleted rows are anti-joined
-        out so DML can never re-match them."""
+        out so DML can never re-match them. ``extra_fields`` appends
+        PHYSICAL-ONLY fields to the read schema (e.g. the materialized
+        row-id column) — never column-mapped; files lacking them read
+        NULL (explicit-schema parquet semantics)."""
         from pyspark.sql.types import StructType
 
         paths = [os.path.join(self.path, f) for f in files]
@@ -2039,6 +2049,9 @@ class TxLogTable:
                     schema = schema.add(fld)
             mapping = None  # legacy log: never column-mapped
         physical = _physical_struct(schema, mapping)
+        if extra_fields:
+            schema = StructType(list(schema.fields) + list(extra_fields))
+            physical = StructType(list(physical.fields) + list(extra_fields))
 
         def _scan(subset: list[str]) -> DataFrame:
             reader = self.spark.read.schema(physical)
@@ -2199,6 +2212,7 @@ class TxLogTable:
             return self._dml_dv(cond, None, prune, max_retries, op="delete")
         if mode != "cow":
             raise ValueError(f"unknown DML mode {mode!r} (cow|dv)")
+        self._rt_refuse_cow("DELETE")
         for _attempt in range(max_retries + 1):
             base_version, base_files, dvs = self._replay_full()
             cands = (
@@ -2323,6 +2337,7 @@ class TxLogTable:
             return self._dml_dv(cond, sets, prune, max_retries, op="update")
         if mode != "cow":
             raise ValueError(f"unknown DML mode {mode!r} (cow|dv)")
+        self._rt_refuse_cow("UPDATE")
         for _attempt in range(max_retries + 1):
             base_version, base_files, dvs = self._replay_full()
             cands = (
@@ -2567,14 +2582,28 @@ class TxLogTable:
         — the sliver-DML cost model COW cannot give (SCALING.md)."""
         import pyarrow.parquet as pq
 
+        from pyspark.sql.types import LongType, StructField
+
         hit = F.coalesce(cond, F.lit(False))
+        rt_on = sets is not None and self.row_tracking_enabled()
         for _attempt in range(max_retries + 1):
             base_version, base_files, dvs = self._replay_full()
             cands = (
                 self._prune_files(base_files, *prune) if prune else base_files
             )
             schema_json = self._schema_at()
-            scan = self._scan_with_filepath(cands, schema_json, dvs=dvs)
+            scan = self._scan_with_filepath(
+                cands,
+                schema_json,
+                dvs=dvs,
+                # row tracking: the UPDATE's post-image rows must carry
+                # their OLD ids — read any materialized values alongside
+                extra_fields=(
+                    [StructField(_ROW_ID_PHYS, LongType(), True)]
+                    if rt_on
+                    else None
+                ),
+            )
             # PERSISTED (round 11): the matched frame feeds THREE actions
             # — the per-file counts, the update post-images, and the
             # sidecar positions. Re-evaluating a nondeterministic
@@ -2612,13 +2641,47 @@ class TxLogTable:
             adds: list[str] = []
             if sets is not None:
                 data_cols = [
-                    c for c in matched.columns if c not in ("__file", "__ridx")
+                    c
+                    for c in matched.columns
+                    if c not in ("__file", "__ridx", _ROW_ID_PHYS)
                 ]
-                updated = matched.select(
+                src = matched
+                rt_sel: list = []
+                if rt_on:
+                    # stable ids ride into the post-image files: old id =
+                    # materialized value if present, else base + row
+                    # index — the (uri -> base) map is driver-built from
+                    # the counts collect above, O(touched files)
+                    rt_bases, _rhw = self.row_tracking_meta()
+                    miss = [
+                        r for r in rel_by_uri.values() if r not in rt_bases
+                    ]
+                    if miss:
+                        raise ValueError(
+                            f"row tracking state missing for {miss[:3]}"
+                        )
+                    bmap = F.broadcast(
+                        self.spark.createDataFrame(
+                            [
+                                (u, int(rt_bases[r]))
+                                for u, r in rel_by_uri.items()
+                            ],
+                            "__file string, __rtbase long",
+                        )
+                    )
+                    src = matched.join(bmap, "__file", "left")
+                    rt_sel = [
+                        F.coalesce(
+                            F.col(_ROW_ID_PHYS),
+                            F.col("__rtbase") + F.col("__ridx"),
+                        ).alias(_ROW_ID_PHYS)
+                    ]
+                updated = src.select(
                     *[
                         sets[c].alias(c) if c in sets else F.col(c)
                         for c in data_cols
-                    ]
+                    ],
+                    *rt_sel,
                 )
                 # every row here matched, so generated-column recompute
                 # is a plain second projection over the post frame
@@ -3053,6 +3116,81 @@ class TxLogTable:
                 app, tv = str(t["appId"]), int(t["version"])
                 txns[app] = max(txns.get(app, tv), tv)
             extra["txns_state"] = txns
+        # ---- row tracking (Delta rowTracking): baseRowId assignment ----
+        # every ADDED file gets base = hw+1 and the watermark advances by
+        # its row count (numRecords from the stats just stamped — zero
+        # extra reads); the ENABLEMENT commit itself backfills every live
+        # file (one metadata-only commit turns tracking on for an
+        # existing table). Race-safe by construction: assignment happens
+        # per commit ATTEMPT under the current fold, and a losing O_EXCL
+        # race re-runs it against the winner's state — nothing stale can
+        # land (unlike identity VALUES, bases live only in the log).
+        # Restore passes row_base_reset (the target version's bases, hw
+        # clamped monotone); files it re-adds from a pre-enablement era
+        # get fresh bases here.
+        _props_delta = extra.get("properties") or {}
+        _rt_switch = _props_delta.get("delta.enableRowTracking")
+        if _rt_switch is not None:
+            _rt_on = str(_rt_switch) == "true"
+        elif extra.get("properties_reset") is not None:
+            _rt_on = (
+                extra["properties_reset"].get("delta.enableRowTracking")
+                == "true"
+            )
+        else:
+            _rt_on = (
+                version > 0
+                and self.properties().get("delta.enableRowTracking")
+                == "true"
+            )
+        if _rt_on:
+            bases, hw = self.row_tracking_meta()
+            reset = extra.get("row_base_reset")
+            known = dict(reset) if reset is not None else bases
+            if reset is not None:
+                hw = max(hw, int(extra.get("row_hw", hw)))
+            todo = [f for f in adds if f not in known]
+            if str(_rt_switch) == "true":
+                # enablement backfill: every live file lacking a base
+                _lv, live = self._replay()
+                todo += sorted(
+                    set(live) - set(removes) - set(adds) - set(known)
+                )
+            rb: dict[str, int] = {}
+            if todo:
+                stfold = None
+                for f in todo:
+                    n = (
+                        (extra.get("stats") or {}).get(f) or {}
+                    ).get("numRecords")
+                    if n is None:
+                        if stfold is None:
+                            stfold = replay_stats(self.log_dir)
+                        n = (stfold.get(f) or {}).get("numRecords")
+                    if n is None:
+                        import pyarrow.parquet as _pq
+
+                        n = _pq.ParquetFile(
+                            os.path.join(self.path, f)
+                        ).metadata.num_rows
+                    rb[f] = hw + 1
+                    hw += int(n)
+            if reset is not None:
+                if rb:
+                    extra["row_base_reset"] = {**reset, **rb}
+                extra["row_hw"] = hw
+            elif rb:
+                extra["row_base"] = rb
+                extra["row_hw"] = hw
+            if is_ckpt:
+                # full-state snapshot for live files, so the fold (and
+                # cleanup_log truncation) never loses a retained file's
+                # base — same lifecycle as dvs_state/stats_state
+                full = {**bases, **(dict(reset) if reset else {}), **rb}
+                extra["row_base_state"] = {
+                    f: full[f] for f in adds if f in full
+                }
+                extra["row_hw"] = hw
         ckpt_sidecar: str | None = None
         if (
             is_ckpt
@@ -3450,11 +3588,38 @@ class TxLogTable:
                 return base_version  # nothing overlaps: no-op, no commit
         else:
             files = base_files
-        snap = (
-            self._read_files(files, self._schema_at(), dvs=dvs)
-            if files
-            else self._empty()
-        )
+        rt_on = files and self.row_tracking_enabled()
+        if rt_on:
+            # row tracking: the rewrite MATERIALIZES every row's stable
+            # id into the _rt_row_id physical column (ids derived from
+            # the old files' bases + positions, or their own materialized
+            # values) — positions change across a compaction, so the
+            # metadata-derived form alone cannot survive it. The column
+            # is physical-only: the recorded schema is unchanged and
+            # plain reads never see it.
+            from pyspark.sql.types import LongType, StructField
+
+            bases, _rhw = self.row_tracking_meta()
+            scan = self._scan_with_filepath(
+                files,
+                self._schema_at(),
+                dvs=dvs,
+                extra_fields=[StructField(_ROW_ID_PHYS, LongType(), True)],
+            )
+            data_cols = [
+                c
+                for c in scan.columns
+                if c not in ("__file", "__ridx", _ROW_ID_PHYS)
+            ]
+            snap = self._rt_attach(scan, files, bases, _ROW_ID_PHYS).select(
+                *data_cols, _ROW_ID_PHYS
+            )
+        else:
+            snap = (
+                self._read_files(files, self._schema_at(), dvs=dvs)
+                if files
+                else self._empty()
+            )
         if zorder_by:
             from .maintenance import zvalue
 
@@ -3612,6 +3777,17 @@ class TxLogTable:
                 # (Delta RESTORE restores table configuration too)
                 "properties_reset": self.properties(as_of=version),
             }
+            # row-tracking bases revert with the file set — a re-added
+            # file's rows get their ORIGINAL ids back — but the watermark
+            # stays monotone across the restore (Delta's rule: ids
+            # assigned after the target version are never reused)
+            tgt_bases, tgt_hw = self.row_tracking_meta(as_of=version)
+            _cb, cur_hw = self.row_tracking_meta()
+            if tgt_hw >= 0 or cur_hw >= 0:
+                extra["row_base_reset"] = {
+                    f: tgt_bases[f] for f in want if f in tgt_bases
+                }
+                extra["row_hw"] = max(tgt_hw, cur_hw)
             if schema is not None:
                 extra["schema"] = schema
             # the column mapping reverts with the schema ({} = explicit
@@ -3885,6 +4061,163 @@ class TxLogTable:
                 far = max if m["step"] > 0 else min
                 hws[c] = int(v) if cur is None else far(cur, int(v))
         return hws
+
+    # ------------------------------------------------------- row tracking
+
+    def row_tracking_enabled(self, as_of: int | None = None) -> bool:
+        return (
+            self.properties(as_of=as_of).get("delta.enableRowTracking")
+            == "true"
+        )
+
+    def row_tracking_meta(
+        self, as_of: int | None = None
+    ) -> tuple[dict[str, int], int]:
+        """Row-tracking state at ``as_of``: ``({rel_path: baseRowId},
+        high_watermark)`` — Delta's rowTracking representation. A file's
+        base row id is assigned by the commit that ADDS it (or by the
+        property commit's backfill); a fresh row's id is ``base +
+        in-file row index`` — METADATA-derived, zero data writes.
+        Ascending fold: bootstrap at the newest ``row_base_state``
+        snapshot (checkpoint commits carry one, so the fold survives
+        :meth:`cleanup_log`), then apply ``row_base_reset`` replacements
+        (restore) and per-commit ``row_base`` deltas; the watermark is
+        monotone (max recorded ``row_hw``) — it never regresses, even
+        across restore, Delta's own rule."""
+        recs: list[dict] = []
+        for name in sorted(
+            f for f in os.listdir(self.log_dir) if f.endswith(".json")
+        ):
+            v = int(name.split(".")[0])
+            if as_of is not None and v > as_of:
+                continue
+            with open(os.path.join(self.log_dir, name)) as fh:
+                recs.append(json.load(fh))
+        bases: dict[str, int] = {}
+        hw = -1
+        start = 0
+        for i in range(len(recs) - 1, -1, -1):
+            if recs[i].get("row_base_state") is not None:
+                bases = {
+                    str(k): int(x)
+                    for k, x in recs[i]["row_base_state"].items()
+                }
+                hw = int(recs[i].get("row_hw", -1))
+                start = i + 1
+                break
+        for c in recs[start:]:
+            if c.get("row_base_reset") is not None:
+                bases = {
+                    str(k): int(x) for k, x in c["row_base_reset"].items()
+                }
+            if c.get("row_base"):
+                bases.update(
+                    {str(k): int(x) for k, x in c["row_base"].items()}
+                )
+            if c.get("row_hw") is not None:
+                hw = max(hw, int(c["row_hw"]))
+        return bases, hw
+
+    def _rt_refuse_cow(self, op: str) -> None:
+        """Copy-on-write rewrites re-position every surviving row of the
+        touched files, destroying their metadata-derived ids — v1 scope:
+        row-tracking tables take the merge-on-read path, whose
+        post-images carry the old ids via the existing file-map joins
+        (and whose untouched rows never move at all)."""
+        if self.row_tracking_enabled():
+            raise NotImplementedError(
+                f"copy-on-write {op} on a row-tracking table is not "
+                "supported (rewritten rows would lose their stable ids) "
+                "— use mode='dv' (merge-on-read), which preserves them"
+            )
+
+    def _rt_attach(
+        self,
+        scan: DataFrame,
+        files: list[str],
+        bases: dict[str, int],
+        alias: str,
+    ) -> DataFrame:
+        """``scan`` (a :meth:`_scan_with_filepath` frame, optionally
+        carrying the materialized ``_rt_row_id`` field) plus a concrete
+        row-id column ``alias`` = ``coalesce(materialized, base + row
+        index)`` via ONE broadcast (basename -> base) map — O(live
+        files) rows, the same metadata-plane size as the file list
+        itself. Spark-written layouts have unique basenames; colliding
+        foreign-adopted layouts refuse (v1 scope)."""
+        names: dict[str, int] = {}
+        for f in files:
+            b = f.rsplit("/", 1)[-1]
+            if b in names:
+                raise ValueError(
+                    "row tracking: colliding data-file basenames "
+                    f"({b!r}) are unsupported — rewrite the layout "
+                    "(OPTIMIZE) first"
+                )
+            if f not in bases:
+                raise ValueError(
+                    f"row tracking state missing for file {f!r} — the "
+                    "log records no baseRowId for it"
+                )
+            names[b] = int(bases[f])
+        bmap = F.broadcast(
+            self.spark.createDataFrame(
+                list(names.items()), "__rtf string, __rtbase long"
+            )
+        )
+        mat = (
+            F.col(_ROW_ID_PHYS)
+            if _ROW_ID_PHYS in scan.columns
+            else F.lit(None).cast("long")
+        )
+        return (
+            scan.withColumn(
+                "__rtf", F.element_at(F.split(F.col("__file"), "/"), -1)
+            )
+            .join(bmap, "__rtf", "left")
+            .withColumn(
+                alias, F.coalesce(mat, F.col("__rtbase") + F.col("__ridx"))
+            )
+            .drop("__rtf", "__rtbase")
+        )
+
+    def read_with_row_ids(self, as_of: int | None = None) -> DataFrame:
+        """Table read plus ``_row_id`` — Delta rowTracking's STABLE row
+        identity: a row keeps its id across merge-on-read UPDATE/MERGE
+        (post-images carry it in the materialized column), OPTIMIZE
+        (the rewrite materializes ids), and RESTORE (bases revert with
+        the file set; the watermark stays monotone). Fresh rows derive
+        ids from their file's baseRowId + in-file row index — no global
+        numbering, no shuffle, same parallel-assignment shape as
+        identity columns."""
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        if not self.row_tracking_enabled(as_of):
+            raise ValueError(
+                "row tracking is not enabled — ALTER TABLE SET "
+                "TBLPROPERTIES ('delta.enableRowTracking'='true') first "
+                "(the property commit backfills existing files)"
+            )
+        _v, files, dvs = self._replay_full(as_of=as_of)
+        schema_json = self._schema_at(as_of)
+        data_cols = [
+            f.name
+            for f in StructType.fromJson(json.loads(schema_json)).fields
+        ]
+        if not files:
+            return self._empty().withColumn(
+                "_row_id", F.lit(None).cast("long")
+            )
+        bases, _hw = self.row_tracking_meta(as_of=as_of)
+        scan = self._scan_with_filepath(
+            files,
+            schema_json,
+            dvs=dvs,
+            extra_fields=[StructField(_ROW_ID_PHYS, LongType(), True)],
+        )
+        return self._rt_attach(scan, files, bases, "_row_id").select(
+            *data_cols, "_row_id"
+        )
 
     def generated_exprs(self, as_of: int | None = None) -> dict[str, str]:
         """Generated columns (name -> generation SQL expr) at ``as_of``,
@@ -4767,7 +5100,13 @@ def _dml_evolved_schema(stored_json: str | None, out_json: str) -> str:
         return out_json
     sd, od = json.loads(stored_json), json.loads(out_json)
     have = {f["name"] for f in sd["fields"]}
-    sd["fields"].extend(f for f in od["fields"] if f["name"] not in have)
+    sd["fields"].extend(
+        f
+        for f in od["fields"]
+        # physical-only columns (materialized row ids) never widen the
+        # LOGICAL schema — they live in the files, not the contract
+        if f["name"] not in have and f["name"] != _ROW_ID_PHYS
+    )
     return json.dumps(sd)
 
 
@@ -4837,9 +5176,12 @@ def _merge_into_dv(
 
     from .merge import prepare_clause_plan
 
+    from pyspark.sql.types import LongType, StructField
+
     matched = list(clauses.get("matched") or [])
     not_matched = list(clauses.get("not_matched") or [])
     nmbs = list(clauses.get("not_matched_by_source") or [])
+    rt_on = table.row_tracking_enabled()
     for _attempt in range(max_retries + 1):
         base_version, base_files, dvs = table._replay_full()
         if txn is not None:
@@ -4854,14 +5196,35 @@ def _merge_into_dv(
         )
         if touched_files:
             target = table._scan_with_filepath(
-                touched_files, schema_json, dvs=dvs
+                touched_files,
+                schema_json,
+                dvs=dvs,
+                extra_fields=(
+                    [StructField(_ROW_ID_PHYS, LongType(), True)]
+                    if rt_on
+                    else None
+                ),
             )
+            if rt_on:
+                # row tracking: make every target row carry its CONCRETE
+                # stable id as an ordinary (physical-only) column — the
+                # clause plan then does the rest for free: matched
+                # post-images keep it, inserts get NULL (fresh ids derive
+                # from the new file's base + index at read)
+                rt_bases, _rhw = table.row_tracking_meta()
+                target = table._rt_attach(
+                    target, touched_files, rt_bases, _ROW_ID_PHYS
+                )
         else:
             target = (
                 table._empty()
                 .withColumn("__file", F.lit(None).cast("string"))
                 .withColumn("__ridx", F.lit(None).cast("long"))
             )
+            if rt_on:
+                target = target.withColumn(
+                    _ROW_ID_PHYS, F.lit(None).cast("long")
+                )
         plan = prepare_clause_plan(
             target, source, keys, matched, not_matched, nmbs,
             evolve_schema=evolve_schema,
@@ -5238,6 +5601,18 @@ def merge_into_txlog(
         )
     if mode != "cow":
         raise ValueError(f"unknown MERGE mode {mode!r} (cow|dv)")
+    if table.row_tracking_enabled() and not (
+        clauses is not None
+        and not (clauses.get("matched") or clauses.get("not_matched_by_source"))
+    ):
+        # insert-only COW merges add files without rewriting any row, so
+        # stable ids survive; anything that could rewrite matched rows
+        # must take the merge-on-read path (post-images carry their ids)
+        raise NotImplementedError(
+            "copy-on-write MERGE on a row-tracking table is not "
+            "supported (rewritten rows would lose their stable ids) — "
+            "use mode='dv' (merge-on-read), which preserves them"
+        )
     for _attempt in range(max_retries + 1):
         # base_version FIRST, txn check SECOND (same reasoning as
         # TxLogTable.append): a same-batch racer committing after our

@@ -6679,3 +6679,114 @@ def x102_identity_merge_upsert(
             "n_beyond_start"
         ),
     )
+
+
+@query(
+    "x103_row_tracking_stability",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+    ),
+    final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 6 = 2 THEN 'M'
+                  WHEN o_orderkey % 5 = 2 THEN 'U'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM base
+      WHERE o_orderkey % 7 <> 3 OR o_orderkey % 6 = 2
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_ids,
+           CAST(COUNT(*) AS BIGINT) AS n_nonnull_ids
+    FROM final GROUP BY 1
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8"),
+    doc="ROW TRACKING under an INVARIANT oracle (round-11: Delta's "
+    "rowTracking writer feature — stable row identity): orders -> txlog, "
+    "delta.enableRowTracking property commit BACKFILLS base row ids for "
+    "every live file (metadata only, zero rewrites), then a DV DELETE "
+    "(%7==3), a DV UPDATE (%5==2 -> 'U'), an OPTIMIZE compaction (which "
+    "MATERIALIZES ids into the physical-only _rt_row_id column — "
+    "positions change across a compaction, so base+index alone cannot "
+    "survive it), and a merge-on-read MERGE (%6==2 -> 'M', deleted keys "
+    "re-insert) — fresh ids are baseRowId + in-file row index (no "
+    "global numbering, no shuffle), post-images carry their OLD ids via "
+    "the existing file-map joins. In-query gates: (a) every row that "
+    "never left keeps its pre-DML id (one distributed join), (b) "
+    "re-inserted rows fence beyond the pre-DML watermark, (c) the "
+    "INDEPENDENT _delta_log replay reader (read_delta_row_ids: "
+    "add.baseRowId + row index coalesced under the materialized column, "
+    "delta.rowTracking domainMetadata watermark) reproduces the native "
+    "reader's (row, id) set exactly — zero-diff exceptAll both ways. "
+    "Assigned id VALUES are partitioning-dependent, so the oracle "
+    "checks INVARIANTS per status: distinct-id and non-null counts must "
+    "equal the row count DuckDB derives from raw orders. "
+    "operators/txlog.read_with_row_ids + operators/deltalog."
+    "read_delta_row_ids; tests/test_row_tracking.py pins restore "
+    "stability, checkpoint survival, and the racing-append fence.",
+)
+def x103_row_tracking_stability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.deltalog import export_delta_log, read_delta_row_ids
+    from ..operators.txlog import TxLogTable, merge_into_txlog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    path = _dml_scratch("x103" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(8, "o_orderkey")
+    )
+    t.set_properties({"delta.enableRowTracking": "true"})
+    pre = t.read_with_row_ids().select(
+        "o_orderkey", F.col("_row_id").alias("pre_id")
+    )
+    hw0 = t.row_tracking_meta()[1]
+    t.delete_where("o_orderkey % 7 = 3", mode="dv")
+    t.update_where(
+        "o_orderkey % 5 = 2", {"o_orderstatus": F.lit("U")}, mode="dv"
+    )
+    t.optimize(target_files=4)
+    merge_into_txlog(
+        spark,
+        t,
+        orders.filter("o_orderkey % 6 = 2").selectExpr(
+            "o_orderkey", "'M' AS o_orderstatus"
+        ),
+        ["o_orderkey"],
+        mode="dv",
+    )
+    final = t.read_with_row_ids()
+    moved = (
+        final.filter("o_orderkey % 7 <> 3")
+        .join(pre, "o_orderkey")
+        .filter(F.col("_row_id") != F.col("pre_id"))
+        .count()
+    )
+    if moved != 0:
+        raise AssertionError(f"{moved} surviving rows changed their _row_id")
+    low = final.filter(
+        "o_orderkey % 7 = 3 AND o_orderkey % 6 = 2"
+    ).filter(F.col("_row_id") <= F.lit(hw0)).count()
+    if low != 0:
+        raise AssertionError(
+            f"{low} re-inserted ids at/below the pre-DML watermark {hw0}"
+        )
+    export_delta_log(spark, t)
+    ext = read_delta_row_ids(spark, t.path)
+    cols = ["o_orderkey", "o_orderstatus", "_row_id"]
+    diff = (
+        final.select(*cols).exceptAll(ext.select(*cols)).count()
+        + ext.select(*cols).exceptAll(final.select(*cols)).count()
+    )
+    if diff != 0:
+        raise AssertionError(
+            f"independent Delta reader diverges on {diff} (row, id) tuples"
+        )
+    return final.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("_row_id").alias("n_unique_ids"),
+        F.count("_row_id").alias("n_nonnull_ids"),
+    )

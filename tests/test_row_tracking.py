@@ -1,0 +1,258 @@
+"""Row tracking (Delta's ``rowTracking`` writer feature): STABLE row
+identity. Enabled via the ``delta.enableRowTracking`` table property —
+the property commit itself BACKFILLS base row ids for every live file
+(one metadata-only commit; bases are log metadata, so enabling on an
+existing table rewrites nothing). A fresh row's id is ``baseRowId +
+in-file row index`` (metadata-derived, embarrassingly parallel — no
+global numbering, no shuffle); rewrite paths (OPTIMIZE, merge-on-read
+UPDATE/MERGE post-images) MATERIALIZE ids into the physical-only
+``_rt_row_id`` column, which wins via coalesce. Copy-on-write DML
+refuses in v1 (rewritten rows would lose their ids) — merge-on-read is
+the row-tracking path.
+
+Export: ``add.baseRowId`` / ``add.defaultRowCommitVersion``, the
+``delta.rowTracking`` domainMetadata action carrying the
+rowIdHighWaterMark, the rowTracking+domainMetadata writer features, and
+the materialized-column name in the config — an INDEPENDENT log-replay
+reader (:func:`read_delta_row_ids`) reconstructs identical ids from the
+``_delta_log`` alone, including through parquet checkpoints.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_listings_data_pipelines_spark.operators.txlog import (
+    TxLogTable,
+    merge_into_txlog,
+)
+
+
+def _mk(spark, tmp_path, n=20):
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(n)], "k int, amt double"
+        ).repartition(3),
+    )
+    t.set_properties({"delta.enableRowTracking": "true"})
+    return t
+
+
+def _ids(t, as_of=None):
+    return {
+        r["k"]: r["_row_id"]
+        for r in t.read_with_row_ids(as_of=as_of).collect()
+    }
+
+
+def test_enablement_backfills_and_appends_fence(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    ids0 = _ids(t)
+    assert len(ids0) == 20
+    vals = list(ids0.values())
+    assert len(set(vals)) == 20 and all(v is not None for v in vals)
+    hw0 = t.row_tracking_meta()[1]
+    assert hw0 == max(vals)
+    t.append(spark.createDataFrame([(100, 1.0), (101, 2.0)], "k int, amt double"))
+    ids1 = _ids(t)
+    assert all(ids1[k] == ids0[k] for k in ids0)
+    assert min(ids1[100], ids1[101]) > hw0
+    assert len(set(ids1.values())) == 22
+
+
+def test_stability_across_dv_dml_optimize_restore(spark, tmp_path):
+    """The verdict's done-criterion chain: UPDATE (dv) + OPTIMIZE +
+    RESTORE, ids stable at every step; the watermark never regresses."""
+    t = _mk(spark, tmp_path)
+    t.delete_where("k % 5 = 1", mode="dv")  # v2
+    ids_v2 = _ids(t)
+    t.update_where("k = 2", {"amt": F.lit(999.0)}, mode="dv")
+    ids_u = _ids(t)
+    assert ids_u == ids_v2  # updated row KEEPS its id
+    t.optimize(target_files=2)
+    assert _ids(t) == ids_v2  # compaction materializes, ids stable
+    # a post-optimize dv update still resolves the materialized ids
+    t.update_where("k = 3", {"amt": F.lit(777.0)}, mode="dv")
+    assert _ids(t) == ids_v2
+    hw = t.row_tracking_meta()[1]
+    t.restore(2)
+    assert _ids(t) == ids_v2  # ids revert with the rows
+    assert t.row_tracking_meta()[1] >= hw  # watermark monotone
+    t.append(spark.createDataFrame([(400, 7.0)], "k int, amt double"))
+    assert _ids(t)[400] > hw  # fresh ids fence beyond the OLD watermark
+    # time travel reproduces historical ids
+    assert _ids(t, as_of=2) == ids_v2
+
+
+def test_dv_merge_preserves_matched_assigns_inserts(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    ids0 = _ids(t)
+    hw0 = t.row_tracking_meta()[1]
+    merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame([(4, 555.0), (300, 6.0)], "k int, amt double"),
+        ["k"],
+        mode="dv",
+    )
+    ids1 = _ids(t)
+    assert ids1[4] == ids0[4]  # update post-image keeps its id
+    assert all(ids1[k] == ids0[k] for k in ids0)
+    assert ids1[300] > hw0  # insert beyond the watermark
+    assert len(set(ids1.values())) == len(ids1)
+
+
+def test_cow_dml_refuses_insert_only_merge_allowed(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=5)
+    with pytest.raises(NotImplementedError, match="stable ids"):
+        t.delete_where("k = 0")
+    with pytest.raises(NotImplementedError, match="stable ids"):
+        t.update_where("k = 0", {"amt": F.lit(1.0)})
+    with pytest.raises(NotImplementedError, match="stable ids"):
+        merge_into_txlog(
+            spark,
+            t,
+            spark.createDataFrame([(1, 1.0)], "k int, amt double"),
+            ["k"],
+        )
+    hw0 = t.row_tracking_meta()[1]
+    merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame([(50, 1.0)], "k int, amt double"),
+        ["k"],
+        clauses={"not_matched": [{"values": None}]},
+    )
+    assert _ids(t)[50] > hw0
+
+
+def test_racing_append_unique_ids(spark, tmp_path):
+    """A commit loser re-runs base assignment against the winner's fold
+    — bases live ONLY in the log, so nothing stale can land."""
+    import unittest.mock as mock
+
+    t = _mk(spark, tmp_path)
+    orig = TxLogTable.commit
+    fired = {"done": False}
+
+    def racing(self, *a, **kw):
+        if not fired["done"] and kw.get("op") == "append":
+            fired["done"] = True
+            TxLogTable(spark, self.path).append(
+                spark.createDataFrame([(200, 1.0)], "k int, amt double")
+            )
+        return orig(self, *a, **kw)
+
+    with mock.patch.object(TxLogTable, "commit", racing):
+        t.append(spark.createDataFrame([(300, 2.0)], "k int, amt double"))
+    assert fired["done"]
+    ids = list(_ids(t).values())
+    assert len(set(ids)) == len(ids) == 22
+
+
+def test_txlog_checkpoint_and_cleanup_keep_bases(spark, tmp_path):
+    """Checkpoint commits snapshot the full base map (row_base_state);
+    cleanup_log truncating the head must not lose a retained file's
+    base."""
+    t = _mk(spark, tmp_path, n=6)
+    ids0 = _ids(t)
+    for i in range(25):  # push past a checkpoint boundary
+        t.append(
+            spark.createDataFrame([(1000 + i, float(i))], "k int, amt double")
+        )
+    t.cleanup_log(retain_versions=2)
+    ids1 = _ids(t)
+    assert all(ids1[k] == ids0[k] for k in ids0)
+    assert len(set(ids1.values())) == len(ids1) == 31
+
+
+def test_export_and_independent_reader_agree(spark, tmp_path):
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        delta_row_id_high_watermark,
+        export_delta_log,
+        read_delta_row_ids,
+        write_delta_checkpoint,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.delete_where("k % 5 = 1", mode="dv")
+    t.update_where("k = 2", {"amt": F.lit(999.0)}, mode="dv")
+    t.optimize(target_files=2)
+    merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame([(4, 5.0), (300, 6.0)], "k int, amt double"),
+        ["k"],
+        mode="dv",
+    )
+    export_delta_log(spark, t)
+    native = {
+        (r["k"], r["amt"], r["_row_id"])
+        for r in t.read_with_row_ids().collect()
+    }
+    ext = {
+        (r["k"], r["amt"], r["_row_id"])
+        for r in read_delta_row_ids(spark, t.path).collect()
+    }
+    assert native == ext
+    assert delta_row_id_high_watermark(spark, t.path) == (
+        t.row_tracking_meta()[1]
+    )
+    dd = os.path.join(t.path, "_delta_log")
+    # protocol: rowTracking + domainMetadata writer features; reader
+    # version untouched by them (writer-only features)
+    protos = []
+    adds_with_base = 0
+    for f in sorted(os.listdir(dd)):
+        if not re.fullmatch(r"\d{20}\.json", f):
+            continue
+        for line in open(os.path.join(dd, f)):
+            a = json.loads(line)
+            if "protocol" in a:
+                protos.append(a["protocol"])
+            if "add" in a and a["add"].get("baseRowId") is not None:
+                adds_with_base += 1
+                assert "defaultRowCommitVersion" in a["add"]
+    assert {"rowTracking", "domainMetadata"} <= set(
+        protos[-1].get("writerFeatures") or []
+    )
+    assert adds_with_base > 0
+    # checkpoint + head cleanup: bases and the domain survive in the
+    # parquet checkpoint (add.baseRowId column + domainMetadata rows)
+    hw = delta_row_id_high_watermark(spark, t.path)
+    v = write_delta_checkpoint(spark, t.path)
+    for f in sorted(os.listdir(dd)):
+        if re.fullmatch(r"\d{20}\.json", f) and int(f.split(".")[0]) < v:
+            os.remove(os.path.join(dd, f))
+    assert {
+        (r["k"], r["amt"], r["_row_id"])
+        for r in read_delta_row_ids(spark, t.path).collect()
+    } == native
+    assert delta_row_id_high_watermark(spark, t.path) == hw
+
+
+def test_read_refuses_without_property(spark, tmp_path):
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, 1.0)], "k int, amt double"),
+    )
+    with pytest.raises(ValueError, match="row tracking is not enabled"):
+        t.read_with_row_ids()
+    # and plain reads never see the physical column on tracked tables
+    t2 = TxLogTable.create(
+        spark,
+        str(tmp_path / "t2"),
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(4)], "k int, amt double"
+        ),
+    )
+    t2.set_properties({"delta.enableRowTracking": "true"})
+    t2.optimize(target_files=1)  # writes materialized _rt_row_id
+    assert set(t2.read().columns) == {"k", "amt"}
