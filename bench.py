@@ -51,6 +51,26 @@ HEADLINE = [
     "x09_cosine_topk",
 ]
 
+# Multi-commit lakehouse pipelines whose cost is commit-machinery
+# wall-clock, not scans — the round-10 close measured ~15% inter-run
+# spread concentrated here, near the 30%+0.5s regression bar. min-of-5
+# instead of min-of-2 buys a stable floor for the per-query compare at
+# ~1 min of extra bench wall-clock (round-11 verdict item 1).
+HIGH_VARIANCE = {
+    "x10_lsh_ann_recall",
+    "x67_neardup_threshold_curve",
+    "x75_change_data_feed",
+    "x82_medallion_cdf_pipeline",
+    "x88_medallion_cdf_dv_upstream",
+    "x92_dv_merge_upsert",
+    "x93_foreign_delta_stream",
+    "x95_sql_tblproperties_dv",
+    "x97_delta_v2_checkpoint_roundtrip",
+    "x99_log_compaction_substitution",
+    "x102_identity_merge_upsert",
+    "x103_row_tracking_stability",
+}
+
 
 # Exact verification baselines whose cost is quadratic BY DESIGN — they
 # exist to prove the bucketed scale paths correct at sf0.01 (the driver's
@@ -193,7 +213,11 @@ def main() -> None:
     # queries stay min-of-2 to bound total bench wall-clock.
     for name in names:
         best = float("inf")
-        repeats = 3 if name in HEADLINE else 2
+        repeats = (
+            3
+            if name in HEADLINE
+            else (5 if name in HIGH_VARIANCE else 2)
+        )
         for _ in range(repeats):  # first run pays codegen compilation
             t0 = time.perf_counter()
             reg[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -232,7 +256,13 @@ def main() -> None:
                 "excluded": EXCLUDED,
                 "sf": sf,
                 "lineage": lineage,
-                "repeats": {"headline": 3, "rest": 2, "stat": "min"},
+                "repeats": {
+                    "headline": 3,
+                    "high_variance": 5,
+                    "rest": 2,
+                    "stat": "min",
+                    "high_variance_set": sorted(HIGH_VARIANCE),
+                },
                 "load_before": load_before,
                 "load_after": load_after,
                 "disk_delta": disk_delta,
