@@ -500,7 +500,7 @@ def export_delta_log(spark: SparkSession, table) -> int:
     # high watermark -> the delta.rowTracking domainMetadata action
     rt_bases: dict[str, int] = {}
     rt_dcv: dict[str, int] = {}
-    rt_hw = -1
+    rt_prev: dict[str, int] = {}
     for v in range(latest + 1):
         c = tx_state.get(v)
         if c is None:
@@ -533,8 +533,6 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 rt_bases[str(k)] = int(x)
         for k in rt_bases:
             rt_dcv.setdefault(k, v)
-        if c.get("row_hw") is not None:
-            rt_hw = max(rt_hw, int(c["row_hw"]))
         if c.get("cdc"):
             cdc_feature = True
         # generatedColumns latch (writer feature, legacy writer v4): the
@@ -724,6 +722,7 @@ def export_delta_log(spark: SparkSession, table) -> int:
         if os.path.exists(target):
             prev = set(cur)
             dv_prev = dict(dv_state)
+            rt_prev = dict(rt_bases)
             continue
         actions: list[dict] = []
         if v == 0:
@@ -895,6 +894,12 @@ def export_delta_log(spark: SparkSession, table) -> int:
             f
             for f in cur & prev
             if dv_prev.get(f) != dv_state.get(f)
+            # row-tracking enablement backfills bases for files ALREADY
+            # exported without add.baseRowId — re-commit them so the
+            # mirror's row-id reader (and any external one) can derive
+            # their ids; bases never change once assigned, so this fires
+            # once per file at the enablement version
+            or (rt_feature and rt_prev.get(f) != rt_bases.get(f))
         ):
             actions.append(
                 {
@@ -1016,6 +1021,7 @@ def export_delta_log(spark: SparkSession, table) -> int:
             os.unlink(tmp)
         prev = set(cur)
         dv_prev = dict(dv_state)
+        rt_prev = dict(rt_bases)
     # delta.checkpointInterval (Delta's own auto-checkpoint property):
     # after exporting, if the newest checkpoint lags the head by >= the
     # interval, write one — v2 or classic per delta.checkpointPolicy.

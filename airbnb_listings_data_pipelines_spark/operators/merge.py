@@ -284,8 +284,9 @@ def prepare_clause_plan(
 ) -> dict:
     """Validate + normalize the clause lists, apply schema evolution, and
     build the shared physical plan — the ONE entry every MERGE consumer
-    rides (merged output via :func:`merge_clauses`, exact change set via
-    :func:`merge_clauses_cdc`, and the deletion-vector position plan in
+    rides (merged output via :func:`merge_clauses`, the single-pass output +
+    exact change set via :func:`merge_clauses_with_cdc`, and the
+    deletion-vector position plan in
     ``txlog.merge_into_txlog(mode='dv')``), so the semantics can never
     drift between them. ``target`` may carry extra positional columns
     (``__file``/``__ridx``) — clause validation checks only the named
@@ -362,7 +363,7 @@ def _build_clause_plan(
     not_matched_by_source: list[dict],
 ) -> dict:
     """The shared physical plan behind :func:`merge_clauses` and
-    :func:`merge_clauses_cdc`: ONE full-outer join + integer clause
+    :func:`merge_clauses_with_cdc`: ONE full-outer join + integer clause
     selectors, with the per-column pick / keep machinery exposed so the
     cdc builder derives the EXACT change set from the identical
     semantics (never a reimplementation that could drift)."""
@@ -488,80 +489,6 @@ def _build_clause_plan(
     }
 
 
-def merge_clauses_cdc(
-    target: DataFrame,
-    source: DataFrame,
-    keys: list[str],
-    matched: list[dict] | None = None,
-    not_matched: list[dict] | None = None,
-    not_matched_by_source: list[dict] | None = None,
-    evolve_schema: bool = False,
-) -> DataFrame:
-    """The EXACT row-level change set of the identical
-    :func:`merge_clauses` call (public design: Delta CDF's MERGE change
-    data): delete-selected rows surface as their target pre-images
-    tagged 'delete'; update-selected rows as an 'update_preimage' +
-    'update_postimage' pair (Delta CDF's native tags — the internal
-    feed maps them to delete/insert at read) — pairs whose post-image
-    equals the pre-image are OMITTED (they are not changes; the netted file-delta
-    feed cancels them, and both feed forms must stay row-identical);
-    insert-selected source rows as 'insert'. Built from the SAME clause
-    plan (join, selectors, per-column picks) the merge itself uses, so
-    the change set cannot drift from the merge semantics. One extra
-    pass over the join — callers opt in per commit (the COW DML twin
-    cost model: cdc adds O(changed rows) write to the rewrite)."""
-    plan = prepare_clause_plan(
-        target, source, keys, matched, not_matched, not_matched_by_source,
-        evolve_schema,
-    )
-    j, pick, tval = plan["j"], plan["pick"], plan["tval"]
-    cols = plan["columns"]
-    parts = []
-    del_rows = (
-        plan["is_m"] & F.col("__msel").isin(plan["m_del"] or [-2])
-    ) | (plan["is_tgt"] & F.col("__nsel").isin(plan["n_del"] or [-2]))
-    parts.append(
-        j.filter(del_rows)
-        .select(*[tval(c) for c in cols])
-        .withColumn("_change_type", F.lit("delete"))
-    )
-    upd_rows = (
-        plan["is_m"] & F.col("__msel").isin(plan["m_upd"] or [-2])
-    ) | (plan["is_tgt"] & F.col("__nsel").isin(plan["n_upd"] or [-2]))
-    changed = (
-        j.filter(upd_rows)
-        .select(
-            F.struct(*[tval(c) for c in cols]).alias("__pre"),
-            F.struct(*[pick(c) for c in cols]).alias("__post"),
-        )
-        .filter(~F.col("__pre").eqNullSafe(F.col("__post")))
-    )
-    # Delta CDF's update representation: pre/post images carry their own
-    # change types so external consumers (SCD-2 builders, audit feeds)
-    # can distinguish an update from an unrelated delete+insert; the
-    # INTERNAL feed maps them back to delete/insert at read
-    # (TxLogTable._read_cdc) so the netted-file-delta equivalence holds
-    parts.append(
-        changed.select("__pre.*").withColumn(
-            "_change_type", F.lit("update_preimage")
-        )
-    )
-    parts.append(
-        changed.select("__post.*").withColumn(
-            "_change_type", F.lit("update_postimage")
-        )
-    )
-    parts.append(
-        j.filter(plan["is_src"] & (F.col("__isel") >= 0))
-        .select(*[pick(c) for c in cols])
-        .withColumn("_change_type", F.lit("insert"))
-    )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
-
-
 def merge_clauses_with_cdc(
     target: DataFrame,
     source: DataFrame,
@@ -573,8 +500,8 @@ def merge_clauses_with_cdc(
     post_transform=None,
 ):
     """SINGLE-PASS merge output + exact change set (round 11, replacing
-    the two-pass :func:`merge_clauses` + :func:`merge_clauses_cdc`
-    combination for cdc commits): the shared clause plan is evaluated
+    the removed two-pass merge_clauses + merge_clauses_cdc combination
+    for cdc commits): the shared clause plan is evaluated
     ONCE into a flat frame carrying the post-image columns, the
     pre-image struct, and the row-class flags, and that frame is
     PERSISTED — both the committed rows and the change sidecar then read

@@ -2241,13 +2241,19 @@ class TxLogTable:
                 else:
                     keep = base_df.filter(~hit)
                 # kept rows are unchanged — already satisfy every CHECK
-                adds = self._write_data(keep, _validate=False)
-                if cdc:
-                    cdc_rel = self._write_cdc(
-                        persisted.filter("__hit")
-                        .drop("__hit")
-                        .withColumn("_change_type", F.lit("delete"))
-                    )
+                try:
+                    adds = self._write_data(keep, _validate=False)
+                    if cdc:
+                        cdc_rel = self._write_cdc(
+                            persisted.filter("__hit")
+                            .drop("__hit")
+                            .withColumn("_change_type", F.lit("delete"))
+                        )
+                except Exception:
+                    # pre-commit failure: don't leak the cached frame
+                    if persisted is not None:
+                        persisted.unpersist()
+                    raise
             try:
                 return self._commit_dml(
                     adds=adds, removes=touched, base_version=base_version,
@@ -2290,12 +2296,13 @@ class TxLogTable:
         files. The new rows run the normal CHECK gate.
 
         ``cdc=True`` writes the exact pre/post images into a change-data
-        sidecar computed by a SECOND evaluation of the match plan, so
-        ``condition`` and the assignment expressions must be
-        DETERMINISTIC (no ``rand()``/``uuid()``, no source view whose
-        contents can shift between the two passes) — otherwise the
-        recorded change set can diverge from the rows actually
-        committed. Same requirement as ``merge_into_txlog(cdc=True)``."""
+        sidecar — SINGLE-PASS since round 11: the match flag and the
+        post-assignment values are evaluated once into a persisted frame
+        that feeds both the rewrite and the sidecar, so nondeterministic
+        conditions/assignments (``rand()``, a view over shifting data)
+        and generated-column recomputes can never desynchronize the feed
+        from the committed rows. Same shape as
+        ``merge_into_txlog(cdc=True)``."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         from pyspark.sql.types import StructType
 
@@ -2413,7 +2420,12 @@ class TxLogTable:
 
                     persisted = flat.persist(StorageLevel.MEMORY_AND_DISK)
                     flat = persisted
-                adds = self._write_data(flat.select(*df.columns))
+                try:
+                    adds = self._write_data(flat.select(*df.columns))
+                except Exception:
+                    if persisted is not None:
+                        persisted.unpersist()
+                    raise
                 if cdc:
                     # rows whose assignments are NO-OPS are not changes:
                     # the netted file-delta feed cancels their identical
@@ -2434,7 +2446,11 @@ class TxLogTable:
                     post = changed.select(*df.columns).withColumn(
                         "_change_type", F.lit("update_postimage")
                     )
-                    cdc_rel = self._write_cdc(pre.unionByName(post))
+                    try:
+                        cdc_rel = self._write_cdc(pre.unionByName(post))
+                    except Exception:
+                        persisted.unpersist()
+                        raise
             try:
                 return self._commit_dml(
                     adds=adds, removes=touched, base_version=base_version,
@@ -2689,7 +2705,11 @@ class TxLogTable:
                     updated = updated.withColumn(
                         g, F.expr(e).cast(updated.schema[g].dataType)
                     )
-                adds = self._write_data(updated)
+                try:
+                    adds = self._write_data(updated)
+                except Exception:
+                    matched.unpersist()
+                    raise
             # sidecar rows key by RELATIVE path: a tiny broadcast-joined
             # (URI -> relative path) mapping built from the counts
             # collect above (no extra job, O(touched files) rows)
@@ -5315,10 +5335,16 @@ def _merge_into_dv(
                 new_mapping = dict(mapping)
                 for c in absent:
                     new_mapping[c] = f"col_{uuid.uuid4().hex[:12]}"
-        adds = table._write_data(
-            new_rows,
-            _mapping=new_mapping if new_mapping is not None else _MAPPING_DEFAULT,
-        )
+        try:
+            adds = table._write_data(
+                new_rows,
+                _mapping=new_mapping
+                if new_mapping is not None
+                else _MAPPING_DEFAULT,
+            )
+        except Exception:
+            doomed_pos.unpersist()
+            raise
         # 5: one sidecar = new positions + touched files' prior vectors
         sidecar: str | None = None
         removes: list[str] = []
@@ -5603,6 +5629,10 @@ def merge_into_txlog(
         raise ValueError(f"unknown MERGE mode {mode!r} (cow|dv)")
     if table.row_tracking_enabled() and not (
         clauses is not None
+        # rewrite='full' bypasses the insert-only optimization and
+        # rewrites EVERY live file — ids would die even with insert-only
+        # clauses (review finding, round 11)
+        and rewrite != "full"
         and not (clauses.get("matched") or clauses.get("not_matched_by_source"))
     ):
         # insert-only COW merges add files without rewriting any row, so
@@ -5778,13 +5808,22 @@ def merge_into_txlog(
                 new_mapping = dict(mapping)
                 for c in absent:
                     new_mapping[c] = f"col_{uuid.uuid4().hex[:12]}"
-        adds = table._write_data(
-            merged,
-            _mapping=new_mapping if new_mapping is not None else _MAPPING_DEFAULT,
-        )
-        cdc_rel: str | None = None
-        if cdc_df is not None:
-            cdc_rel = table._write_cdc(cdc_df)
+        try:
+            adds = table._write_data(
+                merged,
+                _mapping=new_mapping
+                if new_mapping is not None
+                else _MAPPING_DEFAULT,
+            )
+            cdc_rel: str | None = None
+            if cdc_df is not None:
+                cdc_rel = table._write_cdc(cdc_df)
+        except Exception:
+            # pre-commit failure (CheckViolation, IO): don't leak the
+            # cached single-pass frame
+            if persisted is not None:
+                persisted.unpersist()
+            raise
         # record the STORED schema (field metadata intact — a projection
         # strips identity/generation annotations) widened by evolution,
         # plus any identity watermark advance read from the new files'

@@ -256,3 +256,50 @@ def test_read_refuses_without_property(spark, tmp_path):
     t2.set_properties({"delta.enableRowTracking": "true"})
     t2.optimize(target_files=1)  # writes materialized _rt_row_id
     assert set(t2.read().columns) == {"k", "amt"}
+
+
+def test_export_backfills_pre_enablement_files(spark, tmp_path):
+    """Review finding (round 11): files live BEFORE enablement were
+    exported without add.baseRowId and never re-committed — the mirror's
+    row-id reader hard-failed unless an OPTIMIZE happened to rewrite
+    them first. The enablement version now re-commits them."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        export_delta_log,
+        read_delta_row_ids,
+    )
+
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(6)], "k int, amt double"
+        ).repartition(2),
+    )
+    export_delta_log(spark, t)  # pre-enablement export: no baseRowIds
+    t.set_properties({"delta.enableRowTracking": "true"})
+    t.append(spark.createDataFrame([(100, 1.0)], "k int, amt double"))
+    export_delta_log(spark, t)
+    native = {
+        (r["k"], r["_row_id"]) for r in t.read_with_row_ids().collect()
+    }
+    ext = {
+        (r["k"], r["_row_id"])
+        for r in read_delta_row_ids(spark, t.path).collect()
+    }
+    assert native == ext and len(native) == 7
+
+
+def test_full_rewrite_insert_only_merge_refused(spark, tmp_path):
+    """Review finding (round 11): rewrite='full' rewrites every live
+    file, so even an insert-only clause set must refuse on a
+    row-tracking table."""
+    t = _mk(spark, tmp_path, n=6)
+    with pytest.raises(NotImplementedError, match="stable ids"):
+        merge_into_txlog(
+            spark,
+            t,
+            spark.createDataFrame([(50, 1.0)], "k int, amt double"),
+            ["k"],
+            clauses={"not_matched": [{"values": None}]},
+            rewrite="full",
+        )

@@ -14,15 +14,23 @@ import sys
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     bar = 0.30
     absf = 0.5
+    args: list[str] = []
     it = iter(sys.argv[1:])
     for a in it:
         if a == "--bar":
             bar = float(next(it))
         elif a == "--abs":
             absf = float(next(it))
+        elif a.startswith("--"):
+            print(f"unknown flag {a!r}")
+            return 2
+        else:
+            args.append(a)
+    if len(args) != 2:
+        print(__doc__.strip().splitlines()[2])
+        return 2
     old = json.load(open(args[0]))
     new = json.load(open(args[1]))
     lo = (old.get("lineage") or {}).get("digest")
