@@ -981,6 +981,14 @@ class TxSqlSession:
                 lambda t, a, ty: self.table(t).add_column(a, ty.strip().lower()),
             ),
             (
+                # Delta's type-widening DDL: ALTER COLUMN c TYPE <wider>
+                rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+(\w+)\s+"
+                r"TYPE\s+([\w()\s,]+)",
+                lambda t, a, ty: self.table(t).alter_column_type(
+                    a, ty.strip().lower()
+                ),
+            ),
+            (
                 rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
                 r"CHECK\s*\((.+)\)",
                 lambda t, n, e: self.table(t).add_check(n, e),

@@ -140,7 +140,14 @@ def _file_delta_stats(full_path: str) -> str | None:
                 if st.null_count is not None and st.null_count == row_group.num_rows:
                     mm_cover[name] = mm_cover.get(name, 0) + 1
                 continue
-            lo, hi = st.min, st.max
+            try:
+                lo, hi = st.min, st.max
+            except Exception:
+                # pyarrow cannot decode every physical type's statistics
+                # (e.g. some decimal encodings raise
+                # ArrowNotImplementedError) — partial stats are legal,
+                # omit the column rather than fail the export
+                continue
             if isinstance(lo, bytes) or isinstance(hi, bytes):
                 try:
                     lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
@@ -599,6 +606,9 @@ def export_delta_log(spark: SparkSession, table) -> int:
             cur_props.get("delta.enableInCommitTimestamps") == "true"
         )
         rt_feature = cur_props.get("delta.enableRowTracking") == "true"
+        # typeWidening (reader+writer table feature): readers must
+        # upcast files whose physical type predates a widening
+        tw_feature = cur_props.get("delta.enableTypeWidening") == "true"
         if ict_feature and ict_since is None:
             ict_since = v
             # the provenance timestamp must EQUAL the enablement
@@ -647,7 +657,10 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 "delta.inCommitTimestampEnablementTimestamp",
                 str(ict_enable_ts),
             )
-        if dv_feature or v2ckpt_feature or ict_feature or rt_feature:
+        if (
+            dv_feature or v2ckpt_feature or ict_feature or rt_feature
+            or tw_feature
+        ):
             # table-features protocol: readerFeatures lists what a reader
             # must honor; writerFeatures additionally carries the legacy
             # features the pre-upgrade writer version implied (the
@@ -667,6 +680,9 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 # rowTracking requires the domainMetadata writer feature
                 # (the watermark lives in a domain) — both writer-only
                 wf |= {"rowTracking", "domainMetadata"}
+            if tw_feature:
+                rf.add("typeWidening")
+                wf.add("typeWidening")
             if cur_checks:
                 wf.add("checkConstraints")
             if cdc_feature:
@@ -2035,6 +2051,9 @@ _SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     "deletionVectors",
     "v2Checkpoint",
+    # type widening: reads resolve files under the WIDENED schemaString;
+    # Spark 4's parquet reader upcasts the narrow physical types natively
+    "typeWidening",
 }
 
 

@@ -4343,6 +4343,135 @@ class TxLogTable:
                 continue
         raise CommitConflict(f"add_column gave up after {max_retries} retries")
 
+    def alter_column_type(
+        self, name: str, dtype, max_retries: int = 3
+    ) -> int:
+        """``ALTER TABLE ... ALTER COLUMN c TYPE <wider>`` — Delta's TYPE
+        WIDENING (the ``typeWidening`` table feature): a METADATA-ONLY
+        commit records the widened schema; existing files keep their
+        narrow physical type and every reader upcasts at scan time
+        (Spark 4's parquet reader resolves int32 under a LONG/DOUBLE/
+        DECIMAL requested schema natively — verified, no rewrite, O(1)
+        at any table size). Requires the ``delta.enableTypeWidening``
+        table property, like Delta. The widening matrix is Delta's:
+        byte/short/int -> (long | double | decimal(>=10+digits,0)),
+        long -> decimal(>=20 digits, 0), float -> double,
+        date -> timestamp_ntz, decimal(p,s) -> decimal(p',s') with
+        p'-s' >= p-s and s' >= s (integer digits never shrink).
+
+        The type change is recorded in the field's
+        ``delta.typeChanges`` metadata ({fromType, toType,
+        tableVersion}) — Delta's own representation — so the export
+        carries it and external readers know which files predate the
+        widening. Time travel is exact: earlier versions read under
+        their own recorded (narrow) schema."""
+        from pyspark.sql.types import (
+            DecimalType,
+            StructField,
+            StructType,
+            _parse_datatype_string,
+        )
+
+        if isinstance(dtype, str):
+            dtype = _parse_datatype_string(dtype)
+        if self.properties().get("delta.enableTypeWidening") != "true":
+            raise ValueError(
+                "type widening requires the delta.enableTypeWidening "
+                "table property — ALTER TABLE ... SET TBLPROPERTIES "
+                "('delta.enableTypeWidening'='true') first"
+            )
+
+        def _widens(frm, to) -> bool:
+            f, t = frm.typeName(), to.typeName()
+            ladder = {
+                "byte": {"short", "integer", "long", "double"},
+                "short": {"integer", "long", "double"},
+                "integer": {"long", "double"},
+                "float": {"double"},
+                "date": {"timestamp_ntz"},
+            }
+            if t in ladder.get(f, ()):
+                return True
+            if isinstance(to, DecimalType):
+                digits = {"byte": 3, "short": 5, "integer": 10, "long": 20}
+                if f in digits:
+                    return to.scale >= 0 and (
+                        to.precision - to.scale >= digits[f]
+                    )
+                if isinstance(frm, DecimalType):
+                    return (
+                        to.scale >= frm.scale
+                        and to.precision - to.scale
+                        >= frm.precision - frm.scale
+                        and (to.precision, to.scale)
+                        != (frm.precision, frm.scale)
+                    )
+            return False
+
+        for _attempt in range(max_retries + 1):
+            base_version = self.version()
+            schema_json = self._schema_at()
+            if schema_json is None:
+                raise ValueError(
+                    "alter_column_type requires a recorded schema"
+                )
+            schema = StructType.fromJson(json.loads(schema_json))
+            if name not in schema.fieldNames():
+                raise ValueError(f"column {name!r} does not exist")
+            pby, _ps = self.partition_meta()
+            if name in pby:
+                raise ValueError(
+                    f"cannot widen partition column {name!r}: directory "
+                    "values are serialized under the original type"
+                )
+            if name in self.identity_meta():
+                raise ValueError(
+                    f"identity column {name!r} must stay BIGINT"
+                )
+            if name in self.generated_exprs():
+                raise ValueError(
+                    f"generated column {name!r}: its type derives from "
+                    "the generation expression — widen the sources"
+                )
+            old = schema[name]
+            if not _widens(old.dataType, dtype):
+                raise ValueError(
+                    f"{old.dataType.simpleString()} -> "
+                    f"{dtype.simpleString()} is not a supported WIDENING "
+                    "(narrowing and cross-family changes rewrite data — "
+                    "out of scope by design, same as Delta)"
+                )
+            md = dict(old.metadata or {})
+            changes = list(md.get("delta.typeChanges") or [])
+            changes.append(
+                {
+                    "fromType": old.dataType.simpleString(),
+                    "toType": dtype.simpleString(),
+                    "tableVersion": base_version + 1,
+                }
+            )
+            md["delta.typeChanges"] = changes
+            fields = [
+                StructField(name, dtype, f.nullable, md)
+                if f.name == name
+                else f
+                for f in schema.fields
+            ]
+            try:
+                self._try_commit(
+                    base_version + 1,
+                    adds=[],
+                    removes=[],
+                    op="alter_column_type",
+                    extra={"schema": StructType(fields).json()},
+                )
+                return base_version + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"alter_column_type gave up after {max_retries} retries"
+        )
+
     def _column_mapping_guards(self, name: str, op: str) -> "object":
         """Shared preconditions for rename/drop: column exists, is not a
         partition column (partition dirs embed the name — a metadata-only

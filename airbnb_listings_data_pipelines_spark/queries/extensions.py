@@ -6790,3 +6790,96 @@ def x103_row_tracking_stability(
         F.countDistinct("_row_id").alias("n_unique_ids"),
         F.count("_row_id").alias("n_nonnull_ids"),
     )
+
+
+@query(
+    "x104_type_widening_evolution",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+    ),
+    allr AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus
+      FROM base WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000000, o_custkey, o_orderstatus
+      FROM base WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+           CAST(SUM(CAST(o_custkey AS BIGINT)) AS BIGINT) AS sum_cust
+    FROM allr GROUP BY 1
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A5"),
+    doc="TYPE WIDENING (round-11: Delta's typeWidening reader+writer "
+    "table feature): orders -> txlog CREATEd with o_orderkey/o_custkey "
+    "as INT holding the even keys, then delta.enableTypeWidening + "
+    "ALTER COLUMN o_orderkey TYPE BIGINT — a METADATA-ONLY commit "
+    "(zero files rewritten at any table size; existing int32 files "
+    "upcast at scan time via Spark 4's native parquet type promotion) "
+    "— then the odd keys append SHIFTED by +1e10, beyond int32 range, "
+    "into the SAME table. The aggregate scans mixed narrow/wide files "
+    "in one explicit-file-list read under the widened recorded schema. "
+    "In-query gates: the live dtype is bigint, the beyond-int32 row "
+    "count equals the shifted-append count, and the field's "
+    "delta.typeChanges metadata records int->bigint (Delta's own "
+    "representation, exported under the typeWidening feature). DuckDB "
+    "derives the identical union from raw orders — integer-exact sums, "
+    "any upcast corruption breaks the hash. operators/txlog."
+    "alter_column_type; tests/test_type_widening.py pins the widening "
+    "matrix, time travel under the narrow schema, and the export.",
+)
+def x104_type_widening_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    path = _dml_scratch("x104" + sf_dir)
+    from ..operators.txlog import TxLogTable
+
+    t = TxLogTable.create(
+        spark,
+        path,
+        orders.filter("o_orderkey % 2 = 0")
+        .selectExpr(
+            "CAST(o_orderkey AS INT) AS o_orderkey",
+            "CAST(o_custkey AS INT) AS o_custkey",
+            "o_orderstatus",
+        )
+        .repartitionByRange(8, "o_orderkey"),
+    )
+    t.set_properties({"delta.enableTypeWidening": "true"})
+    t.alter_column_type("o_orderkey", "bigint")
+    shifted = orders.filter("o_orderkey % 2 = 1").selectExpr(
+        "o_orderkey + 10000000000 AS o_orderkey",
+        "CAST(o_custkey AS INT) AS o_custkey",
+        "o_orderstatus",
+    )
+    t.append(shifted)
+    full = t.read()
+    if dict(full.dtypes)["o_orderkey"] != "bigint":
+        raise AssertionError(
+            f"widened dtype is {dict(full.dtypes)['o_orderkey']}"
+        )
+    import json as _json
+
+    tc = next(
+        f
+        for f in _json.loads(t._schema_at())["fields"]
+        if f["name"] == "o_orderkey"
+    )["metadata"]["delta.typeChanges"]
+    if not (tc and tc[0]["fromType"] == "int" and tc[0]["toType"] == "bigint"):
+        raise AssertionError(f"typeChanges metadata wrong: {tc}")
+    n_wide = full.filter("o_orderkey > 2147483647").count()
+    n_shift = shifted.count()
+    if n_wide != n_shift:
+        raise AssertionError(
+            f"{n_wide} beyond-int32 rows, expected {n_shift}"
+        )
+    return full.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum(F.col("o_custkey").cast("long")).cast("long").alias("sum_cust"),
+    )

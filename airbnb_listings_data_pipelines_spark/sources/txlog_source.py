@@ -481,6 +481,7 @@ def _dlog_check_protocol(proto: dict) -> None:
         "deletionVectors", "columnMapping", "timestampNtz",
         "appendOnly", "invariants", "checkConstraints",
         "changeDataFeed", "generatedColumns", "v2Checkpoint",
+        "typeWidening",
     }
     rf = set(proto.get("readerFeatures") or [])
     bad = rf - ok
