@@ -989,6 +989,19 @@ class TxSqlSession:
                 ),
             ),
             (
+                # clustered tables: ALTER TABLE t CLUSTER BY (a, b) /
+                # CLUSTER BY NONE un-clusters
+                rf"ALTER\s+TABLE\s+({_IDENT})\s+CLUSTER\s+BY\s+NONE",
+                lambda t: self.table(t).cluster_by([]),
+            ),
+            (
+                rf"ALTER\s+TABLE\s+({_IDENT})\s+CLUSTER\s+BY\s*"
+                r"\(([\w\s,]+)\)",
+                lambda t, cs: self.table(t).cluster_by(
+                    [c.strip() for c in cs.split(",")]
+                ),
+            ),
+            (
                 rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
                 r"CHECK\s*\((.+)\)",
                 lambda t, n, e: self.table(t).add_check(n, e),

@@ -508,7 +508,12 @@ def export_delta_log(spark: SparkSession, table) -> int:
     rt_bases: dict[str, int] = {}
     rt_dcv: dict[str, int] = {}
     rt_prev: dict[str, int] = {}
+    # clustered-table fold: the delta.clustering domain mirrors the
+    # recorded clustering columns (writer feature "clustering")
+    cur_clustering: list[str] = []
+    cl_feature = False
     for v in range(latest + 1):
+        cl_changed = False
         c = tx_state.get(v)
         if c is None:
             raise FileNotFoundError(f"txlog {table.log_dir} missing commit {v}")
@@ -540,6 +545,13 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 rt_bases[str(k)] = int(x)
         for k in rt_bases:
             rt_dcv.setdefault(k, v)
+        if c.get("clustering") is not None:
+            cl_new = list(c["clustering"])
+            if cl_new != cur_clustering:
+                cur_clustering = cl_new
+                cl_changed = True
+            if cl_new:
+                cl_feature = True
         if c.get("cdc"):
             cdc_feature = True
         # generatedColumns latch (writer feature, legacy writer v4): the
@@ -659,7 +671,7 @@ def export_delta_log(spark: SparkSession, table) -> int:
             )
         if (
             dv_feature or v2ckpt_feature or ict_feature or rt_feature
-            or tw_feature
+            or tw_feature or cl_feature
         ):
             # table-features protocol: readerFeatures lists what a reader
             # must honor; writerFeatures additionally carries the legacy
@@ -680,6 +692,10 @@ def export_delta_log(spark: SparkSession, table) -> int:
                 # rowTracking requires the domainMetadata writer feature
                 # (the watermark lives in a domain) — both writer-only
                 wf |= {"rowTracking", "domainMetadata"}
+            if cl_feature:
+                # clustered tables: writer feature + the domain that
+                # carries the clustering columns
+                wf |= {"clustering", "domainMetadata"}
             if tw_feature:
                 rf.add("typeWidening")
                 wf.add("typeWidening")
@@ -834,6 +850,16 @@ def export_delta_log(spark: SparkSession, table) -> int:
                         }
                     }
                 )
+            elif cl_changed and emitted_proto is not None:
+                # a cluster_by commit changes NEITHER schema nor config —
+                # only the delta.clustering domain — but the feature's
+                # protocol requirement (clustering + domainMetadata
+                # writer features) must still land with or before its
+                # first domainMetadata action
+                upgraded = _proto_merge(emitted_proto, want_proto)
+                if upgraded != emitted_proto:
+                    actions.append({"protocol": upgraded})
+                    emitted_proto = upgraded
         # Delta DV descriptors for every live file whose vector is NEW at
         # this version (fresh DML, checkpoint/restore state change, or a
         # file added with a vector). One RoaringBitmap DV file per
@@ -973,6 +999,25 @@ def export_delta_log(spark: SparkSession, table) -> int:
                             }
                         }
                     )
+        if cl_changed:
+            # PROTOCOL.md Clustered Table: the clustering columns live
+            # in the delta.clustering domain (emitted on change; an
+            # empty list un-clusters but keeps the domain authoritative)
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": "delta.clustering",
+                        "configuration": json.dumps(
+                            {
+                                "clusteringColumns": [
+                                    [c0] for c0 in cur_clustering
+                                ]
+                            }
+                        ),
+                        "removed": False,
+                    }
+                }
+            )
         if rt_feature and c.get("row_hw") is not None:
             # PROTOCOL.md Row Tracking: the high watermark rides the
             # delta.rowTracking domain — emitted on every commit that

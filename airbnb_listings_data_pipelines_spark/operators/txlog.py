@@ -3136,6 +3136,11 @@ class TxLogTable:
                 app, tv = str(t["appId"]), int(t["version"])
                 txns[app] = max(txns.get(app, tv), tv)
             extra["txns_state"] = txns
+            if "clustering" not in extra:
+                # snapshot even the EMPTY list: an un-cluster commit
+                # truncated by cleanup must not let an older retained
+                # checkpoint's columns resurrect
+                extra["clustering"] = self.clustering_columns()
         # ---- row tracking (Delta rowTracking): baseRowId assignment ----
         # every ADDED file gets base = hw+1 and the watermark advances by
         # its row count (numRecords from the stats just stamped — zero
@@ -3608,6 +3613,11 @@ class TxLogTable:
                 return base_version  # nothing overlaps: no-op, no commit
         else:
             files = base_files
+        if zorder_by is None:
+            # clustered table (cluster_by): OPTIMIZE re-clusters along
+            # the recorded columns without restating them — Delta's
+            # liquid-clustering operational shape
+            zorder_by = self.clustering_columns() or None
         rt_on = files and self.row_tracking_enabled()
         if rt_on:
             # row tracking: the rewrite MATERIALIZES every row's stable
@@ -3801,6 +3811,7 @@ class TxLogTable:
             # file's rows get their ORIGINAL ids back — but the watermark
             # stays monotone across the restore (Delta's rule: ids
             # assigned after the target version are never reused)
+            extra["clustering"] = self.clustering_columns(as_of=version)
             tgt_bases, tgt_hw = self.row_tracking_meta(as_of=version)
             _cb, cur_hw = self.row_tracking_meta()
             if tgt_hw >= 0 or cur_hw >= 0:
@@ -3879,6 +3890,24 @@ class TxLogTable:
             for f, s in replay_stats(self.log_dir, as_of=version).items()
             if f in fset
         }
+        # row-tracking state carries over BY VALUE: the files are the
+        # same bytes, so their materialized _rt_row_id columns hold the
+        # SOURCE's ids — re-assigning fresh bases at commit 0 would mix
+        # two id spaces (materialized ids win via coalesce and could
+        # collide with freshly-derived ones). Carrying bases + watermark
+        # keeps every id identical to the source and fences the clone's
+        # future appends beyond them.
+        rt_bases, rt_hw = self.row_tracking_meta(as_of=version)
+        clone_rt = (
+            {
+                "row_base_reset": {
+                    f: rt_bases[f] for f in files if f in rt_bases
+                },
+                "row_hw": rt_hw,
+            }
+            if rt_hw >= 0
+            else {}
+        )
         dest._try_commit(
             0,
             adds=files,
@@ -3886,6 +3915,7 @@ class TxLogTable:
             op="clone",
             extra={
                 **({"stats": clone_stats} if clone_stats else {}),
+                **clone_rt,
                 "partition_by": pby,
                 "partition_schema": pschema.json() if pby else None,
                 "schema": schema_json,
@@ -4342,6 +4372,78 @@ class TxLogTable:
             except CommitConflict:
                 continue
         raise CommitConflict(f"add_column gave up after {max_retries} retries")
+
+    def cluster_by(self, cols: list[str], max_retries: int = 3) -> int:
+        """``ALTER TABLE ... CLUSTER BY (c1, c2)`` — Delta's CLUSTERED
+        TABLE surface (the ``clustering`` writer feature + the
+        ``delta.clustering`` domain): ONE metadata commit records the
+        clustering columns; :meth:`optimize` then defaults its Z-order
+        to them, so ``OPTIMIZE t`` re-clusters without restating the
+        columns — the operational shape of Delta's liquid clustering
+        (this engine's physical realization is the Morton-curve rewrite
+        optimize already has; Delta's incremental ZCube maintenance is
+        an optimization of WHEN to rewrite, not of the layout contract).
+        ``CLUSTER BY ()`` (empty list) un-clusters. Columns must exist
+        and not be partition columns (partitioning already clusters
+        them). Recorded clustering survives checkpoints/cleanup (the
+        metadata-complete snapshot carries it) and reverts with RESTORE;
+        the Delta export mirrors it as the ``delta.clustering``
+        domainMetadata action."""
+        from pyspark.sql.types import StructType
+
+        cols = [str(c) for c in cols]
+        for _attempt in range(max_retries + 1):
+            base_version = self.version()
+            sj = self._schema_at()
+            if sj is None:
+                raise ValueError("cluster_by requires a recorded schema")
+            names = StructType.fromJson(json.loads(sj)).fieldNames()
+            missing = [c for c in cols if c not in names]
+            if missing:
+                raise ValueError(
+                    f"clustering column(s) {missing} absent from table"
+                )
+            pby, _ps = self.partition_meta()
+            bad = [c for c in cols if c in pby]
+            if bad:
+                raise ValueError(
+                    f"clustering column(s) {bad} are partition columns — "
+                    "partitioning already clusters them"
+                )
+            try:
+                self._try_commit(
+                    base_version + 1,
+                    adds=[],
+                    removes=[],
+                    op="cluster_by",
+                    extra={"clustering": cols},
+                )
+                return base_version + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"cluster_by gave up after {max_retries} retries"
+        )
+
+    def clustering_columns(self, as_of: int | None = None) -> list[str]:
+        """The clustering columns at ``as_of`` ([] = unclustered) —
+        newest commit carrying a ``clustering`` payload (latest-wins,
+        the schema fold's lifecycle: metadata-complete checkpoints
+        snapshot it, so the fold survives log cleanup)."""
+        best: tuple[int, list] | None = None
+        for name in os.listdir(self.log_dir):
+            if not name.endswith(".json"):
+                continue
+            v = int(name.split(".")[0])
+            if as_of is not None and v > as_of:
+                continue
+            if best is not None and v < best[0]:
+                continue
+            with open(os.path.join(self.log_dir, name)) as fh:
+                c = json.load(fh)
+            if c.get("clustering") is not None:
+                best = (v, list(c["clustering"]))
+        return best[1] if best else []
 
     def alter_column_type(
         self, name: str, dtype, max_retries: int = 3

@@ -6883,3 +6883,86 @@ def x104_type_widening_evolution(
         F.sum("o_orderkey").cast("long").alias("sum_keys"),
         F.sum(F.col("o_custkey").cast("long")).cast("long").alias("sum_cust"),
     )
+
+
+@query(
+    "x105_clustered_table_optimize",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders GROUP BY 1
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A5"),
+    doc="CLUSTERED TABLE (round-11: Delta's CLUSTER BY / liquid-"
+    "clustering surface — the clustering writer feature + the "
+    "delta.clustering domain): orders -> txlog, ALTER TABLE CLUSTER BY "
+    "(o_custkey, o_totalprice) records the clustering columns in ONE "
+    "metadata commit, then a bare OPTIMIZE re-clusters along them "
+    "WITHOUT restating (the liquid-clustering operational contract; "
+    "the physical realization is the Morton-curve rewrite — "
+    "range-partition on the interleaved z-value, no driver collect). "
+    "In-query gates: (a) footer-stat pruning on the SECOND clustering "
+    "column selects a strict subset of files (multi-dimensional "
+    "skipping a single-column sort cannot give), (b) the pruned read "
+    "returns exactly the rows a full-scan filter does, (c) the Delta "
+    "export carries the delta.clustering domainMetadata + the "
+    "clustering writer feature (independent log-replay check). "
+    "OPTIMIZE is row-preserving, so the oracle is the plain aggregate "
+    "over raw orders — any row lost/duplicated by the rewrite breaks "
+    "the hash. operators/txlog.cluster_by/clustering_columns + "
+    "optimize; tests/test_clustered_tables.py pins restore/cleanup "
+    "lifecycles and the SQL surface.",
+)
+def x105_clustered_table_optimize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+
+    from ..operators.deltalog import _replay_delta_log, export_delta_log
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _dml_scratch("x105" + sf_dir)
+    t = TxLogTable.create(spark, path, orders.repartition(8))
+    t.cluster_by(["o_custkey", "o_totalprice"])
+    t.optimize(target_files=8)
+    _v, files, _dvs = t._replay_full()
+    lo, hi = 1000.0, 20000.0
+    pruned = t._prune_files(files, "o_totalprice", lo, hi)
+    if not (0 < len(pruned) < len(files)):
+        raise AssertionError(
+            f"clustering gave no pruning on the 2nd column: "
+            f"{len(pruned)}/{len(files)} files"
+        )
+    full = t.read()
+    n_scan = full.filter(
+        (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") <= hi)
+    ).count()
+    n_pruned = t.read_where("o_totalprice", lo, hi).count()
+    if n_scan != n_pruned:
+        raise AssertionError(
+            f"pruned read diverged: {n_pruned} != {n_scan}"
+        )
+    export_delta_log(spark, t)
+    st = _replay_delta_log(
+        spark, __import__("os").path.join(t.path, "_delta_log")
+    )
+    dom = st.domains.get("delta.clustering")
+    if dom is None or _json.loads(dom["configuration"])[
+        "clusteringColumns"
+    ] != [["o_custkey"], ["o_totalprice"]]:
+        raise AssertionError(f"clustering domain wrong: {dom}")
+    if "clustering" not in (st.protocol.get("writerFeatures") or []):
+        raise AssertionError(f"protocol lacks clustering: {st.protocol}")
+    return full.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)))
+        .cast("long")
+        .alias("total_cents"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )

@@ -303,3 +303,25 @@ def test_full_rewrite_insert_only_merge_refused(spark, tmp_path):
             clauses={"not_matched": [{"values": None}]},
             rewrite="full",
         )
+
+
+def test_clone_carries_row_ids(spark, tmp_path):
+    """Clone carries row-tracking state BY VALUE: the hardlinked files'
+    materialized _rt_row_id columns hold the source's ids, so fresh
+    base assignment at clone commit 0 would mix two id spaces (possible
+    duplicates). Bases + watermark carry over; ids are identical and
+    the clone's appends fence beyond the source's watermark."""
+    t = _mk(spark, tmp_path, n=8)
+    t.update_where("k = 2", {"amt": F.lit(9.0)}, mode="dv")
+    t.optimize(target_files=1)  # materializes ids
+    src_ids = _ids(t)
+    c = t.clone(str(tmp_path / "c"))
+    clone_ids = {
+        r["k"]: r["_row_id"] for r in c.read_with_row_ids().collect()
+    }
+    assert clone_ids == src_ids
+    hw = t.row_tracking_meta()[1]
+    c.append(spark.createDataFrame([(500, 1.0)], "k int, amt double"))
+    got = {r["k"]: r["_row_id"] for r in c.read_with_row_ids().collect()}
+    assert got[500] > hw
+    assert len(set(got.values())) == len(got)
