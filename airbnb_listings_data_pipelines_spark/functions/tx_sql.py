@@ -417,6 +417,16 @@ class TxSqlSession:
             raise ValueError(f"unbalanced column definitions: {s!r}")
         tail = s[close_i + 1 :].strip()
         pby = None
+        cluster_cols: list[str] | None = None
+        if tail:
+            # CLUSTER BY may follow PARTITIONED BY (Delta allows either;
+            # the engine refuses overlapping columns in cluster_by)
+            mc = re.search(
+                r"CLUSTER\s+BY\s+\(([^)]+)\)\s*$", tail, re.IGNORECASE
+            )
+            if mc:
+                cluster_cols = [c.strip() for c in mc.group(1).split(",")]
+                tail = tail[: mc.start()].strip()
         if tail:
             mt = re.fullmatch(
                 r"PARTITIONED\s+BY\s+\(([^)]+)\)", tail, re.IGNORECASE
@@ -424,8 +434,8 @@ class TxSqlSession:
             if not mt:
                 raise ValueError(
                     f"cannot parse CREATE TABLE suffix {tail!r} (the "
-                    "column-definition form takes only PARTITIONED BY; "
-                    "use CTAS to seed data)"
+                    "column-definition form takes PARTITIONED BY and/or "
+                    "CLUSTER BY; use CTAS to seed data)"
                 )
             pby = [c.strip() for c in mt.group(1).split(",")]
         cols: list[tuple[str, str]] = []
@@ -497,6 +507,8 @@ class TxSqlSession:
             # (row_id, k, v), not (k, v, row_id)
             column_order=[c for c, _ty in cols] if identity else None,
         )
+        if cluster_cols:
+            created.cluster_by(cluster_cols)
         self._tables[name] = created
         return 0
 

@@ -147,3 +147,19 @@ def test_sql_surface(spark, tmp_path):
     assert t.clustering_columns() == ["a", "b"]
     sess.execute("ALTER TABLE t CLUSTER BY NONE")
     assert t.clustering_columns() == []
+
+
+def test_create_table_cluster_by_sql(spark, tmp_path):
+    from airbnb_listings_data_pipelines_spark.functions.tx_sql import (
+        TxSqlSession,
+    )
+
+    sess = TxSqlSession(spark, {"c": str(tmp_path / "c")})
+    sess.execute(
+        "CREATE TABLE c (a BIGINT, b BIGINT, amt DOUBLE) CLUSTER BY (a, b)"
+    )
+    t = sess.table("c")
+    assert t.clustering_columns() == ["a", "b"]
+    sess.execute("INSERT INTO c SELECT id, id * 7 % 100, id * 1.0 FROM range(0, 200)")
+    sess.execute("OPTIMIZE c")  # clusters along (a, b) without restating
+    assert sess.execute("SELECT COUNT(*) AS n FROM c").collect()[0]["n"] == 200
