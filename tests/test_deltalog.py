@@ -612,13 +612,16 @@ def test_reader_refuses_unsupported_table_feature(spark, tmp_path):
         {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["typeWidening"],
-            "writerFeatures": ["typeWidening"],
+            # variantType is a real Delta reader feature this engine
+            # does not implement (typeWidening, the previous example
+            # here, became supported in round 11)
+            "readerFeatures": ["variantType"],
+            "writerFeatures": ["variantType"],
         },
         _json.dumps(schema),
         files,
     )
-    with pytest.raises(NotImplementedError, match="typeWidening"):
+    with pytest.raises(NotImplementedError, match="variantType"):
         read_delta_snapshot(spark, path)
 
 
