@@ -981,6 +981,12 @@ class TxLogTable:
                 "partition_by": pby,
                 "partition_schema": df.select(*pby).schema.json() if pby else None,
                 "schema": schema_json,
+                # empty-snapshot floor: the properties/checks reverse
+                # folds stop HERE instead of scanning the whole young
+                # log on every commit (pre-first-checkpoint tables pay
+                # those folds per commit — appendOnly/dv-routing/row-
+                # tracking gates)
+                "properties_reset": {},
             },
         )
         return t
@@ -4866,14 +4872,25 @@ class TxLogTable:
 
         Cost shape: a REVERSE scan that stops at the newest
         ``properties_reset`` snapshot (every metadata-complete
-        checkpoint carries one since round 10), so the per-call work is
+        checkpoint carries one since round 10, and create records an
+        empty floor since round 11), so the per-call work is
         O(checkpoint interval) commits, not O(log) — this runs on every
-        DML commit (the appendOnly gate) and every tx_sql DML statement
-        (the dv-routing probe). Pre-round-10 logs without a snapshot
-        fall back to one full pass."""
+        DML commit (the appendOnly gate), every tx_sql DML statement
+        (the dv-routing probe), and every commit attempt (the
+        row-tracking gate). Round 11: the latest-head result is CACHED
+        per instance keyed on the newest commit version — commits are
+        immutable, so the fold at a given head can never change; a
+        racing writer's new commit changes the head and misses the
+        cache. The per-commit cost drops to the one listdir the head
+        check needs anyway."""
         entries = sorted(
             f for f in os.listdir(self.log_dir) if f.endswith(".json")
         )
+        if as_of is None and entries:
+            head = int(entries[-1].split(".")[0])
+            cached = getattr(self, "_props_cache", None)
+            if cached is not None and cached[0] == head:
+                return dict(cached[1])
         tail: list[dict] = []
         base: dict[str, str] = {}
         for name in reversed(entries):
@@ -4894,6 +4911,8 @@ class TxLogTable:
                     out.pop(k, None)
                 else:
                     out[k] = str(val)
+        if as_of is None and entries:
+            self._props_cache = (int(entries[-1].split(".")[0]), dict(out))
         return out
 
     def set_properties(
