@@ -6966,3 +6966,60 @@ def x105_clustered_table_optimize(
         .alias("total_cents"),
         F.countDistinct("o_custkey").alias("n_custs"),
     )
+
+
+@query(
+    "x106_clustered_corpus_pruning",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM documents
+    WHERE n_chars BETWEEN 100 AND 300
+    GROUP BY 1
+    """,
+    survey_rows=("EXT-curation", "EXT-tableformat", "A2", "A5"),
+    doc="CLUSTERED CORPUS for curation scans (round-11 composition of "
+    "the lakehouse surface with the training-data belt): documents -> "
+    "txlog CLUSTER BY (lang, n_chars) + OPTIMIZE — the Morton rewrite "
+    "gives every file a tight envelope on BOTH columns (lang via the "
+    "6-byte prefix quantization, n_chars numerically), so a curation "
+    "pass like 'mid-length docs only' (n_chars BETWEEN 100 AND 300) "
+    "PRUNES files by footer stats before reading a row — at 100 TB "
+    "this is the difference between scanning the corpus per curation "
+    "experiment and scanning the band the experiment touches. In-query "
+    "gates: the pruned file set is a strict subset, and the pruned "
+    "read returns exactly the rows a full-scan filter does. The "
+    "aggregate is the oracle-checked result; OPTIMIZE is row-"
+    "preserving, so DuckDB computes it from raw documents. "
+    "operators/txlog.cluster_by + read_where.",
+)
+def x106_clustered_corpus_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.txlog import TxLogTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = _dml_scratch("x106" + sf_dir)
+    t = TxLogTable.create(spark, path, docs.repartition(8))
+    t.cluster_by(["lang", "n_chars"])
+    t.optimize(target_files=8)
+    _v, files, _dvs = t._replay_full()
+    pruned = t._prune_files(files, "n_chars", 100, 300)
+    if not (0 < len(pruned) < len(files)):
+        raise AssertionError(
+            f"no pruning on the clustered length column: "
+            f"{len(pruned)}/{len(files)}"
+        )
+    band = t.read_where("n_chars", 100, 300)
+    n_full = t.read().filter("n_chars BETWEEN 100 AND 300").count()
+    if band.count() != n_full:
+        raise AssertionError("pruned read diverged from the full scan")
+    return band.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
