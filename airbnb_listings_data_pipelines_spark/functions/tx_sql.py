@@ -419,8 +419,6 @@ class TxSqlSession:
         pby = None
         cluster_cols: list[str] | None = None
         if tail:
-            # CLUSTER BY may follow PARTITIONED BY (Delta allows either;
-            # the engine refuses overlapping columns in cluster_by)
             mc = re.search(
                 r"CLUSTER\s+BY\s+\(([^)]+)\)\s*$", tail, re.IGNORECASE
             )
@@ -434,10 +432,19 @@ class TxSqlSession:
             if not mt:
                 raise ValueError(
                     f"cannot parse CREATE TABLE suffix {tail!r} (the "
-                    "column-definition form takes PARTITIONED BY and/or "
+                    "column-definition form takes PARTITIONED BY or "
                     "CLUSTER BY; use CTAS to seed data)"
                 )
             pby = [c.strip() for c in mt.group(1).split(",")]
+        if pby and cluster_cols:
+            # Delta disallows clustering AND partitioning on one table
+            # entirely (either alone is fine) — accepting the combined
+            # DDL would create a table the mirrored Delta log cannot
+            # legally express (review finding, round 11)
+            raise ValueError(
+                "CREATE TABLE cannot combine PARTITIONED BY with "
+                "CLUSTER BY — Delta tables take one or the other"
+            )
         cols: list[tuple[str, str]] = []
         gen: dict[str, str] = {}
         identity: dict[str, tuple[int, int]] = {}

@@ -1002,7 +1002,12 @@ def export_delta_log(spark: SparkSession, table) -> int:
         if cl_changed:
             # PROTOCOL.md Clustered Table: the clustering columns live
             # in the delta.clustering domain (emitted on change; an
-            # empty list un-clusters but keeps the domain authoritative)
+            # empty list un-clusters but keeps the domain authoritative).
+            # Under column mapping the spec stores PHYSICAL names —
+            # external engines resolve the domain against the files
+            # (review finding, round 11). Renaming/dropping a clustering
+            # column is refused engine-side, so the physical names here
+            # can never go stale.
             actions.append(
                 {
                     "domainMetadata": {
@@ -1010,7 +1015,8 @@ def export_delta_log(spark: SparkSession, table) -> int:
                         "configuration": json.dumps(
                             {
                                 "clusteringColumns": [
-                                    [c0] for c0 in cur_clustering
+                                    [(cur_mapping or {}).get(c0, c0)]
+                                    for c0 in cur_clustering
                                 ]
                             }
                         ),

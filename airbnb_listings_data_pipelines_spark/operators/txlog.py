@@ -2218,7 +2218,7 @@ class TxLogTable:
             return self._dml_dv(cond, None, prune, max_retries, op="delete")
         if mode != "cow":
             raise ValueError(f"unknown DML mode {mode!r} (cow|dv)")
-        self._rt_refuse_cow("DELETE")
+        rt_on = self.row_tracking_enabled()
         for _attempt in range(max_retries + 1):
             base_version, base_files, dvs = self._replay_full()
             cands = (
@@ -2230,7 +2230,15 @@ class TxLogTable:
             cdc_rel: str | None = None
             persisted = None
             if touched:
-                base_df = self._read_files(touched, schema_json, dvs=dvs)
+                # row tracking: the kept rows of the rewritten files
+                # carry their stable ids BY VALUE into the new files
+                # (_rt_cow_read materializes them) — the id survives the
+                # copy-on-write rewrite exactly as it does an OPTIMIZE
+                base_df = (
+                    self._rt_cow_read(touched, schema_json, dvs)
+                    if rt_on
+                    else self._read_files(touched, schema_json, dvs=dvs)
+                )
                 hit = F.coalesce(cond, F.lit(False))
                 if cdc:
                     # SINGLE-PASS (round 11): evaluate the condition ONCE
@@ -2250,9 +2258,11 @@ class TxLogTable:
                 try:
                     adds = self._write_data(keep, _validate=False)
                     if cdc:
+                        # the change feed is LOGICAL rows — the
+                        # physical-only row-id column never leaks into it
                         cdc_rel = self._write_cdc(
                             persisted.filter("__hit")
-                            .drop("__hit")
+                            .drop("__hit", _ROW_ID_PHYS)
                             .withColumn("_change_type", F.lit("delete"))
                         )
                 except Exception:
@@ -2350,7 +2360,7 @@ class TxLogTable:
             return self._dml_dv(cond, sets, prune, max_retries, op="update")
         if mode != "cow":
             raise ValueError(f"unknown DML mode {mode!r} (cow|dv)")
-        self._rt_refuse_cow("UPDATE")
+        rt_on = self.row_tracking_enabled()
         for _attempt in range(max_retries + 1):
             base_version, base_files, dvs = self._replay_full()
             cands = (
@@ -2362,7 +2372,16 @@ class TxLogTable:
             cdc_rel: str | None = None
             persisted = None
             if touched:
-                df = self._read_files(touched, schema_json, dvs=dvs)
+                # row tracking: every rewritten row (updated or carried)
+                # keeps its stable id BY VALUE — _rt_cow_read attaches
+                # the concrete id as an ordinary column, no assignment
+                # ever touches it, and the rewrite writes it back
+                df = (
+                    self._rt_cow_read(touched, schema_json, dvs)
+                    if rt_on
+                    else self._read_files(touched, schema_json, dvs=dvs)
+                )
+                logical_cols = [c for c in df.columns if c != _ROW_ID_PHYS]
                 need_flags = recompute or cdc
                 if need_flags:
                     # the condition is evaluated at EXACTLY ONE site (the
@@ -2387,7 +2406,7 @@ class TxLogTable:
                         *(
                             [
                                 F.struct(
-                                    *[F.col(c) for c in df.columns]
+                                    *[F.col(c) for c in logical_cols]
                                 ).alias("__pre")
                             ]
                             if cdc
@@ -2439,7 +2458,7 @@ class TxLogTable:
                     # too — both feed forms stay row-identical
                     changed = flat.filter("__hit").filter(
                         ~F.col("__pre").eqNullSafe(
-                            F.struct(*[F.col(c) for c in df.columns])
+                            F.struct(*[F.col(c) for c in logical_cols])
                         )
                     )
                     # sidecar carries Delta CDF's update_pre/postimage
@@ -2449,7 +2468,7 @@ class TxLogTable:
                     pre = changed.select("__pre.*").withColumn(
                         "_change_type", F.lit("update_preimage")
                     )
-                    post = changed.select(*df.columns).withColumn(
+                    post = changed.select(*logical_cols).withColumn(
                         "_change_type", F.lit("update_postimage")
                     )
                     try:
@@ -3213,15 +3232,41 @@ class TxLogTable:
             elif rb:
                 extra["row_base"] = rb
                 extra["row_hw"] = hw
-            if is_ckpt:
-                # full-state snapshot for live files, so the fold (and
-                # cleanup_log truncation) never loses a retained file's
-                # base — same lifecycle as dvs_state/stats_state
-                full = {**bases, **(dict(reset) if reset else {}), **rb}
-                extra["row_base_state"] = {
-                    f: full[f] for f in adds if f in full
-                }
-                extra["row_hw"] = hw
+            _rt_ckpt_bases: dict | None = {
+                **bases,
+                **(dict(reset) if reset else {}),
+                **rb,
+            }
+            _rt_ckpt_hw = hw
+        elif is_ckpt:
+            # property currently FALSE but state may exist: row-tracking
+            # state persists on every metadata-complete checkpoint once
+            # it exists, independent of the live property — otherwise
+            # cleanup_log could truncate every commit holding the
+            # watermark, and a later re-enable would backfill from hw=-1
+            # while optimized files still hold old materialized
+            # _rt_row_id values (duplicate ids; watermark monotonicity
+            # silently lost). Review finding, round 11.
+            _ck_bases, _ck_hw = self.row_tracking_meta()
+            _ck_reset = extra.get("row_base_reset")
+            if _ck_reset is not None:
+                _ck_bases = dict(_ck_reset)
+                _ck_hw = max(_ck_hw, int(extra.get("row_hw", _ck_hw)))
+            if _ck_hw >= 0 or _ck_bases:
+                _rt_ckpt_bases = dict(_ck_bases)
+                _rt_ckpt_hw = _ck_hw
+            else:
+                _rt_ckpt_bases = None
+        else:
+            _rt_ckpt_bases = None
+        if is_ckpt and _rt_ckpt_bases is not None:
+            # full-state snapshot for live files, so the fold (and
+            # cleanup_log truncation) never loses a retained file's
+            # base — same lifecycle as dvs_state/stats_state
+            extra["row_base_state"] = {
+                f: _rt_ckpt_bases[f] for f in adds if f in _rt_ckpt_bases
+            }
+            extra["row_hw"] = _rt_ckpt_hw
         ckpt_sidecar: str | None = None
         if (
             is_ckpt
@@ -3311,6 +3356,7 @@ class TxLogTable:
         column_mapping: dict | None = None,
         dvs: dict[str, dict] | None = None,
         cdc: str | None = None,
+        stats: dict[str, dict] | None = None,
     ) -> int:
         """Commit against ``base_version``; CommitConflict if stale.
         ``schema`` records the post-commit table schema (StructType JSON)
@@ -3352,6 +3398,11 @@ class TxLogTable:
             extra["dvs"] = dvs
         if cdc is not None:
             extra["cdc"] = cdc
+        if stats is not None:
+            # pre-computed per-add stats entries (optimize's clustering
+            # tag rides here) — _try_commit trusts supplied entries and
+            # footer-fills only the missing files
+            extra["stats"] = stats
         self._try_commit(
             base_version + 1, adds, removes, op, extra=extra or None
         )
@@ -3574,6 +3625,7 @@ class TxLogTable:
         target_files: int = 1,
         zorder_by: list[str] | None = None,
         prune: tuple[str, object, object] | None = None,
+        full: bool = False,
     ) -> int:
         """Small-file compaction as ONE atomic commit (Delta's OPTIMIZE):
         rewrite the live snapshot into ``target_files`` files, commit the
@@ -3609,7 +3661,22 @@ class TxLogTable:
         from one min/max scalar collect (numeric/date/timestamp only —
         strings have no locality-preserving quantization and are
         refused). For partitioned tables the range partitioning leads
-        with the partition columns so partition dirs stay contiguous."""
+        with the partition columns so partition dirs stay contiguous.
+
+        On a CLUSTERED table (:meth:`cluster_by`) a bare ``optimize()``
+        is INCREMENTAL — Delta's liquid-clustering maintenance shape:
+        files a prior clustering pass already wrote (their log stats
+        entry carries ``clusteredBy`` = the current column list) are
+        left alone, and only files added SINCE — ingest batches, DML
+        rewrites — are read and rewritten into their own Morton-ordered
+        ZCube. Re-clustering after each ingest batch then costs the
+        BATCH's bytes, not the table's (the 100 TB operational
+        requirement; SCALING.md records the 10x probe). Changing the
+        clustering columns invalidates every tag, so the next optimize
+        re-clusters the whole snapshot. ``full=True`` forces the
+        whole-snapshot rewrite (Delta's ``OPTIMIZE ... FULL``) — the
+        periodic global pass that merges accumulated ZCubes; explicit
+        ``zorder_by`` always rewrites its whole selection too."""
         from pyspark.sql import functions as F
 
         base_version, base_files, dvs = self._replay_full()
@@ -3619,37 +3686,45 @@ class TxLogTable:
                 return base_version  # nothing overlaps: no-op, no commit
         else:
             files = base_files
-        if zorder_by is None:
+        cl_cols = self.clustering_columns()
+        cl_tag: list[str] | None = None
+        if zorder_by is None and cl_cols:
             # clustered table (cluster_by): OPTIMIZE re-clusters along
             # the recorded columns without restating them — Delta's
             # liquid-clustering operational shape
-            zorder_by = self.clustering_columns() or None
+            zorder_by = list(cl_cols)
+            cl_tag = list(cl_cols)
+            if not full:
+                # INCREMENTAL (liquid) maintenance: only files no prior
+                # pass clustered along the CURRENT columns are rewritten
+                # — cost tracks bytes added since the last pass, never
+                # the table. The tag rides the per-file stats fold
+                # (checkpoint/restore/clone lifecycle for free; the
+                # Delta export derives add.stats from footers, so the
+                # engine-internal key never leaks to external readers).
+                stfold = replay_stats(self.log_dir)
+                files = [
+                    f
+                    for f in files
+                    if (stfold.get(f) or {}).get("clusteredBy") != cl_cols
+                ]
+                if not files:
+                    return base_version  # fully clustered: no-op
+        elif cl_cols and zorder_by is not None and list(zorder_by) == list(
+            cl_cols
+        ):
+            # explicit ZORDER BY along the clustering columns still
+            # counts as a clustering pass for later incremental runs
+            cl_tag = list(cl_cols)
         rt_on = files and self.row_tracking_enabled()
         if rt_on:
             # row tracking: the rewrite MATERIALIZES every row's stable
-            # id into the _rt_row_id physical column (ids derived from
-            # the old files' bases + positions, or their own materialized
-            # values) — positions change across a compaction, so the
+            # id into the _rt_row_id physical column (_rt_cow_read) —
+            # positions change across a compaction, so the
             # metadata-derived form alone cannot survive it. The column
             # is physical-only: the recorded schema is unchanged and
             # plain reads never see it.
-            from pyspark.sql.types import LongType, StructField
-
-            bases, _rhw = self.row_tracking_meta()
-            scan = self._scan_with_filepath(
-                files,
-                self._schema_at(),
-                dvs=dvs,
-                extra_fields=[StructField(_ROW_ID_PHYS, LongType(), True)],
-            )
-            data_cols = [
-                c
-                for c in scan.columns
-                if c not in ("__file", "__ridx", _ROW_ID_PHYS)
-            ]
-            snap = self._rt_attach(scan, files, bases, _ROW_ID_PHYS).select(
-                *data_cols, _ROW_ID_PHYS
-            )
+            snap = self._rt_cow_read(files, self._schema_at(), dvs)
         else:
             snap = (
                 self._read_files(files, self._schema_at(), dvs=dvs)
@@ -3734,6 +3809,15 @@ class TxLogTable:
             snap = snap.coalesce(target_files)
         # logical no-op: rows unchanged, every CHECK already holds
         adds = self._write_data(snap, _validate=False)
+        stats = None
+        if cl_tag is not None and adds:
+            # stamp the clustering tag alongside the normal footer stats
+            # (supplied entries are trusted as-given by _try_commit)
+            stats = {}
+            for f in adds:
+                d = footer_stats_dict(os.path.join(self.path, f)) or {}
+                d["clusteredBy"] = list(cl_tag)
+                stats[f] = d
         try:
             # a compaction is ROW-PRESERVING, so rebasing over blind
             # appends is correct under ANY isolation level (Delta's own
@@ -3744,6 +3828,7 @@ class TxLogTable:
                 _rebase_always=True,
                 adds=adds, removes=files, base_version=base_version,
                 op="optimize", schema=self._schema_at() or snap.schema.json(),
+                stats=stats,
             )
         except CommitConflict:
             for f in adds:
@@ -4174,18 +4259,36 @@ class TxLogTable:
                 hw = max(hw, int(c["row_hw"]))
         return bases, hw
 
-    def _rt_refuse_cow(self, op: str) -> None:
-        """Copy-on-write rewrites re-position every surviving row of the
-        touched files, destroying their metadata-derived ids — v1 scope:
-        row-tracking tables take the merge-on-read path, whose
-        post-images carry the old ids via the existing file-map joins
-        (and whose untouched rows never move at all)."""
-        if self.row_tracking_enabled():
-            raise NotImplementedError(
-                f"copy-on-write {op} on a row-tracking table is not "
-                "supported (rewritten rows would lose their stable ids) "
-                "— use mode='dv' (merge-on-read), which preserves them"
-            )
+    def _rt_cow_read(self, files: list[str], schema_json, dvs) -> DataFrame:
+        """Touched-file read for a COPY-ON-WRITE rewrite on a
+        row-tracking table: every row comes back carrying its CONCRETE
+        stable id as an ordinary column (``_rt_row_id`` — materialized
+        value if the file has one, else its file's base + in-file row
+        index). The rewrite then simply WRITES that column: surviving
+        rows keep their old ids BY VALUE in the new files (positions
+        change across a rewrite, so the metadata-derived form alone
+        cannot survive one — the public Delta rowTracking COW design),
+        while freshly-inserted rows carry NULL and derive ids from the
+        new file's commit-assigned base + index at read. One broadcast
+        (basename -> base) map, O(touched files) — no shuffle, no global
+        numbering."""
+        from pyspark.sql.types import LongType, StructField
+
+        bases, _rhw = self.row_tracking_meta()
+        scan = self._scan_with_filepath(
+            files,
+            schema_json,
+            dvs=dvs,
+            extra_fields=[StructField(_ROW_ID_PHYS, LongType(), True)],
+        )
+        data_cols = [
+            c
+            for c in scan.columns
+            if c not in ("__file", "__ridx", _ROW_ID_PHYS)
+        ]
+        return self._rt_attach(scan, files, bases, _ROW_ID_PHYS).select(
+            *data_cols, _ROW_ID_PHYS
+        )
 
     def _rt_attach(
         self,
@@ -4468,10 +4571,13 @@ class TxLogTable:
         p'-s' >= p-s and s' >= s (integer digits never shrink).
 
         The type change is recorded in the field's
-        ``delta.typeChanges`` metadata ({fromType, toType,
-        tableVersion}) — Delta's own representation — so the export
-        carries it and external readers know which files predate the
-        widening. Time travel is exact: earlier versions read under
+        ``delta.typeChanges`` metadata ({fromType, toType}) — the
+        STABLE typeWidening feature's representation (per the Delta
+        spec, ``tableVersion`` belongs only to the retired
+        typeWidening-preview feature; stable entries carry the type
+        pair alone, and strict external readers reject extras) — so the
+        export carries it and external readers know files may predate
+        the widening. Time travel is exact: earlier versions read under
         their own recorded (narrow) schema."""
         from pyspark.sql.types import (
             DecimalType,
@@ -4555,7 +4661,6 @@ class TxLogTable:
                 {
                     "fromType": old.dataType.simpleString(),
                     "toType": dtype.simpleString(),
-                    "tableVersion": base_version + 1,
                 }
             )
             md["delta.typeChanges"] = changes
@@ -4625,6 +4730,16 @@ class TxLogTable:
                 f"{op} of {name!r} refused: generated column(s) "
                 f"{gen_refs} derive from it — their expressions would "
                 "silently dangle"
+            )
+        if name in self.clustering_columns():
+            # a stale clustering list would make bare OPTIMIZE (which
+            # defaults zorder_by to the recorded columns) fail on a
+            # nonexistent name, and the Delta export would keep
+            # mirroring a delta.clustering domain external engines
+            # resolve against nothing (review finding, round 11)
+            raise ValueError(
+                f"{op} of {name!r} refused: it is a clustering column "
+                "— re-cluster first (cluster_by without it)"
             )
         return schema
 
@@ -5367,7 +5482,11 @@ def _dml_evolved_schema(stored_json: str | None, out_json: str) -> str:
     Stored fields' types never differ from the output's (the clause
     plan casts every expression to the target column's type)."""
     if stored_json is None:
-        return out_json
+        od = json.loads(out_json)
+        od["fields"] = [
+            f for f in od["fields"] if f["name"] != _ROW_ID_PHYS
+        ]
+        return json.dumps(od)
     sd, od = json.loads(stored_json), json.loads(out_json)
     have = {f["name"] for f in sd["fields"]}
     sd["fields"].extend(
@@ -5877,22 +5996,27 @@ def merge_into_txlog(
         )
     if mode != "cow":
         raise ValueError(f"unknown MERGE mode {mode!r} (cow|dv)")
-    if table.row_tracking_enabled() and not (
-        clauses is not None
-        # rewrite='full' bypasses the insert-only optimization and
-        # rewrites EVERY live file — ids would die even with insert-only
-        # clauses (review finding, round 11)
-        and rewrite != "full"
-        and not (clauses.get("matched") or clauses.get("not_matched_by_source"))
-    ):
-        # insert-only COW merges add files without rewriting any row, so
-        # stable ids survive; anything that could rewrite matched rows
-        # must take the merge-on-read path (post-images carry their ids)
-        raise NotImplementedError(
-            "copy-on-write MERGE on a row-tracking table is not "
-            "supported (rewritten rows would lose their stable ids) — "
-            "use mode='dv' (merge-on-read), which preserves them"
+    rt_on = table.row_tracking_enabled()
+    if rt_on and clauses is None:
+        # row tracking rides the CLAUSE plan: the target frame carries
+        # the physical-only id column as an ordinary extra column, which
+        # the whole-row merge_frames contract would reject — convert the
+        # simple form (the documented-equivalent conversion the cdc and
+        # dv paths already share), preserving its loud whole-row schema
+        # contract against the LOGICAL columns first
+        if not (matched_set or insert_values) and not evolve_schema:
+            _sj = table._schema_at()
+            _tcols = (
+                {f["name"] for f in json.loads(_sj)["fields"]}
+                if _sj is not None
+                else set(table.read().columns) - {_ROW_ID_PHYS}
+            )
+            if set(source.columns) != _tcols:
+                raise AssertionError("source/target schemas must match")
+        clauses = _simple_form_clauses(
+            when_matched, when_not_matched, matched_set, insert_values
         )
+        matched_set = insert_values = None
     for _attempt in range(max_retries + 1):
         # base_version FIRST, txn check SECOND (same reasoning as
         # TxLogTable.append): a same-batch racer committing after our
@@ -5914,7 +6038,21 @@ def merge_into_txlog(
             # a NOT MATCHED BY SOURCE clause can hit any target row:
             # every live file is a rewrite candidate (Delta's rule)
             removes = base_files
-            target = table.read()
+            if rt_on:
+                # row tracking: surviving rows carry their stable ids BY
+                # VALUE through the rewrite (matched post-images and
+                # carried rows keep the attached id — the clause plan's
+                # baseline is the target value; inserts surface NULL and
+                # derive fresh ids from their file's base at read)
+                target = (
+                    table._rt_cow_read(base_files, table._schema_at(), dvs)
+                    if base_files
+                    else table._empty().withColumn(
+                        _ROW_ID_PHYS, F.lit(None).cast("long")
+                    )
+                )
+            else:
+                target = table.read()
         elif insert_only:
             # Delta's insert-only MERGE optimization: matched rows keep
             # their target values by construction, so nothing is
@@ -5933,11 +6071,20 @@ def merge_into_txlog(
                 )
         else:
             removes = table._touched_by_keys(base_files, source, keys, dvs=dvs)
-            target = (
-                table._read_files(removes, table._schema_at(), dvs=dvs)
-                if removes
-                else table._empty()
-            )
+            if removes:
+                target = (
+                    table._rt_cow_read(removes, table._schema_at(), dvs)
+                    if rt_on
+                    else table._read_files(
+                        removes, table._schema_at(), dvs=dvs
+                    )
+                )
+            else:
+                target = table._empty()
+                if rt_on:
+                    target = target.withColumn(
+                        _ROW_ID_PHYS, F.lit(None).cast("long")
+                    )
         # post-image transform shared by every construction path below:
         # generated-column recompute then identity assignment, operating
         # on plain post-image columns — so it applies identically to the
@@ -6053,7 +6200,13 @@ def merge_into_txlog(
         mapping = table._mapping_at()
         new_mapping = None
         if mapping:
-            absent = [c for c in merged.columns if c not in mapping]
+            # the physical-only row-id column is never column-mapped —
+            # it lives under its fixed physical name in every file
+            absent = [
+                c
+                for c in merged.columns
+                if c not in mapping and c != _ROW_ID_PHYS
+            ]
             if absent:
                 new_mapping = dict(mapping)
                 for c in absent:
@@ -6067,7 +6220,9 @@ def merge_into_txlog(
             )
             cdc_rel: str | None = None
             if cdc_df is not None:
-                cdc_rel = table._write_cdc(cdc_df)
+                # the change feed is LOGICAL rows — drop the physical-
+                # only row-id column (lenient no-op when absent)
+                cdc_rel = table._write_cdc(cdc_df.drop(_ROW_ID_PHYS))
         except Exception:
             # pre-commit failure (CheckViolation, IO): don't leak the
             # cached single-pass frame

@@ -136,6 +136,63 @@ def test_export_domain_and_protocol(spark, tmp_path):
     assert "delta.clustering" in st2.domains
 
 
+def test_rename_drop_clustering_column_refused(spark, tmp_path):
+    """Review finding (round 11): a rename/drop of a clustering column
+    would leave the recorded clustering list (and the exported
+    delta.clustering domain) naming a nonexistent column — bare
+    OPTIMIZE would then die on AnalysisException."""
+    t = _mk(spark, tmp_path, n=10)
+    t.cluster_by(["a"])
+    with pytest.raises(ValueError, match="clustering column"):
+        t.rename_column("a", "a2")
+    with pytest.raises(ValueError, match="clustering column"):
+        t.drop_column("a")
+    t.cluster_by(["b"])  # re-cluster without it, then both work
+    t.rename_column("a", "a2")
+    assert t.clustering_columns() == ["b"]
+    t.optimize()  # bare OPTIMIZE still resolves
+
+
+def test_export_domain_physical_names_under_mapping(spark, tmp_path):
+    """Review finding (round 11): under column mapping the spec stores
+    PHYSICAL names in clusteringColumns — external engines resolve the
+    domain against the files, not the logical schema."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        _replay_delta_log,
+        export_delta_log,
+    )
+
+    t = _mk(spark, tmp_path, n=50)
+    t.rename_column("amt", "amount")  # flips the table to mapped mode
+    t.cluster_by(["a", "amount"])
+    t.optimize(target_files=1)
+    export_delta_log(spark, t)
+    st = _replay_delta_log(spark, os.path.join(t.path, "_delta_log"))
+    cols = json.loads(
+        st.domains["delta.clustering"]["configuration"]
+    )["clusteringColumns"]
+    mapping = t._mapping_at()
+    assert cols == [[mapping["a"]], [mapping["amount"]]]
+    # amount's physical name is the pre-rename one
+    assert mapping["amount"] == "amt"
+
+
+def test_create_table_partitioned_and_clustered_refused(spark, tmp_path):
+    """Review finding (round 11): Delta disallows clustering and
+    partitioning on the same table entirely — the DDL must refuse, not
+    silently accept a combination the mirrored log can't express."""
+    from airbnb_listings_data_pipelines_spark.functions.tx_sql import (
+        TxSqlSession,
+    )
+
+    sess = TxSqlSession(spark, {"x": str(tmp_path / "x")})
+    with pytest.raises(ValueError, match="one or the other"):
+        sess.execute(
+            "CREATE TABLE x (a BIGINT, b BIGINT, c BIGINT) "
+            "PARTITIONED BY (c) CLUSTER BY (a)"
+        )
+
+
 def test_sql_surface(spark, tmp_path):
     from airbnb_listings_data_pipelines_spark.functions.tx_sql import (
         TxSqlSession,
@@ -163,3 +220,54 @@ def test_create_table_cluster_by_sql(spark, tmp_path):
     sess.execute("INSERT INTO c SELECT id, id * 7 % 100, id * 1.0 FROM range(0, 200)")
     sess.execute("OPTIMIZE c")  # clusters along (a, b) without restating
     assert sess.execute("SELECT COUNT(*) AS n FROM c").collect()[0]["n"] == 200
+
+
+def test_incremental_reclustering(spark, tmp_path):
+    """Liquid-style maintenance (round 12): after the initial clustering
+    pass, a bare OPTIMIZE rewrites ONLY files added since — the
+    already-clustered files survive by identity, so recluster cost
+    tracks the batch, not the table."""
+    t = _mk(spark, tmp_path, n=2000)
+    t.cluster_by(["a", "b"])
+    t.optimize(target_files=4)  # initial pass: everything untagged
+    _v, clustered_files, _ = t._replay_full()
+    assert len(clustered_files) == 4
+    v_clustered = t.version()
+    # fully clustered: bare OPTIMIZE is a NO-OP (no commit)
+    assert t.optimize() == v_clustered
+    # ingest a new batch, then incrementally recluster
+    t.append(
+        spark.createDataFrame(
+            [(9000 + i, i % 100, float(i)) for i in range(500)],
+            "a bigint, b bigint, amt double",
+        ).repartition(3)
+    )
+    t.optimize(target_files=2)
+    _v, files_after, _ = t._replay_full()
+    # every file of the initial pass is STILL LIVE — untouched
+    assert set(clustered_files) <= set(files_after)
+    new_files = set(files_after) - set(clustered_files)
+    assert len(new_files) == 2  # the batch's own ZCube
+    assert t.read().count() == 2500
+    # pruning still exact across both ZCubes
+    got = sorted(r["a"] for r in t.read_where("b", 10, 12).collect())
+    want = sorted(
+        [k for k in range(2000) if 10 <= k * 7 % 100 <= 12]
+        + [9000 + i for i in range(500) if 10 <= i % 100 <= 12]
+    )
+    assert got == want
+    # changing the clustering columns invalidates every tag
+    t.cluster_by(["b"])
+    v0 = t.version()
+    t.optimize(target_files=3)
+    assert t.version() == v0 + 1
+    _v, files_b, _ = t._replay_full()
+    assert len(files_b) == 3  # whole snapshot re-clustered
+    # OPTIMIZE FULL forces the global merge pass even when tagged
+    t.append(
+        spark.createDataFrame([(1, 2, 3.0)], "a bigint, b bigint, amt double")
+    )
+    t.optimize(target_files=1, full=True)
+    _v, files_full, _ = t._replay_full()
+    assert len(files_full) == 1
+    assert t.read().count() == 2501

@@ -7,8 +7,10 @@ in-file row index`` (metadata-derived, embarrassingly parallel — no
 global numbering, no shuffle); rewrite paths (OPTIMIZE, merge-on-read
 UPDATE/MERGE post-images) MATERIALIZE ids into the physical-only
 ``_rt_row_id`` column, which wins via coalesce. Copy-on-write DML
-refuses in v1 (rewritten rows would lose their ids) — merge-on-read is
-the row-tracking path.
+(round 12) routes its rewrites through the same materialization —
+surviving rows carry their old ids BY VALUE into the rewritten files,
+inserts fence beyond the watermark — so UPDATE/DELETE/MERGE preserve
+ids under BOTH physical modes, Delta's actual design.
 
 Export: ``add.baseRowId`` / ``add.defaultRowCommitVersion``, the
 ``delta.rowTracking`` domainMetadata action carrying the
@@ -108,19 +110,57 @@ def test_dv_merge_preserves_matched_assigns_inserts(spark, tmp_path):
     assert len(set(ids1.values())) == len(ids1)
 
 
-def test_cow_dml_refuses_insert_only_merge_allowed(spark, tmp_path):
-    t = _mk(spark, tmp_path, n=5)
-    with pytest.raises(NotImplementedError, match="stable ids"):
-        t.delete_where("k = 0")
-    with pytest.raises(NotImplementedError, match="stable ids"):
-        t.update_where("k = 0", {"amt": F.lit(1.0)})
-    with pytest.raises(NotImplementedError, match="stable ids"):
+def test_cow_delete_update_preserve_ids(spark, tmp_path):
+    """Round 12: copy-on-write DELETE/UPDATE materialize surviving
+    rows' ids into the rewritten files — ids stable, deleted ids gone,
+    nothing renumbered (the round-11 refusal is closed)."""
+    t = _mk(spark, tmp_path)
+    ids0 = _ids(t)
+    t.delete_where("k % 5 = 1")  # COW: rewrites touched files
+    ids1 = _ids(t)
+    assert set(ids1) == {k for k in ids0 if k % 5 != 1}
+    assert all(ids1[k] == ids0[k] for k in ids1)
+    t.update_where("k = 2", {"amt": F.lit(999.0)})  # COW rewrite
+    ids2 = _ids(t)
+    assert ids2 == ids1  # updated row KEEPS its id
+    got = {
+        r["k"]: r["amt"] for r in t.read().collect()
+    }
+    assert got[2] == 999.0 and 1 not in got
+
+
+def test_cow_merge_preserves_matched_assigns_inserts(spark, tmp_path):
+    """COW MERGE twin of the dv test: matched post-images keep their
+    ids by value, carried rows keep theirs, inserts fence beyond the
+    watermark — simple form (whole-row) included."""
+    t = _mk(spark, tmp_path)
+    ids0 = _ids(t)
+    hw0 = t.row_tracking_meta()[1]
+    merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame([(4, 555.0), (300, 6.0)], "k int, amt double"),
+        ["k"],
+    )
+    ids1 = _ids(t)
+    assert ids1[4] == ids0[4]
+    assert all(ids1[k] == ids0[k] for k in ids0)
+    assert ids1[300] > hw0
+    assert len(set(ids1.values())) == len(ids1)
+    # the physical-only id column never leaks into the logical read
+    assert "_rt_row_id" not in t.read().columns
+    # simple-form whole-row contract stays loud through the conversion
+    with pytest.raises(AssertionError, match="schemas must match"):
         merge_into_txlog(
             spark,
             t,
-            spark.createDataFrame([(1, 1.0)], "k int, amt double"),
+            spark.createDataFrame([(1,)], "k int"),
             ["k"],
         )
+
+
+def test_cow_insert_only_merge_still_fences(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=5)
     hw0 = t.row_tracking_meta()[1]
     merge_into_txlog(
         spark,
@@ -289,20 +329,68 @@ def test_export_backfills_pre_enablement_files(spark, tmp_path):
     assert native == ext and len(native) == 7
 
 
-def test_full_rewrite_insert_only_merge_refused(spark, tmp_path):
-    """Review finding (round 11): rewrite='full' rewrites every live
-    file, so even an insert-only clause set must refuse on a
+def test_full_rewrite_merge_preserves_ids(spark, tmp_path):
+    """rewrite='full' rewrites EVERY live file — the case round 11
+    refused; round 12 materializes ids through the full rewrite, so
+    even an insert-only clause set preserves every existing id."""
+    t = _mk(spark, tmp_path, n=6)
+    ids0 = _ids(t)
+    hw0 = t.row_tracking_meta()[1]
+    merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame([(50, 1.0)], "k int, amt double"),
+        ["k"],
+        clauses={"not_matched": [{"values": None}]},
+        rewrite="full",
+    )
+    ids1 = _ids(t)
+    assert all(ids1[k] == ids0[k] for k in ids0)
+    assert ids1[50] > hw0
+    assert len(set(ids1.values())) == 7
+
+
+def test_cow_dml_cdc_feed_stays_logical(spark, tmp_path):
+    """cdc sidecars carry LOGICAL rows only — the physical _rt_row_id
+    column must not leak into the change feed of a COW DML on a
     row-tracking table."""
     t = _mk(spark, tmp_path, n=6)
-    with pytest.raises(NotImplementedError, match="stable ids"):
-        merge_into_txlog(
-            spark,
-            t,
-            spark.createDataFrame([(50, 1.0)], "k int, amt double"),
-            ["k"],
-            clauses={"not_matched": [{"values": None}]},
-            rewrite="full",
+    t.update_where("k = 2", {"amt": F.lit(42.0)}, cdc=True)
+    t.delete_where("k = 3", cdc=True)
+    ch = t.read_changes(2, t.version())
+    assert "_rt_row_id" not in ch.columns
+    kinds = {
+        (r["k"], r["_change_type"])
+        for r in ch.collect()
+    }
+    # internal feed maps update_pre/postimage to delete/insert
+    assert (2, "insert") in kinds and (3, "delete") in kinds
+
+
+def test_rt_state_survives_checkpoint_while_disabled(spark, tmp_path):
+    """Review finding (round 11): once row-tracking state exists it must
+    ride EVERY metadata-complete checkpoint, even while the property is
+    false — otherwise cleanup_log can truncate the commits holding the
+    watermark and a re-enable backfills from hw=-1 over files still
+    carrying old materialized ids (duplicate ids)."""
+    t = _mk(spark, tmp_path, n=6)
+    t.optimize(target_files=1)  # materializes ids into the data file
+    ids0 = _ids(t)
+    hw0 = t.row_tracking_meta()[1]
+    t.set_properties({"delta.enableRowTracking": "false"})
+    for i in range(3):
+        t.append(
+            spark.createDataFrame([(1000 + i, 1.0)], "k int, amt double")
         )
+    # cleanup_log's own commit IS a metadata-complete checkpoint,
+    # written while the property is false — the exact failure window
+    t.cleanup_log(retain_versions=1)
+    _b, hw_after = t.row_tracking_meta()
+    assert hw_after >= hw0  # watermark survived truncation
+    t.set_properties({"delta.enableRowTracking": "true"})
+    ids1 = _ids(t)
+    assert all(ids1[k] == ids0[k] for k in ids0)  # old ids intact
+    assert len(set(ids1.values())) == len(ids1)  # and no duplicates
 
 
 def test_clone_carries_row_ids(spark, tmp_path):
@@ -325,3 +413,52 @@ def test_clone_carries_row_ids(spark, tmp_path):
     got = {r["k"]: r["_row_id"] for r in c.read_with_row_ids().collect()}
     assert got[500] > hw
     assert len(set(got.values())) == len(got)
+
+
+def test_x103_chain_gates(spark, tmp_path):
+    """The id-stability gates trimmed OUT of registry query x103
+    (round 12): DV DELETE + DV UPDATE + OPTIMIZE + DV MERGE, then (a)
+    survivors keep their pre-DML ids, (b) re-inserts fence beyond the
+    pre-DML watermark, (c) the independent _delta_log replay reader
+    reproduces the native (row, id) set exactly."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        export_delta_log,
+        read_delta_row_ids,
+    )
+
+    rows = [(k, "OFP"[k % 3]) for k in range(84)]
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(rows, "k int, st string").repartition(4),
+    )
+    t.set_properties({"delta.enableRowTracking": "true"})
+    pre = {r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()}
+    hw0 = t.row_tracking_meta()[1]
+    t.delete_where("k % 7 = 3", mode="dv")
+    t.update_where("k % 5 = 2", {"st": F.lit("U")}, mode="dv")
+    t.optimize(target_files=2)
+    merge_into_txlog(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(k, "M") for k in range(84) if k % 6 == 2], "k int, st string"
+        ),
+        ["k"],
+        mode="dv",
+    )
+    final = {
+        r["k"]: (r["st"], r["_row_id"])
+        for r in t.read_with_row_ids().collect()
+    }
+    for k, (_st, rid) in final.items():
+        if k % 7 != 3:
+            assert rid == pre[k], f"survivor {k} moved"
+        else:
+            assert k % 6 == 2 and rid > hw0, f"re-insert {k} unfenced"
+    export_delta_log(spark, t)
+    ext = {
+        r["k"]: (r["st"], r["_row_id"])
+        for r in read_delta_row_ids(spark, t.path).collect()
+    }
+    assert ext == final
