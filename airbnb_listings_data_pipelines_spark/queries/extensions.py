@@ -7103,3 +7103,209 @@ def x107_row_tracking_cow_dml(
             ).alias("n_ext_agree"),
         )
     )
+
+
+@query(
+    "x108_incremental_reclustering",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM documents
+    WHERE n_chars BETWEEN 100 AND 300
+    GROUP BY 1
+    """,
+    survey_rows=("EXT-curation", "EXT-tableformat", "A2", "A5"),
+    doc="INCREMENTAL (liquid-style) RE-CLUSTERING (round 12): the x106 "
+    "clustered corpus, maintained the way a 100 TB ingest actually "
+    "runs. Chain: first half of documents -> txlog CLUSTER BY (lang, "
+    "n_chars) + OPTIMIZE (initial pass — everything untagged, so the "
+    "whole seed clusters); APPEND the second half (an ingest batch); "
+    "bare OPTIMIZE again — now INCREMENTAL: files the first pass wrote "
+    "carry clusteredBy=(lang,n_chars) in the per-file stats fold and "
+    "are NOT selected, so the second pass reads and rewrites ONLY the "
+    "batch, into its own Morton-ordered ZCube. Re-clustering after "
+    "each ingest batch then costs the batch's bytes, not the table's — "
+    "without the tag, optimize() would rewrite the full corpus on "
+    "every maintenance run (SCALING.md records the 10x probe: "
+    "recluster cost tracks NEW bytes). In-query gates, all metadata-"
+    "plane (file lists, zero data reads): (a) every initial-pass file "
+    "is STILL LIVE after the incremental pass — survived by identity, "
+    "(b) a third bare OPTIMIZE is a version-preserving NO-OP (fully "
+    "clustered), (c) the x106 pruning contract still holds across both "
+    "ZCubes — the curation band scan opens a strict subset of files "
+    "and matches the full-scan answer under the hash. "
+    "operators/txlog.optimize (incremental selection + clusteredBy "
+    "stats tag) + cluster_by + read_where.",
+)
+def x108_incremental_reclustering(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.txlog import TxLogTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = _dml_scratch("x108" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, docs.filter("doc_id % 2 = 0").repartition(6)
+    )
+    t.cluster_by(["lang", "n_chars"])
+    t.optimize(target_files=6)  # initial pass: whole seed
+    _v, pass1, _d = t._replay_full()
+    t.append(docs.filter("doc_id % 2 = 1").repartition(4))
+    t.optimize(target_files=2)  # INCREMENTAL: only the batch
+    _v, live, _d = t._replay_full()
+    if not set(pass1) <= set(live):
+        raise AssertionError(
+            "incremental pass rewrote already-clustered files"
+        )
+    if len(set(live) - set(pass1)) != 2:
+        raise AssertionError(
+            f"batch ZCube is {len(set(live) - set(pass1))} files, not 2"
+        )
+    v_now = t.version()
+    if t.optimize() != v_now:
+        raise AssertionError("fully-clustered OPTIMIZE was not a no-op")
+    pruned = t._prune_files(live, "n_chars", 100, 300)
+    if not (0 < len(pruned) < len(live)):
+        raise AssertionError(
+            f"no pruning across ZCubes: {len(pruned)}/{len(live)}"
+        )
+    return t.read_where("n_chars", 100, 300).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+@query(
+    "x109_lakehouse_feature_composition",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS cust, o_orderstatus
+      FROM orders
+    ),
+    final AS (
+      SELECT o_orderkey, CAST(cust AS BIGINT) AS cust,
+             CASE WHEN o_orderkey % 5 = 2 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus
+      FROM base
+      UNION ALL
+      SELECT o_orderkey + 70000000, CAST(cust AS BIGINT) + 3000000000, 'N'
+      FROM base WHERE o_orderkey % 6 = 2
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_rowids,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_identity,
+           CAST(SUM(CASE WHEN o_orderkey < 70000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stable,
+           CAST(SUM(CASE WHEN cust >= 3000000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_widened,
+           CAST(COUNT(*) AS BIGINT) AS n_ext_agree
+    FROM final GROUP BY 1
+    """,
+    survey_rows=("EXT-tableformat", "J1", "A2", "A8"),
+    doc="CROSS-FEATURE COMPOSITION (round 12 — the verdict's "
+    "interaction gauntlet; round 11 found its CLONE id-space and "
+    "backfill-ordering bugs only by composing): ONE table carrying "
+    "CLUSTER BY (cust) + identity (row_id, start 500 step 3) + row "
+    "tracking + type widening, taken through ALTER COLUMN TYPE "
+    "(cust INT -> BIGINT, metadata-only), a merge-on-read MERGE (DV "
+    "positions; %5==2 -> 'U', inserts %6==2 shifted +70000000 with "
+    "cust beyond the INT32 range — exercising the widened type), an "
+    "incremental OPTIMIZE (re-clusters along cust, materializes rt "
+    "ids, folds the DVs away), a RESTORE back to the pre-optimize "
+    "version (file set + DV state + clustering + rt bases revert; "
+    "watermarks stay monotone), and a Delta-log export. Everything "
+    "verifies under ONE value hash: n_stable counts pre-existing rows "
+    "whose stable _row_id equals its pinned pre-DML value (time-travel "
+    "join), n_unique_rowids/n_unique_identity pin both id spaces "
+    "duplicate-free per status, n_widened counts inserts whose cust "
+    "landed beyond INT32, and n_ext_agree counts (key, status, id) "
+    "tuples the INDEPENDENT _delta_log replay reader reproduces after "
+    "the whole chain — the oracle pins each to the per-status counts "
+    "DuckDB derives from raw orders. operators/txlog (cluster_by, "
+    "alter_column_type, merge_into_txlog mode='dv', optimize, restore) "
+    "+ operators/deltalog (export_delta_log, read_delta_row_ids).",
+)
+def x109_lakehouse_feature_composition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.deltalog import export_delta_log, read_delta_row_ids
+    from ..operators.txlog import TxLogTable, merge_into_txlog
+
+    orders = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", "CAST(o_custkey AS INT) AS cust", "o_orderstatus"
+    )
+    path = _dml_scratch("x109" + sf_dir)
+    t = TxLogTable.create(
+        spark,
+        path,
+        orders.repartitionByRange(6, "o_orderkey"),
+        identity={"row_id": (500, 3)},
+    )
+    t.cluster_by(["cust"])
+    t.set_properties(
+        {
+            "delta.enableRowTracking": "true",
+            "delta.enableTypeWidening": "true",
+        }
+    )
+    v_pre = t.version()
+    t.alter_column_type("cust", "bigint")  # metadata-only widening
+    src = (
+        orders.filter("o_orderkey % 5 = 2")
+        .selectExpr(
+            "o_orderkey", "CAST(cust AS BIGINT) AS cust",
+            "'U' AS o_orderstatus",
+        )
+        .unionByName(
+            orders.filter("o_orderkey % 6 = 2").selectExpr(
+                "o_orderkey + 70000000 AS o_orderkey",
+                "CAST(cust AS BIGINT) + 3000000000 AS cust",
+                "'N' AS o_orderstatus",
+            )
+        )
+    )
+    merge_into_txlog(spark, t, src, ["o_orderkey"], mode="dv")
+    v_merged = t.version()
+    t.optimize(target_files=4)  # re-clusters, materializes rt ids
+    t.restore(v_merged)  # files + DVs + rt bases revert, hw monotone
+    export_delta_log(spark, t)
+    pre = t.read_with_row_ids(as_of=v_pre).select(
+        "o_orderkey", F.col("_row_id").alias("pre_id")
+    )
+    final = t.read_with_row_ids()
+    ext = read_delta_row_ids(spark, t.path).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("ext_status"),
+        F.col("_row_id").alias("ext_id"),
+    )
+    pre_row = F.col("o_orderkey") < 70000000
+    return (
+        final.join(pre, "o_orderkey", "left")
+        .join(ext, "o_orderkey", "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("_row_id").alias("n_unique_rowids"),
+            F.countDistinct("row_id").alias("n_unique_identity"),
+            F.sum(
+                (pre_row & (F.col("_row_id") == F.col("pre_id"))).cast(
+                    "long"
+                )
+            ).alias("n_stable"),
+            F.sum((F.col("cust") >= F.lit(3000000000)).cast("long")).alias(
+                "n_widened"
+            ),
+            F.sum(
+                (
+                    (F.col("ext_status") == F.col("o_orderstatus"))
+                    & (F.col("ext_id") == F.col("_row_id"))
+                ).cast("long")
+            ).alias("n_ext_agree"),
+        )
+    )

@@ -39,14 +39,26 @@ def main() -> int:
         print(f"REFUSED: cross-lineage compare ({lo} vs {ln})")
         return 2
     flagged = []
+    sp_old = old.get("spread") or {}
+    sp_new = new.get("spread") or {}
     for q, t_old in sorted(old["queries"].items()):
         t_new = new["queries"].get(q)
         if t_new is None:
             continue
+        stat = "min"
+        if q in sp_old and q in sp_new:
+            # high-variance class: trend MEDIANS (both files carry the
+            # run spread) — the min floor under-reports a real shift and
+            # a single outlier run over-reports one
+            t_old, t_new = sp_old[q]["median"], sp_new[q]["median"]
+            stat = "median"
         if t_new > t_old * (1 + bar) and t_new - t_old > absf:
-            flagged.append((q, t_old, t_new))
-    for q, a, b in flagged:
-        print(f"REGRESSION {q}: {a:.2f}s -> {b:.2f}s (+{(b/a-1)*100:.0f}%)")
+            flagged.append((q, t_old, t_new, stat))
+    for q, a, b, st in flagged:
+        print(
+            f"REGRESSION {q} ({st}): {a:.2f}s -> {b:.2f}s "
+            f"(+{(b / a - 1) * 100:.0f}%)"
+        )
     common = [q for q in old["queries"] if q in new["queries"]]
     s_old = sum(old["queries"][q] for q in common)
     s_new = sum(new["queries"][q] for q in common)
