@@ -38,9 +38,11 @@ VACUUM), and ANSI for the rest:
   values on UPDATE and insert NULL on INSERT, Delta's rules. ``src``
   is a catalog/temp-view name or a parenthesized subquery.
 - ``OPTIMIZE t [WHERE col = v | WHERE col BETWEEN lo AND hi]
-  [ZORDER BY (c1, c2)]`` — WHERE scopes the compaction to overlapping
-  files (partition dirs / footer envelopes), Delta's partition-scoped
-  OPTIMIZE
+  [ZORDER BY (c1, c2)] [FULL]`` — WHERE scopes the compaction to
+  overlapping files (partition dirs / footer envelopes), Delta's
+  partition-scoped OPTIMIZE; on a clustered table the bare form is the
+  INCREMENTAL liquid maintenance pass and ``FULL`` forces the global
+  whole-snapshot recluster (Delta's ``OPTIMIZE ... FULL``)
 - ``RESTORE TABLE t TO VERSION AS OF n`` / ``TO TIMESTAMP AS OF ts``
   (timestamps resolve via monotonized commit mtimes, Delta's fallback
   rule; numeric literals are epoch seconds, strings ISO-8601)
@@ -872,12 +874,18 @@ class TxSqlSession:
         m = re.fullmatch(
             rf"OPTIMIZE\s+({_IDENT})"
             r"(?:\s+WHERE\s+(.+?))?"
-            r"(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?",
+            r"(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?"
+            r"(?:\s+(FULL))?",
             s,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError(f"cannot parse OPTIMIZE: {s!r}")
+        if m.group(4) and m.group(3):
+            raise ValueError(
+                "OPTIMIZE FULL applies to clustered tables' bare "
+                "maintenance pass — it cannot combine with ZORDER BY"
+            )
         prune = None
         if m.group(2):
             # Delta's OPTIMIZE ... WHERE takes file-selection predicates;
@@ -903,7 +911,9 @@ class TxSqlSession:
         z = (
             [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
         )
-        return self.table(m.group(1)).optimize(zorder_by=z, prune=prune)
+        return self.table(m.group(1)).optimize(
+            zorder_by=z, prune=prune, full=bool(m.group(4))
+        )
 
     def _restore(self, s: str) -> int:
         m = re.fullmatch(

@@ -3232,11 +3232,11 @@ class TxLogTable:
             elif rb:
                 extra["row_base"] = rb
                 extra["row_hw"] = hw
-            _rt_ckpt_bases: dict | None = {
-                **bases,
-                **(dict(reset) if reset else {}),
-                **rb,
-            }
+            _rt_ckpt_bases: dict | None = (
+                {**bases, **(dict(reset) if reset else {}), **rb}
+                if is_ckpt
+                else None
+            )
             _rt_ckpt_hw = hw
         elif is_ckpt:
             # property currently FALSE but state may exist: row-tracking
@@ -3679,6 +3679,22 @@ class TxLogTable:
         ``zorder_by`` always rewrites its whole selection too."""
         from pyspark.sql import functions as F
 
+        if full:
+            # Delta's OPTIMIZE ... FULL contract: it IS the clustered
+            # table's global maintenance pass — meaningless without
+            # clustering, contradictory with an explicit ZORDER BY
+            # (review finding, round 12: the SQL layer refused these
+            # but the Python surface silently ignored the flag)
+            if zorder_by is not None:
+                raise ValueError(
+                    "full=True applies to the bare clustered maintenance "
+                    "pass — it cannot combine with zorder_by"
+                )
+            if not self.clustering_columns():
+                raise ValueError(
+                    "OPTIMIZE FULL requires a clustered table "
+                    "(cluster_by first)"
+                )
         base_version, base_files, dvs = self._replay_full()
         if prune is not None:
             files = self._prune_files(base_files, *prune)
@@ -4224,11 +4240,24 @@ class TxLogTable:
         :meth:`cleanup_log`), then apply ``row_base_reset`` replacements
         (restore) and per-commit ``row_base`` deltas; the watermark is
         monotone (max recorded ``row_hw``) — it never regresses, even
-        across restore, Delta's own rule."""
-        recs: list[dict] = []
-        for name in sorted(
+        across restore, Delta's own rule.
+
+        Latest-head fold is CACHED per instance (same head-keyed scheme
+        as :meth:`properties`): checkpoint commits re-fold this on
+        every table — including tables that never enabled tracking —
+        so an uncached fold would charge an O(retained commits) JSON
+        walk to every 20th append of every table (review finding,
+        round 12). Callers must treat the returned map as read-only."""
+        names = sorted(
             f for f in os.listdir(self.log_dir) if f.endswith(".json")
-        ):
+        )
+        if as_of is None and names:
+            head = int(names[-1].split(".")[0])
+            cached = getattr(self, "_rt_meta_cache", None)
+            if cached is not None and cached[0] == head:
+                return cached[1]
+        recs: list[dict] = []
+        for name in names:
             v = int(name.split(".")[0])
             if as_of is not None and v > as_of:
                 continue
@@ -4257,6 +4286,8 @@ class TxLogTable:
                 )
             if c.get("row_hw") is not None:
                 hw = max(hw, int(c["row_hw"]))
+        if as_of is None and names:
+            self._rt_meta_cache = (int(names[-1].split(".")[0]), (bases, hw))
         return bases, hw
 
     def _rt_cow_read(self, files: list[str], schema_json, dvs) -> DataFrame:
@@ -4492,9 +4523,14 @@ class TxLogTable:
         (this engine's physical realization is the Morton-curve rewrite
         optimize already has; Delta's incremental ZCube maintenance is
         an optimization of WHEN to rewrite, not of the layout contract).
-        ``CLUSTER BY ()`` (empty list) un-clusters. Columns must exist
-        and not be partition columns (partitioning already clusters
-        them). Recorded clustering survives checkpoints/cleanup (the
+        ``CLUSTER BY ()`` (empty list) un-clusters. Columns must
+        exist, and PARTITIONED tables refuse clustering entirely —
+        Delta disallows the combination (either alone is fine), and a
+        mirrored _delta_log carrying both partitionColumns and a
+        delta.clustering domain is a table external engines reject
+        (review finding, round 12 — previously only overlapping
+        columns were refused). Recorded clustering survives
+        checkpoints/cleanup (the
         metadata-complete snapshot carries it) and reverts with RESTORE;
         the Delta export mirrors it as the ``delta.clustering``
         domainMetadata action."""
@@ -4513,11 +4549,12 @@ class TxLogTable:
                     f"clustering column(s) {missing} absent from table"
                 )
             pby, _ps = self.partition_meta()
-            bad = [c for c in cols if c in pby]
-            if bad:
+            if pby and cols:
                 raise ValueError(
-                    f"clustering column(s) {bad} are partition columns — "
-                    "partitioning already clusters them"
+                    "cluster_by refused: the table is partitioned by "
+                    f"{pby} and Delta tables take clustering OR "
+                    "partitioning, not both — the exported _delta_log "
+                    "could not legally express the combination"
                 )
             try:
                 self._try_commit(
@@ -5862,6 +5899,35 @@ def merge_into_txlog(
     from .merge import merge_clauses, merge_clauses_with_cdc, merge_frames
 
     assert rewrite in ("touched", "full")
+    if table.row_tracking_enabled():
+        # the physical id column is ENGINE-OWNED (same contract as
+        # identity columns): no clause may SET/INSERT it — the target
+        # frame carries it as an ordinary column for the rewrite, so
+        # clause validation alone would accept the assignment and
+        # silently corrupt stable ids — and the source may not carry it
+        # (SET */INSERT * under evolve_schema would pick it up).
+        # Review finding, round 12. Guards BOTH physical modes.
+        if _ROW_ID_PHYS in source.columns:
+            raise ValueError(
+                f"source carries reserved column {_ROW_ID_PHYS!r} — it "
+                "is engine-assigned row-tracking state; rename or drop "
+                "it from the source"
+            )
+        _cl_rt = clauses if clauses is not None else _simple_form_clauses(
+            when_matched, when_not_matched, matched_set, insert_values
+        )
+        for _kind, _key in (
+            ("matched", "set"),
+            ("not_matched", "values"),
+            ("not_matched_by_source", "set"),
+        ):
+            for _c in _cl_rt.get(_kind) or []:
+                if _ROW_ID_PHYS in (_c.get(_key) or {}):
+                    raise ValueError(
+                        f"{_kind} clause assigns {_ROW_ID_PHYS!r} — row-"
+                        "tracking ids are engine-assigned and cannot be "
+                        "set by MERGE"
+                    )
     ident_meta = table.identity_meta()
     if ident_meta:
         # identity columns are GENERATED ALWAYS: no clause may assign

@@ -64,22 +64,35 @@ def test_cluster_by_drives_optimize_and_skipping(spark, tmp_path):
 
 
 def test_refusals_uncluster_restore(spark, tmp_path):
-    t = TxLogTable.create(
+    p = TxLogTable.create(
         spark,
         str(tmp_path / "p"),
         spark.createDataFrame([(1, 2, 3)], "a int, b int, c int"),
         partition_by=["c"],
     )
     with pytest.raises(ValueError, match="absent"):
-        t.cluster_by(["zz"])
-    with pytest.raises(ValueError, match="partition"):
-        t.cluster_by(["c"])
+        p.cluster_by(["zz"])
+    # Delta disallows clustering + partitioning on one table ENTIRELY
+    # (round-12 review finding: previously only overlap was refused)
+    with pytest.raises(ValueError, match="not both"):
+        p.cluster_by(["a"])
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "u"),
+        spark.createDataFrame([(1, 2, 3)], "a int, b int, c int"),
+    )
     t.cluster_by(["a"])
     v_cl = t.version()
     t.cluster_by([])  # un-cluster
     assert t.clustering_columns() == []
     t.restore(v_cl)
     assert t.clustering_columns() == ["a"]
+    # full=True contract (round-12 review finding): refuses explicit
+    # zorder and non-clustered tables instead of silently ignoring
+    with pytest.raises(ValueError, match="cannot combine"):
+        t.optimize(zorder_by=["a"], full=True)
+    with pytest.raises(ValueError, match="requires a clustered"):
+        p.optimize(full=True)
 
 
 def test_checkpoint_cleanup_no_resurrection(spark, tmp_path):
@@ -271,3 +284,45 @@ def test_incremental_reclustering(spark, tmp_path):
     _v, files_full, _ = t._replay_full()
     assert len(files_full) == 1
     assert t.read().count() == 2501
+
+
+def test_sql_optimize_full_and_row_tracking_props(spark, tmp_path):
+    """Round-12 SQL surface: OPTIMIZE t FULL forces the global recluster
+    on a clustered table, and SET TBLPROPERTIES
+    ('delta.enableRowTracking'='true') enables + backfills through the
+    dialect front-end (the property commit is the enablement)."""
+    from airbnb_listings_data_pipelines_spark.functions.tx_sql import (
+        TxSqlSession,
+    )
+
+    t = _mk(spark, tmp_path, n=300)
+    sess = TxSqlSession(spark, {"t": t.path})
+    sess.execute("ALTER TABLE t CLUSTER BY (a, b)")
+    sess.execute("OPTIMIZE t")  # initial pass
+    _v, pass1, _ = t._replay_full()
+    sess.execute(
+        "INSERT INTO t SELECT id + 5000, id % 100, id * 1.0 "
+        "FROM range(0, 50)"
+    )
+    sess.execute("OPTIMIZE t")  # incremental: pass1 files survive
+    _v, live, _ = t._replay_full()
+    assert set(pass1) <= set(live)
+    sess.execute("OPTIMIZE t FULL")  # global pass: pass1 files retired
+    _v, full_files, _ = t._replay_full()
+    assert not (set(pass1) & set(full_files))
+    with pytest.raises(ValueError, match="cannot combine"):
+        sess.execute("OPTIMIZE t ZORDER BY (a) FULL")
+    # row tracking through SET TBLPROPERTIES: enablement backfills
+    sess.execute(
+        "ALTER TABLE t SET TBLPROPERTIES ('delta.enableRowTracking' = 'true')"
+    )
+    ids = [r["_row_id"] for r in t.read_with_row_ids().collect()]
+    assert len(ids) == 350 and len(set(ids)) == 350
+    # and COW DML through SQL preserves the ids (round-12 closure)
+    pre = {
+        r["a"]: r["_row_id"] for r in t.read_with_row_ids().collect()
+    }
+    sess.execute("DELETE FROM t WHERE a % 10 = 1")
+    got = {r["a"]: r["_row_id"] for r in t.read_with_row_ids().collect()}
+    assert all(got[a] == pre[a] for a in got)
+    assert set(got) == {a for a in pre if a % 10 != 1}

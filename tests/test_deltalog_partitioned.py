@@ -268,6 +268,8 @@ def test_incremental_export_refreshes_changed_schema(spark, tmp_path):
 
 
 def _deltalake_or_skip():
+    # re-probed round 12 (2026-08-16): `import deltalake` ModuleNotFound;
+    # extensions.duckdb.org unreachable (no network) — gate stays closed
     return pytest.importorskip(
         "deltalake", reason="delta-rs not installed (no network in sandbox)"
     )

@@ -462,3 +462,31 @@ def test_x103_chain_gates(spark, tmp_path):
         for r in read_delta_row_ids(spark, t.path).collect()
     }
     assert ext == final
+
+
+def test_merge_refuses_assigning_reserved_id_column(spark, tmp_path):
+    """Round-12 review finding: the target frame carries _rt_row_id as
+    an ordinary column for the rewrite, so clause validation alone
+    would accept SET/INSERT of it and silently corrupt stable ids —
+    engine-owned, refused like identity columns, in BOTH modes."""
+    t = _mk(spark, tmp_path, n=5)
+    src = spark.createDataFrame([(1, 9.0)], "k int, amt double")
+    for mode in ("cow", "dv"):
+        with pytest.raises(ValueError, match="engine-assigned"):
+            merge_into_txlog(
+                spark, t, src, ["k"], mode=mode,
+                clauses={"matched": [
+                    {"action": "update", "set": {"_rt_row_id": "0"}}
+                ]},
+            )
+        with pytest.raises(ValueError, match="reserved column"):
+            merge_into_txlog(
+                spark,
+                t,
+                src.withColumn("_rt_row_id", F.lit(0)),
+                ["k"],
+                mode=mode,
+                evolve_schema=True,
+            )
+    # and the ids are untouched by the refused attempts
+    assert len(set(_ids(t).values())) == 5

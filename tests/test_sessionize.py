@@ -102,6 +102,8 @@ def test_transformwithstate_sessionize_matches_applyinpandas(spark):
     except ModuleNotFoundError:
         has_protobuf = False
     if not has_protobuf:
+        # re-probed round 12 (2026-08-16): `import google.protobuf`
+        # ModuleNotFound; no network to install — gate stays closed
         _pytest.skip("transformWithState state server requires google.protobuf")
     from airbnb_listings_data_pipelines_spark.streaming.sessionize_tws import (
         sessionize_tws,
