@@ -5125,6 +5125,19 @@ class TxLogTable:
             f"unset_properties gave up after {max_retries} retries"
         )
 
+    def to_iceberg(self) -> int:
+        """Export/refresh an Apache ICEBERG v2 metadata layer under
+        ``<table>/metadata/`` over this table's current live files —
+        Delta UniForm's shape (same parquet, second table format), so
+        Iceberg engines read the table without a data copy. See
+        :func:`operators.iceberg.export_iceberg_metadata` (incremental,
+        one snapshot per txlog version, O(live files) metadata; refuses
+        live deletion vectors exactly as UniForm does). Returns the new
+        metadata ordinal."""
+        from .iceberg import export_iceberg_metadata
+
+        return export_iceberg_metadata(self)
+
     def to_delta_log(self) -> int:
         """Export/refresh a Delta-protocol ``_delta_log`` for this table so
         external Delta readers can open it — see

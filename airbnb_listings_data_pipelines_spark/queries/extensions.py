@@ -7309,3 +7309,84 @@ def x109_lakehouse_feature_composition(
             ).alias("n_ext_agree"),
         )
     )
+
+
+@query(
+    "x110_iceberg_uniform_export",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 2 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 3
+    ),
+    final AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT o_orderkey + 70000000, 'N', o_totalprice
+      FROM orders WHERE o_orderkey % 6 = 2
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM final GROUP BY 1
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8"),
+    doc="ICEBERG METADATA EXPORT — UniForm shape (round 12, the "
+    "round-11 verdict's 'next real-user surface'): orders -> txlog, a "
+    "COW DELETE (%7==3) + COW UPDATE (%5==2 -> 'U'), then "
+    "to_iceberg() writes an Apache Iceberg v2 metadata layer "
+    "(vN.metadata.json + manifest-list/manifest AVRO files — the Avro "
+    "object-container writer is implemented from the public 1.12 spec, "
+    "no avro library in the sandbox) over the SAME parquet files; an "
+    "append (%6==2 shifted +70000000, status 'N') then a SECOND "
+    "incremental export (carried files EXISTING, new files ADDED, "
+    "snapshot ids = txlog versions). The hashed result reads the table "
+    "through read_iceberg_snapshot — an INDEPENDENT from-scratch "
+    "reader that reconstructs the live file set from version-hint -> "
+    "metadata.json -> manifest-list Avro -> manifest Avro alone (the "
+    "read_delta_row_ids verification pattern) — so one wrong varint, "
+    "sync marker, manifest entry, or status flag breaks the driver's "
+    "value hash against DuckDB on raw orders. Export cost is O(live "
+    "files) driver-side metadata (counts from the stats fold, zero "
+    "data reads) — the Delta-export cost class. No external Iceberg "
+    "engine exists in this sandbox (probed: no pyiceberg, no network); "
+    "spec-level conformance (field-id annotations, v2 required keys, "
+    "container byte format) is pinned in tests/test_iceberg.py. "
+    "operators/iceberg.export_iceberg_metadata + read_iceberg_snapshot.",
+)
+def x110_iceberg_uniform_export(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.iceberg import read_iceberg_snapshot
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _dml_scratch("x110" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(6, "o_orderkey")
+    )
+    t.delete_where("o_orderkey % 7 = 3")
+    t.update_where("o_orderkey % 5 = 2", {"o_orderstatus": F.lit("U")})
+    t.to_iceberg()
+    t.append(
+        orders.filter("o_orderkey % 6 = 2").selectExpr(
+            "o_orderkey + 70000000 AS o_orderkey",
+            "'N' AS o_orderstatus",
+            "o_totalprice",
+        )
+    )
+    t.to_iceberg()  # incremental second snapshot
+    ice = read_iceberg_snapshot(spark, t.path)
+    return ice.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+        ).alias("total_cents"),
+    )

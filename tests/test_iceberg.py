@@ -1,0 +1,201 @@
+"""Iceberg metadata export (UniForm shape) + the independent snapshot
+reader — byte-level Avro spec assertions, export semantics, refusals,
+and native-vs-iceberg read parity. No external Iceberg engine exists in
+this sandbox (probed round 12: no pyiceberg, no network), so
+conformance evidence is spec-level: container magic/sync/varint edges,
+the spec's field-id annotations, v2 metadata required keys, and a
+from-scratch reader that reconstructs the table from the metadata
+alone."""
+from __future__ import annotations
+
+import io
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+    _AVRO_MAGIC,
+    _zigzag,
+    _read_zigzag,
+    export_iceberg_metadata,
+    read_avro_container,
+    read_iceberg_snapshot,
+    write_avro_container,
+)
+from airbnb_listings_data_pipelines_spark.operators.txlog import (
+    TxLogTable,
+    merge_into_txlog,
+)
+
+
+def _mk(spark, tmp_path, n=40, partition_by=None):
+    return TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(k, float(k), "ab"[k % 2]) for k in range(n)],
+            "k int, amt double, g string",
+        ).repartition(3),
+        partition_by=partition_by,
+    )
+
+
+def _rows(df):
+    return set(map(tuple, df.select("k", "amt", "g").collect()))
+
+
+def test_zigzag_varint_spec_vectors():
+    """Avro spec's own zigzag examples + 64-bit edges."""
+    assert _zigzag(0) == b"\x00"
+    assert _zigzag(-1) == b"\x01"
+    assert _zigzag(1) == b"\x02"
+    assert _zigzag(-2) == b"\x03"
+    assert _zigzag(64) == b"\x80\x01"
+    for v in (2**63 - 1, -(2**63), 12345678901234, -987654321):
+        assert _read_zigzag(io.BytesIO(_zigzag(v))) == v
+
+
+def test_container_magic_sync_and_roundtrip(tmp_path):
+    sch = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": ["null", "long"]}],
+    }
+    p = str(tmp_path / "f.avro")
+    write_avro_container(p, sch, [{"a": 7}, {"a": None}], {"x": "y"})
+    raw = open(p, "rb").read()
+    assert raw[:4] == _AVRO_MAGIC
+    s, m, r = read_avro_container(p)
+    assert r == [{"a": 7}, {"a": None}] and m["x"] == "y"
+    # corrupting the block sync must be detected
+    bad = raw[:-1] + bytes([raw[-1] ^ 0xFF])
+    open(p, "wb").write(bad)
+    with pytest.raises(ValueError, match="sync"):
+        read_avro_container(p)
+
+
+def test_export_reads_back_and_field_ids(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    assert t.to_iceberg() == 1
+    md = json.load(
+        open(os.path.join(t.path, "metadata", "v1.metadata.json"))
+    )
+    assert md["format-version"] == 2
+    fields = md["schemas"][0]["fields"]
+    assert [f["id"] for f in fields] == [1, 2, 3]
+    assert md["current-snapshot-id"] == md["snapshots"][-1]["snapshot-id"]
+    nmap = json.loads(
+        md["properties"]["schema.name-mapping.default"]
+    )
+    assert nmap[0] == {"field-id": 1, "names": ["k"]}
+    # the manifest's entries carry the spec's field ids
+    snap = md["snapshots"][-1]
+    _s, _m, mfs = read_avro_container(snap["manifest-list"])
+    ms, mm, entries = read_avro_container(mfs[0]["manifest_path"])
+    assert mm["format-version"] == "2" and mm["content"] == "data"
+    by_name = {f["name"]: f for f in ms["fields"]}
+    assert by_name["status"]["field-id"] == 0
+    assert by_name["data_file"]["field-id"] == 2
+    df_ids = {
+        f["name"]: f["field-id"]
+        for f in by_name["data_file"]["type"]["fields"]
+    }
+    assert df_ids["file_path"] == 100 and df_ids["record_count"] == 103
+    assert all(e["status"] == 1 for e in entries)  # first export: ADDED
+    assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())
+
+
+def test_incremental_export_and_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.to_iceberg()
+    v1_snap = t.version()
+    rows_v1 = _rows(t.read())
+    t.append(
+        spark.createDataFrame([(100, 1.0, "c")], "k int, amt double, g string")
+    )
+    t.delete_where("k % 10 = 3")  # COW retires + rewrites files
+    assert t.to_iceberg() == 2
+    md = json.load(
+        open(os.path.join(t.path, "metadata", "v2.metadata.json"))
+    )
+    assert len(md["snapshots"]) == 2
+    assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())
+    # time travel: the FIRST snapshot still reads exactly v1
+    assert (
+        _rows(read_iceberg_snapshot(spark, t.path, snapshot_id=v1_snap))
+        == rows_v1
+    )
+    # carried files are EXISTING in the new manifest, new ones ADDED
+    snap2 = md["snapshots"][-1]
+    _s, _m, mfs = read_avro_container(snap2["manifest-list"])
+    _ms, _mm, entries = read_avro_container(mfs[0]["manifest_path"])
+    statuses = {e["status"] for e in entries}
+    assert statuses == {0, 1}
+    assert mfs[0]["existing_files_count"] > 0
+    # re-export at the same txlog version is a no-op
+    assert t.to_iceberg() == 2
+
+
+def test_partitioned_export_manifest_partition_values(spark, tmp_path):
+    t = _mk(spark, tmp_path, partition_by=["g"])
+    t.to_iceberg()
+    md = json.load(
+        open(os.path.join(t.path, "metadata", "v1.metadata.json"))
+    )
+    spec = md["partition-specs"][0]
+    assert spec["fields"][0]["transform"] == "identity"
+    assert spec["fields"][0]["source-id"] == 3  # g is field 3
+    assert spec["fields"][0]["field-id"] == 1000
+    # reader attaches partition values from the MANIFEST, not hive dirs
+    got = read_iceberg_snapshot(spark, t.path)
+    assert _rows(got) == _rows(t.read())
+
+
+def test_column_mapped_name_mapping(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.rename_column("amt", "amount")  # physical stays 'amt'
+    t.to_iceberg()
+    md = json.load(
+        open(os.path.join(t.path, "metadata", "v1.metadata.json"))
+    )
+    nmap = json.loads(md["properties"]["schema.name-mapping.default"])
+    amount = next(e for e in nmap if "amount" in e["names"])
+    assert amount["names"] == ["amount", "amt"]
+    ice = read_iceberg_snapshot(spark, t.path)
+    assert "amount" in ice.columns
+    assert set(r["amount"] for r in ice.collect()) == set(
+        r["amount"] for r in t.read().collect()
+    )
+
+
+def test_refusals_dv_and_nested(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where("k = 1", mode="dv")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.to_iceberg()
+    t.optimize()  # folds the DV away
+    t.to_iceberg()
+    nested = TxLogTable.create(
+        spark,
+        str(tmp_path / "n"),
+        spark.createDataFrame([(1, [1, 2])], "k int, xs array<int>"),
+    )
+    with pytest.raises(ValueError, match="flat schemas"):
+        nested.to_iceberg()
+
+
+def test_iceberg_and_delta_exports_coexist(spark, tmp_path):
+    """UniForm's whole point: BOTH formats over the same parquet."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        export_delta_log,
+        read_delta_snapshot,
+    )
+
+    t = _mk(spark, tmp_path)
+    export_delta_log(spark, t)
+    t.to_iceberg()
+    native = _rows(t.read())
+    assert _rows(read_delta_snapshot(spark, t.path)) == native
+    assert _rows(read_iceberg_snapshot(spark, t.path)) == native
