@@ -1105,6 +1105,16 @@ def export_delta_log(spark: SparkSession, table) -> int:
         ck_at = lc["version"] if lc else -1
         if latest - ck_at >= iv:
             write_delta_checkpoint(spark, table.path)
+    # UniForm's enablement property (public Delta surface): with
+    # 'iceberg' among delta.universalFormat.enabledFormats, the export
+    # also refreshes the Iceberg metadata layer — Delta's async iceberg
+    # conversion shape, both formats over the same parquet. O(live
+    # files) metadata, the same cost class as this export itself.
+    fmts = (cur_props or {}).get("delta.universalFormat.enabledFormats")
+    if fmts and "iceberg" in [f.strip() for f in fmts.split(",")]:
+        from .iceberg import export_iceberg_metadata
+
+        export_iceberg_metadata(table)
     return latest
 
 

@@ -677,7 +677,20 @@ def export_iceberg_metadata(table) -> int:
         "snapshots": (prev or {}).get("snapshots", []) + [snapshot],
         "snapshot-log": (prev or {}).get("snapshot-log", [])
         + [{"timestamp-ms": now_ms, "snapshot-id": version}],
-        "metadata-log": (prev or {}).get("metadata-log", []),
+        # spec: each new metadata file logs its PREDECESSOR
+        "metadata-log": (prev or {}).get("metadata-log", [])
+        + (
+            [
+                {
+                    "timestamp-ms": prev["last-updated-ms"],
+                    "metadata-file": os.path.join(
+                        meta_dir, f"v{prev_ordinal}.metadata.json"
+                    ),
+                }
+            ]
+            if prev
+            else []
+        ),
     }
     ordinal = prev_ordinal + 1
     with open(

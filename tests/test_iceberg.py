@@ -199,3 +199,38 @@ def test_iceberg_and_delta_exports_coexist(spark, tmp_path):
     native = _rows(t.read())
     assert _rows(read_delta_snapshot(spark, t.path)) == native
     assert _rows(read_iceberg_snapshot(spark, t.path)) == native
+
+
+def test_metadata_log_chains_predecessors(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10)
+    t.to_iceberg()
+    t.append(
+        spark.createDataFrame([(99, 1.0, "c")], "k int, amt double, g string")
+    )
+    t.to_iceberg()
+    md = json.load(
+        open(os.path.join(t.path, "metadata", "v2.metadata.json"))
+    )
+    logs = md["metadata-log"]
+    assert len(logs) == 1 and logs[0]["metadata-file"].endswith(
+        "v1.metadata.json"
+    )
+
+
+def test_universal_format_property_refreshes_iceberg(spark, tmp_path):
+    """Delta UniForm's enablement property: exporting the Delta log with
+    delta.universalFormat.enabledFormats containing 'iceberg' refreshes
+    the Iceberg layer too — both formats over one parquet copy."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        export_delta_log,
+    )
+
+    t = _mk(spark, tmp_path, n=10)
+    t.set_properties(
+        {"delta.universalFormat.enabledFormats": "iceberg"}
+    )
+    export_delta_log(spark, t)
+    assert os.path.exists(
+        os.path.join(t.path, "metadata", "version-hint.text")
+    )
+    assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())
