@@ -25,10 +25,15 @@ stats fold (zero data reads) — the same cost class as the Delta log
 export. Snapshots map 1:1 to txlog versions on demand (current-state
 export, like UniForm's async iceberg conversion).
 
-v1 scope (refusals are loud, mirroring UniForm's own):
-- deletion vectors: Iceberg v2 cannot express Delta DVs — tables with
-  live DVs refuse (compact them away with OPTIMIZE first), exactly
-  UniForm's rule.
+v1 scope (refusals are loud):
+- deletion vectors EXPORT as Iceberg v2 POSITION DELETE files (spec
+  'Position Delete Files': parquet of (file_path, pos) sorted by path
+  then position, carried in a content=1 DELETES manifest) — this
+  EXCEEDS UniForm, which refuses DV tables outright; the merge-on-read
+  semantics translate exactly because a txlog DV is already a
+  position vector. Partitioned tables with live DVs still refuse
+  (position deletes bind to a partition spec; the global-delete form
+  is a later round) — OPTIMIZE folds the vectors away first.
 - column mapping: files carry physical names; the export attaches the
   spec's ``schema.name-mapping.default`` property so Iceberg engines
   resolve field ids for id-less parquet — logical names map through
@@ -489,19 +494,31 @@ def export_iceberg_metadata(table) -> int:
     from .txlog import replay_stats
 
     version, files, dvs = table._replay_full()
-    if dvs:
-        raise ValueError(
-            "iceberg export refused: the snapshot carries deletion "
-            f"vectors on {len(dvs)} file(s) — Iceberg v2 has no DV "
-            "representation (UniForm refuses too); compact them away "
-            "(OPTIMIZE) first"
-        )
+    dvs = {f: d for f, d in dvs.items() if f in set(files)}
     schema_json = table._schema_at()
     if schema_json is None:
         raise ValueError("iceberg export requires a recorded schema")
     mapping = table._mapping_at()
     ice_schema, name_mapping = _iceberg_schema(schema_json, mapping)
     pby, pschema = table.partition_meta()
+    if dvs and pby:
+        raise ValueError(
+            "iceberg export refused: live deletion vectors on a "
+            "PARTITIONED table — position-delete files bind to a "
+            "partition spec (the global form is out of v1 scope); "
+            "OPTIMIZE folds the vectors away first"
+        )
+    if dvs:
+        seen_b: set[str] = set()
+        for f in files:
+            b = f.rsplit("/", 1)[-1]
+            if b in seen_b:
+                raise ValueError(
+                    "iceberg export: colliding data-file basenames "
+                    f"({b!r}) with live DVs are unsupported — OPTIMIZE "
+                    "first"
+                )
+            seen_b.add(b)
     pfields_json = (
         json.loads(pschema.json())["fields"] if pby else []
     )
@@ -613,27 +630,111 @@ def export_iceberg_metadata(table) -> int:
             "content": "data",
         },
     )
+    mlist_entries = [
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": version,
+            "min_sequence_number": min(seqs, default=version),
+            "added_snapshot_id": version,
+            "added_files_count": n_added,
+            "existing_files_count": n_existing,
+            "deleted_files_count": 0,
+            "added_rows_count": rows_added,
+            "existing_rows_count": rows_existing,
+            "deleted_rows_count": 0,
+        }
+    ]
+    n_del = 0
+    if dvs:
+        # Iceberg v2 POSITION DELETE file (spec: parquet of (file_path,
+        # pos), sorted by path then position) — a txlog deletion vector
+        # IS a position vector, so the translation is exact. One delete
+        # parquet per export, O(deleted rows) — the DV cost model.
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        dv_df = table._dv_frame(dvs, files)
+        del_df = (
+            dv_df.select(
+                F.concat(
+                    F.lit(table.path + "/"), F.col("file")
+                ).alias("file_path"),
+                F.col("row_index").cast("long").alias("pos"),
+            )
+            .orderBy("file_path", "pos")
+            .coalesce(1)
+        )
+        tmp = os.path.join(meta_dir, f"_tmp_{uuid.uuid4().hex}")
+        del_df.write.parquet(tmp)
+        import pyarrow.parquet as pq
+
+        part = next(
+            f
+            for f in sorted(os.listdir(tmp))
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        del_name = f"delete-{uuid.uuid4().hex}.parquet"
+        del_path = os.path.join(meta_dir, del_name)
+        os.rename(os.path.join(tmp, part), del_path)
+        shutil.rmtree(tmp)
+        n_del = pq.ParquetFile(del_path).metadata.num_rows
+        del_manifest = os.path.join(
+            meta_dir, f"{uuid.uuid4().hex}-m1.avro"
+        )
+        write_avro_container(
+            del_manifest,
+            _manifest_schema(part_avro),
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": version,
+                    "sequence_number": version,
+                    "file_sequence_number": version,
+                    "data_file": {
+                        "content": 1,  # POSITION_DELETES
+                        "file_path": del_path,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": int(n_del),
+                        "file_size_in_bytes": os.path.getsize(del_path),
+                    },
+                }
+            ],
+            meta={
+                "schema": json.dumps(ice_schema),
+                "schema-id": "0",
+                "partition-spec": json.dumps(spec["fields"]),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+        mlist_entries.append(
+            {
+                "manifest_path": del_manifest,
+                "manifest_length": os.path.getsize(del_manifest),
+                "partition_spec_id": 0,
+                "content": 1,  # deletes manifest
+                "sequence_number": version,
+                "min_sequence_number": version,
+                "added_snapshot_id": version,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": int(n_del),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
     mlist_name = f"snap-{version}-1-{uuid.uuid4().hex}.avro"
     write_avro_container(
         os.path.join(meta_dir, mlist_name),
         _manifest_list_schema(),
-        [
-            {
-                "manifest_path": manifest_path,
-                "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": 0,
-                "content": 0,
-                "sequence_number": version,
-                "min_sequence_number": min(seqs, default=version),
-                "added_snapshot_id": version,
-                "added_files_count": n_added,
-                "existing_files_count": n_existing,
-                "deleted_files_count": 0,
-                "added_rows_count": rows_added,
-                "existing_rows_count": rows_existing,
-                "deleted_rows_count": 0,
-            }
-        ],
+        mlist_entries,
         meta={"format-version": "2"},
     )
 
@@ -649,6 +750,8 @@ def export_iceberg_metadata(table) -> int:
             "added-records": str(rows_added),
             "total-data-files": str(len(files)),
             "total-records": str(rows_added + rows_existing),
+            "total-delete-files": str(1 if n_del else 0),
+            "total-position-deletes": str(n_del),
         },
         "schema-id": 0,
     }
@@ -762,15 +865,21 @@ def read_iceberg_snapshot(spark, table_path: str, snapshot_id: int | None = None
     }
     groups: dict[tuple, list[str]] = {}
     part_cols: list[str] = []
+    delete_paths: list[str] = []
     for mf in manifests:
         _ms, _mm, entries = read_avro_container(mf["manifest_path"])
         pnames = [
             f["name"]
             for f in spec_fields[mf["partition_spec_id"]]
         ]
-        part_cols = pnames
+        if mf.get("content", 0) == 0:
+            part_cols = pnames
         for e in entries:
             if e["status"] == 2:  # DELETED
+                continue
+            if e["data_file"].get("content", 0) == 1:
+                # POSITION DELETES: (file_path, pos) parquet to anti-join
+                delete_paths.append(e["data_file"]["file_path"])
                 continue
             key = tuple(
                 e["data_file"]["partition"].get(c) for c in pnames
@@ -788,15 +897,44 @@ def read_iceberg_snapshot(spark, table_path: str, snapshot_id: int | None = None
     for f in data_fields:
         phys = nmap[f["id"]][-1]  # physical parquet name
         read_schema = read_schema.add(phys, spark_t(f["type"]))
+    del_keyed = None
+    if delete_paths:
+        # keyed by (basename, position) — Spark-written basenames are
+        # unique within a snapshot (the export refuses collisions when
+        # DVs are live), and basename matching sidesteps the
+        # file:/-URI vs plain-path spelling of _metadata.file_path
+        del_keyed = F.broadcast(
+            spark.read.parquet(*sorted(set(delete_paths))).select(
+                F.element_at(
+                    F.split(F.col("file_path"), "/"), -1
+                ).alias("__db"),
+                F.col("pos").alias("__dp"),
+            )
+        )
     out = None
     ftypes = {f["name"]: f["type"] for f in ice_fields}
     for key, paths in sorted(groups.items()):
-        df = spark.read.schema(read_schema).parquet(*paths).select(
-            *[
-                F.col(nmap[f["id"]][-1]).alias(f["name"])
-                for f in data_fields
-            ]
-        )
+        scan = spark.read.schema(read_schema).parquet(*paths)
+        sel = [
+            F.col(nmap[f["id"]][-1]).alias(f["name"])
+            for f in data_fields
+        ]
+        if del_keyed is not None:
+            scan = scan.select(
+                *sel,
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__b"),
+                F.col("_metadata.row_index").alias("__p"),
+            )
+            df = scan.join(
+                del_keyed,
+                (scan["__b"] == del_keyed["__db"])
+                & (scan["__p"] == del_keyed["__dp"]),
+                "left_anti",
+            ).drop("__b", "__p")
+        else:
+            df = scan.select(*sel)
         for c, v in zip(part_cols, key):
             col = F.lit(v)
             if ftypes[c] == "date" and v is not None:

@@ -7390,3 +7390,72 @@ def x110_iceberg_uniform_export(
             F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
         ).alias("total_cents"),
     )
+
+
+@query(
+    "x111_iceberg_position_deletes",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 2 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 3
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM final GROUP BY 1
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8"),
+    doc="ICEBERG POSITION DELETES (round 12 — beyond UniForm, which "
+    "refuses DV tables outright): orders -> txlog, a merge-on-read "
+    "DELETE (%7==3) and a merge-on-read UPDATE (%5==2: status 'U', "
+    "price +10) leave LIVE deletion vectors plus post-image sliver "
+    "files; to_iceberg() translates each vector into an Iceberg v2 "
+    "POSITION DELETE parquet ((file_path, pos) sorted by path then "
+    "position — a txlog DV IS a position vector, so the translation "
+    "is exact) carried by a content=1 DELETES manifest alongside the "
+    "data manifest. The hashed result reads the table through the "
+    "independent read_iceberg_snapshot reader, whose anti-join applies "
+    "the deletes via _metadata.row_index — so a wrong position, a "
+    "missed sliver file, or a mis-sequenced manifest breaks the value "
+    "hash against DuckDB on raw orders. Export stays O(deleted rows) "
+    "for the delete file + O(live files) for the manifests — the DV "
+    "cost model carried into the second format. operators/iceberg + "
+    "operators/txlog._dml_dv.",
+)
+def x111_iceberg_position_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.iceberg import read_iceberg_snapshot
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _dml_scratch("x111" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(6, "o_orderkey")
+    )
+    t.delete_where("o_orderkey % 7 = 3", mode="dv")
+    t.update_where(
+        "o_orderkey % 5 = 2",
+        {
+            "o_orderstatus": F.lit("U"),
+            "o_totalprice": F.col("o_totalprice") + F.lit(10.0),
+        },
+        mode="dv",
+    )
+    t.to_iceberg()
+    ice = read_iceberg_snapshot(spark, t.path)
+    return ice.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+        ).alias("total_cents"),
+    )

@@ -170,13 +170,51 @@ def test_column_mapped_name_mapping(spark, tmp_path):
     )
 
 
-def test_refusals_dv_and_nested(spark, tmp_path):
+def test_dv_exports_position_deletes(spark, tmp_path):
+    """Deletion vectors export as Iceberg v2 POSITION DELETE files —
+    beyond UniForm, which refuses DV tables outright. The deletes
+    manifest is content=1; the independent reader anti-joins the
+    (file_path, pos) parquet; after OPTIMIZE folds the vectors the
+    next snapshot is delete-free."""
     t = _mk(spark, tmp_path)
-    t.delete_where("k = 1", mode="dv")
-    with pytest.raises(ValueError, match="deletion vectors"):
-        t.to_iceberg()
-    t.optimize()  # folds the DV away
+    t.delete_where("k % 5 = 1", mode="dv")
+    t.update_where("k = 2", {"amt": F.lit(99.0)}, mode="dv")
     t.to_iceberg()
+    md = json.load(
+        open(os.path.join(t.path, "metadata", "v1.metadata.json"))
+    )
+    snap = md["snapshots"][-1]
+    assert int(snap["summary"]["total-position-deletes"]) > 0
+    _s, _m, mfs = read_avro_container(snap["manifest-list"])
+    contents = sorted(m["content"] for m in mfs)
+    assert contents == [0, 1]  # one data + one deletes manifest
+    delm = next(m for m in mfs if m["content"] == 1)
+    _ms, mm, entries = read_avro_container(delm["manifest_path"])
+    assert mm["content"] == "deletes"
+    assert entries[0]["data_file"]["content"] == 1
+    # the delete parquet is sorted by (file_path, pos) per the spec
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(entries[0]["data_file"]["file_path"])
+    rows = list(
+        zip(tbl.column("file_path").to_pylist(), tbl.column("pos").to_pylist())
+    )
+    assert rows == sorted(rows)
+    assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())
+    t.optimize()  # folds the DVs away
+    t.to_iceberg()
+    md2 = json.load(
+        open(os.path.join(t.path, "metadata", "v2.metadata.json"))
+    )
+    assert md2["snapshots"][-1]["summary"]["total-position-deletes"] == "0"
+    assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())
+
+
+def test_refusals_partitioned_dv_and_nested(spark, tmp_path):
+    t = _mk(spark, tmp_path, partition_by=["g"])
+    t.delete_where("k = 1", mode="dv")
+    with pytest.raises(ValueError, match="PARTITIONED"):
+        t.to_iceberg()
     nested = TxLogTable.create(
         spark,
         str(tmp_path / "n"),
