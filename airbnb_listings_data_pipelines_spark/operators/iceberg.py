@@ -31,9 +31,9 @@ v1 scope (refusals are loud):
   then position, carried in a content=1 DELETES manifest) — this
   EXCEEDS UniForm, which refuses DV tables outright; the merge-on-read
   semantics translate exactly because a txlog DV is already a
-  position vector. Partitioned tables with live DVs still refuse
-  (position deletes bind to a partition spec; the global-delete form
-  is a later round) — OPTIMIZE folds the vectors away first.
+  position vector. On PARTITIONED tables the deletes ride the spec's
+  GLOBAL form: an unpartitioned spec (spec-id 1) whose delete files
+  apply across partitions.
 - column mapping: files carry physical names; the export attaches the
   spec's ``schema.name-mapping.default`` property so Iceberg engines
   resolve field ids for id-less parquet — logical names map through
@@ -501,13 +501,6 @@ def export_iceberg_metadata(table) -> int:
     mapping = table._mapping_at()
     ice_schema, name_mapping = _iceberg_schema(schema_json, mapping)
     pby, pschema = table.partition_meta()
-    if dvs and pby:
-        raise ValueError(
-            "iceberg export refused: live deletion vectors on a "
-            "PARTITIONED table — position-delete files bind to a "
-            "partition spec (the global form is out of v1 scope); "
-            "OPTIMIZE folds the vectors away first"
-        )
     if dvs:
         seen_b: set[str] = set()
         for f in files:
@@ -685,9 +678,10 @@ def export_iceberg_metadata(table) -> int:
         del_manifest = os.path.join(
             meta_dir, f"{uuid.uuid4().hex}-m1.avro"
         )
+        del_spec_id = 1 if pby else 0
         write_avro_container(
             del_manifest,
-            _manifest_schema(part_avro),
+            _manifest_schema([]),
             [
                 {
                     "status": 1,
@@ -707,8 +701,12 @@ def export_iceberg_metadata(table) -> int:
             meta={
                 "schema": json.dumps(ice_schema),
                 "schema-id": "0",
-                "partition-spec": json.dumps(spec["fields"]),
-                "partition-spec-id": "0",
+                # GLOBAL position deletes ride an UNPARTITIONED spec on
+                # partitioned tables — they apply across partitions
+                "partition-spec": json.dumps(
+                    [] if pby else spec["fields"]
+                ),
+                "partition-spec-id": str(del_spec_id),
                 "format-version": "2",
                 "content": "deletes",
             },
@@ -717,7 +715,7 @@ def export_iceberg_metadata(table) -> int:
             {
                 "manifest_path": del_manifest,
                 "manifest_length": os.path.getsize(del_manifest),
-                "partition_spec_id": 0,
+                "partition_spec_id": del_spec_id,
                 "content": 1,  # deletes manifest
                 "sequence_number": version,
                 "min_sequence_number": version,
@@ -771,7 +769,12 @@ def export_iceberg_metadata(table) -> int:
         "current-schema-id": 0,
         "schemas": [ice_schema],
         "default-spec-id": 0,
-        "partition-specs": [spec],
+        # spec 1 = the unpartitioned spec GLOBAL position deletes ride
+        # on partitioned tables (present whenever the table is
+        # partitioned, harmlessly, so old metadata stays resolvable)
+        "partition-specs": (
+            [spec, {"spec-id": 1, "fields": []}] if pby else [spec]
+        ),
         "last-partition-id": 999 + len(pby),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],

@@ -210,11 +210,27 @@ def test_dv_exports_position_deletes(spark, tmp_path):
     assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())
 
 
-def test_refusals_partitioned_dv_and_nested(spark, tmp_path):
+def test_partitioned_dv_exports_global_deletes(spark, tmp_path):
+    """Partitioned table + live DVs: position deletes ride the spec's
+    GLOBAL form — an UNPARTITIONED spec (spec-id 1) whose delete files
+    apply across partitions."""
     t = _mk(spark, tmp_path, partition_by=["g"])
-    t.delete_where("k = 1", mode="dv")
-    with pytest.raises(ValueError, match="PARTITIONED"):
-        t.to_iceberg()
+    t.delete_where("k % 5 = 1", mode="dv")
+    t.to_iceberg()
+    md = json.load(
+        open(os.path.join(t.path, "metadata", "v1.metadata.json"))
+    )
+    specs = {sp["spec-id"]: sp["fields"] for sp in md["partition-specs"]}
+    assert specs[1] == []  # the global-delete spec
+    _s, _m, mfs = read_avro_container(
+        md["snapshots"][-1]["manifest-list"]
+    )
+    delm = next(m for m in mfs if m["content"] == 1)
+    assert delm["partition_spec_id"] == 1
+    assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())
+
+
+def test_refusal_nested(spark, tmp_path):
     nested = TxLogTable.create(
         spark,
         str(tmp_path / "n"),
