@@ -288,3 +288,26 @@ def test_universal_format_property_refreshes_iceberg(spark, tmp_path):
         os.path.join(t.path, "metadata", "version-hint.text")
     )
     assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())
+
+
+def test_avro_negative_block_counts_decode():
+    """Avro spec: array/map blocks may carry a NEGATIVE count followed
+    by a byte size (for skipping). Our writer never emits the form, but
+    a conforming external writer may — the decoder must accept it."""
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        _avro_decode,
+        _avro_encode,
+        _zigzag,
+    )
+
+    sch = {"type": "array", "items": "long"}
+    # hand-build: one block of 2 items in negative form, then terminator
+    payload = bytearray()
+    items = bytearray()
+    _avro_encode(3, "long", items)
+    _avro_encode(-9, "long", items)
+    payload += _zigzag(-2)  # negative count
+    payload += _zigzag(len(items))  # byte size follows
+    payload += items
+    payload += _zigzag(0)
+    assert _avro_decode(io.BytesIO(bytes(payload)), sch) == [3, -9]
