@@ -295,6 +295,43 @@ def _ice_type(spark_type) -> str:
     )
 
 
+_ICE_TO_SPARK = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz",
+}
+
+
+def _spark_type_of(t: str):
+    """Iceberg primitive type string -> Spark DataType (the inverse of
+    :func:`_ice_type`; nested/unknown types raise KeyError loudly)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    if t.startswith("decimal"):
+        return _parse_datatype_string(t.replace(" ", ""))
+    return _parse_datatype_string(_ICE_TO_SPARK[t])
+
+
+def _load_current_metadata(table_path: str) -> tuple[int, dict]:
+    """(ordinal, metadata dict) for the CURRENT Iceberg metadata file,
+    resolved through ``metadata/version-hint.text`` — the same entry
+    point HadoopTables-style Iceberg readers use."""
+    meta_dir = os.path.join(table_path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        ordinal = int(fh.read().strip())
+    with open(
+        os.path.join(meta_dir, f"v{ordinal}.metadata.json")
+    ) as fh:
+        return ordinal, json.load(fh)
+
+
 def _iceberg_schema(schema_json: str, mapping: dict | None) -> tuple[dict, list]:
     """(Iceberg schema struct, name-mapping list). Field ids are the
     1-based positions in the RECORDED schema — stable across exports
@@ -493,6 +530,25 @@ def export_iceberg_metadata(table) -> int:
     schemas (v1)."""
     from .txlog import replay_stats
 
+    entries0 = sorted(
+        f for f in os.listdir(table.log_dir) if f.endswith(".json")
+    )
+    if entries0:
+        with open(os.path.join(table.log_dir, entries0[0])) as fh:
+            c0 = json.load(fh)
+        if c0.get("converted_from_iceberg") is not None:
+            # the adopted-from metadata's snapshot ids belong to the
+            # FOREIGN table (or, on a roundtrip, to the pre-adoption
+            # txlog whose version space this table restarted from 0) —
+            # appending snapshots keyed by THIS table's versions would
+            # break the spec's monotonic sequence-number rule. Mirror
+            # of to_delta_log refusing after convert_from_delta.
+            raise ValueError(
+                "to_iceberg refused: this table was adopted via "
+                "convert_from_iceberg — its txlog versions cannot "
+                "extend the pre-existing snapshot/sequence space; "
+                "CLONE to a fresh table and export the clone"
+            )
     version, files, dvs = table._replay_full()
     dvs = {f: d for f, d in dvs.items() if f in set(files)}
     schema_json = table._schema_at()
@@ -536,6 +592,19 @@ def export_iceberg_metadata(table) -> int:
             os.path.join(meta_dir, f"v{prev_ordinal}.metadata.json")
         ) as fh:
             prev = json.load(fh)
+        if (prev.get("properties") or {}).get("converted-from") != "txlog":
+            # a FOREIGN metadata layer (e.g. the one convert_from_iceberg
+            # adopted the table from): its snapshot ids / sequence
+            # numbers are not txlog versions, so appending txlog-version
+            # snapshots would break the spec's monotonic sequence rule —
+            # the mirror of to_delta_log refusing after convert_from_delta
+            raise ValueError(
+                "to_iceberg refused: metadata/ was written by a foreign "
+                "Iceberg writer (this table was adopted via "
+                "convert_from_iceberg) — txlog-version snapshot ids "
+                "cannot extend a foreign snapshot/sequence space; CLONE "
+                "to a fresh table and export the clone"
+            )
         if any(
             s["snapshot-id"] == version for s in prev.get("snapshots", [])
         ):
@@ -754,6 +823,10 @@ def export_iceberg_metadata(table) -> int:
         "schema-id": 0,
     }
     props = {
+        # txlog table properties surface as Iceberg table properties
+        # (UniForm parity: one property set visible from both formats);
+        # the export bookkeeping keys below always win on collision
+        **table.properties(),
         "schema.name-mapping.default": json.dumps(name_mapping),
         # UniForm parity: advertise the origin format
         "converted-from": "txlog",
@@ -824,13 +897,7 @@ def read_iceberg_snapshot(spark, table_path: str, snapshot_id: int | None = None
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType, _parse_datatype_string
 
-    meta_dir = os.path.join(table_path, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        ordinal = int(fh.read().strip())
-    with open(
-        os.path.join(meta_dir, f"v{ordinal}.metadata.json")
-    ) as fh:
-        md = json.load(fh)
+    _ordinal, md = _load_current_metadata(table_path)
     sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
     snap = next(
         s for s in md["snapshots"] if s["snapshot-id"] == sid
@@ -845,23 +912,9 @@ def read_iceberg_snapshot(spark, table_path: str, snapshot_id: int | None = None
             md["properties"]["schema.name-mapping.default"]
         )
     }
-    _ICE_TO_SPARK = {
-        "boolean": "boolean",
-        "int": "int",
-        "long": "bigint",
-        "float": "float",
-        "double": "double",
-        "string": "string",
-        "binary": "binary",
-        "date": "date",
-        "timestamptz": "timestamp",
-        "timestamp": "timestamp_ntz",
-    }
 
     def spark_t(t: str):
-        if t.startswith("decimal"):
-            return _parse_datatype_string(t.replace(" ", ""))
-        return _parse_datatype_string(_ICE_TO_SPARK[t])
+        return _spark_type_of(t)
 
     spec_fields = {
         s["spec-id"]: s["fields"] for s in md["partition-specs"]
@@ -952,3 +1005,381 @@ def read_iceberg_snapshot(spark, table_path: str, snapshot_id: int | None = None
             read_schema2 = read_schema2.add(f["name"], spark_t(f["type"]))
         out = spark.createDataFrame([], read_schema2)
     return out
+
+
+# ----------------------------------------------------- convert (adoption)
+
+
+def convert_from_iceberg(spark, path: str):
+    """``CONVERT FROM ICEBERG``: adopt a foreign Apache Iceberg v2 table
+    IN PLACE — resolve its current snapshot from the metadata layer
+    alone (version-hint -> vN.metadata.json -> manifest-list Avro ->
+    manifest Avro), then write txlog commit 0 referencing the SAME
+    parquet data files: zero bytes moved at any table size. The inverse
+    of :meth:`TxLogTable.to_iceberg` and the Iceberg twin of
+    :meth:`TxLogTable.convert_from_delta`, completing bidirectional
+    interop for the second table format (an adopted table can then run
+    every txlog operation, including ``to_delta_log`` — Iceberg ->
+    txlog -> Delta with one copy of the data).
+
+    Carried over losslessly:
+
+    - **schema** (current-schema-id): Iceberg primitives map back
+      through the same table :func:`_ice_type` exports with;
+    - **name mapping** (``schema.name-mapping.default``): a field whose
+      mapping carries a second (physical parquet) name adopts as txlog
+      ``column_mapping`` payload, so reads alias physical -> logical
+      exactly as on a natively-renamed table;
+    - **identity partition spec** (default-spec-id): partition columns
+      + types are recorded in commit 0; file paths must be hive-style
+      (``col=value/``) since the txlog reader reattaches partition
+      values from directory names — manifests are cross-checked against
+      the paths and mismatches refuse;
+    - **POSITION DELETES** (content=1 manifests): each delete parquet's
+      ``(file_path, pos)`` rows re-encode as ONE txlog deletion-vector
+      sidecar — merge-on-read deletes survive adoption row-exactly,
+      O(deleted rows), the exact inverse of the DV export;
+    - **per-file record counts** from the manifests (files whose parquet
+      footers are readable get full min/max envelopes stamped instead —
+      one warm metadata-only open per file, the commit path's normal
+      stats class);
+    - **table properties** (minus the mapping/export bookkeeping keys).
+
+    Refused loudly (v1 scope): format-version 1 metadata, non-identity
+    partition transforms, nested types, data files outside the table
+    root or in a non-parquet format, and equality deletes (content=2
+    manifests — nothing in this engine can produce them, and applying
+    them needs a value join, not a position vector). After adoption the
+    txlog is authoritative: ``to_iceberg`` refuses (foreign snapshot
+    ids are not txlog versions), while ``to_delta_log`` works — there
+    is no pre-existing ``_delta_log`` to collide with."""
+    from .txlog import TxLogTable, footer_stats_dict
+
+    t = TxLogTable(spark, path)
+    if os.path.exists(t.log_dir):
+        raise FileExistsError(f"{t.log_dir} already exists")
+    ordinal, md = _load_current_metadata(t.path)
+    if int(md.get("format-version", 0)) != 2:
+        raise NotImplementedError(
+            "convert_from_iceberg supports format-version 2 metadata "
+            f"only (found {md.get('format-version')!r}) — v1 manifests "
+            "lack the sequence-number fields this adoption reads"
+        )
+    sid = md["current-snapshot-id"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    ice_fields = {
+        s["schema-id"]: s["fields"] for s in md["schemas"]
+    }[snap.get("schema-id", md["current-schema-id"])]
+
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(f["name"], _spark_type_of(f["type"]), True)
+            for f in ice_fields
+        ]
+    )
+
+    # name mapping -> txlog column_mapping (logical -> physical); the
+    # LAST name in an entry is the physical parquet column (the export's
+    # own convention, and the spec's "names are ordered by preference")
+    mapping: dict[str, str] | None = None
+    nm_raw = (md.get("properties") or {}).get(
+        "schema.name-mapping.default"
+    )
+    if nm_raw:
+        by_id = {e["field-id"]: e["names"] for e in json.loads(nm_raw)}
+        cand = {}
+        for f in ice_fields:
+            names = by_id.get(f["id"], [f["name"]])
+            cand[f["name"]] = names[-1]
+        if any(l != p for l, p in cand.items()):
+            mapping = cand
+
+    # identity partition spec only
+    spec = next(
+        s
+        for s in md["partition-specs"]
+        if s["spec-id"] == md["default-spec-id"]
+    )
+    by_fid = {f["id"]: f["name"] for f in ice_fields}
+    pby: list[str] = []
+    for pf in spec["fields"]:
+        if pf["transform"] != "identity":
+            raise NotImplementedError(
+                f"convert_from_iceberg refused: partition transform "
+                f"{pf['transform']!r} on {pf['name']!r} — only identity "
+                "transforms map onto hive-style txlog partitioning"
+            )
+        pby.append(by_fid[pf["source-id"]])
+    if mapping is not None:
+        bad_p = [c for c in pby if mapping.get(c, c) != c]
+        if bad_p:
+            raise NotImplementedError(
+                "convert_from_iceberg refused: partition column(s) "
+                f"{bad_p} name-map to different physical names — hive "
+                "directory names embed the physical name, which this "
+                "adoption path cannot re-alias"
+            )
+
+    # walk the current snapshot's manifests
+    root = t.path.rstrip("/") + "/"
+    ice_types = {f["name"]: f["type"] for f in ice_fields}
+    spec_fields = {
+        s["spec-id"]: s["fields"] for s in md["partition-specs"]
+    }
+    _s, _m, manifests = read_avro_container(snap["manifest-list"])
+    rel_counts: dict[str, int] = {}
+    delete_paths: list[str] = []
+    for mf in manifests:
+        _ms, _mm, entries = read_avro_container(mf["manifest_path"])
+        pnames = [
+            f["name"] for f in spec_fields[mf["partition_spec_id"]]
+        ]
+        for e in entries:
+            if e["status"] == 2:  # DELETED entry — not live
+                continue
+            dfile = e["data_file"]
+            content = dfile.get("content", 0)
+            if content == 2:
+                raise NotImplementedError(
+                    "convert_from_iceberg refused: equality deletes "
+                    "(content=2) need a value anti-join at read time — "
+                    "rewrite them as position deletes first"
+                )
+            if content == 1:
+                delete_paths.append(dfile["file_path"])
+                continue
+            fp = dfile["file_path"]
+            if str(dfile.get("file_format", "PARQUET")).upper() != "PARQUET":
+                raise NotImplementedError(
+                    f"convert_from_iceberg refused: {fp!r} is "
+                    f"{dfile.get('file_format')!r} — the txlog reads "
+                    "parquet only"
+                )
+            if not fp.startswith(root):
+                raise ValueError(
+                    "convert_from_iceberg refused: data file outside "
+                    f"the table root ({fp!r}) — adoption is in-place "
+                    "and cannot re-anchor foreign locations"
+                )
+            rel = fp[len(root):]
+            if not os.path.exists(os.path.join(t.path, rel)):
+                raise FileNotFoundError(
+                    f"cannot convert: live Iceberg data file missing on "
+                    f"disk ({rel})"
+                )
+            n = int(dfile["record_count"])
+            if rel in rel_counts and rel_counts[rel] != n:
+                raise ValueError(
+                    f"corrupt metadata: {rel!r} listed twice with "
+                    f"different record counts"
+                )
+            rel_counts[rel] = n
+            # cross-check the manifest's partition record against the
+            # hive path the txlog reader will trust from now on
+            if pby:
+                hive = TxLogTable._partition_values(rel)
+                miss = [c for c in pby if c not in hive]
+                if miss:
+                    raise ValueError(
+                        "convert_from_iceberg refused: partitioned "
+                        f"table has non-hive file paths ({rel!r} lacks "
+                        f"{miss}) — partition values cannot be "
+                        "reattached from directory names"
+                    )
+                for c in pnames:
+                    if c not in dfile.get("partition", {}):
+                        continue
+                    want = dfile["partition"][c]
+                    got_raw = hive.get(c)
+                    got = (
+                        None
+                        if got_raw is None
+                        else _partition_value(got_raw, _ice_type(ice_types[c]))
+                    )
+                    if want is not None and got != want:
+                        raise ValueError(
+                            f"manifest partition value {c}={want!r} "
+                            f"disagrees with path value {got!r} for "
+                            f"{rel!r}"
+                        )
+
+    files = sorted(rel_counts)
+
+    # position deletes -> ONE txlog DV sidecar (relative-path keyed)
+    dvs0: dict[str, dict] | None = None
+    if delete_paths:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pos_by_file: dict[str, set[int]] = {}
+        live = set(files)
+        for dp in sorted(set(delete_paths)):
+            tbl = pq.read_table(dp, columns=["file_path", "pos"])
+            for fp, pos in zip(
+                tbl.column("file_path").to_pylist(),
+                tbl.column("pos").to_pylist(),
+            ):
+                if not fp.startswith(root):
+                    continue
+                rel = fp[len(root):]
+                if rel not in live:
+                    continue  # stale delete: its target was rewritten
+                pos_by_file.setdefault(rel, set()).add(int(pos))
+        if pos_by_file:
+            fcol: list[str] = []
+            rcol: list[int] = []
+            dvs0 = {}
+            for f in sorted(pos_by_file):
+                idx = sorted(pos_by_file[f])
+                fcol.extend([f] * len(idx))
+                rcol.extend(idx)
+                dvs0[f] = {"cardinality": len(idx), "pathkey": "rel"}
+            os.makedirs(os.path.join(t.path, "_dv"), exist_ok=True)
+            sidecar = f"_dv/dv-{uuid.uuid4().hex}.parquet"
+            pq.write_table(
+                pa.table(
+                    {
+                        "file": pa.array(fcol, type=pa.string()),
+                        "row_index": pa.array(rcol, type=pa.int64()),
+                    }
+                ),
+                os.path.join(t.path, sidecar),
+            )
+            for f in dvs0:
+                dvs0[f]["sidecar"] = sidecar
+
+    # stats: full footer envelopes where readable (warm metadata-only
+    # opens, the commit path's usual class), manifest record counts as
+    # the fallback so metadata-only COUNT(*) still works either way
+    stats0: dict[str, dict] = {}
+    for f in files:
+        d = footer_stats_dict(os.path.join(t.path, f))
+        stats0[f] = d if d is not None else {"numRecords": rel_counts[f]}
+
+    pschema = StructType([schema[c] for c in pby]) if pby else None
+    os.makedirs(t.log_dir, exist_ok=False)
+    t._pmeta = (pby, pschema)
+    reserved = {
+        "schema.name-mapping.default",
+        "converted-from",
+        "converted-at-version",
+    }
+    props = {
+        k: v
+        for k, v in (md.get("properties") or {}).items()
+        if k not in reserved
+    }
+    extra0 = {
+        "partition_by": pby,
+        "partition_schema": pschema.json() if pby else None,
+        "schema": schema.json(),
+        "converted_from_iceberg": {
+            "snapshot_id": sid,
+            "metadata_ordinal": ordinal,
+        },
+        "stats": stats0,
+        "stats_state": stats0,
+        "dvs_state": dvs0 or {},
+        **({"properties_reset": props} if props else {}),
+    }
+    if dvs0:
+        extra0["dvs"] = dvs0
+    if mapping is not None:
+        extra0["column_mapping"] = mapping
+    t._try_commit(0, adds=files, removes=[], op="convert", extra=extra0)
+    return t
+
+
+# ------------------------------------------------- snapshot maintenance
+
+
+def expire_iceberg_snapshots(
+    table_path: str, keep_last: int = 1
+) -> list[str]:
+    """Iceberg's ``expireSnapshots`` maintenance for the exported
+    metadata layer: retain the newest ``keep_last`` snapshots (the
+    current one always survives), write a new vN.metadata.json without
+    the expired ones, and DELETE the metadata artifacts only they
+    referenced — manifest lists, manifest Avro files, and position-
+    delete parquets. DATA files are never candidates: the txlog owns
+    them (its own ``vacuum`` handles data retention), which is exactly
+    UniForm's division of labor. Returns the deleted artifact paths.
+
+    O(retained + expired manifests) driver-side metadata; no data
+    reads. The metadata-log keeps its chain (Iceberg expiry does not
+    rewrite history files; pruning old vK.metadata.json is a separate
+    config in real Iceberg and out of scope here)."""
+    meta_dir = os.path.join(table_path, "metadata")
+    ordinal, md = _load_current_metadata(table_path)
+    snaps = md.get("snapshots", [])
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    if len(snaps) <= keep_last:
+        return []
+    # snapshots are appended in commit order; keep the newest N and
+    # force-keep the current snapshot wherever it sits
+    cur = md["current-snapshot-id"]
+    kept = snaps[-keep_last:]
+    if all(s["snapshot-id"] != cur for s in kept):
+        kept = [s for s in snaps if s["snapshot-id"] == cur] + kept
+    kept_ids = {s["snapshot-id"] for s in kept}
+    dropped = [s for s in snaps if s["snapshot-id"] not in kept_ids]
+
+    def _artifacts(snapshot: dict) -> tuple[str, set[str], set[str]]:
+        mlist = snapshot["manifest-list"]
+        mans: set[str] = set()
+        dels: set[str] = set()
+        _s, _m, manifests = read_avro_container(mlist)
+        for mf in manifests:
+            mans.add(mf["manifest_path"])
+            if mf.get("content", 0) == 1:
+                _ms, _mm, entries = read_avro_container(
+                    mf["manifest_path"]
+                )
+                for e in entries:
+                    if e["data_file"].get("content", 0) == 1:
+                        dels.add(e["data_file"]["file_path"])
+        return mlist, mans, dels
+
+    keep_mans: set[str] = set()
+    keep_dels: set[str] = set()
+    for s in kept:
+        _ml, mans, dels = _artifacts(s)
+        keep_mans |= mans
+        keep_dels |= dels
+    doomed: list[str] = []
+    for s in dropped:
+        mlist, mans, dels = _artifacts(s)
+        doomed.append(mlist)
+        doomed.extend(sorted(mans - keep_mans))
+        doomed.extend(sorted(dels - keep_dels))
+
+    now_ms = int(time.time() * 1000)
+    md2 = dict(md)
+    md2["snapshots"] = kept
+    md2["snapshot-log"] = [
+        e for e in md.get("snapshot-log", []) if e["snapshot-id"] in kept_ids
+    ]
+    md2["last-updated-ms"] = now_ms
+    md2["metadata-log"] = md.get("metadata-log", []) + [
+        {
+            "timestamp-ms": md["last-updated-ms"],
+            "metadata-file": os.path.join(
+                meta_dir, f"v{ordinal}.metadata.json"
+            ),
+        }
+    ]
+    with open(
+        os.path.join(meta_dir, f"v{ordinal + 1}.metadata.json"), "w"
+    ) as fh:
+        json.dump(md2, fh, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(ordinal + 1))
+    removed = []
+    for p in dict.fromkeys(doomed):  # ordered de-dup
+        if os.path.exists(p):
+            os.remove(p)
+            removed.append(p)
+    return removed

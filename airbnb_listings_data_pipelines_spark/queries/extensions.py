@@ -7459,3 +7459,133 @@ def x111_iceberg_position_deletes(
             F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
         ).alias("total_cents"),
     )
+
+
+@query(
+    "x112_iceberg_convert_roundtrip",
+    oracle="""
+    WITH kept AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 2 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 3
+    ),
+    post AS (
+      SELECT * FROM kept WHERE o_orderkey % 11 <> 4
+      UNION ALL
+      SELECT o_orderkey + 90000000, 'A', o_totalprice
+      FROM orders WHERE o_orderkey % 13 = 5
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM post GROUP BY 1
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8"),
+    doc="CONVERT FROM ICEBERG — the import half of the second-format "
+    "story (round 12; x110/x111 are the export half): orders -> txlog, "
+    "merge-on-read DELETE (%7==3) + UPDATE (%5==2: 'U', +10) leave "
+    "live deletion vectors, to_iceberg() writes the v2 metadata layer "
+    "with a POSITION-DELETE parquet — then the txlog and its DV "
+    "sidecars are DELETED, leaving a pure foreign Iceberg table, and "
+    "operators/iceberg.convert_from_iceberg adopts it IN PLACE: "
+    "current snapshot resolved from version-hint -> metadata.json -> "
+    "manifest-list Avro -> manifest Avro, commit 0 referencing the "
+    "SAME parquet (zero bytes moved), manifest record counts + footer "
+    "envelopes as commit-0 stats, and the position deletes re-encoded "
+    "as ONE txlog DV sidecar (in-query gate: adopted DV cardinality "
+    "must equal the exact deleted+updated row count). The adopted "
+    "table then proves it is a first-class txlog table: a COW DELETE "
+    "(%11==4) composes with the adopted vectors, an append lands new "
+    "rows (%13==5 shifted +90000000, status 'A'), to_iceberg() "
+    "REFUSES (foreign snapshot/sequence space — the mirror of "
+    "to_delta_log's convert_from_delta refusal), and to_delta_log() "
+    "exports a Delta mirror whose independent-reader row set must "
+    "agree with the txlog read inside the query (n_ext_agree folded "
+    "into the hash). Iceberg -> txlog -> Delta over ONE copy of the "
+    "data. At 100 TB adoption is O(live files) driver-side metadata + "
+    "O(deleted rows) for the DV sidecar — no data reads, no shuffle. "
+    "operators/iceberg.convert_from_iceberg; tests/test_iceberg.py.",
+)
+def x112_iceberg_convert_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.deltalog import read_delta_snapshot
+    from ..operators.iceberg import convert_from_iceberg
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _dml_scratch("x112" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(6, "o_orderkey")
+    )
+    t.delete_where("o_orderkey % 7 = 3", mode="dv")
+    t.update_where(
+        "o_orderkey % 5 = 2",
+        {
+            "o_orderstatus": F.lit("U"),
+            "o_totalprice": F.col("o_totalprice") + F.lit(10.0),
+        },
+        mode="dv",
+    )
+    n_changed = t.read_version(0).filter(
+        "o_orderkey % 7 = 3 OR (o_orderkey % 7 <> 3 AND o_orderkey % 5 = 2)"
+    ).count()
+    t.to_iceberg()
+    # strip the txlog: metadata/ becomes the ONLY format on disk
+    shutil.rmtree(t.log_dir)
+    shutil.rmtree(os.path.join(path, "_dv"), ignore_errors=True)
+    t2 = convert_from_iceberg(spark, path)
+    adopted = sum(d["cardinality"] for d in t2.dvs().values())
+    if adopted != n_changed:
+        raise AssertionError(
+            f"adopted DV cardinality {adopted} != exact deleted+updated "
+            f"rows {n_changed} — position deletes mistranslated"
+        )
+    try:
+        t2.to_iceberg()
+        raise AssertionError(
+            "to_iceberg must refuse on an adopted-from-iceberg table"
+        )
+    except ValueError:
+        pass
+    t2.delete_where("o_orderkey % 11 = 4")  # COW over adopted vectors
+    t2.append(
+        orders.filter("o_orderkey % 13 = 5").selectExpr(
+            "o_orderkey + 90000000 AS o_orderkey",
+            "'A' AS o_orderstatus",
+            "o_totalprice",
+        )
+    )
+    t2.to_delta_log()
+    ext = read_delta_snapshot(spark, t2.path).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("ext_status"),
+    )
+    final = t2.read()
+    joined = final.join(ext, "o_orderkey", "left")
+    n_rows = final.count()
+    n_agree = joined.filter(
+        F.col("ext_status") == F.col("o_orderstatus")
+    ).count()
+    if n_rows != n_agree:
+        raise AssertionError(
+            f"Delta mirror disagrees with the txlog read: {n_agree}/"
+            f"{n_rows} rows match — export drifted"
+        )
+    return final.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+        ).alias("total_cents"),
+    )

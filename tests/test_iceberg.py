@@ -311,3 +311,246 @@ def test_avro_negative_block_counts_decode():
     payload += items
     payload += _zigzag(0)
     assert _avro_decode(io.BytesIO(bytes(payload)), sch) == [3, -9]
+
+
+# ------------------------------------------------- convert_from_iceberg
+
+
+def _strip_txlog(t):
+    """Turn an exported table dir into a FOREIGN Iceberg table: remove
+    the txlog and its DV sidecars so metadata/ is the only format."""
+    import shutil
+
+    shutil.rmtree(t.log_dir)
+    shutil.rmtree(os.path.join(t.path, "_dv"), ignore_errors=True)
+
+
+def test_convert_roundtrip_plain(spark, tmp_path):
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = _mk(spark, tmp_path)
+    want = _rows(t.read())
+    t.to_iceberg()
+    _strip_txlog(t)
+    t2 = convert_from_iceberg(spark, t.path)
+    assert t2.version() == 0
+    assert _rows(t2.read()) == want
+    # manifest record counts adopted: metadata-only COUNT(*) shape
+    st = t2.stats_at()
+    assert sum(s["numRecords"] for s in st.values()) == len(want)
+    # footer envelopes were stamped too (not just counts)
+    assert any("minValues" in s for s in st.values())
+
+
+def test_convert_position_deletes_become_dvs(spark, tmp_path):
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = _mk(spark, tmp_path, n=60)
+    t.delete_where("k % 4 = 1", mode="dv")
+    t.update_where(
+        "k % 4 = 2", {"amt": F.col("amt") + F.lit(100.0)}, mode="dv"
+    )
+    want = _rows(t.read())
+    t.to_iceberg()
+    _strip_txlog(t)
+    t2 = convert_from_iceberg(spark, t.path)
+    dvs = t2.dvs()
+    assert dvs, "position deletes must adopt as deletion vectors"
+    # 15 deleted + 15 updated originals are vectored out
+    assert sum(d["cardinality"] for d in dvs.values()) == 30
+    assert _rows(t2.read()) == want
+    # the adopted table is fully writable: further DML + time travel
+    t2.delete_where("k % 4 = 0")
+    assert _rows(t2.read()) == {r for r in want if r[0] % 4 != 0}
+    assert _rows(t2.read_version(0)) == want
+
+
+def test_convert_partitioned_hive_paths(spark, tmp_path):
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = _mk(spark, tmp_path, partition_by=["g"])
+    want = _rows(t.read())
+    t.to_iceberg()
+    _strip_txlog(t)
+    t2 = convert_from_iceberg(spark, t.path)
+    pby, pschema = t2.partition_meta()
+    assert pby == ["g"]
+    assert _rows(t2.read()) == want
+    # partition pruning still works off the adopted spec
+    assert _rows(t2.read_where("g", "a", "a")) == {
+        r for r in want if r[2] == "a"
+    }
+
+
+def test_convert_column_mapped_name_mapping(spark, tmp_path):
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.rename_column("amt", "amount")
+    t.to_iceberg()
+    _strip_txlog(t)
+    t2 = convert_from_iceberg(spark, t.path)
+    # logical name reads back; physical parquet column is still 'amt'
+    got = set(
+        map(tuple, t2.read().select("k", "amount", "g").collect())
+    )
+    assert got == {(k, float(k), "ab"[k % 2]) for k in range(40)}
+    m = t2._mapping_at()
+    assert m and m.get("amount") == "amt"
+
+
+def test_convert_properties_carry_over(spark, tmp_path):
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.set_properties({"owner": "curation", "delta.appendOnly": "false"})
+    t.to_iceberg()
+    _strip_txlog(t)
+    t2 = convert_from_iceberg(spark, t.path)
+    props = t2.properties()
+    assert props.get("owner") == "curation"
+    # export bookkeeping keys do NOT adopt as table properties
+    assert "schema.name-mapping.default" not in props
+    assert "converted-from" not in props
+
+
+def test_convert_then_delta_export(spark, tmp_path):
+    """Iceberg -> txlog -> Delta over ONE copy of the data."""
+    from airbnb_listings_data_pipelines_spark.operators.deltalog import (
+        read_delta_snapshot,
+    )
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.delete_where("k % 5 = 0", mode="dv")
+    want = _rows(t.read())
+    t.to_iceberg()
+    _strip_txlog(t)
+    t2 = convert_from_iceberg(spark, t.path)
+    with pytest.raises(ValueError, match="adopted via convert_from_iceberg"):
+        t2.to_iceberg()
+    t2.to_delta_log()
+    assert _rows(read_delta_snapshot(spark, t2.path)) == want
+
+
+def test_convert_refusals(spark, tmp_path):
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.to_iceberg()
+    # existing txlog refuses
+    with pytest.raises(FileExistsError):
+        convert_from_iceberg(spark, t.path)
+    _strip_txlog(t)
+    meta = os.path.join(t.path, "metadata")
+    with open(os.path.join(meta, "version-hint.text")) as fh:
+        ordinal = int(fh.read().strip())
+    mp = os.path.join(meta, f"v{ordinal}.metadata.json")
+    md = json.load(open(mp))
+
+    # format-version 1
+    md1 = dict(md)
+    md1["format-version"] = 1
+    json.dump(md1, open(mp, "w"))
+    with pytest.raises(NotImplementedError, match="format-version 2"):
+        convert_from_iceberg(spark, t.path)
+
+    # non-identity partition transform
+    md2 = json.loads(json.dumps(md))
+    md2["partition-specs"] = [
+        {
+            "spec-id": 0,
+            "fields": [
+                {
+                    "name": "k_bucket",
+                    "transform": "bucket[8]",
+                    "source-id": 1,
+                    "field-id": 1000,
+                }
+            ],
+        }
+    ]
+    json.dump(md2, open(mp, "w"))
+    with pytest.raises(NotImplementedError, match="bucket"):
+        convert_from_iceberg(spark, t.path)
+    json.dump(md, open(mp, "w"))  # restore
+
+
+def test_expire_snapshots(spark, tmp_path):
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        expire_iceberg_snapshots,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.to_iceberg()
+    t.append(
+        spark.createDataFrame([(100, 1.0, "a")], "k int, amt double, g string")
+    )
+    t.to_iceberg()
+    t.append(
+        spark.createDataFrame([(101, 2.0, "b")], "k int, amt double, g string")
+    )
+    t.to_iceberg()
+    meta = os.path.join(t.path, "metadata")
+    md_before = json.load(
+        open(os.path.join(meta, "v3.metadata.json"))
+    )
+    assert len(md_before["snapshots"]) == 3
+    old_mlists = [
+        s["manifest-list"] for s in md_before["snapshots"][:-1]
+    ]
+    data_files = set(t.files())
+    removed = expire_iceberg_snapshots(t.path, keep_last=1)
+    # dropped snapshots' manifest lists are gone from disk
+    for ml in old_mlists:
+        assert not os.path.exists(ml)
+        assert ml in removed
+    # data files are NEVER touched
+    for f in data_files:
+        assert os.path.exists(os.path.join(t.path, f))
+    md_after = json.load(open(os.path.join(meta, "v4.metadata.json")))
+    assert len(md_after["snapshots"]) == 1
+    assert (
+        md_after["current-snapshot-id"]
+        == md_before["current-snapshot-id"]
+    )
+    # the current snapshot still reads exactly
+    assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())
+    # idempotent / bounded
+    assert expire_iceberg_snapshots(t.path, keep_last=1) == []
+    with pytest.raises(ValueError):
+        expire_iceberg_snapshots(t.path, keep_last=0)
+
+
+def test_expire_keeps_shared_position_delete_artifacts(spark, tmp_path):
+    """A delete parquet referenced by BOTH a dropped and a kept snapshot
+    must survive expiry (the kept snapshot's manifests still point at
+    it)."""
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        expire_iceberg_snapshots,
+    )
+
+    t = _mk(spark, tmp_path, n=60)
+    t.delete_where("k % 4 = 1", mode="dv")
+    t.to_iceberg()  # snapshot A: carries delete file D
+    t.append(
+        spark.createDataFrame([(200, 3.0, "a")], "k int, amt double, g string")
+    )
+    t.to_iceberg()  # snapshot B: same live DVs -> new delete file D'
+    removed = expire_iceberg_snapshots(t.path, keep_last=1)
+    assert removed  # A's manifest list at minimum
+    assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())
