@@ -39,6 +39,17 @@ v1 scope (refusals are loud):
   resolve field ids for id-less parquet — logical names map through
   the recorded mapping.
 - partitioned tables export an identity-transform partition spec.
+- schema EVOLUTION is spec-faithful: a changed field list appends a
+  new schema with a fresh schema-id (snapshots keep reading under
+  theirs), field ids are stable across exports (keyed on the physical
+  parquet name: rename keeps the id, add mints last-column-id+1,
+  dropped ids never reuse), and int->long widening appends a schema
+  with the same field id — Iceberg's own legal promotion.
+
+The import half is :func:`convert_from_iceberg` (adopt a foreign
+Iceberg v2 table in place, position deletes -> txlog deletion vectors)
+and :func:`expire_iceberg_snapshots` is the metadata-retention
+maintenance.
 
 No external Iceberg engine exists in this sandbox (probed round 12:
 no pyiceberg, no network) — conformance evidence is therefore (a)
@@ -332,32 +343,54 @@ def _load_current_metadata(table_path: str) -> tuple[int, dict]:
         return ordinal, json.load(fh)
 
 
-def _iceberg_schema(schema_json: str, mapping: dict | None) -> tuple[dict, list]:
-    """(Iceberg schema struct, name-mapping list). Field ids are the
-    1-based positions in the RECORDED schema — stable across exports
-    because the txlog only ever APPENDS fields (add_column/evolution)
-    and drops write under fresh physical names. The name mapping binds
-    each field id to the logical name plus the physical parquet name
-    (column-mapped tables), the spec's adoption path for parquet files
-    written without field ids."""
+def _iceberg_schema(
+    schema_json: str,
+    mapping: dict | None,
+    prev_ids: dict[str, int] | None = None,
+    last_column_id: int = 0,
+) -> tuple[dict, list, int]:
+    """(Iceberg schema struct, name-mapping list, new last-column-id).
+
+    Field ids must be STABLE across schema versions (the spec's core
+    evolution rule: rename keeps the id, add mints a fresh one, a
+    dropped id is never reused). Stability is keyed on the PHYSICAL
+    parquet column name — the one identifier the txlog never changes
+    (renames remap the logical name; drops re-add under fresh physical
+    names): ``prev_ids`` maps physical name -> already-assigned id
+    from the previous export's name mapping, and any field not seen
+    before gets ``last_column_id + 1`` onward. First exports (no prev)
+    degenerate to 1-based positions, unchanged from the original
+    layout. The name mapping binds each field id to the logical name
+    plus the physical parquet name (column-mapped tables), the spec's
+    adoption path for parquet files written without field ids."""
     sd = json.loads(schema_json)
+    prev_ids = dict(prev_ids or {})
+    next_id = max([last_column_id, *prev_ids.values()], default=0)
     fields = []
     nmap = []
-    for i, f in enumerate(sd["fields"], start=1):
+    for f in sd["fields"]:
+        phys = (mapping or {}).get(f["name"], f["name"])
+        fid = prev_ids.get(phys)
+        if fid is None:
+            next_id += 1
+            fid = next_id
         fields.append(
             {
-                "id": i,
+                "id": fid,
                 "name": f["name"],
                 "required": False,
                 "type": _ice_type(f["type"]),
             }
         )
         names = [f["name"]]
-        phys = (mapping or {}).get(f["name"], f["name"])
         if phys != f["name"]:
             names.append(phys)
-        nmap.append({"field-id": i, "names": names})
-    return {"type": "struct", "schema-id": 0, "fields": fields}, nmap
+        nmap.append({"field-id": fid, "names": names})
+    return (
+        {"type": "struct", "schema-id": 0, "fields": fields},
+        nmap,
+        max([next_id, *(f["id"] for f in fields)], default=next_id),
+    )
 
 
 # --------------------------------------------------------- avro schemas
@@ -555,7 +588,6 @@ def export_iceberg_metadata(table) -> int:
     if schema_json is None:
         raise ValueError("iceberg export requires a recorded schema")
     mapping = table._mapping_at()
-    ice_schema, name_mapping = _iceberg_schema(schema_json, mapping)
     pby, pschema = table.partition_meta()
     if dvs:
         seen_b: set[str] = set()
@@ -574,9 +606,6 @@ def export_iceberg_metadata(table) -> int:
     part_avro = _partition_avro_fields(pfields_json)
     part_ice_types = {
         f["name"]: _ice_type(f["type"]) for f in pfields_json
-    }
-    field_ids = {
-        f["name"]: f["id"] for f in ice_schema["fields"]
     }
     meta_dir = os.path.join(table.path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -613,6 +642,42 @@ def export_iceberg_metadata(table) -> int:
         (s["snapshot-id"] for s in (prev or {}).get("snapshots", [])),
         default=-1,
     )
+
+    # SCHEMA EVOLUTION (spec 'Schema Evolution'): field ids are stable
+    # across exports — keyed on the physical parquet name via the prior
+    # export's name mapping, so rename keeps the id, add mints
+    # last-column-id+1, and a dropped id is never reused. A changed
+    # field list APPENDS a schema with a fresh schema-id (old snapshots
+    # keep reading under theirs); an unchanged one reuses its entry.
+    prev_ids: dict[str, int] = {}
+    last_col = 0
+    prev_schemas: list[dict] = []
+    if prev is not None:
+        last_col = int(prev.get("last-column-id", 0))
+        prev_schemas = list(prev.get("schemas") or [])
+        nm_prev = json.loads(
+            (prev.get("properties") or {}).get(
+                "schema.name-mapping.default", "[]"
+            )
+        )
+        prev_ids = {e["names"][-1]: e["field-id"] for e in nm_prev}
+    ice_schema, name_mapping, last_col = _iceberg_schema(
+        schema_json, mapping, prev_ids, last_col
+    )
+    schema_id = None
+    for s in prev_schemas:
+        if s["fields"] == ice_schema["fields"]:
+            schema_id = s["schema-id"]
+            ice_schema = s
+            break
+    schemas = prev_schemas
+    if schema_id is None:
+        schema_id = (
+            max((s["schema-id"] for s in prev_schemas), default=-1) + 1
+        )
+        ice_schema = dict(ice_schema, **{"schema-id": schema_id})
+        schemas = prev_schemas + [ice_schema]
+    field_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
 
     stats = replay_stats(table.log_dir)
     added_at = _file_added_versions(table.log_dir)
@@ -685,7 +750,7 @@ def export_iceberg_metadata(table) -> int:
         entries,
         meta={
             "schema": json.dumps(ice_schema),
-            "schema-id": "0",
+            "schema-id": str(schema_id),
             "partition-spec": json.dumps(spec["fields"]),
             "partition-spec-id": "0",
             "format-version": "2",
@@ -769,7 +834,7 @@ def export_iceberg_metadata(table) -> int:
             ],
             meta={
                 "schema": json.dumps(ice_schema),
-                "schema-id": "0",
+                "schema-id": str(schema_id),
                 # GLOBAL position deletes ride an UNPARTITIONED spec on
                 # partitioned tables — they apply across partitions
                 "partition-spec": json.dumps(
@@ -820,7 +885,7 @@ def export_iceberg_metadata(table) -> int:
             "total-delete-files": str(1 if n_del else 0),
             "total-position-deletes": str(n_del),
         },
-        "schema-id": 0,
+        "schema-id": schema_id,
     }
     props = {
         # txlog table properties surface as Iceberg table properties
@@ -838,9 +903,9 @@ def export_iceberg_metadata(table) -> int:
         "location": table.path,
         "last-sequence-number": version,
         "last-updated-ms": now_ms,
-        "last-column-id": len(ice_schema["fields"]),
-        "current-schema-id": 0,
-        "schemas": [ice_schema],
+        "last-column-id": last_col,
+        "current-schema-id": schema_id,
+        "schemas": schemas,
         "default-spec-id": 0,
         # spec 1 = the unpartitioned spec GLOBAL position deletes ride
         # on partitioned tables (present whenever the table is
@@ -951,7 +1016,7 @@ def read_iceberg_snapshot(spark, table_path: str, snapshot_id: int | None = None
             data_fields.append(f)
     read_schema = StructType()
     for f in data_fields:
-        phys = nmap[f["id"]][-1]  # physical parquet name
+        phys = nmap.get(f["id"], [f["name"]])[-1]  # physical name
         read_schema = read_schema.add(phys, spark_t(f["type"]))
     del_keyed = None
     if delete_paths:
@@ -972,7 +1037,7 @@ def read_iceberg_snapshot(spark, table_path: str, snapshot_id: int | None = None
     for key, paths in sorted(groups.items()):
         scan = spark.read.schema(read_schema).parquet(*paths)
         sel = [
-            F.col(nmap[f["id"]][-1]).alias(f["name"])
+            F.col(nmap.get(f["id"], [f["name"]])[-1]).alias(f["name"])
             for f in data_fields
         ]
         if del_keyed is not None:

@@ -554,3 +554,101 @@ def test_expire_keeps_shared_position_delete_artifacts(spark, tmp_path):
     removed = expire_iceberg_snapshots(t.path, keep_last=1)
     assert removed  # A's manifest list at minimum
     assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())
+
+
+# ------------------------------------------------- schema evolution
+
+
+def test_schema_evolution_appends_schemas_with_stable_ids(spark, tmp_path):
+    """Spec 'Schema Evolution': a changed field list APPENDS a schema
+    with a fresh schema-id; field ids stay stable (rename keeps the id,
+    add mints last-column-id+1, dropped ids are never reused); each
+    snapshot reads under ITS schema."""
+    t = _mk(spark, tmp_path)
+    t.to_iceberg()  # schema 0: k(1), amt(2), g(3)
+    t.add_column("note", "string")
+    t.append(
+        spark.createDataFrame(
+            [(100, 1.0, "a", "n1")], "k int, amt double, g string, note string"
+        )
+    )
+    t.to_iceberg()  # schema 1: + note(4)
+    t.rename_column("note", "comment")
+    t.to_iceberg()  # schema 2: comment keeps id 4
+    md = json.load(
+        open(os.path.join(t.path, "metadata", "v3.metadata.json"))
+    )
+    schemas = {s["schema-id"]: s["fields"] for s in md["schemas"]}
+    assert sorted(schemas) == [0, 1, 2]
+    assert [f["name"] for f in schemas[0]] == ["k", "amt", "g"]
+    assert [f["id"] for f in schemas[0]] == [1, 2, 3]
+    assert schemas[1][3] == {
+        "id": 4, "name": "note", "required": False, "type": "string"
+    }
+    # rename kept id 4 under the new logical name
+    assert schemas[2][3]["id"] == 4 and schemas[2][3]["name"] == "comment"
+    assert md["last-column-id"] == 4
+    assert md["current-schema-id"] == 2
+    # snapshots reference THEIR schema
+    by_sid = {s["snapshot-id"]: s["schema-id"] for s in md["snapshots"]}
+    assert list(by_sid.values()) == [0, 1, 2]
+    # the name mapping binds id 4 to the stable PHYSICAL name
+    nmap = {
+        e["field-id"]: e["names"]
+        for e in json.loads(md["properties"]["schema.name-mapping.default"])
+    }
+    assert nmap[4][0] == "comment" and nmap[4][-1] == "note"
+    # old snapshot reads under the OLD schema (no 'note'/'comment')
+    first = min(by_sid)
+    old = read_iceberg_snapshot(spark, t.path, snapshot_id=first)
+    assert old.columns == ["k", "amt", "g"]
+    assert len(old.collect()) == 40
+    # current snapshot carries the renamed column with its values
+    cur = read_iceberg_snapshot(spark, t.path)
+    got = {r["k"]: r["comment"] for r in cur.collect()}
+    assert got[100] == "n1" and got[0] is None
+
+
+def test_schema_evolution_drop_never_reuses_ids(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.to_iceberg()
+    t.drop_column("amt")
+    t.to_iceberg()
+    t.add_column("amt", "double")  # re-add same LOGICAL name
+    t.to_iceberg()
+    md = json.load(
+        open(os.path.join(t.path, "metadata", "v3.metadata.json"))
+    )
+    cur = next(
+        s
+        for s in md["schemas"]
+        if s["schema-id"] == md["current-schema-id"]
+    )
+    ids = {f["name"]: f["id"] for f in cur["fields"]}
+    # the re-added amt is a NEW field id, not the dropped 2
+    assert ids["amt"] == 4 and md["last-column-id"] == 4
+
+
+def test_type_widening_appends_schema_same_field_id(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.to_iceberg()
+    t.set_properties({"delta.enableTypeWidening": "true"})
+    t.alter_column_type("k", "bigint")  # int -> long: legal in Iceberg
+    t.append(
+        spark.createDataFrame(
+            [(5_000_000_000, 9.0, "a")], "k bigint, amt double, g string"
+        )
+    )
+    t.to_iceberg()
+    md = json.load(
+        open(os.path.join(t.path, "metadata", "v2.metadata.json"))
+    )
+    assert len(md["schemas"]) == 2
+    s0, s1 = md["schemas"]
+    assert s0["fields"][0]["type"] == "int"
+    assert s1["fields"][0] == {
+        "id": 1, "name": "k", "required": False, "type": "long"
+    }
+    got = read_iceberg_snapshot(spark, t.path)
+    assert got.schema["k"].dataType.simpleString() == "bigint"
+    assert {r["k"] for r in got.collect()} >= {5_000_000_000, 0, 39}
