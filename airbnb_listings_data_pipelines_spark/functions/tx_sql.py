@@ -58,6 +58,14 @@ VACUUM), and ANSI for the rest:
   ``delta.appendOnly`` 'true' refuses row-modifying commits at the
   protocol chokepoint (insert-only merges and no-op DML stay legal,
   Delta's rule)
+- ``CONVERT t FROM PARQUET [PARTITIONED BY (c1, ...)] | FROM DELTA |
+  FROM ICEBERG`` — in-place adoption of whatever format sits at the
+  bound root (zero data movement), the SQL twins of ``convert`` /
+  ``convert_from_delta`` / ``convert_from_iceberg``; the binding is
+  replaced with the adopted handle
+- ``CALL expire_snapshots(t [, retain_last => n | , n])`` — Iceberg's
+  procedure convention for the exported metadata layer's retention
+  (deletes only snapshot artifacts, never data files)
 - ``VACUUM t [RETAIN n VERSIONS] [DRY RUN]``
 - ``SHOW TBLPROPERTIES t [('key')]`` (all properties as key/value rows,
   or the one named key)
@@ -342,6 +350,8 @@ class TxSqlSession:
             (r"UPDATE ", self._update),
             (r"MERGE (WITH SCHEMA EVOLUTION )?INTO ", self._merge),
             (r"OPTIMIZE ", self._optimize),
+            (r"CONVERT ", self._convert),
+            (r"CALL ", self._call),
             (r"RESTORE TABLE ", self._restore),
             (r"ALTER TABLE ", self._alter),
             (r"VACUUM ", self._vacuum),
@@ -869,6 +879,78 @@ class TxSqlSession:
                 mode=mode,
             )
         return t.version()
+
+    def _convert(self, s: str) -> int:
+        """``CONVERT t FROM PARQUET [PARTITIONED BY (c1, ...)] | FROM
+        DELTA | FROM ICEBERG`` — adopt the format already on disk at
+        the bound root IN PLACE (zero bytes moved): the SQL twins of
+        :meth:`TxLogTable.convert`, :meth:`TxLogTable.convert_from_delta`
+        and :func:`operators.iceberg.convert_from_iceberg`. Statement
+        grammar follows Delta's ``CONVERT TO DELTA parquet.`path```
+        posture with the format on the source side, because here the
+        TARGET format is always the txlog and the session already binds
+        the name to its storage root. Returns the adopted version. The
+        binding is replaced with the adopted handle, so subsequent
+        statements in the same script run against it."""
+        m = re.fullmatch(
+            rf"CONVERT\s+({_IDENT})\s+FROM\s+(PARQUET|DELTA|ICEBERG)"
+            r"(?:\s+PARTITIONED\s+BY\s+\(([^)]+)\))?",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CONVERT: {s!r}")
+        name = m.group(1).lower()
+        if name not in self._tables:
+            raise KeyError(
+                f"unknown txlog table {name!r} (bind a root for it first)"
+            )
+        src = m.group(2).upper()
+        pby = (
+            [c.strip() for c in m.group(3).split(",")]
+            if m.group(3)
+            else None
+        )
+        if pby and src != "PARQUET":
+            raise ValueError(
+                "PARTITIONED BY applies to CONVERT ... FROM PARQUET "
+                "only — DELTA/ICEBERG adoption reads the spec from the "
+                "source metadata"
+            )
+        old = self._tables[name]
+        if src == "PARQUET":
+            t = TxLogTable.convert(
+                self.spark, old.path, partition_by=pby
+            )
+        elif src == "DELTA":
+            t = TxLogTable.convert_from_delta(self.spark, old.path)
+        else:
+            from ..operators.iceberg import convert_from_iceberg
+
+            t = convert_from_iceberg(self.spark, old.path)
+        t.arbiter = old.arbiter
+        self._tables[name] = t
+        return t.version()
+
+    def _call(self, s: str):
+        """``CALL expire_snapshots(t [, retain_last => n | , n])`` —
+        Iceberg's Spark-procedure convention for the exported metadata
+        layer's retention maintenance
+        (:func:`operators.iceberg.expire_iceberg_snapshots`). Returns
+        the deleted artifact paths, the VACUUM-statement shape."""
+        m = re.fullmatch(
+            rf"CALL\s+expire_snapshots\s*\(\s*({_IDENT})"
+            r"(?:\s*,\s*(?:retain_last\s*=>\s*)?(\d+))?\s*\)",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CALL: {s!r}")
+        from ..operators.iceberg import expire_iceberg_snapshots
+
+        t = self.table(m.group(1))
+        keep = int(m.group(2)) if m.group(2) else 1
+        return expire_iceberg_snapshots(t.path, keep_last=keep)
 
     def _optimize(self, s: str) -> int:
         m = re.fullmatch(

@@ -900,3 +900,67 @@ def test_timestamp_after_latest_refused(spark, tmp_path):
         ).collect()
     with pytest.raises(Exception):  # '2026' is ISO year, not epoch 2026s
         sess.execute("SELECT * FROM t TIMESTAMP AS OF '2026'").collect()
+
+
+def test_sql_convert_from_parquet_delta_iceberg(spark, tmp_path):
+    import os
+    import shutil
+
+    # PARQUET: a plain directory adopts through the statement
+    p1 = tmp_path / "plainpq"
+    spark.createDataFrame(
+        [(k, float(k)) for k in range(20)], "k int, amt double"
+    ).coalesce(2).write.parquet(str(p1))
+    sess = TxSqlSession(spark, {"a": str(p1)})
+    assert sess.execute("CONVERT a FROM PARQUET") == 0
+    assert sess.execute("SELECT COUNT(*) AS n FROM a").collect()[0]["n"] == 20
+    # the replaced binding is live: DML works right after
+    sess.execute("DELETE FROM a WHERE k < 5")
+    assert sess.execute("SELECT COUNT(*) AS n FROM a").collect()[0]["n"] == 15
+
+    # DELTA: export a mirror, strip the txlog, adopt via SQL
+    t2 = _mk(spark, tmp_path / "fromdelta")
+    t2.delete_where("k % 4 = 1")
+    t2.to_delta_log()
+    shutil.rmtree(t2.log_dir)
+    sess2 = TxSqlSession(spark, {"b": str(tmp_path / "fromdelta")})
+    v = sess2.execute("CONVERT b FROM DELTA")
+    assert v >= 0
+    assert (
+        sess2.execute("SELECT COUNT(*) AS n FROM b").collect()[0]["n"] == 30
+    )
+
+    # ICEBERG: position deletes come back as DVs through the statement
+    t3 = _mk(spark, tmp_path / "fromice")
+    t3.delete_where("k % 4 = 1", mode="dv")
+    t3.to_iceberg()
+    shutil.rmtree(t3.log_dir)
+    shutil.rmtree(os.path.join(t3.path, "_dv"), ignore_errors=True)
+    sess3 = TxSqlSession(spark, {"c": str(tmp_path / "fromice")})
+    assert sess3.execute("CONVERT c FROM ICEBERG") == 0
+    assert sess3.table("c").dvs()
+    assert (
+        sess3.execute("SELECT COUNT(*) AS n FROM c").collect()[0]["n"] == 30
+    )
+
+    # refusals: unbound name, PARTITIONED BY on non-parquet source
+    with pytest.raises(KeyError):
+        sess3.execute("CONVERT nope FROM PARQUET")
+    with pytest.raises(ValueError, match="PARTITIONED BY"):
+        sess3.execute("CONVERT c FROM ICEBERG PARTITIONED BY (k)")
+
+
+def test_sql_call_expire_snapshots(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    sess = TxSqlSession(spark, {"t": t})
+    t.to_iceberg()
+    sess.execute("INSERT INTO t VALUES (100, 0, 1.0)")
+    t.to_iceberg()
+    sess.execute("INSERT INTO t VALUES (101, 1, 2.0)")
+    t.to_iceberg()
+    removed = sess.execute("CALL expire_snapshots(t, retain_last => 1)")
+    assert removed and all(p.endswith((".avro", ".parquet")) for p in removed)
+    # positional count form + idempotence
+    assert sess.execute("CALL expire_snapshots(t, 1)") == []
+    with pytest.raises(ValueError, match="cannot parse CALL"):
+        sess.execute("CALL expire_snapshots()")
