@@ -7589,3 +7589,118 @@ def x112_iceberg_convert_roundtrip(
             F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
         ).alias("total_cents"),
     )
+
+
+@query(
+    "x113_two_format_mirror_maintenance",
+    oracle="""
+    WITH kept AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 6 = 2 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 6 = 2 THEN o_totalprice + 5.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 6 <> 1
+    ),
+    post AS (
+      SELECT * FROM kept
+      UNION ALL
+      SELECT o_orderkey + 80000000, 'N', o_totalprice
+      FROM orders WHERE o_orderkey % 9 = 4
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM post GROUP BY 1
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8"),
+    doc="TWO-FORMAT MIRROR MAINTENANCE — the format-interop composition "
+    "twin of x109's feature composition (round 12): ONE txlog table "
+    "runs the whole mirror lifecycle through the SQL front-end where a "
+    "surface exists. TBLPROPERTIES turns on DV routing AND UniForm "
+    "('delta.universalFormat.enabledFormats'='iceberg'), so the DELETE "
+    "(%6==1) and UPDATE (%6==2: 'U', +5) land merge-on-read and ONE "
+    "to_delta_log() refreshes BOTH mirrors (Delta commits + Iceberg "
+    "snapshot with a position-delete parquet). An append (%9==4 "
+    "shifted +80000000, 'N') and a second refresh make the exports "
+    "INCREMENTAL (carried files EXISTING on the Iceberg side, one new "
+    "Delta commit per txlog version). CALL expire_snapshots(t, 1) then "
+    "drops the first Iceberg snapshot's artifacts. In-query gates: all "
+    "THREE independent readers — the txlog itself, "
+    "deltalog.read_delta_snapshot, iceberg.read_iceberg_snapshot (the "
+    "post-expiry metadata) — must agree row-for-row on (key, status, "
+    "cents) before the hashed aggregate is returned; a drifted export, "
+    "a mistranslated position delete, or an expiry that dropped a LIVE "
+    "artifact all break the driver hash against DuckDB on raw orders. "
+    "At 100 TB the maintenance plane stays O(live files) metadata per "
+    "refresh + O(deleted rows) per delete vector; expiry deletes only "
+    "superseded manifests, never data. functions/tx_sql + "
+    "operators/deltalog + operators/iceberg.",
+)
+def x113_two_format_mirror_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.tx_sql import TxSqlSession
+    from ..operators.deltalog import read_delta_snapshot
+    from ..operators.iceberg import read_iceberg_snapshot
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _dml_scratch("x113" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(6, "o_orderkey")
+    )
+    sess = TxSqlSession(spark, {"t": t})
+    sess.execute(
+        "ALTER TABLE t SET TBLPROPERTIES ("
+        "'delta.enableDeletionVectors' = 'true', "
+        "'delta.universalFormat.enabledFormats' = 'iceberg')"
+    )
+    sess.execute("DELETE FROM t WHERE o_orderkey % 6 = 1")
+    sess.execute(
+        "UPDATE t SET o_orderstatus = 'U', "
+        "o_totalprice = o_totalprice + 5.0 WHERE o_orderkey % 6 = 2"
+    )
+    if not t.dvs():
+        raise AssertionError("DV routing property did not take")
+    t.to_delta_log()  # refreshes BOTH mirrors (UniForm property)
+    t.append(
+        orders.filter("o_orderkey % 9 = 4").selectExpr(
+            "o_orderkey + 80000000 AS o_orderkey",
+            "'N' AS o_orderstatus",
+            "o_totalprice",
+        )
+    )
+    t.to_delta_log()
+    expired = sess.execute("CALL expire_snapshots(t, retain_last => 1)")
+    if not expired:
+        raise AssertionError(
+            "two snapshots were exported — expiry must drop artifacts"
+        )
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    native = t.read().select(
+        "o_orderkey", "o_orderstatus", cents.alias("cents")
+    )
+    delta = read_delta_snapshot(spark, path).select(
+        "o_orderkey", "o_orderstatus", cents.alias("cents")
+    )
+    ice = read_iceberg_snapshot(spark, path).select(
+        "o_orderkey", "o_orderstatus", cents.alias("cents")
+    )
+    n = native.count()
+    for other, label in ((delta, "delta"), (ice, "iceberg")):
+        m = native.intersect(other).count()
+        if m != n or other.count() != n:
+            raise AssertionError(
+                f"{label} mirror disagrees with the txlog read: "
+                f"{m}/{n} rows intersect"
+            )
+    return native.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum("cents").alias("total_cents"),
+    )
