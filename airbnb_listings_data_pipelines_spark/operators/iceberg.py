@@ -681,11 +681,87 @@ def export_iceberg_metadata(table) -> int:
 
     stats = replay_stats(table.log_dir)
     added_at = _file_added_versions(table.log_dir)
+
+    # MANIFEST REUSE (spec 'Manifest Lists': "Manifests ... may be
+    # carried forward"): a prior snapshot's data manifest whose files
+    # are ALL still live is referenced verbatim by the new manifest
+    # list — zero bytes rewritten for it; only manifests that lost a
+    # file get their surviving entries re-listed (EXISTING) in this
+    # export's fresh manifest, alongside the genuinely new files
+    # (ADDED). Refresh cost is therefore O(changed files + number of
+    # manifests), not O(live files): at 100 TB an append-only ingest
+    # refresh writes ONE small manifest however many millions of files
+    # the table holds. Delete manifests are never carried — the
+    # position-delete parquet always reflects the CURRENT global DV
+    # state (O(deleted rows), rewritten per refresh).
+    live_abs = {os.path.join(table.path, f): f for f in files}
+    carried: list[dict] = []
+    carried_files = 0
+    carried_rows = 0
+    accounted: set[str] = set()
+    if prev is not None:
+        prev_snap = next(
+            s
+            for s in prev["snapshots"]
+            if s["snapshot-id"] == prev["current-snapshot-id"]
+        )
+        _ps, _pm, prev_mfs = read_avro_container(
+            prev_snap["manifest-list"]
+        )
+        # FAST PATH — the append-only ingest refresh, the case that
+        # matters at 100 TB: when NO file left the live set since the
+        # prior export (prev live ⊆ current live, checked against the
+        # txlog fold at that version — one O(commits-since-checkpoint)
+        # replay, no manifest decode), every prior data manifest
+        # carries unread and the refresh does ZERO O(live files) work.
+        from .txlog import replay_log
+
+        _pv, prev_live = replay_log(table.log_dir, prev_version)
+        live_set = set(files)
+        no_removals = set(prev_live) <= live_set
+
+        def _carry(mf: dict, rels) -> None:
+            carried.append(dict(mf))
+            nonlocal carried_files, carried_rows
+            carried_files += (
+                mf["added_files_count"] + mf["existing_files_count"]
+            )
+            carried_rows += (
+                mf["added_rows_count"] + mf["existing_rows_count"]
+            )
+            accounted.update(rels)
+
+        if no_removals:
+            for mf in prev_mfs:
+                if mf.get("content", 0) == 0:
+                    _carry(mf, [])
+            accounted.update(prev_live)
+        else:
+            for mf in prev_mfs:
+                if mf.get("content", 0) != 0:
+                    continue
+                _ms, _mm, prev_entries = read_avro_container(
+                    mf["manifest_path"]
+                )
+                rels = []
+                for e in prev_entries:
+                    rel = (
+                        None
+                        if e["status"] == 2
+                        else live_abs.get(e["data_file"]["file_path"])
+                    )
+                    if rel is None:
+                        rels = None
+                        break
+                    rels.append(rel)
+                if rels:
+                    _carry(mf, rels)
+
     entries = []
     n_added = n_existing = 0
     rows_added = rows_existing = 0
     seqs = []
-    for f in sorted(files):
+    for f in sorted(set(files) - accounted):
         n = (stats.get(f) or {}).get("numRecords")
         if n is None:
             import pyarrow.parquet as pq
@@ -742,38 +818,43 @@ def export_iceberg_metadata(table) -> int:
             for i, c in enumerate(pby)
         ],
     }
-    manifest_name = f"{uuid.uuid4().hex}-m0.avro"
-    manifest_path = os.path.join(meta_dir, manifest_name)
-    write_avro_container(
-        manifest_path,
-        _manifest_schema(part_avro),
-        entries,
-        meta={
-            "schema": json.dumps(ice_schema),
-            "schema-id": str(schema_id),
-            "partition-spec": json.dumps(spec["fields"]),
-            "partition-spec-id": "0",
-            "format-version": "2",
-            "content": "data",
-        },
-    )
-    mlist_entries = [
-        {
-            "manifest_path": manifest_path,
-            "manifest_length": os.path.getsize(manifest_path),
-            "partition_spec_id": 0,
-            "content": 0,
-            "sequence_number": version,
-            "min_sequence_number": min(seqs, default=version),
-            "added_snapshot_id": version,
-            "added_files_count": n_added,
-            "existing_files_count": n_existing,
-            "deleted_files_count": 0,
-            "added_rows_count": rows_added,
-            "existing_rows_count": rows_existing,
-            "deleted_rows_count": 0,
-        }
-    ]
+    mlist_entries = list(carried)
+    if entries or not carried:
+        # fresh manifest for this refresh's changed files (or the
+        # empty first manifest of an empty table); skipped entirely
+        # when every live file rode a carried manifest
+        manifest_name = f"{uuid.uuid4().hex}-m0.avro"
+        manifest_path = os.path.join(meta_dir, manifest_name)
+        write_avro_container(
+            manifest_path,
+            _manifest_schema(part_avro),
+            entries,
+            meta={
+                "schema": json.dumps(ice_schema),
+                "schema-id": str(schema_id),
+                "partition-spec": json.dumps(spec["fields"]),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        mlist_entries.append(
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": version,
+                "min_sequence_number": min(seqs, default=version),
+                "added_snapshot_id": version,
+                "added_files_count": n_added,
+                "existing_files_count": n_existing,
+                "deleted_files_count": 0,
+                "added_rows_count": rows_added,
+                "existing_rows_count": rows_existing,
+                "deleted_rows_count": 0,
+            }
+        )
     n_del = 0
     if dvs:
         # Iceberg v2 POSITION DELETE file (spec: parquet of (file_path,
@@ -881,7 +962,9 @@ def export_iceberg_metadata(table) -> int:
             "added-data-files": str(n_added),
             "added-records": str(rows_added),
             "total-data-files": str(len(files)),
-            "total-records": str(rows_added + rows_existing),
+            "total-records": str(
+                carried_rows + rows_added + rows_existing
+            ),
             "total-delete-files": str(1 if n_del else 0),
             "total-position-deletes": str(n_del),
         },

@@ -652,3 +652,81 @@ def test_type_widening_appends_schema_same_field_id(spark, tmp_path):
     got = read_iceberg_snapshot(spark, t.path)
     assert got.schema["k"].dataType.simpleString() == "bigint"
     assert {r["k"] for r in got.collect()} >= {5_000_000_000, 0, 39}
+
+
+def test_manifest_reuse_append_only_refresh(spark, tmp_path):
+    """Spec 'Manifest Lists': manifests may be carried forward — an
+    append-only refresh references the prior data manifest VERBATIM and
+    writes one fresh manifest holding only the new files, so refresh
+    cost is O(changed files), not O(live files)."""
+    t = _mk(spark, tmp_path)
+    t.to_iceberg()
+    md1 = json.load(
+        open(os.path.join(t.path, "metadata", "v1.metadata.json"))
+    )
+    _s, _m, mfs1 = read_avro_container(
+        md1["snapshots"][-1]["manifest-list"]
+    )
+    first_manifest = mfs1[0]["manifest_path"]
+    t.append(
+        spark.createDataFrame([(100, 1.0, "c")], "k int, amt double, g string")
+    )
+    t.to_iceberg()
+    md2 = json.load(
+        open(os.path.join(t.path, "metadata", "v2.metadata.json"))
+    )
+    _s2, _m2, mfs2 = read_avro_container(
+        md2["snapshots"][-1]["manifest-list"]
+    )
+    assert len(mfs2) == 2
+    # the first manifest rides along untouched (same path, same counts)
+    assert mfs2[0]["manifest_path"] == first_manifest
+    assert mfs2[0]["added_files_count"] == mfs1[0]["added_files_count"]
+    # the fresh manifest holds ONLY the appended file
+    _ms, _mm, fresh = read_avro_container(mfs2[1]["manifest_path"])
+    assert len(fresh) == 1 and fresh[0]["status"] == 1
+    assert fresh[0]["data_file"]["record_count"] == 1
+    # summary still totals the whole table
+    assert md2["snapshots"][-1]["summary"]["total-records"] == "41"
+    assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())
+    # a third append-only refresh carries BOTH prior manifests
+    t.append(
+        spark.createDataFrame([(101, 2.0, "d")], "k int, amt double, g string")
+    )
+    t.to_iceberg()
+    md3 = json.load(
+        open(os.path.join(t.path, "metadata", "v3.metadata.json"))
+    )
+    _s3, _m3, mfs3 = read_avro_container(
+        md3["snapshots"][-1]["manifest-list"]
+    )
+    assert [mf["manifest_path"] for mf in mfs3[:2]] == [
+        mf["manifest_path"] for mf in mfs2
+    ]
+    assert md3["snapshots"][-1]["summary"]["total-records"] == "42"
+
+
+def test_manifest_reuse_expiry_keeps_shared_manifests(spark, tmp_path):
+    """Expiring the OLD snapshot must not delete a manifest the CURRENT
+    snapshot carries."""
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        expire_iceberg_snapshots,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.to_iceberg()
+    t.append(
+        spark.createDataFrame([(100, 1.0, "c")], "k int, amt double, g string")
+    )
+    t.to_iceberg()
+    md2 = json.load(
+        open(os.path.join(t.path, "metadata", "v2.metadata.json"))
+    )
+    _s, _m, mfs = read_avro_container(
+        md2["snapshots"][-1]["manifest-list"]
+    )
+    shared = mfs[0]["manifest_path"]
+    removed = expire_iceberg_snapshots(t.path, keep_last=1)
+    assert removed  # the old manifest LIST at least
+    assert os.path.exists(shared), "shared carried manifest was deleted"
+    assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())

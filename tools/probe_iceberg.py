@@ -50,6 +50,19 @@ def main():
             f"(files-ratio {e_f10 / e_f1:.2f})  @200 files x10 rows: "
             f"{e_r10:.2f}s (rows-ratio {e_r10 / e_f1:.2f})"
         )
+        # INCREMENTAL refresh: append ONE file to the 2000-file table —
+        # manifest reuse must make the refresh cost track the CHANGE
+        # (one small fresh manifest), not the live-file count
+        t_f10.append(spark.range(10).selectExpr(
+            "id + 9000000 AS k", "CAST(id AS DOUBLE) AS amt"
+        ).coalesce(1))
+        t0 = time.time()
+        export_iceberg_metadata(t_f10)
+        e_incr = time.time() - t0
+        print(
+            f"incremental refresh @2000 files (+1 file): {e_incr:.2f}s "
+            f"(vs full {e_f10:.2f}s, ratio {e_incr / e_f10:.2f})"
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
