@@ -452,8 +452,41 @@ def _partition_avro_fields(pschema_fields: list[dict]) -> list[dict]:
     return out
 
 
+def _kv_map_field(
+    name: str, fid: int, key_fid: int, val_fid: int, val_type: str
+) -> dict:
+    """One of the spec's optional per-column map fields on data_file
+    (Avro represents Iceberg maps with int keys as arrays of key/value
+    records carrying the spec's field ids)."""
+    return {
+        "name": name,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "logicalType": "map",
+                "items": {
+                    "type": "record",
+                    "name": f"k{key_fid}_v{val_fid}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": key_fid},
+                        {
+                            "name": "value",
+                            "type": val_type,
+                            "field-id": val_fid,
+                        },
+                    ],
+                },
+            },
+        ],
+        "field-id": fid,
+    }
+
+
 def _manifest_schema(partition_fields: list[dict]) -> dict:
-    """Iceberg v2 manifest_entry record (spec 'Manifests')."""
+    """Iceberg v2 manifest_entry record (spec 'Manifests'), including
+    the optional per-column metrics maps (value/null counts and
+    lower/upper bounds) external engines use for file pruning."""
     data_file = {
         "type": "record",
         "name": "data_file",
@@ -472,6 +505,10 @@ def _manifest_schema(partition_fields: list[dict]) -> dict:
             },
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            _kv_map_field("value_counts", 109, 119, 120, "long"),
+            _kv_map_field("null_value_counts", 110, 121, 122, "long"),
+            _kv_map_field("lower_bounds", 125, 126, 127, "bytes"),
+            _kv_map_field("upper_bounds", 128, 129, 130, "bytes"),
         ],
     }
     return {
@@ -497,6 +534,90 @@ def _manifest_schema(partition_fields: list[dict]) -> dict:
             {"name": "data_file", "type": data_file, "field-id": 2},
         ],
     }
+
+
+def _bound_bytes(ice_type: str, v) -> bytes | None:
+    """Iceberg single-value binary serialization (spec Appendix D) for
+    the bound maps: ints/longs/floats/doubles little-endian, dates as
+    LE days-from-epoch ints, strings UTF-8, booleans one byte.
+    Decimal/timestamp bounds are omitted (the maps are optional and
+    partial maps are legal) — None means 'skip this column'."""
+    import datetime
+
+    if v is None:
+        return None
+    try:
+        if ice_type == "int":
+            return struct.pack("<i", int(v)) if isinstance(v, int) else None
+        if ice_type == "long":
+            return struct.pack("<q", int(v)) if isinstance(v, int) else None
+        if ice_type == "float":
+            return struct.pack("<f", float(v))
+        if ice_type == "double":
+            return struct.pack("<d", float(v))
+        if ice_type == "boolean":
+            return b"\x01" if v else b"\x00"
+        if ice_type == "string":
+            return str(v).encode("utf-8")
+        if ice_type == "date":
+            if isinstance(v, str):
+                v = datetime.date.fromisoformat(v)
+            if isinstance(v, datetime.date):
+                return struct.pack(
+                    "<i", (v - datetime.date(1970, 1, 1)).days
+                )
+            return None
+    except (ValueError, TypeError, OverflowError, struct.error):
+        return None
+    return None
+
+
+def _file_metrics(
+    st: dict | None, ice_fields: list[dict], mapping: dict | None
+) -> dict:
+    """The data_file per-column metrics maps from one txlog stats-fold
+    entry: value_counts (= record count for every flat column),
+    null_value_counts, lower_bounds, upper_bounds — keyed by FIELD ID,
+    values looked up under the PHYSICAL column name (what the parquet
+    footers, and therefore the stats fold, record). Partial maps are
+    spec-legal; a file with no stats entry gets all-null maps."""
+    out = {
+        "value_counts": None,
+        "null_value_counts": None,
+        "lower_bounds": None,
+        "upper_bounds": None,
+    }
+    if not st:
+        return out
+    n = st.get("numRecords")
+    mins = st.get("minValues") or {}
+    maxs = st.get("maxValues") or {}
+    nulls = st.get("nullCount") or {}
+    vc, nc, lo, hi = [], [], [], []
+    for f in ice_fields:
+        fid = f["id"]
+        phys = (mapping or {}).get(f["name"], f["name"])
+        if n is not None and (
+            phys in mins or phys in nulls or phys in maxs
+        ):
+            vc.append({"key": fid, "value": int(n)})
+        if phys in nulls:
+            nc.append({"key": fid, "value": int(nulls[phys])})
+        b = _bound_bytes(f["type"], mins.get(phys))
+        if b is not None:
+            lo.append({"key": fid, "value": b})
+        b = _bound_bytes(f["type"], maxs.get(phys))
+        if b is not None:
+            hi.append({"key": fid, "value": b})
+    if vc:
+        out["value_counts"] = vc
+    if nc:
+        out["null_value_counts"] = nc
+    if lo:
+        out["lower_bounds"] = lo
+    if hi:
+        out["upper_bounds"] = hi
+    return out
 
 
 # ------------------------------------------------------------- the export
@@ -801,6 +922,12 @@ def export_iceberg_metadata(table) -> int:
                     "record_count": int(n),
                     "file_size_in_bytes": os.path.getsize(
                         os.path.join(table.path, f)
+                    ),
+                    # per-column metrics: external engines prune files
+                    # on these exactly as the txlog's own read_where
+                    # prunes on the stats fold they derive from
+                    **_file_metrics(
+                        stats.get(f), ice_schema["fields"], mapping
                     ),
                 },
             }

@@ -730,3 +730,96 @@ def test_manifest_reuse_expiry_keeps_shared_manifests(spark, tmp_path):
     assert removed  # the old manifest LIST at least
     assert os.path.exists(shared), "shared carried manifest was deleted"
     assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())
+
+
+# ----------------------------------------------- per-column metrics
+
+
+def _decode_bound(b, typ):
+    import struct as _struct
+
+    if typ == "int":
+        return _struct.unpack("<i", b)[0]
+    if typ == "long":
+        return _struct.unpack("<q", b)[0]
+    if typ == "double":
+        return _struct.unpack("<d", b)[0]
+    if typ == "string":
+        return b.decode("utf-8")
+    raise AssertionError(typ)
+
+
+def test_manifest_column_metrics_match_files(spark, tmp_path):
+    """The exported lower/upper bounds and counts must equal what an
+    external engine would compute from the parquet files themselves —
+    per file, per column, under the spec's single-value binary forms."""
+    import pyarrow.parquet as pq
+
+    t = _mk(spark, tmp_path, n=60)
+    t.to_iceberg()
+    md = json.load(
+        open(os.path.join(t.path, "metadata", "v1.metadata.json"))
+    )
+    fields = {f["name"]: f for f in md["schemas"][0]["fields"]}
+    _s, _m, mfs = read_avro_container(
+        md["snapshots"][-1]["manifest-list"]
+    )
+    _ms, _mm, entries = read_avro_container(mfs[0]["manifest_path"])
+    assert entries
+    for e in entries:
+        df = e["data_file"]
+        tbl = pq.read_table(df["file_path"])
+        n = tbl.num_rows
+        vc = {kv["key"]: kv["value"] for kv in df["value_counts"]}
+        nc = {kv["key"]: kv["value"] for kv in df["null_value_counts"]}
+        lo = {kv["key"]: kv["value"] for kv in df["lower_bounds"]}
+        hi = {kv["key"]: kv["value"] for kv in df["upper_bounds"]}
+        for name, typ in (("k", "int"), ("amt", "double"), ("g", "string")):
+            fid = fields[name]["id"]
+            col = tbl.column(name).to_pylist()
+            assert vc[fid] == n
+            assert nc[fid] == sum(1 for v in col if v is None)
+            assert _decode_bound(lo[fid], typ) == min(col)
+            assert _decode_bound(hi[fid], typ) == max(col)
+
+
+def test_manifest_metrics_prune_like_an_engine(spark, tmp_path):
+    """Simulate an external engine's min/max file pruning on the
+    exported bounds: candidates from the bounds alone, then a
+    candidate-only read must equal the full filtered read — and the
+    bounds must actually skip files for a selective range."""
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.range(1000)
+        .selectExpr("CAST(id AS INT) AS k", "CAST(id AS DOUBLE) AS amt")
+        .repartitionByRange(8, "k"),
+    )
+    t.to_iceberg()
+    md = json.load(
+        open(os.path.join(t.path, "metadata", "v1.metadata.json"))
+    )
+    kid = next(
+        f["id"] for f in md["schemas"][0]["fields"] if f["name"] == "k"
+    )
+    _s, _m, mfs = read_avro_container(
+        md["snapshots"][-1]["manifest-list"]
+    )
+    _ms, _mm, entries = read_avro_container(mfs[0]["manifest_path"])
+    lo_q, hi_q = 100, 180
+    cand = []
+    for e in entries:
+        lo = {kv["key"]: kv["value"] for kv in e["data_file"]["lower_bounds"]}
+        hi = {kv["key"]: kv["value"] for kv in e["data_file"]["upper_bounds"]}
+        fmin = _decode_bound(lo[kid], "int")
+        fmax = _decode_bound(hi[kid], "int")
+        if fmax >= lo_q and fmin <= hi_q:
+            cand.append(e["data_file"]["file_path"])
+    assert 0 < len(cand) < len(entries), "selective range must skip files"
+    got = {
+        r["k"]
+        for r in spark.read.parquet(*cand)
+        .filter(f"k BETWEEN {lo_q} AND {hi_q}")
+        .collect()
+    }
+    assert got == set(range(lo_q, hi_q + 1))
