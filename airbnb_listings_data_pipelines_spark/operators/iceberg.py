@@ -572,6 +572,29 @@ def _bound_bytes(ice_type: str, v) -> bytes | None:
     return None
 
 
+def _decode_single(ice_type: str, b: bytes):
+    """Inverse of :func:`_bound_bytes` for the types it emits."""
+    import datetime
+
+    if ice_type == "int":
+        return struct.unpack("<i", b)[0]
+    if ice_type == "long":
+        return struct.unpack("<q", b)[0]
+    if ice_type == "float":
+        return struct.unpack("<f", b)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", b)[0]
+    if ice_type == "boolean":
+        return b == b"\x01"
+    if ice_type == "string":
+        return b.decode("utf-8")
+    if ice_type == "date":
+        return datetime.date(1970, 1, 1) + datetime.timedelta(
+            days=struct.unpack("<i", b)[0]
+        )
+    raise ValueError(f"no single-value decoding for {ice_type!r}")
+
+
 def _file_metrics(
     st: dict | None, ice_fields: list[dict], mapping: dict | None
 ) -> dict:
@@ -1159,7 +1182,12 @@ def export_iceberg_metadata(table) -> int:
 # ---------------------------------------------------- independent reader
 
 
-def read_iceberg_snapshot(spark, table_path: str, snapshot_id: int | None = None):
+def read_iceberg_snapshot(
+    spark,
+    table_path: str,
+    snapshot_id: int | None = None,
+    prune: tuple | None = None,
+):
     """INDEPENDENT Iceberg snapshot reader — reconstructs the table from
     the written metadata ALONE (version-hint -> vN.metadata.json ->
     manifest-list Avro -> manifest Avro -> explicit file list), the
@@ -1168,7 +1196,15 @@ def read_iceberg_snapshot(spark, table_path: str, snapshot_id: int | None = None
     the ICEBERG schema + name mapping (never the txlog's), partition
     values attach from the MANIFEST partition records (never hive
     paths) — per-partition-group explicit-list reads, the metadata-
-    plane cost being O(partitions in the snapshot)."""
+    plane cost being O(partitions in the snapshot).
+
+    ``prune=(column, lo, hi)`` skips data files whose exported
+    per-column metrics prove they hold no row with ``lo <= column <=
+    hi`` — exactly the file-level pruning an external Iceberg engine
+    performs on the same manifests (identity partition values first,
+    then lower/upper bounds; files without bounds are conservatively
+    kept). Rows are still filtered by the caller — pruning only bounds
+    the I/O, never the result."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType, _parse_datatype_string
 
@@ -1191,6 +1227,50 @@ def read_iceberg_snapshot(spark, table_path: str, snapshot_id: int | None = None
     def spark_t(t: str):
         return _spark_type_of(t)
 
+    prune_fid = prune_typ = None
+    if prune is not None:
+        pcol, p_lo, p_hi = prune
+        pf = next(
+            (f for f in ice_fields if f["name"] == pcol), None
+        )
+        if pf is None:
+            raise ValueError(
+                f"prune column {pcol!r} not in the snapshot schema"
+            )
+        prune_fid, prune_typ = pf["id"], pf["type"]
+
+    def _pruned(df_: dict, pnames: list[str]) -> bool:
+        if prune_fid is None:
+            return False
+        if prune[0] in pnames:
+            v = df_["partition"].get(prune[0])
+            if v is not None and (v < p_lo or v > p_hi):
+                return True
+        lo_b = next(
+            (
+                kv["value"]
+                for kv in df_.get("lower_bounds") or []
+                if kv["key"] == prune_fid
+            ),
+            None,
+        )
+        hi_b = next(
+            (
+                kv["value"]
+                for kv in df_.get("upper_bounds") or []
+                if kv["key"] == prune_fid
+            ),
+            None,
+        )
+        if lo_b is None or hi_b is None:
+            return False  # no metrics: conservatively keep
+        try:
+            fmin = _decode_single(prune_typ, lo_b)
+            fmax = _decode_single(prune_typ, hi_b)
+        except (ValueError, struct.error):
+            return False
+        return fmax < p_lo or fmin > p_hi
+
     spec_fields = {
         s["spec-id"]: s["fields"] for s in md["partition-specs"]
     }
@@ -1211,6 +1291,8 @@ def read_iceberg_snapshot(spark, table_path: str, snapshot_id: int | None = None
             if e["data_file"].get("content", 0) == 1:
                 # POSITION DELETES: (file_path, pos) parquet to anti-join
                 delete_paths.append(e["data_file"]["file_path"])
+                continue
+            if _pruned(e["data_file"], pnames):
                 continue
             key = tuple(
                 e["data_file"]["partition"].get(c) for c in pnames
@@ -1658,3 +1740,149 @@ def expire_iceberg_snapshots(
             os.remove(p)
             removed.append(p)
     return removed
+
+
+def read_iceberg_appends(
+    spark,
+    table_path: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+):
+    """Incremental APPEND scan — Iceberg's ``appendsBetween``: the rows
+    of data files whose sequence numbers land in ``(from, to]``, read
+    from the TO snapshot's manifests alone. Carried manifests make this
+    O(changed files) metadata: entries with older sequence numbers are
+    skipped without opening their files. Position deletes whose
+    sequence numbers land in the range are anti-joined, so a row
+    appended and then vectored out within the range does not surface —
+    the scan returns "appended rows still visible at TO".
+
+    Snapshots in range whose summary is not an append (COW DML,
+    OPTIMIZE — anything that REMOVED files) refuse loudly: their
+    rewritten files carry in-range sequence numbers holding rows
+    already reported by earlier ranges, which an append scan would
+    double-count. Consume the change feed for those — Iceberg's own
+    incremental-scan rule."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    _o, md = _load_current_metadata(table_path)
+    to = md["current-snapshot-id"] if to_snapshot is None else to_snapshot
+    snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
+    if from_snapshot not in snaps or to not in snaps:
+        raise ValueError(
+            f"unknown snapshot bound(s): {from_snapshot}, {to} "
+            f"(have {sorted(snaps)})"
+        )
+    in_range = [
+        s
+        for s in md["snapshots"]
+        if from_snapshot < s["snapshot-id"] <= to
+    ]
+    not_append = [
+        s["snapshot-id"]
+        for s in in_range
+        if (s.get("summary") or {}).get("operation") != "append"
+    ]
+    if not_append:
+        raise ValueError(
+            f"appends-between refused: snapshot(s) {not_append} removed "
+            "or rewrote files — an append scan would double-count their "
+            "rows; consume the change feed instead"
+        )
+    snap = snaps[to]
+    ice_fields = {
+        s["schema-id"]: s["fields"] for s in md["schemas"]
+    }[snap.get("schema-id", md["current-schema-id"])]
+    nmap = {
+        e["field-id"]: e["names"]
+        for e in json.loads(
+            md["properties"]["schema.name-mapping.default"]
+        )
+    }
+    spec_fields = {
+        s["spec-id"]: s["fields"] for s in md["partition-specs"]
+    }
+    _s, _m, manifests = read_avro_container(snap["manifest-list"])
+    groups: dict[tuple, list[str]] = {}
+    part_cols: list[str] = []
+    delete_paths: list[str] = []
+    for mf in manifests:
+        pnames = [
+            f["name"] for f in spec_fields[mf["partition_spec_id"]]
+        ]
+        if mf.get("content", 0) == 0:
+            part_cols = pnames
+        # manifest-level skip: nothing in range inside -> never decoded
+        if mf["sequence_number"] <= from_snapshot:
+            continue
+        _ms, _mm, entries = read_avro_container(mf["manifest_path"])
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            seq = e.get("sequence_number")
+            if seq is None or not (from_snapshot < seq <= to):
+                continue
+            if e["data_file"].get("content", 0) == 1:
+                delete_paths.append(e["data_file"]["file_path"])
+                continue
+            key = tuple(
+                e["data_file"]["partition"].get(c) for c in pnames
+            )
+            groups.setdefault(key, []).append(
+                e["data_file"]["file_path"]
+            )
+    data_fields = [f for f in ice_fields if f["name"] not in part_cols]
+    read_schema = StructType()
+    for f in data_fields:
+        read_schema = read_schema.add(
+            nmap.get(f["id"], [f["name"]])[-1], _spark_type_of(f["type"])
+        )
+    ftypes = {f["name"]: f["type"] for f in ice_fields}
+    ordered = [f["name"] for f in ice_fields]
+    del_keyed = None
+    if delete_paths and groups:
+        del_keyed = F.broadcast(
+            spark.read.parquet(*sorted(set(delete_paths))).select(
+                F.element_at(
+                    F.split(F.col("file_path"), "/"), -1
+                ).alias("__db"),
+                F.col("pos").alias("__dp"),
+            )
+        )
+    out = None
+    for key, paths in sorted(groups.items()):
+        scan = spark.read.schema(read_schema).parquet(*paths)
+        sel = [
+            F.col(nmap.get(f["id"], [f["name"]])[-1]).alias(f["name"])
+            for f in data_fields
+        ]
+        if del_keyed is not None:
+            scan = scan.select(
+                *sel,
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__b"),
+                F.col("_metadata.row_index").alias("__p"),
+            )
+            df = scan.join(
+                del_keyed,
+                (scan["__b"] == del_keyed["__db"])
+                & (scan["__p"] == del_keyed["__dp"]),
+                "left_anti",
+            ).drop("__b", "__p")
+        else:
+            df = scan.select(*sel)
+        for c, v in zip(part_cols, key):
+            col = F.lit(v)
+            if ftypes[c] == "date" and v is not None:
+                col = F.date_add(F.lit("1970-01-01").cast("date"), v)
+            df = df.withColumn(c, col.cast(_spark_type_of(ftypes[c])))
+        df = df.select(*ordered)
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        empty = StructType()
+        for f in ice_fields:
+            empty = empty.add(f["name"], _spark_type_of(f["type"]))
+        out = spark.createDataFrame([], empty)
+    return out

@@ -823,3 +823,83 @@ def test_manifest_metrics_prune_like_an_engine(spark, tmp_path):
         .collect()
     }
     assert got == set(range(lo_q, hi_q + 1))
+
+
+def test_reader_prunes_on_exported_metrics(spark, tmp_path):
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        _load_current_metadata,
+    )
+
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.range(1000)
+        .selectExpr("CAST(id AS INT) AS k", "CAST(id AS DOUBLE) AS amt")
+        .repartitionByRange(8, "k"),
+    )
+    t.delete_where("k % 10 = 7", mode="dv")  # deletes still apply
+    t.to_iceberg()
+    full = read_iceberg_snapshot(spark, t.path)
+    pruned = read_iceberg_snapshot(spark, t.path, prune=("k", 100, 180))
+    # pruning bounds I/O, never the visible-row semantics of the range
+    want = {r["k"] for r in full.filter("k BETWEEN 100 AND 180").collect()}
+    got = {r["k"] for r in pruned.filter("k BETWEEN 100 AND 180").collect()}
+    assert got == want and 77 not in got
+    # and it actually skipped files: the pruned plan reads fewer paths
+    n_full = len(full.inputFiles())
+    n_pruned = len(pruned.inputFiles())
+    assert 0 < n_pruned < n_full
+    with pytest.raises(ValueError, match="prune column"):
+        read_iceberg_snapshot(spark, t.path, prune=("zz", 0, 1))
+
+
+def test_appends_between_snapshots(spark, tmp_path):
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        read_iceberg_appends,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.to_iceberg()
+    s1 = t.version()
+    t.append(
+        spark.createDataFrame(
+            [(100, 1.0, "c"), (101, 2.0, "c")],
+            "k int, amt double, g string",
+        )
+    )
+    t.to_iceberg()
+    s2 = t.version()
+    t.append(
+        spark.createDataFrame([(102, 3.0, "d")], "k int, amt double, g string")
+    )
+    t.to_iceberg()
+    s3 = t.version()
+    # (s1, s2]: exactly the first append
+    a12 = read_iceberg_appends(spark, t.path, s1, s2)
+    assert {r["k"] for r in a12.collect()} == {100, 101}
+    # (s1, s3]: both appends; (s2, s3]: just the second
+    assert {
+        r["k"] for r in read_iceberg_appends(spark, t.path, s1).collect()
+    } == {100, 101, 102}
+    assert {
+        r["k"] for r in read_iceberg_appends(spark, t.path, s2, s3).collect()
+    } == {102}
+    # a COW delete in range refuses (rewritten files would double-count)
+    t.delete_where("k = 0")
+    t.to_iceberg()
+    with pytest.raises(ValueError, match="append scan would double-count"):
+        read_iceberg_appends(spark, t.path, s3)
+    # a DV delete in range vectors an appended row OUT of the scan
+    t2 = _mk(spark, tmp_path / "dv")
+    t2.to_iceberg()
+    b1 = t2.version()
+    t2.append(
+        spark.createDataFrame(
+            [(200, 1.0, "e"), (201, 2.0, "e")],
+            "k int, amt double, g string",
+        )
+    )
+    t2.delete_where("k = 200", mode="dv")
+    t2.to_iceberg()
+    got = read_iceberg_appends(spark, t2.path, b1)
+    assert {r["k"] for r in got.collect()} == {201}
