@@ -860,9 +860,16 @@ def export_iceberg_metadata(table) -> int:
         # carries unread and the refresh does ZERO O(live files) work.
         from .txlog import replay_log
 
-        _pv, prev_live = replay_log(table.log_dir, prev_version)
         live_set = set(files)
-        no_removals = set(prev_live) <= live_set
+        try:
+            _pv, prev_live = replay_log(table.log_dir, prev_version)
+            no_removals = set(prev_live) <= live_set
+        except Exception:
+            # e.g. cleanup_log truncated the commits below the prior
+            # export — the slow path below decides from the manifests
+            # alone, no txlog history needed
+            prev_live = []
+            no_removals = False
 
         def _carry(mf: dict, rels) -> None:
             carried.append(dict(mf))
@@ -1553,7 +1560,9 @@ def convert_from_iceberg(spark, path: str):
                     got = (
                         None
                         if got_raw is None
-                        else _partition_value(got_raw, _ice_type(ice_types[c]))
+                        # ice_types holds ICEBERG type strings already —
+                        # exactly what _partition_value keys on
+                        else _partition_value(got_raw, ice_types[c])
                     )
                     if want is not None and got != want:
                         raise ValueError(

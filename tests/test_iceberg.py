@@ -903,3 +903,30 @@ def test_appends_between_snapshots(spark, tmp_path):
     t2.to_iceberg()
     got = read_iceberg_appends(spark, t2.path, b1)
     assert {r["k"] for r in got.collect()} == {201}
+
+
+def test_convert_partitioned_int_column(spark, tmp_path):
+    """Regression: the manifest-vs-hive partition cross-check must type
+    the hive value under the ICEBERG type string (an int-partitioned
+    adoption crashed when the check routed it through the Spark-name
+    table)."""
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(k, float(k), k % 3) for k in range(30)],
+            "k int, amt double, bucket int",
+        ).repartition(2),
+        partition_by=["bucket"],
+    )
+    want = set(map(tuple, t.read().select("k", "amt", "bucket").collect()))
+    t.to_iceberg()
+    _strip_txlog(t)
+    t2 = convert_from_iceberg(spark, t.path)
+    assert t2.partition_meta()[0] == ["bucket"]
+    got = set(map(tuple, t2.read().select("k", "amt", "bucket").collect()))
+    assert got == want
