@@ -1051,6 +1051,18 @@ class TxLogTable:
         return t
 
     @classmethod
+    def convert_from_iceberg(
+        cls, spark: SparkSession, path: str
+    ) -> "TxLogTable":
+        """``CONVERT FROM ICEBERG``: adopt a foreign Apache Iceberg v2
+        table in place — see
+        :func:`operators.iceberg.convert_from_iceberg` (this is the
+        API-symmetry alias next to :meth:`convert_from_delta`)."""
+        from .iceberg import convert_from_iceberg
+
+        return convert_from_iceberg(spark, path)
+
+    @classmethod
     def convert_from_delta(cls, spark: SparkSession, path: str) -> "TxLogTable":
         """``CONVERT FROM DELTA``: adopt a foreign Delta table IN PLACE —
         replay its ``_delta_log`` (the independent reader's replay core,

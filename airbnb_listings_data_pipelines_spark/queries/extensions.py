@@ -7704,3 +7704,74 @@ def x113_two_format_mirror_maintenance(
         F.countDistinct("o_orderkey").alias("n_keys"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+@query(
+    "x114_iceberg_pruned_curation_scan",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM documents
+    WHERE n_chars BETWEEN 150 AND 350
+    GROUP BY 1
+    """,
+    survey_rows=("EXT-curation", "EXT-tableformat", "A2", "A5"),
+    doc="ICEBERG PRUNED CURATION SCAN — x106's clustered-corpus story "
+    "carried into the SECOND table format (round 12): documents -> "
+    "txlog CLUSTER BY (lang, n_chars) + OPTIMIZE (Morton rewrite gives "
+    "every file a tight n_chars envelope), then to_iceberg() exports "
+    "manifests whose per-column metrics (lower/upper bounds, spec "
+    "single-value binary forms) carry those envelopes to ANY Iceberg "
+    "engine. The mid-length band (n_chars BETWEEN 150 AND 350) is then "
+    "read through the INDEPENDENT Iceberg reader with "
+    "prune=('n_chars', 150, 350) — file skipping decided from the "
+    "exported manifest bounds alone, never the txlog stats. In-query "
+    "gates: the pruned scan opens a strict subset of the full scan's "
+    "files, and returns exactly the rows the full-scan filter does. "
+    "At 100 TB this is the cross-engine version of the x106 claim: "
+    "cluster once, and every engine reading the exported metadata — "
+    "not just this one — pays only the band's bytes per curation "
+    "experiment. operators/iceberg._file_metrics + "
+    "read_iceberg_snapshot(prune=...); tests/test_iceberg.py pins "
+    "byte-level bound equality against pyarrow-recomputed footers.",
+)
+def x114_iceberg_pruned_curation_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.iceberg import read_iceberg_snapshot
+    from ..operators.txlog import TxLogTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = _dml_scratch("x114" + sf_dir)
+    t = TxLogTable.create(spark, path, docs.repartition(8))
+    t.cluster_by(["lang", "n_chars"])
+    t.optimize(target_files=8)
+    t.to_iceberg()
+    full = read_iceberg_snapshot(spark, path)
+    band = read_iceberg_snapshot(
+        spark, path, prune=("n_chars", 150, 350)
+    ).filter("n_chars BETWEEN 150 AND 350")
+    n_pruned = len(
+        read_iceberg_snapshot(
+            spark, path, prune=("n_chars", 150, 350)
+        ).inputFiles()
+    )
+    n_full = len(full.inputFiles())
+    if not (0 < n_pruned < n_full):
+        raise AssertionError(
+            f"exported bounds pruned nothing: {n_pruned}/{n_full} files"
+        )
+    n_expect = full.filter("n_chars BETWEEN 150 AND 350").count()
+    if band.count() != n_expect:
+        raise AssertionError(
+            "pruned iceberg read diverged from the full-scan filter"
+        )
+    return band.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )

@@ -72,6 +72,9 @@ HIGH_VARIANCE = {
     "x107_row_tracking_cow_dml",
     "x108_incremental_reclustering",
     "x109_lakehouse_feature_composition",
+    "x112_iceberg_convert_roundtrip",
+    "x113_two_format_mirror_maintenance",
+    "x114_iceberg_pruned_curation_scan",
 }
 
 
