@@ -930,3 +930,45 @@ def test_convert_partitioned_int_column(spark, tmp_path):
     assert t2.partition_meta()[0] == ["bucket"]
     got = set(map(tuple, t2.read().select("k", "amt", "bucket").collect()))
     assert got == want
+
+
+# -------------------------------------- external readers (env-gated)
+# Mirrors the delta-rs / DuckDB-delta gates in test_deltalog_partitioned:
+# no external Iceberg engine is installable in this sandbox (re-probed
+# 2026-08-16: `import pyiceberg` ModuleNotFound; DuckDB `LOAD iceberg`
+# fails — extensions.duckdb.org unreachable, no bundled binary). These
+# define the conformance bar and run the moment an environment has one.
+
+
+def test_pyiceberg_opens_exported_metadata(spark, tmp_path):
+    pytest.importorskip(
+        "pyiceberg", reason="pyiceberg not installed (no network in sandbox)"
+    )
+    from pyiceberg.table import StaticTable
+
+    t = _mk(spark, tmp_path)
+    ordinal = t.to_iceberg()
+    tbl = StaticTable.from_metadata(
+        os.path.join(t.path, "metadata", f"v{ordinal}.metadata.json")
+    )
+    arrow = tbl.scan().to_arrow()
+    assert arrow.num_rows == 40
+    assert set(arrow.column("k").to_pylist()) == set(range(40))
+
+
+def test_duckdb_iceberg_extension_reads_export(spark, tmp_path):
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute("LOAD iceberg")
+    except Exception:
+        pytest.skip(
+            "DuckDB iceberg extension not installed (no network in sandbox)"
+        )
+    t = _mk(spark, tmp_path)
+    t.to_iceberg()
+    n, ksum = con.execute(
+        f"SELECT COUNT(*), SUM(k) FROM iceberg_scan('{t.path}')"
+    ).fetchone()
+    assert n == 40 and ksum == sum(range(40))
