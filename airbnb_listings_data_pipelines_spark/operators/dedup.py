@@ -320,6 +320,106 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
+def lsh_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The LSH BAND INDEX for a document set: one ``(id, band, bucket)``
+    row per (document, band). A document's rows depend on its text
+    alone — never on the rest of the corpus — which is what makes the
+    index INCREMENTALLY maintainable: band a new batch, probe the
+    stored index for candidates, then append the batch's rows
+    (:func:`lsh_probe_pairs`). Persist it as a txlog/parquet table
+    keyed (bucketed) on ``bucket`` and continuous ingestion never
+    re-scans the corpus — at 100 TB the index is the only thing a
+    daily batch touches, O(batch x bands) new rows."""
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)], F.lit(b)).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    return banded.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def lsh_probe_pairs(
+    batch_df: DataFrame,
+    index: DataFrame,
+    all_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: verified pairs TOUCHING a new
+    batch, from the stored band index alone — no corpus re-banding.
+
+    Candidates are (batch x index) bucket collisions plus
+    (batch x batch) self-collisions; both verify against exact shingle
+    Jaccard >= ``verify_threshold`` computed from ``all_docs``' text
+    (the join prunes to candidate ids, so only candidate documents are
+    ever shingled). Because a document's bands depend on its text
+    alone, the result EQUALS ``minhash_lsh_pairs`` over the full
+    corpus restricted to batch-touching pairs — pinned by test and by
+    the x115 in-query gate. ``index`` must hold the (id, band, bucket)
+    rows of the corpus WITHOUT the batch; pairs are (id_a < id_b)."""
+    batch_bands = lsh_band_index(
+        batch_df, id_col, text_col, n, num_hashes, bands
+    )
+    a, b = batch_bands.alias("a"), index.alias("b")
+    cand_no = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
+    )
+    a2, b2 = batch_bands.alias("a"), batch_bands.alias("b")
+    cand_nn = a2.join(
+        b2,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    candidates = cand_no.unionByName(cand_nn).distinct()
+    sh_arr = all_docs.select(
+        F.col(id_col).alias("id"), char_shingles(text_col, n).alias("sh")
+    )
+    va = sh_arr.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    vb = sh_arr.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("jaccard_exact", inter / union)
+        .filter(F.col("jaccard_exact") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard_exact")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -335,24 +435,7 @@ def minhash_lsh_pairs(
     colliding in any band become candidates; candidates are then verified
     against exact shingle Jaccard >= verify_threshold.
     """
-    r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)], F.lit(b)).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("id", *band_cols)
-    stacked = banded.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    stacked = lsh_band_index(df, id_col, text_col, n, num_hashes, bands)
     a, b = stacked.alias("a"), stacked.alias("b")
     candidates = (
         a.join(

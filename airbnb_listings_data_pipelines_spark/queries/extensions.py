@@ -7775,3 +7775,116 @@ def x114_iceberg_pruned_curation_scan(
         F.sum("n_chars").alias("sum_chars"),
         F.min("doc_id").alias("min_doc"),
     )
+
+
+@query(
+    "x115_incremental_lsh_index",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               list_transform(range(1, greatest(length(lower(text)), 3) - 3 + 2),
+                              i -> substring(lower(text), i, 3)))) AS sh
+      FROM documents
+    ), sizes AS (
+      SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.8
+        AND (id_a % 5 = 0 OR id_b % 5 = 0)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(0 AS BIGINT) AS n_precision_violations,
+           CAST(1 AS BIGINT) AS recall_ok
+    FROM pairs
+    """,
+    survey_rows=("EXT-dedup", "EXT-tableformat"),
+    doc="INCREMENTAL LSH INDEX — continuous-ingest near-dedup without "
+    "corpus rescans (round 12): the corpus (doc_id % 5 <> 0) is banded "
+    "ONCE (operators/dedup.lsh_band_index — a document's (band, bucket) "
+    "rows depend on its text alone) and PERSISTED as a txlog table "
+    "repartitioned on bucket; the new batch (doc_id % 5 = 0) is then "
+    "banded and PROBED against the stored index "
+    "(dedup.lsh_probe_pairs: batch x index bucket collisions + batch "
+    "self-collisions, candidates-only exact-Jaccard verification). "
+    "In-query gates: the incremental pair set EQUALS the full-corpus "
+    "minhash_lsh_pairs restricted to batch-touching pairs (banding "
+    "independence made physical), and appending the batch's bands to "
+    "the index reproduces the full re-band row-for-row (count gate). "
+    "The hashed result is the x06-style invariant vs the exact truth "
+    "set: DuckDB recomputes Jaccard>=0.8 pairs touching the batch from "
+    "raw text; precision violations are impossible (candidates verify "
+    "exactly) and recall >= 0.7 asserts under the hash. At 100 TB a "
+    "daily batch touches O(batch x bands) index rows and the "
+    "bucket-keyed join — never the corpus text; the index table is "
+    "the only state. Bench-EXCLUDED like x05/x06: the oracle-side "
+    "truth set is exact-verification cost, not the production path.",
+)
+def x115_incremental_lsh_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.txlog import TxLogTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter("doc_id % 5 = 0")
+    corpus = docs.filter("doc_id % 5 <> 0")
+    path = _dml_scratch("x115" + sf_dir)
+    idx = TxLogTable.create(
+        spark, path, dedup.lsh_band_index(corpus).repartition(8, "bucket")
+    )
+    inc = dedup.lsh_probe_pairs(
+        batch, idx.read(), docs, verify_threshold=0.8
+    ).select("id_a", "id_b")
+    full = (
+        dedup.minhash_lsh_pairs(docs, verify_threshold=0.8)
+        .filter("id_a % 5 = 0 OR id_b % 5 = 0")
+        .select("id_a", "id_b")
+    )
+    mism = (
+        inc.exceptAll(full).count() + full.exceptAll(inc).count()
+    )
+    if mism:
+        raise AssertionError(
+            f"incremental probe diverged from the full re-band by "
+            f"{mism} pairs — banding independence broken"
+        )
+    idx.append(dedup.lsh_band_index(batch))
+    n_idx = idx.read().count()
+    n_full_bands = dedup.lsh_band_index(docs).count()
+    if n_idx != n_full_bands:
+        raise AssertionError(
+            f"index after append has {n_idx} rows, full re-band "
+            f"{n_full_bands}"
+        )
+    truth = (
+        dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+        .filter("id_a % 5 = 0 OR id_b % 5 = 0")
+        .select("id_a", "id_b", F.lit(1).alias("__t"))
+    )
+    lsh = inc.withColumn("__l", F.lit(1))
+    j = truth.join(lsh, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.count("__t").alias("n_true_pairs"),
+        F.sum(
+            F.when(
+                F.col("__l").isNotNull() & F.col("__t").isNull(), 1
+            ).otherwise(0)
+        ).alias("n_precision_violations"),
+        F.sum(
+            F.when(
+                F.col("__l").isNotNull() & F.col("__t").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("__n_found"),
+    ).select(
+        "n_true_pairs",
+        "n_precision_violations",
+        (F.col("__n_found") >= 0.7 * F.col("n_true_pairs"))
+        .cast("long")
+        .alias("recall_ok"),
+    )

@@ -89,6 +89,10 @@ EXCLUDED = {
     "invariant; production path is operators/dedup.minhash_lsh_pairs (bucketed)",
     "x13_embedding_neardup_pairs": "exact all-pairs cosine baseline (~60 s "
     "at sf0.1); scale paths are x10 (LSH) / x14 (IVF)",
+    "x115_incremental_lsh_index": "carries the x05-class exact Jaccard "
+    "truth set (restricted to batch-touching pairs) for its invariant "
+    "oracle; the production path is dedup.lsh_probe_pairs (bucket-keyed "
+    "index probe, O(batch x bands))",
 }
 
 

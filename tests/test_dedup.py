@@ -503,3 +503,46 @@ def test_containment_matches_python_reference_on_random_corpora(spark):
         assert ca <= 1_000_000 and cb <= 1_000_000
     assert (100, 101) in got
     assert got[(100, 101)][1] == 1_000_000  # the planted subset is detected
+
+
+def test_incremental_lsh_probe_equals_full_restricted(spark):
+    """A batch probed against the stored band index must produce
+    EXACTLY the full-corpus LSH pairs restricted to batch-touching
+    pairs — banding is per-document, so incremental == recompute."""
+    rows = [
+        (i, f"document number {i} with mostly shared filler text body")
+        for i in range(20)
+    ]
+    # near-dups across the batch boundary and inside the batch
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog"),   # corpus
+        (105, "the quick brown fox jumps over the lazy dog!"),  # batch
+        (110, "the quick brown fox jumped over the lazy dog"),  # batch
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    batch = docs.filter("doc_id IN (105, 110, 0, 5)")
+    corpus = docs.join(batch, "doc_id", "left_anti")
+    index = dedup.lsh_band_index(corpus)
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_probe_pairs(
+            batch, index, docs, verify_threshold=0.8
+        ).collect()
+    }
+    batch_ids = {r["doc_id"] for r in batch.collect()}
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, verify_threshold=0.8).collect()
+        if r["id_a"] in batch_ids or r["id_b"] in batch_ids
+    }
+    assert inc == full
+    assert (100, 105) in inc  # cross-boundary near-dup found via index
+    # index rows are per-document: appending the batch's bands equals
+    # re-banding the whole corpus
+    appended = index.unionByName(dedup.lsh_band_index(batch))
+    rebanded = dedup.lsh_band_index(docs)
+    assert appended.count() == rebanded.count()
+    assert (
+        appended.exceptAll(rebanded).count() == 0
+        and rebanded.exceptAll(appended).count() == 0
+    )
