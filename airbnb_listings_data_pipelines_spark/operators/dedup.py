@@ -404,7 +404,21 @@ def lsh_probe_pairs(
         & (F.col("a.id") < F.col("b.id")),
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     candidates = cand_no.unionByName(cand_nn).distinct()
-    sh_arr = all_docs.select(
+    # restrict the verification side to CANDIDATE documents before the
+    # shingle compute (broadcast semi-join): at 100 TB the corpus TEXT
+    # dwarfs the index, so shingling only candidates — not every doc —
+    # is what keeps the probe's cost off the corpus text volume. The
+    # candidate set is re-derived here (one more map-side index pass),
+    # deliberately cheaper than materializing it or shingling the world.
+    cand_ids = F.broadcast(
+        candidates.select(F.col("id_a").alias("id"))
+        .unionByName(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    docs_needed = all_docs.join(
+        cand_ids, all_docs[id_col] == cand_ids["id"], "left_semi"
+    )
+    sh_arr = docs_needed.select(
         F.col(id_col).alias("id"), char_shingles(text_col, n).alias("sh")
     )
     va = sh_arr.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
