@@ -840,9 +840,13 @@ def export_iceberg_metadata(table) -> int:
     # state (O(deleted rows), rewritten per refresh).
     live_abs = {os.path.join(table.path, f): f for f in files}
     carried: list[dict] = []
-    carried_files = 0
     carried_rows = 0
     accounted: set[str] = set()
+    # summary classification input: did ANY file leave the live set
+    # since the prior export? n_existing alone cannot answer it — a
+    # removal that empties exactly one whole carried manifest re-lists
+    # nothing (n_existing stays 0) yet the snapshot deleted rows.
+    no_removals = True
     if prev is not None:
         prev_snap = next(
             s
@@ -864,7 +868,7 @@ def export_iceberg_metadata(table) -> int:
         try:
             _pv, prev_live = replay_log(table.log_dir, prev_version)
             no_removals = set(prev_live) <= live_set
-        except Exception:
+        except Exception:  # noqa: BLE001
             # e.g. cleanup_log truncated the commits below the prior
             # export — the slow path below decides from the manifests
             # alone, no txlog history needed
@@ -873,10 +877,7 @@ def export_iceberg_metadata(table) -> int:
 
         def _carry(mf: dict, rels) -> None:
             carried.append(dict(mf))
-            nonlocal carried_files, carried_rows
-            carried_files += (
-                mf["added_files_count"] + mf["existing_files_count"]
-            )
+            nonlocal carried_rows
             carried_rows += (
                 mf["added_rows_count"] + mf["existing_rows_count"]
             )
@@ -1012,6 +1013,32 @@ def export_iceberg_metadata(table) -> int:
                 "deleted_rows_count": 0,
             }
         )
+    # merge-on-read DML removes NO files, so n_existing alone cannot
+    # classify the snapshot: a DV UPDATE/DELETE since the prior export
+    # rewrote rows and must stamp operation='overwrite' (Iceberg's own
+    # labeling), or read_iceberg_appends' non-append gate would pass the
+    # snapshot and double-count the rewritten rows (review finding,
+    # round 12). Exact signal: any commit above the prior export's
+    # version carrying a per-commit ``dvs`` delta; if that history was
+    # truncated (cleanup_log), fall back conservatively to "DVs live".
+    dv_dml_since_prev = False
+    if prev is not None and dvs:
+        try:
+            names0 = sorted(
+                f for f in os.listdir(table.log_dir) if f.endswith(".json")
+            )
+            if names0 and int(names0[0].split(".")[0]) > prev_version:
+                dv_dml_since_prev = True  # history truncated: assume
+            else:
+                for name in names0:
+                    if int(name.split(".")[0]) <= prev_version:
+                        continue
+                    with open(os.path.join(table.log_dir, name)) as fh:
+                        if json.load(fh).get("dvs"):
+                            dv_dml_since_prev = True
+                            break
+        except OSError:
+            dv_dml_since_prev = True
     n_del = 0
     if dvs:
         # Iceberg v2 POSITION DELETE file (spec: parquet of (file_path,
@@ -1115,7 +1142,13 @@ def export_iceberg_metadata(table) -> int:
         "timestamp-ms": now_ms,
         "manifest-list": os.path.join(meta_dir, mlist_name),
         "summary": {
-            "operation": "append" if n_existing == 0 else "overwrite",
+            "operation": (
+                "append"
+                if n_existing == 0
+                and no_removals
+                and not dv_dml_since_prev
+                else "overwrite"
+            ),
             "added-data-files": str(n_added),
             "added-records": str(rows_added),
             "total-data-files": str(len(files)),
@@ -1189,6 +1222,67 @@ def export_iceberg_metadata(table) -> int:
 # ---------------------------------------------------- independent reader
 
 
+
+def _groups_to_df(spark, ice_fields, nmap, part_cols, groups, del_keyed):
+    """Shared manifest->DataFrame scan assembly for the snapshot reader
+    and the appends scan: per-partition-group explicit-list reads under
+    the PHYSICAL-name schema, optional (basename, position) delete
+    anti-join, partition values reattached from the manifest records,
+    columns aliased back to logical names in schema order."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    data_fields = [f for f in ice_fields if f["name"] not in part_cols]
+    read_schema = StructType()
+    for f in data_fields:
+        read_schema = read_schema.add(
+            nmap.get(f["id"], [f["name"]])[-1], _spark_type_of(f["type"])
+        )
+    ftypes = {f["name"]: f["type"] for f in ice_fields}
+    ordered = [f["name"] for f in ice_fields]
+    out = None
+    for key, paths in sorted(groups.items()):
+        scan = spark.read.schema(read_schema).parquet(*paths)
+        sel = [
+            F.col(nmap.get(f["id"], [f["name"]])[-1]).alias(f["name"])
+            for f in data_fields
+        ]
+        if del_keyed is not None:
+            # keyed by (basename, position) — Spark-written basenames
+            # are unique within a snapshot (the export refuses
+            # collisions when DVs are live), and basename matching
+            # sidesteps the file:/-URI vs plain-path spelling of
+            # _metadata.file_path
+            scan = scan.select(
+                *sel,
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__b"),
+                F.col("_metadata.row_index").alias("__p"),
+            )
+            df = scan.join(
+                del_keyed,
+                (scan["__b"] == del_keyed["__db"])
+                & (scan["__p"] == del_keyed["__dp"]),
+                "left_anti",
+            ).drop("__b", "__p")
+        else:
+            df = scan.select(*sel)
+        for c, v in zip(part_cols, key):
+            col = F.lit(v)
+            if ftypes[c] == "date" and v is not None:
+                col = F.date_add(F.lit("1970-01-01").cast("date"), v)
+            df = df.withColumn(c, col.cast(_spark_type_of(ftypes[c])))
+        df = df.select(*ordered)
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        empty = StructType()
+        for f in ice_fields:
+            empty = empty.add(f["name"], _spark_type_of(f["type"]))
+        out = spark.createDataFrame([], empty)
+    return out
+
+
 def read_iceberg_snapshot(
     spark,
     table_path: str,
@@ -1213,7 +1307,6 @@ def read_iceberg_snapshot(
     kept). Rows are still filtered by the caller — pruning only bounds
     the I/O, never the result."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType, _parse_datatype_string
 
     _ordinal, md = _load_current_metadata(table_path)
     sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
@@ -1230,9 +1323,6 @@ def read_iceberg_snapshot(
             md["properties"]["schema.name-mapping.default"]
         )
     }
-
-    def spark_t(t: str):
-        return _spark_type_of(t)
 
     prune_fid = prune_typ = None
     if prune is not None:
@@ -1251,6 +1341,12 @@ def read_iceberg_snapshot(
             return False
         if prune[0] in pnames:
             v = df_["partition"].get(prune[0])
+            if v is not None and prune_typ == "date":
+                # manifests store identity date partition values as
+                # days-from-epoch ints; bounds compare as dates
+                import datetime
+
+                v = datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
             if v is not None and (v < p_lo or v > p_hi):
                 return True
         lo_b = next(
@@ -1307,22 +1403,8 @@ def read_iceberg_snapshot(
             groups.setdefault(key, []).append(
                 e["data_file"]["file_path"]
             )
-    id_by_name = {}
-    data_fields = []
-    for f in ice_fields:
-        id_by_name[f["name"]] = f["id"]
-        if f["name"] not in part_cols:
-            data_fields.append(f)
-    read_schema = StructType()
-    for f in data_fields:
-        phys = nmap.get(f["id"], [f["name"]])[-1]  # physical name
-        read_schema = read_schema.add(phys, spark_t(f["type"]))
     del_keyed = None
     if delete_paths:
-        # keyed by (basename, position) — Spark-written basenames are
-        # unique within a snapshot (the export refuses collisions when
-        # DVs are live), and basename matching sidesteps the
-        # file:/-URI vs plain-path spelling of _metadata.file_path
         del_keyed = F.broadcast(
             spark.read.parquet(*sorted(set(delete_paths))).select(
                 F.element_at(
@@ -1331,44 +1413,7 @@ def read_iceberg_snapshot(
                 F.col("pos").alias("__dp"),
             )
         )
-    out = None
-    ftypes = {f["name"]: f["type"] for f in ice_fields}
-    for key, paths in sorted(groups.items()):
-        scan = spark.read.schema(read_schema).parquet(*paths)
-        sel = [
-            F.col(nmap.get(f["id"], [f["name"]])[-1]).alias(f["name"])
-            for f in data_fields
-        ]
-        if del_keyed is not None:
-            scan = scan.select(
-                *sel,
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ).alias("__b"),
-                F.col("_metadata.row_index").alias("__p"),
-            )
-            df = scan.join(
-                del_keyed,
-                (scan["__b"] == del_keyed["__db"])
-                & (scan["__p"] == del_keyed["__dp"]),
-                "left_anti",
-            ).drop("__b", "__p")
-        else:
-            df = scan.select(*sel)
-        for c, v in zip(part_cols, key):
-            col = F.lit(v)
-            if ftypes[c] == "date" and v is not None:
-                col = F.date_add(F.lit("1970-01-01").cast("date"), v)
-            df = df.withColumn(c, col.cast(spark_t(ftypes[c])))
-        ordered = [f["name"] for f in ice_fields]
-        df = df.select(*ordered)
-        out = df if out is None else out.unionByName(df)
-    if out is None:
-        read_schema2 = StructType()
-        for f in ice_fields:
-            read_schema2 = read_schema2.add(f["name"], spark_t(f["type"]))
-        out = spark.createDataFrame([], read_schema2)
-    return out
+    return _groups_to_df(spark, ice_fields, nmap, part_cols, groups, del_keyed)
 
 
 # ----------------------------------------------------- convert (adoption)
@@ -1761,20 +1806,19 @@ def read_iceberg_appends(
     of data files whose sequence numbers land in ``(from, to]``, read
     from the TO snapshot's manifests alone. Carried manifests make this
     O(changed files) metadata: entries with older sequence numbers are
-    skipped without opening their files. Position deletes whose
-    sequence numbers land in the range are anti-joined, so a row
-    appended and then vectored out within the range does not surface —
-    the scan returns "appended rows still visible at TO".
+    skipped without opening their files.
 
-    Snapshots in range whose summary is not an append (COW DML,
-    OPTIMIZE — anything that REMOVED files) refuse loudly: their
-    rewritten files carry in-range sequence numbers holding rows
-    already reported by earlier ranges, which an append scan would
-    double-count. Consume the change feed for those — Iceberg's own
-    incremental-scan rule."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType
-
+    Snapshots in range whose summary is not an append refuse loudly —
+    COW DML / OPTIMIZE (rewritten files carry in-range sequence numbers
+    holding rows already reported by earlier ranges) AND merge-on-read
+    DML (the export stamps operation='overwrite' whenever a commit
+    since the prior export carried a deletion-vector delta — review
+    finding, round 12: n_existing alone passed DV updates through this
+    gate and double-counted their rewritten rows). Consume the change
+    feed for those — Iceberg's own incremental-scan rule. Under that
+    gate no in-range position delete can target an in-range data file
+    (such a vector IS a DV delta in range), so append ranges read their
+    files directly — no anti-join."""
     _o, md = _load_current_metadata(table_path)
     to = md["current-snapshot-id"] if to_snapshot is None else to_snapshot
     snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
@@ -1815,7 +1859,6 @@ def read_iceberg_appends(
     _s, _m, manifests = read_avro_container(snap["manifest-list"])
     groups: dict[tuple, list[str]] = {}
     part_cols: list[str] = []
-    delete_paths: list[str] = []
     for mf in manifests:
         pnames = [
             f["name"] for f in spec_fields[mf["partition_spec_id"]]
@@ -1829,11 +1872,10 @@ def read_iceberg_appends(
         for e in entries:
             if e["status"] == 2:
                 continue
+            if e["data_file"].get("content", 0) != 0:
+                continue  # delete manifests cannot target in-range files
             seq = e.get("sequence_number")
             if seq is None or not (from_snapshot < seq <= to):
-                continue
-            if e["data_file"].get("content", 0) == 1:
-                delete_paths.append(e["data_file"]["file_path"])
                 continue
             key = tuple(
                 e["data_file"]["partition"].get(c) for c in pnames
@@ -1841,57 +1883,6 @@ def read_iceberg_appends(
             groups.setdefault(key, []).append(
                 e["data_file"]["file_path"]
             )
-    data_fields = [f for f in ice_fields if f["name"] not in part_cols]
-    read_schema = StructType()
-    for f in data_fields:
-        read_schema = read_schema.add(
-            nmap.get(f["id"], [f["name"]])[-1], _spark_type_of(f["type"])
-        )
-    ftypes = {f["name"]: f["type"] for f in ice_fields}
-    ordered = [f["name"] for f in ice_fields]
-    del_keyed = None
-    if delete_paths and groups:
-        del_keyed = F.broadcast(
-            spark.read.parquet(*sorted(set(delete_paths))).select(
-                F.element_at(
-                    F.split(F.col("file_path"), "/"), -1
-                ).alias("__db"),
-                F.col("pos").alias("__dp"),
-            )
-        )
-    out = None
-    for key, paths in sorted(groups.items()):
-        scan = spark.read.schema(read_schema).parquet(*paths)
-        sel = [
-            F.col(nmap.get(f["id"], [f["name"]])[-1]).alias(f["name"])
-            for f in data_fields
-        ]
-        if del_keyed is not None:
-            scan = scan.select(
-                *sel,
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ).alias("__b"),
-                F.col("_metadata.row_index").alias("__p"),
-            )
-            df = scan.join(
-                del_keyed,
-                (scan["__b"] == del_keyed["__db"])
-                & (scan["__p"] == del_keyed["__dp"]),
-                "left_anti",
-            ).drop("__b", "__p")
-        else:
-            df = scan.select(*sel)
-        for c, v in zip(part_cols, key):
-            col = F.lit(v)
-            if ftypes[c] == "date" and v is not None:
-                col = F.date_add(F.lit("1970-01-01").cast("date"), v)
-            df = df.withColumn(c, col.cast(_spark_type_of(ftypes[c])))
-        df = df.select(*ordered)
-        out = df if out is None else out.unionByName(df)
-    if out is None:
-        empty = StructType()
-        for f in ice_fields:
-            empty = empty.add(f["name"], _spark_type_of(f["type"]))
-        out = spark.createDataFrame([], empty)
-    return out
+    return _groups_to_df(
+        spark, ice_fields, nmap, part_cols, groups, del_keyed=None
+    )

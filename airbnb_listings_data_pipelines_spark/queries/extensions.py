@@ -7752,14 +7752,9 @@ def x114_iceberg_pruned_curation_scan(
     t.optimize(target_files=8)
     t.to_iceberg()
     full = read_iceberg_snapshot(spark, path)
-    band = read_iceberg_snapshot(
-        spark, path, prune=("n_chars", 150, 350)
-    ).filter("n_chars BETWEEN 150 AND 350")
-    n_pruned = len(
-        read_iceberg_snapshot(
-            spark, path, prune=("n_chars", 150, 350)
-        ).inputFiles()
-    )
+    band = read_iceberg_snapshot(spark, path, prune=("n_chars", 150, 350))
+    n_pruned = len(band.inputFiles())  # unaffected by the filter below
+    band = band.filter("n_chars BETWEEN 150 AND 350")
     n_full = len(full.inputFiles())
     if not (0 < n_pruned < n_full):
         raise AssertionError(

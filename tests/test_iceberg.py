@@ -889,20 +889,42 @@ def test_appends_between_snapshots(spark, tmp_path):
     t.to_iceberg()
     with pytest.raises(ValueError, match="append scan would double-count"):
         read_iceberg_appends(spark, t.path, s3)
-    # a DV delete in range vectors an appended row OUT of the scan
+    # a DV UPDATE of an already-published row makes the snapshot an
+    # OVERWRITE — the export stamps it from the txlog's dvs deltas even
+    # though no file was removed, and the append scan refuses (the
+    # update's sliver would otherwise double-count the rewritten row;
+    # review finding, round 12)
     t2 = _mk(spark, tmp_path / "dv")
     t2.to_iceberg()
     b1 = t2.version()
-    t2.append(
-        spark.createDataFrame(
-            [(200, 1.0, "e"), (201, 2.0, "e")],
-            "k int, amt double, g string",
-        )
-    )
-    t2.delete_where("k = 200", mode="dv")
+    t2.update_where("k = 2", {"amt": F.lit(99.0)}, mode="dv")
     t2.to_iceberg()
-    got = read_iceberg_appends(spark, t2.path, b1)
-    assert {r["k"] for r in got.collect()} == {201}
+    with pytest.raises(ValueError, match="append scan would double-count"):
+        read_iceberg_appends(spark, t2.path, b1)
+    # append-then-vanish between exports is NET-EMPTY, not an overwrite:
+    # a whole-file DV delete of a file the export never published leaves
+    # prior rows untouched — the range legally reports zero appends
+    t4 = _mk(spark, tmp_path / "net")
+    t4.to_iceberg()
+    d1 = t4.version()
+    t4.append(
+        spark.createDataFrame([(400, 1.0, "z")], "k int, amt double, g string")
+    )
+    t4.delete_where("k = 400", mode="dv")  # whole-file: plain remove
+    t4.to_iceberg()
+    assert read_iceberg_appends(spark, t4.path, d1).count() == 0
+    # while an append landing on a table with UNCHANGED pre-existing
+    # vectors is still an append: its new files carry no positions
+    t3 = _mk(spark, tmp_path / "dv2")
+    t3.delete_where("k % 10 = 3", mode="dv")
+    t3.to_iceberg()
+    c1 = t3.version()
+    t3.append(
+        spark.createDataFrame([(300, 5.0, "f")], "k int, amt double, g string")
+    )
+    t3.to_iceberg()
+    got = read_iceberg_appends(spark, t3.path, c1)
+    assert {r["k"] for r in got.collect()} == {300}
 
 
 def test_convert_partitioned_int_column(spark, tmp_path):
@@ -1072,3 +1094,34 @@ def test_avro_container_roundtrip_fuzz(tmp_path):
         assert got == recs
 
     check()
+
+
+def test_prune_on_date_partition_column(spark, tmp_path):
+    """Regression: identity DATE partition values live in manifests as
+    days-from-epoch ints; prune=(d, date, date) must compare them as
+    dates against date bounds instead of raising TypeError."""
+    import datetime
+
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [
+                (k, datetime.date(2024, 1 + (k % 3), 1))
+                for k in range(30)
+            ],
+            "k int, d date",
+        ).repartition(2),
+        partition_by=["d"],
+    )
+    t.to_iceberg()
+    pruned = read_iceberg_snapshot(
+        spark,
+        t.path,
+        prune=("d", datetime.date(2024, 2, 1), datetime.date(2024, 2, 28)),
+    )
+    assert len(pruned.inputFiles()) < len(
+        read_iceberg_snapshot(spark, t.path).inputFiles()
+    )
+    got = {r["k"] for r in pruned.collect()}
+    assert got == {k for k in range(30) if k % 3 == 1}
