@@ -330,6 +330,24 @@ def _spark_type_of(t: str):
     return _parse_datatype_string(_ICE_TO_SPARK[t])
 
 
+def _local_path(p: str) -> str:
+    """Normalize a ``file:``-scheme URI to a plain local path (real
+    Iceberg writers commonly record ``file:///...`` URIs in manifests
+    and position-delete files; this export always writes plain paths).
+    Non-file schemes and plain paths pass through unchanged."""
+    if not p.startswith("file:"):
+        return p
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(p)
+    if u.netloc not in ("", "localhost"):
+        raise ValueError(
+            f"non-local file URI {p!r} — adoption is in-place and "
+            "reads the local filesystem only"
+        )
+    return unquote(u.path)
+
+
 def _load_current_metadata(table_path: str) -> tuple[int, dict]:
     """(ordinal, metadata dict) for the CURRENT Iceberg metadata file,
     resolved through ``metadata/version-hint.text`` — the same entry
@@ -707,25 +725,27 @@ def export_iceberg_metadata(table) -> int:
     schemas (v1)."""
     from .txlog import replay_stats
 
-    entries0 = sorted(
+    # the adopted-from metadata's snapshot ids belong to the FOREIGN
+    # table (or, on a roundtrip, to the pre-adoption txlog whose
+    # version space this table restarted from 0) — appending snapshots
+    # keyed by THIS table's versions would break the spec's monotonic
+    # sequence-number rule. Mirror of to_delta_log refusing after
+    # convert_from_delta. The marker lives in commit 0 AND (so
+    # cleanup_log truncation cannot bypass this gate — round-13
+    # advice) in every metadata-complete checkpoint commit; the scan
+    # below checks EVERY retained commit, the same O(retained commits)
+    # walk _file_added_versions already pays per export.
+    for name in sorted(
         f for f in os.listdir(table.log_dir) if f.endswith(".json")
-    )
-    if entries0:
-        with open(os.path.join(table.log_dir, entries0[0])) as fh:
-            c0 = json.load(fh)
-        if c0.get("converted_from_iceberg") is not None:
-            # the adopted-from metadata's snapshot ids belong to the
-            # FOREIGN table (or, on a roundtrip, to the pre-adoption
-            # txlog whose version space this table restarted from 0) —
-            # appending snapshots keyed by THIS table's versions would
-            # break the spec's monotonic sequence-number rule. Mirror
-            # of to_delta_log refusing after convert_from_delta.
-            raise ValueError(
-                "to_iceberg refused: this table was adopted via "
-                "convert_from_iceberg — its txlog versions cannot "
-                "extend the pre-existing snapshot/sequence space; "
-                "CLONE to a fresh table and export the clone"
-            )
+    ):
+        with open(os.path.join(table.log_dir, name)) as fh:
+            if json.load(fh).get("converted_from_iceberg") is not None:
+                raise ValueError(
+                    "to_iceberg refused: this table was adopted via "
+                    "convert_from_iceberg — its txlog versions cannot "
+                    "extend the pre-existing snapshot/sequence space; "
+                    "CLONE to a fresh table and export the clone"
+                )
     version, files, dvs = table._replay_full()
     dvs = {f: d for f, d in dvs.items() if f in set(files)}
     schema_json = table._schema_at()
@@ -1027,7 +1047,14 @@ def export_iceberg_metadata(table) -> int:
             names0 = sorted(
                 f for f in os.listdir(table.log_dir) if f.endswith(".json")
             )
-            if names0 and int(names0[0].split(".")[0]) > prev_version:
+            if names0 and int(names0[0].split(".")[0]) > prev_version + 1:
+                # oldest retained commit == prev_version + 1 means the
+                # (prev, current] commit range is FULLY present — only
+                # a gap above prev_version + 1 is real truncation
+                # (round-13 advice; belt-and-braces: on the exact
+                # boundary the no_removals fast path above has already
+                # forced 'overwrite', since replay at prev_version
+                # needs a commit at or below it)
                 dv_dml_since_prev = True  # history truncated: assume
             else:
                 for name in names0:
@@ -1476,9 +1503,14 @@ def convert_from_iceberg(spark, path: str):
         )
     sid = md["current-snapshot-id"]
     snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    # the TABLE's current schema, not the snapshot's: Iceberg scans
+    # resolve columns against current-schema-id, so a column added
+    # after the last data-writing snapshot must survive adoption (old
+    # files read nulls for it under the name mapping — Iceberg's own
+    # semantics; round-13 advice)
     ice_fields = {
         s["schema-id"]: s["fields"] for s in md["schemas"]
-    }[snap.get("schema-id", md["current-schema-id"])]
+    }[md["current-schema-id"]]
 
     from pyspark.sql.types import StructField, StructType
 
@@ -1557,9 +1589,9 @@ def convert_from_iceberg(spark, path: str):
                     "rewrite them as position deletes first"
                 )
             if content == 1:
-                delete_paths.append(dfile["file_path"])
+                delete_paths.append(_local_path(dfile["file_path"]))
                 continue
-            fp = dfile["file_path"]
+            fp = _local_path(dfile["file_path"])
             if str(dfile.get("file_format", "PARQUET")).upper() != "PARQUET":
                 raise NotImplementedError(
                     f"convert_from_iceberg refused: {fp!r} is "
@@ -1632,8 +1664,17 @@ def convert_from_iceberg(spark, path: str):
                 tbl.column("file_path").to_pylist(),
                 tbl.column("pos").to_pylist(),
             ):
+                fp = _local_path(fp)
                 if not fp.startswith(root):
-                    continue
+                    # a delete aimed outside the table root is corrupt
+                    # metadata — silently dropping it would RESURRECT
+                    # rows (round-13 advice); refuse loudly instead
+                    raise ValueError(
+                        "convert_from_iceberg refused: position delete "
+                        f"in {dp!r} targets {fp!r}, outside the table "
+                        "root — deletes cannot be dropped without "
+                        "resurrecting rows"
+                    )
                 rel = fp[len(root):]
                 if rel not in live:
                     continue  # stale delete: its target was rewritten

@@ -3178,6 +3178,20 @@ class TxLogTable:
                 # truncated by cleanup must not let an older retained
                 # checkpoint's columns resurrect
                 extra["clustering"] = self.clustering_columns()
+            if "converted_from_iceberg" not in extra:
+                # the Iceberg-adoption marker must SURVIVE cleanup_log:
+                # it lives natively only in commit 0, and to_iceberg's
+                # refusal reads the retained log — if truncation lost
+                # it, a re-export would append txlog-version snapshots
+                # into the stale pre-adoption snapshot/sequence space.
+                # Every metadata-complete checkpoint therefore re-stamps
+                # it, and cleanup's horizon is always such a checkpoint,
+                # so the oldest retained commit carries it forever
+                # (induction: at stamping time the oldest retained
+                # commit is commit 0 or an earlier stamped checkpoint).
+                m = self._iceberg_adoption_marker()
+                if m is not None:
+                    extra["converted_from_iceberg"] = m
         # ---- row tracking (Delta rowTracking): baseRowId assignment ----
         # every ADDED file gets base = hw+1 and the watermark advances by
         # its row count (numRecords from the stats just stamped — zero
@@ -3429,6 +3443,21 @@ class TxLogTable:
             return self._latest_and_txn(app_id)[1]
         except FileNotFoundError:
             return None
+
+    def _iceberg_adoption_marker(self) -> dict | None:
+        """``converted_from_iceberg`` payload from the OLDEST retained
+        commit, or None. Commit 0 carries it natively on an adopted
+        table; every metadata-complete checkpoint re-stamps it
+        (:meth:`_try_commit`), and :meth:`cleanup_log`'s horizon is
+        always such a checkpoint — so one oldest-commit read answers
+        "was this table adopted?" even after arbitrary truncation."""
+        names = sorted(
+            f for f in os.listdir(self.log_dir) if f.endswith(".json")
+        )
+        if not names:
+            return None
+        with open(os.path.join(self.log_dir, names[0])) as fh:
+            return json.load(fh).get("converted_from_iceberg")
 
     def _txns_state(self) -> dict[str, int]:
         """Per-app streaming-transaction high-water marks (appId -> max

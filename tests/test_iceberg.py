@@ -1125,3 +1125,145 @@ def test_prune_on_date_partition_column(spark, tmp_path):
     )
     got = {r["k"] for r in pruned.collect()}
     assert got == {k for k in range(30) if k % 3 == 1}
+
+
+# ------------------------------------------------- round-13 advice fixes
+
+
+def test_adoption_gate_survives_cleanup_log(spark, tmp_path):
+    """cleanup_log truncating commit 0 must NOT bypass the to_iceberg
+    adoption refusal: metadata-complete checkpoints re-stamp the
+    converted_from_iceberg marker, and the gate scans the whole
+    retained log — without this a txlog->iceberg->txlog roundtrip
+    could append the new table's snapshots into the stale
+    pre-adoption snapshot/sequence space (round-13 advice)."""
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        _CHECKPOINT_EVERY,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.to_iceberg()
+    _strip_txlog(t)
+    t2 = convert_from_iceberg(spark, t.path)
+    # metadata-only commits up to a natural checkpoint, then truncate
+    while t2.version() < _CHECKPOINT_EVERY:
+        t2.set_properties({"probe": str(t2.version())})
+    deleted = t2.cleanup_log(retain_versions=1)
+    names = sorted(
+        f for f in os.listdir(t2.log_dir) if f.endswith(".json")
+    )
+    assert deleted and int(names[0].split(".")[0]) > 0  # commit 0 gone
+    with pytest.raises(
+        ValueError, match="adopted via convert_from_iceberg"
+    ):
+        t2.to_iceberg()
+
+
+def test_convert_adopts_current_schema_not_snapshots(spark, tmp_path):
+    """A column added to the CURRENT schema after the last data-writing
+    snapshot survives adoption: Iceberg scans resolve against the
+    table's current-schema-id, so old files read NULL for the new
+    column (round-13 advice)."""
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = _mk(spark, tmp_path)
+    want = _rows(t.read())
+    t.to_iceberg()
+    _strip_txlog(t)
+    meta = os.path.join(t.path, "metadata")
+    with open(os.path.join(meta, "version-hint.text")) as fh:
+        ordinal = int(fh.read().strip())
+    mp = os.path.join(meta, f"v{ordinal}.metadata.json")
+    md = json.load(open(mp))
+    cur = next(
+        s for s in md["schemas"]
+        if s["schema-id"] == md["current-schema-id"]
+    )
+    new_id = int(md["last-column-id"]) + 1
+    evolved = {
+        "type": "struct",
+        "schema-id": max(s["schema-id"] for s in md["schemas"]) + 1,
+        "fields": cur["fields"]
+        + [
+            {
+                "id": new_id,
+                "name": "note",
+                "required": False,
+                "type": "string",
+            }
+        ],
+    }
+    md["schemas"] = md["schemas"] + [evolved]
+    md["current-schema-id"] = evolved["schema-id"]
+    md["last-column-id"] = new_id
+    json.dump(md, open(mp, "w"))
+    t2 = convert_from_iceberg(spark, t.path)
+    got = t2.read()
+    assert "note" in got.columns
+    rows = got.collect()
+    assert all(r["note"] is None for r in rows)
+    assert _rows(got) == want
+
+
+def test_convert_file_uri_paths(spark, tmp_path):
+    """Real Iceberg writers record file:// URIs in manifests and
+    position-delete files; adoption must normalize them for the
+    table-root check AND the delete loop — a URI-spelled delete
+    target silently skipped would resurrect rows (round-13 advice)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = _mk(spark, tmp_path, n=60)
+    t.delete_where("k % 4 = 1", mode="dv")
+    want = _rows(t.read())
+    t.to_iceberg()
+    _strip_txlog(t)
+    meta = os.path.join(t.path, "metadata")
+    with open(os.path.join(meta, "version-hint.text")) as fh:
+        ordinal = int(fh.read().strip())
+    md = json.load(
+        open(os.path.join(meta, f"v{ordinal}.metadata.json"))
+    )
+    snap = next(
+        s
+        for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _s, _m, mfs = read_avro_container(snap["manifest-list"])
+    for mf in mfs:
+        ms, mm, entries = read_avro_container(mf["manifest_path"])
+        for e in entries:
+            df_ = e["data_file"]
+            if df_.get("content", 0) == 1:
+                # rewrite the position-delete parquet with URI paths
+                tbl = pq.read_table(df_["file_path"])
+                pq.write_table(
+                    pa.table(
+                        {
+                            "file_path": pa.array(
+                                [
+                                    "file://" + p
+                                    for p in tbl.column(
+                                        "file_path"
+                                    ).to_pylist()
+                                ],
+                                type=pa.string(),
+                            ),
+                            "pos": tbl.column("pos"),
+                        }
+                    ),
+                    df_["file_path"],
+                )
+            df_["file_path"] = "file://" + df_["file_path"]
+        write_avro_container(mf["manifest_path"], ms, entries, mm)
+    t2 = convert_from_iceberg(spark, t.path)
+    assert _rows(t2.read()) == want
