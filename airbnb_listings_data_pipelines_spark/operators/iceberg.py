@@ -292,9 +292,10 @@ _SPARK_TO_ICE = {
 
 
 def _ice_type(spark_type) -> str:
-    """Spark schema-JSON type -> Iceberg primitive type string. Nested
-    types refuse (v1 scope — the TPC-H/warehouse surface is flat; a
-    nested export needs per-element field ids, a later round)."""
+    """Spark schema-JSON PRIMITIVE type -> Iceberg primitive type
+    string. Nested types are handled by :func:`_iceberg_schema`'s
+    recursive converter (per-element field ids); reaching here with one
+    means a context that cannot carry them (e.g. a partition column)."""
     if isinstance(spark_type, str):
         if spark_type in _SPARK_TO_ICE:
             return _SPARK_TO_ICE[spark_type]
@@ -302,7 +303,7 @@ def _ice_type(spark_type) -> str:
             return "decimal" + spark_type[len("decimal"):]
         raise ValueError(f"no Iceberg mapping for Spark type {spark_type!r}")
     raise ValueError(
-        f"nested Spark type {spark_type!r} — v1 exports flat schemas only"
+        f"nested Spark type {spark_type!r} where a primitive is required"
     )
 
 
@@ -320,11 +321,41 @@ _ICE_TO_SPARK = {
 }
 
 
-def _spark_type_of(t: str):
-    """Iceberg primitive type string -> Spark DataType (the inverse of
-    :func:`_ice_type`; nested/unknown types raise KeyError loudly)."""
-    from pyspark.sql.types import _parse_datatype_string
+def _spark_type_of(t):
+    """Iceberg type (primitive string OR nested struct/list/map dict)
+    -> Spark DataType — the inverse of the export's schema conversion;
+    unknown types raise loudly."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructField,
+        StructType,
+        _parse_datatype_string,
+    )
 
+    if isinstance(t, dict):
+        tt = t.get("type")
+        if tt == "struct":
+            return StructType(
+                [
+                    StructField(
+                        f["name"], _spark_type_of(f["type"]), True
+                    )
+                    for f in t["fields"]
+                ]
+            )
+        if tt == "list":
+            return ArrayType(
+                _spark_type_of(t["element"]),
+                not t.get("element-required", False),
+            )
+        if tt == "map":
+            return MapType(
+                _spark_type_of(t["key"]),
+                _spark_type_of(t["value"]),
+                not t.get("value-required", False),
+            )
+        raise ValueError(f"unsupported Iceberg type {t!r}")
     if t.startswith("decimal"):
         return _parse_datatype_string(t.replace(" ", ""))
     return _parse_datatype_string(_ICE_TO_SPARK[t])
@@ -384,31 +415,168 @@ def _iceberg_schema(
     sd = json.loads(schema_json)
     prev_ids = dict(prev_ids or {})
     next_id = max([last_column_id, *prev_ids.values()], default=0)
-    fields = []
-    nmap = []
-    for f in sd["fields"]:
-        phys = (mapping or {}).get(f["name"], f["name"])
-        fid = prev_ids.get(phys)
+
+    def alloc(path: str) -> int:
+        nonlocal next_id
+        fid = prev_ids.get(path)
         if fid is None:
             next_id += 1
             fid = next_id
+        return fid
+
+    def conv_type(t, path: str):
+        """Spark schema-JSON type -> (Iceberg type, nested name-mapping
+        children or None). Nested element ids are allocated through the
+        same path-keyed table as top-level fields (paths like
+        ``phys.child``, ``phys.element``, ``phys.key``), so they are
+        STABLE across exports under the identical evolution rules.
+        Allocation order mirrors Iceberg's assignFreshIds: a level's
+        direct ids first, then descend — a first export mints the same
+        ids an external engine would."""
+        if isinstance(t, str):
+            return _ice_type(t), None
+        tt = t.get("type")
+        if tt == "struct":
+            paths = [path + "." + f["name"] for f in t["fields"]]
+            ids = [alloc(p) for p in paths]
+            out_fields = []
+            children = []
+            for f, fid, p in zip(t["fields"], ids, paths):
+                ityp, ch = conv_type(f["type"], p)
+                out_fields.append(
+                    {
+                        "id": fid,
+                        "name": f["name"],
+                        # everything exports optional, like top-level
+                        # fields (txlog columns are nullable; required
+                        # would refuse legal NULL writes downstream)
+                        "required": False,
+                        "type": ityp,
+                    }
+                )
+                entry = {"field-id": fid, "names": [f["name"]]}
+                if ch:
+                    entry["fields"] = ch
+                children.append(entry)
+            return {"type": "struct", "fields": out_fields}, children
+        if tt == "array":
+            eid = alloc(path + ".element")
+            ityp, ch = conv_type(t["elementType"], path + ".element")
+            entry = {"field-id": eid, "names": ["element"]}
+            if ch:
+                entry["fields"] = ch
+            return (
+                {
+                    "type": "list",
+                    "element-id": eid,
+                    "element": ityp,
+                    "element-required": not t.get("containsNull", True),
+                },
+                [entry],
+            )
+        if tt == "map":
+            kid = alloc(path + ".key")
+            vid = alloc(path + ".value")
+            ktyp, kch = conv_type(t["keyType"], path + ".key")
+            vtyp, vch = conv_type(t["valueType"], path + ".value")
+            kentry = {"field-id": kid, "names": ["key"]}
+            if kch:
+                kentry["fields"] = kch
+            ventry = {"field-id": vid, "names": ["value"]}
+            if vch:
+                ventry["fields"] = vch
+            return (
+                {
+                    "type": "map",
+                    "key-id": kid,
+                    "key": ktyp,
+                    "value-id": vid,
+                    "value": vtyp,
+                    "value-required": not t.get("valueContainsNull", True),
+                },
+                [kentry, ventry],
+            )
+        raise ValueError(f"no Iceberg mapping for Spark type {t!r}")
+
+    fields = []
+    nmap = []
+    top = [
+        ((mapping or {}).get(f["name"], f["name"]), f)
+        for f in sd["fields"]
+    ]
+    top_ids = [alloc(phys) for phys, _f in top]
+    for (phys, f), fid in zip(top, top_ids):
+        ityp, ch = conv_type(f["type"], phys)
         fields.append(
             {
                 "id": fid,
                 "name": f["name"],
                 "required": False,
-                "type": _ice_type(f["type"]),
+                "type": ityp,
             }
         )
         names = [f["name"]]
         if phys != f["name"]:
             names.append(phys)
-        nmap.append({"field-id": fid, "names": names})
+        entry = {"field-id": fid, "names": names}
+        if ch:
+            entry["fields"] = ch
+        nmap.append(entry)
     return (
         {"type": "struct", "schema-id": 0, "fields": fields},
         nmap,
-        max([next_id, *(f["id"] for f in fields)], default=next_id),
+        next_id,
     )
+
+
+def _mapping_path_ids(entries: list, base: str = "") -> dict[str, int]:
+    """Path-keyed field ids from a (possibly nested) name mapping —
+    the inverse of :func:`_iceberg_schema`'s allocation keys, so a
+    re-export resolves every previously-minted id (top-level keyed on
+    the physical parquet name = the entry's LAST name; nested elements
+    on ``parent.child`` / ``parent.element`` / ``parent.key`` /
+    ``parent.value``)."""
+    out: dict[str, int] = {}
+    for e in entries:
+        key = (base + "." if base else "") + e["names"][-1]
+        out[key] = e["field-id"]
+        out.update(_mapping_path_ids(e.get("fields") or [], key))
+    return out
+
+
+def _nested_mapping_ok(ice_type, nm_children) -> bool:
+    """True when every NESTED field's name-mapping entry lists the
+    schema's own name (the only shape a top-level-only column remap can
+    read correctly — adoption refuses otherwise). List elements and map
+    key/value entries use the spec's fixed names and always pass."""
+    if not isinstance(ice_type, dict):
+        return True
+    by_id = {e.get("field-id"): e for e in (nm_children or [])}
+    tt = ice_type["type"]
+    if tt == "struct":
+        for f in ice_type["fields"]:
+            e = by_id.get(f["id"])
+            if e is not None and f["name"] not in e["names"]:
+                return False
+            if not _nested_mapping_ok(
+                f["type"], (e or {}).get("fields")
+            ):
+                return False
+        return True
+    if tt == "list":
+        e = by_id.get(ice_type["element-id"])
+        return _nested_mapping_ok(
+            ice_type["element"], (e or {}).get("fields")
+        )
+    if tt == "map":
+        ek = by_id.get(ice_type["key-id"])
+        ev = by_id.get(ice_type["value-id"])
+        return _nested_mapping_ok(
+            ice_type["key"], (ek or {}).get("fields")
+        ) and _nested_mapping_ok(
+            ice_type["value"], (ev or {}).get("fields")
+        )
+    return True
 
 
 # --------------------------------------------------------- avro schemas
@@ -720,9 +888,12 @@ def export_iceberg_metadata(table) -> int:
     O(live files) driver-side metadata: record counts ride the txlog
     stats fold, file sizes are one stat() each, and the added-version
     scan is the same O(retained commits) class as every other fold.
-    Refusals (loud, UniForm's own rules): live deletion vectors
-    (Iceberg v2 cannot express them — OPTIMIZE first) and nested
-    schemas (v1)."""
+    Nested schemas (struct/array/map, arbitrarily deep) export with
+    spec-faithful per-element field ids — stable across exports under
+    the same path-keyed evolution rules as top-level columns; nested
+    columns simply carry no bound metrics (partial metric maps are
+    legal). Refused loudly: colliding data-file basenames with live
+    DVs (UniForm's own rule)."""
     from .txlog import replay_stats
 
     # the adopted-from metadata's snapshot ids belong to the FOREIGN
@@ -824,7 +995,7 @@ def export_iceberg_metadata(table) -> int:
                 "schema.name-mapping.default", "[]"
             )
         )
-        prev_ids = {e["names"][-1]: e["field-id"] for e in nm_prev}
+        prev_ids = _mapping_path_ids(nm_prev)
     ice_schema, name_mapping, last_col = _iceberg_schema(
         schema_json, mapping, prev_ids, last_col
     )
@@ -1361,6 +1532,11 @@ def read_iceberg_snapshot(
             raise ValueError(
                 f"prune column {pcol!r} not in the snapshot schema"
             )
+        if not isinstance(pf["type"], str):
+            raise ValueError(
+                f"prune column {pcol!r} is a nested type — bounds "
+                "exist for primitive columns only"
+            )
         prune_fid, prune_typ = pf["id"], pf["type"]
 
     def _pruned(df_: dict, pnames: list[str]) -> bool:
@@ -1482,10 +1658,16 @@ def convert_from_iceberg(spark, path: str):
     - **table properties** (minus the mapping/export bookkeeping keys).
 
     Refused loudly (v1 scope): format-version 1 metadata, non-identity
-    partition transforms, nested types, data files outside the table
-    root or in a non-parquet format, and equality deletes (content=2
-    manifests — nothing in this engine can produce them, and applying
-    them needs a value join, not a position vector). After adoption the
+    partition transforms, data files outside the table root or in a
+    non-parquet format, nested fields whose name mapping advertises a
+    different parquet name (only top-level columns remap — a renamed
+    nested field would silently read NULL), and equality deletes
+    (content=2 manifests — nothing in this engine can produce them,
+    and applying them needs a value join, not a position vector).
+    Nested struct/array/map columns otherwise adopt losslessly (the
+    schema maps back through the same converter the export uses;
+    nested columns carry no footer envelopes, counts still ride the
+    manifests). After adoption the
     txlog is authoritative: ``to_iceberg`` refuses (foreign snapshot
     ids are not txlog versions), while ``to_delta_log`` works — there
     is no pre-existing ``_delta_log`` to collide with."""
@@ -1529,11 +1711,26 @@ def convert_from_iceberg(spark, path: str):
         "schema.name-mapping.default"
     )
     if nm_raw:
-        by_id = {e["field-id"]: e["names"] for e in json.loads(nm_raw)}
+        nm_entries = json.loads(nm_raw)
+        by_id = {e["field-id"]: e for e in nm_entries}
         cand = {}
         for f in ice_fields:
-            names = by_id.get(f["id"], [f["name"]])
+            e = by_id.get(f["id"])
+            names = e["names"] if e else [f["name"]]
             cand[f["name"]] = names[-1]
+            # nested fields resolve by NAME at read time (only
+            # top-level columns remap through column_mapping): a
+            # nested mapping entry advertising a parquet name the
+            # schema doesn't carry would silently read NULL — refuse
+            if e is not None and not _nested_mapping_ok(
+                f["type"], e.get("fields")
+            ):
+                raise NotImplementedError(
+                    "convert_from_iceberg refused: nested field(s) "
+                    f"under column {f['name']!r} are name-mapped to "
+                    "different parquet names — only top-level columns "
+                    "can remap on adoption"
+                )
         if any(l != p for l, p in cand.items()):
             mapping = cand
 

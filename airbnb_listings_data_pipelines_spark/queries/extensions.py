@@ -7883,3 +7883,116 @@ def x115_incremental_lsh_index(
         .cast("long")
         .alias("recall_ok"),
     )
+
+
+@query(
+    "x116_iceberg_nested_export",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 9 <> 4
+    ),
+    final AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             0 AS has_meta
+      FROM base
+      UNION ALL
+      SELECT o_orderkey + 80000000, o_orderstatus, o_totalprice, 1
+      FROM orders WHERE o_orderkey % 6 = 2
+    )
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(FLOOR((o_totalprice + o_totalprice * 2)
+                               * 100.0) AS BIGINT)) AS BIGINT)
+             AS vals_cents,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                AS BIGINT) AS tag_cents,
+           CAST(SUM(has_meta) AS BIGINT) AS n_meta
+    FROM final GROUP BY 1
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8"),
+    doc="ICEBERG NESTED-SCHEMA EXPORT (round 13, the round-12 "
+    "verdict's top real-user wall): orders reshaped into NESTED "
+    "columns — hdr struct<status,price>, vals array<double>, tags "
+    "map<string,double> — committed to a txlog table, a DV DELETE "
+    "(%9==4, exported as Iceberg v2 position deletes), then "
+    "to_iceberg() exports per-element field ids (struct members, "
+    "list element, map key/value — allocation order mirrors "
+    "assignFreshIds: direct fields first, then descend) with the "
+    "nested name mapping the spec requires for id-less parquet. A "
+    "second commit adds meta struct<src,n> via ALTER TABLE ADD "
+    "COLUMN (+ appended rows %6==2 shifted +80000000) and a second "
+    "incremental export appends an EVOLVED schema whose pre-existing "
+    "nested element ids never move (path-keyed stability). The "
+    "result reads back through read_iceberg_snapshot — the "
+    "independent metadata-only reader — and aggregates THROUGH the "
+    "nested types (struct field access, array aggregate, map "
+    "element_at, evolved-column null count), so one wrong element "
+    "id, union branch, or name-mapping child breaks the value hash "
+    "against DuckDB on raw orders. operators/iceberg.py "
+    "_iceberg_schema/conv_type + read_iceberg_snapshot.",
+)
+def x116_iceberg_nested_export(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.iceberg import read_iceberg_snapshot
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        ).alias("hdr"),
+        F.array(
+            F.col("o_totalprice"), F.col("o_totalprice") * F.lit(2)
+        ).alias("vals"),
+        F.create_map(
+            F.lit("base"), F.col("o_totalprice")
+        ).alias("tags"),
+    )
+    path = _dml_scratch("x116" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(6, "o_orderkey")
+    )
+    t.delete_where("o_orderkey % 9 = 4", mode="dv")
+    t.to_iceberg()
+    t.add_column("meta", "struct<src:string,n:int>")
+    t.append(
+        orders.filter("o_orderkey % 6 = 2").select(
+            (F.col("o_orderkey") + F.lit(80000000)).alias(
+                "o_orderkey"
+            ),
+            "hdr",
+            "vals",
+            "tags",
+            F.struct(
+                F.lit("x").alias("src"), F.lit(1).alias("n")
+            ).alias("meta"),
+        )
+    )
+    t.to_iceberg()  # evolved incremental second snapshot
+    ice = read_iceberg_snapshot(spark, t.path)
+    return ice.groupBy(
+        F.col("hdr.status").alias("status")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(
+            F.floor(
+                F.aggregate(
+                    "vals", F.lit(0.0), lambda a, x: a + x
+                )
+                * F.lit(100.0)
+            ).cast("long")
+        ).alias("vals_cents"),
+        F.sum(
+            F.floor(
+                F.element_at("tags", F.lit("base")) * F.lit(100.0)
+            ).cast("long")
+        ).alias("tag_cents"),
+        F.sum(
+            F.col("meta").isNotNull().cast("long")
+        ).alias("n_meta"),
+    )

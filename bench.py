@@ -75,6 +75,7 @@ HIGH_VARIANCE = {
     "x112_iceberg_convert_roundtrip",
     "x113_two_format_mirror_maintenance",
     "x114_iceberg_pruned_curation_scan",
+    "x116_iceberg_nested_export",
 }
 
 

@@ -230,14 +230,169 @@ def test_partitioned_dv_exports_global_deletes(spark, tmp_path):
     assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())
 
 
-def test_refusal_nested(spark, tmp_path):
+def test_nested_schema_exports_per_element_field_ids(spark, tmp_path):
+    """struct/array/map columns export with spec-faithful per-element
+    field ids (round-13: the judged top real-user wall — token arrays
+    and multimodal metadata are nested). Allocation order mirrors
+    Iceberg's assignFreshIds: a level's direct fields first, then
+    descend."""
     nested = TxLogTable.create(
         spark,
         str(tmp_path / "n"),
+        spark.createDataFrame(
+            [
+                (1, [1, 2], {"a": 1.0}, (7, "x")),
+                (2, [3], {"b": 2.0}, (8, "y")),
+            ],
+            "k int, xs array<int>, m map<string,double>, "
+            "s struct<p:int,q:string>",
+        ),
+    )
+    nested.to_iceberg()
+    md = json.load(
+        open(os.path.join(nested.path, "metadata", "v1.metadata.json"))
+    )
+    fields = md["schemas"][0]["fields"]
+    by_name = {f["name"]: f for f in fields}
+    # top-level ids first (1..4), nested elements after
+    assert [f["id"] for f in fields] == [1, 2, 3, 4]
+    assert by_name["xs"]["type"]["type"] == "list"
+    assert by_name["xs"]["type"]["element-id"] == 5
+    assert by_name["xs"]["type"]["element"] == "int"
+    assert by_name["m"]["type"]["key-id"] == 6
+    assert by_name["m"]["type"]["value-id"] == 7
+    assert [
+        (f["id"], f["name"]) for f in by_name["s"]["type"]["fields"]
+    ] == [(8, "p"), (9, "q")]
+    assert md["last-column-id"] == 9
+    # name mapping carries the nested structure
+    nmap = json.loads(md["properties"]["schema.name-mapping.default"])
+    by_fid = {e["field-id"]: e for e in nmap}
+    assert by_fid[2]["fields"][0] == {"field-id": 5, "names": ["element"]}
+    assert [c["names"] for c in by_fid[3]["fields"]] == [["key"], ["value"]]
+    assert [c["field-id"] for c in by_fid[4]["fields"]] == [8, 9]
+    # the independent reader reconstructs the nested rows exactly
+    got = read_iceberg_snapshot(spark, nested.path)
+    assert got.schema == nested.read().schema
+    assert {
+        (r["k"], tuple(r["xs"]), tuple(sorted(r["m"].items())), r["s"])
+        for r in got.collect()
+    } == {
+        (r["k"], tuple(r["xs"]), tuple(sorted(r["m"].items())), r["s"])
+        for r in nested.read().collect()
+    }
+
+
+def test_nested_ids_stable_across_evolution(spark, tmp_path):
+    """Adding a nested column in a later export mints fresh ids past
+    last-column-id; existing nested element ids never move (the same
+    path-keyed stability rule as top-level columns)."""
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
         spark.createDataFrame([(1, [1, 2])], "k int, xs array<int>"),
     )
-    with pytest.raises(ValueError, match="flat schemas"):
-        nested.to_iceberg()
+    t.to_iceberg()
+    t.add_column("meta", "struct<w:double,tag:string>")
+    t.append(
+        spark.createDataFrame(
+            [(3, [7], (1.5, "z"))],
+            "k int, xs array<int>, meta struct<w:double,tag:string>",
+        )
+    )
+    t.to_iceberg()
+    _o, md = (
+        2,
+        json.load(
+            open(os.path.join(t.path, "metadata", "v2.metadata.json"))
+        ),
+    )
+    cur = next(
+        s
+        for s in md["schemas"]
+        if s["schema-id"] == md["current-schema-id"]
+    )
+    by_name = {f["name"]: f for f in cur["fields"]}
+    assert by_name["k"]["id"] == 1 and by_name["xs"]["id"] == 2
+    assert by_name["xs"]["type"]["element-id"] == 3  # unchanged
+    assert by_name["meta"]["id"] == 4
+    assert [
+        (f["id"], f["name"]) for f in by_name["meta"]["type"]["fields"]
+    ] == [(5, "w"), (6, "tag")]
+    assert md["last-column-id"] == 6
+    got = read_iceberg_snapshot(spark, t.path)
+    rows = {r["k"]: r for r in got.collect()}
+    assert rows[1]["meta"] is None and rows[3]["meta"] == (1.5, "z")
+
+
+def test_nested_convert_roundtrip(spark, tmp_path):
+    """Nested export -> strip txlog -> adopt: the schema survives the
+    full circle and rows match (struct inside array inside struct)."""
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [
+                (1, ((1, "a"), [2.0, 3.0])),
+                (2, ((4, "b"), [5.0])),
+            ],
+            "k int, payload struct<hdr:struct<v:int,tag:string>,"
+            "vals:array<double>>",
+        ),
+    )
+    def canon(df):
+        return {
+            (
+                r["k"],
+                r["payload"]["hdr"],
+                tuple(r["payload"]["vals"]),
+            )
+            for r in df.collect()
+        }
+
+    want = canon(t.read())
+    t.to_iceberg()
+    _strip_txlog(t)
+    t2 = convert_from_iceberg(spark, t.path)
+    assert t2.read().schema == spark.createDataFrame(
+        [],
+        "k int, payload struct<hdr:struct<v:int,tag:string>,"
+        "vals:array<double>>",
+    ).schema
+    assert canon(t2.read()) == want
+
+
+def test_nested_mapping_rename_refuses_on_adoption(spark, tmp_path):
+    """A foreign table whose name mapping renames a NESTED field must
+    refuse adoption — only top-level columns remap, and a silent
+    mismatch would read NULLs."""
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(1, (2, "x"))], "k int, s struct<p:int,q:string>"
+        ),
+    )
+    t.to_iceberg()
+    _strip_txlog(t)
+    meta = os.path.join(t.path, "metadata")
+    mp = os.path.join(meta, "v1.metadata.json")
+    md = json.load(open(mp))
+    nmap = json.loads(md["properties"]["schema.name-mapping.default"])
+    s_entry = next(e for e in nmap if "fields" in e)
+    s_entry["fields"][0]["names"] = ["p_old"]  # nested physical rename
+    md["properties"]["schema.name-mapping.default"] = json.dumps(nmap)
+    json.dump(md, open(mp, "w"))
+    with pytest.raises(NotImplementedError, match="nested field"):
+        convert_from_iceberg(spark, t.path)
 
 
 def test_iceberg_and_delta_exports_coexist(spark, tmp_path):
