@@ -1598,6 +1598,13 @@ def read_iceberg_snapshot(
                 # POSITION DELETES: (file_path, pos) parquet to anti-join
                 delete_paths.append(e["data_file"]["file_path"])
                 continue
+            if e["data_file"].get("content", 0) == 2:
+                raise NotImplementedError(
+                    "read_iceberg_snapshot: equality deletes need a "
+                    "value join per read — adopt the table via "
+                    "convert_from_iceberg (which re-encodes them as "
+                    "deletion vectors once) and read the txlog"
+                )
             if _pruned(e["data_file"], pnames):
                 continue
             key = tuple(
@@ -1620,6 +1627,213 @@ def read_iceberg_snapshot(
 
 
 # ----------------------------------------------------- convert (adoption)
+
+
+def append_equality_delete(
+    table_path: str,
+    del_table,
+    equality_ids: list[int],
+    seq: int,
+) -> str:
+    """Append an EQUALITY DELETE file (content=2) to an existing
+    Iceberg metadata layer — the write shape a Flink/CDC sink emits:
+    a parquet of delete rows (columns named by the schema's logical
+    field names), a deletes manifest whose ``data_file`` carries
+    ``equality_ids`` (spec field 135) and the given data sequence
+    number, appended to the CURRENT snapshot's manifest list in
+    place. Returns the delete parquet path.
+
+    Used as the conformance-fixture writer for
+    :func:`convert_from_iceberg`'s equality-delete adoption (nothing
+    else in this engine produces content=2 — txlog DML re-encodes to
+    position vectors at commit time) and available to simulate a
+    foreign CDC writer in tests and oracled queries. ``del_table`` is
+    a pyarrow Table."""
+    import pyarrow.parquet as pq
+
+    meta_dir = os.path.join(table_path, "metadata")
+    _ordinal, md = _load_current_metadata(table_path)
+    snap = next(
+        s
+        for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    dp = os.path.join(meta_dir, f"eqdel-{uuid.uuid4().hex}.parquet")
+    pq.write_table(del_table, dp)
+    msch = _manifest_schema([])
+    next(f for f in msch["fields"] if f["name"] == "data_file")[
+        "type"
+    ]["fields"].append(
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int"}],
+            "field-id": 135,
+        }
+    )
+    entry = {
+        "status": 1,
+        "snapshot_id": snap["snapshot-id"],
+        "sequence_number": int(seq),
+        "file_sequence_number": int(seq),
+        "data_file": {
+            "content": 2,
+            "file_path": dp,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": del_table.num_rows,
+            "file_size_in_bytes": os.path.getsize(dp),
+            "equality_ids": list(equality_ids),
+        },
+    }
+    man = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m2.avro")
+    write_avro_container(
+        man,
+        msch,
+        [entry],
+        meta={"format-version": "2", "content": "deletes"},
+    )
+    ls, lm, lentries = read_avro_container(snap["manifest-list"])
+    lentries.append(
+        {
+            "manifest_path": man,
+            "manifest_length": os.path.getsize(man),
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": int(seq),
+            "min_sequence_number": int(seq),
+            "added_snapshot_id": snap["snapshot-id"],
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": del_table.num_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    )
+    write_avro_container(snap["manifest-list"], ls, lentries, lm)
+    return dp
+
+
+def _apply_equality_deletes(
+    spark,
+    table_path: str,
+    root: str,
+    rel_seq: dict[str, int],
+    ice_fields: list[dict],
+    mapping: dict | None,
+    pby: list[str],
+    eq_deletes: list[tuple[str, int, tuple[int, ...]]],
+    pos_by_file: dict[str, set[int]],
+) -> None:
+    """Apply Iceberg v2 EQUALITY deletes (content=2 — the shape
+    Flink/CDC writers emit) at adoption time: for each delete file,
+    data-file rows whose data sequence number is STRICTLY below the
+    delete's (the spec's equality-delete rule) and whose values match
+    a delete row on the ``equality_ids`` columns (null equals null —
+    the spec's field comparison) become POSITION vectors merged into
+    ``pos_by_file`` — re-encoded ONCE into the txlog DV sidecar, so
+    every later read pays the position-vector cost model instead of a
+    per-query value join.
+
+    Scale shape: one Spark job per (sequence number, column set)
+    delete group — explicit-file-list scan of only the applicable data
+    files projecting just the equality columns + ``_metadata``
+    positions, LEFT SEMI null-safe join against the BROADCAST delete
+    rows (delete files are change-batch sized), matched positions
+    collected driver-side O(deleted rows) — the same bound as the
+    position-delete path. Refused loudly: equality ids naming nested
+    fields (no single-column comparison exists) or partition columns
+    (identity-partitioned data files don't store them; matching would
+    need path reattachment mid-join).
+
+    Delete parquet columns are read under the schema's LOGICAL field
+    names (what Flink and Spark write); data files are read under the
+    PHYSICAL names via the name mapping."""
+    import functools
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    by_fid = {f["id"]: f for f in ice_fields}
+    groups: dict[tuple[int, tuple[int, ...]], list[str]] = {}
+    for p, seq, ids in eq_deletes:
+        if not ids:
+            raise ValueError(
+                f"convert_from_iceberg refused: equality delete {p!r} "
+                "lists no equality_ids — corrupt metadata"
+            )
+        groups.setdefault((seq, tuple(sorted(ids))), []).append(p)
+    for (seq, ids), dpaths in sorted(groups.items()):
+        cols = []
+        for fid in ids:
+            f = by_fid.get(fid)
+            if f is None:
+                raise ValueError(
+                    "convert_from_iceberg refused: equality delete "
+                    f"references unknown field id {fid}"
+                )
+            if not isinstance(f["type"], str):
+                raise NotImplementedError(
+                    "convert_from_iceberg refused: equality delete on "
+                    f"nested field {f['name']!r}"
+                )
+            if f["name"] in pby:
+                raise NotImplementedError(
+                    "convert_from_iceberg refused: equality delete on "
+                    f"partition column {f['name']!r} — identity-"
+                    "partitioned data files don't store it"
+                )
+            cols.append(f)
+        targets = sorted(r for r, s in rel_seq.items() if s < seq)
+        if not targets:
+            continue
+        read_schema = StructType()
+        dschema = StructType()
+        for f in cols:
+            phys = (mapping or {}).get(f["name"], f["name"])
+            read_schema = read_schema.add(phys, _spark_type_of(f["type"]))
+            dschema = dschema.add(f["name"], _spark_type_of(f["type"]))
+        sel = [
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        ]
+        for i, f in enumerate(cols):
+            phys = (mapping or {}).get(f["name"], f["name"])
+            sel.append(F.col(phys).alias(f"__c{i}"))
+        scan = (
+            spark.read.schema(read_schema)
+            .parquet(*[os.path.join(table_path, r) for r in targets])
+            .select(*sel)
+        )
+        dels = (
+            spark.read.schema(dschema)
+            .parquet(*sorted(set(dpaths)))
+            .select(
+                *[
+                    F.col(f["name"]).alias(f"__d{i}")
+                    for i, f in enumerate(cols)
+                ]
+            )
+            .dropDuplicates()
+        )
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [
+                scan[f"__c{i}"].eqNullSafe(dels[f"__d{i}"])
+                for i in range(len(cols))
+            ],
+        )
+        hits = (
+            scan.join(F.broadcast(dels), cond, "left_semi")
+            .select("__fp", "__pos")
+            .collect()
+        )
+        for r in hits:
+            fp = _local_path(r["__fp"])
+            if fp.startswith(root):
+                pos_by_file.setdefault(fp[len(root):], set()).add(
+                    int(r["__pos"])
+                )
 
 
 def convert_from_iceberg(spark, path: str):
@@ -1657,16 +1871,23 @@ def convert_from_iceberg(spark, path: str):
       stats class);
     - **table properties** (minus the mapping/export bookkeeping keys).
 
+    **EQUALITY DELETES** (content=2 manifests — the Flink/CDC write
+    shape) are applied AT ADOPTION TIME: a null-safe value semi-join
+    against data files with strictly-smaller data sequence numbers
+    (the spec's rule) re-encodes the surviving deletions as the same
+    DV sidecar position deletes use — one conversion-time join, then
+    every read pays the position-vector cost model. See
+    :func:`_apply_equality_deletes` for the scale shape and its
+    refusals (nested or partition-column equality ids).
+
     Refused loudly (v1 scope): format-version 1 metadata, non-identity
     partition transforms, data files outside the table root or in a
-    non-parquet format, nested fields whose name mapping advertises a
-    different parquet name (only top-level columns remap — a renamed
-    nested field would silently read NULL), and equality deletes
-    (content=2 manifests — nothing in this engine can produce them,
-    and applying them needs a value join, not a position vector).
-    Nested struct/array/map columns otherwise adopt losslessly (the
-    schema maps back through the same converter the export uses;
-    nested columns carry no footer envelopes, counts still ride the
+    non-parquet format, and nested fields whose name mapping
+    advertises a different parquet name (only top-level columns remap
+    — a renamed nested field would silently read NULL). Nested
+    struct/array/map columns otherwise adopt losslessly (the schema
+    maps back through the same converter the export uses; nested
+    columns carry no footer envelopes, counts still ride the
     manifests). After adoption the
     txlog is authoritative: ``to_iceberg`` refuses (foreign snapshot
     ids are not txlog versions), while ``to_delta_log`` works — there
@@ -1768,7 +1989,9 @@ def convert_from_iceberg(spark, path: str):
     }
     _s, _m, manifests = read_avro_container(snap["manifest-list"])
     rel_counts: dict[str, int] = {}
+    rel_seq: dict[str, int] = {}
     delete_paths: list[str] = []
+    eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
     for mf in manifests:
         _ms, _mm, entries = read_avro_container(mf["manifest_path"])
         pnames = [
@@ -1779,12 +2002,24 @@ def convert_from_iceberg(spark, path: str):
                 continue
             dfile = e["data_file"]
             content = dfile.get("content", 0)
+            # data sequence number: explicit on the entry, else
+            # inherited from the manifest-list entry (the spec's
+            # inheritance rule for ADDED entries written as null)
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = mf.get("sequence_number", 0)
             if content == 2:
-                raise NotImplementedError(
-                    "convert_from_iceberg refused: equality deletes "
-                    "(content=2) need a value anti-join at read time — "
-                    "rewrite them as position deletes first"
+                # EQUALITY deletes (Flink/CDC writers): applied at
+                # adoption time as a value semi-join, re-encoded as
+                # position vectors — see _apply_equality_deletes
+                eq_deletes.append(
+                    (
+                        _local_path(dfile["file_path"]),
+                        int(seq),
+                        tuple(dfile.get("equality_ids") or ()),
+                    )
                 )
+                continue
             if content == 1:
                 delete_paths.append(_local_path(dfile["file_path"]))
                 continue
@@ -1814,6 +2049,7 @@ def convert_from_iceberg(spark, path: str):
                     f"different record counts"
                 )
             rel_counts[rel] = n
+            rel_seq[rel] = int(seq)
             # cross-check the manifest's partition record against the
             # hive path the txlog reader will trust from now on
             if pby:
@@ -1847,13 +2083,13 @@ def convert_from_iceberg(spark, path: str):
 
     files = sorted(rel_counts)
 
-    # position deletes -> ONE txlog DV sidecar (relative-path keyed)
+    # position + equality deletes -> ONE txlog DV sidecar
+    # (relative-path keyed)
     dvs0: dict[str, dict] | None = None
+    pos_by_file: dict[str, set[int]] = {}
     if delete_paths:
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        pos_by_file: dict[str, set[int]] = {}
         live = set(files)
         for dp in sorted(set(delete_paths)):
             tbl = pq.read_table(dp, columns=["file_path", "pos"])
@@ -1876,28 +2112,43 @@ def convert_from_iceberg(spark, path: str):
                 if rel not in live:
                     continue  # stale delete: its target was rewritten
                 pos_by_file.setdefault(rel, set()).add(int(pos))
-        if pos_by_file:
-            fcol: list[str] = []
-            rcol: list[int] = []
-            dvs0 = {}
-            for f in sorted(pos_by_file):
-                idx = sorted(pos_by_file[f])
-                fcol.extend([f] * len(idx))
-                rcol.extend(idx)
-                dvs0[f] = {"cardinality": len(idx), "pathkey": "rel"}
-            os.makedirs(os.path.join(t.path, "_dv"), exist_ok=True)
-            sidecar = f"_dv/dv-{uuid.uuid4().hex}.parquet"
-            pq.write_table(
-                pa.table(
-                    {
-                        "file": pa.array(fcol, type=pa.string()),
-                        "row_index": pa.array(rcol, type=pa.int64()),
-                    }
-                ),
-                os.path.join(t.path, sidecar),
-            )
-            for f in dvs0:
-                dvs0[f]["sidecar"] = sidecar
+    if eq_deletes:
+        _apply_equality_deletes(
+            spark,
+            t.path,
+            root,
+            rel_seq,
+            ice_fields,
+            mapping,
+            pby,
+            eq_deletes,
+            pos_by_file,
+        )
+    if pos_by_file:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fcol: list[str] = []
+        rcol: list[int] = []
+        dvs0 = {}
+        for f in sorted(pos_by_file):
+            idx = sorted(pos_by_file[f])
+            fcol.extend([f] * len(idx))
+            rcol.extend(idx)
+            dvs0[f] = {"cardinality": len(idx), "pathkey": "rel"}
+        os.makedirs(os.path.join(t.path, "_dv"), exist_ok=True)
+        sidecar = f"_dv/dv-{uuid.uuid4().hex}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "file": pa.array(fcol, type=pa.string()),
+                    "row_index": pa.array(rcol, type=pa.int64()),
+                }
+            ),
+            os.path.join(t.path, sidecar),
+        )
+        for f in dvs0:
+            dvs0[f]["sidecar"] = sidecar
 
     # stats: full footer envelopes where readable (warm metadata-only
     # opens, the commit path's usual class), manifest record counts as

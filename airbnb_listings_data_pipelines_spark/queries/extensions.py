@@ -7996,3 +7996,90 @@ def x116_iceberg_nested_export(
             F.col("meta").isNotNull().cast("long")
         ).alias("n_meta"),
     )
+
+
+@query(
+    "x117_iceberg_equality_delete_adoption",
+    oracle="""
+    WITH survivors AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE o_orderkey % 7 <> 3 AND o_orderstatus <> 'F'
+      UNION ALL
+      SELECT o_orderkey + 90000000, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 6 = 2
+    )
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM survivors GROUP BY 1
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8"),
+    doc="ICEBERG EQUALITY-DELETE ADOPTION (round 13, judged gap 2): "
+    "orders -> txlog (data files at sequence 0), DV DELETE %7==3 "
+    "(exports as v2 position deletes at seq 1), append %6==2 shifted "
+    "+90000000 (data files at seq 2), to_iceberg, txlog stripped — "
+    "then a FOREIGN Flink/CDC-style writer (append_equality_delete) "
+    "lands a content=2 EQUALITY delete on o_orderstatus='F' at "
+    "sequence 1. convert_from_iceberg applies BOTH delete shapes: "
+    "positions from the delete parquet, equality rows via a null-safe "
+    "value LEFT SEMI join against ONLY the data files with strictly "
+    "smaller sequence numbers (the spec's rule — the seq-2 appended "
+    "'F' rows must SURVIVE, which this query's 'F' group observes "
+    "directly), both re-encoded into one txlog DV sidecar. The "
+    "result reads the adopted table natively and hash-matches DuckDB "
+    "on raw orders — one wrong sequence comparison, null-safe "
+    "branch, or dropped delete breaks it. operators/iceberg."
+    "_apply_equality_deletes + append_equality_delete.",
+)
+def x117_iceberg_equality_delete_adoption(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    from ..operators.iceberg import (
+        append_equality_delete,
+        convert_from_iceberg,
+    )
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _dml_scratch("x117" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(6, "o_orderkey")
+    )
+    t.delete_where("o_orderkey % 7 = 3", mode="dv")
+    t.append(
+        orders.filter("o_orderkey % 6 = 2").selectExpr(
+            "o_orderkey + 90000000 AS o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+        )
+    )
+    t.to_iceberg()
+    # strip the txlog: metadata/ becomes a FOREIGN Iceberg table
+    shutil.rmtree(t.log_dir)
+    shutil.rmtree(os.path.join(t.path, "_dv"), ignore_errors=True)
+    append_equality_delete(
+        t.path,
+        pa.table({"o_orderstatus": pa.array(["F"], type=pa.string())}),
+        equality_ids=[2],  # o_orderstatus
+        seq=1,  # strictly above the originals (0), below the append (2)
+    )
+    t2 = convert_from_iceberg(spark, t.path)
+    return t2.read().groupBy(
+        F.col("o_orderstatus").alias("status")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+        ).alias("total_cents"),
+    )

@@ -76,6 +76,7 @@ HIGH_VARIANCE = {
     "x113_two_format_mirror_maintenance",
     "x114_iceberg_pruned_curation_scan",
     "x116_iceberg_nested_export",
+    "x117_iceberg_equality_delete_adoption",
 }
 
 

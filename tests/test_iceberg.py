@@ -1422,3 +1422,119 @@ def test_convert_file_uri_paths(spark, tmp_path):
         write_avro_container(mf["manifest_path"], ms, entries, mm)
     t2 = convert_from_iceberg(spark, t.path)
     assert _rows(t2.read()) == want
+
+
+# ---------------------------------------------- equality-delete adoption
+
+
+def _append_foreign_equality_delete(
+    table_path, del_table, equality_ids, seq
+):
+    """Simulate a FOREIGN Flink/CDC writer adding an equality-delete
+    file (content=2) to an existing Iceberg layer."""
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        append_equality_delete,
+    )
+
+    append_equality_delete(table_path, del_table, equality_ids, seq)
+
+
+def test_convert_equality_deletes_become_dvs(spark, tmp_path):
+    """A foreign equality delete (content=2) applies at adoption as a
+    null-safe value semi-join and re-encodes as the DV sidecar —
+    merge-on-read CDC deletes survive adoption row-exactly."""
+    import pyarrow as pa
+
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = _mk(spark, tmp_path, n=60)
+    t.to_iceberg()
+    _strip_txlog(t)
+    # delete every g='a' row via an equality delete on field id 3 (g),
+    # landing at sequence number 2 (> the data files' seq 1)
+    _append_foreign_equality_delete(
+        t.path,
+        pa.table({"g": pa.array(["a"], type=pa.string())}),
+        equality_ids=[3],
+        seq=2,
+    )
+    t2 = convert_from_iceberg(spark, t.path)
+    got = _rows(t2.read())
+    assert got == {(k, float(k), "b") for k in range(60) if k % 2 == 1}
+    # surviving deletions landed as ONE DV sidecar, not rewritten files
+    assert t2.version() == 0
+    dvs = t2._replay_full()[2]
+    assert dvs and all(d["pathkey"] == "rel" for d in dvs.values())
+
+
+def test_convert_mixed_position_and_equality_deletes(spark, tmp_path):
+    """Both delete shapes on one foreign table: position deletes from
+    the DV export plus a foreign equality delete at a later sequence
+    number — both fold into the same sidecar."""
+    import pyarrow as pa
+
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = _mk(spark, tmp_path, n=60)
+    t.delete_where("k % 4 = 1", mode="dv")  # -> position deletes
+    t.to_iceberg()
+    _strip_txlog(t)
+    _append_foreign_equality_delete(
+        t.path,
+        pa.table({"k": pa.array([0, 8, 999], type=pa.int32())}),
+        equality_ids=[1],
+        seq=5,
+    )
+    t2 = convert_from_iceberg(spark, t.path)
+    got = {r[0] for r in _rows(t2.read())}
+    assert got == {
+        k for k in range(60) if k % 4 != 1 and k not in (0, 8)
+    }
+
+
+def test_convert_equality_delete_seq_rule(spark, tmp_path):
+    """STRICTLY-below sequence rule: an equality delete at the same
+    sequence number as the data files must NOT delete their rows (it
+    only applies to older data — the spec's concurrent-write shape)."""
+    import pyarrow as pa
+
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = _mk(spark, tmp_path, n=20)
+    t.to_iceberg()  # data files at sequence number 0 (create commit)
+    _strip_txlog(t)
+    _append_foreign_equality_delete(
+        t.path,
+        pa.table({"g": pa.array(["a"], type=pa.string())}),
+        equality_ids=[3],
+        seq=0,  # same seq as the data: applies to nothing
+    )
+    t2 = convert_from_iceberg(spark, t.path)
+    assert len(_rows(t2.read())) == 20
+
+
+def test_convert_equality_delete_refusals(spark, tmp_path):
+    """Nested and partition-column equality ids refuse loudly."""
+    import pyarrow as pa
+
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = _mk(spark, tmp_path, partition_by=["g"])
+    t.to_iceberg()
+    _strip_txlog(t)
+    _append_foreign_equality_delete(
+        t.path,
+        pa.table({"g": pa.array(["a"], type=pa.string())}),
+        equality_ids=[3],
+        seq=9,
+    )
+    with pytest.raises(NotImplementedError, match="partition column"):
+        convert_from_iceberg(spark, t.path)
