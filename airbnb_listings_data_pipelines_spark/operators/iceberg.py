@@ -65,6 +65,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import re
 import struct
 import time
 import uuid
@@ -1580,6 +1581,15 @@ def read_iceberg_snapshot(
     spec_fields = {
         s["spec-id"]: s["fields"] for s in md["partition-specs"]
     }
+    for s in md["partition-specs"]:
+        for pf in s["fields"]:
+            if pf["transform"] != "identity":
+                raise NotImplementedError(
+                    "read_iceberg_snapshot: non-identity partition "
+                    f"transform {pf['transform']!r} — adopt via "
+                    "convert_from_iceberg (unpartitioned, stats-"
+                    "pruned) and read the txlog"
+                )
     groups: dict[tuple, list[str]] = {}
     part_cols: list[str] = []
     delete_paths: list[str] = []
@@ -1861,6 +1871,16 @@ def convert_from_iceberg(spark, path: str):
       (``col=value/``) since the txlog reader reattaches partition
       values from directory names — manifests are cross-checked against
       the paths and mismatches refuse;
+    - **non-identity partition transforms** (``days``/``months``/
+      ``bucket[N]``/``truncate[N]`` — most production Iceberg tables):
+      the table adopts UNPARTITIONED, losslessly, because Iceberg data
+      files always contain the transform SOURCE columns (verified
+      against the parquet schema); the footer envelopes stamped at
+      adoption hand ``read_where`` the same file-level pruning the
+      transform encoded — a ``days(ts)`` range scan skips
+      non-overlapping files via stats instead of directory names, and
+      the adopted transform spec is recorded in the commit-0 marker
+      for provenance;
     - **POSITION DELETES** (content=1 manifests): each delete parquet's
       ``(file_path, pos)`` rows re-encode as ONE txlog deletion-vector
       sidecar — merge-on-read deletes survive adoption row-exactly,
@@ -1880,7 +1900,7 @@ def convert_from_iceberg(spark, path: str):
     :func:`_apply_equality_deletes` for the scale shape and its
     refusals (nested or partition-column equality ids).
 
-    Refused loudly (v1 scope): format-version 1 metadata, non-identity
+    Refused loudly (v1 scope): format-version 1 metadata, unknown
     partition transforms, data files outside the table root or in a
     non-parquet format, and nested fields whose name mapping
     advertises a different parquet name (only top-level columns remap
@@ -1955,22 +1975,40 @@ def convert_from_iceberg(spark, path: str):
         if any(l != p for l, p in cand.items()):
             mapping = cand
 
-    # identity partition spec only
+    # partition spec: identity transforms map 1:1 onto hive-style
+    # txlog partitioning; a spec carrying NON-IDENTITY transforms
+    # (days/bucket/truncate — most production Iceberg tables) adopts
+    # UNPARTITIONED instead: Iceberg data files always CONTAIN the
+    # source columns (transform values are derived at write time, the
+    # spec's 'Partition Transforms'), so no value is lost, and the
+    # footer min/max envelopes stamped at adoption give read_where the
+    # same file-level pruning the transform provided — a days(ts)
+    # range scan still skips non-overlapping files, now via stats
+    # instead of directory names
     spec = next(
         s
         for s in md["partition-specs"]
         if s["spec-id"] == md["default-spec-id"]
     )
     by_fid = {f["id"]: f["name"] for f in ice_fields}
-    pby: list[str] = []
     for pf in spec["fields"]:
-        if pf["transform"] != "identity":
+        if not re.fullmatch(
+            r"identity|void|year|month|day|hour"
+            r"|bucket\[\d+\]|truncate\[\d+\]",
+            pf["transform"],
+        ):
             raise NotImplementedError(
-                f"convert_from_iceberg refused: partition transform "
-                f"{pf['transform']!r} on {pf['name']!r} — only identity "
-                "transforms map onto hive-style txlog partitioning"
+                f"convert_from_iceberg refused: unknown partition "
+                f"transform {pf['transform']!r} on {pf['name']!r}"
             )
-        pby.append(by_fid[pf["source-id"]])
+    non_identity = any(
+        pf["transform"] != "identity" for pf in spec["fields"]
+    )
+    pby = (
+        []
+        if non_identity
+        else [by_fid[pf["source-id"]] for pf in spec["fields"]]
+    )
     if mapping is not None:
         bad_p = [c for c in pby if mapping.get(c, c) != c]
         if bad_p:
@@ -2083,6 +2121,33 @@ def convert_from_iceberg(spark, path: str):
 
     files = sorted(rel_counts)
 
+    if non_identity and files:
+        # unpartitioned adoption relies on the source columns BEING in
+        # the data files (always true for genuinely foreign Iceberg
+        # writers; a missing column would silently read NULL) — verify
+        # against one file's parquet schema, metadata-only
+        import pyarrow.parquet as pq
+
+        src = {
+            by_fid[pf["source-id"]]
+            for pf in spec["fields"]
+            if pf["transform"] != "void"
+        }
+        phys_src = {(mapping or {}).get(c, c) for c in src}
+        have = set(
+            pq.ParquetFile(
+                os.path.join(t.path, files[0])
+            ).schema_arrow.names
+        )
+        missing = sorted(phys_src - have)
+        if missing:
+            raise ValueError(
+                "convert_from_iceberg refused: partition-transform "
+                f"source column(s) {missing} are not present in the "
+                "data files — unpartitioned adoption cannot "
+                "reconstruct them"
+            )
+
     # position + equality deletes -> ONE txlog DV sidecar
     # (relative-path keyed)
     dvs0: dict[str, dict] | None = None
@@ -2178,6 +2243,13 @@ def convert_from_iceberg(spark, path: str):
         "converted_from_iceberg": {
             "snapshot_id": sid,
             "metadata_ordinal": ordinal,
+            # provenance when a non-identity transform spec adopted
+            # unpartitioned (datacard/audit surface)
+            **(
+                {"partition_transforms": spec["fields"]}
+                if non_identity
+                else {}
+            ),
         },
         "stats": stats0,
         "stats_state": stats0,

@@ -77,6 +77,7 @@ HIGH_VARIANCE = {
     "x114_iceberg_pruned_curation_scan",
     "x116_iceberg_nested_export",
     "x117_iceberg_equality_delete_adoption",
+    "x118_iceberg_day_transform_adoption",
 }
 
 

@@ -624,15 +624,16 @@ def test_convert_refusals(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="format-version 2"):
         convert_from_iceberg(spark, t.path)
 
-    # non-identity partition transform
+    # UNKNOWN partition transform refuses; known non-identity ones
+    # adopt unpartitioned (see test_convert_day_transform_*)
     md2 = json.loads(json.dumps(md))
     md2["partition-specs"] = [
         {
             "spec-id": 0,
             "fields": [
                 {
-                    "name": "k_bucket",
-                    "transform": "bucket[8]",
+                    "name": "k_z",
+                    "transform": "zorder[4]",
                     "source-id": 1,
                     "field-id": 1000,
                 }
@@ -640,7 +641,7 @@ def test_convert_refusals(spark, tmp_path):
         }
     ]
     json.dump(md2, open(mp, "w"))
-    with pytest.raises(NotImplementedError, match="bucket"):
+    with pytest.raises(NotImplementedError, match="unknown partition"):
         convert_from_iceberg(spark, t.path)
     json.dump(md, open(mp, "w"))  # restore
 
@@ -1537,4 +1538,118 @@ def test_convert_equality_delete_refusals(spark, tmp_path):
         seq=9,
     )
     with pytest.raises(NotImplementedError, match="partition column"):
+        convert_from_iceberg(spark, t.path)
+
+
+def test_convert_day_transform_adopts_unpartitioned(spark, tmp_path):
+    """A days(ts)-partitioned foreign table adopts UNPARTITIONED (the
+    source column lives in the data files), keeps every row, records
+    the transform spec for provenance, and still PRUNES day-range
+    scans through the footer envelopes stamped at adoption."""
+    import datetime
+
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = TxLogTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [
+                (k, datetime.date(2024, 1, 1 + k // 10), float(k))
+                for k in range(60)
+            ],
+            "k int, d date, amt double",
+        ).repartitionByRange(6, "d"),
+    )
+    want = {
+        (r["k"], r["d"], r["amt"]) for r in t.read().collect()
+    }
+    t.to_iceberg()
+    _strip_txlog(t)
+    mp = os.path.join(t.path, "metadata", "v1.metadata.json")
+    md = json.load(open(mp))
+    md["partition-specs"] = [
+        {
+            "spec-id": 0,
+            "fields": [
+                {
+                    "name": "d_day",
+                    "transform": "day",
+                    "source-id": 2,
+                    "field-id": 1000,
+                }
+            ],
+        }
+    ]
+    md["default-spec-id"] = 0
+    json.dump(md, open(mp, "w"))
+    # the reader refuses (derived values can't reattach as columns)...
+    with pytest.raises(NotImplementedError, match="non-identity"):
+        read_iceberg_snapshot(spark, t.path)
+    # ...but adoption works, unpartitioned
+    t2 = convert_from_iceberg(spark, t.path)
+    pby, _ps = t2.partition_meta()
+    assert pby == []
+    assert {
+        (r["k"], r["d"], r["amt"]) for r in t2.read().collect()
+    } == want
+    # provenance marker carries the transform spec
+    with open(
+        os.path.join(t2.log_dir, "000000000000.json")
+    ) as fh:
+        c0 = json.load(fh)
+    assert (
+        c0["converted_from_iceberg"]["partition_transforms"][0][
+            "transform"
+        ]
+        == "day"
+    )
+    # stats-pruned day-range scan reads fewer files than a full scan
+    pruned = t2.read_where(
+        "d", datetime.date(2024, 1, 3), datetime.date(2024, 1, 3)
+    )
+    assert 0 < len(pruned.inputFiles()) < len(t2.read().inputFiles())
+    assert {r["k"] for r in pruned.collect()} >= {
+        k for k in range(60) if 1 + k // 10 == 3
+    }
+
+
+def test_convert_transform_missing_source_column_refuses(
+    spark, tmp_path
+):
+    """If the transform's source column is NOT in the data files
+    (impossible for real Iceberg writers, but cheap to verify),
+    unpartitioned adoption refuses instead of reading NULLs."""
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.to_iceberg()
+    _strip_txlog(t)
+    mp = os.path.join(t.path, "metadata", "v1.metadata.json")
+    md = json.load(open(mp))
+    # schema gains a phantom column 'ts' (id 99) the files don't have;
+    # the spec buckets on it
+    md["schemas"][0]["fields"].append(
+        {"id": 99, "name": "ts", "required": False, "type": "long"}
+    )
+    md["last-column-id"] = 99
+    md["partition-specs"] = [
+        {
+            "spec-id": 0,
+            "fields": [
+                {
+                    "name": "ts_bucket",
+                    "transform": "bucket[4]",
+                    "source-id": 99,
+                    "field-id": 1000,
+                }
+            ],
+        }
+    ]
+    json.dump(md, open(mp, "w"))
+    with pytest.raises(ValueError, match="source column"):
         convert_from_iceberg(spark, t.path)
