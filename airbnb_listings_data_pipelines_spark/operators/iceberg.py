@@ -273,6 +273,159 @@ def read_avro_container(path: str) -> tuple[dict, dict, list[dict]]:
     return schema, meta, records
 
 
+# ------------------------------------------------------------ puffin (v3)
+
+_PUFFIN_MAGIC = b"PFA1"
+
+
+def write_puffin_dv_file(
+    path: str,
+    dv_positions: dict[str, list[int]],
+    snapshot_id: int,
+    sequence_number: int,
+) -> dict[str, tuple[int, int, int]]:
+    """Write an Apache PUFFIN file holding one ``deletion-vector-v1``
+    blob per referenced data file — Iceberg v3's deletion-vector
+    storage (spec 'Puffin file format' + v3 'Deletion vectors'), built
+    from the public specs alone. Blob layout: 4-byte big-endian length
+    of (magic + vector), the magic bytes D1 D3 39 64, the position
+    vector as a portable 64-bit RoaringBitmap, then a big-endian
+    CRC-32 of (magic + vector). The (magic + vector) bytes are EXACTLY
+    Delta Lake's RoaringBitmapArray serialization — the two formats
+    were deliberately harmonized (Delta's int32 LE magic 1681511377 IS
+    the byte sequence D1 D3 39 64), so :func:`roaring.serialize_rba`
+    emits them verbatim. File layout: Magic, blobs, footer = Magic +
+    uncompressed JSON FooterPayload + payload size (int32 LE) + 4 flag
+    bytes (none set) + Magic.
+
+    Returns ``{referenced data file: (content_offset,
+    content_size_in_bytes, cardinality)}`` — offset/length frame the
+    WHOLE blob (length field through CRC), matching both the footer's
+    blob metadata and what the v3 delete-manifest fields
+    ``content_offset``/``content_size_in_bytes`` must carry, so a
+    reader can slice a single DV without parsing the footer.
+
+    O(deleted rows) driver-side byte work — the DV cost model; no
+    Spark jobs."""
+    import zlib
+
+    from .roaring import serialize_rba
+
+    out = bytearray(_PUFFIN_MAGIC)
+    blobs_meta: list[dict] = []
+    refs: dict[str, tuple[int, int, int]] = {}
+    for ref in sorted(dv_positions):
+        positions = sorted(set(dv_positions[ref]))
+        vec = serialize_rba(positions)  # leads with D1 D3 39 64
+        framed = (
+            struct.pack(">i", len(vec))
+            + vec
+            + struct.pack(">I", zlib.crc32(vec) & 0xFFFFFFFF)
+        )
+        off = len(out)
+        out += framed
+        blobs_meta.append(
+            {
+                "type": "deletion-vector-v1",
+                "fields": [],
+                "snapshot-id": snapshot_id,
+                "sequence-number": sequence_number,
+                "offset": off,
+                "length": len(framed),
+                "properties": {
+                    "referenced-data-file": ref,
+                    "cardinality": str(len(positions)),
+                },
+            }
+        )
+        refs[ref] = (off, len(framed), len(positions))
+    payload = json.dumps({"blobs": blobs_meta}).encode("utf-8")
+    out += _PUFFIN_MAGIC
+    out += payload
+    out += struct.pack("<i", len(payload))
+    out += b"\x00\x00\x00\x00"  # flags: footer payload uncompressed
+    out += _PUFFIN_MAGIC
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+    return refs
+
+
+def read_puffin_dv_file(path: str) -> dict[str, list[int]]:
+    """Independent PUFFIN reader for deletion-vector-v1 blobs: validates
+    the leading and trailing magics, the footer-start magic, the
+    (uncompressed) JSON footer payload, each blob's length field and
+    CRC-32, and the per-blob ``cardinality`` property. Returns
+    ``{referenced data file: sorted positions}``."""
+    import zlib
+
+    from .roaring import deserialize_rba
+
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    if raw[:4] != _PUFFIN_MAGIC or raw[-4:] != _PUFFIN_MAGIC:
+        raise ValueError(f"not a puffin file: {path}")
+    (psize,) = struct.unpack_from("<i", raw, len(raw) - 12)
+    flags = raw[len(raw) - 8 : len(raw) - 4]
+    if flags[0] & 0x01:
+        raise ValueError("compressed puffin footer unsupported")
+    pstart = len(raw) - 12 - psize
+    if raw[pstart - 4 : pstart] != _PUFFIN_MAGIC:
+        raise ValueError(f"puffin footer magic missing in {path}")
+    meta = json.loads(raw[pstart : pstart + psize].decode("utf-8"))
+    out: dict[str, list[int]] = {}
+    for b in meta.get("blobs") or []:
+        if b.get("type") != "deletion-vector-v1":
+            continue
+        off, ln = int(b["offset"]), int(b["length"])
+        (vlen,) = struct.unpack_from(">i", raw, off)
+        if 4 + vlen + 4 != ln:
+            raise ValueError(
+                f"puffin blob length mismatch at offset {off}"
+            )
+        vec = raw[off + 4 : off + 4 + vlen]
+        (crc,) = struct.unpack_from(">I", raw, off + 4 + vlen)
+        if zlib.crc32(vec) & 0xFFFFFFFF != crc:
+            raise ValueError(f"puffin blob CRC mismatch at offset {off}")
+        positions = deserialize_rba(vec)
+        want = (b.get("properties") or {}).get("cardinality")
+        if want is not None and int(want) != len(positions):
+            raise ValueError(
+                f"puffin blob cardinality {want} != {len(positions)}"
+            )
+        out[b["properties"]["referenced-data-file"]] = positions
+    return out
+
+
+def read_puffin_dv_blob_at(
+    path: str, offset: int, length: int
+) -> list[int]:
+    """Slice + verify ONE deletion-vector blob by the framing the
+    delete MANIFEST carries (``content_offset``/
+    ``content_size_in_bytes``) — the spec's point: an engine reads a
+    single file's DV without parsing the Puffin footer. Validates the
+    length field and CRC-32, returns sorted positions."""
+    import zlib
+
+    from .roaring import deserialize_rba
+
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        framed = fh.read(length)
+    if len(framed) != length:
+        raise ValueError(f"puffin blob truncated at offset {offset}")
+    (vlen,) = struct.unpack_from(">i", framed, 0)
+    if 4 + vlen + 4 != length:
+        raise ValueError(
+            f"puffin blob length field {vlen} inconsistent with "
+            f"content_size_in_bytes {length}"
+        )
+    vec = framed[4 : 4 + vlen]
+    (crc,) = struct.unpack_from(">I", framed, 4 + vlen)
+    if zlib.crc32(vec) & 0xFFFFFFFF != crc:
+        raise ValueError(f"puffin blob CRC mismatch at offset {offset}")
+    return deserialize_rba(vec)
+
+
 # ------------------------------------------------------ schema conversion
 
 
@@ -696,6 +849,23 @@ def _manifest_schema(partition_fields: list[dict]) -> dict:
             _kv_map_field("null_value_counts", 110, 121, 122, "long"),
             _kv_map_field("lower_bounds", 125, 126, 127, "bytes"),
             _kv_map_field("upper_bounds", 128, 129, 130, "bytes"),
+            # v3 deletion-vector reference (spec 'Deletion vectors'):
+            # present only on Puffin DV entries; v2 entries encode null
+            {
+                "name": "referenced_data_file",
+                "type": ["null", "string"],
+                "field-id": 143,
+            },
+            {
+                "name": "content_offset",
+                "type": ["null", "long"],
+                "field-id": 144,
+            },
+            {
+                "name": "content_size_in_bytes",
+                "type": ["null", "long"],
+                "field-id": 145,
+            },
         ],
     }
     return {
@@ -878,13 +1048,25 @@ def _partition_value(raw: str, ice_type: str):
     return raw
 
 
-def export_iceberg_metadata(table) -> int:
-    """Write/refresh an Iceberg v2 metadata layer under
+def export_iceberg_metadata(table, format_version: int | None = None) -> int:
+    """Write/refresh an Iceberg metadata layer under
     ``<table>/metadata/`` over the txlog table's CURRENT live files —
     the UniForm shape: same parquet, second table format. Incremental:
     each call appends ONE snapshot (id = the txlog version it
     mirrors); prior snapshots stay in the metadata log. Returns the
     new metadata version ordinal.
+
+    ``format_version``: 2 (default) or 3. A v3 export stores live
+    deletion vectors as PUFFIN ``deletion-vector-v1`` blobs (one per
+    data file, referenced from the delete manifest via
+    ``referenced_data_file``/``content_offset``/
+    ``content_size_in_bytes``) instead of v2's position-delete
+    parquet, and carries the v3 row-lineage metadata plane
+    (``next-row-id`` on the table, ``first-row-id`` on each
+    snapshot). Unset, the version is inherited from the prior export
+    (first export: the table property ``iceberg.format-version``,
+    else 2). Upgrades (2 -> 3) append normally — Iceberg's own
+    allowed direction; downgrades refuse.
 
     O(live files) driver-side metadata: record counts ride the txlog
     stats fold, file sizes are one stat() each, and the added-version
@@ -978,6 +1160,20 @@ def export_iceberg_metadata(table) -> int:
         (s["snapshot-id"] for s in (prev or {}).get("snapshots", [])),
         default=-1,
     )
+    if format_version is None:
+        if prev is not None:
+            fv = int(prev.get("format-version", 2))
+        else:
+            fv = int(table.properties().get("iceberg.format-version", 2))
+    else:
+        fv = int(format_version)
+    if fv not in (2, 3):
+        raise ValueError(f"iceberg format-version {fv} unsupported")
+    if prev is not None and int(prev.get("format-version", 2)) > fv:
+        raise ValueError(
+            f"to_iceberg refused: cannot downgrade format-version "
+            f"{prev.get('format-version')} -> {fv}"
+        )
 
     # SCHEMA EVOLUTION (spec 'Schema Evolution'): field ids are stable
     # across exports — keyed on the physical parquet name via the prior
@@ -1184,7 +1380,7 @@ def export_iceberg_metadata(table) -> int:
                 "schema-id": str(schema_id),
                 "partition-spec": json.dumps(spec["fields"]),
                 "partition-spec-id": "0",
-                "format-version": "2",
+                "format-version": str(fv),
                 "content": "data",
             },
         )
@@ -1239,7 +1435,92 @@ def export_iceberg_metadata(table) -> int:
         except OSError:
             dv_dml_since_prev = True
     n_del = 0
-    if dvs:
+    n_del_files = 0
+    if dvs and fv >= 3:
+        # Iceberg V3 DELETION VECTORS: one PUFFIN deletion-vector-v1
+        # blob per data file (portable 64-bit roaring bitmap — byte-
+        # identical to the txlog/Delta DV payload, the harmonized
+        # formats), referenced from the delete manifest via
+        # referenced_data_file + content_offset/content_size so
+        # engines slice a single DV without parsing the Puffin footer.
+        # O(deleted rows) driver-side, the DV cost model — and unlike
+        # v2's global position-delete parquet, scoped per file exactly
+        # as merge-on-read readers consume it.
+        rows3 = (
+            table._dv_frame(dvs, files)
+            .select("file", "row_index")
+            .collect()
+        )
+        pos3: dict[str, list[int]] = {}
+        for r in rows3:
+            pos3.setdefault(
+                os.path.join(table.path, r["file"]), []
+            ).append(int(r["row_index"]))
+        puffin_path = os.path.join(
+            meta_dir, f"{uuid.uuid4().hex}-deletes.puffin"
+        )
+        refs3 = write_puffin_dv_file(
+            puffin_path, pos3, version, version
+        )
+        n_del = sum(c for _o, _l, c in refs3.values())
+        n_del_files = len(refs3)
+        psize3 = os.path.getsize(puffin_path)
+        del_spec_id = 1 if pby else 0
+        del_manifest = os.path.join(
+            meta_dir, f"{uuid.uuid4().hex}-m1.avro"
+        )
+        write_avro_container(
+            del_manifest,
+            _manifest_schema([]),
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": version,
+                    "sequence_number": version,
+                    "file_sequence_number": version,
+                    "data_file": {
+                        "content": 1,  # POSITION_DELETES (DV form)
+                        "file_path": puffin_path,
+                        "file_format": "PUFFIN",
+                        "partition": {},
+                        "record_count": card,
+                        "file_size_in_bytes": psize3,
+                        "referenced_data_file": ref,
+                        "content_offset": off,
+                        "content_size_in_bytes": ln,
+                    },
+                }
+                for ref, (off, ln, card) in sorted(refs3.items())
+            ],
+            meta={
+                "schema": json.dumps(ice_schema),
+                "schema-id": str(schema_id),
+                "partition-spec": json.dumps(
+                    [] if pby else spec["fields"]
+                ),
+                "partition-spec-id": str(del_spec_id),
+                "format-version": str(fv),
+                "content": "deletes",
+            },
+        )
+        mlist_entries.append(
+            {
+                "manifest_path": del_manifest,
+                "manifest_length": os.path.getsize(del_manifest),
+                "partition_spec_id": del_spec_id,
+                "content": 1,
+                "sequence_number": version,
+                "min_sequence_number": version,
+                "added_snapshot_id": version,
+                "added_files_count": n_del_files,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": int(n_del),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+    elif dvs:
         # Iceberg v2 POSITION DELETE file (spec: parquet of (file_path,
         # pos), sorted by path then position) — a txlog deletion vector
         # IS a position vector, so the translation is exact. One delete
@@ -1273,6 +1554,7 @@ def export_iceberg_metadata(table) -> int:
         os.rename(os.path.join(tmp, part), del_path)
         shutil.rmtree(tmp)
         n_del = pq.ParquetFile(del_path).metadata.num_rows
+        n_del_files = 1
         del_manifest = os.path.join(
             meta_dir, f"{uuid.uuid4().hex}-m1.avro"
         )
@@ -1331,7 +1613,7 @@ def export_iceberg_metadata(table) -> int:
         os.path.join(meta_dir, mlist_name),
         _manifest_list_schema(),
         mlist_entries,
-        meta={"format-version": "2"},
+        meta={"format-version": str(fv)},
     )
 
     now_ms = int(time.time() * 1000)
@@ -1354,7 +1636,7 @@ def export_iceberg_metadata(table) -> int:
             "total-records": str(
                 carried_rows + rows_added + rows_existing
             ),
-            "total-delete-files": str(1 if n_del else 0),
+            "total-delete-files": str(n_del_files),
             "total-position-deletes": str(n_del),
         },
         "schema-id": schema_id,
@@ -1369,8 +1651,15 @@ def export_iceberg_metadata(table) -> int:
         "converted-from": "txlog",
         "converted-at-version": str(version),
     }
+    first_row_id = int((prev or {}).get("next-row-id", 0))
+    if fv >= 3:
+        # v3 row lineage metadata plane: each snapshot records where
+        # its fresh row-id range starts; the table tracks the next
+        # unassigned id (advanced by the rows this snapshot ADDED)
+        snapshot["first-row-id"] = first_row_id
     md = {
-        "format-version": 2,
+        "format-version": fv,
+        **({"next-row-id": first_row_id + rows_added} if fv >= 3 else {}),
         "table-uuid": (prev or {}).get("table-uuid", str(uuid.uuid4())),
         "location": table.path,
         "last-sequence-number": version,
@@ -1593,6 +1882,7 @@ def read_iceberg_snapshot(
     groups: dict[tuple, list[str]] = {}
     part_cols: list[str] = []
     delete_paths: list[str] = []
+    dv_pairs: list[tuple[str, int]] = []
     for mf in manifests:
         _ms, _mm, entries = read_avro_container(mf["manifest_path"])
         pnames = [
@@ -1605,8 +1895,24 @@ def read_iceberg_snapshot(
             if e["status"] == 2:  # DELETED
                 continue
             if e["data_file"].get("content", 0) == 1:
+                df_ = e["data_file"]
+                if (
+                    str(df_.get("file_format", "")).upper() == "PUFFIN"
+                ):
+                    # v3 DELETION VECTOR: decode the blob through the
+                    # manifest's own framing (content_offset/size) —
+                    # per-file positions, basename-keyed like the
+                    # parquet delete rows
+                    base = df_["referenced_data_file"].rsplit("/", 1)[-1]
+                    for p in read_puffin_dv_blob_at(
+                        df_["file_path"],
+                        int(df_["content_offset"]),
+                        int(df_["content_size_in_bytes"]),
+                    ):
+                        dv_pairs.append((base, int(p)))
+                    continue
                 # POSITION DELETES: (file_path, pos) parquet to anti-join
-                delete_paths.append(e["data_file"]["file_path"])
+                delete_paths.append(df_["file_path"])
                 continue
             if e["data_file"].get("content", 0) == 2:
                 raise NotImplementedError(
@@ -1625,14 +1931,25 @@ def read_iceberg_snapshot(
             )
     del_keyed = None
     if delete_paths:
-        del_keyed = F.broadcast(
-            spark.read.parquet(*sorted(set(delete_paths))).select(
-                F.element_at(
-                    F.split(F.col("file_path"), "/"), -1
-                ).alias("__db"),
-                F.col("pos").alias("__dp"),
-            )
+        del_keyed = spark.read.parquet(
+            *sorted(set(delete_paths))
+        ).select(
+            F.element_at(
+                F.split(F.col("file_path"), "/"), -1
+            ).alias("__db"),
+            F.col("pos").alias("__dp"),
         )
+    if dv_pairs:
+        pair_df = spark.createDataFrame(
+            dv_pairs, "__db string, __dp long"
+        )
+        del_keyed = (
+            pair_df
+            if del_keyed is None
+            else del_keyed.unionByName(pair_df)
+        )
+    if del_keyed is not None:
+        del_keyed = F.broadcast(del_keyed)
     return _groups_to_df(spark, ice_fields, nmap, part_cols, groups, del_keyed)
 
 
@@ -1918,11 +2235,12 @@ def convert_from_iceberg(spark, path: str):
     if os.path.exists(t.log_dir):
         raise FileExistsError(f"{t.log_dir} already exists")
     ordinal, md = _load_current_metadata(t.path)
-    if int(md.get("format-version", 0)) != 2:
+    if int(md.get("format-version", 0)) not in (2, 3):
         raise NotImplementedError(
-            "convert_from_iceberg supports format-version 2 metadata "
-            f"only (found {md.get('format-version')!r}) — v1 manifests "
-            "lack the sequence-number fields this adoption reads"
+            "convert_from_iceberg supports format-version 2 and 3 "
+            f"metadata only (found {md.get('format-version')!r}) — v1 "
+            "manifests lack the sequence-number fields this adoption "
+            "reads"
         )
     sid = md["current-snapshot-id"]
     snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
@@ -2029,6 +2347,7 @@ def convert_from_iceberg(spark, path: str):
     rel_counts: dict[str, int] = {}
     rel_seq: dict[str, int] = {}
     delete_paths: list[str] = []
+    dv_blobs: list[tuple[str, str, int, int]] = []
     eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
     for mf in manifests:
         _ms, _mm, entries = read_avro_container(mf["manifest_path"])
@@ -2059,7 +2378,19 @@ def convert_from_iceberg(spark, path: str):
                 )
                 continue
             if content == 1:
-                delete_paths.append(_local_path(dfile["file_path"]))
+                if str(dfile.get("file_format", "")).upper() == "PUFFIN":
+                    # v3 DELETION VECTOR blob — file-scoped positions,
+                    # decoded through the manifest's framing
+                    dv_blobs.append(
+                        (
+                            _local_path(dfile["file_path"]),
+                            _local_path(dfile["referenced_data_file"]),
+                            int(dfile["content_offset"]),
+                            int(dfile["content_size_in_bytes"]),
+                        )
+                    )
+                else:
+                    delete_paths.append(_local_path(dfile["file_path"]))
                 continue
             fp = _local_path(dfile["file_path"])
             if str(dfile.get("file_format", "PARQUET")).upper() != "PARQUET":
@@ -2177,6 +2508,22 @@ def convert_from_iceberg(spark, path: str):
                 if rel not in live:
                     continue  # stale delete: its target was rewritten
                 pos_by_file.setdefault(rel, set()).add(int(pos))
+    if dv_blobs:
+        live = set(files)
+        for pf, ref, off, ln in dv_blobs:
+            if not ref.startswith(root):
+                raise ValueError(
+                    "convert_from_iceberg refused: deletion vector in "
+                    f"{pf!r} references {ref!r}, outside the table "
+                    "root — deletes cannot be dropped without "
+                    "resurrecting rows"
+                )
+            rel = ref[len(root):]
+            if rel not in live:
+                continue  # stale DV: its target was rewritten
+            pos_by_file.setdefault(rel, set()).update(
+                read_puffin_dv_blob_at(pf, off, ln)
+            )
     if eq_deletes:
         _apply_equality_deletes(
             spark,

@@ -5166,18 +5166,19 @@ class TxLogTable:
             f"unset_properties gave up after {max_retries} retries"
         )
 
-    def to_iceberg(self) -> int:
-        """Export/refresh an Apache ICEBERG v2 metadata layer under
+    def to_iceberg(self, format_version: int | None = None) -> int:
+        """Export/refresh an Apache ICEBERG metadata layer under
         ``<table>/metadata/`` over this table's current live files —
         Delta UniForm's shape (same parquet, second table format), so
         Iceberg engines read the table without a data copy. See
         :func:`operators.iceberg.export_iceberg_metadata` (incremental,
-        one snapshot per txlog version, O(live files) metadata; refuses
-        live deletion vectors exactly as UniForm does). Returns the new
-        metadata ordinal."""
+        one snapshot per txlog version, O(live files) metadata; live
+        deletion vectors export as v2 position-delete parquet or, with
+        ``format_version=3``, as PUFFIN deletion-vector blobs).
+        Returns the new metadata ordinal."""
         from .iceberg import export_iceberg_metadata
 
-        return export_iceberg_metadata(self)
+        return export_iceberg_metadata(self, format_version)
 
     def to_delta_log(self) -> int:
         """Export/refresh a Delta-protocol ``_delta_log`` for this table so

@@ -8179,3 +8179,77 @@ def x118_iceberg_day_transform_adoption(
             F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
         ).alias("total_cents"),
     )
+
+
+@query(
+    "x119_iceberg_v3_puffin_dv",
+    oracle="""
+    WITH kept AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 2 THEN 'U'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 3
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM kept GROUP BY 1
+    """,
+    survey_rows=("EXT-tableformat", "A2", "A8"),
+    doc="ICEBERG V3 DELETION VECTORS via PUFFIN (round 13, judged "
+    "lead 5 — the modern-Iceberg DV surface): orders -> txlog, DV "
+    "DELETE (%7==3) + DV UPDATE (%5==2 -> 'U', +10.0) — then "
+    "to_iceberg(format_version=3) exports the live deletion vectors "
+    "as ONE Apache Puffin file holding a deletion-vector-v1 blob PER "
+    "data file (spec byte layout: BE length, magic D1 D3 39 64, "
+    "portable 64-bit RoaringBitmap — byte-identical to the Delta/"
+    "txlog DV payload, the deliberately-harmonized formats — then a "
+    "BE CRC-32), referenced from the delete manifest by "
+    "referenced_data_file + content_offset/content_size_in_bytes, "
+    "with the v3 row-lineage metadata plane (next-row-id, "
+    "first-row-id). The result reads back through "
+    "read_iceberg_snapshot, which slices each blob by the MANIFEST "
+    "framing (no footer parse — the spec's per-file DV access "
+    "pattern), CRC-checks it, and anti-joins the positions; one "
+    "wrong varint, bitmap container, offset, or checksum breaks the "
+    "value hash against DuckDB on raw orders. Scale: the blob "
+    "decode is O(deleted rows) driver-side and the anti-join is a "
+    "broadcast — the same DV cost model the txlog itself pays. "
+    "operators/iceberg.write_puffin_dv_file / "
+    "read_puffin_dv_blob_at.",
+)
+def x119_iceberg_v3_puffin_dv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.iceberg import read_iceberg_snapshot
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _dml_scratch("x119" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(6, "o_orderkey")
+    )
+    t.delete_where("o_orderkey % 7 = 3", mode="dv")
+    t.update_where(
+        "o_orderkey % 5 = 2",
+        {
+            "o_orderstatus": F.lit("U"),
+            "o_totalprice": F.col("o_totalprice") + F.lit(10.0),
+        },
+        mode="dv",
+    )
+    t.to_iceberg(format_version=3)
+    ice = read_iceberg_snapshot(spark, t.path)
+    return ice.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+        ).alias("total_cents"),
+    )

@@ -78,6 +78,7 @@ HIGH_VARIANCE = {
     "x116_iceberg_nested_export",
     "x117_iceberg_equality_delete_adoption",
     "x118_iceberg_day_transform_adoption",
+    "x119_iceberg_v3_puffin_dv",
 }
 
 

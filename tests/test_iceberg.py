@@ -1653,3 +1653,125 @@ def test_convert_transform_missing_source_column_refuses(
     json.dump(md, open(mp, "w"))
     with pytest.raises(ValueError, match="source column"):
         convert_from_iceberg(spark, t.path)
+
+
+# --------------------------------------------------- iceberg v3 / puffin
+
+
+def test_puffin_v3_dv_export_and_reader(spark, tmp_path):
+    """format_version=3: DVs export as PUFFIN deletion-vector-v1 blobs
+    (spec byte layout: BE length, magic D1 D3 39 64, portable 64-bit
+    roaring bitmap, BE CRC-32) referenced per data file from the
+    delete manifest; the independent reader anti-joins them exactly."""
+    import struct as _struct
+
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        read_puffin_dv_file,
+    )
+    from airbnb_listings_data_pipelines_spark.operators.txlog import (
+        TxLogTable as _T,
+    )
+
+    t = _mk(spark, tmp_path, n=60)
+    t.delete_where("k % 5 = 1", mode="dv")
+    t.update_where("k = 2", {"amt": F.lit(99.0)}, mode="dv")
+    assert t.to_iceberg(format_version=3) == 1
+    md = json.load(
+        open(os.path.join(t.path, "metadata", "v1.metadata.json"))
+    )
+    assert md["format-version"] == 3
+    assert "next-row-id" in md
+    snap = md["snapshots"][-1]
+    assert snap["first-row-id"] == 0
+    assert int(snap["summary"]["total-position-deletes"]) > 0
+    _s, _m, mfs = read_avro_container(snap["manifest-list"])
+    delm = next(m for m in mfs if m["content"] == 1)
+    _ms, _mm, entries = read_avro_container(delm["manifest_path"])
+    # one DV entry per referenced data file, all into ONE puffin file
+    puffins = {e["data_file"]["file_path"] for e in entries}
+    assert len(puffins) == 1 and all(
+        p.endswith(".puffin") for p in puffins
+    )
+    refs = {
+        e["data_file"]["referenced_data_file"]: (
+            e["data_file"]["content_offset"],
+            e["data_file"]["content_size_in_bytes"],
+            e["data_file"]["record_count"],
+        )
+        for e in entries
+    }
+    assert len(refs) == len(entries) and len(refs) >= 1
+    pf = next(iter(puffins))
+    raw = open(pf, "rb").read()
+    assert raw[:4] == b"PFA1" and raw[-4:] == b"PFA1"
+    # manifest framing: blob starts with BE length then D1 D3 39 64
+    for ref, (off, ln, card) in refs.items():
+        (vlen,) = _struct.unpack_from(">i", raw, off)
+        assert 4 + vlen + 4 == ln
+        assert raw[off + 4 : off + 8] == b"\xd1\xd3\x39\x64"
+    # footer-path reader agrees with the manifest + the txlog DV state
+    blobs = read_puffin_dv_file(pf)
+    assert set(blobs) == set(refs)
+    _v, _files, dvs = t._replay_full()
+    assert sum(len(v) for v in blobs.values()) == sum(
+        d["cardinality"] for d in dvs.values()
+    )
+    # end to end: independent snapshot reader == native read
+    assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())
+
+
+def test_v3_upgrade_allowed_downgrade_refused(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.to_iceberg()  # v2
+    t.append(
+        spark.createDataFrame(
+            [(100, 1.0, "c")], "k int, amt double, g string"
+        )
+    )
+    assert t.to_iceberg(format_version=3) == 2  # upgrade appends
+    md = json.load(
+        open(os.path.join(t.path, "metadata", "v2.metadata.json"))
+    )
+    assert md["format-version"] == 3
+    assert len(md["snapshots"]) == 2
+    t.append(
+        spark.createDataFrame(
+            [(101, 2.0, "d")], "k int, amt double, g string"
+        )
+    )
+    # unset format_version inherits the prior export's (3)
+    assert t.to_iceberg() == 3
+    md3 = json.load(
+        open(os.path.join(t.path, "metadata", "v3.metadata.json"))
+    )
+    assert md3["format-version"] == 3
+    # row-id ranges advance by added rows
+    assert md3["next-row-id"] > md["next-row-id"]
+    t.append(
+        spark.createDataFrame(
+            [(102, 3.0, "e")], "k int, amt double, g string"
+        )
+    )
+    with pytest.raises(ValueError, match="downgrade"):
+        t.to_iceberg(format_version=2)
+    assert t.to_iceberg(format_version=3) == 4
+    assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())
+
+
+def test_convert_v3_puffin_dvs_roundtrip(spark, tmp_path):
+    """v3 export with DVs -> strip txlog -> adopt: the Puffin blobs
+    decode through the MANIFEST framing back into a txlog DV sidecar,
+    row-exactly."""
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = _mk(spark, tmp_path, n=60)
+    t.delete_where("k % 4 = 1", mode="dv")
+    want = _rows(t.read())
+    t.to_iceberg(format_version=3)
+    _strip_txlog(t)
+    t2 = convert_from_iceberg(spark, t.path)
+    assert _rows(t2.read()) == want
+    dvs = t2._replay_full()[2]
+    assert dvs and all(d["pathkey"] == "rel" for d in dvs.values())
