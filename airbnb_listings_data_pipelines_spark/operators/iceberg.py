@@ -2132,6 +2132,21 @@ def _apply_equality_deletes(
             .parquet(*[os.path.join(table_path, r) for r in targets])
             .select(*sel)
         )
+        # the delete parquet must actually CARRY the equality columns
+        # under their logical names: an explicit schema over missing
+        # columns reads all-NULL, and NULL eqNullSafe NULL would then
+        # delete every null-valued row — verify the footer first
+        import pyarrow.parquet as pq
+
+        for dp in sorted(set(dpaths)):
+            have = set(pq.ParquetFile(dp).schema_arrow.names)
+            miss = [f["name"] for f in cols if f["name"] not in have]
+            if miss:
+                raise ValueError(
+                    f"convert_from_iceberg refused: equality delete "
+                    f"{dp!r} lacks column(s) {miss} its equality_ids "
+                    "name — corrupt or renamed metadata"
+                )
         dels = (
             spark.read.schema(dschema)
             .parquet(*sorted(set(dpaths)))

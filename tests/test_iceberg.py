@@ -1134,6 +1134,43 @@ def test_pyiceberg_opens_exported_metadata(spark, tmp_path):
     assert set(arrow.column("k").to_pylist()) == set(range(40))
 
 
+def test_pyiceberg_reads_nested_and_v3_dvs(spark, tmp_path):
+    """Env-gated (probed round 13: no pyiceberg, no network): a REAL
+    external reader over the round-13 surfaces — nested schema export
+    and v3 Puffin deletion vectors. Runs the moment pyiceberg lands."""
+    pytest.importorskip(
+        "pyiceberg", reason="pyiceberg not installed (no network in sandbox)"
+    )
+    from pyiceberg.table import StaticTable
+
+    nested = TxLogTable.create(
+        spark,
+        str(tmp_path / "n"),
+        spark.createDataFrame(
+            [(k, [k, k + 1], (k * 1.0, "t")) for k in range(30)],
+            "k int, xs array<int>, s struct<w:double,tag:string>",
+        ),
+    )
+    ordn = nested.to_iceberg()
+    tb = StaticTable.from_metadata(
+        os.path.join(nested.path, "metadata", f"v{ordn}.metadata.json")
+    )
+    arrow = tb.scan().to_arrow()
+    assert arrow.num_rows == 30
+    assert sorted(arrow.column("xs").to_pylist())[0] == [0, 1]
+
+    dvt = _mk(spark, tmp_path, n=40)
+    dvt.delete_where("k % 4 = 1", mode="dv")
+    ordv = dvt.to_iceberg(format_version=3)
+    tb3 = StaticTable.from_metadata(
+        os.path.join(dvt.path, "metadata", f"v{ordv}.metadata.json")
+    )
+    arrow3 = tb3.scan().to_arrow()
+    assert set(arrow3.column("k").to_pylist()) == {
+        k for k in range(40) if k % 4 != 1
+    }
+
+
 def test_duckdb_iceberg_extension_reads_export(spark, tmp_path):
     import duckdb
 
@@ -1775,3 +1812,40 @@ def test_convert_v3_puffin_dvs_roundtrip(spark, tmp_path):
     assert _rows(t2.read()) == want
     dvs = t2._replay_full()[2]
     assert dvs and all(d["pathkey"] == "rel" for d in dvs.values())
+
+
+def test_v3_via_table_property_and_expiry_gc(spark, tmp_path):
+    """iceberg.format-version='3' as a TABLE PROPERTY drives the first
+    export (UniForm-style: declarative, no code change), and
+    expire_iceberg_snapshots garbage-collects a dropped snapshot's
+    Puffin DV file exactly like v2's delete parquets."""
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        expire_iceberg_snapshots,
+    )
+
+    t = _mk(spark, tmp_path, n=40)
+    t.set_properties({"iceberg.format-version": "3"})
+    t.delete_where("k % 4 = 1", mode="dv")
+    t.to_iceberg()  # property-driven v3
+    md = json.load(
+        open(os.path.join(t.path, "metadata", "v1.metadata.json"))
+    )
+    assert md["format-version"] == 3
+    meta_dir = os.path.join(t.path, "metadata")
+    puffins_v1 = {
+        f for f in os.listdir(meta_dir) if f.endswith(".puffin")
+    }
+    assert len(puffins_v1) == 1
+    # second snapshot rewrites the DV state into a fresh puffin
+    t.delete_where("k % 4 = 2", mode="dv")
+    t.to_iceberg()
+    puffins_v2 = {
+        f for f in os.listdir(meta_dir) if f.endswith(".puffin")
+    }
+    assert len(puffins_v2) == 2
+    removed = expire_iceberg_snapshots(t.path, keep_last=1)
+    # the old snapshot's puffin is gone, the current one survives
+    left = {f for f in os.listdir(meta_dir) if f.endswith(".puffin")}
+    assert len(left) == 1 and left < puffins_v2
+    assert any(p.endswith(".puffin") for p in removed)
+    assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())
