@@ -760,6 +760,46 @@ def _manifest_list_schema() -> dict:
             fld("added_rows_count", 512, "long"),
             fld("existing_rows_count", 513, "long"),
             fld("deleted_rows_count", 514, "long"),
+            # per-partition-field summaries (spec field_summary): an
+            # engine prunes WHOLE manifests on these before decoding a
+            # single entry — the manifest-plane skip that keeps a
+            # million-file table's plan O(matching manifests)
+            {
+                "name": "partitions",
+                "type": [
+                    "null",
+                    {
+                        "type": "array",
+                        "element-id": 508,
+                        "items": {
+                            "type": "record",
+                            "name": "field_summary",
+                            "fields": [
+                                fld("contains_null", 509, "boolean"),
+                                fld(
+                                    "contains_nan",
+                                    518,
+                                    "boolean",
+                                    optional=True,
+                                ),
+                                fld(
+                                    "lower_bound",
+                                    510,
+                                    "bytes",
+                                    optional=True,
+                                ),
+                                fld(
+                                    "upper_bound",
+                                    511,
+                                    "bytes",
+                                    optional=True,
+                                ),
+                            ],
+                        },
+                    },
+                ],
+                "field-id": 507,
+            },
         ],
     }
 
@@ -950,6 +990,18 @@ def _decode_single(ice_type: str, b: bytes):
             days=struct.unpack("<i", b)[0]
         )
     raise ValueError(f"no single-value decoding for {ice_type!r}")
+
+
+def _partition_bound_bytes(ice_type: str, v) -> bytes | None:
+    """Single-value encoding for an identity PARTITION value as the
+    manifest carries it — dates are already days-from-epoch ints (the
+    :func:`_partition_value` form), everything else matches
+    :func:`_bound_bytes`."""
+    if v is None:
+        return None
+    if ice_type == "date":
+        return struct.pack("<i", int(v))
+    return _bound_bytes(ice_type, v)
 
 
 def _file_metrics(
@@ -1384,6 +1436,31 @@ def export_iceberg_metadata(table, format_version: int | None = None) -> int:
                 "content": "data",
             },
         )
+        part_summary = None
+        if pby and entries:
+            # spec field_summary per partition field: engines (and
+            # read_iceberg_snapshot below) prune WHOLE manifests on
+            # these before decoding one entry
+            part_summary = []
+            for c in pby:
+                vals = [
+                    e["data_file"]["partition"].get(c) for e in entries
+                ]
+                nn = [v for v in vals if v is not None]
+                s: dict = {
+                    "contains_null": any(v is None for v in vals)
+                }
+                if nn:
+                    b_lo = _partition_bound_bytes(
+                        part_ice_types[c], min(nn)
+                    )
+                    b_hi = _partition_bound_bytes(
+                        part_ice_types[c], max(nn)
+                    )
+                    if b_lo is not None and b_hi is not None:
+                        s["lower_bound"] = b_lo
+                        s["upper_bound"] = b_hi
+                part_summary.append(s)
         mlist_entries.append(
             {
                 "manifest_path": manifest_path,
@@ -1399,6 +1476,7 @@ def export_iceberg_metadata(table, format_version: int | None = None) -> int:
                 "added_rows_count": rows_added,
                 "existing_rows_count": rows_existing,
                 "deleted_rows_count": 0,
+                "partitions": part_summary,
             }
         )
     # merge-on-read DML removes NO files, so n_existing alone cannot
@@ -1697,6 +1775,29 @@ def export_iceberg_metadata(table, format_version: int | None = None) -> int:
             else []
         ),
     }
+    # Iceberg's metadata-file retention (spec properties
+    # write.metadata.delete-after-commit.enabled +
+    # write.metadata.previous-versions-max): trim the metadata-log to
+    # the newest N entries and delete the dropped vK.metadata.json
+    # files AFTER the new current file lands. Snapshots are untouched
+    # — old metadata files only serve metadata rollback, so a
+    # long-lived table's metadata/ stays O(retention window) instead
+    # of accreting one JSON per commit forever.
+    doomed_meta: list[str] = []
+    if (
+        str(
+            props.get("write.metadata.delete-after-commit.enabled", "false")
+        ).lower()
+        == "true"
+    ):
+        keep_meta = max(
+            1,
+            int(props.get("write.metadata.previous-versions-max", 100)),
+        )
+        mlog = md["metadata-log"]
+        if len(mlog) > keep_meta:
+            doomed_meta = [e["metadata-file"] for e in mlog[:-keep_meta]]
+            md["metadata-log"] = mlog[-keep_meta:]
     ordinal = prev_ordinal + 1
     with open(
         os.path.join(meta_dir, f"v{ordinal}.metadata.json"), "w"
@@ -1704,6 +1805,11 @@ def export_iceberg_metadata(table, format_version: int | None = None) -> int:
         json.dump(md, fh, indent=1)
     with open(hint, "w") as fh:
         fh.write(str(ordinal))
+    for p in doomed_meta:
+        try:
+            os.remove(p)
+        except OSError:
+            pass  # already gone: retention is best-effort cleanup
     return ordinal
 
 
@@ -1884,13 +1990,51 @@ def read_iceberg_snapshot(
     delete_paths: list[str] = []
     dv_pairs: list[tuple[str, int]] = []
     for mf in manifests:
-        _ms, _mm, entries = read_avro_container(mf["manifest_path"])
         pnames = [
             f["name"]
             for f in spec_fields[mf["partition_spec_id"]]
         ]
         if mf.get("content", 0) == 0:
             part_cols = pnames
+            if (
+                prune_fid is not None
+                and mf.get("partitions")
+                and prune[0] in pnames
+            ):
+                # MANIFEST-LEVEL prune on the spec's field summaries:
+                # a data manifest whose whole partition range misses
+                # [lo, hi] is skipped before decoding one entry —
+                # zero Avro work for untouched manifests, the plan
+                # cost an external engine pays too. Delete manifests
+                # are never skipped (their deletes apply to kept
+                # files); manifests containing null partition values
+                # are conservatively kept.
+                i = pnames.index(prune[0])
+                s = (
+                    mf["partitions"][i]
+                    if i < len(mf["partitions"])
+                    else None
+                )
+                if (
+                    s is not None
+                    and not s.get("contains_null")
+                    and s.get("lower_bound") is not None
+                    and s.get("upper_bound") is not None
+                ):
+                    try:
+                        s_lo = _decode_single(
+                            prune_typ, s["lower_bound"]
+                        )
+                        s_hi = _decode_single(
+                            prune_typ, s["upper_bound"]
+                        )
+                    except (ValueError, struct.error):
+                        s_lo = s_hi = None
+                    if s_lo is not None and (
+                        s_hi < p_lo or s_lo > p_hi
+                    ):
+                        continue
+        _ms, _mm, entries = read_avro_container(mf["manifest_path"])
         for e in entries:
             if e["status"] == 2:  # DELETED
                 continue

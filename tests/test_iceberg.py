@@ -1849,3 +1849,98 @@ def test_v3_via_table_property_and_expiry_gc(spark, tmp_path):
     assert len(left) == 1 and left < puffins_v2
     assert any(p.endswith(".puffin") for p in removed)
     assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())
+
+
+def test_manifest_list_partition_summaries_prune_manifests(
+    spark, tmp_path
+):
+    """The manifest-list's field_summary (contains_null, lower/upper
+    bounds per partition field) lets the reader skip WHOLE manifests
+    before decoding an entry — verified by poisoning the out-of-range
+    manifest file on disk: a pruned read succeeds (never opened), a
+    full read raises."""
+    t = _mk(spark, tmp_path, partition_by=["g"])
+    t.to_iceberg()
+    # second export after an append into ONE partition: the fresh
+    # manifest covers only g='c'
+    t.append(
+        spark.createDataFrame(
+            [(100 + i, 1.0, "c") for i in range(5)],
+            "k int, amt double, g string",
+        )
+    )
+    t.to_iceberg()
+    md = json.load(
+        open(os.path.join(t.path, "metadata", "v2.metadata.json"))
+    )
+    snap = md["snapshots"][-1]
+    _s, _m, mfs = read_avro_container(snap["manifest-list"])
+    with_summary = [
+        m for m in mfs if m["content"] == 0 and m.get("partitions")
+    ]
+    assert with_summary, "fresh manifests must carry field summaries"
+    fresh = next(
+        m
+        for m in with_summary
+        if m["partitions"][0].get("lower_bound") == b"c"
+    )
+    assert fresh["partitions"][0]["upper_bound"] == b"c"
+    assert fresh["partitions"][0]["contains_null"] is False
+    # prune to g='a': the g='c' manifest must not even be OPENED
+    rows_a = {
+        r["k"]
+        for r in read_iceberg_snapshot(
+            spark, t.path, prune=("g", "a", "a")
+        ).collect()
+    }
+    assert rows_a >= {k for k in range(40) if k % 2 == 0}
+    os.rename(fresh["manifest_path"], fresh["manifest_path"] + ".bak")
+    try:
+        pruned = read_iceberg_snapshot(
+            spark, t.path, prune=("g", "a", "a")
+        )
+        assert {r["k"] for r in pruned.collect()} == rows_a
+        with pytest.raises(FileNotFoundError):
+            read_iceberg_snapshot(spark, t.path)
+    finally:
+        os.rename(
+            fresh["manifest_path"] + ".bak", fresh["manifest_path"]
+        )
+
+
+def test_metadata_file_retention_property(spark, tmp_path):
+    """write.metadata.delete-after-commit.enabled +
+    previous-versions-max trim metadata/ to the newest N history
+    files; snapshots and the current file are untouched."""
+    t = _mk(spark, tmp_path)
+    t.set_properties(
+        {
+            "write.metadata.delete-after-commit.enabled": "true",
+            "write.metadata.previous-versions-max": "2",
+        }
+    )
+    for i in range(5):
+        t.append(
+            spark.createDataFrame(
+                [(1000 + i, 1.0, "z")], "k int, amt double, g string"
+            )
+        )
+        t.to_iceberg()
+    meta = os.path.join(t.path, "metadata")
+    have = sorted(
+        f for f in os.listdir(meta) if f.endswith(".metadata.json")
+    )
+    with open(os.path.join(meta, "version-hint.text")) as fh:
+        ordinal = int(fh.read().strip())
+    md = json.load(
+        open(os.path.join(meta, f"v{ordinal}.metadata.json"))
+    )
+    assert len(md["metadata-log"]) == 2
+    # only the retained history files + the current one survive
+    kept = {
+        os.path.basename(e["metadata-file"]) for e in md["metadata-log"]
+    } | {f"v{ordinal}.metadata.json"}
+    assert set(have) == kept
+    # every snapshot still reads (snapshots don't live in old vK files)
+    assert len(md["snapshots"]) == 5
+    assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())
