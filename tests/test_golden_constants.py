@@ -74,3 +74,57 @@ def test_adhoc_a_reproduces_published_mosman_constant(spark, golden_dir):
     worst = out[1]
     assert worst.neighbourhood_lga == "WAVERLEY"
     assert worst.estimated_revenue_per_active_listings == Decimal("1000.00")
+
+
+def test_published_constants_on_real_inside_airbnb_data(spark):
+    """Env-gated (zero-cost insurance, round-13 verdict item 8): when
+    the ORIGINAL Inside Airbnb Sydney CSVs are mounted (point
+    $SPARK_GRAFT_AIRBNB_DIR at a directory holding the
+    MM_YYYY_listings.csv files + the census/LGA/SSC reference CSVs the
+    pipeline expects), the full ELT must reproduce the report's
+    published constants exactly: best/worst LGA revenue per active
+    listing $7,213.16 (Mosman) / $1,024.49 (Cumberland) [report p6
+    Table 1], 5,044 multi-listing hosts with the 821/611/206 buckets
+    [p11 Table 3], and 30,305 unique-listing hosts with 19.48% full
+    mortgage coverage [p11 Table 4]. Probed 2026-08-17: no real data
+    in the sandbox — the fixture-derived twin above stays the active
+    gate."""
+    import os
+
+    from decimal import Decimal
+
+    data_dir = os.environ.get("SPARK_GRAFT_AIRBNB_DIR")
+    if not data_dir or not os.path.isdir(data_dir):
+        pytest.skip(
+            "SPARK_GRAFT_AIRBNB_DIR not set — original Inside Airbnb "
+            "CSVs are private and absent from this sandbox"
+        )
+    from airbnb_listings_data_pipelines_spark.plans.adhoc import (
+        query_c_same_neighbourhood,
+        query_d_mortgage_coverage,
+    )
+
+    res = run_pipeline(spark, data_dir)
+    a = query_a_best_worst_demographics(res.fact_listing, res.dim_census).collect()
+    assert a[0]["neighbourhood_lga"] == "MOSMAN"
+    assert a[0]["estimated_revenue_per_active_listings"] == Decimal(
+        "7213.16"
+    )
+    assert a[-1]["neighbourhood_lga"] == "CUMBERLAND"
+    assert a[-1]["estimated_revenue_per_active_listings"] == Decimal(
+        "1024.49"
+    )
+    c = {
+        r["percentage_in_same_lga"]: r
+        for r in query_c_same_neighbourhood(res.fact_listing).collect()
+    }
+    assert all(
+        r["total_number_of_host_with_mutiple_listings"] == 5044
+        for r in c.values()
+    )
+    assert c["100%"]["number_of_host_same_lga_per_range"] == 821
+    assert c["50% - 99%"]["number_of_host_same_lga_per_range"] == 611
+    assert c["<50%"]["number_of_host_same_lga_per_range"] == 206
+    d = query_d_mortgage_coverage(res.fact_listing, res.dim_census).collect()[0]
+    assert d["total_number_of_host"] == 30305
+    assert d["percentage_of_host_can_cover_all"] == Decimal("19.48")
