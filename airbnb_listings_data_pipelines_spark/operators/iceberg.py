@@ -280,9 +280,10 @@ _PUFFIN_MAGIC = b"PFA1"
 
 def write_puffin_dv_file(
     path: str,
-    dv_positions: dict[str, list[int]],
+    dv_positions: dict,
     snapshot_id: int,
     sequence_number: int,
+    pre_encoded: bool = False,
 ) -> dict[str, tuple[int, int, int]]:
     """Write an Apache PUFFIN file holding one ``deletion-vector-v1``
     blob per referenced data file — Iceberg v3's deletion-vector
@@ -305,8 +306,10 @@ def write_puffin_dv_file(
     ``content_offset``/``content_size_in_bytes`` must carry, so a
     reader can slice a single DV without parsing the footer.
 
-    O(deleted rows) driver-side byte work — the DV cost model; no
-    Spark jobs."""
+    O(deleted rows) byte work — the DV cost model; with
+    ``pre_encoded=True`` the values of ``dv_positions`` are already
+    ``(portable-RBA bytes, cardinality)`` pairs (the export encodes
+    them executor-side and the driver only frames blobs)."""
     import zlib
 
     from .roaring import serialize_rba
@@ -315,8 +318,12 @@ def write_puffin_dv_file(
     blobs_meta: list[dict] = []
     refs: dict[str, tuple[int, int, int]] = {}
     for ref in sorted(dv_positions):
-        positions = sorted(set(dv_positions[ref]))
-        vec = serialize_rba(positions)  # leads with D1 D3 39 64
+        if pre_encoded:
+            vec, card = dv_positions[ref]
+        else:
+            positions = sorted(set(dv_positions[ref]))
+            vec = serialize_rba(positions)  # leads with D1 D3 39 64
+            card = len(positions)
         framed = (
             struct.pack(">i", len(vec))
             + vec
@@ -334,11 +341,11 @@ def write_puffin_dv_file(
                 "length": len(framed),
                 "properties": {
                     "referenced-data-file": ref,
-                    "cardinality": str(len(positions)),
+                    "cardinality": str(card),
                 },
             }
         )
-        refs[ref] = (off, len(framed), len(positions))
+        refs[ref] = (off, len(framed), card)
     payload = json.dumps({"blobs": blobs_meta}).encode("utf-8")
     out += _PUFFIN_MAGIC
     out += payload
@@ -1524,21 +1531,46 @@ def export_iceberg_metadata(table, format_version: int | None = None) -> int:
         # O(deleted rows) driver-side, the DV cost model — and unlike
         # v2's global position-delete parquet, scoped per file exactly
         # as merge-on-read readers consume it.
-        rows3 = (
-            table._dv_frame(dvs, files)
+        # roaring-encode each file's vector EXECUTOR-side (one
+        # Arrow-batched group per file), so the driver collects only
+        # the serialized blobs (~1-2 B/deleted row, the probe's
+        # measure) instead of raw position Rows (~100 B/row object
+        # overhead) — the difference between "driver folds blobs" and
+        # "driver holds every deleted position" at a 100 TB table's
+        # delete volumes
+        def _enc(pdf):
+            import pandas as pd
+
+            from .roaring import serialize_rba
+
+            return pd.DataFrame(
+                {
+                    "file": [pdf["file"].iloc[0]],
+                    "vec": [
+                        serialize_rba(
+                            sorted(int(x) for x in pdf["row_index"])
+                        )
+                    ],
+                    "card": [len(pdf)],
+                }
+            )
+
+        blobs3 = {
+            os.path.join(table.path, r["file"]): (
+                bytes(r["vec"]),
+                int(r["card"]),
+            )
+            for r in table._dv_frame(dvs, files)
             .select("file", "row_index")
+            .groupBy("file")
+            .applyInPandas(_enc, "file string, vec binary, card long")
             .collect()
-        )
-        pos3: dict[str, list[int]] = {}
-        for r in rows3:
-            pos3.setdefault(
-                os.path.join(table.path, r["file"]), []
-            ).append(int(r["row_index"]))
+        }
         puffin_path = os.path.join(
             meta_dir, f"{uuid.uuid4().hex}-deletes.puffin"
         )
         refs3 = write_puffin_dv_file(
-            puffin_path, pos3, version, version
+            puffin_path, blobs3, version, version, pre_encoded=True
         )
         n_del = sum(c for _o, _l, c in refs3.values())
         n_del_files = len(refs3)
