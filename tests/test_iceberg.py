@@ -1944,3 +1944,50 @@ def test_metadata_file_retention_property(spark, tmp_path):
     # every snapshot still reads (snapshots don't live in old vK files)
     assert len(md["snapshots"]) == 5
     assert _rows(read_iceberg_snapshot(spark, t.path)) == _rows(t.read())
+
+
+def test_convert_v3_puffin_partitioned(spark, tmp_path):
+    """v3 DVs on a hive-partitioned table survive adoption: blob
+    references carry the partition dirs in their paths and re-key to
+    relative txlog paths."""
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = _mk(spark, tmp_path, n=60, partition_by=["g"])
+    t.delete_where("k % 4 = 1", mode="dv")
+    want = _rows(t.read())
+    t.to_iceberg(format_version=3)
+    _strip_txlog(t)
+    t2 = convert_from_iceberg(spark, t.path)
+    assert _rows(t2.read()) == want
+    pby, _ = t2.partition_meta()
+    assert pby == ["g"]
+
+
+def test_convert_equality_deletes_column_mapped(spark, tmp_path):
+    """Equality deletes against a COLUMN-MAPPED foreign table: the
+    delete parquet carries LOGICAL names, the data files physical
+    ones — the semi-join must bridge through the name mapping."""
+    import pyarrow as pa
+
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        convert_from_iceberg,
+    )
+
+    t = _mk(spark, tmp_path, n=40)
+    t.rename_column("g", "grp")  # physical stays 'g'
+    t.to_iceberg()
+    _strip_txlog(t)
+    # field ids: k=1, amt=2, grp=3 (stable under rename)
+    _append_foreign_equality_delete(
+        t.path,
+        pa.table({"grp": pa.array(["a"], type=pa.string())}),
+        equality_ids=[3],
+        seq=9,
+    )
+    t2 = convert_from_iceberg(spark, t.path)
+    got = {
+        (r["k"], r["grp"]) for r in t2.read().collect()
+    }
+    assert got == {(k, "b") for k in range(40) if k % 2 == 1}
