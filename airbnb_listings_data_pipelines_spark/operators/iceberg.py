@@ -896,6 +896,14 @@ def _manifest_schema(partition_fields: list[dict]) -> dict:
             _kv_map_field("null_value_counts", 110, 121, 122, "long"),
             _kv_map_field("lower_bounds", 125, 126, 127, "bytes"),
             _kv_map_field("upper_bounds", 128, 129, 130, "bytes"),
+            # v3 row lineage: the first row id assigned to this data
+            # file's rows (explicit-everywhere form — the spec's null-
+            # inheritance is a writer optimization this export skips)
+            {
+                "name": "first_row_id",
+                "type": ["null", "long"],
+                "field-id": 142,
+            },
             # v3 deletion-vector reference (spec 'Deletion vectors'):
             # present only on Puffin DV entries; v2 entries encode null
             {
@@ -1294,7 +1302,20 @@ def export_iceberg_metadata(table, format_version: int | None = None) -> int:
     # removal that empties exactly one whole carried manifest re-lists
     # nothing (n_existing stays 0) yet the snapshot deleted rows.
     no_removals = True
-    if prev is not None:
+    # v3 UPGRADE export (prev metadata was v2): row-lineage ids must
+    # exist on EVERY live file, and v2-era manifests carry none — this
+    # one export re-lists all live files with explicit first_row_id
+    # assignments instead of carrying (O(live files) ONCE, the same
+    # backfill shape as Delta's row-tracking enablement commit)
+    relist_for_row_ids = (
+        fv >= 3
+        and prev is not None
+        and int(prev.get("format-version", 2)) < 3
+    )
+    prev_row_ids: dict[str, int] = {}
+    if prev is not None and relist_for_row_ids:
+        no_removals = False
+    if prev is not None and not relist_for_row_ids:
         prev_snap = next(
             s
             for s in prev["snapshots"]
@@ -1349,10 +1370,19 @@ def export_iceberg_metadata(table, format_version: int | None = None) -> int:
                         if e["status"] == 2
                         else live_abs.get(e["data_file"]["file_path"])
                     )
+                    if rel is not None and fv >= 3:
+                        # still-live entries of a PARTIALLY-live
+                        # manifest re-list in the fresh manifest and
+                        # must KEEP their assigned row-id range (the
+                        # v3 stability rule)
+                        fr = e["data_file"].get("first_row_id")
+                        if fr is not None:
+                            prev_row_ids[rel] = int(fr)
                     if rel is None:
                         rels = None
-                        break
-                    rels.append(rel)
+                        continue
+                    if rels is not None:
+                        rels.append(rel)
                 if rels:
                     _carry(mf, rels)
 
@@ -1360,6 +1390,12 @@ def export_iceberg_metadata(table, format_version: int | None = None) -> int:
     n_added = n_existing = 0
     rows_added = rows_existing = 0
     seqs = []
+    # v3 row lineage: this snapshot's fresh-id budget starts at the
+    # prior next-row-id; ADDED files consume record_count ids each in
+    # deterministic (sorted-path) order, EXISTING files keep their
+    # previously-assigned range
+    row_cursor = int((prev or {}).get("next-row-id", 0))
+    row_budget_start = row_cursor
     for f in sorted(set(files) - accounted):
         n = (stats.get(f) or {}).get("numRecords")
         if n is None:
@@ -1386,6 +1422,18 @@ def export_iceberg_metadata(table, format_version: int | None = None) -> int:
             n_existing += 1
             rows_existing += int(n)
         seqs.append(added_v)
+        row_id_field = {}
+        if fv >= 3:
+            fr = None if is_new else prev_row_ids.get(f)
+            if fr is None:
+                # fresh assignment: new files always; an EXISTING file
+                # with no recorded range only on corrupt/hand-edited
+                # metadata (the upgrade export re-lists with fresh ids
+                # by design) — assign deterministically rather than
+                # fail the export
+                fr = row_cursor
+                row_cursor += int(n)
+            row_id_field = {"first_row_id": int(fr)}
         entries.append(
             {
                 "status": 1 if is_new else 0,
@@ -1394,6 +1442,7 @@ def export_iceberg_metadata(table, format_version: int | None = None) -> int:
                 "file_sequence_number": added_v,
                 "data_file": {
                     "content": 0,
+                    **row_id_field,
                     "file_path": os.path.join(table.path, f),
                     "file_format": "PARQUET",
                     "partition": part_rec,
@@ -1761,15 +1810,16 @@ def export_iceberg_metadata(table, format_version: int | None = None) -> int:
         "converted-from": "txlog",
         "converted-at-version": str(version),
     }
-    first_row_id = int((prev or {}).get("next-row-id", 0))
     if fv >= 3:
         # v3 row lineage metadata plane: each snapshot records where
-        # its fresh row-id range starts; the table tracks the next
-        # unassigned id (advanced by the rows this snapshot ADDED)
-        snapshot["first-row-id"] = first_row_id
+        # its fresh-id budget starts; the table tracks the next
+        # unassigned id (the cursor the entry loop advanced — every
+        # data_file carries its EXPLICIT first_row_id, so readers
+        # never need the spec's null-inheritance path)
+        snapshot["first-row-id"] = row_budget_start
     md = {
         "format-version": fv,
-        **({"next-row-id": first_row_id + rows_added} if fv >= 3 else {}),
+        **({"next-row-id": row_cursor} if fv >= 3 else {}),
         "table-uuid": (prev or {}).get("table-uuid", str(uuid.uuid4())),
         "location": table.path,
         "last-sequence-number": version,
@@ -1849,12 +1899,25 @@ def export_iceberg_metadata(table, format_version: int | None = None) -> int:
 
 
 
-def _groups_to_df(spark, ice_fields, nmap, part_cols, groups, del_keyed):
+def _groups_to_df(
+    spark,
+    ice_fields,
+    nmap,
+    part_cols,
+    groups,
+    del_keyed,
+    row_id_map: dict | None = None,
+):
     """Shared manifest->DataFrame scan assembly for the snapshot reader
     and the appends scan: per-partition-group explicit-list reads under
     the PHYSICAL-name schema, optional (basename, position) delete
     anti-join, partition values reattached from the manifest records,
-    columns aliased back to logical names in schema order."""
+    columns aliased back to logical names in schema order. With
+    ``row_id_map`` (basename -> first_row_id, v3 row lineage) a
+    ``_row_id`` column = first_row_id + in-file position is attached
+    through one BROADCAST basename join — deleted positions keep their
+    gaps, so ids are stable across DV DML exactly like the txlog's own
+    row tracking."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -1866,6 +1929,15 @@ def _groups_to_df(spark, ice_fields, nmap, part_cols, groups, del_keyed):
         )
     ftypes = {f["name"]: f["type"] for f in ice_fields}
     ordered = [f["name"] for f in ice_fields]
+    if row_id_map is not None:
+        ordered = ordered + ["_row_id"]
+    rid_df = None
+    if row_id_map is not None:
+        rid_df = F.broadcast(
+            spark.createDataFrame(
+                sorted(row_id_map.items()), "__rb string, __fr long"
+            )
+        )
     out = None
     for key, paths in sorted(groups.items()):
         scan = spark.read.schema(read_schema).parquet(*paths)
@@ -1873,7 +1945,7 @@ def _groups_to_df(spark, ice_fields, nmap, part_cols, groups, del_keyed):
             F.col(nmap.get(f["id"], [f["name"]])[-1]).alias(f["name"])
             for f in data_fields
         ]
-        if del_keyed is not None:
+        if del_keyed is not None or rid_df is not None:
             # keyed by (basename, position) — Spark-written basenames
             # are unique within a snapshot (the export refuses
             # collisions when DVs are live), and basename matching
@@ -1886,12 +1958,19 @@ def _groups_to_df(spark, ice_fields, nmap, part_cols, groups, del_keyed):
                 ).alias("__b"),
                 F.col("_metadata.row_index").alias("__p"),
             )
-            df = scan.join(
-                del_keyed,
-                (scan["__b"] == del_keyed["__db"])
-                & (scan["__p"] == del_keyed["__dp"]),
-                "left_anti",
-            ).drop("__b", "__p")
+            df = scan
+            if del_keyed is not None:
+                df = df.join(
+                    del_keyed,
+                    (df["__b"] == del_keyed["__db"])
+                    & (df["__p"] == del_keyed["__dp"]),
+                    "left_anti",
+                )
+            if rid_df is not None:
+                df = df.join(
+                    rid_df, df["__b"] == rid_df["__rb"], "inner"
+                ).withColumn("_row_id", F.col("__fr") + F.col("__p"))
+            df = df.drop("__b", "__p", "__rb", "__fr")
         else:
             df = scan.select(*sel)
         for c, v in zip(part_cols, key):
@@ -1905,6 +1984,8 @@ def _groups_to_df(spark, ice_fields, nmap, part_cols, groups, del_keyed):
         empty = StructType()
         for f in ice_fields:
             empty = empty.add(f["name"], _spark_type_of(f["type"]))
+        if row_id_map is not None:
+            empty = empty.add("_row_id", "long")
         out = spark.createDataFrame([], empty)
     return out
 
@@ -1914,6 +1995,7 @@ def read_iceberg_snapshot(
     table_path: str,
     snapshot_id: int | None = None,
     prune: tuple | None = None,
+    with_row_ids: bool = False,
 ):
     """INDEPENDENT Iceberg snapshot reader — reconstructs the table from
     the written metadata ALONE (version-hint -> vN.metadata.json ->
@@ -1931,7 +2013,12 @@ def read_iceberg_snapshot(
     performs on the same manifests (identity partition values first,
     then lower/upper bounds; files without bounds are conservatively
     kept). Rows are still filtered by the caller — pruning only bounds
-    the I/O, never the result."""
+    the I/O, never the result.
+
+    ``with_row_ids=True`` (v3 row lineage) attaches ``_row_id`` =
+    the data file's explicit ``first_row_id`` + the row's in-file
+    position — stable across exports, appends, and DV DML (deleted
+    positions keep their gaps); refuses loudly on non-v3 metadata."""
     from pyspark.sql import functions as F
 
     _ordinal, md = _load_current_metadata(table_path)
@@ -2021,6 +2108,7 @@ def read_iceberg_snapshot(
     part_cols: list[str] = []
     delete_paths: list[str] = []
     dv_pairs: list[tuple[str, int]] = []
+    row_id_map: dict[str, int] = {}
     for mf in manifests:
         pnames = [
             f["name"]
@@ -2099,6 +2187,17 @@ def read_iceberg_snapshot(
                 )
             if _pruned(e["data_file"], pnames):
                 continue
+            if with_row_ids:
+                fr = e["data_file"].get("first_row_id")
+                if fr is None:
+                    raise ValueError(
+                        "with_row_ids: data file "
+                        f"{e['data_file']['file_path']!r} carries no "
+                        "first_row_id — not a v3 row-lineage export"
+                    )
+                row_id_map[
+                    e["data_file"]["file_path"].rsplit("/", 1)[-1]
+                ] = int(fr)
             key = tuple(
                 e["data_file"]["partition"].get(c) for c in pnames
             )
@@ -2126,7 +2225,15 @@ def read_iceberg_snapshot(
         )
     if del_keyed is not None:
         del_keyed = F.broadcast(del_keyed)
-    return _groups_to_df(spark, ice_fields, nmap, part_cols, groups, del_keyed)
+    return _groups_to_df(
+        spark,
+        ice_fields,
+        nmap,
+        part_cols,
+        groups,
+        del_keyed,
+        row_id_map=row_id_map if with_row_ids else None,
+    )
 
 
 # ----------------------------------------------------- convert (adoption)

@@ -8253,3 +8253,82 @@ def x119_iceberg_v3_puffin_dv(
             F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
         ).alias("total_cents"),
     )
+
+
+@query(
+    "x120_iceberg_v3_row_lineage",
+    oracle="""
+    WITH live AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 3
+      UNION ALL
+      SELECT o_orderkey + 95000000 FROM orders WHERE o_orderkey % 6 = 2
+    ),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM orders)
+             + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 6 = 2)
+             AS n_added
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_ids,
+           CAST((SELECT n_added FROM tot) - 1 AS BIGINT) AS id_max,
+           CAST(COUNT(*) AS BIGINT) AS n_in_budget
+    FROM live
+    """,
+    survey_rows=("EXT-tableformat", "A2"),
+    doc="ICEBERG V3 ROW LINEAGE (round 13, completing the judged "
+    "'pairs with row lineage' lead): orders -> txlog -> "
+    "to_iceberg(format_version=3) assigns every data_file an "
+    "EXPLICIT first_row_id from the snapshot's budget (the spec's "
+    "null-inheritance is a writer optimization this export skips); "
+    "an appended batch (%6==2 shifted +95000000) consumes the next "
+    "budget in a second export; a DV DELETE of originals (%7==3, "
+    "keys < 95000000) and a third export leave id GAPS instead of "
+    "reassigning. read_iceberg_snapshot(with_row_ids=True) attaches "
+    "_row_id = first_row_id + in-file position through one broadcast "
+    "basename join. The hashed invariants: live row count == "
+    "DISTINCT _row_id count (ids unique, stable across three "
+    "snapshots), max _row_id == total-rows-ever-added - 1 (the "
+    "budget is dense and deletes never reassign), and every id fits "
+    "the budget — a reassigned, duplicated, or shifted id anywhere "
+    "breaks the hash against DuckDB on raw orders. Scale: id "
+    "assignment is O(changed files) manifest metadata riding the "
+    "existing export; the read-side attach is a broadcast of "
+    "O(live files) (basename, first_row_id) pairs. operators/"
+    "iceberg.py export row_cursor + _groups_to_df row_id_map.",
+)
+def x120_iceberg_v3_row_lineage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.iceberg import read_iceberg_snapshot
+    from ..operators.txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = _dml_scratch("x120" + sf_dir)
+    t = TxLogTable.create(
+        spark, path, orders.repartitionByRange(6, "o_orderkey")
+    )
+    t.to_iceberg(format_version=3)
+    t.append(
+        orders.filter("o_orderkey % 6 = 2").selectExpr(
+            "o_orderkey + 95000000 AS o_orderkey", "o_totalprice"
+        )
+    )
+    t.to_iceberg()
+    t.delete_where(
+        "o_orderkey % 7 = 3 AND o_orderkey < 95000000", mode="dv"
+    )
+    t.to_iceberg()
+    ice = read_iceberg_snapshot(spark, t.path, with_row_ids=True)
+    n_added = F.lit(
+        orders.count() + orders.filter("o_orderkey % 6 = 2").count()
+    )
+    return ice.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("_row_id").alias("n_ids"),
+        F.max("_row_id").alias("id_max"),
+        F.sum(
+            (F.col("_row_id") < n_added).cast("long")
+        ).alias("n_in_budget"),
+    )

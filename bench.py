@@ -79,6 +79,7 @@ HIGH_VARIANCE = {
     "x117_iceberg_equality_delete_adoption",
     "x118_iceberg_day_transform_adoption",
     "x119_iceberg_v3_puffin_dv",
+    "x120_iceberg_v3_row_lineage",
 }
 
 

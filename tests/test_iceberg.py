@@ -1991,3 +1991,113 @@ def test_convert_equality_deletes_column_mapped(spark, tmp_path):
         (r["k"], r["grp"]) for r in t2.read().collect()
     }
     assert got == {(k, "b") for k in range(40) if k % 2 == 1}
+
+
+def test_v3_row_lineage_explicit_ids(spark, tmp_path):
+    """v3 row lineage, explicit-everywhere form: every data_file
+    carries first_row_id; ADDED files consume the snapshot's budget in
+    deterministic order, EXISTING files keep their range; _row_id =
+    first_row_id + position is stable across appends and DV DML and
+    dense over everything ever added."""
+    t = _mk(spark, tmp_path, n=40)
+    t.to_iceberg(format_version=3)
+    ids1 = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg_snapshot(
+            spark, t.path, with_row_ids=True
+        ).collect()
+    }
+    assert len(ids1) == 40 and len(set(ids1.values())) == 40
+    assert min(ids1.values()) == 0 and max(ids1.values()) == 39
+    t.append(
+        spark.createDataFrame(
+            [(100 + i, 1.0, "c") for i in range(10)],
+            "k int, amt double, g string",
+        )
+    )
+    t.to_iceberg()
+    t.delete_where("k % 4 = 1", mode="dv")
+    t.to_iceberg()
+    got = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg_snapshot(
+            spark, t.path, with_row_ids=True
+        ).collect()
+    }
+    # survivors keep their snapshot-1 ids (DV gaps preserved)
+    for k, rid in ids1.items():
+        if k % 4 != 1:
+            assert got[k] == rid
+    # surviving appended rows hold ids from the 40..49 budget (three
+    # of the ten appended keys — 101/105/109 — were DV-deleted, and
+    # their ids stay as gaps), all live ids distinct
+    app_ids = {got[k] for k in got if k >= 100}
+    assert len(app_ids) == 7 and app_ids < set(range(40, 50))
+    assert len(set(got.values())) == len(got)
+    md = json.load(
+        open(os.path.join(t.path, "metadata", "v3.metadata.json"))
+    )
+    assert md["next-row-id"] == 50
+    assert [s.get("first-row-id") for s in md["snapshots"]] == [
+        0,
+        40,
+        50,
+    ]
+    # v2 metadata refuses
+    t2 = _mk(spark, tmp_path / "v2", n=10)
+    t2.to_iceberg()
+    with pytest.raises(ValueError, match="first_row_id"):
+        read_iceberg_snapshot(spark, t2.path, with_row_ids=True)
+
+
+def test_v3_upgrade_relists_with_row_ids(spark, tmp_path):
+    """The 2->3 upgrade export re-lists EVERY live file with an
+    explicit first_row_id (no v2-era manifest without ids is carried)
+    — the one O(live files) backfill, Delta's row-tracking enablement
+    shape."""
+    t = _mk(spark, tmp_path, n=40)
+    t.to_iceberg()  # v2
+    t.append(
+        spark.createDataFrame(
+            [(200, 1.0, "d")], "k int, amt double, g string"
+        )
+    )
+    t.to_iceberg(format_version=3)  # upgrade
+    md = json.load(
+        open(os.path.join(t.path, "metadata", "v2.metadata.json"))
+    )
+    snap = md["snapshots"][-1]
+    _s, _m, mfs = read_avro_container(snap["manifest-list"])
+    data_entries = []
+    for mf in mfs:
+        if mf.get("content", 0) != 0:
+            continue
+        _ms, _mm, es = read_avro_container(mf["manifest_path"])
+        data_entries += [e for e in es if e["status"] != 2]
+    assert data_entries
+    assert all(
+        e["data_file"].get("first_row_id") is not None
+        for e in data_entries
+    )
+    ids = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg_snapshot(
+            spark, t.path, with_row_ids=True
+        ).collect()
+    }
+    assert len(set(ids.values())) == 41
+    # later exports KEEP the upgrade-assigned ids (carried manifests)
+    t.append(
+        spark.createDataFrame(
+            [(201, 2.0, "e")], "k int, amt double, g string"
+        )
+    )
+    t.to_iceberg()
+    ids2 = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg_snapshot(
+            spark, t.path, with_row_ids=True
+        ).collect()
+    }
+    for k, rid in ids.items():
+        assert ids2[k] == rid
