@@ -529,8 +529,13 @@ def simhash_neardup_pairs(
             F.col("b.id").alias("id_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .distinct()
+        # verify BEFORE dedup: the Hamming filter is deterministic per row,
+        # so filter-then-distinct equals distinct-then-filter while the
+        # distinct's shuffle carries only the (rare) passing candidates
+        # instead of every banding candidate (guide §2.3: shuffle fewer
+        # bytes).
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -46,17 +46,64 @@ def connected_components(
     """
     # materialize the (possibly expensive) edge lineage ONCE — every round
     # joins against sym, and an unmaterialized candidate-pair plan (e.g.
-    # SimHash banding) would otherwise re-execute per iteration
+    # SimHash banding) would otherwise re-execute per iteration. The
+    # symmetric closure is built with ONE explode over the pair rows, not
+    # a self-union: a union evaluates the (expensive) pair lineage twice
+    # inside the checkpoint job unless exchange reuse happens to fire.
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .localCheckpoint(eager=True)
     )
-    nodes = sym.select("u").distinct()
-    labels = nodes.select("u", F.col("u").alias("label"))
     rounds, converged = 0, False
+    # round 1's hash-to-min against identity labels is just min(u, min v)
+    # per node — one aggregate, no labels join. ``__old`` carries the
+    # pre-round label so the convergence probe below needs no join.
+    stepped = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("__mv"))
+        .select(
+            "u",
+            F.least(F.col("u"), F.col("__mv")).alias("label"),
+            F.col("u").alias("__old"),
+        )
+    )
+    labels = stepped
     for _ in range(max_iterations):
-        # (a) hash-to-min: adopt the min label among self and neighbors
+        # pointer jump: label <- label(label); the label is itself a
+        # node id, so chains of stale labels collapse geometrically.
+        # ``__chg`` rides along so the convergence probe is a filter over
+        # THIS checkpointed frame — no jumped-vs-old join per round.
+        jumped = (
+            stepped.alias("a")
+            .join(stepped.alias("b"), F.col("a.label") == F.col("b.u"), "left")
+            .select(
+                F.col("a.u").alias("u"),
+                F.coalesce(F.col("b.label"), F.col("a.label")).alias("label"),
+                (
+                    F.coalesce(F.col("b.label"), F.col("a.label"))
+                    != F.col("a.__old")
+                ).alias("__chg"),
+            )
+            .localCheckpoint(eager=True)  # flat lineage; reused below/next round
+        )
+        # one tiny action per round: the convergence probe (standard
+        # iterate-until-fixpoint orchestration, data never leaves executors)
+        n_changed = jumped.filter("__chg").limit(1).count()
+        labels = jumped
+        rounds += 1
+        if n_changed == 0:
+            converged = True
+            break
+        # hash-to-min for the next round: adopt the min label among self
+        # and neighbors
         neighbor_min = (
             sym.alias("e")
             .join(labels.alias("lb"), F.col("e.v") == F.col("lb.u"), "inner")
@@ -72,32 +119,9 @@ def connected_components(
                 F.least(
                     F.col("lb.label"), F.coalesce(F.col("nm.nbr_label"), F.col("lb.label"))
                 ).alias("label"),
+                F.col("lb.label").alias("__old"),
             )
         )
-        # (b) pointer jump: label <- label(label); the label is itself a
-        # node id, so chains of stale labels collapse geometrically
-        jumped = (
-            stepped.alias("a")
-            .join(stepped.alias("b"), F.col("a.label") == F.col("b.u"), "left")
-            .select(
-                F.col("a.u").alias("u"),
-                F.coalesce(F.col("b.label"), F.col("a.label")).alias("label"),
-            )
-            .localCheckpoint(eager=True)  # flat lineage; reused 3x below/next round
-        )
-        changed = (
-            jumped.alias("nl")
-            .join(labels.alias("ol"), F.col("nl.u") == F.col("ol.u"))
-            .filter(F.col("nl.label") != F.col("ol.label"))
-        )
-        # one tiny action per round: the convergence probe (standard
-        # iterate-until-fixpoint orchestration, data never leaves executors)
-        n_changed = changed.limit(1).count()
-        labels = jumped
-        rounds += 1
-        if n_changed == 0:
-            converged = True
-            break
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged

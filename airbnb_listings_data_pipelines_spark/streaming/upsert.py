@@ -208,11 +208,21 @@ def upsert_stream_txlog(
     def apply(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
             return
-        b = latest_per_key(batch, keys, order_col)
-        spark = batch.sparkSession
-        _ensure_table(b, table_path)
-        t = TxLogTable(spark, table_path)
-        merge_into_txlog(spark, t, b, keys, txn=(app_id, batch_id))
+        from pyspark.storagelevel import StorageLevel
+
+        # persist: the deduped batch feeds the merge's touched-file
+        # discovery AND the merge join — one materialization instead of
+        # re-running the window per consumer (guide §5)
+        b = latest_per_key(batch, keys, order_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            spark = batch.sparkSession
+            _ensure_table(b, table_path)
+            t = TxLogTable(spark, table_path)
+            merge_into_txlog(spark, t, b, keys, txn=(app_id, batch_id))
+        finally:
+            b.unpersist()
 
     writer = stream.writeStream.foreachBatch(apply).option(
         "checkpointLocation", checkpoint_dir
@@ -267,30 +277,48 @@ def cdf_apply_stream_txlog(
     def apply(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
             return
+        from pyspark.storagelevel import StorageLevel
+
         spark = batch.sparkSession
         w = Window.partitionBy(*keys).orderBy(
             F.desc("_commit_version"), F.desc("_change_type")
         )
+        # PERSIST the netted batch: its lineage is the CDF slice read
+        # (Python data source) + a window, and downstream it feeds up to
+        # four evaluations (the ups emptiness probe, the ups merge's
+        # touched-file discovery + join, and the dels twin) — without the
+        # persist each one re-reads and re-nets the feed (guide §5:
+        # cache exactly what is reused). One count-by-change-type action
+        # both materializes it and replaces the two isEmpty() probes.
         net = (
             batch.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
-        )
-        ups = net.filter(F.col("_change_type") == "insert").drop(*meta)
-        dels = net.filter(F.col("_change_type") == "delete").drop(*meta)
-        if not ups.isEmpty():
-            _ensure_table(ups, table_path)
-            t = TxLogTable(spark, table_path)
-            merge_into_txlog(
-                spark, t, ups, keys, txn=(app_id, 2 * batch_id)
-            )
-        if os.path.exists(table_path) and not dels.isEmpty():
-            t = TxLogTable(spark, table_path)
-            merge_into_txlog(
-                spark, t, dels, keys,
-                when_matched="delete", when_not_matched="ignore",
-                txn=(app_id, 2 * batch_id + 1),
-            )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n_by_type = {
+                r["_change_type"]: r["n"]
+                for r in net.groupBy("_change_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            ups = net.filter(F.col("_change_type") == "insert").drop(*meta)
+            dels = net.filter(F.col("_change_type") == "delete").drop(*meta)
+            if n_by_type.get("insert"):
+                _ensure_table(ups, table_path)
+                t = TxLogTable(spark, table_path)
+                merge_into_txlog(
+                    spark, t, ups, keys, txn=(app_id, 2 * batch_id)
+                )
+            if os.path.exists(table_path) and n_by_type.get("delete"):
+                t = TxLogTable(spark, table_path)
+                merge_into_txlog(
+                    spark, t, dels, keys,
+                    when_matched="delete", when_not_matched="ignore",
+                    txn=(app_id, 2 * batch_id + 1),
+                )
+        finally:
+            net.unpersist()
 
     writer = stream.writeStream.foreachBatch(apply).option(
         "checkpointLocation", checkpoint_dir
