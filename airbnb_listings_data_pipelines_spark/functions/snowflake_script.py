@@ -54,6 +54,7 @@ import os
 import re
 from dataclasses import dataclass, field
 
+from ..localframe import local_df
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -322,7 +323,7 @@ class ScriptSession:
         name = re.match(r"DESCRIBE\s+INTEGRATION\s+(\w+)", s, re.IGNORECASE).group(1)
         props = self.integrations.get(name.lower(), {})
         rows = [(k, str(v)) for k, v in sorted(props.items())]
-        df = self.spark.createDataFrame(rows or [("", "")], "property string, value string")
+        df = local_df(self.spark, rows or [("", "")], "property string, value string")
         if not rows:
             df = df.filter(F.lit(False))
         return ExecResult("describe_integration", name, df, s)
@@ -348,7 +349,7 @@ class ScriptSession:
         name = re.match(r"LIST\s+@(\w+)", s, re.IGNORECASE).group(1)
         files = self._stage_files(name)
         rows = [(os.path.basename(f), os.path.getsize(f)) for f in files]
-        df = self.spark.createDataFrame(rows or [("", 0)], "name string, size long")
+        df = local_df(self.spark, rows or [("", 0)], "name string, size long")
         if not rows:
             df = df.filter(F.lit(False))
         return ExecResult("list", name, df, s)
@@ -377,7 +378,7 @@ class ScriptSession:
         delim = str(fmt.get("FIELD_DELIMITER", ","))
         null_tokens = fmt.get("NULL_IF", ())
         if not files:
-            return self.spark.createDataFrame([], "c1 string, filename string")
+            return local_df(self.spark, [], "c1 string, filename string")
         with open(files[0]) as fh:  # width probe: one local line, no Spark job
             n_cols = len(next(iter(fh)).rstrip("\n").split(delim))
         reader = self.spark.read.options(

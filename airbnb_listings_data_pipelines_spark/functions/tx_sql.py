@@ -92,6 +92,7 @@ from __future__ import annotations
 
 import re
 
+from ..localframe import local_df
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.txlog import TxLogTable, merge_into_txlog
@@ -515,7 +516,7 @@ class TxSqlSession:
         created = TxLogTable.create(
             self.spark,
             t.path,
-            self.spark.createDataFrame([], ddl),
+            local_df(self.spark, [], ddl),
             partition_by=pby,
             arbiter=t.arbiter,
             generated=gen or None,
@@ -1352,7 +1353,7 @@ class TxSqlSession:
             len(t.checks()),
             t.properties(),
         )
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [row],
             "format string, location string, version int, numFiles int, "
             "sizeInBytes bigint, partitionColumns array<string>, "
@@ -1381,7 +1382,7 @@ class TxSqlSession:
             rows = [(k, props.get(k))]
         else:
             rows = sorted(props.items())
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows, "key string, value string"
         )
 
@@ -1395,6 +1396,6 @@ class TxSqlSession:
             (int(c["version"]), str(c["op"]), int(c["n_adds"]), int(c["n_removes"]))
             for c in self.table(m.group(1)).history()
         ][::-1]
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows, "version int, operation string, n_adds int, n_removes int"
         )

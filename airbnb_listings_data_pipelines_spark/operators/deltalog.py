@@ -55,6 +55,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 
+from ..localframe import local_df
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1421,7 +1422,7 @@ def write_delta_checkpoint(
     rows.append(json.dumps({**blank, "protocol": state.protocol}))
     dm_t = "STRUCT<domain: STRING, configuration: STRING, removed: BOOLEAN>"
     cp = (
-        spark.createDataFrame([(r,) for r in rows], "value string")
+        local_df(spark, [(r,) for r in rows], "value string")
         .selectExpr(
             "from_json(value, '"
             f"add {add_t}, remove {rm_t}, metaData {meta_t}, "
@@ -1493,7 +1494,7 @@ def _write_v2_checkpoint(
     if file_rows:
         os.makedirs(sc_dir, exist_ok=True)
         cp = (
-            spark.createDataFrame([(r,) for r in file_rows], "value string")
+            local_df(spark, [(r,) for r in file_rows], "value string")
             .selectExpr(f"from_json(value, 'add {add_t}, remove {rm_t}') AS a")
             .select("a.add", "a.remove")
         )
@@ -2214,7 +2215,7 @@ def read_delta_row_ids(
     )
     schema = _logical_schema(md)
     if not state.live:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], StructType(list(schema.fields)).add("_row_id", LongType())
         )
     ordered = sorted(state.live)
@@ -2234,7 +2235,7 @@ def read_delta_row_ids(
             )
         rows.append((b, int(base)))
     bmap = F.broadcast(
-        spark.createDataFrame(rows, "__rtf string, __rtbase long")
+        local_df(spark, rows, "__rtf string, __rtbase long")
     )
     read_schema = StructType(
         list(schema.fields) + [StructField(mat_col, LongType(), True)]
@@ -2382,7 +2383,7 @@ def _require_supported_mapping(metadata: dict) -> str:
 def _empty_snapshot(spark: SparkSession, metadata: dict) -> DataFrame:
     """Zero-row DataFrame with the metaData schema (shared by both read
     paths so their empty-snapshot behavior cannot drift)."""
-    return spark.createDataFrame([], _logical_schema(metadata))
+    return local_df(spark, [], _logical_schema(metadata))
 
 
 def _read_live_files(
@@ -2456,7 +2457,7 @@ def _read_live_files(
         if not dv_live:
             return df
         dv_df = _delta_dv_rows(spark, path, dv_live)
-        mapping = spark.createDataFrame(
+        mapping = local_df(spark, 
             [
                 (f, rel_groups[f], f.rsplit("/", 1)[-1])
                 for f in sorted(dv_live)
@@ -2517,7 +2518,7 @@ def _read_live_files(
         map_schema = "__base string" + "".join(
             f", __pv{i} string" for i in range(len(pcols))
         )
-        mapping = spark.createDataFrame(rows, map_schema)
+        mapping = local_df(spark, rows, map_schema)
         out = (
             data.withColumn(
                 "__base", F.element_at(F.split(F.input_file_name(), "/"), -1)
@@ -2592,7 +2593,7 @@ def _delta_dv_rows(
     rows = [
         (f, _json.dumps(desc)) for f, desc in sorted(dv_live.items())
     ]
-    desc_df = spark.createDataFrame(rows, "file string, desc string")
+    desc_df = local_df(spark, rows, "file string, desc string")
     if len(rows) > 1:
         desc_df = desc_df.repartition(min(len(rows), 32))
 
@@ -2819,7 +2820,7 @@ def _dv_index_delta(
         _json.dumps(minuend),
         _json.dumps(subtrahend) if subtrahend is not None else None,
     )
-    desc_df = spark.createDataFrame([row], "m string, s string")
+    desc_df = local_df(spark, [row], "m string, s string")
 
     def gen(batches):
         import pandas as pd

@@ -70,6 +70,8 @@ import struct
 import time
 import uuid
 
+from ..localframe import local_df
+
 
 # --------------------------------------------------------------- avro core
 
@@ -1934,7 +1936,7 @@ def _groups_to_df(
     rid_df = None
     if row_id_map is not None:
         rid_df = F.broadcast(
-            spark.createDataFrame(
+            local_df(spark, 
                 sorted(row_id_map.items()), "__rb string, __fr long"
             )
         )
@@ -1986,7 +1988,7 @@ def _groups_to_df(
             empty = empty.add(f["name"], _spark_type_of(f["type"]))
         if row_id_map is not None:
             empty = empty.add("_row_id", "long")
-        out = spark.createDataFrame([], empty)
+        out = local_df(spark, [], empty)
     return out
 
 
@@ -2215,7 +2217,7 @@ def read_iceberg_snapshot(
             F.col("pos").alias("__dp"),
         )
     if dv_pairs:
-        pair_df = spark.createDataFrame(
+        pair_df = local_df(spark, 
             dv_pairs, "__db string, __dp long"
         )
         del_keyed = (

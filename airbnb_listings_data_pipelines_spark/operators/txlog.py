@@ -46,6 +46,7 @@ import os
 import re
 import uuid
 
+from ..localframe import local_df
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1428,7 +1429,7 @@ class TxLogTable:
         if schema_json is not None:
             from pyspark.sql.types import StructType
 
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [], StructType.fromJson(json.loads(schema_json))
             )
         pby, pschema = self.partition_meta()
@@ -1500,7 +1501,7 @@ class TxLogTable:
             return df.filter(F.col("file").isin(rel_files)).select(
                 "file", "row_index"
             )
-        mapping = self.spark.createDataFrame(
+        mapping = local_df(self.spark, 
             [(os.path.basename(f), f) for f in rel_files],
             "file string, __rel string",
         )
@@ -1585,7 +1586,7 @@ class TxLogTable:
             for g, fs in enumerate(groups)
             for f in fs
         ]
-        mapping = self.spark.createDataFrame(
+        mapping = local_df(self.spark, 
             rows, "file string, __g int, __b string"
         )
         return dv_df.join(F.broadcast(mapping), "file").select(
@@ -2714,7 +2715,7 @@ class TxLogTable:
                             f"row tracking state missing for {miss[:3]}"
                         )
                     bmap = F.broadcast(
-                        self.spark.createDataFrame(
+                        local_df(self.spark, 
                             [
                                 (u, int(rt_bases[r]))
                                 for u, r in rel_by_uri.items()
@@ -2750,7 +2751,7 @@ class TxLogTable:
             # sidecar rows key by RELATIVE path: a tiny broadcast-joined
             # (URI -> relative path) mapping built from the counts
             # collect above (no extra job, O(touched files) rows)
-            uri_map = self.spark.createDataFrame(
+            uri_map = local_df(self.spark, 
                 list(rel_by_uri.items()), "__file string, file string"
             )
             new_rows = (
@@ -3051,7 +3052,7 @@ class TxLogTable:
             if schema is not None:
                 from pyspark.sql.types import StructType
 
-                base = self.spark.createDataFrame(
+                base = local_df(self.spark, 
                     [], StructType.fromJson(json.loads(schema))
                 )
             else:
@@ -4392,7 +4393,7 @@ class TxLogTable:
                 )
             names[b] = int(bases[f])
         bmap = F.broadcast(
-            self.spark.createDataFrame(
+            local_df(self.spark, 
                 list(names.items()), "__rtf string, __rtbase long"
             )
         )
@@ -5812,7 +5813,7 @@ def _merge_into_dv(
         dv_updates: dict[str, dict] = {}
         if counts:
             doomed_rel = sorted(counts)
-            uri_map = spark.createDataFrame(
+            uri_map = local_df(spark, 
                 list(rel_by_uri.items()), "__file string, file string"
             )
             new_pos = (

@@ -18,6 +18,7 @@ three patterns:
 
 from __future__ import annotations
 
+from ..localframe import local_df
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -4636,7 +4637,7 @@ def x82_medallion_cdf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrives again with the same txn id and MUST be a no-op by log
     # state; the poison rows would break the hash if applied
     last = b.last_txn_version("x82")
-    poison = spark.createDataFrame(
+    poison = local_df(spark, 
         [(1, "XX", -999.0)],
         "o_orderkey int, o_orderstatus string, o_totalprice double",
     ).selectExpr(
@@ -4707,7 +4708,7 @@ def x83_log_retention_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete_where("o_orderkey % 3 = 1")  # v1
     for seq in range(1, 4):  # v2..v4: data-carrying commits below the horizon
         t.append(
-            spark.createDataFrame(
+            local_df(spark, 
                 [(-seq, "L", float(seq))],
                 "o_orderkey long, o_orderstatus string, o_totalprice double",
             )
@@ -5109,7 +5110,7 @@ def x88_medallion_cdf_dv_upstream(spark: SparkSession, sf_dir: str) -> DataFrame
         raise AssertionError("bronze lost its vectors — DV mode not live")
     b = TxLogTable(spark, b_path)
     last = b.last_txn_version("x88")
-    poison = spark.createDataFrame(
+    poison = local_df(spark, 
         [(1, "XX", -999.0)],
         "o_orderkey int, o_orderstatus string, o_totalprice double",
     ).selectExpr(
