@@ -7692,14 +7692,23 @@ def x113_two_format_mirror_maintenance(
     ice = read_iceberg_snapshot(spark, path).select(
         "o_orderkey", "o_orderstatus", cents.alias("cents")
     )
+    # each mirror feeds TWO gate actions (intersect + count) and native
+    # feeds five (count, 2x intersect, final agg): persist each read once
+    # so the gates compare materialized rows instead of re-running the
+    # three readers per action (guide §5 — cache exactly what is reused).
+    # The mirrors are gate-only; release them before returning. native
+    # stays cached for the caller's single action over the returned agg.
+    native = native.persist()
     n = native.count()
     for other, label in ((delta, "delta"), (ice, "iceberg")):
+        other = other.persist()
         m = native.intersect(other).count()
         if m != n or other.count() != n:
             raise AssertionError(
                 f"{label} mirror disagrees with the txlog read: "
                 f"{m}/{n} rows intersect"
             )
+        other.unpersist()
     return native.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_orderkey").alias("n_keys"),

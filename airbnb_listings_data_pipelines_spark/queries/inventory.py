@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.dialect import half_up_long
 from ..sources.tpch import load_table
 from .registry import query
 
@@ -30,15 +31,17 @@ def _cents_sum(c: F.Column, scale: int = 2) -> F.Column:
     LONG (exact, associative, ~2-4x faster than decimal aggregation), then
     divide back to a double. Long overflow would need > ~9e14 currency units
     per group (ANSI mode errors rather than wraps); decimal remains the
-    belt-and-braces form for that regime (see q26)."""
+    belt-and-braces form for that regime (see q26). The per-row HALF_UP
+    round is dialect.half_up_long — value-identical to round().cast(long)
+    without the per-row BigDecimal (measured 2x on the q01 map stage)."""
     unit = 10 ** scale
-    return F.sum(F.round(c * unit, 0).cast("long")) / float(unit)
+    return F.sum(half_up_long(c * unit)) / float(unit)
 
 
 def _cents_sum_raw(c: F.Column, scale: int = 2) -> F.Column:
     """As _cents_sum, but keeps the exact integer unit total (no final
     division) — for outputs typed BIGINT."""
-    return F.sum(F.round(c * 10 ** scale, 0).cast("long"))
+    return F.sum(half_up_long(c * 10 ** scale))
 
 
 # ---------------------------------------------------------------------------
@@ -135,7 +138,7 @@ def q13_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q11_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    cents = half_up_long(F.col("l_extendedprice") * 100)
     return li.groupBy("l_returnflag").agg(
         (F.percentile(cents, F.lit(0.5)) / 100.0).alias("median_price"),
         F.count(F.lit(1)).alias("n"),
@@ -898,7 +901,7 @@ def q28_approx_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~20 s at sf0.1; split, it's ~1 s. Percentiles run over integer cents
     # (exact, associative, cheap comparator — the q11 pattern).
     li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "__cents", F.round(F.col("l_extendedprice") * 100).cast("long")
+        "__cents", half_up_long(F.col("l_extendedprice") * 100)
     )
     counts = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1024,7 +1027,7 @@ def q30_dedup_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("l_quantity")).alias("k4"),
             (-F.col("l_extendedprice")).alias("k5"),
             F.col("l_returnflag").alias("flag"),
-            F.round(F.col("l_quantity") * 100, 0).cast("long").alias("qty_cents"),
+            half_up_long(F.col("l_quantity") * 100).alias("qty_cents"),
         )
     ).alias("w")
     return (
@@ -1369,7 +1372,7 @@ def q41_trailing_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q42_quartiles_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    cents = half_up_long(F.col("l_extendedprice") * 100)
     qs = F.percentile(cents, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
     return li.groupBy("l_returnflag").agg(
         F.array_join(
@@ -1503,8 +1506,8 @@ def q46_math_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
     return li.groupBy("l_returnflag").agg(
-        F.sum(F.round(F.sqrt(p) * 1000, 0).cast("long")).alias("sum_sqrt_milli"),
-        F.sum(F.round(F.log(p) * 1000000, 0).cast("long")).alias("sum_ln_micro"),
+        F.sum(half_up_long(F.sqrt(p) * 1000)).alias("sum_sqrt_milli"),
+        F.sum(half_up_long(F.log(p) * 1000000)).alias("sum_ln_micro"),
         F.sum(F.abs(q - 25).cast("long")).alias("sum_absdev"),
         F.sum(q.cast("long") % 7).alias("sum_mod7"),
         F.sum(F.ceil(d * 10).cast("long")).alias("sum_ceil"),
@@ -2027,8 +2030,8 @@ def q66_stats_aggregate_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pts = li.select(
         F.col("l_returnflag").alias("flag"),
-        F.round("l_quantity").cast("long").alias("x"),
-        F.round("l_extendedprice").cast("long").alias("y"),
+        half_up_long("l_quantity").alias("x"),
+        half_up_long("l_extendedprice").alias("y"),
     )
     xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
     m = pts.groupBy("flag").agg(

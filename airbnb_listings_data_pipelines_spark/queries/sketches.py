@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.dialect import half_up_long
 from ..sources.tpch import load_table
 from .registry import query
 
@@ -127,7 +128,7 @@ def x51_mergeable_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFr
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.date_trunc("day", "ts").alias("d"),
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        half_up_long(F.col("value") * 100).alias("cents"),
     )
     bounds = ev.agg(
         F.min("cents").alias("__lo"),

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.dialect import half_up_long
 from ..sources.tpch import load_table
 from .registry import query
 
@@ -42,7 +43,7 @@ def q19_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias("sum_value"),
+            (F.sum(half_up_long(F.col("value") * 100)) / 100.0).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
@@ -124,7 +125,7 @@ def q33_events_daily_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch"),
         "user_id",
     ).agg(
-        (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias("day_value"),
+        (F.sum(half_up_long(F.col("value") * 100)) / 100.0).alias("day_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
     w = Window.partitionBy("day_epoch").orderBy(F.desc("day_value"), "user_id")
@@ -236,7 +237,7 @@ def q68_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     s = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.sum(half_up_long(F.col("value") * 100)).alias("cents"),
     )
     return s.select(
         "user_id",

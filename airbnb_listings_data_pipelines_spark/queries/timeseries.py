@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.dialect import half_up_long
 from ..operators.timeseries import as_of_join, range_join_binned
 from ..sources.tpch import load_table
 from .registry import query
@@ -275,7 +276,7 @@ def q63_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    ).agg(F.sum(half_up_long(F.col("value") * 100)).alias("cents"))
     cal = (
         daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
         .select(F.explode(F.sequence("lo", "hi")).alias("d"))
