@@ -23,6 +23,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Raise a DataFrame's partition count to the cluster's parallelism
+    when the upstream scan under-parallelizes — the guide §2.5 "input
+    skew" remedy (one huge unsplittable file / single row group →
+    repartition immediately after the read), made scale-adaptive.
+
+    A parquet file is splittable only at row-group boundaries, so a
+    single-row-group table scans as ONE task no matter how many cores
+    exist; every CPU-heavy operator downstream (char shingling, SimHash,
+    TF-IDF) then runs serially. This helper round-robin repartitions to
+    ``defaultParallelism`` ONLY when the current partition count is
+    below it — on a production table with many files/row groups the scan
+    already carries >= cores partitions and this is a no-op, so no
+    full-payload shuffle is ever added at scale. Call it on the
+    PROJECTED frame (keys + the text column the operator needs) so the
+    shuffle moves only those bytes (guide §2.3).
+
+    Intended for scan-side frames (scan + narrow projections/filters).
+    ``df.rdd`` on a post-exchange AQE plan would execute the upstream
+    stages eagerly, so exchange-bearing plans are returned unchanged —
+    their post-shuffle parallelism is AQE's job, and at scale AQE sizes
+    those partitions fine; only leaf scans can't be re-split after the
+    fact.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    # pre-AQE physical plan: pure planning, nothing executes
+    if "Exchange" in df._jdf.queryExecution().sparkPlan().toString():
+        return df
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def local_df(
     spark: SparkSession,
     rows,

@@ -554,10 +554,14 @@ def simhash(
     (with bits<=32) for the cross-engine-exact variant the DuckDB oracle
     can recompute.
     """
+    from ..localframe import fan_out
     from .text import exploded_nonnull
 
+    base = fan_out(
+        df.select(F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("__lc"))
+    )
     words = exploded_nonnull(
-        df, F.split(F.trim(F.lower(text_col)), r"\s+"), "w", F.col(id_col).alias("id")
+        base, F.split(F.trim(F.col("__lc")), r"\s+"), "w", "id"
     ).withColumn("h", hash_fn(F.col("w")))
     bit_sums = [
         F.sum(F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
@@ -616,10 +620,13 @@ def duplicate_span_coverage(
     KEPT with zero counts — the empty-text guard the round-3 advisor
     flagged on corpus_line_dedup applies here by construction.
     """
+    from ..localframe import fan_out
     from .text import ngrams_from_tokens, tokens
 
-    base = df.select(
-        F.col(id_col).alias("doc_id"), tokens(F.lower(F.col(text_col))).alias("toks")
+    base = fan_out(
+        df.select(
+            F.col(id_col).alias("doc_id"), tokens(F.lower(F.col(text_col))).alias("toks")
+        )
     )
     toked = base.select(
         "doc_id",

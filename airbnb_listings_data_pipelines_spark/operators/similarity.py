@@ -57,8 +57,14 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, cos_sim, rnk), self-matches excluded,
     ties broken by neighbor id for determinism.
     """
+    from ..localframe import fan_out
+
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # the corpus side carries the O(corpus x queries) dot-product work;
+    # fan a single-row-group scan out so it parallelizes (no-op at scale)
+    c = fan_out(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))

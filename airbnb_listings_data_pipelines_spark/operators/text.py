@@ -275,9 +275,12 @@ def ngram_lang_profiles(
     Deterministic: rank ties break on the n-gram string ascending. Counts
     are document frequencies over DISTINCT per-doc n-grams (robust to one
     doc repeating an n-gram thousands of times)."""
+    from ..localframe import fan_out
     from ..operators.dedup import char_shingles_lc
 
-    base = df.select(F.col(lang_col).alias("lang"), F.lower(F.col(text_col)).alias("__lc"))
+    base = fan_out(
+        df.select(F.col(lang_col).alias("lang"), F.lower(F.col(text_col)).alias("__lc"))
+    )
     grams = exploded_nonnull(base, char_shingles_lc("__lc", n), "g", "lang")
     counts = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "g")
@@ -306,9 +309,12 @@ def lang_id_ngram(
     Scale shape: explode distinct doc n-grams (map-only), equi-join the
     BROADCAST profile table, one (doc, lang) hash agg, one per-doc top-1
     window. No Python anywhere."""
+    from ..localframe import fan_out
     from ..operators.dedup import char_shingles_lc
 
-    base = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lc"))
+    base = fan_out(
+        df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lc"))
+    )
     grams = exploded_nonnull(base, char_shingles_lc("__lc", n), "gram", F.col(id_col))
     scored = (
         grams.join(F.broadcast(profiles), "gram")
