@@ -63,7 +63,16 @@ def local_df(
     schema,
     rows_per_slice: int = 10_000,
 ) -> DataFrame:
-    """``spark.createDataFrame(rows, schema)`` with data-sized slicing."""
+    """``spark.createDataFrame(rows, schema)`` with data-sized slicing.
+
+    Error-locality trade-off (round-13 ADVICE): the RDD path defers the
+    schema verifier to executors at first action, so a malformed row
+    surfaces as an executor task failure instead of the list path's
+    immediate driver-side TypeError. All callers here build rows from
+    their own metadata structures (not user input), so the deferred
+    check is acceptable; when debugging a new call site, reproduce with
+    ``spark.createDataFrame(rows, schema)`` to get the eager error.
+    """
     rows = rows if isinstance(rows, list) else list(rows)
     n_slices = max(1, min(len(rows) // rows_per_slice + 1, 64))
     if not rows:

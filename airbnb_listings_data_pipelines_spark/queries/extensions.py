@@ -7696,24 +7696,31 @@ def x113_two_format_mirror_maintenance(
     # feeds five (count, 2x intersect, final agg): persist each read once
     # so the gates compare materialized rows instead of re-running the
     # three readers per action (guide §5 — cache exactly what is reused).
-    # The mirrors are gate-only; release them before returning. native
-    # stays cached for the caller's single action over the returned agg.
+    # All three persists are released before returning (round-13 ADVICE:
+    # a leaked native cache accumulated per invocation across a bench
+    # session); the tiny final agg is materialized while native is still
+    # cached and returned as a driver-local frame.
     native = native.persist()
-    n = native.count()
-    for other, label in ((delta, "delta"), (ice, "iceberg")):
-        other = other.persist()
-        m = native.intersect(other).count()
-        if m != n or other.count() != n:
-            raise AssertionError(
-                f"{label} mirror disagrees with the txlog read: "
-                f"{m}/{n} rows intersect"
-            )
-        other.unpersist()
-    return native.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("o_orderkey").alias("n_keys"),
-        F.sum("cents").alias("total_cents"),
-    )
+    try:
+        n = native.count()
+        for other, label in ((delta, "delta"), (ice, "iceberg")):
+            other = other.persist()
+            m = native.intersect(other).count()
+            if m != n or other.count() != n:
+                raise AssertionError(
+                    f"{label} mirror disagrees with the txlog read: "
+                    f"{m}/{n} rows intersect"
+                )
+            other.unpersist()
+        agg = native.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+            F.sum("cents").alias("total_cents"),
+        )
+        rows = agg.collect()
+        return local_df(spark, rows, agg.schema)
+    finally:
+        native.unpersist()
 
 
 @query(

@@ -1506,8 +1506,11 @@ def q46_math_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
     return li.groupBy("l_returnflag").agg(
-        F.sum(half_up_long(F.sqrt(p) * 1000)).alias("sum_sqrt_milli"),
-        F.sum(half_up_long(F.log(p) * 1000000)).alias("sum_ln_micro"),
+        # arbitrary reals (sqrt/ln outputs): keep round() — half_up_long's
+        # floor(x+.5) diverges at half-ulp-below-.5 inputs, whose density
+        # here is data-dependent (round-13 ADVICE medium)
+        F.sum(F.round(F.sqrt(p) * 1000, 0).cast("long")).alias("sum_sqrt_milli"),
+        F.sum(F.round(F.log(p) * 1000000, 0).cast("long")).alias("sum_ln_micro"),
         F.sum(F.abs(q - 25).cast("long")).alias("sum_absdev"),
         F.sum(q.cast("long") % 7).alias("sum_mod7"),
         F.sum(F.ceil(d * 10).cast("long")).alias("sum_ceil"),

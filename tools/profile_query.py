@@ -46,12 +46,16 @@ def _wrap(cls, name: str, label: str | None = None) -> None:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    repeat = 2
-    if "--repeat" in sys.argv:
-        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
-    qname = args[0]
-    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("query")
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("--repeat", type=int, default=2)
+    ns = ap.parse_args()
+    repeat = ns.repeat
+    qname = ns.query
+    sf_dir = ns.sf_dir
 
     try:
         from pyspark.sql.classic.dataframe import DataFrame
