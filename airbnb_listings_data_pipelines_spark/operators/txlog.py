@@ -5725,7 +5725,31 @@ def _merge_into_dv(
         changed = ~F.struct(*[tval(c) for c in data_cols]).eqNullSafe(
             F.struct(*[pick(c) for c in data_cols])
         )
-        doomed = del_sel | (upd_sel & changed)
+        # ONE evaluation of the merge join feeds EVERYTHING downstream
+        # (round 14, guide §5 cache-exactly-what-is-reused + §1.4):
+        # the flat frame materializes the post-image picks and the three
+        # row-class selectors once; the doomed positions, the per-file
+        # counts, the new files, and the sidecar all read it — before
+        # this, new_rows re-executed the full-outer join a second time,
+        # and a nondeterministic clause condition could desynchronize
+        # the written files from the vectors (the round-11 persisted-
+        # doomed_pos fix covered only counts-vs-sidecar; this covers the
+        # data files too). Rows in no class are filtered out, so the
+        # persist is O(changed rows + inserts), the DV budget.
+        from pyspark.storagelevel import StorageLevel
+
+        flat = (
+            j.select(
+                *[pick(c) for c in data_cols],
+                F.col("__file"),
+                F.col("__ridx"),
+                del_sel.alias("__mrg_del"),
+                (upd_sel & changed).alias("__mrg_updchg"),
+                (is_src & (F.col("__isel") >= 0)).alias("__mrg_ins"),
+            )
+            .filter("__mrg_del OR __mrg_updchg OR __mrg_ins")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         # 3: per-file counts of DISTINCT positions leaving the table.
         # Distinct is load-bearing: duplicate source keys produce one
         # doomed JOIN ROW per duplicate at the SAME (file, row index) —
@@ -5733,19 +5757,9 @@ def _merge_into_dv(
         # wrongly retire a file whose unmatched rows are still live
         # (review finding, round 10). The COW twin merely duplicates
         # output rows; here the position set must be exact.
-        # PERSISTED (round 11): counts and the sidecar positions must
-        # come from ONE evaluation — a nondeterministic clause condition
-        # re-rolled across the two actions could record a cardinality
-        # that disagrees with the masked positions and wrongly retire a
-        # file with live rows. O(changed rows), the DV budget.
-        from pyspark.storagelevel import StorageLevel
-
-        doomed_pos = (
-            j.filter(doomed)
-            .select("__file", "__ridx")
-            .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        doomed_pos = flat.filter("__mrg_del OR __mrg_updchg").select(
+            "__file", "__ridx"
+        ).distinct()
         uri_rows = (
             doomed_pos.select(F.col("__file").alias("u"))
             .groupBy("u")
@@ -5756,9 +5770,9 @@ def _merge_into_dv(
         counts = {rel_by_uri[r["u"]]: r["n"] for r in uri_rows}
         # 4: new files — CHECK gate runs here, BEFORE any sidecar exists,
         # so a CheckViolation leaves no orphan metadata
-        new_rows = j.filter(
-            (upd_sel & changed) | (is_src & (F.col("__isel") >= 0))
-        ).select(*[pick(c) for c in data_cols])
+        new_rows = flat.filter("__mrg_updchg OR __mrg_ins").select(
+            *data_cols
+        )
         cur_ident = table.identity_meta()
         if cur_ident:
             # update post-images carry their preserved (non-null) ids;
@@ -5805,7 +5819,7 @@ def _merge_into_dv(
                 else _MAPPING_DEFAULT,
             )
         except Exception:
-            doomed_pos.unpersist()
+            flat.unpersist()
             raise
         # 5: one sidecar = new positions + touched files' prior vectors
         sidecar: str | None = None
@@ -5873,7 +5887,7 @@ def _merge_into_dv(
             if sidecar is not None:
                 os.remove(os.path.join(table.path, sidecar))
         finally:
-            doomed_pos.unpersist()
+            flat.unpersist()
     raise CommitConflict(f"merge (dv) gave up after {max_retries} retries")
 
 

@@ -5571,8 +5571,12 @@ def x92_dv_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     if not files_before <= set(a.files()):
         raise AssertionError("a pre-merge file left the live set")
-    n_del = orders.filter("o_orderkey % 6 = 1").count()
-    n_upd = orders.filter("o_orderkey % 6 = 2").count()
+    # one aggregate scan for both gate counts (guide §1.4 fewer actions)
+    _gate = orders.select(
+        F.sum((F.col("o_orderkey") % 6 == 1).cast("long")).alias("nd"),
+        F.sum((F.col("o_orderkey") % 6 == 2).cast("long")).alias("nu"),
+    ).first()
+    n_del, n_upd = int(_gate["nd"]), int(_gate["nu"])
     vectored = sum(d["cardinality"] for d in (mc.get("dvs") or {}).values())
     if vectored != n_del + n_upd:
         raise AssertionError(

@@ -169,7 +169,17 @@ def _ensure_table(
     log_dir = os.path.join(table_path, "_txlog")
     if not os.path.exists(log_dir):
         try:
-            TxLogTable.create(batch.sparkSession, table_path, batch.limit(0))
+            # schema-only create from a driver-local empty frame:
+            # ``batch.limit(0)`` would still plan AND run the batch's
+            # full lineage (for a CDF batch, the Python-source slice
+            # read) just to produce zero rows — an empty createDataFrame
+            # with the same schema commits the identical zero-row table
+            # for one no-op task (guide §1.4)
+            TxLogTable.create(
+                batch.sparkSession,
+                table_path,
+                batch.sparkSession.createDataFrame([], batch.schema),
+            )
             return
         except FileExistsError:
             pass  # lost the makedirs race — fall through and wait
@@ -255,16 +265,23 @@ def cdf_apply_stream_txlog(
        rewrite's noise pair) nets to the post-image, and a bare delete
        nets to delete. This makes the RAW file-granularity feed safe to
        apply directly; no reliance on upstream net-ing.
-    2. Apply net inserts as one whole-row MERGE (update-on-match,
-       insert-on-miss) with ``txn=(app_id, 2*batch_id)``, then net
-       deletes as one MERGE with ``when_matched='delete'`` and
-       ``txn=(app_id, 2*batch_id + 1)``. Distinct monotonic txn ids per
-       commit make a crash replay a NO-OP BY LOG STATE at whichever of
-       the two commits it died after — the exactly-once story does not
-       depend on the apply being idempotent.
+    2. Apply the WHOLE netted batch as ONE multi-clause MERGE with
+       ``txn=(app_id, batch_id)``: matched 'delete' rows delete,
+       matched 'insert' rows update (``SET *`` — the meta columns are
+       not target columns, so only data columns copy), not-matched
+       'insert' rows insert, not-matched 'delete' rows fall out of the
+       clause list exactly as ``when_not_matched='ignore'`` did. After
+       netting the insert and delete key sets are disjoint, so the
+       single commit is row-for-row identical to the former
+       upserts-then-deletes pair — at HALF the per-trigger machinery
+       (one touched-file discovery scan, one full-outer join, one file
+       write, one commit instead of two each; guide §1.4 fewer
+       actions). One txn id per batch also simplifies the crash story:
+       a replay at ANY point re-runs one merge that no-ops by log
+       state — exactly-once never depended on apply idempotency.
 
     Scale shape: per trigger, cost is O(batch) + the touched-file
-    rewrite of the two merges; upstream table size enters only as the
+    rewrite of the single merge; upstream table size enters only as the
     CDF slices of the polled commits (O(changed files) — see
     sources/txlog_source.py). Keys deleted and re-inserted across
     DIFFERENT batches are applied in batch order (offsets are commit
@@ -284,12 +301,11 @@ def cdf_apply_stream_txlog(
             F.desc("_commit_version"), F.desc("_change_type")
         )
         # PERSIST the netted batch: its lineage is the CDF slice read
-        # (Python data source) + a window, and downstream it feeds up to
-        # four evaluations (the ups emptiness probe, the ups merge's
-        # touched-file discovery + join, and the dels twin) — without the
-        # persist each one re-reads and re-nets the feed (guide §5:
+        # (Python data source) + a window, and downstream it feeds the
+        # merge's touched-file discovery AND the merge join — without
+        # the persist each one re-reads and re-nets the feed (guide §5:
         # cache exactly what is reused). One count-by-change-type action
-        # both materializes it and replaces the two isEmpty() probes.
+        # both materializes it and decides the bootstrap/skip branches.
         net = (
             batch.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -302,21 +318,30 @@ def cdf_apply_stream_txlog(
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
-            ups = net.filter(F.col("_change_type") == "insert").drop(*meta)
-            dels = net.filter(F.col("_change_type") == "delete").drop(*meta)
             if n_by_type.get("insert"):
-                _ensure_table(ups, table_path)
-                t = TxLogTable(spark, table_path)
-                merge_into_txlog(
-                    spark, t, ups, keys, txn=(app_id, 2 * batch_id)
+                _ensure_table(
+                    net.filter(F.col("_change_type") == "insert").drop(*meta),
+                    table_path,
                 )
-            if os.path.exists(table_path) and n_by_type.get("delete"):
-                t = TxLogTable(spark, table_path)
-                merge_into_txlog(
-                    spark, t, dels, keys,
-                    when_matched="delete", when_not_matched="ignore",
-                    txn=(app_id, 2 * batch_id + 1),
-                )
+            if not os.path.exists(table_path) or not (
+                n_by_type.get("insert") or n_by_type.get("delete")
+            ):
+                return  # delete-only feed before the table exists, or empty
+            t = TxLogTable(spark, table_path)
+            merge_into_txlog(
+                spark, t, net, keys,
+                clauses={
+                    "matched": [
+                        {"cond": "s._change_type = 'delete'",
+                         "action": "delete"},
+                        {"cond": None, "action": "update", "set": None},
+                    ],
+                    "not_matched": [
+                        {"cond": "s._change_type = 'insert'", "values": None},
+                    ],
+                },
+                txn=(app_id, batch_id),
+            )
         finally:
             net.unpersist()
 
