@@ -76,11 +76,17 @@ def connected_components(
         )
     )
     labels = stepped
+    from pyspark.sql import Observation
+
     for _ in range(max_iterations):
         # pointer jump: label <- label(label); the label is itself a
         # node id, so chains of stale labels collapse geometrically.
-        # ``__chg`` rides along so the convergence probe is a filter over
-        # THIS checkpointed frame — no jumped-vs-old join per round.
+        # The convergence probe rides INSIDE the checkpoint job as an
+        # observed metric (round-14, guide §1.4): the eager
+        # localCheckpoint is already an action, so summing ``__chg``
+        # there makes each round exactly ONE job — the former
+        # filter().limit(1).count() probe per round is gone.
+        obs = Observation()
         jumped = (
             stepped.alias("a")
             .join(stepped.alias("b"), F.col("a.label") == F.col("b.u"), "left")
@@ -92,11 +98,10 @@ def connected_components(
                     != F.col("a.__old")
                 ).alias("__chg"),
             )
+            .observe(obs, F.sum(F.col("__chg").cast("long")).alias("n"))
             .localCheckpoint(eager=True)  # flat lineage; reused below/next round
         )
-        # one tiny action per round: the convergence probe (standard
-        # iterate-until-fixpoint orchestration, data never leaves executors)
-        n_changed = jumped.filter("__chg").limit(1).count()
+        n_changed = int(obs.get["n"] or 0)  # None on an empty edge set
         labels = jumped
         rounds += 1
         if n_changed == 0:

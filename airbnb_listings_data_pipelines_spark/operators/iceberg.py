@@ -2029,9 +2029,19 @@ def read_iceberg_snapshot(
         s for s in md["snapshots"] if s["snapshot-id"] == sid
     )
     _s, _m, manifests = read_avro_container(snap["manifest-list"])
+    # schema resolution follows Iceberg's scan semantics: a CURRENT-
+    # snapshot read resolves against the TABLE's current-schema-id (a
+    # column added after the last data-writing snapshot reads as NULL
+    # from old files), while explicit time travel uses the snapshot's
+    # own schema (round-13 advice, reader side — the adoption-side fix
+    # landed in round 13).
     ice_fields = {
         s["schema-id"]: s["fields"] for s in md["schemas"]
-    }[snap.get("schema-id", md["current-schema-id"])]
+    }[
+        md["current-schema-id"]
+        if snapshot_id is None
+        else snap.get("schema-id", md["current-schema-id"])
+    ]
     nmap = {
         e["field-id"]: e["names"]
         for e in json.loads(

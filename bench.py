@@ -272,12 +272,17 @@ def main() -> None:
     # regression compare trends against — a smoke run at another SF must
     # not clobber it with numbers from a different data scale (round-10
     # lesson: an sf0.01 smoke overwrote it and the next commit swept the
-    # wrong-scale file in, poisoning the compare)
-    detail_name = (
-        "BENCH_DETAIL.json"
-        if sf is not None and abs(sf - 0.1) < 1e-9
-        else f"BENCH_DETAIL_sf{sf}.json"
-    )
+    # wrong-scale file in, poisoning the compare). Round-13 lesson
+    # (verdict item 7): a different CORE COUNT clobbers it just the same
+    # — the driver's 8-core scaling probe overwrote the 32-core detail —
+    # so runs at cpus != 32 suffix by core count too.
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if sf is None or abs(sf - 0.1) >= 1e-9:
+        detail_name = f"BENCH_DETAIL_sf{sf}.json"
+    elif str(cpus_env) != "32":
+        detail_name = f"BENCH_DETAIL_c{cpus_env}.json"
+    else:
+        detail_name = "BENCH_DETAIL.json"
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     with open(detail_path, "w") as f:
         json.dump(

@@ -95,20 +95,23 @@ def test_refusals_uncluster_restore(spark, tmp_path):
         p.optimize(full=True)
 
 
-def test_checkpoint_cleanup_no_resurrection(spark, tmp_path):
+def test_checkpoint_cleanup_no_resurrection(spark, tmp_path, monkeypatch):
     """An un-cluster commit truncated by cleanup_log must not let an
     older retained checkpoint's columns resurrect — metadata-complete
     checkpoints snapshot even the EMPTY list."""
+    import airbnb_listings_data_pipelines_spark.operators.txlog as txmod
+
+    monkeypatch.setattr(txmod, "_CHECKPOINT_EVERY", 5)
     t = _mk(spark, tmp_path, n=10)
     t.cluster_by(["a"])
-    for i in range(22):  # cross a checkpoint boundary while clustered
+    for i in range(6):  # cross a checkpoint boundary while clustered
         t.append(
             spark.createDataFrame(
                 [(1000 + i, 0, 0.0)], "a bigint, b bigint, amt double"
             )
         )
     t.cluster_by([])  # un-cluster
-    for i in range(22):  # cross ANOTHER checkpoint boundary
+    for i in range(6):  # cross ANOTHER checkpoint boundary
         t.append(
             spark.createDataFrame(
                 [(2000 + i, 0, 0.0)], "a bigint, b bigint, amt double"

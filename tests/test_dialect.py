@@ -56,3 +56,51 @@ def test_top1_per_group_row_number_vs_rank(spark):
     assert sorted((r.g, r.id) for r in one.collect()) == [("g1", "a"), ("g2", "c")]
     ties = top1_per_group(df, ["g"], [F.desc("v")], keep_ties=True)
     assert ties.filter(F.col("g") == "g1").count() == 2
+
+
+def test_half_up_long_parity_on_current_lineage(spark):
+    """Round-13 verdict item 10: half_up_long's floor(x+.5) equivalence
+    to round() is DATA-dependent (documented divergence at half-ulp-
+    below-.5 doubles), so the row-by-row parity sweep re-runs against
+    whatever testdata is on disk — a regeneration that crosses the edge
+    case fails HERE, not in a silent oracle mismatch. One aggregate scan
+    per (SF, table): every expression any query feeds to half_up_long.
+    """
+    from airbnb_listings_data_pipelines_spark.functions.dialect import (
+        half_up_long,
+    )
+    from airbnb_listings_data_pipelines_spark.sources.tpch import load_table
+    from pyspark.sql import functions as F
+
+    def mismatches(df, exprs):
+        aggs = [
+            F.sum(
+                (
+                    ~half_up_long(e).eqNullSafe(
+                        F.round(e, 0).cast("long")
+                    )
+                ).cast("long")
+            ).alias(f"m{i}")
+            for i, e in enumerate(exprs)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        return {i: row[f"m{i}"] for i in range(len(exprs))}
+
+    for sf_dir in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        li = load_table(spark, sf_dir, "lineitem")
+        q, p, d = (
+            F.col("l_quantity"),
+            F.col("l_extendedprice"),
+            F.col("l_discount"),
+        )
+        bad = mismatches(
+            li, [q * 100, p * 100, (p * (1 - d)) * 10000, q, p]
+        )
+        assert not any(bad.values()), (sf_dir, "lineitem", bad)
+        ev = load_table(spark, sf_dir, "events")
+        bad = mismatches(ev, [F.col("value") * 100])
+        assert not any(bad.values()), (sf_dir, "events", bad)

@@ -14,6 +14,8 @@ from airbnb_listings_data_pipelines_spark.sources.tpch import load_table
 
 from .conftest import SF_SMALL
 
+import pytest
+
 
 def _run_recipe(spark):
     docs = load_table(spark, SF_SMALL, "documents")
@@ -53,8 +55,15 @@ def _run_recipe(spark):
     return n0, rewritten.count(), survivors.count(), gated.count(), unique.count(), split, mixed
 
 
-def test_recipe_accounting_and_determinism(spark):
-    n0, n1, n2, n3, n4, split, mixed = _run_recipe(spark)
+@pytest.fixture(scope="module")
+def recipe(spark):
+    """One shared recipe run for the independent assertions — the
+    determinism test still re-runs it, so the suite pays 2 runs, not 3."""
+    return _run_recipe(spark)
+
+
+def test_recipe_accounting_and_determinism(spark, recipe):
+    n0, n1, n2, n3, n4, split, mixed = recipe
     # each stage only ever removes documents
     assert n0 >= n1 >= n2 >= n3 >= n4 > 0
     # split covers every surviving doc exactly once
@@ -69,10 +78,10 @@ def test_recipe_accounting_and_determinism(spark):
     assert set(ids1) <= train_ids
 
 
-def test_recipe_outputs_contain_no_boilerplate_lines(spark):
+def test_recipe_outputs_contain_no_boilerplate_lines(spark, recipe):
     """The composed pipeline must actually discharge its contract: no
     3-token line in the final unique set occurs > 2 times there."""
-    *_, split, _ = _run_recipe(spark)
+    *_, split, _ = recipe
     final = split.select("doc_id", "text")
     base = final.select("doc_id", text.tokens(F.lower("text")).alias("__toks"))
     toks = F.col("__toks")

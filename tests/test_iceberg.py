@@ -2101,3 +2101,49 @@ def test_v3_upgrade_relists_with_row_ids(spark, tmp_path):
     }
     for k, rid in ids.items():
         assert ids2[k] == rid
+
+
+def test_reader_resolves_current_schema_for_current_read(spark, tmp_path):
+    """read_iceberg_snapshot twin of the adoption fix (round-13 advice,
+    reader side): a column added to the current schema AFTER the last
+    data-writing snapshot appears (as NULLs) on a current-snapshot
+    read, while an EXPLICIT time-travel read keeps the snapshot's own
+    schema — Iceberg's scan semantics."""
+    from airbnb_listings_data_pipelines_spark.operators.iceberg import (
+        read_iceberg_snapshot,
+    )
+
+    t = _mk(spark, tmp_path)
+    want = _rows(t.read())
+    t.to_iceberg()
+    meta = os.path.join(t.path, "metadata")
+    with open(os.path.join(meta, "version-hint.text")) as fh:
+        ordinal = int(fh.read().strip())
+    mp = os.path.join(meta, f"v{ordinal}.metadata.json")
+    md = json.load(open(mp))
+    cur = next(
+        s for s in md["schemas"]
+        if s["schema-id"] == md["current-schema-id"]
+    )
+    new_id = int(md["last-column-id"]) + 1
+    evolved = {
+        "type": "struct",
+        "schema-id": max(s["schema-id"] for s in md["schemas"]) + 1,
+        "fields": cur["fields"]
+        + [{"id": new_id, "name": "note", "required": False,
+            "type": "string"}],
+    }
+    md["schemas"] = md["schemas"] + [evolved]
+    md["current-schema-id"] = evolved["schema-id"]
+    md["last-column-id"] = new_id
+    json.dump(md, open(mp, "w"))
+    got = read_iceberg_snapshot(spark, t.path)
+    assert "note" in got.columns
+    assert all(r["note"] is None for r in got.collect())
+    assert _rows(got.drop("note")) == want
+    # explicit time travel to the same snapshot: the snapshot's schema
+    tt = read_iceberg_snapshot(
+        spark, t.path, snapshot_id=md["current-snapshot-id"]
+    )
+    assert "note" not in tt.columns
+    assert _rows(tt) == want

@@ -196,20 +196,23 @@ def test_racing_append_unique_ids(spark, tmp_path):
     assert len(set(ids)) == len(ids) == 22
 
 
-def test_txlog_checkpoint_and_cleanup_keep_bases(spark, tmp_path):
+def test_txlog_checkpoint_and_cleanup_keep_bases(spark, tmp_path, monkeypatch):
     """Checkpoint commits snapshot the full base map (row_base_state);
     cleanup_log truncating the head must not lose a retained file's
     base."""
+    import airbnb_listings_data_pipelines_spark.operators.txlog as txmod
+
+    monkeypatch.setattr(txmod, "_CHECKPOINT_EVERY", 5)
     t = _mk(spark, tmp_path, n=6)
     ids0 = _ids(t)
-    for i in range(25):  # push past a checkpoint boundary
+    for i in range(7):  # push past a checkpoint boundary (patched to 5)
         t.append(
             spark.createDataFrame([(1000 + i, float(i))], "k int, amt double")
         )
     t.cleanup_log(retain_versions=2)
     ids1 = _ids(t)
     assert all(ids1[k] == ids0[k] for k in ids0)
-    assert len(set(ids1.values())) == len(ids1) == 31
+    assert len(set(ids1.values())) == len(ids1) == 13
 
 
 def test_export_and_independent_reader_agree(spark, tmp_path):

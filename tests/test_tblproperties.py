@@ -56,10 +56,13 @@ def test_properties_fold_set_unset_restore_clone(spark, tmp_path):
         t.set_properties({"delta.columnMapping.mode": "name"})
 
 
-def test_properties_survive_log_cleanup(spark, tmp_path):
+def test_properties_survive_log_cleanup(spark, tmp_path, monkeypatch):
+    import airbnb_listings_data_pipelines_spark.operators.txlog as txmod
+
+    monkeypatch.setattr(txmod, "_CHECKPOINT_EVERY", 5)
     t = _mk(spark, tmp_path / "t", n=5)
     t.set_properties({"team": "core"})
-    for i in range(25):  # push a checkpoint + truncate below it
+    for i in range(7):  # push a checkpoint + truncate below it
         t.append(
             spark.createDataFrame(
                 [(100 + i, "x", 0.0)], "k int, v string, amt double"

@@ -124,12 +124,18 @@ def test_merge_retries_after_conflict(spark, table, monkeypatch):
     assert state["raced"]
 
 
-def test_checkpoint_replay(spark, tmp_path):
+def test_checkpoint_replay(spark, tmp_path, monkeypatch):
+    import airbnb_listings_data_pipelines_spark.operators.txlog as txmod
+
+    # shrink the checkpoint period (the established test seam, see
+    # test_txlog_datasource): 8 one-row merges cross the boundary just
+    # like 24 did at the default 20 — same replay shape, 1/3 the wall
+    monkeypatch.setattr(txmod, "_CHECKPOINT_EVERY", 5)
     t = TxLogTable.create(spark, str(tmp_path / "ck"), _df(spark, [(0, "v0", 0)]))
-    for i in range(1, 25):  # crosses the every-20 checkpoint boundary
+    for i in range(1, 9):  # crosses the every-5 checkpoint boundary
         merge_into_txlog(spark, t, _df(spark, [(i, f"v{i}", i)]), keys=["k"])
-    assert t.version() == 24
-    assert {r.k for r in t.read().collect()} == set(range(25))
+    assert t.version() == 8
+    assert {r.k for r in t.read().collect()} == set(range(9))
     ops = [h["op"] for h in t.history()]
     assert ops[0] == "create" and all(o == "merge" for o in ops[1:])
 

@@ -239,15 +239,18 @@ def test_dv_diff_versions_netting(spark, tmp_path):
     assert got == {(k, "delete") for k in range(10, 30)}
 
 
-def test_dv_checkpoint_commit_carries_state(spark, tmp_path):
+def test_dv_checkpoint_commit_carries_state(spark, tmp_path, monkeypatch):
+    import airbnb_listings_data_pipelines_spark.operators.txlog as txmod
+
+    monkeypatch.setattr(txmod, "_CHECKPOINT_EVERY", 5)
     t = _mk(spark, tmp_path, n=50, parts=2)
     t.delete_where("k = 0", mode="dv")
-    # push past a checkpoint boundary (every 20 commits)
-    for i in range(21):
+    # push past a checkpoint boundary (every 5 commits, patched seam)
+    for i in range(6):
         t.append(spark.createDataFrame([(1000 + i, "a", 0)], "k int, v string, g int"))
     assert 0 not in set(_keys(t)), "DV survives the checkpoint fold"
     assert t.dvs() != {}
-    assert t.read_version(t.version()).count() == 49 + 21
+    assert t.read_version(t.version()).count() == 49 + 6
 
 
 def test_dv_datasource_batch_and_cdf(spark, tmp_path):
