@@ -5760,14 +5760,31 @@ def _merge_into_dv(
         doomed_pos = flat.filter("__mrg_del OR __mrg_updchg").select(
             "__file", "__ridx"
         ).distinct()
-        uri_rows = (
-            doomed_pos.select(F.col("__file").alias("u"))
-            .groupBy("u")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        )
-        rel_by_uri = {r["u"]: table._rel_path(r["u"]) for r in uri_rows}
-        counts = {rel_by_uri[r["u"]]: r["n"] for r in uri_rows}
+        # rel-path resolution WITHOUT a dedicated counts job (round 14,
+        # guide §1.4): touched basenames are driver-known, and a Spark-
+        # written layout has unique basenames (the _dv_keyed precedent —
+        # only the URI-safe basename is extracted JVM-side, never the
+        # encoded directory components), so the per-file counts derive
+        # from a driver-side pyarrow read of the one sidecar AFTER it is
+        # written instead of a groupBy/collect job BEFORE it. Foreign-
+        # adopted layouts with colliding basenames keep the collect path.
+        _bn_rel: dict[str, str] | None = {}
+        for _f in touched_files:
+            _b = _f.rsplit("/", 1)[-1]
+            if _b in _bn_rel:
+                _bn_rel = None  # collision: foreign layout, slow path
+                break
+            _bn_rel[_b] = _f
+        counts: dict[str, int] = {}
+        if _bn_rel is None:
+            uri_rows = (
+                doomed_pos.select(F.col("__file").alias("u"))
+                .groupBy("u")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            rel_by_uri = {r["u"]: table._rel_path(r["u"]) for r in uri_rows}
+            counts = {rel_by_uri[r["u"]]: r["n"] for r in uri_rows}
         # 4: new files — CHECK gate runs here, BEFORE any sidecar exists,
         # so a CheckViolation leaves no orphan metadata
         new_rows = flat.filter("__mrg_updchg OR __mrg_ins").select(
@@ -5825,9 +5842,70 @@ def _merge_into_dv(
         sidecar: str | None = None
         removes: list[str] = []
         dv_updates: dict[str, dict] = {}
-        if counts:
+        if _bn_rel is not None and touched_files:
+            # FAST PATH: sidecar first (new positions rel-keyed via the
+            # driver-built basename map + priors of every touched file —
+            # bounded by the touched set, the same O(touched priors)
+            # class as before), then per-file TOTALS from one driver-side
+            # pyarrow read of the sidecar just written. A touched file
+            # with priors but no new positions keeps its old descriptor
+            # (new_n == 0 below) — its copied prior rows are inert.
+            bmap = F.broadcast(
+                local_df(
+                    spark,
+                    list(_bn_rel.items()),
+                    "__b string, file string",
+                )
+            )
+            new_pos = (
+                doomed_pos.select(
+                    F.element_at(
+                        F.split(F.col("__file"), "/"), -1
+                    ).alias("__b"),
+                    F.col("__ridx").alias("row_index"),
+                )
+                .join(bmap, "__b")
+                .select("file", "row_index")
+            )
+            old_pos = table._dv_frame(dvs, touched_files)
+            dv_union = (
+                new_pos if old_pos is None else new_pos.unionByName(old_pos)
+            )
+            sidecar = table._write_sidecar(dv_union)
+            sc_full = os.path.join(table.path, sidecar)
+            totals: dict[str, int] = {}
+            if os.path.exists(sc_full):
+                import pyarrow.parquet as _pq2
+
+                _tbl = _pq2.read_table(sc_full, columns=["file"])
+                for _rel in _tbl.column("file").to_pylist():
+                    totals[_rel] = totals.get(_rel, 0) + 1
+            for rel in sorted(totals):
+                old_card = int((dvs.get(rel) or {}).get("cardinality") or 0)
+                if totals[rel] - old_card <= 0:
+                    continue  # priors only: descriptor unchanged
+                # new positions are disjoint from the prior vector (the
+                # positional scan was DV-applied) — the sidecar total IS
+                # the exact post-commit cardinality
+                card = totals[rel]
+                nrows = pq.ParquetFile(
+                    os.path.join(table.path, rel)
+                ).metadata.num_rows
+                if card >= nrows:
+                    removes.append(rel)
+                else:
+                    dv_updates[rel] = {
+                        "sidecar": sidecar,
+                        "cardinality": card,
+                        "pathkey": "rel",
+                    }
+            if not dv_updates:
+                if os.path.exists(sc_full):
+                    os.remove(sc_full)
+                sidecar = None
+        elif counts:
             doomed_rel = sorted(counts)
-            uri_map = local_df(spark, 
+            uri_map = local_df(spark,
                 list(rel_by_uri.items()), "__file string, file string"
             )
             new_pos = (

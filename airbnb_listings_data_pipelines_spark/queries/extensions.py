@@ -7696,35 +7696,54 @@ def x113_two_format_mirror_maintenance(
     ice = read_iceberg_snapshot(spark, path).select(
         "o_orderkey", "o_orderstatus", cents.alias("cents")
     )
-    # each mirror feeds TWO gate actions (intersect + count) and native
-    # feeds five (count, 2x intersect, final agg): persist each read once
-    # so the gates compare materialized rows instead of re-running the
-    # three readers per action (guide §5 — cache exactly what is reused).
-    # All three persists are released before returning (round-13 ADVICE:
-    # a leaked native cache accumulated per invocation across a bench
-    # session); the tiny final agg is materialized while native is still
-    # cached and returned as a driver-local frame.
-    native = native.persist()
-    try:
-        n = native.count()
-        for other, label in ((delta, "delta"), (ice, "iceberg")):
-            other = other.persist()
-            m = native.intersect(other).count()
-            if m != n or other.count() != n:
-                raise AssertionError(
-                    f"{label} mirror disagrees with the txlog read: "
-                    f"{m}/{n} rows intersect"
-                )
-            other.unpersist()
-        agg = native.groupBy("o_orderstatus").agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct("o_orderkey").alias("n_keys"),
-            F.sum("cents").alias("total_cents"),
-        )
-        rows = agg.collect()
-        return local_df(spark, rows, agg.schema)
-    finally:
-        native.unpersist()
+    # three-reader agreement gate, ONE map-side aggregate scan per
+    # reader (round 14, guide §1.4 / §2.3): each reader folds to a
+    # per-status (row count, distinct keys, cents sum, xxhash64 row-
+    # signature sum) map and the three maps must be equal — the same
+    # multiset-equality strictness class as the former per-mirror
+    # intersect+count gates (a disagreement escaping the 64-bit
+    # signature sum needs a deliberate hash collision) at a fifth of
+    # the actions and ZERO shuffles of full rows (intersect shuffled
+    # both sides twice, with all three reads persisted). The returned
+    # rows are derived from native's own fold, bit-identical to the
+    # former groupBy (count/countDistinct/sum over the same read).
+    def _sig(df):
+        return {
+            r["o_orderstatus"]: (
+                r["n_rows"], r["n_keys"], r["total_cents"], r["sig"]
+            )
+            for r in df.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("o_orderkey").alias("n_keys"),
+                F.sum("cents").alias("total_cents"),
+                F.sum(
+                    F.xxhash64(
+                        "o_orderkey", "o_orderstatus", "cents"
+                    ).cast("decimal(20,0)")  # exact sum, no ANSI overflow
+                ).alias("sig"),
+            ).collect()
+        }
+
+    sig_n = _sig(native)
+    for other, label in ((delta, "delta"), (ice, "iceberg")):
+        sig_o = _sig(other)
+        if sig_o != sig_n:
+            raise AssertionError(
+                f"{label} mirror disagrees with the txlog read: "
+                f"{sig_o} != {sig_n}"
+            )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("o_orderstatus", StringType(), True),
+            StructField("n_rows", LongType(), False),
+            StructField("n_keys", LongType(), False),
+            StructField("total_cents", LongType(), True),
+        ]
+    )
+    rows = [(s, v[0], v[1], v[2]) for s, v in sorted(sig_n.items())]
+    return local_df(spark, rows, out_schema)
 
 
 @query(

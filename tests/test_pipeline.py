@@ -17,7 +17,16 @@ from .fixtures import write_fixtures
 @pytest.fixture(scope="module")
 def pipe(spark, tmp_path_factory):
     data_dir = write_fixtures(tmp_path_factory.mktemp("airbnb_raw"))
-    return run_pipeline(spark, data_dir, register_views=False)
+    # persist_dir materializes staging+warehouse ONCE (the reference's
+    # own layer-materialization property) — without it every test's
+    # collect re-runs the CSV parse + join lineage from scratch, ~70 s
+    # of recompute across the module (guide §5)
+    return run_pipeline(
+        spark,
+        data_dir,
+        persist_dir=str(tmp_path_factory.mktemp("pipe_persist")),
+        register_views=False,
+    )
 
 
 # --- staging ---------------------------------------------------------------

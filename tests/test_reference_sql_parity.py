@@ -42,7 +42,15 @@ def _canon(df) -> list[tuple]:
 @pytest.fixture(scope="module")
 def warehouse(spark, tmp_path_factory):
     data_dir = write_fixtures(tmp_path_factory.mktemp("ref_sql_raw"))
-    res = run_pipeline(spark, data_dir, register_views=False)
+    # persist_dir: materialize staging+warehouse once so the DataFrame
+    # side of each parity statement reads parquet instead of re-running
+    # the CSV lineage per comparison (guide §5)
+    res = run_pipeline(
+        spark,
+        data_dir,
+        persist_dir=str(tmp_path_factory.mktemp("ref_sql_persist")),
+        register_views=False,
+    )
     spark.sql("CREATE DATABASE IF NOT EXISTS datawarehouse")
     res.fact_listing.write.mode("overwrite").saveAsTable("datawarehouse.fact_listing")
     res.dim_census.write.mode("overwrite").saveAsTable("datawarehouse.dim_census")
