@@ -232,7 +232,13 @@ def winnowing_neardup_pairs(
     )
     a, b = fps.alias("a"), fps.alias("b")
     return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        # merge-join hint: same ReusedExchange rationale as
+        # simhash_neardup_pairs — a broadcast self-join would run the
+        # winnowing pipeline twice; under SMJ both sides share one
+        # hash-distribution on fp and the fingerprints compute once
+        a.hint("merge").join(
+            b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id"))
+        )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
@@ -452,7 +458,10 @@ def minhash_lsh_pairs(
     stacked = lsh_band_index(df, id_col, text_col, n, num_hashes, bands)
     a, b = stacked.alias("a"), stacked.alias("b")
     candidates = (
-        a.join(
+        # merge-join hint: same ReusedExchange rationale as
+        # simhash_neardup_pairs — broadcast self-join = the minhash
+        # band index computed twice; SMJ on (band, bucket) = once
+        a.hint("merge").join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
@@ -518,7 +527,18 @@ def simhash_neardup_pairs(
     ).select("id", "simhash", "ch.ci", "ch.cv")
     a, b = chunked.alias("a"), chunked.alias("b")
     return (
-        a.join(
+        # merge-join hint (round 14, guide §2.4): the planner would
+        # broadcast one side of this self-join, wrapping it in a
+        # BroadcastExchange that cannot be reused against the other
+        # side's shuffle — so the whole simhash pipeline (explode +
+        # per-word hash + 32 conditional sums) executed TWICE. Under a
+        # sort-merge join both sides require the SAME hash distribution
+        # on (ci, cv) and Spark plans one Exchange + a ReusedExchange:
+        # the fingerprints are computed once, and only the 4-chunk
+        # (id, simhash, ci, cv) rows shuffle — cheaper than a second
+        # fingerprint pass at any scale. AQE skew-join still splits hot
+        # chunk-value buckets.
+        a.hint("merge").join(
             b,
             (F.col("a.ci") == F.col("b.ci"))
             & (F.col("a.cv") == F.col("b.cv"))
